@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface: aggregation (A1–A3), joins (J2/J3/J6/
+  * J8/J9), dedup / set ops / pagination (D1–D7).
+  *
+  * Reference semantics (file:line into /root/reference):
+  *  - A1 group_concat: sparql/wikidata-city.sparql:1,25 — deterministic via
+  *    sort_array before concat (reference relies on endpoint ordering).
+  *  - A2 group_concat(DISTINCT): sparql/wikidata-organization.sparql:1,38.
+  *  - J2/J3 OPTIONAL with inner filter: sparql/wikidata-person.sparql:18-21 —
+  *    the filter applies on the right side BEFORE the left-outer join.
+  *  - J6 VALUES membership: sparql/wikidata-organization.sparql:18-19.
+  *  - J8 anti-join (worklist/memoization): get_data_apis_vanilla.py:524-525.
+  *  - D1 DISTINCT: sparql/wikidata-person.sparql:4.
+  *  - D2 UNION arms: sparql/wikidata-person.sparql:7-9.
+  *  - D5 ORDER BY + LIMIT/OFFSET pagination: sparql/wikidata-person.sparql:14-16.
+  *
+  * Scale notes (100 TB posture): all aggregations are partial-aggregable
+  * (map-side combine happens automatically); the only broadcast-sized inputs
+  * are dimension tables (region/nation/customer at TPC-H ratios); no
+  * `collect()` anywhere; the global-window pagination demo (q_d5) is an
+  * emulation of the reference's page protocol — engine-side the idiom is a
+  * single orderBy + limit which Spark executes with TakeOrderedAndProject.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary — the flagship full-scan aggregation.
+    * Partial agg + 2-key groupBy: shuffles only the tiny aggregate state. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Join + agg + deterministic top-k. customer is the small side — Catalyst
+    * broadcasts it under AQE; revenue rounded so oracle hash is stable. */
+  def q2TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(10)
+  }
+
+  /** J2+J3: left-outer join where the optional side is filtered BEFORE the
+    * join (OPTIONAL { ... FILTER ... } ordering is correctness-critical). */
+  def q3OptionalFilteredJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_name",
+              coalesce($"cnt", lit(0L)).as("n_urgent"))
+  }
+
+  /** J8: anti-join — entities not yet present (reference's `not in g` and
+    * worklist dedup). Broadcast-hash LeftAnti when the probe side is small:
+    * customers with no pending ('P') order. */
+  def q4AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pending = Tables.orders(s, dir).filter($"o_orderstatus" === "P")
+    Tables.customer(s, dir)
+      .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  /** A1: GROUP BY + group_concat with explicit sort for determinism. */
+  def q5GroupConcat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(concat_ws(" ", sort_array(collect_list($"o_orderpriority"))).as("prios"))
+  }
+
+  /** A2: group_concat(DISTINCT ...) — collect_set + sort_array. */
+  def q6GroupConcatDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(concat_ws(" ", sort_array(collect_set($"o_orderstatus"))).as("statuses"))
+  }
+
+  /** A3: COUNT(DISTINCT) — the reference's pagination count query
+    * (wikidata_index.py:173-179). */
+  def q7CountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+           countDistinct($"l_partkey").as("n_parts"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** D1: SELECT DISTINCT. */
+  def q8Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_mktsegment", $"c_nationkey").distinct()
+  }
+
+  /** D2: UNION of compatible arms (bag semantics, unionByName). */
+  def q9UnionArms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val a = c.filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("id"), lit("building").as("arm"))
+    val b = c.filter($"c_acctbal" > 5000.0)
+      .select($"c_custkey".as("id"), lit("rich").as("arm"))
+    a.unionByName(b)
+  }
+
+  /** J6: VALUES inline-table membership → isin predicate (pushed to scan). */
+  def q10ValuesMembership(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
+  }
+
+  /** D5: ORDER BY + LIMIT/OFFSET pagination emulation (row_number window).
+    * Engine-side pagination is a single orderBy+limit; the global window here
+    * reproduces the reference's page protocol for parity only. */
+  def q11Pagination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn".between(101, 150))
+  }
+
+  /** J9: propagation join — copy an attribute of a joined dimension onto the
+    * fact (reference: institution residence → career P7_took_place_at,
+    * get_data_apis_vanilla.py:481-485). */
+  def q12PropagationJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", lit("took_place_at").as("p"), $"n_name".as("o"))
+  }
+
+  /** D6: top-1 by rank within group (rank-pick, degenerate top-k). */
+  def q13TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"c_nationkey", $"c_custkey", round($"c_acctbal", 2).as("best_bal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"    -> q1PricingSummary _,
+    "q2_top_customers"      -> q2TopCustomers _,
+    "q3_optional_join"      -> q3OptionalFilteredJoin _,
+    "q4_anti_join"          -> q4AntiJoin _,
+    "q5_group_concat"       -> q5GroupConcat _,
+    "q6_group_concat_distinct" -> q6GroupConcatDistinct _,
+    "q7_count_distinct"     -> q7CountDistinct _,
+    "q8_distinct"           -> q8Distinct _,
+    "q9_union_arms"         -> q9UnionArms _,
+    "q10_values_membership" -> q10ValuesMembership _,
+    "q11_pagination"        -> q11Pagination _,
+    "q12_propagation_join"  -> q12PropagationJoin _,
+    "q13_top_per_group"     -> q13TopPerGroup _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2""",
+    "q2_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice),2) AS revenue,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1,2 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q3_optional_join" ->
+      """SELECT c_custkey, c_name, coalesce(u.cnt, 0) AS n_urgent
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u
+         ON c_custkey = u.o_custkey""",
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+    "q5_group_concat" ->
+      """SELECT o_custkey,
+         string_agg(o_orderpriority, ' ' ORDER BY o_orderpriority) AS prios
+         FROM orders GROUP BY 1""",
+    "q6_group_concat_distinct" ->
+      """SELECT o_custkey, string_agg(o_orderstatus, ' ' ORDER BY o_orderstatus) AS statuses
+         FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) GROUP BY 1""",
+    "q7_count_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+         FROM lineitem""",
+    "q8_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q9_union_arms" ->
+      """SELECT c_custkey AS id, 'building' AS arm FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey AS id, 'rich' AS arm FROM customer WHERE c_acctbal > 5000.0""",
+    "q10_values_membership" ->
+      """SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+         FROM part WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')""",
+    "q11_pagination" ->
+      """SELECT o_orderkey, o_orderpriority, rn FROM (
+           SELECT o_orderkey, o_orderpriority,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         WHERE rn BETWEEN 101 AND 150""",
+    "q12_propagation_join" ->
+      """SELECT s_suppkey, 'took_place_at' AS p, n_name AS o
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "q13_top_per_group" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal,2) AS best_bal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn = 1"""
+  )
+}
