@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracles)
+      (operators.Relational.queries, operators.Relational.oracles),
+      (operators.RdfOps.queries, operators.RdfOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

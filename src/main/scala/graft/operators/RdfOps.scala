@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.{Closure, SparqlAlgebra, TripleStore}
+
+/** SPARQL-subset algebra over the derived triple store: BGP joins (J1),
+  * label service (J7), property-path closure (J4/J5), inverse-property rule
+  * (R1), provided-entity minting (R2), and the triple generators (G1/G2/G10).
+  *
+  * Reference citations are on each query; the triple/edge/label views and
+  * their oracle-SQL twins live in [[graft.plans.TripleStore]].
+  */
+object RdfOps {
+
+  /** J1: 5-pattern basic graph pattern — persons, their nation, restricted to
+    * the EUROPE region (sparql/wikidata-city.sparql:6-12 shape). Each pattern
+    * is a predicate-pruned scan; Catalyst broadcast-joins the tiny
+    * region/label sides. */
+  def q14BgpEurope(s: SparkSession, dir: String): DataFrame = {
+    val t = TripleStore.triples(s, dir)
+    val persons = SparqlAlgebra.patternConstO(t, "type", "Person", "c")
+    val natOf   = SparqlAlgebra.pattern(t, "nation", "c", "n")
+    val nameOf  = SparqlAlgebra.pattern(t, "label", "c", "name")
+    val regOf   = SparqlAlgebra.pattern(t, "region", "n", "r")
+    val europe  = SparqlAlgebra.patternConstO(t, "label", "EUROPE", "r")
+    SparqlAlgebra.bgp(Seq(persons, natOf, nameOf, regOf, europe))
+      .select(col("c"), col("name"), col("n"))
+  }
+
+  /** J7: label service — first-language-match label with entity-id fallback
+    * (SERVICE wikibase:label "de,en", sparql/wikidata-person.sparql:22). */
+  def q15LabelService(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val ents = n.select(concat(lit("N"), col("n_nationkey").cast("string")).as("node"))
+    SparqlAlgebra.labelService(ents, TripleStore.langLabels(s, dir),
+      "node", "label", Seq("de", "en"))
+  }
+
+  /** J4: reflexive-transitive closure (wdt:P279*) — every node in the
+    * lineitem→order→customer→nation chain under the EUROPE region, the
+    * region included (sparql/wikidata-city.sparql:6). Semi-naive fixpoint,
+    * localCheckpoint per round ([[graft.plans.Closure]]). */
+  def q16ClosureReach(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val seeds = r.filter(col("r_name") === "EUROPE")
+      .select(concat(lit("R"), col("r_regionkey").cast("string")).as("node"))
+    Closure.reachingTo(TripleStore.edges(s, dir), seeds)
+  }
+
+  /** J5: sequence + closure (wdt:P31/wdt:P279*) — ancestor pairs restricted
+    * to region ancestors: (node, region) for orders/customers/nations. */
+  def q17RegionAncestors(s: SparkSession, dir: String): DataFrame = {
+    Closure.ancestorPairs(TripleStore.edges(s, dir, withLineitems = false))
+      .filter(col("anc").startsWith("R"))
+      .select(col("node"), col("anc").as("region"))
+  }
+
+  /** R1: inverse-property materialization — for every (s, region, o) also
+    * emit (o, has_nation, s) (get_data_apis_vanilla.py:1064-1065). */
+  def q18InverseRule(s: SparkSession, dir: String): DataFrame = {
+    val reg = TripleStore.triples(s, dir).filter(col("p") === "region")
+    reg.select(col("s"), col("p"), col("o"))
+      .unionByName(reg.select(col("o").as("s"), lit("has_nation").as("p"),
+        col("s").as("o")))
+  }
+
+  /** R2: provided-entity minting — one deterministic URI per distinct target
+    * (md5 stands in for STRUUID, SURVEY.md §7.3 "Nondeterminism"), fanned
+    * back onto all entities sharing it
+    * (create_provided_entities_graph_v2.sparql:10-27). */
+  def q19ProvidedMint(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val minted = c.select(col("c_mktsegment").as("target")).distinct()
+      .withColumn("provided", concat(lit("urn:prov:"), md5(concat(lit("pfp:"), col("target")))))
+    c.select(concat(lit("C"), col("c_custkey").cast("string")).as("c"),
+        col("c_mktsegment").as("target"))
+      .join(broadcast(minted), "target")
+      .select(col("c"), col("provided"))
+  }
+
+  /** G1: time-span generator — partial dates expand to label/type/begin/end
+    * triples, precision-sensitive (get_data_apis_vanilla.py:32-112: year-only
+    * "YYYY" → Jan-1/Dec-31 interval endpoints). */
+  def q20TimespanGen(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val subj = concat(lit("O"), col("o_orderkey").cast("string"))
+    val d = col("o_orderdate")
+    val prec = pmod(col("o_orderkey"), lit(3))
+    val dw = when(prec === 0, date_format(d, "yyyy"))
+      .when(prec === 1, date_format(d, "yyyy-MM"))
+      .otherwise(date_format(d, "yyyy-MM-dd"))
+    val begin = when(prec === 0, concat(date_format(d, "yyyy"), lit("-01-01T00:00:00")))
+      .when(prec === 1, concat(date_format(d, "yyyy-MM"), lit("-01T00:00:00")))
+      .otherwise(concat(date_format(d, "yyyy-MM-dd"), lit("T00:00:00")))
+    val end = when(prec === 0, concat(date_format(d, "yyyy"), lit("-12-31T23:59:59")))
+      .when(prec === 1, concat(date_format(last_day(d), "yyyy-MM-dd"), lit("T23:59:59")))
+      .otherwise(concat(date_format(d, "yyyy-MM-dd"), lit("T23:59:59")))
+    o.select(subj.as("s"), explode(array(
+        struct(lit("label").as("p"), dw.as("o")),
+        struct(lit("type").as("p"), lit("E52_Time-Span").as("o")),
+        struct(lit("begin").as("p"), begin.as("o")),
+        struct(lit("end").as("p"), end.as("o")))).as("kv"))
+      .select(col("s"), col("kv.p").as("p"), col("kv.o").as("o"))
+  }
+
+  /** G2 (shape): person render — fixed triples plus a conditional one, so the
+    * per-row fan-out is variable (get_data_apis_vanilla.py:513-674). */
+  def q21RenderPerson(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val subj = concat(lit("C"), col("c_custkey").cast("string"))
+    val base = c.select(subj.as("s"), explode(array(
+        struct(lit("type").as("p"), lit("E21_Person").as("o")),
+        struct(lit("label").as("p"), col("c_name").as("o")),
+        struct(lit("appellation").as("p"), concat(lit("App: "), col("c_name")).as("o")),
+        struct(lit("nation").as("p"),
+          concat(lit("N"), col("c_nationkey").cast("string")).as("o")))).as("kv"))
+      .select(col("s"), col("kv.p").as("p"), col("kv.o").as("o"))
+    val active = c.filter(col("c_acctbal") > 0)
+      .select(subj.as("s"), lit("status").as("p"), lit("active").as("o"))
+    base.unionByName(active)
+  }
+
+  /** G10: WKT space-primitive formatting with explicit sign
+    * (get_data_apis_vanilla.py:883-889: "Point ( +lng +lat )"). */
+  def q22WktPoints(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    def signed(c: org.apache.spark.sql.Column) =
+      when(c >= 0, concat(lit("+"), c.cast("string"))).otherwise(c.cast("string"))
+    val lng = col("s_nationkey") - 12
+    val lat = col("s_suppkey") % 90
+    sup.select(concat(lit("S"), col("s_suppkey").cast("string")).as("s"),
+      lit("space_primitive").as("p"),
+      concat(lit("Point ( "), signed(lng), lit(" "), signed(lat), lit(" )")).as("o"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_bgp_europe"       -> q14BgpEurope _,
+    "q15_label_service"    -> q15LabelService _,
+    "q16_closure_reach"    -> q16ClosureReach _,
+    "q17_region_ancestors" -> q17RegionAncestors _,
+    "q18_inverse_rule"     -> q18InverseRule _,
+    "q19_provided_mint"    -> q19ProvidedMint _,
+    "q20_timespan_gen"     -> q20TimespanGen _,
+    "q21_render_person"    -> q21RenderPerson _,
+    "q22_wkt_points"       -> q22WktPoints _
+  )
+
+  private val T = TripleStore.triplesSql
+  private val L = TripleStore.langLabelsSql
+  private val E = TripleStore.edgesSql
+  private val EN = TripleStore.edgesNoLineitemSql
+
+  val oracles: Map[String, String] = Map(
+    "q14_bgp_europe" ->
+      s"""WITH triples AS ($T)
+         SELECT ty.s AS c, lb.o AS name, na.o AS n
+         FROM triples ty
+         JOIN triples na ON na.p='nation' AND na.s=ty.s
+         JOIN triples lb ON lb.p='label' AND lb.s=ty.s
+         JOIN triples re ON re.p='region' AND re.s=na.o
+         JOIN triples rl ON rl.p='label' AND rl.s=re.o AND rl.o='EUROPE'
+         WHERE ty.p='type' AND ty.o='Person'""",
+    "q15_label_service" ->
+      s"""WITH labels AS ($L),
+         ents AS (SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node FROM nation),
+         ranked AS (
+           SELECT entity, label,
+                  row_number() OVER (PARTITION BY entity
+                    ORDER BY CASE lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 END, label) AS rn
+           FROM labels WHERE lang IN ('de','en'))
+         SELECT e.node, coalesce(p.label, e.node) AS label
+         FROM ents e LEFT JOIN (SELECT entity, label FROM ranked WHERE rn=1) p
+         ON e.node = p.entity""",
+    "q16_closure_reach" ->
+      s"""WITH RECURSIVE edges AS ($E),
+         up AS (
+           SELECT 'R'||CAST(r_regionkey AS VARCHAR) AS node FROM region WHERE r_name='EUROPE'
+           UNION
+           SELECT e.src FROM edges e JOIN up u ON e.dst = u.node)
+         SELECT node FROM up""",
+    "q17_region_ancestors" ->
+      s"""WITH RECURSIVE edges AS ($EN),
+         anc AS (
+           SELECT src AS node, dst AS anc FROM edges
+           UNION
+           SELECT a.node, e.dst FROM anc a JOIN edges e ON a.anc = e.src)
+         SELECT node, anc AS region FROM anc WHERE anc LIKE 'R%'""",
+    "q18_inverse_rule" ->
+      s"""WITH triples AS ($T)
+         SELECT s, p, o FROM triples WHERE p='region'
+         UNION ALL
+         SELECT o AS s, 'has_nation' AS p, s AS o FROM triples WHERE p='region'""",
+    "q19_provided_mint" ->
+      """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c,
+         'urn:prov:'||md5('pfp:'||c_mktsegment) AS provided FROM customer""",
+    "q20_timespan_gen" ->
+      """WITH o AS (SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS s,
+                     o_orderkey % 3 AS prec, o_orderdate AS d FROM orders)
+         SELECT s, 'label' AS p,
+           CASE prec WHEN 0 THEN strftime(d,'%Y') WHEN 1 THEN strftime(d,'%Y-%m')
+                     ELSE strftime(d,'%Y-%m-%d') END AS o FROM o
+         UNION ALL SELECT s, 'type', 'E52_Time-Span' FROM o
+         UNION ALL SELECT s, 'begin',
+           CASE prec WHEN 0 THEN strftime(d,'%Y')||'-01-01T00:00:00'
+                     WHEN 1 THEN strftime(d,'%Y-%m')||'-01T00:00:00'
+                     ELSE strftime(d,'%Y-%m-%d')||'T00:00:00' END FROM o
+         UNION ALL SELECT s, 'end',
+           CASE prec WHEN 0 THEN strftime(d,'%Y')||'-12-31T23:59:59'
+                     WHEN 1 THEN strftime(last_day(CAST(d AS DATE)),'%Y-%m-%d')||'T23:59:59'
+                     ELSE strftime(d,'%Y-%m-%d')||'T23:59:59' END FROM o""",
+    "q21_render_person" ->
+      """WITH c AS (SELECT 'C'||CAST(c_custkey AS VARCHAR) AS s, c_name,
+                     c_nationkey, c_acctbal FROM customer)
+         SELECT s, 'type' AS p, 'E21_Person' AS o FROM c
+         UNION ALL SELECT s, 'label', c_name FROM c
+         UNION ALL SELECT s, 'appellation', 'App: '||c_name FROM c
+         UNION ALL SELECT s, 'nation', 'N'||CAST(c_nationkey AS VARCHAR) FROM c
+         UNION ALL SELECT s, 'status', 'active' FROM c WHERE c_acctbal > 0""",
+    "q22_wkt_points" ->
+      """SELECT 'S'||CAST(s_suppkey AS VARCHAR) AS s, 'space_primitive' AS p,
+         'Point ( '||
+           (CASE WHEN s_nationkey - 12 >= 0 THEN '+'||CAST(s_nationkey - 12 AS VARCHAR)
+                 ELSE CAST(s_nationkey - 12 AS VARCHAR) END)||' '||
+           (CASE WHEN s_suppkey % 90 >= 0 THEN '+'||CAST(s_suppkey % 90 AS VARCHAR)
+                 ELSE CAST(s_suppkey % 90 AS VARCHAR) END)||' )' AS o
+         FROM supplier"""
+  )
+}

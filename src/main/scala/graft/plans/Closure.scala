@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative reflexive-transitive closure — the `wdt:P279*` property path
+  * (sparql/wikidata-city.sparql:6, wikidata-organization.sparql:5).
+  *
+  * Spark has no recursive-query operator, so this is a semi-naive fixpoint
+  * driven from the caller: each round joins only the NEW frontier against the
+  * edge table, unions into the accumulator, and stops when the frontier is
+  * empty (SURVEY.md §4.2, §7.3 "P279* closure at scale").
+  *
+  * Scale posture:
+  *  - `localCheckpoint` after every round cuts the lineage chain that would
+  *    otherwise grow linearly with depth (on a cluster with a checkpoint dir,
+  *    prefer reliable `checkpoint`; localCheckpoint is the local[n] analog).
+  *  - The frontier is deduplicated before the join, so hub nodes (the
+  *    reference's Q515-like classes) are joined once per round, not once per
+  *    in-edge.
+  *  - The edge table is reused across rounds — cache it at the call site when
+  *    it is not a cheap scan.
+  *  - `maxIters` guards against cycles / adversarial depth.
+  */
+object Closure {
+
+  /** All nodes from which some seed is reachable by following src→dst edges
+    * zero or more times (reflexive: includes the seeds).
+    *
+    * @param edges DataFrame with columns (src, dst)
+    * @param seeds DataFrame with column (node)
+    * @return DataFrame with column (node), distinct
+    */
+  def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var acc = seeds.select(col("node")).distinct().localCheckpoint()
+    var frontier = acc
+    var i = 0
+    while (i < maxIters && !frontier.isEmpty) {
+      val next = e.join(frontier, e("dst") === frontier("node"))
+        .select(e("src").as("node")).distinct()
+        .join(acc, Seq("node"), "left_anti")
+        .localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+
+  /** Transitive ancestor pairs: (node, anc) for every non-empty path
+    * node →+ anc. Add the reflexive pairs at the call site if `*` semantics
+    * (rather than `+`) are needed.
+    */
+  def ancestorPairs(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var acc = e.select(col("src").as("node"), col("dst").as("anc"))
+      .distinct().localCheckpoint()
+    var frontier = acc
+    var i = 0
+    while (i < maxIters && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("anc") === e("src"))
+        .select(frontier("node"), e("dst").as("anc")).distinct()
+        .join(acc, Seq("node", "anc"), "left_anti")
+        .localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+}
