@@ -13,7 +13,9 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
-      (operators.RdfOps.queries, operators.RdfOps.oracles)
+      (operators.RdfOps.queries, operators.RdfOps.oracles),
+      (operators.Projections.queries, operators.Projections.oracles),
+      (operators.Events.queries, operators.Events.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental / upsert / event-time semantics (SURVEY.md §2.9–2.10) in
+  * batch form over the `events` table. The true Structured-Streaming
+  * counterparts (readStream + watermark + mapGroupsWithState) live in
+  * [[graft.streaming]]; these batch queries pin the same semantics against
+  * the DuckDB oracle, which a streaming job cannot.
+  */
+object Events {
+
+  /** P10: date-watermark incremental pull — only rows newer than the cutoff
+    * (wikidata_index.py:156-171 `{{INCREMENTAL_DATE}}` rewrite). The
+    * predicate is pushed to the parquet scan. Fixed cutoff, not now():
+    * injectable-clock policy per SURVEY.md §7.3 "Nondeterminism". */
+  def q28IncrementalWatermark(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Event-time tumbling window aggregation (batch twin of the streaming
+    * windowed count; no reference counterpart — north-star extension). */
+  def q29HourlyWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap — lag + cumulative-sum
+    * session ids; microsecond-exact gap arithmetic so the oracle agrees on
+    * boundaries. Batch twin of flatMapGroupsWithState sessionization. */
+  def q30Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L)
+    Tables.events(s, dir)
+      .withColumn("new_s", newSession)
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** JSON property extraction from the `props` string column (the driver
+    * data's analog of nested-JSON reshaping, get_data_apis_vanilla.py
+    * nested entities). regexp-based so both engines agree byte-for-byte. */
+  def q31PropsExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    Tables.events(s, dir)
+      .select(col("event_type"), nullif(k, lit("")).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_cnt"))
+  }
+
+  /** K1: upsert last-write-wins — keep the newest row per id before the
+    * sink (push_to_typesense.py:49-51 `action: "upsert"`). */
+  def q32UpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_incremental_watermark" -> q28IncrementalWatermark _,
+    "q29_hourly_window"         -> q29HourlyWindow _,
+    "q30_sessionize"            -> q30Sessionize _,
+    "q31_props_extract"         -> q31PropsExtract _,
+    "q32_upsert_latest"         -> q32UpsertLatest _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_incremental_watermark" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+         FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1""",
+    "q29_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1,2""",
+    "q30_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id,
+                CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800*1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM g GROUP BY 1""",
+    "q31_props_extract" ->
+      """SELECT event_type,
+         CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS k_sum,
+         count(TRY_CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS k_cnt
+         FROM events GROUP BY 1""",
+    "q32_upsert_latest" ->
+      """SELECT user_id, event_type AS last_event,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1"""
+  )
+}
