@@ -15,7 +15,9 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.RdfOps.queries, operators.RdfOps.oracles),
       (operators.Projections.queries, operators.Projections.oracles),
-      (operators.Events.queries, operators.Events.oracles)
+      (operators.Events.queries, operators.Events.oracles),
+      (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.VectorOps.queries, operators.VectorOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

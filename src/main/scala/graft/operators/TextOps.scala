@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Large-scale training-data text operators over `documents` (north-star
+  * extensions per BASELINE.json): exact + MinHash/LSH + SimHash + n-gram
+  * Jaccard deduplication, language-ID heuristic, quality scoring, token
+  * counting, bottom-k document fingerprinting.
+  *
+  * Cross-engine determinism policy: every hash is md5 (identical lowercase
+  * hex in Spark and DuckDB), every ratio derives from integer counts (bit-
+  * exact as doubles), orderings always carry an explicit tiebreak. All text
+  * expressions are built-in higher-order functions — no UDFs, so they stay
+  * in whole-stage codegen.
+  *
+  * Scale notes: the pairwise Jaccard query (q36) is intentionally bounded —
+  * the unbounded-scale path for near-dup detection is MinHash banding (q34),
+  * whose cost is linear in corpus size + band-bucket join (the classic
+  * shingle→minhash→band→bucket-join pipeline); bucket skew at 100 TB is
+  * handled by AQE skew-join splitting.
+  */
+object TextOps {
+
+  /** documents + tokenized text. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("toks", split(col("text"), " "))
+
+  private val shingles3 =
+    "IF(size(toks) >= 3, transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), CAST(array() AS ARRAY<STRING>))"
+
+  /** Exact dedup by content key (hash-groupBy): md5 of the first-8-token
+    * prefix; keep the smallest doc_id per group. Map-side partial agg makes
+    * this a single shuffle of (key → min,count) state at any scale. */
+  def q33DedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("dup_key", md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+      .groupBy(col("dup_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash + LSH near-dup candidate pairs: word 3-gram shingles → 8
+    * minhash permutations (perm i = min md5("i:"+shingle)) → 4 bands × 2
+    * rows → pairs sharing any band bucket. */
+  def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).withColumn("shingles", expr(shingles3))
+    val sigCols = (0 until 8).map { i =>
+      expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))").as(s"h$i")
+    }
+    val sig = sh.select((col("doc_id") +: sigCols): _*)
+    // One pass over the signature: explode 4 band structs instead of a
+    // 4-arm union that would recompute the minhash subtree per arm.
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 16-bit signature — per bit j, the sign of the sum over tokens
+    * of ±1 by bit j of md5(token). Near-identical docs land on identical or
+    * 1-2-bit-distant signatures. */
+  def q35Simhash(s: SparkSession, dir: String): DataFrame = {
+    val bitCols = (0 until 16).map { j =>
+      val nib = j / 4 + 1 // 1-based hex char position in the md5
+      val bp = 3 - (j % 4)
+      expr(s"aggregate(toks, 0, (acc, w) -> acc + IF(((shiftright(instr('0123456789abcdef', substr(md5(w), $nib, 1)) - 1, $bp)) & 1) = 1, 1, -1))")
+        .as(s"b$j")
+    }
+    val withBits = docs(s, dir).select((col("doc_id") +: bitCols): _*)
+    val simhash = concat((0 until 16).map(j =>
+      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    withBits.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** n-gram (bigram) Jaccard near-dup pairs, bounded to doc_id < 200 — the
+    * quadratic exact check; the scale path is q34. All ratios are
+    * integer-derived, so both engines compute identical doubles. */
+  def q36NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir).filter(col("doc_id") < 200)
+      .withColumn("bigrams", array_distinct(expr(
+        "IF(size(toks) >= 2, transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1])), CAST(array() AS ARRAY<STRING>))")))
+      .select(col("doc_id"), explode(col("bigrams")).as("b"))
+    val n = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val shared = bg.as("a").join(bg.as("b"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("sh"))
+    shared
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb2"), col("doc_b") === col("nb2.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("sh") / (col("na.nb") + col("nb2.nb") - col("sh")), 4).as("jac"))
+      .filter(col("jac") >= 0.3)
+  }
+
+  /** Language-ID by marker-word counts (n-gram heuristic shape): argmax of
+    * three fixed marker sets with deterministic tie order. */
+  def q39LangId(s: SparkSession, dir: String): DataFrame = {
+    val c1 = expr("size(filter(toks, t -> t IN ('the','a','data')))").cast("long")
+    val c2 = expr("size(filter(toks, t -> t IN ('spark','query','join')))").cast("long")
+    val c3 = expr("size(filter(toks, t -> t IN ('row','line','scan')))").cast("long")
+    docs(s, dir).select(col("doc_id"), c1.as("c1"), c2.as("c2"), c3.as("c3"))
+      .withColumn("pred",
+        when(col("c1") >= col("c2") && col("c1") >= col("c3"), "en")
+          .when(col("c2") >= col("c3"), "tech")
+          .otherwise("ops"))
+  }
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * composed score — all integer-derived (length/punct/stopword ratios per
+    * the north-star spec). */
+  def q40Quality(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
+    val chars = length(col("text")).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round((chars - (nToks - 1)) / nToks, 4).as("avg_tok_len"),
+      round(nStop / nToks, 4).as("stop_ratio"),
+      round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens + regex-based subtoken counts (the
+    * BPE-ish pass: alpha runs and long alpha runs). */
+  def q41TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("alpha_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]{5,}', 0))").cast("long").as("long_tokens"))
+
+  /** Document fingerprint: bottom-4 sketch of 3-gram shingle hashes — an
+    * order-insensitive, near-dup-stable rolling-hash fingerprint. */
+  def q42Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("shingles", expr(shingles3))
+      .select(col("doc_id"),
+        concat_ws(",", slice(sort_array(expr("transform(shingles, s -> md5(s))")), 1, 4))
+          .as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_dedup_exact"   -> q33DedupExact _,
+    "q34_minhash_lsh"   -> q34MinhashLsh _,
+    "q35_simhash"       -> q35Simhash _,
+    "q36_ngram_jaccard" -> q36NgramJaccard _,
+    "q39_langid"        -> q39LangId _,
+    "q40_quality"       -> q40Quality _,
+    "q41_token_count"   -> q41TokenCount _,
+    "q42_fingerprint"   -> q42Fingerprint _
+  )
+
+  private val shinglesSql =
+    "list_transform(range(1, greatest(len(toks)-1, 1)), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])"
+
+  private val simhashSumsSql = (0 until 16).map { j =>
+    val nib = j / 4 + 1
+    val bp = 3 - (j % 4)
+    s"list_sum(list_transform(toks, w -> CASE WHEN (((strpos('0123456789abcdef', substr(md5(w), $nib, 1)) - 1) >> $bp) & 1) = 1 THEN 1 ELSE -1 END)) AS b$j"
+  }.mkString(",\n             ")
+
+  private val simhashConcatSql = (0 until 16).map(j =>
+    s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
+
+  val oracles: Map[String, String] = Map(
+    "q33_dedup_exact" ->
+      """SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,
+         min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+    "q34_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+         sig AS (SELECT doc_id,
+           ${(0 until 8).map(i => s"list_min(list_transform(shingles, s -> md5('$i:'||s))) AS h$i").mkString(", ")}
+           FROM sh),
+         bands AS (
+           ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "q35_simhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         b AS (SELECT doc_id,
+             $simhashSumsSql
+           FROM t)
+         SELECT doc_id, $simhashConcatSql AS simhash FROM b""",
+    "q36_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 200),
+         bg AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, greatest(len(toks), 1)), i -> toks[i]||' '||toks[i+1]))) AS b
+                FROM t),
+         n AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY 1),
+         s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
+               FROM bg a JOIN bg b ON a.b = b.b AND a.doc_id < b.doc_id
+               GROUP BY 1,2)
+         SELECT doc_a, doc_b, round(sh/(na.nb+nb2.nb-sh), 4) AS jac
+         FROM s JOIN n na ON doc_a = na.doc_id JOIN n nb2 ON doc_b = nb2.doc_id
+         WHERE round(sh/(na.nb+nb2.nb-sh), 4) >= 0.3""",
+    "q39_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         c AS (SELECT doc_id,
+                 len(list_filter(toks, t -> t IN ('the','a','data'))) AS c1,
+                 len(list_filter(toks, t -> t IN ('spark','query','join'))) AS c2,
+                 len(list_filter(toks, t -> t IN ('row','line','scan'))) AS c3
+               FROM t)
+         SELECT doc_id, c1, c2, c3,
+           CASE WHEN c1 >= c2 AND c1 >= c3 THEN 'en'
+                WHEN c2 >= c3 THEN 'tech' ELSE 'ops' END AS pred
+         FROM c""",
+    "q40_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+         c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+                 CAST(length(text) AS BIGINT) AS chars
+               FROM t)
+         SELECT doc_id, n_tokens,
+           round((chars - (n_tokens - 1))/n_tokens, 4) AS avg_tok_len,
+           round(n_stop/n_tokens, 4) AS stop_ratio,
+           round(least(1.0, n_tokens/100.0) * (1.0 - n_stop/n_tokens), 4) AS quality
+         FROM c""",
+    "q41_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS long_tokens
+         FROM documents""",
+    "q42_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t)
+         SELECT doc_id,
+           array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], ',') AS fingerprint
+         FROM sh"""
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the scale path, nearest-neighbor-per-vector as the
+  * embedding near-dup detector.
+  *
+  * Vectors are Array[Float] in parquet; both engines cast elementwise to
+  * double before any arithmetic, and every cosine is rounded to 6 decimals
+  * before ranking/threshold so cross-engine float-sum ordering cannot flip
+  * results.
+  *
+  * Scale notes: brute force is O(Q·N·d) — fine for Q≪N and the correctness
+  * baseline; the LSH variant buckets N vectors by an 8-bit signature
+  * (deterministic md5-derived hyperplanes) so the pair join touches only
+  * same-bucket candidates (~N²/256 at uniform spread). At 100 TB the bucket
+  * join is a shuffle on the signature key; skewed buckets split under AQE.
+  * An IVF refinement would replace the signature with k-means cell ids —
+  * same join shape.
+  */
+object VectorOps {
+
+  private val dotSql =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+  private val normSql =
+    "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z))"
+
+  /** embeddings with double-cast vector + its norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(normSql))
+
+  private def topK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(expr(dotSql) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
+  }
+
+  /** Brute-force cosine top-10 for the first 5 query vectors. */
+  def q37CosineTopK(s: SparkSession, dir: String): DataFrame = topK(s, dir, 5, 10)
+
+  /** Embedding near-dup: the single nearest neighbor of each of the first 50
+    * vectors (rank-1 cosine; no data-dependent threshold). */
+  def q43NearestNeighbor(s: SparkSession, dir: String): DataFrame =
+    topK(s, dir, 50, 1).select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
+
+  /** LSH-bucketed candidate pairs: 8 deterministic random hyperplanes
+    * (sign_ji = +1 iff first hex digit of md5("j_i") < '8'), signature =
+    * 8 sign bits, pairs within the same bucket with their cosine. */
+  def q38LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bitCols = (0 until 8).map { j =>
+      expr(s"IF(aggregate(sequence(1, 64), 0D, (acc, i) -> acc + IF(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 1) < '8', 1.0D, -1.0D) * v[i-1]) >= 0, '1', '0')")
+        .as(s"s$j")
+    }
+    val sig = vecs(s, dir).select((Seq(col("vec_id"), col("v"), col("nrm")) ++ bitCols): _*)
+      .withColumn("bucket", concat((0 until 8).map(j => col(s"s$j")): _*))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_cosine_topk"      -> q37CosineTopK _,
+    "q38_lsh_buckets"      -> q38LshBuckets _,
+    "q43_nearest_neighbor" -> q43NearestNeighbor _
+  )
+
+  private def topKSql(nQueries: Int, k: Int, cols: String): String =
+    s"""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, range(1, 65) t(i)),
+       nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+       d AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.x * e.x) AS dot
+             FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id < $nQueries AND e.vec_id <> q.vec_id
+             GROUP BY 1, 2),
+       c AS (SELECT d.q_id, d.vec_id, round(d.dot/(nq.n * ne.n), 6) AS cos
+             FROM d JOIN nrm nq ON d.q_id = nq.vec_id JOIN nrm ne ON d.vec_id = ne.vec_id),
+       r AS (SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+             FROM c)
+       SELECT $cols FROM r WHERE rank <= $k"""
+
+  val oracles: Map[String, String] = Map(
+    "q37_cosine_topk" -> topKSql(5, 10, "q_id, vec_id, rank, cos"),
+    "q43_nearest_neighbor" -> topKSql(50, 1, "q_id, vec_id AS nn_id, cos"),
+    "q38_lsh_buckets" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         sg AS (SELECT j, i,
+                  CASE WHEN substr(md5(CAST(j AS VARCHAR)||'_'||CAST(i AS VARCHAR)), 1, 1) < '8'
+                       THEN 1.0 ELSE -1.0 END AS sgn
+                FROM range(0, 8) tj(j), range(1, 65) ti(i)),
+         proj AS (SELECT ex.vec_id, sg.j, sum(sg.sgn * ex.x) AS p
+                  FROM ex JOIN sg ON ex.i = sg.i GROUP BY 1, 2),
+         sig AS (SELECT vec_id,
+                   string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+                 FROM proj GROUP BY 1),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
+                   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         dots AS (SELECT p.vec_a, p.vec_b, p.bucket, sum(xa.x * xb.x) AS dot
+                  FROM pairs p JOIN ex xa ON xa.vec_id = p.vec_a
+                               JOIN ex xb ON xb.vec_id = p.vec_b AND xa.i = xb.i
+                  GROUP BY 1, 2, 3)
+         SELECT d.vec_a, d.vec_b, d.bucket, round(d.dot/(na.n * nb.n), 6) AS cos
+         FROM dots d JOIN nrm na ON d.vec_a = na.vec_id JOIN nrm nb ON d.vec_b = nb.vec_id"""
+  )
+}

@@ -32,20 +32,24 @@ object Closure {
     * @return DataFrame with column (node), distinct
     */
   def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var acc = seeds.select(col("node")).distinct().localCheckpoint()
-    var frontier = acc
-    var i = 0
-    while (i < maxIters && !frontier.isEmpty) {
-      val next = e.join(frontier, e("dst") === frontier("node"))
-        .select(e("src").as("node")).distinct()
-        .join(acc, Seq("node"), "left_anti")
-        .localCheckpoint()
-      acc = acc.unionByName(next).localCheckpoint()
-      frontier = next
-      i += 1
-    }
-    acc
+    // The edge table is probed every round — materialize it once instead of
+    // re-running its scan (at cluster scale: persist(MEMORY_AND_DISK)).
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      var acc = seeds.select(col("node")).distinct().localCheckpoint()
+      var frontier = acc
+      var i = 0
+      while (i < maxIters && !frontier.isEmpty) {
+        val next = e.join(frontier, e("dst") === frontier("node"))
+          .select(e("src").as("node")).distinct()
+          .join(acc, Seq("node"), "left_anti")
+          .localCheckpoint()
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+        i += 1
+      }
+      acc
+    } finally { e.unpersist(blocking = false) }
   }
 
   /** Transitive ancestor pairs: (node, anc) for every non-empty path
@@ -53,20 +57,22 @@ object Closure {
     * (rather than `+`) are needed.
     */
   def ancestorPairs(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var acc = e.select(col("src").as("node"), col("dst").as("anc"))
-      .distinct().localCheckpoint()
-    var frontier = acc
-    var i = 0
-    while (i < maxIters && !frontier.isEmpty) {
-      val next = frontier.join(e, frontier("anc") === e("src"))
-        .select(frontier("node"), e("dst").as("anc")).distinct()
-        .join(acc, Seq("node", "anc"), "left_anti")
-        .localCheckpoint()
-      acc = acc.unionByName(next).localCheckpoint()
-      frontier = next
-      i += 1
-    }
-    acc
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      var acc = e.select(col("src").as("node"), col("dst").as("anc"))
+        .distinct().localCheckpoint()
+      var frontier = acc
+      var i = 0
+      while (i < maxIters && !frontier.isEmpty) {
+        val next = frontier.join(e, frontier("anc") === e("src"))
+          .select(frontier("node"), e("dst").as("anc")).distinct()
+          .join(acc, Seq("node", "anc"), "left_anti")
+          .localCheckpoint()
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+        i += 1
+      }
+      acc
+    } finally { e.unpersist(blocking = false) }
   }
 }
