@@ -17,12 +17,14 @@ object SparkEntry {
       (operators.Projections.queries, operators.Projections.oracles),
       (operators.Events.queries, operators.Events.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
-      (operators.VectorOps.queries, operators.VectorOps.oracles)
+      (operators.VectorOps.queries, operators.VectorOps.oracles),
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the §3.1 person-index pipeline end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    pipelines.PersonIndex.documents(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

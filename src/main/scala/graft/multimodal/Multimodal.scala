@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star extension per BASELINE.json): image /
+  * audio / video payloads ride as opaque `binary` columns with typed
+  * metadata; decode / feature-extraction runs per-partition so a real codec
+  * initializes once per task, not once per row.
+  *
+  * The decode step is a DETERMINISTIC STUB — the container has no image/
+  * audio libraries. `decodeStub` derives a fake "feature" record purely from
+  * the bytes (length, first/last byte, an md5-based checksum) so the Spark-
+  * side plumbing (schema, partitioning, batch shape, per-partition init) is
+  * real and oracle-testable. A production build swaps `decodeStub` for a
+  * codec call with the same signature.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 first_byte: Int, last_byte: Int, checksum: String)
+
+  /** STUB decode: a real implementation would parse the container format
+    * (JPEG/PNG/WAV/...) here. Deterministic byte-derived stand-in. */
+  def decodeStub(payload: Array[Byte]): (Long, Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    (payload.length.toLong,
+      if (payload.isEmpty) -1 else payload.head & 0xff,
+      if (payload.isEmpty) -1 else payload.last & 0xff,
+      hex)
+  }
+
+  /** Per-partition decode: mirrors mapInPandas batch shape — the iterator is
+    * one partition, codec state initializes once before it. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Real codecs would initialize here, once per partition/task.
+      rows.map { r =>
+        val (n, f, l, sum) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, n, f, l, sum)
+      }
+    }
+  }
+
+  /** Build a binary media table from the events props strings (the driver
+    * data has no blob column; utf-8 bytes keep every derived feature
+    * SQL-checkable from the string side). */
+  def mediaFromEvents(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select(col("event_id").as("media_id"), col("event_type").as("kind"),
+        encode(col("props"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

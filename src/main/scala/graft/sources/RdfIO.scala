@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.Quad
+
+/** S9/S10 + K3: line-oriented RDF parse and serialization.
+  *
+  * The reference loads folders of Turtle into pyoxigraph
+  * (enrich_via_sparql.py:12-46) and serializes graphs back to Turtle /
+  * N-Quads (get_data_apis_vanilla.py:1050-1074,
+  * get_data_from_apis_instance.py:97-102). The engine treats N-Triples /
+  * N-Quads as the distributed wire format (one statement per line → embarrass-
+  * ingly parallel flatMap parse, splittable files); Turtle prefix binding is
+  * a presentation concern handled by the writer's prefix table.
+  *
+  * This parser covers the line-oriented subset the pipelines produce: IRI /
+  * blank-node subjects, IRI predicates, IRI / bnode / literal objects with
+  * optional `@lang` or `^^<datatype>`. Full Turtle (multi-line, prefixed
+  * names, collections) would need a real grammar — out of pipeline scope.
+  */
+object RdfIO {
+
+  private val Iri = "<([^>]*)>".r
+  private val Stmt =
+    """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s*(?:<([^>]*)>)?\s*\.\s*$""".r
+
+  private[sources] def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+
+  private[sources] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  /** Parse one N-Triples/N-Quads line; None for comments/blank lines. */
+  def parseLine(line: String, defaultGraph: String = ""): Option[Quad] = {
+    val t = line.trim
+    if (t.isEmpty || t.startsWith("#")) return None
+    t match {
+      case Stmt(subj, pred, objPart, graph) =>
+        val s = subj match { case Iri(v) => v; case b => b }
+        // Regex ambiguity: in `"x"^^<dt> .` (typed literal, no graph) the
+        // datatype IRI lands in the graph group — detect via the dangling
+        // `^^` and re-attach it to the object.
+        val (o, g) =
+          if (graph != null && objPart.trim.endsWith("^^"))
+            (objPart.trim + s"<$graph>", defaultGraph)
+          else (objPart.trim, Option(graph).getOrElse(defaultGraph))
+        if (o.startsWith("<") && o.endsWith(">"))
+          Some(Quad(g, s, pred, o.substring(1, o.length - 1)))
+        else if (o.startsWith("_:"))
+          Some(Quad(g, s, pred, o, oType = "bnode"))
+        else if (o.startsWith("\"")) {
+          val close = o.lastIndexOf('"')
+          if (close <= 0) None
+          else {
+            val lex = unescape(o.substring(1, close))
+            val suffix = o.substring(close + 1)
+            if (suffix.startsWith("@"))
+              Some(Quad(g, s, pred, lex, oType = "literal", oLang = suffix.substring(1)))
+            else if (suffix.startsWith("^^<") && suffix.endsWith(">"))
+              Some(Quad(g, s, pred, lex, oType = "literal",
+                oDatatype = suffix.substring(3, suffix.length - 1)))
+            else Some(Quad(g, s, pred, lex, oType = "literal"))
+          }
+        } else None
+      case _ => None
+    }
+  }
+
+  /** Format one quad as an N-Quads line (empty graph → N-Triples line). */
+  def formatLine(q: Quad): String = {
+    val s = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
+    val o = q.oType match {
+      case "literal" =>
+        val lex = "\"" + escape(q.o) + "\""
+        if (q.oLang != null) s"$lex@${q.oLang}"
+        else if (q.oDatatype != null) s"$lex^^<${q.oDatatype}>"
+        else lex
+      case "bnode" => q.o
+      case _ => s"<${q.o}>"
+    }
+    val g = if (q.g == null || q.g.isEmpty) "" else s" <${q.g}>"
+    s"$s <${q.p}> $o$g ."
+  }
+
+  /** S9: folder of .nt/.nq files → Dataset[Quad] (recursive lookup mirrors
+    * the reference's folder walk, enrich_via_sparql.py:27-36). */
+  def readQuads(spark: SparkSession, path: String,
+                defaultGraph: String = ""): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("recursiveFileLookup", "true").textFile(path)
+      .flatMap(l => parseLine(l, defaultGraph))
+  }
+
+  /** S10: already-fetched text chunks → quads in a named graph
+    * (get_data_from_apis_instance.py:78-94). */
+  def parseChunks(spark: SparkSession, chunks: Seq[String],
+                  namedGraph: String): Dataset[Quad] = {
+    import spark.implicits._
+    spark.createDataset(chunks)
+      .flatMap(_.split('\n').toSeq.flatMap(l => parseLine(l, namedGraph)))
+  }
+
+  /** K3: quads → N-Quads text files. D4 set semantics (rdflib Graph.add is
+    * idempotent) via dropDuplicates before the sink. */
+  def writeQuads(quads: Dataset[Quad], path: String): Unit = {
+    import quads.sparkSession.implicits._
+    quads.dropDuplicates("g", "s", "p", "o", "oType", "oLang", "oDatatype")
+      .map(formatLine _)
+      .write.mode("overwrite").text(path)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.9 north star — the reference
+  * has no true streaming; its incremental pulls are batch with a date
+  * watermark, wikidata_index.py:156-171).
+  *
+  * The engine adds real event-time semantics: watermarked tumbling-window
+  * aggregation and stateful sessionization via flatMapGroupsWithState. Batch
+  * twins (Events.q29/q30) pin the same semantics against the DuckDB oracle;
+  * the specs feed the same rows through MemoryStream and assert parity.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Long, duration_sec: Double)
+
+  /** Watermarked hourly windowed counts — the streaming twin of q29. */
+  def hourlyWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  private val gapMs = 30L * 60L * 1000L
+
+  /** Stateful sessionization: 30-minute inactivity gap, processing-time
+    * timeout closes idle sessions. Emits one row per closed session.
+    *
+    * State is one small struct per active user — the 100 TB posture is
+    * bounded state via watermark-driven eviction (GroupStateTimeout), never
+    * an unbounded buffer.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), s.nEvents,
+              (s.lastSeen - s.start) / 1000.0))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), s.nEvents,
+                    (s.lastSeen - s.start) / 1000.0)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Replay the batch events table as a file-backed stream (one parquet
+    * file = one micro-batch at test scale; at production scale this is a
+    * kafka/file drop-in via readStream options). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$dir")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming semantics: watermarked windows and stateful
+  * sessionization, driven through MemoryStream micro-batches. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def ev(id: Long, user: Long, offsetMin: Long): Event =
+    Event(id, new Timestamp(t0 + offsetMin * 60000L), user, "click", 1.0)
+
+  test("sessionize: gap split + event-time timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // Batch 1: user 1 — two events 10 min apart (one session), then one
+    // 60 min later (gap > 30 min → closes session 1 immediately).
+    input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 70))
+    query.processAllAvailable()
+
+    // Batch 2+3: user 2 far in the future advances the watermark past
+    // user 1's (lastSeen + gap), so session 2 closes by timeout.
+    input.addData(ev(4, 2, 600))
+    query.processAllAvailable()
+    input.addData(ev(5, 2, 601))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sessions")
+      .as[StreamOps.SessionOut].collect().sortBy(_.session_start.getTime)
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length == 2, s"expected both user-1 sessions closed, got ${rows.mkString(", ")}")
+    assert(u1(0).n_events == 2 && u1(0).duration_sec == 600.0)
+    assert(u1(1).n_events == 1 && u1(1).duration_sec == 0.0)
+    // user 2's session is still open — nothing emitted for it.
+    assert(!rows.exists(_.user_id == 2L))
+  }
+
+  test("hourly window counts under watermark match batch grouping") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.hourlyWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    // Two events in hour 0, one in hour 1; a far-future event closes both
+    // windows past the 2h watermark.
+    input.addData(ev(1, 1, 5), ev(2, 2, 25), ev(3, 1, 65))
+    query.processAllAvailable()
+    input.addData(ev(4, 3, 600))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("hourly")
+      .select("hour_start", "n").as[(Timestamp, Long)].collect().toMap
+    assert(rows(new Timestamp(t0)) == 2L)
+    assert(rows(new Timestamp(t0 + 3600000L)) == 1L)
+  }
+}
