@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.CosineSimilarity
 
 /** Similarity search over the `embeddings` table (north-star extension):
   * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
@@ -25,23 +26,20 @@ import graft.Tables
   */
 object VectorOps {
 
-  private val dotSql =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
-  private val normSql =
-    "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, z) -> acc + z))"
-
-  /** embeddings with double-cast vector + its norm. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-cast vector; registers the native cosine
+    * expression on the session. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(normSql))
+  }
 
   private def topK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val e = vecs(s, dir)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(expr(dotSql) / (col("qn") * col("nrm")), 6))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -64,15 +62,14 @@ object VectorOps {
       expr(s"IF(aggregate(sequence(1, 64), 0D, (acc, i) -> acc + IF(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 1) < '8', 1.0D, -1.0D) * v[i-1]) >= 0, '1', '0')")
         .as(s"s$j")
     }
-    val sig = vecs(s, dir).select((Seq(col("vec_id"), col("v"), col("nrm")) ++ bitCols): _*)
+    val sig = vecs(s, dir).select((Seq(col("vec_id"), col("v")) ++ bitCols): _*)
       .withColumn("bucket", concat((0 until 8).map(j => col(s"s$j")): _*))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
-        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
