@@ -18,7 +18,8 @@ object SparkEntry {
       (operators.Events.queries, operators.Events.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.VectorOps.queries, operators.VectorOps.oracles),
-      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles),
+      (operators.RenderOps.queries, operators.RenderOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
