@@ -54,9 +54,13 @@ object TextOps {
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
     }
+    // Persist: both sides of the self-join would otherwise recompute the
+    // full shingle→minhash pipeline (5M+ md5 at sf0.1).
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    bands.count() // materialize before the self-join
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -43,8 +43,10 @@ object Closure {
         val next = e.join(frontier, e("dst") === frontier("node"))
           .select(e("src").as("node")).distinct()
           .join(acc, Seq("node"), "left_anti")
-          .localCheckpoint()
-        acc = acc.unionByName(next).localCheckpoint()
+          .localCheckpoint() // materialize the (small) frontier only
+        // acc stays a union of already-checkpointed frontiers — re-
+        // checkpointing it each round would rewrite O(total) data per round.
+        acc = acc.unionByName(next)
         frontier = next
         i += 1
       }
@@ -68,7 +70,7 @@ object Closure {
           .select(frontier("node"), e("dst").as("anc")).distinct()
           .join(acc, Seq("node", "anc"), "left_anti")
           .localCheckpoint()
-        acc = acc.unionByName(next).localCheckpoint()
+        acc = acc.unionByName(next)
         frontier = next
         i += 1
       }

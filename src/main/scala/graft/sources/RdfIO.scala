@@ -110,4 +110,56 @@ object RdfIO {
       .map(formatLine _)
       .write.mode("overwrite").text(path)
   }
+
+  /** The reference's 20 bound prefixes shape (get_data_apis_vanilla.py:
+    * 1022-1042) — kept as data so the Turtle writer stays generic. */
+  val defaultPrefixes: Map[String, String] = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "crm" -> "http://www.cidoc-crm.org/cidoc-crm/")
+
+  private def compact(iri: String, prefixes: Map[String, String]): String =
+    prefixes.collectFirst {
+      case (p, ns) if iri.startsWith(ns) && iri.length > ns.length =>
+        s"$p:${iri.substring(ns.length)}"
+    }.getOrElse(s"<$iri>")
+
+  private def turtleObject(q: Quad, prefixes: Map[String, String]): String =
+    q.oType match {
+      case "literal" =>
+        val lex = "\"" + escape(q.o) + "\""
+        if (q.oLang != null) s"$lex@${q.oLang}"
+        else if (q.oDatatype != null) s"$lex^^${compact(q.oDatatype, prefixes)}"
+        else lex
+      case "bnode" => q.o
+      case _ => compact(q.o, prefixes)
+    }
+
+  /** K3 (Turtle flavor): subject-grouped, prefix-compacted Turtle
+    * (get_data_apis_vanilla.py:1050-1074 serialize + prefix binding).
+    * Serialization groups by subject per partition — the shuffle is on the
+    * subject key, then each task streams its group into `s p1 o1 ; p2 o2 .`
+    * blocks. The prefix header is emitted once (driver-written file) and the
+    * body is partitioned text — a cluster-safe layout (no single writer). */
+  def writeTurtle(quads: Dataset[Quad], path: String,
+                  prefixes: Map[String, String] = defaultPrefixes): Unit = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val header = prefixes.toSeq.sorted
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("", "\n", "\n")
+    val body = quads
+      .dropDuplicates("g", "s", "p", "o", "oType", "oLang", "oDatatype")
+      .groupByKey(_.s)
+      .mapGroups { (s, qs) =>
+        val subj = if (s.startsWith("_:")) s else compact(s, prefixes)
+        val po = qs.toSeq.sortBy(q => (q.p, q.o))
+          .map(q => s"${compact(q.p, prefixes)} ${turtleObject(q, prefixes)}")
+          .mkString(" ;\n    ")
+        s"$subj $po ."
+      }
+    spark.createDataset(Seq(header)).write.mode("overwrite").text(s"$path/_prefixes")
+    body.write.mode("overwrite").text(s"$path/body")
+  }
 }
