@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
-      (operators.RenderOps.queries, operators.RenderOps.oracles)
+      (operators.RenderOps.queries, operators.RenderOps.oracles),
+      (operators.ComposeOps.queries, operators.ComposeOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

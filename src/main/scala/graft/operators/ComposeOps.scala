@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.{Skew, TripleStore}
+
+/** Composed operators: the career render (G6 — the reference's most complex
+  * generator, combining role typing, event minting, time-span expansion G1,
+  * and residence propagation J9), the double-OPTIONAL COALESCE semantics
+  * pinned in SURVEY.md §7.3, and salted aggregation for skewed keys.
+  */
+object ComposeOps {
+
+  /** G6: person-institution career render (get_data_apis_vanilla.py:352-510)
+    * — per career: Career event typing, both participants, label, day-
+    * precision time-span endpoints (G1), and the institution's residence
+    * propagated onto the career as took_place_at (J9,
+    * get_data_apis_vanilla.py:481-485). 7 triples per career row. */
+  def q52CareerRender(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val base = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // mint the career id from the integer 4-tuple (doubles are excluded
+        // from the key: double→string formatting differs across engines).
+        concat(lit("CAR"), md5(concat_ws("|",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+          col("l_partkey").cast("string"), col("l_suppkey").cast("string")))).as("car"),
+        concat(lit("C"), col("o_custkey").cast("string")).as("person"),
+        concat(lit("S"), col("l_suppkey").cast("string")).as("inst"),
+        concat(lit("N"), col("s_nationkey").cast("string")).as("res"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+    val kv = array(
+      struct(lit("type").as("p"), lit("Career").as("o")),
+      struct(lit("participant_person").as("p"), col("person").as("o")),
+      struct(lit("participant_inst").as("p"), col("inst").as("o")),
+      struct(lit("label").as("p"),
+        concat(lit("career of "), col("person"), lit(" at "), col("inst")).as("o")),
+      struct(lit("begin").as("p"), concat(col("day"), lit("T00:00:00")).as("o")),
+      struct(lit("end").as("p"), concat(col("day"), lit("T23:59:59")).as("o")),
+      struct(lit("took_place_at").as("p"), col("res").as("o")))
+    base.select(col("car").as("s"), explode(kv).as("x"))
+      .select(col("s"), col("x.p").as("p"), col("x.o").as("o"))
+  }
+
+  /** Double OPTIONAL on the same variable + COALESCE — the reference's
+    * de/en description pattern (sparql/wikidata-organization.sparql:29-35);
+    * engine semantics pinned per SURVEY.md §7.3: independent left joins per
+    * language, first-non-null pick. */
+  def q53DoubleOptional(s: SparkSession, dir: String): DataFrame = {
+    val labels = TripleStore.langLabels(s, dir)
+    val ents = Tables.nation(s, dir)
+      .select(concat(lit("N"), col("n_nationkey").cast("string")).as("node"))
+    val de = labels.filter(col("lang") === "de")
+      .select(col("entity").as("de_e"), col("label").as("desc_de"))
+    val en = labels.filter(col("lang") === "en")
+      .select(col("entity").as("en_e"), col("label").as("desc_en"))
+    ents
+      .join(de, col("node") === col("de_e"), "left_outer")
+      .join(en, col("node") === col("en_e"), "left_outer")
+      .select(col("node"), coalesce(col("desc_de"), col("desc_en"), col("node")).as("description"))
+  }
+
+  /** Salted two-phase aggregation over a skewed key (5 hot event types) —
+    * identical result to a direct groupBy, shuffle spread over 16 salts. */
+  def q54SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(Tables.events(s, dir),
+        col("event_type"), col("value"), col("event_id"), 16)
+      .select(col("k").as("event_type"), round(col("total"), 2).as("total_value"),
+        col("cnt").as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_career_render"  -> q52CareerRender _,
+    "q53_double_optional" -> q53DoubleOptional _,
+    "q54_salted_agg"     -> q54SaltedAgg _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q52_career_render" ->
+      """WITH b AS (
+           SELECT 'CAR'||md5(CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)||'|'||
+                      CAST(l_partkey AS VARCHAR)||'|'||CAST(l_suppkey AS VARCHAR)) AS car,
+                  'C'||CAST(o_custkey AS VARCHAR) AS person,
+                  'S'||CAST(l_suppkey AS VARCHAR) AS inst,
+                  'N'||CAST(s_nationkey AS VARCHAR) AS res,
+                  strftime(l_shipdate, '%Y-%m-%d') AS day
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey)
+         SELECT car AS s, 'type' AS p, 'Career' AS o FROM b
+         UNION ALL SELECT car, 'participant_person', person FROM b
+         UNION ALL SELECT car, 'participant_inst', inst FROM b
+         UNION ALL SELECT car, 'label', 'career of '||person||' at '||inst FROM b
+         UNION ALL SELECT car, 'begin', day||'T00:00:00' FROM b
+         UNION ALL SELECT car, 'end', day||'T23:59:59' FROM b
+         UNION ALL SELECT car, 'took_place_at', res FROM b""",
+    "q53_double_optional" ->
+      s"""WITH labels AS (${TripleStore.langLabelsSql}),
+         ents AS (SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node FROM nation)
+         SELECT node,
+           coalesce(de.label, en.label, node) AS description
+         FROM ents
+         LEFT JOIN (SELECT entity, label FROM labels WHERE lang='de') de ON node = de.entity
+         LEFT JOIN (SELECT entity, label FROM labels WHERE lang='en') en ON node = en.entity""",
+    "q54_salted_agg" ->
+      """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
+         FROM events GROUP BY 1"""
+  )
+}
