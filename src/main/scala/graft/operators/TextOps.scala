@@ -151,7 +151,17 @@ object TextOps {
         concat_ws(",", slice(sort_array(expr("transform(shingles, s -> md5(s))")), 1, 4))
           .as("fingerprint"))
 
+  /** Typed-Aggregator bottom-k sketch per group (UDAF surface): the 3
+    * smallest distinct text hashes per language — bounded mergeable state,
+    * the skeleton an HLL/KMV sketch would reuse. */
+  def q55BottomKSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(concat_ws(",", graft.functions.BottomK.bottomK(col("h"), 3)).as("sketch"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q33_dedup_exact"   -> q33DedupExact _,
     "q34_minhash_lsh"   -> q34MinhashLsh _,
     "q35_simhash"       -> q35Simhash _,
@@ -175,6 +185,11 @@ object TextOps {
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
   val oracles: Map[String, String] = Map(
+    "q55_bottomk_sketch" ->
+      """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
+         SELECT lang, string_agg(h, ',' ORDER BY h) AS sketch
+         FROM r WHERE rn <= 3 GROUP BY 1""",
     "q33_dedup_exact" ->
       """SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,
          min(doc_id) AS keep_id, count(*) AS n_docs

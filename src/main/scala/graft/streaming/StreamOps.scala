@@ -90,4 +90,38 @@ object StreamOps {
       .schema(schema)
       .parquet(s"$dir")
   }
+
+  /** K1 streaming form: per-micro-batch upsert into a keyed parquet store —
+    * last write wins per id within the batch, then an idempotent overwrite
+    * merge against the store (the streaming twin of
+    * [[graft.sinks.Sinks.upsertDedup]]; a table format with MERGE replaces
+    * the read-union-rewrite at production scale). */
+  def upsertSink(events: DataFrame, storePath: String,
+                 idCol: String, versionCol: String)
+                (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val newRows = graft.sinks.Sinks.upsertDedup(batch.toDF(), idCol, versionCol)
+        val merged =
+          if (new java.io.File(storePath).exists()) {
+            val existing = spark.read.parquet(storePath)
+            graft.sinks.Sinks.upsertDedup(
+              newRows.unionByName(existing), idCol, versionCol)
+          } else newRows
+        val tmp = storePath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val store = new java.io.File(storePath)
+        if (store.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(store)
+        }
+        new java.io.File(tmp).renameTo(store)
+        ()
+      }
+      .start()
 }

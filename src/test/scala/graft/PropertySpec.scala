@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{BottomK, Registry}
+
+/** Property-based coverage (SURVEY.md §5.2): scalar functions total on
+  * arbitrary strings; closure fixpoint laws on random DAGs; BottomK
+  * aggregator laws. Samples are drawn deterministically (fixed seeds) from
+  * raw ScalaCheck generators — the scalatest/scalacheck bridge is not on
+  * the offline classpath.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 20)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val anyString: Gen[String] =
+    Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr.map(_.take(40)),
+      Gen.const(""),
+      Gen.oneOf("http://x.org/a", "1903-07-01T00:00:00Z", "Point (1 2)",
+        "a b c", "  ", "\t"))
+
+  test("P3/P4 are total: never throw on arbitrary strings") {
+    forAll(Gen.listOfN(30, anyString)) { xs =>
+      val df = xs.toDF("x")
+      // Both evaluate without exceptions; output row count preserved.
+      val n = df.select(
+        Registry.datePostprocessing($"x").as("a"),
+        Registry.concatenatedDatesPostprocessing($"x").as("b")).count()
+      assert(n == xs.length)
+    }
+  }
+
+  test("P6 is total and always picks from the input or the priority list") {
+    val codes = Gen.listOfN(5, Gen.oneOf("PPL", "ADM1", "X", "Y", ""))
+    forAll(Gen.listOfN(10, codes.map(_.mkString(" ")))) { xs =>
+      val rows = xs.toDF("x")
+        .select(Registry.featureCodePick($"x", Seq("PPL", "ADM1")).as("r"),
+          $"x")
+        .collect()
+      rows.foreach { r =>
+        val picked = r.getString(0)
+        if (picked != null && picked.nonEmpty)
+          assert(Seq("PPL", "ADM1").contains(picked) ||
+            r.getString(1).split("\\s+").headOption.contains(picked))
+      }
+    }
+  }
+
+  test("closure is monotone and idempotent on random DAGs") {
+    // DAG by construction: edges only go from lower to higher node ids.
+    val dagGen = for {
+      n <- Gen.choose(3, 12)
+      edges <- Gen.listOfN(n * 2, for {
+        a <- Gen.choose(0, n - 2)
+        b <- Gen.choose(a + 1, n - 1)
+      } yield (s"v$a", s"v$b"))
+    } yield edges.distinct
+    forAll(dagGen) { edges =>
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val pairs = graft.plans.Closure.ancestorPairs(df)
+          .as[(String, String)].collect().toSet
+        // contains all direct edges
+        assert(edges.toSet.subsetOf(pairs))
+        // transitivity: (a,b),(b,c) in closure => (a,c) in closure
+        for ((a, b) <- pairs; (b2, c) <- pairs if b == b2)
+          assert(pairs.contains((a, c)), s"missing transitive pair ($a,$c)")
+      }
+    }
+  }
+
+  test("BottomK merge is commutative, bounded, and sorted") {
+    val agg = new BottomK(4)
+    forAll(Gen.zip(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr))) {
+      case (xs, ys) =>
+        val b1 = xs.foldLeft(agg.zero)(agg.reduce)
+        val b2 = ys.foldLeft(agg.zero)(agg.reduce)
+        val m12 = agg.merge(b1, b2)
+        val m21 = agg.merge(b2, b1)
+        assert(m12 == m21)
+        assert(m12.size <= 4)
+        assert(m12 == m12.sorted)
+        assert(m12 == (xs ++ ys).filter(_ != null).distinct.sorted.take(4))
+    }
+  }
+}

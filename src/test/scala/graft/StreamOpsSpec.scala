@@ -46,6 +46,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(!rows.exists(_.user_id == 2L))
   }
 
+  test("foreachBatch upsert sink: last write wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new java.io.File("target/tmp/upsert-store").getAbsolutePath
+    val ckpt = new java.io.File("target/tmp/upsert-ckpt-" + System.nanoTime()).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(store))
+    val input = MemoryStream[Event]
+    val query = StreamOps.upsertSink(input.toDF(), store, "user_id", "ts")(ckpt)
+    input.addData(ev(1, 1, 0), ev(2, 2, 1))
+    query.processAllAvailable()
+    input.addData(ev(3, 1, 5)) // newer event for user 1 → overwrites
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.read.parquet(store)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("hourly window counts under watermark match batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
