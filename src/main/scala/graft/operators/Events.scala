@@ -18,8 +18,13 @@ object Events {
     * predicate is pushed to the parquet scan. Fixed cutoff, not now():
     * injectable-clock policy per SURVEY.md §7.3 "Nondeterminism". */
   def q28IncrementalWatermark(s: SparkSession, dir: String): DataFrame = {
+    // Filter on the RAW nanos column: a predicate on the derived
+    // timestamp_micros column cannot be pushed through the conversion, but
+    // `ts_ns > <cutoff nanos>` reaches the parquet scan as
+    // GreaterThan(ts, …) and prunes row groups. 2024-01-25T00:00:00Z.
+    val cutoffNs = 1706140800L * 1000000000L
     Tables.events(s, dir)
-      .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+      .filter(col("ts_ns") > lit(cutoffNs))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }

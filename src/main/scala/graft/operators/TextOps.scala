@@ -151,6 +151,22 @@ object TextOps {
         concat_ws(",", slice(sort_array(expr("transform(shingles, s -> md5(s))")), 1, 4))
           .as("fingerprint"))
 
+  /** SimHash near-dup pairs: signatures within Hamming distance 2, bounded
+    * to doc_id < 300 — the pair-verification stage of the SimHash dedup
+    * path, using the native codegen'd [[graft.functions.HammingDistance]].
+    * At scale the candidate set comes from banding the signature (split
+    * into 4-bit chunks, join on any equal chunk) rather than this bounded
+    * cross-pair demo. */
+  def q56SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(s)
+    val sigs = q35Simhash(s, dir).filter(col("doc_id") < 300)
+    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.HammingDistance(col("a.simhash"), col("b.simhash"))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   /** Typed-Aggregator bottom-k sketch per group (UDAF surface): the 3
     * smallest distinct text hashes per language — bounded mergeable state,
     * the skeleton an HLL/KMV sketch would reuse. */
@@ -162,6 +178,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bottomk_sketch" -> q55BottomKSketch _,
+    "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q33_dedup_exact"   -> q33DedupExact _,
     "q34_minhash_lsh"   -> q34MinhashLsh _,
     "q35_simhash"       -> q35Simhash _,
@@ -185,6 +202,16 @@ object TextOps {
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
   val oracles: Map[String, String] = Map(
+    "q56_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 300),
+         b AS (SELECT doc_id,
+             $simhashSumsSql
+           FROM t),
+         s AS (SELECT doc_id, $simhashConcatSql AS simhash FROM b)
+         SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                CAST(hamming(a.simhash, b2.simhash) AS BIGINT) AS dist
+         FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+         WHERE hamming(a.simhash, b2.simhash) <= 2""",
     "q55_bottomk_sketch" ->
       """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
          r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
