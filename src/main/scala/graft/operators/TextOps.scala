@@ -43,7 +43,12 @@ object TextOps {
     * minhash permutations (perm i = min md5("i:"+shingle)) → 4 bands × 2
     * rows → pairs sharing any band bucket. */
   def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).withColumn("shingles", expr(shingles3))
+    // The documents table arrives as one small parquet split; the minhash
+    // stage is compute-bound (8 md5 per shingle), so spread it across the
+    // cores first — the repartition shuffle is tiny (raw text) next to the
+    // hashing it parallelizes.
+    val sh = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .withColumn("shingles", expr(shingles3))
     val sigCols = (0 until 8).map { i =>
       expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))").as(s"h$i")
     }

@@ -62,7 +62,10 @@ object VectorOps {
       expr(s"IF(aggregate(sequence(1, 64), 0D, (acc, i) -> acc + IF(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 1) < '8', 1.0D, -1.0D) * v[i-1]) >= 0, '1', '0')")
         .as(s"s$j")
     }
-    val sig = vecs(s, dir).select((Seq(col("vec_id"), col("v")) ++ bitCols): _*)
+    // Signature computation is compute-bound (8×64 md5-derived terms per
+    // vector) over a single small input split — parallelize it first.
+    val sig = vecs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .select((Seq(col("vec_id"), col("v")) ++ bitCols): _*)
       .withColumn("bucket", concat((0 until 8).map(j => col(s"s$j")): _*))
       .select(col("vec_id"), col("v"), col("bucket"))
     sig.as("a").join(sig.as("b"),
