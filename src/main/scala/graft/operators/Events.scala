@@ -75,7 +75,24 @@ object Events {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
   }
 
+  /** As-of enrichment: each click event carries the value of the user's
+    * most recent PRIOR purchase (null when none). Composed from built-in
+    * window functions (preference (a) of the custom-operator ladder — no
+    * custom SparkPlan needed); ties on ts break by event_id so both engines
+    * walk the same order. At scale this is one shuffle on user_id. */
+  def q57AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prior_purchase",
+        round(last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w), 2))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("prior_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_asof_join" -> q57AsofJoin _,
     "q28_incremental_watermark" -> q28IncrementalWatermark _,
     "q29_hourly_window"         -> q29HourlyWindow _,
     "q30_sessionize"            -> q30Sessionize _,
@@ -84,6 +101,14 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_asof_join" ->
+      """SELECT event_id, user_id, prior_purchase FROM (
+           SELECT event_id, user_id, event_type,
+                  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prior_purchase
+           FROM events)
+         WHERE event_type = 'click'""",
     "q28_incremental_watermark" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
          FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1""",

@@ -46,7 +46,9 @@ object RdfOps {
     val r = Tables.region(s, dir)
     val seeds = r.filter(col("r_name") === "EUROPE")
       .select(concat(lit("R"), col("r_regionkey").cast("string")).as("node"))
-    Closure.reachingTo(TripleStore.edges(s, dir), seeds)
+    // The containment edges form a forest (every child has one parent), so
+    // the frontier never revisits — skip the per-round dedup shuffle.
+    Closure.reachingTo(TripleStore.edges(s, dir), seeds, functionalEdges = true)
   }
 
   /** J5: sequence + closure (wdt:P31/wdt:P279*) — ancestor pairs restricted

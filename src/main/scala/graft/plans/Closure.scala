@@ -29,9 +29,15 @@ object Closure {
     *
     * @param edges DataFrame with columns (src, dst)
     * @param seeds DataFrame with column (node)
+    * @param functionalEdges set true when each src has at most one dst (a
+    *   forest, e.g. containment hierarchies): the frontier then can never
+    *   revisit a node, so the per-round anti-join against the accumulator —
+    *   one extra shuffle per round — is provably a no-op and is skipped.
+    *   Leave false for general graphs (diamonds/cycles need the dedup).
     * @return DataFrame with column (node), distinct
     */
-  def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50): DataFrame = {
+  def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50,
+                 functionalEdges: Boolean = false): DataFrame = {
     // The edge table is probed every round — materialize it once instead of
     // re-running its scan (at cluster scale: persist(MEMORY_AND_DISK)).
     val e = edges.select(col("src"), col("dst")).persist()
@@ -40,9 +46,10 @@ object Closure {
       var frontier = acc
       var i = 0
       while (i < maxIters && !frontier.isEmpty) {
-        val next = e.join(frontier, e("dst") === frontier("node"))
+        val stepped = e.join(frontier, e("dst") === frontier("node"))
           .select(e("src").as("node")).distinct()
-          .join(acc, Seq("node"), "left_anti")
+        val next = (if (functionalEdges) stepped
+                    else stepped.join(acc, Seq("node"), "left_anti"))
           .localCheckpoint() // materialize the (small) frontier only
         // acc stays a union of already-checkpointed frontiers — re-
         // checkpointing it each round would rewrite O(total) data per round.
