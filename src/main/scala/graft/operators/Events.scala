@@ -91,8 +91,19 @@ object Events {
       .select(col("event_id"), col("user_id"), col("prior_purchase"))
   }
 
+  /** Hierarchical totals via ROLLUP(event_type, day) — per-(type, day),
+    * per-type subtotal, and grand total in one pass (no reference
+    * counterpart; standard analytics surface). */
+  def q59Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
+    "q59_rollup"    -> q59Rollup _,
     "q28_incremental_watermark" -> q28IncrementalWatermark _,
     "q29_hourly_window"         -> q29HourlyWindow _,
     "q30_sessionize"            -> q30Sessionize _,
@@ -101,6 +112,10 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY ROLLUP(1, 2)""",
     "q57_asof_join" ->
       """SELECT event_id, user_id, prior_purchase FROM (
            SELECT event_id, user_id, event_type,

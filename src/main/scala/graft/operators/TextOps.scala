@@ -172,6 +172,20 @@ object TextOps {
       .filter(col("dist") <= 2)
   }
 
+  /** Deterministic train/validation/test split — hash-based assignment so
+    * re-runs, late-arriving rows, and distributed execution all agree
+    * (never `rand()`): bucket = first 4 hex digits of md5(doc_id) mod 100;
+    * <80 train, <90 validation, else test. Reports per-lang counts. */
+  def q58TrainTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    Tables.documents(s, dir)
+      .withColumn("split", split)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Typed-Aggregator bottom-k sketch per group (UDAF surface): the 3
     * smallest distinct text hashes per language — bounded mergeable state,
     * the skeleton an HLL/KMV sketch would reuse. */
@@ -184,6 +198,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
+    "q58_train_test_split" -> q58TrainTestSplit _,
     "q33_dedup_exact"   -> q33DedupExact _,
     "q34_minhash_lsh"   -> q34MinhashLsh _,
     "q35_simhash"       -> q35Simhash _,
@@ -207,6 +222,16 @@ object TextOps {
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
   val oracles: Map[String, String] = Map(
+    "q58_train_test_split" ->
+      """WITH b AS (
+           SELECT lang,
+                  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n
+         FROM b GROUP BY 1, 2""",
     "q56_simhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 300),
          b AS (SELECT doc_id,
