@@ -27,7 +27,9 @@ object RdfSerialization {
       .unionByName(inverses)
       .distinct()
       .select(lit(graphName).as("g"), col("s"), col("p"), col("o"),
-        lit("iri").as("oType"),
+        // Term fidelity: label objects are literals, everything else in
+        // this graph is an IRI (SURVEY.md §7.3 "Term fidelity").
+        when(col("p") === "label", "literal").otherwise("iri").as("oType"),
         lit(null: String).as("oLang"), lit(null: String).as("oDatatype"))
       .as[Quad]
     RdfIO.writeQuads(quads, outPath)

@@ -66,6 +66,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("streaming dedup within watermark drops re-delivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 0), ev(1, 1, 0), ev(2, 1, 5)) // dup in-batch
+    query.processAllAvailable()
+    input.addData(ev(2, 1, 5)) // re-delivery in a later batch, same id
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("deduped").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("hourly window counts under watermark match batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
