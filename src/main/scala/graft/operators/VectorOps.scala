@@ -75,10 +75,38 @@ object VectorOps {
         round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer — the first 8 vectors
+    * act as centroids; every vector is assigned to its max-cosine cell;
+    * queries probe only their own cell and rank candidates inside it. The
+    * production refinement replaces the fixed centroids with k-means means,
+    * but the join shape (assign → shuffle on cell → in-cell ranking) is
+    * exactly this. Complements the hyperplane-LSH bucketing (q38). */
+  def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val scoredCells = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val candidates = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_cosine_topk"      -> q37CosineTopK _,
     "q38_lsh_buckets"      -> q38LshBuckets _,
-    "q43_nearest_neighbor" -> q43NearestNeighbor _
+    "q43_nearest_neighbor" -> q43NearestNeighbor _,
+    "q60_ivf_ann"          -> q60IvfAnn _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -96,6 +124,39 @@ object VectorOps {
        SELECT $cols FROM r WHERE rank <= $k"""
 
   val oracles: Map[String, String] = Map(
+    "q60_ivf_ann" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         cd AS (SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
+                FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id < 8
+                GROUP BY 1, 2),
+         cc AS (SELECT cd.vec_id, cd.cent_id,
+                       round(cd.dot/(nv.n * nc.n), 6) AS ccos
+                FROM cd JOIN nrm nv ON cd.vec_id = nv.vec_id
+                        JOIN nrm nc ON cd.cent_id = nc.vec_id),
+         assigned AS (SELECT vec_id, cent_id AS cell FROM (
+                        SELECT vec_id, cent_id,
+                               row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id) AS rn
+                        FROM cc) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, cell FROM assigned
+               WHERE vec_id BETWEEN 100 AND 105),
+         cand AS (SELECT q.q_id, q.cell, a.vec_id
+                  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
+         pd AS (SELECT c.q_id, c.cell, c.vec_id, sum(xq.x * xv.x) AS dot
+                FROM cand c JOIN ex xq ON xq.vec_id = c.q_id
+                            JOIN ex xv ON xv.vec_id = c.vec_id AND xq.i = xv.i
+                GROUP BY 1, 2, 3),
+         pc AS (SELECT pd.q_id, pd.cell, pd.vec_id,
+                       round(pd.dot/(nq.n * nv.n), 6) AS cos
+                FROM pd JOIN nrm nq ON pd.q_id = nq.vec_id
+                        JOIN nrm nv ON pd.vec_id = nv.vec_id)
+         SELECT q_id, cell, vec_id, rank, cos FROM (
+           SELECT q_id, cell, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rank
+           FROM pc) WHERE rank <= 3""",
     "q37_cosine_topk" -> topKSql(5, 10, "q_id, vec_id, rank, cos"),
     "q43_nearest_neighbor" -> topKSql(50, 1, "q_id, vec_id AS nn_id, cos"),
     "q38_lsh_buckets" ->
