@@ -1,0 +1,21 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.Quad
+import graft.sources.{PagedSource, RdfIO}
+
+/** §3.3 end-to-end: the TTL-harvest flow (get_apis_data_and_push_to_repo.py
+  * :16-58) — paginated text pages (S5) → chunk parse into a named graph
+  * (S10) → N-Quads serialization (K3). Git/MR publishing stays with the
+  * external scheduler (K4, out of engine scope).
+  */
+object TtlHarvest {
+
+  def run(spark: SparkSession, fetchPage: Long => Option[String],
+          pageSize: Long, namedGraph: String, outPath: String): Dataset[Quad] = {
+    val pages = PagedSource.drainPages(spark, fetchPage, pageSize)
+    val quads = RdfIO.parseChunks(spark, pages.collect().toSeq, namedGraph)
+    RdfIO.writeQuads(quads, outPath)
+    quads
+  }
+}

@@ -21,6 +21,21 @@ class PipelineSpec extends SparkSpec {
     assert(back.forall(_.g == "urn:graph:apis"))
   }
 
+  test("§3.3 TTL harvest: pages → named graph → N-Quads files") {
+    val store = Seq(
+      """<http://e/1> <http://p/type> <http://c/Person> .
+        |<http://e/1> <http://p/label> "Eins"@de .""".stripMargin,
+      """<http://e/2> <http://p/type> <http://c/Place> .""")
+    def fetch(offset: Long): Option[String] =
+      if (offset / 10 < store.length) Some(store((offset / 10).toInt)) else None
+    val out = new java.io.File("target/tmp/harvest-nquads").getAbsolutePath
+    val quads = graft.pipelines.TtlHarvest.run(spark, fetch, 10, "urn:g:harvest", out)
+    assert(quads.count() == 3)
+    val back = RdfIO.readQuads(spark, out).collect()
+    assert(back.forall(_.g == "urn:g:harvest"))
+    assert(back.exists(q => q.o == "Eins" && q.oLang == "de"))
+  }
+
   test("§7.2 slice 1: GeoNames TSV → documents → JSON side-output") {
     val dir = new java.io.File("target/tmp/geonames").getAbsolutePath
     // fixture written by GeonamesTsvSpec's layout; rebuild it here to be
