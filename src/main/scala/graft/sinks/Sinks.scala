@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** Last-write-wins dedup on `id` ordered by a version column — the upsert
-    * semantics of K1 collapsed into the dataflow (idempotent re-runs). */
+    * semantics of K1 collapsed into the dataflow (idempotent re-runs).
+    * `versionCol` should be unique per id (a timestamp or monotonic
+    * sequence); equal versions resolve arbitrarily-but-deterministically
+    * only if the rows are identical. */
   def upsertDedup(df: DataFrame, idCol: String, versionCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col(versionCol).desc)
     df.withColumn("__rn", row_number().over(w))
