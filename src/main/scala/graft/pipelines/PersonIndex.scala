@@ -32,6 +32,11 @@ object PersonIndex {
       col("name"),
       col("country"),
       Registry.labelPlace(col("name"), col("country"), col("n")).as("label"))
+    // The BGP core is distinct and the triple views are functional per
+    // subject, so rows are already unique per id — the upsert here is the
+    // idempotence guard for re-run unions, where any id collision is an
+    // identical row (satisfying upsertDedup's version-tie contract). A
+    // source with true multi-version rows would pass a timestamp instead.
     Sinks.upsertDedup(docs, "id", "label")
   }
 }

@@ -13,11 +13,9 @@ object TtlHarvest {
 
   def run(spark: SparkSession, fetchPage: Long => Option[String],
           pageSize: Long, namedGraph: String, outPath: String): Dataset[Quad] = {
-    import spark.implicits._
     val pages = PagedSource.drainPages(spark, fetchPage, pageSize)
     // Parse distributed — one task per page chunk, no driver round-trip.
-    val quads = pages.flatMap(
-      _.split('\n').toSeq.flatMap(l => RdfIO.parseLine(l, namedGraph)))
+    val quads = RdfIO.parseChunks(pages, namedGraph)
     RdfIO.writeQuads(quads, outPath)
     quads
   }

@@ -93,13 +93,18 @@ object RdfIO {
       .flatMap(l => parseLine(l, defaultGraph))
   }
 
-  /** S10: already-fetched text chunks → quads in a named graph
-    * (get_data_from_apis_instance.py:78-94). */
+  /** S10: fetched text chunks → quads in a named graph, parsed one task per
+    * chunk (get_data_from_apis_instance.py:78-94). */
+  def parseChunks(chunks: Dataset[String], namedGraph: String): Dataset[Quad] = {
+    import chunks.sparkSession.implicits._
+    chunks.flatMap(_.split('\n').toSeq.flatMap(l => parseLine(l, namedGraph)))
+  }
+
+  /** Convenience overload for driver-held chunks. */
   def parseChunks(spark: SparkSession, chunks: Seq[String],
                   namedGraph: String): Dataset[Quad] = {
     import spark.implicits._
-    spark.createDataset(chunks)
-      .flatMap(_.split('\n').toSeq.flatMap(l => parseLine(l, namedGraph)))
+    parseChunks(spark.createDataset(chunks), namedGraph)
   }
 
   /** K3: quads → N-Quads text files. D4 set semantics (rdflib Graph.add is
