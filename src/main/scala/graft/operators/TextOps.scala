@@ -172,6 +172,19 @@ object TextOps {
       .filter(col("dist") <= 2)
   }
 
+  /** Corpus length-distribution stats: exact interpolated median and p90 of
+    * document length per language. `percentile` (exact, interpolating) is
+    * the oracle-matchable form; at 100 TB the drop-in is
+    * `approx_percentile` (t-digest) with a rows-only check — the exact
+    * version needs a sort per group, the sketch is one pass + merge. */
+  def q61LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_docs"))
+
   /** Deterministic train/validation/test split — hash-based assignment so
     * re-runs, late-arriving rows, and distributed execution all agree
     * (never `rand()`): bucket = first 4 hex digits of md5(doc_id) mod 100;
@@ -199,6 +212,7 @@ object TextOps {
     "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
+    "q61_length_quantiles" -> q61LengthQuantiles _,
     "q33_dedup_exact"   -> q33DedupExact _,
     "q34_minhash_lsh"   -> q34MinhashLsh _,
     "q35_simhash"       -> q35Simhash _,
@@ -222,6 +236,10 @@ object TextOps {
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
   val oracles: Map[String, String] = Map(
+    "q61_length_quantiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
     "q58_train_test_split" ->
       """WITH b AS (
            SELECT lang,
