@@ -45,14 +45,18 @@ object Closure {
       var acc = seeds.select(col("node")).distinct().localCheckpoint()
       var frontier = acc
       var i = 0
-      while (i < maxIters && !frontier.isEmpty) {
+      var more = true
+      while (i < maxIters && more) {
         val stepped = e.join(frontier, e("dst") === frontier("node"))
           .select(e("src").as("node")).distinct()
         val next = (if (functionalEdges) stepped
                     else stepped.join(acc, Seq("node"), "left_anti"))
-          .localCheckpoint() // materialize the (small) frontier only
-        // acc stays a union of already-checkpointed frontiers — re-
-        // checkpointing it each round would rewrite O(total) data per round.
+          .localCheckpoint(false)
+        // One action per round: count() materializes the lazy checkpoint
+        // AND answers the emptiness question (isEmpty would be a second
+        // job). acc stays a union of already-checkpointed frontiers — re-
+        // checkpointing it each round would rewrite O(total) per round.
+        more = next.count() > 0
         acc = acc.unionByName(next)
         frontier = next
         i += 1
@@ -72,11 +76,13 @@ object Closure {
         .distinct().localCheckpoint()
       var frontier = acc
       var i = 0
-      while (i < maxIters && !frontier.isEmpty) {
+      var more = true
+      while (i < maxIters && more) {
         val next = frontier.join(e, frontier("anc") === e("src"))
           .select(frontier("node"), e("dst").as("anc")).distinct()
           .join(acc, Seq("node", "anc"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(false)
+        more = next.count() > 0
         acc = acc.unionByName(next)
         frontier = next
         i += 1
