@@ -163,7 +163,29 @@ object Relational {
       .select($"c_nationkey", $"c_custkey", round($"c_acctbal", 2).as("best_bal"))
   }
 
+  /** CUBE over (returnflag, linestatus): all grouping-set combinations in
+    * one pass (no reference counterpart; standard analytics surface). */
+  def q62Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+  }
+
+  /** Running (cumulative) revenue per customer over their order history —
+    * the frame-bounded window aggregate family. */
+  def q63RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(s, dir)
+      .withColumn("running_total", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_orderkey", $"o_custkey", $"running_total")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_cube"          -> q62Cube _,
+    "q63_running_total" -> q63RunningTotal _,
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_customers"      -> q2TopCustomers _,
     "q3_optional_join"      -> q3OptionalFilteredJoin _,
@@ -180,6 +202,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity),2) AS qty
+         FROM lineitem GROUP BY CUBE(1, 2)""",
+    "q63_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
