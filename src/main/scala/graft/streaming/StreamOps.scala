@@ -91,6 +91,25 @@ object StreamOps {
       .parquet(s"$dir")
   }
 
+  /** Stream-stream interval join: attribute each purchase to a click by the
+    * same user within the preceding hour. Watermarks on both sides bound
+    * the join state (clicks retained only while a matching purchase could
+    * still arrive) — the streaming twin of the as-of enrichment (q57). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("c_user").as("user_id"),
+        col("value"))
+  }
+
   /** K1 streaming form: per-micro-batch upsert into a keyed parquet store —
     * last write wins per id within the batch, then an idempotent overwrite
     * merge against the store (the streaming twin of

@@ -66,6 +66,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    // user 1: click at t0, purchase 30 min later → joins.
+    // user 2: click at t0, purchase 3 h later → outside the interval.
+    // user 3: purchase BEFORE the click → must not attribute.
+    clicks.addData(ev(10, 1, 0), ev(20, 2, 0), ev(30, 3, 60))
+    purchases.addData(ev(11, 1, 30), ev(21, 2, 180), ev(31, 3, 0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("attributed")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((11L, 10L)))
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
