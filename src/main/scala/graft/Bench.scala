@@ -15,15 +15,32 @@ object Bench {
     // and run in sorted order so per-query timings are comparable across
     // rounds.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // A failed query is reported as a NEGATIVE elapsed time so breakage is
+    // visible in the timings JSON (a -0.1 entry can never be mistaken for a
+    // fast success).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
+    }
+    // The driver captures only the last ~2000 chars of output, so the JSON
+    // line must stay short: shorten "q36_ngram_jaccard" to its unique "q36"
+    // prefix (full name kept on prefix collision) and round to milliseconds.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val collisions = prefix.values.groupBy(identity).collect {
+      case (p, g) if g.size > 1 => p
+    }.toSet
+    val qs = results.map { case (k, v) =>
+      val key = if (collisions(prefix(k))) k else prefix(k)
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

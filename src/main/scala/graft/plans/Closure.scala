@@ -33,7 +33,12 @@ object Closure {
     *   forest, e.g. containment hierarchies): the frontier then can never
     *   revisit a node, so the per-round anti-join against the accumulator —
     *   one extra shuffle per round — is provably a no-op and is skipped.
-    *   Leave false for general graphs (diamonds/cycles need the dedup).
+    *   Two seeds on the same root-path still produce overlapping frontiers,
+    *   so a single terminal distinct() (one shuffle total, not per round)
+    *   restores the documented contract; cycles (rho-shapes) are cut by
+    *   `maxIters`, also deduplicated by the terminal distinct. Leave false
+    *   for general graphs (diamonds need the per-round dedup to avoid
+    *   exponential frontier blowup, not just a final dedup).
     * @return DataFrame with column (node), distinct
     */
   def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50,
@@ -61,7 +66,10 @@ object Closure {
         frontier = next
         i += 1
       }
-      acc
+      // Restore the distinct contract for the functional fast path (see
+      // @param functionalEdges): one terminal shuffle over the accumulator,
+      // instead of the per-round anti-join the fast path exists to avoid.
+      if (functionalEdges) acc.distinct() else acc
     } finally { e.unpersist(blocking = false) }
   }
 

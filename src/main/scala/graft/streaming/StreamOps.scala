@@ -83,12 +83,25 @@ object StreamOps {
 
   /** Replay the batch events table as a file-backed stream (one parquet
     * file = one micro-batch at test scale; at production scale this is a
-    * kafka/file drop-in via readStream options). */
+    * kafka/file drop-in via readStream options).
+    *
+    * The on-disk files carry a TIMESTAMP(NANOS) `ts` column (read as long
+    * via nanosAsLong) and no derived columns, so the readStream schema must
+    * be the RAW file schema; ts_ns/ts are then re-derived exactly as in
+    * [[graft.Tables.events]] (integer `div 1000` — float division corrupts
+    * the microsecond floor at ~1.7e18 ns epochs). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource needs a directory base path; events.parquet is a
+    // single file at test scale, so stream the parent dir with a glob that
+    // selects only the events table (the other tables never match).
     spark.readStream
-      .schema(schema)
-      .parquet(s"$dir")
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   /** Stream-stream interval join: attribute each purchase to a click by the

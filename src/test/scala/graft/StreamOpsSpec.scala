@@ -103,6 +103,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("eventsStream file-backed replay matches Tables.events batch read") {
+    import org.apache.spark.sql.functions.{sum, col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val query = StreamOps.eventsStream(spark, dir)
+      .writeStream.format("memory").queryName("events_replay")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("events_replay")
+    val batch = Tables.events(spark, dir)
+    assert(streamed.columns.sorted.toSeq == batch.columns.sorted.toSeq)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(
+        expr("bit_xor(xxhash64(event_id, ts_ns, unix_micros(ts)))"),
+        sum(col("event_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(streamed.count() == batch.count())
+    assert(sig(streamed) == sig(batch))
+  }
+
   test("hourly window counts under watermark match batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -44,11 +44,20 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # A query that threw inside Verify produces NO result directory; without
+    # this cross-check a crashing query would silently vanish from the
+    # comparison and the gate would still pass.
+    names_path = os.path.join(out_dir, "query_names.json")
+    expected = set(json.load(open(names_path))) if os.path.exists(names_path) \
+        else set(oracles)
+    present = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
     n_ok = n_bad = n_skip = 0
-    for name in sorted(os.listdir(out_dir)):
+    for name in sorted(expected - present):
+        print(f"✗ {name}: NO RESULT (query crashed inside Verify)")
+        n_bad += 1
+    for name in sorted(present):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         spark_df = pd.concat(
             [pd.read_parquet(os.path.join(d, f)) for f in os.listdir(d)
              if f.endswith(".parquet")], ignore_index=True)
