@@ -18,12 +18,21 @@ object Bench {
     // A failed query is reported as a NEGATIVE elapsed time so breakage is
     // visible in the timings JSON (a -0.1 entry can never be mistaken for a
     // fast success).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter (substring match) for targeted
+    // profiling; the driver invokes with no args → full sorted run.
+    val wanted = args.toSeq
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      wanted.isEmpty || wanted.exists(n.contains)
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Cache hygiene between queries: a query that persists intermediates
+      // must not bleed memory pressure into the next query's timing.
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }
     // The driver captures only the last ~2000 chars of output, so the JSON

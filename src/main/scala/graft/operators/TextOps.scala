@@ -66,11 +66,17 @@ object TextOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
     bands.count() // materialize before the self-join
-    bands.as("a").join(bands.as("b"),
+    // Materialize the (tiny) pair set eagerly so the band cache can be
+    // dropped before returning — otherwise every bench/verify run leaks a
+    // cached signature table into the rest of the session.
+    val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    bands.unpersist(blocking = false)
+    pairs
   }
 
   /** SimHash: 16-bit signature — per bit j, the sign of the sum over tokens

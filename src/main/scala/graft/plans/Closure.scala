@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Closure {
 
+  private val debug = sys.env.contains("GRAFT_CLOSURE_DEBUG")
+  private def timed[A](label: String)(body: => A): A = {
+    if (!debug) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[closure] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+  }
+
   /** All nodes from which some seed is reachable by following src→dst edges
     * zero or more times (reflexive: includes the seeds).
     *
@@ -42,27 +53,41 @@ object Closure {
     * @return DataFrame with column (node), distinct
     */
   def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50,
-                 functionalEdges: Boolean = false): DataFrame = {
+                 functionalEdges: Boolean = false,
+                 broadcastMaxRows: Long = 500000L): DataFrame = {
     // The edge table is probed every round — materialize it once instead of
     // re-running its scan (at cluster scale: persist(MEMORY_AND_DISK)).
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      var acc = seeds.select(col("node")).distinct().localCheckpoint()
+      var acc = timed("seed")(seeds.select(col("node")).distinct().localCheckpoint())
+      var accRows = acc.count()
       var frontier = acc
+      var frontierRows = accRows
       var i = 0
-      var more = true
-      while (i < maxIters && more) {
-        val stepped = e.join(frontier, e("dst") === frontier("node"))
-          .select(e("src").as("node")).distinct()
-        val next = (if (functionalEdges) stepped
-                    else stepped.join(acc, Seq("node"), "left_anti"))
-          .localCheckpoint(false)
+      while (i < maxIters && frontierRows > 0) {
+        // The materializing count of the previous round gives the frontier's
+        // EXACT size, so the broadcast decision needs no stats machinery:
+        // a small frontier broadcasts (edge side streams from cache with no
+        // shuffle and no per-round sort — the dominant cost of a sort-merge
+        // plan here), a huge one falls back to a shuffle join. Same for the
+        // accumulator side of the anti-join.
+        def hinted(df: DataFrame, rows: Long) =
+          if (rows <= broadcastMaxRows) broadcast(df) else df
+        val next = timed(s"round $i ckpt") {
+          val stepped = e.join(hinted(frontier, frontierRows),
+              e("dst") === frontier("node"))
+            .select(e("src").as("node")).distinct()
+          (if (functionalEdges) stepped
+           else stepped.join(hinted(acc, accRows), Seq("node"), "left_anti"))
+            .localCheckpoint(false)
+        }
         // One action per round: count() materializes the lazy checkpoint
         // AND answers the emptiness question (isEmpty would be a second
         // job). acc stays a union of already-checkpointed frontiers — re-
         // checkpointing it each round would rewrite O(total) per round.
-        more = next.count() > 0
+        frontierRows = timed(s"round $i count")(next.count())
         acc = acc.unionByName(next)
+        accRows += frontierRows
         frontier = next
         i += 1
       }
@@ -77,21 +102,32 @@ object Closure {
     * node →+ anc. Add the reflexive pairs at the call site if `*` semantics
     * (rather than `+`) are needed.
     */
-  def ancestorPairs(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def ancestorPairs(edges: DataFrame, maxIters: Int = 50,
+                    broadcastMaxRows: Long = 500000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     try {
       var acc = e.select(col("src").as("node"), col("dst").as("anc"))
         .distinct().localCheckpoint()
+      var accRows = acc.count()
+      val eRows = accRows // distinct(e) ≤ |e|, same magnitude — good enough
       var frontier = acc
+      var frontierRows = accRows
       var i = 0
-      var more = true
-      while (i < maxIters && more) {
-        val next = frontier.join(e, frontier("anc") === e("src"))
-          .select(frontier("node"), e("dst").as("anc")).distinct()
-          .join(acc, Seq("node", "anc"), "left_anti")
-          .localCheckpoint(false)
-        more = next.count() > 0
+      while (i < maxIters && frontierRows > 0) {
+        // Exact-count-driven broadcast, as in reachingTo: here the EDGE side
+        // is the natural build side (one hop per round probes edges by src),
+        // so broadcast it when small; the anti-join builds on the new rows.
+        def hinted(df: DataFrame, rows: Long) =
+          if (rows <= broadcastMaxRows) broadcast(df) else df
+        val next = timed(s"anc round $i ckpt") {
+          frontier.join(hinted(e, eRows), frontier("anc") === e("src"))
+            .select(frontier("node"), e("dst").as("anc")).distinct()
+            .join(hinted(acc, accRows), Seq("node", "anc"), "left_anti")
+            .localCheckpoint(false)
+        }
+        frontierRows = timed(s"anc round $i count")(next.count())
         acc = acc.unionByName(next)
+        accRows += frontierRows
         frontier = next
         i += 1
       }
