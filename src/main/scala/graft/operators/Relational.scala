@@ -183,9 +183,87 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"running_total")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the mergeable,
+    * bounded-state scale path for A3's COUNT(DISTINCT) at 100 TB: keep the
+    * k smallest distinct hash values per group ([[graft.functions.BottomK]]
+    * is the aggregation), estimate |D| ≈ (k-1)/R_k where R_k is the k-th
+    * smallest hash mapped into [0,1). Exact count carried alongside so the
+    * estimate's error is visible; groups with fewer than k values are
+    * exact by construction. Unlike approx_count_distinct (HLL++), every
+    * step is deterministic and engine-independent, so the oracle
+    * hash-matches. */
+  def q64KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        graft.functions.BottomK.bottomK(md5($"o_custkey".cast("string")), k).as("lows"),
+        countDistinct($"o_custkey").as("n_exact"))
+      .select($"o_orderpriority",
+        round(
+          when(size($"lows") < k, size($"lows").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (expr("CAST(conv(substr(element_at(lows, 64), 1, 8), 16, 10) AS DOUBLE)")
+                / lit(4294967296.0))), 4).as("est_distinct"),
+        $"n_exact")
+  }
+
+  /** MERGE upsert ([[graft.plans.Merge]]): per-customer balance updates
+    * derived from orders overwrite matched customers; synthetic source-only
+    * keys (shifted by 10M) exercise the insert branch; customers without
+    * orders pass through untouched. */
+  def q65MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Tables.customer(s, dir)
+      .select($"c_custkey".as("k"), $"c_name".as("name"), round($"c_acctbal", 2).as("bal"))
+    val upd = Tables.orders(s, dir).groupBy($"o_custkey".as("k"))
+      .agg(round(sum($"o_totalprice"), 2).as("upd_bal"))
+    val source = upd.unionByName(
+      upd.filter($"k" < 100).select(($"k" + 10000000L).as("k"), $"upd_bal"))
+    graft.plans.Merge.merge(target, source, Seq("k"))(
+      "c_custkey" -> coalesce($"t.k", $"s.k"),
+      "c_name"    -> coalesce($"t.name", lit("NEW")),
+      "bal"       -> coalesce($"s.upd_bal", $"t.bal"))
+  }
+
+  /** PIVOT: long→wide conditional aggregation with an explicit value list
+    * (never the collect-distinct variant — a driver-side distinct scan is
+    * an anti-pattern at scale; the value list is part of the query). */
+  def q66Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"))
+  }
+
+  /** lag + ntile window functions: days since the customer's previous order
+    * (event sequencing) and spend quartile within order priority. Both
+    * windows are keyed — no global single-partition window outside the
+    * pagination demo (q11). */
+  def q67WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wTile = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("days_since_prev",
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(wSeq)).cast("long"))
+      .withColumn("spend_quartile", ntile(4).over(wTile).cast("long"))
+      .filter($"o_custkey" < 500)
+      .select($"o_orderkey", $"o_custkey", $"days_since_prev", $"spend_quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_cube"          -> q62Cube _,
     "q63_running_total" -> q63RunningTotal _,
+    "q64_kmv_distinct"  -> q64KmvDistinct _,
+    "q65_merge_upsert"  -> q65MergeUpsert _,
+    "q66_pivot"         -> q66Pivot _,
+    "q67_window_funcs"  -> q67WindowFuncs _,
     "q1_pricing_summary"    -> q1PricingSummary _,
     "q2_top_customers"      -> q2TopCustomers _,
     "q3_optional_join"      -> q3OptionalFilteredJoin _,
@@ -202,6 +280,46 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS pr,
+                    md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+         r AS (SELECT pr, h,
+                      row_number() OVER (PARTITION BY pr ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY pr) AS nd
+               FROM h)
+         SELECT pr AS o_orderpriority,
+           round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                 ELSE 63.0 / (CAST(('0x'||substr(h,1,8)) AS BIGINT) / 4294967296.0)
+                 END, 4) AS est_distinct,
+           CAST(nd AS BIGINT) AS n_exact
+         FROM r WHERE rn = least(nd, 64)""",
+    "q65_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS k, c_name AS name, round(c_acctbal,2) AS bal
+                    FROM customer),
+         u AS (SELECT o_custkey AS k, round(sum(o_totalprice),2) AS upd_bal
+               FROM orders GROUP BY 1),
+         s AS (SELECT k, upd_bal FROM u
+               UNION ALL SELECT k + 10000000, upd_bal FROM u WHERE k < 100)
+         SELECT coalesce(t.k, s.k) AS c_custkey,
+                coalesce(t.name, 'NEW') AS c_name,
+                coalesce(s.upd_bal, t.bal) AS bal
+         FROM t FULL JOIN s ON t.k = s.k""",
+    "q66_pivot" ->
+      """SELECT l_returnflag,
+         CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+         CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+         FROM lineitem GROUP BY 1""",
+    "q67_window_funcs" ->
+      """SELECT o_orderkey, o_custkey, days_since_prev, spend_quartile FROM (
+           SELECT o_orderkey, o_custkey,
+                  CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS days_since_prev,
+                  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+           FROM orders)
+         WHERE o_custkey < 500""",
     "q62_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_quantity),2) AS qty

@@ -81,16 +81,23 @@ object VectorOps {
     * production refinement replaces the fixed centroids with k-means means,
     * but the join shape (assign → shuffle on cell → in-cell ranking) is
     * exactly this. Complements the hyperplane-LSH bucketing (q38). */
-  def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
+  /** Coarse-quantizer assignment shared by the IVF family: every vector goes
+    * to the max-cosine cell among the first-8-vector centroids. One shuffle
+    * (the per-vector window); the centroid side broadcasts. */
+  private def assignCells(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val scoredCells = e.crossJoin(broadcast(cents))
       .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = scoredCells.withColumn("rn", row_number().over(wCell))
+    scoredCells.withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  }
+
+  def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val assigned = assignCells(e)
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val candidates = assigned.join(broadcast(queries), Seq("cell"))
@@ -102,11 +109,47 @@ object VectorOps {
       .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("cos"))
   }
 
+  /** One Lloyd (k-means) iteration over the IVF coarse quantizer — the
+    * "trained centroids" refinement q60's Scaladoc promises: assign every
+    * vector to its cell, then recompute each centroid as the element-wise
+    * mean of its members. Emits per-cell member count and the new
+    * centroid's norm (means rounded to 6, norm to 4 — integer-count
+    * denominators plus rounding keep both engines' float sums aligned).
+    * The iteration is two shuffles (assignment window + per-(cell,dim)
+    * partial-sum agg), both partial-aggregable — the loop is flat per
+    * round at any scale. */
+  def q68KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(vecs(s, dir))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg((sum(col("x")) / count(lit(1))).as("mraw"), count(lit(1)).as("n"))
+      .withColumn("m", round(col("mraw"), 6))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_assigned"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("new_norm"))
+  }
+
+  /** Embedding-cosine near-dup pairs by threshold (the dedup-category
+    * counterpart of the rank-1 q43): all pairs within the first 300
+    * vectors whose rounded cosine clears 0.40. Bounded candidate set —
+    * the unbounded-scale path is the LSH/IVF bucketing (q38/q60), which
+    * turns the quadratic pair scan into a same-bucket join. */
+  def q69EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).filter(col("vec_id") < 300)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(CosineSimilarity(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= 0.40)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_cosine_topk"      -> q37CosineTopK _,
     "q38_lsh_buckets"      -> q38LshBuckets _,
     "q43_nearest_neighbor" -> q43NearestNeighbor _,
-    "q60_ivf_ann"          -> q60IvfAnn _
+    "q60_ivf_ann"          -> q60IvfAnn _,
+    "q68_kmeans_step"      -> q68KmeansStep _,
+    "q69_embedding_neardup" -> q69EmbeddingNearDup _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -123,7 +166,45 @@ object VectorOps {
              FROM c)
        SELECT $cols FROM r WHERE rank <= $k"""
 
+  /** Shared assignment CTE chain (mirrors [[assignCells]]). */
+  private val assignSql =
+    """ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, range(1, 65) t(i)),
+       nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+       cd AS (SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
+              FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id < 8
+              GROUP BY 1, 2),
+       cc AS (SELECT cd.vec_id, cd.cent_id,
+                     round(cd.dot/(nv.n * nc.n), 6) AS ccos
+              FROM cd JOIN nrm nv ON cd.vec_id = nv.vec_id
+                      JOIN nrm nc ON cd.cent_id = nc.vec_id),
+       assigned AS (SELECT vec_id, cent_id AS cell FROM (
+                      SELECT vec_id, cent_id,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cent_id) AS rn
+                      FROM cc) WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    "q68_kmeans_step" ->
+      s"""WITH $assignSql,
+         mem AS (SELECT a.cell, e.i, e.x
+                 FROM assigned a JOIN ex e ON a.vec_id = e.vec_id),
+         dim AS (SELECT cell, i, round(sum(x)/count(*), 6) AS m, count(*) AS n
+                 FROM mem GROUP BY 1, 2)
+         SELECT cell, CAST(max(n) AS BIGINT) AS n_assigned,
+                round(sqrt(sum(m*m)), 4) AS new_norm
+         FROM dim GROUP BY 1""",
+    "q69_embedding_neardup" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i) WHERE vec_id < 300),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x*b.x) AS dot
+                  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2)
+         SELECT d.vec_a, d.vec_b, round(d.dot/(na.n*nb.n), 6) AS cos
+         FROM dots d JOIN nrm na ON d.vec_a = na.vec_id
+                     JOIN nrm nb ON d.vec_b = nb.vec_id
+         WHERE round(d.dot/(na.n*nb.n), 6) >= 0.40""",
     "q60_ivf_ann" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Merge
+
+/** MERGE semantics ([[graft.plans.Merge]]) and the KMV sketch estimator. */
+class MergeKmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge: matched updates, source-only inserts, target-only passthrough") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val source = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "upd")
+    val merged = Merge.merge(target, source, Seq("k"))(
+      "k"    -> coalesce($"t.k", $"s.k"),
+      "name" -> coalesce($"t.name", lit("NEW")),
+      "bal"  -> coalesce($"s.upd", $"t.bal"))
+    val rows = merged.as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "NEW", 30.0)))
+  }
+
+  test("merge upsert helper keeps target schema, source wins on match") {
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val source = Seq((1L, "new"), (9L, "ins")).toDF("k", "v")
+    val rows = Merge.upsert(target, source, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "new"), (2L, "keep"), (9L, "ins")))
+  }
+
+  test("KMV estimate is exact below k and within 20% above k") {
+    val df = spark.range(2000).select(col("id"), lit("g").as("g"))
+    val k = 64
+    val est = df.groupBy($"g")
+      .agg(graft.functions.BottomK.bottomK(md5($"id".cast("string")), k).as("lows"))
+      .select(
+        when(size($"lows") < k, size($"lows").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (expr("CAST(conv(substr(element_at(lows, 64), 1, 8), 16, 10) AS DOUBLE)")
+              / lit(4294967296.0))).as("est"))
+      .as[Double].head()
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.20, s"KMV estimate $est too far from 2000")
+
+    val small = spark.range(10).select(lit("g").as("g"), md5(col("id").cast("string")).as("h"))
+      .groupBy($"g").agg(graft.functions.BottomK.bottomK($"h", k).as("lows"))
+      .select(size($"lows")).as[Int].head()
+    assert(small == 10)
+  }
+
+  test("pivot with explicit values matches conditional aggregation") {
+    val df = Seq(("A", "F"), ("A", "F"), ("A", "O"), ("B", "O"))
+      .toDF("flag", "status")
+    val wide = df.groupBy($"flag").pivot("status", Seq("F", "O")).agg(count(lit(1)))
+      .select($"flag", coalesce($"F", lit(0L)).as("f"), coalesce($"O", lit(0L)).as("o"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(wide.toSeq == Seq(("A", 2L, 1L), ("B", 0L, 1L)))
+  }
+}
