@@ -101,9 +101,32 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Interval (range) join: attribute each purchase to every click by the
+    * same user within the preceding hour — the batch twin of the
+    * stream-stream interval join ([[graft.streaming.StreamOps.clickToPurchase]]),
+    * so the watermarked streaming semantics are pinned against the oracle.
+    * Physically an equi-join on user_id with the range predicate evaluated
+    * inside the join — one shuffle, no quadratic pair blowup, since the
+    * equi key bounds candidates to same-user pairs. */
+  def q70AttributionBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("value"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(3600L * 1000000L))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
     "q59_rollup"    -> q59Rollup _,
+    "q70_attribution_batch" -> q70AttributionBatch _,
     "q28_incremental_watermark" -> q28IncrementalWatermark _,
     "q29_hourly_window"         -> q29HourlyWindow _,
     "q30_sessionize"            -> q30Sessionize _,
@@ -112,6 +135,17 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_attribution_batch" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                    epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+                    epoch_us(ts) AS purchase_us, value
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, c.click_id, c.user_id, round(p.value, 2) AS value
+         FROM c JOIN p ON c.user_id = p.user_id
+         WHERE p.purchase_us >= c.click_us
+           AND p.purchase_us <= c.click_us + 3600000000""",
     "q59_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
          count(*) AS n, round(sum(value),2) AS total_value

@@ -130,6 +130,33 @@ object VectorOps {
         round(sqrt(sum(col("m") * col("m"))), 4).as("new_norm"))
   }
 
+  /** Multi-probe IVF ANN: queries probe their top-2 cells instead of one —
+    * the standard recall/cost knob for inverted-file indexes (candidates
+    * roughly double, recall loss from quantization-boundary neighbors
+    * shrinks). Same join shape as q60: assignment window + broadcast of the
+    * (tiny) probe list + in-cell ranking; the probe fan-out multiplies only
+    * the broadcast side, never the corpus shuffle. */
+  def q71MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val ranked = scored.withColumn("rn", row_number().over(wCell))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("rn") <= 2 && col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id").as("cell"))
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs by threshold (the dedup-category
     * counterpart of the rank-1 q43): all pairs within the first 300
     * vectors whose rounded cosine clears 0.40. Bounded candidate set —
@@ -149,7 +176,8 @@ object VectorOps {
     "q43_nearest_neighbor" -> q43NearestNeighbor _,
     "q60_ivf_ann"          -> q60IvfAnn _,
     "q68_kmeans_step"      -> q68KmeansStep _,
-    "q69_embedding_neardup" -> q69EmbeddingNearDup _
+    "q69_embedding_neardup" -> q69EmbeddingNearDup _,
+    "q71_multiprobe_ann"   -> q71MultiprobeAnn _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -185,6 +213,30 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q71_multiprobe_ann" ->
+      s"""WITH $assignSql,
+         ranked AS (SELECT vec_id, cent_id, ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vec_id BETWEEN 100 AND 105),
+         cand AS (SELECT p.q_id, a.vec_id
+                  FROM probes p JOIN assigned a ON p.cell = a.cell
+                  WHERE a.vec_id <> p.q_id),
+         pd AS (SELECT c.q_id, c.vec_id, sum(xq.x * xv.x) AS dot
+                FROM cand c JOIN ex xq ON xq.vec_id = c.q_id
+                            JOIN ex xv ON xv.vec_id = c.vec_id AND xq.i = xv.i
+                GROUP BY 1, 2),
+         pc AS (SELECT pd.q_id, pd.vec_id,
+                       round(pd.dot/(nq.n * nv.n), 6) AS cos
+                FROM pd JOIN nrm nq ON pd.q_id = nq.vec_id
+                        JOIN nrm nv ON pd.vec_id = nv.vec_id)
+         SELECT q_id, vec_id, rank, cos FROM (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id) AS rank
+           FROM pc) WHERE rank <= 3""",
     "q68_kmeans_step" ->
       s"""WITH $assignSql,
          mem AS (SELECT a.cell, e.i, e.x
