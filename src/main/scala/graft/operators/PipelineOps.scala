@@ -30,13 +30,36 @@ object PipelineOps {
   def q46PersonIndex(s: SparkSession, dir: String): DataFrame =
     PersonIndex.documents(s, dir)
 
+  /** S1/S5 as a DataSourceV2 scan ([[graft.sources.PagedSourceProvider]]):
+    * 6 pages × 200 rows pulled as one InputPartition per page, then a
+    * per-page integrity summary. The sfDir parameter is unused — the source
+    * stands in for a remote endpoint, not the lake. */
+  def q72PagedSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.PagedSourceProvider")
+      .option("pages", 6).option("pageSize", 200).load()
+      .groupBy(col("page"))
+      .agg(count(lit(1)).as("n"),
+        min(col("payload")).as("min_payload"),
+        max(col("payload")).as("max_payload"),
+        sum(col("id")).as("id_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_worklist_expand"     -> q44WorklistExpand _,
     "q45_multimodal_features" -> q45MultimodalFeatures _,
-    "q46_person_index"        -> q46PersonIndex _
+    "q46_person_index"        -> q46PersonIndex _,
+    "q72_paged_source"        -> q72PagedSource _
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_paged_source" ->
+      """WITH g AS (SELECT p.page, r.i,
+                    md5(CAST(p.page AS VARCHAR)||':'||CAST(r.i AS VARCHAR)) AS payload,
+                    p.page * 200 + r.i AS id
+               FROM range(0, 6) p(page), range(0, 200) r(i))
+         SELECT CAST(page AS INTEGER) AS page, count(*) AS n,
+                min(payload) AS min_payload, max(payload) AS max_payload,
+                CAST(sum(id) AS BIGINT) AS id_sum
+         FROM g GROUP BY 1""",
     "q44_worklist_expand" ->
       """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS s, 'type' AS p, 'E21_Person' AS o FROM customer
          UNION ALL SELECT 'C'||CAST(c_custkey AS VARCHAR), 'label', c_name FROM customer
