@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector — the production deployment path for the
+  * engine's native Catalyst expressions: a cluster adds
+  * `spark.sql.extensions=graft.GraftExtensions` and `cosine_sim` /
+  * `hamming_dist` resolve in plain SQL on every session, no per-session
+  * `register(...)` calls (those remain for ad-hoc/test sessions).
+  *
+  * This is the extension-point ladder of SURVEY.md §4.2 made concrete:
+  * builtins compose the bulk of the engine; the two fused-loop expressions
+  * ride the injection hook; no custom Rule/Strategy is needed because every
+  * operator shape lowers to Catalyst-visible plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** The injectable function set (also usable to bulk-register on an
+    * existing session's FunctionRegistry). */
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => graft.functions.CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_dist"),
+      (es: Seq[Expression]) => graft.functions.HammingDistance(es(0), es(1))))
+}

@@ -123,6 +123,15 @@ object StreamOps {
         col("value"))
   }
 
+  /** Stream-static enrichment join: every micro-batch left-joins the static
+    * dimension table (the streaming twin of the label-service / propagation
+    * joins). The static side is broadcast per micro-batch — at 100 TB the
+    * stream side never shuffles for dimension joins; a huge dimension
+    * degrades gracefully to a shuffle join per batch. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** K1 streaming form: per-micro-batch upsert into a keyed parquet store —
     * last write wins per id within the batch, then an idempotent overwrite
     * merge against the store (the streaming twin of

@@ -103,6 +103,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("stream-static join enriches events with the dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AT"), (2L, "DE")).toDF("user_id", "country")
+    val input = MemoryStream[Event]
+    val query = StreamOps.enrichWithDimension(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 0), ev(2, 2, 1), ev(3, 7, 2)) // user 7: no dim row
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("enriched")
+      .select($"event_id", $"country").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> Some("AT"), 2L -> Some("DE"), 3L -> None))
+  }
+
   test("eventsStream file-backed replay matches Tables.events batch read") {
     import org.apache.spark.sql.functions.{sum, col, expr}
     val dir = "/root/testdata/sf0.001"
