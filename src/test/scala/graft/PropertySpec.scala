@@ -80,6 +80,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MERGE upsert is idempotent and key-complete on random tables") {
+    val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.alphaNumStr))
+      .map(_.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq)
+    forAll(Gen.zip(rowsGen, rowsGen), n = 10) { case (t, s) =>
+      whenever(t.nonEmpty && s.nonEmpty) {
+        val target = t.toDF("k", "v")
+        val source = s.toDF("k", "v")
+        val once = graft.plans.Merge.upsert(target, source, Seq("k"))
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        // idempotent: applying the same source again changes nothing
+        val twice = graft.plans.Merge.upsert(once.toDF("k", "v"), source, Seq("k"))
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        assert(once == twice)
+        // key-complete: union of keys, source wins on overlap
+        val expect = (t.toMap ++ s.toMap).toSeq.sortBy(_._1)
+        assert(once == expect)
+      }
+    }
+  }
+
   test("BottomK merge is commutative, bounded, and sorted") {
     val agg = new BottomK(4)
     forAll(Gen.zip(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr))) {
