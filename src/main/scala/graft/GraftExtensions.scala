@@ -33,5 +33,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.CosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_dist"),
-      (es: Seq[Expression]) => graft.functions.HammingDistance(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.HammingDistance(es(0), es(1))),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[graft.functions.SimHash16].getName, "simhash16"),
+      (es: Seq[Expression]) => graft.functions.SimHash16(es(0))))
 }

@@ -81,18 +81,16 @@ object TextOps {
 
   /** SimHash: 16-bit signature — per bit j, the sign of the sum over tokens
     * of ±1 by bit j of md5(token). Near-identical docs land on identical or
-    * 1-2-bit-distant signatures. */
+    * 1-2-bit-distant signatures.
+    *
+    * Computed by the native [[graft.functions.SimHash16]] expression: one
+    * fused codegen loop, one digest per token — the equivalent 16-arm
+    * `aggregate(toks, ...)` formulation runs 16 interpreted passes with 16
+    * digests per token (PropertySpec pins the equivalence). */
   def q35Simhash(s: SparkSession, dir: String): DataFrame = {
-    val bitCols = (0 until 16).map { j =>
-      val nib = j / 4 + 1 // 1-based hex char position in the md5
-      val bp = 3 - (j % 4)
-      expr(s"aggregate(toks, 0, (acc, w) -> acc + IF(((shiftright(instr('0123456789abcdef', substr(md5(w), $nib, 1)) - 1, $bp)) & 1) = 1, 1, -1))")
-        .as(s"b$j")
-    }
-    val withBits = docs(s, dir).select((col("doc_id") +: bitCols): _*)
-    val simhash = concat((0 until 16).map(j =>
-      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0"))): _*)
-    withBits.select(col("doc_id"), simhash.as("simhash"))
+    graft.functions.SimHash16.register(s)
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.SimHash16(col("toks")).as("simhash"))
   }
 
   /** n-gram (bigram) Jaccard near-dup pairs, bounded to doc_id < 200 — the

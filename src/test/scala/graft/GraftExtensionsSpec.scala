@@ -16,13 +16,22 @@ class GraftExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val mkVec = (xs: Seq[Double]) =>
       Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
-    val Seq(cos, ham) = GraftExtensions.functions.map(_._3)
-    val c = cos(Seq(mkVec(Seq(1.0, 0.0)), mkVec(Seq(1.0, 0.0)))).eval(null)
+    val byName = GraftExtensions.functions
+      .map { case (id, _, b) => id.funcName -> b }.toMap
+    val c = byName("cosine_sim")(
+      Seq(mkVec(Seq(1.0, 0.0)), mkVec(Seq(1.0, 0.0)))).eval(null)
     assert(math.abs(c.asInstanceOf[Double] - 1.0) < 1e-12)
-    val h = ham(Seq(
+    val h = byName("hamming_dist")(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal("1010"),
       org.apache.spark.sql.catalyst.expressions.Literal("1001"))).eval(null)
     assert(h.asInstanceOf[Int] == 2)
+    val sig = byName("simhash16")(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(org.apache.spark.unsafe.types.UTF8String.fromString("spark"))),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))).eval(null)
+    assert(sig.toString.length == 16 && sig.toString.forall(c => c == '0' || c == '1'))
   }
 
   test("extension-built session resolves cosine_sim in SQL") {

@@ -100,6 +100,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native simhash16 equals the 16-arm SQL aggregate formulation") {
+    graft.functions.SimHash16.register(spark)
+    val sqlBits = (0 until 16).map { j =>
+      val nib = j / 4 + 1
+      val bp = 3 - (j % 4)
+      s"IF(aggregate(toks, 0, (acc, w) -> acc + IF(((shiftright(instr('0123456789abcdef', substr(md5(w), $nib, 1)) - 1, $bp)) & 1) = 1, 1, -1)) >= 0, '1', '0')"
+    }.mkString("concat(", ", ", ")")
+    val tokGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(""),
+      Gen.const("spark"), Gen.asciiPrintableStr.map(_.take(12))))
+    forAll(Gen.listOfN(8, tokGen), n = 10) { docsToks =>
+      val df = docsToks.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "toks")
+      val rows = df.select($"id",
+          expr(sqlBits).as("sql_sig"),
+          graft.functions.SimHash16($"toks").as("native_sig"))
+        .as[(Int, String, String)].collect()
+      rows.foreach { case (id, a, b) =>
+        assert(a == b, s"doc $id: sql=$a native=$b toks=${docsToks(id)}")
+      }
+    }
+  }
+
   test("BottomK merge is commutative, bounded, and sorted") {
     val agg = new BottomK(4)
     forAll(Gen.zip(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr))) {
