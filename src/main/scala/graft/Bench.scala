@@ -33,7 +33,9 @@ object Bench {
       // Cache hygiene between queries: a query that persists intermediates
       // must not bleed memory pressure into the next query's timing.
       spark.catalog.clearCache()
-      name -> (if (ok) sec else -sec)
+      // Clamp failures away from zero so a sub-millisecond failure can't
+      // round to -0.000 (which JSON-parses equal to 0.0).
+      name -> (if (ok) sec else -math.max(sec, 0.001))
     }
     // The driver captures only the last ~2000 chars of output, so the JSON
     // line must stay short: shorten "q36_ngram_jaccard" to its unique "q36"

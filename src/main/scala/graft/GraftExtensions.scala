@@ -25,16 +25,25 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    // A proper arity error from the analyzer, not an IndexOutOfBounds from
+    // inside the builder.
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n argument(s), got ${es.length}")
+    build(es)
+  }
+
   /** The injectable function set (also usable to bulk-register on an
     * existing session's FunctionRegistry). */
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
-      (es: Seq[Expression]) => graft.functions.CosineSimilarity(es(0), es(1))),
+      arity("cosine_sim", 2)(es => graft.functions.CosineSimilarity(es(0), es(1)))),
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[graft.functions.HammingDistance].getName, "hamming_dist"),
-      (es: Seq[Expression]) => graft.functions.HammingDistance(es(0), es(1))),
+      arity("hamming_dist", 2)(es => graft.functions.HammingDistance(es(0), es(1)))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[graft.functions.SimHash16].getName, "simhash16"),
-      (es: Seq[Expression]) => graft.functions.SimHash16(es(0))))
+      arity("simhash16", 1)(es => graft.functions.SimHash16(es(0)))))
 }

@@ -17,7 +17,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split('='); spark.conf.set(k, v)
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)

@@ -30,11 +30,18 @@ object Tables {
     * way when formatting/µs-extracting, so oracle comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    deriveEventTime(apply(s, d, "events"))
+  }
+
+  /** Shared ts derivation for batch and streaming reads of the events
+    * files: rename the raw nanos INT64 to ts_ns and floor-convert to a
+    * microsecond timestamp with INTEGER division (`div`) — float division
+    * would corrupt the microsecond floor at ~1.7e18 ns epochs, and this is
+    * the invariant every events oracle depends on. */
+  def deriveEventTime(raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

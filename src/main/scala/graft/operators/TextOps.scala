@@ -89,8 +89,13 @@ object TextOps {
     * digests per token (PropertySpec pins the equivalence). */
   def q35Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHash16.register(s)
+    // The native expression is null-in/null-out; the 16-arm SQL formulation
+    // (and the DuckDB oracle) yield all-'0' for a NULL token array (each
+    // NULL counter takes the otherwise-'0' branch) — coalesce restores that
+    // exact behavior for documents with null text.
     docs(s, dir).select(col("doc_id"),
-      graft.functions.SimHash16(col("toks")).as("simhash"))
+      coalesce(graft.functions.SimHash16(col("toks")),
+        lit("0" * 16)).as("simhash"))
   }
 
   /** n-gram (bigram) Jaccard near-dup pairs, bounded to doc_id < 200 — the

@@ -96,12 +96,11 @@ object StreamOps {
     // FileStreamSource needs a directory base path; events.parquet is a
     // single file at test scale, so stream the parent dir with a glob that
     // selects only the events table (the other tables never match).
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.deriveEventTime(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Stream-stream interval join: attribute each purchase to a click by the

@@ -119,6 +119,14 @@ class PropertySpec extends SparkSpec {
         assert(a == b, s"doc $id: sql=$a native=$b toks=${docsToks(id)}")
       }
     }
+    // NULL token array: the SQL formulation yields all-'0' (each NULL
+    // counter takes the otherwise branch); the q35 call site restores this
+    // with coalesce over the null-propagating native expression.
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS toks")
+      .select(expr(sqlBits).as("a"),
+        coalesce(graft.functions.SimHash16($"toks"), lit("0" * 16)).as("b"))
+      .as[(String, String)].head()
+    assert(nullRow._1 == "0" * 16 && nullRow._2 == "0" * 16)
   }
 
   test("BottomK merge is commutative, bounded, and sorted") {
