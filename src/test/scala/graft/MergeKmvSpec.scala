@@ -45,6 +45,39 @@ class MergeKmvSpec extends SparkSpec {
     assert(small == 10)
   }
 
+  test("mergeCow rewrites only touched partitions, source wins per key") {
+    val path = new java.io.File("target/tmp/cow-" + System.nanoTime()).getAbsolutePath
+    def snap(rows: Seq[(Long, String, String)]) = rows.toDF("k", "part", "v")
+    // Seed: two partitions.
+    graft.sinks.Sinks.mergeCow(spark, path,
+      snap(Seq((1L, "a", "v1"), (2L, "a", "v2"), (3L, "b", "v3"))),
+      Seq("k"), "part")
+    val filesB0 = new java.io.File(path, "part=b").listFiles().map(_.getName).toSet
+    // Merge a delta touching only partition a: update k=1, insert k=9.
+    graft.sinks.Sinks.mergeCow(spark, path,
+      snap(Seq((1L, "a", "v1x"), (9L, "a", "v9"))), Seq("k"), "part")
+    val out = spark.read.parquet(path).select($"k", $"part", $"v")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", "v1x"), (2L, "a", "v2"), (3L, "b", "v3"),
+      (9L, "a", "v9")))
+    // Partition b untouched: same files as after the seed write.
+    val filesB1 = new java.io.File(path, "part=b").listFiles().map(_.getName).toSet
+    assert(filesB0 == filesB1, "untouched partition was rewritten")
+  }
+
+  test("mergeCow is idempotent: re-applying the same delta is a no-op") {
+    val path = new java.io.File("target/tmp/cow-" + System.nanoTime()).getAbsolutePath
+    def snap(rows: Seq[(Long, String, String)]) = rows.toDF("k", "part", "v")
+    graft.sinks.Sinks.mergeCow(spark, path,
+      snap(Seq((1L, "a", "v1"), (3L, "b", "v3"))), Seq("k"), "part")
+    val delta = snap(Seq((1L, "a", "v1x")))
+    graft.sinks.Sinks.mergeCow(spark, path, delta, Seq("k"), "part")
+    graft.sinks.Sinks.mergeCow(spark, path, delta, Seq("k"), "part")
+    val out = spark.read.parquet(path).select($"k", $"part", $"v")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", "v1x"), (3L, "b", "v3")))
+  }
+
   test("pivot with explicit values matches conditional aggregation") {
     val df = Seq(("A", "F"), ("A", "F"), ("A", "O"), ("B", "O"))
       .toDF("flag", "status")
