@@ -47,8 +47,11 @@ object Sinks {
     * MERGE gives you, built from the open primitives: at 100 TB a CDC
     * delta touching k of N partitions costs O(k), not O(N).
     *
-    * The target must be partitioned by `partCol`; `source` must carry it.
-    * First write (no table yet) degrades to a plain partitioned write.
+    * The target must be partitioned by `partCol`; `source` must carry it
+    * with non-null values (a null partition value would land in Hive's
+    * default partition and escape the isin prune). No concurrent-writer
+    * isolation — that is precisely what a table format's snapshot layer
+    * adds on top of this relational core.
     */
   def mergeCow(spark: SparkSession, targetPath: String, source: DataFrame,
                keyCols: Seq[String], partCol: String): Unit = {

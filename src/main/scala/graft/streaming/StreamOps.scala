@@ -122,6 +122,27 @@ object StreamOps {
         col("value"))
   }
 
+  /** Windowed distinct-user KMV sketch — the streaming face of the batch
+    * estimator (q64): the BottomK aggregator's bounded mergeable buffer
+    * rides the streaming state store like any partial aggregate, so
+    * per-window distinct estimation costs k hashes of state per window
+    * regardless of traffic. Below k distinct values the estimate is exact;
+    * above, (k-1)/R_k. */
+  def hourlyDistinctUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    val lows = graft.functions.BottomK.bottomK(
+      md5(col("user_id").cast("string")), k)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(lows.as("lows"))
+      .select(col("window.start").as("hour_start"),
+        round(
+          when(size(col("lows")) < k, size(col("lows")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (expr(s"CAST(conv(substr(element_at(lows, $k), 1, 8), 16, 10) AS DOUBLE)")
+                / lit(4294967296.0))), 4).as("est_users"))
+  }
+
   /** Stream-static enrichment join: every micro-batch left-joins the static
     * dimension table (the streaming twin of the label-service / propagation
     * joins). The static side is broadcast per micro-batch — at 100 TB the

@@ -103,6 +103,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("windowed KMV distinct-user sketch is exact below k") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.hourlyDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("kmv_users")
+      .outputMode("append").start()
+    // Hour 0: users 1,2,3 (user 1 twice); far-future event closes it.
+    input.addData(ev(1, 1, 5), ev(2, 2, 10), ev(3, 3, 20), ev(4, 1, 30))
+    query.processAllAvailable()
+    input.addData(ev(5, 9, 600))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("kmv_users")
+      .select($"hour_start", $"est_users").as[(Timestamp, Double)]
+      .collect().toMap
+    assert(rows(new Timestamp(t0)) == 3.0)
+  }
+
   test("stream-static join enriches events with the dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "AT"), (2L, "DE")).toDF("user_id", "country")
