@@ -1,0 +1,140 @@
+package graft.sinks
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 WRITE path for the K1 document sink
+  * (push_to_typesense.py:39-53): JSONL part files written through the full
+  * BatchWrite commit protocol — executors stream rows into per-task
+  * staging files, the driver's commit() atomically publishes them (rename
+  * into place + _SUCCESS), abort() discards the staging dir. Task retries
+  * therefore never produce duplicate or partial output — the same
+  * all-or-nothing contract the reference gets from Typesense's bulk
+  * import being idempotent per id.
+  *
+  * Usage: `df.write.format("graft.sinks.JsonlSinkProvider")
+  *   .option("path", dir).mode("append").save()`
+  *
+  * Supported field types: the document-schema types of §1 (string, long,
+  * int, double, boolean); anything else fails fast at write planning.
+  */
+class JsonlSinkProvider extends TableProvider {
+  // Write-only source: schema comes from the DataFrame being written.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(new CaseInsensitiveStringMap(properties).get("path"))
+      .getOrElse(throw new IllegalArgumentException("option 'path' is required"))
+    new JsonlTable(path, schema)
+  }
+}
+
+private class JsonlTable(path: String, tableSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"jsonl($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new JsonlBatchWrite(path, info.schema())
+      }
+    }
+}
+
+private case class JsonlCommitMessage(stagedFile: String) extends WriterCommitMessage
+
+private class JsonlBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case StringType | LongType | IntegerType | DoubleType | BooleanType => ()
+      case t => throw new IllegalArgumentException(
+        s"jsonl sink supports string/long/int/double/boolean, got ${f.name}: ${t.simpleString}")
+    }
+  }
+  private val staging = new File(path, "_staging")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.mkdirs()
+    new JsonlWriterFactory(staging.getAbsolutePath, schema)
+  }
+
+  /** Driver-side publish: staged part files rename into the table dir,
+    * then _SUCCESS. Rename is atomic per file on a real FS; a cloud
+    * deployment swaps this for a manifest commit. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    messages.foreach { case JsonlCommitMessage(staged) =>
+      val f = new File(staged)
+      if (!f.renameTo(new File(dir, f.getName)))
+        throw new IllegalStateException(s"commit failed renaming $staged")
+    }
+    staging.delete()
+    new File(dir, "_SUCCESS").createNewFile()
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+    staging.delete()
+    ()
+  }
+}
+
+private class JsonlWriterFactory(stagingPath: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new File(stagingPath, f"part-$partitionId%05d-$taskId.jsonl")
+      private val out = new java.io.BufferedWriter(new java.io.FileWriter(file))
+
+      private def jsonValue(row: InternalRow, i: Int, t: DataType): String = t match {
+        case StringType =>
+          // minimal JSON string escaping for the document fields
+          val s = row.getUTF8String(i).toString
+          "\"" + s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case t => throw new IllegalStateException(s"unsupported $t")
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val fields = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          if (row.isNullAt(i)) None
+          else Some("\"" + f.name + "\":" + jsonValue(row, i, f.dataType))
+        }
+        out.write(fields.mkString("{", ",", "}"))
+        out.newLine()
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        JsonlCommitMessage(file.getAbsolutePath)
+      }
+
+      override def abort(): Unit = { out.close(); file.delete(); () }
+      override def close(): Unit = ()
+    }
+}
