@@ -45,6 +45,26 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: deterministic fixed-stride byte slices of the binary
+    * payload — the video frame-sample / audio chunking shape. Pure column
+    * work (substring on binary is byte-addressed, explode is narrow), so
+    * it stays in whole-stage codegen with no shuffle; a real decoder
+    * replaces the slice with a seek+decode at the same offsets. Payloads
+    * shorter than an offset yield empty frames (md5 of empty is still
+    * deterministic) so the output shape is uniform. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int,
+                   nFrames: Int): DataFrame = {
+    val frames = (0 until nFrames).map { i =>
+      struct(lit(i).as("frame_no"),
+        substring(col("payload"), 1 + i * frameSize, frameSize).as("frame"))
+    }
+    media.toDF()
+      .select(col("media_id"), explode(array(frames: _*)).as("f"))
+      .select(col("media_id"), col("f.frame_no").as("frame_no"),
+        length(col("f.frame")).cast("long").as("frame_bytes"),
+        md5(col("f.frame")).as("frame_md5"))
+  }
+
   /** Build a binary media table from the events props strings (the driver
     * data has no blob column; utf-8 bytes keep every derived feature
     * SQL-checkable from the string side). */

@@ -74,10 +74,46 @@ object ComposeOps {
       .select(col("k").as("event_type"), round(col("total"), 2).as("total_value"),
         col("cnt").as("n"))
 
+  /** Salted shuffle JOIN over a skewed key ([[graft.plans.Skew.saltedJoin]]):
+    * orders⋈customer with the customer side replicated over 8 salts —
+    * row-identical to the plain join (the oracle computes the plain form),
+    * aggregated per segment to keep the checked output small. */
+  def q73SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = Skew.saltedJoin(
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice")),
+      Tables.customer(s, dir).select(col("c_custkey").as("k"), col("c_mktsegment")),
+      "k", col("o_orderkey"), salts = 8)
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** Explicit GROUPING SETS (beyond cube/rollup): per-priority totals,
+    * per-status totals, and the grand total in one pass. */
+  def q74GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM orders_gs
+             GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+  }
+
+  /** Multimodal frame sampling ([[graft.multimodal.Multimodal.sampleFrames]]):
+    * fixed-stride byte slices of the binary payload with per-frame size +
+    * checksum — the frame-sample/chunking plumbing with a deterministic
+    * stand-in for the decoder. */
+  def q75FrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.mediaFromEvents(s, dir),
+      frameSize = 4, nFrames = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_career_render"  -> q52CareerRender _,
     "q53_double_optional" -> q53DoubleOptional _,
-    "q54_salted_agg"     -> q54SaltedAgg _
+    "q54_salted_agg"     -> q54SaltedAgg _,
+    "q73_salted_join"    -> q73SaltedJoin _,
+    "q74_grouping_sets"  -> q74GroupingSets _,
+    "q75_frame_sample"   -> q75FrameSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +145,23 @@ object ComposeOps {
          LEFT JOIN (SELECT entity, label FROM labels WHERE lang='en') en ON node = en.entity""",
     "q54_salted_agg" ->
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q73_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q74_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+    "q75_frame_sample" ->
+      """WITH f AS (SELECT event_id AS media_id, i AS frame_no,
+                    substr(props, 1 + i*4, 4) AS frame
+               FROM events, range(0, 3) t(i))
+         SELECT media_id, frame_no,
+                CAST(length(frame) AS BIGINT) AS frame_bytes,
+                md5(frame) AS frame_md5
+         FROM f"""
   )
 }

@@ -25,4 +25,20 @@ object Skew {
       .agg(sum(value).as("s"), count(lit(1)).as("c"))
       .groupBy(col("k"))
       .agg(sum(col("s")).as("total"), sum(col("c")).cast("long").as("cnt"))
+
+  /** Salted shuffle join: the manual fix for join skew when the small side
+    * is too big to broadcast and one probe key floods a partition. The big
+    * side gets a deterministic salt; the small side replicates `salts`
+    * ways (explode of a literal range — `salts`× its size, which is the
+    * price of spreading the hot key over `salts` reducers). Result is
+    * row-identical to the plain equi-join. AQE's skew-join split covers
+    * most cases at runtime; this is the static form for when the skew is
+    * known and extreme (rdf:type-shaped keys at 100 TB). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFrom: Column, salts: Int): DataFrame = {
+    val b = big.withColumn("__salt", pmod(saltFrom, lit(salts)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }
