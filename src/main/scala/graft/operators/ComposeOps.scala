@@ -107,7 +107,35 @@ object ComposeOps {
       graft.multimodal.Multimodal.mediaFromEvents(s, dir),
       frameSize = 4, nFrames = 3)
 
+  /** Bucketed co-located join (§4.2 "triple-table physical layout"): both
+    * sides written bucketBy(8, key) + sortBy, then joined WITHOUT a shuffle
+    * exchange on either side — the layout-level answer for the recurring
+    * big-big join at 100 TB, where re-shuffling the fact table per query is
+    * the dominant cost. The write happens here only because the checked
+    * query must be self-contained; a deployment buckets once at ingest. */
+  def q76BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq("bq_orders", "bq_customer").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("bq_orders")
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("bq_customer")
+    s.table("bq_orders")
+      .join(s.table("bq_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_bucketed_join"  -> q76BucketedJoin _,
     "q52_career_render"  -> q52CareerRender _,
     "q53_double_optional" -> q53DoubleOptional _,
     "q54_salted_agg"     -> q54SaltedAgg _,
@@ -146,6 +174,10 @@ object ComposeOps {
     "q54_salted_agg" ->
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
          FROM events GROUP BY 1""",
+    "q76_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     "q73_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice),2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey

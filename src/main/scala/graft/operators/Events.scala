@@ -123,10 +123,31 @@ object Events {
         round(col("value"), 2).as("value"))
   }
 
+  /** Per-hour distinct-user KMV estimate — the oracle-checked batch twin of
+    * [[graft.streaming.StreamOps.hourlyDistinctUsers]] (same sketch, same
+    * estimator, windowed by event-time hour). Exact count alongside. */
+  def q77HourlyKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        graft.functions.BottomK.bottomK(md5(col("user_id").cast("string")), k).as("lows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        round(
+          when(size(col("lows")) < k, size(col("lows")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (expr(s"CAST(conv(substr(element_at(lows, $k), 1, 8), 16, 10) AS DOUBLE)")
+                / lit(4294967296.0))), 4).as("est_users"),
+        col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
     "q59_rollup"    -> q59Rollup _,
     "q70_attribution_batch" -> q70AttributionBatch _,
+    "q77_hourly_kmv" -> q77HourlyKmv _,
     "q28_incremental_watermark" -> q28IncrementalWatermark _,
     "q29_hourly_window"         -> q29HourlyWindow _,
     "q30_sessionize"            -> q30Sessionize _,
@@ -135,6 +156,21 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_hourly_kmv" ->
+      """WITH h AS (SELECT DISTINCT
+                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                    md5(CAST(user_id AS VARCHAR)) AS h
+               FROM events),
+         r AS (SELECT hour_start, h,
+                      row_number() OVER (PARTITION BY hour_start ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY hour_start) AS nd
+               FROM h)
+         SELECT hour_start,
+           round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                 ELSE 63.0 / (CAST(('0x'||substr(h,1,8)) AS BIGINT) / 4294967296.0)
+                 END, 4) AS est_users,
+           CAST(nd AS BIGINT) AS n_users
+         FROM r WHERE rn = least(nd, 64)""",
     "q70_attribution_batch" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
                     epoch_us(ts) AS click_us

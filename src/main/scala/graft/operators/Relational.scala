@@ -257,7 +257,18 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"days_since_prev", $"spend_quartile")
   }
 
+  /** J8's positive twin: left-semi join (EXISTS) — customers with at least
+    * one urgent order; the probe side never widens the output. */
+  def q78SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_semi_join"     -> q78SemiJoin _,
     "q62_cube"          -> q62Cube _,
     "q63_running_total" -> q63RunningTotal _,
     "q64_kmv_distinct"  -> q64KmvDistinct _,
@@ -280,6 +291,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')""",
     "q64_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT o_orderpriority AS pr,
                     md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
