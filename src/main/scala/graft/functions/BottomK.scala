@@ -39,4 +39,19 @@ object BottomK {
   def bottomK(c: Column, k: Int): Column =
     org.apache.spark.sql.functions.udaf(new BottomK(k), Encoders.STRING)
       .apply(c)
+
+  /** KMV (k-minimum-values) distinct-count estimate over a [[bottomK]]
+    * array of md5-hex values: exact (= array size) below k, else
+    * (k-1)/R_k with R_k = the k-th smallest hash mapped into [0,1) via its
+    * first 8 hex digits. One definition shared by every batch/streaming
+    * twin so the estimator can never drift between them (or their DuckDB
+    * oracles). Deterministic — unlike HLL++, oracle hash-matchable. */
+  def kmvEstimate(lows: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    round(
+      when(size(lows) < k, size(lows).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (conv(substring(element_at(lows, k), 1, 8), 16, 10).cast("double")
+            / lit(4294967296.0))), 4)
+  }
 }

@@ -135,11 +135,7 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        round(
-          when(size(col("lows")) < k, size(col("lows")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) /
-              (expr(s"CAST(conv(substr(element_at(lows, $k), 1, 8), 16, 10) AS DOUBLE)")
-                / lit(4294967296.0))), 4).as("est_users"),
+        graft.functions.BottomK.kmvEstimate(col("lows"), k).as("est_users"),
         col("n_users"))
   }
 

@@ -201,11 +201,7 @@ object Relational {
         graft.functions.BottomK.bottomK(md5($"o_custkey".cast("string")), k).as("lows"),
         countDistinct($"o_custkey").as("n_exact"))
       .select($"o_orderpriority",
-        round(
-          when(size($"lows") < k, size($"lows").cast("double"))
-            .otherwise(lit((k - 1).toDouble) /
-              (expr("CAST(conv(substr(element_at(lows, 64), 1, 8), 16, 10) AS DOUBLE)")
-                / lit(4294967296.0))), 4).as("est_distinct"),
+        graft.functions.BottomK.kmvEstimate($"lows", k).as("est_distinct"),
         $"n_exact")
   }
 

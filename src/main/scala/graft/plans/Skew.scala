@@ -36,9 +36,14 @@ object Skew {
     * known and extreme (rdf:type-shaped keys at 100 TB). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFrom: Column, salts: Int): DataFrame = {
-    val b = big.withColumn("__salt", pmod(saltFrom, lit(salts)).cast("int"))
-    val s = small.withColumn("__salt",
+    // A null saltFrom must still land on SOME salt (null == salt never
+    // matches, which would silently drop the row from the join); the
+    // column name is namespaced against caller columns.
+    val saltCol = "__graft_salt"
+    val b = big.withColumn(saltCol,
+      pmod(coalesce(saltFrom, lit(0)), lit(salts)).cast("int"))
+    val s = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, "__salt")).drop("__salt")
+    b.join(s, Seq(key, saltCol)).drop(saltCol)
   }
 }

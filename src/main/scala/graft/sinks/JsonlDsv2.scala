@@ -65,15 +65,21 @@ private class JsonlBatchWrite(path: String, schema: StructType) extends BatchWri
     }
   }
   private val staging = new File(path, "_staging")
+  // Per-write-job id in every part-file name: partitionId/taskId restart
+  // from 0 in a fresh application, so without this a later append would
+  // rename over a previous run's committed files.
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
-    new JsonlWriterFactory(staging.getAbsolutePath, schema)
+    new JsonlWriterFactory(staging.getAbsolutePath, schema, writeId)
   }
 
   /** Driver-side publish: staged part files rename into the table dir,
     * then _SUCCESS. Rename is atomic per file on a real FS; a cloud
-    * deployment swaps this for a manifest commit. */
+    * deployment swaps this for a manifest commit. Anything left in staging
+    * afterwards is garbage from dead task attempts (their abort() never
+    * ran) — deleted here so it cannot accumulate. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     messages.foreach { case JsonlCommitMessage(staged) =>
@@ -81,51 +87,78 @@ private class JsonlBatchWrite(path: String, schema: StructType) extends BatchWri
       if (!f.renameTo(new File(dir, f.getName)))
         throw new IllegalStateException(s"commit failed renaming $staged")
     }
-    staging.delete()
+    cleanupStaging()
     new File(dir, "_SUCCESS").createNewFile()
     ()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))
     staging.delete()
     ()
   }
 }
 
-private class JsonlWriterFactory(stagingPath: String, schema: StructType)
+private class JsonlWriterFactory(stagingPath: String, schema: StructType,
+                                 writeId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = new File(stagingPath, f"part-$partitionId%05d-$taskId.jsonl")
-      private val out = new java.io.BufferedWriter(new java.io.FileWriter(file))
+      private val file = new File(stagingPath,
+        f"part-$partitionId%05d-$taskId-$writeId.jsonl")
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+      // Hoisted out of the per-row loop: prefixes and field metadata.
+      private val fieldMeta: Array[(String, DataType)] =
+        schema.fields.map(f => ("\"" + f.name + "\":", f.dataType))
+      private val sb = new java.lang.StringBuilder(128)
 
-      private def jsonValue(row: InternalRow, i: Int, t: DataType): String = t match {
+      private def appendJsonValue(row: InternalRow, i: Int, t: DataType): Unit = t match {
         case StringType =>
           // minimal JSON string escaping for the document fields
           val s = row.getUTF8String(i).toString
-          "\"" + s.flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case '\n' => "\\n"
-            case '\r' => "\\r"
-            case '\t' => "\\t"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          } + "\""
-        case LongType => row.getLong(i).toString
-        case IntegerType => row.getInt(i).toString
-        case DoubleType => row.getDouble(i).toString
-        case BooleanType => row.getBoolean(i).toString
+          sb.append('"')
+          s.foreach {
+            case '"' => sb.append("\\\"")
+            case '\\' => sb.append("\\\\")
+            case '\n' => sb.append("\\n")
+            case '\r' => sb.append("\\r")
+            case '\t' => sb.append("\\t")
+            case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+            case c => sb.append(c)
+          }
+          sb.append('"')
+          ()
+        case LongType => sb.append(row.getLong(i)); ()
+        case IntegerType => sb.append(row.getInt(i)); ()
+        case DoubleType =>
+          // NaN/Infinity are not legal JSON numbers (RFC 8259) — a strict
+          // bulk-import consumer would reject the line. Emit null.
+          val d = row.getDouble(i)
+          if (java.lang.Double.isFinite(d)) sb.append(d) else sb.append("null")
+          ()
+        case BooleanType => sb.append(row.getBoolean(i)); ()
         case t => throw new IllegalStateException(s"unsupported $t")
       }
 
       override def write(row: InternalRow): Unit = {
-        val fields = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-          if (row.isNullAt(i)) None
-          else Some("\"" + f.name + "\":" + jsonValue(row, i, f.dataType))
+        sb.setLength(0)
+        sb.append('{')
+        var i = 0
+        var first = true
+        while (i < fieldMeta.length) {
+          if (!row.isNullAt(i)) {
+            if (!first) sb.append(',')
+            first = false
+            sb.append(fieldMeta(i)._1)
+            appendJsonValue(row, i, fieldMeta(i)._2)
+          }
+          i += 1
         }
-        out.write(fields.mkString("{", ",", "}"))
+        sb.append('}')
+        out.write(sb.toString)
         out.newLine()
       }
 

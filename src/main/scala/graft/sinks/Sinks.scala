@@ -49,8 +49,12 @@ object Sinks {
     *
     * The target must be partitioned by `partCol`; `source` must carry it
     * with non-null values (a null partition value would land in Hive's
-    * default partition and escape the isin prune). No concurrent-writer
-    * isolation — that is precisely what a table format's snapshot layer
+    * default partition and escape the isin prune). `partCol` must be a
+    * STABLE function of the key: a delta row that moves a key to a new
+    * partition value inserts there but cannot remove the old row (its
+    * partition was never read) — the caller must include the old partition
+    * value in the delta to migrate a key. No concurrent-writer isolation —
+    * both are precisely what a table format's snapshot + file-index layer
     * adds on top of this relational core.
     */
   def mergeCow(spark: SparkSession, targetPath: String, source: DataFrame,
@@ -70,8 +74,23 @@ object Sinks {
           // the partition count, not data size).
           val touched = source.select(col(partCol)).distinct()
             .collect().map(_.get(0)).toSeq
-          val current = spark.read.parquet(targetPath)
-            .filter(col(partCol).isin(touched: _*))
+          // Partition-column TYPE INFERENCE would re-type string partition
+          // values that look numeric ("01" → 1) and silently rewrite them
+          // on merge — read the raw string and cast to the SOURCE's type.
+          val prevInfer = spark.conf.getOption(
+            "spark.sql.sources.partitionColumnTypeInference.enabled")
+          spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+          val current =
+            try spark.read.parquet(targetPath)
+              .withColumn(partCol,
+                col(partCol).cast(source.schema(partCol).dataType))
+              .filter(col(partCol).isin(touched: _*))
+            finally prevInfer match {
+              case Some(v) => spark.conf.set(
+                "spark.sql.sources.partitionColumnTypeInference.enabled", v)
+              case None => spark.conf.unset(
+                "spark.sql.sources.partitionColumnTypeInference.enabled")
+            }
           // Materialize BEFORE the write: the merged plan reads the same
           // files the dynamic overwrite is about to replace — an eager
           // checkpoint cuts that lineage (a table format gets this for

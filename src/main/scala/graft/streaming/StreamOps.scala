@@ -136,11 +136,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(lows.as("lows"))
       .select(col("window.start").as("hour_start"),
-        round(
-          when(size(col("lows")) < k, size(col("lows")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) /
-              (expr(s"CAST(conv(substr(element_at(lows, $k), 1, 8), 16, 10) AS DOUBLE)")
-                / lit(4294967296.0))), 4).as("est_users"))
+        graft.functions.BottomK.kmvEstimate(col("lows"), k).as("est_users"))
   }
 
   /** Stream-static enrichment join: every micro-batch left-joins the static

@@ -31,11 +31,7 @@ class MergeKmvSpec extends SparkSpec {
     val k = 64
     val est = df.groupBy($"g")
       .agg(graft.functions.BottomK.bottomK(md5($"id".cast("string")), k).as("lows"))
-      .select(
-        when(size($"lows") < k, size($"lows").cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            (expr("CAST(conv(substr(element_at(lows, 64), 1, 8), 16, 10) AS DOUBLE)")
-              / lit(4294967296.0))).as("est"))
+      .select(graft.functions.BottomK.kmvEstimate($"lows", k).as("est"))
       .as[Double].head()
     assert(math.abs(est - 2000.0) / 2000.0 < 0.20, s"KMV estimate $est too far from 2000")
 
