@@ -43,14 +43,56 @@ object PipelineOps {
         max(col("payload")).as("max_payload"),
         sum(col("id")).as("id_sum"))
 
+  /** S4+P2 end-to-end: the GeoNames pipeline (TSV scan with the 19-column
+    * injected schema → document projection with url-template id, composed
+    * label, typed coordinates) oracle-checked. The TSV is synthesized
+    * driver-side from the nation table (25 rows — standing in for the
+    * unzip of the cities1000 dump, which is a driver-side fetch in the
+    * reference too, geonames_place_index.py:13-25); every derived value is
+    * recomputable from nation in the oracle. */
+  def q80GeonamesDocs(s: SparkSession, dir: String): DataFrame = {
+    import java.util.Locale
+    val rows = graft.Tables.nation(s, dir)
+      .selectExpr("CAST(n_nationkey AS LONG)", "n_name", "CAST(n_regionkey AS LONG)")
+      .collect()
+    val tsv = rows.map { r =>
+      val (key, name, region) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val lat = String.format(Locale.ROOT, "%.1f", Double.box(key - 10.5))
+      val lng = String.format(Locale.ROOT, "%.1f", Double.box(region * 30.0 + 0.5))
+      Seq(key.toString, name, name.toLowerCase(Locale.ROOT), "",
+        lat, lng, "P", s"PPL${key % 3}", s"R$region", "", "", "", "", "",
+        (key * 1000).toString, "", "", "UTC", "2026-01-01").mkString("\t")
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft-geonames")
+    java.nio.file.Files.write(path.resolve("nations.tsv"),
+      tsv.mkString("\n").getBytes("UTF-8"))
+    graft.sources.GeonamesTsv.toDocuments(
+      graft.sources.GeonamesTsv.read(s, path.toString))
+      .select(col("id"), col("label"), col("name"), col("country"),
+        col("feature_code"),
+        col("coordinates").getItem(0).as("lat"),
+        col("coordinates").getItem(1).as("lng"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_worklist_expand"     -> q44WorklistExpand _,
     "q45_multimodal_features" -> q45MultimodalFeatures _,
     "q46_person_index"        -> q46PersonIndex _,
-    "q72_paged_source"        -> q72PagedSource _
+    "q72_paged_source"        -> q72PagedSource _,
+    "q80_geonames_docs"       -> q80GeonamesDocs _
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_geonames_docs" ->
+      """SELECT 'https://sws.geonames.org/'||CAST(n_nationkey AS VARCHAR)||'/' AS id,
+                n_name||' (R'||CAST(n_regionkey AS VARCHAR)||') - PPL'
+                  ||CAST(n_nationkey % 3 AS VARCHAR) AS label,
+                lower(n_name) AS name,
+                'R'||CAST(n_regionkey AS VARCHAR) AS country,
+                'PPL'||CAST(n_nationkey % 3 AS VARCHAR) AS feature_code,
+                CAST(n_nationkey AS DOUBLE) - 10.5 AS lat,
+                CAST(n_regionkey AS DOUBLE) * 30.0 + 0.5 AS lng
+         FROM nation""",
     "q72_paged_source" ->
       """WITH g AS (SELECT p.page, r.i,
                     md5(CAST(p.page AS VARCHAR)||':'||CAST(r.i AS VARCHAR)) AS payload,

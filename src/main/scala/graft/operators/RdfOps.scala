@@ -137,7 +137,23 @@ object RdfOps {
       concat(lit("Point ( "), signed(lng), lit(" "), signed(lat), lit(" )")).as("o"))
   }
 
+  /** K3: N-Triples serialization through [[graft.sources.RdfIO.formatLine]]
+    * — every triple becomes one wire-format line (distributed map; the
+    * writer is a plain text sink over this). Literal objects, urn-wrapped
+    * subjects/predicates, empty graph → N-Triples form. */
+  def q79NquadFormat(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    TripleStore.triples(sp, dir)
+      .select(col("s"), col("p"), col("o")).as[(String, String, String)]
+      .map { case (s, p, o) =>
+        graft.sources.RdfIO.formatLine(graft.model.Quad(
+          "", s"urn:g/$s", s"urn:p/$p", o, oType = "literal"))
+      }
+      .toDF("line")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_nquad_format"     -> q79NquadFormat _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
     "q16_closure_reach"    -> q16ClosureReach _,
@@ -155,6 +171,10 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q79_nquad_format" ->
+      s"""WITH triples AS ($T)
+         SELECT '<urn:g/'||s||'> <urn:p/'||p||'> "'||o||'" .' AS line
+         FROM triples""",
     "q14_bgp_europe" ->
       s"""WITH triples AS ($T)
          SELECT ty.s AS c, lb.o AS name, na.o AS n
