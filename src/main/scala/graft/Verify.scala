@@ -18,10 +18,7 @@ object Verify {
     // Clear any previous run first: a stale result dir from an earlier run
     // would otherwise mask a query that crashes this run (check.py would
     // compare last run's output and pass).
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(outDir))
+    graft.util.Fs.deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

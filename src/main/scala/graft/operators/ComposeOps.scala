@@ -115,12 +115,9 @@ object ComposeOps {
     * query must be self-contained; a deployment buckets once at ingest. */
   def q76BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     Seq("bq_orders", "bq_customer").foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      rm(new java.io.File(wh, t))
+      graft.util.Fs.deleteRecursively(new java.io.File(wh, t))
     }
     Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -156,7 +156,8 @@ object Events {
       """WITH h AS (SELECT DISTINCT
                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                     md5(CAST(user_id AS VARCHAR)) AS h
-               FROM events),
+               FROM events
+               WHERE user_id IS NOT NULL),
          r AS (SELECT hour_start, h,
                       row_number() OVER (PARTITION BY hour_start ORDER BY h) AS rn,
                       count(*) OVER (PARTITION BY hour_start) AS nd

@@ -63,7 +63,12 @@ object PipelineOps {
         lat, lng, "P", s"PPL${key % 3}", s"R$region", "", "", "", "", "",
         (key * 1000).toString, "", "", "UTC", "2026-01-01").mkString("\t")
     }
-    val path = java.nio.file.Files.createTempDirectory("graft-geonames")
+    // Stable per-sfDir location, overwritten each call — repeated bench/
+    // profile invocations must not accumulate orphan temp dirs.
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-geonames-${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(path)
     java.nio.file.Files.write(path.resolve("nations.tsv"),
       tsv.mkString("\n").getBytes("UTF-8"))
     graft.sources.GeonamesTsv.toDocuments(

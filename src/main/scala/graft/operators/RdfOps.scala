@@ -172,8 +172,15 @@ object RdfOps {
 
   val oracles: Map[String, String] = Map(
     "q79_nquad_format" ->
+      // The escape chain mirrors RdfIO.escape (backslash first, then quote
+      // and control chars) so the pair cannot diverge if a literal ever
+      // carries one; today's triple objects are escape-free.
       s"""WITH triples AS ($T)
-         SELECT '<urn:g/'||s||'> <urn:p/'||p||'> "'||o||'" .' AS line
+         SELECT '<urn:g/'||s||'> <urn:p/'||p||'> "'||
+           replace(replace(replace(replace(replace(o,
+             '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+             chr(9), '\\t')
+           ||'" .' AS line
          FROM triples""",
     "q14_bgp_europe" ->
       s"""WITH triples AS ($T)

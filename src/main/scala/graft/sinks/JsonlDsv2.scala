@@ -77,9 +77,10 @@ private class JsonlBatchWrite(path: String, schema: StructType) extends BatchWri
 
   /** Driver-side publish: staged part files rename into the table dir,
     * then _SUCCESS. Rename is atomic per file on a real FS; a cloud
-    * deployment swaps this for a manifest commit. Anything left in staging
-    * afterwards is garbage from dead task attempts (their abort() never
-    * ran) — deleted here so it cannot accumulate. */
+    * deployment swaps this for a manifest commit. Leftovers carrying THIS
+    * job's writeId are garbage from dead task attempts (their abort()
+    * never ran) — deleted so they cannot accumulate; files from a
+    * CONCURRENT append job (different writeId) are left untouched. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     messages.foreach { case JsonlCommitMessage(staged) =>
@@ -95,7 +96,10 @@ private class JsonlBatchWrite(path: String, schema: StructType) extends BatchWri
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
 
   private def cleanupStaging(): Unit = {
-    Option(staging.listFiles()).foreach(_.foreach(_.delete()))
+    Option(staging.listFiles()).foreach(_.filter(_.getName.contains(s"-$writeId."))
+      .foreach(_.delete()))
+    // Removes the dir only when no other job is mid-write (delete on a
+    // non-empty directory is a no-op).
     staging.delete()
     ()
   }

@@ -74,23 +74,13 @@ object Sinks {
           // the partition count, not data size).
           val touched = source.select(col(partCol)).distinct()
             .collect().map(_.get(0)).toSeq
-          // Partition-column TYPE INFERENCE would re-type string partition
-          // values that look numeric ("01" → 1) and silently rewrite them
-          // on merge — read the raw string and cast to the SOURCE's type.
-          val prevInfer = spark.conf.getOption(
-            "spark.sql.sources.partitionColumnTypeInference.enabled")
-          spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-          val current =
-            try spark.read.parquet(targetPath)
-              .withColumn(partCol,
-                col(partCol).cast(source.schema(partCol).dataType))
-              .filter(col(partCol).isin(touched: _*))
-            finally prevInfer match {
-              case Some(v) => spark.conf.set(
-                "spark.sql.sources.partitionColumnTypeInference.enabled", v)
-              case None => spark.conf.unset(
-                "spark.sql.sources.partitionColumnTypeInference.enabled")
-            }
+          // Read with the SOURCE's schema: partition-column type inference
+          // would otherwise re-type numeric-looking string partition values
+          // ("01" → 1) and silently rewrite them on merge. An explicit
+          // schema sidesteps inference without touching session-global
+          // conf (which would race concurrent reads on the same session).
+          val current = spark.read.schema(source.schema).parquet(targetPath)
+            .filter(col(partCol).isin(touched: _*))
           // Materialize BEFORE the write: the merged plan reads the same
           // files the dynamic overwrite is about to replace — an eager
           // checkpoint cuts that lineage (a table format gets this for

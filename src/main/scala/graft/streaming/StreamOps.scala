@@ -171,12 +171,7 @@ object StreamOps {
         val tmp = storePath + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         val store = new java.io.File(storePath)
-        if (store.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(store)
-        }
+        if (store.exists()) graft.util.Fs.deleteRecursively(store)
         new java.io.File(tmp).renameTo(store)
         ()
       }
