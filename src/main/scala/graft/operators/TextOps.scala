@@ -217,7 +217,23 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(concat_ws(",", graft.functions.BottomK.bottomK(col("h"), 3)).as("sketch"))
 
+  /** The 100 TB drop-ins q61/q7 document: HLL++ distinct counts and
+    * t-digest quantiles — one pass, mergeable sketch state, no per-group
+    * sort. Deliberately has NO oracle entry (rows-only check): both
+    * algorithms are engine-specific by design, which is exactly why the
+    * oracle-checked exact twins (q61, q64) exist alongside. Estimates are
+    * asserted against exacts in the spec instead. */
+  def q81ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("text")).as("approx_texts"),
+        countDistinct(col("text")).as("exact_texts"),
+        round(expr("approx_percentile(n_chars, 0.5)").cast("double"), 1).as("approx_p50"),
+        round(expr("percentile(n_chars, 0.5)"), 1).as("exact_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_approx_stats"   -> q81ApproxStats _,
     "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,

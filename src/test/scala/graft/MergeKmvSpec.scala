@@ -74,6 +74,18 @@ class MergeKmvSpec extends SparkSpec {
     assert(out == Seq((1L, "a", "v1x"), (3L, "b", "v3")))
   }
 
+  test("approx sketch stats stay within tolerance of their exact twins") {
+    val rows = graft.operators.TextOps.q81ApproxStats(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, approxN, exactN, approxP50, exactP50) =>
+      assert(math.abs(approxN - exactN).toDouble / exactN < 0.1,
+        s"$lang: HLL estimate $approxN too far from $exactN")
+      assert(math.abs(approxP50 - exactP50) / exactP50 < 0.1,
+        s"$lang: approx p50 $approxP50 too far from $exactP50")
+    }
+  }
+
   test("pivot with explicit values matches conditional aggregation") {
     val df = Seq(("A", "F"), ("A", "F"), ("A", "O"), ("B", "O"))
       .toDF("flag", "status")
