@@ -129,6 +129,26 @@ class PropertySpec extends SparkSpec {
     assert(nullRow._1 == "0" * 16 && nullRow._2 == "0" * 16)
   }
 
+  test("saltedJoin is row-identical to the plain join, nulls included") {
+    val bigGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L),
+      Gen.option(Gen.choose(0L, 100L))))
+    val smallGen = Gen.listOfN(8, Gen.zip(Gen.choose(0L, 5L), Gen.alphaNumStr))
+    forAll(Gen.zip(bigGen, smallGen), n = 8) { case (bigRows, smallRows) =>
+      whenever(bigRows.nonEmpty && smallRows.nonEmpty) {
+        val big = bigRows.toDF("k", "salt_src") // salt source nullable!
+        val small = smallRows.toDF("k", "v")
+        val salted = graft.plans.Skew.saltedJoin(
+            big, small, "k", col("salt_src"), salts = 4)
+          .select($"k", $"salt_src", $"v")
+          .as[(Long, Option[Long], String)].collect().sorted.toSeq
+        val plain = big.join(small, Seq("k"))
+          .select($"k", $"salt_src", $"v")
+          .as[(Long, Option[Long], String)].collect().sorted.toSeq
+        assert(salted == plain)
+      }
+    }
+  }
+
   test("BottomK merge is commutative, bounded, and sorted") {
     val agg = new BottomK(4)
     forAll(Gen.zip(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr))) {
