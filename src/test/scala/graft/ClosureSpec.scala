@@ -37,4 +37,20 @@ class ClosureSpec extends SparkSpec {
     val got = Closure.ancestorPairs(edges).as[(String, String)].collect().toSet
     assert(got == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
+
+  test("shuffle-join fallback (broadcastMaxRows=0) matches the broadcast path") {
+    // At test scale every frontier broadcasts by default, so force the
+    // else-branch: identical results must come from the shuffle-join plan.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("e", "a")).toDF("src", "dst")
+    val seeds = Seq("d").toDF("node")
+    val broadcast = Closure.reachingTo(edges, seeds).as[String].collect().toSet
+    val shuffled = Closure.reachingTo(edges, seeds, broadcastMaxRows = 0L)
+      .as[String].collect().toSet
+    assert(shuffled == broadcast && shuffled == Set("a", "b", "c", "d", "e"))
+    val pairsB = Closure.ancestorPairs(edges).as[(String, String)].collect().toSet
+    val pairsS = Closure.ancestorPairs(edges, broadcastMaxRows = 0L)
+      .as[(String, String)].collect().toSet
+    assert(pairsS == pairsB)
+  }
 }
