@@ -32,6 +32,23 @@ class PagedDsv2Spec extends SparkSpec {
       .digest("0:0".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("micro-batch stream delivers one page per trigger, all rows once") {
+    val query = spark.readStream.format("graft.sources.PagedSourceProvider")
+      .option("pages", 4).option("pageSize", 25).load()
+      .writeStream.format("memory").queryName("paged_stream")
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("paged_stream")
+    assert(rows.count() == 100)
+    assert(rows.select("id").distinct().count() == 100)
+    // one page per micro-batch
+    val perBatch = query.recentProgress.filter(_.numInputRows > 0)
+      .map(_.numInputRows).toSeq
+    assert(perBatch.length == 4 && perBatch.forall(_ == 25),
+      s"expected 4 batches of 25 rows, got $perBatch")
+  }
+
   test("aggregation over the source distributes per page") {
     val agg = read(4, 100).groupBy($"page").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().toMap
