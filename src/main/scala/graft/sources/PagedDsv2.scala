@@ -98,6 +98,13 @@ private class PagedMicroBatchStream(pages: Int, pageSize: Int)
 
   private var cursor = 0
 
+  // A restarted stream constructs a FRESH instance (cursor = 0) but the
+  // engine replays checkpointed offsets through deserializeOffset /
+  // planInputPartitions / commit — sync the cursor from every offset we
+  // see so latestOffset can never regress behind the committed page and
+  // re-deliver it.
+  private def sync(page: Int): Unit = { cursor = math.max(cursor, page); () }
+
   override def initialOffset(): Offset = PageOffset(0)
 
   override def latestOffset(): Offset = {
@@ -105,18 +112,22 @@ private class PagedMicroBatchStream(pages: Int, pageSize: Int)
     PageOffset(cursor)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    PageOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val p = json.trim.toInt
+    sync(p)
+    PageOffset(p)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
+    sync(e)
     (s until e).map(p => PagePartition(p, pageSize): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = sync(end.asInstanceOf[PageOffset].page)
   override def stop(): Unit = ()
 }
 

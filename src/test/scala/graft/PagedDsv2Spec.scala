@@ -49,6 +49,30 @@ class PagedDsv2Spec extends SparkSpec {
       s"expected 4 batches of 25 rows, got $perBatch")
   }
 
+  test("micro-batch stream restart loses no pages and replays only uncommitted ranges") {
+    val ckpt = new java.io.File("target/tmp/paged-ckpt-" + System.nanoTime()).getAbsolutePath
+    val out = new java.io.File("target/tmp/paged-out-" + System.nanoTime()).getAbsolutePath
+    def start() = spark.readStream.format("graft.sources.PagedSourceProvider")
+      .option("pages", 4).option("pageSize", 10).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // A stop() can tear between the offset log and the commit log; on
+    // restart the engine re-runs the uncommitted tail — the standard
+    // at-least-once source contract (Kafka-style). The source must resume
+    // from checkpointed offsets (cursor sync), never regress to page 0 and
+    // never lose a page; exactly-once on top is the sink's batch-id dedup.
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+    // No loss: every one of the 40 ids is present.
+    assert(rows.select("id").distinct().count() == 40)
+    // Bounded re-delivery: at most one extra copy of the replayed tail,
+    // never a full from-zero re-read of all pages twice.
+    val n = rows.count()
+    assert(n >= 40 && n < 80, s"expected [40, 80) rows, got $n")
+  }
+
   test("aggregation over the source distributes per page") {
     val agg = read(4, 100).groupBy($"page").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().toMap
