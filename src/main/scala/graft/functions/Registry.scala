@@ -70,18 +70,22 @@ object Registry {
       when(country.isNotNull, concat(lit(" ("), country, lit(")"))).otherwise(lit("")),
       when(featureCode.isNotNull, concat(lit(" - "), featureCode)).otherwise(lit("")))
 
-  /** P9 `label_creator_organization` (wikidata_index.py:53-69):
-    * "name (inception - dissolvement): description" — a date participates
-    * only when longer than 4 chars; parens stay balanced. */
+  /** P9 `label_creator_organization` (wikidata_index.py:53-69 /
+    * get_data_apis_vanilla.py:271-287): the reference builds the label by
+    * sequential append — `" (" + inception` when len > 4, then
+    * `" - "` (if a "(" is already in the label, else `"( - "`) +
+    * dissolvement + ")", then a `"-)"` fixup when a "(" was left unclosed.
+    * Replicated step-for-step, including the contains-checks on the
+    * accumulated label (not just the date flags), so a name containing
+    * parens behaves identically. */
   def labelOrganization(name: Column, inception: Column, dissolved: Column, desc: Column): Column = {
-    val iOk = length(inception) > 4
-    val dOk = length(dissolved) > 4
-    val dates = when(iOk && dOk, concat(lit(" ("), inception, lit(" - "), dissolved, lit(")")))
-      .when(iOk, concat(lit(" ("), inception, lit(" - )")))
-      .when(dOk, concat(lit(" ( - "), dissolved, lit(")")))
-      .otherwise(lit(""))
-    val d = when(desc.isNotNull, concat(lit(": "), desc)).otherwise(lit(""))
-    concat(name, dates, d)
+    val iOk = inception.isNotNull && length(inception) > 4
+    val dOk = dissolved.isNotNull && length(dissolved) > 4
+    val l1 = when(iOk, concat(name, lit(" ("), inception)).otherwise(name)
+    val sep = when(l1.contains("("), lit(" - ")).otherwise(lit("( - "))
+    val l2 = when(dOk, concat(l1, sep, dissolved, lit(")"))).otherwise(l1)
+    val l3 = when(l2.contains("(") && !l2.contains(")"), concat(l2, lit("-)"))).otherwise(l2)
+    when(desc.isNotNull, concat(l3, lit(": "), desc)).otherwise(l3)
   }
 
   /** Tail-of-URI id normalization (wikidata_index.py:199-201):

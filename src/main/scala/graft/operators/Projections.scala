@@ -86,12 +86,35 @@ object Projections {
       Registry.geopointLng(wkt).as("lng"))
   }
 
+  /** P9: organization-label synthesis (wikidata_index.py:53-69) — the
+    * len>4 date gate and paren-balance fixup, driven through every branch:
+    * custkey%3==0 rows get a 4-char (gated-out) inception, cnt∈(3,5] rows a
+    * 4-char dissolvement, custkey%7==0 rows a null description. */
+  def q83OrgLabels(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val span = o.groupBy(col("o_custkey")).agg(
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_d"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_d"),
+      count(lit(1)).as("cnt"))
+    val inception = when(pmod(c("c_custkey"), lit(3)) === 0,
+      substring(col("first_d"), 1, 4)).otherwise(col("first_d"))
+    val dissolved = when(col("cnt") > 5, col("last_d"))
+      .when(col("cnt") > 3, substring(col("last_d"), 1, 4))
+    val desc = when(pmod(c("c_custkey"), lit(7)) === 0, lit(null: String))
+      .otherwise(c("c_mktsegment"))
+    c.join(span, c("c_custkey") === span("o_custkey"), "left_outer")
+      .select(c("c_custkey"),
+        Registry.labelOrganization(c("c_name"), inception, dissolved, desc).as("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_doc_projection"  -> q23DocProjection _,
     "q24_date_postproc"   -> q24DatePostprocessing _,
     "q25_feature_code"    -> q25FeatureCodePick _,
     "q26_person_labels"   -> q26PersonLabels _,
-    "q27_geopoint"        -> q27Geopoint _
+    "q27_geopoint"        -> q27Geopoint _,
+    "q83_org_labels"      -> q83OrgLabels _
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +167,33 @@ object Projections {
          SELECT s_suppkey, wkt,
            TRY_CAST(regexp_extract(wkt, '^Point \(([-+0-9.]+) ([-+0-9.]+)\)', 2) AS DOUBLE) AS lat,
            TRY_CAST(regexp_extract(wkt, '^Point \(([-+0-9.]+) ([-+0-9.]+)\)', 1) AS DOUBLE) AS lng
-         FROM w"""
+         FROM w""",
+    "q83_org_labels" ->
+      """WITH span AS (
+           SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m-%d') AS first_d,
+                  strftime(max(o_orderdate), '%Y-%m-%d') AS last_d, count(*) AS cnt
+           FROM orders GROUP BY 1),
+         base AS (
+           SELECT c_custkey, c_name AS name,
+                  CASE WHEN c_custkey % 3 = 0 THEN substr(first_d, 1, 4) ELSE first_d END AS inception,
+                  CASE WHEN cnt > 5 THEN last_d WHEN cnt > 3 THEN substr(last_d, 1, 4) END AS dissolved,
+                  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS descr
+           FROM customer LEFT JOIN span ON c_custkey = o_custkey),
+         s1 AS (
+           SELECT *, CASE WHEN inception IS NOT NULL AND length(inception) > 4
+                          THEN name||' ('||inception ELSE name END AS lab1
+           FROM base),
+         s2 AS (
+           SELECT *, CASE WHEN dissolved IS NOT NULL AND length(dissolved) > 4
+                          THEN lab1||(CASE WHEN contains(lab1, '(') THEN ' - ' ELSE '( - ' END)||dissolved||')'
+                          ELSE lab1 END AS lab2
+           FROM s1),
+         s3 AS (
+           SELECT *, CASE WHEN contains(lab2, '(') AND NOT contains(lab2, ')')
+                          THEN lab2||'-)' ELSE lab2 END AS lab3
+           FROM s2)
+         SELECT c_custkey,
+                CASE WHEN descr IS NOT NULL THEN lab3||': '||descr ELSE lab3 END AS label
+         FROM s3"""
   )
 }

@@ -94,12 +94,150 @@ object RenderOps {
       .limit(100)
   }
 
+  /** G5: person-role render with the parent-present/absent branches
+    * (get_data_apis_vanilla.py:274-319): every role gets a label triple;
+    * roles with a parent push the parent id onto the vocab worklist
+    * (deduplicated, mirroring the `not in g` guard on glob_list_vocabs);
+    * roles without a parent are typed bioc:Actor_Role instead. Role
+    * universe = distinct role ids observed in the relation stream; parent
+    * presence derived deterministically (rid >= 20 → parent rid%5). */
+  def q84RoleHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val roles = o.select(pmod(col("o_orderkey"), lit(40)).cast("int").as("rid")).distinct()
+    val role = concat(lit("personrole."), col("rid").cast("string"))
+    val labels = roles.select(role.as("s"), lit("label").as("p"),
+      concat(lit("role_"), col("rid").cast("string")).as("o"))
+    val pushes = roles.filter(col("rid") >= 20)
+      .select(lit("worklist.personrole").as("s"), lit("push").as("p"),
+        concat(lit("personrole."), pmod(col("rid"), lit(5)).cast("string")).as("o"))
+      .distinct()
+    val actorType = roles.filter(col("rid") < 20)
+      .select(role.as("s"), lit("type").as("p"), lit("Actor_Role").as("o"))
+    labels.unionByName(pushes).unionByName(actorType)
+  }
+
+  /** G7: organization render gated on `len(date_written) >= 4`
+    * (get_data_apis_vanilla.py:699-779): six unconditional proxy/appellation
+    * triples per org; a beginning-of-existence node only when the written
+    * start date is non-null AND >= 4 chars (custkey%4==1 rows carry a 3-char
+    * date that fails the gate, %4==0 rows a null); the P4 time-span link
+    * additionally requires the parsed date (absent on custkey%6==0). End of
+    * existence mirrors with its own gate (custkey%5). */
+  def q85OrgRender(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val span = o.groupBy(col("o_custkey")).agg(
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_d"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_d"))
+    val id = c("c_custkey").cast("string")
+    val base = c.join(span, c("c_custkey") === span("o_custkey"), "left_outer")
+      .select(id.as("id"), c("c_name").as("name"),
+        when(pmod(c("c_custkey"), lit(4)) === 0, lit(null: String))
+          .when(pmod(c("c_custkey"), lit(4)) === 1, substring(col("first_d"), 1, 3))
+          .otherwise(col("first_d")).as("start_written"),
+        when(pmod(c("c_custkey"), lit(5)) === 0, lit(null: String))
+          .when(pmod(c("c_custkey"), lit(5)) === 1, substring(col("last_d"), 1, 2))
+          .otherwise(col("last_d")).as("end_written"),
+        (pmod(c("c_custkey"), lit(6)) =!= 0).as("has_parsed"))
+    val org = concat(lit("groupproxy."), col("id"))
+    val app = concat(lit("groupappellation."), col("id"))
+    val gStart = col("start_written").isNotNull && length(col("start_written")) >= 4
+    val gEnd = col("end_written").isNotNull && length(col("end_written")) >= 4
+    Seq(
+      base.select(org.as("s"), lit("type").as("p"), lit("E74_Group").as("o")),
+      base.select(org.as("s"), lit("type").as("p"), lit("Group").as("o")),
+      base.select(org.as("s"), lit("sameAs").as("p"),
+        concat(lit("http://base/entity/"), col("id")).as("o")),
+      base.select(org.as("s"), lit("P1_is_identified_by").as("p"), app.as("o")),
+      base.select(app.as("s"), lit("label").as("p"), col("name").as("o")),
+      base.select(app.as("s"), lit("type").as("p"),
+        lit("E33_E41_Linguistic_Appellation").as("o")),
+      base.filter(gStart).select(concat(lit("groupstart."), col("id")).as("s"),
+        lit("type").as("p"), lit("E63_Beginning_of_Existence").as("o")),
+      base.filter(gStart).select(concat(lit("groupstart."), col("id")).as("s"),
+        lit("P92_brought_into_existence").as("p"), org.as("o")),
+      base.filter(gStart && col("has_parsed"))
+        .select(concat(lit("groupstart."), col("id")).as("s"),
+          lit("P4_has_time-span").as("p"),
+          concat(lit("groupstart.timespan."), col("id")).as("o")),
+      base.filter(gEnd).select(concat(lit("groupend."), col("id")).as("s"),
+        lit("type").as("p"), lit("E64_End_of_Existence").as("o")),
+      base.filter(gEnd).select(concat(lit("groupend."), col("id")).as("s"),
+        lit("P93_took_out_of_existence").as("p"), org.as("o")),
+      base.filter(gEnd && col("has_parsed"))
+        .select(concat(lit("groupend."), col("id")).as("s"),
+          lit("P4_has_time-span").as("p"),
+          concat(lit("groupend.timespan."), col("id")).as("o"))
+    ).reduce(_ unionByName _)
+  }
+
+  /** G8: organization-place relation (get_data_apis_vanilla.py:677-696):
+    * every relation emits the P74 residence triple; places not already in
+    * the graph are pushed onto the place worklist exactly once (the `not in
+    * g and not in glob_list_entities` guard → distinct). "Already rendered"
+    * stand-in: place ids < 10. */
+  def q88OrgplaceRelation(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rel = o.select(
+      concat(lit("groupproxy."), col("o_custkey").cast("string")).as("org"),
+      pmod(col("o_orderkey"), lit(25)).cast("int").as("pid"))
+    val residence = rel.select(col("org").as("s"),
+      lit("P74_has_current_or_former_residence").as("p"),
+      concat(lit("place."), col("pid").cast("string")).as("o"))
+    val pushes = rel.filter(col("pid") >= 10)
+      .select(lit("worklist.place").as("s"), lit("push").as("p"),
+        concat(lit("place."), col("pid").cast("string")).as("o"))
+      .distinct()
+    residence.unionByName(pushes)
+  }
+
+  /** G9: event render (get_data_apis_vanilla.py:782-831): per event an
+    * event-role node inhering in the person proxy, typed by a role type that
+    * is itself subClassOf bioc:Event_Role (role-type triples deduplicated —
+    * rdflib Graph.add is idempotent), the E5 typing, a composite
+    * person+relation+place label, and a P4 time-span link only when the
+    * start date is present (absent on orderkey%3==0). */
+  def q89EventRender(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val base = o.select(col("o_orderkey").cast("string").as("id"),
+      concat(lit("personproxy.C"), col("o_custkey").cast("string")).as("person"),
+      concat(lit("C"), col("o_custkey").cast("string")).as("personLabel"),
+      concat(lit("N"), pmod(col("o_orderkey"), lit(25)).cast("string")).as("placeLabel"),
+      concat(lit("role."), pmod(col("o_orderkey"), lit(7)).cast("string")).as("roletype"),
+      concat(lit("rel_"), pmod(col("o_orderkey"), lit(7)).cast("string")).as("relLabel"),
+      (pmod(col("o_orderkey"), lit(3)) =!= 0).as("has_start"))
+    val eventRole = concat(lit("personplace.eventrole."), col("id"))
+    val event = concat(lit("event."), col("id"))
+    val roleTypes = base.select(col("roletype"), col("relLabel")).distinct()
+    Seq(
+      base.select(eventRole.as("s"), lit("inheres_in").as("p"), col("person").as("o")),
+      base.select(eventRole.as("s"), lit("type").as("p"), col("roletype").as("o")),
+      roleTypes.select(col("roletype").as("s"), lit("subClassOf").as("p"),
+        lit("Event_Role").as("o")),
+      roleTypes.select(col("roletype").as("s"), lit("label").as("p"),
+        col("relLabel").as("o")),
+      base.select(event.as("s"), lit("had_participant_in_role").as("p"), eventRole.as("o")),
+      base.select(event.as("s"), lit("type").as("p"), lit("E5_Event").as("o")),
+      base.select(eventRole.as("s"), lit("label").as("p"), col("relLabel").as("o")),
+      base.select(event.as("s"), lit("label").as("p"),
+        concat(col("personLabel"), lit(" "), col("relLabel"), lit(" "),
+          col("placeLabel")).as("o")),
+      base.filter(col("has_start")).select(event.as("s"),
+        lit("P4_has_time-span").as("p"),
+        concat(lit("personplace.timespan."), col("id")).as("o"))
+    ).reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_relation_render" -> q47RelationRender _,
     "q48_family_relation" -> q48FamilyRelation _,
     "q49_count_derivation" -> q49CountDerivation _,
     "q50_blank_node"      -> q50BlankNode _,
-    "q51_max_objects"     -> q51MaxObjects _
+    "q51_max_objects"     -> q51MaxObjects _,
+    "q84_role_hierarchy"  -> q84RoleHierarchy _,
+    "q85_org_render"      -> q85OrgRender _,
+    "q88_orgplace_relation" -> q88OrgplaceRelation _,
+    "q89_event_render"    -> q89EventRender _
   )
 
   private val T = TripleStore.triplesSql
@@ -142,6 +280,77 @@ object RenderOps {
          FROM targets""",
     "q51_max_objects" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
-         ORDER BY o_orderkey LIMIT 100"""
+         ORDER BY o_orderkey LIMIT 100""",
+    "q84_role_hierarchy" ->
+      """WITH roles AS (SELECT DISTINCT o_orderkey % 40 AS rid FROM orders)
+         SELECT 'personrole.'||CAST(rid AS VARCHAR) AS s, 'label' AS p,
+                'role_'||CAST(rid AS VARCHAR) AS o FROM roles
+         UNION ALL
+         SELECT DISTINCT 'worklist.personrole', 'push',
+                'personrole.'||CAST(rid % 5 AS VARCHAR) FROM roles WHERE rid >= 20
+         UNION ALL
+         SELECT 'personrole.'||CAST(rid AS VARCHAR), 'type', 'Actor_Role'
+         FROM roles WHERE rid < 20""",
+    "q85_org_render" ->
+      """WITH span AS (
+           SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m-%d') AS first_d,
+                  strftime(max(o_orderdate), '%Y-%m-%d') AS last_d
+           FROM orders GROUP BY 1),
+         base AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
+                  CASE WHEN c_custkey % 4 = 0 THEN NULL
+                       WHEN c_custkey % 4 = 1 THEN substr(first_d, 1, 3)
+                       ELSE first_d END AS start_written,
+                  CASE WHEN c_custkey % 5 = 0 THEN NULL
+                       WHEN c_custkey % 5 = 1 THEN substr(last_d, 1, 2)
+                       ELSE last_d END AS end_written,
+                  c_custkey % 6 <> 0 AS has_parsed
+           FROM customer LEFT JOIN span ON c_custkey = o_custkey),
+         g AS (
+           SELECT *,
+                  start_written IS NOT NULL AND length(start_written) >= 4 AS g_start,
+                  end_written IS NOT NULL AND length(end_written) >= 4 AS g_end,
+                  'groupproxy.'||id AS org, 'groupappellation.'||id AS app
+           FROM base)
+         SELECT org AS s, 'type' AS p, 'E74_Group' AS o FROM g
+         UNION ALL SELECT org, 'type', 'Group' FROM g
+         UNION ALL SELECT org, 'sameAs', 'http://base/entity/'||id FROM g
+         UNION ALL SELECT org, 'P1_is_identified_by', app FROM g
+         UNION ALL SELECT app, 'label', name FROM g
+         UNION ALL SELECT app, 'type', 'E33_E41_Linguistic_Appellation' FROM g
+         UNION ALL SELECT 'groupstart.'||id, 'type', 'E63_Beginning_of_Existence' FROM g WHERE g_start
+         UNION ALL SELECT 'groupstart.'||id, 'P92_brought_into_existence', org FROM g WHERE g_start
+         UNION ALL SELECT 'groupstart.'||id, 'P4_has_time-span', 'groupstart.timespan.'||id FROM g WHERE g_start AND has_parsed
+         UNION ALL SELECT 'groupend.'||id, 'type', 'E64_End_of_Existence' FROM g WHERE g_end
+         UNION ALL SELECT 'groupend.'||id, 'P93_took_out_of_existence', org FROM g WHERE g_end
+         UNION ALL SELECT 'groupend.'||id, 'P4_has_time-span', 'groupend.timespan.'||id FROM g WHERE g_end AND has_parsed""",
+    "q88_orgplace_relation" ->
+      """WITH rel AS (SELECT 'groupproxy.'||CAST(o_custkey AS VARCHAR) AS org,
+                             o_orderkey % 25 AS pid FROM orders)
+         SELECT org AS s, 'P74_has_current_or_former_residence' AS p,
+                'place.'||CAST(pid AS VARCHAR) AS o FROM rel
+         UNION ALL
+         SELECT DISTINCT 'worklist.place', 'push', 'place.'||CAST(pid AS VARCHAR)
+         FROM rel WHERE pid >= 10""",
+    "q89_event_render" ->
+      """WITH base AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                  'personproxy.C'||CAST(o_custkey AS VARCHAR) AS person,
+                  'C'||CAST(o_custkey AS VARCHAR) AS person_label,
+                  'N'||CAST(o_orderkey % 25 AS VARCHAR) AS place_label,
+                  'role.'||CAST(o_orderkey % 7 AS VARCHAR) AS roletype,
+                  'rel_'||CAST(o_orderkey % 7 AS VARCHAR) AS rel_label,
+                  o_orderkey % 3 <> 0 AS has_start
+           FROM orders),
+         rt AS (SELECT DISTINCT roletype, rel_label FROM base)
+         SELECT 'personplace.eventrole.'||id AS s, 'inheres_in' AS p, person AS o FROM base
+         UNION ALL SELECT 'personplace.eventrole.'||id, 'type', roletype FROM base
+         UNION ALL SELECT roletype, 'subClassOf', 'Event_Role' FROM rt
+         UNION ALL SELECT roletype, 'label', rel_label FROM rt
+         UNION ALL SELECT 'event.'||id, 'had_participant_in_role', 'personplace.eventrole.'||id FROM base
+         UNION ALL SELECT 'event.'||id, 'type', 'E5_Event' FROM base
+         UNION ALL SELECT 'personplace.eventrole.'||id, 'label', rel_label FROM base
+         UNION ALL SELECT 'event.'||id, 'label', person_label||' '||rel_label||' '||place_label FROM base
+         UNION ALL SELECT 'event.'||id, 'P4_has_time-span', 'personplace.timespan.'||id FROM base WHERE has_start"""
   )
 }

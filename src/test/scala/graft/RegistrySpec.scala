@@ -54,7 +54,11 @@ class RegistrySpec extends SparkSpec {
         .select(l.as("r")).collect()(0).getString(0)
     assert(run("Org", "1903-01-01", "1990-12-31", "club") == "Org (1903-01-01 - 1990-12-31): club")
     assert(run("Org", "1903", null, null) == "Org") // len==4 → no date part
-    assert(run("Org", null, "1990-12-31", null) == "Org ( - 1990-12-31)")
+    // dissolvement-only: the reference appends "( - " with no leading space
+    assert(run("Org", null, "1990-12-31", null) == "Org( - 1990-12-31)")
+    // inception-only: unclosed "(" triggers the reference's "-)" fixup
+    assert(run("Org", "1903-01-01", null, null) == "Org (1903-01-01-)")
+    assert(run("Org", "1903-01-01", "1990", "c") == "Org (1903-01-01-): c")
   }
 
   test("id normalization takes the URI tail") {
