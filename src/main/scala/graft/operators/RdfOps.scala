@@ -152,8 +152,39 @@ object RdfOps {
       .toDF("line")
   }
 
+  /** S10 full-grammar round-trip: lift the triple view into a typed quad
+    * graph (labels → @de literals, everything else IRIs in the http://g/
+    * namespace), serialize each subject block as prefix-compacted Turtle
+    * with the writer's own formatter, parse it back with [[graft.sources.
+    * TurtleParser]], and project the parsed terms. The DuckDB oracle is the
+    * direct projection — a hash match proves format→parse is the identity
+    * on real data (prefixed names, literals, lang tags included). One
+    * shuffle (groupBy subject, the Turtle block unit); parse is a
+    * per-document flatMap, exactly the harvest topology
+    * (get_data_from_apis_instance.py:88-93). */
+  def q82TurtleRoundtrip(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val prefixes = Map("g" -> "http://g/", "gp" -> "http://g/p/")
+    val header = graft.sources.RdfIO.turtleHeader(prefixes)
+    val quads = TripleStore.triples(sp, dir)
+      .select(col("s"), col("p"), col("o")).as[(String, String, String)]
+      .map { case (s, p, o) =>
+        val isLit = p == "label" || p == "segment"
+        graft.model.Quad("", "http://g/" + s, "http://g/p/" + p,
+          if (isLit) o else "http://g/" + o,
+          if (isLit) "literal" else "iri",
+          if (p == "label") "de" else null, null)
+      }
+    val docs = quads.groupByKey(_.s)
+      .mapGroups((subj, qs) => graft.sources.RdfIO.turtleBlock(subj, qs.toSeq, prefixes))
+    docs.flatMap(doc => graft.sources.TurtleParser.parse(header + doc))
+      .select(col("s"), col("p"), col("o"),
+        col("oType").as("otype"), col("oLang").as("olang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_nquad_format"     -> q79NquadFormat _,
+    "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
     "q16_closure_reach"    -> q16ClosureReach _,
@@ -171,6 +202,13 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q82_turtle_roundtrip" ->
+      s"""WITH triples AS ($T)
+         SELECT 'http://g/'||s AS s, 'http://g/p/'||p AS p,
+                CASE WHEN p IN ('label','segment') THEN o ELSE 'http://g/'||o END AS o,
+                CASE WHEN p IN ('label','segment') THEN 'literal' ELSE 'iri' END AS otype,
+                CASE WHEN p = 'label' THEN 'de' END AS olang
+         FROM triples""",
     "q79_nquad_format" ->
       // The escape chain mirrors RdfIO.escape (backslash first, then quote
       // and control chars) so the pair cannot diverge if a literal ever

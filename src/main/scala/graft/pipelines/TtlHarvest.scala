@@ -14,8 +14,11 @@ object TtlHarvest {
   def run(spark: SparkSession, fetchPage: Long => Option[String],
           pageSize: Long, namedGraph: String, outPath: String): Dataset[Quad] = {
     val pages = PagedSource.drainPages(spark, fetchPage, pageSize)
-    // Parse distributed — one task per page chunk, no driver round-trip.
-    val quads = RdfIO.parseChunks(pages, namedGraph)
+    // Parse distributed — one full-Turtle parse task per page chunk, no
+    // driver round-trip (the reference's rdflib `format="turtle"` parse,
+    // get_data_from_apis_instance.py:88-93; N-Triples chunks are a Turtle
+    // subset, so both wire shapes land here).
+    val quads = RdfIO.parseTurtleChunks(pages, namedGraph)
     RdfIO.writeQuads(quads, outPath)
     quads
   }

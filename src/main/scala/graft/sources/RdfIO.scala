@@ -13,10 +13,11 @@ import graft.model.Quad
   * ingly parallel flatMap parse, splittable files); Turtle prefix binding is
   * a presentation concern handled by the writer's prefix table.
   *
-  * This parser covers the line-oriented subset the pipelines produce: IRI /
+  * `parseLine` covers the line-oriented N-Triples/N-Quads wire format: IRI /
   * blank-node subjects, IRI predicates, IRI / bnode / literal objects with
-  * optional `@lang` or `^^<datatype>`. Full Turtle (multi-line, prefixed
-  * names, collections) would need a real grammar — out of pipeline scope.
+  * optional `@lang` or `^^<datatype>`. Full Turtle (prefixes, `;`/`,`
+  * continuation, multi-line literals, collections) is handled per-document
+  * by [[TurtleParser]] — see `parseTurtle` / `readTurtle` below.
   */
 object RdfIO {
 
@@ -107,6 +108,36 @@ object RdfIO {
     parseChunks(spark.createDataset(chunks), namedGraph)
   }
 
+  /** S10 (full grammar): parse one Turtle document (see [[TurtleParser]]).
+    * The reference feeds each fetched chunk to rdflib's turtle parser
+    * (get_data_from_apis_instance.py:78-94). */
+  def parseTurtle(doc: String, namedGraph: String = ""): Seq[Quad] =
+    TurtleParser.parse(doc, namedGraph)
+
+  /** S10 distributed: one parse task per Turtle chunk — Turtle is not
+    * line-splittable (statements span lines, prefix bindings are
+    * document-scoped), so the chunk is the parallel unit, exactly the
+    * reference's chunk-at-a-time `g.parse(data=chunk, format="turtle")`
+    * loop (get_data_from_apis_instance.py:88-93). Anonymous-bnode labels
+    * are seeded from a content hash so chunks can never collide. */
+  def parseTurtleChunks(chunks: Dataset[String], namedGraph: String): Dataset[Quad] = {
+    import chunks.sparkSession.implicits._
+    chunks.flatMap(doc => TurtleParser.parse(doc, namedGraph))
+  }
+
+  /** Read back a `writeTurtle` layout (or any directory of Turtle bodies
+    * sharing one prefix header). The header is tiny (bounded by the prefix
+    * table, not the data) so collecting it driver-side is scale-safe; the
+    * bodies parse one task per file via wholetext. */
+  def readTurtle(spark: SparkSession, path: String,
+                 defaultGraph: String = ""): Dataset[Quad] = {
+    import spark.implicits._
+    val header = spark.read.textFile(s"$path/_prefixes").collect().mkString("\n")
+    spark.read.option("wholetext", "true").textFile(s"$path/body")
+      .filter(_.nonEmpty)
+      .flatMap(body => TurtleParser.parse(header + "\n" + body, defaultGraph))
+  }
+
   /** K3: quads → N-Quads text files. D4 set semantics (rdflib Graph.add is
     * idempotent) via dropDuplicates before the sink. */
   def writeQuads(quads: Dataset[Quad], path: String): Unit = {
@@ -125,11 +156,50 @@ object RdfIO {
     "owl" -> "http://www.w3.org/2002/07/owl#",
     "crm" -> "http://www.cidoc-crm.org/cidoc-crm/")
 
+  /** PN_LOCAL rendering: letters/digits/'_'/':' pass through; '.'/'-' pass
+    * mid-name; every other escapable special gets a backslash; anything the
+    * grammar can't express at all (spaces etc.) rejects the compaction so
+    * the writer falls back to `<iri>` — output stays parseable Turtle. */
+  private def pnLocal(local: String): Option[String] = {
+    val escapable = "~.!$&'()*+,;=/?#@%-_".toSet
+    val direct = (c: Char) => c.isLetterOrDigit || c == '_' || c == ':'
+    if (local.isEmpty || !local.forall(c => direct(c) || escapable(c))) None
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < local.length) {
+        val c = local.charAt(i)
+        val soft = c == '.' || c == '-' // legal unescaped only mid-name
+        if (!direct(c) && (!soft || i == 0 || i == local.length - 1)) sb.append('\\')
+        sb.append(c)
+        i += 1
+      }
+      Some(sb.toString)
+    }
+  }
+
   private def compact(iri: String, prefixes: Map[String, String]): String =
-    prefixes.collectFirst {
-      case (p, ns) if iri.startsWith(ns) && iri.length > ns.length =>
-        s"$p:${iri.substring(ns.length)}"
-    }.getOrElse(s"<$iri>")
+    prefixes.iterator.flatMap { case (p, ns) =>
+      if (iri.startsWith(ns) && iri.length > ns.length)
+        pnLocal(iri.substring(ns.length)).map(l => s"$p:$l")
+      else None
+    }.nextOption().getOrElse(s"<$iri>")
+
+  /** One subject's Turtle block: `subj p1 o1 ;\n    p2 o2 .` — shared by
+    * the writer and the q82 round-trip query. */
+  private[graft] def turtleBlock(s: String, qs: Seq[Quad],
+                                 prefixes: Map[String, String]): String = {
+    val subj = if (s.startsWith("_:")) s else compact(s, prefixes)
+    val po = qs.sortBy(q => (q.p, q.o))
+      .map(q => s"${compact(q.p, prefixes)} ${turtleObject(q, prefixes)}")
+      .mkString(" ;\n    ")
+    s"$subj $po ."
+  }
+
+  /** The matching prefix header for [[turtleBlock]] bodies. */
+  private[graft] def turtleHeader(prefixes: Map[String, String]): String =
+    prefixes.toSeq.sorted
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("", "\n", "\n")
 
   private def turtleObject(q: Quad, prefixes: Map[String, String]): String =
     q.oType match {
@@ -152,18 +222,11 @@ object RdfIO {
                   prefixes: Map[String, String] = defaultPrefixes): Unit = {
     val spark = quads.sparkSession
     import spark.implicits._
-    val header = prefixes.toSeq.sorted
-      .map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("", "\n", "\n")
+    val header = turtleHeader(prefixes)
     val body = quads
       .dropDuplicates("g", "s", "p", "o", "oType", "oLang", "oDatatype")
       .groupByKey(_.s)
-      .mapGroups { (s, qs) =>
-        val subj = if (s.startsWith("_:")) s else compact(s, prefixes)
-        val po = qs.toSeq.sortBy(q => (q.p, q.o))
-          .map(q => s"${compact(q.p, prefixes)} ${turtleObject(q, prefixes)}")
-          .mkString(" ;\n    ")
-        s"$subj $po ."
-      }
+      .mapGroups((s, qs) => turtleBlock(s, qs.toSeq, prefixes))
     spark.createDataset(Seq(header)).write.mode("overwrite").text(s"$path/_prefixes")
     body.write.mode("overwrite").text(s"$path/body")
   }

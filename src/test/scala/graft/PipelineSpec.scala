@@ -22,9 +22,13 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("§3.3 TTL harvest: pages → named graph → N-Quads files") {
+    // First chunk is real Turtle (prefixes + ';' continuation), second is a
+    // bare N-Triples line — both arrive through the same turtle parse.
     val store = Seq(
-      """<http://e/1> <http://p/type> <http://c/Person> .
-        |<http://e/1> <http://p/label> "Eins"@de .""".stripMargin,
+      """@prefix p: <http://p/> .
+        |@prefix c: <http://c/> .
+        |<http://e/1> p:type c:Person ;
+        |    p:label "Eins"@de .""".stripMargin,
       """<http://e/2> <http://p/type> <http://c/Place> .""")
     def fetch(offset: Long): Option[String] =
       if (offset / 10 < store.length) Some(store((offset / 10).toInt)) else None

@@ -1,0 +1,187 @@
+package graft
+
+import graft.model.Quad
+import graft.sources.{RdfIO, TurtleParser}
+
+/** Full Turtle grammar (S10): parser unit coverage + distributed
+  * write→read round-trip (the reference ingests real rdflib Turtle,
+  * get_data_from_apis_instance.py:78-94). */
+class TurtleSpec extends SparkSpec {
+
+  private val Rdf = TurtleParser.RdfNs
+  private val Xsd = TurtleParser.XsdNs
+
+  private def p(doc: String): Set[Quad] = TurtleParser.parse(doc, "", "t").toSet
+
+  test("prefixes, 'a', ';' and ',' continuation") {
+    val doc =
+      """@prefix crm: <http://www.cidoc-crm.org/cidoc-crm/> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |crm:E21 a crm:Entity ;
+        |    rdfs:label "Person"@en , "Person"@de .
+        |""".stripMargin
+    assert(p(doc) == Set(
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/E21", Rdf + "type",
+        "http://www.cidoc-crm.org/cidoc-crm/Entity"),
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/E21",
+        "http://www.w3.org/2000/01/rdf-schema#label", "Person",
+        oType = "literal", oLang = "en"),
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/E21",
+        "http://www.w3.org/2000/01/rdf-schema#label", "Person",
+        oType = "literal", oLang = "de")))
+  }
+
+  test("SPARQL-style PREFIX/BASE and relative IRI resolution") {
+    val doc =
+      """BASE <http://ex.org/>
+        |PREFIX p: <http://ex.org/prop/>
+        |<item/1> p:knows <item/2> .
+        |""".stripMargin
+    assert(p(doc) == Set(Quad("", "http://ex.org/item/1",
+      "http://ex.org/prop/knows", "http://ex.org/item/2")))
+  }
+
+  test("multi-line long literals keep raw newlines and inner quotes") {
+    val doc =
+      "@prefix x: <http://x/> .\n" +
+        "x:a x:note \"\"\"line one\nline \"two\"\n3\"\"\" .\n"
+    assert(p(doc) == Set(Quad("", "http://x/a", "http://x/note",
+      "line one\nline \"two\"\n3", oType = "literal")))
+  }
+
+  test("escape sequences incl. \\u and \\U decode") {
+    val doc = "<http://s> <http://p> \"tab\\there\\nand \\u00e9 \\U0001F600\" ."
+    val o = p(doc).head.o
+    assert(o == "tab\there\nand \u00e9 " + new String(Character.toChars(0x1F600)))
+  }
+
+  test("typed literals via ^^<iri> and ^^pname; numeric/boolean shorthand") {
+    val doc =
+      """@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |<http://s> <http://d> "1903-01-01"^^xsd:date ;
+        |           <http://d2> "5"^^<http://www.w3.org/2001/XMLSchema#int> ;
+        |           <http://n1> 42 ;
+        |           <http://n2> -4.25 ;
+        |           <http://n3> 1.0e3 ;
+        |           <http://b> true .
+        |""".stripMargin
+    val quads = p(doc)
+    def one(pred: String) = quads.find(_.p == pred).get
+    assert(one("http://d") == Quad("", "http://s", "http://d", "1903-01-01",
+      oType = "literal", oDatatype = Xsd + "date"))
+    assert(one("http://d2").oDatatype == Xsd + "int")
+    assert(one("http://n1") == Quad("", "http://s", "http://n1", "42",
+      oType = "literal", oDatatype = Xsd + "integer"))
+    assert(one("http://n2") == Quad("", "http://s", "http://n2", "-4.25",
+      oType = "literal", oDatatype = Xsd + "decimal"))
+    assert(one("http://n3") == Quad("", "http://s", "http://n3", "1.0e3",
+      oType = "literal", oDatatype = Xsd + "double"))
+    assert(one("http://b") == Quad("", "http://s", "http://b", "true",
+      oType = "literal", oDatatype = Xsd + "boolean"))
+  }
+
+  test("labeled bnodes pass through; anonymous property lists nest") {
+    val doc =
+      """@prefix x: <http://x/> .
+        |_:known x:linked [ x:inner "v" ; x:also x:thing ] .
+        |""".stripMargin
+    val quads = p(doc)
+    val anon = quads.find(_.p == "http://x/linked").get.o
+    assert(anon.startsWith("_:"))
+    assert(quads.contains(Quad("", anon, "http://x/inner", "v", oType = "literal")))
+    assert(quads.contains(Quad("", anon, "http://x/also", "http://x/thing")))
+    assert(quads.find(_.p == "http://x/linked").get.oType == "bnode")
+  }
+
+  test("collections expand to first/rest/nil chains; () is nil") {
+    val doc = "@prefix x: <http://x/> .\nx:s x:list (x:a \"b\" 3) ; x:empty () .\n"
+    val quads = p(doc)
+    assert(quads.find(_.p == "http://x/empty").get.o == Rdf + "nil")
+    val head = quads.find(_.p == "http://x/list").get.o
+    val firsts = quads.filter(_.p == Rdf + "first")
+    val rests = quads.filter(_.p == Rdf + "rest")
+    assert(firsts.size == 3 && rests.size == 3)
+    // walk the chain
+    def step(n: String): (Quad, String) = {
+      val f = firsts.find(_.s == n).get
+      (f, rests.find(_.s == n).get.o)
+    }
+    val (f1, n2) = step(head)
+    val (f2, n3) = step(n2)
+    val (f3, end) = step(n3)
+    assert(f1.o == "http://x/a" && f1.oType == "iri")
+    assert(f2.o == "b" && f2.oType == "literal")
+    assert(f3.o == "3" && f3.oDatatype == Xsd + "integer")
+    assert(end == Rdf + "nil")
+  }
+
+  test("PN_LOCAL: ':' and mid dots raw, backslash escapes, %-encoding, trailing dot ends statement") {
+    val doc =
+      """@prefix x: <http://x/> .
+        |x:a.b x:p%41x x:with\/slash .
+        |x:v2 x:q x:name.
+        |""".stripMargin
+    val quads = p(doc)
+    assert(quads.contains(Quad("", "http://x/a.b", "http://x/p%41x", "http://x/with/slash")))
+    assert(quads.contains(Quad("", "http://x/v2", "http://x/q", "http://x/name")))
+  }
+
+  test("comments outside strings are skipped, inside strings kept") {
+    val doc = "<http://s> <http://p> \"a # not comment\" . # trailing\n# full line\n"
+    assert(p(doc) == Set(Quad("", "http://s", "http://p", "a # not comment",
+      oType = "literal")))
+  }
+
+  test("anonymous-bnode seeds keep two chunks of one graph collision-free") {
+    val doc = "@prefix x: <http://x/> .\nx:s x:link [ x:v 1 ] .\n"
+    val a = TurtleParser.parse(doc, "g")
+    val b = TurtleParser.parse(doc.replace("x:s", "x:t"), "g")
+    val aAnon = a.find(_.p == "http://x/link").get.o
+    val bAnon = b.find(_.p == "http://x/link").get.o
+    assert(aAnon != bAnon) // different content → different seed
+    // same content parses deterministically
+    assert(TurtleParser.parse(doc, "g") == a)
+  }
+
+  test("malformed input raises with position context") {
+    val e = intercept[IllegalArgumentException](TurtleParser.parse("<http://s> <http://p> ."))
+    assert(e.getMessage.contains("Turtle parse error"))
+    intercept[IllegalArgumentException](TurtleParser.parse("q:x <http://p> <http://o> ."))
+  }
+
+  test("distributed round-trip: writeTurtle → readTurtle preserves the quad set") {
+    import spark.implicits._
+    val quads = Seq(
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/E21",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://www.w3.org/2002/07/owl#Class"),
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/E21",
+        "http://www.w3.org/2000/01/rdf-schema#label", "Person \"the\"\nentity",
+        oType = "literal", oLang = "en"),
+      Quad("", "http://other.example/id", "http://www.w3.org/2000/01/rdf-schema#label",
+        "1903-01-01", oType = "literal",
+        oDatatype = "http://www.w3.org/2001/XMLSchema#date"),
+      Quad("", "_:b7", "http://www.cidoc-crm.org/cidoc-crm/P1_is_identified_by",
+        "_:b8", oType = "bnode"),
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/strange",
+        "http://www.w3.org/2000/01/rdf-schema#seeAlso",
+        "http://www.cidoc-crm.org/cidoc-crm/E21", oType = "iri"))
+    val dir = new java.io.File("target/tmp/turtle-roundtrip").getAbsolutePath
+    RdfIO.writeTurtle(spark.createDataset(quads), dir)
+    val back = RdfIO.readTurtle(spark, dir).collect().toSet
+    assert(back == quads.toSet)
+  }
+
+  test("round-trip survives PN_LOCAL specials in compacted IRIs") {
+    import spark.implicits._
+    // '+' must be backslash-escaped in PN_LOCAL; space forces <iri> fallback
+    val quads = Seq(
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/a+b",
+        "http://www.w3.org/2000/01/rdf-schema#label", "plus", oType = "literal"),
+      Quad("", "http://www.cidoc-crm.org/cidoc-crm/-lead",
+        "http://www.w3.org/2000/01/rdf-schema#label", "dash", oType = "literal"))
+    val dir = new java.io.File("target/tmp/turtle-pnlocal").getAbsolutePath
+    RdfIO.writeTurtle(spark.createDataset(quads), dir)
+    assert(RdfIO.readTurtle(spark, dir).collect().toSet == quads.toSet)
+  }
+}
