@@ -182,9 +182,32 @@ object RdfOps {
         col("oType").as("otype"), col("oLang").as("olang"))
   }
 
+  /** SPARQL text front-end e2e (SURVEY §4.2): the query below goes through
+    * [[graft.plans.SparqlText]] — tokenizer → AST → SparqlAlgebra — not a
+    * hand-built plan, exercising UNION arms, a BGP join, the label service
+    * with de>en priority and id fallback, an unbound projected variable,
+    * and the $limit template parameter, over the same triple/label views
+    * the oracle recomputes. */
+  def q86SparqlParse(sp: SparkSession, dir: String): DataFrame = {
+    val query =
+      """SELECT (?n AS ?id) (?nLabel AS ?nlabel) ?r ?missing
+        |WHERE {
+        |  { ?n <region> <R1> } UNION { ?n <region> <R2> } .
+        |  ?n <type> <Place> .
+        |  ?n <region> ?r .
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }
+        |}
+        |ORDER BY ?n
+        |LIMIT $limit""".stripMargin
+    graft.plans.SparqlText.run(query,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir),
+      Map("limit" -> 8L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_nquad_format"     -> q79NquadFormat _,
     "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
+    "q86_sparql_parse"     -> q86SparqlParse _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
     "q16_closure_reach"    -> q16ClosureReach _,
@@ -202,6 +225,24 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q86_sparql_parse" ->
+      s"""WITH triples AS ($T), labels AS ($L),
+         core AS (
+           SELECT t1.s AS n, t3.o AS r
+           FROM triples t1
+           JOIN triples t2 ON t2.s = t1.s AND t2.p = 'type' AND t2.o = 'Place'
+           JOIN triples t3 ON t3.s = t1.s AND t3.p = 'region'
+           WHERE t1.p = 'region' AND t1.o IN ('R1', 'R2')),
+         lab AS (
+           SELECT entity, label FROM (
+             SELECT entity, label, row_number() OVER (PARTITION BY entity
+               ORDER BY CASE lang WHEN 'de' THEN 1 WHEN 'en' THEN 2 END, label) AS rn
+             FROM labels WHERE lang IN ('de', 'en'))
+           WHERE rn = 1)
+         SELECT core.n AS id, coalesce(lab.label, core.n) AS nlabel, core.r AS r,
+                CAST(NULL AS VARCHAR) AS missing
+         FROM core LEFT JOIN lab ON lab.entity = core.n
+         ORDER BY core.n LIMIT 8""",
     "q82_turtle_roundtrip" ->
       s"""WITH triples AS ($T)
          SELECT 'http://g/'||s AS s, 'http://g/p/'||p AS p,

@@ -36,6 +36,38 @@ object GeonamesTsv {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** S4 zip-container ingest (geonames_place_index.py:13-25): the reference
+    * opens the downloaded cities1000.zip and reads its FIRST entry through
+    * csv.DictReader (`thezip.namelist()[0]`). Engine equivalent: binaryFile
+    * scan (one task per zip — a zip is not splittable, so the file is the
+    * parallel unit; many zips → many tasks) → ZipInputStream decode of the
+    * first non-directory entry → the same schema'd TSV parse as [[read]].
+    * The whole-entry buffering matches binaryFile's own whole-file content
+    * column; the GeoNames dump is tens of MB, far under task memory. */
+  def readZipped(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(path)
+      .select(org.apache.spark.sql.functions.col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        var entry = zis.getNextEntry
+        while (entry != null && entry.isDirectory) entry = zis.getNextEntry
+        if (entry == null) Iterator.empty
+        else {
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(zis, java.nio.charset.StandardCharsets.UTF_8))
+          Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        }
+      }
+    spark.read
+      .schema(schema)
+      .option("sep", "\t")
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(lines)
+  }
+
   /** P2: GeoNames row → search document (geonames_place_index.py:29-54):
     * url-template id, "name (cc) - fcode" label, float coordinates. */
   def toDocuments(geonames: DataFrame): DataFrame = {

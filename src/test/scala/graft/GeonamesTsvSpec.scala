@@ -32,6 +32,30 @@ class GeonamesTsvSpec extends SparkSpec {
     assert(vienna.getAs[Long]("population") == 1691468L)
   }
 
+  test("S4 zip ingest: binaryFile + ZipInputStream first entry matches the flat scan") {
+    val flat = fixture()
+    val dir = Paths.get("target/tmp/geonames-zip")
+    Files.createDirectories(dir)
+    val zipPath = dir.resolve("cities1000.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    // a directory entry first — the reader must skip to the first real file
+    zos.putNextEntry(new java.util.zip.ZipEntry("data/"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("data/cities1000.txt"))
+    zos.write(Files.readAllBytes(Paths.get(flat)))
+    zos.closeEntry()
+    // a second entry the reference (namelist()[0]) would ignore too
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("not tsv".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+
+    val viaZip = GeonamesTsv.toDocuments(GeonamesTsv.readZipped(spark, zipPath.toString))
+    val viaFlat = GeonamesTsv.toDocuments(GeonamesTsv.read(spark, flat))
+    assert(viaZip.collect().toSet == viaFlat.collect().toSet)
+    assert(viaZip.count() == 2)
+  }
+
   test("P2 document projection: url id, composed label, coordinates array") {
     val docs = GeonamesTsv.toDocuments(GeonamesTsv.read(spark, fixture()))
       .orderBy("name").collect()
