@@ -7,33 +7,51 @@ import org.apache.spark.sql.functions._
   *
   * The reference ships its queries as .sparql files dispatched to a remote
   * endpoint with `$limit`/`$offset` substituted per page
-  * (prosnet-prefect-pipelines/sparql/wikidata-person.sparql,
-  * wikidata_index.py:150-180). Rounds 1-2 hand-compiled those files into
-  * [[SparqlAlgebra]]; this parser closes the loop so a user can point the
-  * engine at the query text itself.
+  * (the .sparql files under prosnet-prefect-pipelines/sparql,
+  * wikidata_index.py:150-180).
+  * Rounds 1-2 hand-compiled those files into [[SparqlAlgebra]]; this parser
+  * closes the loop so a user can point the engine at the query text itself.
+  * All four wikidata .sparql files parse (person, person-backup, city,
+  * organization).
   *
   * Grammar: the subset those files use —
-  *   - `SELECT [DISTINCT]` with plain vars and `(?v AS ?alias)` renames
+  *   - `SELECT [DISTINCT]` with plain vars, `(?v AS ?alias)` renames, and
+  *     `(group_concat([distinct] ?v) AS ?alias)` aggregates with `GROUP BY`
   *   - basic graph patterns (variable/IRI/pname/literal terms)
-  *   - braced groups with `UNION` chains
+  *   - property paths in predicate position: `p`, `p*`, `p1/p2`,
+  *     `p1/p2*` (the `wdt:P31/wdt:P279*` shapes), compiled onto the J4/J5
+  *     closure operators
+  *   - braced groups with `UNION` chains; disconnected patterns compose by
+  *     cross join (SPARQL's natural-join-of-disjoint-domains semantics) and
+  *     narrow once a later pattern connects them
   *   - `OPTIONAL { … }` with inner `FILTER`s (applied before the left join,
   *     the J3 ordering)
-  *   - `FILTER(?v <op> "literal"[^^dt])` comparisons and
-  *     `FILTER(langmatches(lang(?v), "tag"))`
+  *   - `FILTER(?v <op> "literal"[^^dt])` comparisons,
+  *     `FILTER(langmatches(lang(?v), "tag"))` and `FILTER(LANG(?v) = "tag")`
+  *   - `VALUES ?v { … }` inline membership (J6)
+  *   - `BIND(COALESCE(?a, ?b, …) AS ?c)`
   *   - `SERVICE wikibase:label { bd:serviceParam wikibase:language "…" }`
   *   - nested sub-`SELECT`, `ORDER BY ?v`, `LIMIT`/`OFFSET` with literal or
   *     `$param` values, `#` comments
   *
-  * Compilation is a direct mapping onto [[SparqlAlgebra]]: every construct
+  * Compilation maps 1:1 onto [[SparqlAlgebra]]/[[Closure]]: every construct
   * becomes the same DataFrame operators the hand-compiled queries use, so
   * Catalyst sees an identical declarative plan (predicate-pruned triple
-  * scans, broadcastable dimension joins). IRIs `<x>` compile to the
-  * angle-stripped token and prefixed names stay textual — terms live in the
-  * same symbol space as the triple DataFrame's s/p/o columns.
+  * scans, broadcastable dimension joins, seeded semi-naive closures). IRIs
+  * `<x>` compile to the angle-stripped token and prefixed names stay
+  * textual — terms live in the same symbol space as the triple DataFrame's
+  * s/p/o columns.
   *
-  * Lang-tagged matching needs term fidelity: `langmatches` compiles to an
-  * equality on the triple source's `oLang` column (the Quad model's
-  * fidelity field) and raises if the source carries no such column.
+  * Semantics notes (documented subset choices):
+  *   - `langmatches`/`LANG()=` compile to an equality on the triple
+  *     source's `oLang` column (the Quad model's fidelity field) and raise
+  *     if the source carries no such column.
+  *   - a var-var `?a p* ?b` path materializes the full transitive closure
+  *     of the p-edge relation plus reflexive pairs over the p-edge node
+  *     domain; the scalable shape is the seeded const-object form, which
+  *     compiles to the semi-naive [[Closure.reachingTo]].
+  *   - `group_concat` renders sorted-order with a single-space separator
+  *     (the deterministic A1/A2 idiom).
   */
 object SparqlText {
 
@@ -44,20 +62,31 @@ object SparqlText {
   final case class C(value: String) extends Term // IRI (angles stripped) or pname
   final case class L(lex: String) extends Term // literal
 
+  /** Predicate path: steps of (predicate, zeroOrMore). A plain predicate is
+    * a single non-star step. */
+  final case class Path(steps: Seq[(String, Boolean)])
+
   sealed trait El
-  final case class Tp(s: Term, p: Term, o: Term) extends El
+  final case class Tp(s: Term, p: Path, o: Term) extends El
   final case class UnionEl(arms: Seq[Seq[El]]) extends El
   final case class OptEl(g: Seq[El]) extends El
   sealed trait Fil extends El
   final case class Cmp(v: String, op: String, value: String) extends Fil
   final case class LangM(v: String, lang: String) extends Fil
+  final case class ValuesEl(v: String, vals: Seq[String]) extends El
+  final case class BindCoalesce(out: String, vars: Seq[String]) extends El
   final case class SubSel(s: SelectQ) extends El
   final case class LabelSvc(langs: Seq[String]) extends El
 
+  sealed trait ProjItem { def out: String }
+  final case class PVar(src: String, out: String) extends ProjItem
+  final case class PGroupConcat(src: String, out: String, distinct: Boolean) extends ProjItem
+
   final case class SelectQ(
       distinct: Boolean,
-      proj: Seq[(String, String)], // (sourceVar, outputName)
+      proj: Seq[ProjItem],
       where: Seq[El],
+      groupBy: Seq[String],
       orderBy: Option[String],
       limit: Option[Either[Long, String]],
       offset: Option[Either[Long, String]])
@@ -84,7 +113,7 @@ object SparqlText {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}().,;".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
+      else if ("{}().,;*/".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
       else if (c == '?' || c == '$') {
         val start = i + 1
         i += 1
@@ -160,38 +189,61 @@ object SparqlText {
       case TPunct(`c`) => i += 1
       case _ => fail(s"expected '$c'")
     }
+    private def varName(): String = next() match {
+      case TVar(v) => v
+      case t => fail(s"expected variable, got $t")
+    }
 
     def selectQuery(top: Boolean): SelectQ = {
       expectKw("SELECT")
       val distinct = isKw(peek, "DISTINCT") && { i += 1; true }
-      val proj = Vector.newBuilder[(String, String)]
+      val proj = Vector.newBuilder[ProjItem]
       var reading = true
       while (reading) peek match {
-        case TVar(v) => i += 1; proj += ((v, v))
+        case TVar(v) => i += 1; proj += PVar(v, v)
         case TPunct("(") =>
           i += 1
-          val src = next() match { case TVar(v) => v; case t => fail(s"expected var in ($t") }
-          expectKw("AS")
-          val dst = next() match { case TVar(v) => v; case t => fail(s"expected alias var, got $t") }
-          expectPunct(")")
-          proj += ((src, dst))
+          peek match {
+            case TVar(_) =>
+              val src = varName()
+              expectKw("AS")
+              val dst = varName()
+              expectPunct(")")
+              proj += PVar(src, dst)
+            case t if isKw(t, "group_concat") =>
+              i += 1; expectPunct("(")
+              val dist = isKw(peek, "DISTINCT") && { i += 1; true }
+              val src = varName()
+              expectPunct(")")
+              expectKw("AS")
+              val dst = varName()
+              expectPunct(")")
+              proj += PGroupConcat(src, dst, dist)
+            case t => fail(s"unsupported projection expression: $t")
+          }
         case _ => reading = false
       }
       expectKw("WHERE")
       val where = group()
+      var groupBy: Seq[String] = Nil
       var orderBy: Option[String] = None
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
       var trailing = true
       while (trailing && !eof) {
-        if (isKw(peek, "ORDER")) {
+        if (isKw(peek, "GROUP")) {
           i += 1; expectKw("BY")
-          orderBy = Some(next() match { case TVar(v) => v; case t => fail(s"expected order var, got $t") })
+          val gs = Vector.newBuilder[String]
+          while (peek.isInstanceOf[TVar]) gs += varName()
+          groupBy = gs.result()
+        } else if (isKw(peek, "ORDER")) {
+          i += 1; expectKw("BY")
+          orderBy = Some(varName())
         } else if (isKw(peek, "LIMIT")) { i += 1; limit = Some(numOrParam()) }
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
         else trailing = false
       }
-      val q = SelectQ(distinct, proj.result(), where, orderBy, limit, offset)
+      val q = SelectQ(distinct, proj.result(), where, groupBy, orderBy, limit, offset)
       if (top && !eof) fail("trailing tokens after query")
       q
     }
@@ -199,7 +251,7 @@ object SparqlText {
     private def numOrParam(): Either[Long, String] = next() match {
       case TNum(v) => Left(v.toLong)
       case TVar(v) => Right(v) // `$limit` template parameter
-      case t => fail(s"expected number or \\$$param, got $t")
+      case t => fail(s"expected number or $$param, got $t")
     }
 
     private def group(): Seq[El] = {
@@ -220,19 +272,17 @@ object SparqlText {
             val arms = Vector.newBuilder[Seq[El]]
             arms += group()
             while (isKw(peek, "UNION")) { i += 1; arms += group() }
-            val a = arms.result()
-            els += (if (a.length == 1) OptElFlatten(a.head) else UnionEl(a))
+            els += UnionEl(arms.result())
           }
         case t if isKw(t, "OPTIONAL") => i += 1; els += OptEl(group())
         case t if isKw(t, "FILTER") => i += 1; els += filterEl()
+        case t if isKw(t, "VALUES") => i += 1; els += valuesEl()
+        case t if isKw(t, "BIND") => i += 1; els += bindEl()
         case t if isKw(t, "SERVICE") => i += 1; els += serviceEl()
         case _ => els += triplePattern()
       }
       els.result()
     }
-
-    /** A single braced group with no UNION is just scoping — inline it. */
-    private def OptElFlatten(g: Seq[El]): El = UnionEl(Seq(g))
 
     private def filterEl(): Fil = {
       expectPunct("(")
@@ -240,13 +290,20 @@ object SparqlText {
         case t if isKw(t, "langmatches") =>
           i += 1; expectPunct("(")
           expectKw("lang"); expectPunct("(")
-          val v = next() match { case TVar(x) => x; case t2 => fail(s"expected var, got $t2") }
+          val v = varName()
           expectPunct(")"); expectPunct(",")
           val lang = next() match { case TStr(s, _) => s; case t2 => fail(s"expected lang string, got $t2") }
           expectPunct(")")
           LangM(v, lang)
-        case TVar(v) =>
-          i += 1
+        case t if isKw(t, "lang") =>
+          // FILTER (LANG(?v) = "de")
+          i += 1; expectPunct("(")
+          val v = varName()
+          expectPunct(")"); expectPunct("=")
+          val lang = next() match { case TStr(s, _) => s; case t2 => fail(s"expected lang string, got $t2") }
+          LangM(v, lang)
+        case TVar(_) =>
+          val v = varName()
           val op = next() match { case TPunct(o) => o; case t2 => fail(s"expected operator, got $t2") }
           val value = next() match {
             case TStr(s, _) => s
@@ -258,6 +315,38 @@ object SparqlText {
       }
       expectPunct(")")
       f
+    }
+
+    /** `VALUES ?v { wd:Q1 wd:Q2 … }` */
+    private def valuesEl(): ValuesEl = {
+      val v = varName()
+      expectPunct("{")
+      val vals = Vector.newBuilder[String]
+      var go = true
+      while (go) next() match {
+        case TPunct("}") => go = false
+        case TPname(x) => vals += x
+        case TIri(x) => vals += x
+        case TStr(x, _) => vals += x
+        case TNum(x) => vals += x
+        case t => fail(s"unexpected VALUES entry: $t")
+      }
+      ValuesEl(v, vals.result())
+    }
+
+    /** `BIND(COALESCE(?a, ?b, …) as ?c)` */
+    private def bindEl(): BindCoalesce = {
+      expectPunct("(")
+      expectKw("COALESCE")
+      expectPunct("(")
+      val vars = Vector.newBuilder[String]
+      vars += varName()
+      while (peek == TPunct(",")) { i += 1; vars += varName() }
+      expectPunct(")")
+      expectKw("AS")
+      val out = varName()
+      expectPunct(")")
+      BindCoalesce(out, vars.result())
     }
 
     /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }` */
@@ -287,7 +376,29 @@ object SparqlText {
       case t => fail(s"expected term, got $t")
     }
 
-    private def triplePattern(): Tp = Tp(term(), term(), term())
+    /** Predicate position: a path — `p`, `p*`, `p1/p2`, `p1/p2*`. */
+    private def path(): Path = {
+      def step(): (String, Boolean) = {
+        val p = next() match {
+          case TIri(v) => v
+          case TPname(v) => v
+          case t => fail(s"expected path predicate, got $t")
+        }
+        val star = peek == TPunct("*") && { i += 1; true }
+        (p, star)
+      }
+      val steps = Vector.newBuilder[(String, Boolean)]
+      steps += step()
+      while (peek == TPunct("/")) { i += 1; steps += step() }
+      Path(steps.result())
+    }
+
+    private def triplePattern(): Tp = {
+      val s = term()
+      val p = path()
+      val o = term()
+      Tp(s, p, o)
+    }
   }
 
   // ---------- compiler ----------
@@ -295,7 +406,7 @@ object SparqlText {
   /** Compile a parsed query against a triple source.
     *
     * @param triples (s, p, o [, oLang]) DataFrame — oLang only needed when
-    *                the query uses `langmatches`
+    *                the query filters on language tags
     * @param labels  (entity, lang, label) for the wikibase:label service
     * @param params  values for `$limit`/`$offset`-style template parameters
     */
@@ -322,8 +433,11 @@ object SparqlText {
     // the first-available-language label, falling back to the id (J7).
     val labeled = svc match {
       case Some(langs) =>
-        q.proj.collect {
-          case (src, _) if src.endsWith("Label") &&
+        q.proj.map {
+          case PVar(src, _) => src
+          case PGroupConcat(src, _, _) => src
+        }.distinct.collect {
+          case src if src.endsWith("Label") &&
             bound.columns.contains(src.dropRight(5)) && !bound.columns.contains(src) =>
             (src.dropRight(5), src)
         }.foldLeft(bound) { case (df, (base, out)) =>
@@ -331,11 +445,27 @@ object SparqlText {
         }
       case None => bound
     }
-    val cols: Seq[Column] = q.proj.map { case (src, out) =>
-      if (labeled.columns.contains(src)) col(src).as(out)
-      else lit(null).cast("string").as(out) // SPARQL: unbound projected var
+    val aggs = q.proj.collect { case a: PGroupConcat => a }
+    val grouped =
+      if (q.groupBy.nonEmpty || aggs.nonEmpty) {
+        require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
+        val aggCols = aggs.map { a =>
+          val collected =
+            if (a.distinct) collect_set(col(a.src)) else collect_list(col(a.src))
+          // sorted order + single-space separator: the deterministic A1/A2
+          // group_concat idiom
+          concat_ws(" ", sort_array(collected)).as(a.out)
+        }
+        labeled.groupBy(q.groupBy.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      } else labeled
+    val cols: Seq[Column] = q.proj.map {
+      case PVar(src, out) =>
+        if (grouped.columns.contains(src)) col(src).as(out)
+        else lit(null).cast("string").as(out) // SPARQL: unbound projected var
+      case PGroupConcat(_, out, _) => col(out)
     }
-    var out = labeled.select(cols: _*)
+    var out = grouped.select(cols: _*)
     if (q.distinct) out = out.distinct()
     q.orderBy.foreach(v => out = out.orderBy(col(v)))
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
@@ -344,8 +474,13 @@ object SparqlText {
   }
 
   /** Compile a group's elements; returns (bound rows, label-service langs).
-    * Comparison filters apply group-wide (SPARQL scoping); langmatches
-    * filters attach to the triple pattern binding their variable. */
+    *
+    * Comparison and VALUES filters apply group-wide (SPARQL scoping) after
+    * every pattern has bound its variables; langmatches filters attach to
+    * the triple pattern binding their variable; BIND is position-sensitive.
+    * Disconnected patterns cross-join (SPARQL join of disjoint domains) —
+    * later patterns sharing variables with both sides narrow the product,
+    * and Catalyst sees the whole join tree declaratively. */
   private def compileGroup(els: Seq[El], triples: DataFrame, labels: DataFrame,
                            params: Map[String, Long]): (DataFrame, Option[Seq[String]]) = {
     val langFilters: Map[String, String] =
@@ -357,16 +492,12 @@ object SparqlText {
       case None => Some(df)
       case Some(a) =>
         val shared = a.columns.intersect(df.columns).toSeq
-        require(shared.nonEmpty, "SPARQL group elements must share a variable")
-        Some(a.join(df, shared))
+        if (shared.isEmpty) Some(a.crossJoin(df)) else Some(a.join(df, shared))
     }
 
     els.foreach {
-      case Tp(s, p, o) =>
-        val pv = p match {
-          case C(v) => v
-          case other => sys.error(s"variable predicates unsupported: $other")
-        }
+      case Tp(s, Path(Seq((pv, false))), o) =>
+        // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
         s match {
@@ -386,6 +517,7 @@ object SparqlText {
           case L(v) => pat = pat.filter(col("o") === v)
         }
         join(pat.select(projected.result(): _*))
+      case Tp(s, path, o) => join(compilePath(s, path, o, triples))
       case UnionEl(arms) =>
         val dfs = arms.map(a => compileGroup(a, triples, labels, params)._1)
         join(dfs.reduce(_ unionByName _))
@@ -395,8 +527,18 @@ object SparqlText {
           acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
       case SubSel(sub) =>
         join(compileSelect(sub, triples, labels, params))
+      case BindCoalesce(out, vars) =>
+        val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
+        acc = Some(a.withColumn(out, coalesce(vars.map(col): _*)))
+      case _: Cmp => // group-wide; applied below once all vars are bound
+      case _: ValuesEl => // group-wide; applied below
+      case _: LangM => // attached to its binding pattern above
+      case LabelSvc(langs) => svc = Some(langs)
+    }
+
+    var out = acc.getOrElse(sys.error("empty group pattern"))
+    els.foreach {
       case Cmp(v, op, value) =>
-        val a = acc.getOrElse(sys.error("FILTER requires a preceding pattern"))
         val c = col(v)
         val pred = op match {
           case "<" => c < value
@@ -407,10 +549,98 @@ object SparqlText {
           case "!=" => c =!= value
           case other => sys.error(s"unsupported comparison: $other")
         }
-        acc = Some(a.filter(pred))
-      case _: LangM => // attached to its binding pattern above
-      case LabelSvc(langs) => svc = Some(langs)
+        out = out.filter(pred)
+      case ValuesEl(v, vals) => out = out.filter(col(v).isin(vals: _*)) // J6
+      case _ =>
     }
-    (acc.getOrElse(sys.error("empty group pattern")), svc)
+    (out, svc)
   }
+
+  /** Property-path pattern compile (J4/J5 shapes).
+    *
+    * Supported shapes, by scalability:
+    *   - `…/p*` with a CONSTANT object: the prefix chain joins filtered
+    *     triple scans, the starred tail is the seeded semi-naive
+    *     [[Closure.reachingTo]] (frontier-broadcast, checkpointed) — the
+    *     100 TB shape.
+    *   - a single `p*` step with a VARIABLE object: full transitive closure
+    *     pairs + reflexive pairs over the p-edge node domain. Correct but
+    *     quadratic-ish in the edge graph; fine for vocabulary-sized
+    *     hierarchies (the city query's P279 use), not for instance data.
+    */
+  private def compilePath(sT: Term, path: Path, oT: Term,
+                          triples: DataFrame): DataFrame = {
+    def edges(p: String): DataFrame =
+      triples.filter(col("p") === p)
+        .select(col("s").as("src"), col("o").as("dst"))
+    def constOf(t: Term): Option[String] = t match {
+      case C(v) => Some(v)
+      case L(v) => Some(v)
+      case _ => None
+    }
+    val spark = triples.sparkSession
+    val steps = path.steps
+
+    // (a, cur) relation after walking the steps from a variable subject
+    val rel: DataFrame = (steps, constOf(oT)) match {
+      case (Seq((p, true)), Some(const)) =>
+        // `?x p* <c>` → seeded reach, includes the seed (reflexive)
+        Closure.reachingTo(edges(p), spark.range(1).select(lit(const).as("node")))
+          .select(col("node").as("__a"), lit(const).as("__b"))
+      case (init :+ ((p, true)), Some(const)) =>
+        // `p1/…/pk*  <c>` → chain the prefix, semi-join the reach set
+        init.foreach { case (_, star) =>
+          require(!star, s"only the final path step may be starred: $path") }
+        val reach = Closure.reachingTo(edges(p),
+          spark.range(1).select(lit(const).as("node")))
+        val prefix = chain(init.map(_._1), triples)
+        // the reach semi-join IS the object constraint — __b carries the
+        // path's endpoint (the constant), not the prefix endpoint
+        prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
+          .select(col("__a"), lit(const).as("__b"))
+      case (Seq((p, true)), None) =>
+        // `?a p* ?b` → transitive pairs + reflexive over the edge domain
+        val e = edges(p)
+        val nodes = e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+        Closure.ancestorPairs(e)
+          .select(col("node").as("__a"), col("anc").as("__b"))
+          .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
+      case _ =>
+        // star-free sequence `p1/p2/…` → chained filtered scans
+        steps.foreach { case (_, star) =>
+          require(!star, s"unsupported path shape: $path") }
+        chain(steps.map(_._1), triples).withColumnRenamed("__cur", "__b")
+    }
+
+    // bind subject/object variables, filter constants
+    var outRel = rel
+    val projected = Vector.newBuilder[Column]
+    sT match {
+      case V(v) => projected += col("__a").as(v)
+      case C(v) => outRel = outRel.filter(col("__a") === v)
+      case L(v) => outRel = outRel.filter(col("__a") === v)
+    }
+    oT match {
+      case V(v) => projected += col("__b").as(v)
+      case C(v) => outRel = outRel.filter(col("__b") === v)
+      case L(v) => outRel = outRel.filter(col("__b") === v)
+    }
+    outRel.select(projected.result(): _*).distinct()
+  }
+
+  /** Left-to-right join of star-free path steps: (__a, __cur) after
+    * traversing each predicate scan. */
+  private def chain(preds: Seq[String], triples: DataFrame): DataFrame =
+    preds.foldLeft(Option.empty[DataFrame]) { (accRel, pp) =>
+      val step = triples.filter(col("p") === pp)
+        .select(col("s").as("__a"), col("o").as("__cur"))
+      accRel match {
+        case None => Some(step)
+        case Some(r) =>
+          val rn = step.select(col("__a").as("__cur0"), col("__cur").as("__next"))
+          Some(r.join(rn, r("__cur") === rn("__cur0"))
+            .select(r("__a"), rn("__next").as("__cur")))
+      }
+    }.getOrElse(sys.error("empty path"))
 }

@@ -154,6 +154,186 @@ class SparqlTextSpec extends SparkSpec {
     assert(lim.count() == 3)
   }
 
+  test("wikidata-city.sparql (P279* paths, cross-join narrowing, GROUP BY group_concat) ≡ hand compilation") {
+    import graft.plans.Closure
+    // class hierarchy: T2 -P279-> T1 -P279-> Q515; GeoNames codes on Q515/T2
+    val t = Seq[(String, String, String, Option[String])](
+      ("T1", "wdt:P279", "wd:Q515", None), ("T2", "wdt:P279", "T1", None),
+      ("I1", "wdt:P31", "T1", None), ("I2", "wdt:P31", "T2", None),
+      ("I3", "wdt:P31", "wd:Q515", None), ("I4", "wdt:P31", "OTHER", None),
+      ("I1", "wdt:P17", "CA", None), ("I2", "wdt:P17", "CA", None),
+      ("I3", "wdt:P17", "CB", None), ("I4", "wdt:P17", "CA", None),
+      ("CA", "wdt:P31", "wd:Q3624078", None), ("CB", "wdt:P31", "wd:Q6256", None),
+      ("CA", "wdt:P30", "wd:Q46", None), ("CB", "wdt:P30", "wd:Q46", None),
+      ("wd:Q515", "wdt:P2452", "PPL", None), ("T2", "wdt:P2452", "PPLX", None),
+      ("I1", "wdt:P625", "Point(1 2)", None)
+    ).toDF("s", "p", "o", "oLang")
+    val labs = Seq(
+      ("I1", "de", "I1de"), ("I2", "en", "I2en"),
+      ("CA", "en", "CAen"), ("CB", "de", "CBde")
+    ).toDF("entity", "lang", "label")
+    val text =
+      """SELECT (?item as ?id) ?country ?itemLabel ?countryLabel (group_concat(?GN_FeatureCode) as ?feature_code) ?coord
+        |WHERE {
+        |        {
+        |            SELECT DISTINCT ?item ?country ?ctype
+        |            WHERE {
+        |                ?ctype wdt:P279* wd:Q515 .
+        |                ?item wdt:P17 ?country .
+        |                {?country wdt:P31 wd:Q3624078 .} UNION {
+        |                ?country wdt:P31 wd:Q6256
+        |                }
+        |                ?country wdt:P30 wd:Q46 .
+        |                ?item wdt:P31 ?ctype .
+        |                }
+        |          ORDER BY ?item
+        |          LIMIT $limit
+        |          OFFSET $offset
+        |  }
+        |  OPTIONAL{?ctype wdt:P279* ?b2 .
+        |                     ?b2    wdt:P2452 ?GN_FeatureCode}
+        |  OPTIONAL{?item wdt:P625 ?coord .}
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }
+        |}
+        |GROUP BY ?item ?country ?itemLabel ?countryLabel ?coord""".stripMargin
+    val parsed = SparqlText.run(text, t, labs, Map("limit" -> 10L, "offset" -> 0L))
+
+    val p279 = t.filter(col("p") === "wdt:P279")
+      .select(col("s").as("src"), col("o").as("dst"))
+    val ctypes = Closure.reachingTo(p279,
+      spark.range(1).select(lit("wd:Q515").as("node"))).select(col("node").as("ctype"))
+    val core = SparqlAlgebra.bgp(Seq(
+        SparqlAlgebra.pattern(t, "wdt:P31", "item", "ctype"),
+        ctypes,
+        SparqlAlgebra.pattern(t, "wdt:P17", "item", "country"),
+        SparqlAlgebra.patternConstO(t, "wdt:P31", "wd:Q3624078", "country")
+          .unionByName(SparqlAlgebra.patternConstO(t, "wdt:P31", "wd:Q6256", "country")),
+        SparqlAlgebra.patternConstO(t, "wdt:P30", "wd:Q46", "country")))
+      .select(col("item"), col("country"), col("ctype"))
+      .distinct().orderBy(col("item")).offset(0).limit(10)
+    val nodes = p279.select(col("src").as("ctype"))
+      .unionByName(p279.select(col("dst").as("ctype"))).distinct()
+    val pairs = Closure.ancestorPairs(p279)
+      .select(col("node").as("ctype"), col("anc").as("b2"))
+      .unionByName(nodes.select(col("ctype"), col("ctype").as("b2"))).distinct()
+    val gn = pairs.join(SparqlAlgebra.pattern(t, "wdt:P2452", "b2", "GN_FeatureCode"), Seq("b2"))
+    val withGn = SparqlAlgebra.optional(core, gn)
+    val withCoord = SparqlAlgebra.optional(withGn,
+      SparqlAlgebra.pattern(t, "wdt:P625", "item", "coord"))
+    val labeled = SparqlAlgebra.labelService(
+      SparqlAlgebra.labelService(withCoord, labs, "item", "itemLabel", Seq("de", "en")),
+      labs, "country", "countryLabel", Seq("de", "en"))
+    val hand = labeled
+      .groupBy(col("item"), col("country"), col("itemLabel"), col("countryLabel"), col("coord"))
+      .agg(concat_ws(" ", sort_array(collect_list(col("GN_FeatureCode")))).as("feature_code"))
+      .select(col("item").as("id"), col("country"), col("itemLabel"),
+        col("countryLabel"), col("feature_code"), col("coord"))
+
+    assert(parsed.columns.toSeq == hand.columns.toSeq)
+    assert(rows(parsed) == rows(hand))
+    assert(rows(parsed) == Set(
+      Seq("I1", "CA", "I1de", "CAen", "PPL", "Point(1 2)"),
+      Seq("I2", "CA", "I2en", "CAen", "PPL PPLX", null),
+      Seq("I3", "CB", "I3", "CBde", "PPL", null)))
+  }
+
+  test("wikidata-organization.sparql (P31/P279* arms, VALUES, BIND COALESCE, LANG filters) ≡ hand compilation") {
+    import graft.plans.Closure
+    val t = Seq(
+      ("O1", "wdt:P31", "wd:Q43229", None),
+      ("U1", "wdt:P279", "wd:Q3918", None), ("O2", "wdt:P31", "U1", None),
+      ("O3", "wdt:P31", "wd:Q4830453", None),
+      ("O4", "wdt:P31", "wd:Q3918", None),
+      ("O5", "wdt:P31", "X", None),
+      ("O1", "wdt:P17", "wd:Q40", None), ("O2", "wdt:P17", "wd:Q28513", None),
+      ("O3", "wdt:P17", "wd:Q183", None), ("O4", "wdt:P17", "wd:Q40", None),
+      ("O5", "wdt:P17", "wd:Q40", None),
+      ("O1", "wdt:P571", "1900", None), ("O1", "wdt:P571", "1905", None),
+      ("O4", "wdt:P571", "1950", None),
+      ("O1", "wdt:P576", "1990", None),
+      ("O1", "schema:description", "VereinDE", Some("de")),
+      ("O1", "schema:description", "clubEN", Some("en")),
+      ("O2", "schema:description", "uniEN", Some("en"))
+    ).toDF("s", "p", "o", "oLang")
+    val labs = Seq(("O1", "de", "OrgEins"), ("O4", "en", "OrgFour"))
+      .toDF("entity", "lang", "label")
+    val text =
+      """SELECT (?organization as ?id) ?organizationLabel ?description (group_concat(distinct ?inception_pre) as ?inception) (group_concat(distinct ?dissolvement_pre) as ?dissolvement) WHERE {
+        |  {SELECT DISTINCT ?organization WHERE {
+        |   {?organization wdt:P31 wd:Q43229 #organization
+        |   } UNION {
+        |    ?organization wdt:P31/wdt:P279* wd:Q3918 #university
+        |    } UNION {
+        |  ?organization wdt:P31 wd:Q4830453 #company
+        |  } UNION {
+        |  ?organization wdt:P31/wdt:P279* wd:Q18810687 #political institution
+        |  }
+        |
+        |                    VALUES ?location { wd:Q28513 wd:Q131964 wd:Q699964 wd:Q40}
+        |               ?organization wdt:P17 ?location.
+        |    }
+        |
+        |          LIMIT $limit
+        |          OFFSET $offset
+        |  }
+        |  OPTIONAL{?organization wdt:P571 ?inception_pre}
+        |  OPTIONAL{?organization wdt:P576 ?dissolvement_pre}
+        |  OPTIONAL{?organization schema:description ?descriptionDE .
+        |           FILTER (LANG(?descriptionDE) = "de")
+        |          }
+        |  OPTIONAL{?organization schema:description ?descriptionEN .
+        |           FILTER (LANG(?descriptionEN) = "en")
+        |          }
+        |  BIND(COALESCE(?descriptionDE, ?descriptionEN) as ?description)
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en". }
+        |}
+        |GROUP BY ?organization ?organizationLabel ?description""".stripMargin
+    val parsed = SparqlText.run(text, t, labs, Map("limit" -> 10L, "offset" -> 0L))
+
+    val p279 = t.filter(col("p") === "wdt:P279")
+      .select(col("s").as("src"), col("o").as("dst"))
+    def seededArm(seed: String): org.apache.spark.sql.DataFrame = {
+      val reach = Closure.reachingTo(p279,
+        spark.range(1).select(lit(seed).as("node")))
+      t.filter(col("p") === "wdt:P31")
+        .join(reach, col("o") === col("node"), "left_semi")
+        .select(col("s").as("organization")).distinct()
+    }
+    val arms = SparqlAlgebra.patternConstO(t, "wdt:P31", "wd:Q43229", "organization")
+      .unionByName(seededArm("wd:Q3918"))
+      .unionByName(SparqlAlgebra.patternConstO(t, "wdt:P31", "wd:Q4830453", "organization"))
+      .unionByName(seededArm("wd:Q18810687"))
+    val core = arms
+      .join(SparqlAlgebra.pattern(t, "wdt:P17", "organization", "location"), Seq("organization"))
+      .filter(col("location").isin("wd:Q28513", "wd:Q131964", "wd:Q699964", "wd:Q40"))
+      .select(col("organization")).distinct().offset(0).limit(10)
+    val d1 = SparqlAlgebra.optional(core,
+      SparqlAlgebra.pattern(t, "wdt:P571", "organization", "inception_pre"))
+    val d2 = SparqlAlgebra.optional(d1,
+      SparqlAlgebra.pattern(t, "wdt:P576", "organization", "dissolvement_pre"))
+    val descDe = t.filter(col("p") === "schema:description" && col("oLang") === "de")
+      .select(col("s").as("organization"), col("o").as("descriptionDE"))
+    val descEn = t.filter(col("p") === "schema:description" && col("oLang") === "en")
+      .select(col("s").as("organization"), col("o").as("descriptionEN"))
+    val withDesc = SparqlAlgebra.optional(SparqlAlgebra.optional(d2, descDe), descEn)
+      .withColumn("description", coalesce(col("descriptionDE"), col("descriptionEN")))
+    val labeled = SparqlAlgebra.labelService(withDesc, labs,
+      "organization", "organizationLabel", Seq("de", "en"))
+    val hand = labeled
+      .groupBy(col("organization"), col("organizationLabel"), col("description"))
+      .agg(concat_ws(" ", sort_array(collect_set(col("inception_pre")))).as("inception"),
+        concat_ws(" ", sort_array(collect_set(col("dissolvement_pre")))).as("dissolvement"))
+      .select(col("organization").as("id"), col("organizationLabel"),
+        col("description"), col("inception"), col("dissolvement"))
+
+    assert(parsed.columns.toSeq == hand.columns.toSeq)
+    assert(rows(parsed) == rows(hand))
+    assert(rows(parsed) == Set(
+      Seq("O1", "OrgEins", "VereinDE", "1900 1905", "1990"),
+      Seq("O2", "O2", "uniEN", "", ""),
+      Seq("O4", "OrgFour", null, "1950", "")))
+  }
+
   test("comparison operators and distinct") {
     val q =
       """SELECT DISTINCT ?s WHERE {
