@@ -125,6 +125,23 @@ object RdfIO {
     chunks.flatMap(doc => TurtleParser.parse(doc, namedGraph))
   }
 
+  /** S9 (Turtle flavor): folder tree of .ttl documents → quads, one parse
+    * task per file. The reference walks a folder and loads every matching
+    * RDF file into one store (enrich_via_sparql.py:12-46, configurable
+    * extension); wholetext keeps each document intact for the full-grammar
+    * parse and the file count is the parallelism unit. */
+  def readTurtleFiles(spark: SparkSession, path: String, ext: String = "ttl",
+                      defaultGraph: String = ""): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*.$ext")
+      .textFile(path)
+      .filter(_.nonEmpty)
+      .flatMap(doc => TurtleParser.parse(doc, defaultGraph))
+  }
+
   /** Read back a `writeTurtle` layout (or any directory of Turtle bodies
     * sharing one prefix header). The header is tiny (bounded by the prefix
     * table, not the data) so collecting it driver-side is scale-safe; the

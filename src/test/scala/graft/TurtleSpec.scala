@@ -172,6 +172,62 @@ class TurtleSpec extends SparkSpec {
     assert(back == quads.toSet)
   }
 
+  test("S9: folder tree of .ttl files parses recursively, one doc per file") {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get("target/tmp/turtle-tree")
+    val sub = root.resolve("nested")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(root.resolve("a.ttl"),
+      "@prefix x: <http://x/> .\nx:s1 x:p \"one\"@de .\n")
+    java.nio.file.Files.writeString(sub.resolve("b.ttl"),
+      "<http://x/s2> <http://x/p> <http://x/o2> .\n")
+    java.nio.file.Files.writeString(sub.resolve("ignored.txt"), "not rdf")
+    val quads = RdfIO.readTurtleFiles(spark, root.toString, defaultGraph = "urn:g")
+      .collect().toSet
+    assert(quads == Set(
+      Quad("urn:g", "http://x/s1", "http://x/p", "one", oType = "literal", oLang = "de"),
+      Quad("urn:g", "http://x/s2", "http://x/p", "http://x/o2")))
+  }
+
+  test("property: writer blocks round-trip through the parser on arbitrary quads") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[T](g: Gen[T], n: Int = 25)(f: T => Unit): Unit =
+      (0 until n).foreach { i =>
+        g.apply(Gen.Parameters.default, Seed(1000L + i)).foreach(f)
+      }
+    val iri = Gen.oneOf(
+      "http://www.cidoc-crm.org/cidoc-crm/E21",
+      "http://www.cidoc-crm.org/cidoc-crm/a+b.c",
+      "http://other.example/x#frag", "urn:q:1")
+    val lit: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr.map(_.take(30)),
+      Gen.const("say \"hi\" \\ and\nnewline\ttab"),
+      Gen.const("üñïçødé ✓"),
+      Gen.const(""))
+    val quad: Gen[Quad] = for {
+      s <- Gen.oneOf(iri, Gen.const("_:s7"))
+      p <- iri
+      kind <- Gen.oneOf("iri", "literal", "bnode")
+      o <- if (kind == "iri") iri else if (kind == "bnode") Gen.const("_:b1") else lit
+      flavor <- Gen.oneOf(0, 1, 2) // plain / lang / datatype
+      dt <- iri
+    } yield kind match {
+      case "literal" if flavor == 1 => Quad("", s, p, o, "literal", "de", null)
+      case "literal" if flavor == 2 => Quad("", s, p, o, "literal", null, dt)
+      case k => Quad("", s, p, o, if (k == "literal") "literal" else k)
+    }
+    forAll(Gen.listOfN(12, quad)) { qs =>
+      val distinct = qs.distinct
+      val doc = RdfIO.turtleHeader(RdfIO.defaultPrefixes) +
+        distinct.groupBy(_.s).map { case (s, group) =>
+          RdfIO.turtleBlock(s, group, RdfIO.defaultPrefixes)
+        }.mkString("\n")
+      assert(TurtleParser.parse(doc).toSet == distinct.toSet, s"\ndoc was:\n$doc")
+    }
+  }
+
   test("round-trip survives PN_LOCAL specials in compacted IRIs") {
     import spark.implicits._
     // '+' must be backslash-escaped in PN_LOCAL; space forces <iri> fallback
