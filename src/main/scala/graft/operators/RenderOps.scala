@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.plans.TripleStore
@@ -10,6 +10,24 @@ import graft.plans.TripleStore
   * correlated pattern (J10), and max-objects truncation (D7).
   */
 object RenderOps {
+
+  /** One (s, p, o) triple as a struct — the unit of the fused render
+    * generators below. */
+  private def triple(s: Column, p: String, o: Column): Column =
+    struct(s.as("s"), lit(p).as("p"), o.as("o"))
+
+  /** Conditional triple: null when the gate fails (array_compact drops it). */
+  private def gated(cond: Column, s: Column, p: String, o: Column): Column =
+    when(cond, triple(s, p, o))
+
+  /** Fused render: emit each row's conditional triples in ONE generator
+    * pass. A k-way union of per-arm selections re-reads the source k times
+    * and recomputes shared aggregates per arm (Spark does not dedup common
+    * subtrees across union arms) — explode(array_compact(...)) keeps every
+    * render at one scan + one Generate regardless of arm count. */
+  private def emit(base: DataFrame, triples: Column*): DataFrame =
+    base.select(explode(array_compact(array(triples: _*))).as("q"))
+      .select(col("q.s"), col("q.p"), col("q.o"))
 
   /** G3: person-place relation render — relation-type ids 595/596 map to
     * birth/death events, everything else to a generic event with
@@ -23,19 +41,12 @@ object RenderOps {
     val rel = pmod(col("o_orderkey"), lit(7))
     val base = o.select(person.as("person"), place.as("place"),
       event.as("event"), rel.as("rel"))
-    val birth = base.filter(col("rel") === 0).select(
-      col("person").as("s"), lit("was_born_at").as("p"), col("place").as("o"))
-    val death = base.filter(col("rel") === 1).select(
-      col("person").as("s"), lit("died_at").as("p"), col("place").as("o"))
-    val generic = base.filter(col("rel") >= 2)
-    birth
-      .unionByName(death)
-      .unionByName(generic.select(col("event").as("s"), lit("type").as("p"),
-        lit("E5_Event").as("o")))
-      .unionByName(generic.select(col("event").as("s"), lit("participant").as("p"),
-        col("person").as("o")))
-      .unionByName(generic.select(col("event").as("s"), lit("took_place_at").as("p"),
-        col("place").as("o")))
+    emit(base,
+      gated(col("rel") === 0, col("person"), "was_born_at", col("place")),
+      gated(col("rel") === 1, col("person"), "died_at", col("place")),
+      gated(col("rel") >= 2, col("event"), "type", lit("E5_Event")),
+      gated(col("rel") >= 2, col("event"), "participant", col("person")),
+      gated(col("rel") >= 2, col("event"), "took_place_at", col("place")))
   }
 
   /** G4: person-person relation render — predicate family chosen by
@@ -105,15 +116,14 @@ object RenderOps {
     val o = Tables.orders(s, dir)
     val roles = o.select(pmod(col("o_orderkey"), lit(40)).cast("int").as("rid")).distinct()
     val role = concat(lit("personrole."), col("rid").cast("string"))
-    val labels = roles.select(role.as("s"), lit("label").as("p"),
-      concat(lit("role_"), col("rid").cast("string")).as("o"))
     val pushes = roles.filter(col("rid") >= 20)
       .select(lit("worklist.personrole").as("s"), lit("push").as("p"),
         concat(lit("personrole."), pmod(col("rid"), lit(5)).cast("string")).as("o"))
       .distinct()
-    val actorType = roles.filter(col("rid") < 20)
-      .select(role.as("s"), lit("type").as("p"), lit("Actor_Role").as("o"))
-    labels.unionByName(pushes).unionByName(actorType)
+    emit(roles,
+      triple(role, "label", concat(lit("role_"), col("rid").cast("string"))),
+      gated(col("rid") < 20, role, "type", lit("Actor_Role")))
+      .unionByName(pushes)
   }
 
   /** G7: organization render gated on `len(date_written) >= 4`
@@ -143,32 +153,26 @@ object RenderOps {
     val app = concat(lit("groupappellation."), col("id"))
     val gStart = col("start_written").isNotNull && length(col("start_written")) >= 4
     val gEnd = col("end_written").isNotNull && length(col("end_written")) >= 4
-    Seq(
-      base.select(org.as("s"), lit("type").as("p"), lit("E74_Group").as("o")),
-      base.select(org.as("s"), lit("type").as("p"), lit("Group").as("o")),
-      base.select(org.as("s"), lit("sameAs").as("p"),
-        concat(lit("http://base/entity/"), col("id")).as("o")),
-      base.select(org.as("s"), lit("P1_is_identified_by").as("p"), app.as("o")),
-      base.select(app.as("s"), lit("label").as("p"), col("name").as("o")),
-      base.select(app.as("s"), lit("type").as("p"),
-        lit("E33_E41_Linguistic_Appellation").as("o")),
-      base.filter(gStart).select(concat(lit("groupstart."), col("id")).as("s"),
-        lit("type").as("p"), lit("E63_Beginning_of_Existence").as("o")),
-      base.filter(gStart).select(concat(lit("groupstart."), col("id")).as("s"),
-        lit("P92_brought_into_existence").as("p"), org.as("o")),
-      base.filter(gStart && col("has_parsed"))
-        .select(concat(lit("groupstart."), col("id")).as("s"),
-          lit("P4_has_time-span").as("p"),
-          concat(lit("groupstart.timespan."), col("id")).as("o")),
-      base.filter(gEnd).select(concat(lit("groupend."), col("id")).as("s"),
-        lit("type").as("p"), lit("E64_End_of_Existence").as("o")),
-      base.filter(gEnd).select(concat(lit("groupend."), col("id")).as("s"),
-        lit("P93_took_out_of_existence").as("p"), org.as("o")),
-      base.filter(gEnd && col("has_parsed"))
-        .select(concat(lit("groupend."), col("id")).as("s"),
-          lit("P4_has_time-span").as("p"),
-          concat(lit("groupend.timespan."), col("id")).as("o"))
-    ).reduce(_ unionByName _)
+    // Pre-fusion this was a 12-way union: 18 scans + the span aggregate
+    // recomputed 6× (.explain evidence); fused it is 2 scans, 1 shuffle,
+    // 1 Generate.
+    val gs = concat(lit("groupstart."), col("id"))
+    val ge = concat(lit("groupend."), col("id"))
+    emit(base,
+      triple(org, "type", lit("E74_Group")),
+      triple(org, "type", lit("Group")),
+      triple(org, "sameAs", concat(lit("http://base/entity/"), col("id"))),
+      triple(org, "P1_is_identified_by", app),
+      triple(app, "label", col("name")),
+      triple(app, "type", lit("E33_E41_Linguistic_Appellation")),
+      gated(gStart, gs, "type", lit("E63_Beginning_of_Existence")),
+      gated(gStart, gs, "P92_brought_into_existence", org),
+      gated(gStart && col("has_parsed"), gs, "P4_has_time-span",
+        concat(lit("groupstart.timespan."), col("id"))),
+      gated(gEnd, ge, "type", lit("E64_End_of_Existence")),
+      gated(gEnd, ge, "P93_took_out_of_existence", org),
+      gated(gEnd && col("has_parsed"), ge, "P4_has_time-span",
+        concat(lit("groupend.timespan."), col("id"))))
   }
 
   /** G8: organization-place relation (get_data_apis_vanilla.py:677-696):
@@ -209,23 +213,24 @@ object RenderOps {
     val eventRole = concat(lit("personplace.eventrole."), col("id"))
     val event = concat(lit("event."), col("id"))
     val roleTypes = base.select(col("roletype"), col("relLabel")).distinct()
-    Seq(
-      base.select(eventRole.as("s"), lit("inheres_in").as("p"), col("person").as("o")),
-      base.select(eventRole.as("s"), lit("type").as("p"), col("roletype").as("o")),
-      roleTypes.select(col("roletype").as("s"), lit("subClassOf").as("p"),
-        lit("Event_Role").as("o")),
-      roleTypes.select(col("roletype").as("s"), lit("label").as("p"),
-        col("relLabel").as("o")),
-      base.select(event.as("s"), lit("had_participant_in_role").as("p"), eventRole.as("o")),
-      base.select(event.as("s"), lit("type").as("p"), lit("E5_Event").as("o")),
-      base.select(eventRole.as("s"), lit("label").as("p"), col("relLabel").as("o")),
-      base.select(event.as("s"), lit("label").as("p"),
-        concat(col("personLabel"), lit(" "), col("relLabel"), lit(" "),
-          col("placeLabel")).as("o")),
-      base.filter(col("has_start")).select(event.as("s"),
-        lit("P4_has_time-span").as("p"),
-        concat(lit("personplace.timespan."), col("id")).as("o"))
-    ).reduce(_ unionByName _)
+    // Per-event arms as ONE generator pass over orders (see `emit`); only
+    // the deduplicated role-type arms union in — their distinct is a
+    // genuine (tiny) aggregate of its own.
+    val perEvent = emit(base,
+      triple(eventRole, "inheres_in", col("person")),
+      triple(eventRole, "type", col("roletype")),
+      triple(event, "had_participant_in_role", eventRole),
+      triple(event, "type", lit("E5_Event")),
+      triple(eventRole, "label", col("relLabel")),
+      triple(event, "label", concat(col("personLabel"), lit(" "),
+        col("relLabel"), lit(" "), col("placeLabel"))),
+      gated(col("has_start"), event, "P4_has_time-span",
+        concat(lit("personplace.timespan."), col("id"))))
+    perEvent
+      .unionByName(roleTypes.select(col("roletype").as("s"),
+        lit("subClassOf").as("p"), lit("Event_Role").as("o")))
+      .unionByName(roleTypes.select(col("roletype").as("s"),
+        lit("label").as("p"), col("relLabel").as("o")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
