@@ -204,10 +204,25 @@ object RdfOps {
       Map("limit" -> 8L))
   }
 
+  /** SPARQL property-path e2e: `?x <within>* <R1>` goes through the text
+    * front-end — tokenizer → path AST → [[graft.plans.Closure.reachingTo]]
+    * (seeded semi-naive, the J4 plan) — over the containment edge view
+    * lifted to triples; the oracle recomputes the same fixpoint with a
+    * DuckDB recursive CTE. Proves the parsed path and the closure operator
+    * agree with an independent engine's recursion on real data. */
+  def q87SparqlPathClosure(sp: SparkSession, dir: String): DataFrame = {
+    val within = TripleStore.edges(sp, dir, withLineitems = false)
+      .select(col("src").as("s"), lit("within").as("p"), col("dst").as("o"))
+    graft.plans.SparqlText.run(
+      "SELECT DISTINCT ?x WHERE { ?x <within>* <R1> }",
+      within, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_nquad_format"     -> q79NquadFormat _,
     "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
     "q86_sparql_parse"     -> q86SparqlParse _,
+    "q87_sparql_path"      -> q87SparqlPathClosure _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
     "q16_closure_reach"    -> q16ClosureReach _,
@@ -225,6 +240,13 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q87_sparql_path" ->
+      s"""WITH RECURSIVE edges AS ($EN),
+         reach AS (
+           SELECT 'R1' AS x
+           UNION
+           SELECT e.src FROM edges e JOIN reach r ON e.dst = r.x)
+         SELECT DISTINCT x FROM reach""",
     "q86_sparql_parse" ->
       s"""WITH triples AS ($T), labels AS ($L),
          core AS (
