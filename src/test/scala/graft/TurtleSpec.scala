@@ -228,6 +228,34 @@ class TurtleSpec extends SparkSpec {
     }
   }
 
+  test("streaming TTL harvest: paged micro-batch stream → turtle parse ≡ batch twin") {
+    import spark.implicits._
+    // Each paged row becomes one Turtle chunk (prefixes + ';' list + a
+    // numeric literal) — the harvest flow's shape with the DSv2 paged
+    // source replacing the HTTP pager, one parse task per chunk.
+    def toTtl(page: Int, row: Int, payload: String): String =
+      s"@prefix e: <http://e/> .\ne:p$page-$row e:payload \"$payload\" ;\n" +
+        s"    e:page $page .\n"
+    val batch = spark.read.format("graft.sources.PagedSourceProvider")
+      .option("pages", 3).option("pageSize", 5).load()
+      .select($"page", $"row_in_page", $"payload").as[(Int, Int, String)]
+      .map((toTtl _).tupled)
+    val expected = RdfIO.parseTurtleChunks(batch, "urn:g:harvest").collect().toSet
+    assert(expected.size == 30 && expected.forall(_.g == "urn:g:harvest"))
+
+    val stream = spark.readStream.format("graft.sources.PagedSourceProvider")
+      .option("pages", 3).option("pageSize", 5).load()
+      .select($"page", $"row_in_page", $"payload").as[(Int, Int, String)]
+      .map((toTtl _).tupled)
+    val quads = RdfIO.parseTurtleChunks(stream, "urn:g:harvest")
+    val q = quads.writeStream.format("memory").queryName("ttl_harvest_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl_harvest_stream").as[Quad].collect().toSet
+    assert(got == expected)
+  }
+
   test("round-trip survives PN_LOCAL specials in compacted IRIs") {
     import spark.implicits._
     // '+' must be backslash-escaped in PN_LOCAL; space forces <iri> fallback
