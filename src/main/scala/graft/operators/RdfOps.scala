@@ -218,11 +218,43 @@ object RdfOps {
       within, TripleStore.langLabels(sp, dir))
   }
 
+  /** SPARQL CONSTRUCT e2e (G11+R2 through the text front-end): the
+    * provided-entity mint query shape
+    * (create_provided_entities_graph_v2.sparql) — `[]` existential
+    * subjects, a ';' predicate list, the OPTIONAL existing-proxy branch,
+    * the URI(CONCAT(…, STRUUID())) mint compiled to the deterministic md5
+    * surrogate, COALESCE, nested DISTINCT subselect, and a two-triple
+    * CONSTRUCT template — over the triple view lifted into the pfp
+    * namespace. The oracle recomputes the mint (md5 of the segment). */
+  def q90SparqlConstruct(sp: SparkSession, dir: String): DataFrame = {
+    val t = TripleStore.triples(sp, dir)
+      .select(col("s"), concat(lit("http://pfp/"), col("p")).as("p"), col("o"))
+    val text =
+      """PREFIX pfp: <http://pfp/>
+        |CONSTRUCT {
+        |  ?c pfp:proxy_for ?pfp_uri .
+        |  ?pfp_uri pfp:type pfp:provided_entity .
+        |}
+        |WHERE {
+        |  {
+        |    SELECT DISTINCT ?sa ?pfp_uri WHERE {
+        |      [] pfp:segment ?sa .
+        |      OPTIONAL { [] pfp:segment ?sa ; pfp:proxy_for ?uri_exist . }
+        |      BIND (URI(CONCAT("urn:prov:", STRUUID())) AS ?uri_new)
+        |      BIND (COALESCE(?uri_exist, ?uri_new) AS ?pfp_uri)
+        |    }
+        |  }
+        |  ?c pfp:segment ?sa .
+        |}""".stripMargin
+    graft.plans.SparqlText.run(text, t, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_nquad_format"     -> q79NquadFormat _,
     "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
     "q86_sparql_parse"     -> q86SparqlParse _,
     "q87_sparql_path"      -> q87SparqlPathClosure _,
+    "q90_sparql_construct" -> q90SparqlConstruct _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
     "q16_closure_reach"    -> q16ClosureReach _,
@@ -240,6 +272,14 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q90_sparql_construct" ->
+      """WITH u AS (SELECT DISTINCT c_mktsegment AS sa,
+                    'urn:prov:'||md5(c_mktsegment) AS pfp FROM customer)
+         SELECT 'C'||CAST(c_custkey AS VARCHAR) AS s,
+                'http://pfp/proxy_for' AS p, u.pfp AS o
+         FROM customer JOIN u ON c_mktsegment = u.sa
+         UNION
+         SELECT pfp, 'http://pfp/type', 'http://pfp/provided_entity' FROM u""",
     "q87_sparql_path" ->
       s"""WITH RECURSIVE edges AS ($EN),
          reach AS (

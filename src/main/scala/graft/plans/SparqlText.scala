@@ -75,6 +75,13 @@ object SparqlText {
   final case class LangM(v: String, lang: String) extends Fil
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   final case class BindCoalesce(out: String, vars: Seq[String]) extends El
+
+  /** `BIND(URI(CONCAT("prefix", STRUUID())) AS ?v)` — the provided-entity
+    * mint (create_provided_entities_graph_v2.sparql:21). STRUUID is
+    * nondeterministic; the engine substitutes an md5 of the row's
+    * non-anonymous bound variables (R2 / SURVEY §7.3 "Nondeterminism"):
+    * one URI per distinct binding, idempotent across re-runs. */
+  final case class BindMint(out: String, prefix: String) extends El
   final case class SubSel(s: SelectQ) extends El
   final case class LabelSvc(langs: Seq[String]) extends El
 
@@ -82,6 +89,7 @@ object SparqlText {
   final case class PVar(src: String, out: String) extends ProjItem
   final case class PGroupConcat(src: String, out: String, distinct: Boolean) extends ProjItem
 
+  sealed trait Query
   final case class SelectQ(
       distinct: Boolean,
       proj: Seq[ProjItem],
@@ -89,7 +97,11 @@ object SparqlText {
       groupBy: Seq[String],
       orderBy: Option[String],
       limit: Option[Either[Long, String]],
-      offset: Option[Either[Long, String]])
+      offset: Option[Either[Long, String]]) extends Query
+
+  /** `CONSTRUCT { templates } WHERE { … }` — emits one (s, p, o) row per
+    * template triple per solution, set-deduplicated (graph semantics). */
+  final case class ConstructQ(templates: Seq[Tp], where: Seq[El]) extends Query
 
   // ---------- tokens ----------
 
@@ -113,7 +125,7 @@ object SparqlText {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}().,;*/".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
+      else if ("{}()[].,;*/".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
       else if (c == '?' || c == '$') {
         val start = i + 1
         i += 1
@@ -170,7 +182,7 @@ object SparqlText {
 
   // ---------- parser ----------
 
-  def parse(query: String): SelectQ = new P(tokenize(query)).selectQuery(top = true)
+  def parse(query: String): Query = new P(tokenize(query)).query()
 
   private final class P(toks: Vector[Tok]) {
     private var i = 0
@@ -192,6 +204,57 @@ object SparqlText {
     private def varName(): String = next() match {
       case TVar(v) => v
       case t => fail(s"expected variable, got $t")
+    }
+
+    // PREFIX declarations from the prologue; pnames with a declared prefix
+    // resolve to full IRIs, undeclared ones stay textual (the symbol-space
+    // convention the round-1/2 queries use).
+    private val prefixes = scala.collection.mutable.Map[String, String]()
+    private var anonN = 0
+    private def freshAnon(): String = { anonN += 1; s"__anon$anonN" }
+    private def resolvePname(v: String): String = {
+      val idx = v.indexOf(':')
+      val (pfx, local) = (v.substring(0, idx), v.substring(idx + 1))
+      prefixes.get(pfx).map(_ + local).getOrElse(v)
+    }
+
+    /** Top entry: prologue then SELECT or CONSTRUCT. */
+    def query(): Query = {
+      var go = true
+      while (go && !eof) {
+        if (isKw(peek, "PREFIX")) {
+          i += 1
+          val name = next() match {
+            case TPname(p) if p.endsWith(":") => p.dropRight(1)
+            case TPname(p) => p.takeWhile(_ != ':')
+            case TIdent(w) => w
+            case t => fail(s"expected prefix name, got $t")
+          }
+          // the ':' may have been folded into the pname token or stand alone
+          if (peek == TPunct(":")) i += 1
+          val iri = next() match {
+            case TIri(v) => v
+            case t => fail(s"expected prefix IRI, got $t")
+          }
+          prefixes(name) = iri
+        } else go = false
+      }
+      if (isKw(peek, "CONSTRUCT")) constructQuery()
+      else selectQuery(top = true)
+    }
+
+    private def constructQuery(): ConstructQ = {
+      expectKw("CONSTRUCT")
+      expectPunct("{")
+      val templates = Vector.newBuilder[Tp]
+      while (peek != TPunct("}")) {
+        if (peek == TPunct(".")) i += 1
+        else templates ++= triplePatterns()
+      }
+      expectPunct("}")
+      expectKw("WHERE")
+      val where = group()
+      ConstructQ(templates.result(), where)
     }
 
     def selectQuery(top: Boolean): SelectQ = {
@@ -279,7 +342,7 @@ object SparqlText {
         case t if isKw(t, "VALUES") => i += 1; els += valuesEl()
         case t if isKw(t, "BIND") => i += 1; els += bindEl()
         case t if isKw(t, "SERVICE") => i += 1; els += serviceEl()
-        case _ => els += triplePattern()
+        case _ => els ++= triplePatterns()
       }
       els.result()
     }
@@ -334,19 +397,36 @@ object SparqlText {
       ValuesEl(v, vals.result())
     }
 
-    /** `BIND(COALESCE(?a, ?b, …) as ?c)` */
-    private def bindEl(): BindCoalesce = {
+    /** `BIND(COALESCE(?a, ?b, …) AS ?c)` or
+      * `BIND(URI(CONCAT("prefix", STRUUID())) AS ?c)`. */
+    private def bindEl(): El = {
       expectPunct("(")
-      expectKw("COALESCE")
-      expectPunct("(")
-      val vars = Vector.newBuilder[String]
-      vars += varName()
-      while (peek == TPunct(",")) { i += 1; vars += varName() }
+      val el: El =
+        if (isKw(peek, "COALESCE")) {
+          i += 1
+          expectPunct("(")
+          val vars = Vector.newBuilder[String]
+          vars += varName()
+          while (peek == TPunct(",")) { i += 1; vars += varName() }
+          expectPunct(")")
+          expectKw("AS")
+          BindCoalesce(varName(), vars.result())
+        } else if (isKw(peek, "URI")) {
+          i += 1
+          expectPunct("("); expectKw("CONCAT"); expectPunct("(")
+          val prefix = next() match {
+            case TStr(s, _) => s
+            case t => fail(s"expected prefix string in CONCAT, got $t")
+          }
+          expectPunct(","); expectKw("STRUUID")
+          expectPunct("("); expectPunct(")")
+          expectPunct(")") // CONCAT
+          expectPunct(")") // URI
+          expectKw("AS")
+          BindMint(varName(), prefix)
+        } else fail(s"unsupported BIND expression: $peek")
       expectPunct(")")
-      expectKw("AS")
-      val out = varName()
-      expectPunct(")")
-      BindCoalesce(out, vars.result())
+      el
     }
 
     /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }` */
@@ -370,9 +450,14 @@ object SparqlText {
     private def term(): Term = next() match {
       case TVar(v) => V(v)
       case TIri(v) => C(v)
-      case TPname(v) => C(v)
+      case TPname(v) => C(resolvePname(v))
       case TStr(s, _) => L(s)
       case TNum(v) => L(v)
+      case TPunct("[") =>
+        // `[]` anonymous node: a fresh variable scoped to this statement —
+        // excluded from mint keys and dropped by projections
+        expectPunct("]")
+        V(freshAnon())
       case t => fail(s"expected term, got $t")
     }
 
@@ -381,7 +466,7 @@ object SparqlText {
       def step(): (String, Boolean) = {
         val p = next() match {
           case TIri(v) => v
-          case TPname(v) => v
+          case TPname(v) => resolvePname(v)
           case t => fail(s"expected path predicate, got $t")
         }
         val star = peek == TPunct("*") && { i += 1; true }
@@ -393,11 +478,21 @@ object SparqlText {
       Path(steps.result())
     }
 
-    private def triplePattern(): Tp = {
+    /** One triple statement, including `s p1 o1 ; p2 o2` predicate lists
+      * sharing the subject (the `[] a ?x ; b ?y` shape). */
+    private def triplePatterns(): Seq[Tp] = {
       val s = term()
-      val p = path()
-      val o = term()
-      Tp(s, p, o)
+      val out = Vector.newBuilder[Tp]
+      var go = true
+      while (go) {
+        out += Tp(s, path(), term())
+        if (peek == TPunct(";")) {
+          i += 1
+          // a dangling ';' before '.' or '}' ends the list
+          if (peek == TPunct(".") || peek == TPunct("}")) go = false
+        } else go = false
+      }
+      out.result()
     }
   }
 
@@ -410,14 +505,39 @@ object SparqlText {
     * @param labels  (entity, lang, label) for the wikibase:label service
     * @param params  values for `$limit`/`$offset`-style template parameters
     */
-  def compile(q: SelectQ, triples: DataFrame, labels: DataFrame,
-              params: Map[String, Long] = Map.empty): DataFrame =
-    compileSelect(q, triples, labels, params)
+  def compile(q: Query, triples: DataFrame, labels: DataFrame,
+              params: Map[String, Long] = Map.empty): DataFrame = q match {
+    case s: SelectQ => compileSelect(s, triples, labels, params)
+    case c: ConstructQ => compileConstruct(c, triples, labels, params)
+  }
 
   /** Parse + compile in one step. */
   def run(query: String, triples: DataFrame, labels: DataFrame,
           params: Map[String, Long] = Map.empty): DataFrame =
     compile(parse(query), triples, labels, params)
+
+  /** CONSTRUCT: one (s, p, o) row per template triple per solution; the
+    * output is a graph, so set semantics (distinct) apply (G11 — the
+    * rdflib Graph.add idempotence the reference relies on). All template
+    * arms project the same solution set, so this is the fused-generator
+    * shape: k small selects over ONE compiled WHERE plan. */
+  private def compileConstruct(q: ConstructQ, triples: DataFrame,
+                               labels: DataFrame,
+                               params: Map[String, Long]): DataFrame = {
+    val (bound, _) = compileGroup(q.where, triples, labels, params)
+    def termCol(t: Term): Column = t match {
+      case V(v) => col(v)
+      case C(v) => lit(v)
+      case L(v) => lit(v)
+    }
+    q.templates.map { tp =>
+      val p = tp.p.steps match {
+        case Seq((pv, false)) => lit(pv)
+        case other => sys.error(s"CONSTRUCT template predicates must be simple: $other")
+      }
+      bound.select(termCol(tp.s).as("s"), p.as("p"), termCol(tp.o).as("o"))
+    }.reduce(_ unionByName _).distinct()
+  }
 
   private def resolve(v: Either[Long, String], params: Map[String, Long]): Long =
     v match {
@@ -530,6 +650,15 @@ object SparqlText {
       case BindCoalesce(out, vars) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
         acc = Some(a.withColumn(out, coalesce(vars.map(col): _*)))
+      case BindMint(out, prefix) =>
+        // STRUUID surrogate: md5 of the row's non-anonymous bound variables
+        // (sorted for stability) — one URI per distinct binding, stable
+        // across re-runs (R2 / SURVEY §7.3); anonymous `[]` vars are
+        // existential scaffolding and excluded from the key.
+        val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
+        val keyCols = a.columns.filterNot(_.startsWith("__anon")).sorted.map(col)
+        acc = Some(a.withColumn(out,
+          concat(lit(prefix), md5(concat_ws("|", keyCols: _*)))))
       case _: Cmp => // group-wide; applied below once all vars are bound
       case _: ValuesEl => // group-wide; applied below
       case _: LangM => // attached to its binding pattern above

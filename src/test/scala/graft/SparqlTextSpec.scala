@@ -334,6 +334,81 @@ class SparqlTextSpec extends SparkSpec {
       Seq("O4", "OrgFour", null, "1950", "")))
   }
 
+  test("create_provided_entities_graph_v2.sparql (CONSTRUCT, [], ';' lists, PREFIX, STRUUID mint) ≡ hand compilation") {
+    // entities E1/E2 share SA1 (no existing proxy → one minted URI fanned
+    // back to both); E3's SA2 already has a proxy (E3 itself carries
+    // proxy_for) → COALESCE keeps it
+    val owl = "http://www.w3.org/2002/07/owl#sameAs"
+    val pfpProxy = "http://pfp-schema.acdh.oeaw.ac.at/schema#proxy_for"
+    val t = Seq[(String, String, String, Option[String])](
+      ("E1", owl, "SA1", None), ("E2", owl, "SA1", None),
+      ("E3", owl, "SA2", None), ("E3", pfpProxy, "EXIST1", None)
+    ).toDF("s", "p", "o", "oLang")
+    val labs = Seq.empty[(String, String, String)].toDF("entity", "lang", "label")
+    val text =
+      """PREFIX owl2: <http://www.w3.org/2002/07/owl#>
+        |PREFIX pfp: <http://pfp-schema.acdh.oeaw.ac.at/schema#>
+        |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |CONSTRUCT {
+        |  ?entity pfp:proxy_for ?pfp_uri .
+        |  ?pfp_uri rdf:type pfp:provided_entity .
+        |}
+        |WHERE {
+        |  {
+        |    SELECT DISTINCT ?entity ?pfp_uri
+        |WHERE {
+        |      {
+        |        SELECT DISTINCT ?sa_uri ?pfp_uri
+        |WHERE {
+        |          [] owl2:sameAs ?sa_uri .
+        |          OPTIONAL {
+        |        [] owl2:sameAs ?sa_uri ;
+        |        pfp:proxy_for ?uri_exist .
+        |  }
+        |      BIND (URI(CONCAT("https://pfp.acdh.oeaw.ac.at/provided_entity/", STRUUID())) AS ?uri_new)
+        |      BIND (COALESCE(?uri_exist, ?uri_new) AS ?pfp_uri)
+        |        }
+        |      }
+        |      ?entity owl2:sameAs ?sa_uri .
+        |    }
+        |  }
+        |}""".stripMargin
+    val parsed = SparqlText.run(text, t, labs)
+
+    // hand compilation: mint per (sa_uri, uri_exist) binding with the same
+    // md5 surrogate; existing proxy wins via coalesce; fan back on sameAs
+    val sa = SparqlAlgebra.pattern(t, owl, "anon_a", "sa_uri").drop("anon_a")
+    val exist = SparqlAlgebra.bgp(Seq(
+      SparqlAlgebra.pattern(t, owl, "anon_b", "sa_uri"),
+      SparqlAlgebra.pattern(t, pfpProxy, "anon_b", "uri_exist"))).drop("anon_b")
+    val inner = SparqlAlgebra.optional(sa, exist)
+    val minted = inner.withColumn("uri_new",
+        concat(lit("https://pfp.acdh.oeaw.ac.at/provided_entity/"),
+          md5(concat_ws("|", col("sa_uri"), col("uri_exist")))))
+      .withColumn("pfp_uri", coalesce(col("uri_exist"), col("uri_new")))
+      .select(col("sa_uri"), col("pfp_uri")).distinct()
+    val outer = minted
+      .join(SparqlAlgebra.pattern(t, owl, "entity", "sa_uri"), Seq("sa_uri"))
+      .select(col("entity"), col("pfp_uri")).distinct()
+    val hand = outer.select(col("entity").as("s"),
+        lit(pfpProxy).as("p"), col("pfp_uri").as("o"))
+      .unionByName(outer.select(col("pfp_uri").as("s"),
+        lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").as("p"),
+        lit("http://pfp-schema.acdh.oeaw.ac.at/schema#provided_entity").as("o")))
+      .distinct()
+
+    assert(parsed.columns.toSeq == Seq("s", "p", "o"))
+    assert(rows(parsed) == rows(hand))
+    val byS = parsed.collect().map(r => (r.getString(0), r.getString(2))).toMap
+    // E1 and E2 share one minted URI; E3 keeps the existing proxy
+    assert(byS("E1").startsWith("https://pfp.acdh.oeaw.ac.at/provided_entity/"))
+    assert(byS("E1") == byS("E2"))
+    assert(byS("E3") == "EXIST1")
+    // both provided entities are typed
+    assert(parsed.filter(col("p") === "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+      .count() == 2)
+  }
+
   test("comparison operators and distinct") {
     val q =
       """SELECT DISTINCT ?s WHERE {
