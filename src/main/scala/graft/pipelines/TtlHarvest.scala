@@ -16,8 +16,10 @@ object TtlHarvest {
     val pages = PagedSource.drainPages(spark, fetchPage, pageSize)
     // Parse distributed — one full-Turtle parse task per page chunk, no
     // driver round-trip (the reference's rdflib `format="turtle"` parse,
-    // get_data_from_apis_instance.py:88-93; N-Triples chunks are a Turtle
-    // subset, so both wire shapes land here).
+    // get_data_from_apis_instance.py:88-93). N-Triples chunks are a Turtle
+    // subset and land here too; N-Quads (inline graph term) do NOT — those
+    // go through RdfIO.parseChunks. A malformed chunk aborts the run,
+    // exactly as rdflib's parse raises in the reference flow.
     val quads = RdfIO.parseTurtleChunks(pages, namedGraph)
     RdfIO.writeQuads(quads, outPath)
     quads

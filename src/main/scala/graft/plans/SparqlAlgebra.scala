@@ -56,13 +56,17 @@ object SparqlAlgebra {
       .withColumn("lang_rank", rank)
       .filter(col("lang_rank") > 0)
     val w = Window.partitionBy(col("entity")).orderBy(col("lang_rank"), col("label"))
+    // Internal columns use a reserved prefix: `entities` carries caller
+    // (query-variable) column names, so joining on a plain "entity" column
+    // would collide with — and drop() would destroy — a caller column of
+    // the same name.
     val picked = ranked
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("entity"), col("label").as("__svc_label"))
+      .select(col("entity").as("__svc_entity"), col("label").as("__svc_label"))
     entities
-      .join(picked, entities(entityCol) === picked("entity"), "left_outer")
-      .drop("entity")
+      .join(picked, entities(entityCol) === picked("__svc_entity"), "left_outer")
+      .drop("__svc_entity")
       .withColumn(outCol, coalesce(col("__svc_label"), col(entityCol)))
       .drop("__svc_label")
   }

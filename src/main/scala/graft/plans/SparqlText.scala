@@ -71,7 +71,11 @@ object SparqlText {
   final case class UnionEl(arms: Seq[Seq[El]]) extends El
   final case class OptEl(g: Seq[El]) extends El
   sealed trait Fil extends El
-  final case class Cmp(v: String, op: String, value: String) extends Fil
+  /** numeric=true (bare number literal) compares numerically via a double
+    * cast; typed/quoted literals compare lexicographically (the ISO-string
+    * ordering the date filters rely on). */
+  final case class Cmp(v: String, op: String, value: String,
+                       numeric: Boolean = false) extends Fil
   final case class LangM(v: String, lang: String) extends Fil
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   final case class BindCoalesce(out: String, vars: Seq[String]) extends El
@@ -368,12 +372,11 @@ object SparqlText {
         case TVar(_) =>
           val v = varName()
           val op = next() match { case TPunct(o) => o; case t2 => fail(s"expected operator, got $t2") }
-          val value = next() match {
-            case TStr(s, _) => s
-            case TNum(s) => s
+          next() match {
+            case TStr(s, _) => Cmp(v, op, s)
+            case TNum(s) => Cmp(v, op, s, numeric = true)
             case t2 => fail(s"expected literal, got $t2")
           }
-          Cmp(v, op, value)
         case t2 => fail(s"unsupported FILTER form: $t2")
       }
       expectPunct(")")
@@ -605,6 +608,7 @@ object SparqlText {
                            params: Map[String, Long]): (DataFrame, Option[Seq[String]]) = {
     val langFilters: Map[String, String] =
       els.collect { case LangM(v, lang) => v -> lang }.toMap
+    val langApplied = scala.collection.mutable.Set[String]()
     var acc: Option[DataFrame] = None
     var svc: Option[Seq[String]] = None
 
@@ -631,6 +635,7 @@ object SparqlText {
               require(pat.columns.contains("oLang"),
                 s"langmatches(lang(?$v)) needs an oLang column on the triple source")
               pat = pat.filter(col("oLang") === lang)
+              langApplied += v
             }
             projected += col("o").as(v)
           case C(v) => pat = pat.filter(col("o") === v)
@@ -667,20 +672,34 @@ object SparqlText {
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
-      case Cmp(v, op, value) =>
-        val c = col(v)
+      case Cmp(v, op, value, numeric) =>
+        val (c: Column, lt: Any) =
+          if (numeric) (col(v).cast("double"), value.toDouble) else (col(v), value)
         val pred = op match {
-          case "<" => c < value
-          case ">" => c > value
-          case "<=" => c <= value
-          case ">=" => c >= value
-          case "=" => c === value
-          case "!=" => c =!= value
+          case "<" => c < lt
+          case ">" => c > lt
+          case "<=" => c <= lt
+          case ">=" => c >= lt
+          case "=" => c === lt
+          case "!=" => c =!= lt
           case other => sys.error(s"unsupported comparison: $other")
         }
         out = out.filter(pred)
       case ValuesEl(v, vals) => out = out.filter(col(v).isin(vals: _*)) // J6
       case _ =>
+    }
+    // A langmatches filter can only compile onto the triple pattern that
+    // binds its variable IN THIS group (the pattern carries the oLang
+    // fidelity column; joined outputs do not). If the variable was bound by
+    // a nested element — OPTIONAL / UNION / subselect — the filter would
+    // otherwise be silently dropped, returning wrong rows: fail loudly,
+    // like every other unsupported construct. (Place the FILTER inside the
+    // group that binds the variable, as the reference queries do.)
+    langFilters.keys.foreach { v =>
+      if (!langApplied.contains(v))
+        sys.error(s"langmatches(lang(?$v)) must appear in the group whose " +
+          s"triple pattern binds ?$v (nested OPTIONAL/UNION/subselect " +
+          "bindings cannot be lang-filtered from the outer group)")
     }
     (out, svc)
   }

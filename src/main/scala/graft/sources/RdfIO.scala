@@ -118,18 +118,22 @@ object RdfIO {
     * line-splittable (statements span lines, prefix bindings are
     * document-scoped), so the chunk is the parallel unit, exactly the
     * reference's chunk-at-a-time `g.parse(data=chunk, format="turtle")`
-    * loop (get_data_from_apis_instance.py:88-93). Anonymous-bnode labels
-    * are seeded from a content hash so chunks can never collide. */
+    * loop (get_data_from_apis_instance.py:88-93). Blank nodes — labeled
+    * and anonymous — are scoped per chunk via a content-hash seed,
+    * matching rdflib's per-parse bnode scoping: `_:genid1` in two
+    * different chunks stays two distinct nodes. */
   def parseTurtleChunks(chunks: Dataset[String], namedGraph: String): Dataset[Quad] = {
     import chunks.sparkSession.implicits._
-    chunks.flatMap(doc => TurtleParser.parse(doc, namedGraph))
+    chunks.flatMap(doc => TurtleParser.parse(doc, namedGraph, scopeBnodeLabels = true))
   }
 
   /** S9 (Turtle flavor): folder tree of .ttl documents → quads, one parse
     * task per file. The reference walks a folder and loads every matching
     * RDF file into one store (enrich_via_sparql.py:12-46, configurable
     * extension); wholetext keeps each document intact for the full-grammar
-    * parse and the file count is the parallelism unit. */
+    * parse and the file count is the parallelism unit. Blank-node labels
+    * are scoped per file (rdflib parses each file separately — equal
+    * labels across files are distinct nodes). */
   def readTurtleFiles(spark: SparkSession, path: String, ext: String = "ttl",
                       defaultGraph: String = ""): Dataset[Quad] = {
     import spark.implicits._
@@ -139,7 +143,7 @@ object RdfIO {
       .option("pathGlobFilter", s"*.$ext")
       .textFile(path)
       .filter(_.nonEmpty)
-      .flatMap(doc => TurtleParser.parse(doc, defaultGraph))
+      .flatMap(doc => TurtleParser.parse(doc, defaultGraph, scopeBnodeLabels = true))
   }
 
   /** Read back a `writeTurtle` layout (or any directory of Turtle bodies

@@ -419,4 +419,33 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
       Set("P1", "P3", "P5", "P8"))
   }
+
+  test("bare numeric filter literals compare numerically, not lexicographically") {
+    val t = Seq(("a", "n", "9", Option.empty[String]), ("b", "n", "10", None),
+      ("c", "n", "100", None)).toDF("s", "p", "o", "oLang")
+    // lexicographically "10" < "9" — numeric semantics must keep b and c
+    val q = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v > 9) }"
+    assert(rows(SparqlText.run(q, t, labels)).map(_.head) == Set("b", "c"))
+  }
+
+  test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
+    val q =
+      """SELECT ?s ?d WHERE {
+        |  ?s wdt:P27 wd:Q40 .
+        |  OPTIONAL { ?s schema:description ?d . }
+        |  FILTER(langmatches(lang(?d), "de"))
+        |}""".stripMargin
+    val e = intercept[RuntimeException](SparqlText.run(q, triples, labels))
+    assert(e.getMessage.contains("binds ?d"))
+  }
+
+  test("a query variable named ?entity survives the label service") {
+    val q =
+      """SELECT ?entity ?entityLabel WHERE {
+        |  ?entity wdt:P27 wd:Q28513 .
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) ==
+      Set(Seq("P3", "Three"), Seq("P7", "P7")))
+  }
 }

@@ -132,6 +132,19 @@ class TurtleSpec extends SparkSpec {
       oType = "literal")))
   }
 
+  test("labeled bnodes scope per chunk (rdflib per-parse semantics) but stay verbatim in round-trips") {
+    import spark.implicits._
+    // Two chunks both naming _:genid1 — distinct nodes after a chunked parse
+    val chunks = Seq(
+      "_:genid1 <http://p> \"one\" .",
+      "_:genid1 <http://p> \"two\" .")
+    val parsed = RdfIO.parseTurtleChunks(spark.createDataset(chunks), "g").collect()
+    assert(parsed.map(_.s).distinct.length == 2)
+    assert(parsed.forall(_.s.startsWith("_:g")))
+    // writeTurtle layout read-back keeps labels verbatim (one-graph labels)
+    assert(TurtleParser.parse("_:b7 <http://p> \"x\" .").head.s == "_:b7")
+  }
+
   test("anonymous-bnode seeds keep two chunks of one graph collision-free") {
     val doc = "@prefix x: <http://x/> .\nx:s x:link [ x:v 1 ] .\n"
     val a = TurtleParser.parse(doc, "g")
