@@ -23,9 +23,10 @@ import graft.model.Quad
   *   - labeled (`_:x`) and anonymous (`[ … ]`) blank nodes, bracketed
   *     property lists, and RDF collections (expanded to first/rest/nil)
   *
-  * Not covered: TriG's `GRAPH` keyword — graph membership arrives through
-  * the `graph` parameter, mirroring the reference's named-graph context
-  * object (`combine_ttl_data`'s `Dataset.graph(context)`).
+  * TriG's `GRAPH <g> { … }` blocks are also accepted (rdflib serializes a
+  * named-graph `Dataset` — `combine_ttl_data`'s `Dataset.graph(context)` —
+  * as TriG): statements inside a block carry the block's graph, statements
+  * outside carry the `graph` parameter (the default graph).
   *
   * Distribution model: Turtle is not line-splittable (one statement may span
   * lines, and prefix bindings are document-scoped), so the parallel unit is
@@ -72,6 +73,7 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
   private var base = ""
   private val prefixes = mutable.Map[String, String]()
   private var bnodeN = 0
+  private var currentGraph = graph // overridden inside TriG GRAPH blocks
   private val out = mutable.ArrayBuffer[Quad]()
 
   // ---- low-level cursor -----------------------------------------------
@@ -119,10 +121,33 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
       else if (keywordAt("@base")) { pos += 5; baseDirective(); expect('.') }
       else if (keywordAt("PREFIX")) { pos += 6; prefixDirective() }
       else if (keywordAt("BASE")) { pos += 4; baseDirective() }
+      else if (keywordAt("GRAPH")) { pos += 5; graphBlock() }
       else { triples(); expect('.') }
       skipWs()
     }
     out.toSeq
+  }
+
+  /** TriG `GRAPH <g> { triples… }`: statements inside carry the block's
+    * graph name instead of the default graph. */
+  private def graphBlock(): Unit = {
+    skipWs()
+    val g = peek match {
+      case '<' => parseIriRef()
+      case '_' if peekAt(1) == ':' => bnodeLabel()
+      case _ => pnameIri()
+    }
+    expect('{')
+    skipWs()
+    val prev = currentGraph
+    currentGraph = g
+    while (!eof && peek != '}') {
+      triples()
+      skipWs()
+      if (!eof && peek == '.') { pos += 1; skipWs() }
+    }
+    expect('}')
+    currentGraph = prev
   }
 
   private def prefixDirective(): Unit = {
@@ -184,7 +209,7 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
     var more = true
     while (more) {
       val (v, t, lang, dt) = objectTerm()
-      out += Quad(graph, s, p, v, t, lang, dt)
+      out += Quad(currentGraph, s, p, v, t, lang, dt)
       skipWs()
       if (!eof && peek == ',') pos += 1 else more = false
     }
@@ -276,10 +301,10 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
       val nodes = elems.map(_ => freshBnode())
       for (i <- elems.indices) {
         val (v, t, lang, dt) = elems(i)
-        out += Quad(graph, nodes(i), RdfNs + "first", v, t, lang, dt)
+        out += Quad(currentGraph, nodes(i), RdfNs + "first", v, t, lang, dt)
         val rest: (String, String) =
           if (i + 1 < nodes.length) (nodes(i + 1), "bnode") else (RdfNs + "nil", "iri")
-        out += Quad(graph, nodes(i), RdfNs + "rest", rest._1, rest._2)
+        out += Quad(currentGraph, nodes(i), RdfNs + "rest", rest._1, rest._2)
       }
       (nodes.head, "bnode", null, null)
     }

@@ -156,6 +156,25 @@ class TurtleSpec extends SparkSpec {
     assert(TurtleParser.parse(doc, "g") == a)
   }
 
+  test("TriG GRAPH blocks assign the block graph; outside statements keep the default") {
+    val doc =
+      """@prefix x: <http://x/> .
+        |x:outer x:p "default" .
+        |GRAPH <http://g1> {
+        |  x:a x:p "one" ;
+        |      x:q x:b .
+        |  x:c x:p "two"
+        |}
+        |GRAPH x:g2 { x:d x:p "three" . }
+        |x:after x:p "default2" .
+        |""".stripMargin
+    val quads = TurtleParser.parse(doc, "urn:default")
+    def g(o: String) = quads.find(_.o == o).get.g
+    assert(g("default") == "urn:default" && g("default2") == "urn:default")
+    assert(g("one") == "http://g1" && g("http://x/b") == "http://g1" && g("two") == "http://g1")
+    assert(g("three") == "http://x/g2")
+  }
+
   test("malformed input raises with position context") {
     val e = intercept[IllegalArgumentException](TurtleParser.parse("<http://s> <http://p> ."))
     assert(e.getMessage.contains("Turtle parse error"))
