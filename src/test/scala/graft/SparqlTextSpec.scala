@@ -439,6 +439,26 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("binds ?d"))
   }
 
+  test("fuzz: arbitrary garbage either parses or raises — never hangs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.listOfN(15, Gen.oneOf("SELECT", "WHERE", "{", "}", "(", ")", "?x",
+        "$p", "UNION", "OPTIONAL", "FILTER", "BIND", "<", ">", "\"lit\"",
+        "a:b", "*", "/", ".", ";", "CONSTRUCT", "GROUP", "BY", "LIMIT",
+        "5")).map(_.mkString(" ")),
+      Gen.const("SELECT ?x WHERE { ?x "), // truncated
+      Gen.const("SELECT ?x WHERE { { SELECT"),
+      Gen.const("CONSTRUCT { ?a <p> ") )
+    (0 until 60).foreach { i =>
+      junk.apply(Gen.Parameters.default, Seed(99L + i)).foreach { q =>
+        try { SparqlText.parse(q); () }
+        catch { case _: RuntimeException => () } // loud, typed failure
+      }
+    }
+  }
+
   test("a query variable named ?entity survives the label service") {
     val q =
       """SELECT ?entity ?entityLabel WHERE {

@@ -175,6 +175,26 @@ class TurtleSpec extends SparkSpec {
     assert(g("three") == "http://x/g2")
   }
 
+  test("fuzz: arbitrary garbage either parses or raises — never hangs or crashes the JVM") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.listOfN(20, Gen.oneOf("<", ">", "\"", "'", "{", "}", "(", ")", "[",
+        "]", ".", ";", ",", "@", "^^", "_:", "#", "\\u12", "GRAPH", "@prefix",
+        "true", "-", "1.", "\n", " ")).map(_.mkString),
+      Gen.const("<http://s> <http://p> "), // truncated statement
+      Gen.const("\"\"\"never closed"),
+      Gen.const("@prefix x: <http://x/> . x:a x:b ("),
+      Gen.const("GRAPH <g> { <a> <b> "))
+    (0 until 60).foreach { i =>
+      junk.apply(Gen.Parameters.default, Seed(7L + i)).foreach { doc =>
+        try { TurtleParser.parse(doc); () }
+        catch { case _: IllegalArgumentException => () } // loud, typed failure
+      }
+    }
+  }
+
   test("malformed input raises with position context") {
     val e = intercept[IllegalArgumentException](TurtleParser.parse("<http://s> <http://p> ."))
     assert(e.getMessage.contains("Turtle parse error"))
