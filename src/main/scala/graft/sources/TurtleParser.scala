@@ -53,10 +53,89 @@ object TurtleParser {
     new TurtleParser(doc, graph, seed, scopeBnodeLabels).parseAll()
   }
 
-  /** Deterministic per-document bnode namespace (md5 prefix of content). */
+  /** Deterministic per-document bnode namespace (full md5 of content).
+    * Uses all 16 digest bytes: a truncated seed risks birthday collisions
+    * at harvest scale (~77k chunks would give ~50% odds at 32 bits),
+    * silently merging blank nodes that rdflib's per-parse scoping keeps
+    * distinct. */
   def contentSeed(doc: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(doc.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    d.digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** RFC 3986 §5 reference resolution (the semantics rdflib applies when
+    * resolving relative IRIs against `@base` —
+    * get_data_from_apis_instance.py:78-94 hands chunks to rdflib, whose
+    * parser does full merge + remove_dot_segments). Implemented directly
+    * from the spec rather than via java.net.URI: URI follows RFC 2396 and
+    * throws on characters that are legal in IRIs, and this function must
+    * be total (the fuzz contract allows only typed parse errors). */
+  def resolveRef(base: String, ref: String): String = {
+    val b = splitIri(base)
+    val r = splitIri(ref)
+    val t =
+      if (r.scheme != null) r.copy(path = removeDotSegments(r.path))
+      else if (r.authority != null)
+        r.copy(scheme = b.scheme, path = removeDotSegments(r.path))
+      else if (r.path.isEmpty) {
+        val q = if (r.query != null) r.query else b.query
+        b.copy(query = q, fragment = r.fragment)
+      } else {
+        val merged =
+          if (r.path.startsWith("/")) r.path
+          else if (b.authority != null && b.path.isEmpty) "/" + r.path
+          else b.path.substring(0, b.path.lastIndexOf('/') + 1) + r.path
+        IriParts(b.scheme, b.authority, removeDotSegments(merged), r.query, r.fragment)
+      }
+    t.render
+  }
+
+  private case class IriParts(scheme: String, authority: String, path: String,
+                              query: String, fragment: String) {
+    def render: String = {
+      val sb = new StringBuilder
+      if (scheme != null) sb.append(scheme).append(':')
+      if (authority != null) sb.append("//").append(authority)
+      sb.append(path)
+      if (query != null) sb.append('?').append(query)
+      if (fragment != null) sb.append('#').append(fragment)
+      sb.toString
+    }
+  }
+
+  /** RFC 3986 appendix-B split; the regex cannot fail, so this is total. */
+  private val IriRe =
+    "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+
+  private def splitIri(s: String): IriParts = s match {
+    case IriRe(sch, auth, path, q, frag) =>
+      IriParts(sch, auth, if (path == null) "" else path, q, frag)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(path: String): String = {
+    var in = path
+    val out = new StringBuilder
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut >= 0) cut else 0)
+      }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', from)
+        val seg = if (next >= 0) in.substring(0, next) else in
+        out.append(seg)
+        in = if (next >= 0) in.substring(next) else ""
+      }
+    }
+    out.toString
   }
 
   private val DoubleRe =
@@ -132,6 +211,7 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
     * graph name instead of the default graph. */
   private def graphBlock(): Unit = {
     skipWs()
+    if (eof) err("expected graph name")
     val g = peek match {
       case '<' => parseIriRef()
       case '_' if peekAt(1) == ':' => bnodeLabel()
@@ -191,7 +271,9 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
       skipWs()
       if (!eof && peek == ';') {
         while (!eof && peek == ';') { pos += 1; skipWs() }
-        if (eof || peek == '.' || peek == ']') done = true
+        // a dangling ';' may be followed by '.', ']', or — inside a TriG
+        // GRAPH block — the closing '}'
+        if (eof || peek == '.' || peek == ']' || peek == '}') done = true
       } else done = true
     }
   }
@@ -256,7 +338,8 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
   private val AbsoluteIri = "^[A-Za-z][A-Za-z0-9+.-]*:.*".r
 
   private def resolve(iri: String): String =
-    if (base.isEmpty || AbsoluteIri.matches(iri)) iri else base + iri
+    if (base.isEmpty || AbsoluteIri.matches(iri)) iri
+    else TurtleParser.resolveRef(base, iri)
 
   private def isPnChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
@@ -361,6 +444,7 @@ final class TurtleParser(input: String, graph: String, bnodeSeed: String,
     } else if (!eof && peek == '^' && peekAt(1) == '^') {
       pos += 2
       skipWs()
+      if (eof) err("expected datatype")
       val dt = if (peek == '<') parseIriRef() else pnameIri()
       (lex, "literal", null, dt)
     } else (lex, "literal", null, null)

@@ -308,6 +308,53 @@ class TurtleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("RFC-3986 base resolution: dot segments, absolute paths, network refs, fragments") {
+    val doc =
+      """@base <http://ex.org/a/b/c> .
+        |<d> <./e> <../f> .
+        |<g> </root> <//other.org/z> .
+        |<h> <#frag> <?q=1> .
+        |<../../../up> <i> <j> .
+        |""".stripMargin
+    val got = p(doc)
+    assert(got == Set(
+      // merge drops the base's last segment ('c'); '..' climbs one more
+      Quad("", "http://ex.org/a/b/d", "http://ex.org/a/b/e", "http://ex.org/a/f"),
+      Quad("", "http://ex.org/a/b/g", "http://ex.org/root", "http://other.org/z"),
+      // empty-path refs keep the base path (RFC 3986 §5.3)
+      Quad("", "http://ex.org/a/b/h", "http://ex.org/a/b/c#frag",
+        "http://ex.org/a/b/c?q=1"),
+      // excess '..' segments stop at the root, not below it
+      Quad("", "http://ex.org/up", "http://ex.org/a/b/i", "http://ex.org/a/b/j")))
+  }
+
+  test("base resolution against an authority-only base") {
+    val doc =
+      """@base <http://ex.org> .
+        |<x> <y> <z> .
+        |""".stripMargin
+    assert(p(doc) == Set(
+      Quad("", "http://ex.org/x", "http://ex.org/y", "http://ex.org/z")))
+  }
+
+  test("EOF after '^^' and after GRAPH raise typed errors, not index bounds") {
+    for (doc <- Seq("<urn:s> <urn:p> \"x\"^^", "GRAPH")) {
+      val e = intercept[IllegalArgumentException](TurtleParser.parse(doc))
+      assert(e.getMessage.contains("Turtle parse error"))
+    }
+  }
+
+  test("TriG: dangling ';' directly before the closing '}' is grammatical") {
+    val doc =
+      """GRAPH <urn:g1> { <urn:s> <urn:p> <urn:o> ; }
+        |""".stripMargin
+    assert(p(doc) == Set(Quad("urn:g1", "urn:s", "urn:p", "urn:o")))
+  }
+
+  test("content seed uses the full 16-byte md5 (collision-safe at harvest scale)") {
+    assert(TurtleParser.contentSeed("abc").length == 32)
+  }
+
   test("round-trip survives PN_LOCAL specials in compacted IRIs") {
     import spark.implicits._
     // '+' must be backslash-escaped in PN_LOCAL; space forces <iri> fallback
