@@ -249,7 +249,54 @@ object RdfOps {
     graft.plans.SparqlText.run(text, t, TripleStore.langLabels(sp, dir))
   }
 
+  /** SPARQL FILTER connectives e2e: `&&`, `||`, `!`, parens, and a decimal
+    * numeric literal through the text front-end — the first wall a user
+    * editing the reference's own filters hits
+    * (wikidata-person-backup.sparql:9-10 has two conjoined dateTime
+    * FILTERs; merging them with `&&` or adding a numeric bound must work).
+    * Orders lift to a date/total/status triple view; both OR branches
+    * match rows by construction (statuses O/P/F all occur in the window). */
+  def q91FilterConnectives(sp: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(sp, dir)
+    val os = concat(lit("O"), o("o_orderkey").cast("string"))
+    val t = o.select(os.as("s"), lit("date").as("p"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("o"))
+      .unionByName(o.select(os.as("s"), lit("total").as("p"),
+        o("o_totalprice").cast("string").as("o")))
+      .unionByName(o.select(os.as("s"), lit("status").as("p"),
+        o("o_orderstatus").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?d ?st WHERE {
+        |  ?x <date> ?d . ?x <total> ?t . ?x <status> ?st .
+        |  FILTER(?d >= "1995-01-01" && ?d < "1995-03-01")
+        |  FILTER(?t > 100000.5 || !(?st = "F"))
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
+  /** Variable-predicate triple pattern e2e: `?x ?p2 ?o` joined to a
+    * constant pattern — Blazegraph evaluates these for the reference today
+    * (wikidata_index.py:152); the engine compiles them to an unfiltered
+    * scan with the predicate bound as a column, narrowed by the join. */
+  def q92VarPredicate(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT ?x ?p2 ?o WHERE { ?x <type> <Supplier> . ?x ?p2 ?o . }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** Mid-path stars e2e: `?x <nation>* / <region>* / <label> ?l` (stars on
+    * two non-final steps) compiles through the general closure-then-chain
+    * walk; the oracle recomputes both fixpoints with recursive CTEs and
+    * the same leading-star domain choice (nodes of the first predicate's
+    * edge relation). */
+  def q93MidPathStar(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT DISTINCT ?x ?l WHERE { ?x <nation>*/<region>*/<label> ?l }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_filter_connectives" -> q91FilterConnectives _,
+    "q92_var_predicate"      -> q92VarPredicate _,
+    "q93_midpath_star"       -> q93MidPathStar _,
     "q79_nquad_format"     -> q79NquadFormat _,
     "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
     "q86_sparql_parse"     -> q86SparqlParse _,
@@ -272,6 +319,39 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q91_filter_connectives" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                strftime(o_orderdate, '%Y-%m-%d') AS d,
+                o_orderstatus AS st
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-01-01'
+           AND strftime(o_orderdate, '%Y-%m-%d') < '1995-03-01'
+           AND (o_totalprice > 100000.5 OR NOT o_orderstatus = 'F')""",
+    "q92_var_predicate" ->
+      s"""WITH triples AS ($T)
+         SELECT t2.s AS x, t2.p AS p2, t2.o AS o
+         FROM triples t1 JOIN triples t2 ON t2.s = t1.s
+         WHERE t1.p = 'type' AND t1.o = 'Supplier'""",
+    "q93_midpath_star" ->
+      s"""WITH RECURSIVE triples AS ($T),
+         ne AS (SELECT s AS src, o AS dst FROM triples WHERE p='nation'),
+         re AS (SELECT s AS src, o AS dst FROM triples WHERE p='region'),
+         lab AS (SELECT s, o FROM triples WHERE p='label'),
+         nnodes AS (SELECT src AS n FROM ne UNION SELECT dst FROM ne),
+         nstar AS (
+           SELECT n AS x, n AS y FROM nnodes
+           UNION
+           SELECT s.x, e.dst FROM nstar s JOIN ne e ON e.src = s.y),
+         rtrans AS (
+           SELECT src AS x, dst AS y FROM re
+           UNION
+           SELECT t.x, e.dst FROM rtrans t JOIN re e ON e.src = t.y),
+         walk AS (
+           SELECT x, y FROM nstar
+           UNION
+           SELECT n.x, r.y FROM nstar n JOIN rtrans r ON r.x = n.y)
+         SELECT DISTINCT w.x AS x, l.o AS l
+         FROM walk w JOIN lab l ON l.s = w.y""",
     "q90_sparql_construct" ->
       """WITH u AS (SELECT DISTINCT c_mktsegment AS sa,
                     'urn:prov:'||md5(c_mktsegment) AS pfp FROM customer)

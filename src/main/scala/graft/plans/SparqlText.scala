@@ -17,16 +17,22 @@ import org.apache.spark.sql.functions._
   * Grammar: the subset those files use —
   *   - `SELECT [DISTINCT]` with plain vars, `(?v AS ?alias)` renames, and
   *     `(group_concat([distinct] ?v) AS ?alias)` aggregates with `GROUP BY`
-  *   - basic graph patterns (variable/IRI/pname/literal terms)
-  *   - property paths in predicate position: `p`, `p*`, `p1/p2`,
-  *     `p1/p2*` (the `wdt:P31/wdt:P279*` shapes), compiled onto the J4/J5
-  *     closure operators
+  *   - basic graph patterns (variable/IRI/pname/literal terms), including
+  *     VARIABLE predicates (`?s ?p ?o` — the predicate binds as a column
+  *     over an unfiltered scan)
+  *   - property paths in predicate position with `*` on ANY step: `p`,
+  *     `p*`, `p1/p2`, `p1/p2*` (the `wdt:P31/wdt:P279*` shapes) compile
+  *     onto the J4/J5 closure operators; mid-path stars (`p1* / p2`,
+  *     written here with spaces only because Scala nests block comments)
+  *     compile closure-then-chain via the general walk
   *   - braced groups with `UNION` chains; disconnected patterns compose by
   *     cross join (SPARQL's natural-join-of-disjoint-domains semantics) and
   *     narrow once a later pattern connects them
   *   - `OPTIONAL { … }` with inner `FILTER`s (applied before the left join,
   *     the J3 ordering)
-  *   - `FILTER(?v <op> "literal"[^^dt])` comparisons,
+  *   - `FILTER` boolean expressions: `?v <op> literal` comparisons (quoted,
+  *     typed, or signed integer/decimal/exponent numerics) composed with
+  *     `&&`, `||`, `!`, and parentheses (SPARQL 1.1 §17.2 precedence);
   *     `FILTER(langmatches(lang(?v), "tag"))` and `FILTER(LANG(?v) = "tag")`
   *   - `VALUES ?v { … }` inline membership (J6)
   *   - `BIND(COALESCE(?a, ?b, …) AS ?c)`
@@ -68,15 +74,27 @@ object SparqlText {
 
   sealed trait El
   final case class Tp(s: Term, p: Path, o: Term) extends El
+  /** Variable-predicate triple pattern `?s ?p ?o`: an unfiltered scan with
+    * the predicate bound as a column (Blazegraph evaluates these for the
+    * reference today, wikidata_index.py:152). */
+  final case class TpVar(s: Term, p: String, o: Term) extends El
   final case class UnionEl(arms: Seq[Seq[El]]) extends El
   final case class OptEl(g: Seq[El]) extends El
   sealed trait Fil extends El
+  /** Boolean FILTER expression: comparisons composed with `&&`, `||`, `!`
+    * and parenthesized sub-expressions. */
+  final case class FilterExpr(e: FExpr) extends Fil
+  final case class LangM(v: String, lang: String) extends Fil
+
+  sealed trait FExpr
   /** numeric=true (bare number literal) compares numerically via a double
     * cast; typed/quoted literals compare lexicographically (the ISO-string
     * ordering the date filters rely on). */
   final case class Cmp(v: String, op: String, value: String,
-                       numeric: Boolean = false) extends Fil
-  final case class LangM(v: String, lang: String) extends Fil
+                       numeric: Boolean = false) extends FExpr
+  final case class FAnd(l: FExpr, r: FExpr) extends FExpr
+  final case class FOr(l: FExpr, r: FExpr) extends FExpr
+  final case class FNot(e: FExpr) extends FExpr
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   final case class BindCoalesce(out: String, vars: Seq[String]) extends El
 
@@ -129,6 +147,27 @@ object SparqlText {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
+      else if (c.isDigit ||
+               ((c == '+' || c == '-') && peekAt(i + 1).isDigit) ||
+               (c == '.' && peekAt(i + 1).isDigit)) {
+        // signed integer / decimal / exponent numeric literal; a '.' not
+        // followed by a digit stays the statement terminator
+        val start = i
+        if (c == '+' || c == '-') i += 1
+        while (i < n && q.charAt(i).isDigit) i += 1
+        if (i < n && q.charAt(i) == '.' && peekAt(i + 1).isDigit) {
+          i += 1
+          while (i < n && q.charAt(i).isDigit) i += 1
+        }
+        if (i < n && (q.charAt(i) == 'e' || q.charAt(i) == 'E')) {
+          val j = if (peekAt(i + 1) == '+' || peekAt(i + 1) == '-') i + 2 else i + 1
+          if (j < n && q.charAt(j).isDigit) {
+            i = j
+            while (i < n && q.charAt(i).isDigit) i += 1
+          }
+        }
+        out += TNum(q.substring(start, i))
+      }
       else if ("{}()[].,;*/".indexOf(c) >= 0) { out += TPunct(c.toString); i += 1 }
       else if (c == '?' || c == '$') {
         val start = i + 1
@@ -147,6 +186,9 @@ object SparqlText {
         else { out += TPunct(">"); i += 1 }
       } else if (c == '=') { out += TPunct("="); i += 1 }
       else if (c == '!' && peekAt(i + 1) == '=') { out += TPunct("!="); i += 2 }
+      else if (c == '!') { out += TPunct("!"); i += 1 }
+      else if (c == '&' && peekAt(i + 1) == '&') { out += TPunct("&&"); i += 2 }
+      else if (c == '|' && peekAt(i + 1) == '|') { out += TPunct("||"); i += 2 }
       else if (c == '"') {
         val sb = new StringBuilder
         i += 1
@@ -167,10 +209,6 @@ object SparqlText {
           }
         }
         out += TStr(sb.toString, dt)
-      } else if (c.isDigit) {
-        val start = i
-        while (i < n && q.charAt(i).isDigit) i += 1
-        out += TNum(q.substring(start, i))
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (q.charAt(i).isLetterOrDigit || ":_.-".indexOf(q.charAt(i)) >= 0)) i += 1
@@ -253,7 +291,10 @@ object SparqlText {
       val templates = Vector.newBuilder[Tp]
       while (peek != TPunct("}")) {
         if (peek == TPunct(".")) i += 1
-        else templates ++= triplePatterns()
+        else templates ++= triplePatterns().map {
+          case t: Tp => t
+          case other => fail(s"CONSTRUCT templates must use constant predicates: $other")
+        }
       }
       expectPunct("}")
       expectKw("WHERE")
@@ -353,7 +394,7 @@ object SparqlText {
 
     private def filterEl(): Fil = {
       expectPunct("(")
-      val f = peek match {
+      val f: Fil = peek match {
         case t if isKw(t, "langmatches") =>
           i += 1; expectPunct("(")
           expectKw("lang"); expectPunct("(")
@@ -369,18 +410,43 @@ object SparqlText {
           expectPunct(")"); expectPunct("=")
           val lang = next() match { case TStr(s, _) => s; case t2 => fail(s"expected lang string, got $t2") }
           LangM(v, lang)
-        case TVar(_) =>
-          val v = varName()
-          val op = next() match { case TPunct(o) => o; case t2 => fail(s"expected operator, got $t2") }
-          next() match {
-            case TStr(s, _) => Cmp(v, op, s)
-            case TNum(s) => Cmp(v, op, s, numeric = true)
-            case t2 => fail(s"expected literal, got $t2")
-          }
-        case t2 => fail(s"unsupported FILTER form: $t2")
+        case _ => FilterExpr(orExpr())
       }
       expectPunct(")")
       f
+    }
+
+    // Boolean expression grammar: '||' binds loosest, then '&&', then '!'
+    // and parenthesized sub-expressions (SPARQL 1.1 §17.2 precedence).
+    private def orExpr(): FExpr = {
+      var e = andExpr()
+      while (peek == TPunct("||")) { i += 1; e = FOr(e, andExpr()) }
+      e
+    }
+    private def andExpr(): FExpr = {
+      var e = unaryExpr()
+      while (peek == TPunct("&&")) { i += 1; e = FAnd(e, unaryExpr()) }
+      e
+    }
+    private def unaryExpr(): FExpr = peek match {
+      case TPunct("!") => i += 1; FNot(unaryExpr())
+      case TPunct("(") =>
+        i += 1
+        val e = orExpr()
+        expectPunct(")")
+        e
+      case TVar(_) =>
+        val v = varName()
+        val op = next() match {
+          case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
+          case t2 => fail(s"expected comparison operator, got $t2")
+        }
+        next() match {
+          case TStr(s, _) => Cmp(v, op, s)
+          case TNum(s) => Cmp(v, op, s, numeric = true)
+          case t2 => fail(s"expected literal, got $t2")
+        }
+      case t2 => fail(s"unsupported FILTER form: $t2")
     }
 
     /** `VALUES ?v { wd:Q1 wd:Q2 … }` */
@@ -391,7 +457,10 @@ object SparqlText {
       var go = true
       while (go) next() match {
         case TPunct("}") => go = false
-        case TPname(x) => vals += x
+        // resolvePname keeps VALUES in the same symbol space as pattern
+        // terms — with a declared PREFIX the patterns bind full IRIs, so a
+        // raw pname here would silently isin-match nothing
+        case TPname(x) => vals += resolvePname(x)
         case TIri(x) => vals += x
         case TStr(x, _) => vals += x
         case TNum(x) => vals += x
@@ -482,13 +551,17 @@ object SparqlText {
     }
 
     /** One triple statement, including `s p1 o1 ; p2 o2` predicate lists
-      * sharing the subject (the `[] a ?x ; b ?y` shape). */
-    private def triplePatterns(): Seq[Tp] = {
+      * sharing the subject (the `[] a ?x ; b ?y` shape). A variable in
+      * predicate position (`?s ?p ?o`) yields a [[TpVar]]. */
+    private def triplePatterns(): Seq[El] = {
       val s = term()
-      val out = Vector.newBuilder[Tp]
+      val out = Vector.newBuilder[El]
       var go = true
       while (go) {
-        out += Tp(s, path(), term())
+        out += (peek match {
+          case TVar(_) => TpVar(s, varName(), term())
+          case _ => Tp(s, path(), term())
+        })
         if (peek == TPunct(";")) {
           i += 1
           // a dangling ';' before '.' or '}' ends the list
@@ -518,6 +591,22 @@ object SparqlText {
   def run(query: String, triples: DataFrame, labels: DataFrame,
           params: Map[String, Long] = Map.empty): DataFrame =
     compile(parse(query), triples, labels, params)
+
+  /** The reference's incremental-mode rewrite (wikidata_index.py:160-167):
+    * lines carrying `#REMOVE_INCREMENTAL` are uncommented in place and
+    * `{{INCREMENTAL_DATE}}` replaced with the supplied date, so the
+    * UNMODIFIED reference .sparql file runs in incremental mode (the P10
+    * watermark semantics — the uncommented pattern binds a modification
+    * date, the uncommented FILTER restricts to rows past the watermark).
+    * Without this rewrite the marker lines stay `#` comments, exactly as
+    * the reference's non-incremental path leaves them. */
+  def withIncremental(query: String, incrementalDate: String): String =
+    query.linesWithSeparators.map { line =>
+      if (line.contains("#REMOVE_INCREMENTAL"))
+        line.replace("#REMOVE_INCREMENTAL ", "")
+          .replace("{{INCREMENTAL_DATE}}", incrementalDate)
+      else line
+    }.mkString
 
   /** CONSTRUCT: one (s, p, o) row per template triple per solution; the
     * output is a graph, so set semantics (distinct) apply (G11 — the
@@ -642,6 +731,22 @@ object SparqlText {
           case L(v) => pat = pat.filter(col("o") === v)
         }
         join(pat.select(projected.result(): _*))
+      case TpVar(s, pv, o) =>
+        // variable predicate: unfiltered scan, p bound as a column
+        var pat = triples
+        val projected = Vector.newBuilder[Column]
+        s match {
+          case V(v) => projected += col("s").as(v)
+          case C(v) => pat = pat.filter(col("s") === v)
+          case L(v) => pat = pat.filter(col("s") === v)
+        }
+        projected += col("p").as(pv)
+        o match {
+          case V(v) => projected += col("o").as(v)
+          case C(v) => pat = pat.filter(col("o") === v)
+          case L(v) => pat = pat.filter(col("o") === v)
+        }
+        join(pat.select(projected.result(): _*))
       case Tp(s, path, o) => join(compilePath(s, path, o, triples))
       case UnionEl(arms) =>
         val dfs = arms.map(a => compileGroup(a, triples, labels, params)._1)
@@ -664,7 +769,7 @@ object SparqlText {
         val keyCols = a.columns.filterNot(_.startsWith("__anon")).sorted.map(col)
         acc = Some(a.withColumn(out,
           concat(lit(prefix), md5(concat_ws("|", keyCols: _*)))))
-      case _: Cmp => // group-wide; applied below once all vars are bound
+      case _: FilterExpr => // group-wide; applied below once all vars are bound
       case _: ValuesEl => // group-wide; applied below
       case _: LangM => // attached to its binding pattern above
       case LabelSvc(langs) => svc = Some(langs)
@@ -672,19 +777,7 @@ object SparqlText {
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
-      case Cmp(v, op, value, numeric) =>
-        val (c: Column, lt: Any) =
-          if (numeric) (col(v).cast("double"), value.toDouble) else (col(v), value)
-        val pred = op match {
-          case "<" => c < lt
-          case ">" => c > lt
-          case "<=" => c <= lt
-          case ">=" => c >= lt
-          case "=" => c === lt
-          case "!=" => c =!= lt
-          case other => sys.error(s"unsupported comparison: $other")
-        }
-        out = out.filter(pred)
+      case FilterExpr(e) => out = out.filter(compileFExpr(e))
       case ValuesEl(v, vals) => out = out.filter(col(v).isin(vals: _*)) // J6
       case _ =>
     }
@@ -702,6 +795,28 @@ object SparqlText {
           "bindings cannot be lang-filtered from the outer group)")
     }
     (out, svc)
+  }
+
+  /** FILTER expression → Column predicate. SPARQL's error-propagation
+    * semantics (an unbound var poisons the expression, excluding the row)
+    * coincide with SQL three-valued logic here: null comparisons stay null
+    * through AND/OR/NOT and filter() drops non-true rows. */
+  private def compileFExpr(e: FExpr): Column = e match {
+    case Cmp(v, op, value, numeric) =>
+      val (c: Column, lt: Any) =
+        if (numeric) (col(v).cast("double"), value.toDouble) else (col(v), value)
+      op match {
+        case "<" => c < lt
+        case ">" => c > lt
+        case "<=" => c <= lt
+        case ">=" => c >= lt
+        case "=" => c === lt
+        case "!=" => c =!= lt
+        case other => sys.error(s"unsupported comparison: $other")
+      }
+    case FAnd(l, r) => compileFExpr(l) && compileFExpr(r)
+    case FOr(l, r) => compileFExpr(l) || compileFExpr(r)
+    case FNot(x) => !compileFExpr(x)
   }
 
   /** Property-path pattern compile (J4/J5 shapes).
@@ -735,10 +850,9 @@ object SparqlText {
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
         Closure.reachingTo(edges(p), spark.range(1).select(lit(const).as("node")))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ ((p, true)), Some(const)) =>
-        // `p1/…/pk*  <c>` → chain the prefix, semi-join the reach set
-        init.foreach { case (_, star) =>
-          require(!star, s"only the final path step may be starred: $path") }
+      case (init :+ ((p, true)), Some(const)) if init.forall(!_._2) =>
+        // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
+        // the reach set
         val reach = Closure.reachingTo(edges(p),
           spark.range(1).select(lit(const).as("node")))
         val prefix = chain(init.map(_._1), triples)
@@ -755,10 +869,37 @@ object SparqlText {
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
       case _ =>
-        // star-free sequence `p1/p2/…` → chained filtered scans
-        steps.foreach { case (_, star) =>
-          require(!star, s"unsupported path shape: $path") }
-        chain(steps.map(_._1), triples).withColumnRenamed("__cur", "__b")
+        // General walk — stars at any step. A starred step applies its
+        // predicate's transitive pairs to the running relation and keeps
+        // the zero-hop rows (union); a LEADING star over a variable
+        // subject uses the edge-domain reflexive pairs (the documented
+        // var-var domain choice above). Star-free sequences reduce to the
+        // same chained filtered scans as before.
+        steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
+          val (p, star) = st
+          val e = edges(p)
+          Some(acc match {
+            case None if !star =>
+              e.select(col("src").as("__a"), col("dst").as("__cur"))
+            case None =>
+              val nodes = e.select(col("src").as("node"))
+                .unionByName(e.select(col("dst").as("node"))).distinct()
+              Closure.ancestorPairs(e)
+                .select(col("node").as("__a"), col("anc").as("__cur"))
+                .unionByName(nodes.select(col("node").as("__a"),
+                  col("node").as("__cur")))
+            case Some(r) if !star =>
+              val rn = e.select(col("src").as("__cur0"), col("dst").as("__next"))
+              r.join(rn, r("__cur") === rn("__cur0"))
+                .select(r("__a"), col("__next").as("__cur"))
+            case Some(r) =>
+              val tp = Closure.ancestorPairs(e)
+                .select(col("node").as("__cur0"), col("anc").as("__next"))
+              r.unionByName(
+                r.join(tp, r("__cur") === tp("__cur0"))
+                  .select(r("__a"), col("__next").as("__cur")))
+          })
+        }.getOrElse(sys.error("empty path")).withColumnRenamed("__cur", "__b")
     }
 
     // bind subject/object variables, filter constants

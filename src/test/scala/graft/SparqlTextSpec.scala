@@ -428,6 +428,108 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(SparqlText.run(q, t, labels)).map(_.head) == Set("b", "c"))
   }
 
+  test("FILTER boolean connectives, parens, NOT, and decimal literals") {
+    val t = Seq(
+      ("a", "n", "9.5", Option.empty[String]), ("b", "n", "10", None),
+      ("c", "n", "2", None),
+      ("a", "m", "x", None), ("b", "m", "y", None), ("c", "m", "y", None)
+    ).toDF("s", "p", "o", "oLang")
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s <n> ?v . ?s <m> ?w .
+        |  FILTER(?v > 2.5 && (?w = "y" || !(?v < 10)))
+        |}""".stripMargin
+    // a: 9.5>2.5 but w=x and !(9.5<10) is false → out; b: 10>2.5, w=y → in;
+    // c: 2>2.5 false → out
+    assert(rows(SparqlText.run(q, t, labels)).map(_.head) == Set("b"))
+  }
+
+  test("signed decimal literals tokenize and compare numerically") {
+    val t = Seq(("a", "n", "-2", Option.empty[String]), ("b", "n", "-1", None),
+      ("c", "n", "0", None)).toDF("s", "p", "o", "oLang")
+    val q = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v > -1.5) }"
+    assert(rows(SparqlText.run(q, t, labels)).map(_.head) == Set("b", "c"))
+  }
+
+  test("VALUES entries resolve declared prefixes like pattern terms") {
+    // with PREFIX declared, patterns bind full IRIs — a raw pname in VALUES
+    // would isin-match nothing (the silent-empty bug class)
+    val t = Seq(
+      ("P1", "http://w/t/P27", "http://w/Q40", Option.empty[String]),
+      ("P2", "http://w/t/P27", "http://w/Q99", None)
+    ).toDF("s", "p", "o", "oLang")
+    val q =
+      """PREFIX wd: <http://w/>
+        |PREFIX wdt: <http://w/t/>
+        |SELECT ?s WHERE { ?s wdt:P27 ?c . VALUES ?c { wd:Q40 } }""".stripMargin
+    assert(rows(SparqlText.run(q, t, labels)).map(_.head) == Set("P1"))
+  }
+
+  test("variable predicates bind p as a column and join with constant patterns") {
+    val all = SparqlText.run("SELECT ?p2 ?o WHERE { <P1> ?p2 ?o . }", triples, labels)
+    assert(rows(all) == Set(
+      Seq("wdt:P27", "wd:Q40"), Seq("wdt:P569", "1900-05-01"),
+      Seq("wdt:P570", "1980-01-01"),
+      Seq("schema:description", "Dichter"), Seq("schema:description", "poet")))
+    // joined against a constant-predicate pattern: which predicates carry
+    // each death date
+    val joined = SparqlText.run(
+      "SELECT ?s ?p2 WHERE { ?s wdt:P570 ?d . ?s ?p2 ?d . }", triples, labels)
+    assert(rows(joined) == Set(
+      Seq("P1", "wdt:P570"), Seq("P3", "wdt:P570"), Seq("P5", "wdt:P570")))
+  }
+
+  test("mid-path star compiles closure-then-chain; trailing star keeps zero-hop rows") {
+    val t = Seq(
+      ("A", "e1", "B", Option.empty[String]), ("B", "e1", "C", None),
+      ("C", "e2", "D", None), ("X", "e2", "Y", None)
+    ).toDF("s", "p", "o", "oLang")
+    // leading star: domain = e1-edge nodes (documented var-var choice)
+    val mid = SparqlText.run("SELECT ?a ?b WHERE { ?a <e1>*/<e2> ?b }", t, labels)
+    assert(rows(mid) == Set(Seq("A", "D"), Seq("B", "D"), Seq("C", "D")))
+    // trailing star over a VARIABLE object goes through the general walk:
+    // D and Y have no e1 edges, so only the zero-hop rows survive
+    val tail = SparqlText.run("SELECT ?a ?b WHERE { ?a <e2>/<e1>* ?b }", t, labels)
+    assert(rows(tail) == Set(Seq("C", "D"), Seq("X", "Y")))
+    // mid star with a constant object exercises the general walk's
+    // post-filter path
+    val konst = SparqlText.run("SELECT ?a WHERE { ?a <e1>*/<e2> <D> }", t, labels)
+    assert(rows(konst).map(_.head) == Set("A", "B", "C"))
+  }
+
+  test("#REMOVE_INCREMENTAL markers rewrite like the reference and act as the watermark") {
+    // same shape as sparql/wikidata-person-backup.sparql with its marker
+    // lines; the rewrite mirrors wikidata_index.py:160-167 verbatim
+    val text =
+      """SELECT (?item as ?id) ?date_of_birth
+        |WHERE {
+        |  {?item wdt:P27 wd:Q40 } UNION
+        |  {?item wdt:P27 wd:Q28513} UNION
+        |  {?item wdt:P27 wd:Q699964} .
+        |  ?item wdt:P569 ?date_of_birth .
+        |  ?item wdt:P570 ?date_of_death .
+        |  FILTER(?date_of_birth < "1950-01-01"^^xsd:dateTime)
+        |  #REMOVE_INCREMENTAL ?item schema:dateModified ?date_modified .
+        |  #REMOVE_INCREMENTAL FILTER(?date_modified > "{{INCREMENTAL_DATE}}"^^xsd:dateTime)
+        |  }
+        |  LIMIT $limit""".stripMargin
+    val modified = Seq(
+      ("P1", "schema:dateModified", "2024-05-01", Option.empty[String]),
+      ("P3", "schema:dateModified", "2024-03-02", None),
+      ("P5", "schema:dateModified", "2023-01-01", None)
+    ).toDF("s", "p", "o", "oLang")
+    val t2 = triples.unionByName(modified)
+    // non-incremental: markers stay comments — P1, P3, P5 qualify
+    val full = SparqlText.run(text, t2, labels, Map("limit" -> 10L))
+    assert(rows(full).map(_.head) == Set("P1", "P3", "P5"))
+    // incremental: markers uncomment, date substitutes, watermark drops P5
+    val rewritten = SparqlText.withIncremental(text, "2024-01-01")
+    assert(!rewritten.contains("REMOVE_INCREMENTAL"))
+    assert(rewritten.contains("\"2024-01-01\"^^xsd:dateTime"))
+    val inc = SparqlText.run(rewritten, t2, labels, Map("limit" -> 10L))
+    assert(rows(inc).map(_.head) == Set("P1", "P3"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
