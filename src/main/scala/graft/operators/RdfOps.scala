@@ -54,7 +54,9 @@ object RdfOps {
   /** J5: sequence + closure (wdt:P31/wdt:P279*) — ancestor pairs restricted
     * to region ancestors: (node, region) for orders/customers/nations. */
   def q17RegionAncestors(s: SparkSession, dir: String): DataFrame = {
-    Closure.ancestorPairs(TripleStore.edges(s, dir, withLineitems = false))
+    // containment edges are a forest → two-hop rounds, no per-round anti-join
+    Closure.ancestorPairs(TripleStore.edges(s, dir, withLineitems = false),
+        functionalEdges = true)
       .filter(col("anc").startsWith("R"))
       .select(col("node"), col("anc").as("region"))
   }

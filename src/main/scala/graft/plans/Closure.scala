@@ -12,15 +12,25 @@ import org.apache.spark.sql.functions._
   * empty (SURVEY.md §4.2, §7.3 "P279* closure at scale").
   *
   * Scale posture:
-  *  - `localCheckpoint` after every round cuts the lineage chain that would
-  *    otherwise grow linearly with depth (on a cluster with a checkpoint dir,
-  *    prefer reliable `checkpoint`; localCheckpoint is the local[n] analog).
+  *  - Lineage is cut after every round: with a configured checkpoint
+  *    directory (`SparkContext.setCheckpointDir` / `spark.checkpoint.dir`)
+  *    a RELIABLE checkpoint is used — the cluster posture, survives
+  *    executor loss; otherwise `localCheckpoint`, the local[n] analog.
   *  - The frontier is deduplicated before the join, so hub nodes (the
   *    reference's Q515-like classes) are joined once per round, not once per
   *    in-edge.
   *  - The edge table is reused across rounds — cache it at the call site when
   *    it is not a cheap scan.
   *  - `maxIters` guards against cycles / adversarial depth.
+  *  - Under `functionalEdges` a fixpoint still running after
+  *    `twoHopAfterRounds` rounds builds `edges ⋈ edges` once and steps TWO
+  *    hops per round, halving the remaining driver-synchronized rounds —
+  *    the dominant cost of DEEP chains. Shallow hierarchies (the reference
+  *    data is depth ≤ 4) finish before the switch and never pay the e2
+  *    build, which measures ~2× the rounds it would save there (see
+  *    docs/SCALING.md). On a forest `|edges2| ≤ |edges|`, so the
+  *    precompute cannot blow up (hub-fanout graphs can square; that is
+  *    why the general path stays single-hop).
   */
 object Closure {
 
@@ -35,6 +45,32 @@ object Closure {
     }
   }
 
+  /** Lineage cut between rounds: reliable checkpoint when the context has a
+    * checkpoint directory (the cluster posture — recomputes once to write,
+    * but survives executor loss and frees driver-block memory), else
+    * localCheckpoint. Both lazy; the caller's one action per round
+    * materializes. */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+    else df.localCheckpoint(false)
+
+  /** One-job probe: true iff every src has at most one distinct dst (the
+    * edge relation is a forest/functional relation). Lets callers that
+    * cannot promise functionality — e.g. the SPARQL text front-end handed
+    * an arbitrary predicate — VERIFY it and unlock the two-hop
+    * no-anti-join fast path. Cost: one aggregate over the edge table;
+    * saving: one anti-join shuffle per round plus half the rounds. */
+  def isFunctional(edges: DataFrame): Boolean =
+    edges.groupBy("src").agg(countDistinct("dst").as("__n"))
+      .filter(col("__n") > 1).isEmpty
+
+  /** Exactly-two-hop edges (a→c with a→b→c): the stride-2 step relation. */
+  private def twoHop(e: DataFrame): DataFrame = {
+    val r = e.select(col("src").as("__mid"), col("dst").as("__dst2"))
+    e.join(r, e("dst") === r("__mid"))
+      .select(e("src").as("src"), col("__dst2").as("dst"))
+  }
+
   /** All nodes from which some seed is reachable by following src→dst edges
     * zero or more times (reflexive: includes the seeds).
     *
@@ -43,95 +79,244 @@ object Closure {
     * @param functionalEdges set true when each src has at most one dst (a
     *   forest, e.g. containment hierarchies): the frontier then can never
     *   revisit a node, so the per-round anti-join against the accumulator —
-    *   one extra shuffle per round — is provably a no-op and is skipped.
-    *   Two seeds on the same root-path still produce overlapping frontiers,
-    *   so a single terminal distinct() (one shuffle total, not per round)
-    *   restores the documented contract; cycles (rho-shapes) are cut by
-    *   `maxIters`, also deduplicated by the terminal distinct. Leave false
-    *   for general graphs (diamonds need the per-round dedup to avoid
-    *   exponential frontier blowup, not just a final dedup).
+    *   one extra shuffle per round — is provably a no-op and is skipped,
+    *   AND the walk steps two hops per round (see object doc). Two seeds on
+    *   the same root-path still produce overlapping layers, so a single
+    *   terminal distinct() (one shuffle total, not per round) restores the
+    *   documented contract; cycles (rho-shapes) are cut by `maxIters`, also
+    *   deduplicated by the terminal distinct. Leave false for general
+    *   graphs (diamonds need the per-round dedup to avoid exponential
+    *   frontier blowup, not just a final dedup). Use [[isFunctional]] to
+    *   probe when the caller cannot promise.
     * @return DataFrame with column (node), distinct
     */
   def reachingTo(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50,
                  functionalEdges: Boolean = false,
-                 broadcastMaxRows: Long = 500000L): DataFrame = {
+                 broadcastMaxRows: Long = 500000L,
+                 twoHopAfterRounds: Int = -1): DataFrame = {
     // The edge table is probed every round — materialize it once instead of
     // re-running its scan (at cluster scale: persist(MEMORY_AND_DISK)).
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      var acc = timed("seed")(seeds.select(col("node")).distinct().localCheckpoint())
-      var accRows = acc.count()
+      if (functionalEdges)
+        reachingToFunctional(e, seeds, maxIters, broadcastMaxRows,
+          resolveSwitch(twoHopAfterRounds))
+      else reachingToGeneral(e, seeds, maxIters, broadcastMaxRows)
+    } finally { e.unpersist(blocking = false) }
+  }
+
+  private def resolveSwitch(explicit: Int): Int =
+    if (explicit >= 0) explicit else twoHopSwitch
+
+  /** Rounds of single-hop walking before a still-running functional
+    * fixpoint builds `edges ⋈ edges` and strides two hops per round.
+    * Measured at sf0.1 (q16, depth 4): the e2 build costs ~1.5-2 s — more
+    * than the two saved rounds (~0.7 s) — so shallow containment
+    * hierarchies must NOT pay it; a depth-20 chain saves ~8 driver-
+    * synchronized rounds and wins. 4 rounds ≈ the break-even depth.
+    * GRAFT_CLOSURE_TWOHOP=0 disables the switch entirely (A/B hatch);
+    * GRAFT_CLOSURE_TWOHOP=<n> overrides the threshold. */
+  private def twoHopSwitch: Int = sys.env.get("GRAFT_CLOSURE_TWOHOP") match {
+    case Some("0") => Int.MaxValue
+    case Some(n) if n.forall(_.isDigit) && n.nonEmpty => n.toInt
+    case _ => 4
+  }
+
+  private def hintIf(df: DataFrame, rows: Long, broadcastMaxRows: Long) =
+    if (rows <= broadcastMaxRows) broadcast(df) else df
+
+  /** General-graph semi-naive fixpoint: one hop per round, per-round
+    * frontier dedup and anti-join against the accumulator. */
+  private def reachingToGeneral(e: DataFrame, seeds: DataFrame, maxIters: Int,
+                                broadcastMaxRows: Long): DataFrame = {
+    var acc = timed("seed")(ckpt(seeds.select(col("node")).distinct()))
+    var accRows = acc.count()
+    var frontier = acc
+    var frontierRows = accRows
+    var i = 0
+    while (i < maxIters && frontierRows > 0) {
+      // The materializing count of the previous round gives the frontier's
+      // EXACT size, so the broadcast decision needs no stats machinery:
+      // a small frontier broadcasts (edge side streams from cache with no
+      // shuffle and no per-round sort — the dominant cost of a sort-merge
+      // plan here), a huge one falls back to a shuffle join. Same for the
+      // accumulator side of the anti-join.
+      def hinted(df: DataFrame, rows: Long) = hintIf(df, rows, broadcastMaxRows)
+      val next = timed(s"round $i ckpt") {
+        ckpt(e.join(hinted(frontier, frontierRows), e("dst") === frontier("node"))
+          .select(e("src").as("node")).distinct()
+          .join(hinted(acc, accRows), Seq("node"), "left_anti"))
+      }
+      // One action per round: count() materializes the lazy checkpoint
+      // AND answers the emptiness question (isEmpty would be a second
+      // job). acc stays a union of already-checkpointed frontiers — re-
+      // checkpointing it each round would rewrite O(total) per round.
+      frontierRows = timed(s"round $i count")(next.count())
+      acc = acc.unionByName(next)
+      accRows += frontierRows
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+
+  /** Forest fast path: no anti-join (a forest frontier can never revisit),
+    * terminal distinct for multi-seed overlap, and ADAPTIVE two-hop
+    * striding — the first `switchAfter` rounds walk single hops (shallow
+    * hierarchies finish here on the cheapest plan); a fixpoint still
+    * running then builds `edges ⋈ edges` once and steps two layers per
+    * round. A stride-2 round emits the skip layer (via `edges`) and the
+    * next frontier layer (via e2), parity-tagged in ONE checkpointed frame
+    * so a single groupBy-count action materializes the round, prices the
+    * broadcast hint, and answers emptiness. In a forest every node has a
+    * unique depth from its seed's root-path, so layers stay disjoint. */
+  private def reachingToFunctional(e: DataFrame, seeds: DataFrame, maxIters: Int,
+                                   broadcastMaxRows: Long,
+                                   switchAfter: Int): DataFrame = {
+    var e2: Option[DataFrame] = None
+    try {
+      var acc = timed("seed")(ckpt(seeds.select(col("node")).distinct()))
       var frontier = acc
-      var frontierRows = accRows
+      var frontierRows = acc.count()
       var i = 0
       while (i < maxIters && frontierRows > 0) {
-        // The materializing count of the previous round gives the frontier's
-        // EXACT size, so the broadcast decision needs no stats machinery:
-        // a small frontier broadcasts (edge side streams from cache with no
-        // shuffle and no per-round sort — the dominant cost of a sort-merge
-        // plan here), a huge one falls back to a shuffle join. Same for the
-        // accumulator side of the anti-join.
-        def hinted(df: DataFrame, rows: Long) =
-          if (rows <= broadcastMaxRows) broadcast(df) else df
-        val next = timed(s"round $i ckpt") {
-          val stepped = e.join(hinted(frontier, frontierRows),
-              e("dst") === frontier("node"))
-            .select(e("src").as("node")).distinct()
-          (if (functionalEdges) stepped
-           else stepped.join(hinted(acc, accRows), Seq("node"), "left_anti"))
-            .localCheckpoint(false)
+        val f = hintIf(frontier, frontierRows, broadcastMaxRows)
+        if (i < switchAfter) {
+          val next = timed(s"round $i ckpt") {
+            ckpt(e.join(f, e("dst") === frontier("node"))
+              .select(e("src").as("node")).distinct())
+          }
+          frontierRows = timed(s"round $i count")(next.count())
+          acc = acc.unionByName(next)
+          frontier = next
+        } else {
+          if (e2.isEmpty) e2 = Some(twoHop(e).persist())
+          val ee2 = e2.get
+          val stepped = timed(s"round2 $i ckpt") {
+            ckpt(e.join(f, e("dst") === frontier("node"))
+              .select(e("src").as("node"), lit(false).as("__even"))
+              .unionByName(ee2.join(f, ee2("dst") === frontier("node"))
+                .select(ee2("src").as("node"), lit(true).as("__even")))
+              .distinct())
+          }
+          // One action: materializes the checkpoint and returns both layer
+          // sizes (≤ 2 rows collected).
+          val sizes = timed(s"round2 $i count") {
+            stepped.groupBy(col("__even")).count().collect()
+              .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          }
+          acc = acc.unionByName(stepped.select(col("node")))
+          frontier = stepped.filter(col("__even")).select(col("node"))
+          frontierRows = sizes.getOrElse(true, 0L)
         }
-        // One action per round: count() materializes the lazy checkpoint
-        // AND answers the emptiness question (isEmpty would be a second
-        // job). acc stays a union of already-checkpointed frontiers — re-
-        // checkpointing it each round would rewrite O(total) per round.
-        frontierRows = timed(s"round $i count")(next.count())
-        acc = acc.unionByName(next)
-        accRows += frontierRows
-        frontier = next
         i += 1
       }
-      // Restore the distinct contract for the functional fast path (see
-      // @param functionalEdges): one terminal shuffle over the accumulator,
-      // instead of the per-round anti-join the fast path exists to avoid.
-      if (functionalEdges) acc.distinct() else acc
-    } finally { e.unpersist(blocking = false) }
+      acc.distinct()
+    } finally { e2.foreach(_.unpersist(blocking = false)) }
   }
 
   /** Transitive ancestor pairs: (node, anc) for every non-empty path
     * node →+ anc. Add the reflexive pairs at the call site if `*` semantics
     * (rather than `+`) are needed.
+    *
+    * @param functionalEdges same promise as [[reachingTo]]: on a forest
+    *   each (node, anc) pair has a unique path length, so rounds never
+    *   re-derive a pair — the per-round anti-join is skipped and the walk
+    *   steps two hops per round; a terminal distinct restores set
+    *   semantics (duplicate input edges, rho-cycles under maxIters).
     */
   def ancestorPairs(edges: DataFrame, maxIters: Int = 50,
-                    broadcastMaxRows: Long = 500000L): DataFrame = {
+                    functionalEdges: Boolean = false,
+                    broadcastMaxRows: Long = 500000L,
+                    twoHopAfterRounds: Int = -1): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      var acc = e.select(col("src").as("node"), col("dst").as("anc"))
-        .distinct().localCheckpoint()
-      var accRows = acc.count()
-      val eRows = accRows // distinct(e) ≤ |e|, same magnitude — good enough
+      if (functionalEdges)
+        ancestorPairsFunctional(e, maxIters, broadcastMaxRows,
+          resolveSwitch(twoHopAfterRounds))
+      else ancestorPairsGeneral(e, maxIters, broadcastMaxRows)
+    } finally { e.unpersist(blocking = false) }
+  }
+
+  private def ancestorPairsGeneral(e: DataFrame, maxIters: Int,
+                                   broadcastMaxRows: Long): DataFrame = {
+    var acc = ckpt(e.select(col("src").as("node"), col("dst").as("anc")).distinct())
+    var accRows = acc.count()
+    val eRows = accRows // distinct(e) ≤ |e|, same magnitude — good enough
+    var frontier = acc
+    var frontierRows = accRows
+    var i = 0
+    while (i < maxIters && frontierRows > 0) {
+      // Exact-count-driven broadcast, as in reachingTo: here the EDGE side
+      // is the natural build side (one hop per round probes edges by src),
+      // so broadcast it when small; the anti-join builds on the new rows.
+      def hinted(df: DataFrame, rows: Long) = hintIf(df, rows, broadcastMaxRows)
+      val next = timed(s"anc round $i ckpt") {
+        ckpt(frontier.join(hinted(e, eRows), frontier("anc") === e("src"))
+          .select(frontier("node"), e("dst").as("anc")).distinct()
+          .join(hinted(acc, accRows), Seq("node", "anc"), "left_anti"))
+      }
+      frontierRows = timed(s"anc round $i count")(next.count())
+      acc = acc.unionByName(next)
+      accRows += frontierRows
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+
+  /** Forest fast path for ancestor pairs: no anti-join, terminal distinct,
+    * adaptive two-hop as in [[reachingToFunctional]]. Single-hop rounds
+    * extend the frontier pairs one edge; once switched, a round emits
+    * length+1 via `edges` (skip layer) and the next frontier at length+2
+    * via `edges ⋈ edges`, parity-tagged in one checkpointed frame — one
+    * action per round. */
+  private def ancestorPairsFunctional(e: DataFrame, maxIters: Int,
+                                      broadcastMaxRows: Long,
+                                      switchAfter: Int): DataFrame = {
+    var e2: Option[DataFrame] = None
+    try {
+      var acc = ckpt(e.select(col("src").as("node"), col("dst").as("anc")).distinct())
       var frontier = acc
-      var frontierRows = accRows
+      var frontierRows = acc.count()
+      val eRows = frontierRows
       var i = 0
       while (i < maxIters && frontierRows > 0) {
-        // Exact-count-driven broadcast, as in reachingTo: here the EDGE side
-        // is the natural build side (one hop per round probes edges by src),
-        // so broadcast it when small; the anti-join builds on the new rows.
-        def hinted(df: DataFrame, rows: Long) =
-          if (rows <= broadcastMaxRows) broadcast(df) else df
-        val next = timed(s"anc round $i ckpt") {
-          frontier.join(hinted(e, eRows), frontier("anc") === e("src"))
-            .select(frontier("node"), e("dst").as("anc")).distinct()
-            .join(hinted(acc, accRows), Seq("node", "anc"), "left_anti")
-            .localCheckpoint(false)
+        if (i < switchAfter) {
+          val next = timed(s"anc round $i ckpt") {
+            // distinct keeps duplicate input-edge rows from amplifying
+            // round-over-round (same role as the general path's per-round
+            // dedup; the SAVING here is the skipped anti-join)
+            ckpt(frontier.join(hintIf(e, eRows, broadcastMaxRows),
+                frontier("anc") === e("src"))
+              .select(frontier("node"), e("dst").as("anc")).distinct())
+          }
+          frontierRows = timed(s"anc round $i count")(next.count())
+          acc = acc.unionByName(next)
+          frontier = next
+        } else {
+          if (e2.isEmpty) e2 = Some(twoHop(e).persist())
+          val ee2 = e2.get
+          val stepped = timed(s"anc2 $i ckpt") {
+            ckpt(frontier.join(hintIf(e, eRows, broadcastMaxRows),
+                frontier("anc") === e("src"))
+              .select(frontier("node"), e("dst").as("anc"), lit(false).as("__skip"))
+              .unionByName(frontier.join(hintIf(ee2, eRows, broadcastMaxRows),
+                frontier("anc") === ee2("src"))
+                .select(frontier("node"), ee2("dst").as("anc"), lit(true).as("__skip")))
+              .distinct())
+          }
+          val sizes = timed(s"anc2 $i count") {
+            stepped.groupBy(col("__skip")).count().collect()
+              .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          }
+          acc = acc.unionByName(stepped.select(col("node"), col("anc")))
+          frontier = stepped.filter(col("__skip")).select(col("node"), col("anc"))
+          frontierRows = sizes.getOrElse(true, 0L)
         }
-        frontierRows = timed(s"anc round $i count")(next.count())
-        acc = acc.unionByName(next)
-        accRows += frontierRows
-        frontier = next
         i += 1
       }
-      acc
-    } finally { e.unpersist(blocking = false) }
+      acc.distinct()
+    } finally { e2.foreach(_.unpersist(blocking = false)) }
   }
 }

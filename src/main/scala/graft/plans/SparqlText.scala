@@ -836,6 +836,13 @@ object SparqlText {
     def edges(p: String): DataFrame =
       triples.filter(col("p") === p)
         .select(col("s").as("src"), col("o").as("dst"))
+    // The front-end cannot PROMISE an arbitrary predicate's edge relation
+    // is a forest, but it can verify with a one-job probe — unlocking the
+    // closure's two-hop no-anti-join fast path for containment-shaped
+    // data (one aggregate now vs one anti-join shuffle per round).
+    val functionalMemo = scala.collection.mutable.Map[String, Boolean]()
+    def funct(p: String): Boolean =
+      functionalMemo.getOrElseUpdate(p, Closure.isFunctional(edges(p)))
     def constOf(t: Term): Option[String] = t match {
       case C(v) => Some(v)
       case L(v) => Some(v)
@@ -848,13 +855,15 @@ object SparqlText {
     val rel: DataFrame = (steps, constOf(oT)) match {
       case (Seq((p, true)), Some(const)) =>
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
-        Closure.reachingTo(edges(p), spark.range(1).select(lit(const).as("node")))
+        Closure.reachingTo(edges(p), spark.range(1).select(lit(const).as("node")),
+            functionalEdges = funct(p))
           .select(col("node").as("__a"), lit(const).as("__b"))
       case (init :+ ((p, true)), Some(const)) if init.forall(!_._2) =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
         val reach = Closure.reachingTo(edges(p),
-          spark.range(1).select(lit(const).as("node")))
+          spark.range(1).select(lit(const).as("node")),
+          functionalEdges = funct(p))
         val prefix = chain(init.map(_._1), triples)
         // the reach semi-join IS the object constraint — __b carries the
         // path's endpoint (the constant), not the prefix endpoint
@@ -865,7 +874,7 @@ object SparqlText {
         val e = edges(p)
         val nodes = e.select(col("src").as("node"))
           .unionByName(e.select(col("dst").as("node"))).distinct()
-        Closure.ancestorPairs(e)
+        Closure.ancestorPairs(e, functionalEdges = funct(p))
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
       case _ =>
@@ -884,7 +893,7 @@ object SparqlText {
             case None =>
               val nodes = e.select(col("src").as("node"))
                 .unionByName(e.select(col("dst").as("node"))).distinct()
-              Closure.ancestorPairs(e)
+              Closure.ancestorPairs(e, functionalEdges = funct(p))
                 .select(col("node").as("__a"), col("anc").as("__cur"))
                 .unionByName(nodes.select(col("node").as("__a"),
                   col("node").as("__cur")))
@@ -893,7 +902,7 @@ object SparqlText {
               r.join(rn, r("__cur") === rn("__cur0"))
                 .select(r("__a"), col("__next").as("__cur"))
             case Some(r) =>
-              val tp = Closure.ancestorPairs(e)
+              val tp = Closure.ancestorPairs(e, functionalEdges = funct(p))
                 .select(col("node").as("__cur0"), col("anc").as("__next"))
               r.unionByName(
                 r.join(tp, r("__cur") === tp("__cur0"))

@@ -38,6 +38,81 @@ class ClosureSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("functional two-hop: odd- and even-depth chains match the general path") {
+    // chains around and past the adaptive switch (default 4 rounds), plus
+    // forced immediate striding (twoHopAfterRounds = 0) — the stride-2
+    // walk must land exactly on both parities
+    for (n <- Seq(4, 5, 6, 7); switch <- Seq(-1, 0, 1)) {
+      val edges = (0 until n).map(i => (s"v$i", s"v${i + 1}")).toDF("src", "dst")
+      val seeds = Seq(s"v$n").toDF("node")
+      val gen = Closure.reachingTo(edges, seeds).as[String].collect().toSet
+      val fun = Closure.reachingTo(edges, seeds, functionalEdges = true,
+        twoHopAfterRounds = switch).as[String].collect().toSeq
+      assert(fun.toSet == gen, s"chain length $n, switch $switch")
+      assert(fun.size == fun.distinct.size, s"distinct contract, $n/$switch")
+      val pGen = Closure.ancestorPairs(edges).as[(String, String)].collect().toSet
+      val pFun = Closure.ancestorPairs(edges, functionalEdges = true,
+        twoHopAfterRounds = switch).as[(String, String)].collect().toSeq
+      assert(pFun.toSet == pGen, s"pairs, chain length $n, switch $switch")
+      assert(pFun.size == pFun.distinct.size, s"pairs distinct, $n/$switch")
+    }
+  }
+
+  test("functional two-hop: branching forest and multi-seed overlap stay distinct") {
+    // r ← a ← {b, c}; b ← d — two seeds on one root path (r and a) create
+    // overlapping layers that the terminal distinct must collapse
+    val edges = Seq(("a", "r"), ("b", "a"), ("c", "a"), ("d", "b")).toDF("src", "dst")
+    val seeds = Seq("r", "a").toDF("node")
+    for (switch <- Seq(-1, 0)) {
+      val fun = Closure.reachingTo(edges, seeds, functionalEdges = true,
+        twoHopAfterRounds = switch).as[String].collect().toSeq
+      assert(fun.toSet == Set("a", "b", "c", "d", "r"), s"switch $switch")
+      assert(fun.size == fun.distinct.size, s"switch $switch")
+    }
+  }
+
+  test("functional two-hop: cycles terminate under maxIters with set output") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    for (switch <- Seq(-1, 0)) {
+      val got = Closure.reachingTo(edges, Seq("a").toDF("node"),
+        maxIters = 6, functionalEdges = true, twoHopAfterRounds = switch)
+        .as[String].collect().toSeq
+      assert(got.toSet == Set("a", "b") && got.size == 2, s"switch $switch")
+    }
+  }
+
+  test("isFunctional probes forests vs fan-out") {
+    assert(Closure.isFunctional(Seq(("a", "b"), ("b", "c"), ("d", "c")).toDF("src", "dst")))
+    assert(!Closure.isFunctional(Seq(("a", "b"), ("a", "c")).toDF("src", "dst")))
+    // duplicate rows of the SAME edge do not break functionality
+    assert(Closure.isFunctional(Seq(("a", "b"), ("a", "b")).toDF("src", "dst")))
+  }
+
+  test("reliable checkpoint mode (checkpoint dir set) matches localCheckpoint mode") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "c")).toDF("src", "dst")
+    val seeds = Seq("d").toDF("node")
+    val local = Closure.reachingTo(edges, seeds, functionalEdges = true)
+      .as[String].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Closure.reachingTo(edges, seeds, functionalEdges = true)
+        .as[String].collect().toSet
+      val reliableGen = Closure.reachingTo(edges, seeds).as[String].collect().toSet
+      assert(reliable == local && reliableGen == local)
+      assert(local == Set("a", "b", "c", "d", "x"))
+    } finally {
+      // SparkContext exposes no unset — clear the private var reflectively
+      // so the shared test session goes back to localCheckpoint; if the
+      // field ever moves, later suites just checkpoint into the temp dir
+      try {
+        val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(spark.sparkContext, None)
+      } catch { case _: ReflectiveOperationException => }
+    }
+  }
+
   test("shuffle-join fallback (broadcastMaxRows=0) matches the broadcast path") {
     // At test scale every frontier broadcasts by default, so force the
     // else-branch: identical results must come from the shuffle-join plan.
