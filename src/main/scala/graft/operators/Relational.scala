@@ -131,16 +131,21 @@ object Relational {
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
   }
 
-  /** D5: ORDER BY + LIMIT/OFFSET pagination emulation (row_number window).
-    * Engine-side pagination is a single orderBy+limit; the global window here
-    * reproduces the reference's page protocol for parity only. */
+  /** D5: ORDER BY + LIMIT/OFFSET pagination — the reference's page
+    * protocol (`Template(...).substitute(offset=…, limit=…)`,
+    * wikidata_index.py:142). Native offset/limit plans as a skip-take over
+    * the sorted stream (GlobalLimit(150) → skip 100), never materializing
+    * a global row_number — the SPARQL compiler lowers `LIMIT $limit OFFSET
+    * $offset` the same way (plans/SparqlText.scala). The old global-Window
+    * emulation (single-task total sort — the one scale-killer plan) lives
+    * on only as a parity spec in RelationalSpec. */
   def q11Pagination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"o_orderkey")
     Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderpriority")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter($"rn".between(101, 150))
+      .orderBy($"o_orderkey")
+      .offset(100)
+      .limit(50)
   }
 
   /** J9: propagation join — copy an attribute of a joined dimension onto the
@@ -386,10 +391,8 @@ object Relational {
       """SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
          FROM part WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')""",
     "q11_pagination" ->
-      """SELECT o_orderkey, o_orderpriority, rn FROM (
-           SELECT o_orderkey, o_orderpriority,
-                  row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-         WHERE rn BETWEEN 101 AND 150""",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
     "q12_propagation_join" ->
       """SELECT s_suppkey, 'took_place_at' AS p, n_name AS o
          FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
