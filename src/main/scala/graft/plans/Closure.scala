@@ -110,16 +110,19 @@ object Closure {
 
   /** Rounds of single-hop walking before a still-running functional
     * fixpoint builds `edges ⋈ edges` and strides two hops per round.
-    * Measured at sf0.1 (q16, depth 4): the e2 build costs ~1.5-2 s — more
-    * than the two saved rounds (~0.7 s) — so shallow containment
-    * hierarchies must NOT pay it; a depth-20 chain saves ~8 driver-
-    * synchronized rounds and wins. 4 rounds ≈ the break-even depth.
-    * GRAFT_CLOSURE_TWOHOP=0 disables the switch entirely (A/B hatch);
-    * GRAFT_CLOSURE_TWOHOP=<n> overrides the threshold. */
+    * Measured at sf0.1 (q16, depth 4): the e2 build costs ~1.5-2.7 s —
+    * worth ~4-6 single rounds — so shallow containment hierarchies must
+    * NOT pay it, and a threshold at exactly the data's depth pays it on
+    * the final EMPTY round (the worst case: full price, zero rounds
+    * saved). Every fixed threshold gambles at its own boundary; 6 puts
+    * the reference-shaped data (depth ≤ 4, frontier empties at round 4)
+    * two rounds clear of the trap while a depth-20 chain still halves its
+    * remaining 14 rounds. GRAFT_CLOSURE_TWOHOP=0 disables the switch
+    * entirely (A/B hatch); GRAFT_CLOSURE_TWOHOP=<n> overrides. */
   private def twoHopSwitch: Int = sys.env.get("GRAFT_CLOSURE_TWOHOP") match {
     case Some("0") => Int.MaxValue
     case Some(n) if n.forall(_.isDigit) && n.nonEmpty => n.toInt
-    case _ => 4
+    case _ => 6
   }
 
   private def hintIf(df: DataFrame, rows: Long, broadcastMaxRows: Long) =

@@ -39,10 +39,11 @@ class ClosureSpec extends SparkSpec {
   }
 
   test("functional two-hop: odd- and even-depth chains match the general path") {
-    // chains around and past the adaptive switch (default 4 rounds), plus
+    // chains around and past the adaptive switch (default 6 rounds), plus
     // forced immediate striding (twoHopAfterRounds = 0) — the stride-2
-    // walk must land exactly on both parities
-    for (n <- Seq(4, 5, 6, 7); switch <- Seq(-1, 0, 1)) {
+    // walk must land exactly on both parities, including the boundary
+    // case where the frontier empties exactly at the switch round
+    for (n <- Seq(4, 5, 6, 7, 8, 9); switch <- Seq(-1, 0, 1)) {
       val edges = (0 until n).map(i => (s"v$i", s"v${i + 1}")).toDF("src", "dst")
       val seeds = Seq(s"v$n").toDF("node")
       val gen = Closure.reachingTo(edges, seeds).as[String].collect().toSet
