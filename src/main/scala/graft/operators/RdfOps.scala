@@ -295,8 +295,35 @@ object RdfOps {
       "SELECT DISTINCT ?x ?l WHERE { ?x <nation>*/<region>*/<label> ?l }",
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** SPARQL builtin-function FILTERs + multi-key ORDER BY e2e: BOUND over
+    * an OPTIONAL binding, CONTAINS on a lexical column, and
+    * `ORDER BY DESC(?d) ?x LIMIT` — the next walls after connectives for
+    * a user editing the reference's queries (its Blazegraph endpoint,
+    * wikidata_index.py:152, accepts all of these). */
+  def q94BoundContainsOrder(sp: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(sp, dir)
+    val os = concat(lit("O"), o("o_orderkey").cast("string"))
+    val t = o.select(os.as("s"), lit("date").as("p"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("o"))
+      .unionByName(o.select(os.as("s"), lit("priority").as("p"),
+        o("o_orderpriority").as("o")))
+      .unionByName(o.filter(o("o_totalprice") > 150000.0)
+        .select(os.as("s"), lit("big").as("p"), lit("1").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?d ?pr WHERE {
+        |  ?x <date> ?d . ?x <priority> ?pr .
+        |  OPTIONAL { ?x <big> ?b }
+        |  FILTER(BOUND(?b))
+        |  FILTER(CONTAINS(STR(?pr), "URGENT"))
+        |}
+        |ORDER BY DESC(?d) ?x
+        |LIMIT 100""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_filter_connectives" -> q91FilterConnectives _,
+    "q94_bound_contains"     -> q94BoundContainsOrder _,
     "q92_var_predicate"      -> q92VarPredicate _,
     "q93_midpath_star"       -> q93MidPathStar _,
     "q79_nquad_format"     -> q79NquadFormat _,
@@ -329,6 +356,16 @@ object RdfOps {
          WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-01-01'
            AND strftime(o_orderdate, '%Y-%m-%d') < '1995-03-01'
            AND (o_totalprice > 100000.5 OR NOT o_orderstatus = 'F')""",
+    "q94_bound_contains" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                strftime(o_orderdate, '%Y-%m-%d') AS d,
+                o_orderpriority AS pr
+         FROM orders
+         WHERE o_totalprice > 150000.0
+           AND o_orderpriority LIKE '%URGENT%'
+         ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
+                  'O'||CAST(o_orderkey AS VARCHAR)
+         LIMIT 100""",
     "q92_var_predicate" ->
       s"""WITH triples AS ($T)
          SELECT t2.s AS x, t2.p AS p2, t2.o AS o

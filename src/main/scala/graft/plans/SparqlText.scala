@@ -37,8 +37,11 @@ import org.apache.spark.sql.functions._
   *   - `VALUES ?v { … }` inline membership (J6)
   *   - `BIND(COALESCE(?a, ?b, …) AS ?c)`
   *   - `SERVICE wikibase:label { bd:serviceParam wikibase:language "…" }`
-  *   - nested sub-`SELECT`, `ORDER BY ?v`, `LIMIT`/`OFFSET` with literal or
-  *     `$param` values, `#` comments
+  *   - `BOUND(?v)`, `CONTAINS`/`STRSTARTS`/`STRENDS` (with optional
+  *     `STR(…)` wrapping — the identity on lexical string columns) in
+  *     FILTER expressions
+  *   - nested sub-`SELECT`, multi-key `ORDER BY` with `ASC()`/`DESC()`,
+  *     `LIMIT`/`OFFSET` with literal or `$param` values, `#` comments
   *
   * Compilation maps 1:1 onto [[SparqlAlgebra]]/[[Closure]]: every construct
   * becomes the same DataFrame operators the hand-compiled queries use, so
@@ -95,6 +98,12 @@ object SparqlText {
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
   final case class FNot(e: FExpr) extends FExpr
+  /** `BOUND(?v)` — SPARQL unbound maps to SQL null under OPTIONAL. */
+  final case class FBound(v: String) extends FExpr
+  /** `CONTAINS(?v, "s")` / `STRSTARTS(?v, "s")` / `STRENDS(?v, "s")`;
+    * the first argument may be wrapped in `STR(…)` (a no-op here — the
+    * engine's term columns are already lexical strings). */
+  final case class FStrFn(fn: String, v: String, lit: String) extends FExpr
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   final case class BindCoalesce(out: String, vars: Seq[String]) extends El
 
@@ -117,7 +126,7 @@ object SparqlText {
       proj: Seq[ProjItem],
       where: Seq[El],
       groupBy: Seq[String],
-      orderBy: Option[String],
+      orderBy: Seq[(String, Boolean)], // (var, descending)
       limit: Option[Either[Long, String]],
       offset: Option[Either[Long, String]]) extends Query
 
@@ -334,7 +343,7 @@ object SparqlText {
       expectKw("WHERE")
       val where = group()
       var groupBy: Seq[String] = Nil
-      var orderBy: Option[String] = None
+      var orderBy: Seq[(String, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
       var trailing = true
@@ -346,7 +355,20 @@ object SparqlText {
           groupBy = gs.result()
         } else if (isKw(peek, "ORDER")) {
           i += 1; expectKw("BY")
-          orderBy = Some(varName())
+          // one or more sort keys: `?v`, `ASC(?v)`, `DESC(?v)`
+          val keys = Vector.newBuilder[(String, Boolean)]
+          var more = true
+          while (more) peek match {
+            case TVar(_) => keys += ((varName(), false))
+            case t if isKw(t, "ASC") || isKw(t, "DESC") =>
+              val desc = isKw(t, "DESC")
+              i += 1; expectPunct("(")
+              keys += ((varName(), desc))
+              expectPunct(")")
+            case _ => more = false
+          }
+          orderBy = keys.result()
+          if (orderBy.isEmpty) fail("ORDER BY requires at least one key")
         } else if (isKw(peek, "LIMIT")) { i += 1; limit = Some(numOrParam()) }
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
         else trailing = false
@@ -435,19 +457,49 @@ object SparqlText {
         val e = orExpr()
         expectPunct(")")
         e
-      case TVar(_) =>
+      case t if isKw(t, "BOUND") =>
+        i += 1; expectPunct("(")
         val v = varName()
-        val op = next() match {
-          case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
-          case t2 => fail(s"expected comparison operator, got $t2")
+        expectPunct(")")
+        FBound(v)
+      case t if isKw(t, "CONTAINS") || isKw(t, "STRSTARTS") || isKw(t, "STRENDS") =>
+        val fn = peek.asInstanceOf[TIdent].v.toUpperCase
+        i += 1; expectPunct("(")
+        val v = strWrappedVar()
+        expectPunct(",")
+        val s = next() match {
+          case TStr(x, _) => x
+          case t2 => fail(s"expected string literal in $fn, got $t2")
         }
-        next() match {
-          case TStr(s, _) => Cmp(v, op, s)
-          case TNum(s) => Cmp(v, op, s, numeric = true)
-          case t2 => fail(s"expected literal, got $t2")
-        }
+        expectPunct(")")
+        FStrFn(fn, v, s)
+      case TVar(_) => cmpExpr()
+      case t if isKw(t, "STR") => cmpExpr()
       case t2 => fail(s"unsupported FILTER form: $t2")
     }
+
+    private def cmpExpr(): FExpr = {
+      val v = strWrappedVar()
+      val op = next() match {
+        case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
+        case t2 => fail(s"expected comparison operator, got $t2")
+      }
+      next() match {
+        case TStr(s, _) => Cmp(v, op, s)
+        case TNum(s) => Cmp(v, op, s, numeric = true)
+        case t2 => fail(s"expected literal, got $t2")
+      }
+    }
+
+    /** `?v` or `STR(?v)` — STR is the identity on the engine's lexical
+      * string columns. */
+    private def strWrappedVar(): String =
+      if (isKw(peek, "STR")) {
+        i += 1; expectPunct("(")
+        val v = varName()
+        expectPunct(")")
+        v
+      } else varName()
 
     /** `VALUES ?v { wd:Q1 wd:Q2 … }` */
     private def valuesEl(): ValuesEl = {
@@ -679,7 +731,11 @@ object SparqlText {
     }
     var out = grouped.select(cols: _*)
     if (q.distinct) out = out.distinct()
-    q.orderBy.foreach(v => out = out.orderBy(col(v)))
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map {
+        case (v, true) => col(v).desc
+        case (v, false) => col(v).asc
+      }: _*)
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
     out
@@ -817,6 +873,11 @@ object SparqlText {
     case FAnd(l, r) => compileFExpr(l) && compileFExpr(r)
     case FOr(l, r) => compileFExpr(l) || compileFExpr(r)
     case FNot(x) => !compileFExpr(x)
+    case FBound(v) => col(v).isNotNull
+    case FStrFn("CONTAINS", v, s) => col(v).contains(s)
+    case FStrFn("STRSTARTS", v, s) => col(v).startsWith(s)
+    case FStrFn("STRENDS", v, s) => col(v).endsWith(s)
+    case FStrFn(fn, _, _) => sys.error(s"unsupported string function: $fn")
   }
 
   /** Property-path pattern compile (J4/J5 shapes).

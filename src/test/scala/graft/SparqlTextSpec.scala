@@ -530,6 +530,41 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(inc).map(_.head) == Set("P1", "P3"))
   }
 
+  test("BOUND, CONTAINS/STRSTARTS/STRENDS, and STR() wrapping in FILTER") {
+    // BOUND over an OPTIONAL binding: only P1/P3/P5 carry a death date
+    val bound =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  OPTIONAL { ?s wdt:P570 ?d . }
+        |  FILTER(BOUND(?d))
+        |}""".stripMargin
+    assert(rows(SparqlText.run(bound, triples, labels)).map(_.head) ==
+      Set("P1", "P3", "P5"))
+    // !BOUND — the complement
+    val unbound = bound.replace("FILTER(BOUND(?d))", "FILTER(!BOUND(?d))")
+    assert(rows(SparqlText.run(unbound, triples, labels)).map(_.head) ==
+      Set("P2", "P4", "P6", "P7", "P8"))
+    // string functions, with and without STR()
+    val q =
+      """SELECT ?s ?c WHERE {
+        |  ?s wdt:P27 ?c .
+        |  FILTER(CONTAINS(STR(?c), "Q4") && STRSTARTS(?c, "wd:") && !STRENDS(?c, "64"))
+        |}""".stripMargin
+    // contains Q4: Q40 (P1,P2,P8) and Q131964 (P4); STRENDS 64 drops Q131964
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("P1", "P2", "P8"))
+  }
+
+  test("multi-key ORDER BY with DESC picks the right LIMIT page") {
+    val q =
+      """SELECT ?s ?d WHERE { ?s wdt:P569 ?d . }
+        |ORDER BY DESC(?d) ?s
+        |LIMIT 3""".stripMargin
+    // births desc: P4 1970, P3 1949-12-31, P5 1949-01-01
+    assert(SparqlText.run(q, triples, labels).collect().map(_.getString(0)).toSeq ==
+      Seq("P4", "P3", "P5"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
