@@ -321,9 +321,31 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** SPARQL negation e2e: `FILTER NOT EXISTS` compiles to the same
+    * left-anti join as the hand-built J8 worklist (q4's "persons without a
+    * pending order" shape); MINUS with a shared variable is its twin. The
+    * oracle is the relational NOT EXISTS. */
+  def q95NotExists(sp: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(sp, dir)
+    val o = Tables.orders(sp, dir)
+    val t = c.select(concat(lit("C"), c("c_custkey").cast("string")).as("s"),
+        lit("type").as("p"), lit("Person").as("o"))
+      .unionByName(o.filter(o("o_orderstatus") === "P")
+        .select(concat(lit("O"), o("o_orderkey").cast("string")).as("s"),
+          lit("customer").as("p"),
+          concat(lit("C"), o("o_custkey").cast("string")).as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?c WHERE {
+        |  ?c <type> <Person> .
+        |  FILTER NOT EXISTS { ?ord <customer> ?c }
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_filter_connectives" -> q91FilterConnectives _,
     "q94_bound_contains"     -> q94BoundContainsOrder _,
+    "q95_not_exists"         -> q95NotExists _,
     "q92_var_predicate"      -> q92VarPredicate _,
     "q93_midpath_star"       -> q93MidPathStar _,
     "q79_nquad_format"     -> q79NquadFormat _,
@@ -366,6 +388,11 @@ object RdfOps {
          ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
                   'O'||CAST(o_orderkey AS VARCHAR)
          LIMIT 100""",
+    "q95_not_exists" ->
+      """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderstatus = 'P')""",
     "q92_var_predicate" ->
       s"""WITH triples AS ($T)
          SELECT t2.s AS x, t2.p AS p2, t2.o AS o

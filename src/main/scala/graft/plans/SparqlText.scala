@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   *     narrow once a later pattern connects them
   *   - `OPTIONAL { … }` with inner `FILTER`s (applied before the left join,
   *     the J3 ordering)
+  *   - `MINUS { … }` and `FILTER [NOT] EXISTS { … }` → left-anti /
+  *     left-semi joins on the shared variables (the J8 worklist shape);
+  *     MINUS with no shared variables removes nothing (SPARQL §8.3.3)
   *   - `FILTER` boolean expressions: `?v <op> literal` comparisons (quoted,
   *     typed, or signed integer/decimal/exponent numerics) composed with
   *     `&&`, `||`, `!`, and parentheses (SPARQL 1.1 §17.2 precedence);
@@ -76,6 +79,14 @@ object SparqlText {
   final case class Path(steps: Seq[(String, Boolean)])
 
   sealed trait El
+  /** `MINUS { … }`: removes solutions compatible with the group on their
+    * SHARED variables; with no shared variables, SPARQL keeps everything
+    * (§8.3.3) — compiled as a no-op then, a left-anti join otherwise. */
+  final case class MinusEl(g: Seq[El]) extends El
+  /** `FILTER EXISTS { … }` / `FILTER NOT EXISTS { … }` → left-semi /
+    * left-anti join on the shared variables, applied group-wide once all
+    * patterns have bound. */
+  final case class ExistsEl(g: Seq[El], negated: Boolean) extends El
   final case class Tp(s: Term, p: Path, o: Term) extends El
   /** Variable-predicate triple pattern `?s ?p ?o`: an unfiltered scan with
     * the predicate bound as a column (Blazegraph evaluates these for the
@@ -405,7 +416,16 @@ object SparqlText {
             els += UnionEl(arms.result())
           }
         case t if isKw(t, "OPTIONAL") => i += 1; els += OptEl(group())
-        case t if isKw(t, "FILTER") => i += 1; els += filterEl()
+        case t if isKw(t, "MINUS") => i += 1; els += MinusEl(group())
+        case t if isKw(t, "FILTER") =>
+          i += 1
+          if (isKw(peek, "NOT")) {
+            i += 1; expectKw("EXISTS")
+            els += ExistsEl(group(), negated = true)
+          } else if (isKw(peek, "EXISTS")) {
+            i += 1
+            els += ExistsEl(group(), negated = false)
+          } else els += filterEl()
         case t if isKw(t, "VALUES") => i += 1; els += valuesEl()
         case t if isKw(t, "BIND") => i += 1; els += bindEl()
         case t if isKw(t, "SERVICE") => i += 1; els += serviceEl()
@@ -811,6 +831,15 @@ object SparqlText {
         val right = compileGroup(g, triples, labels, params)._1
         acc = Some(SparqlAlgebra.optional(
           acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
+      case MinusEl(g) =>
+        val a = acc.getOrElse(sys.error("MINUS requires a preceding pattern"))
+        val right = compileGroup(g, triples, labels, params)._1
+        val shared = a.columns.intersect(right.columns).toSeq
+        // no shared variables → every solution is incompatible with every
+        // right-side solution → MINUS removes nothing (SPARQL §8.3.3)
+        // no right-side dedup needed: anti joins never duplicate left rows
+        acc = Some(if (shared.isEmpty) a
+          else a.join(right.select(shared.map(col): _*), shared, "left_anti"))
       case SubSel(sub) =>
         join(compileSelect(sub, triples, labels, params))
       case BindCoalesce(out, vars) =>
@@ -826,6 +855,7 @@ object SparqlText {
         acc = Some(a.withColumn(out,
           concat(lit(prefix), md5(concat_ws("|", keyCols: _*)))))
       case _: FilterExpr => // group-wide; applied below once all vars are bound
+      case _: ExistsEl => // group-wide; applied below
       case _: ValuesEl => // group-wide; applied below
       case _: LangM => // attached to its binding pattern above
       case LabelSvc(langs) => svc = Some(langs)
@@ -834,6 +864,14 @@ object SparqlText {
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
       case FilterExpr(e) => out = out.filter(compileFExpr(e))
+      case ExistsEl(g, negated) =>
+        val right = compileGroup(g, triples, labels, params)._1
+        val shared = out.columns.intersect(right.columns).toSeq
+        if (shared.isEmpty) sys.error(
+          "FILTER [NOT] EXISTS must share at least one variable with the outer group")
+        // semi/anti joins never duplicate left rows — no right-side dedup
+        out = out.join(right.select(shared.map(col): _*),
+          shared, if (negated) "left_anti" else "left_semi")
       case ValuesEl(v, vals) => out = out.filter(col(v).isin(vals: _*)) // J6
       case _ =>
     }

@@ -565,6 +565,36 @@ class SparqlTextSpec extends SparkSpec {
       Seq("P4", "P3", "P5"))
   }
 
+  test("MINUS and FILTER [NOT] EXISTS compile to anti/semi joins; disjoint MINUS is a no-op") {
+    // P1..P8 have births; P1/P3/P5 have deaths
+    val minus =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  MINUS { ?s wdt:P570 ?d . }
+        |}""".stripMargin
+    assert(rows(SparqlText.run(minus, triples, labels)).map(_.head) ==
+      Set("P2", "P4", "P6", "P7", "P8"))
+    val notExists = minus.replace("MINUS", "FILTER NOT EXISTS")
+    assert(rows(SparqlText.run(notExists, triples, labels)).map(_.head) ==
+      Set("P2", "P4", "P6", "P7", "P8"))
+    val exists = minus.replace("MINUS", "FILTER EXISTS")
+    assert(rows(SparqlText.run(exists, triples, labels)).map(_.head) ==
+      Set("P1", "P3", "P5"))
+    // MINUS sharing no variable removes nothing (SPARQL §8.3.3) — the
+    // semantic difference from NOT EXISTS
+    val disjoint =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P570 ?d .
+        |  MINUS { ?x schema:description ?y . }
+        |}""".stripMargin
+    assert(rows(SparqlText.run(disjoint, triples, labels)).map(_.head) ==
+      Set("P1", "P3", "P5"))
+    // FILTER NOT EXISTS with no shared variable fails loudly instead
+    val e = intercept[RuntimeException](SparqlText.run(
+      disjoint.replace("MINUS", "FILTER NOT EXISTS"), triples, labels))
+    assert(e.getMessage.contains("share"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
@@ -584,7 +614,8 @@ class SparqlTextSpec extends SparkSpec {
       Gen.listOfN(15, Gen.oneOf("SELECT", "WHERE", "{", "}", "(", ")", "?x",
         "$p", "UNION", "OPTIONAL", "FILTER", "BIND", "<", ">", "\"lit\"",
         "a:b", "*", "/", ".", ";", "CONSTRUCT", "GROUP", "BY", "LIMIT",
-        "5")).map(_.mkString(" ")),
+        "5", "MINUS", "NOT", "EXISTS", "BOUND", "CONTAINS", "STR", "&&",
+        "||", "!", "DESC", "-3.5")).map(_.mkString(" ")),
       Gen.const("SELECT ?x WHERE { ?x "), // truncated
       Gen.const("SELECT ?x WHERE { { SELECT"),
       Gen.const("CONSTRUCT { ?a <p> ") )
