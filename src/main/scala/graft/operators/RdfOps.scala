@@ -342,10 +342,26 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** P11 through the parser: the reference derives its paging-count query
+    * TEXTUALLY from each .sparql file (`SELECT (COUNT(DISTINCT ?item) AS
+    * ?count) WHERE { <inner group> }`, wikidata_index.py:173-179). With
+    * aggregate projections in the front-end, that derived text runs
+    * directly — plus per-group COUNT/MIN/MAX over the same view. */
+  def q96AggProjections(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?seg (COUNT(DISTINCT ?c) AS ?n) (MIN(?lab) AS ?lo) (MAX(?lab) AS ?hi)
+        |WHERE {
+        |  ?c <segment> ?seg .
+        |  ?c <label> ?lab .
+        |}
+        |GROUP BY ?seg""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_filter_connectives" -> q91FilterConnectives _,
     "q94_bound_contains"     -> q94BoundContainsOrder _,
     "q95_not_exists"         -> q95NotExists _,
+    "q96_agg_projections"    -> q96AggProjections _,
     "q92_var_predicate"      -> q92VarPredicate _,
     "q93_midpath_star"       -> q93MidPathStar _,
     "q79_nquad_format"     -> q79NquadFormat _,
@@ -388,6 +404,13 @@ object RdfOps {
          ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
                   'O'||CAST(o_orderkey AS VARCHAR)
          LIMIT 100""",
+    "q96_agg_projections" ->
+      s"""WITH triples AS ($T)
+         SELECT s.o AS seg, CAST(COUNT(DISTINCT s.s) AS BIGINT) AS n,
+                MIN(l.o) AS lo, MAX(l.o) AS hi
+         FROM triples s JOIN triples l ON l.s = s.s AND l.p = 'label'
+         WHERE s.p = 'segment'
+         GROUP BY s.o""",
     "q95_not_exists" ->
       """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders

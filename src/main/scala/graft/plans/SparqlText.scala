@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Grammar: the subset those files use —
   *   - `SELECT [DISTINCT]` with plain vars, `(?v AS ?alias)` renames, and
-  *     `(group_concat([distinct] ?v) AS ?alias)` aggregates with `GROUP BY`
+  *     aggregate projections with `GROUP BY`: `group_concat([distinct])`,
+  *     `COUNT([DISTINCT] ?v | *)` (the reference's derived paging-count
+  *     query shape, wikidata_index.py:173-179), `MIN`/`MAX`, `SUM`/`AVG`
+  *     (numeric via double cast), `SAMPLE` (deterministic min)
   *   - basic graph patterns (variable/IRI/pname/literal terms), including
   *     VARIABLE predicates (`?s ?p ?o` — the predicate binds as a column
   *     over an unfiltered scan)
@@ -130,6 +133,13 @@ object SparqlText {
   sealed trait ProjItem { def out: String }
   final case class PVar(src: String, out: String) extends ProjItem
   final case class PGroupConcat(src: String, out: String, distinct: Boolean) extends ProjItem
+  /** `(COUNT(DISTINCT ?v) AS ?n)`-style aggregate projections — the shape
+    * the reference DERIVES textually for its paging count queries
+    * (wikidata_index.py:173-179). fn ∈ count/sum/min/max/avg/sample;
+    * src `"*"` only for COUNT. SAMPLE compiles to min() — SPARQL allows
+    * any member, the engine picks deterministically (SURVEY §7.3). */
+  final case class PAgg(fn: String, src: String, out: String,
+                        distinct: Boolean) extends ProjItem
 
   sealed trait Query
   final case class SelectQ(
@@ -347,6 +357,21 @@ object SparqlText {
               val dst = varName()
               expectPunct(")")
               proj += PGroupConcat(src, dst, dist)
+            case TIdent(w) if Set("count", "sum", "min", "max", "avg",
+                "sample").contains(w.toLowerCase) =>
+              i += 1; expectPunct("(")
+              val dist = isKw(peek, "DISTINCT") && { i += 1; true }
+              val src = peek match {
+                case TPunct("*") => i += 1; "*"
+                case _ => varName()
+              }
+              if (src == "*" && (dist || !w.equalsIgnoreCase("count")))
+                fail(s"'*' is only valid in COUNT(*)")
+              expectPunct(")")
+              expectKw("AS")
+              val dst = varName()
+              expectPunct(")")
+              proj += PAgg(w.toLowerCase, src, dst, dist)
             case t => fail(s"unsupported projection expression: $t")
           }
         case _ => reading = false
@@ -720,7 +745,8 @@ object SparqlText {
         q.proj.map {
           case PVar(src, _) => src
           case PGroupConcat(src, _, _) => src
-        }.distinct.collect {
+          case PAgg(_, src, _, _) => src
+        }.distinct.filter(_ != "*").collect {
           case src if src.endsWith("Label") &&
             bound.columns.contains(src.dropRight(5)) && !bound.columns.contains(src) =>
             (src.dropRight(5), src)
@@ -729,16 +755,35 @@ object SparqlText {
         }
       case None => bound
     }
-    val aggs = q.proj.collect { case a: PGroupConcat => a }
+    val aggs = q.proj.collect {
+      case a: PGroupConcat => a: ProjItem
+      case a: PAgg => a: ProjItem
+    }
     val grouped =
       if (q.groupBy.nonEmpty || aggs.nonEmpty) {
         require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-        val aggCols = aggs.map { a =>
-          val collected =
-            if (a.distinct) collect_set(col(a.src)) else collect_list(col(a.src))
-          // sorted order + single-space separator: the deterministic A1/A2
-          // group_concat idiom
-          concat_ws(" ", sort_array(collected)).as(a.out)
+        val aggCols = aggs.map {
+          case PGroupConcat(src, out, dist) =>
+            val collected =
+              if (dist) collect_set(col(src)) else collect_list(col(src))
+            // sorted order + single-space separator: the deterministic A1/A2
+            // group_concat idiom
+            concat_ws(" ", sort_array(collected)).as(out)
+          case PAgg("count", "*", out, _) => count(lit(1)).as(out)
+          case PAgg("count", src, out, true) => countDistinct(col(src)).as(out)
+          case PAgg("count", src, out, false) => count(col(src)).as(out)
+          case PAgg("min", src, out, _) => min(col(src)).as(out)
+          case PAgg("max", src, out, _) => max(col(src)).as(out)
+          // SPARQL numeric aggregates over the engine's lexical string
+          // columns: compare/accumulate numerically via a double cast
+          case PAgg("sum", src, out, true) =>
+            sum_distinct(col(src).cast("double")).as(out)
+          case PAgg("sum", src, out, false) => sum(col(src).cast("double")).as(out)
+          case PAgg("avg", src, out, _) => avg(col(src).cast("double")).as(out)
+          // SAMPLE may return any group member; the engine picks min()
+          // so re-runs are deterministic (SURVEY §7.3 "Nondeterminism")
+          case PAgg("sample", src, out, _) => min(col(src)).as(out)
+          case other => sys.error(s"unsupported aggregate: $other")
         }
         labeled.groupBy(q.groupBy.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
@@ -747,7 +792,7 @@ object SparqlText {
       case PVar(src, out) =>
         if (grouped.columns.contains(src)) col(src).as(out)
         else lit(null).cast("string").as(out) // SPARQL: unbound projected var
-      case PGroupConcat(_, out, _) => col(out)
+      case item => col(item.out)
     }
     var out = grouped.select(cols: _*)
     if (q.distinct) out = out.distinct()

@@ -595,6 +595,37 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("share"))
   }
 
+  test("aggregate projections: derived COUNT query, COUNT(*), SUM/AVG, SAMPLE") {
+    // the exact count-query shape the reference derives textually from
+    // each .sparql file (wikidata_index.py:173-179)
+    val countQ =
+      """SELECT (COUNT(DISTINCT ?item) AS ?count)
+        |WHERE {
+        |  {?item wdt:P27 wd:Q40 } UNION {?item wdt:P27 wd:Q28513} .
+        |  ?item wdt:P569 ?b .
+        |}""".stripMargin
+    // Q40: P1,P2,P8; Q28513: P3,P7
+    assert(SparqlText.run(countQ, triples, labels)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+
+    val t = Seq(
+      ("a", "g", "x", Option.empty[String]), ("a", "n", "1.5", None),
+      ("b", "g", "x", None), ("b", "n", "2.5", None),
+      ("c", "g", "y", None), ("c", "n", "10", None)
+    ).toDF("s", "p", "o", "oLang")
+    val aggQ =
+      """SELECT ?g (COUNT(*) AS ?cnt) (SUM(?v) AS ?total) (AVG(?v) AS ?mean) (SAMPLE(?s2) AS ?any)
+        |WHERE { ?s2 <g> ?g . ?s2 <n> ?v . }
+        |GROUP BY ?g""".stripMargin
+    assert(rows(SparqlText.run(aggQ, t, labels)) == Set(
+      Seq("x", 2L, 4.0, 2.0, "a"),
+      Seq("y", 1L, 10.0, 10.0, "c")))
+    // COUNT(DISTINCT *) and SUM(*) are rejected
+    val e = intercept[RuntimeException](SparqlText.parse(
+      "SELECT (SUM(*) AS ?t) WHERE { ?a <n> ?v . }"))
+    assert(e.getMessage.contains("COUNT(*)"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
