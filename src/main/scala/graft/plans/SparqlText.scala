@@ -109,6 +109,8 @@ object SparqlText {
     * ordering the date filters rely on). */
   final case class Cmp(v: String, op: String, value: String,
                        numeric: Boolean = false) extends FExpr
+  /** `?a <op> ?b` — variable-to-variable comparison (lexical). */
+  final case class CmpVar(l: String, op: String, r: String) extends FExpr
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
   final case class FNot(e: FExpr) extends FExpr
@@ -529,10 +531,16 @@ object SparqlText {
         case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
         case t2 => fail(s"expected comparison operator, got $t2")
       }
-      next() match {
-        case TStr(s, _) => Cmp(v, op, s)
-        case TNum(s) => Cmp(v, op, s, numeric = true)
-        case t2 => fail(s"expected literal, got $t2")
+      peek match {
+        case TStr(_, _) =>
+          val TStr(s, _) = next(): @unchecked
+          Cmp(v, op, s)
+        case TNum(_) =>
+          val TNum(s) = next(): @unchecked
+          Cmp(v, op, s, numeric = true)
+        case TVar(_) => CmpVar(v, op, strWrappedVar())
+        case t2 if isKw(t2, "STR") => CmpVar(v, op, strWrappedVar())
+        case t2 => fail(s"expected literal or variable, got $t2")
       }
     }
 
@@ -953,6 +961,15 @@ object SparqlText {
         case "!=" => c =!= lt
         case other => sys.error(s"unsupported comparison: $other")
       }
+    case CmpVar(l, op, r) => op match {
+      case "<" => col(l) < col(r)
+      case ">" => col(l) > col(r)
+      case "<=" => col(l) <= col(r)
+      case ">=" => col(l) >= col(r)
+      case "=" => col(l) === col(r)
+      case "!=" => col(l) =!= col(r)
+      case other => sys.error(s"unsupported comparison: $other")
+    }
     case FAnd(l, r) => compileFExpr(l) && compileFExpr(r)
     case FOr(l, r) => compileFExpr(l) || compileFExpr(r)
     case FNot(x) => !compileFExpr(x)

@@ -626,6 +626,21 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("COUNT(*)"))
   }
 
+  test("variable-to-variable comparisons in FILTER") {
+    // persons who died strictly after 1990 relative to another's death:
+    // simpler — birth before death sanity predicate
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  ?s wdt:P570 ?d .
+        |  FILTER(?b < ?d)
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("P1", "P3", "P5"))
+    val none = q.replace("?b < ?d", "?b > STR(?d)")
+    assert(SparqlText.run(none, triples, labels).count() == 0)
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
