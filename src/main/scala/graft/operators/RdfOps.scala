@@ -357,11 +357,22 @@ object RdfOps {
         |GROUP BY ?seg""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Inverse + alternation property paths e2e: `(<nation>|^<region>)/
+    * <label>` — customers/suppliers step to their nation via `nation`,
+    * regions step DOWN to their nations via the inverse of `region`, and
+    * both take the nation's label. The oracle recomputes the union-of-
+    * directions walk relationally. */
+  def q97InversePath(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT DISTINCT ?x ?y WHERE { ?x (<nation>|^<region>)/<label> ?y }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_filter_connectives" -> q91FilterConnectives _,
     "q94_bound_contains"     -> q94BoundContainsOrder _,
     "q95_not_exists"         -> q95NotExists _,
     "q96_agg_projections"    -> q96AggProjections _,
+    "q97_inverse_path"       -> q97InversePath _,
     "q92_var_predicate"      -> q92VarPredicate _,
     "q93_midpath_star"       -> q93MidPathStar _,
     "q79_nquad_format"     -> q79NquadFormat _,
@@ -404,6 +415,14 @@ object RdfOps {
          ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
                   'O'||CAST(o_orderkey AS VARCHAR)
          LIMIT 100""",
+    "q97_inverse_path" ->
+      s"""WITH triples AS ($T),
+         mid AS (
+           SELECT s AS x, o AS m FROM triples WHERE p = 'nation'
+           UNION ALL
+           SELECT o AS x, s AS m FROM triples WHERE p = 'region')
+         SELECT DISTINCT mid.x AS x, l.o AS y
+         FROM mid JOIN triples l ON l.s = mid.m AND l.p = 'label'""",
     "q96_agg_projections" ->
       s"""WITH triples AS ($T)
          SELECT s.o AS seg, CAST(COUNT(DISTINCT s.s) AS BIGINT) AS n,

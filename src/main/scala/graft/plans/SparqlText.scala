@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *     `p*`, `p1/p2`, `p1/p2*` (the `wdt:P31/wdt:P279*` shapes) compile
   *     onto the J4/J5 closure operators; mid-path stars (`p1* / p2`,
   *     written here with spaces only because Scala nests block comments)
-  *     compile closure-then-chain via the general walk
+  *     compile closure-then-chain via the general walk; `^p` inverse
+  *     primaries traverse edges backwards and `(p1|^p2)` alternations
+  *     union the step's edge relation (parenthesize alternations inside
+  *     a `/` sequence — bare mixes fail loudly)
   *   - braced groups with `UNION` chains; disconnected patterns compose by
   *     cross join (SPARQL's natural-join-of-disjoint-domains semantics) and
   *     narrow once a later pattern connects them
@@ -77,9 +80,14 @@ object SparqlText {
   final case class C(value: String) extends Term // IRI (angles stripped) or pname
   final case class L(lex: String) extends Term // literal
 
-  /** Predicate path: steps of (predicate, zeroOrMore). A plain predicate is
-    * a single non-star step. */
-  final case class Path(steps: Seq[(String, Boolean)])
+  /** Predicate path: a `/`-sequence of steps. Each step is an alternation
+    * of primaries — (predicate, inverse) pairs, `^p` traversing the edge
+    * backwards — optionally starred. A plain predicate is one single-
+    * alternative non-star step. Mixing bare `|` with `/` requires
+    * parentheses (SPARQL's `/` binds tighter; unparenthesized mixes fail
+    * loudly rather than silently regroup). */
+  final case class Path(steps: Seq[PStep])
+  final case class PStep(alts: Seq[(String, Boolean)], star: Boolean)
 
   sealed trait El
   /** `MINUS { … }`: removes solutions compatible with the group on their
@@ -221,6 +229,8 @@ object SparqlText {
       else if (c == '!') { out += TPunct("!"); i += 1 }
       else if (c == '&' && peekAt(i + 1) == '&') { out += TPunct("&&"); i += 2 }
       else if (c == '|' && peekAt(i + 1) == '|') { out += TPunct("||"); i += 2 }
+      else if (c == '|') { out += TPunct("|"); i += 1 }
+      else if (c == '^') { out += TPunct("^"); i += 1 }
       else if (c == '"') {
         val sb = new StringBuilder
         i += 1
@@ -638,21 +648,40 @@ object SparqlText {
       case t => fail(s"expected term, got $t")
     }
 
-    /** Predicate position: a path — `p`, `p*`, `p1/p2`, `p1/p2*`. */
+    /** Predicate position: a path — `p`, `p*`, `^p`, `p1|p2`, `p1/p2`,
+      * `p1/p2*`, `(p1|^p2)/p3`, stars on any step. */
     private def path(): Path = {
-      def step(): (String, Boolean) = {
+      def primary(): (String, Boolean) = {
+        val inv = peek == TPunct("^") && { i += 1; true }
         val p = next() match {
           case TIri(v) => v
           case TPname(v) => resolvePname(v)
           case t => fail(s"expected path predicate, got $t")
         }
-        val star = peek == TPunct("*") && { i += 1; true }
-        (p, star)
+        (p, inv)
       }
-      val steps = Vector.newBuilder[(String, Boolean)]
+      // returns (step, wasParenthesized) — bare alternation is only legal
+      // when the whole path is this one step
+      def step(): (PStep, Boolean) = {
+        val paren = peek == TPunct("(") && { i += 1; true }
+        val alts = Vector.newBuilder[(String, Boolean)]
+        alts += primary()
+        while (peek == TPunct("|")) { i += 1; alts += primary() }
+        if (paren) expectPunct(")")
+        val star = peek == TPunct("*") && { i += 1; true }
+        (PStep(alts.result(), star), paren)
+      }
+      val steps = Vector.newBuilder[(PStep, Boolean)]
       steps += step()
       while (peek == TPunct("/")) { i += 1; steps += step() }
-      Path(steps.result())
+      val all = steps.result()
+      if (all.length > 1)
+        all.foreach { case (s, paren) =>
+          if (s.alts.length > 1 && !paren)
+            fail("parenthesize path alternations inside a '/' sequence " +
+              "('/' binds tighter than '|' in SPARQL)")
+        }
+      Path(all.map(_._1))
     }
 
     /** One triple statement, including `s p1 o1 ; p2 o2` predicate lists
@@ -729,7 +758,7 @@ object SparqlText {
     }
     q.templates.map { tp =>
       val p = tp.p.steps match {
-        case Seq((pv, false)) => lit(pv)
+        case Seq(PStep(Seq((pv, false)), false)) => lit(pv)
         case other => sys.error(s"CONSTRUCT template predicates must be simple: $other")
       }
       bound.select(termCol(tp.s).as("s"), p.as("p"), termCol(tp.o).as("o"))
@@ -838,7 +867,7 @@ object SparqlText {
     }
 
     els.foreach {
-      case Tp(s, Path(Seq((pv, false))), o) =>
+      case Tp(s, Path(Seq(PStep(Seq((pv, false)), false))), o) =>
         // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
@@ -994,16 +1023,22 @@ object SparqlText {
     */
   private def compilePath(sT: Term, path: Path, oT: Term,
                           triples: DataFrame): DataFrame = {
-    def edges(p: String): DataFrame =
-      triples.filter(col("p") === p)
-        .select(col("s").as("src"), col("o").as("dst"))
+    // One step's edge relation: the union of its alternatives, each an
+    // s→o scan (or o→s for `^p` inverse primaries)
+    def edgesOf(alts: Seq[(String, Boolean)]): DataFrame =
+      alts.map { case (p, inv) =>
+        val e = triples.filter(col("p") === p)
+        if (inv) e.select(col("o").as("src"), col("s").as("dst"))
+        else e.select(col("s").as("src"), col("o").as("dst"))
+      }.reduce(_ unionByName _)
     // The front-end cannot PROMISE an arbitrary predicate's edge relation
     // is a forest, but it can verify with a one-job probe — unlocking the
     // closure's two-hop no-anti-join fast path for containment-shaped
     // data (one aggregate now vs one anti-join shuffle per round).
-    val functionalMemo = scala.collection.mutable.Map[String, Boolean]()
-    def funct(p: String): Boolean =
-      functionalMemo.getOrElseUpdate(p, Closure.isFunctional(edges(p)))
+    val functionalMemo =
+      scala.collection.mutable.Map[Seq[(String, Boolean)], Boolean]()
+    def funct(alts: Seq[(String, Boolean)]): Boolean =
+      functionalMemo.getOrElseUpdate(alts, Closure.isFunctional(edgesOf(alts)))
     def constOf(t: Term): Option[String] = t match {
       case C(v) => Some(v)
       case L(v) => Some(v)
@@ -1014,56 +1049,56 @@ object SparqlText {
 
     // (a, cur) relation after walking the steps from a variable subject
     val rel: DataFrame = (steps, constOf(oT)) match {
-      case (Seq((p, true)), Some(const)) =>
+      case (Seq(PStep(alts, true)), Some(const)) =>
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
-        Closure.reachingTo(edges(p), spark.range(1).select(lit(const).as("node")),
-            functionalEdges = funct(p))
+        Closure.reachingTo(edgesOf(alts),
+            spark.range(1).select(lit(const).as("node")),
+            functionalEdges = funct(alts))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ ((p, true)), Some(const)) if init.forall(!_._2) =>
+      case (init :+ PStep(alts, true), Some(const)) if init.forall(!_.star) =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
-        val reach = Closure.reachingTo(edges(p),
+        val reach = Closure.reachingTo(edgesOf(alts),
           spark.range(1).select(lit(const).as("node")),
-          functionalEdges = funct(p))
-        val prefix = chain(init.map(_._1), triples)
+          functionalEdges = funct(alts))
+        val prefix = chain(init.map(s => edgesOf(s.alts)))
         // the reach semi-join IS the object constraint — __b carries the
         // path's endpoint (the constant), not the prefix endpoint
         prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
           .select(col("__a"), lit(const).as("__b"))
-      case (Seq((p, true)), None) =>
+      case (Seq(PStep(alts, true)), None) =>
         // `?a p* ?b` → transitive pairs + reflexive over the edge domain
-        val e = edges(p)
+        val e = edgesOf(alts)
         val nodes = e.select(col("src").as("node"))
           .unionByName(e.select(col("dst").as("node"))).distinct()
-        Closure.ancestorPairs(e, functionalEdges = funct(p))
+        Closure.ancestorPairs(e, functionalEdges = funct(alts))
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
       case _ =>
         // General walk — stars at any step. A starred step applies its
-        // predicate's transitive pairs to the running relation and keeps
+        // relation's transitive pairs to the running relation and keeps
         // the zero-hop rows (union); a LEADING star over a variable
         // subject uses the edge-domain reflexive pairs (the documented
         // var-var domain choice above). Star-free sequences reduce to the
         // same chained filtered scans as before.
         steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
-          val (p, star) = st
-          val e = edges(p)
+          val e = edgesOf(st.alts)
           Some(acc match {
-            case None if !star =>
+            case None if !st.star =>
               e.select(col("src").as("__a"), col("dst").as("__cur"))
             case None =>
               val nodes = e.select(col("src").as("node"))
                 .unionByName(e.select(col("dst").as("node"))).distinct()
-              Closure.ancestorPairs(e, functionalEdges = funct(p))
+              Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
                 .select(col("node").as("__a"), col("anc").as("__cur"))
                 .unionByName(nodes.select(col("node").as("__a"),
                   col("node").as("__cur")))
-            case Some(r) if !star =>
+            case Some(r) if !st.star =>
               val rn = e.select(col("src").as("__cur0"), col("dst").as("__next"))
               r.join(rn, r("__cur") === rn("__cur0"))
                 .select(r("__a"), col("__next").as("__cur"))
             case Some(r) =>
-              val tp = Closure.ancestorPairs(e, functionalEdges = funct(p))
+              val tp = Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
                 .select(col("node").as("__cur0"), col("anc").as("__next"))
               r.unionByName(
                 r.join(tp, r("__cur") === tp("__cur0"))
@@ -1089,11 +1124,10 @@ object SparqlText {
   }
 
   /** Left-to-right join of star-free path steps: (__a, __cur) after
-    * traversing each predicate scan. */
-  private def chain(preds: Seq[String], triples: DataFrame): DataFrame =
-    preds.foldLeft(Option.empty[DataFrame]) { (accRel, pp) =>
-      val step = triples.filter(col("p") === pp)
-        .select(col("s").as("__a"), col("o").as("__cur"))
+    * traversing each step's edge relation. */
+  private def chain(frames: Seq[DataFrame]): DataFrame =
+    frames.foldLeft(Option.empty[DataFrame]) { (accRel, e) =>
+      val step = e.select(col("src").as("__a"), col("dst").as("__cur"))
       accRel match {
         case None => Some(step)
         case Some(r) =>

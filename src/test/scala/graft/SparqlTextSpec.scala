@@ -641,6 +641,34 @@ class SparqlTextSpec extends SparkSpec {
     assert(SparqlText.run(none, triples, labels).count() == 0)
   }
 
+  test("inverse (^p) and alternation (p1|p2) property paths") {
+    val t = Seq(
+      ("C1", "nation", "N1", Option.empty[String]),
+      ("S1", "nation", "N1", None),
+      ("N1", "region", "R1", None),
+      ("N1", "label", "AUSTRIA", None), ("R1", "label", "EUROPE", None)
+    ).toDF("s", "p", "o", "oLang")
+    // inverse: who is IN region R1 (N1), stepping backwards
+    val inv = SparqlText.run(
+      "SELECT ?n WHERE { <R1> ^<region> ?n }", t, labels)
+    assert(rows(inv).map(_.head) == Set("N1"))
+    // alternation + chain: members via nation, regions down via ^region,
+    // then the nation label
+    val alt = SparqlText.run(
+      "SELECT DISTINCT ?x ?y WHERE { ?x (<nation>|^<region>)/<label> ?y }",
+      t, labels)
+    assert(rows(alt) == Set(
+      Seq("C1", "AUSTRIA"), Seq("S1", "AUSTRIA"), Seq("R1", "AUSTRIA")))
+    // starred alternation: reach R1 over nation-or-region edges
+    val star = SparqlText.run(
+      "SELECT ?x WHERE { ?x (<nation>|<region>)* <R1> }", t, labels)
+    assert(rows(star).map(_.head) == Set("C1", "S1", "N1", "R1"))
+    // bare alternation mixed with '/' must be parenthesized
+    val e = intercept[RuntimeException](SparqlText.parse(
+      "SELECT ?x WHERE { ?x <a>|<b>/<c> ?y }"))
+    assert(e.getMessage.contains("parenthesize"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
