@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *     compile closure-then-chain via the general walk; `^p` inverse
   *     primaries traverse edges backwards and `(p1|^p2)` alternations
   *     union the step's edge relation (parenthesize alternations inside
-  *     a `/` sequence — bare mixes fail loudly)
+  *     a `/` sequence — bare mixes fail loudly); `p+` (one or more) and
+  *     `p?` (zero or one) modifiers complete the family
   *   - braced groups with `UNION` chains; disconnected patterns compose by
   *     cross join (SPARQL's natural-join-of-disjoint-domains semantics) and
   *     narrow once a later pattern connects them
@@ -87,7 +88,11 @@ object SparqlText {
     * parentheses (SPARQL's `/` binds tighter; unparenthesized mixes fail
     * loudly rather than silently regroup). */
   final case class Path(steps: Seq[PStep])
-  final case class PStep(alts: Seq[(String, Boolean)], star: Boolean)
+  /** mod: "" (exactly one), "*" (zero or more), "+" (one or more),
+    * "?" (zero or one). */
+  final case class PStep(alts: Seq[(String, Boolean)], mod: String) {
+    def star: Boolean = mod == "*"
+  }
 
   sealed trait El
   /** `MINUS { … }`: removes solutions compatible with the group on their
@@ -213,8 +218,11 @@ object SparqlText {
         val start = i + 1
         i += 1
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
-        out += TVar(q.substring(start, i))
-      } else if (c == '<') {
+        // a bare '?' with no name is the zero-or-one path modifier
+        if (i == start && c == '?') out += TPunct("?")
+        else out += TVar(q.substring(start, i))
+      } else if (c == '+') { out += TPunct("+"); i += 1 }
+      else if (c == '<') {
         IriRe.findPrefixMatchOf(q.substring(i)) match {
           case Some(m) => out += TIri(m.group(1)); i += m.end
           case None =>
@@ -668,8 +676,15 @@ object SparqlText {
         alts += primary()
         while (peek == TPunct("|")) { i += 1; alts += primary() }
         if (paren) expectPunct(")")
-        val star = peek == TPunct("*") && { i += 1; true }
-        (PStep(alts.result(), star), paren)
+        val mod = peek match {
+          case TPunct("*") => i += 1; "*"
+          case TPunct("+") => i += 1; "+"
+          // '?' never starts a variable token here: the tokenizer folds
+          // `?name` into TVar, so a bare TPunct is really the modifier
+          case TPunct("?") => i += 1; "?"
+          case _ => ""
+        }
+        (PStep(alts.result(), mod), paren)
       }
       val steps = Vector.newBuilder[(PStep, Boolean)]
       steps += step()
@@ -758,7 +773,7 @@ object SparqlText {
     }
     q.templates.map { tp =>
       val p = tp.p.steps match {
-        case Seq(PStep(Seq((pv, false)), false)) => lit(pv)
+        case Seq(PStep(Seq((pv, false)), "")) => lit(pv)
         case other => sys.error(s"CONSTRUCT template predicates must be simple: $other")
       }
       bound.select(termCol(tp.s).as("s"), p.as("p"), termCol(tp.o).as("o"))
@@ -867,7 +882,7 @@ object SparqlText {
     }
 
     els.foreach {
-      case Tp(s, Path(Seq(PStep(Seq((pv, false)), false))), o) =>
+      case Tp(s, Path(Seq(PStep(Seq((pv, false)), ""))), o) =>
         // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
@@ -1049,13 +1064,13 @@ object SparqlText {
 
     // (a, cur) relation after walking the steps from a variable subject
     val rel: DataFrame = (steps, constOf(oT)) match {
-      case (Seq(PStep(alts, true)), Some(const)) =>
+      case (Seq(PStep(alts, "*")), Some(const)) =>
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
         Closure.reachingTo(edgesOf(alts),
             spark.range(1).select(lit(const).as("node")),
             functionalEdges = funct(alts))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ PStep(alts, true), Some(const)) if init.forall(!_.star) =>
+      case (init :+ PStep(alts, "*"), Some(const)) if init.forall(!_.star) =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
         val reach = Closure.reachingTo(edgesOf(alts),
@@ -1066,7 +1081,7 @@ object SparqlText {
         // path's endpoint (the constant), not the prefix endpoint
         prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
           .select(col("__a"), lit(const).as("__b"))
-      case (Seq(PStep(alts, true)), None) =>
+      case (Seq(PStep(alts, "*")), None) =>
         // `?a p* ?b` → transitive pairs + reflexive over the edge domain
         val e = edgesOf(alts)
         val nodes = e.select(col("src").as("node"))
@@ -1075,34 +1090,52 @@ object SparqlText {
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
       case _ =>
-        // General walk — stars at any step. A starred step applies its
+        // General walk — any modifier at any step. A `*` step applies its
         // relation's transitive pairs to the running relation and keeps
-        // the zero-hop rows (union); a LEADING star over a variable
-        // subject uses the edge-domain reflexive pairs (the documented
-        // var-var domain choice above). Star-free sequences reduce to the
-        // same chained filtered scans as before.
+        // the zero-hop rows (union); `+` applies only the transitive
+        // pairs; `?` unions a single optional hop. LEADING `*`/`?` over a
+        // variable subject use the edge-domain reflexive pairs (the
+        // documented var-var domain choice above). Modifier-free
+        // sequences reduce to the same chained filtered scans as before.
         steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
           val e = edgesOf(st.alts)
+          def trans() = Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
+          def domainNodes() = e.select(col("src").as("node"))
+            .unionByName(e.select(col("dst").as("node"))).distinct()
           Some(acc match {
-            case None if !st.star =>
-              e.select(col("src").as("__a"), col("dst").as("__cur"))
-            case None =>
-              val nodes = e.select(col("src").as("node"))
-                .unionByName(e.select(col("dst").as("node"))).distinct()
-              Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
-                .select(col("node").as("__a"), col("anc").as("__cur"))
-                .unionByName(nodes.select(col("node").as("__a"),
-                  col("node").as("__cur")))
-            case Some(r) if !st.star =>
-              val rn = e.select(col("src").as("__cur0"), col("dst").as("__next"))
-              r.join(rn, r("__cur") === rn("__cur0"))
-                .select(r("__a"), col("__next").as("__cur"))
+            case None => st.mod match {
+              case "" | "+" =>
+                val one = e.select(col("src").as("__a"), col("dst").as("__cur"))
+                if (st.mod == "+")
+                  trans().select(col("node").as("__a"), col("anc").as("__cur"))
+                else one
+              case "*" | "?" =>
+                val zero = domainNodes()
+                  .select(col("node").as("__a"), col("node").as("__cur"))
+                val more =
+                  if (st.mod == "*")
+                    trans().select(col("node").as("__a"), col("anc").as("__cur"))
+                  else e.select(col("src").as("__a"), col("dst").as("__cur"))
+                zero.unionByName(more)
+            }
             case Some(r) =>
-              val tp = Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
-                .select(col("node").as("__cur0"), col("anc").as("__next"))
-              r.unionByName(
+              val oneHop = {
+                val rn = e.select(col("src").as("__cur0"), col("dst").as("__next"))
+                r.join(rn, r("__cur") === rn("__cur0"))
+                  .select(r("__a"), col("__next").as("__cur"))
+              }
+              lazy val manyHops = {
+                val tp = trans()
+                  .select(col("node").as("__cur0"), col("anc").as("__next"))
                 r.join(tp, r("__cur") === tp("__cur0"))
-                  .select(r("__a"), col("__next").as("__cur")))
+                  .select(r("__a"), col("__next").as("__cur"))
+              }
+              st.mod match {
+                case "" => oneHop
+                case "+" => manyHops
+                case "?" => r.unionByName(oneHop)
+                case _ => r.unionByName(manyHops)
+              }
           })
         }.getOrElse(sys.error("empty path")).withColumnRenamed("__cur", "__b")
     }

@@ -669,6 +669,23 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("parenthesize"))
   }
 
+  test("path modifiers + (one or more) and ? (zero or one)") {
+    val t = Seq(
+      ("A", "e", "B", Option.empty[String]), ("B", "e", "C", None),
+      ("C", "f", "D", None)
+    ).toDF("s", "p", "o", "oLang")
+    // e+ : strictly one or more hops — no reflexive pairs
+    val plus = SparqlText.run("SELECT ?a ?b WHERE { ?a <e>+ ?b }", t, labels)
+    assert(rows(plus) == Set(Seq("A", "B"), Seq("A", "C"), Seq("B", "C")))
+    // e? then f : zero-or-one e hop into the f edge
+    val opt = SparqlText.run("SELECT ?a ?b WHERE { ?a <e>?/<f> ?b }", t, labels)
+    // zero hops: C -f-> D; one hop: B -e-> C -f-> D
+    assert(rows(opt) == Set(Seq("B", "D"), Seq("C", "D")))
+    // trailing + after a chain, constant object
+    val plusConst = SparqlText.run("SELECT ?a WHERE { ?a <e>+ <C> }", t, labels)
+    assert(rows(plusConst).map(_.head) == Set("A", "B"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
