@@ -367,7 +367,29 @@ object RdfOps {
       "SELECT DISTINCT ?x ?y WHERE { ?x (<nation>|^<region>)/<label> ?y }",
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** General BIND expressions e2e: `CONCAT` key building and an
+    * `IF(cond, …)` tier derivation — the everyday BIND forms beyond the
+    * reference's COALESCE/STRUUID uses. The oracle recomputes the
+    * concatenation and the CASE split relationally. */
+  def q98BindExpressions(sp: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(sp, dir)
+    val cs = concat(lit("C"), c("c_custkey").cast("string"))
+    val t = c.select(cs.as("s"), lit("segment").as("p"), c("c_mktsegment").as("o"))
+      .unionByName(c.select(cs.as("s"), lit("nation").as("p"),
+        concat(lit("N"), c("c_nationkey").cast("string")).as("o")))
+      .unionByName(c.select(cs.as("s"), lit("bal").as("p"),
+        c("c_acctbal").cast("string").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?c ?key ?tier WHERE {
+        |  ?c <segment> ?seg . ?c <nation> ?n . ?c <bal> ?b .
+        |  BIND(CONCAT(?seg, "/", ?n) AS ?key)
+        |  BIND(IF(?b > 5000.0, "high", "low") AS ?tier)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bind_expressions"   -> q98BindExpressions _,
     "q91_filter_connectives" -> q91FilterConnectives _,
     "q94_bound_contains"     -> q94BoundContainsOrder _,
     "q95_not_exists"         -> q95NotExists _,
@@ -415,6 +437,11 @@ object RdfOps {
          ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
                   'O'||CAST(o_orderkey AS VARCHAR)
          LIMIT 100""",
+    "q98_bind_expressions" ->
+      """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c,
+                c_mktsegment||'/'||'N'||CAST(c_nationkey AS VARCHAR) AS key,
+                CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END AS tier
+         FROM customer""",
     "q97_inverse_path" ->
       s"""WITH triples AS ($T),
          mid AS (

@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
   *     `&&`, `||`, `!`, and parentheses (SPARQL 1.1 §17.2 precedence);
   *     `FILTER(langmatches(lang(?v), "tag"))` and `FILTER(LANG(?v) = "tag")`
   *   - `VALUES ?v { … }` inline membership (J6)
-  *   - `BIND(COALESCE(?a, ?b, …) AS ?c)`
+  *   - `BIND(… AS ?c)` with `COALESCE`, `CONCAT`, `IF(cond, then, else)`
+  *     (condition reuses the FILTER grammar), variables, and literals
   *   - `SERVICE wikibase:label { bd:serviceParam wikibase:language "…" }`
   *   - `BOUND(?v)`, `CONTAINS`/`STRSTARTS`/`STRENDS` (with optional
   *     `STR(…)` wrapping — the identity on lexical string columns) in
@@ -135,6 +136,16 @@ object SparqlText {
   final case class FStrFn(fn: String, v: String, lit: String) extends FExpr
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   final case class BindCoalesce(out: String, vars: Seq[String]) extends El
+
+  /** Value expressions for general `BIND(… AS ?v)` forms: variables,
+    * literals, `CONCAT`, and `IF(cond, then, else)` reusing the FILTER
+    * expression grammar for the condition. */
+  sealed trait VExpr
+  final case class VVar(v: String) extends VExpr
+  final case class VLit(s: String) extends VExpr
+  final case class VConcat(args: Seq[VExpr]) extends VExpr
+  final case class VIf(cond: FExpr, t: VExpr, f: VExpr) extends VExpr
+  final case class BindExpr(out: String, e: VExpr) extends El
 
   /** `BIND(URI(CONCAT("prefix", STRUUID())) AS ?v)` — the provided-entity
     * mint (create_provided_entities_graph_v2.sparql:21). STRUUID is
@@ -619,9 +630,43 @@ object SparqlText {
           expectPunct(")") // URI
           expectKw("AS")
           BindMint(varName(), prefix)
-        } else fail(s"unsupported BIND expression: $peek")
+        } else {
+          val e = valueExpr()
+          expectKw("AS")
+          BindExpr(varName(), e)
+        }
       expectPunct(")")
       el
+    }
+
+    /** `?v`, `"lit"`, a number, `STR(?v)`, `CONCAT(e, …)`, or
+      * `IF(cond, then, else)` — the general BIND value grammar. */
+    private def valueExpr(): VExpr = peek match {
+      case TVar(_) => VVar(varName())
+      case TStr(_, _) =>
+        val TStr(s, _) = next(): @unchecked
+        VLit(s)
+      case TNum(_) =>
+        val TNum(s) = next(): @unchecked
+        VLit(s)
+      case t if isKw(t, "STR") => VVar(strWrappedVar())
+      case t if isKw(t, "CONCAT") =>
+        i += 1; expectPunct("(")
+        val args = Vector.newBuilder[VExpr]
+        args += valueExpr()
+        while (peek == TPunct(",")) { i += 1; args += valueExpr() }
+        expectPunct(")")
+        VConcat(args.result())
+      case t if isKw(t, "IF") =>
+        i += 1; expectPunct("(")
+        val cond = orExpr()
+        expectPunct(",")
+        val tv = valueExpr()
+        expectPunct(",")
+        val fv = valueExpr()
+        expectPunct(")")
+        VIf(cond, tv, fv)
+      case t => fail(s"unsupported BIND expression term: $t")
     }
 
     /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }` */
@@ -942,6 +987,9 @@ object SparqlText {
       case BindCoalesce(out, vars) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
         acc = Some(a.withColumn(out, coalesce(vars.map(col): _*)))
+      case BindExpr(out, e) =>
+        val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
+        acc = Some(a.withColumn(out, compileVExpr(e)))
       case BindMint(out, prefix) =>
         // STRUUID surrogate: md5 of the row's non-anonymous bound variables
         // (sorted for stability) — one URI per distinct binding, stable
@@ -1022,6 +1070,15 @@ object SparqlText {
     case FStrFn("STRSTARTS", v, s) => col(v).startsWith(s)
     case FStrFn("STRENDS", v, s) => col(v).endsWith(s)
     case FStrFn(fn, _, _) => sys.error(s"unsupported string function: $fn")
+  }
+
+  /** BIND value expression → Column. */
+  private def compileVExpr(e: VExpr): Column = e match {
+    case VVar(v) => col(v)
+    case VLit(s) => lit(s)
+    case VConcat(args) => concat(args.map(compileVExpr): _*)
+    case VIf(c, t, f) =>
+      when(compileFExpr(c), compileVExpr(t)).otherwise(compileVExpr(f))
   }
 
   /** Property-path pattern compile (J4/J5 shapes).

@@ -686,6 +686,24 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(plusConst).map(_.head) == Set("A", "B"))
   }
 
+  test("BIND with CONCAT, IF, literals, and plain renames") {
+    val q =
+      """SELECT ?s ?tag ?era WHERE {
+        |  ?s wdt:P569 ?b .
+        |  BIND(CONCAT("p:", ?s, "@", ?b) AS ?tag)
+        |  BIND(IF(?b < "1900-01-01", "old", "modern") AS ?era)
+        |}""".stripMargin
+    val got = rows(SparqlText.run(q, triples, labels))
+    assert(got.contains(Seq("P1", "p:P1@1900-05-01", "modern")))
+    assert(got.contains(Seq("P2", "p:P2@1360-01-01", "old")))
+    assert(got.size == 8)
+    // plain rename and numeric literal
+    val r = SparqlText.run(
+      "SELECT ?s ?copy WHERE { ?s wdt:P570 ?d . BIND(?d AS ?copy) }",
+      triples, labels)
+    assert(rows(r).map(_.last) == Set("1980-01-01", "2000-06-15", "1999-09-09"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
