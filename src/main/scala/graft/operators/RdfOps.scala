@@ -388,7 +388,25 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** HAVING e2e: post-grouping filter on an aggregate that is NOT
+    * projected (MIN over the group), alongside projected COUNT/MIN —
+    * regions keep or drop by their lexicographically-first nation label
+    * (labels are NATION_k; the threshold splits 3 regions in, 2 out).
+    * Nation/region are fixed tables, so the split is scale-invariant
+    * (3 of 5 regions pass at every SF). */
+  def q99Having(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?r (COUNT(?n) AS ?n_nations) (MIN(?lab) AS ?first)
+        |WHERE {
+        |  ?n <region> ?r .
+        |  ?n <label> ?lab .
+        |}
+        |GROUP BY ?r
+        |HAVING(MIN(?lab) < "NATION_13")""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_having"             -> q99Having _,
     "q98_bind_expressions"   -> q98BindExpressions _,
     "q91_filter_connectives" -> q91FilterConnectives _,
     "q94_bound_contains"     -> q94BoundContainsOrder _,
@@ -437,6 +455,14 @@ object RdfOps {
          ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
                   'O'||CAST(o_orderkey AS VARCHAR)
          LIMIT 100""",
+    "q99_having" ->
+      s"""WITH triples AS ($T)
+         SELECT reg.o AS r, CAST(COUNT(reg.s) AS BIGINT) AS n_nations,
+                MIN(l.o) AS first
+         FROM triples reg JOIN triples l ON l.s = reg.s AND l.p = 'label'
+         WHERE reg.p = 'region'
+         GROUP BY reg.o
+         HAVING MIN(l.o) < 'NATION_13'""",
     "q98_bind_expressions" ->
       """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c,
                 c_mktsegment||'/'||'N'||CAST(c_nationkey AS VARCHAR) AS key,

@@ -51,6 +51,7 @@ import org.apache.spark.sql.functions._
   *   - `BOUND(?v)`, `CONTAINS`/`STRSTARTS`/`STRENDS` (with optional
   *     `STR(…)` wrapping — the identity on lexical string columns) in
   *     FILTER expressions
+  *   - `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` post-grouping filters
   *   - nested sub-`SELECT`, multi-key `ORDER BY` with `ASC()`/`DESC()`,
   *     `LIMIT`/`OFFSET` with literal or `$param` values, `#` comments
   *
@@ -167,12 +168,18 @@ object SparqlText {
   final case class PAgg(fn: String, src: String, out: String,
                         distinct: Boolean) extends ProjItem
 
+  /** `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` — post-grouping filter
+    * on an aggregate (computed as a hidden column, filtered, dropped). */
+  final case class Having(agg: PAgg, op: String, value: String,
+                          numeric: Boolean)
+
   sealed trait Query
   final case class SelectQ(
       distinct: Boolean,
       proj: Seq[ProjItem],
       where: Seq[El],
       groupBy: Seq[String],
+      having: Seq[Having],
       orderBy: Seq[(String, Boolean)], // (var, descending)
       limit: Option[Either[Long, String]],
       offset: Option[Either[Long, String]]) extends Query
@@ -410,6 +417,7 @@ object SparqlText {
       expectKw("WHERE")
       val where = group()
       var groupBy: Seq[String] = Nil
+      var having: Seq[Having] = Nil
       var orderBy: Seq[(String, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
@@ -420,6 +428,34 @@ object SparqlText {
           val gs = Vector.newBuilder[String]
           while (peek.isInstanceOf[TVar]) gs += varName()
           groupBy = gs.result()
+        } else if (isKw(peek, "HAVING")) {
+          i += 1; expectPunct("(")
+          val fn = peek match {
+            case TIdent(w) if Set("count", "sum", "min", "max",
+                "avg").contains(w.toLowerCase) => i += 1; w.toLowerCase
+            case t => fail(s"HAVING expects an aggregate, got $t")
+          }
+          expectPunct("(")
+          val dist = isKw(peek, "DISTINCT") && { i += 1; true }
+          val src = peek match {
+            case TPunct("*") => i += 1; "*"
+            case _ => varName()
+          }
+          if (src == "*" && (dist || fn != "count"))
+            fail("'*' is only valid in COUNT(*)")
+          expectPunct(")")
+          val op = next() match {
+            case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
+            case t => fail(s"expected comparison operator in HAVING, got $t")
+          }
+          val (value, num) = next() match {
+            case TNum(s) => (s, true)
+            case TStr(s, _) => (s, false)
+            case t => fail(s"expected literal in HAVING, got $t")
+          }
+          expectPunct(")")
+          having = having :+ Having(PAgg(fn, src, s"__having${having.size}", dist),
+            op, value, num)
         } else if (isKw(peek, "ORDER")) {
           i += 1; expectKw("BY")
           // one or more sort keys: `?v`, `ASC(?v)`, `DESC(?v)`
@@ -440,7 +476,8 @@ object SparqlText {
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
         else trailing = false
       }
-      val q = SelectQ(distinct, proj.result(), where, groupBy, orderBy, limit, offset)
+      val q = SelectQ(distinct, proj.result(), where, groupBy, having, orderBy,
+        limit, offset)
       if (top && !eof) fail("trailing tokens after query")
       q
     }
@@ -857,9 +894,12 @@ object SparqlText {
       case a: PAgg => a: ProjItem
     }
     val grouped =
-      if (q.groupBy.nonEmpty || aggs.nonEmpty) {
-        require(aggs.nonEmpty, "GROUP BY requires at least one aggregate")
-        val aggCols = aggs.map {
+      if (q.groupBy.nonEmpty || aggs.nonEmpty || q.having.nonEmpty) {
+        require(aggs.nonEmpty || q.having.nonEmpty,
+          "GROUP BY requires at least one aggregate")
+        // HAVING aggregates ride along as hidden columns, filtered after
+        // the agg and dropped by the projection below
+        val aggCols = (aggs ++ q.having.map(_.agg)).map {
           case PGroupConcat(src, out, dist) =>
             val collected =
               if (dist) collect_set(col(src)) else collect_list(col(src))
@@ -882,8 +922,22 @@ object SparqlText {
           case PAgg("sample", src, out, _) => min(col(src)).as(out)
           case other => sys.error(s"unsupported aggregate: $other")
         }
-        labeled.groupBy(q.groupBy.map(col): _*)
+        val agged = labeled.groupBy(q.groupBy.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
+        q.having.foldLeft(agged) { (df, h) =>
+          val c0 = col(h.agg.out)
+          val (c: Column, v: Any) =
+            if (h.numeric) (c0.cast("double"), h.value.toDouble) else (c0, h.value)
+          df.filter(h.op match {
+            case "<" => c < v
+            case ">" => c > v
+            case "<=" => c <= v
+            case ">=" => c >= v
+            case "=" => c === v
+            case "!=" => c =!= v
+            case other => sys.error(s"unsupported comparison: $other")
+          })
+        }
       } else labeled
     val cols: Seq[Column] = q.proj.map {
       case PVar(src, out) =>

@@ -704,6 +704,26 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(r).map(_.last) == Set("1980-01-01", "2000-06-15", "1999-09-09"))
   }
 
+  test("HAVING filters groups on hidden aggregate columns") {
+    // citizenships per country: Q40 ×3 (P1,P2,P8), Q28513 ×2 (P3,P7),
+    // others ×1
+    val q =
+      """SELECT ?c (COUNT(?s) AS ?n) WHERE {
+        |  ?s wdt:P27 ?c .
+        |}
+        |GROUP BY ?c
+        |HAVING(COUNT(?s) > 1)""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(
+      Seq("wd:Q40", 3L), Seq("wd:Q28513", 2L)))
+    // HAVING without the aggregate projected
+    val bare =
+      """SELECT ?c WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c
+        |HAVING(COUNT(DISTINCT ?s) = 1)""".stripMargin
+    assert(rows(SparqlText.run(bare, triples, labels)).map(_.head) ==
+      Set("wd:Q131964", "wd:Q699964", "wd:Q183"))
+  }
+
   test("langmatches on a variable bound only inside OPTIONAL fails loudly") {
     val q =
       """SELECT ?s ?d WHERE {
