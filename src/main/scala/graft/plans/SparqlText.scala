@@ -897,6 +897,12 @@ object SparqlText {
       if (q.groupBy.nonEmpty || aggs.nonEmpty || q.having.nonEmpty) {
         require(aggs.nonEmpty || q.having.nonEmpty,
           "GROUP BY requires at least one aggregate")
+        // implicit (empty) grouping admits only aggregate projections —
+        // a plain ?var would silently project null (SPARQL errors here)
+        if (q.groupBy.isEmpty)
+          q.proj.collect { case PVar(src, _) => src }.foreach(v =>
+            sys.error(s"?$v must appear in GROUP BY to be projected " +
+              "alongside aggregates"))
         // HAVING aggregates ride along as hidden columns, filtered after
         // the agg and dropped by the projection below
         val aggCols = (aggs ++ q.having.map(_.agg)).map {

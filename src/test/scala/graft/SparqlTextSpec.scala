@@ -715,6 +715,11 @@ class SparqlTextSpec extends SparkSpec {
         |HAVING(COUNT(?s) > 1)""".stripMargin
     assert(rows(SparqlText.run(q, triples, labels)) == Set(
       Seq("wd:Q40", 3L), Seq("wd:Q28513", 2L)))
+    // a plain var projected under implicit grouping fails loudly
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s (COUNT(?c) AS ?n) WHERE { ?s wdt:P27 ?c . }",
+      triples, labels))
+    assert(e.getMessage.contains("GROUP BY"))
     // HAVING without the aggregate projected
     val bare =
       """SELECT ?c WHERE { ?s wdt:P27 ?c . }
