@@ -108,6 +108,16 @@ object Closure {
   private def resolveSwitch(explicit: Int): Int =
     if (explicit >= 0) explicit else twoHopSwitch
 
+  /** The functional fast path skips the per-round anti-join because forest
+    * frontiers never revisit — but `isFunctional` is also true for CYCLIC
+    * functional relations (rings, symmetric pairs like spouse), whose
+    * frontier then never empties and burns all `maxIters` rounds. Every
+    * `CycleGuardEvery` rounds the step anti-joins the accumulator anyway —
+    * a no-op on real forests (semi-naive safety: removing already-found
+    * rows never loses answers), and a terminator within one period on
+    * cycles. */
+  private val CycleGuardEvery = 8
+
   /** Rounds of single-hop walking before a still-running functional
     * fixpoint builds `edges ⋈ edges` and strides two hops per round.
     * Measured at sf0.1 (q16, depth 4): the e2 build costs ~1.5-2.7 s —
@@ -121,7 +131,10 @@ object Closure {
     * entirely (A/B hatch); GRAFT_CLOSURE_TWOHOP=<n> overrides. */
   private def twoHopSwitch: Int = sys.env.get("GRAFT_CLOSURE_TWOHOP") match {
     case Some("0") => Int.MaxValue
-    case Some(n) if n.forall(_.isDigit) && n.nonEmpty => n.toInt
+    // values too large for Int clearly mean "never stride" — clamp
+    // instead of crashing on toInt overflow
+    case Some(n) if n.forall(_.isDigit) && n.nonEmpty =>
+      if (n.length > 9) Int.MaxValue else n.toInt
     case _ => 6
   }
 
@@ -181,26 +194,33 @@ object Closure {
       var acc = timed("seed")(ckpt(seeds.select(col("node")).distinct()))
       var frontier = acc
       var frontierRows = acc.count()
+      var accRows = frontierRows
       var i = 0
+      def guard(stepped: DataFrame): DataFrame =
+        if (i % CycleGuardEvery == CycleGuardEvery - 1)
+          stepped.join(hintIf(acc, accRows, broadcastMaxRows),
+            Seq("node"), "left_anti")
+        else stepped
       while (i < maxIters && frontierRows > 0) {
         val f = hintIf(frontier, frontierRows, broadcastMaxRows)
         if (i < switchAfter) {
           val next = timed(s"round $i ckpt") {
-            ckpt(e.join(f, e("dst") === frontier("node"))
-              .select(e("src").as("node")).distinct())
+            ckpt(guard(e.join(f, e("dst") === frontier("node"))
+              .select(e("src").as("node")).distinct()))
           }
           frontierRows = timed(s"round $i count")(next.count())
           acc = acc.unionByName(next)
+          accRows += frontierRows
           frontier = next
         } else {
           if (e2.isEmpty) e2 = Some(twoHop(e).persist())
           val ee2 = e2.get
           val stepped = timed(s"round2 $i ckpt") {
-            ckpt(e.join(f, e("dst") === frontier("node"))
+            ckpt(guard(e.join(f, e("dst") === frontier("node"))
               .select(e("src").as("node"), lit(false).as("__even"))
               .unionByName(ee2.join(f, ee2("dst") === frontier("node"))
                 .select(ee2("src").as("node"), lit(true).as("__even")))
-              .distinct())
+              .distinct()))
           }
           // One action: materializes the checkpoint and returns both layer
           // sizes (≤ 2 rows collected).
@@ -209,6 +229,7 @@ object Closure {
               .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
           }
           acc = acc.unionByName(stepped.select(col("node")))
+          accRows += sizes.values.sum
           frontier = stepped.filter(col("__even")).select(col("node"))
           frontierRows = sizes.getOrElse(true, 0L)
         }
@@ -282,38 +303,46 @@ object Closure {
       var acc = ckpt(e.select(col("src").as("node"), col("dst").as("anc")).distinct())
       var frontier = acc
       var frontierRows = acc.count()
+      var accRows = frontierRows
       val eRows = frontierRows
       var i = 0
+      def guard(stepped: DataFrame): DataFrame =
+        if (i % CycleGuardEvery == CycleGuardEvery - 1)
+          stepped.join(hintIf(acc, accRows, broadcastMaxRows),
+            Seq("node", "anc"), "left_anti")
+        else stepped
       while (i < maxIters && frontierRows > 0) {
         if (i < switchAfter) {
           val next = timed(s"anc round $i ckpt") {
             // distinct keeps duplicate input-edge rows from amplifying
             // round-over-round (same role as the general path's per-round
             // dedup; the SAVING here is the skipped anti-join)
-            ckpt(frontier.join(hintIf(e, eRows, broadcastMaxRows),
+            ckpt(guard(frontier.join(hintIf(e, eRows, broadcastMaxRows),
                 frontier("anc") === e("src"))
-              .select(frontier("node"), e("dst").as("anc")).distinct())
+              .select(frontier("node"), e("dst").as("anc")).distinct()))
           }
           frontierRows = timed(s"anc round $i count")(next.count())
           acc = acc.unionByName(next)
+          accRows += frontierRows
           frontier = next
         } else {
           if (e2.isEmpty) e2 = Some(twoHop(e).persist())
           val ee2 = e2.get
           val stepped = timed(s"anc2 $i ckpt") {
-            ckpt(frontier.join(hintIf(e, eRows, broadcastMaxRows),
+            ckpt(guard(frontier.join(hintIf(e, eRows, broadcastMaxRows),
                 frontier("anc") === e("src"))
               .select(frontier("node"), e("dst").as("anc"), lit(false).as("__skip"))
               .unionByName(frontier.join(hintIf(ee2, eRows, broadcastMaxRows),
                 frontier("anc") === ee2("src"))
                 .select(frontier("node"), ee2("dst").as("anc"), lit(true).as("__skip")))
-              .distinct())
+              .distinct()))
           }
           val sizes = timed(s"anc2 $i count") {
             stepped.groupBy(col("__skip")).count().collect()
               .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
           }
           acc = acc.unionByName(stepped.select(col("node"), col("anc")))
+          accRows += sizes.values.sum
           frontier = stepped.filter(col("__skip")).select(col("node"), col("anc"))
           frontierRows = sizes.getOrElse(true, 0L)
         }

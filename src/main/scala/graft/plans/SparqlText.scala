@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   *   - `OPTIONAL { … }` with inner `FILTER`s (applied before the left join,
   *     the J3 ordering)
   *   - `MINUS { … }` and `FILTER [NOT] EXISTS { … }` → left-anti /
-  *     left-semi joins on the shared variables (the J8 worklist shape);
+  *     left-semi joins on the shared variables (the J8 worklist shape)
+  *     with SPARQL null-compatibility (an unbound shared var matches
+  *     anything; only null-carrying rows leave the hash-join fast path);
   *     MINUS with no shared variables removes nothing (SPARQL §8.3.3)
   *   - `FILTER` boolean expressions: `?v <op> literal` comparisons (quoted,
   *     typed, or signed integer/decimal/exponent numerics) composed with
@@ -483,7 +485,10 @@ object SparqlText {
     }
 
     private def numOrParam(): Either[Long, String] = next() match {
-      case TNum(v) => Left(v.toLong)
+      // the tokenizer also produces decimal/exponent numerics now — only
+      // plain integers are legal here, and oversized ones fail typed
+      case TNum(v) if v.forall(_.isDigit) && v.length <= 18 => Left(v.toLong)
+      case TNum(v) => fail(s"LIMIT/OFFSET must be a plain integer, got $v")
       case TVar(v) => Right(v) // `$limit` template parameter
       case t => fail(s"expected number or $$param, got $t")
     }
@@ -813,10 +818,18 @@ object SparqlText {
     * @param params  values for `$limit`/`$offset`-style template parameters
     */
   def compile(q: Query, triples: DataFrame, labels: DataFrame,
-              params: Map[String, Long] = Map.empty): DataFrame = q match {
-    case s: SelectQ => compileSelect(s, triples, labels, params)
-    case c: ConstructQ => compileConstruct(c, triples, labels, params)
+              params: Map[String, Long] = Map.empty): DataFrame = {
+    // one isFunctional probe per distinct path step per COMPILE, not per
+    // pattern occurrence — the memo is shared down the whole query tree
+    val memo: FunctMemo = scala.collection.mutable.Map.empty
+    q match {
+      case s: SelectQ => compileSelect(s, triples, labels, params, memo)
+      case c: ConstructQ => compileConstruct(c, triples, labels, params, memo)
+    }
   }
+
+  private type FunctMemo =
+    scala.collection.mutable.Map[Seq[(String, Boolean)], Boolean]
 
   /** Parse + compile in one step. */
   def run(query: String, triples: DataFrame, labels: DataFrame,
@@ -845,9 +858,9 @@ object SparqlText {
     * arms project the same solution set, so this is the fused-generator
     * shape: k small selects over ONE compiled WHERE plan. */
   private def compileConstruct(q: ConstructQ, triples: DataFrame,
-                               labels: DataFrame,
-                               params: Map[String, Long]): DataFrame = {
-    val (bound, _) = compileGroup(q.where, triples, labels, params)
+                               labels: DataFrame, params: Map[String, Long],
+                               memo: FunctMemo): DataFrame = {
+    val (bound, _) = compileGroup(q.where, triples, labels, params, memo)
     def termCol(t: Term): Column = t match {
       case V(v) => col(v)
       case C(v) => lit(v)
@@ -870,8 +883,9 @@ object SparqlText {
     }
 
   private def compileSelect(q: SelectQ, triples: DataFrame, labels: DataFrame,
-                            params: Map[String, Long]): DataFrame = {
-    val (bound, svc) = compileGroup(q.where, triples, labels, params)
+                            params: Map[String, Long],
+                            memo: FunctMemo): DataFrame = {
+    val (bound, svc) = compileGroup(q.where, triples, labels, params, memo)
     // wikibase:label semantics: every projected ?xLabel with ?x bound gets
     // the first-available-language label, falling back to the id (J7).
     val labeled = svc match {
@@ -972,7 +986,8 @@ object SparqlText {
     * later patterns sharing variables with both sides narrow the product,
     * and Catalyst sees the whole join tree declaratively. */
   private def compileGroup(els: Seq[El], triples: DataFrame, labels: DataFrame,
-                           params: Map[String, Long]): (DataFrame, Option[Seq[String]]) = {
+                           params: Map[String, Long],
+                           memo: FunctMemo): (DataFrame, Option[Seq[String]]) = {
     val langFilters: Map[String, String] =
       els.collect { case LangM(v, lang) => v -> lang }.toMap
     val langApplied = scala.collection.mutable.Set[String]()
@@ -1025,25 +1040,25 @@ object SparqlText {
           case L(v) => pat = pat.filter(col("o") === v)
         }
         join(pat.select(projected.result(): _*))
-      case Tp(s, path, o) => join(compilePath(s, path, o, triples))
+      case Tp(s, path, o) => join(compilePath(s, path, o, triples, memo))
       case UnionEl(arms) =>
-        val dfs = arms.map(a => compileGroup(a, triples, labels, params)._1)
+        val dfs = arms.map(a => compileGroup(a, triples, labels, params, memo)._1)
         join(dfs.reduce(_ unionByName _))
       case OptEl(g) =>
-        val right = compileGroup(g, triples, labels, params)._1
+        val right = compileGroup(g, triples, labels, params, memo)._1
         acc = Some(SparqlAlgebra.optional(
           acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
       case MinusEl(g) =>
         val a = acc.getOrElse(sys.error("MINUS requires a preceding pattern"))
-        val right = compileGroup(g, triples, labels, params)._1
+        val right = compileGroup(g, triples, labels, params, memo)._1
         val shared = a.columns.intersect(right.columns).toSeq
         // no shared variables → every solution is incompatible with every
         // right-side solution → MINUS removes nothing (SPARQL §8.3.3)
-        // no right-side dedup needed: anti joins never duplicate left rows
         acc = Some(if (shared.isEmpty) a
-          else a.join(right.select(shared.map(col): _*), shared, "left_anti"))
+          else compatNegation(a, right, shared, anti = true,
+            requireOverlap = true)) // MINUS: dom(μ1)∩dom(μ2) must be non-empty
       case SubSel(sub) =>
-        join(compileSelect(sub, triples, labels, params))
+        join(compileSelect(sub, triples, labels, params, memo))
       case BindCoalesce(out, vars) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
         acc = Some(a.withColumn(out, coalesce(vars.map(col): _*)))
@@ -1070,13 +1085,12 @@ object SparqlText {
     els.foreach {
       case FilterExpr(e) => out = out.filter(compileFExpr(e))
       case ExistsEl(g, negated) =>
-        val right = compileGroup(g, triples, labels, params)._1
+        val right = compileGroup(g, triples, labels, params, memo)._1
         val shared = out.columns.intersect(right.columns).toSeq
         if (shared.isEmpty) sys.error(
           "FILTER [NOT] EXISTS must share at least one variable with the outer group")
-        // semi/anti joins never duplicate left rows — no right-side dedup
-        out = out.join(right.select(shared.map(col): _*),
-          shared, if (negated) "left_anti" else "left_semi")
+        out = compatNegation(out, right, shared, anti = negated,
+          requireOverlap = false)
       case ValuesEl(v, vals) => out = out.filter(col(v).isin(vals: _*)) // J6
       case _ =>
     }
@@ -1094,6 +1108,59 @@ object SparqlText {
           "bindings cannot be lang-filtered from the outer group)")
     }
     (out, svc)
+  }
+
+  /** SPARQL-compatible negation join (MINUS, [NOT] EXISTS).
+    *
+    * SPARQL compatibility ignores variables UNBOUND on either side: a null
+    * shared column is compatible with anything, so a plain equi anti-join
+    * (null = x → null → no match) would KEEP rows SPARQL removes. The
+    * all-bound × all-bound bulk still goes through the hash equi join —
+    * only rows carrying nulls (possible only downstream of OPTIONAL) take
+    * the theta-join path, so the common case keeps the scalable plan.
+    *
+    * @param requireOverlap MINUS additionally requires a non-empty
+    *   PER-ROW-PAIR shared domain (§8.3.3): an all-null pairing removes
+    *   nothing. EXISTS uses plain compatibility.
+    */
+  private def compatNegation(left: DataFrame, right: DataFrame,
+                             shared: Seq[String], anti: Boolean,
+                             requireOverlap: Boolean): DataFrame = {
+    // semi/anti joins never duplicate left rows — no right-side dedup
+    val rs = right.select(shared.map(col): _*)
+    val lHasNull = shared.map(col(_).isNull).reduce(_ || _)
+    val rHasNull = shared.map(col(_).isNull).reduce(_ || _)
+    val rBound = rs.filter(!rHasNull)
+    val rNull = rs.filter(rHasNull)
+    def renamed(df: DataFrame) = df.select(shared.map(c => col(c).as(s"__m_$c")): _*)
+    def cond(l: DataFrame, r: DataFrame): Column = {
+      val compat = shared.map(c =>
+        l(c).isNull || r(s"__m_$c").isNull || l(c) === r(s"__m_$c")).reduce(_ && _)
+      if (requireOverlap)
+        compat && shared.map(c =>
+          l(c).isNotNull && r(s"__m_$c").isNotNull).reduce(_ || _)
+      else compat
+    }
+    val lBound = left.filter(!lHasNull)
+    val lNull = left.filter(lHasNull)
+    val rNullR = renamed(rNull)
+    val rAllR = renamed(rs)
+    if (anti) {
+      // survive = not equi-matched by bound right rows AND not
+      // compat-matched by null-carrying right rows
+      val s1 = lBound.join(rBound, shared, "left_anti")
+      val s2 = s1.join(rNullR, cond(s1, rNullR), "left_anti")
+      val s3 = lNull.join(rAllR, cond(lNull, rAllR), "left_anti")
+      s2.unionByName(s3)
+    } else {
+      // matched = equi-matched by bound right rows OR compat-matched by
+      // null-carrying right rows
+      val m1 = lBound.join(rBound, shared, "left_semi")
+      val rest = lBound.join(rBound, shared, "left_anti")
+      val m2 = rest.join(rNullR, cond(rest, rNullR), "left_semi")
+      val m3 = lNull.join(rAllR, cond(lNull, rAllR), "left_semi")
+      m1.unionByName(m2).unionByName(m3)
+    }
   }
 
   /** FILTER expression → Column predicate. SPARQL's error-propagation
@@ -1154,7 +1221,7 @@ object SparqlText {
     *     hierarchies (the city query's P279 use), not for instance data.
     */
   private def compilePath(sT: Term, path: Path, oT: Term,
-                          triples: DataFrame): DataFrame = {
+                          triples: DataFrame, memo: FunctMemo): DataFrame = {
     // One step's edge relation: the union of its alternatives, each an
     // s→o scan (or o→s for `^p` inverse primaries)
     def edgesOf(alts: Seq[(String, Boolean)]): DataFrame =
@@ -1167,10 +1234,8 @@ object SparqlText {
     // is a forest, but it can verify with a one-job probe — unlocking the
     // closure's two-hop no-anti-join fast path for containment-shaped
     // data (one aggregate now vs one anti-join shuffle per round).
-    val functionalMemo =
-      scala.collection.mutable.Map[Seq[(String, Boolean)], Boolean]()
     def funct(alts: Seq[(String, Boolean)]): Boolean =
-      functionalMemo.getOrElseUpdate(alts, Closure.isFunctional(edgesOf(alts)))
+      memo.getOrElseUpdate(alts, Closure.isFunctional(edgesOf(alts)))
     def constOf(t: Term): Option[String] = t match {
       case C(v) => Some(v)
       case L(v) => Some(v)
@@ -1187,7 +1252,7 @@ object SparqlText {
             spark.range(1).select(lit(const).as("node")),
             functionalEdges = funct(alts))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ PStep(alts, "*"), Some(const)) if init.forall(!_.star) =>
+      case (init :+ PStep(alts, "*"), Some(const)) if init.forall(_.mod == "") =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
         val reach = Closure.reachingTo(edgesOf(alts),
@@ -1199,10 +1264,15 @@ object SparqlText {
         prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
           .select(col("__a"), lit(const).as("__b"))
       case (Seq(PStep(alts, "*")), None) =>
-        // `?a p* ?b` → transitive pairs + reflexive over the edge domain
+        // `?a p* ?b` → transitive pairs + reflexive over the edge domain;
+        // a CONSTANT subject joins the zero-hop domain even when it has no
+        // p-edges (SPARQL: `<A> p* ?b` always yields the zero-length A→A)
         val e = edgesOf(alts)
-        val nodes = e.select(col("src").as("node"))
-          .unionByName(e.select(col("dst").as("node"))).distinct()
+        val nodes = constOf(sT).map(c =>
+            spark.range(1).select(lit(c).as("node")))
+          .foldLeft(e.select(col("src").as("node"))
+            .unionByName(e.select(col("dst").as("node"))))(_ unionByName _)
+          .distinct()
         Closure.ancestorPairs(e, functionalEdges = funct(alts))
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
@@ -1217,8 +1287,15 @@ object SparqlText {
         steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
           val e = edgesOf(st.alts)
           def trans() = Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
-          def domainNodes() = e.select(col("src").as("node"))
-            .unionByName(e.select(col("dst").as("node"))).distinct()
+          // zero-hop domain for a LEADING `*`/`?`: the step's edge nodes,
+          // plus any constant subject/object term of the whole path — a
+          // constant with no edges of this predicate still has the
+          // zero-length path to itself
+          def domainNodes() = (constOf(sT).toSeq ++ constOf(oT).toSeq)
+            .map(c => spark.range(1).select(lit(c).as("node")))
+            .foldLeft(e.select(col("src").as("node"))
+              .unionByName(e.select(col("dst").as("node"))))(_ unionByName _)
+            .distinct()
           Some(acc match {
             case None => st.mod match {
               case "" | "+" =>

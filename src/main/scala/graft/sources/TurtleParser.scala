@@ -103,9 +103,12 @@ object TurtleParser {
     }
   }
 
-  /** RFC 3986 appendix-B split; the regex cannot fail, so this is total. */
+  /** RFC 3986 appendix-B split; the regex cannot fail, so this is total.
+    * (?s) keeps the fragment's `.*` total on embedded newlines — parseIriRef
+    * accepts any char up to '>', and a MatchError here would break the
+    * typed-error fuzz contract. */
   private val IriRe =
-    "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+    "(?s)^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
 
   private def splitIri(s: String): IriParts = s match {
     case IriRe(sch, auth, path, q, frag) =>

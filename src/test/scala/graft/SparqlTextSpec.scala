@@ -669,6 +669,71 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("parenthesize"))
   }
 
+  test("MINUS/NOT EXISTS respect SPARQL null-compatibility on OPTIONAL-bound vars") {
+    // P2 has no death date: ?d is unbound (null). The MINUS group shares
+    // {s, d}; SPARQL compatibility ignores the unbound ?d, so P2 is
+    // compatible with any right row matching on ?s alone and MUST be
+    // removed — a plain equi anti-join would wrongly keep it.
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  OPTIONAL { ?s wdt:P570 ?d . }
+        |  MINUS { ?s wdt:P27 wd:Q40 . ?x wdt:P570 ?d . }
+        |}""".stripMargin
+    // right group: s ∈ citizens of Q40 {P1,P2,P8} × d ∈ death dates; MINUS
+    // removes P1 (s+d both match) and P2/P8 (unbound d ignored, s matches)
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("P3", "P4", "P5", "P6", "P7"))
+    // NOT EXISTS with the same shape agrees
+    val ne = q.replace("MINUS", "FILTER NOT EXISTS")
+    assert(rows(SparqlText.run(ne, triples, labels)).map(_.head) ==
+      Set("P3", "P4", "P5", "P6", "P7"))
+    // EXISTS keeps exactly the removed ones
+    val ex = q.replace("MINUS", "FILTER EXISTS")
+    assert(rows(SparqlText.run(ex, triples, labels)).map(_.head) ==
+      Set("P1", "P2", "P8"))
+  }
+
+  test("modified path prefixes route to the general walk, not the chain fast path") {
+    val t = Seq(
+      ("A", "e", "B", Option.empty[String]), ("B", "e", "C", None),
+      ("C", "f", "X", None), ("X", "f", "X", None)
+    ).toDF("s", "p", "o", "oLang")
+    // <e>+ must walk A→B→C (two hops) before <f>* reaches X — a chain
+    // treating '+' as one hop would return only {B}
+    val plus = SparqlText.run("SELECT ?a WHERE { ?a <e>+/<f>* <X> }", t, labels)
+    assert(rows(plus).map(_.head) == Set("A", "B"))
+    // <e>? is AT MOST one hop: C (zero hops then f), B (one e-hop to C),
+    // X (zero hops, f* reflexive via the constant) — but never A, whose
+    // single allowed e-hop only reaches B
+    val opt = SparqlText.run("SELECT ?a WHERE { ?a <e>?/<f>* <X> }", t, labels)
+    assert(rows(opt).map(_.head) == Set("B", "C", "X"))
+  }
+
+  test("leading ? or * with a constant term keeps the zero-length path") {
+    val t = Seq(
+      ("A", "f", "D", Option.empty[String]), ("B", "e", "C", None)
+    ).toDF("s", "p", "o", "oLang")
+    // A has NO e-edges: <A> <e>?/<f> ?b must still reach D via zero e-hops
+    val cs = SparqlText.run("SELECT ?b WHERE { <A> <e>?/<f> ?b }", t, labels)
+    assert(rows(cs).map(_.head) == Set("D"))
+    // ?a <e>* <B>: B has no e-edges either — the reflexive B→B row survives
+    val co = SparqlText.run("SELECT ?a WHERE { ?a <e>* <B> }", t, labels)
+    assert(rows(co).map(_.head) == Set("B"))
+    // constant subject on the var-var star shape
+    val cc = SparqlText.run("SELECT ?b WHERE { <A> <e>* ?b }", t, labels)
+    assert(rows(cc).map(_.head) == Set("A"))
+  }
+
+  test("non-integer LIMIT fails with a typed parse error") {
+    for (bad <- Seq("LIMIT 2.5", "LIMIT 1e3", "OFFSET -1")) {
+      val e = intercept[RuntimeException](SparqlText.parse(
+        s"SELECT ?x WHERE { ?x <p> ?o . } $bad"))
+      assert(e.getMessage.toLowerCase.contains("integer") ||
+        e.getMessage.contains("parse error"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("path modifiers + (one or more) and ? (zero or one)") {
     val t = Seq(
       ("A", "e", "B", Option.empty[String]), ("B", "e", "C", None),
