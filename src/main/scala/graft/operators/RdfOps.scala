@@ -405,7 +405,98 @@ object RdfOps {
         |HAVING(MIN(?lab) < "NATION_13")""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Orders lifted to a (date, total, status, priority) triple view — the
+    * fixture q91/q94 use, shared by the round-5 expression queries. */
+  private def orderTriples(sp: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(sp, dir)
+    val os = concat(lit("O"), o("o_orderkey").cast("string"))
+    o.select(os.as("s"), lit("date").as("p"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("o"))
+      .unionByName(o.select(os.as("s"), lit("total").as("p"),
+        o("o_totalprice").cast("string").as("o")))
+      .unionByName(o.select(os.as("s"), lit("status").as("p"),
+        o("o_orderstatus").as("o")))
+      .unionByName(o.select(os.as("s"), lit("priority").as("p"),
+        o("o_orderpriority").as("o")))
+  }
+
+  /** Arithmetic through the unified expression grammar: a computed FILTER
+    * bound, an `(expr AS ?v)` projection, and `ORDER BY DESC(expr)` — the
+    * everyday derived-measure shape no reference file uses but any edited
+    * query hits immediately. Both sides compute the same IEEE double ops
+    * (`* 2.0`, `- 10.0` are exact), so hashes agree bit-for-bit. */
+  def q100ArithmeticExpr(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x (?t * 2.0 - 10.0 AS ?adj) WHERE {
+        |  ?x <total> ?t . ?x <status> "F" .
+        |  FILTER(?t * 2.0 > 500000.0)
+        |}
+        |ORDER BY DESC(?adj) ?x
+        |LIMIT 50""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** String builtins end-to-end: STRLEN/REGEX("i") filters with
+    * SUBSTR/UCASE/STRBEFORE projections over the order-priority lexicon
+    * ('1-URGENT' … '5-LOW'); the oracle recomputes each builtin with the
+    * matching DuckDB function. */
+  def q101StringFns(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x (UCASE(SUBSTR(?pr, 3)) AS ?u) (STRBEFORE(?pr, "-") AS ?pre)
+        |WHERE {
+        |  ?x <priority> ?pr .
+        |  FILTER(STRLEN(?pr) >= 8 && REGEX(?pr, "urgent|medium", "i"))
+        |}""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** `SELECT *` + `[NOT] IN` + date accessors: every named variable
+    * projects without an explicit list, membership prunes to two statuses,
+    * and YEAR/DAY run over the ISO-string date column. */
+  def q102SelectStarIn(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT * WHERE {
+        |  ?x <status> ?st . ?x <date> ?d .
+        |  FILTER(?st IN ("P", "F") && YEAR(?d) = 1996 && DAY(?d) <= 5)
+        |}""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** GROUP_CONCAT with an explicit separator plus aggregates over computed
+    * expressions (`SUM(?b * 0.5)`) — the measure-derivation shape — and a
+    * COUNT alongside, grouped per nation over the customer triple view. */
+  def q103AggExpr(sp: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(sp, dir)
+    val cs = concat(lit("C"), c("c_custkey").cast("string"))
+    val t = c.select(cs.as("s"), lit("segment").as("p"), c("c_mktsegment").as("o"))
+      .unionByName(c.select(cs.as("s"), lit("nation").as("p"),
+        concat(lit("N"), c("c_nationkey").cast("string")).as("o")))
+      .unionByName(c.select(cs.as("s"), lit("bal").as("p"),
+        c("c_acctbal").cast("string").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?n (GROUP_CONCAT(DISTINCT ?seg ; separator="|") AS ?segs)
+        |       (SUM(?b * 0.5) AS ?half) (COUNT(?c) AS ?cnt)
+        |WHERE { ?c <nation> ?n . ?c <segment> ?seg . ?c <bal> ?b . }
+        |GROUP BY ?n""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
+  /** Numeric builtins: ROUND/FLOOR projections with a CEIL/ABS filter
+    * band — all uniformly double on both sides (the engine's one-numeric-
+    * type rule), so the oracle CASTs to DOUBLE where DuckDB would return
+    * integers. */
+  def q104NumericFns(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x (ROUND(?t / 1000.0) AS ?kilo) (FLOOR(?t / 10000.0) AS ?bucket)
+        |WHERE {
+        |  ?x <total> ?t .
+        |  FILTER(ABS(?t - 150000.0) <= 20000.0 && CEIL(?t / 10000.0) >= 14.0)
+        |}""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_arith_expr"        -> q100ArithmeticExpr _,
+    "q101_string_fns"        -> q101StringFns _,
+    "q102_select_star_in"    -> q102SelectStarIn _,
+    "q103_agg_expr"          -> q103AggExpr _,
+    "q104_numeric_fns"       -> q104NumericFns _,
     "q99_having"             -> q99Having _,
     "q98_bind_expressions"   -> q98BindExpressions _,
     "q91_filter_connectives" -> q91FilterConnectives _,
@@ -437,6 +528,43 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q100_arith_expr" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                o_totalprice * 2.0 - 10.0 AS adj
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice * 2.0 > 500000.0
+         ORDER BY adj DESC, x
+         LIMIT 50""",
+    "q101_string_fns" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                upper(substr(o_orderpriority, 3)) AS u,
+                CASE WHEN instr(o_orderpriority, '-') > 0
+                     THEN substr(o_orderpriority, 1, instr(o_orderpriority, '-') - 1)
+                     ELSE '' END AS pre
+         FROM orders
+         WHERE length(o_orderpriority) >= 8
+           AND regexp_matches(o_orderpriority, '(?i)(urgent|medium)')""",
+    "q102_select_star_in" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                o_orderstatus AS st,
+                strftime(o_orderdate, '%Y-%m-%d') AS d
+         FROM orders
+         WHERE o_orderstatus IN ('P', 'F')
+           AND year(o_orderdate) = 1996 AND day(o_orderdate) <= 5""",
+    "q103_agg_expr" ->
+      """SELECT 'N'||CAST(c_nationkey AS VARCHAR) AS n,
+                string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+                sum(c_acctbal * 0.5) AS half,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM customer
+         GROUP BY c_nationkey""",
+    "q104_numeric_fns" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
+                CAST(round(o_totalprice / 1000.0) AS DOUBLE) AS kilo,
+                CAST(floor(o_totalprice / 10000.0) AS DOUBLE) AS bucket
+         FROM orders
+         WHERE abs(o_totalprice - 150000.0) <= 20000.0
+           AND ceil(o_totalprice / 10000.0) >= 14.0""",
     "q91_filter_connectives" ->
       """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
                 strftime(o_orderdate, '%Y-%m-%d') AS d,

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * organization).
   *
   * Grammar: the subset those files use —
-  *   - `SELECT [DISTINCT]` with plain vars, `(?v AS ?alias)` renames, and
-  *     aggregate projections with `GROUP BY`: `group_concat([distinct])`,
+  *   - `SELECT [DISTINCT]` with plain vars, `*`, `(?v AS ?alias)` renames,
+  *     general `(expr AS ?v)` expression projections, and
+  *     aggregate projections with `GROUP BY`: `group_concat([distinct]
+  *     ?v [; separator="…"])`,
   *     `COUNT([DISTINCT] ?v | *)` (the reference's derived paging-count
   *     query shape, wikidata_index.py:173-179), `MIN`/`MAX`, `SUM`/`AVG`
-  *     (numeric via double cast), `SAMPLE` (deterministic min)
+  *     (numeric via double cast), `SAMPLE` (deterministic min) — each also
+  *     over computed expressions (`SUM(?price * ?qty)`)
   *   - basic graph patterns (variable/IRI/pname/literal terms), including
   *     VARIABLE predicates (`?s ?p ?o` — the predicate binds as a column
   *     over an unfiltered scan)
@@ -42,20 +45,23 @@ import org.apache.spark.sql.functions._
   *     with SPARQL null-compatibility (an unbound shared var matches
   *     anything; only null-carrying rows leave the hash-join fast path);
   *     MINUS with no shared variables removes nothing (SPARQL §8.3.3)
-  *   - `FILTER` boolean expressions: `?v <op> literal` comparisons (quoted,
-  *     typed, or signed integer/decimal/exponent numerics) composed with
-  *     `&&`, `||`, `!`, and parentheses (SPARQL 1.1 §17.2 precedence);
+  *   - a UNIFIED expression grammar (SPARQL 1.1 §17.2 precedence) shared
+  *     by `FILTER`, `BIND`, expression projections, aggregate arguments,
+  *     and `ORDER BY` keys: `&&`/`||`/`!`, comparisons between arbitrary
+  *     sub-expressions, `[NOT] IN (const, …)`, arithmetic `+ - * /` with
+  *     unary minus (numeric via double cast), and the builtins `STR`,
+  *     `STRLEN`, `UCASE`, `LCASE`, `SUBSTR`, `CONCAT`, `CONTAINS`,
+  *     `STRSTARTS`, `STRENDS`, `STRBEFORE`, `STRAFTER`, `REPLACE`,
+  *     `REGEX` (with `ismx` flags), `ABS`, `ROUND`, `CEIL`, `FLOOR`,
+  *     `YEAR`/`MONTH`/`DAY` (over ISO-string dates), `COALESCE`,
+  *     `IF(cond, then, else)`, `BOUND(?v)`;
   *     `FILTER(langmatches(lang(?v), "tag"))` and `FILTER(LANG(?v) = "tag")`
   *   - `VALUES ?v { … }` inline membership (J6)
-  *   - `BIND(… AS ?c)` with `COALESCE`, `CONCAT`, `IF(cond, then, else)`
-  *     (condition reuses the FILTER grammar), variables, and literals
   *   - `SERVICE wikibase:label { bd:serviceParam wikibase:language "…" }`
-  *   - `BOUND(?v)`, `CONTAINS`/`STRSTARTS`/`STRENDS` (with optional
-  *     `STR(…)` wrapping — the identity on lexical string columns) in
-  *     FILTER expressions
   *   - `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` post-grouping filters
-  *   - nested sub-`SELECT`, multi-key `ORDER BY` with `ASC()`/`DESC()`,
-  *     `LIMIT`/`OFFSET` with literal or `$param` values, `#` comments
+  *   - nested sub-`SELECT`, multi-key `ORDER BY` with `ASC(expr)`/
+  *     `DESC(expr)`, `LIMIT`/`OFFSET` with literal or `$param` values,
+  *     `#` comments
   *
   * Compilation maps 1:1 onto [[SparqlAlgebra]]/[[Closure]]: every construct
   * becomes the same DataFrame operators the hand-compiled queries use, so
@@ -115,40 +121,40 @@ object SparqlText {
   final case class UnionEl(arms: Seq[Seq[El]]) extends El
   final case class OptEl(g: Seq[El]) extends El
   sealed trait Fil extends El
-  /** Boolean FILTER expression: comparisons composed with `&&`, `||`, `!`
-    * and parenthesized sub-expressions. */
-  final case class FilterExpr(e: FExpr) extends Fil
+  /** Boolean FILTER expression over the unified expression grammar. */
+  final case class FilterExpr(e: EExpr) extends Fil
   final case class LangM(v: String, lang: String) extends Fil
 
-  sealed trait FExpr
-  /** numeric=true (bare number literal) compares numerically via a double
-    * cast; typed/quoted literals compare lexicographically (the ISO-string
-    * ordering the date filters rely on). */
-  final case class Cmp(v: String, op: String, value: String,
-                       numeric: Boolean = false) extends FExpr
-  /** `?a <op> ?b` — variable-to-variable comparison (lexical). */
-  final case class CmpVar(l: String, op: String, r: String) extends FExpr
-  final case class FAnd(l: FExpr, r: FExpr) extends FExpr
-  final case class FOr(l: FExpr, r: FExpr) extends FExpr
-  final case class FNot(e: FExpr) extends FExpr
+  /** Unified SPARQL value/boolean expression grammar (SPARQL 1.1 §17) —
+    * one AST shared by FILTER, BIND, expression projections, aggregate
+    * arguments, and ORDER BY keys. Typing is minimal and matches the
+    * engine's lexical-string column model: variables and string literals
+    * are strings, numeric literals and arithmetic are doubles, comparisons
+    * with a numeric side compare numerically (double cast) and otherwise
+    * lexicographically (the ISO-string ordering the date filters rely on). */
+  sealed trait EExpr
+  final case class EVar(v: String) extends EExpr
+  final case class EStr(s: String) extends EExpr
+  final case class ENum(lex: String) extends EExpr
+  final case class ENeg(e: EExpr) extends EExpr
+  /** op ∈ + - * / — operands cast to double. */
+  final case class EArith(op: String, l: EExpr, r: EExpr) extends EExpr
+  final case class ECmp(op: String, l: EExpr, r: EExpr) extends EExpr
+  /** `?x [NOT] IN (const, …)` — inline membership over constant terms. */
+  final case class EIn(e: EExpr, vals: Seq[String], negated: Boolean) extends EExpr
+  final case class EAnd(l: EExpr, r: EExpr) extends EExpr
+  final case class EOr(l: EExpr, r: EExpr) extends EExpr
+  final case class ENot(e: EExpr) extends EExpr
   /** `BOUND(?v)` — SPARQL unbound maps to SQL null under OPTIONAL. */
-  final case class FBound(v: String) extends FExpr
-  /** `CONTAINS(?v, "s")` / `STRSTARTS(?v, "s")` / `STRENDS(?v, "s")`;
-    * the first argument may be wrapped in `STR(…)` (a no-op here — the
-    * engine's term columns are already lexical strings). */
-  final case class FStrFn(fn: String, v: String, lit: String) extends FExpr
-  final case class ValuesEl(v: String, vals: Seq[String]) extends El
-  final case class BindCoalesce(out: String, vars: Seq[String]) extends El
+  final case class EBound(v: String) extends EExpr
+  final case class EIf(c: EExpr, t: EExpr, f: EExpr) extends EExpr
+  /** Builtin call: STR, STRLEN, UCASE, LCASE, SUBSTR, CONCAT, CONTAINS,
+    * STRSTARTS, STRENDS, STRBEFORE, STRAFTER, REPLACE, REGEX, ABS, ROUND,
+    * CEIL, FLOOR, YEAR, MONTH, DAY, COALESCE. */
+  final case class EFn(name: String, args: Seq[EExpr]) extends EExpr
 
-  /** Value expressions for general `BIND(… AS ?v)` forms: variables,
-    * literals, `CONCAT`, and `IF(cond, then, else)` reusing the FILTER
-    * expression grammar for the condition. */
-  sealed trait VExpr
-  final case class VVar(v: String) extends VExpr
-  final case class VLit(s: String) extends VExpr
-  final case class VConcat(args: Seq[VExpr]) extends VExpr
-  final case class VIf(cond: FExpr, t: VExpr, f: VExpr) extends VExpr
-  final case class BindExpr(out: String, e: VExpr) extends El
+  final case class ValuesEl(v: String, vals: Seq[String]) extends El
+  final case class BindExpr(out: String, e: EExpr) extends El
 
   /** `BIND(URI(CONCAT("prefix", STRUUID())) AS ?v)` — the provided-entity
     * mint (create_provided_entities_graph_v2.sparql:21). STRUUID is
@@ -161,7 +167,14 @@ object SparqlText {
 
   sealed trait ProjItem { def out: String }
   final case class PVar(src: String, out: String) extends ProjItem
-  final case class PGroupConcat(src: String, out: String, distinct: Boolean) extends ProjItem
+  /** `SELECT *` — all named (non-internal) variables; must stand alone. */
+  case object PStar extends ProjItem { val out = "*" }
+  /** `(expr AS ?v)` non-aggregate expression projection, computed over the
+    * bound solution before DISTINCT/ORDER; with a GROUP BY it may only
+    * reference group keys (anything else fails analysis loudly). */
+  final case class PExpr(e: EExpr, out: String) extends ProjItem
+  final case class PGroupConcat(src: String, out: String, distinct: Boolean,
+                                sep: String = " ") extends ProjItem
   /** `(COUNT(DISTINCT ?v) AS ?n)`-style aggregate projections — the shape
     * the reference DERIVES textually for its paging count queries
     * (wikidata_index.py:173-179). fn ∈ count/sum/min/max/avg/sample;
@@ -169,6 +182,10 @@ object SparqlText {
     * any member, the engine picks deterministically (SURVEY §7.3). */
   final case class PAgg(fn: String, src: String, out: String,
                         distinct: Boolean) extends ProjItem
+  /** Aggregate over a computed expression — `SUM(?price * ?qty)` — the
+    * everyday measure-derivation shape. */
+  final case class PAggE(fn: String, e: EExpr, out: String,
+                         distinct: Boolean) extends ProjItem
 
   /** `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` — post-grouping filter
     * on an aggregate (computed as a hidden column, filtered, dropped). */
@@ -182,7 +199,7 @@ object SparqlText {
       where: Seq[El],
       groupBy: Seq[String],
       having: Seq[Having],
-      orderBy: Seq[(String, Boolean)], // (var, descending)
+      orderBy: Seq[(EExpr, Boolean)], // (key expression, descending)
       limit: Option[Either[Long, String]],
       offset: Option[Either[Long, String]]) extends Query
 
@@ -242,6 +259,9 @@ object SparqlText {
         if (i == start && c == '?') out += TPunct("?")
         else out += TVar(q.substring(start, i))
       } else if (c == '+') { out += TPunct("+"); i += 1 }
+      // a '-' not starting a signed number is the arithmetic operator
+      // (pname-internal '-' is consumed inside the word branch below)
+      else if (c == '-') { out += TPunct("-"); i += 1 }
       else if (c == '<') {
         IriRe.findPrefixMatchOf(q.substring(i)) match {
           case Some(m) => out += TIri(m.group(1)); i += m.end
@@ -317,6 +337,8 @@ object SparqlText {
       case TVar(v) => v
       case t => fail(s"expected variable, got $t")
     }
+    private def mkAgg(w: String, src: String, dist: Boolean): PAgg =
+      PAgg(w.toLowerCase, src, "", dist)
 
     // PREFIX declarations from the prologue; pnames with a declared prefix
     // resolve to full IRIs, undeclared ones stay textual (the symbol-space
@@ -379,10 +401,13 @@ object SparqlText {
       var reading = true
       while (reading) peek match {
         case TVar(v) => i += 1; proj += PVar(v, v)
+        case TPunct("*") => i += 1; proj += PStar
         case TPunct("(") =>
           i += 1
           peek match {
-            case TVar(_) =>
+            // `(?v AS ?alias)` — a plain rename, distinguished from an
+            // expression starting with the same variable by the lookahead
+            case TVar(_) if toks.lift(i + 1).exists(isKw(_, "AS")) =>
               val src = varName()
               expectKw("AS")
               val dst = varName()
@@ -392,27 +417,50 @@ object SparqlText {
               i += 1; expectPunct("(")
               val dist = isKw(peek, "DISTINCT") && { i += 1; true }
               val src = varName()
+              // `; separator="…"` (SPARQL §18.5.1.7); default single space
+              val sep = if (peek == TPunct(";")) {
+                i += 1; expectKw("separator"); expectPunct("=")
+                next() match {
+                  case TStr(s, _) => s
+                  case t2 => fail(s"expected separator string, got $t2")
+                }
+              } else " "
               expectPunct(")")
               expectKw("AS")
               val dst = varName()
               expectPunct(")")
-              proj += PGroupConcat(src, dst, dist)
+              proj += PGroupConcat(src, dst, dist, sep)
             case TIdent(w) if Set("count", "sum", "min", "max", "avg",
                 "sample").contains(w.toLowerCase) =>
               i += 1; expectPunct("(")
               val dist = isKw(peek, "DISTINCT") && { i += 1; true }
-              val src = peek match {
-                case TPunct("*") => i += 1; "*"
-                case _ => varName()
+              val item: ProjItem = peek match {
+                case TPunct("*") =>
+                  i += 1
+                  if (dist || !w.equalsIgnoreCase("count"))
+                    fail(s"'*' is only valid in COUNT(*)")
+                  mkAgg(w, "*", dist)
+                case _ => expr() match {
+                  case EVar(v) => mkAgg(w, v, dist)
+                  case e => PAggE(w.toLowerCase, e, "", dist)
+                }
               }
-              if (src == "*" && (dist || !w.equalsIgnoreCase("count")))
-                fail(s"'*' is only valid in COUNT(*)")
               expectPunct(")")
               expectKw("AS")
               val dst = varName()
               expectPunct(")")
-              proj += PAgg(w.toLowerCase, src, dst, dist)
-            case t => fail(s"unsupported projection expression: $t")
+              proj += (item match {
+                case a: PAgg => a.copy(out = dst)
+                case a: PAggE => a.copy(out = dst)
+                case other => other
+              })
+            // anything else: a general `(expr AS ?v)` projection
+            case _ =>
+              val e = expr()
+              expectKw("AS")
+              val dst = varName()
+              expectPunct(")")
+              proj += PExpr(e, dst)
           }
         case _ => reading = false
       }
@@ -420,7 +468,7 @@ object SparqlText {
       val where = group()
       var groupBy: Seq[String] = Nil
       var having: Seq[Having] = Nil
-      var orderBy: Seq[(String, Boolean)] = Nil
+      var orderBy: Seq[(EExpr, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
       var trailing = true
@@ -460,15 +508,15 @@ object SparqlText {
             op, value, num)
         } else if (isKw(peek, "ORDER")) {
           i += 1; expectKw("BY")
-          // one or more sort keys: `?v`, `ASC(?v)`, `DESC(?v)`
-          val keys = Vector.newBuilder[(String, Boolean)]
+          // one or more sort keys: `?v`, `ASC(expr)`, `DESC(expr)`
+          val keys = Vector.newBuilder[(EExpr, Boolean)]
           var more = true
           while (more) peek match {
-            case TVar(_) => keys += ((varName(), false))
+            case TVar(_) => keys += ((EVar(varName()), false))
             case t if isKw(t, "ASC") || isKw(t, "DESC") =>
               val desc = isKw(t, "DESC")
               i += 1; expectPunct("(")
-              keys += ((varName(), desc))
+              keys += ((expr(), desc))
               expectPunct(")")
             case _ => more = false
           }
@@ -550,80 +598,143 @@ object SparqlText {
           expectPunct(")"); expectPunct("=")
           val lang = next() match { case TStr(s, _) => s; case t2 => fail(s"expected lang string, got $t2") }
           LangM(v, lang)
-        case _ => FilterExpr(orExpr())
+        case _ => FilterExpr(expr())
       }
       expectPunct(")")
       f
     }
 
-    // Boolean expression grammar: '||' binds loosest, then '&&', then '!'
-    // and parenthesized sub-expressions (SPARQL 1.1 §17.2 precedence).
-    private def orExpr(): FExpr = {
+    // ----- unified expression grammar (SPARQL 1.1 §17.2 precedence):
+    // '||' < '&&' < comparison/IN < '+'/'-' < '*'/'/' < unary !/- < primary
+    private val cmpOps = Set("<", ">", "<=", ">=", "=", "!=")
+
+    def expr(): EExpr = orExpr()
+
+    private def orExpr(): EExpr = {
       var e = andExpr()
-      while (peek == TPunct("||")) { i += 1; e = FOr(e, andExpr()) }
+      while (peek == TPunct("||")) { i += 1; e = EOr(e, andExpr()) }
       e
     }
-    private def andExpr(): FExpr = {
+    private def andExpr(): EExpr = {
+      var e = relExpr()
+      while (peek == TPunct("&&")) { i += 1; e = EAnd(e, relExpr()) }
+      e
+    }
+    /** Comparison or `[NOT] IN (const, …)` over additive expressions. */
+    private def relExpr(): EExpr = {
+      val l = addExpr()
+      peek match {
+        case TPunct(op) if cmpOps(op) => i += 1; ECmp(op, l, addExpr())
+        case t if isKw(t, "IN") => i += 1; EIn(l, constList(), negated = false)
+        case t if isKw(t, "NOT") && toks.lift(i + 1).exists(isKw(_, "IN")) =>
+          i += 2; EIn(l, constList(), negated = true)
+        case _ => l
+      }
+    }
+    private def constList(): Seq[String] = {
+      expectPunct("(")
+      val vals = Vector.newBuilder[String]
+      var go = true
+      while (go) {
+        next() match {
+          case TIri(x) => vals += x
+          case TPname(x) => vals += resolvePname(x)
+          case TStr(x, _) => vals += x
+          case TNum(x) => vals += x
+          case t => fail(s"expected constant in IN list, got $t")
+        }
+        next() match {
+          case TPunct(",") =>
+          case TPunct(")") => go = false
+          case t => fail(s"expected ',' or ')' in IN list, got $t")
+        }
+      }
+      vals.result()
+    }
+    private def addExpr(): EExpr = {
+      var e = mulExpr()
+      var go = true
+      while (go) peek match {
+        case TPunct("+") => i += 1; e = EArith("+", e, mulExpr())
+        case TPunct("-") => i += 1; e = EArith("-", e, mulExpr())
+        // the tokenizer folds a sign into adjacent numerics (`?a -3`):
+        // SPARQL's grammar treats the signed literal as the operation
+        // (AdditiveExpression, grammar rule 116)
+        case TNum(s) if s.startsWith("+") || s.startsWith("-") =>
+          i += 1
+          e = EArith(s.take(1), e, ENum(s.drop(1)))
+        case _ => go = false
+      }
+      e
+    }
+    private def mulExpr(): EExpr = {
       var e = unaryExpr()
-      while (peek == TPunct("&&")) { i += 1; e = FAnd(e, unaryExpr()) }
+      var go = true
+      while (go) peek match {
+        case TPunct("*") => i += 1; e = EArith("*", e, unaryExpr())
+        case TPunct("/") => i += 1; e = EArith("/", e, unaryExpr())
+        case _ => go = false
+      }
       e
     }
-    private def unaryExpr(): FExpr = peek match {
-      case TPunct("!") => i += 1; FNot(unaryExpr())
+    private def unaryExpr(): EExpr = peek match {
+      case TPunct("!") => i += 1; ENot(unaryExpr())
+      case TPunct("-") => i += 1; ENeg(unaryExpr())
+      case TPunct("+") => i += 1; unaryExpr()
+      case _ => primaryExpr()
+    }
+
+    /** Builtin functions legal in expression position, by arity. */
+    private val exprFns: Map[String, (Int, Int)] = Map(
+      "STR" -> (1, 1), "STRLEN" -> (1, 1), "UCASE" -> (1, 1),
+      "LCASE" -> (1, 1), "SUBSTR" -> (2, 3), "CONCAT" -> (1, 99),
+      "CONTAINS" -> (2, 2), "STRSTARTS" -> (2, 2), "STRENDS" -> (2, 2),
+      "STRBEFORE" -> (2, 2), "STRAFTER" -> (2, 2), "REPLACE" -> (3, 3),
+      "REGEX" -> (2, 3), "ABS" -> (1, 1), "ROUND" -> (1, 1),
+      "CEIL" -> (1, 1), "FLOOR" -> (1, 1), "YEAR" -> (1, 1),
+      "MONTH" -> (1, 1), "DAY" -> (1, 1), "COALESCE" -> (1, 99))
+
+    private def primaryExpr(): EExpr = peek match {
       case TPunct("(") =>
         i += 1
         val e = orExpr()
         expectPunct(")")
         e
+      case TVar(_) => EVar(varName())
+      case TStr(_, _) =>
+        val TStr(s, _) = next(): @unchecked
+        EStr(s)
+      case TNum(_) =>
+        val TNum(s) = next(): @unchecked
+        ENum(s)
       case t if isKw(t, "BOUND") =>
         i += 1; expectPunct("(")
         val v = varName()
         expectPunct(")")
-        FBound(v)
-      case t if isKw(t, "CONTAINS") || isKw(t, "STRSTARTS") || isKw(t, "STRENDS") =>
-        val fn = peek.asInstanceOf[TIdent].v.toUpperCase
+        EBound(v)
+      case t if isKw(t, "IF") =>
         i += 1; expectPunct("(")
-        val v = strWrappedVar()
+        val c = orExpr()
         expectPunct(",")
-        val s = next() match {
-          case TStr(x, _) => x
-          case t2 => fail(s"expected string literal in $fn, got $t2")
-        }
+        val tv = orExpr()
+        expectPunct(",")
+        val fv = orExpr()
         expectPunct(")")
-        FStrFn(fn, v, s)
-      case TVar(_) => cmpExpr()
-      case t if isKw(t, "STR") => cmpExpr()
-      case t2 => fail(s"unsupported FILTER form: $t2")
-    }
-
-    private def cmpExpr(): FExpr = {
-      val v = strWrappedVar()
-      val op = next() match {
-        case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
-        case t2 => fail(s"expected comparison operator, got $t2")
-      }
-      peek match {
-        case TStr(_, _) =>
-          val TStr(s, _) = next(): @unchecked
-          Cmp(v, op, s)
-        case TNum(_) =>
-          val TNum(s) = next(): @unchecked
-          Cmp(v, op, s, numeric = true)
-        case TVar(_) => CmpVar(v, op, strWrappedVar())
-        case t2 if isKw(t2, "STR") => CmpVar(v, op, strWrappedVar())
-        case t2 => fail(s"expected literal or variable, got $t2")
-      }
-    }
-
-    /** `?v` or `STR(?v)` — STR is the identity on the engine's lexical
-      * string columns. */
-    private def strWrappedVar(): String =
-      if (isKw(peek, "STR")) {
+        EIf(c, tv, fv)
+      case TIdent(w) if exprFns.contains(w.toUpperCase) =>
+        val fn = w.toUpperCase
         i += 1; expectPunct("(")
-        val v = varName()
+        val args = Vector.newBuilder[EExpr]
+        args += orExpr()
+        while (peek == TPunct(",")) { i += 1; args += orExpr() }
         expectPunct(")")
-        v
-      } else varName()
+        val got = args.result()
+        val (lo, hi) = exprFns(fn)
+        if (got.length < lo || got.length > hi)
+          fail(s"$fn expects $lo..$hi arguments, got ${got.length}")
+        EFn(fn, got)
+      case t2 => fail(s"unsupported expression term: $t2")
+    }
 
     /** `VALUES ?v { wd:Q1 wd:Q2 … }` */
     private def valuesEl(): ValuesEl = {
@@ -645,21 +756,13 @@ object SparqlText {
       ValuesEl(v, vals.result())
     }
 
-    /** `BIND(COALESCE(?a, ?b, …) AS ?c)` or
-      * `BIND(URI(CONCAT("prefix", STRUUID())) AS ?c)`. */
+    /** `BIND(expr AS ?c)` — any unified-grammar expression, plus the
+      * `BIND(URI(CONCAT("prefix", STRUUID())) AS ?c)` provided-entity mint
+      * (compiled to the deterministic md5 surrogate, R2). */
     private def bindEl(): El = {
       expectPunct("(")
       val el: El =
-        if (isKw(peek, "COALESCE")) {
-          i += 1
-          expectPunct("(")
-          val vars = Vector.newBuilder[String]
-          vars += varName()
-          while (peek == TPunct(",")) { i += 1; vars += varName() }
-          expectPunct(")")
-          expectKw("AS")
-          BindCoalesce(varName(), vars.result())
-        } else if (isKw(peek, "URI")) {
+        if (isKw(peek, "URI")) {
           i += 1
           expectPunct("("); expectKw("CONCAT"); expectPunct("(")
           val prefix = next() match {
@@ -673,42 +776,12 @@ object SparqlText {
           expectKw("AS")
           BindMint(varName(), prefix)
         } else {
-          val e = valueExpr()
+          val e = expr()
           expectKw("AS")
           BindExpr(varName(), e)
         }
       expectPunct(")")
       el
-    }
-
-    /** `?v`, `"lit"`, a number, `STR(?v)`, `CONCAT(e, …)`, or
-      * `IF(cond, then, else)` — the general BIND value grammar. */
-    private def valueExpr(): VExpr = peek match {
-      case TVar(_) => VVar(varName())
-      case TStr(_, _) =>
-        val TStr(s, _) = next(): @unchecked
-        VLit(s)
-      case TNum(_) =>
-        val TNum(s) = next(): @unchecked
-        VLit(s)
-      case t if isKw(t, "STR") => VVar(strWrappedVar())
-      case t if isKw(t, "CONCAT") =>
-        i += 1; expectPunct("(")
-        val args = Vector.newBuilder[VExpr]
-        args += valueExpr()
-        while (peek == TPunct(",")) { i += 1; args += valueExpr() }
-        expectPunct(")")
-        VConcat(args.result())
-      case t if isKw(t, "IF") =>
-        i += 1; expectPunct("(")
-        val cond = orExpr()
-        expectPunct(",")
-        val tv = valueExpr()
-        expectPunct(",")
-        val fv = valueExpr()
-        expectPunct(")")
-        VIf(cond, tv, fv)
-      case t => fail(s"unsupported BIND expression term: $t")
     }
 
     /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }` */
@@ -890,10 +963,13 @@ object SparqlText {
     // the first-available-language label, falling back to the id (J7).
     val labeled = svc match {
       case Some(langs) =>
-        q.proj.map {
-          case PVar(src, _) => src
-          case PGroupConcat(src, _, _) => src
-          case PAgg(_, src, _, _) => src
+        q.proj.flatMap {
+          case PVar(src, _) => Some(src)
+          case PGroupConcat(src, _, _, _) => Some(src)
+          case PAgg(_, src, _, _) => Some(src)
+          // PStar projects only already-bound columns and expression
+          // projections carry no label target — neither requests a label
+          case _ => None
         }.distinct.filter(_ != "*").collect {
           case src if src.endsWith("Label") &&
             bound.columns.contains(src.dropRight(5)) && !bound.columns.contains(src) =>
@@ -906,6 +982,7 @@ object SparqlText {
     val aggs = q.proj.collect {
       case a: PGroupConcat => a: ProjItem
       case a: PAgg => a: ProjItem
+      case a: PAggE => a: ProjItem
     }
     val grouped =
       if (q.groupBy.nonEmpty || aggs.nonEmpty || q.having.nonEmpty) {
@@ -920,12 +997,12 @@ object SparqlText {
         // HAVING aggregates ride along as hidden columns, filtered after
         // the agg and dropped by the projection below
         val aggCols = (aggs ++ q.having.map(_.agg)).map {
-          case PGroupConcat(src, out, dist) =>
+          case PGroupConcat(src, out, dist, sep) =>
             val collected =
               if (dist) collect_set(col(src)) else collect_list(col(src))
-            // sorted order + single-space separator: the deterministic A1/A2
-            // group_concat idiom
-            concat_ws(" ", sort_array(collected)).as(out)
+            // sorted order (+ the declared or default separator): the
+            // deterministic A1/A2 group_concat idiom
+            concat_ws(sep, sort_array(collected)).as(out)
           case PAgg("count", "*", out, _) => count(lit(1)).as(out)
           case PAgg("count", src, out, true) => countDistinct(col(src)).as(out)
           case PAgg("count", src, out, false) => count(col(src)).as(out)
@@ -940,6 +1017,20 @@ object SparqlText {
           // SAMPLE may return any group member; the engine picks min()
           // so re-runs are deterministic (SURVEY §7.3 "Nondeterminism")
           case PAgg("sample", src, out, _) => min(col(src)).as(out)
+          // aggregates over computed expressions — SUM(?price * ?qty)
+          case PAggE(fn, e, out, dist) =>
+            val (c, ty) = compileE(e)
+            val n = if (ty == TyN) c else c.cast("double")
+            fn match {
+              case "count" =>
+                (if (dist) countDistinct(c) else count(c)).as(out)
+              case "sum" => (if (dist) sum_distinct(n) else sum(n)).as(out)
+              case "avg" => avg(n).as(out)
+              case "min" => min(c).as(out)
+              case "max" => max(c).as(out)
+              case "sample" => min(c).as(out)
+              case other => sys.error(s"unsupported aggregate: $other")
+            }
           case other => sys.error(s"unsupported aggregate: $other")
         }
         val agged = labeled.groupBy(q.groupBy.map(col): _*)
@@ -959,18 +1050,26 @@ object SparqlText {
           })
         }
       } else labeled
-    val cols: Seq[Column] = q.proj.map {
-      case PVar(src, out) =>
-        if (grouped.columns.contains(src)) col(src).as(out)
-        else lit(null).cast("string").as(out) // SPARQL: unbound projected var
-      case item => col(item.out)
-    }
+    if (q.proj.contains(PStar) && q.proj.size > 1)
+      sys.error("SELECT * cannot be combined with other projections")
+    val cols: Seq[Column] =
+      if (q.proj.contains(PStar))
+        // all named variables; internal columns (__anon existentials,
+        // __having hidden aggregates) stay hidden
+        grouped.columns.filterNot(_.startsWith("__")).toSeq.map(col)
+      else q.proj.map {
+        case PVar(src, out) =>
+          if (grouped.columns.contains(src)) col(src).as(out)
+          else lit(null).cast("string").as(out) // SPARQL: unbound projected var
+        case PExpr(e, out) => compileE(e)._1.as(out)
+        case item => col(item.out)
+      }
     var out = grouped.select(cols: _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map {
-        case (v, true) => col(v).desc
-        case (v, false) => col(v).asc
+        case (e, true) => compileE(e)._1.desc
+        case (e, false) => compileE(e)._1.asc
       }: _*)
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
@@ -1059,12 +1158,9 @@ object SparqlText {
             requireOverlap = true)) // MINUS: dom(μ1)∩dom(μ2) must be non-empty
       case SubSel(sub) =>
         join(compileSelect(sub, triples, labels, params, memo))
-      case BindCoalesce(out, vars) =>
-        val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
-        acc = Some(a.withColumn(out, coalesce(vars.map(col): _*)))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
-        acc = Some(a.withColumn(out, compileVExpr(e)))
+        acc = Some(a.withColumn(out, compileE(e)._1))
       case BindMint(out, prefix) =>
         // STRUUID surrogate: md5 of the row's non-anonymous bound variables
         // (sorted for stability) — one URI per distinct binding, stable
@@ -1083,7 +1179,7 @@ object SparqlText {
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
-      case FilterExpr(e) => out = out.filter(compileFExpr(e))
+      case FilterExpr(e) => out = out.filter(compileBool(e))
       case ExistsEl(g, negated) =>
         val right = compileGroup(g, triples, labels, params, memo)._1
         val shared = out.columns.intersect(right.columns).toSeq
@@ -1163,49 +1259,155 @@ object SparqlText {
     }
   }
 
-  /** FILTER expression → Column predicate. SPARQL's error-propagation
+  /** Minimal expression typing over the engine's lexical-string column
+    * model: TyS = lexical string (variables, string builtins), TyN =
+    * numeric (double — every numeric literal, arithmetic result, and
+    * numeric builtin is uniformly double, so plans and oracles agree on
+    * one type), TyB = boolean (comparisons, connectives, predicates). */
+  private sealed trait Ty
+  private case object TyS extends Ty
+  private case object TyN extends Ty
+  private case object TyB extends Ty
+
+  private def asNum(ct: (Column, Ty)): Column = ct match {
+    case (c, TyN) => c
+    case (c, TyS) => c.cast("double")
+    case (_, TyB) => sys.error("boolean expression used numerically")
+  }
+  private def asStr(ct: (Column, Ty)): Column = ct match {
+    case (c, TyS) => c
+    case (c, TyN) => c.cast("string")
+    case (_, TyB) => sys.error("boolean expression used as a string")
+  }
+  private def compileBool(e: EExpr): Column = compileE(e) match {
+    case (c, TyB) => c
+    // SPARQL effective boolean value of a bare variable/expression is
+    // datatype-dependent; the engine's columns are untyped lexical strings,
+    // so require an explicit comparison instead of guessing truthiness
+    case (_, ty) => sys.error(s"expected a boolean expression, got $ty")
+  }
+
+  /** Unified expression → (Column, type). SPARQL's error-propagation
     * semantics (an unbound var poisons the expression, excluding the row)
     * coincide with SQL three-valued logic here: null comparisons stay null
     * through AND/OR/NOT and filter() drops non-true rows. */
-  private def compileFExpr(e: FExpr): Column = e match {
-    case Cmp(v, op, value, numeric) =>
-      val (c: Column, lt: Any) =
-        if (numeric) (col(v).cast("double"), value.toDouble) else (col(v), value)
-      op match {
-        case "<" => c < lt
-        case ">" => c > lt
-        case "<=" => c <= lt
-        case ">=" => c >= lt
-        case "=" => c === lt
-        case "!=" => c =!= lt
+  private def compileE(e: EExpr): (Column, Ty) = e match {
+    case EVar(v) => (col(v), TyS)
+    case EStr(s) => (lit(s), TyS)
+    case ENum(lex) => (lit(lex.toDouble), TyN)
+    case ENeg(x) => (-asNum(compileE(x)), TyN)
+    case EArith(op, l, r) =>
+      val (ln, rn) = (asNum(compileE(l)), asNum(compileE(r)))
+      (op match {
+        case "+" => ln + rn
+        case "-" => ln - rn
+        case "*" => ln * rn
+        case "/" => ln / rn
+        case other => sys.error(s"unsupported arithmetic operator: $other")
+      }, TyN)
+    case ECmp(op, l, r) =>
+      val (lc, rc) = (compileE(l), compileE(r))
+      // a numeric side forces a numeric comparison; otherwise lexical
+      // (the ISO-string date ordering)
+      val (a, b) =
+        if (lc._2 == TyN || rc._2 == TyN) (asNum(lc), asNum(rc))
+        else (lc._1, rc._1)
+      (op match {
+        case "<" => a < b
+        case ">" => a > b
+        case "<=" => a <= b
+        case ">=" => a >= b
+        case "=" => a === b
+        case "!=" => a =!= b
         case other => sys.error(s"unsupported comparison: $other")
-      }
-    case CmpVar(l, op, r) => op match {
-      case "<" => col(l) < col(r)
-      case ">" => col(l) > col(r)
-      case "<=" => col(l) <= col(r)
-      case ">=" => col(l) >= col(r)
-      case "=" => col(l) === col(r)
-      case "!=" => col(l) =!= col(r)
-      case other => sys.error(s"unsupported comparison: $other")
-    }
-    case FAnd(l, r) => compileFExpr(l) && compileFExpr(r)
-    case FOr(l, r) => compileFExpr(l) || compileFExpr(r)
-    case FNot(x) => !compileFExpr(x)
-    case FBound(v) => col(v).isNotNull
-    case FStrFn("CONTAINS", v, s) => col(v).contains(s)
-    case FStrFn("STRSTARTS", v, s) => col(v).startsWith(s)
-    case FStrFn("STRENDS", v, s) => col(v).endsWith(s)
-    case FStrFn(fn, _, _) => sys.error(s"unsupported string function: $fn")
+      }, TyB)
+    case EIn(x, vals, negated) =>
+      val c = asStr(compileE(x)).isin(vals: _*)
+      (if (negated) !c else c, TyB)
+    case EAnd(l, r) => (compileBool(l) && compileBool(r), TyB)
+    case EOr(l, r) => (compileBool(l) || compileBool(r), TyB)
+    case ENot(x) => (!compileBool(x), TyB)
+    case EBound(v) => (col(v).isNotNull, TyB)
+    case EIf(c, t, f) =>
+      val (tc, fc) = (compileE(t), compileE(f))
+      // branches of one type keep it; mixed branches unify as strings
+      val (tv, fv, ty) =
+        if (tc._2 == fc._2) (tc._1, fc._1, tc._2)
+        else (asStr(tc), asStr(fc), TyS)
+      (when(compileBool(c), tv).otherwise(fv), ty)
+    case EFn(fn, args) => compileFn(fn, args)
   }
 
-  /** BIND value expression → Column. */
-  private def compileVExpr(e: VExpr): Column = e match {
-    case VVar(v) => col(v)
-    case VLit(s) => lit(s)
-    case VConcat(args) => concat(args.map(compileVExpr): _*)
-    case VIf(c, t, f) =>
-      when(compileFExpr(c), compileVExpr(t)).otherwise(compileVExpr(f))
+  /** A literal-string argument (REGEX patterns, REPLACE arguments,
+    * STRBEFORE/STRAFTER needles — positions the engine compiles to
+    * pattern literals, where a computed value cannot reach codegen'd
+    * builtins). */
+  private def litStr(fn: String, e: EExpr): String = e match {
+    case EStr(s) => s
+    case other => sys.error(s"$fn expects a string literal here, got $other")
+  }
+
+  private def compileFn(fn: String, args: Seq[EExpr]): (Column, Ty) = {
+    def a0 = compileE(args.head)
+    fn match {
+      case "STR" => (asStr(a0), TyS) // identity on lexical columns
+      case "STRLEN" => (length(asStr(a0)).cast("double"), TyN)
+      case "UCASE" => (upper(asStr(a0)), TyS)
+      case "LCASE" => (lower(asStr(a0)), TyS)
+      case "SUBSTR" =>
+        // SPARQL §17.4.3.3: 1-based start, optional length (same as SQL)
+        val start = asNum(compileE(args(1))).cast("int")
+        val len =
+          if (args.length > 2) asNum(compileE(args(2))).cast("int")
+          else lit(Int.MaxValue)
+        (asStr(a0).substr(start, len), TyS)
+      case "CONCAT" => (concat(args.map(x => asStr(compileE(x))): _*), TyS)
+      case "CONTAINS" => (asStr(a0).contains(asStr(compileE(args(1)))), TyB)
+      case "STRSTARTS" => (asStr(a0).startsWith(asStr(compileE(args(1)))), TyB)
+      case "STRENDS" => (asStr(a0).endsWith(asStr(compileE(args(1)))), TyB)
+      case "STRBEFORE" =>
+        // SPARQL §17.4.3.4: empty string when the needle does not occur
+        val needle = litStr(fn, args(1))
+        val s = asStr(a0)
+        val pos = locate(needle, s)
+        (when(pos > 0, s.substr(lit(1), pos - 1)).otherwise(lit("")), TyS)
+      case "STRAFTER" =>
+        val needle = litStr(fn, args(1))
+        val s = asStr(a0)
+        val pos = locate(needle, s)
+        (when(pos > 0, s.substr(pos + needle.length, lit(Int.MaxValue)))
+          .otherwise(lit("")), TyS)
+      case "REPLACE" =>
+        // SPARQL REPLACE is regex-based (§17.4.3.5)
+        (regexp_replace(asStr(a0), litStr(fn, args(1)), litStr(fn, args(2))), TyS)
+      case "REGEX" =>
+        val pat0 = litStr(fn, args(1))
+        val flags = if (args.length > 2) litStr(fn, args(2)) else ""
+        // XPath flags map onto Java regex embedded flags
+        val embedded = flags.flatMap {
+          case 'i' => "i"
+          case 's' => "s"
+          case 'm' => "m"
+          case 'x' => "x"
+          case f => sys.error(s"unsupported REGEX flag '$f'")
+        }
+        val pat = if (embedded.nonEmpty) s"(?$embedded)$pat0" else pat0
+        (asStr(a0).rlike(pat), TyB)
+      case "ABS" => (abs(asNum(a0)), TyN)
+      case "ROUND" => (round(asNum(a0)).cast("double"), TyN)
+      case "CEIL" => (ceil(asNum(a0)).cast("double"), TyN)
+      case "FLOOR" => (floor(asNum(a0)).cast("double"), TyN)
+      // date accessors over the engine's ISO-string date columns
+      case "YEAR" => (year(to_date(asStr(a0))).cast("double"), TyN)
+      case "MONTH" => (month(to_date(asStr(a0))).cast("double"), TyN)
+      case "DAY" => (dayofmonth(to_date(asStr(a0))).cast("double"), TyN)
+      case "COALESCE" =>
+        val cs = args.map(compileE)
+        // uniform numeric args stay numeric; anything mixed unifies lexical
+        if (cs.forall(_._2 == TyN)) (coalesce(cs.map(_._1): _*), TyN)
+        else (coalesce(cs.map(asStr): _*), TyS)
+      case other => sys.error(s"unsupported function: $other")
+    }
   }
 
   /** Property-path pattern compile (J4/J5 shapes).

@@ -835,4 +835,147 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(SparqlText.run(q, triples, labels)) ==
       Set(Seq("P3", "Three"), Seq("P7", "P7")))
   }
+
+  // ---------- unified expression grammar (round 5) ----------
+
+  /** (s, n, m) numeric fixture lifted to triples. */
+  private lazy val nums: DataFrame = Seq(
+    ("a", "n", "2", Option.empty[String]), ("b", "n", "5", None),
+    ("c", "n", "10", None),
+    ("a", "m", "3", None), ("b", "m", "4", None), ("c", "m", "1", None)
+  ).toDF("s", "p", "o", "oLang")
+
+  test("arithmetic precedence: * binds tighter than +, parens override") {
+    val q = "SELECT ?s WHERE { ?s <n> ?v . ?s <m> ?w . FILTER(?v + ?w * 2 = 8) }"
+    // a: 2+3*2=8 → in; b: 5+4*2=13; c: 10+1*2=12
+    assert(rows(SparqlText.run(q, nums, labels)).map(_.head) == Set("a"))
+    val q2 = "SELECT ?s WHERE { ?s <n> ?v . ?s <m> ?w . FILTER((?v + ?w) * 2 = 10) }"
+    // a: (2+3)*2=10 → in
+    assert(rows(SparqlText.run(q2, nums, labels)).map(_.head) == Set("a"))
+  }
+
+  test("division, unary minus, and sign-folded literals") {
+    val q = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v / 2 >= 2.5) }"
+    assert(rows(SparqlText.run(q, nums, labels)).map(_.head) == Set("b", "c"))
+    val neg = "SELECT ?s WHERE { ?s <n> ?v . FILTER(-?v < -4) }"
+    assert(rows(SparqlText.run(neg, nums, labels)).map(_.head) == Set("b", "c"))
+    // the tokenizer folds `-2` onto the literal; the additive grammar
+    // recovers the subtraction (SPARQL grammar rule 116)
+    val folded = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v -2 > 0) }"
+    assert(rows(SparqlText.run(folded, nums, labels)).map(_.head) == Set("b", "c"))
+  }
+
+  test("IN and NOT IN membership") {
+    val q = """SELECT ?s WHERE { ?s wdt:P27 ?c . FILTER(?c IN (wd:Q40, wd:Q183)) }"""
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("P1", "P2", "P6", "P8"))
+    val not = """SELECT ?s WHERE { ?s wdt:P27 ?c . FILTER(?c NOT IN (wd:Q40)) }"""
+    assert(rows(SparqlText.run(not, triples, labels)).map(_.head) ==
+      Set("P3", "P4", "P5", "P6", "P7"))
+  }
+
+  test("string builtins: STRLEN, SUBSTR, UCASE, LCASE, REPLACE") {
+    val t = Seq(("a", "w", "1-URGENT", Option.empty[String]),
+      ("b", "w", "5-LOW", None)).toDF("s", "p", "o", "oLang")
+    val q =
+      """SELECT ?s (LCASE(SUBSTR(?w, 3)) AS ?tail) (REPLACE(?w, "[0-9]-", "") AS ?word)
+        |WHERE { ?s <w> ?w . FILTER(STRLEN(?w) > 6 && UCASE(?w) = ?w) }""".stripMargin
+    assert(rows(SparqlText.run(q, t, labels)) ==
+      Set(Seq("a", "urgent", "URGENT")))
+  }
+
+  test("STRBEFORE/STRAFTER return empty string when the needle is absent") {
+    val t = Seq(("a", "w", "x-y", Option.empty[String]),
+      ("b", "w", "plain", None)).toDF("s", "p", "o", "oLang")
+    val q =
+      """SELECT ?s (STRBEFORE(?w, "-") AS ?pre) (STRAFTER(?w, "-") AS ?post)
+        |WHERE { ?s <w> ?w . }""".stripMargin
+    assert(rows(SparqlText.run(q, t, labels)) ==
+      Set(Seq("a", "x", "y"), Seq("b", "", "")))
+  }
+
+  test("REGEX with case-insensitive flag") {
+    val q = """SELECT ?s WHERE { ?s schema:description ?d . FILTER(REGEX(?d, "^POE", "i")) }"""
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) == Set("P1"))
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE { ?s <p> ?d . FILTER(REGEX(?d, "x", "q")) }""",
+      triples, labels))
+    assert(e.getMessage.contains("REGEX flag"))
+  }
+
+  test("numeric builtins and date accessors") {
+    val q = "SELECT ?s (ABS(?v - 6) AS ?d) WHERE { ?s <n> ?v . FILTER(FLOOR(?v / 2) = 2) }"
+    // floor(2/2)=1, floor(5/2)=2 → b, floor(10/2)=5
+    assert(rows(SparqlText.run(q, nums, labels)) == Set(Seq("b", 1.0)))
+    val y = """SELECT ?s WHERE { ?s wdt:P569 ?d . FILTER(YEAR(?d) = 1949 && MONTH(?d) = 12) }"""
+    assert(rows(SparqlText.run(y, triples, labels)).map(_.head) == Set("P3"))
+  }
+
+  test("SELECT * projects every named variable and refuses mixing") {
+    val q = "SELECT * WHERE { ?s wdt:P570 ?d . }"
+    val df = SparqlText.run(q, triples, labels)
+    assert(df.columns.toSeq == Seq("s", "d"))
+    assert(df.count() == 3)
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT * ?s WHERE { ?s wdt:P570 ?d . }", triples, labels))
+    assert(e.getMessage.contains("SELECT *"))
+  }
+
+  test("SELECT * hides anonymous [] existentials") {
+    val q = "SELECT * WHERE { [] wdt:P27 ?c . }"
+    assert(SparqlText.run(q, triples, labels).columns.toSeq == Seq("c"))
+  }
+
+  test("expression projections and ORDER BY DESC(expr)") {
+    val q =
+      """SELECT ?s (?v * 10 + ?w AS ?score) WHERE { ?s <n> ?v . ?s <m> ?w . }
+        |ORDER BY DESC(?v * 10 + ?w) LIMIT 2""".stripMargin
+    val got = SparqlText.run(q, nums, labels).collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("c", 101.0), ("b", 54.0)))
+  }
+
+  test("GROUP_CONCAT separator clause") {
+    val q =
+      """SELECT ?c (GROUP_CONCAT(DISTINCT ?s ; separator=", ") AS ?who)
+        |WHERE { ?s wdt:P27 ?c . } GROUP BY ?c""".stripMargin
+    val got = SparqlText.run(q, triples, labels).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("wd:Q40") == "P1, P2, P8")
+    assert(got("wd:Q28513") == "P3, P7")
+  }
+
+  test("aggregates over expressions: SUM(?v * ?w), AVG, COUNT") {
+    val q =
+      """SELECT (SUM(?v * ?w) AS ?dot) (AVG(?v + 0.0) AS ?mean)
+        |WHERE { ?s <n> ?v . ?s <m> ?w . }""".stripMargin
+    val r = SparqlText.run(q, nums, labels).collect().head
+    // 2*3 + 5*4 + 10*1 = 36; mean(2,5,10) = 17/3
+    assert(r.getDouble(0) == 36.0)
+    assert(math.abs(r.getDouble(1) - 17.0 / 3) < 1e-12)
+  }
+
+  test("IF and COALESCE in expression position") {
+    val q =
+      """SELECT ?s (IF(?v > 4, "big", "small") AS ?size)
+        |WHERE { ?s <n> ?v . }""".stripMargin
+    assert(rows(SparqlText.run(q, nums, labels)) ==
+      Set(Seq("a", "small"), Seq("b", "big"), Seq("c", "big")))
+    val co =
+      """SELECT ?s (COALESCE(?d, "alive") AS ?status) WHERE {
+        |  ?s wdt:P569 ?b . OPTIONAL { ?s wdt:P570 ?d . }
+        |}""".stripMargin
+    val got = SparqlText.run(co, triples, labels).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("P1") == "1980-01-01" && got("P2") == "alive")
+  }
+
+  test("non-boolean FILTER and misused booleans fail loudly") {
+    val e1 = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v + 1) }", nums, labels))
+    assert(e1.getMessage.contains("boolean"))
+    val e2 = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s <n> ?v . FILTER(STRLEN(?v > 1) = 2) }", nums, labels))
+    assert(e2.getMessage.contains("boolean"))
+  }
 }
