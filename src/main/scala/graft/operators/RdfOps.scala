@@ -491,7 +491,46 @@ object RdfOps {
         |}""".stripMargin,
       orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** ASK through the text front-end: existence of a pending order above a
+    * numeric bound — compiles to limit(1)+count, so the scan short-circuits
+    * after the first matching row instead of materializing the set. */
+  def q105Ask(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """ASK WHERE { ?x <status> "P" . ?x <total> ?t . FILTER(?t > 300000.0) }""",
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** Multi-variable VALUES: an inline (segment → tier) mapping table
+    * broadcast-joined against the customer segment triples — the lookup-
+    * enrichment shape (SPARQL §10.2 inline data). */
+  def q106ValuesTable(sp: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(sp, dir)
+    val t = c.select(concat(lit("C"), c("c_custkey").cast("string")).as("s"),
+      lit("segment").as("p"), c("c_mktsegment").as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?c ?seg ?tier WHERE {
+        |  ?c <segment> ?seg .
+        |  VALUES (?seg ?tier) {
+        |    ("BUILDING" "b2b") ("MACHINERY" "b2b") ("AUTOMOBILE" "consumer")
+        |  }
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
+  /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
+    * predicates — one complement-filtered scan, not a union of the other
+    * arms — for orders placed on the epoch date. */
+  def q107NegatedPath(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?o WHERE {
+        |  ?x <date> "1995-01-01" .
+        |  ?x !(<date>|<total>) ?o .
+        |}""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_ask"               -> q105Ask _,
+    "q106_values_table"      -> q106ValuesTable _,
+    "q107_negated_path"      -> q107NegatedPath _,
     "q100_arith_expr"        -> q100ArithmeticExpr _,
     "q101_string_fns"        -> q101StringFns _,
     "q102_select_star_in"    -> q102SelectStarIn _,
@@ -528,6 +567,23 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q105_ask" ->
+      """SELECT EXISTS(SELECT 1 FROM orders
+                       WHERE o_orderstatus = 'P'
+                         AND o_totalprice > 300000.0) AS ask""",
+    "q106_values_table" ->
+      """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c,
+                c_mktsegment AS seg, v.tier
+         FROM customer
+         JOIN (VALUES ('BUILDING', 'b2b'), ('MACHINERY', 'b2b'),
+                      ('AUTOMOBILE', 'consumer')) AS v(seg, tier)
+           ON c_mktsegment = v.seg""",
+    "q107_negated_path" ->
+      """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x, o_orderstatus AS o
+         FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') = '1995-01-01'
+         UNION ALL
+         SELECT 'O'||CAST(o_orderkey AS VARCHAR), o_orderpriority
+         FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') = '1995-01-01'""",
     "q100_arith_expr" ->
       """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
                 o_totalprice * 2.0 - 10.0 AS adj

@@ -99,8 +99,11 @@ object SparqlText {
     * loudly rather than silently regroup). */
   final case class Path(steps: Seq[PStep])
   /** mod: "" (exactly one), "*" (zero or more), "+" (one or more),
-    * "?" (zero or one). */
-  final case class PStep(alts: Seq[(String, Boolean)], mod: String) {
+    * "?" (zero or one). negated: `!p` / `!(p1|p2)` negated property set
+    * (§9.1) — the step's edge relation is every triple whose predicate is
+    * NOT in the set (forward primaries only; `!^p` fails loudly). */
+  final case class PStep(alts: Seq[(String, Boolean)], mod: String,
+                         negated: Boolean = false) {
     def star: Boolean = mod == "*"
   }
 
@@ -154,6 +157,10 @@ object SparqlText {
   final case class EFn(name: String, args: Seq[EExpr]) extends EExpr
 
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
+  /** Multi-variable `VALUES (?a ?b) { ("x" "y") … }` — an inline table
+    * inner-joined on its variables (UNDEF is unsupported and fails loudly:
+    * compatibility-wildcard rows would poison the equi-join fast path). */
+  final case class ValuesTabEl(vars: Seq[String], rows: Seq[Seq[String]]) extends El
   final case class BindExpr(out: String, e: EExpr) extends El
 
   /** `BIND(URI(CONCAT("prefix", STRUUID())) AS ?v)` — the provided-entity
@@ -206,6 +213,11 @@ object SparqlText {
   /** `CONSTRUCT { templates } WHERE { … }` — emits one (s, p, o) row per
     * template triple per solution, set-deduplicated (graph semantics). */
   final case class ConstructQ(templates: Seq[Tp], where: Seq[El]) extends Query
+
+  /** `ASK WHERE { … }` — one row, one boolean `ask` column: does the
+    * pattern have at least one solution? Compiles to limit(1) + count so
+    * the scan short-circuits after the first match. */
+  final case class AskQ(where: Seq[El]) extends Query
 
   // ---------- tokens ----------
 
@@ -374,6 +386,11 @@ object SparqlText {
         } else go = false
       }
       if (isKw(peek, "CONSTRUCT")) constructQuery()
+      else if (isKw(peek, "ASK")) {
+        i += 1
+        if (isKw(peek, "WHERE")) i += 1 // WHERE is optional in ASK
+        AskQ(group())
+      }
       else selectQuery(top = true)
     }
 
@@ -736,24 +753,55 @@ object SparqlText {
       case t2 => fail(s"unsupported expression term: $t2")
     }
 
-    /** `VALUES ?v { wd:Q1 wd:Q2 … }` */
-    private def valuesEl(): ValuesEl = {
-      val v = varName()
-      expectPunct("{")
-      val vals = Vector.newBuilder[String]
-      var go = true
-      while (go) next() match {
-        case TPunct("}") => go = false
-        // resolvePname keeps VALUES in the same symbol space as pattern
-        // terms — with a declared PREFIX the patterns bind full IRIs, so a
-        // raw pname here would silently isin-match nothing
-        case TPname(x) => vals += resolvePname(x)
-        case TIri(x) => vals += x
-        case TStr(x, _) => vals += x
-        case TNum(x) => vals += x
-        case t => fail(s"unexpected VALUES entry: $t")
-      }
-      ValuesEl(v, vals.result())
+    /** `VALUES ?v { wd:Q1 wd:Q2 … }` or the multi-variable table form
+      * `VALUES (?a ?b) { ("x" "y") (wd:Q1 "z") … }`. */
+    private def valuesEl(): El = peek match {
+      case TPunct("(") =>
+        i += 1
+        val vars = Vector.newBuilder[String]
+        while (peek != TPunct(")")) vars += varName()
+        i += 1
+        val vs = vars.result()
+        if (vs.isEmpty) fail("VALUES needs at least one variable")
+        expectPunct("{")
+        val rows = Vector.newBuilder[Seq[String]]
+        while (peek != TPunct("}")) {
+          expectPunct("(")
+          val row = Vector.newBuilder[String]
+          while (peek != TPunct(")")) row += valuesConst()
+          i += 1
+          val r = row.result()
+          if (r.length != vs.length)
+            fail(s"VALUES row arity ${r.length} != variable arity ${vs.length}")
+          rows += r
+        }
+        i += 1
+        ValuesTabEl(vs, rows.result())
+      case _ =>
+        val v = varName()
+        expectPunct("{")
+        val vals = Vector.newBuilder[String]
+        var go = true
+        while (go) peek match {
+          case TPunct("}") => i += 1; go = false
+          case _ => vals += valuesConst()
+        }
+        ValuesEl(v, vals.result())
+    }
+
+    /** One constant VALUES entry; resolvePname keeps entries in the same
+      * symbol space as pattern terms — with a declared PREFIX the patterns
+      * bind full IRIs, so a raw pname here would silently match nothing.
+      * UNDEF is rejected loudly (see [[ValuesTabEl]]). */
+    private def valuesConst(): String = next() match {
+      case TPname(x) => resolvePname(x)
+      case TIri(x) => x
+      case TStr(x, _) => x
+      case TNum(x) => x
+      case t if isKw(t, "UNDEF") =>
+        fail("UNDEF in VALUES is unsupported (wildcard rows would leave " +
+          "the equi-join fast path); split the VALUES block instead")
+      case t => fail(s"unexpected VALUES entry: $t")
     }
 
     /** `BIND(expr AS ?c)` — any unified-grammar expression, plus the
@@ -831,11 +879,18 @@ object SparqlText {
       // returns (step, wasParenthesized) — bare alternation is only legal
       // when the whole path is this one step
       def step(): (PStep, Boolean) = {
+        // `!p` / `!(p1|p2)` negated property set (§9.1); inverse primaries
+        // inside a negated set would flip edge direction per-alternative —
+        // unsupported, and primary() fails loudly on `^` after `!(`
+        val negated = peek == TPunct("!") && { i += 1; true }
         val paren = peek == TPunct("(") && { i += 1; true }
         val alts = Vector.newBuilder[(String, Boolean)]
         alts += primary()
         while (peek == TPunct("|")) { i += 1; alts += primary() }
         if (paren) expectPunct(")")
+        val raw = alts.result()
+        if (negated && raw.exists(_._2))
+          fail("inverse primaries inside a negated property set are unsupported")
         val mod = peek match {
           case TPunct("*") => i += 1; "*"
           case TPunct("+") => i += 1; "+"
@@ -844,7 +899,7 @@ object SparqlText {
           case TPunct("?") => i += 1; "?"
           case _ => ""
         }
-        (PStep(alts.result(), mod), paren)
+        (PStep(raw, mod, negated), paren)
       }
       val steps = Vector.newBuilder[(PStep, Boolean)]
       steps += step()
@@ -898,11 +953,18 @@ object SparqlText {
     q match {
       case s: SelectQ => compileSelect(s, triples, labels, params, memo)
       case c: ConstructQ => compileConstruct(c, triples, labels, params, memo)
+      case a: AskQ =>
+        val (bound, _) = compileGroup(a.where, triples, labels, params, memo)
+        // limit(1) short-circuits the scan: existence, not cardinality
+        bound.limit(1).agg(count(lit(1)).as("__n"))
+          .select((col("__n") > 0).as("ask"))
     }
   }
 
+  /** Memo key: (alternatives, negated) — a negated set's edge relation is
+    * a different graph than the positive set over the same predicates. */
   private type FunctMemo =
-    scala.collection.mutable.Map[Seq[(String, Boolean)], Boolean]
+    scala.collection.mutable.Map[(Seq[(String, Boolean)], Boolean), Boolean]
 
   /** Parse + compile in one step. */
   def run(query: String, triples: DataFrame, labels: DataFrame,
@@ -941,7 +1003,7 @@ object SparqlText {
     }
     q.templates.map { tp =>
       val p = tp.p.steps match {
-        case Seq(PStep(Seq((pv, false)), "")) => lit(pv)
+        case Seq(PStep(Seq((pv, false)), "", false)) => lit(pv)
         case other => sys.error(s"CONSTRUCT template predicates must be simple: $other")
       }
       bound.select(termCol(tp.s).as("s"), p.as("p"), termCol(tp.o).as("o"))
@@ -1101,7 +1163,7 @@ object SparqlText {
     }
 
     els.foreach {
-      case Tp(s, Path(Seq(PStep(Seq((pv, false)), ""))), o) =>
+      case Tp(s, Path(Seq(PStep(Seq((pv, false)), "", false))), o) =>
         // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
@@ -1140,6 +1202,17 @@ object SparqlText {
         }
         join(pat.select(projected.result(): _*))
       case Tp(s, path, o) => join(compilePath(s, path, o, triples, memo))
+      case ValuesTabEl(vars, rowsV) =>
+        // inline table → literal DataFrame, broadcast-inner-joined on its
+        // variables (or the accumulator seed when it comes first)
+        val sp = triples.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val df = sp.createDataFrame(
+          java.util.Arrays.asList(rowsV.map(r =>
+            org.apache.spark.sql.Row(r: _*)).toArray: _*), schema)
+        join(broadcast(df))
       case UnionEl(arms) =>
         val dfs = arms.map(a => compileGroup(a, triples, labels, params, memo)._1)
         join(dfs.reduce(_ unionByName _))
@@ -1425,9 +1498,14 @@ object SparqlText {
   private def compilePath(sT: Term, path: Path, oT: Term,
                           triples: DataFrame, memo: FunctMemo): DataFrame = {
     // One step's edge relation: the union of its alternatives, each an
-    // s→o scan (or o→s for `^p` inverse primaries)
-    def edgesOf(alts: Seq[(String, Boolean)]): DataFrame =
-      alts.map { case (p, inv) =>
+    // s→o scan (or o→s for `^p` inverse primaries); a negated property set
+    // is ONE scan over the complement predicate filter (forward-only,
+    // enforced at parse)
+    def edgesOfStep(st: PStep): DataFrame =
+      if (st.negated)
+        triples.filter(!col("p").isin(st.alts.map(_._1): _*))
+          .select(col("s").as("src"), col("o").as("dst"))
+      else st.alts.map { case (p, inv) =>
         val e = triples.filter(col("p") === p)
         if (inv) e.select(col("o").as("src"), col("s").as("dst"))
         else e.select(col("s").as("src"), col("o").as("dst"))
@@ -1436,8 +1514,9 @@ object SparqlText {
     // is a forest, but it can verify with a one-job probe — unlocking the
     // closure's two-hop no-anti-join fast path for containment-shaped
     // data (one aggregate now vs one anti-join shuffle per round).
-    def funct(alts: Seq[(String, Boolean)]): Boolean =
-      memo.getOrElseUpdate(alts, Closure.isFunctional(edgesOf(alts)))
+    def funct(st: PStep): Boolean =
+      memo.getOrElseUpdate((st.alts, st.negated),
+        Closure.isFunctional(edgesOfStep(st)))
     def constOf(t: Term): Option[String] = t match {
       case C(v) => Some(v)
       case L(v) => Some(v)
@@ -1448,34 +1527,35 @@ object SparqlText {
 
     // (a, cur) relation after walking the steps from a variable subject
     val rel: DataFrame = (steps, constOf(oT)) match {
-      case (Seq(PStep(alts, "*")), Some(const)) =>
+      case (Seq(st @ PStep(_, "*", _)), Some(const)) =>
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
-        Closure.reachingTo(edgesOf(alts),
+        Closure.reachingTo(edgesOfStep(st),
             spark.range(1).select(lit(const).as("node")),
-            functionalEdges = funct(alts))
+            functionalEdges = funct(st))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ PStep(alts, "*"), Some(const)) if init.forall(_.mod == "") =>
+      case (init :+ (last @ PStep(_, "*", _)), Some(const))
+          if init.forall(_.mod == "") =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
-        val reach = Closure.reachingTo(edgesOf(alts),
+        val reach = Closure.reachingTo(edgesOfStep(last),
           spark.range(1).select(lit(const).as("node")),
-          functionalEdges = funct(alts))
-        val prefix = chain(init.map(s => edgesOf(s.alts)))
+          functionalEdges = funct(last))
+        val prefix = chain(init.map(edgesOfStep))
         // the reach semi-join IS the object constraint — __b carries the
         // path's endpoint (the constant), not the prefix endpoint
         prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
           .select(col("__a"), lit(const).as("__b"))
-      case (Seq(PStep(alts, "*")), None) =>
+      case (Seq(st @ PStep(_, "*", _)), None) =>
         // `?a p* ?b` → transitive pairs + reflexive over the edge domain;
         // a CONSTANT subject joins the zero-hop domain even when it has no
         // p-edges (SPARQL: `<A> p* ?b` always yields the zero-length A→A)
-        val e = edgesOf(alts)
+        val e = edgesOfStep(st)
         val nodes = constOf(sT).map(c =>
             spark.range(1).select(lit(c).as("node")))
           .foldLeft(e.select(col("src").as("node"))
             .unionByName(e.select(col("dst").as("node"))))(_ unionByName _)
           .distinct()
-        Closure.ancestorPairs(e, functionalEdges = funct(alts))
+        Closure.ancestorPairs(e, functionalEdges = funct(st))
           .select(col("node").as("__a"), col("anc").as("__b"))
           .unionByName(nodes.select(col("node").as("__a"), col("node").as("__b")))
       case _ =>
@@ -1487,8 +1567,8 @@ object SparqlText {
         // documented var-var domain choice above). Modifier-free
         // sequences reduce to the same chained filtered scans as before.
         steps.foldLeft(Option.empty[DataFrame]) { (acc, st) =>
-          val e = edgesOf(st.alts)
-          def trans() = Closure.ancestorPairs(e, functionalEdges = funct(st.alts))
+          val e = edgesOfStep(st)
+          def trans() = Closure.ancestorPairs(e, functionalEdges = funct(st))
           // zero-hop domain for a LEADING `*`/`?`: the step's edge nodes,
           // plus any constant subject/object term of the whole path — a
           // constant with no edges of this predicate still has the

@@ -970,6 +970,54 @@ class SparqlTextSpec extends SparkSpec {
     assert(got("P1") == "1980-01-01" && got("P2") == "alive")
   }
 
+  test("ASK queries answer existence with a short-circuit plan") {
+    val yes = SparqlText.run("ASK WHERE { ?s wdt:P27 wd:Q40 . }", triples, labels)
+    assert(yes.columns.toSeq == Seq("ask"))
+    assert(yes.collect().map(_.getBoolean(0)).toSeq == Seq(true))
+    val no = SparqlText.run(
+      """ASK { ?s wdt:P27 wd:Q40 . FILTER(?s = "NOPE") }""", triples, labels)
+    assert(no.collect().map(_.getBoolean(0)).toSeq == Seq(false))
+  }
+
+  test("multi-variable VALUES joins as an inline table; UNDEF fails loudly") {
+    val q =
+      """SELECT ?s ?tier WHERE {
+        |  ?s wdt:P27 ?c .
+        |  VALUES (?c ?tier) { (wd:Q40 "at") (wd:Q28513 "other") }
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(
+      Seq("P1", "at"), Seq("P2", "at"), Seq("P8", "at"),
+      Seq("P3", "other"), Seq("P7", "other")))
+    val e = intercept[RuntimeException](SparqlText.parse(
+      """SELECT ?a WHERE { VALUES (?a ?b) { ("x" UNDEF) } }"""))
+    assert(e.getMessage.contains("UNDEF"))
+    val arity = intercept[RuntimeException](SparqlText.parse(
+      """SELECT ?a WHERE { VALUES (?a ?b) { ("x") } }"""))
+    assert(arity.getMessage.contains("arity"))
+  }
+
+  test("VALUES as the first group element seeds the join") {
+    val q =
+      """SELECT ?s WHERE {
+        |  VALUES (?c) { (wd:Q183) }
+        |  ?s wdt:P27 ?c .
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) == Set("P6"))
+  }
+
+  test("negated property sets: !p and !(p1|p2), also under modifiers") {
+    val q = "SELECT ?o WHERE { <P1> !(wdt:P27|schema:description) ?o . }"
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("1900-05-01", "1980-01-01"))
+    // chained after a constant step
+    val chain = "SELECT ?s ?o WHERE { ?s wdt:P570 ?d . ?s !wdt:P27 ?o . }"
+    assert(SparqlText.run(chain, triples, labels).count() == 10)
+    // inverse inside a negated set is a loud failure
+    val e = intercept[RuntimeException](SparqlText.parse(
+      "SELECT ?o WHERE { <P1> !(^wdt:P27) ?o . }"))
+    assert(e.getMessage.contains("negated"))
+  }
+
   test("non-boolean FILTER and misused booleans fail loudly") {
     val e1 = intercept[RuntimeException](SparqlText.run(
       "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v + 1) }", nums, labels))
