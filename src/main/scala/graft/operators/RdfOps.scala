@@ -527,7 +527,38 @@ object RdfOps {
         |}""".stripMargin,
       orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** DESCRIBE through the text front-end: the node set bound by the WHERE
+    * group (nations of region R1) semi-joins the triple scan — all facts
+    * about each described node, no join-output blowup (§16.4; forward
+    * description, no bnode recursion in the engine's triple model). */
+  def q108Describe(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "DESCRIBE ?n WHERE { ?n <region> <R1> }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** HAVING over the unified expression grammar: an ARITHMETIC predicate
+    * over two aggregates (`SUM(?b) / COUNT(?c)` — the average-balance
+    * gate), neither of which needs to be projected. The 4400.0 threshold
+    * splits segments at every SF with ≥5-unit margins, far beyond
+    * parallel-vs-serial float-summation noise. */
+  def q109HavingExpr(sp: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(sp, dir)
+    val cs = concat(lit("C"), c("c_custkey").cast("string"))
+    val t = c.select(cs.as("s"), lit("segment").as("p"), c("c_mktsegment").as("o"))
+      .unionByName(c.select(cs.as("s"), lit("bal").as("p"),
+        c("c_acctbal").cast("string").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+        |  ?c <segment> ?seg . ?c <bal> ?b .
+        |}
+        |GROUP BY ?seg
+        |HAVING(SUM(?b) / COUNT(?c) > 4400.0)""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_describe"          -> q108Describe _,
+    "q109_having_expr"       -> q109HavingExpr _,
     "q105_ask"               -> q105Ask _,
     "q106_values_table"      -> q106ValuesTable _,
     "q107_negated_path"      -> q107NegatedPath _,
@@ -567,6 +598,16 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q108_describe" ->
+      s"""WITH triples AS ($T)
+         SELECT t.s, t.p, t.o FROM triples t
+         JOIN (SELECT DISTINCT s FROM triples
+               WHERE p = 'region' AND o = 'R1') n ON t.s = n.s""",
+    "q109_having_expr" ->
+      """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+         FROM customer
+         GROUP BY c_mktsegment
+         HAVING sum(c_acctbal) / COUNT(*) > 4400.0""",
     "q105_ask" ->
       """SELECT EXISTS(SELECT 1 FROM orders
                        WHERE o_orderstatus = 'P'

@@ -194,10 +194,12 @@ object SparqlText {
   final case class PAggE(fn: String, e: EExpr, out: String,
                          distinct: Boolean) extends ProjItem
 
-  /** `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` — post-grouping filter
-    * on an aggregate (computed as a hidden column, filtered, dropped). */
-  final case class Having(agg: PAgg, op: String, value: String,
-                          numeric: Boolean)
+  /** Aggregate call inside a `HAVING` expression — `COUNT(*)`,
+    * `SUM(?v)`, `MIN(?a * ?b)` — legal only there (the parser gates it);
+    * compiled as a hidden aggregate column the rewritten predicate
+    * references. arg: Left(var or "*") / Right(computed expression). */
+  final case class EAgg(fn: String, arg: Either[String, EExpr],
+                        distinct: Boolean) extends EExpr
 
   sealed trait Query
   final case class SelectQ(
@@ -205,7 +207,7 @@ object SparqlText {
       proj: Seq[ProjItem],
       where: Seq[El],
       groupBy: Seq[String],
-      having: Seq[Having],
+      having: Seq[EExpr], // boolean expressions over EAgg aggregate calls
       orderBy: Seq[(EExpr, Boolean)], // (key expression, descending)
       limit: Option[Either[Long, String]],
       offset: Option[Either[Long, String]]) extends Query
@@ -218,6 +220,13 @@ object SparqlText {
     * pattern have at least one solution? Compiles to limit(1) + count so
     * the scan short-circuits after the first match. */
   final case class AskQ(where: Seq[El]) extends Query
+
+  /** `DESCRIBE <iri>… [?v…] [WHERE { … }]` — all triples whose SUBJECT is
+    * a described node (forward description; the engine's triple views
+    * carry no blank nodes, so no CBD recursion — DESCRIBE's exact shape is
+    * implementation-defined per §16.4). Variables require a WHERE group
+    * that binds them; the node set semi-joins the triple scan. */
+  final case class DescribeQ(terms: Seq[Term], where: Seq[El]) extends Query
 
   // ---------- tokens ----------
 
@@ -391,6 +400,26 @@ object SparqlText {
         if (isKw(peek, "WHERE")) i += 1 // WHERE is optional in ASK
         AskQ(group())
       }
+      else if (isKw(peek, "DESCRIBE")) {
+        i += 1
+        val terms = Vector.newBuilder[Term]
+        var more = true
+        while (more) peek match {
+          case TVar(_) => terms += V(varName())
+          case TIri(v) => i += 1; terms += C(v)
+          case TPname(v) => i += 1; terms += C(resolvePname(v))
+          case _ => more = false
+        }
+        val ts = terms.result()
+        if (ts.isEmpty) fail("DESCRIBE needs at least one resource or variable")
+        val where =
+          if (isKw(peek, "WHERE")) { i += 1; group() }
+          else if (peek == TPunct("{")) group()
+          else Nil
+        if (where.isEmpty && ts.exists(_.isInstanceOf[V]))
+          fail("DESCRIBE with variables requires a WHERE group binding them")
+        DescribeQ(ts, where)
+      }
       else selectQuery(top = true)
     }
 
@@ -484,7 +513,7 @@ object SparqlText {
       expectKw("WHERE")
       val where = group()
       var groupBy: Seq[String] = Nil
-      var having: Seq[Having] = Nil
+      var having: Seq[EExpr] = Nil
       var orderBy: Seq[(EExpr, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
@@ -496,33 +525,20 @@ object SparqlText {
           while (peek.isInstanceOf[TVar]) gs += varName()
           groupBy = gs.result()
         } else if (isKw(peek, "HAVING")) {
-          i += 1; expectPunct("(")
-          val fn = peek match {
-            case TIdent(w) if Set("count", "sum", "min", "max",
-                "avg").contains(w.toLowerCase) => i += 1; w.toLowerCase
-            case t => fail(s"HAVING expects an aggregate, got $t")
-          }
-          expectPunct("(")
-          val dist = isKw(peek, "DISTINCT") && { i += 1; true }
-          val src = peek match {
-            case TPunct("*") => i += 1; "*"
-            case _ => varName()
-          }
-          if (src == "*" && (dist || fn != "count"))
-            fail("'*' is only valid in COUNT(*)")
-          expectPunct(")")
-          val op = next() match {
-            case TPunct(o) if Set("<", ">", "<=", ">=", "=", "!=")(o) => o
-            case t => fail(s"expected comparison operator in HAVING, got $t")
-          }
-          val (value, num) = next() match {
-            case TNum(s) => (s, true)
-            case TStr(s, _) => (s, false)
-            case t => fail(s"expected literal in HAVING, got $t")
-          }
-          expectPunct(")")
-          having = having :+ Having(PAgg(fn, src, s"__having${having.size}", dist),
-            op, value, num)
+          i += 1
+          // one or more parenthesized boolean expressions, each over the
+          // full unified grammar with aggregate calls enabled
+          if (peek != TPunct("(")) fail("HAVING expects a parenthesized expression")
+          val hs = Vector.newBuilder[EExpr]
+          allowAggs = true
+          try {
+            while (peek == TPunct("(")) {
+              i += 1
+              hs += orExpr()
+              expectPunct(")")
+            }
+          } finally allowAggs = false
+          having = having ++ hs.result()
         } else if (isKw(peek, "ORDER")) {
           i += 1; expectKw("BY")
           // one or more sort keys: `?v`, `ASC(expr)`, `DESC(expr)`
@@ -624,6 +640,9 @@ object SparqlText {
     // ----- unified expression grammar (SPARQL 1.1 §17.2 precedence):
     // '||' < '&&' < comparison/IN < '+'/'-' < '*'/'/' < unary !/- < primary
     private val cmpOps = Set("<", ">", "<=", ">=", "=", "!=")
+    /** Aggregate calls are legal only inside HAVING expressions. */
+    private var allowAggs = false
+    private val aggFns = Set("count", "sum", "min", "max", "avg", "sample")
 
     def expr(): EExpr = orExpr()
 
@@ -738,6 +757,26 @@ object SparqlText {
         val fv = orExpr()
         expectPunct(")")
         EIf(c, tv, fv)
+      case TIdent(w) if allowAggs && aggFns.contains(w.toLowerCase) =>
+        val fn = w.toLowerCase
+        i += 1; expectPunct("(")
+        val dist = isKw(peek, "DISTINCT") && { i += 1; true }
+        val arg: Either[String, EExpr] = peek match {
+          case TPunct("*") =>
+            i += 1
+            if (dist || fn != "count") fail("'*' is only valid in COUNT(*)")
+            Left("*")
+          case _ =>
+            // no nested aggregates (SPARQL §11.1)
+            allowAggs = false
+            val e = try orExpr() finally allowAggs = true
+            e match {
+              case EVar(v) => Left(v)
+              case other => Right(other)
+            }
+        }
+        expectPunct(")")
+        EAgg(fn, arg, dist)
       case TIdent(w) if exprFns.contains(w.toUpperCase) =>
         val fn = w.toUpperCase
         i += 1; expectPunct("(")
@@ -958,6 +997,21 @@ object SparqlText {
         // limit(1) short-circuits the scan: existence, not cardinality
         bound.limit(1).agg(count(lit(1)).as("__n"))
           .select((col("__n") > 0).as("ask"))
+      case d: DescribeQ =>
+        val spark = triples.sparkSession
+        val constNodes = d.terms.collect { case C(v) =>
+          spark.range(1).select(lit(v).as("__node"))
+        }
+        val varNodes =
+          if (d.terms.exists(_.isInstanceOf[V])) {
+            val (bound, _) = compileGroup(d.where, triples, labels, params, memo)
+            d.terms.collect { case V(v) => bound.select(col(v).as("__node")) }
+          } else Nil
+        val nodes = (constNodes ++ varNodes).reduce(_ unionByName _).distinct()
+        // semi-join keeps the triple scan streaming: no node duplication,
+        // no join-output blowup beyond the description itself
+        triples.join(nodes, triples("s") === nodes("__node"), "left_semi")
+          .select(col("s"), col("p"), col("o"))
     }
   }
 
@@ -1057,8 +1111,33 @@ object SparqlText {
             sys.error(s"?$v must appear in GROUP BY to be projected " +
               "alongside aggregates"))
         // HAVING aggregates ride along as hidden columns, filtered after
-        // the agg and dropped by the projection below
-        val aggCols = (aggs ++ q.having.map(_.agg)).map {
+        // the agg and dropped by the projection below: each EAgg in a
+        // HAVING expression becomes a __havingN aggregate and the
+        // predicate is rewritten to reference it
+        val hiddenAggs = Vector.newBuilder[ProjItem]
+        var hiddenN = 0
+        def liftAggs(e: EExpr): EExpr = e match {
+          case EAgg(fn, arg, dist) =>
+            val out = s"__having$hiddenN"
+            hiddenN += 1
+            hiddenAggs += (arg match {
+              case Left(src) => PAgg(fn, src, out, dist)
+              case Right(ex) => PAggE(fn, ex, out, dist)
+            })
+            EVar(out)
+          case EAnd(l, r) => EAnd(liftAggs(l), liftAggs(r))
+          case EOr(l, r) => EOr(liftAggs(l), liftAggs(r))
+          case ENot(x) => ENot(liftAggs(x))
+          case ECmp(op, l, r) => ECmp(op, liftAggs(l), liftAggs(r))
+          case EArith(op, l, r) => EArith(op, liftAggs(l), liftAggs(r))
+          case ENeg(x) => ENeg(liftAggs(x))
+          case EIf(c, t, f) => EIf(liftAggs(c), liftAggs(t), liftAggs(f))
+          case EFn(n, as) => EFn(n, as.map(liftAggs))
+          case EIn(x, vs, neg) => EIn(liftAggs(x), vs, neg)
+          case leaf => leaf
+        }
+        val havingPreds = q.having.map(liftAggs)
+        val aggCols = (aggs ++ hiddenAggs.result()).map {
           case PGroupConcat(src, out, dist, sep) =>
             val collected =
               if (dist) collect_set(col(src)) else collect_list(col(src))
@@ -1097,20 +1176,7 @@ object SparqlText {
         }
         val agged = labeled.groupBy(q.groupBy.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-        q.having.foldLeft(agged) { (df, h) =>
-          val c0 = col(h.agg.out)
-          val (c: Column, v: Any) =
-            if (h.numeric) (c0.cast("double"), h.value.toDouble) else (c0, h.value)
-          df.filter(h.op match {
-            case "<" => c < v
-            case ">" => c > v
-            case "<=" => c <= v
-            case ">=" => c >= v
-            case "=" => c === v
-            case "!=" => c =!= v
-            case other => sys.error(s"unsupported comparison: $other")
-          })
-        }
+        havingPreds.foldLeft(agged)((df, e) => df.filter(compileBool(e)))
       } else labeled
     if (q.proj.contains(PStar) && q.proj.size > 1)
       sys.error("SELECT * cannot be combined with other projections")
@@ -1409,6 +1475,9 @@ object SparqlText {
         else (asStr(tc), asStr(fc), TyS)
       (when(compileBool(c), tv).otherwise(fv), ty)
     case EFn(fn, args) => compileFn(fn, args)
+    case _: EAgg =>
+      // lifted to hidden columns by the HAVING compiler before compileE
+      sys.error("aggregate calls are only legal inside HAVING expressions")
   }
 
   /** A literal-string argument (REGEX patterns, REPLACE arguments,

@@ -1018,6 +1018,52 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("negated"))
   }
 
+  test("HAVING over the unified grammar: connectives, arithmetic, agg-vs-agg") {
+    // citizenship groups: Q40×3, Q28513×2, Q131964×1, Q699964×1, Q183×1
+    val q =
+      """SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c
+        |HAVING(COUNT(?s) >= 2 && COUNT(?s) < 3)""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(Seq("wd:Q28513", 2L)))
+    // arithmetic over two aggregates, one of them unprojected
+    val q2 =
+      """SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c
+        |HAVING(COUNT(?s) * 2 > COUNT(DISTINCT ?s) + 1)""".stripMargin
+    assert(rows(SparqlText.run(q2, triples, labels)) ==
+      Set(Seq("wd:Q40", 3L), Seq("wd:Q28513", 2L)))
+    // aggregates stay illegal outside HAVING
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s wdt:P27 ?c . FILTER(COUNT(?s) > 1) }",
+      triples, labels))
+    assert(e.getMessage.nonEmpty)
+  }
+
+  test("HAVING with two clauses and an aggregate over an expression") {
+    val q =
+      """SELECT ?c WHERE { ?s wdt:P27 ?c . ?s wdt:P569 ?b . }
+        |GROUP BY ?c
+        |HAVING(COUNT(*) >= 1) (MIN(YEAR(?b)) < 1900)""".stripMargin
+    // min birth years: Q40 min(1900,1360,1940)=1360; Q28513 min(1949,1200)=1200;
+    // Q131964 1970; Q699964 1949; Q183 1800
+    assert(rows(SparqlText.run(q, triples, labels)).map(_.head) ==
+      Set("wd:Q40", "wd:Q28513", "wd:Q183"))
+  }
+
+  test("DESCRIBE constants and variables") {
+    val c = SparqlText.run("DESCRIBE <P5>", triples, labels)
+    assert(c.columns.toSeq == Seq("s", "p", "o"))
+    assert(rows(c) == Set(
+      Seq("P5", "wdt:P27", "wd:Q699964"), Seq("P5", "wdt:P569", "1949-01-01"),
+      Seq("P5", "wdt:P570", "1999-09-09"), Seq("P5", "schema:description", "Maler")))
+    val v = SparqlText.run(
+      """DESCRIBE ?s WHERE { ?s wdt:P569 "1970-01-01" . }""", triples, labels)
+    assert(rows(v) == Set(
+      Seq("P4", "wdt:P27", "wd:Q131964"), Seq("P4", "wdt:P569", "1970-01-01")))
+    val e = intercept[RuntimeException](SparqlText.parse("DESCRIBE ?x"))
+    assert(e.getMessage.contains("WHERE"))
+  }
+
   test("non-boolean FILTER and misused booleans fail loudly") {
     val e1 = intercept[RuntimeException](SparqlText.run(
       "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v + 1) }", nums, labels))
