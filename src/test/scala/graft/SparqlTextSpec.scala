@@ -814,7 +814,9 @@ class SparqlTextSpec extends SparkSpec {
         "$p", "UNION", "OPTIONAL", "FILTER", "BIND", "<", ">", "\"lit\"",
         "a:b", "*", "/", ".", ";", "CONSTRUCT", "GROUP", "BY", "LIMIT",
         "5", "MINUS", "NOT", "EXISTS", "BOUND", "CONTAINS", "STR", "&&",
-        "||", "!", "DESC", "-3.5")).map(_.mkString(" ")),
+        "||", "!", "DESC", "-3.5", "ASK", "DESCRIBE", "VALUES", "UNDEF",
+        "IN", "HAVING", "SUM", "COUNT", "REGEX", "SUBSTR", "+", "-",
+        "separator", "=", ",")).map(_.mkString(" ")),
       Gen.const("SELECT ?x WHERE { ?x "), // truncated
       Gen.const("SELECT ?x WHERE { { SELECT"),
       Gen.const("CONSTRUCT { ?a <p> ") )
