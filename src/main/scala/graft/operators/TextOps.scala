@@ -232,7 +232,24 @@ object TextOps {
         round(expr("approx_percentile(n_chars, 0.5)").cast("double"), 1).as("approx_p50"),
         round(expr("percentile(n_chars, 0.5)"), 1).as("exact_p50"))
 
+  /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
+    * connected components → canonical id per document (the component
+    * minimum). The step between pair GENERATION and a keep/drop decision:
+    * transitive chains (A≈B, B≈C) collapse to one canonical doc even when
+    * A and C never shared a bucket ([[graft.plans.ConnectedComponents]]).
+    * Documents outside every pair are their own canonical — the output is
+    * a total doc_id → canonical_id map, directly joinable as a dedup
+    * filter (`keep = doc_id == canonical_id`). */
+  def q110DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q34MinhashLsh(s, dir)
+    graft.plans.ConnectedComponents.labels(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        Tables.documents(s, dir).select(col("doc_id").as("node")))
+      .select(col("node").as("doc_id"), col("component").as("canonical_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_dedup_clusters" -> q110DedupClusters _,
     "q81_approx_stats"   -> q81ApproxStats _,
     "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
@@ -260,7 +277,32 @@ object TextOps {
   private val simhashConcatSql = (0 until 16).map(j =>
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
+  /** The q34 shingle→minhash→band CTE chain, shared by the q34 oracle and
+    * the q110 component oracle. */
+  private val minhashCtesSql =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+       sig AS (SELECT doc_id,
+         ${(0 until 8).map(i => s"list_min(list_transform(shingles, s -> md5('$i:'||s))) AS h$i").mkString(", ")}
+         FROM sh),
+       bands AS (
+         ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
+
   val oracles: Map[String, String] = Map(
+    "q110_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m)
+         SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+         FROM reach GROUP BY node""",
     "q61_length_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
          round(quantile_cont(n_chars, 0.9), 4) AS p90, count(*) AS n_docs

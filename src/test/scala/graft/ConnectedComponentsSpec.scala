@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.ConnectedComponents
+
+/** Min-label component semantics: transitive chains, isolated nodes,
+  * orientation independence, cycle termination, determinism. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(String, String)], nodes: Seq[String]) =
+    ConnectedComponents.labels(edges.toDF("src", "dst"), nodes.toDF("node"))
+      .as[(String, String)].collect().toMap
+
+  test("two components and an isolated node") {
+    val got = run(Seq(("b", "c"), ("c", "d"), ("x", "y")),
+      Seq("b", "c", "d", "x", "y", "z"))
+    assert(got == Map("b" -> "b", "c" -> "b", "d" -> "b",
+      "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
+  test("transitive chains collapse even without a direct pair") {
+    // A≈B, B≈C but never A≈C — the q34 LSH shape the clustering exists for
+    val got = run(Seq(("a", "b"), ("b", "c")), Seq("a", "b", "c"))
+    assert(got.values.toSet == Set("a"))
+  }
+
+  test("edge orientation does not matter") {
+    val fwd = run(Seq(("a", "b"), ("b", "c")), Seq("a", "b", "c"))
+    val rev = run(Seq(("b", "a"), ("c", "b")), Seq("a", "b", "c"))
+    assert(fwd == rev)
+  }
+
+  test("cycles and long paths converge in O(diameter) rounds") {
+    val ring = run(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")),
+      Seq("a", "b", "c", "d"))
+    assert(ring.values.toSet == Set("a"))
+    val chain = (0 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val path = run(chain, (0 to 12).map(i => f"n$i%02d"))
+    assert(path.values.toSet == Set("n00"))
+  }
+
+  test("deterministic across re-runs") {
+    val edges = Seq(("d", "b"), ("b", "f"), ("g", "e"))
+    val nodes = Seq("b", "d", "e", "f", "g", "h")
+    assert(run(edges, nodes) == run(edges, nodes))
+  }
+}
