@@ -248,7 +248,77 @@ object TextOps {
       .select(col("node").as("doc_id"), col("component").as("canonical_id"))
   }
 
+  /** C4-style cleaning pass, all codegen'd HOFs: lowercase, drop tokens
+    * shorter than 3 chars (stopword-ish noise), then drop documents whose
+    * cleaned token count falls under 30 — the filter-then-threshold shape
+    * every pretraining corpus pass applies. Linear, no shuffle. */
+  def q111CleanText(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("ctoks",
+        expr("filter(transform(toks, t -> lower(t)), t -> length(t) >= 3)"))
+      .filter(size(col("ctoks")) >= 30)
+      .select(col("doc_id"), concat_ws(" ", col("ctoks")).as("clean_text"),
+        size(col("ctoks")).cast("long").as("n_toks"))
+
+  /** Deterministic stratified sampling: per-language keep rates (the
+    * pretraining language-mix rebalance — halve the overrepresented 'en',
+    * keep the rest). Hash-bucket assignment, never rand(): re-runs, late
+    * rows, and distributed execution all agree on the sample. */
+  def q112StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 50).otherwise(100)
+    Tables.documents(s, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Sequence packing: assign documents (in doc_id order) to fixed
+    * token-budget training sequences — pack = which 512-token bin the
+    * document STARTS in under a running token total. The prefix sum is
+    * computed scale-correctly: per-bucket partial sums roll up through a
+    * window over the (tiny) bucket-summary table, and the per-row cumsum
+    * window partitions by bucket — every window here is either
+    * bucket-partitioned (parallel) or over one row per bucket. No global
+    * single-partition window (the q11 scale-killer this replaces). */
+  def q113SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    // bucket width is a pure tuning knob — the prefix sum is exact at any
+    // width; size it so the offset table stays driver-small (100 here for
+    // the test corpus; ~1e6 at 100 TB keeps 1e9 docs to 1e3 offset rows)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("bucket", (col("doc_id") / 100L).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val byBucket = Window.orderBy(col("bucket")) // one row per bucket: tiny
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("n_toks")).as("btoks"))
+      .withColumn("offset",
+        coalesce(sum(col("btoks")).over(byBucket) - col("btoks"), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    d.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + sum(col("n_toks")).over(inBucket))
+      .select(col("doc_id"),
+        ((col("cum") - col("n_toks")) / budget).cast("long").as("pack_id"))
+  }
+
+  /** Within-document repetition score (a standard quality signal): the
+    * most frequent bigram's share of all bigram occurrences. Integer-
+    * derived ratio — bit-exact as a double on both engines. */
+  def q114Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")), 4).as("rep_score"),
+        sum(col("c")).as("n_bigrams"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_clean_text"     -> q111CleanText _,
+    "q112_stratified_sample" -> q112StratifiedSample _,
+    "q113_sequence_packing" -> q113SequencePacking _,
+    "q114_repetition"     -> q114Repetition _,
     "q110_dedup_clusters" -> q110DedupClusters _,
     "q81_approx_stats"   -> q81ApproxStats _,
     "q55_bottomk_sketch" -> q55BottomKSketch _,
@@ -289,6 +359,36 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q111_clean_text" ->
+      """WITH c AS (SELECT doc_id,
+           list_filter(list_transform(string_split(text, ' '), t -> lower(t)),
+                       t -> length(t) >= 3) AS ctoks
+         FROM documents)
+         SELECT doc_id, array_to_string(ctoks, ' ') AS clean_text,
+                CAST(len(ctoks) AS BIGINT) AS n_toks
+         FROM c WHERE len(ctoks) >= 30""",
+    "q112_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+           CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+         FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 100 END""",
+    "q113_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+         c AS (SELECT doc_id, n_toks,
+           sum(n_toks) OVER (ORDER BY doc_id) AS cum FROM d)
+         SELECT doc_id, CAST(floor((cum - n_toks) / 512.0) AS BIGINT) AS pack_id
+         FROM c""",
+    "q114_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1])) AS bg
+         FROM t),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id, round(max(c) / sum(c), 4) AS rep_score,
+                CAST(sum(c) AS BIGINT) AS n_bigrams
+         FROM c GROUP BY doc_id""",
     "q110_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pairs AS (
