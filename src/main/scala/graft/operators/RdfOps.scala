@@ -556,7 +556,20 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** GROUP BY expression keys (§19.8 GroupCondition): month-bucketed order
+    * counts via `GROUP BY (MONTH(?d) AS ?m)` — the date-rollup shape every
+    * reporting query needs; the key expression computes pre-shuffle so the
+    * aggregation still gets map-side partial combine. */
+  def q115GroupByExpr(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?m (COUNT(?x) AS ?n) WHERE {
+        |  ?x <date> ?d . ?x <status> "F" .
+        |}
+        |GROUP BY (MONTH(?d) AS ?m)""".stripMargin,
+      orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_groupby_expr"      -> q115GroupByExpr _,
     "q108_describe"          -> q108Describe _,
     "q109_having_expr"       -> q109HavingExpr _,
     "q105_ask"               -> q105Ask _,
@@ -598,6 +611,11 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q115_groupby_expr" ->
+      """SELECT CAST(month(o_orderdate) AS DOUBLE) AS m,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY month(o_orderdate)""",
     "q108_describe" ->
       s"""WITH triples AS ($T)
          SELECT t.s, t.p, t.o FROM triples t

@@ -207,6 +207,7 @@ object SparqlText {
       proj: Seq[ProjItem],
       where: Seq[El],
       groupBy: Seq[String],
+      groupByExprs: Seq[(EExpr, String)], // `GROUP BY (expr AS ?v)` keys
       having: Seq[EExpr], // boolean expressions over EAgg aggregate calls
       orderBy: Seq[(EExpr, Boolean)], // (key expression, descending)
       limit: Option[Either[Long, String]],
@@ -513,6 +514,7 @@ object SparqlText {
       expectKw("WHERE")
       val where = group()
       var groupBy: Seq[String] = Nil
+      var groupByExprs: Seq[(EExpr, String)] = Nil
       var having: Seq[EExpr] = Nil
       var orderBy: Seq[(EExpr, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
@@ -521,9 +523,25 @@ object SparqlText {
       while (trailing && !eof) {
         if (isKw(peek, "GROUP")) {
           i += 1; expectKw("BY")
+          // group conditions: `?v` or `(expr AS ?v)` (SPARQL §19.8)
           val gs = Vector.newBuilder[String]
-          while (peek.isInstanceOf[TVar]) gs += varName()
+          val ges = Vector.newBuilder[(EExpr, String)]
+          var more = true
+          while (more) peek match {
+            case TVar(_) => gs += varName()
+            case TPunct("(") =>
+              i += 1
+              val e = expr()
+              expectKw("AS")
+              val v = varName()
+              expectPunct(")")
+              ges += ((e, v))
+            case _ => more = false
+          }
           groupBy = gs.result()
+          groupByExprs = ges.result()
+          if (groupBy.isEmpty && groupByExprs.isEmpty)
+            fail("GROUP BY requires at least one key")
         } else if (isKw(peek, "HAVING")) {
           i += 1
           // one or more parenthesized boolean expressions, each over the
@@ -559,8 +577,8 @@ object SparqlText {
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
         else trailing = false
       }
-      val q = SelectQ(distinct, proj.result(), where, groupBy, having, orderBy,
-        limit, offset)
+      val q = SelectQ(distinct, proj.result(), where, groupBy, groupByExprs,
+        having, orderBy, limit, offset)
       if (top && !eof) fail("trailing tokens after query")
       q
     }
@@ -1101,13 +1119,19 @@ object SparqlText {
       case a: PAggE => a: ProjItem
     }
     val grouped =
-      if (q.groupBy.nonEmpty || aggs.nonEmpty || q.having.nonEmpty) {
+      if (q.groupBy.nonEmpty || q.groupByExprs.nonEmpty || aggs.nonEmpty ||
+          q.having.nonEmpty) {
         require(aggs.nonEmpty || q.having.nonEmpty,
           "GROUP BY requires at least one aggregate")
+        // expression keys compute before the grouping and group by name
+        val keyed = q.groupByExprs.foldLeft(labeled) { case (df, (e, v)) =>
+          df.withColumn(v, compileE(e)._1)
+        }
+        val keyNames = q.groupBy ++ q.groupByExprs.map(_._2)
         // implicit (empty) grouping admits only aggregate projections —
         // a plain ?var would silently project null (SPARQL errors here)
-        if (q.groupBy.isEmpty)
-          q.proj.collect { case PVar(src, _) => src }.foreach(v =>
+        q.proj.collect { case PVar(src, _) => src }
+          .filterNot(keyNames.contains).foreach(v =>
             sys.error(s"?$v must appear in GROUP BY to be projected " +
               "alongside aggregates"))
         // HAVING aggregates ride along as hidden columns, filtered after
@@ -1174,7 +1198,7 @@ object SparqlText {
             }
           case other => sys.error(s"unsupported aggregate: $other")
         }
-        val agged = labeled.groupBy(q.groupBy.map(col): _*)
+        val agged = keyed.groupBy(keyNames.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
         havingPreds.foldLeft(agged)((df, e) => df.filter(compileBool(e)))
       } else labeled

@@ -1052,6 +1052,30 @@ class SparqlTextSpec extends SparkSpec {
       Set("wd:Q40", "wd:Q28513", "wd:Q183"))
   }
 
+  test("GROUP BY expression keys: (expr AS ?v) buckets and projects") {
+    val q =
+      """SELECT ?decade (COUNT(?s) AS ?n) WHERE { ?s wdt:P569 ?b . }
+        |GROUP BY (FLOOR(YEAR(?b) / 100.0) AS ?decade)""".stripMargin
+    // century buckets: 1900s(1900,1949,1970,1949,1940)→19.0 ×5;
+    // 1360→13.0; 1800→18.0; 1200→12.0
+    val got = SparqlText.run(q, triples, labels).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(19.0 -> 5L, 13.0 -> 1L, 18.0 -> 1L, 12.0 -> 1L))
+    // mixed: a plain key and an expression key together
+    val q2 =
+      """SELECT ?c ?century (COUNT(*) AS ?n) WHERE {
+        |  ?s wdt:P27 ?c . ?s wdt:P569 ?b .
+        |}
+        |GROUP BY ?c (SUBSTR(?b, 1, 2) AS ?century)""".stripMargin
+    assert(SparqlText.run(q2, triples, labels).columns.toSeq ==
+      Seq("c", "century", "n"))
+    // projecting a var that is neither a key nor an aggregate stays loud
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s wdt:P569 ?b . }
+        |GROUP BY (YEAR(?b) AS ?y)""".stripMargin, triples, labels))
+    assert(e.getMessage.contains("GROUP BY"))
+  }
+
   test("DESCRIBE constants and variables") {
     val c = SparqlText.run("DESCRIBE <P5>", triples, labels)
     assert(c.columns.toSeq == Seq("s", "p", "o"))
