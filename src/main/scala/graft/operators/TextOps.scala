@@ -314,7 +314,29 @@ object TextOps {
       .agg(round(max(col("c")) / sum(col("c")), 4).as("rep_score"),
         sum(col("c")).as("n_bigrams"))
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 5-gram with the evaluation set (docs 0-19 stand in for the
+    * benchmark corpus). The eval n-gram set is tiny relative to the
+    * corpus — distinct + broadcast — so the contamination check is ONE
+    * broadcast hash join over the exploded train n-grams; at 100 TB the
+    * train side streams, nothing shuffles. The real-corpus knob is the
+    * n-gram order (13 is the usual published choice; 5 here scales to the
+    * 56-token synthetic docs). */
+  def q116Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val fiveGrams =
+      "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
+        "CAST(array() AS ARRAY<STRING>))"
+    val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
+    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    g.filter(col("doc_id") >= 20)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_decontaminate"  -> q116Decontaminate _,
     "q111_clean_text"     -> q111CleanText _,
     "q112_stratified_sample" -> q112StratifiedSample _,
     "q113_sequence_packing" -> q113SequencePacking _,
@@ -359,6 +381,17 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q116_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS g
+         FROM t),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+         SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+         FROM g JOIN ev ON g.g = ev.g
+         WHERE g.doc_id >= 20
+         GROUP BY g.doc_id""",
     "q111_clean_text" ->
       """WITH c AS (SELECT doc_id,
            list_filter(list_transform(string_split(text, ' '), t -> lower(t)),
