@@ -568,7 +568,34 @@ object RdfOps {
         |GROUP BY (MONTH(?d) AS ?m)""".stripMargin,
       orderTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Named-graph variable e2e (§13.3): `GRAPH ?g { … }` over the quad view
+    * — both contained patterns bind ?g from the quad's `g` column, so the
+    * BGP join inside the block is on (?s, ?g): same subject AND same graph,
+    * and ?g escapes as a projected variable. The oracle recomputes the
+    * self-join with the graph-equality conjunct. */
+  def q117GraphVar(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?g ?s ?seg WHERE {
+        |  GRAPH ?g { ?s <segment> ?seg . ?s <nation> <N1> }
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** Constant named graph + default-graph join: the GRAPH block filters its
+    * scans to `g:N`; the outer pattern runs over the union of all graphs
+    * (the union-default-graph dataset posture — what Blazegraph and
+    * Oxigraph expose when no FROM is given). The constant reaches the scan
+    * as an ordinary pushed filter, so a `g`-partitioned quad table prunes. */
+  def q118GraphConst(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?l WHERE {
+        |  GRAPH <g:N> { ?s <label> ?l }
+        |  ?s <region> <R1> .
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_graph_var"         -> q117GraphVar _,
+    "q118_graph_const"       -> q118GraphConst _,
     "q115_groupby_expr"      -> q115GroupByExpr _,
     "q108_describe"          -> q108Describe _,
     "q109_having_expr"       -> q109HavingExpr _,
@@ -611,6 +638,17 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q117_graph_var" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT a.g, a.s, a.o AS seg
+         FROM quads a JOIN quads b ON a.s = b.s AND a.g = b.g
+         WHERE a.p = 'segment' AND b.p = 'nation' AND b.o = 'N1'""",
+    "q118_graph_const" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT a.s, a.o AS l
+         FROM quads a JOIN quads b ON a.s = b.s
+         WHERE a.p = 'label' AND a.g = 'g:N'
+           AND b.p = 'region' AND b.o = 'R1'""",
     "q115_groupby_expr" ->
       """SELECT CAST(month(o_orderdate) AS DOUBLE) AS m,
                 CAST(COUNT(*) AS BIGINT) AS n

@@ -123,6 +123,12 @@ object SparqlText {
   final case class TpVar(s: Term, p: String, o: Term) extends El
   final case class UnionEl(arms: Seq[Seq[El]]) extends El
   final case class OptEl(g: Seq[El]) extends El
+  /** `GRAPH <g> { … }` / `GRAPH ?g { … }` (§13.3) over a QUAD source —
+    * the triple DataFrame must carry a `g` column (the TriG/N-Quads
+    * model). A constant graph filters the scan; a variable graph binds
+    * `g` on every contained triple pattern (and joins with outer
+    * occurrences of the same variable). */
+  final case class GraphEl(graph: Term, g: Seq[El]) extends El
   sealed trait Fil extends El
   /** Boolean FILTER expression over the unified expression grammar. */
   final case class FilterExpr(e: EExpr) extends Fil
@@ -613,6 +619,15 @@ object SparqlText {
             els += UnionEl(arms.result())
           }
         case t if isKw(t, "OPTIONAL") => i += 1; els += OptEl(group())
+        case t if isKw(t, "GRAPH") =>
+          i += 1
+          val g = next() match {
+            case TVar(v) => V(v)
+            case TIri(v) => C(v)
+            case TPname(v) => C(resolvePname(v))
+            case t2 => fail(s"expected graph name or variable, got $t2")
+          }
+          els += GraphEl(g, group())
         case t if isKw(t, "MINUS") => i += 1; els += MinusEl(group())
         case t if isKw(t, "FILTER") =>
           i += 1
@@ -1238,7 +1253,16 @@ object SparqlText {
     * and Catalyst sees the whole join tree declaratively. */
   private def compileGroup(els: Seq[El], triples: DataFrame, labels: DataFrame,
                            params: Map[String, Long],
-                           memo: FunctMemo): (DataFrame, Option[Seq[String]]) = {
+                           memo: FunctMemo,
+                           graphCtx: Option[Term] = None)
+      : (DataFrame, Option[Seq[String]]) = {
+    // GRAPH context (§13.3): a constant graph adds a `g` filter to every
+    // triple scan in scope; a variable graph binds `g` as that variable on
+    // every scan, so patterns inside one GRAPH block join on the graph too
+    // (same-graph semantics) and the variable escapes to the outer group.
+    // Either form requires the quad model — a `g` column on the source.
+    def requireG(): Unit = require(triples.columns.contains("g"),
+      "GRAPH requires a quad source with a `g` column (the TriG/N-Quads model)")
     val langFilters: Map[String, String] =
       els.collect { case LangM(v, lang) => v -> lang }.toMap
     val langApplied = scala.collection.mutable.Set[String]()
@@ -1257,6 +1281,14 @@ object SparqlText {
         // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
+        graphCtx.foreach { g =>
+          requireG()
+          g match {
+            case V(gv) => projected += col("g").as(gv)
+            case C(gc) => pat = pat.filter(col("g") === gc)
+            case L(gc) => pat = pat.filter(col("g") === gc)
+          }
+        }
         s match {
           case V(v) => projected += col("s").as(v)
           case C(v) => pat = pat.filter(col("s") === v)
@@ -1279,6 +1311,14 @@ object SparqlText {
         // variable predicate: unfiltered scan, p bound as a column
         var pat = triples
         val projected = Vector.newBuilder[Column]
+        graphCtx.foreach { g =>
+          requireG()
+          g match {
+            case V(gv) => projected += col("g").as(gv)
+            case C(gc) => pat = pat.filter(col("g") === gc)
+            case L(gc) => pat = pat.filter(col("g") === gc)
+          }
+        }
         s match {
           case V(v) => projected += col("s").as(v)
           case C(v) => pat = pat.filter(col("s") === v)
@@ -1291,7 +1331,17 @@ object SparqlText {
           case L(v) => pat = pat.filter(col("o") === v)
         }
         join(pat.select(projected.result(): _*))
-      case Tp(s, path, o) => join(compilePath(s, path, o, triples, memo))
+      case Tp(s, path, o) =>
+        val src = graphCtx match {
+          case None => triples
+          case Some(C(gc)) => requireG(); triples.filter(col("g") === gc)
+          case Some(L(gc)) => requireG(); triples.filter(col("g") === gc)
+          // a closure per graph binding is not decomposable onto one scan —
+          // fail loudly rather than silently evaluate over the union graph
+          case Some(V(_)) => sys.error(
+            "property paths inside GRAPH ?var are unsupported (use a constant graph)")
+        }
+        join(compilePath(s, path, o, src, memo))
       case ValuesTabEl(vars, rowsV) =>
         // inline table → literal DataFrame, broadcast-inner-joined on its
         // variables (or the accumulator seed when it comes first)
@@ -1304,15 +1354,20 @@ object SparqlText {
             org.apache.spark.sql.Row(r: _*)).toArray: _*), schema)
         join(broadcast(df))
       case UnionEl(arms) =>
-        val dfs = arms.map(a => compileGroup(a, triples, labels, params, memo)._1)
+        val dfs = arms.map(a =>
+          compileGroup(a, triples, labels, params, memo, graphCtx)._1)
         join(dfs.reduce(_ unionByName _))
       case OptEl(g) =>
-        val right = compileGroup(g, triples, labels, params, memo)._1
+        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
         acc = Some(SparqlAlgebra.optional(
           acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
+      case GraphEl(graph, g) =>
+        // inner GRAPH re-scopes (replaces, not intersects, any outer
+        // context — §13.3's active-graph substitution)
+        join(compileGroup(g, triples, labels, params, memo, Some(graph))._1)
       case MinusEl(g) =>
         val a = acc.getOrElse(sys.error("MINUS requires a preceding pattern"))
-        val right = compileGroup(g, triples, labels, params, memo)._1
+        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
         val shared = a.columns.intersect(right.columns).toSeq
         // no shared variables → every solution is incompatible with every
         // right-side solution → MINUS removes nothing (SPARQL §8.3.3)
@@ -1320,6 +1375,9 @@ object SparqlText {
           else compatNegation(a, right, shared, anti = true,
             requireOverlap = true)) // MINUS: dom(μ1)∩dom(μ2) must be non-empty
       case SubSel(sub) =>
+        if (graphCtx.isDefined) sys.error(
+          "subselects inside GRAPH are unsupported (lift the GRAPH block " +
+            "into the subselect's own WHERE)")
         join(compileSelect(sub, triples, labels, params, memo))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
@@ -1344,7 +1402,7 @@ object SparqlText {
     els.foreach {
       case FilterExpr(e) => out = out.filter(compileBool(e))
       case ExistsEl(g, negated) =>
-        val right = compileGroup(g, triples, labels, params, memo)._1
+        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
         val shared = out.columns.intersect(right.columns).toSeq
         if (shared.isEmpty) sys.error(
           "FILTER [NOT] EXISTS must share at least one variable with the outer group")

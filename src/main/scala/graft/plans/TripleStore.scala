@@ -61,6 +61,18 @@ object TripleStore {
       |UNION ALL SELECT 'S'||CAST(s_suppkey AS VARCHAR), 'type', 'Supplier' FROM supplier
       |UNION ALL SELECT 'S'||CAST(s_suppkey AS VARCHAR), 'nation', 'N'||CAST(s_nationkey AS VARCHAR) FROM supplier""".stripMargin
 
+  /** (s, p, o, g) quads: [[triples]] partitioned into named graphs by
+    * entity kind (customers in `g:C`, nations `g:N`, regions `g:R`,
+    * suppliers `g:S`) — the TriG/N-Quads model GRAPH clauses query.
+    * At scale the quad table would additionally be partitioned by `g`, so
+    * a constant-graph filter prunes partitions before the scan. */
+  def quads(sp: SparkSession, dir: String): DataFrame =
+    triples(sp, dir).withColumn("g",
+      concat(lit("g:"), substring(col("s"), 1, 1)))
+
+  val quadsSql: String =
+    s"SELECT s, p, o, 'g:'||substr(s, 1, 1) AS g FROM ($triplesSql)"
+
   /** Language-tagged labels (entity, lang, label): every nation/region has an
     * 'en' label; only even-keyed ones have a 'de' label (lowercased) — so the
     * label-service fallback path (J7) is exercised. */

@@ -1098,4 +1098,55 @@ class SparqlTextSpec extends SparkSpec {
       "SELECT ?s WHERE { ?s <n> ?v . FILTER(STRLEN(?v > 1) = 2) }", nums, labels))
     assert(e2.getMessage.contains("boolean"))
   }
+
+  /** (s, p, o, g) quad fixture: P1/P2 facts split across two named graphs,
+    * with P1's type ONLY in gA and its date ONLY in gB — so same-graph
+    * joins inside one GRAPH block are distinguishable from union-graph
+    * joins. */
+  private lazy val quads: DataFrame = Seq(
+    ("P1", "type", "person", "gA"), ("P1", "date", "1900", "gB"),
+    ("P1", "name", "one", "gA"),
+    ("P2", "type", "person", "gB"), ("P2", "date", "1950", "gB"),
+    ("P2", "name", "two", "gA")
+  ).toDF("s", "p", "o", "g")
+
+  test("GRAPH with a constant filters contained scans to that graph") {
+    val r = SparqlText.run(
+      "SELECT ?s ?o WHERE { GRAPH <gA> { ?s <type> ?o } }", quads, labels)
+    assert(rows(r) == Set(Seq("P1", "person"))) // P2's type lives in gB
+  }
+
+  test("GRAPH ?g binds the graph and joins same-graph inside the block") {
+    // same-graph: only P2 has type AND date in one graph (gB)
+    val same = SparqlText.run(
+      "SELECT ?g ?s WHERE { GRAPH ?g { ?s <type> ?x . ?s <date> ?d } }",
+      quads, labels)
+    assert(rows(same) == Set(Seq("gB", "P2")))
+    // the bound ?g joins with outer occurrences and projects
+    val proj = SparqlText.run(
+      "SELECT ?s ?g WHERE { GRAPH ?g { ?s <name> ?n } }", quads, labels)
+    assert(rows(proj) == Set(Seq("P1", "gA"), Seq("P2", "gA")))
+  }
+
+  test("GRAPH block + default-graph pattern = union-graph outer scan") {
+    val r = SparqlText.run(
+      """SELECT ?s ?d WHERE {
+        |  GRAPH <gA> { ?s <type> "person" }
+        |  ?s <date> ?d .
+        |}""".stripMargin, quads, labels)
+    assert(rows(r) == Set(Seq("P1", "1900"))) // outer pattern sees all graphs
+  }
+
+  test("GRAPH fails loudly without a g column, with paths, with subselects") {
+    val e1 = intercept[IllegalArgumentException](SparqlText.run(
+      "SELECT ?s WHERE { GRAPH <gA> { ?s wdt:P27 ?o } }", triples, labels))
+    assert(e1.getMessage.contains("quad source"))
+    val e2 = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { GRAPH ?g { ?s <type>* ?o } }", quads, labels))
+    assert(e2.getMessage.contains("constant graph"))
+    val e3 = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { GRAPH <gA> { { SELECT ?s WHERE { ?s <type> ?o } } } }",
+      quads, labels))
+    assert(e3.getMessage.contains("subselect"))
+  }
 }
