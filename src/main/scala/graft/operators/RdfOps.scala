@@ -593,9 +593,32 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** FROM NAMED dataset clause e2e: GRAPH ?g ranges over exactly the two
+    * declared graphs, excluding the customer/supplier graphs whose
+    * subjects also carry `label` triples — the clause, not the pattern,
+    * does the narrowing. Compiles to an isin filter on `g` at the scan. */
+  def q119FromNamed(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?g ?x ?l
+        |FROM NAMED <g:N>
+        |FROM NAMED <g:R>
+        |WHERE { GRAPH ?g { ?x <label> ?l } }""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** FROM dataset clause e2e: the default graph is restricted to the
+    * customer graph, so the `nation` edge pattern excludes the supplier
+    * graph's edges that would otherwise match (§13.2's explicit default
+    * graph — load-bearing here, not decorative). */
+  def q120FromDefault(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT ?s ?n FROM <g:C> WHERE { ?s <nation> ?n }",
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_graph_var"         -> q117GraphVar _,
     "q118_graph_const"       -> q118GraphConst _,
+    "q119_from_named"        -> q119FromNamed _,
+    "q120_from_default"      -> q120FromDefault _,
     "q115_groupby_expr"      -> q115GroupByExpr _,
     "q108_describe"          -> q108Describe _,
     "q109_having_expr"       -> q109HavingExpr _,
@@ -649,6 +672,14 @@ object RdfOps {
          FROM quads a JOIN quads b ON a.s = b.s
          WHERE a.p = 'label' AND a.g = 'g:N'
            AND b.p = 'region' AND b.o = 'R1'""",
+    "q119_from_named" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT g, s AS x, o AS l FROM quads
+         WHERE p = 'label' AND g IN ('g:N', 'g:R')""",
+    "q120_from_default" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT s, o AS n FROM quads
+         WHERE p = 'nation' AND g = 'g:C'""",
     "q115_groupby_expr" ->
       """SELECT CAST(month(o_orderdate) AS DOUBLE) AS m,
                 CAST(COUNT(*) AS BIGINT) AS n

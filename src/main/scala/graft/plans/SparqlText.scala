@@ -217,7 +217,14 @@ object SparqlText {
       having: Seq[EExpr], // boolean expressions over EAgg aggregate calls
       orderBy: Seq[(EExpr, Boolean)], // (key expression, descending)
       limit: Option[Either[Long, String]],
-      offset: Option[Either[Long, String]]) extends Query
+      offset: Option[Either[Long, String]],
+      // `FROM <g>` / `FROM NAMED <g>` dataset clauses (§13.2): when either
+      // is present the dataset is explicitly described — the default graph
+      // is the merge of the FROM graphs (empty if only FROM NAMED appears)
+      // and GRAPH ranges over exactly the FROM NAMED set (empty if only
+      // FROM appears). Both compile to `g` filters on the quad source.
+      fromGraphs: Seq[String] = Nil,
+      fromNamed: Seq[String] = Nil) extends Query
 
   /** `CONSTRUCT { templates } WHERE { … }` — emits one (s, p, o) row per
     * template triple per solution, set-deduplicated (graph semantics). */
@@ -517,6 +524,19 @@ object SparqlText {
           }
         case _ => reading = false
       }
+      val fromGraphs = Vector.newBuilder[String]
+      val fromNamed = Vector.newBuilder[String]
+      while (isKw(peek, "FROM")) {
+        if (!top) fail("dataset clauses (FROM) are only valid at top level")
+        i += 1
+        val named = isKw(peek, "NAMED") && { i += 1; true }
+        val iri = next() match {
+          case TIri(v) => v
+          case TPname(v) => resolvePname(v)
+          case t => fail(s"expected graph IRI after FROM, got $t")
+        }
+        if (named) fromNamed += iri else fromGraphs += iri
+      }
       expectKw("WHERE")
       val where = group()
       var groupBy: Seq[String] = Nil
@@ -584,7 +604,7 @@ object SparqlText {
         else trailing = false
       }
       val q = SelectQ(distinct, proj.result(), where, groupBy, groupByExprs,
-        having, orderBy, limit, offset)
+        having, orderBy, limit, offset, fromGraphs.result(), fromNamed.result())
       if (top && !eof) fail("trailing tokens after query")
       q
     }
@@ -1107,7 +1127,24 @@ object SparqlText {
   private def compileSelect(q: SelectQ, triples: DataFrame, labels: DataFrame,
                             params: Map[String, Long],
                             memo: FunctMemo): DataFrame = {
-    val (bound, svc) = compileGroup(q.where, triples, labels, params, memo)
+    // explicit dataset (§13.2): both clauses become `g` filters, pushed to
+    // the quad scan (and pruning partitions on a g-partitioned table);
+    // per spec, FROM without FROM NAMED leaves GRAPH nothing to range
+    // over, and FROM NAMED without FROM empties the default graph
+    val explicitDs = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    if (explicitDs) require(triples.columns.contains("g"),
+      "FROM/FROM NAMED require a quad source with a `g` column")
+    val defaultSrc =
+      if (!explicitDs) triples
+      else if (q.fromGraphs.nonEmpty) triples.filter(col("g").isin(q.fromGraphs: _*))
+      else triples.filter(lit(false))
+    val namedSrc =
+      if (!explicitDs) None
+      else Some(
+        if (q.fromNamed.nonEmpty) triples.filter(col("g").isin(q.fromNamed: _*))
+        else triples.filter(lit(false)))
+    val (bound, svc) =
+      compileGroup(q.where, defaultSrc, labels, params, memo, None, namedSrc)
     // wikibase:label semantics: every projected ?xLabel with ?x bound gets
     // the first-available-language label, falling back to the id (J7).
     val labeled = svc match {
@@ -1254,7 +1291,8 @@ object SparqlText {
   private def compileGroup(els: Seq[El], triples: DataFrame, labels: DataFrame,
                            params: Map[String, Long],
                            memo: FunctMemo,
-                           graphCtx: Option[Term] = None)
+                           graphCtx: Option[Term] = None,
+                           namedTriples: Option[DataFrame] = None)
       : (DataFrame, Option[Seq[String]]) = {
     // GRAPH context (§13.3): a constant graph adds a `g` filter to every
     // triple scan in scope; a variable graph binds `g` as that variable on
@@ -1355,19 +1393,23 @@ object SparqlText {
         join(broadcast(df))
       case UnionEl(arms) =>
         val dfs = arms.map(a =>
-          compileGroup(a, triples, labels, params, memo, graphCtx)._1)
+          compileGroup(a, triples, labels, params, memo, graphCtx, namedTriples)._1)
         join(dfs.reduce(_ unionByName _))
       case OptEl(g) =>
-        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
+        val right =
+          compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
         acc = Some(SparqlAlgebra.optional(
           acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
       case GraphEl(graph, g) =>
         // inner GRAPH re-scopes (replaces, not intersects, any outer
-        // context — §13.3's active-graph substitution)
-        join(compileGroup(g, triples, labels, params, memo, Some(graph))._1)
+        // context — §13.3's active-graph substitution); with explicit
+        // dataset clauses the scans range over the FROM NAMED set
+        join(compileGroup(g, namedTriples.getOrElse(triples), labels, params,
+          memo, Some(graph), namedTriples)._1)
       case MinusEl(g) =>
         val a = acc.getOrElse(sys.error("MINUS requires a preceding pattern"))
-        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
+        val right =
+          compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
         val shared = a.columns.intersect(right.columns).toSeq
         // no shared variables → every solution is incompatible with every
         // right-side solution → MINUS removes nothing (SPARQL §8.3.3)
@@ -1402,7 +1444,8 @@ object SparqlText {
     els.foreach {
       case FilterExpr(e) => out = out.filter(compileBool(e))
       case ExistsEl(g, negated) =>
-        val right = compileGroup(g, triples, labels, params, memo, graphCtx)._1
+        val right =
+          compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
         val shared = out.columns.intersect(right.columns).toSeq
         if (shared.isEmpty) sys.error(
           "FILTER [NOT] EXISTS must share at least one variable with the outer group")

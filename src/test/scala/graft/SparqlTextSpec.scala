@@ -1137,6 +1137,39 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(r) == Set(Seq("P1", "1900"))) // outer pattern sees all graphs
   }
 
+  test("FROM restricts the default graph; FROM NAMED restricts GRAPH") {
+    val r = SparqlText.run(
+      "SELECT ?s ?n FROM <gA> WHERE { ?s <name> ?n }", quads, labels)
+    assert(rows(r) == Set(Seq("P1", "one"), Seq("P2", "two")))
+    val r2 = SparqlText.run(
+      """SELECT ?g ?s FROM NAMED <gA> WHERE { GRAPH ?g { ?s <type> ?t } }""",
+      quads, labels)
+    assert(rows(r2) == Set(Seq("gA", "P1"))) // gB's type triple out of range
+  }
+
+  test("explicit datasets are strict: FROM-only empties GRAPH, NAMED-only empties default") {
+    // FROM without FROM NAMED → no named graphs → GRAPH matches nothing
+    val g = SparqlText.run(
+      "SELECT ?s FROM <gA> WHERE { GRAPH ?g { ?s <type> ?t } }", quads, labels)
+    assert(g.count() == 0)
+    // FROM NAMED without FROM → empty default graph
+    val d = SparqlText.run(
+      "SELECT ?s FROM NAMED <gA> WHERE { ?s <type> ?t }", quads, labels)
+    assert(d.count() == 0)
+    // no dataset clause → union default + all graphs (unchanged posture)
+    val u = SparqlText.run("SELECT ?s WHERE { ?s <type> ?t }", quads, labels)
+    assert(u.count() == 2)
+  }
+
+  test("dataset clauses are top-level only and need a quad source") {
+    val e1 = intercept[RuntimeException](SparqlText.parse(
+      "SELECT ?s WHERE { { SELECT ?s FROM <gA> WHERE { ?s <type> ?t } } }"))
+    assert(e1.getMessage.contains("top level"))
+    val e2 = intercept[IllegalArgumentException](SparqlText.run(
+      "SELECT ?s FROM <gA> WHERE { ?s wdt:P27 ?o }", triples, labels))
+    assert(e2.getMessage.contains("quad source"))
+  }
+
   test("GRAPH fails loudly without a g column, with paths, with subselects") {
     val e1 = intercept[IllegalArgumentException](SparqlText.run(
       "SELECT ?s WHERE { GRAPH <gA> { ?s wdt:P27 ?o } }", triples, labels))
