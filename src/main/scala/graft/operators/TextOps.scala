@@ -335,7 +335,46 @@ object TextOps {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
+    * table with collection frequency and document frequency, top-20 by cf
+    * with a lexical tiebreak. ONE shuffle on term with map-side partial
+    * aggregation (the countDistinct expands to a two-phase exact
+    * distinct); stopword-grade skew is absorbed by the partial agg, and
+    * the final top-k is a TakeOrdered, not a global sort. */
+  def q121Vocabulary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("term")).limit(20)
+
+  /** Per-document top TF-IDF term (feature extraction): tf = c/|doc|,
+    * idf = ln(N/df), deterministic pick by (rounded score desc, term).
+    * Two aggregations — (doc,term) counts, then term document frequency —
+    * plus a broadcast of the 1-row corpus count and a per-doc window
+    * rank; the (doc,term) agg carries |doc| as a grouping key so no
+    * second join against a doc-length table is needed. Ranking uses the
+    * ROUNDED score so both engines order identical values (ulp-safe). */
+  def q122Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val n = d.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = d.select(col("doc_id"), size(col("toks")).as("n_toks"),
+      explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"), col("n_toks"))
+      .agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("c") / col("n_toks") * log(col("n_docs") / col("df")), 5))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_vocabulary"     -> q121Vocabulary _,
+    "q122_tfidf"          -> q122Tfidf _,
     "q116_decontaminate"  -> q116Decontaminate _,
     "q111_clean_text"     -> q111CleanText _,
     "q112_stratified_sample" -> q112StratifiedSample _,
@@ -381,6 +420,27 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q121_vocabulary" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+         SELECT term, CAST(count(*) AS BIGINT) AS cf,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM t GROUP BY term
+         ORDER BY cf DESC, term LIMIT 20""",
+    "q122_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         terms AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, n_toks, count(*) AS c FROM terms GROUP BY 1, 2, 3),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term,
+           round(tf.c / CAST(tf.n_toks AS DOUBLE)
+                 * ln(n.n_docs / CAST(df.df AS DOUBLE)), 5) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rn FROM scored)
+         SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1""",
     "q116_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          g AS (SELECT doc_id,

@@ -816,7 +816,7 @@ class SparqlTextSpec extends SparkSpec {
         "5", "MINUS", "NOT", "EXISTS", "BOUND", "CONTAINS", "STR", "&&",
         "||", "!", "DESC", "-3.5", "ASK", "DESCRIBE", "VALUES", "UNDEF",
         "IN", "HAVING", "SUM", "COUNT", "REGEX", "SUBSTR", "+", "-",
-        "separator", "=", ",")).map(_.mkString(" ")),
+        "separator", "=", ",", "GRAPH", "FROM", "NAMED")).map(_.mkString(" ")),
       Gen.const("SELECT ?x WHERE { ?x "), // truncated
       Gen.const("SELECT ?x WHERE { { SELECT"),
       Gen.const("CONSTRUCT { ?a <p> ") )
