@@ -372,7 +372,91 @@ object TextOps {
       .select(col("doc_id"), col("term").as("top_term"), col("score"))
   }
 
+  /** Chunk-level duplicate detection (finer-grained than whole-doc dedup,
+    * the boilerplate/template-text signal): split each document into
+    * contiguous full 8-token chunks, count how many DISTINCT documents
+    * each chunk occurs in, and report per-document how much of it is
+    * shared text. Two aggregations over the exploded chunk stream plus
+    * one equi-join on the chunk key — all shuffles are on the chunk hash,
+    * which is near-uniform, so the plan holds at corpus scale (the
+    * reference's whole-doc pass, like most published pipelines, stops at
+    * doc granularity; chunk granularity is what catches shared headers /
+    * license blocks). */
+  def q123ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunksExpr =
+      "IF(size(toks) >= 8, transform(sequence(0, CAST(floor(size(toks)/8) AS INT) - 1), " +
+        "i -> concat_ws(' ', slice(toks, i*8+1, 8))), CAST(array() AS ARRAY<STRING>))"
+    val ch = docs(s, dir)
+      .select(col("doc_id"), explode(expr(chunksExpr)).as("chunk"))
+    val counts = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(counts, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"),
+        round(sum(when(col("ndocs") > 1, 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("dup_ratio"))
+  }
+
+  /** Data-mixture weights: temperature-based source rebalancing (the
+    * multilingual/multi-source sampling scheme — w ∝ n^α with α = 0.5,
+    * i.e. sqrt, chosen because IEEE sqrt is correctly rounded and thus
+    * bit-identical on both engines). Emits per-source sampling
+    * probability and the implied epochs over each source. The per-source
+    * count table is tiny at any corpus size: one map-side-combined
+    * aggregation, then a broadcast of the 1-row total. */
+  def q124MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val tot = n.agg(sum(col("w")).as("tw"), sum(col("n_docs")).as("tn"))
+    n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("w") / col("tw"), 5).as("p_sample"),
+        round(col("w") / col("tw") * col("tn") / col("n_docs"), 4).as("epochs"))
+  }
+
+  /** Provenance-aware dedup: content keys (q33's first-8-token prefix
+    * hash) that appear under MORE THAN ONE source — the cross-crawl
+    * duplicate set every multi-source corpus merge needs before mixing
+    * (within-source dups are deliberate re-crawls; cross-source dups are
+    * the double-counting hazard). Same single-shuffle shape as q33 with
+    * a distinct-source count riding the same aggregation. */
+  def q125CrossSourceDups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("dup_key", md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+      .groupBy(col("dup_key"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_sources") > 1)
+
+  /** Quality-filter funnel telemetry: how many documents survive each
+    * successive gate (length → token count → stopword ratio). ONE pass,
+    * conditional aggregation — the per-stage counts a pipeline operator
+    * reports so a mis-tuned threshold is visible before a 100 TB run is
+    * wasted. All gates are integer-derived (ratio compare is one IEEE
+    * division), so cross-engine bit-exact. */
+  def q126QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long"))
+    val p1 = col("n_chars") >= 150
+    val p2 = p1 && col("n_toks") >= 40
+    val p3 = p2 && col("n_stop") / col("n_toks") <= lit(0.25)
+    d.agg(
+      count(lit(1)).as("total"),
+      sum(p1.cast("long")).as("pass_length"),
+      sum(p2.cast("long")).as("pass_tokens"),
+      sum(p3.cast("long")).as("pass_stopword"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_chunk_dedup"    -> q123ChunkDedup _,
+    "q124_mixture_weights" -> q124MixtureWeights _,
+    "q125_cross_source_dups" -> q125CrossSourceDups _,
+    "q126_quality_funnel" -> q126QualityFunnel _,
     "q121_vocabulary"     -> q121Vocabulary _,
     "q122_tfidf"          -> q122Tfidf _,
     "q116_decontaminate"  -> q116Decontaminate _,
@@ -420,6 +504,50 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q123_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ch AS (SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 8 THEN
+             list_transform(range(0, CAST(floor(len(toks)/8) AS BIGINT)),
+               i -> array_to_string(toks[i*8+1 : i*8+8], ' '))
+             ELSE [] END) AS chunk
+         FROM t),
+         cc AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+         SELECT ch.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN cc.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN cc.ndocs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+         FROM ch JOIN cc USING (chunk)
+         GROUP BY ch.doc_id""",
+    "q124_mixture_weights" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs,
+           sqrt(CAST(count(*) AS DOUBLE)) AS w FROM documents GROUP BY 1),
+         tot AS (SELECT sum(w) AS tw, sum(n_docs) AS tn FROM n)
+         SELECT source, n_docs,
+           round(w / tw, 5) AS p_sample,
+           round(w / tw * tn / n_docs, 4) AS epochs
+         FROM n CROSS JOIN tot""",
+    "q125_cross_source_dups" ->
+      """SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1
+         HAVING count(DISTINCT source) > 1""",
+    "q126_quality_funnel" ->
+      """WITH t AS (SELECT n_chars,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+         FROM documents)
+         SELECT count(*) AS total,
+           CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_length,
+           CAST(sum(CASE WHEN n_chars >= 150 AND n_toks >= 40
+             THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+           CAST(sum(CASE WHEN n_chars >= 150 AND n_toks >= 40
+             AND n_stop / CAST(n_toks AS DOUBLE) <= 0.25
+             THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword
+         FROM t""",
     "q121_vocabulary" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents)

@@ -181,7 +181,27 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** Int8 symmetric quantization report — the vector-compression pass an
+    * ANN index build runs before storing embeddings at corpus scale (4×
+    * smaller than float32; the scale factor and reconstruction error are
+    * what you audit before committing to it). Per vector: max-abs scale,
+    * worst-case reconstruction error, and the saturated-lane count
+    * (|q| = 127). Purely element-wise HOFs plus order-independent
+    * max/count reductions — deliberately NO float summation, so results
+    * are bit-identical across engines and at any parallelism. Linear,
+    * shuffle-free, embarrassingly partitionable. */
+  def q127EmbeddingQuant(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+      .withColumn("max_err", expr(
+        "round(array_max(transform(v, x -> abs(x - round(x / scale) * scale))), 8)"))
+      .withColumn("n_sat", expr(
+        "CAST(size(filter(v, x -> abs(round(x / scale)) >= 127.0D)) AS BIGINT)"))
+      .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+        col("max_err"), col("n_sat"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_embedding_quant" -> q127EmbeddingQuant _,
     "q37_cosine_topk"      -> q37CosineTopK _,
     "q38_lsh_buckets"      -> q38LshBuckets _,
     "q43_nearest_neighbor" -> q43NearestNeighbor _,
@@ -224,6 +244,18 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q127_embedding_quant" ->
+      """WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         s AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v)
+         SELECT vec_id, round(scale, 8) AS scale,
+           round(list_max(list_transform(v,
+             x -> abs(x - round(x / scale) * scale))), 8) AS max_err,
+           CAST(len(list_filter(v,
+             x -> abs(round(x / scale)) >= 127.0)) AS BIGINT) AS n_sat
+         FROM s""",
     "q71_multiprobe_ann" ->
       s"""WITH $assignSql,
          ranked AS (SELECT vec_id, cent_id, ccos,
