@@ -40,24 +40,39 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
   /** MinHash + LSH near-dup candidate pairs: word 3-gram shingles → 8
-    * minhash permutations (perm i = min md5("i:"+shingle)) → 4 bands × 2
-    * rows → pairs sharing any band bucket. */
+    * minhash permutations → 4 bands × 2 rows → pairs sharing any band
+    * bucket.
+    *
+    * The permutation family is Kirsch–Mitzenmacher double hashing
+    * (perm_i = (h1 + i·h2) mod 2^32, h1/h2 = two 32-bit halves of ONE
+    * md5 per shingle) — the standard trick for simulating k independent
+    * hashes from two. The digest loop dominates minhash cost at corpus
+    * scale, so 1 md5 per shingle instead of 8 cuts the signature stage
+    * ~8× with the same banding statistics. */
   def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // The documents table arrives as one small parquet split; the minhash
-    // stage is compute-bound (8 md5 per shingle), so spread it across the
-    // cores first — the repartition shuffle is tiny (raw text) next to the
-    // hashing it parallelizes.
+    // stage is compute-bound (the md5 per shingle), so spread it across
+    // the cores first — the repartition shuffle is tiny (raw text) next
+    // to the hashing it parallelizes.
     val sh = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
       .withColumn("shingles", expr(shingles3))
+      .withColumn("hp", expr(
+        "transform(transform(shingles, s -> md5(s)), h -> named_struct(" +
+          "'a', CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT), " +
+          "'b', CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)))"))
     val sigCols = (0 until 8).map { i =>
-      expr(s"array_min(transform(shingles, s -> md5(concat('$i:', s))))").as(s"h$i")
+      expr(s"array_min(transform(hp, p -> (p.a + $i * p.b) % 4294967296))").as(s"h$i")
     }
     val sig = sh.select((col("doc_id") +: sigCols): _*)
     // One pass over the signature: explode 4 band structs instead of a
     // 4-arm union that would recompute the minhash subtree per arm.
     val bandStructs = (0 until 4).map { b =>
+      // concat (NOT concat_ws): a doc with no shingles has NULL minhashes,
+      // and concat's null-propagation keeps its bkey NULL so the equi-join
+      // drops it — concat_ws would silently bucket all such docs together.
       struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+        md5(concat(col(s"h${2 * b}").cast("string"), lit("_"),
+          col(s"h${2 * b + 1}").cast("string"))).as("bkey"))
     }
     // Persist: both sides of the self-join would otherwise recompute the
     // full shingle→minhash pipeline (5M+ md5 at sf0.1).
@@ -493,15 +508,20 @@ object TextOps {
     s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)").mkString("||")
 
   /** The q34 shingle→minhash→band CTE chain, shared by the q34 oracle and
-    * the q110 component oracle. */
+    * the q110 component oracle (Kirsch–Mitzenmacher permutations — must
+    * stay in lockstep with [[q34MinhashLsh]]). */
   private val minhashCtesSql =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
-       sig AS (SELECT doc_id,
-         ${(0 until 8).map(i => s"list_min(list_transform(shingles, s -> md5('$i:'||s))) AS h$i").mkString(", ")}
+       hp AS (SELECT doc_id, list_transform(list_transform(shingles, s -> md5(s)),
+           h -> {'a': CAST(('0x'||substr(h, 1, 8)) AS BIGINT),
+                 'b': CAST(('0x'||substr(h, 9, 8)) AS BIGINT)}) AS hp
          FROM sh),
+       sig AS (SELECT doc_id,
+         ${(0 until 8).map(i => s"list_min(list_transform(hp, p -> (p.a + $i * p.b) % 4294967296)) AS h$i").mkString(", ")}
+         FROM hp),
        bands AS (
-         ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})"""
+         ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
     "q123_chunk_dedup" ->
@@ -658,13 +678,7 @@ object TextOps {
          min(doc_id) AS keep_id, count(*) AS n_docs
          FROM documents GROUP BY 1""",
     "q34_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
-         sig AS (SELECT doc_id,
-           ${(0 until 8).map(i => s"list_min(list_transform(shingles, s -> md5('$i:'||s))) AS h$i").mkString(", ")}
-           FROM sh),
-         bands AS (
-           ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}||h${2 * b + 1}) AS bkey FROM sig").mkString(" UNION ALL ")})
+      s"""WITH $minhashCtesSql
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",

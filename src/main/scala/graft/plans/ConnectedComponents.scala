@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   * would replace the inner step without changing the driver loop.
   *
   * Scale posture (the Closure playbook):
+  *  - the iteration runs over EDGE-TOUCHED nodes only — isolated nodes
+  *    (the overwhelming majority of a lightly-duplicated corpus) never
+  *    enter the loop and are labeled by one final left join. Per-round
+  *    state is O(|edges|), not O(|corpus|): at 100 TB the fixpoint
+  *    iterates over the near-dup graph, not a billion documents;
   *  - the symmetrized edge table is persisted once and probed per round;
   *  - lineage is cut per round (reliable checkpoint under a configured
   *    checkpoint dir, else localCheckpoint);
-  *  - each round is ONE aggregation shuffle on `node`; the convergence
-  *    check joins two consecutive label tables ALREADY hash-partitioned
-  *    by `node` from their groupBys, so it adds no exchange;
-  *  - labels only ever decrease, so `changed == 0` is an exact fixpoint
-  *    test, not a heuristic.
+  *  - each round is ONE join + ONE aggregation shuffle on `node`, and the
+  *    fixpoint test rides the same action: labels only ever decrease, so
+  *    the label-table SUM (exact, DECIMAL(38)) is strictly monotone and
+  *    "sum unchanged" == "no label changed" — no convergence join at all.
   */
 object ConnectedComponents {
 
@@ -52,24 +56,46 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     try {
-      var lab = ckpt(nodes.select(col("node")).distinct()
+      // Both orientations are present, so src alone covers every touched node.
+      var lab = ckpt(sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("component")))
-      var changed = 1L
+      // Exact fixpoint tests, one action per round either way. Numeric
+      // labels: the label-table SUM (DECIMAL(38), exact) is strictly
+      // monotone because labels only decrease — "sum unchanged" == "no
+      // label changed", no join needed. Other label types: count the
+      // strictly-decreased rows via a join of two tables already
+      // hash-partitioned by node (sum-of-strings would cast to NULL and
+      // declare victory after round one).
+      val numericLabels = sym.schema("src").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+          .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      var prevSum = if (numericLabels) labelSum(lab) else null
       var i = 0
-      while (i < maxIters && changed > 0) {
+      var converged = false
+      while (i < maxIters && !converged) {
         val viaEdges = sym.join(lab, sym("src") === lab("node"))
           .select(sym("dst").as("node"), col("component"))
         val next = ckpt(viaEdges.unionByName(lab.select(col("node"), col("component")))
           .groupBy(col("node")).agg(min(col("component")).as("component")))
-        // one action per round: materializes the checkpoint AND answers
-        // convergence; both sides are partitioned by node already
-        changed = next.join(lab.select(col("node"), col("component").as("__old")),
-            Seq("node"))
-          .filter(col("component") < col("__old")).count()
+        if (numericLabels) {
+          val curSum = labelSum(next)
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
+        } else {
+          converged = next
+            .join(lab.select(col("node"), col("component").as("__old")), Seq("node"))
+            .filter(col("component") < col("__old")).count() == 0L
+        }
         lab = next
         i += 1
       }
-      lab
+      // isolated nodes self-label; the loop never saw them
+      nodes.select(col("node")).distinct()
+        .join(lab, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component"))
     } finally { sym.unpersist(blocking = false) }
   }
 }

@@ -39,6 +39,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(path.values.toSet == Set("n00"))
   }
 
+  test("numeric labels (monotone-sum fixpoint path)") {
+    val got = ConnectedComponents.labels(
+        Seq((3L, 5L), (5L, 9L)).toDF("src", "dst"), (1L to 10L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == 3L && got(5L) == 3L && got(9L) == 3L)
+    assert((1L to 10L).filterNot(Set(3L, 5L, 9L)).forall(n => got(n) == n))
+  }
+
+  test("no edges — every node is its own component") {
+    val got = run(Seq.empty, Seq("a", "b"))
+    assert(got == Map("a" -> "a", "b" -> "b"))
+  }
+
   test("deterministic across re-runs") {
     val edges = Seq(("d", "b"), ("b", "f"), ("g", "e"))
     val nodes = Seq("b", "d", "e", "f", "g", "h")
