@@ -614,7 +614,21 @@ object RdfOps {
       "SELECT ?s ?n FROM <g:C> WHERE { ?s <nation> ?n }",
       TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** SPARQL 1.1 Update e2e: an INSERT DATA (two fresh triples) then a
+    * DELETE WHERE (every `segment` edge) applied as one `;`-sequence to
+    * the triple store, reported as per-predicate counts. Each op is one
+    * (broadcastable) anti-join on (s,p,o) against the small delta — the
+    * update-workload shape at any store size. */
+  def q129SparqlUpdate(sp: SparkSession, dir: String): DataFrame = {
+    val updated = graft.plans.SparqlText.update(
+      """INSERT DATA { <N90> <type> "Place" . <N90> <label> "ATLANTIS" } ;
+        |DELETE WHERE { ?s <segment> ?o }""".stripMargin,
+      TripleStore.triples(sp, dir))
+    updated.groupBy(col("p")).agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_sparql_update"     -> q129SparqlUpdate _,
     "q117_graph_var"         -> q117GraphVar _,
     "q118_graph_const"       -> q118GraphConst _,
     "q119_from_named"        -> q119FromNamed _,
@@ -661,6 +675,12 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q129_sparql_update" ->
+      s"""WITH st AS ($T),
+         upd AS (SELECT * FROM st WHERE p <> 'segment'
+                 UNION ALL SELECT 'N90', 'type', 'Place'
+                 UNION ALL SELECT 'N90', 'label', 'ATLANTIS')
+         SELECT p, CAST(count(*) AS BIGINT) AS n FROM upd GROUP BY p""",
     "q117_graph_var" ->
       s"""WITH quads AS (${TripleStore.quadsSql})
          SELECT a.g, a.s, a.o AS seg

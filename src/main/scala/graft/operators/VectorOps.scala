@@ -200,7 +200,33 @@ object VectorOps {
       .select(col("vec_id"), round(col("scale"), 8).as("scale"),
         col("max_err"), col("n_sat"))
 
+  /** ANN recall@3 — the evaluation harness every approximate index needs
+    * before it replaces the exact scan at corpus scale: for the q60 query
+    * set, join single-probe IVF results against the exact brute-force
+    * top-3 and report per-query hit counts. Exact side runs over the full
+    * corpus but only for the (sampled) query set — the standard recall
+    * protocol; the IVF side is q60's plan unchanged. Recall is a ratio of
+    * two integer counts, so cross-engine bit-exact. */
+  def q128AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = q60IvfAnn(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    exactTop.join(ivf, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+        round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_ann_recall"      -> q128AnnRecall _,
     "q127_embedding_quant" -> q127EmbeddingQuant _,
     "q37_cosine_topk"      -> q37CosineTopK _,
     "q38_lsh_buckets"      -> q38LshBuckets _,
@@ -244,6 +270,43 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q128_ann_recall" ->
+      s"""WITH $assignSql,
+         probes AS (SELECT vec_id AS q_id, cell FROM assigned
+                    WHERE vec_id BETWEEN 100 AND 105),
+         cand AS (SELECT p.q_id, a.vec_id
+                  FROM probes p JOIN assigned a ON p.cell = a.cell
+                  WHERE a.vec_id <> p.q_id),
+         pd AS (SELECT c.q_id, c.vec_id, sum(xq.x * xv.x) AS dot
+                FROM cand c JOIN ex xq ON xq.vec_id = c.q_id
+                            JOIN ex xv ON xv.vec_id = c.vec_id AND xq.i = xv.i
+                GROUP BY 1, 2),
+         pc AS (SELECT pd.q_id, pd.vec_id, round(pd.dot/(nq.n * nv.n), 6) AS cos
+                FROM pd JOIN nrm nq ON pd.q_id = nq.vec_id
+                        JOIN nrm nv ON pd.vec_id = nv.vec_id),
+         ivf AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rank FROM pc)
+                 WHERE rank <= 3),
+         ed AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e ON q.i = e.i
+                  AND q.vec_id BETWEEN 100 AND 105 AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         ec AS (SELECT ed.q_id, ed.vec_id, round(ed.dot/(nq.n * nv.n), 6) AS cos
+                FROM ed JOIN nrm nq ON ed.q_id = nq.vec_id
+                        JOIN nrm nv ON ed.vec_id = nv.vec_id),
+         exact AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id) AS rank FROM ec)
+                   WHERE rank <= 3)
+         SELECT e.q_id, count(*) AS k,
+                CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+                round(count(i.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM exact e LEFT JOIN ivf i
+           ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+         GROUP BY 1""",
     "q127_embedding_quant" ->
       """WITH v AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

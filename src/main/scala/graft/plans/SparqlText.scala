@@ -107,6 +107,13 @@ object SparqlText {
     def star: Boolean = mod == "*"
   }
 
+  /** SPARQL 1.1 Update operations (§3.1): ground-triple inserts/deletes
+    * and pattern-driven deletes. */
+  sealed trait UpdOp
+  final case class InsertData(triples: Seq[(Term, Term, Term)]) extends UpdOp
+  final case class DeleteData(triples: Seq[(Term, Term, Term)]) extends UpdOp
+  final case class DeleteWhere(patterns: Seq[(Term, Term, Term)]) extends UpdOp
+
   sealed trait El
   /** `MINUS { … }`: removes solutions compatible with the group on their
     * SHARED variables; with no shared variables, SPARQL keeps everything
@@ -351,6 +358,81 @@ object SparqlText {
 
   def parse(query: String): Query = new P(tokenize(query)).query()
 
+  def parseUpdate(text: String): Seq[UpdOp] =
+    new P(tokenize(text)).updateRequest()
+
+  /** Parse + apply a SPARQL 1.1 Update request against a (s, p, o) triple
+    * DataFrame, returning the updated store (RDF SET semantics on the
+    * DELTA: inserts add only absent triples, deletes remove every matching
+    * row; pre-existing duplicate rows in the store are never collapsed —
+    * the update touches exactly the triples the request names).
+    *
+    * The reference mutates its stores through rdflib `Graph.add`/`remove`
+    * (get_data_from_apis_instance.py:78-94) and bulk endpoint upserts;
+    * this is the declarative equivalent: each op is one anti-join (or
+    * anti-join + union), all equi-joins on (s, p, o) — broadcastable
+    * whenever the delta is small, which is the update-workload shape.
+    * `DELETE WHERE` evaluates its BGP by joining per-pattern matches on
+    * shared variables, then instantiates each pattern under the bindings
+    * — the deletion set is exact even for join-correlated patterns. */
+  def update(text: String, store: DataFrame): DataFrame =
+    applyUpdate(parseUpdate(text), store)
+
+  def applyUpdate(ops: Seq[UpdOp], store0: DataFrame): DataFrame = {
+    val sp = store0.sparkSession
+    import sp.implicits._
+    def lex(t: Term): String = t match {
+      case C(v) => v
+      case L(v) => v
+      case V(v) => sys.error(s"unbound variable ?$v in ground-triple position")
+    }
+    def constDf(ts: Seq[(Term, Term, Term)]): DataFrame =
+      ts.map { case (s, p, o) => (lex(s), lex(p), lex(o)) }
+        .toDF("s", "p", "o").distinct()
+    /** Rows matching one pattern, projected to its variable bindings;
+      * a repeated variable inside the pattern adds an equality filter. */
+    def matchPattern(store: DataFrame, pat: (Term, Term, Term)): DataFrame = {
+      val positions = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
+      var df = store
+      val seen = scala.collection.mutable.Map.empty[String, String]
+      positions.foreach {
+        case (pos, C(v)) => df = df.filter(col(pos) === v)
+        case (pos, L(v)) => df = df.filter(col(pos) === v)
+        case (pos, V(n)) => seen.get(n) match {
+          case Some(first) => df = df.filter(col(pos) === col(first))
+          case None => seen(n) = pos
+        }
+      }
+      if (seen.isEmpty) df.select() // all-ground: rows carry no bindings
+      else df.select(seen.toSeq.sortBy(_._1)
+        .map { case (n, pos) => col(pos).as(n) }: _*)
+    }
+    def instantiate(bind: DataFrame, pat: (Term, Term, Term)): DataFrame = {
+      def c(pos: String, t: Term): Column = t match {
+        case V(n) => col(n).as(pos)
+        case other => lit(lex(other)).as(pos)
+      }
+      bind.select(c("s", pat._1), c("p", pat._2), c("o", pat._3))
+    }
+    ops.foldLeft(store0.select(col("s"), col("p"), col("o"))) { (store, op) =>
+      op match {
+        case InsertData(ts) =>
+          store.unionByName(
+            constDf(ts).join(store, Seq("s", "p", "o"), "left_anti"))
+        case DeleteData(ts) =>
+          store.join(constDf(ts), Seq("s", "p", "o"), "left_anti")
+        case DeleteWhere(ps) =>
+          val bindings = ps.map(matchPattern(store, _)).reduceLeft { (a, b) =>
+            val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+            if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
+          }
+          val dels = ps.map(instantiate(bindings, _))
+            .reduce(_ unionByName _).distinct()
+          store.join(dels, Seq("s", "p", "o"), "left_anti")
+      }
+    }
+  }
+
   private final class P(toks: Vector[Tok]) {
     private var i = 0
     private def eof = i >= toks.length
@@ -387,8 +469,7 @@ object SparqlText {
       prefixes.get(pfx).map(_ + local).getOrElse(v)
     }
 
-    /** Top entry: prologue then SELECT or CONSTRUCT. */
-    def query(): Query = {
+    private def prologue(): Unit = {
       var go = true
       while (go && !eof) {
         if (isKw(peek, "PREFIX")) {
@@ -408,6 +489,54 @@ object SparqlText {
           prefixes(name) = iri
         } else go = false
       }
+    }
+
+    /** Update request (SPARQL 1.1 Update §3): a `;`-separated sequence of
+      * `INSERT DATA { … }`, `DELETE DATA { … }`, `DELETE WHERE { … }`. */
+    def updateRequest(): Seq[UpdOp] = {
+      prologue()
+      val ops = Vector.newBuilder[UpdOp]
+      var more = true
+      while (more) {
+        if (isKw(peek, "INSERT")) {
+          i += 1; expectKw("DATA")
+          ops += InsertData(tripleBlock(allowVars = false))
+        } else if (isKw(peek, "DELETE")) {
+          i += 1
+          if (isKw(peek, "DATA")) {
+            i += 1; ops += DeleteData(tripleBlock(allowVars = false))
+          } else if (isKw(peek, "WHERE")) {
+            i += 1; ops += DeleteWhere(tripleBlock(allowVars = true))
+          } else fail("expected DATA or WHERE after DELETE")
+        } else fail(s"expected INSERT or DELETE, got $peek")
+        if (peek == TPunct(";")) { i += 1; more = !eof } else more = false
+      }
+      if (!eof) fail(s"trailing tokens after update request: $peek")
+      ops.result()
+    }
+
+    /** `{ s p o . … }` — simple terms only (no paths, no po-lists); DATA
+      * blocks additionally reject variables (§3.1.1: ground triples). */
+    private def tripleBlock(allowVars: Boolean): Seq[(Term, Term, Term)] = {
+      expectPunct("{")
+      val ts = Vector.newBuilder[(Term, Term, Term)]
+      while (peek != TPunct("}")) {
+        val s = term(); val p = term(); val o = term()
+        if (!allowVars)
+          Seq(s, p, o).foreach {
+            case V(v) => fail(s"variable ?$v in a DATA block (ground triples only)")
+            case _ =>
+          }
+        ts += ((s, p, o))
+        if (peek == TPunct(".")) i += 1
+      }
+      i += 1
+      ts.result()
+    }
+
+    /** Top entry: prologue then SELECT or CONSTRUCT. */
+    def query(): Query = {
+      prologue()
       if (isKw(peek, "CONSTRUCT")) constructQuery()
       else if (isKw(peek, "ASK")) {
         i += 1

@@ -1,0 +1,88 @@
+package graft
+
+import graft.plans.SparqlText
+
+/** SPARQL 1.1 Update semantics: ground inserts/deletes, set semantics on
+  * the delta, pattern-driven deletes with join-correlated bindings, `;`
+  * sequencing, and loud failures on malformed requests. */
+class SparqlUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store(rows: (String, String, String)*) =
+    rows.toDF("s", "p", "o")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, String, String)].collect().toSeq.sorted
+
+  test("INSERT DATA adds absent triples only (idempotent on re-run)") {
+    val st = store(("a", "knows", "b"))
+    val once = SparqlText.update(
+      """INSERT DATA { <a> <knows> <b> . <a> <knows> <c> }""", st)
+    assert(rows(once) == Seq(("a", "knows", "b"), ("a", "knows", "c")))
+    val twice = SparqlText.update(
+      """INSERT DATA { <a> <knows> <c> }""", once)
+    assert(rows(twice) == rows(once))
+  }
+
+  test("INSERT DATA never collapses pre-existing duplicate rows") {
+    val st = store(("a", "p", "b"), ("a", "p", "b"))
+    val got = SparqlText.update("""INSERT DATA { <x> <p> <y> }""", st)
+    assert(rows(got) == Seq(("a", "p", "b"), ("a", "p", "b"), ("x", "p", "y")))
+  }
+
+  test("DELETE DATA removes exactly the named triples") {
+    val st = store(("a", "p", "b"), ("a", "p", "c"), ("d", "q", "e"))
+    val got = SparqlText.update("""DELETE DATA { <a> <p> <c> . <z> <z> <z> }""", st)
+    assert(rows(got) == Seq(("a", "p", "b"), ("d", "q", "e")))
+  }
+
+  test("DELETE WHERE with a single pattern and constants") {
+    val st = store(("a", "seg", "x"), ("b", "seg", "y"), ("a", "lab", "A"))
+    val got = SparqlText.update("""DELETE WHERE { ?s <seg> ?o }""", st)
+    assert(rows(got) == Seq(("a", "lab", "A")))
+  }
+
+  test("DELETE WHERE instantiates join-correlated patterns exactly") {
+    // delete each person's label ONLY when they live in n1 — the label
+    // pattern alone matches b too, the join must restrict it
+    val st = store(
+      ("a", "nation", "n1"), ("b", "nation", "n2"),
+      ("a", "label", "A"), ("b", "label", "B"))
+    val got = SparqlText.update(
+      """DELETE WHERE { ?s <nation> <n1> . ?s <label> ?l }""", st)
+    assert(rows(got) == Seq(("b", "label", "B"), ("b", "nation", "n2")))
+  }
+
+  test("repeated variable in one pattern means equality") {
+    val st = store(("a", "p", "a"), ("a", "p", "b"))
+    val got = SparqlText.update("""DELETE WHERE { ?x <p> ?x }""", st)
+    assert(rows(got) == Seq(("a", "p", "b")))
+  }
+
+  test("';' sequences apply left to right") {
+    val st = store(("a", "p", "b"))
+    val got = SparqlText.update(
+      """INSERT DATA { <c> <p> <d> } ;
+        |DELETE WHERE { ?s <p> <b> } ;
+        |INSERT DATA { <e> <p> <f> }""".stripMargin, st)
+    assert(rows(got) == Seq(("c", "p", "d"), ("e", "p", "f")))
+  }
+
+  test("PREFIX declarations resolve inside update blocks") {
+    val st = store(("http://x/a", "http://x/p", "b"))
+    val got = SparqlText.update(
+      """PREFIX x: <http://x/>
+        |DELETE WHERE { ?s x:p ?o }""".stripMargin, st)
+    assert(rows(got).isEmpty)
+  }
+
+  test("malformed requests fail loudly") {
+    val st = store(("a", "p", "b"))
+    assertThrows[RuntimeException](
+      SparqlText.update("INSERT DATA { ?v <p> <o> }", st)) // var in DATA
+    assertThrows[RuntimeException](
+      SparqlText.update("DELETE { <a> <p> <b> }", st)) // bare DELETE
+    assertThrows[RuntimeException](
+      SparqlText.update("INSERT DATA { <a> <p> }", st)) // truncated triple
+  }
+}
