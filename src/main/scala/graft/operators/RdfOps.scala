@@ -627,7 +627,21 @@ object RdfOps {
     updated.groupBy(col("p")).agg(count(lit(1)).as("n"))
   }
 
+  /** SPARQL Update §3.1.3 modify forms e2e: an INSERT WHERE materializing
+    * a join-derived edge (the R1-style rule as an UPDATE, not a view),
+    * then a DELETE/INSERT WHERE predicate rename — both templates
+    * instantiate under pre-state bindings. */
+  def q131SparqlModify(sp: SparkSession, dir: String): DataFrame = {
+    val updated = graft.plans.SparqlText.update(
+      """INSERT { ?s <in_region> ?r } WHERE { ?s <nation> ?n . ?n <region> ?r } ;
+        |DELETE { ?s <segment> ?o } INSERT { ?s <mktsegment> ?o }
+        |WHERE { ?s <segment> ?o }""".stripMargin,
+      TripleStore.triples(sp, dir))
+    updated.groupBy(col("p")).agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_sparql_modify"     -> q131SparqlModify _,
     "q129_sparql_update"     -> q129SparqlUpdate _,
     "q117_graph_var"         -> q117GraphVar _,
     "q118_graph_const"       -> q118GraphConst _,
@@ -675,6 +689,15 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q131_sparql_modify" ->
+      s"""WITH st AS ($T),
+         inr AS (SELECT DISTINCT a.s AS s, 'in_region' AS p, b.o AS o
+                 FROM st a JOIN st b
+                   ON a.p = 'nation' AND b.p = 'region' AND a.o = b.s),
+         st2 AS (SELECT * FROM st UNION ALL SELECT * FROM inr),
+         st3 AS (SELECT s, CASE WHEN p = 'segment' THEN 'mktsegment' ELSE p END AS p, o
+                 FROM st2)
+         SELECT p, CAST(count(*) AS BIGINT) AS n FROM st3 GROUP BY p""",
     "q129_sparql_update" ->
       s"""WITH st AS ($T),
          upd AS (SELECT * FROM st WHERE p <> 'segment'

@@ -467,7 +467,24 @@ object TextOps {
       sum(p3.cast("long")).as("pass_stopword"))
   }
 
+  /** One BPE merge step — the inner loop of tokenizer training, run as a
+    * corpus aggregation: count every adjacent character pair inside every
+    * token occurrence and emit the top-5 merge candidates (count desc,
+    * lexical tiebreak). ONE shuffle on the pair key with map-side partial
+    * aggregation absorbing the Zipf head; the final top-k is a
+    * TakeOrdered. The full training loop is this step re-run against the
+    * re-segmented corpus — each iteration stays this same flat plan. */
+  def q130BpeStep(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok)-1), i -> substr(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_bpe_step"       -> q130BpeStep _,
     "q123_chunk_dedup"    -> q123ChunkDedup _,
     "q124_mixture_weights" -> q124MixtureWeights _,
     "q125_cross_source_dups" -> q125CrossSourceDups _,
@@ -524,6 +541,13 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q130_bpe_step" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, length(tok)),
+                 i -> substr(tok, i, 2))) AS pair
+               FROM tk WHERE length(tok) >= 2)
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 5""",
     "q123_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          ch AS (SELECT doc_id,

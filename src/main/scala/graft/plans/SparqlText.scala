@@ -113,6 +113,12 @@ object SparqlText {
   final case class InsertData(triples: Seq[(Term, Term, Term)]) extends UpdOp
   final case class DeleteData(triples: Seq[(Term, Term, Term)]) extends UpdOp
   final case class DeleteWhere(patterns: Seq[(Term, Term, Term)]) extends UpdOp
+  /** §3.1.3 modify form: `[DELETE { t }] [INSERT { t }] WHERE { p }` —
+    * templates instantiate under the WHERE bindings; deletes apply before
+    * inserts against the same pre-state bindings (§3.1.3's semantics). */
+  final case class Modify(deletes: Seq[(Term, Term, Term)],
+                          inserts: Seq[(Term, Term, Term)],
+                          where: Seq[(Term, Term, Term)]) extends UpdOp
 
   sealed trait El
   /** `MINUS { … }`: removes solutions compatible with the group on their
@@ -414,6 +420,13 @@ object SparqlText {
       }
       bind.select(c("s", pat._1), c("p", pat._2), c("o", pat._3))
     }
+    def bindings(store: DataFrame, ps: Seq[(Term, Term, Term)]): DataFrame =
+      ps.map(matchPattern(store, _)).reduceLeft { (a, b) =>
+        val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+        if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
+      }
+    def templateVars(ts: Seq[(Term, Term, Term)]): Set[String] =
+      ts.flatMap(t => Seq(t._1, t._2, t._3)).collect { case V(n) => n }.toSet
     ops.foldLeft(store0.select(col("s"), col("p"), col("o"))) { (store, op) =>
       op match {
         case InsertData(ts) =>
@@ -422,13 +435,31 @@ object SparqlText {
         case DeleteData(ts) =>
           store.join(constDf(ts), Seq("s", "p", "o"), "left_anti")
         case DeleteWhere(ps) =>
-          val bindings = ps.map(matchPattern(store, _)).reduceLeft { (a, b) =>
-            val shared = a.columns.toSeq.intersect(b.columns.toSeq)
-            if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
-          }
-          val dels = ps.map(instantiate(bindings, _))
+          val b = bindings(store, ps)
+          val dels = ps.map(instantiate(b, _))
             .reduce(_ unionByName _).distinct()
           store.join(dels, Seq("s", "p", "o"), "left_anti")
+        case Modify(dts, its, ps) =>
+          val whereVars = templateVars(ps)
+          val unbound = templateVars(dts) ++ templateVars(its) -- whereVars
+          if (unbound.nonEmpty)
+            sys.error("template variables not bound by WHERE: " +
+              unbound.toSeq.sorted.map("?" + _).mkString(", "))
+          // both templates instantiate under the PRE-state bindings
+          // (§3.1.3); deletes land before inserts
+          val b = bindings(store, ps)
+          def inst(ts: Seq[(Term, Term, Term)]): Option[DataFrame] =
+            if (ts.isEmpty) None
+            else Some(ts.map(instantiate(b, _)).reduce(_ unionByName _).distinct())
+          val afterDel = inst(dts) match {
+            case Some(d) => store.join(d, Seq("s", "p", "o"), "left_anti")
+            case None => store
+          }
+          inst(its) match {
+            case Some(ins) => afterDel.unionByName(
+              ins.join(afterDel, Seq("s", "p", "o"), "left_anti"))
+            case None => afterDel
+          }
       }
     }
   }
@@ -499,15 +530,30 @@ object SparqlText {
       var more = true
       while (more) {
         if (isKw(peek, "INSERT")) {
-          i += 1; expectKw("DATA")
-          ops += InsertData(tripleBlock(allowVars = false))
+          i += 1
+          if (isKw(peek, "DATA")) {
+            i += 1; ops += InsertData(tripleBlock(allowVars = false))
+          } else {
+            // INSERT { t } WHERE { p }
+            val ins = tripleBlock(allowVars = true)
+            expectKw("WHERE")
+            ops += Modify(Nil, ins, tripleBlock(allowVars = true))
+          }
         } else if (isKw(peek, "DELETE")) {
           i += 1
           if (isKw(peek, "DATA")) {
             i += 1; ops += DeleteData(tripleBlock(allowVars = false))
           } else if (isKw(peek, "WHERE")) {
             i += 1; ops += DeleteWhere(tripleBlock(allowVars = true))
-          } else fail("expected DATA or WHERE after DELETE")
+          } else if (peek == TPunct("{")) {
+            // DELETE { t } [INSERT { t }] WHERE { p }
+            val dels = tripleBlock(allowVars = true)
+            val ins =
+              if (isKw(peek, "INSERT")) { i += 1; tripleBlock(allowVars = true) }
+              else Nil
+            expectKw("WHERE")
+            ops += Modify(dels, ins, tripleBlock(allowVars = true))
+          } else fail("expected DATA, WHERE, or a template block after DELETE")
         } else fail(s"expected INSERT or DELETE, got $peek")
         if (peek == TPunct(";")) { i += 1; more = !eof } else more = false
       }

@@ -76,6 +76,36 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(rows(got).isEmpty)
   }
 
+  test("DELETE/INSERT WHERE renames a predicate under pre-state bindings") {
+    val st = store(("a", "seg", "x"), ("b", "seg", "y"), ("a", "lab", "A"))
+    val got = SparqlText.update(
+      """DELETE { ?s <seg> ?o } INSERT { ?s <mkt> ?o } WHERE { ?s <seg> ?o }""", st)
+    assert(rows(got) == Seq(("a", "lab", "A"), ("a", "mkt", "x"), ("b", "mkt", "y")))
+  }
+
+  test("INSERT WHERE materializes a join-derived edge") {
+    val st = store(
+      ("c1", "nation", "n1"), ("n1", "region", "r1"), ("c2", "nation", "n9"))
+    val got = SparqlText.update(
+      """INSERT { ?s <in_region> ?r } WHERE { ?s <nation> ?n . ?n <region> ?r }""",
+      st)
+    assert(rows(got).contains(("c1", "in_region", "r1")))
+    assert(!rows(got).exists(t => t._1 == "c2" && t._2 == "in_region"))
+  }
+
+  test("INSERT WHERE never duplicates an existing triple") {
+    val st = store(("a", "p", "b"), ("a", "q", "b"))
+    val got = SparqlText.update(
+      """INSERT { ?s <q> ?o } WHERE { ?s <p> ?o }""", st)
+    assert(rows(got) == Seq(("a", "p", "b"), ("a", "q", "b")))
+  }
+
+  test("template variables unbound by WHERE fail loudly") {
+    val st = store(("a", "p", "b"))
+    assertThrows[RuntimeException](SparqlText.update(
+      "DELETE { ?s <p> ?missing } WHERE { ?s <p> ?o }", st))
+  }
+
   test("malformed requests fail loudly") {
     val st = store(("a", "p", "b"))
     assertThrows[RuntimeException](
