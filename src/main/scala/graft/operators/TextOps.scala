@@ -483,7 +483,25 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(5)
 
+  /** The end of the dedup funnel: turn q110's canonical labels into the
+    * KEEP/DROP decision (keep = doc is its component's canonical) and
+    * report the per-source outcome — the number a corpus owner actually
+    * signs off on before the drop is executed. One broadcastable join of
+    * the label table against the documents' (doc_id, source) projection
+    * plus a 10-row conditional aggregation; at full scale the decision
+    * column rides the same join that would write the deduped corpus. */
+  def q132DedupDecision(s: SparkSession, dir: String): DataFrame = {
+    val canon = q110DedupClusters(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(canon, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L)).as("dropped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_dedup_decision" -> q132DedupDecision _,
     "q130_bpe_step"       -> q130BpeStep _,
     "q123_chunk_dedup"    -> q123ChunkDedup _,
     "q124_mixture_weights" -> q124MixtureWeights _,
@@ -541,6 +559,27 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q132_dedup_decision" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         canon AS (SELECT node, CAST(min(m) AS BIGINT) AS canonical_id
+                   FROM reach GROUP BY node)
+         SELECT d.source,
+           CAST(sum(CASE WHEN c.canonical_id = d.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN c.canonical_id <> d.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS dropped
+         FROM documents d JOIN canon c ON c.node = d.doc_id
+         GROUP BY 1""",
     "q130_bpe_step" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          p AS (SELECT unnest(list_transform(range(1, length(tok)),
