@@ -296,7 +296,11 @@ object TextOps {
     * window partitions by bucket — every window here is either
     * bucket-partitioned (parallel) or over one row per bucket. No global
     * single-partition window (the q11 scale-killer this replaces). */
-  def q113SequencePacking(s: SparkSession, dir: String): DataFrame = {
+  def q113SequencePacking(s: SparkSession, dir: String): DataFrame =
+    packed(s, dir).select(col("doc_id"), col("pack_id"))
+
+  /** (doc_id, n_toks, pack_id) via the distributed prefix sum. */
+  private def packed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 512L
     // bucket width is a pure tuning knob — the prefix sum is exact at any
@@ -313,9 +317,23 @@ object TextOps {
       .select(col("bucket"), col("offset"))
     d.join(broadcast(offsets), "bucket")
       .withColumn("cum", col("offset") + sum(col("n_toks")).over(inBucket))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_toks"),
         ((col("cum") - col("n_toks")) / budget).cast("long").as("pack_id"))
   }
+
+  /** Packing-efficiency report over q113's assignment: per-pack token
+    * fill vs the 512 budget, aggregated to the one-row summary a training
+    * job reads before accepting the layout. Fill ratios divide by a power
+    * of two, so every per-pack fill is EXACT in binary floating point and
+    * the averages are order-independent — bit-identical cross-engine with
+    * no rounding traps. */
+  def q133PackingEfficiency(s: SparkSession, dir: String): DataFrame =
+    packed(s, dir)
+      .groupBy(col("pack_id")).agg(sum(col("n_toks")).as("toks"))
+      .agg(count(lit(1)).as("n_packs"),
+        round(avg(col("toks") / 512.0), 4).as("avg_fill"),
+        round(min(col("toks") / 512.0), 4).as("min_fill"),
+        round(max(col("toks") / 512.0), 4).as("max_fill"))
 
   /** Within-document repetition score (a standard quality signal): the
     * most frequent bigram's share of all bigram occurrences. Integer-
@@ -501,6 +519,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_packing_efficiency" -> q133PackingEfficiency _,
     "q132_dedup_decision" -> q132DedupDecision _,
     "q130_bpe_step"       -> q130BpeStep _,
     "q123_chunk_dedup"    -> q123ChunkDedup _,
@@ -559,6 +578,19 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q133_packing_efficiency" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+         c AS (SELECT doc_id, n_toks,
+           sum(n_toks) OVER (ORDER BY doc_id) AS cum FROM d),
+         pk AS (SELECT CAST(floor((cum - n_toks) / 512.0) AS BIGINT) AS pack_id,
+                       n_toks FROM c),
+         pt AS (SELECT pack_id, sum(n_toks) AS toks FROM pk GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_packs,
+           round(avg(toks / 512.0), 4) AS avg_fill,
+           round(min(toks / 512.0), 4) AS min_fill,
+           round(max(toks / 512.0), 4) AS max_fill
+         FROM pt""",
     "q132_dedup_decision" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pairs AS (

@@ -385,6 +385,13 @@ object SparqlText {
     applyUpdate(parseUpdate(text), store)
 
   def applyUpdate(ops: Seq[UpdOp], store0: DataFrame): DataFrame = {
+    // A quad store would silently lose its g column through the (s,p,o)
+    // projection below — and a graph-scoped update needs GRAPH syntax this
+    // front-end does not implement. Refuse loudly instead of corrupting.
+    if (store0.columns.sorted.toSeq != Seq("o", "p", "s"))
+      sys.error("update() expects a triple store with exactly (s, p, o) " +
+        s"columns, got (${store0.columns.mkString(", ")}); project quads " +
+        "to a single graph first")
     val sp = store0.sparkSession
     import sp.implicits._
     def lex(t: Term): String = t match {

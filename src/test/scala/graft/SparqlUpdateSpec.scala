@@ -106,6 +106,13 @@ class SparqlUpdateSpec extends SparkSpec {
       "DELETE { ?s <p> ?missing } WHERE { ?s <p> ?o }", st))
   }
 
+  test("a quad store is refused, not silently projected") {
+    val quads = Seq(("a", "p", "b", "g1")).toDF("s", "p", "o", "g")
+    val e = intercept[RuntimeException](
+      SparqlText.update("INSERT DATA { <x> <p> <y> }", quads))
+    assert(e.getMessage.contains("(s, p, o)"))
+  }
+
   test("malformed requests fail loudly") {
     val st = store(("a", "p", "b"))
     assertThrows[RuntimeException](
