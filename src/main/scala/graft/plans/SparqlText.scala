@@ -434,8 +434,15 @@ object SparqlText {
       }
     def templateVars(ts: Seq[(Term, Term, Term)]): Set[String] =
       ts.flatMap(t => Seq(t._1, t._2, t._3)).collect { case V(n) => n }.toSet
-    ops.foldLeft(store0.select(col("s"), col("p"), col("o"))) { (store, op) =>
-      op match {
+    // Each op references its input store several times (per-pattern
+    // matches + the anti-join probe side), so a lazily-chained sequence
+    // would recompute op N's whole plan ~5× inside op N+1. Materialize
+    // between sequenced ops (a `;`-sequence is semantically a sequence of
+    // store states); the FINAL op's result stays lazy for the caller.
+    ops.zipWithIndex.foldLeft(store0.select(col("s"), col("p"), col("o"))) {
+      case (store0r, (op, idx)) =>
+        val store = store0r
+        val out = op match {
         case InsertData(ts) =>
           store.unionByName(
             constDf(ts).join(store, Seq("s", "p", "o"), "left_anti"))
@@ -468,6 +475,7 @@ object SparqlText {
             case None => afterDel
           }
       }
+        if (idx < ops.length - 1) out.localCheckpoint() else out
     }
   }
 
