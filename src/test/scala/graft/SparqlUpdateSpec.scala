@@ -113,6 +113,25 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(e.getMessage.contains("(s, p, o)"))
   }
 
+  test("fuzz: arbitrary garbage either parses or raises — never hangs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.listOfN(12, Gen.oneOf("INSERT", "DELETE", "DATA", "WHERE", "{",
+        "}", "?x", "<a>", "\"lit\"", "a:b", ".", ";", "PREFIX", ":",
+        "MODIFY", "GRAPH", "(", ")")).map(_.mkString(" ")),
+      Gen.const("INSERT DATA { <a> <p> "), // truncated
+      Gen.const("DELETE { ?s <p> ?o } INSERT {"),
+      Gen.const("DELETE WHERE { ?s"))
+    (0 until 60).foreach { i =>
+      junk.apply(Gen.Parameters.default, Seed(7L + i)).foreach { q =>
+        try { SparqlText.parseUpdate(q); () }
+        catch { case _: RuntimeException => () } // loud, typed failure
+      }
+    }
+  }
+
   test("malformed requests fail loudly") {
     val st = store(("a", "p", "b"))
     assertThrows[RuntimeException](
