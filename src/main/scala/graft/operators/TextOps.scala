@@ -518,7 +518,26 @@ object TextOps {
         sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L)).as("dropped"))
   }
 
+  /** Per-stratum cap: keep at most 20 documents per (source, lang),
+    * chosen deterministically by content-independent hash order (md5 of
+    * doc_id, doc_id tiebreak) — the "no domain exceeds N" downsampler a
+    * mixture spec compiles to. The rank window partitions by stratum, so
+    * parallelism follows the stratum count and no global sort exists;
+    * re-runs, retries, and late files all pick the identical sample
+    * (rand() would not). Reports survivors per stratum. */
+  def q134StratumCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_stratum_cap"    -> q134StratumCap _,
     "q133_packing_efficiency" -> q133PackingEfficiency _,
     "q132_dedup_decision" -> q132DedupDecision _,
     "q130_bpe_step"       -> q130BpeStep _,
@@ -578,6 +597,14 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q134_stratum_cap" ->
+      """WITH r AS (SELECT source, lang, doc_id,
+           row_number() OVER (PARTITION BY source, lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept,
+                min(doc_id) AS first_kept
+         FROM r WHERE rn <= 20 GROUP BY 1, 2""",
     "q133_packing_efficiency" ->
       """WITH d AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
