@@ -33,9 +33,10 @@ object Bench {
       // Cache hygiene between queries: a query that persists intermediates
       // must not bleed memory pressure into the next query's timing.
       spark.catalog.clearCache()
-      // Clamp failures away from zero so a sub-millisecond failure can't
-      // round to -0.000 (which JSON-parses equal to 0.0).
-      name -> (if (ok) sec else -math.max(sec, 0.001))
+      // Clamp failures away from zero, matching the 2-decimal per-query
+      // format: a fast failure must never round to -0.00 (which
+      // JSON-parses equal to 0.0).
+      name -> (if (ok) sec else -math.max(sec, 0.01))
     }
     // Two passes, per-query minimum: machine noise on a shared box swings
     // single-run totals by >50%, and the first pass carries each query
@@ -43,20 +44,24 @@ object Bench {
     // warmed cluster would see; a failure in either pass stays negative.
     val results = runAll().zip(runAll()).map { case ((name, a), (_, b)) =>
       val m = math.min(math.abs(a), math.abs(b))
-      name -> (if (a >= 0 && b >= 0) m else -math.max(m, 0.001))
+      name -> (if (a >= 0 && b >= 0) m else -math.max(m, 0.01))
     }
     // The driver captures only the last ~2000 chars of output, so the JSON
     // line must stay short: shorten "q36_ngram_jaccard" to its unique "q36"
-    // prefix (full name kept on prefix collision) and round to milliseconds.
+    // prefix (full name kept on prefix collision); per-query values round
+    // to centiseconds (134+ queries × ~14 chars must stay under the
+    // window), the total keeps milliseconds.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmtQ(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val collisions = prefix.values.groupBy(identity).collect {
       case (p, g) if g.size > 1 => p
     }.toSet
     val qs = results.map { case (k, v) =>
       val key = if (collisions(prefix(k))) k else prefix(k)
-      "\"" + key + "\":" + fmt(v)
+      "\"" + key + "\":" + fmtQ(v)
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
