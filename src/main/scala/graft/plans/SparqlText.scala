@@ -479,7 +479,8 @@ object SparqlText {
     }
   }
 
-  private final class P(toks: Vector[Tok]) {
+  private final class P(toks0: Vector[Tok]) {
+    private var toks = toks0
     private var i = 0
     private def eof = i >= toks.length
     private def peek: Tok = if (eof) TPunct("<EOF>") else toks(i)
@@ -515,6 +516,13 @@ object SparqlText {
       prefixes.get(pfx).map(_ + local).getOrElse(v)
     }
 
+    /** RFC-3986 scheme check; relative IRIs resolve against BASE. */
+    private val AbsIri = "^[A-Za-z][A-Za-z0-9+.-]*:.*".r
+    private var base = ""
+    private def resolveIri(v: String): String =
+      if (base.isEmpty || AbsIri.matches(v)) v
+      else graft.sources.TurtleParser.resolveRef(base, v)
+
     private def prologue(): Unit = {
       var go = true
       while (go && !eof) {
@@ -529,12 +537,27 @@ object SparqlText {
           // the ':' may have been folded into the pname token or stand alone
           if (peek == TPunct(":")) i += 1
           val iri = next() match {
-            case TIri(v) => v
+            case TIri(v) => resolveIri(v) // prefix IRIs resolve against BASE
             case t => fail(s"expected prefix IRI, got $t")
           }
           prefixes(name) = iri
+        } else if (isKw(peek, "BASE")) {
+          i += 1
+          base = next() match {
+            case TIri(v) => resolveIri(v) // later BASEs resolve against earlier
+            case t => fail(s"expected base IRI, got $t")
+          }
         } else go = false
       }
+      // With a BASE in force, resolve every remaining IRI token once at the
+      // single choke point the grammar shares — term positions, paths,
+      // VALUES, graph names, FROM clauses, and update blocks all consume
+      // TIri tokens downstream of here.
+      if (base.nonEmpty)
+        toks = toks.zipWithIndex.map {
+          case (TIri(v), idx) if idx >= i => TIri(resolveIri(v))
+          case (t, _) => t
+        }
     }
 
     /** Update request (SPARQL 1.1 Update §3): a `;`-separated sequence of

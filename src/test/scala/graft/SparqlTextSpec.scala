@@ -805,6 +805,25 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("binds ?d"))
   }
 
+  test("BASE: relative IRIs resolve per RFC 3986 in every term position") {
+    val abs = Seq(
+      ("http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", Option.empty[String]),
+      ("http://ex.org/s2", "http://ex.org/q", "http://ex.org/o2", None)
+    ).toDF("s", "p", "o", "oLang")
+    val q =
+      """BASE <http://ex.org/dir/>
+        |SELECT ?s WHERE { ?s <../p> ?o . VALUES ?o { <../o1> } }""".stripMargin
+    assert(rows(SparqlText.run(q, abs, labels)).map(_.head) ==
+      Set("http://ex.org/s1"))
+    // PREFIX IRIs themselves resolve against an earlier BASE
+    val q2 =
+      """BASE <http://ex.org/>
+        |PREFIX e: <./>
+        |SELECT ?s WHERE { ?s e:q ?o }""".stripMargin
+    assert(rows(SparqlText.run(q2, abs, labels)).map(_.head) ==
+      Set("http://ex.org/s2"))
+  }
+
   test("fuzz: arbitrary garbage either parses or raises — never hangs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -113,6 +113,14 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(e.getMessage.contains("(s, p, o)"))
   }
 
+  test("BASE resolves relative IRIs inside update blocks") {
+    val st = store(("http://x/a", "http://x/p", "http://x/b"))
+    val got = SparqlText.update(
+      """BASE <http://x/>
+        |DELETE WHERE { ?s <p> ?o }""".stripMargin, st)
+    assert(rows(got).isEmpty)
+  }
+
   test("fuzz: arbitrary garbage either parses or raises — never hangs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
