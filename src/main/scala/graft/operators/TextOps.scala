@@ -536,7 +536,20 @@ object TextOps {
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
   }
 
+  /** Candidate-graph degree histogram — the diagnostic read BEFORE
+    * running component clustering: how many docs have 1, 2, … LSH
+    * candidate partners. A heavy tail here means a degenerate band (all
+    * boilerplate in one bucket) and a component blowup ahead; the
+    * histogram is two tiny aggregations over the pair list, so the check
+    * costs nothing next to the clustering it guards. */
+  def q135DegreeHistogram(s: SparkSession, dir: String): DataFrame =
+    q34MinhashLsh(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_degree_histogram" -> q135DegreeHistogram _,
     "q134_stratum_cap"    -> q134StratumCap _,
     "q133_packing_efficiency" -> q133PackingEfficiency _,
     "q132_dedup_decision" -> q132DedupDecision _,
@@ -597,6 +610,18 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q135_degree_histogram" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         deg AS (SELECT doc_id, count(*) AS degree FROM (
+                   SELECT doc_a AS doc_id FROM pairs
+                   UNION ALL SELECT doc_b FROM pairs)
+                 GROUP BY 1)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         FROM deg GROUP BY 1""",
     "q134_stratum_cap" ->
       """WITH r AS (SELECT source, lang, doc_id,
            row_number() OVER (PARTITION BY source, lang

@@ -1286,6 +1286,11 @@ object SparqlText {
   private type FunctMemo =
     scala.collection.mutable.Map[(Seq[(String, Boolean)], Boolean), Boolean]
 
+  /** Cross-query isFunctional results (see compilePath): plan-hash keyed,
+    * one Boolean per (source, step) — bounded by a clear at 1024. */
+  private val functCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Seq[(String, Boolean)], Boolean), java.lang.Boolean]()
+
   /** Parse + compile in one step. */
   def run(query: String, triples: DataFrame, labels: DataFrame,
           params: Map[String, Long] = Map.empty): DataFrame =
@@ -1920,10 +1925,27 @@ object SparqlText {
     // The front-end cannot PROMISE an arbitrary predicate's edge relation
     // is a forest, but it can verify with a one-job probe — unlocking the
     // closure's two-hop no-anti-join fast path for containment-shaped
-    // data (one aggregate now vs one anti-join shuffle per round).
+    // data (one aggregate now vs one anti-join shuffle per round). The
+    // per-compile memo dedups within one query; the session-level cache
+    // (keyed by the SEMANTIC hash of the triple source's analyzed plan)
+    // dedups across queries — the same predicate over the same source
+    // never pays the probe twice in a session. A stale entry (data
+    // rewritten under an identical plan mid-session) can only cost
+    // performance, never correctness: the functional path's cycle guard
+    // and terminal distinct keep non-forest inputs exact.
+    val srcHash = triples.queryExecution.analyzed.semanticHash()
     def funct(st: PStep): Boolean =
-      memo.getOrElseUpdate((st.alts, st.negated),
-        Closure.isFunctional(edgesOfStep(st)))
+      memo.getOrElseUpdate((st.alts, st.negated), {
+        val key = (srcHash, st.alts, st.negated)
+        val cached = functCache.get(key)
+        if (cached != null) cached.booleanValue()
+        else {
+          val r = Closure.isFunctional(edgesOfStep(st))
+          if (functCache.size > 1024) functCache.clear() // bounded
+          functCache.put(key, r)
+          r
+        }
+      })
     def constOf(t: Term): Option[String] = t match {
       case C(v) => Some(v)
       case L(v) => Some(v)
