@@ -179,7 +179,10 @@ object SparqlText {
   /** Multi-variable `VALUES (?a ?b) { ("x" "y") … }` — an inline table
     * inner-joined on its variables (UNDEF is unsupported and fails loudly:
     * compatibility-wildcard rows would poison the equi-join fast path). */
-  final case class ValuesTabEl(vars: Seq[String], rows: Seq[Seq[String]]) extends El
+  /** Multi-variable inline table; None = UNDEF (that row leaves the
+    * variable unconstrained — §10.2.2). */
+  final case class ValuesTabEl(vars: Seq[String],
+                               rows: Seq[Seq[Option[String]]]) extends El
   final case class BindExpr(out: String, e: EExpr) extends El
 
   /** `BIND(URI(CONCAT("prefix", STRUUID())) AS ?v)` — the provided-entity
@@ -1069,11 +1072,11 @@ object SparqlText {
         val vs = vars.result()
         if (vs.isEmpty) fail("VALUES needs at least one variable")
         expectPunct("{")
-        val rows = Vector.newBuilder[Seq[String]]
+        val rows = Vector.newBuilder[Seq[Option[String]]]
         while (peek != TPunct("}")) {
           expectPunct("(")
-          val row = Vector.newBuilder[String]
-          while (peek != TPunct(")")) row += valuesConst()
+          val row = Vector.newBuilder[Option[String]]
+          while (peek != TPunct(")")) row += valuesConstOpt()
           i += 1
           val r = row.result()
           if (r.length != vs.length)
@@ -1097,16 +1100,25 @@ object SparqlText {
     /** One constant VALUES entry; resolvePname keeps entries in the same
       * symbol space as pattern terms — with a declared PREFIX the patterns
       * bind full IRIs, so a raw pname here would silently match nothing.
-      * UNDEF is rejected loudly (see [[ValuesTabEl]]). */
+      * UNDEF is legal only in the TABLE form (where the compiler switches
+      * that block to a null-compatible join); in the single-variable
+      * membership form a wildcard row would make the whole block a no-op
+      * and silently defeat the pushed isin — rejected loudly. */
     private def valuesConst(): String = next() match {
       case TPname(x) => resolvePname(x)
       case TIri(x) => x
       case TStr(x, _) => x
       case TNum(x) => x
       case t if isKw(t, "UNDEF") =>
-        fail("UNDEF in VALUES is unsupported (wildcard rows would leave " +
-          "the equi-join fast path); split the VALUES block instead")
+        fail("UNDEF in single-variable VALUES makes the block a no-op " +
+          "(every row matches); drop the block or use the table form")
       case t => fail(s"unexpected VALUES entry: $t")
+    }
+
+    /** Table-form VALUES entry: UNDEF → None (§10.2.2). */
+    private def valuesConstOpt(): Option[String] = peek match {
+      case t if isKw(t, "UNDEF") => i += 1; None
+      case _ => Some(valuesConst())
     }
 
     /** `BIND(expr AS ?c)` — any unified-grammar expression, plus the
@@ -1599,16 +1611,41 @@ object SparqlText {
         }
         join(compilePath(s, path, o, src, memo))
       case ValuesTabEl(vars, rowsV) =>
-        // inline table → literal DataFrame, broadcast-inner-joined on its
-        // variables (or the accumulator seed when it comes first)
+        // inline table → literal DataFrame. All-defined rows broadcast-
+        // inner-join on shared variables (the equi-join fast path). Rows
+        // carrying UNDEF compile to a null-compatible broadcast join
+        // instead: an UNDEF cell leaves its variable unconstrained, so the
+        // condition per shared var is `T.v IS NULL OR T.v = acc.v` and the
+        // output coalesces the bound side — multiset semantics fall out
+        // (a solution compatible with two rows appears twice, §10.2.2).
         val sp = triples.sparkSession
+        val hasUndef = rowsV.exists(_.exists(_.isEmpty))
         val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
           org.apache.spark.sql.types.StructField(v,
-            org.apache.spark.sql.types.StringType, nullable = false)))
+            org.apache.spark.sql.types.StringType, nullable = hasUndef)))
         val df = sp.createDataFrame(
           java.util.Arrays.asList(rowsV.map(r =>
-            org.apache.spark.sql.Row(r: _*)).toArray: _*), schema)
-        join(broadcast(df))
+            org.apache.spark.sql.Row(r.map(_.orNull): _*)).toArray: _*), schema)
+        if (!hasUndef) join(broadcast(df))
+        else acc match {
+          case None => sys.error(
+            "VALUES with UNDEF must follow a pattern binding its " +
+              "variables (an unbound leading wildcard row has no " +
+              "null-compatible join partner)")
+          case Some(a) =>
+            val shared = a.columns.intersect(df.columns).toSeq
+            if (shared.isEmpty) sys.error(
+              "VALUES with UNDEF shares no variable with the preceding " +
+                "patterns; drop the block or bind a shared variable first")
+            val t = broadcast(df)
+            val cond = shared.map(v => t(v).isNull || t(v) === a(v))
+              .reduce(_ && _)
+            val outCols =
+              a.columns.map(c =>
+                if (shared.contains(c)) coalesce(a(c), t(c)).as(c) else a(c)) ++
+              df.columns.filterNot(a.columns.contains).map(c => t(c))
+            acc = Some(a.join(t, cond).select(outCols.toSeq: _*))
+        }
       case UnionEl(arms) =>
         val dfs = arms.map(a =>
           compileGroup(a, triples, labels, params, memo, graphCtx, namedTriples)._1)

@@ -1000,7 +1000,7 @@ class SparqlTextSpec extends SparkSpec {
     assert(no.collect().map(_.getBoolean(0)).toSeq == Seq(false))
   }
 
-  test("multi-variable VALUES joins as an inline table; UNDEF fails loudly") {
+  test("multi-variable VALUES joins as an inline table") {
     val q =
       """SELECT ?s ?tier WHERE {
         |  ?s wdt:P27 ?c .
@@ -1009,12 +1009,35 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(SparqlText.run(q, triples, labels)) == Set(
       Seq("P1", "at"), Seq("P2", "at"), Seq("P8", "at"),
       Seq("P3", "other"), Seq("P7", "other")))
-    val e = intercept[RuntimeException](SparqlText.parse(
-      """SELECT ?a WHERE { VALUES (?a ?b) { ("x" UNDEF) } }"""))
-    assert(e.getMessage.contains("UNDEF"))
     val arity = intercept[RuntimeException](SparqlText.parse(
       """SELECT ?a WHERE { VALUES (?a ?b) { ("x") } }"""))
     assert(arity.getMessage.contains("arity"))
+  }
+
+  test("UNDEF rows leave their variable unconstrained (§10.2.2)") {
+    // row 1 pins the citizenship and leaves ?tier free (stays unbound);
+    // row 2 is a full wildcard on ?c with a bound tier — every solution
+    // matches it, and P1/P2/P8 (Q40) match BOTH rows (multiset: twice)
+    val q =
+      """SELECT ?s ?c ?tier WHERE {
+        |  ?s wdt:P27 ?c .
+        |  VALUES (?c ?tier) { (wd:Q40 UNDEF) (UNDEF "any") }
+        |}""".stripMargin
+    val got = SparqlText.run(q, triples, labels).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(got.count(_ == (("P1", "wd:Q40", None))) == 1) // row-1 match
+    assert(got.count(_ == (("P1", "wd:Q40", Some("any")))) == 1) // row-2 match
+    assert(got.count(_._1 == "P3") == 1) // Q28513: only the wildcard row
+    assert(got.count(_._1 == "P1") == 2) // multiset: both rows
+    // single-variable membership form still rejects UNDEF (no-op hazard)
+    val e = intercept[RuntimeException](SparqlText.parse(
+      """SELECT ?a WHERE { ?a <p> ?o . VALUES ?a { UNDEF } }"""))
+    assert(e.getMessage.contains("UNDEF"))
+    // a LEADING wildcard block has no join partner — loud, not wrong
+    val lead = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?a WHERE { VALUES (?a) { (UNDEF) } ?a wdt:P27 ?c }""",
+      triples, labels))
+    assert(lead.getMessage.contains("UNDEF"))
   }
 
   test("VALUES as the first group element seeds the join") {
