@@ -249,6 +249,56 @@ object Closure {
     *   steps two hops per round; a terminal distinct restores set
     *   semantics (duplicate input edges, rho-cycles under maxIters).
     */
+  /** (node, root) for every node from which some root is reachable:
+    * DOWNWARD label propagation from the root set instead of full
+    * ancestor-pair materialization. A root-restricted ancestor query
+    * (q17's "which region does each node roll up to") needs exactly these
+    * pairs; walking them directly keeps total frontier volume at O(n) on
+    * a forest, where [[ancestorPairs]]-then-filter materializes
+    * O(n·depth) pairs and discards most of them. Same playbook as
+    * [[reachingTo]]: persisted edges, per-round lineage cut, exact-count
+    * broadcast hints, one action per round; `functionalEdges` skips the
+    * per-round anti-join (forest frontiers can't revisit) with the
+    * periodic cycle guard + terminal distinct restoring exactness on
+    * cyclic functional inputs. */
+  def rootLabels(edges: DataFrame, roots: DataFrame, maxIters: Int = 50,
+                 functionalEdges: Boolean = false,
+                 broadcastMaxRows: Long = 500000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      val r = roots.select(col("node").as("__r")).distinct()
+      var frontier = timed("roots")(ckpt(
+        e.join(hintIf(r, broadcastMaxRows, broadcastMaxRows),
+            e("dst") === col("__r"))
+          .select(e("src").as("node"), col("__r").as("root")).distinct()))
+      var rows = frontier.count()
+      var acc = frontier
+      var accRows = rows
+      var i = 0
+      while (i < maxIters && rows > 0) {
+        val f = hintIf(frontier.select(col("node").as("__fn"),
+          col("root").as("__fr")), rows, broadcastMaxRows)
+        val next0 = e.join(f, e("dst") === col("__fn"))
+          .select(e("src").as("node"), col("__fr").as("root"))
+        val guarded =
+          if (!functionalEdges)
+            next0.distinct().join(hintIf(acc, accRows, broadcastMaxRows),
+              Seq("node", "root"), "left_anti")
+          else if (i % CycleGuardEvery == CycleGuardEvery - 1)
+            next0.join(hintIf(acc, accRows, broadcastMaxRows),
+              Seq("node", "root"), "left_anti")
+          else next0
+        val next = timed(s"label round $i ckpt")(ckpt(guarded))
+        rows = timed(s"label round $i count")(next.count())
+        acc = acc.unionByName(next)
+        accRows += rows
+        frontier = next
+        i += 1
+      }
+      if (functionalEdges) acc.distinct() else acc
+    } finally { e.unpersist(blocking = false) }
+  }
+
   def ancestorPairs(edges: DataFrame, maxIters: Int = 50,
                     functionalEdges: Boolean = false,
                     broadcastMaxRows: Long = 500000L,

@@ -32,6 +32,48 @@ class ClosureSpec extends SparkSpec {
     assert(got == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("rootLabels: every node gets its root over a forest") {
+    val edges = Seq(("o1", "c1"), ("o2", "c2"), ("c1", "n1"), ("c2", "n1"),
+      ("n1", "r1"), ("n2", "r2")).toDF("src", "dst")
+    val roots = Seq("r1", "r2").toDF("node")
+    val got = Closure.rootLabels(edges, roots, functionalEdges = true)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("n1", "r1"), ("c1", "r1"), ("c2", "r1"),
+      ("o1", "r1"), ("o2", "r1"), ("n2", "r2")))
+  }
+
+  test("rootLabels: general graph — a diamond reaches both roots exactly once") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "r1"), ("c", "r2"))
+      .toDF("src", "dst")
+    val got = Closure.rootLabels(edges, Seq("r1", "r2").toDF("node"))
+      .as[(String, String)].collect()
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == Set(("a", "r1"), ("a", "r2"), ("b", "r1"), ("c", "r2")))
+  }
+
+  test("rootLabels: matches ancestorPairs-then-filter on the forest shape") {
+    val edges = Seq(("o1", "c1"), ("c1", "n1"), ("n1", "r1"), ("n2", "r1"))
+      .toDF("src", "dst")
+    val viaPairs = Closure.ancestorPairs(edges, functionalEdges = true)
+      .filter($"anc".startsWith("r"))
+      .select($"node", $"anc".as("root"))
+      .as[(String, String)].collect().toSet
+    val viaLabels = Closure.rootLabels(edges, Seq("r1").toDF("node"),
+      functionalEdges = true).as[(String, String)].collect().toSet
+    assert(viaLabels == viaPairs)
+  }
+
+  test("rootLabels: a root inside a functional cycle terminates with set output") {
+    // a→b→r1→a is functional (one dst per src) but cyclic: the frontier
+    // never empties on its own — the periodic guard must terminate it
+    val edges = Seq(("a", "b"), ("b", "r1"), ("r1", "a")).toDF("src", "dst")
+    val got = Closure.rootLabels(edges, Seq("r1").toDF("node"),
+      functionalEdges = true, maxIters = 20)
+      .as[(String, String)].collect()
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == Set(("a", "r1"), ("b", "r1"), ("r1", "r1")))
+  }
+
   test("idempotence: closing a closed graph adds nothing") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
     val got = Closure.ancestorPairs(edges).as[(String, String)].collect().toSet
