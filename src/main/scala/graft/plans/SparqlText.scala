@@ -368,6 +368,10 @@ object SparqlText {
   def parse(query: String): Query = new P(tokenize(query)).query()
 
   def parseUpdate(text: String): Seq[UpdOp] =
+    new P(tokenize(text)).updateRequest()._1
+
+  /** Full parse: (ops, optional `WITH <g>` scope). */
+  def parseUpdateRequest(text: String): (Seq[UpdOp], Option[String]) =
     new P(tokenize(text)).updateRequest()
 
   /** Parse + apply a SPARQL 1.1 Update request against a (s, p, o) triple
@@ -384,17 +388,35 @@ object SparqlText {
     * `DELETE WHERE` evaluates its BGP by joining per-pattern matches on
     * shared variables, then instantiates each pattern under the bindings
     * — the deletion set is exact even for join-correlated patterns. */
-  def update(text: String, store: DataFrame): DataFrame =
-    applyUpdate(parseUpdate(text), store)
+  def update(text: String, store: DataFrame): DataFrame = {
+    val (ops, withGraph) = parseUpdateRequest(text)
+    withGraph match {
+      case None => applyUpdate(ops, store)
+      case Some(g) =>
+        // `WITH <g>` (§3.1.4): the named graph is the operation's default
+        // graph. Split the quad store, update the g-slice as triples,
+        // reattach the graph column, union the untouched remainder back.
+        // Both filters push to a g-partitioned quad scan; the remainder
+        // never shuffles.
+        if (store.columns.sorted.toSeq != Seq("g", "o", "p", "s"))
+          sys.error("WITH <g> expects a quad store with exactly " +
+            s"(s, p, o, g) columns, got (${store.columns.mkString(", ")})")
+        val inG = store.filter(col("g") === g)
+          .select(col("s"), col("p"), col("o"))
+        val rest = store.filter(col("g") =!= g)
+          .select(col("s"), col("p"), col("o"), col("g"))
+        applyUpdate(ops, inG).withColumn("g", lit(g)).unionByName(rest)
+    }
+  }
 
   def applyUpdate(ops: Seq[UpdOp], store0: DataFrame): DataFrame = {
     // A quad store would silently lose its g column through the (s,p,o)
-    // projection below — and a graph-scoped update needs GRAPH syntax this
-    // front-end does not implement. Refuse loudly instead of corrupting.
+    // projection below — scope the request with `WITH <g>` instead.
+    // Refuse loudly rather than corrupting.
     if (store0.columns.sorted.toSeq != Seq("o", "p", "s"))
       sys.error("update() expects a triple store with exactly (s, p, o) " +
-        s"columns, got (${store0.columns.mkString(", ")}); project quads " +
-        "to a single graph first")
+        s"columns, got (${store0.columns.mkString(", ")}); scope a quad " +
+        "store with WITH <g>")
     val sp = store0.sparkSession
     import sp.implicits._
     def lex(t: Term): String = t match {
@@ -563,10 +585,20 @@ object SparqlText {
         }
     }
 
-    /** Update request (SPARQL 1.1 Update §3): a `;`-separated sequence of
-      * `INSERT DATA { … }`, `DELETE DATA { … }`, `DELETE WHERE { … }`. */
-    def updateRequest(): Seq[UpdOp] = {
+    /** Update request (SPARQL 1.1 Update §3): an optional `WITH <g>`
+      * scope then a `;`-separated sequence of `INSERT DATA { … }`,
+      * `DELETE DATA { … }`, `DELETE WHERE { … }`, and modify forms. */
+    def updateRequest(): (Seq[UpdOp], Option[String]) = {
       prologue()
+      val withGraph =
+        if (isKw(peek, "WITH")) {
+          i += 1
+          Some(next() match {
+            case TIri(v) => resolveIri(v)
+            case TPname(v) => resolvePname(v)
+            case t => fail(s"expected graph IRI after WITH, got $t")
+          })
+        } else None
       val ops = Vector.newBuilder[UpdOp]
       var more = true
       while (more) {
@@ -599,7 +631,7 @@ object SparqlText {
         if (peek == TPunct(";")) { i += 1; more = !eof } else more = false
       }
       if (!eof) fail(s"trailing tokens after update request: $peek")
-      ops.result()
+      (ops.result(), withGraph)
     }
 
     /** `{ s p o . … }` — simple terms only (no paths, no po-lists); DATA

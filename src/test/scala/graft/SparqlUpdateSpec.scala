@@ -106,6 +106,27 @@ class SparqlUpdateSpec extends SparkSpec {
       "DELETE { ?s <p> ?missing } WHERE { ?s <p> ?o }", st))
   }
 
+  test("WITH <g> scopes the update to one named graph of a quad store") {
+    val quads = Seq(
+      ("a", "seg", "x", "g1"), ("a", "lab", "A", "g1"),
+      ("b", "seg", "y", "g2")).toDF("s", "p", "o", "g")
+    val got = SparqlText.update(
+      """WITH <g1>
+        |DELETE WHERE { ?s <seg> ?o } ;
+        |INSERT DATA { <c> <seg> <z> }""".stripMargin, quads)
+      .as[(String, String, String, String)].collect().toSeq.sorted
+    // g1's seg row deleted, the insert lands in g1, g2 untouched
+    assert(got == Seq(("a", "lab", "A", "g1"), ("b", "seg", "y", "g2"),
+      ("c", "seg", "z", "g1")))
+  }
+
+  test("WITH on a non-quad store fails loudly") {
+    val st = store(("a", "p", "b"))
+    val e = intercept[RuntimeException](
+      SparqlText.update("WITH <g1> DELETE WHERE { ?s <p> ?o }", st))
+    assert(e.getMessage.contains("quad store"))
+  }
+
   test("a quad store is refused, not silently projected") {
     val quads = Seq(("a", "p", "b", "g1")).toDF("s", "p", "o", "g")
     val e = intercept[RuntimeException](
