@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.ArrayBuffer
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +17,23 @@ object Bench {
     // and run in sorted order so per-query timings are comparable across
     // rounds.
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // Contention sentinel: a fixed CPU-bound probe re-timed throughout the
+    // run. On an idle box its steady-state time is stable to within ~2x;
+    // a co-tenant loading the machine inflates every probe it overlaps.
+    // BENCH_r05 was silently corrupted by exactly that (2.7x inflation on a
+    // shared box, indistinguishable from a plan regression after the fact) —
+    // the probe series makes such a run self-describing.
+    val probes = ArrayBuffer.empty[Double]
+    def timeProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probe(): Unit = probes += timeProbe()
+    timeProbe() // discard: the probe's own codegen must not skew the series
+    probe()
+
     // A failed query is reported as a NEGATIVE elapsed time so breakage is
     // visible in the timings JSON (a -0.1 entry can never be mistaken for a
     // fast success).
@@ -24,33 +43,55 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.isEmpty || wanted.exists(n.contains)
     }
-    def runAll(): Seq[(String, Double)] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Cache hygiene between queries: a query that persists intermediates
-      // must not bleed memory pressure into the next query's timing.
-      spark.catalog.clearCache()
-      // Clamp failures away from zero, matching the 2-decimal per-query
-      // format: a fast failure must never round to -0.00 (which
-      // JSON-parses equal to 0.0).
-      name -> (if (ok) sec else -math.max(sec, 0.01))
+    def runAll(): Seq[(String, Double)] = selected.zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i % 25 == 0) probe() // interleave the sentinel with real work
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Cache hygiene between queries: a query that persists intermediates
+        // must not bleed memory pressure into the next query's timing.
+        spark.catalog.clearCache()
+        // Clamp failures away from zero, matching the 2-decimal per-query
+        // format: a fast failure must never round to -0.00 (which
+        // JSON-parses equal to 0.0).
+        name -> (if (ok) sec else -math.max(sec, 0.01))
+    }
+    def merge(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
+      a.zip(b).map { case ((name, x), (_, y)) =>
+        val m = math.min(math.abs(x), math.abs(y))
+        name -> (if (x >= 0 && y >= 0) m else -math.max(m, 0.01))
+      }
+    // Contended = any probe ran >2.5x the series median (and slow in absolute
+    // terms, so GC jitter on a ~0.05 s probe never trips it). The median —
+    // not the min — anchors the test: sustained load inflates the whole
+    // series, a transient spike inflates a few entries; both are flagged.
+    def contended(): Boolean = {
+      val s = probes.toSeq.sorted
+      val med = s(s.size / 2)
+      probes.exists(p => p > 2.5 * med && p > 0.15)
     }
     // Two passes, per-query minimum: machine noise on a shared box swings
     // single-run totals by >50%, and the first pass carries each query
     // shape's one-time codegen cost. The min is the steady-state number a
     // warmed cluster would see; a failure in either pass stays negative.
-    val results = runAll().zip(runAll()).map { case ((name, a), (_, b)) =>
-      val m = math.min(math.abs(a), math.abs(b))
-      name -> (if (a >= 0 && b >= 0) m else -math.max(m, 0.01))
-    }
+    var results = merge(runAll(), runAll())
+    var passes = 2
+    // If the sentinel tripped, buy one more pass: min-of-passes recovers the
+    // true number for every query that got at least one clean window, and
+    // the probe series still records that the run needed defending.
+    if (contended()) { results = merge(results, runAll()); passes = 3 }
+    probe()
+
     // The driver captures only the last ~2000 chars of output, so the JSON
     // line must stay short: shorten "q36_ngram_jaccard" to its unique "q36"
     // prefix (full name kept on prefix collision); per-query values round
     // to centiseconds (134+ queries × ~14 chars must stay under the
-    // window), the total keeps milliseconds.
+    // window), the total keeps milliseconds. The probe series is downsampled
+    // to ≤10 entries for the same reason (extremes kept — the flag is
+    // computed from the full series before downsampling).
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmtQ(v: Double): String =
@@ -64,7 +105,14 @@ object Bench {
       "\"" + key + "\":" + fmtQ(v)
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val shownProbes =
+      if (probes.size <= 10) probes.toSeq
+      else {
+        val sampled = (0 until 8).map(i => probes(i * probes.size / 8))
+        (sampled :+ probes.max :+ probes.min).sorted
+      }
+    val probeJson = shownProbes.map(fmtQ).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"probe_sec":$probeJson,"contended":${contended()},"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
