@@ -266,10 +266,13 @@ object Closure {
                  broadcastMaxRows: Long = 500000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      val r = roots.select(col("node").as("__r")).distinct()
+      // Price the root-set hint with an exact count like every other
+      // fixpoint here: a huge root set (labeling from millions of roots)
+      // must shuffle-join, not force a driver-side broadcast build.
+      val r = ckpt(roots.select(col("node").as("__r")).distinct())
+      val rRows = r.count()
       var frontier = timed("roots")(ckpt(
-        e.join(hintIf(r, broadcastMaxRows, broadcastMaxRows),
-            e("dst") === col("__r"))
+        e.join(hintIf(r, rRows, broadcastMaxRows), e("dst") === col("__r"))
           .select(e("src").as("node"), col("__r").as("root")).distinct()))
       var rows = frontier.count()
       var acc = frontier

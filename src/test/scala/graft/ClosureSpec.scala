@@ -171,4 +171,49 @@ class ClosureSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(pairsS == pairsB)
   }
+
+  test("rootLabels: a root set above broadcastMaxRows is never hint-broadcast") {
+    // Regression: the root-set hint used to fire unconditionally (the cap
+    // was passed as the row count). With auto-broadcast disabled, any
+    // BroadcastHashJoin in an executed plan can only come from an explicit
+    // hint — so a run where every exact count exceeds the cap must execute
+    // zero broadcast joins.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      def onFailure(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    exception: Exception): Unit = ()
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq(("a", "r1"), ("b", "r2"), ("c", "a")).toDF("src", "dst")
+      val roots = Seq("r1", "r2").toDF("node")
+      val got = Closure.rootLabels(edges, roots, broadcastMaxRows = 0L)
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("a", "r1"), ("b", "r2"), ("c", "r1")))
+      // listener callbacks are async (the bus drainer is private[spark]) —
+      // wait for the plan stream to go quiet before asserting absence
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = plans.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val broadcasts = plans.toArray(Array.empty[String])
+        .filter(_.contains("BroadcastHashJoin"))
+      assert(broadcasts.isEmpty,
+        s"explicit broadcast hint fired despite cap=0:\n${broadcasts.headOption.getOrElse("")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
