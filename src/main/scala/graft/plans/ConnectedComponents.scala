@@ -46,7 +46,10 @@ object ConnectedComponents {
   /** Component labels for every node in `nodes`.
     *
     * @param edges (src, dst) pairs in either orientation (symmetrized here)
-    * @param nodes (node) — the full domain; isolated nodes label themselves
+    * @param nodes (node) — the full domain; isolated nodes label themselves.
+    *   Edge endpoints must be a subset of `nodes` (otherwise a component's
+    *   canonical label could be an id outside the domain); a violation
+    *   raises at action time rather than corrupting
     * @param maxIters cycle/adversarial-depth guard
     * @return (node, component) — component = min node id reachable over
     *         the undirected pair graph, deterministic under re-runs
@@ -59,19 +62,33 @@ object ConnectedComponents {
       // Both orientations are present, so src alone covers every touched node.
       var lab = ckpt(sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("component")))
-      // Exact fixpoint tests, one action per round either way. Numeric
+      // Exact fixpoint tests, one action per round either way. INTEGRAL
       // labels: the label-table SUM (DECIMAL(38), exact) is strictly
       // monotone because labels only decrease — "sum unchanged" == "no
-      // label changed", no join needed. Other label types: count the
-      // strictly-decreased rows via a join of two tables already
-      // hash-partitioned by node (sum-of-strings would cast to NULL and
-      // declare victory after round one).
-      val numericLabels = sym.schema("src").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
-      def labelSum(df: DataFrame): java.math.BigDecimal =
+      // label changed", no join needed. Fractional labels are excluded:
+      // casting to decimal(38,0) rounds, so a sub-unit decrease could
+      // leave the rounded sum unchanged and declare victory early. Those
+      // and other label types: count the strictly-decreased rows via a
+      // join of two tables already hash-partitioned by node
+      // (sum-of-strings would cast to NULL and declare victory after
+      // round one). A NULL sum (decimal overflow — >1e19 rows of max-long
+      // labels) makes two rounds incomparable, so it falls back to the
+      // join test rather than coercing to a sentinel two overflowing
+      // rounds would share.
+      val integralLabels = {
+        import org.apache.spark.sql.types._
+        sym.schema("src").dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
+        }
+      }
+      def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
         Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-          .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-      var prevSum = if (numericLabels) labelSum(lab) else null
+          .head().getDecimal(0))
+      def decreasedCount(next: DataFrame, prev: DataFrame): Long = next
+        .join(prev.select(col("node"), col("component").as("__old")), Seq("node"))
+        .filter(col("component") < col("__old")).count()
+      var prevSum = if (integralLabels) labelSum(lab) else None
       var i = 0
       var converged = false
       while (i < maxIters && !converged) {
@@ -79,22 +96,33 @@ object ConnectedComponents {
           .select(sym("dst").as("node"), col("component"))
         val next = ckpt(viaEdges.unionByName(lab.select(col("node"), col("component")))
           .groupBy(col("node")).agg(min(col("component")).as("component")))
-        if (numericLabels) {
+        if (integralLabels) {
           val curSum = labelSum(next)
-          converged = curSum.compareTo(prevSum) == 0
+          converged = (curSum, prevSum) match {
+            case (Some(c), Some(p)) => c.compareTo(p) == 0
+            case _                  => decreasedCount(next, lab) == 0L
+          }
           prevSum = curSum
         } else {
-          converged = next
-            .join(lab.select(col("node"), col("component").as("__old")), Seq("node"))
-            .filter(col("component") < col("__old")).count() == 0L
+          converged = decreasedCount(next, lab) == 0L
         }
         lab = next
         i += 1
       }
-      // isolated nodes self-label; the loop never saw them
+      // isolated nodes self-label; the loop never saw them. The full-outer
+      // shape (same shuffle as the left join) additionally detects edge
+      // endpoints ABSENT from `nodes` — those would make a component's
+      // canonical min-label an id outside the caller's domain, silently
+      // breaking keep = (node == component) consumers — and refuses at
+      // action time via raise_error, costing zero extra jobs.
       nodes.select(col("node")).distinct()
-        .join(lab, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), lit(true).as("__known"))
+        .join(lab, Seq("node"), "full_outer")
+        .select(
+          when(col("__known").isNull, raise_error(concat(
+            lit("ConnectedComponents.labels: edge endpoint absent from nodes: "),
+            col("node").cast("string"))))
+            .otherwise(col("node")).as("node"),
           coalesce(col("component"), col("node")).as("component"))
     } finally { sym.unpersist(blocking = false) }
   }

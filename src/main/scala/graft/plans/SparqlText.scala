@@ -401,9 +401,12 @@ object SparqlText {
         if (store.columns.sorted.toSeq != Seq("g", "o", "p", "s"))
           sys.error("WITH <g> expects a quad store with exactly " +
             s"(s, p, o, g) columns, got (${store.columns.mkString(", ")})")
+        // null-SAFE remainder predicate: `g =!= lit` is three-valued and
+        // would silently drop default-graph rows (g IS NULL) from the
+        // untouched remainder of a general quad store
         val inG = store.filter(col("g") === g)
           .select(col("s"), col("p"), col("o"))
-        val rest = store.filter(col("g") =!= g)
+        val rest = store.filter(!(col("g") <=> lit(g)))
           .select(col("s"), col("p"), col("o"), col("g"))
         applyUpdate(ops, inG).withColumn("g", lit(g)).unionByName(rest)
     }
@@ -1670,7 +1673,11 @@ object SparqlText {
               "VALUES with UNDEF shares no variable with the preceding " +
                 "patterns; drop the block or bind a shared variable first")
             val t = broadcast(df)
-            val cond = shared.map(v => t(v).isNull || t(v) === a(v))
+            // compatibility is symmetric (§10.2): an UNBOUND accumulator
+            // cell (a variable bound in only one UNION arm, or from an
+            // earlier UNDEF row) is compatible with ANY table value, just
+            // as an UNDEF table cell is with any accumulator value
+            val cond = shared.map(v => t(v).isNull || a(v).isNull || t(v) === a(v))
               .reduce(_ && _)
             val outCols =
               a.columns.map(c =>

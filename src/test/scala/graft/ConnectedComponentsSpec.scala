@@ -57,4 +57,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     val nodes = Seq("b", "d", "e", "f", "g", "h")
     assert(run(edges, nodes) == run(edges, nodes))
   }
+
+  test("fractional labels use the exact join test, not the rounded sum") {
+    // 2.4 and 2.0 both round to decimal(38,0) 2: a sum-based test would
+    // see no change after the first round and stop before 2.4 adopts 2.0.
+    // (The chain forces ≥2 propagation rounds for the min to reach the end.)
+    val got = ConnectedComponents.labels(
+        Seq((2.4, 3.5), (3.5, 2.0)).toDF("src", "dst"),
+        Seq(2.0, 2.4, 3.5).toDF("node"))
+      .as[(Double, Double)].collect().toMap
+    assert(got == Map(2.0 -> 2.0, 2.4 -> 2.0, 3.5 -> 2.0))
+  }
+
+  test("edge endpoint absent from nodes refuses at action time") {
+    // 'ghost' bridges a and b but is not in the domain — its id could
+    // become a canonical label no caller row carries. Refuse, don't corrupt.
+    val ex = intercept[Exception] {
+      run(Seq(("ghost", "b"), ("ghost", "c")), Seq("b", "c"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("edge endpoint absent from nodes")))
+  }
 }

@@ -1040,6 +1040,25 @@ class SparqlTextSpec extends SparkSpec {
     assert(lead.getMessage.contains("UNDEF"))
   }
 
+  test("UNDEF compatibility is symmetric: unbound acc cells match any row") {
+    // After the first VALUES block, row-1 matches carry ?tier = unbound.
+    // Compatibility (§10.2) makes that unbound cell compatible with the
+    // second block's DEFINED "gold" cell — a one-sided null test dropped it.
+    val q =
+      """SELECT ?s ?c ?tier ?rank WHERE {
+        |  ?s wdt:P27 ?c .
+        |  VALUES (?c ?tier) { (wd:Q40 UNDEF) (UNDEF "any") }
+        |  VALUES (?tier ?rank) { ("gold" UNDEF) (UNDEF "r2") }
+        |}""".stripMargin
+    val got = SparqlText.run(q, triples, labels).collect()
+      .map(r => (r.getString(0), Option(r.getString(2)), Option(r.getString(3))))
+    // P1's unbound-tier solution × both rows, plus its "any" row × wildcard
+    assert(got.count(_._1 == "P1") == 3)
+    assert(got.contains(("P1", Some("gold"), None)))
+    assert(got.contains(("P1", None, Some("r2"))))
+    assert(got.contains(("P1", Some("any"), Some("r2"))))
+  }
+
   test("VALUES as the first group element seeds the join") {
     val q =
       """SELECT ?s WHERE {

@@ -120,6 +120,17 @@ class SparqlUpdateSpec extends SparkSpec {
       ("c", "seg", "z", "g1")))
   }
 
+  test("WITH <g> keeps default-graph rows (g IS NULL) in the remainder") {
+    // `g =!= lit` is three-valued: NULL-g rows would vanish silently from
+    // the untouched remainder. The remainder filter must be null-safe.
+    val quads = Seq(
+      ("a", "seg", "x", "g1"), ("d", "seg", "w", null)).toDF("s", "p", "o", "g")
+    val got = SparqlText.update(
+      "WITH <g1> DELETE WHERE { ?s <seg> ?o }", quads)
+      .as[(String, String, String, Option[String])].collect().toSeq.sorted
+    assert(got == Seq(("d", "seg", "w", None)))
+  }
+
   test("WITH on a non-quad store fails loudly") {
     val st = store(("a", "p", "b"))
     val e = intercept[RuntimeException](
