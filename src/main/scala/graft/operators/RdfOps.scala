@@ -643,7 +643,32 @@ object RdfOps {
     updated.groupBy(col("p")).agg(count(lit(1)).as("n"))
   }
 
+  /** SPARQL Update graph management e2e (§3.2) over the named-graph
+    * dataset: LOAD a TriG document (one default-graph triple + one named
+    * block), CLEAR the supplier graph, ADD the region graph into the
+    * nation graph (set semantics on the destination), then a WITH-scoped
+    * predicate rename inside the nation graph. Each management op is a
+    * null-safe filter or slice-union — the untouched remainder of the
+    * store never shuffles; the modify is the usual delta anti-join. */
+  def q136UpdateGraphs(sp: SparkSession, dir: String): DataFrame = {
+    val doc = java.nio.file.Files.createTempDirectory("graft-q136")
+      .resolve("d.trig")
+    java.nio.file.Files.writeString(doc,
+      "<d1> <label> \"Doc One\" .\nGRAPH <gx> { <d2> <label> \"Doc Two\" . }\n")
+    val updated = graft.plans.SparqlText.update(
+      s"""LOAD <file://$doc> ;
+         |CLEAR GRAPH <g:S> ;
+         |ADD GRAPH <g:R> TO GRAPH <g:N> ;
+         |WITH <g:N>
+         |DELETE { ?s <label> ?l } INSERT { ?s <name> ?l }
+         |WHERE { ?s <label> ?l }""".stripMargin,
+      TripleStore.quads(sp, dir))
+    updated.groupBy(coalesce(col("g"), lit("DEFAULT")).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_update_graphs"     -> q136UpdateGraphs _,
     "q131_sparql_modify"     -> q131SparqlModify _,
     "q129_sparql_update"     -> q129SparqlUpdate _,
     "q117_graph_var"         -> q117GraphVar _,
@@ -701,6 +726,25 @@ object RdfOps {
          st3 AS (SELECT s, CASE WHEN p = 'segment' THEN 'mktsegment' ELSE p END AS p, o
                  FROM st2)
          SELECT p, CAST(count(*) AS BIGINT) AS n FROM st3 GROUP BY p""",
+    "q136_update_graphs" ->
+      s"""WITH st0 AS (SELECT * FROM (${TripleStore.quadsSql})
+                       UNION ALL SELECT * FROM (VALUES
+                         ('d1', 'label', 'Doc One', NULL),
+                         ('d2', 'label', 'Doc Two', 'gx')) v(s, p, o, g)),
+         st1 AS (SELECT * FROM st0 WHERE g IS NULL OR g <> 'g:S'),
+         added AS (SELECT r.s, r.p, r.o, 'g:N' AS g
+                   FROM st1 r WHERE r.g = 'g:R' AND NOT EXISTS
+                     (SELECT 1 FROM st1 d WHERE d.g = 'g:N'
+                      AND d.s = r.s AND d.p = r.p AND d.o = r.o)),
+         st2 AS (SELECT * FROM st1 UNION ALL SELECT * FROM added),
+         st3 AS (SELECT * FROM st2 WHERE g IS NULL OR g <> 'g:N'
+                 UNION ALL SELECT s, p, o, g FROM st2
+                   WHERE g = 'g:N' AND p <> 'label'
+                 UNION ALL SELECT s, 'name', o, g FROM st2
+                   WHERE g = 'g:N' AND p = 'label')
+         SELECT coalesce(g, 'DEFAULT') AS g, p,
+                CAST(count(*) AS BIGINT) AS n
+         FROM st3 GROUP BY 1, 2""",
     "q129_sparql_update" ->
       s"""WITH st AS ($T),
          upd AS (SELECT * FROM st WHERE p <> 'segment'

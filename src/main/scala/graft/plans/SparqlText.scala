@@ -107,18 +107,57 @@ object SparqlText {
     def star: Boolean = mod == "*"
   }
 
-  /** SPARQL 1.1 Update operations (§3.1): ground-triple inserts/deletes
-    * and pattern-driven deletes. */
+  /** SPARQL 1.1 Update operations (§3.1): ground-triple inserts/deletes,
+    * pattern-driven deletes, and (§3.2) graph-management operations.
+    * DATA blocks may contain `GRAPH <g> { … }` sections (§3.1.1 QuadData)
+    * — the per-triple target rides as the 4th component (None = the
+    * operation's scope, which is the default graph unless WITH applies). */
   sealed trait UpdOp
-  final case class InsertData(triples: Seq[(Term, Term, Term)]) extends UpdOp
-  final case class DeleteData(triples: Seq[(Term, Term, Term)]) extends UpdOp
+  final case class InsertData(quads: Seq[(Term, Term, Term, Option[String])]) extends UpdOp
+  final case class DeleteData(quads: Seq[(Term, Term, Term, Option[String])]) extends UpdOp
   final case class DeleteWhere(patterns: Seq[(Term, Term, Term)]) extends UpdOp
   /** §3.1.3 modify form: `[DELETE { t }] [INSERT { t }] WHERE { p }` —
     * templates instantiate under the WHERE bindings; deletes apply before
-    * inserts against the same pre-state bindings (§3.1.3's semantics). */
+    * inserts against the same pre-state bindings (§3.1.3's semantics).
+    * `using` / `usingNamed` (§3.1.3 UsingClause) re-base the WHERE: with
+    * either present, the WHERE's default graph is the union of the `using`
+    * graphs (empty when only USING NAMED is given) instead of the
+    * operation's target graph. */
   final case class Modify(deletes: Seq[(Term, Term, Term)],
                           inserts: Seq[(Term, Term, Term)],
-                          where: Seq[(Term, Term, Term)]) extends UpdOp
+                          where: Seq[(Term, Term, Term)],
+                          using: Seq[String] = Nil,
+                          usingNamed: Seq[String] = Nil) extends UpdOp
+  /** Per-operation `WITH <g>` scope (§3.1.3): the named graph becomes the
+    * wrapped operation's default graph for both matching and effects. */
+  final case class Scoped(graph: String, op: UpdOp) extends UpdOp
+  /** CLEAR/DROP target selector (§3.2.2/§3.2.3). */
+  sealed trait GraphSel
+  case object AllGraphs extends GraphSel
+  case object NamedGraphsSel extends GraphSel
+  /** DEFAULT (None) or GRAPH <iri> (Some). */
+  final case class OneGraph(graph: Option[String]) extends GraphSel
+  /** CLEAR and DROP (§3.2.2/§3.2.3): this store is a pure set of quads
+    * with no empty-graph bookkeeping, so the two are observationally
+    * identical (removing a graph's triples == removing the graph) and a
+    * missing graph is an empty graph — the conformant no-op for stores
+    * that "do not record the existence of empty graphs". SILENT is
+    * accepted; there is nothing left for it to suppress. */
+  final case class ClearOp(sel: GraphSel, silent: Boolean) extends UpdOp
+  /** CREATE GRAPH (§3.2.1): a no-op for the same reason — graphs exist
+    * exactly when they hold a quad. Parsed for surface compatibility. */
+  final case class CreateOp(graph: String, silent: Boolean) extends UpdOp
+  /** ADD/COPY/MOVE (§3.2.5-7): `kind` ∈ {"ADD","COPY","MOVE"}; None =
+    * DEFAULT. src == dst is the spec'd no-op. */
+  final case class AddLike(kind: String, src: Option[String],
+                           dst: Option[String], silent: Boolean) extends UpdOp
+  /** LOAD (§3.2.4): parse a local Turtle/TriG document into the store.
+    * `into` = INTO GRAPH target (overrides any TriG graph blocks); SILENT
+    * covers document resolution (a missing/unreadable path becomes a
+    * no-op); parse errors inside a resolvable document still surface at
+    * action time. */
+  final case class LoadOp(source: String, into: Option[String],
+                          silent: Boolean) extends UpdOp
 
   sealed trait El
   /** `MINUS { … }`: removes solutions compatible with the group on their
@@ -390,121 +429,258 @@ object SparqlText {
     * — the deletion set is exact even for join-correlated patterns. */
   def update(text: String, store: DataFrame): DataFrame = {
     val (ops, withGraph) = parseUpdateRequest(text)
-    withGraph match {
-      case None => applyUpdate(ops, store)
-      case Some(g) =>
-        // `WITH <g>` (§3.1.4): the named graph is the operation's default
-        // graph. Split the quad store, update the g-slice as triples,
-        // reattach the graph column, union the untouched remainder back.
-        // Both filters push to a g-partitioned quad scan; the remainder
-        // never shuffles.
-        if (store.columns.sorted.toSeq != Seq("g", "o", "p", "s"))
-          sys.error("WITH <g> expects a quad store with exactly " +
-            s"(s, p, o, g) columns, got (${store.columns.mkString(", ")})")
-        // null-SAFE remainder predicate: `g =!= lit` is three-valued and
-        // would silently drop default-graph rows (g IS NULL) from the
-        // untouched remainder of a general quad store
-        val inG = store.filter(col("g") === g)
-          .select(col("s"), col("p"), col("o"))
-        val rest = store.filter(!(col("g") <=> lit(g)))
-          .select(col("s"), col("p"), col("o"), col("g"))
-        applyUpdate(ops, inG).withColumn("g", lit(g)).unionByName(rest)
+    store.columns.sorted.toSeq match {
+      case Seq("g", "o", "p", "s") => applyQuadUpdate(ops, store, withGraph)
+      case _ if withGraph.isDefined =>
+        sys.error("WITH <g> expects a quad store with exactly " +
+          s"(s, p, o, g) columns, got (${store.columns.mkString(", ")})")
+      case _ => applyUpdate(ops, store)
+    }
+  }
+
+  // ---- ground-term / pattern machinery shared by both store shapes ----
+
+  private def lexTerm(t: Term): String = t match {
+    case C(v) => v
+    case L(v) => v
+    case V(v) => sys.error(s"unbound variable ?$v in ground-triple position")
+  }
+  private def constTriples(sp: org.apache.spark.sql.SparkSession,
+                           ts: Seq[(Term, Term, Term)]): DataFrame = {
+    import sp.implicits._
+    ts.map { case (s, p, o) => (lexTerm(s), lexTerm(p), lexTerm(o)) }
+      .toDF("s", "p", "o").distinct()
+  }
+  /** Rows matching one pattern, projected to its variable bindings;
+    * a repeated variable inside the pattern adds an equality filter. */
+  private def matchPattern(store: DataFrame,
+                           pat: (Term, Term, Term)): DataFrame = {
+    val positions = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
+    var df = store
+    val seen = scala.collection.mutable.Map.empty[String, String]
+    positions.foreach {
+      case (pos, C(v)) => df = df.filter(col(pos) === v)
+      case (pos, L(v)) => df = df.filter(col(pos) === v)
+      case (pos, V(n)) => seen.get(n) match {
+        case Some(first) => df = df.filter(col(pos) === col(first))
+        case None => seen(n) = pos
+      }
+    }
+    if (seen.isEmpty) df.select() // all-ground: rows carry no bindings
+    else df.select(seen.toSeq.sortBy(_._1)
+      .map { case (n, pos) => col(pos).as(n) }: _*)
+  }
+  private def instantiate(bind: DataFrame,
+                          pat: (Term, Term, Term)): DataFrame = {
+    def c(pos: String, t: Term): Column = t match {
+      case V(n) => col(n).as(pos)
+      case other => lit(lexTerm(other)).as(pos)
+    }
+    bind.select(c("s", pat._1), c("p", pat._2), c("o", pat._3))
+  }
+  private def bindings(store: DataFrame,
+                       ps: Seq[(Term, Term, Term)]): DataFrame =
+    ps.map(matchPattern(store, _)).reduceLeft { (a, b) =>
+      val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+      if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
+    }
+  private def templateVars(ts: Seq[(Term, Term, Term)]): Set[String] =
+    ts.flatMap(t => Seq(t._1, t._2, t._3)).collect { case V(n) => n }.toSet
+  private def dropGraphTargets(qs: Seq[(Term, Term, Term, Option[String])],
+                               ctx: String): Seq[(Term, Term, Term)] =
+    qs.map {
+      case (s, p, o, None) => (s, p, o)
+      case (_, _, _, Some(g)) =>
+        sys.error(s"GRAPH <$g> targets in $ctx require a quad store (s, p, o, g)")
+    }
+
+  /** One data/modify op over a TRIPLE store. `whereOverride` carries the
+    * USING-constructed dataset for a modify's WHERE (quad path only). */
+  private def applyTripleOp(op: UpdOp, store: DataFrame,
+                            whereOverride: Option[DataFrame]): DataFrame = {
+    val sp = store.sparkSession
+    op match {
+      case InsertData(qs) =>
+        val ts = constTriples(sp, dropGraphTargets(qs, "INSERT DATA"))
+        store.unionByName(ts.join(store, Seq("s", "p", "o"), "left_anti"))
+      case DeleteData(qs) =>
+        store.join(constTriples(sp, dropGraphTargets(qs, "DELETE DATA")),
+          Seq("s", "p", "o"), "left_anti")
+      case DeleteWhere(ps) =>
+        val b = bindings(store, ps)
+        val dels = ps.map(instantiate(b, _))
+          .reduce(_ unionByName _).distinct()
+        store.join(dels, Seq("s", "p", "o"), "left_anti")
+      case Modify(dts, its, ps, u, un) =>
+        if (whereOverride.isEmpty && (u.nonEmpty || un.nonEmpty))
+          sys.error("USING requires a quad store (s, p, o, g)")
+        val whereVars = templateVars(ps)
+        val unbound = templateVars(dts) ++ templateVars(its) -- whereVars
+        if (unbound.nonEmpty)
+          sys.error("template variables not bound by WHERE: " +
+            unbound.toSeq.sorted.map("?" + _).mkString(", "))
+        // both templates instantiate under the PRE-state bindings
+        // (§3.1.3); deletes land before inserts
+        val b = bindings(whereOverride.getOrElse(store), ps)
+        def inst(ts: Seq[(Term, Term, Term)]): Option[DataFrame] =
+          if (ts.isEmpty) None
+          else Some(ts.map(instantiate(b, _)).reduce(_ unionByName _).distinct())
+        val afterDel = inst(dts) match {
+          case Some(d) => store.join(d, Seq("s", "p", "o"), "left_anti")
+          case None => store
+        }
+        inst(its) match {
+          case Some(ins) => afterDel.unionByName(
+            ins.join(afterDel, Seq("s", "p", "o"), "left_anti"))
+          case None => afterDel
+        }
+      case _ => sys.error("graph-scoped and graph-management operations " +
+        "(WITH, CLEAR, DROP, CREATE, ADD, COPY, MOVE, LOAD) require a " +
+        "quad store (s, p, o, g)")
     }
   }
 
   def applyUpdate(ops: Seq[UpdOp], store0: DataFrame): DataFrame = {
     // A quad store would silently lose its g column through the (s,p,o)
-    // projection below — scope the request with `WITH <g>` instead.
-    // Refuse loudly rather than corrupting.
+    // projection below — the quad path handles it. Refuse loudly rather
+    // than corrupting on any other shape.
     if (store0.columns.sorted.toSeq != Seq("o", "p", "s"))
       sys.error("update() expects a triple store with exactly (s, p, o) " +
-        s"columns, got (${store0.columns.mkString(", ")}); scope a quad " +
-        "store with WITH <g>")
-    val sp = store0.sparkSession
-    import sp.implicits._
-    def lex(t: Term): String = t match {
-      case C(v) => v
-      case L(v) => v
-      case V(v) => sys.error(s"unbound variable ?$v in ground-triple position")
-    }
-    def constDf(ts: Seq[(Term, Term, Term)]): DataFrame =
-      ts.map { case (s, p, o) => (lex(s), lex(p), lex(o)) }
-        .toDF("s", "p", "o").distinct()
-    /** Rows matching one pattern, projected to its variable bindings;
-      * a repeated variable inside the pattern adds an equality filter. */
-    def matchPattern(store: DataFrame, pat: (Term, Term, Term)): DataFrame = {
-      val positions = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
-      var df = store
-      val seen = scala.collection.mutable.Map.empty[String, String]
-      positions.foreach {
-        case (pos, C(v)) => df = df.filter(col(pos) === v)
-        case (pos, L(v)) => df = df.filter(col(pos) === v)
-        case (pos, V(n)) => seen.get(n) match {
-          case Some(first) => df = df.filter(col(pos) === col(first))
-          case None => seen(n) = pos
-        }
-      }
-      if (seen.isEmpty) df.select() // all-ground: rows carry no bindings
-      else df.select(seen.toSeq.sortBy(_._1)
-        .map { case (n, pos) => col(pos).as(n) }: _*)
-    }
-    def instantiate(bind: DataFrame, pat: (Term, Term, Term)): DataFrame = {
-      def c(pos: String, t: Term): Column = t match {
-        case V(n) => col(n).as(pos)
-        case other => lit(lex(other)).as(pos)
-      }
-      bind.select(c("s", pat._1), c("p", pat._2), c("o", pat._3))
-    }
-    def bindings(store: DataFrame, ps: Seq[(Term, Term, Term)]): DataFrame =
-      ps.map(matchPattern(store, _)).reduceLeft { (a, b) =>
-        val shared = a.columns.toSeq.intersect(b.columns.toSeq)
-        if (shared.isEmpty) a.crossJoin(b) else a.join(b, shared)
-      }
-    def templateVars(ts: Seq[(Term, Term, Term)]): Set[String] =
-      ts.flatMap(t => Seq(t._1, t._2, t._3)).collect { case V(n) => n }.toSet
+        s"columns, got (${store0.columns.mkString(", ")})")
     // Each op references its input store several times (per-pattern
     // matches + the anti-join probe side), so a lazily-chained sequence
     // would recompute op N's whole plan ~5× inside op N+1. Materialize
     // between sequenced ops (a `;`-sequence is semantically a sequence of
     // store states); the FINAL op's result stays lazy for the caller.
     ops.zipWithIndex.foldLeft(store0.select(col("s"), col("p"), col("o"))) {
-      case (store0r, (op, idx)) =>
-        val store = store0r
-        val out = op match {
-        case InsertData(ts) =>
-          store.unionByName(
-            constDf(ts).join(store, Seq("s", "p", "o"), "left_anti"))
-        case DeleteData(ts) =>
-          store.join(constDf(ts), Seq("s", "p", "o"), "left_anti")
-        case DeleteWhere(ps) =>
-          val b = bindings(store, ps)
-          val dels = ps.map(instantiate(b, _))
-            .reduce(_ unionByName _).distinct()
-          store.join(dels, Seq("s", "p", "o"), "left_anti")
-        case Modify(dts, its, ps) =>
-          val whereVars = templateVars(ps)
-          val unbound = templateVars(dts) ++ templateVars(its) -- whereVars
-          if (unbound.nonEmpty)
-            sys.error("template variables not bound by WHERE: " +
-              unbound.toSeq.sorted.map("?" + _).mkString(", "))
-          // both templates instantiate under the PRE-state bindings
-          // (§3.1.3); deletes land before inserts
-          val b = bindings(store, ps)
-          def inst(ts: Seq[(Term, Term, Term)]): Option[DataFrame] =
-            if (ts.isEmpty) None
-            else Some(ts.map(instantiate(b, _)).reduce(_ unionByName _).distinct())
-          val afterDel = inst(dts) match {
-            case Some(d) => store.join(d, Seq("s", "p", "o"), "left_anti")
-            case None => store
-          }
-          inst(its) match {
-            case Some(ins) => afterDel.unionByName(
-              ins.join(afterDel, Seq("s", "p", "o"), "left_anti"))
-            case None => afterDel
-          }
-      }
+      case (store, (op, idx)) =>
+        val out = applyTripleOp(op, store, None)
         if (idx < ops.length - 1) out.localCheckpoint() else out
     }
+  }
+
+  // ---- quad-store (named-graph dataset) update path ----
+
+  /** NULL g = the default graph throughout (the TriG/N-Quads model). */
+  private def gPred(t: Option[String]): Column =
+    t.map(g => col("g") <=> lit(g)).getOrElse(col("g").isNull)
+  private def gLit(t: Option[String]): Column =
+    t.map(g => lit(g)).getOrElse(lit(null).cast("string"))
+
+  /** Run a triple-level op against ONE graph slice of a quad store: split,
+    * update the slice as triples, reattach the graph column, union the
+    * untouched remainder back. Both filters push to a g-partitioned quad
+    * scan (null-SAFELY — `g =!= lit` would drop default-graph rows); the
+    * remainder never shuffles. */
+  private def onSlice(store: DataFrame, t: Option[String])
+                     (f: DataFrame => DataFrame): DataFrame = {
+    val slice = store.filter(gPred(t)).select(col("s"), col("p"), col("o"))
+    val rest = store.filter(!gPred(t))
+    f(slice).withColumn("g", gLit(t))
+      .select(col("s"), col("p"), col("o"), col("g"))
+      .unionByName(rest)
+  }
+
+  /** §3 over a named-graph dataset: data/modify ops run on their target
+    * graph's slice via the triple machinery; graph management is quad-
+    * native. Each op is anti-join/union/filter work proportional to the
+    * DELTA (or one graph's slice), never a whole-store shuffle. */
+  def applyQuadUpdate(ops: Seq[UpdOp], store0: DataFrame,
+                      requestScope: Option[String]): DataFrame = {
+    if (store0.columns.sorted.toSeq != Seq("g", "o", "p", "s"))
+      sys.error("applyQuadUpdate expects a quad store with exactly " +
+        s"(s, p, o, g) columns, got (${store0.columns.mkString(", ")})")
+    val cols = Seq(col("s"), col("p"), col("o"), col("g"))
+    ops.zipWithIndex.foldLeft(store0.select(cols: _*)) {
+      case (store, (op, idx)) =>
+        val out = applyQuadOp(op, store, requestScope)
+        if (idx < ops.length - 1) out.localCheckpoint() else out
+    }
+  }
+
+  private def applyQuadOp(op: UpdOp, store: DataFrame,
+                          scope: Option[String]): DataFrame = op match {
+    case Scoped(g, inner) => applyQuadOp(inner, store, Some(g))
+    case ClearOp(sel, _) => sel match {
+      // CLEAR/DROP: removing the triples IS removing the graph here (no
+      // empty-graph bookkeeping — see the UpdOp scaladoc)
+      case AllGraphs => store.filter(lit(false))
+      case NamedGraphsSel => store.filter(col("g").isNull)
+      case OneGraph(t) => store.filter(!gPred(t))
+    }
+    case CreateOp(_, _) => store // graphs exist exactly when non-empty
+    case AddLike(kind, src, dst, _) =>
+      if (src == dst) store // §3.2.5-7: same-graph ops are no-ops
+      else {
+        val moved = store.filter(gPred(src))
+          .select(col("s"), col("p"), col("o")).withColumn("g", gLit(dst))
+        kind match {
+          case "ADD" =>
+            // set semantics on the destination (D4): only absent rows land
+            val dstRows = store.filter(gPred(dst))
+              .select(col("s"), col("p"), col("o"))
+            store.unionByName(
+              moved.join(dstRows, Seq("s", "p", "o"), "left_anti"))
+          case "COPY" => store.filter(!gPred(dst)).unionByName(moved)
+          case "MOVE" =>
+            store.filter(!gPred(dst) && !gPred(src)).unionByName(moved)
+        }
+      }
+    case LoadOp(source, into, silent) =>
+      val sp = store.sparkSession
+      val path = source.stripPrefix("file://")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        if (silent) store // §3.2.4: SILENT turns resolution failure into no-op
+        else sys.error(s"LOAD: document not found: $source")
+      } else {
+        import sp.implicits._
+        // distributed parse (one task per document file); INTO GRAPH
+        // overrides any TriG graph blocks, else blocks keep their graph
+        // and top-level triples land in the default graph
+        val parsed = sp.read.option("wholetext", "true").textFile(path)
+          .filter((doc: String) => doc.nonEmpty)
+          .flatMap(doc =>
+            graft.sources.TurtleParser.parse(doc, "", scopeBnodeLabels = true))
+          .toDF()
+        val gCol = into match {
+          case Some(g) => lit(g)
+          case None => when(col("g") === "", lit(null).cast("string"))
+            .otherwise(col("g"))
+        }
+        val incoming = parsed
+          .select(col("s"), col("p"), col("o"), gCol.as("g"))
+        // EXCEPT is null-safe set difference: dedups the delta and skips
+        // rows already present (in any graph slice, NULL g included)
+        store.unionByName(incoming.except(store))
+      }
+    case InsertData(qs) =>
+      // group triples by effective target (explicit GRAPH beats the op
+      // scope); targets are disjoint slices, so application order is moot
+      qs.map(_._4.orElse(scope)).distinct.foldLeft(store) { (st, t) =>
+        val group = qs.filter(_._4.orElse(scope) == t)
+          .map(q => (q._1, q._2, q._3, None))
+        onSlice(st, t)(applyTripleOp(InsertData(group), _, None))
+      }
+    case DeleteData(qs) =>
+      qs.map(_._4.orElse(scope)).distinct.foldLeft(store) { (st, t) =>
+        val group = qs.filter(_._4.orElse(scope) == t)
+          .map(q => (q._1, q._2, q._3, None))
+        onSlice(st, t)(applyTripleOp(DeleteData(group), _, None))
+      }
+    case DeleteWhere(_) =>
+      onSlice(store, scope)(applyTripleOp(op, _, None))
+    case m @ Modify(_, _, _, u, un) =>
+      // §3.1.3 UsingClause: with USING / USING NAMED present, the WHERE
+      // evaluates over a dataset whose default graph is the union of the
+      // `using` graphs (empty if only USING NAMED was given); templates
+      // still hit the operation's target graph
+      val whereOverride =
+        if (u.nonEmpty || un.nonEmpty)
+          Some(store
+            .filter(if (u.isEmpty) lit(false) else col("g").isin(u: _*))
+            .select(col("s"), col("p"), col("o")))
+        else None
+      onSlice(store, scope)(applyTripleOp(m, _, whereOverride))
   }
 
   private final class P(toks0: Vector[Tok]) {
@@ -588,53 +764,123 @@ object SparqlText {
         }
     }
 
-    /** Update request (SPARQL 1.1 Update §3): an optional `WITH <g>`
-      * scope then a `;`-separated sequence of `INSERT DATA { … }`,
-      * `DELETE DATA { … }`, `DELETE WHERE { … }`, and modify forms. */
+    private def graphIriTok(): String = next() match {
+      case TIri(v) => resolveIri(v)
+      case TPname(v) => resolvePname(v)
+      case t => fail(s"expected graph IRI, got $t")
+    }
+    private def silentFlag(): Boolean =
+      if (isKw(peek, "SILENT")) { i += 1; true } else false
+    /** `(GRAPH)? <iri> | DEFAULT` — ADD/COPY/MOVE operands (§3.2.5). */
+    private def graphRef(): Option[String] =
+      if (isKw(peek, "DEFAULT")) { i += 1; None }
+      else { if (isKw(peek, "GRAPH")) i += 1; Some(graphIriTok()) }
+    /** `GRAPH <iri> | DEFAULT | NAMED | ALL` — CLEAR/DROP (§3.2.2). */
+    private def graphSel(): GraphSel =
+      if (isKw(peek, "ALL")) { i += 1; AllGraphs }
+      else if (isKw(peek, "NAMED")) { i += 1; NamedGraphsSel }
+      else if (isKw(peek, "DEFAULT")) { i += 1; OneGraph(None) }
+      else if (isKw(peek, "GRAPH")) { i += 1; OneGraph(Some(graphIriTok())) }
+      else fail("expected GRAPH <iri>, DEFAULT, NAMED, or ALL")
+    /** `(USING (NAMED)? <iri>)*` between templates and WHERE (§3.1.3). */
+    private def usingClauses(): (Seq[String], Seq[String]) = {
+      val u = Vector.newBuilder[String]; val un = Vector.newBuilder[String]
+      while (isKw(peek, "USING")) {
+        i += 1
+        if (isKw(peek, "NAMED")) { i += 1; un += graphIriTok() }
+        else u += graphIriTok()
+      }
+      (u.result(), un.result())
+    }
+
+    /** Update request (SPARQL 1.1 Update §3): an optional leading
+      * `WITH <g>` (graft extension: scopes EVERY op in the sequence —
+      * coincides with the spec for single-op requests) then a
+      * `;`-separated sequence of data ops (`INSERT DATA` / `DELETE DATA`,
+      * with `GRAPH <g> { … }` sections), modify forms (each accepting its
+      * own `WITH` and `USING` / `USING NAMED`), and graph management:
+      * `CLEAR` / `DROP` / `CREATE` / `ADD` / `COPY` / `MOVE` / `LOAD`. */
     def updateRequest(): (Seq[UpdOp], Option[String]) = {
       prologue()
       val withGraph =
-        if (isKw(peek, "WITH")) {
-          i += 1
-          Some(next() match {
-            case TIri(v) => resolveIri(v)
-            case TPname(v) => resolvePname(v)
-            case t => fail(s"expected graph IRI after WITH, got $t")
-          })
-        } else None
+        if (isKw(peek, "WITH")) { i += 1; Some(graphIriTok()) } else None
       val ops = Vector.newBuilder[UpdOp]
       var more = true
       while (more) {
-        if (isKw(peek, "INSERT")) {
+        val opScope =
+          if (isKw(peek, "WITH")) { i += 1; Some(graphIriTok()) } else None
+        val op: UpdOp = if (isKw(peek, "INSERT")) {
           i += 1
           if (isKw(peek, "DATA")) {
-            i += 1; ops += InsertData(tripleBlock(allowVars = false))
+            i += 1; InsertData(quadBlock(allowVars = false))
           } else {
-            // INSERT { t } WHERE { p }
+            // INSERT { t } (USING …)* WHERE { p }
             val ins = tripleBlock(allowVars = true)
+            val (u, un) = usingClauses()
             expectKw("WHERE")
-            ops += Modify(Nil, ins, tripleBlock(allowVars = true))
+            Modify(Nil, ins, tripleBlock(allowVars = true), u, un)
           }
         } else if (isKw(peek, "DELETE")) {
           i += 1
           if (isKw(peek, "DATA")) {
-            i += 1; ops += DeleteData(tripleBlock(allowVars = false))
+            i += 1; DeleteData(quadBlock(allowVars = false))
           } else if (isKw(peek, "WHERE")) {
-            i += 1; ops += DeleteWhere(tripleBlock(allowVars = true))
+            i += 1; DeleteWhere(tripleBlock(allowVars = true))
           } else if (peek == TPunct("{")) {
-            // DELETE { t } [INSERT { t }] WHERE { p }
+            // DELETE { t } [INSERT { t }] (USING …)* WHERE { p }
             val dels = tripleBlock(allowVars = true)
             val ins =
               if (isKw(peek, "INSERT")) { i += 1; tripleBlock(allowVars = true) }
               else Nil
+            val (u, un) = usingClauses()
             expectKw("WHERE")
-            ops += Modify(dels, ins, tripleBlock(allowVars = true))
+            Modify(dels, ins, tripleBlock(allowVars = true), u, un)
           } else fail("expected DATA, WHERE, or a template block after DELETE")
-        } else fail(s"expected INSERT or DELETE, got $peek")
+        } else if (isKw(peek, "CLEAR") || isKw(peek, "DROP")) {
+          i += 1; val s = silentFlag(); ClearOp(graphSel(), s)
+        } else if (isKw(peek, "CREATE")) {
+          i += 1; val s = silentFlag(); expectKw("GRAPH"); CreateOp(graphIriTok(), s)
+        } else if (isKw(peek, "ADD") || isKw(peek, "COPY") || isKw(peek, "MOVE")) {
+          val kind = peek.asInstanceOf[TIdent].v.toUpperCase
+          i += 1; val s = silentFlag()
+          val src = graphRef(); expectKw("TO"); val dst = graphRef()
+          AddLike(kind, src, dst, s)
+        } else if (isKw(peek, "LOAD")) {
+          i += 1; val s = silentFlag()
+          val src = next() match {
+            case TIri(v) => resolveIri(v)
+            case t => fail(s"expected document IRI after LOAD, got $t")
+          }
+          val into =
+            if (isKw(peek, "INTO")) { i += 1; expectKw("GRAPH"); Some(graphIriTok()) }
+            else None
+          LoadOp(src, into, s)
+        } else fail("expected INSERT, DELETE, CLEAR, DROP, CREATE, ADD, " +
+          s"COPY, MOVE, or LOAD, got $peek")
+        ops += (opScope match {
+          case None => op
+          case Some(g) => op match {
+            // §3.1.3's grammar attaches WITH to modify forms only
+            case _: Modify | _: DeleteWhere => Scoped(g, op)
+            case _ => fail("WITH scopes modify operations " +
+              "(DELETE/INSERT … WHERE, DELETE WHERE) only")
+          }
+        })
         if (peek == TPunct(";")) { i += 1; more = !eof } else more = false
       }
       if (!eof) fail(s"trailing tokens after update request: $peek")
       (ops.result(), withGraph)
+    }
+
+    /** One `s p o` entry of a triple/quad block. */
+    private def blockTriple(allowVars: Boolean): (Term, Term, Term) = {
+      val s = term(); val p = term(); val o = term()
+      if (!allowVars)
+        Seq(s, p, o).foreach {
+          case V(v) => fail(s"variable ?$v in a DATA block (ground triples only)")
+          case _ =>
+        }
+      (s, p, o)
     }
 
     /** `{ s p o . … }` — simple terms only (no paths, no po-lists); DATA
@@ -643,14 +889,36 @@ object SparqlText {
       expectPunct("{")
       val ts = Vector.newBuilder[(Term, Term, Term)]
       while (peek != TPunct("}")) {
-        val s = term(); val p = term(); val o = term()
-        if (!allowVars)
-          Seq(s, p, o).foreach {
-            case V(v) => fail(s"variable ?$v in a DATA block (ground triples only)")
-            case _ =>
-          }
-        ts += ((s, p, o))
+        ts += blockTriple(allowVars)
         if (peek == TPunct(".")) i += 1
+      }
+      i += 1
+      ts.result()
+    }
+
+    /** §3.1.1 QuadData: a triple block whose entries may sit inside
+      * `GRAPH <g> { … }` sections; the per-triple target rides along
+      * (None = the operation's scope). */
+    private def quadBlock(allowVars: Boolean): Seq[(Term, Term, Term, Option[String])] = {
+      expectPunct("{")
+      val ts = Vector.newBuilder[(Term, Term, Term, Option[String])]
+      while (peek != TPunct("}")) {
+        if (isKw(peek, "GRAPH")) {
+          i += 1
+          val g = graphIriTok()
+          expectPunct("{")
+          while (peek != TPunct("}")) {
+            val t = blockTriple(allowVars)
+            ts += ((t._1, t._2, t._3, Some(g)))
+            if (peek == TPunct(".")) i += 1
+          }
+          i += 1
+          if (peek == TPunct(".")) i += 1 // optional separator between sections
+        } else {
+          val t = blockTriple(allowVars)
+          ts += ((t._1, t._2, t._3, None))
+          if (peek == TPunct(".")) i += 1
+        }
       }
       i += 1
       ts.result()

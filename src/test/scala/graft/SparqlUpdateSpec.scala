@@ -138,11 +138,137 @@ class SparqlUpdateSpec extends SparkSpec {
     assert(e.getMessage.contains("quad store"))
   }
 
-  test("a quad store is refused, not silently projected") {
-    val quads = Seq(("a", "p", "b", "g1")).toDF("s", "p", "o", "g")
+  private def quadRows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, String, String, Option[String])].collect().toSeq
+      .sortBy(q => (q._1, q._2, q._3, q._4.getOrElse("")))
+
+  test("unscoped ops on a quad store hit the default graph only") {
+    val quads = Seq(("a", "p", "b", Some("g1")), ("a", "p", "c", None))
+      .toDF("s", "p", "o", "g")
+    val got = SparqlText.update(
+      "INSERT DATA { <x> <p> <y> } ; DELETE WHERE { ?s <p> ?o }", quads)
+    // the named-graph row survives; the default-graph rows (old + fresh
+    // insert) are matched by the unscoped DELETE WHERE
+    assert(quadRows(got) == Seq(("a", "p", "b", Some("g1"))))
+  }
+
+  test("CLEAR/DROP GRAPH, DEFAULT, NAMED, ALL") {
+    val quads = Seq(
+      ("a", "p", "b", Some("g1")), ("c", "p", "d", Some("g2")),
+      ("e", "p", "f", None)).toDF("s", "p", "o", "g")
+    assert(quadRows(SparqlText.update("CLEAR GRAPH <g1>", quads)) ==
+      Seq(("c", "p", "d", Some("g2")), ("e", "p", "f", None)))
+    assert(quadRows(SparqlText.update("DROP SILENT GRAPH <g1>", quads)) ==
+      Seq(("c", "p", "d", Some("g2")), ("e", "p", "f", None)))
+    assert(quadRows(SparqlText.update("CLEAR DEFAULT", quads)) ==
+      Seq(("a", "p", "b", Some("g1")), ("c", "p", "d", Some("g2"))))
+    assert(quadRows(SparqlText.update("CLEAR NAMED", quads)) ==
+      Seq(("e", "p", "f", None)))
+    assert(quadRows(SparqlText.update("CLEAR ALL", quads)).isEmpty)
+    // a missing graph is an empty graph (no empty-graph bookkeeping):
+    // no-op success, with or without SILENT
+    assert(quadRows(SparqlText.update("DROP GRAPH <nope>", quads)) ==
+      quadRows(quads))
+  }
+
+  test("ADD copies into the destination; COPY replaces it; MOVE also drops the source") {
+    val quads = Seq(
+      ("a", "p", "b", Some("g1")), ("x", "q", "y", Some("g2")),
+      ("a", "p", "b", Some("g2")), ("d", "r", "e", None))
+      .toDF("s", "p", "o", "g")
+    // ADD: g1's rows land in g2 minus what g2 already has; g1 unchanged
+    assert(quadRows(SparqlText.update("ADD GRAPH <g1> TO GRAPH <g2>", quads)) ==
+      quadRows(quads)) // (a,p,b) already present in g2 → set semantics no-op
+    assert(quadRows(SparqlText.update("ADD DEFAULT TO GRAPH <g2>", quads)) ==
+      (quadRows(quads) :+ (("d", "r", "e", Some("g2")))).sortBy(q =>
+        (q._1, q._2, q._3, q._4.getOrElse(""))))
+    // COPY: g2 becomes exactly g1's rows
+    assert(quadRows(SparqlText.update("COPY GRAPH <g1> TO GRAPH <g2>", quads)) ==
+      Seq(("a", "p", "b", Some("g1")), ("a", "p", "b", Some("g2")),
+        ("d", "r", "e", None)))
+    // MOVE: like COPY, then the source graph is dropped
+    assert(quadRows(SparqlText.update("MOVE GRAPH <g1> TO GRAPH <g2>", quads)) ==
+      Seq(("a", "p", "b", Some("g2")), ("d", "r", "e", None)))
+    // MOVE to DEFAULT
+    assert(quadRows(SparqlText.update("MOVE GRAPH <g2> TO DEFAULT", quads)) ==
+      Seq(("a", "p", "b", None), ("a", "p", "b", Some("g1")),
+        ("x", "q", "y", None)))
+    // same graph on both sides is the spec'd no-op; CREATE is a no-op too
+    assert(quadRows(SparqlText.update("MOVE GRAPH <g1> TO GRAPH <g1>", quads)) ==
+      quadRows(quads))
+    assert(quadRows(SparqlText.update("CREATE GRAPH <g9>", quads)) ==
+      quadRows(quads))
+  }
+
+  test("INSERT/DELETE DATA with GRAPH sections target their graphs") {
+    val quads = Seq(("a", "p", "b", Some("g1"))).toDF("s", "p", "o", "g")
+    val got = SparqlText.update(
+      """INSERT DATA { <d> <p> <e> . GRAPH <g1> { <f> <p> <g> } .
+        |               GRAPH <g2> { <h> <p> <i> } }""".stripMargin, quads)
+    assert(quadRows(got) == Seq(
+      ("a", "p", "b", Some("g1")), ("d", "p", "e", None),
+      ("f", "p", "g", Some("g1")), ("h", "p", "i", Some("g2"))))
+    val del = SparqlText.update(
+      "DELETE DATA { GRAPH <g1> { <a> <p> <b> } }", quads)
+    assert(quadRows(del).isEmpty)
+    // the same GRAPH section on a TRIPLE store refuses loudly
+    val e = intercept[RuntimeException](SparqlText.update(
+      "INSERT DATA { GRAPH <g1> { <a> <p> <b> } }", store(("a", "p", "b"))))
+    assert(e.getMessage.contains("quad store"))
+  }
+
+  test("per-op WITH scopes one op and overrides a leading request WITH") {
+    val quads = Seq(
+      ("a", "seg", "x", Some("g1")), ("b", "seg", "y", Some("g2")))
+      .toDF("s", "p", "o", "g")
+    val got = SparqlText.update(
+      """WITH <g1> DELETE WHERE { ?s <seg> ?o } ;
+        |WITH <g2> DELETE WHERE { ?s <seg> ?o }""".stripMargin, quads)
+    assert(quadRows(got).isEmpty)
+    // WITH belongs to modify forms only (§3.1.3's grammar)
+    assertThrows[RuntimeException](SparqlText.parseUpdate(
+      "WITH <g1> INSERT DATA { <a> <p> <b> } ; WITH <g2> CLEAR ALL"))
+  }
+
+  test("USING re-bases the WHERE; effects still hit the target graph") {
+    val quads = Seq(
+      ("a", "nation", "n1", Some("gsrc")), ("n1", "label", "L", None))
+      .toDF("s", "p", "o", "g")
+    // WHERE matches inside gsrc (not the default graph); the insert lands
+    // in the default graph (no WITH)
+    val got = SparqlText.update(
+      """INSERT { ?s <from_src> ?n } USING <gsrc> WHERE { ?s <nation> ?n }""",
+      quads)
+    assert(quadRows(got).contains(("a", "from_src", "n1", None)))
+    // only USING NAMED → the WHERE's default graph is EMPTY (§3.1.3)
+    val none = SparqlText.update(
+      """INSERT { ?s <x> ?n } USING NAMED <gsrc> WHERE { ?s <nation> ?n }""",
+      quads)
+    assert(quadRows(none) == quadRows(quads))
+    // USING on a triple store refuses loudly
+    val e = intercept[RuntimeException](SparqlText.update(
+      "INSERT { ?s <x> ?o } USING <g> WHERE { ?s <p> ?o }",
+      store(("a", "p", "b"))))
+    assert(e.getMessage.contains("quad store"))
+  }
+
+  test("LOAD parses a Turtle document into the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load")
+    val doc = dir.resolve("d.ttl")
+    java.nio.file.Files.writeString(doc,
+      "@prefix x: <http://x/> .\nx:a x:p x:b .\n")
+    val quads = Seq(("q", "r", "s", Some("g1"))).toDF("s", "p", "o", "g")
+    val got = SparqlText.update(s"LOAD <file://$doc>", quads)
+    assert(quadRows(got).contains(("http://x/a", "http://x/p", "http://x/b", None)))
+    val intoG = SparqlText.update(s"LOAD <file://$doc> INTO GRAPH <g9>", quads)
+    assert(quadRows(intoG).contains(
+      ("http://x/a", "http://x/p", "http://x/b", Some("g9"))))
+    // missing document: SILENT → no-op, otherwise loud
+    assert(quadRows(SparqlText.update(
+      s"LOAD SILENT <file://$dir/absent.ttl>", quads)) == quadRows(quads))
     val e = intercept[RuntimeException](
-      SparqlText.update("INSERT DATA { <x> <p> <y> }", quads))
-    assert(e.getMessage.contains("(s, p, o)"))
+      SparqlText.update(s"LOAD <file://$dir/absent.ttl>", quads))
+    assert(e.getMessage.contains("not found"))
   }
 
   test("BASE resolves relative IRIs inside update blocks") {
@@ -160,7 +286,9 @@ class SparqlUpdateSpec extends SparkSpec {
       Gen.asciiPrintableStr.map(_.take(60)),
       Gen.listOfN(12, Gen.oneOf("INSERT", "DELETE", "DATA", "WHERE", "{",
         "}", "?x", "<a>", "\"lit\"", "a:b", ".", ";", "PREFIX", ":",
-        "MODIFY", "GRAPH", "(", ")")).map(_.mkString(" ")),
+        "MODIFY", "GRAPH", "(", ")", "CLEAR", "DROP", "CREATE", "ADD",
+        "COPY", "MOVE", "LOAD", "USING", "NAMED", "SILENT", "TO", "INTO",
+        "DEFAULT", "ALL", "WITH")).map(_.mkString(" ")),
       Gen.const("INSERT DATA { <a> <p> "), // truncated
       Gen.const("DELETE { ?s <p> ?o } INSERT {"),
       Gen.const("DELETE WHERE { ?s"))
