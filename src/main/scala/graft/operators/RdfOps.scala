@@ -667,7 +667,30 @@ object RdfOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Term fidelity end-to-end (§17.4.2): LANG()/DATATYPE() as general
+    * expressions reading the hidden __lang_/__dt_ companions a
+    * fidelity-carrying source binds per object variable, STRLANG/STRDT
+    * constructing tagged terms via BIND, an IRI literal in expression
+    * position, and the scan-attached LangM fast path — all in one query.
+    * The companions ride the value joins (never as keys) and reach the
+    * projection as ordinary columns: zero extra shuffles. */
+  def q137LangDatatype(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?l (LANG(?l) AS ?lg) (DATATYPE(?l) AS ?ldt)
+        |       (DATATYPE(?k) AS ?kdt) (LANG(?k2) AS ?k2lg)
+        |       (DATATYPE(?l2) AS ?l2dt)
+        |WHERE {
+        |  ?s <label> ?l .
+        |  ?s <key> ?k .
+        |  BIND(STRLANG(?k, "xx") AS ?k2)
+        |  BIND(STRDT(?l, <http://www.w3.org/2001/XMLSchema#token>) AS ?l2)
+        |  FILTER(LANG(?l) = "de")
+        |  FILTER(DATATYPE(?k) = <http://www.w3.org/2001/XMLSchema#integer>)
+        |}""".stripMargin,
+      TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_lang_datatype"     -> q137LangDatatype _,
     "q136_update_graphs"     -> q136UpdateGraphs _,
     "q131_sparql_modify"     -> q131SparqlModify _,
     "q129_sparql_update"     -> q129SparqlUpdate _,
@@ -726,6 +749,15 @@ object RdfOps {
          st3 AS (SELECT s, CASE WHEN p = 'segment' THEN 'mktsegment' ELSE p END AS p, o
                  FROM st2)
          SELECT p, CAST(count(*) AS BIGINT) AS n FROM st3 GROUP BY p""",
+    "q137_lang_datatype" ->
+      s"""WITH f AS (${TripleStore.fidelityTriplesSql})
+         SELECT l.s AS s, l.o AS l, l.oLang AS lg,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS ldt,
+                'http://www.w3.org/2001/XMLSchema#integer' AS kdt,
+                'xx' AS k2lg,
+                'http://www.w3.org/2001/XMLSchema#token' AS l2dt
+         FROM f l JOIN f k ON l.s = k.s
+         WHERE l.p = 'label' AND l.oLang = 'de' AND k.p = 'key'""",
     "q136_update_graphs" ->
       s"""WITH st0 AS (SELECT * FROM (${TripleStore.quadsSql})
                        UNION ALL SELECT * FROM (VALUES

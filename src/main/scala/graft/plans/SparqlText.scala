@@ -1197,12 +1197,22 @@ object SparqlText {
           expectPunct(")")
           LangM(v, lang)
         case t if isKw(t, "lang") =>
-          // FILTER (LANG(?v) = "de")
+          // FILTER (LANG(?v) = "de") — the scan-attachable shape compiles
+          // to a LangM filter on the binding pattern's oLang column; any
+          // other LANG use backtracks into the general expression grammar
+          // (which reads the __lang_ fidelity companion)
+          val save = i
           i += 1; expectPunct("(")
           val v = varName()
-          expectPunct(")"); expectPunct("=")
-          val lang = next() match { case TStr(s, _) => s; case t2 => fail(s"expected lang string, got $t2") }
-          LangM(v, lang)
+          expectPunct(")")
+          val exact = peek == TPunct("=") &&
+            toks.lift(i + 1).exists(_.isInstanceOf[TStr]) &&
+            toks.lift(i + 2).contains(TPunct(")"))
+          if (exact) {
+            i += 1
+            val TStr(lang, _) = next(): @unchecked
+            LangM(v, lang)
+          } else { i = save; FilterExpr(expr()) }
         case _ => FilterExpr(expr())
       }
       expectPunct(")")
@@ -1300,7 +1310,9 @@ object SparqlText {
       "STRBEFORE" -> (2, 2), "STRAFTER" -> (2, 2), "REPLACE" -> (3, 3),
       "REGEX" -> (2, 3), "ABS" -> (1, 1), "ROUND" -> (1, 1),
       "CEIL" -> (1, 1), "FLOOR" -> (1, 1), "YEAR" -> (1, 1),
-      "MONTH" -> (1, 1), "DAY" -> (1, 1), "COALESCE" -> (1, 99))
+      "MONTH" -> (1, 1), "DAY" -> (1, 1), "COALESCE" -> (1, 99),
+      "LANG" -> (1, 1), "DATATYPE" -> (1, 1),
+      "STRLANG" -> (2, 2), "STRDT" -> (2, 2))
 
     private def primaryExpr(): EExpr = peek match {
       case TPunct("(") =>
@@ -1315,6 +1327,15 @@ object SparqlText {
       case TNum(_) =>
         val TNum(s) = next(): @unchecked
         ENum(s)
+      // IRIs in expression position (STRDT datatypes, `?x = <iri>`
+      // comparisons) evaluate to their lexical form — the engine's columns
+      // hold plain strings (SURVEY §1.1 term model)
+      case TIri(_) =>
+        val TIri(v) = next(): @unchecked
+        EStr(resolveIri(v))
+      case TPname(_) =>
+        val TPname(v) = next(): @unchecked
+        EStr(resolvePname(v))
       case t if isKw(t, "BOUND") =>
         i += 1; expectPunct("(")
         val v = varName()
@@ -1840,12 +1861,30 @@ object SparqlText {
     var acc: Option[DataFrame] = None
     var svc: Option[Seq[String]] = None
 
-    def join(df: DataFrame): Unit = acc = acc match {
-      case None => Some(df)
+    // Fidelity companions (see langCol's doc) are never join keys and on a
+    // collision the incoming side's copy is dropped — value-join, carry
+    // the term struct (model/Rdf.scala).
+    def dropSharedHidden(a: DataFrame, df: DataFrame): DataFrame =
+      a.columns.intersect(df.columns).filter(isFidelityCol)
+        .foldLeft(df)(_ drop _)
+    def join(df0: DataFrame): Unit = acc = acc match {
+      case None => Some(df0)
       case Some(a) =>
+        val df = dropSharedHidden(a, df0)
         val shared = a.columns.intersect(df.columns).toSeq
         if (shared.isEmpty) Some(a.crossJoin(df)) else Some(a.join(df, shared))
     }
+    // An object variable over a fidelity-carrying source binds its term
+    // companions alongside the value column.
+    val hasFidelity =
+      triples.columns.contains("oLang") || triples.columns.contains("oDatatype")
+    def companions(v: String): Seq[Column] =
+      if (!hasFidelity) Nil
+      else Seq(
+        (if (triples.columns.contains("oLang")) col("oLang")
+         else lit(null).cast("string")).as(langCol(v)),
+        (if (triples.columns.contains("oDatatype")) col("oDatatype")
+         else lit(null).cast("string")).as(dtCol(v)))
 
     els.foreach {
       case Tp(s, Path(Seq(PStep(Seq((pv, false)), "", false))), o) =>
@@ -1874,6 +1913,7 @@ object SparqlText {
               langApplied += v
             }
             projected += col("o").as(v)
+            projected ++= companions(v)
           case C(v) => pat = pat.filter(col("o") === v)
           case L(v) => pat = pat.filter(col("o") === v)
         }
@@ -1897,7 +1937,9 @@ object SparqlText {
         }
         projected += col("p").as(pv)
         o match {
-          case V(v) => projected += col("o").as(v)
+          case V(v) =>
+            projected += col("o").as(v)
+            projected ++= companions(v)
           case C(v) => pat = pat.filter(col("o") === v)
           case L(v) => pat = pat.filter(col("o") === v)
         }
@@ -1956,12 +1998,20 @@ object SparqlText {
       case UnionEl(arms) =>
         val dfs = arms.map(a =>
           compileGroup(a, triples, labels, params, memo, graphCtx, namedTriples)._1)
-        join(dfs.reduce(_ unionByName _))
+        // normalize fidelity companions across arms: an arm binding ?v in
+        // SUBJECT position carries no companions for it — fill nulls
+        // (= plain term) so the union lines up; user variables still must
+        // match across arms (loud otherwise)
+        val fid = dfs.flatMap(_.columns)
+          .filter(c => c.startsWith("__lang_") || c.startsWith("__dt_")).distinct
+        val normalized = dfs.map(df => fid.filterNot(df.columns.contains)
+          .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
+        join(normalized.reduce(_ unionByName _))
       case OptEl(g) =>
         val right =
           compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
-        acc = Some(SparqlAlgebra.optional(
-          acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern")), right))
+        val a = acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern"))
+        acc = Some(SparqlAlgebra.optional(a, dropSharedHidden(a, right)))
       case GraphEl(graph, g) =>
         // inner GRAPH re-scopes (replaces, not intersects, any outer
         // context — §13.3's active-graph substitution); with explicit
@@ -1972,7 +2022,10 @@ object SparqlText {
         val a = acc.getOrElse(sys.error("MINUS requires a preceding pattern"))
         val right =
           compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
+        // fidelity companions are not solution variables — compatibility
+        // is decided on the value columns only
         val shared = a.columns.intersect(right.columns).toSeq
+          .filterNot(isFidelityCol)
         // no shared variables → every solution is incompatible with every
         // right-side solution → MINUS removes nothing (SPARQL §8.3.3)
         acc = Some(if (shared.isEmpty) a
@@ -1985,14 +2038,30 @@ object SparqlText {
         join(compileSelect(sub, triples, labels, params, memo))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
-        acc = Some(a.withColumn(out, compileE(e)._1))
+        acc = Some(e match {
+          // term constructors (§17.4.2.8/9): the value lands in the
+          // variable, the tag in its fidelity companions — LANG/DATATYPE
+          // of the bound variable then answer from those
+          case EFn("STRLANG", Seq(x, l)) =>
+            a.withColumn(out, compileE(x)._1)
+              .withColumn(langCol(out), compileE(l)._1)
+              .withColumn(dtCol(out), lit(null).cast("string"))
+          case EFn("STRDT", Seq(x, d)) =>
+            a.withColumn(out, compileE(x)._1)
+              .withColumn(langCol(out), lit(null).cast("string"))
+              .withColumn(dtCol(out), compileE(d)._1)
+          case _ => a.withColumn(out, compileE(e)._1)
+        })
       case BindMint(out, prefix) =>
         // STRUUID surrogate: md5 of the row's non-anonymous bound variables
         // (sorted for stability) — one URI per distinct binding, stable
         // across re-runs (R2 / SURVEY §7.3); anonymous `[]` vars are
-        // existential scaffolding and excluded from the key.
+        // existential scaffolding and fidelity companions are not solution
+        // variables — both excluded from the key.
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
-        val keyCols = a.columns.filterNot(_.startsWith("__anon")).sorted.map(col)
+        val keyCols = a.columns
+          .filterNot(c => c.startsWith("__anon") || isFidelityCol(c))
+          .sorted.map(col)
         acc = Some(a.withColumn(out,
           concat(lit(prefix), md5(concat_ws("|", keyCols: _*)))))
       case _: FilterExpr => // group-wide; applied below once all vars are bound
@@ -2009,6 +2078,7 @@ object SparqlText {
         val right =
           compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
         val shared = out.columns.intersect(right.columns).toSeq
+          .filterNot(isFidelityCol) // companions are not solution vars
         if (shared.isEmpty) sys.error(
           "FILTER [NOT] EXISTS must share at least one variable with the outer group")
         out = compatNegation(out, right, shared, anti = negated,
@@ -2112,6 +2182,23 @@ object SparqlText {
     // so require an explicit comparison instead of guessing truthiness
     case (_, ty) => sys.error(s"expected a boolean expression, got $ty")
   }
+
+  /** Hidden fidelity companions: a source carrying `oLang`/`oDatatype`
+    * (the Quad model's term-fidelity fields, model/Rdf.scala) binds
+    * `__lang_v`/`__dt_v` alongside every object variable `v`. The `__`
+    * prefix keeps them out of SELECT * and BIND-mint keys; they are never
+    * JOIN keys (the model joins on VALUE and carries the term struct —
+    * a NULL tag on both sides must not drop rows), so on a collision the
+    * first binder's companion wins. */
+  private[plans] def langCol(v: String): String = s"__lang_$v"
+  private[plans] def dtCol(v: String): String = s"__dt_$v"
+  /** ONLY the fidelity companions are join-transparent — __anon blank-node
+    * columns stay ordinary join keys (J10's correlation rides on them). */
+  private def isFidelityCol(c: String): Boolean =
+    c.startsWith("__lang_") || c.startsWith("__dt_")
+  private val RdfLangString =
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+  private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
 
   /** Unified expression → (Column, type). SPARQL's error-propagation
     * semantics (an unbound var poisons the expression, excluding the row)
@@ -2235,6 +2322,26 @@ object SparqlText {
         // uniform numeric args stay numeric; anything mixed unifies lexical
         if (cs.forall(_._2 == TyN)) (coalesce(cs.map(_._1): _*), TyN)
         else (coalesce(cs.map(asStr): _*), TyS)
+      // ---- term fidelity (§17.4.2): reads the hidden __lang_/__dt_
+      // companion columns a fidelity-carrying source binds alongside each
+      // object variable (and BIND(STRLANG/STRDT) creates). A variable
+      // bound WITHOUT companions fails loudly at analysis with the
+      // companion column's name. The engine's value model carries no term
+      // type, so LANG/DATATYPE of an IRI-valued variable answer as for a
+      // simple literal (""/xsd:string) instead of erroring.
+      case "LANG" => args.head match {
+        case EVar(v) => (coalesce(col(langCol(v)), lit("")), TyS)
+        case other => sys.error(s"LANG expects a variable, got $other")
+      }
+      case "DATATYPE" => args.head match {
+        case EVar(v) => (coalesce(col(dtCol(v)),
+          when(col(langCol(v)).isNotNull, lit(RdfLangString))
+            .otherwise(lit(XsdString))), TyS)
+        case other => sys.error(s"DATATYPE expects a variable, got $other")
+      }
+      case "STRLANG" | "STRDT" => sys.error(
+        s"$fn is supported as the top-level expression of BIND only " +
+          "(the constructed term's tag rides in hidden fidelity columns)")
       case other => sys.error(s"unsupported function: $other")
     }
   }

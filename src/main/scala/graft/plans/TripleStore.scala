@@ -95,6 +95,30 @@ object TripleStore {
       |UNION ALL SELECT 'R'||CAST(r_regionkey AS VARCHAR), 'en', r_name FROM region
       |UNION ALL SELECT 'R'||CAST(r_regionkey AS VARCHAR), 'de', lower(r_name) FROM region WHERE r_regionkey % 2 = 0""".stripMargin
 
+  /** Term-fidelity triples (s, p, o, oLang, oDatatype): [[langLabels]] as
+    * lang-tagged `label` literals plus an xsd:integer-typed `key` triple
+    * per nation — the Quad-model fidelity fields (model/Rdf.scala) the
+    * LANG()/DATATYPE() expression surface reads. The reference's data is
+    * lang-tagged throughout (get_data_apis_vanilla.py:206,532). */
+  def fidelityTriples(sp: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(sp, dir)
+    val ns = concat(lit("N"), str(n("n_nationkey")))
+    langLabels(sp, dir).select(col("entity").as("s"), lit("label").as("p"),
+        col("label").as("o"), col("lang").as("oLang"),
+        lit(null).cast("string").as("oDatatype"))
+      .unionByName(n.select(ns.as("s"), lit("key").as("p"),
+        str(n("n_nationkey")).as("o"), lit(null).cast("string").as("oLang"),
+        lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype")))
+  }
+
+  val fidelityTriplesSql: String =
+    s"""SELECT entity AS s, 'label' AS p, label AS o, lang AS oLang,
+      |       CAST(NULL AS VARCHAR) AS oDatatype FROM ($langLabelsSql)
+      |UNION ALL
+      |SELECT 'N'||CAST(n_nationkey AS VARCHAR), 'key',
+      |       CAST(n_nationkey AS VARCHAR), NULL,
+      |       'http://www.w3.org/2001/XMLSchema#integer' FROM nation""".stripMargin
+
   /** Containment edges child→parent across the whole star schema:
     * lineitem→order→customer→nation→region. */
   def edges(sp: SparkSession, dir: String, withLineitems: Boolean = true): DataFrame = {

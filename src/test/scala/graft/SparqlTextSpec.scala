@@ -1243,4 +1243,77 @@ class SparqlTextSpec extends SparkSpec {
       quads, labels))
     assert(e3.getMessage.contains("subselect"))
   }
+
+  test("LANG() as a general expression (projection + non-equality filter)") {
+    // the fixture source carries oLang, so every object variable binds a
+    // __lang_ companion; plain literals (dates) answer ""
+    val q =
+      """SELECT ?s ?d (LANG(?d) AS ?lg) WHERE {
+        |  ?s schema:description ?d .
+        |  FILTER(LANG(?d) != "en")
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(
+      Seq("P1", "Dichter", "de"), Seq("P5", "Maler", "de")))
+    val plain = SparqlText.run(
+      "SELECT (LANG(?b) AS ?lg) WHERE { ?s wdt:P569 ?b } LIMIT 1",
+      triples, labels)
+    assert(plain.collect().map(_.getString(0)).toSeq == Seq(""))
+  }
+
+  test("DATATYPE(): langString for tagged, xsd:string for plain literals") {
+    val q =
+      """SELECT DISTINCT (DATATYPE(?d) AS ?dt) WHERE {
+        |  ?s schema:description ?d . FILTER(LANG(?d) = "de")
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(
+      Seq("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")))
+    val q2 =
+      "SELECT DISTINCT (DATATYPE(?b) AS ?dt) WHERE { ?s wdt:P569 ?b }"
+    assert(rows(SparqlText.run(q2, triples, labels)) == Set(
+      Seq("http://www.w3.org/2001/XMLSchema#string")))
+  }
+
+  test("STRLANG/STRDT construct tagged terms via BIND") {
+    val q =
+      """SELECT ?s ?lg ?dt WHERE {
+        |  ?s wdt:P27 wd:Q40 .
+        |  BIND(STRLANG("chat", "fr") AS ?t1)
+        |  BIND(STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>) AS ?t2)
+        |  BIND(LANG(?t1) AS ?lg)
+        |  BIND(DATATYPE(?t2) AS ?dt)
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) == Set(
+      Seq("P1", "fr", "http://www.w3.org/2001/XMLSchema#integer"),
+      Seq("P2", "fr", "http://www.w3.org/2001/XMLSchema#integer"),
+      Seq("P8", "fr", "http://www.w3.org/2001/XMLSchema#integer")))
+    // constructors outside BIND refuse loudly
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE { ?s wdt:P27 ?c . FILTER(STRLANG(?c, "x") = "y") }""",
+      triples, labels))
+    assert(e.getMessage.contains("BIND"))
+  }
+
+  test("fidelity companions stay hidden and never become join keys") {
+    // SELECT * must not leak __lang_/__dt_ columns
+    val star = SparqlText.run(
+      "SELECT * WHERE { ?s schema:description ?d }", triples, labels)
+    assert(star.columns.toSet == Set("s", "d"))
+    // a self-join on an object variable joins on VALUE (both description
+    // rows of P1 carry different langs but the same subject — a join on
+    // the companions would have to match lang too; value-join keeps both)
+    val q =
+      """SELECT ?s ?d WHERE {
+        |  ?s schema:description ?d . ?s schema:description ?d .
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)).size == 4)
+    // UNION arms binding ?x in object vs subject position line up (the
+    // subject arm fills null companions = plain term)
+    val u =
+      """SELECT ?x (LANG(?x) AS ?lg) WHERE {
+        |  { <P1> schema:description ?x } UNION { ?x wdt:P27 wd:Q28513 }
+        |}""".stripMargin
+    val got = SparqlText.run(u, triples, labels).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Dichter", "de"), ("poet", "en"), ("P3", ""), ("P7", "")))
+  }
 }
