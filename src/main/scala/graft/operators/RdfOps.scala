@@ -689,7 +689,35 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Negated property set with an INVERSE member (§9.1): for each nation
+    * of region R1, `!(<type>|^<region>)` matches its forward triples with
+    * predicate outside {type} (label, region) plus the REVERSED incoming
+    * triples with predicate outside {region} (customers/suppliers
+    * pointing at it via `nation`). Two complement-filtered scans — not a
+    * union of the positive arms. */
+  def q139NegatedInverse(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?o WHERE {
+        |  ?x <region> <R1> .
+        |  ?x !(<type>|^<region>) ?o .
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** EXISTS in expression position (§17.4.1.4): `FILTER(expr && EXISTS
+    * {…})` — the EXISTS lifts to a hidden boolean mark via the same
+    * compatibility machinery as the group-level form, so the conjunction
+    * is an ordinary codegen'd predicate over the mark column. */
+  def q138ExistsExpr(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?seg WHERE {
+        |  ?s <segment> ?seg .
+        |  FILTER(STRLEN(?seg) > 5 && EXISTS { ?s <nation> <N1> })
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_negated_inverse"   -> q139NegatedInverse _,
+    "q138_exists_expr"       -> q138ExistsExpr _,
     "q137_lang_datatype"     -> q137LangDatatype _,
     "q136_update_graphs"     -> q136UpdateGraphs _,
     "q131_sparql_modify"     -> q131SparqlModify _,
@@ -749,6 +777,20 @@ object RdfOps {
          st3 AS (SELECT s, CASE WHEN p = 'segment' THEN 'mktsegment' ELSE p END AS p, o
                  FROM st2)
          SELECT p, CAST(count(*) AS BIGINT) AS n FROM st3 GROUP BY p""",
+    "q139_negated_inverse" ->
+      s"""WITH st AS ($T),
+         r1 AS (SELECT s FROM st WHERE p = 'region' AND o = 'R1')
+         SELECT x.s AS x, x.o AS o FROM st x JOIN r1 ON x.s = r1.s
+         WHERE x.p <> 'type'
+         UNION ALL
+         SELECT t.o AS x, t.s AS o FROM st t JOIN r1 ON t.o = r1.s
+         WHERE t.p <> 'region'""",
+    "q138_exists_expr" ->
+      s"""WITH st AS ($T)
+         SELECT c.s AS s, c.o AS seg FROM st c
+         WHERE c.p = 'segment' AND length(c.o) > 5
+           AND EXISTS (SELECT 1 FROM st n
+                       WHERE n.p = 'nation' AND n.o = 'N1' AND n.s = c.s)""",
     "q137_lang_datatype" ->
       s"""WITH f AS (${TripleStore.fidelityTriplesSql})
          SELECT l.s AS s, l.o AS l, l.oLang AS lg,

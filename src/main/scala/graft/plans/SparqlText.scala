@@ -99,9 +99,11 @@ object SparqlText {
     * loudly rather than silently regroup). */
   final case class Path(steps: Seq[PStep])
   /** mod: "" (exactly one), "*" (zero or more), "+" (one or more),
-    * "?" (zero or one). negated: `!p` / `!(p1|p2)` negated property set
-    * (§9.1) — the step's edge relation is every triple whose predicate is
-    * NOT in the set (forward primaries only; `!^p` fails loudly). */
+    * "?" (zero or one). negated: `!p` / `!(p1|^p2)` negated property set
+    * (§9.1) — the step's edge relation is the forward triples whose
+    * predicate is NOT in the forward member set, unioned with the
+    * REVERSED triples whose predicate is NOT in the inverse member set
+    * (each complement present only when its side has members). */
   final case class PStep(alts: Seq[(String, Boolean)], mod: String,
                          negated: Boolean = false) {
     def star: Boolean = mod == "*"
@@ -209,6 +211,13 @@ object SparqlText {
   /** `BOUND(?v)` — SPARQL unbound maps to SQL null under OPTIONAL. */
   final case class EBound(v: String) extends EExpr
   final case class EIf(c: EExpr, t: EExpr, f: EExpr) extends EExpr
+  /** `[NOT] EXISTS { … }` in expression position (§17.4.1.4): legal
+    * anywhere a boolean fits inside a FILTER expression — lifted to a
+    * hidden boolean mark column via a compatibility join pair before the
+    * filter compiles (see the FilterExpr case in compileGroup). */
+  final case class EExists(g: Seq[El], negated: Boolean) extends EExpr
+  /** Internal: a lifted boolean mark column reference. */
+  private[plans] final case class EMark(name: String) extends EExpr
   /** Builtin call: STR, STRLEN, UCASE, LCASE, SUBSTR, CONCAT, CONTAINS,
     * STRSTARTS, STRENDS, STRBEFORE, STRAFTER, REPLACE, REGEX, ABS, ROUND,
     * CEIL, FLOOR, YEAR, MONTH, DAY, COALESCE. */
@@ -1341,6 +1350,10 @@ object SparqlText {
         val v = varName()
         expectPunct(")")
         EBound(v)
+      case t if isKw(t, "EXISTS") =>
+        i += 1; EExists(group(), negated = false)
+      case t if isKw(t, "NOT") =>
+        i += 1; expectKw("EXISTS"); EExists(group(), negated = true)
       case t if isKw(t, "IF") =>
         i += 1; expectPunct("(")
         val c = orExpr()
@@ -1520,9 +1533,11 @@ object SparqlText {
       // returns (step, wasParenthesized) — bare alternation is only legal
       // when the whole path is this one step
       def step(): (PStep, Boolean) = {
-        // `!p` / `!(p1|p2)` negated property set (§9.1); inverse primaries
-        // inside a negated set would flip edge direction per-alternative —
-        // unsupported, and primary() fails loudly on `^` after `!(`
+        // `!p` / `!(p1|^p2)` negated property set (§9.1): forward and
+        // inverse members split into two complements — forward triples
+        // whose predicate is outside the forward set, plus REVERSED
+        // triples whose predicate is outside the inverse set (each side
+        // present only when it has members; see edgesOfStep)
         val negated = peek == TPunct("!") && { i += 1; true }
         val paren = peek == TPunct("(") && { i += 1; true }
         val alts = Vector.newBuilder[(String, Boolean)]
@@ -1530,8 +1545,6 @@ object SparqlText {
         while (peek == TPunct("|")) { i += 1; alts += primary() }
         if (paren) expectPunct(")")
         val raw = alts.result()
-        if (negated && raw.exists(_._2))
-          fail("inverse primaries inside a negated property set are unsupported")
         val mod = peek match {
           case TPunct("*") => i += 1; "*"
           case TPunct("+") => i += 1; "+"
@@ -2073,7 +2086,46 @@ object SparqlText {
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
-      case FilterExpr(e) => out = out.filter(compileBool(e))
+      case FilterExpr(e) =>
+        // §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node
+        // lifts to a hidden boolean mark: the left side splits into
+        // compat-matched / not-matched partitions (the same audited
+        // machinery as the group-level form — exact multiset, null-
+        // compatible), re-unioned with the mark, so the surrounding
+        // expression (&&, ||, IF, NOT) sees an ordinary column. Marks are
+        // dropped after the filter.
+        var lifted = out
+        var n = 0
+        val marks = Vector.newBuilder[String]
+        def lift(x: EExpr): EExpr = x match {
+          case EExists(g, neg) =>
+            val right = compileGroup(g, triples, labels, params, memo,
+              graphCtx, namedTriples)._1
+            val shared = lifted.columns.intersect(right.columns).toSeq
+              .filterNot(isFidelityCol)
+            if (shared.isEmpty) sys.error(
+              "EXISTS must share at least one variable with the outer group")
+            val m = s"__exists$n"; n += 1; marks += m
+            val matched = compatNegation(lifted, right, shared,
+              anti = false, requireOverlap = false).withColumn(m, lit(true))
+            val unmatched = compatNegation(lifted, right, shared,
+              anti = true, requireOverlap = false).withColumn(m, lit(false))
+            lifted = matched.unionByName(unmatched)
+            if (neg) ENot(EMark(m)) else EMark(m)
+          case EAnd(l, r) => EAnd(lift(l), lift(r))
+          case EOr(l, r) => EOr(lift(l), lift(r))
+          case ENot(y) => ENot(lift(y))
+          case ECmp(op, l, r) => ECmp(op, lift(l), lift(r))
+          case EArith(op, l, r) => EArith(op, lift(l), lift(r))
+          case ENeg(y) => ENeg(lift(y))
+          case EIf(c, t, f) => EIf(lift(c), lift(t), lift(f))
+          case EFn(nm, as) => EFn(nm, as.map(lift))
+          case EIn(y, vs, neg) => EIn(lift(y), vs, neg)
+          case leaf => leaf
+        }
+        val e2 = lift(e)
+        out = lifted.filter(compileBool(e2))
+        marks.result().foreach(m => out = out.drop(m))
       case ExistsEl(g, negated) =>
         val right =
           compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
@@ -2249,6 +2301,11 @@ object SparqlText {
         else (asStr(tc), asStr(fc), TyS)
       (when(compileBool(c), tv).otherwise(fv), ty)
     case EFn(fn, args) => compileFn(fn, args)
+    case EMark(name) => (col(name), TyB)
+    case _: EExists =>
+      // lifted to EMark columns by the FILTER compiler before compileE
+      sys.error("EXISTS in expression position is supported inside FILTER " +
+        "expressions only (BIND/projections cannot lift the mark join)")
     case _: EAgg =>
       // lifted to hidden columns by the HAVING compiler before compileE
       sys.error("aggregate calls are only legal inside HAVING expressions")
@@ -2365,10 +2422,21 @@ object SparqlText {
     // is ONE scan over the complement predicate filter (forward-only,
     // enforced at parse)
     def edgesOfStep(st: PStep): DataFrame =
-      if (st.negated)
-        triples.filter(!col("p").isin(st.alts.map(_._1): _*))
-          .select(col("s").as("src"), col("o").as("dst"))
-      else st.alts.map { case (p, inv) =>
+      if (st.negated) {
+        // §9.1: !(p1|…|^q1|…) = forward triples with predicate outside
+        // {p1…} UNION reversed triples with predicate outside {q1…} —
+        // each complement present only when its side has members
+        val (invM, fwdM) = st.alts.partition(_._2)
+        val fwd =
+          if (fwdM.isEmpty) None
+          else Some(triples.filter(!col("p").isin(fwdM.map(_._1): _*))
+            .select(col("s").as("src"), col("o").as("dst")))
+        val inv =
+          if (invM.isEmpty) None
+          else Some(triples.filter(!col("p").isin(invM.map(_._1): _*))
+            .select(col("o").as("src"), col("s").as("dst")))
+        (fwd.toSeq ++ inv.toSeq).reduce(_ unionByName _)
+      } else st.alts.map { case (p, inv) =>
         val e = triples.filter(col("p") === p)
         if (inv) e.select(col("o").as("src"), col("s").as("dst"))
         else e.select(col("s").as("src"), col("o").as("dst"))

@@ -1075,10 +1075,8 @@ class SparqlTextSpec extends SparkSpec {
     // chained after a constant step
     val chain = "SELECT ?s ?o WHERE { ?s wdt:P570 ?d . ?s !wdt:P27 ?o . }"
     assert(SparqlText.run(chain, triples, labels).count() == 10)
-    // inverse inside a negated set is a loud failure
-    val e = intercept[RuntimeException](SparqlText.parse(
-      "SELECT ?o WHERE { <P1> !(^wdt:P27) ?o . }"))
-    assert(e.getMessage.contains("negated"))
+    // inverse members parse since round 6 (dedicated semantics test below)
+    SparqlText.parse("SELECT ?o WHERE { <P1> !(^wdt:P27) ?o . }")
   }
 
   test("HAVING over the unified grammar: connectives, arithmetic, agg-vs-agg") {
@@ -1291,6 +1289,66 @@ class SparqlTextSpec extends SparkSpec {
       """SELECT ?s WHERE { ?s wdt:P27 ?c . FILTER(STRLANG(?c, "x") = "y") }""",
       triples, labels))
     assert(e.getMessage.contains("BIND"))
+  }
+
+  test("negated property sets accept inverse members (§9.1)") {
+    // inverse-only set: every REVERSED triple into wd:Q40 whose predicate
+    // is outside {nope} — the three P27 citizens; no forward side at all
+    val q1 = "SELECT ?o WHERE { wd:Q40 !(^<nope>) ?o }"
+    assert(rows(SparqlText.run(q1, triples, labels)) ==
+      Set(Seq("P1"), Seq("P2"), Seq("P8")))
+    // the inverse complement excludes its member
+    val q2 = "SELECT ?o WHERE { wd:Q40 !(^wdt:P27) ?o }"
+    assert(rows(SparqlText.run(q2, triples, labels)).isEmpty)
+    // mixed set: forward complement (P1's citizenship survives the three
+    // excluded forward predicates) ∪ reversed complement (nothing enters
+    // P1) — and the forward member set still excludes ITS members
+    val q3 =
+      """SELECT ?o WHERE {
+        |  <P1> !(wdt:P569|wdt:P570|schema:description|^<z>) ?o
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q3, triples, labels)) == Set(Seq("wd:Q40")))
+  }
+
+  test("EXISTS in expression positions (&&, IF, NOT) lifts to a mark join") {
+    // ?s has a death date AND was born before 1950 — conjunction with an
+    // EXISTS operand (§17.4.1.4)
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  FILTER(?b < "1950-01-01" && EXISTS { ?s wdt:P570 ?d })
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q, triples, labels)) ==
+      Set(Seq("P1"), Seq("P3"), Seq("P5")))
+    // NOT EXISTS as an expression operand, under ||
+    val q2 =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  FILTER(?b > "1965-01-01" || NOT EXISTS { ?s wdt:P570 ?d })
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q2, triples, labels)) ==
+      Set(Seq("P2"), Seq("P4"), Seq("P6"), Seq("P7"), Seq("P8")))
+    // IF over an EXISTS condition — the lift is recursive
+    val q3 =
+      """SELECT ?s WHERE {
+        |  ?s wdt:P569 ?b .
+        |  FILTER(IF(EXISTS { ?s wdt:P570 ?d }, ?b < "1901-01-01",
+        |            ?b > "1965-01-01"))
+        |}""".stripMargin
+    assert(rows(SparqlText.run(q3, triples, labels)) ==
+      Set(Seq("P1"), Seq("P4")))
+    // outside FILTER (BIND) the lift has no attachment point — loud
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE { ?s wdt:P569 ?b .
+        |  BIND(IF(EXISTS { ?s wdt:P570 ?d }, "y", "n") AS ?f) }""".stripMargin,
+      triples, labels))
+    assert(e.getMessage.contains("FILTER"))
+    // uncorrelated EXISTS refuses loudly, like the group-level form
+    val e2 = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE { ?s wdt:P569 ?b .
+        |  FILTER(?b < "1950-01-01" && EXISTS { ?x wdt:P570 ?d }) }""".stripMargin,
+      triples, labels))
+    assert(e2.getMessage.contains("share"))
   }
 
   test("fidelity companions stay hidden and never become join keys") {
