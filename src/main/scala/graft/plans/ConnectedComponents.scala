@@ -51,10 +51,48 @@ object ConnectedComponents {
     *   canonical label could be an id outside the domain); a violation
     *   raises at action time rather than corrupting
     * @param maxIters cycle/adversarial-depth guard
+    * @param algorithm "min-label" (default — O(diameter) rounds, the right
+    *   plan for the shallow LSH pair graphs dedup produces) or "star" —
+    *   alternating large-star/small-star contraction (Kiveris et al.,
+    *   "Connected Components in MapReduce and Beyond"), which roughly
+    *   halves component diameters per round: O(log d) rounds on the deep
+    *   path-shaped components crawler mirror farms chain together. Both
+    *   produce identical labels (min id per component, any orderable
+    *   type); the star path raises if maxIters is hit before the star
+    *   fixpoint (a partially contracted graph has no correct reading).
     * @return (node, component) — component = min node id reachable over
     *         the undirected pair graph, deterministic under re-runs
     */
-  def labels(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50): DataFrame = {
+  def labels(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
+             algorithm: String = "min-label"): DataFrame = {
+    algorithm match {
+      case "min-label" => minLabelPropagation(edges, nodes, maxIters)
+      case "star" => starContraction(edges, nodes, maxIters)
+      case other => sys.error(
+        s"unknown algorithm '$other' (expected 'min-label' or 'star')")
+    }
+  }
+
+  /** Terminal domain join shared by both algorithms: isolated nodes
+    * self-label; the full-outer shape (same shuffle as a left join)
+    * additionally detects edge endpoints ABSENT from `nodes` — those
+    * would make a component's canonical min-label an id outside the
+    * caller's domain, silently breaking keep = (node == component)
+    * consumers — and refuses at action time via raise_error, costing
+    * zero extra jobs. */
+  private def attachDomain(lab: DataFrame, nodes: DataFrame): DataFrame =
+    nodes.select(col("node")).distinct()
+      .select(col("node"), lit(true).as("__known"))
+      .join(lab, Seq("node"), "full_outer")
+      .select(
+        when(col("__known").isNull, raise_error(concat(
+          lit("ConnectedComponents.labels: edge endpoint absent from nodes: "),
+          col("node").cast("string"))))
+          .otherwise(col("node")).as("node"),
+        coalesce(col("component"), col("node")).as("component"))
+
+  private def minLabelPropagation(edges: DataFrame, nodes: DataFrame,
+                                  maxIters: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -109,21 +147,71 @@ object ConnectedComponents {
         lab = next
         i += 1
       }
-      // isolated nodes self-label; the loop never saw them. The full-outer
-      // shape (same shuffle as the left join) additionally detects edge
-      // endpoints ABSENT from `nodes` — those would make a component's
-      // canonical min-label an id outside the caller's domain, silently
-      // breaking keep = (node == component) consumers — and refuses at
-      // action time via raise_error, costing zero extra jobs.
-      nodes.select(col("node")).distinct()
-        .select(col("node"), lit(true).as("__known"))
-        .join(lab, Seq("node"), "full_outer")
-        .select(
-          when(col("__known").isNull, raise_error(concat(
-            lit("ConnectedComponents.labels: edge endpoint absent from nodes: "),
-            col("node").cast("string"))))
-            .otherwise(col("node")).as("node"),
-          coalesce(col("component"), col("node")).as("component"))
+      attachDomain(lab, nodes)
     } finally { sym.unpersist(blocking = false) }
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al. §3,
+    * cited as a design note — no code exists to copy, the paper gives the
+    * two relational steps directly):
+    *
+    *   large-star: per node u with neighbor set N(u), m = min(N(u)∪{u});
+    *     every neighbor v > u re-points to m — edges (v, m).
+    *   small-star: orient every edge toward the smaller endpoint
+    *     (u = max, v = min); per u with smaller-neighbor set S(u),
+    *     m = min(S(u)∪{u}); emit (u, m) and (v, m) for v ∈ S(u) ∖ {m}.
+    *
+    * Both steps preserve connectivity; the composition roughly halves
+    * component diameters per round, converging to star graphs whose
+    * centers are the component minima in O(log d) rounds. Each step is
+    * ONE aggregation + ONE join shuffle on the edge set — per-round state
+    * stays O(|edges|), the Closure/min-label playbook. The fixpoint test
+    * is exact and type-generic: distinct edge-set equality via count +
+    * one-sided EXCEPT (null-safe), ~O(log d) extra passes total. */
+  private def starContraction(edges: DataFrame, nodes: DataFrame,
+                              maxIters: Int): DataFrame = {
+    // self-loops contract nothing; dedup keeps the per-round state tight
+    var e = ckpt(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionByName(
+        in.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+      sym.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(in: DataFrame): DataFrame = {
+      val oriented = in.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v")).distinct()
+      val m = oriented.groupBy("u").agg(min(col("v")).as("__m"))
+      val joined = oriented.join(m, "u")
+      joined.filter(col("v") =!= col("__m"))
+        .select(col("v").as("src"), col("__m").as("dst"))
+        .unionByName(m.select(col("u").as("src"), col("__m").as("dst")))
+        .distinct()
+    }
+    var i = 0
+    var count = e.count()
+    var converged = count == 0L // an edgeless graph is already contracted
+    while (i < maxIters && !converged) {
+      val next = ckpt(smallStar(largeStar(e)))
+      val nextCount = next.count()
+      // set equality: same cardinality and nothing new on one side
+      converged = nextCount == count && next.except(e).isEmpty
+      e = next
+      count = nextCount
+      i += 1
+    }
+    if (!converged)
+      sys.error(s"star contraction did not converge in $maxIters rounds " +
+        "(a partially contracted graph has no correct reading)")
+    // final state: star edges leaf → center, centers = component minima;
+    // centers label themselves
+    val lab = e.select(col("src").as("node"), col("dst").as("component"))
+      .unionByName(e.select(col("dst").as("node"), col("dst").as("component"))
+        .distinct())
+    attachDomain(lab, nodes)
   }
 }

@@ -69,6 +69,37 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(2.0 -> 2.0, 2.4 -> 2.0, 3.5 -> 2.0))
   }
 
+  test("star contraction: depth-50 path converges in O(log d) rounds " +
+      "with labels identical to min-propagation") {
+    // a 50-edge chain — min-propagation needs ~50 rounds; large/small-star
+    // halves diameters per round. maxIters = 10 would make the star path
+    // RAISE if it needed more (a partially contracted graph refuses), so
+    // passing proves the round bound, not just the labels.
+    val chain = (0 until 50).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val nodes = (0 to 50).map(i => f"n$i%02d") :+ "z_isolated"
+    val star = ConnectedComponents.labels(chain.toDF("src", "dst"),
+        nodes.toDF("node"), maxIters = 10, algorithm = "star")
+      .as[(String, String)].collect().toMap
+    val minl = ConnectedComponents.labels(chain.toDF("src", "dst"),
+        nodes.toDF("node"), maxIters = 60)
+      .as[(String, String)].collect().toMap
+    assert(star == minl)
+    assert(star("n50") == "n00" && star("z_isolated") == "z_isolated")
+  }
+
+  test("star contraction: multiple components, cycles, numeric ids") {
+    val edges = Seq((7L, 3L), (3L, 9L), (9L, 7L), (20L, 21L))
+    val nodes = (1L to 25L)
+    val star = ConnectedComponents.labels(edges.toDF("src", "dst"),
+        nodes.toDF("node"), algorithm = "star")
+      .as[(Long, Long)].collect().toMap
+    val minl = ConnectedComponents.labels(edges.toDF("src", "dst"),
+        nodes.toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(star == minl)
+    assert(star(7L) == 3L && star(9L) == 3L && star(21L) == 20L)
+  }
+
   test("edge endpoint absent from nodes refuses at action time") {
     // 'ghost' bridges a and b but is not in the domain — its id could
     // become a canonical label no caller row carries. Refuse, don't corrupt.
