@@ -232,20 +232,35 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(concat_ws(",", graft.functions.BottomK.bottomK(col("h"), 3)).as("sketch"))
 
-  /** The 100 TB drop-ins q61/q7 document: HLL++ distinct counts and
-    * t-digest quantiles — one pass, mergeable sketch state, no per-group
-    * sort. Deliberately has NO oracle entry (rows-only check): both
-    * algorithms are engine-specific by design, which is exactly why the
-    * oracle-checked exact twins (q61, q64) exist alongside. Estimates are
-    * asserted against exacts in the spec instead. */
-  def q81ApproxStats(s: SparkSession, dir: String): DataFrame =
+  /** Approximate statistics, deterministic edition: the distinct-text
+    * estimate is the KMV bottom-k sketch (the shared
+    * [[graft.functions.BottomK.kmvEstimate]] definition) and the median
+    * estimate is the exact percentile over the deterministic 25%
+    * hash-sample (q58's bucket formula — never `rand()`). Every step is
+    * engine-independent, so the whole family hash-matches its DuckDB
+    * oracle — through round 5 this query shipped HLL++/t-digest and was
+    * the suite's one rows-only entry; those remain the documented 100 TB
+    * drop-ins when cross-engine reproducibility is not required (one pass,
+    * mergeable state — same shape as the KMV aggregator used here). Exact
+    * twins carried alongside so the estimators' error stays visible. */
+  def q81ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 100
     Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("in_sample", bucket < 25)
       .groupBy(col("lang"))
       .agg(
-        approx_count_distinct(col("text")).as("approx_texts"),
+        graft.functions.BottomK.bottomK(col("h"), k).as("lows"),
         countDistinct(col("text")).as("exact_texts"),
-        round(expr("approx_percentile(n_chars, 0.5)").cast("double"), 1).as("approx_p50"),
+        round(expr("percentile(CASE WHEN in_sample THEN n_chars END, 0.5)"), 1)
+          .as("sample_p50"),
         round(expr("percentile(n_chars, 0.5)"), 1).as("exact_p50"))
+      .select(col("lang"),
+        graft.functions.BottomK.kmvEstimate(col("lows"), k).as("kmv_texts"),
+        col("exact_texts"), col("sample_p50"), col("exact_p50"))
+  }
 
   /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
     * connected components → canonical id per document (the component
@@ -795,6 +810,29 @@ object TextOps {
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
          round(quantile_cont(n_chars, 0.9), 4) AS p90, count(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "q81_approx_stats" ->
+      """WITH b AS (SELECT lang, text, n_chars,
+                      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS BIGINT) % 100 < 25 AS in_sample
+                    FROM documents),
+         h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         r AS (SELECT lang, h,
+                      row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS nd FROM h),
+         kmv AS (SELECT lang,
+                   round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                         ELSE 63.0 / (CAST(('0x'||substr(h,1,8)) AS BIGINT)
+                                      / 4294967296.0)
+                         END, 4) AS kmv_texts
+                 FROM r WHERE rn = least(nd, 64)),
+         agg AS (SELECT lang, count(DISTINCT text) AS exact_texts,
+                   round(quantile_cont(n_chars, 0.5)
+                         FILTER (WHERE in_sample), 1) AS sample_p50,
+                   round(quantile_cont(n_chars, 0.5), 1) AS exact_p50
+                 FROM b GROUP BY 1)
+         SELECT agg.lang AS lang, kmv.kmv_texts, agg.exact_texts,
+                agg.sample_p50, agg.exact_p50
+         FROM agg JOIN kmv USING (lang)""",
     "q58_train_test_split" ->
       """WITH b AS (
            SELECT lang,

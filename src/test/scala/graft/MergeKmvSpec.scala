@@ -76,13 +76,16 @@ class MergeKmvSpec extends SparkSpec {
 
   test("approx sketch stats stay within tolerance of their exact twins") {
     val rows = graft.operators.TextOps.q81ApproxStats(spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Long, Double, Double)].collect()
+      .as[(String, Double, Long, Double, Double)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (lang, approxN, exactN, approxP50, exactP50) =>
-      assert(math.abs(approxN - exactN).toDouble / exactN < 0.1,
-        s"$lang: HLL estimate $approxN too far from $exactN")
-      assert(math.abs(approxP50 - exactP50) / exactP50 < 0.1,
-        s"$lang: approx p50 $approxP50 too far from $exactP50")
+    rows.foreach { case (lang, kmvN, exactN, sampleP50, exactP50) =>
+      // sanity bounds, not tightness: KMV k=64 has ~13% relative standard
+      // error, and at sf0.001 the smallest language stratum leaves the
+      // 25% hash-sample median only a handful of points
+      assert(math.abs(kmvN - exactN) / exactN < 0.4,
+        s"$lang: KMV estimate $kmvN too far from $exactN")
+      assert(math.abs(sampleP50 - exactP50) / exactP50 < 0.4,
+        s"$lang: sampled p50 $sampleP50 too far from $exactP50")
     }
   }
 
