@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: an 8g heap degrades monotonically over a full Bench run
+  // (417 query executions in one JVM — the interleaved probe ramped
+  // 0.23→1.54 s, inflating the round-6 artifact 86 s vs 60 s at 24g with
+  // a flat probe series). The box has 128 GiB; local[32] work spans 32
+  // task threads in this one JVM, so the "driver" heap is really the
+  // whole-cluster heap and must be sized like one.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
