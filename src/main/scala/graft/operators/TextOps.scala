@@ -49,12 +49,12 @@ object TextOps {
     * hashes from two. The digest loop dominates minhash cost at corpus
     * scale, so 1 md5 per shingle instead of 8 cuts the signature stage
     * ~8× with the same banding statistics. */
-  def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // The documents table arrives as one small parquet split; the minhash
-    // stage is compute-bound (the md5 per shingle), so spread it across
-    // the cores first — the repartition shuffle is tiny (raw text) next
-    // to the hashing it parallelizes.
-    val sh = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+  /** The shingle→minhash→band pipeline shared by q34 (corpus self-join)
+    * and q141 (batch-vs-index semi-joins): (doc_id, band, bkey) rows, 4
+    * bands of 2 Kirsch–Mitzenmacher permutations each. Pure
+    * transformation — callers own repartition/persist decisions. */
+  private def minhashBands(docsWithToks: DataFrame): DataFrame = {
+    val sh = docsWithToks
       .withColumn("shingles", expr(shingles3))
       .withColumn("hp", expr(
         "transform(transform(shingles, s -> md5(s)), h -> named_struct(" +
@@ -74,11 +74,19 @@ object TextOps {
         md5(concat(col(s"h${2 * b}").cast("string"), lit("_"),
           col(s"h${2 * b + 1}").cast("string"))).as("bkey"))
     }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // The documents table arrives as one small parquet split; the minhash
+    // stage is compute-bound (the md5 per shingle), so spread it across
+    // the cores first — the repartition shuffle is tiny (raw text) next
+    // to the hashing it parallelizes.
     // Persist: both sides of the self-join would otherwise recompute the
     // full shingle→minhash pipeline (5M+ md5 at sf0.1).
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bands = minhashBands(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism))
       .persist()
     bands.count() // materialize before the self-join
     // Materialize the (tiny) pair set eagerly so the band cache can be
@@ -563,7 +571,95 @@ object TextOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
 
+  /** Gopher-style quality rule set (Rae et al. 2021 §A1.1 shape): per-doc
+    * pass/fail on word count bounds, mean word length, stopword presence,
+    * max single-word share, and type-token ratio, plus the combined keep
+    * bit. Every rule is an INTEGER comparison (mean in [3,10] is
+    * `3n <= sum <= 10n`, share <= 1/5 is `5*max <= n`) — no float ratio
+    * ever materializes, so the output is bit-exact across engines and
+    * parallelism. Linear scan, shuffle-free: the per-token max count runs
+    * inside a HOF over the (short) token array, not via explode+groupBy
+    * (reference quality gate: prosnet-prefect-pipelines has no corpus
+    * analogue; BASELINE.json's training-data north star). */
+  def q140QualityRules(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_stop",
+        expr("size(array_intersect(toks, array('the','a','of','to','and')))")
+          .cast("long"))
+      .withColumn("max_count",
+        expr("array_max(transform(array_distinct(toks), " +
+          "w -> size(filter(toks, t -> t = w))))").cast("long"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("long"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= 30 && col("n_words") <= 100000).as("ok_count"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).as("ok_word_len"),
+        (col("n_stop") >= lit(2L)).as("ok_stopwords"),
+        (col("max_count") * 5 <= col("n_words")).as("ok_max_share"),
+        (col("n_distinct") * 10 >= col("n_words") * 3).as("ok_ttr"))
+      .withColumn("keep",
+        col("ok_count") && col("ok_word_len") && col("ok_stopwords") &&
+          col("ok_max_share") && col("ok_ttr"))
+
+  /** Incremental dedup: a NEW crawl batch admitted against an EXISTING
+    * index without re-clustering the corpus — the production shape (the
+    * index's keys/signatures are precomputed artifacts; only the batch
+    * pays full hashing). Batch = q58's deterministic hash split (bucket
+    * >= 90, the "test" slice); index = the rest. A batch doc is rejected
+    * on an EXACT content-key hit (q33's first-8-token md5) or a NEAR-DUP
+    * LSH bucket collision (q34's band pipeline) against the index.
+    * Both checks are semi-join shaped: the batch side is ~10% of the
+    * corpus and the join keys are hashes, so at 100 TB each check is one
+    * near-uniform shuffle (or a broadcast when the batch is small);
+    * within-batch duplicates are intentionally NOT flagged here — they
+    * are the next index build's q33/q110 job. */
+  def q141IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 100
+    val keyed = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("dup_key", md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+      .withColumn("is_batch", bucket >= 90)
+      .persist()
+    // Bands for BOTH sides come from one hashing pass (in production the
+    // index side is a precomputed artifact; the is_batch column stands in
+    // for that split).
+    val bands = minhashBands(keyed.select(col("doc_id"), col("toks")))
+      .join(keyed.select(col("doc_id"), col("is_batch")), "doc_id")
+      .persist()
+    bands.count() // one materialization feeds both semi-joins below
+    val out = {
+      val batch = keyed.filter(col("is_batch"))
+      val exactHits = batch
+        .join(keyed.filter(!col("is_batch")).select(col("dup_key")),
+          Seq("dup_key"), "left_semi")
+        .select(col("doc_id"), lit(true).as("exact_dup"))
+      val nearHits = bands.filter(col("is_batch"))
+        .join(bands.filter(!col("is_batch")).select(col("band"), col("bkey")),
+          Seq("band", "bkey"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      batch.select(col("doc_id"))
+        .join(exactHits, Seq("doc_id"), "left")
+        .join(nearHits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+        .withColumn("admit", !col("exact_dup") && !col("near_dup"))
+        .localCheckpoint()
+    }
+    bands.unpersist(blocking = false)
+    keyed.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_quality_rules"  -> q140QualityRules _,
+    "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q135_degree_histogram" -> q135DegreeHistogram _,
     "q134_stratum_cap"    -> q134StratumCap _,
     "q133_packing_efficiency" -> q133PackingEfficiency _,
@@ -625,6 +721,49 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q140_quality_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+           CAST(len(list_intersect(toks,
+             ['the','a','of','to','and'])) AS BIGINT) AS n_stop,
+           CAST(list_max(list_transform(list_distinct(toks),
+             w -> len(list_filter(toks, t -> t = w)))) AS BIGINT) AS max_count,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         FROM t)
+         SELECT doc_id, n_words,
+           n_words >= 30 AND n_words <= 100000 AS ok_count,
+           sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS ok_word_len,
+           n_stop >= 2 AS ok_stopwords,
+           max_count * 5 <= n_words AS ok_max_share,
+           n_distinct * 10 >= n_words * 3 AS ok_ttr,
+           (n_words >= 30 AND n_words <= 100000)
+             AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+             AND n_stop >= 2 AND max_count * 5 <= n_words
+             AND n_distinct * 10 >= n_words * 3 AS keep
+         FROM m""",
+    "q141_incremental_dedup" ->
+      s"""WITH $minhashCtesSql,
+         keyed AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS dup_key,
+             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % 100 >= 90 AS is_batch
+           FROM t),
+         sb AS (SELECT b.doc_id, b.band, b.bkey, k.is_batch
+                FROM bands b JOIN keyed k ON b.doc_id = k.doc_id),
+         ex AS (SELECT DISTINCT b.doc_id FROM keyed b
+                WHERE b.is_batch AND EXISTS (SELECT 1 FROM keyed i
+                  WHERE NOT i.is_batch AND i.dup_key = b.dup_key)),
+         nr AS (SELECT DISTINCT b.doc_id FROM sb b
+                WHERE b.is_batch AND EXISTS (SELECT 1 FROM sb i
+                  WHERE NOT i.is_batch AND i.band = b.band AND i.bkey = b.bkey))
+         SELECT k.doc_id,
+           EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = k.doc_id) AS exact_dup,
+           EXISTS (SELECT 1 FROM nr WHERE nr.doc_id = k.doc_id) AS near_dup,
+           NOT EXISTS (SELECT 1 FROM ex WHERE ex.doc_id = k.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM nr WHERE nr.doc_id = k.doc_id) AS admit
+         FROM keyed k WHERE k.is_batch""",
     "q135_degree_histogram" ->
       s"""WITH $minhashCtesSql,
          pairs AS (

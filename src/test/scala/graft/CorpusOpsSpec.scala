@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** q140 quality rules and q141 incremental dedup — rule-level assertions
+  * the hash oracle can't express (WHICH rule fired, split disjointness). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q140: every rule flag matches a direct recount on a sample doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = operators.TextOps.q140QualityRules(spark, dir)
+      .orderBy("doc_id").limit(5).collect()
+    val texts = Tables.documents(spark, dir)
+      .orderBy("doc_id").limit(5)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ").toSeq
+      val n = toks.size.toLong
+      assert(r.getLong(1) === n)
+      assert(r.getBoolean(2) === (n >= 30 && n <= 100000), "ok_count")
+      val sumLen = toks.map(_.length.toLong).sum
+      assert(r.getBoolean(3) === (sumLen >= 3 * n && sumLen <= 10 * n), "ok_word_len")
+      val stops = toks.toSet.intersect(Set("the", "a", "of", "to", "and"))
+      assert(r.getBoolean(4) === (stops.size >= 2), "ok_stopwords")
+      val maxCount = toks.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getBoolean(5) === (5 * maxCount <= n), "ok_max_share")
+      val distinct = toks.distinct.size.toLong
+      assert(r.getBoolean(6) === (10 * distinct >= 3 * n), "ok_ttr")
+      assert(r.getBoolean(7) ===
+        (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) &&
+          r.getBoolean(5) && r.getBoolean(6)), "keep = AND of flags")
+    }
+  }
+
+  test("q140: integer rule arithmetic — no float ratio in the plan") {
+    // The bit-exactness claim rests on every rule being an integer
+    // comparison; a Cast to double/float anywhere in the rule columns
+    // would silently reintroduce ulp drift.
+    val plan = operators.TextOps.q140QualityRules(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("as double"), plan)
+  }
+
+  test("q141: output is exactly the batch slice, flags imply admit") {
+    val out = operators.TextOps.q141IncrementalDedup(spark, dir).collect()
+    val bucketOf = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(bucketOf(r.getLong(0)) >= 90, s"doc ${r.getLong(0)} not in batch")
+      assert(r.getBoolean(3) === (!r.getBoolean(1) && !r.getBoolean(2)))
+    }
+  }
+
+  test("q141: literal copy of an index doc is rejected on both checks; " +
+      "a fresh doc is admitted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bucketOf = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val idxId   = (0L to 200L).find(bucketOf(_) < 90).get
+    val batchIds = (0L to 500L).filter(bucketOf(_) >= 90).take(2)
+    val copyText  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val freshText = "one two three four five six seven eight nine ten eleven"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q141").toString
+    Seq(
+      (idxId, copyText, "en", "srcA", copyText.length.toLong),
+      (batchIds(0), copyText, "en", "srcB", copyText.length.toLong),
+      (batchIds(1), freshText, "en", "srcB", freshText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextOps.q141IncrementalDedup(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // The literal copy: same content key AND same minhash signature.
+    assert(out(batchIds(0)) === ((true, true, false)))
+    // The fresh doc shares no key and no band with the one index doc.
+    assert(out(batchIds(1)) === ((false, false, true)))
+    assert(!out.contains(idxId), "index docs must not appear in the report")
+  }
+}
