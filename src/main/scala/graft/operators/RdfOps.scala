@@ -715,7 +715,22 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Hash builtins (§17.4.4.11–15) and ENCODE_FOR_URI (§17.4.3.12) as
+    * ordinary expression-grammar calls: md5/sha2 compile to the codegen'd
+    * Spark builtins, ENCODE_FOR_URI to url_encode plus three fixed
+    * rewrites (space, '*', '~' — see the compiler note). SHA1/384/512
+    * are engine-supported but spec-covered only (DuckDB lacks them). */
+  def q142HashFns(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s (MD5(?l) AS ?hmd5) (SHA256(?l) AS ?hsha256)
+        |       (ENCODE_FOR_URI(?l) AS ?enc)
+        |WHERE { ?s <type> <Person> . ?s <label> ?l .
+        |        FILTER(STRSTARTS(MD5(?l), "0") || STRSTARTS(SHA256(?l), "0"))
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_hash_fns"          -> q142HashFns _,
     "q139_negated_inverse"   -> q139NegatedInverse _,
     "q138_exists_expr"       -> q138ExistsExpr _,
     "q137_lang_datatype"     -> q137LangDatatype _,
@@ -768,6 +783,13 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q142_hash_fns" ->
+      s"""WITH st AS ($T)
+         SELECT t.s AS s, md5(l.o) AS hmd5, sha256(l.o) AS hsha256,
+                replace(l.o, '#', '%23') AS enc
+         FROM st t JOIN st l ON l.s = t.s AND l.p = 'label'
+         WHERE t.p = 'type' AND t.o = 'Person'
+           AND (md5(l.o) LIKE '0%' OR sha256(l.o) LIKE '0%')""",
     "q131_sparql_modify" ->
       s"""WITH st AS ($T),
          inr AS (SELECT DISTINCT a.s AS s, 'in_region' AS p, b.o AS o

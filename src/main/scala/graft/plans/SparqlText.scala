@@ -1321,7 +1321,10 @@ object SparqlText {
       "CEIL" -> (1, 1), "FLOOR" -> (1, 1), "YEAR" -> (1, 1),
       "MONTH" -> (1, 1), "DAY" -> (1, 1), "COALESCE" -> (1, 99),
       "LANG" -> (1, 1), "DATATYPE" -> (1, 1),
-      "STRLANG" -> (2, 2), "STRDT" -> (2, 2))
+      "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
+      "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
+      "SHA384" -> (1, 1), "SHA512" -> (1, 1),
+      "ENCODE_FOR_URI" -> (1, 1))
 
     private def primaryExpr(): EExpr = peek match {
       case TPunct("(") =>
@@ -2366,6 +2369,22 @@ object SparqlText {
         }
         val pat = if (embedded.nonEmpty) s"(?$embedded)$pat0" else pat0
         (asStr(a0).rlike(pat), TyB)
+      // hash builtins (§17.4.4.11–15): lowercase hex in both engines
+      case "MD5" => (md5(asStr(a0)), TyS)
+      case "SHA1" => (sha1(asStr(a0)), TyS)
+      case "SHA256" => (sha2(asStr(a0), 256), TyS)
+      case "SHA384" => (sha2(asStr(a0), 384), TyS)
+      case "SHA512" => (sha2(asStr(a0), 512), TyS)
+      case "ENCODE_FOR_URI" =>
+        // §17.4.3.12 percent-encodes every char outside [A-Za-z0-9_.~-]
+        // (UTF-8, uppercase hex). url_encode is the codegen'd
+        // form-encoding variant; three fixed rewrites close the gap:
+        // its '+' means space (a literal '+' became %2B), it leaves '*'
+        // bare (RFC 3986 sub-delim — must encode), and it encodes '~'
+        // (unreserved — must stay bare).
+        (regexp_replace(regexp_replace(regexp_replace(
+          url_encode(asStr(a0)),
+          "\\+", "%20"), "\\*", "%2A"), "%7E", "~"), TyS)
       case "ABS" => (abs(asNum(a0)), TyN)
       case "ROUND" => (round(asNum(a0)).cast("double"), TyN)
       case "CEIL" => (ceil(asNum(a0)).cast("double"), TyN)

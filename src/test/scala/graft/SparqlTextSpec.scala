@@ -1374,4 +1374,27 @@ class SparqlTextSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("Dichter", "de"), ("poet", "en"), ("P3", ""), ("P7", "")))
   }
+
+  test("hash builtins match reference digests; ENCODE_FOR_URI encodes per §17.4.3.12") {
+    // SHA1/384/512 have no DuckDB twin, so the oracle gate can't cover
+    // them (q142 oracles MD5/SHA256) — pin them to MessageDigest here.
+    def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q =
+      """SELECT ?o (SHA1(?o) AS ?s1) (SHA384(?o) AS ?s384)
+        |       (SHA512(?o) AS ?s512)
+        |       (ENCODE_FOR_URI(CONCAT(?o, " +*~/x")) AS ?enc)
+        |WHERE { <P1> schema:description ?o . FILTER(LANG(?o) = "en") }"""
+        .stripMargin
+    val r = SparqlText.run(q, triples, labels).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "poet")
+    assert(r(0).getString(1) == hex("SHA-1", "poet"))
+    assert(r(0).getString(2) == hex("SHA-384", "poet"))
+    assert(r(0).getString(3) == hex("SHA-512", "poet"))
+    // space -> %20 (not '+'), '+' -> %2B, '*' -> %2A (url_encode leaves it
+    // bare), '~' stays bare (url_encode would %7E it), '/' -> %2F
+    assert(r(0).getString(4) == "poet%20%2B%2A~%2Fx")
+  }
 }
