@@ -139,6 +139,23 @@ object StreamOps {
         graft.functions.BottomK.kmvEstimate(col("lows"), k).as("est_users"))
   }
 
+  /** Streaming exact dedup — the streaming face of q33's content-key
+    * dedup: the first-arrived document per key is admitted, every later
+    * copy is dropped. State is ONE row per distinct key seen inside the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — the
+    * RocksDB-backed state store holds the key set; event-time eviction
+    * bounds it, so a perpetual stream never accumulates unbounded keys).
+    * The horizon is the semantic knob: duplicates arriving farther apart
+    * than the watermark re-admit — exactly the crawl-recrawl window a
+    * production ingest chooses; full-history exactness is the batch
+    * q33/q141 job's business. */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("dup_key",
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("dup_key")
+
   /** Stream-static enrichment join: every micro-batch left-joins the static
     * dimension table (the streaming twin of the label-service / propagation
     * joins). The static side is broadcast per micro-batch — at 100 TB the

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat_ws, md5, min, slice, split}
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Event
 
@@ -176,5 +177,41 @@ class StreamOpsSpec extends SparkSpec {
       .select("hour_start", "n").as[(Timestamp, Long)].collect().toMap
     assert(rows(new Timestamp(t0)) == 2L)
     assert(rows(new Timestamp(t0 + 3600000L)) == 1L)
+  }
+
+  test("dedupStream: first arrival per content key wins inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    val textA = "alpha beta gamma delta epsilon zeta eta theta extra words"
+    val textB = "one two three four five six seven eight different tail"
+    // Batch 1: A admitted; a same-batch copy of A (longer tail, same
+    // 8-token key) dropped; B admitted.
+    input.addData(
+      (1L, new Timestamp(t0), textA),
+      (2L, new Timestamp(t0 + 60000L), textA + " trailing junk"),
+      (3L, new Timestamp(t0 + 120000L), textB))
+    query.processAllAvailable()
+    // Batch 2: a cross-batch copy of B arrives 10 min later — still
+    // inside the 1h horizon, so the state store remembers its key.
+    input.addData((4L, new Timestamp(t0 + 600000L), textB))
+    query.processAllAvailable()
+    query.stop()
+    val admitted = spark.table("dedup_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L))
+    // Parity with the batch q33 semantics on the same rows: one survivor
+    // per key, and (with arrival order = id order) the same survivor ids.
+    val batchKeys = Seq((1L, textA), (2L, textA + " trailing junk"),
+        (3L, textB), (4L, textB))
+      .toDF("doc_id", "text")
+      .withColumn("dup_key",
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+      .groupBy("dup_key").agg(min("doc_id").as("keep_id"))
+      .select("keep_id").as[Long].collect().toSet
+    assert(batchKeys == admitted)
   }
 }
