@@ -571,6 +571,67 @@ object TextOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
 
+  /** LSH candidate VERIFICATION — the stage between q34's band join and
+    * q110's clustering that an exact-dedup pipeline runs in production:
+    * banding yields candidates (with false positives by design); exact
+    * 3-gram-shingle Jaccard over ONLY the candidate pairs confirms or
+    * rejects each. Cost is O(|pairs|) set intersections — the pair list
+    * is tiny next to the corpus, so both joins build on the pair side
+    * and the corpus streams; the all-pairs O(N²) verifier (q36's bounded
+    * demo) never runs. Feeding q110 the verified pairs instead of the
+    * raw candidates is a one-line swap. */
+  def q143CandidateVerify(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q34MinhashLsh(s, dir)
+    val sd = docs(s, dir)
+      .withColumn("sdist", expr(s"array_distinct($shingles3)"))
+      .select(col("doc_id"), col("sdist"))
+    pairs
+      .join(sd.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sd.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        expr("size(array_intersect(sa.sdist, sb.sdist))").cast("long"))
+      .withColumn("uni",
+        (expr("size(sa.sdist)").cast("long") +
+          expr("size(sb.sdist)").cast("long")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("uni"), 4).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** End-to-end corpus funnel with the REAL dedup stages (q126 reports
+    * quality gates only): per source, how many docs pass the q140 quality
+    * gate, are their exact-key group's winner (q33), are their near-dup
+    * component's canonical member (q110), and survive ALL three. Each
+    * mask is computed corpus-wide and reported independently — the AND
+    * column is the training-set size this corpus yields; independent
+    * masks keep the report composable (no stage-order ambiguity) and the
+    * whole thing is three hash joins against small per-doc decision
+    * tables plus ONE conditional-aggregation pass. */
+  def q144CorpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val quality = q140QualityRules(s, dir).select(col("doc_id"), col("keep"))
+    val keyed = docs(s, dir)
+      .withColumn("dup_key", md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+      .select(col("doc_id"), col("dup_key"))
+    val exactWinner = keyed.groupBy(col("dup_key"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val canon = q110DedupClusters(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(quality, "doc_id")
+      .join(keyed, "doc_id")
+      .join(exactWinner, "dup_key")
+      .join(canon, "doc_id")
+      .withColumn("is_exact", col("doc_id") === col("keep_id"))
+      .withColumn("is_canon", col("doc_id") === col("canonical_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("keep") && col("is_exact") && col("is_canon"), 1L)
+          .otherwise(0L)).as("n_final"))
+  }
+
   /** Gopher-style quality rule set (Rae et al. 2021 §A1.1 shape): per-doc
     * pass/fail on word count bounds, mean word length, stopword presence,
     * max single-word share, and type-token ratio, plus the combined keep
@@ -660,6 +721,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_quality_rules"  -> q140QualityRules _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
+    "q143_candidate_verify" -> q143CandidateVerify _,
+    "q144_corpus_funnel"  -> q144CorpusFunnel _,
     "q135_degree_histogram" -> q135DegreeHistogram _,
     "q134_stratum_cap"    -> q134StratumCap _,
     "q133_packing_efficiency" -> q133PackingEfficiency _,
@@ -721,6 +784,71 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q143_candidate_verify" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sd AS (SELECT doc_id, list_distinct(shingles) AS sdist FROM sh),
+         j AS (SELECT p.doc_a, p.doc_b,
+             round(len(list_intersect(a.sdist, b.sdist)) /
+               (len(a.sdist) + len(b.sdist)
+                 - len(list_intersect(a.sdist, b.sdist))), 4) AS jac
+           FROM pairs p
+           JOIN sd a ON a.doc_id = p.doc_a
+           JOIN sd b ON b.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5""",
+    "q144_corpus_funnel" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         canon AS (SELECT node AS doc_id, min(m) AS canonical_id
+                   FROM reach GROUP BY node),
+         q AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+             CAST(len(list_intersect(toks,
+               ['the','a','of','to','and'])) AS BIGINT) AS n_stop,
+             CAST(list_max(list_transform(list_distinct(toks),
+               w -> len(list_filter(toks, t2 -> t2 = w)))) AS BIGINT) AS max_count,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+           FROM t),
+         keep AS (SELECT doc_id,
+             (n_words >= 30 AND n_words <= 100000)
+               AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+               AND n_stop >= 2 AND max_count * 5 <= n_words
+               AND n_distinct * 10 >= n_words * 3 AS keep
+           FROM q),
+         keyed AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS dup_key
+           FROM t),
+         win AS (SELECT dup_key, min(doc_id) AS keep_id
+                 FROM keyed GROUP BY dup_key)
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN d.doc_id = w.keep_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN d.doc_id = c.canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN k.keep AND d.doc_id = w.keep_id
+               AND d.doc_id = c.canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_final
+         FROM documents d
+         JOIN keep k ON k.doc_id = d.doc_id
+         JOIN keyed ky ON ky.doc_id = d.doc_id
+         JOIN win w ON w.dup_key = ky.dup_key
+         JOIN canon c ON c.doc_id = d.doc_id
+         GROUP BY d.source""",
     "q140_quality_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          m AS (SELECT doc_id,

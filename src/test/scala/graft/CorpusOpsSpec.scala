@@ -90,4 +90,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(batchIds(1)) === ((false, false, true)))
     assert(!out.contains(idxId), "index docs must not appear in the report")
   }
+
+  test("q143: verified pairs are a subset of the LSH candidates, jac in [0.5, 1]") {
+    val cand = operators.TextOps.q34MinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = operators.TextOps.q143CandidateVerify(spark, dir).collect()
+    assert(verified.nonEmpty, "the synthetic corpus plants near-dups")
+    verified.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))), s"not a candidate: $r")
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0, s"jac out of range: $j")
+    }
+    assert(verified.length <= cand.size)
+  }
+
+  test("q144: the AND column is bounded by every mask, masks by n_in") {
+    val rows = operators.TextOps.q144CorpusFunnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nIn, nQ, nE, nC, nF) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nF <= math.min(nQ, math.min(nE, nC)))
+      assert(Seq(nQ, nE, nC).forall(_ <= nIn))
+    }
+  }
 }
