@@ -729,7 +729,23 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Term-kind predicates (§17.4.2.1–4) over a kind-carrying store: the
+    * `oKind` column binds a `__kind_` companion beside each object
+    * variable, so ISIRI/ISLITERAL/ISBLANK are plain string predicates
+    * and ISNUMERIC reads the datatype companion — no extra join for any
+    * of them. Plain stores fail loudly (spec). */
+  def q145TermKinds(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?o (ISIRI(?o) AS ?kiri) (ISLITERAL(?o) AS ?klit)
+        |       (ISNUMERIC(?o) AS ?knum) (ISBLANK(?o) AS ?kbn)
+        |WHERE {
+        |  { ?s <key> ?o } UNION { ?s <region> ?o }
+        |  FILTER(ISIRI(?o) || ISNUMERIC(?o))
+        |}""".stripMargin,
+      TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_term_kinds"        -> q145TermKinds _,
     "q142_hash_fns"          -> q142HashFns _,
     "q139_negated_inverse"   -> q139NegatedInverse _,
     "q138_exists_expr"       -> q138ExistsExpr _,
@@ -783,6 +799,17 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q145_term_kinds" ->
+      s"""WITH f AS (${TripleStore.fidelityTriplesSql})
+         SELECT s, o, oKind = 'iri' AS kiri, oKind = 'literal' AS klit,
+                coalesce(oDatatype = 'http://www.w3.org/2001/XMLSchema#integer',
+                  FALSE) AS knum,
+                oKind = 'bnode' AS kbn
+         FROM f
+         WHERE p IN ('key', 'region')
+           AND (oKind = 'iri'
+                OR coalesce(oDatatype =
+                  'http://www.w3.org/2001/XMLSchema#integer', FALSE))""",
     "q142_hash_fns" ->
       s"""WITH st AS ($T)
          SELECT t.s AS s, md5(l.o) AS hmd5, sha256(l.o) AS hsha256,

@@ -1324,7 +1324,9 @@ object SparqlText {
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
       "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
       "SHA384" -> (1, 1), "SHA512" -> (1, 1),
-      "ENCODE_FOR_URI" -> (1, 1))
+      "ENCODE_FOR_URI" -> (1, 1),
+      "ISIRI" -> (1, 1), "ISURI" -> (1, 1), "ISLITERAL" -> (1, 1),
+      "ISBLANK" -> (1, 1), "ISNUMERIC" -> (1, 1))
 
     private def primaryExpr(): EExpr = peek match {
       case TPunct("(") =>
@@ -1893,14 +1895,19 @@ object SparqlText {
     // An object variable over a fidelity-carrying source binds its term
     // companions alongside the value column.
     val hasFidelity =
-      triples.columns.contains("oLang") || triples.columns.contains("oDatatype")
+      triples.columns.contains("oLang") ||
+        triples.columns.contains("oDatatype") ||
+        triples.columns.contains("oKind")
     def companions(v: String): Seq[Column] =
       if (!hasFidelity) Nil
       else Seq(
         (if (triples.columns.contains("oLang")) col("oLang")
          else lit(null).cast("string")).as(langCol(v)),
         (if (triples.columns.contains("oDatatype")) col("oDatatype")
-         else lit(null).cast("string")).as(dtCol(v)))
+         else lit(null).cast("string")).as(dtCol(v))) ++
+        (if (triples.columns.contains("oKind"))
+           Seq(col("oKind").as(kindCol(v)))
+         else Nil)
 
     els.foreach {
       case Tp(s, Path(Seq(PStep(Seq((pv, false)), "", false))), o) =>
@@ -2018,8 +2025,7 @@ object SparqlText {
         // SUBJECT position carries no companions for it — fill nulls
         // (= plain term) so the union lines up; user variables still must
         // match across arms (loud otherwise)
-        val fid = dfs.flatMap(_.columns)
-          .filter(c => c.startsWith("__lang_") || c.startsWith("__dt_")).distinct
+        val fid = dfs.flatMap(_.columns).filter(isFidelityCol).distinct
         val normalized = dfs.map(df => fid.filterNot(df.columns.contains)
           .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
         join(normalized.reduce(_ unionByName _))
@@ -2062,10 +2068,12 @@ object SparqlText {
             a.withColumn(out, compileE(x)._1)
               .withColumn(langCol(out), compileE(l)._1)
               .withColumn(dtCol(out), lit(null).cast("string"))
+              .withColumn(kindCol(out), lit("literal"))
           case EFn("STRDT", Seq(x, d)) =>
             a.withColumn(out, compileE(x)._1)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), compileE(d)._1)
+              .withColumn(kindCol(out), lit("literal"))
           case _ => a.withColumn(out, compileE(e)._1)
         })
       case BindMint(out, prefix) =>
@@ -2247,13 +2255,22 @@ object SparqlText {
     * first binder's companion wins. */
   private[plans] def langCol(v: String): String = s"__lang_$v"
   private[plans] def dtCol(v: String): String = s"__dt_$v"
+  private[plans] def kindCol(v: String): String = s"__kind_$v"
   /** ONLY the fidelity companions are join-transparent — __anon blank-node
     * columns stay ordinary join keys (J10's correlation rides on them). */
   private def isFidelityCol(c: String): Boolean =
-    c.startsWith("__lang_") || c.startsWith("__dt_")
+    c.startsWith("__lang_") || c.startsWith("__dt_") ||
+      c.startsWith("__kind_")
   private val RdfLangString =
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  /** The numeric XSD datatypes ISNUMERIC recognizes (§17.4.2.4 — the
+    * atomic numerics plus the xsd:integer-derived family). */
+  private val XsdNumeric: Seq[String] =
+    Seq("integer", "decimal", "float", "double", "int", "long", "short",
+      "byte", "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+      "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+      "unsignedByte").map("http://www.w3.org/2001/XMLSchema#" + _)
 
   /** Unified expression → (Column, type). SPARQL's error-propagation
     * semantics (an unbound var poisons the expression, excluding the row)
@@ -2414,6 +2431,31 @@ object SparqlText {
           when(col(langCol(v)).isNotNull, lit(RdfLangString))
             .otherwise(lit(XsdString))), TyS)
         case other => sys.error(s"DATATYPE expects a variable, got $other")
+      }
+      // ---- term-kind predicates (§17.4.2.1–4): read the __kind_
+      // companion a kind-carrying source (oKind column — e.g. a
+      // TurtleParser load, which knows iri/literal/bnode) binds
+      // alongside each object variable. A store without kinds fails
+      // loudly at analysis with the companion column's name — the
+      // engine never guesses a term's kind from its lexical form.
+      case "ISIRI" | "ISURI" => args.head match {
+        case EVar(v) => (col(kindCol(v)) === "iri", TyB)
+        case other => sys.error(s"$fn expects a variable, got $other")
+      }
+      case "ISLITERAL" => args.head match {
+        case EVar(v) => (col(kindCol(v)) === "literal", TyB)
+        case other => sys.error(s"$fn expects a variable, got $other")
+      }
+      case "ISBLANK" => args.head match {
+        case EVar(v) => (col(kindCol(v)) === "bnode", TyB)
+        case other => sys.error(s"$fn expects a variable, got $other")
+      }
+      case "ISNUMERIC" => args.head match {
+        // a typed literal with a numeric XSD datatype; NULL datatype
+        // (plain/lang-tagged literal, IRI, bnode) answers false
+        case EVar(v) =>
+          (coalesce(col(dtCol(v)).isin(XsdNumeric: _*), lit(false)), TyB)
+        case other => sys.error(s"$fn expects a variable, got $other")
       }
       case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +

@@ -105,19 +105,32 @@ object TripleStore {
     val ns = concat(lit("N"), str(n("n_nationkey")))
     langLabels(sp, dir).select(col("entity").as("s"), lit("label").as("p"),
         col("label").as("o"), col("lang").as("oLang"),
-        lit(null).cast("string").as("oDatatype"))
+        lit(null).cast("string").as("oDatatype"),
+        lit("literal").as("oKind"))
       .unionByName(n.select(ns.as("s"), lit("key").as("p"),
         str(n("n_nationkey")).as("o"), lit(null).cast("string").as("oLang"),
-        lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype")))
+        lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype"),
+        lit("literal").as("oKind")))
+      // an IRI-valued arm so ISIRI/ISLITERAL discriminate on real data
+      .unionByName(n.select(ns.as("s"), lit("region").as("p"),
+        concat(lit("R"), str(n("n_regionkey"))).as("o"),
+        lit(null).cast("string").as("oLang"),
+        lit(null).cast("string").as("oDatatype"),
+        lit("iri").as("oKind")))
   }
 
   val fidelityTriplesSql: String =
     s"""SELECT entity AS s, 'label' AS p, label AS o, lang AS oLang,
-      |       CAST(NULL AS VARCHAR) AS oDatatype FROM ($langLabelsSql)
+      |       CAST(NULL AS VARCHAR) AS oDatatype, 'literal' AS oKind
+      |FROM ($langLabelsSql)
       |UNION ALL
       |SELECT 'N'||CAST(n_nationkey AS VARCHAR), 'key',
       |       CAST(n_nationkey AS VARCHAR), NULL,
-      |       'http://www.w3.org/2001/XMLSchema#integer' FROM nation""".stripMargin
+      |       'http://www.w3.org/2001/XMLSchema#integer', 'literal' FROM nation
+      |UNION ALL
+      |SELECT 'N'||CAST(n_nationkey AS VARCHAR), 'region',
+      |       'R'||CAST(n_regionkey AS VARCHAR), NULL, NULL, 'iri'
+      |FROM nation""".stripMargin
 
   /** Containment edges child→parent across the whole star schema:
     * lineitem→order→customer→nation→region. */

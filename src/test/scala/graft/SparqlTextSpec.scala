@@ -1397,4 +1397,31 @@ class SparqlTextSpec extends SparkSpec {
     // bare), '~' stays bare (url_encode would %7E it), '/' -> %2F
     assert(r(0).getString(4) == "poet%20%2B%2A~%2Fx")
   }
+
+  test("term-kind predicates: bnode truth table; plain stores fail loudly") {
+    val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
+      ("s1", "p", "http://x/e1", None, None, "iri"),
+      ("s1", "p", "_:b0", None, None, "bnode"),
+      ("s2", "p", "42", None,
+        Some("http://www.w3.org/2001/XMLSchema#integer"), "literal"),
+      ("s2", "p", "plain", None, None, "literal"))
+      .toDF("s", "p", "o", "oLang", "oDatatype", "oKind")
+    val got = SparqlText.run(
+      """SELECT ?o (ISIRI(?o) AS ?i) (ISBLANK(?o) AS ?b)
+        |       (ISLITERAL(?o) AS ?l) (ISNUMERIC(?o) AS ?n)
+        |WHERE { ?s <p> ?o }""".stripMargin, kinds, labels)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got("http://x/e1") === ((true, false, false, false)))
+    assert(got("_:b0") === ((false, true, false, false)))
+    assert(got("42") === ((false, false, true, true)))
+    assert(got("plain") === ((false, false, true, false)))
+    // A store with no oKind column cannot answer ISIRI — the companion
+    // column's absence surfaces at analysis, never a guessed answer.
+    val e = intercept[Exception](SparqlText.run(
+      "SELECT ?o (ISIRI(?o) AS ?i) WHERE { ?s wdt:P27 ?o }", triples, labels)
+      .collect())
+    assert(e.getMessage.contains("__kind_"), e.getMessage)
+  }
 }
