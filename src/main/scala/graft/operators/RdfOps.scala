@@ -730,7 +730,7 @@ object RdfOps {
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
   /** Term-kind predicates (§17.4.2.1–4) over a kind-carrying store: the
-    * `oKind` column binds a `__kind_` companion beside each object
+    * `oType` column binds a `__kind_` companion beside each object
     * variable, so ISIRI/ISLITERAL/ISBLANK are plain string predicates
     * and ISNUMERIC reads the datatype companion — no extra join for any
     * of them. Plain stores fail loudly (spec). */
@@ -801,13 +801,13 @@ object RdfOps {
   val oracles: Map[String, String] = Map(
     "q145_term_kinds" ->
       s"""WITH f AS (${TripleStore.fidelityTriplesSql})
-         SELECT s, o, oKind = 'iri' AS kiri, oKind = 'literal' AS klit,
+         SELECT s, o, oType = 'iri' AS kiri, oType = 'literal' AS klit,
                 coalesce(oDatatype = 'http://www.w3.org/2001/XMLSchema#integer',
                   FALSE) AS knum,
-                oKind = 'bnode' AS kbn
+                oType = 'bnode' AS kbn
          FROM f
          WHERE p IN ('key', 'region')
-           AND (oKind = 'iri'
+           AND (oType = 'iri'
                 OR coalesce(oDatatype =
                   'http://www.w3.org/2001/XMLSchema#integer', FALSE))""",
     "q142_hash_fns" ->

@@ -1897,7 +1897,7 @@ object SparqlText {
     val hasFidelity =
       triples.columns.contains("oLang") ||
         triples.columns.contains("oDatatype") ||
-        triples.columns.contains("oKind")
+        triples.columns.contains("oType")
     def companions(v: String): Seq[Column] =
       if (!hasFidelity) Nil
       else Seq(
@@ -1905,8 +1905,8 @@ object SparqlText {
          else lit(null).cast("string")).as(langCol(v)),
         (if (triples.columns.contains("oDatatype")) col("oDatatype")
          else lit(null).cast("string")).as(dtCol(v))) ++
-        (if (triples.columns.contains("oKind"))
-           Seq(col("oKind").as(kindCol(v)))
+        (if (triples.columns.contains("oType"))
+           Seq(col("oType").as(kindCol(v)))
          else Nil)
 
     els.foreach {
@@ -2433,7 +2433,7 @@ object SparqlText {
         case other => sys.error(s"DATATYPE expects a variable, got $other")
       }
       // ---- term-kind predicates (§17.4.2.1–4): read the __kind_
-      // companion a kind-carrying source (oKind column — e.g. a
+      // companion a kind-carrying source (the Quad model's oType — e.g. a
       // TurtleParser load, which knows iri/literal/bnode) binds
       // alongside each object variable. A store without kinds fails
       // loudly at analysis with the companion column's name — the

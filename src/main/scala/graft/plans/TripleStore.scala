@@ -106,22 +106,22 @@ object TripleStore {
     langLabels(sp, dir).select(col("entity").as("s"), lit("label").as("p"),
         col("label").as("o"), col("lang").as("oLang"),
         lit(null).cast("string").as("oDatatype"),
-        lit("literal").as("oKind"))
+        lit("literal").as("oType"))
       .unionByName(n.select(ns.as("s"), lit("key").as("p"),
         str(n("n_nationkey")).as("o"), lit(null).cast("string").as("oLang"),
         lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype"),
-        lit("literal").as("oKind")))
+        lit("literal").as("oType")))
       // an IRI-valued arm so ISIRI/ISLITERAL discriminate on real data
       .unionByName(n.select(ns.as("s"), lit("region").as("p"),
         concat(lit("R"), str(n("n_regionkey"))).as("o"),
         lit(null).cast("string").as("oLang"),
         lit(null).cast("string").as("oDatatype"),
-        lit("iri").as("oKind")))
+        lit("iri").as("oType")))
   }
 
   val fidelityTriplesSql: String =
     s"""SELECT entity AS s, 'label' AS p, label AS o, lang AS oLang,
-      |       CAST(NULL AS VARCHAR) AS oDatatype, 'literal' AS oKind
+      |       CAST(NULL AS VARCHAR) AS oDatatype, 'literal' AS oType
       |FROM ($langLabelsSql)
       |UNION ALL
       |SELECT 'N'||CAST(n_nationkey AS VARCHAR), 'key',

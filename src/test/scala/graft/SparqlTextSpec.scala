@@ -1405,7 +1405,7 @@ class SparqlTextSpec extends SparkSpec {
       ("s2", "p", "42", None,
         Some("http://www.w3.org/2001/XMLSchema#integer"), "literal"),
       ("s2", "p", "plain", None, None, "literal"))
-      .toDF("s", "p", "o", "oLang", "oDatatype", "oKind")
+      .toDF("s", "p", "o", "oLang", "oDatatype", "oType")
     val got = SparqlText.run(
       """SELECT ?o (ISIRI(?o) AS ?i) (ISBLANK(?o) AS ?b)
         |       (ISLITERAL(?o) AS ?l) (ISNUMERIC(?o) AS ?n)
@@ -1417,7 +1417,7 @@ class SparqlTextSpec extends SparkSpec {
     assert(got("_:b0") === ((false, true, false, false)))
     assert(got("42") === ((false, false, true, true)))
     assert(got("plain") === ((false, false, true, false)))
-    // A store with no oKind column cannot answer ISIRI — the companion
+    // A store with no oType column cannot answer ISIRI — the companion
     // column's absence surfaces at analysis, never a guessed answer.
     val e = intercept[Exception](SparqlText.run(
       "SELECT ?o (ISIRI(?o) AS ?i) WHERE { ?s wdt:P27 ?o }", triples, labels)
