@@ -1326,7 +1326,8 @@ object SparqlText {
       "SHA384" -> (1, 1), "SHA512" -> (1, 1),
       "ENCODE_FOR_URI" -> (1, 1),
       "ISIRI" -> (1, 1), "ISURI" -> (1, 1), "ISLITERAL" -> (1, 1),
-      "ISBLANK" -> (1, 1), "ISNUMERIC" -> (1, 1))
+      "ISBLANK" -> (1, 1), "ISNUMERIC" -> (1, 1),
+      "SAMETERM" -> (2, 2))
 
     private def primaryExpr(): EExpr = peek match {
       case TPunct("(") =>
@@ -2457,6 +2458,25 @@ object SparqlText {
           (coalesce(col(dtCol(v)).isin(XsdNumeric: _*), lit(false)), TyB)
         case other => sys.error(s"$fn expects a variable, got $other")
       }
+      // §17.4.1.8: term identity = value identity AND tag identity. The
+      // value side uses ordinary equality (null poisons, excluding the
+      // row — SPARQL unbound-error semantics); the tag sides use
+      // null-SAFE equality so plain-vs-plain (both tags NULL) is
+      // identical while plain-vs-tagged is not. Variable args read their
+      // lang/datatype companions (loud at analysis on a plain store,
+      // like LANG); literal/expression args carry NULL tags (a simple
+      // literal). Term KIND does not participate — the value model's
+      // known limit (an IRI and a lexically-identical untagged literal
+      // compare same-term, as under LANG/DATATYPE).
+      case "SAMETERM" =>
+        def tags(e: EExpr): (Column, Column) = e match {
+          case EVar(v) => (col(langCol(v)), col(dtCol(v)))
+          case _ => (lit(null).cast("string"), lit(null).cast("string"))
+        }
+        val (va, vb) = (asStr(a0), asStr(compileE(args(1))))
+        val (la, da) = tags(args.head)
+        val (lb, db) = tags(args(1))
+        ((va === vb) && (la <=> lb) && (da <=> db), TyB)
       case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")

@@ -1424,4 +1424,22 @@ class SparqlTextSpec extends SparkSpec {
       .collect())
     assert(e.getMessage.contains("__kind_"), e.getMessage)
   }
+
+  test("sameTerm: tag identity beyond value equality") {
+    // ?d2 = STRLANG(STR(?d), "xx") has ?d's lexical form with a DIFFERENT
+    // lang tag: = (value equality) accepts it, sameTerm must not.
+    val q =
+      """SELECT ?d (SAMETERM(?d, ?d) AS ?self) (SAMETERM(?d, ?d2) AS ?retag)
+        |       ((?d = ?d2) AS ?valeq)
+        |WHERE {
+        |  <P1> schema:description ?d . FILTER(LANG(?d) = "de")
+        |  BIND(STRLANG(STR(?d), "xx") AS ?d2)
+        |}""".stripMargin
+    val r = SparqlText.run(q, triples, labels).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "Dichter")
+    assert(r(0).getBoolean(1), "a term is sameTerm with itself")
+    assert(!r(0).getBoolean(2), "re-tagged copy is equal but not sameTerm")
+    assert(r(0).getBoolean(3), "value equality accepts the re-tagged copy")
+  }
 }
