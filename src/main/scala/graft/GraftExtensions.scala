@@ -45,5 +45,8 @@ object GraftExtensions {
       arity("hamming_dist", 2)(es => graft.functions.HammingDistance(es(0), es(1)))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[graft.functions.SimHash16].getName, "simhash16"),
-      arity("simhash16", 1)(es => graft.functions.SimHash16(es(0)))))
+      arity("simhash16", 1)(es => graft.functions.SimHash16(es(0)))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      arity("minhash_sigs", 1)(es => graft.functions.MinHashSigs(es(0)))))
 }

@@ -51,28 +51,27 @@ object TextOps {
     * ~8× with the same banding statistics. */
   /** The shingle→minhash→band pipeline shared by q34 (corpus self-join)
     * and q141 (batch-vs-index semi-joins): (doc_id, band, bkey) rows, 4
-    * bands of 2 Kirsch–Mitzenmacher permutations each. Pure
-    * transformation — callers own repartition/persist decisions. */
+    * bands of 2 Kirsch–Mitzenmacher permutations each. The signature is
+    * the native fused-loop expression ([[graft.functions.MinHashSigs]] —
+    * one digest per shingle, bytes→ints, all 8 minima in one traversal;
+    * the HOF formulation it replaced allocated an (a,b) struct array and
+    * traversed it 8×). Pure transformation — callers own
+    * repartition/persist decisions. */
   private def minhashBands(docsWithToks: DataFrame): DataFrame = {
-    val sh = docsWithToks
+    graft.functions.MinHashSigs.register(docsWithToks.sparkSession)
+    val sig = docsWithToks
       .withColumn("shingles", expr(shingles3))
-      .withColumn("hp", expr(
-        "transform(transform(shingles, s -> md5(s)), h -> named_struct(" +
-          "'a', CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT), " +
-          "'b', CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)))"))
-    val sigCols = (0 until 8).map { i =>
-      expr(s"array_min(transform(hp, p -> (p.a + $i * p.b) % 4294967296))").as(s"h$i")
-    }
-    val sig = sh.select((col("doc_id") +: sigCols): _*)
+      .withColumn("sigs", graft.functions.MinHashSigs(col("shingles")))
     // One pass over the signature: explode 4 band structs instead of a
     // 4-arm union that would recompute the minhash subtree per arm.
     val bandStructs = (0 until 4).map { b =>
-      // concat (NOT concat_ws): a doc with no shingles has NULL minhashes,
-      // and concat's null-propagation keeps its bkey NULL so the equi-join
-      // drops it — concat_ws would silently bucket all such docs together.
+      // concat (NOT concat_ws): a doc with no shingles has a NULL
+      // signature, and concat's null-propagation keeps its bkey NULL so
+      // the equi-join drops it — concat_ws would silently bucket all
+      // such docs together.
       struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}").cast("string"), lit("_"),
-          col(s"h${2 * b + 1}").cast("string"))).as("bkey"))
+        md5(concat(col("sigs").getItem(2 * b).cast("string"), lit("_"),
+          col("sigs").getItem(2 * b + 1).cast("string"))).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

@@ -104,6 +104,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(verified.length <= cand.size)
   }
 
+  test("minhash_sigs: native fused loop ≡ the HOF hex formulation") {
+    graft.functions.MinHashSigs.register(spark)
+    val df = Tables.documents(spark, dir).limit(50)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "IF(size(toks) >= 3, transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), " +
+          "CAST(array() AS ARRAY<STRING>)) AS shingles")
+      .selectExpr("doc_id", "minhash_sigs(shingles) AS native",
+        "transform(transform(shingles, s -> md5(s)), h -> named_struct(" +
+          "'a', CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT), " +
+          "'b', CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT))) AS hp")
+    val both = (0 until 8).foldLeft(df) { (d, i) =>
+      d.withColumn(s"hof$i",
+        expr(s"array_min(transform(hp, p -> (p.a + $i * p.b) % 4294967296))"))
+    }
+    both.collect().foreach { r =>
+      val native = r.getSeq[Long](r.fieldIndex("native"))
+      (0 until 8).foreach { i =>
+        assert(native(i) === r.getLong(r.fieldIndex(s"hof$i")),
+          s"doc ${r.getLong(0)} perm $i")
+      }
+    }
+    // empty shingle array → NULL signature (never buckets)
+    val empty = spark.sql(
+      "SELECT minhash_sigs(CAST(array() AS ARRAY<STRING>)) AS s")
+    assert(empty.collect()(0).isNullAt(0))
+  }
+
   test("q144: the AND column is bounded by every mask, masks by n_in") {
     val rows = operators.TextOps.q144CorpusFunnel(spark, dir).collect()
     assert(rows.nonEmpty)
