@@ -631,6 +631,36 @@ object TextOps {
           .otherwise(0L)).as("n_final"))
   }
 
+  /** Per-source quality calibration (the CCNet move — Wenzek et al. 2020
+    * filter per LANGUAGE by perplexity percentile, not by one global
+    * threshold, because score distributions differ by slice): rank every
+    * doc's q40 quality score WITHIN its source and keep the top half by
+    * percent_rank. A single global cutoff would admit all of an
+    * easy-scoring source and none of a hard one; per-slice percentiles
+    * spend the token budget evenly.
+    *
+    * Scale posture: one shuffle — the source-partitioned window (scores
+    * themselves are the shuffle-free q40 scan). Sources are few and fat,
+    * so the window partition is the natural unit; if one source dominates
+    * the corpus, the swap is the two-pass form: aggregate per-source
+    * score quantiles (a tiny table), broadcast them back, and filter —
+    * no giant sort partition. percent_rank = (rank-1)/(n-1) with a
+    * doc_id tiebreak is deterministic and engine-exact (rounded to 6
+    * before the keep comparison). */
+  def q147QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = q40Quality(s, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("pr") < 0.5)
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"),
+        col("keep"))
+  }
+
   /** Gopher-style quality rule set (Rae et al. 2021 §A1.1 shape): per-doc
     * pass/fail on word count bounds, mean word length, stopword presence,
     * max single-word share, and type-token ratio, plus the combined keep
@@ -719,6 +749,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_quality_rules"  -> q140QualityRules _,
+    "q147_quality_calibration" -> q147QualityCalibration _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q143_candidate_verify" -> q143CandidateVerify _,
     "q144_corpus_funnel"  -> q144CorpusFunnel _,
@@ -848,6 +879,20 @@ object TextOps {
          JOIN win w ON w.dup_key = ky.dup_key
          JOIN canon c ON c.doc_id = d.doc_id
          GROUP BY d.source""",
+    "q147_quality_calibration" ->
+      """WITH t AS (SELECT doc_id, source, text,
+                 string_split(text,' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+               FROM t),
+         q AS (SELECT doc_id, source,
+                 round(least(1.0, n_tokens/100.0) * (1.0 - n_stop/n_tokens), 4) AS quality
+               FROM c),
+         r AS (SELECT doc_id, source, quality,
+                 round(percent_rank() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC), 6) AS pr
+               FROM q)
+         SELECT doc_id, source, quality, pr, (pr < 0.5) AS keep FROM r""",
     "q140_quality_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          m AS (SELECT doc_id,

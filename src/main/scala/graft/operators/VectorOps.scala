@@ -225,7 +225,56 @@ object VectorOps {
         round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4).as("recall"))
   }
 
+  /** Semantic dedup over embedding clusters (SemDeDup shape — Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the corpus with the IVF coarse
+    * quantizer, then WITHIN each cell order members by centroid cosine
+    * ascending (the paper keeps the low-centroid-similarity extreme of
+    * each duplicate group — the most diverse representative) and drop any
+    * member whose cosine to an EARLIER member reaches the dedup threshold
+    * (the triangular-mask formulation: the mask is static, not
+    * sequential-greedy, so it is one join + one aggregation — no
+    * iteration).
+    *
+    * This is the missing middle of the embedding-dedup family: q69 is the
+    * bounded all-pairs demo, q38/q60 bucket candidates, and THIS is the
+    * published end-to-end keep/drop policy. Scale posture: the quadratic
+    * term is confined to a cell — SemDeDup's design point is k growing
+    * with the corpus so cell size stays roughly constant (k ≈ N/1000 in
+    * the paper); the centroid side broadcasts, cell assignment is one
+    * shuffle on `cell`, and the within-cell pair join reuses that same
+    * partitioning. A pathologically dense cell is an AQE skew split (or a
+    * sub-cluster pass, the paper's own remedy). Every cosine is rounded
+    * to 6 before comparison, so the keep set is engine- and
+    * parallelism-exact. */
+  def q146SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedCells(vecs(s, dir))
+    val wPos = Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+    // persist: the positioned cell table feeds both sides of the pair join
+    val pos = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"), col("ccos"))
+      .withColumn("pos", row_number().over(wPos))
+      .persist()
+    pos.count()
+    val priorSim = pos.as("a")
+      .join(pos.as("b"),
+        col("a.cell") === col("b.cell") && col("a.pos") < col("b.pos"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_prior_sim"))
+    val out = pos
+      .join(priorSim, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos"), col("max_prior_sim"),
+        (col("max_prior_sim").isNull || col("max_prior_sim") < 0.38)
+          .as("keep"))
+      .localCheckpoint()
+    pos.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_semantic_dedup"  -> q146SemanticDedup _,
     "q128_ann_recall"      -> q128AnnRecall _,
     "q127_embedding_quant" -> q127EmbeddingQuant _,
     "q37_cosine_topk"      -> q37CosineTopK _,
@@ -270,6 +319,29 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q146_semantic_dedup" ->
+      s"""WITH $assignSql,
+         ac AS (SELECT a.vec_id, a.cell, cc.ccos
+                FROM assigned a
+                JOIN cc ON cc.vec_id = a.vec_id AND cc.cent_id = a.cell),
+         pos AS (SELECT vec_id, cell, ccos,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY ccos ASC, vec_id ASC) AS pos
+                 FROM ac),
+         pd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       sum(xa.x * xb.x) AS dot
+                FROM pos a JOIN pos b ON a.cell = b.cell AND a.pos < b.pos
+                  JOIN ex xa ON xa.vec_id = a.vec_id
+                  JOIN ex xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+                GROUP BY 1, 2),
+         pc AS (SELECT pd.b_id, round(pd.dot/(na.n * nb.n), 6) AS cos
+                FROM pd JOIN nrm na ON pd.a_id = na.vec_id
+                        JOIN nrm nb ON pd.b_id = nb.vec_id),
+         prior AS (SELECT b_id AS vec_id, max(cos) AS max_prior_sim
+                   FROM pc GROUP BY 1)
+         SELECT p.vec_id, p.cell, p.ccos, pr.max_prior_sim,
+                (pr.max_prior_sim IS NULL OR pr.max_prior_sim < 0.38) AS keep
+         FROM pos p LEFT JOIN prior pr ON pr.vec_id = p.vec_id""",
     "q128_ann_recall" ->
       s"""WITH $assignSql,
          probes AS (SELECT vec_id AS q_id, cell FROM assigned

@@ -143,4 +143,51 @@ class CorpusOpsSpec extends SparkSpec {
       assert(Seq(nQ, nE, nC).forall(_ <= nIn))
     }
   }
+
+  test("q146: the kept set is pairwise below the dedup threshold per cell") {
+    // The triangular mask drops b whenever ANY earlier member (kept or
+    // dropped) reaches tau, so two kept members can never both survive a
+    // >= tau pair — recompute all kept-kept cosines on the driver.
+    val out = operators.VectorOps.q146SemanticDedup(spark, dir).collect()
+    assert(out.length === 500 && out.exists(!_.getBoolean(4)),
+      "threshold should fire on this corpus")
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.filter(_.getBoolean(4)).groupBy(_.getLong(1)).foreach {
+      case (cell, members) =>
+        val ids = members.map(_.getLong(0))
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          assert(cos(vecs(ids(i)), vecs(ids(j))) < 0.38,
+            s"kept pair ${ids(i)},${ids(j)} in cell $cell at/above tau")
+    }
+    // the most-diverse member of every cell (pos 1: min centroid cosine,
+    // doc_id tiebreak) has no earlier member and must always survive
+    out.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val first = members.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(first.getBoolean(4), s"pos-1 member ${first.getLong(0)} dropped")
+      assert(first.isNullAt(3), "pos-1 member has no prior similarity")
+    }
+  }
+
+  test("q147: per-source keeps are a prefix of the quality ordering") {
+    val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.groupBy(_.getString(1)).foreach { case (src, members) =>
+      val ordered = members.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      val kept = ordered.takeWhile(_.getBoolean(4))
+      assert(ordered.drop(kept.length).forall(!_.getBoolean(4)),
+        s"$src: kept set is not a prefix of (quality desc, doc_id) order")
+      // percent_rank < 0.5 keeps exactly floor(n/2) of n ranked docs
+      assert(kept.length === members.length / 2,
+        s"$src: expected ${members.length / 2} kept, got ${kept.length}")
+    }
+  }
 }
