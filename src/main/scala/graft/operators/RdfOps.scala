@@ -519,6 +519,30 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Time accessors HOURS/MINUTES/SECONDS/TZ (§17.4.5) over Z-suffixed
+    * xsd:dateTime lexical forms minted from the events stream — both a
+    * projection and a FILTER position. The engine extracts components
+    * LEXICALLY (a zoned literal keeps its written hour; to_timestamp
+    * would renormalize it into the session zone), which is also what
+    * makes the DuckDB oracle trivially alignable: the same regex pulls on
+    * the same strings. */
+  def q148DatetimeFns(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val es = concat(lit("E"), col("event_id").cast("string"))
+    val t = e.select(es.as("s"), lit("at").as("p"),
+        concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("o"))
+      .unionByName(e.select(es.as("s"), lit("kind").as("p"),
+        col("event_type").as("o")))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?d (HOURS(?d) AS ?h) (MINUTES(?d) AS ?m)
+        |       (SECONDS(?d) AS ?sec) (TZ(?d) AS ?tz)
+        |WHERE {
+        |  ?x <at> ?d . ?x <kind> "click" .
+        |  FILTER(HOURS(?d) >= 12 && MINUTES(?d) < 30)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -763,6 +787,7 @@ object RdfOps {
     "q105_ask"               -> q105Ask _,
     "q106_values_table"      -> q106ValuesTable _,
     "q107_negated_path"      -> q107NegatedPath _,
+    "q148_datetime_fns"      -> q148DatetimeFns _,
     "q100_arith_expr"        -> q100ArithmeticExpr _,
     "q101_string_fns"        -> q101StringFns _,
     "q102_select_star_in"    -> q102SelectStarIn _,
@@ -925,6 +950,19 @@ object RdfOps {
          UNION ALL
          SELECT 'O'||CAST(o_orderkey AS VARCHAR), o_orderpriority
          FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') = '1995-01-01'""",
+    "q148_datetime_fns" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d
+                    FROM events
+                    WHERE event_id < 2000 AND event_type = 'click')
+         SELECT x, d,
+           CAST(regexp_extract(d, 'T(\d{2})', 1) AS DOUBLE) AS h,
+           CAST(regexp_extract(d, 'T\d{2}:(\d{2})', 1) AS DOUBLE) AS m,
+           CAST(regexp_extract(d, 'T\d{2}:\d{2}:(\d{2})', 1) AS DOUBLE) AS sec,
+           regexp_extract(d, '(Z|[+-]\d{2}:\d{2})$', 1) AS tz
+         FROM t
+         WHERE CAST(regexp_extract(d, 'T(\d{2})', 1) AS DOUBLE) >= 12
+           AND CAST(regexp_extract(d, 'T\d{2}:(\d{2})', 1) AS DOUBLE) < 30""",
     "q100_arith_expr" ->
       """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
                 o_totalprice * 2.0 - 10.0 AS adj

@@ -53,7 +53,8 @@ import org.apache.spark.sql.functions._
   *     `STRLEN`, `UCASE`, `LCASE`, `SUBSTR`, `CONCAT`, `CONTAINS`,
   *     `STRSTARTS`, `STRENDS`, `STRBEFORE`, `STRAFTER`, `REPLACE`,
   *     `REGEX` (with `ismx` flags), `ABS`, `ROUND`, `CEIL`, `FLOOR`,
-  *     `YEAR`/`MONTH`/`DAY` (over ISO-string dates), `COALESCE`,
+  *     `YEAR`/`MONTH`/`DAY` (over ISO-string dates), `HOURS`/`MINUTES`/
+  *     `SECONDS`/`TZ` (lexical time components, §17.4.5), `COALESCE`,
   *     `IF(cond, then, else)`, `BOUND(?v)`;
   *     `FILTER(langmatches(lang(?v), "tag"))` and `FILTER(LANG(?v) = "tag")`
   *   - `VALUES ?v { … }` inline membership (J6)
@@ -1319,7 +1320,9 @@ object SparqlText {
       "STRBEFORE" -> (2, 2), "STRAFTER" -> (2, 2), "REPLACE" -> (3, 3),
       "REGEX" -> (2, 3), "ABS" -> (1, 1), "ROUND" -> (1, 1),
       "CEIL" -> (1, 1), "FLOOR" -> (1, 1), "YEAR" -> (1, 1),
-      "MONTH" -> (1, 1), "DAY" -> (1, 1), "COALESCE" -> (1, 99),
+      "MONTH" -> (1, 1), "DAY" -> (1, 1), "HOURS" -> (1, 1),
+      "MINUTES" -> (1, 1), "SECONDS" -> (1, 1), "TZ" -> (1, 1),
+      "COALESCE" -> (1, 99),
       "LANG" -> (1, 1), "DATATYPE" -> (1, 1),
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
       "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
@@ -2234,6 +2237,14 @@ object SparqlText {
     case (c, TyS) => c.cast("double")
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
+  /** One lexical time component as a double: regexp group pull with the
+    * no-match empty string mapped to NULL explicitly — under ANSI mode
+    * `CAST('' AS DOUBLE)` raises, and a zone-less/date-only literal must
+    * become an unbound-propagating error value, not a query abort. */
+  private def timePart(s: Column, pattern: String): Column = {
+    val part = regexp_extract(s, pattern, 1)
+    when(part === "", lit(null)).otherwise(part).cast("double")
+  }
   private def asStr(ct: (Column, Ty)): Column = ct match {
     case (c, TyS) => c
     case (c, TyN) => c.cast("string")
@@ -2411,6 +2422,22 @@ object SparqlText {
       case "YEAR" => (year(to_date(asStr(a0))).cast("double"), TyN)
       case "MONTH" => (month(to_date(asStr(a0))).cast("double"), TyN)
       case "DAY" => (dayofmonth(to_date(asStr(a0))).cast("double"), TyN)
+      // time accessors (§17.4.5.5-8): LEXICAL component extraction, not
+      // timestamp parsing — to_timestamp would renormalize a zoned
+      // literal into the session zone and change the hour, but SPARQL's
+      // accessors return the components AS WRITTEN. Regex pulls keep the
+      // zone intact, stay codegen'd, and yield NULL (an unbound-propagating
+      // error per §17.2) when the lexical form has no time part.
+      case "HOURS" => (timePart(asStr(a0), "T(\\d{2})"), TyN)
+      case "MINUTES" => (timePart(asStr(a0), "T\\d{2}:(\\d{2})"), TyN)
+      case "SECONDS" =>
+        (timePart(asStr(a0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"), TyN)
+      // TZ (§17.4.5.8) returns the timezone as a SIMPLE STRING — "Z", a
+      // "+hh:mm" offset, or "" when the literal carries none (unlike
+      // TIMEZONE, which must raise on a zone-less value and stays
+      // unsupported: the engine has no xsd:dayTimeDuration type).
+      case "TZ" =>
+        (regexp_extract(asStr(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1), TyS)
       case "COALESCE" =>
         val cs = args.map(compileE)
         // uniform numeric args stay numeric; anything mixed unifies lexical

@@ -1398,6 +1398,34 @@ class SparqlTextSpec extends SparkSpec {
     assert(r(0).getString(4) == "poet%20%2B%2A~%2Fx")
   }
 
+  test("time accessors are lexical: zoned hour as written, date-only unbound") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("E1", "at", "2020-03-01T14:45:13Z"),
+      ("E2", "at", "2020-03-01T23:05:59+05:30"), // zoned: hour STAYS 23
+      ("E3", "at", "2020-03-01")                 // date-only: no time part
+    ).toDF("s", "p", "o")
+    val r = SparqlText.run(
+      """SELECT ?x (HOURS(?d) AS ?h) (MINUTES(?d) AS ?m)
+        |       (SECONDS(?d) AS ?sec) (TZ(?d) AS ?tz)
+        |WHERE { ?x <at> ?d . }""".stripMargin,
+      t, labels).collect().map(r => r.getString(0) -> r).toMap
+    assert(r("E1").getDouble(1) == 14 && r("E1").getDouble(2) == 45 &&
+      r("E1").getDouble(3) == 13 && r("E1").getString(4) == "Z")
+    // a +05:30 literal is NOT renormalized into the session zone
+    assert(r("E2").getDouble(1) == 23 && r("E2").getDouble(2) == 5 &&
+      r("E2").getString(4) == "+05:30")
+    // date-only: accessors are unbound (NULL), TZ is the empty string
+    assert(r("E3").isNullAt(1) && r("E3").isNullAt(2) && r("E3").isNullAt(3))
+    assert(r("E3").getString(4) == "")
+    // and an accessor in FILTER position silently drops the unbound row
+    val filtered = SparqlText.run(
+      "SELECT ?x WHERE { ?x <at> ?d . FILTER(HOURS(?d) >= 0) }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("E1", "E2"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
