@@ -58,12 +58,32 @@ object VectorOps {
     * (sign_ji = +1 iff first hex digit of md5("j_i") < '8'), signature =
     * 8 sign bits, pairs within the same bucket with their cosine. */
   def q38LshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val bitCols = (0 until 8).map { j =>
-      expr(s"IF(aggregate(sequence(1, 64), 0D, (acc, i) -> acc + IF(substr(md5(concat('${j}_', CAST(i AS STRING))), 1, 1) < '8', 1.0D, -1.0D) * v[i-1]) >= 0, '1', '0')")
-        .as(s"s$j")
+    // The hyperplane signs depend only on (j, i) — they are md5s of
+    // CONSTANTS. Computing them inside the row expression would burn 512
+    // digests per vector (Catalyst cannot fold them: `i` is a lambda
+    // variable); at corpus scale that is the dominant cost of the whole
+    // signature stage. So the driver computes each sign once (same
+    // definition: +1 iff the first md5 hex digit of "j_i" < '8', i.e. the
+    // digest's top bit is clear) and ships 8 literal 64-lane sign arrays;
+    // the per-row work collapses to 8 codegen'd multiply-add loops in the
+    // SAME element order as the inline form, so the signatures are
+    // bit-identical (the oracle still re-derives the signs in SQL).
+    val signs: IndexedSeq[IndexedSeq[Double]] = (0 until 8).map { j =>
+      (1 to 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$i".getBytes("UTF-8"))
+        if (d(0) >= 0) 1.0 else -1.0
+      }
     }
-    // Signature computation is compute-bound (8×64 md5-derived terms per
-    // vector) over a single small input split — parallelize it first.
+    val bitCols = (0 until 8).map { j =>
+      val sc = array(signs(j).map(lit(_)): _*)
+      val dot = aggregate(zip_with(col("v"), sc, (x, w) => x * w),
+        lit(0.0), (acc, y) => acc + y)
+      when(dot >= 0, "1").otherwise("0").as(s"s$j")
+    }
+    // The signature stage arrives as one small parquet split — spread it
+    // across the cores first; the repartition shuffle is tiny (raw
+    // vectors) next to the 8×64 FMA loops it parallelizes.
     val sig = vecs(s, dir).repartition(s.sparkContext.defaultParallelism)
       .select((Seq(col("vec_id"), col("v")) ++ bitCols): _*)
       .withColumn("bucket", concat((0 until 8).map(j => col(s"s$j")): _*))
