@@ -713,6 +713,21 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Typed-literal ORDER BY (§15.1): over a fidelity-carrying store the
+    * sort key `?v` ranks term KINDS first (iri before literal here) and
+    * orders numeric-typed literals by VALUE — lexical order would slot
+    * "10" before "2" and interleave the digits before the R-prefixed
+    * IRIs. LIMIT makes the ordering hash-observable: the kept set is all
+    * 25 region IRIs plus the 5 numerically-smallest keys. */
+  def q149TypedOrder(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?v WHERE {
+        |  { ?s <key> ?v . } UNION { ?s <region> ?v . }
+        |}
+        |ORDER BY ?v
+        |LIMIT 30""".stripMargin,
+      TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Negated property set with an INVERSE member (§9.1): for each nation
     * of region R1, `!(<type>|^<region>)` matches its forward triples with
     * predicate outside {type} (label, region) plus the REVERSED incoming
@@ -774,6 +789,7 @@ object RdfOps {
     "q139_negated_inverse"   -> q139NegatedInverse _,
     "q138_exists_expr"       -> q138ExistsExpr _,
     "q137_lang_datatype"     -> q137LangDatatype _,
+    "q149_typed_order"       -> q149TypedOrder _,
     "q136_update_graphs"     -> q136UpdateGraphs _,
     "q131_sparql_modify"     -> q131SparqlModify _,
     "q129_sparql_update"     -> q129SparqlUpdate _,
@@ -874,6 +890,18 @@ object RdfOps {
                 'http://www.w3.org/2001/XMLSchema#token' AS l2dt
          FROM f l JOIN f k ON l.s = k.s
          WHERE l.p = 'label' AND l.oLang = 'de' AND k.p = 'key'""",
+    "q149_typed_order" ->
+      """WITH u AS (
+           SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS s,
+                  CAST(n_nationkey AS VARCHAR) AS v,
+                  1 AS knd, 0 AS isn, CAST(n_nationkey AS DOUBLE) AS numv
+           FROM nation
+           UNION ALL
+           SELECT 'N'||CAST(n_nationkey AS VARCHAR),
+                  'R'||CAST(n_regionkey AS VARCHAR), 0, 1, NULL
+           FROM nation)
+         SELECT s, v FROM u
+         ORDER BY knd, isn, numv NULLS FIRST, v LIMIT 30""",
     "q136_update_graphs" ->
       s"""WITH st0 AS (SELECT * FROM (${TripleStore.quadsSql})
                        UNION ALL SELECT * FROM (VALUES

@@ -62,7 +62,8 @@ import org.apache.spark.sql.functions._
   *   - `HAVING(AGG([DISTINCT] ?v | *) <op> literal)` post-grouping filters
   *   - nested sub-`SELECT`, multi-key `ORDER BY` with `ASC(expr)`/
   *     `DESC(expr)`, `LIMIT`/`OFFSET` with literal or `$param` values,
-  *     `#` comments
+  *     `#` comments; over fidelity-carrying stores a bare-variable sort
+  *     key orders per §15.1 (kind rank, numeric literals by value)
   *
   * Compilation maps 1:1 onto [[SparqlAlgebra]]/[[Closure]]: every construct
   * becomes the same DataFrame operators the hand-compiled queries use, so
@@ -1325,6 +1326,7 @@ object SparqlText {
       "COALESCE" -> (1, 99),
       "LANG" -> (1, 1), "DATATYPE" -> (1, 1),
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
+      "IRI" -> (1, 1), "URI" -> (1, 1),
       "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
       "SHA384" -> (1, 1), "SHA512" -> (1, 1),
       "ENCODE_FOR_URI" -> (1, 1),
@@ -1472,8 +1474,21 @@ object SparqlText {
       * (compiled to the deterministic md5 surrogate, R2). */
     private def bindEl(): El = {
       expectPunct("(")
+      // the provided-entity mint is the ONE shape whose STRUUID gets the
+      // deterministic md5 surrogate; any other URI(...) argument parses
+      // through the general expression grammar (kind-tagged IRI term)
+      val mintShape = isKw(peek, "URI") &&
+        toks.lift(i + 1).contains(TPunct("(")) &&
+        toks.lift(i + 2).exists(isKw(_, "CONCAT")) &&
+        toks.lift(i + 3).contains(TPunct("(")) &&
+        (toks.lift(i + 4) match {
+          case Some(TStr(_, _)) => true
+          case _ => false
+        }) &&
+        toks.lift(i + 5).contains(TPunct(",")) &&
+        toks.lift(i + 6).exists(isKw(_, "STRUUID"))
       val el: El =
-        if (isKw(peek, "URI")) {
+        if (mintShape) {
           i += 1
           expectPunct("("); expectKw("CONCAT"); expectPunct("(")
           val prefix = next() match {
@@ -1844,13 +1859,61 @@ object SparqlText {
         case PExpr(e, out) => compileE(e)._1.as(out)
         case item => col(item.out)
       }
-    var out = grouped.select(cols: _*)
-    if (q.distinct) out = out.distinct()
-    if (q.orderBy.nonEmpty)
-      out = out.orderBy(q.orderBy.map {
-        case (e, true) => compileE(e)._1.desc
-        case (e, false) => compileE(e)._1.asc
-      }: _*)
+    // §15.1 typed-literal ordering: lexical order puts "10" before "2",
+    // but an xsd:integer-typed literal must order by VALUE. When a sort
+    // key is a bare variable whose solution carries fidelity companions,
+    // sort BEFORE the final projection (which hides the companions) with
+    // the engine's documented total-order extension per key:
+    //   (term-kind rank: unbound < bnode < iri < literal,
+    //    numeric literals before other literals by double value,
+    //    everything else lexical)
+    // — consistent with §15.1 where it defines an order, deterministic
+    // where it does not. The projection is narrow, so the order survives
+    // it; DISTINCT's shuffle would NOT preserve it, so typed keys with
+    // DISTINCT fail loudly rather than silently falling back to lexical.
+    val typedOrder = q.orderBy.exists {
+      case (EVar(v), _) => grouped.columns.contains(dtCol(v)) ||
+        grouped.columns.contains(kindCol(v))
+      case _ => false
+    }
+    var out: DataFrame = null
+    if (typedOrder) {
+      if (q.distinct) sys.error(
+        "ORDER BY over fidelity-typed variables cannot combine with " +
+          "DISTINCT (the dedup shuffle discards the typed sort; project " +
+          "the typed key through a subselect instead)")
+      val sortCols = q.orderBy.flatMap {
+        case (EVar(v), desc) if grouped.columns.contains(v) =>
+          val kindRank =
+            if (grouped.columns.contains(kindCol(v)))
+              when(col(v).isNull, 0)
+                .when(col(kindCol(v)) === "bnode", 1)
+                .when(col(kindCol(v)) === "iri", 2).otherwise(3)
+            else when(col(v).isNull, 0).otherwise(3)
+          val isNum =
+            if (grouped.columns.contains(dtCol(v)))
+              coalesce(col(dtCol(v)).isin(XsdNumeric: _*), lit(false))
+            else lit(false)
+          // CaseWhen evaluates the cast only on numeric-typed rows, so a
+          // non-numeric lexical never reaches it (ANSI-safe); a CORRUPT
+          // numeric literal fails the query loudly, per engine policy
+          val keys = Seq(kindRank, when(isNum, 0).otherwise(1),
+            when(isNum, col(v).cast("double")), col(v))
+          if (desc) keys.map(_.desc) else keys.map(_.asc)
+        case (e, _) => sys.error(
+          s"ORDER BY over a fidelity-typed solution supports bare bound " +
+            s"variables only, got $e (wrap computed keys in a subselect)")
+      }
+      out = grouped.orderBy(sortCols: _*).select(cols: _*)
+    } else {
+      out = grouped.select(cols: _*)
+      if (q.distinct) out = out.distinct()
+      if (q.orderBy.nonEmpty)
+        out = out.orderBy(q.orderBy.map {
+          case (e, true) => compileE(e)._1.desc
+          case (e, false) => compileE(e)._1.asc
+        }: _*)
+    }
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
     out
@@ -2078,6 +2141,11 @@ object SparqlText {
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), compileE(d)._1)
               .withColumn(kindCol(out), lit("literal"))
+          case EFn("IRI" | "URI", Seq(x)) =>
+            a.withColumn(out, compileE(x)._1)
+              .withColumn(langCol(out), lit(null).cast("string"))
+              .withColumn(dtCol(out), lit(null).cast("string"))
+              .withColumn(kindCol(out), lit("iri"))
           case _ => a.withColumn(out, compileE(e)._1)
         })
       case BindMint(out, prefix) =>
@@ -2504,6 +2572,13 @@ object SparqlText {
         val (la, da) = tags(args.head)
         val (lb, db) = tags(args(1))
         ((va === vb) && (la <=> lb) && (da <=> db), TyB)
+      // §17.4.2.8 in plain expression position: the VALUE passes through
+      // (the engine's columns hold lexical forms; an IRI term is its
+      // string). Runtime resolution of RELATIVE references against BASE
+      // is not attempted — the argument is expected absolute, the
+      // overwhelmingly common IRI(CONCAT("http://…", ?x)) shape. The
+      // kind tag only exists where a term can carry one: the BIND form.
+      case "IRI" | "URI" => (asStr(a0), TyS)
       case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")

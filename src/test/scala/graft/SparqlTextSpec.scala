@@ -1426,6 +1426,58 @@ class SparqlTextSpec extends SparkSpec {
     assert(filtered == Set("E1", "E2"))
   }
 
+  test("typed ORDER BY: numeric value order, kind rank, DISTINCT refuses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val xsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+    val t = Seq(
+      ("A", "k", "2", Option.empty[String], Option(xsdInt), "literal"),
+      ("B", "k", "10", Option.empty[String], Option(xsdInt), "literal"),
+      ("C", "k", "9", Option.empty[String], Option(xsdInt), "literal"),
+      ("D", "r", "R1", Option.empty[String], Option.empty[String], "iri")
+    ).toDF("s", "p", "o", "oLang", "oDatatype", "oType")
+    val q = """SELECT ?s ?v WHERE { { ?s <k> ?v . } UNION { ?s <r> ?v . } }
+              |ORDER BY %s(?v) LIMIT 2""".stripMargin
+    // DESC: literals outrank IRIs reversed; numerics by VALUE → 10 then 9
+    // (lexical desc would have put "9" first)
+    val desc = SparqlText.run(q.format("DESC"), t, labels).collect()
+    assert(desc.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("B" -> "10", "C" -> "9"))
+    // ASC: the IRI ranks before every literal, then numeric 2 before 9, 10
+    val asc = SparqlText.run(q.format("ASC"), t, labels).collect()
+    assert(asc.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("D" -> "R1", "A" -> "2"))
+    // typed keys + DISTINCT: the dedup shuffle would discard the typed
+    // sort — refuse loudly instead of silently going lexical
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT DISTINCT ?v WHERE { ?s <k> ?v . } ORDER BY ?v", t, labels))
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
+  test("IRI()/URI(): kind-tagged term via BIND, value passthrough in filters") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("P1", "slug", "alpha", "literal"),
+                ("P2", "slug", "beta", "literal"))
+      .toDF("s", "p", "o", "oType")
+    val r = SparqlText.run(
+      """SELECT ?s ?u (ISIRI(?u) AS ?isi) WHERE {
+        |  ?s <slug> ?v .
+        |  BIND(IRI(CONCAT("urn:x:", ?v)) AS ?u)
+        |  FILTER(URI(?v) = "alpha")
+        |}""".stripMargin, t, labels).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "P1")
+    assert(r(0).getString(1) == "urn:x:alpha")
+    assert(r(0).getBoolean(2), "BIND(IRI(...)) must tag kind iri")
+    // the STRUUID mint shape still takes the deterministic-surrogate path
+    val mint = SparqlText.run(
+      """SELECT ?c WHERE { ?s <slug> ?v .
+        |  BIND(URI(CONCAT("urn:m:", STRUUID())) AS ?c) }""".stripMargin,
+      t, labels).collect()
+    assert(mint.length == 2 && mint.forall(_.getString(0).startsWith("urn:m:")))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
