@@ -245,6 +245,34 @@ object VectorOps {
         round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4).as("recall"))
   }
 
+  /** Hard-negative mining (the DPR/ANCE dense-retrieval recipe: train
+    * with the highest-scoring NON-matches): for each query vector, the
+    * top-3 candidates by cosine whose `label` DIFFERS from the query's —
+    * the near-misses a contrastive loss learns the most from. Same
+    * broadcast-query scan as q37; the label inequality rides the join
+    * condition, so candidates with the query's own label never reach the
+    * ranking window. At corpus scale this is the exact pass; the ANN
+    * variant swaps in q60's cell-pruned candidates unchanged. */
+  def q150HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("label"))
+    CosineSimilarity.register(s)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"), col("cos"))
+  }
+
   /** Semantic dedup over embedding clusters (SemDeDup shape — Abbas et
     * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): cluster the corpus with the IVF coarse
@@ -294,6 +322,7 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_hard_negatives"  -> q150HardNegatives _,
     "q146_semantic_dedup"  -> q146SemanticDedup _,
     "q128_ann_recall"      -> q128AnnRecall _,
     "q127_embedding_quant" -> q127EmbeddingQuant _,
@@ -339,6 +368,27 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q150_hard_negatives" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         d AS (SELECT q.vec_id AS q_id, e.vec_id AS neg_id, sum(q.x * e.x) AS dot
+               FROM ex q JOIN ex e ON q.i = e.i
+                 AND q.vec_id < 5 AND e.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT d.q_id, lq.label AS q_label, d.neg_id,
+                      ln.label AS neg_label,
+                      round(d.dot/(nq.n * ne.n), 6) AS cos
+               FROM d JOIN nrm nq ON d.q_id = nq.vec_id
+                      JOIN nrm ne ON d.neg_id = ne.vec_id
+                      JOIN lab lq ON d.q_id = lq.vec_id
+                      JOIN lab ln ON d.neg_id = ln.vec_id
+               WHERE lq.label <> ln.label)
+         SELECT q_id, q_label, neg_id, neg_label, rank, cos FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neg_id) AS BIGINT) AS rank FROM c)
+         WHERE rank <= 3""",
     "q146_semantic_dedup" ->
       s"""WITH $assignSql,
          ac AS (SELECT a.vec_id, a.cell, cc.ccos

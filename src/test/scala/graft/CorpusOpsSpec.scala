@@ -177,6 +177,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q150: negatives never share the query label and are the true top-3") {
+    val rows = operators.VectorOps.q150HardNegatives(spark, dir).collect()
+    assert(rows.length === 15, "5 queries x top-3")
+    rows.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3), "a negative with the query label")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 3)
+    }
+    // driver recount for query 0: its best different-label cosine must
+    // equal the rank-1 row's
+    val all = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v",
+        "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getInt(2)))
+    val (qid, qv, qlab) = all.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val best = all.filter(e => e._1 != qid && e._3 != qlab)
+      .map(e => cos(qv, e._2)).max
+    val rank1 = rows.filter(r => r.getLong(0) == 0L && r.getLong(4) == 1L)
+    assert(rank1.length == 1 && rank1(0).getDouble(5) == best)
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
