@@ -631,6 +631,27 @@ object TextOps {
           .otherwise(0L)).as("n_final"))
   }
 
+  /** Quality-aware cluster representative: q132 keeps each near-dup
+    * component's MIN-ID member (deterministic but arbitrary); production
+    * pipelines keep the BEST member (longest / highest-quality — the
+    * policy Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" leaves open and practitioners fill with a quality
+    * score). Per component: rank members by q40 quality (doc_id
+    * tiebreak), keep rank 1. One extra shuffle over q110 — the window
+    * partitions on the component label, and components are tiny by
+    * construction (near-dup clusters; singletons dominate), so no
+    * partition skew at any corpus size. */
+  def q151ComponentRepresentative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = q110DedupClusters(s, dir)
+    val quality = q40Quality(s, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    canon.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("canonical_id"), col("quality"), col("keep"))
+  }
+
   /** Per-source quality calibration (the CCNet move — Wenzek et al. 2020
     * filter per LANGUAGE by perplexity percentile, not by one global
     * threshold, because score distributions differ by slice): rank every
@@ -750,6 +771,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_quality_rules"  -> q140QualityRules _,
     "q147_quality_calibration" -> q147QualityCalibration _,
+    "q151_component_representative" -> q151ComponentRepresentative _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q143_candidate_verify" -> q143CandidateVerify _,
     "q144_corpus_funnel"  -> q144CorpusFunnel _,
@@ -879,6 +901,31 @@ object TextOps {
          JOIN win w ON w.dup_key = ky.dup_key
          JOIN canon c ON c.doc_id = d.doc_id
          GROUP BY d.source""",
+    "q151_component_representative" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         comp AS (SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+                  FROM reach GROUP BY node),
+         qc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and'))) AS BIGINT) AS n_stop
+                FROM t),
+         q AS (SELECT doc_id,
+                 round(least(1.0, n_tokens/100.0) * (1.0 - n_stop/n_tokens), 4) AS quality
+               FROM qc),
+         r AS (SELECT c.doc_id, c.canonical_id, q.quality,
+                 row_number() OVER (PARTITION BY c.canonical_id
+                   ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+               FROM comp c JOIN q USING (doc_id))
+         SELECT doc_id, canonical_id, quality, (rn = 1) AS keep FROM r""",
     "q147_quality_calibration" ->
       """WITH t AS (SELECT doc_id, source, text,
                  string_split(text,' ') AS toks FROM documents),

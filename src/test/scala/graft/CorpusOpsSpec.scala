@@ -204,6 +204,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rank1.length == 1 && rank1(0).getDouble(5) == best)
   }
 
+  test("q151: one representative per component, and it is the best-quality member") {
+    val rows = operators.TextOps.q151ComponentRepresentative(spark, dir)
+      .collect()
+    assert(rows.length === 500)
+    rows.groupBy(_.getLong(1)).foreach { case (comp, members) =>
+      val kept = members.filter(_.getBoolean(3))
+      assert(kept.length === 1, s"component $comp keeps ${kept.length}")
+      val best = members.map(_.getDouble(2)).max
+      assert(kept(0).getDouble(2) === best,
+        s"component $comp kept a sub-max-quality member")
+      // deterministic tiebreak: of the max-quality members, the min id
+      val tied = members.filter(_.getDouble(2) == best).map(_.getLong(0)).min
+      assert(kept(0).getLong(0) === tied)
+    }
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
