@@ -631,6 +631,29 @@ object TextOps {
           .otherwise(0L)).as("n_final"))
   }
 
+  /** Unigram surprisal per document — the in-engine stand-in for CCNet's
+    * KenLM perplexity filter (Wenzek et al. 2020 score documents against
+    * a reference LM; a corpus-trained UNIGRAM model is the degenerate
+    * case that needs no external artifact): score = mean over tokens of
+    * -ln p(token), p from corpus counts. Unusually-distributed docs
+    * (gibberish, boilerplate, wrong-language) score high; the q147
+    * per-slice percentile machinery turns the score into keep decisions.
+    *
+    * Two shuffles at any scale: the term-count aggregation (map-side
+    * partials over a near-uniform term key) and the per-doc mean; the
+    * count table joins back on the same term key — broadcastable when
+    * the vocabulary is small, an ordinary shuffle join otherwise. The
+    * corpus total is a 1-row broadcast. */
+  def q152UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val terms = docs(s, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val cf = terms.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = terms.select(count(lit(1)).cast("double").as("total"))
+    terms.join(cf, "term").crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("cf") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 4).as("surprisal"))
+  }
+
   /** Quality-aware cluster representative: q132 keeps each near-dup
     * component's MIN-ID member (deterministic but arbitrary); production
     * pipelines keep the BEST member (longest / highest-quality — the
@@ -772,6 +795,7 @@ object TextOps {
     "q140_quality_rules"  -> q140QualityRules _,
     "q147_quality_calibration" -> q147QualityCalibration _,
     "q151_component_representative" -> q151ComponentRepresentative _,
+    "q152_unigram_surprisal" -> q152UnigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q143_candidate_verify" -> q143CandidateVerify _,
     "q144_corpus_funnel"  -> q144CorpusFunnel _,
@@ -901,6 +925,16 @@ object TextOps {
          JOIN win w ON w.dup_key = ky.dup_key
          JOIN canon c ON c.doc_id = d.doc_id
          GROUP BY d.source""",
+    "q152_unigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         cf AS (SELECT term, count(*) AS cf FROM terms GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM terms),
+         nll AS (SELECT doc_id, -ln(cf.cf / tot.total) AS nll
+                 FROM terms JOIN cf USING (term) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                round(avg(nll), 4) AS surprisal
+         FROM nll GROUP BY 1""",
     "q151_component_representative" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pairs AS (

@@ -220,6 +220,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q152: surprisal is a true per-token unigram mean (driver recount)") {
+    val out = operators.TextOps.q152UnigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 500)
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cf = texts.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = texts.values.map(_.size).sum.toDouble
+    texts.take(10).foreach { case (id, toks) =>
+      val expect = BigDecimal(
+        toks.map(w => -math.log(cf(w) / total)).sum / toks.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id).getLong(1) === toks.size.toLong)
+      assert(math.abs(out(id).getDouble(2) - expect) <= 1e-4,
+        s"doc $id: ${out(id).getDouble(2)} vs $expect")
+    }
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
