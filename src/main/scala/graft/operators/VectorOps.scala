@@ -245,6 +245,43 @@ object VectorOps {
         round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4).as("recall"))
   }
 
+  /** kNN label-consistency — the embedding-space sanity harness run
+    * before an embedding table is trusted for semantic dedup or
+    * retrieval: for each of the first 100 vectors, the majority label of
+    * its 5 nearest neighbors (cosine; count-desc then label-asc on ties)
+    * against its own label, aggregated per label as a consistency rate.
+    * A space whose neighborhoods disagree with labels makes q146's
+    * cosine threshold meaningless — this is the accept/reject protocol
+    * for the EMBEDDINGS, as q128 is for the INDEX. Same broadcast
+    * query-side scan as q37; the double window (rank then majority) and
+    * final rate never touch more than Q×5 rows. */
+  def q153KnnConsistency(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("label"))
+    CosineSimilarity.register(s)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val wNn = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val nn = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(wNn)).filter(col("rank") <= 5)
+    val wMaj = Window.partitionBy(col("q_id"))
+      .orderBy(col("n").desc, col("label").asc)
+    val majority = nn.groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mr", row_number().over(wMaj)).filter(col("mr") === 1)
+    majority
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_consistent"))
+      .withColumn("rate", round(col("n_consistent") / col("n_queries"), 4))
+  }
+
   /** Hard-negative mining (the DPR/ANCE dense-retrieval recipe: train
     * with the highest-scoring NON-matches): for each query vector, the
     * top-3 candidates by cosine whose `label` DIFFERS from the query's —
@@ -323,6 +360,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_hard_negatives"  -> q150HardNegatives _,
+    "q153_knn_consistency" -> q153KnnConsistency _,
     "q146_semantic_dedup"  -> q146SemanticDedup _,
     "q128_ann_recall"      -> q128AnnRecall _,
     "q127_embedding_quant" -> q127EmbeddingQuant _,
@@ -368,6 +406,36 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q153_knn_consistency" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         d AS (SELECT q.vec_id AS q_id, e.vec_id AS nn_id, sum(q.x * e.x) AS dot
+               FROM ex q JOIN ex e ON q.i = e.i
+                 AND q.vec_id < 100 AND e.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT d.q_id, d.nn_id, round(d.dot/(nq.n * ne.n), 6) AS cos
+               FROM d JOIN nrm nq ON d.q_id = nq.vec_id
+                      JOIN nrm ne ON d.nn_id = ne.vec_id),
+         nn AS (SELECT q_id, nn_id FROM (
+                  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, nn_id) AS rank FROM c)
+                WHERE rank <= 5),
+         votes AS (SELECT nn.q_id, lq.label AS q_label, ln.label, count(*) AS n
+                   FROM nn JOIN lab lq ON nn.q_id = lq.vec_id
+                           JOIN lab ln ON nn.nn_id = ln.vec_id
+                   GROUP BY 1, 2, 3),
+         maj AS (SELECT q_id, q_label, label FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY n DESC, label ASC) AS mr FROM votes)
+                 WHERE mr = 1)
+         SELECT q_label, count(*) AS n_queries,
+                CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_consistent,
+                round(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS rate
+         FROM maj GROUP BY 1""",
     "q150_hard_negatives" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

@@ -239,6 +239,17 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q153: consistency rates are well-formed and cover every query") {
+    val rows = operators.VectorOps.q153KnnConsistency(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === 100L, "every query voted once")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - r.getLong(2).toDouble / r.getLong(1)) < 1e-4)
+    }
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
