@@ -57,7 +57,7 @@ object TextOps {
     * the HOF formulation it replaced allocated an (a,b) struct array and
     * traversed it 8×). Pure transformation — callers own
     * repartition/persist decisions. */
-  private def minhashBands(docsWithToks: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docsWithToks: DataFrame): DataFrame = {
     graft.functions.MinHashSigs.register(docsWithToks.sparkSession)
     val sig = docsWithToks
       .withColumn("shingles", expr(shingles3))

@@ -193,4 +193,51 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Streaming near-dup admission — the streaming form of q141's
+    * batch-vs-index dedup: each micro-batch of documents is checked
+    * against a persistent CLAIMS index of LSH band buckets (the q34
+    * Kirsch–Mitzenmacher pipeline, one hashing pass per batch); a doc is
+    * REJECTED when ANY of its band keys is already claimed, admitted docs
+    * append their bands to the index and their rows to `admittedPath`.
+    *
+    * Index semantics match q141 exactly: within-batch duplicates are NOT
+    * flagged against each other (they claim together and the next index
+    * build's q33/q110 job resolves them), and the claims store is the
+    * same artifact the batch pipeline would precompute. The check is a
+    * band-key semi-join: at production scale the claims side is a stored
+    * table scan, the batch side is micro-batch-sized, and nothing
+    * corpus-sized shuffles per trigger. The plain parquet appends here
+    * are at-least-once on crash replay (a replayed batch would find its
+    * own claims and reject itself) — a transactional table format keyed
+    * by batchId, or the upsertSink read-merge-rewrite, is the
+    * exactly-once swap at production scale. */
+  def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
+                       admittedPath: String)
+                      (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.operators.TextOps.minhashBands(
+          batch.toDF().withColumn("toks", split(col("text"), " "))
+            .select(col("doc_id"), col("toks"))).persist()
+        try {
+          val hit =
+            if (new java.io.File(claimsPath).exists()) {
+              val claims = spark.read.parquet(claimsPath)
+              bands.join(claims.select(col("band"), col("bkey")),
+                Seq("band", "bkey"), "left_semi")
+                .select(col("doc_id")).distinct()
+            } else bands.select(col("doc_id")).limit(0)
+          val admitted = batch.toDF()
+            .join(hit, Seq("doc_id"), "left_anti").localCheckpoint()
+          bands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(claimsPath)
+          admitted.write.mode("append").parquet(admittedPath)
+        } finally { bands.unpersist(blocking = false) }
+        ()
+      }
+      .start()
 }

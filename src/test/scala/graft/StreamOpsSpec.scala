@@ -214,4 +214,41 @@ class StreamOpsSpec extends SparkSpec {
       .select("keep_id").as[Long].collect().toSet
     assert(batchKeys == admitted)
   }
+
+  test("nearDupAdmitSink: claims index rejects exact and near copies across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toFile
+    val claims = new java.io.File(dir, "claims").getAbsolutePath
+    val outPath = new java.io.File(dir, "admitted").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      // >= 3 tokens so the shingle pipeline produces signatures
+      val textA = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+      val textB = ("one two three four five six seven eight nine " * 4).trim
+      val query = StreamOps.nearDupAdmitSink(docs, claims, outPath)(ckpt)
+      input.addData((1L, textA), (2L, textB))
+      query.processAllAvailable()
+      // batch 2: an exact copy of A, a near copy of B (one APPENDED token
+      // adds a single shingle; with this fixed text the deterministic
+      // signature keeps shared lanes, so a band hit fires), and a fresh doc
+      val textC = "completely different words about spark plans and shuffles " +
+        "joins scans rows columns buckets partitions stages tasks codegen"
+      input.addData(
+        (3L, textA),
+        (4L, textB + " tail"),
+        (5L, textC))
+      query.processAllAvailable()
+      query.stop()
+      val admitted = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 2L, 5L),
+        s"expected exact copy 3 and near copy 4 rejected, got $admitted")
+      // the claims index holds exactly the admitted docs' bands
+      val claimed = spark.read.parquet(claims)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(claimed == Set(1L, 2L, 5L))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 }
