@@ -969,6 +969,23 @@ object SparqlText {
 
     private def constructQuery(): ConstructQ = {
       expectKw("CONSTRUCT")
+      // §10.2.3 shorthand: `CONSTRUCT WHERE { bgp }` — the template IS
+      // the pattern. The spec restricts the form to a basic graph
+      // pattern (no FILTER/OPTIONAL/paths), enforced here by requiring
+      // every group element to be a plain constant-predicate triple.
+      if (isKw(peek, "WHERE")) {
+        i += 1
+        val where = group()
+        val templates = where.collect {
+          // exactly one unmodified, non-negated, single-alternative step
+          // = a plain constant predicate
+          case t @ Tp(_, Path(Seq(PStep(Seq((_, false)), "", false))), _) => t
+        }
+        if (templates.isEmpty || templates.size != where.size)
+          fail("CONSTRUCT WHERE supports a basic graph pattern only " +
+            "(§10.2.3: no FILTER/OPTIONAL/UNION/paths in the shorthand)")
+        return ConstructQ(templates, where)
+      }
       expectPunct("{")
       val templates = Vector.newBuilder[Tp]
       while (peek != TPunct("}")) {

@@ -1478,6 +1478,23 @@ class SparqlTextSpec extends SparkSpec {
     assert(mint.length == 2 && mint.forall(_.getString(0).startsWith("urn:m:")))
   }
 
+  test("CONSTRUCT WHERE shorthand: template == pattern, BGP-only") {
+    val r = SparqlText.run(
+      "CONSTRUCT WHERE { ?s wdt:P570 ?d . }", triples, labels).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getString(1) == "wdt:P570"))
+    // the long form with the same template+pattern produces the same graph
+    val long = SparqlText.run(
+      "CONSTRUCT { ?s wdt:P570 ?d . } WHERE { ?s wdt:P570 ?d . }",
+      triples, labels).collect()
+    assert(r.map(_.toSeq).toSet == long.map(_.toSeq).toSet)
+    // non-BGP shorthand refuses loudly per §10.2.3
+    val e = intercept[RuntimeException](SparqlText.run(
+      "CONSTRUCT WHERE { ?s wdt:P570 ?d . FILTER(?d > \"1990\") }",
+      triples, labels))
+    assert(e.getMessage.contains("basic graph pattern"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
