@@ -1216,7 +1216,20 @@ object SparqlText {
     private def filterEl(): Fil = {
       expectPunct("(")
       val f: Fil = peek match {
-        case t if isKw(t, "langmatches") =>
+        // the scan-attachable fast path needs the EXACT
+        // langmatches(lang(?v), "str") shape closing the FILTER;
+        // anything else (composite booleans, expression ranges)
+        // parses through the general grammar
+        case t if isKw(t, "langmatches") &&
+              toks.lift(i + 1).contains(TPunct("(")) &&
+              toks.lift(i + 2).exists(isKw(_, "lang")) &&
+              toks.lift(i + 3).contains(TPunct("(")) &&
+              toks.lift(i + 4).exists(_.isInstanceOf[TVar]) &&
+              toks.lift(i + 5).contains(TPunct(")")) &&
+              toks.lift(i + 6).contains(TPunct(",")) &&
+              toks.lift(i + 7).exists(_.isInstanceOf[TStr]) &&
+              toks.lift(i + 8).contains(TPunct(")")) &&
+              toks.lift(i + 9).contains(TPunct(")")) =>
           i += 1; expectPunct("(")
           expectKw("lang"); expectPunct("(")
           val v = varName()
@@ -1341,7 +1354,7 @@ object SparqlText {
       "MONTH" -> (1, 1), "DAY" -> (1, 1), "HOURS" -> (1, 1),
       "MINUTES" -> (1, 1), "SECONDS" -> (1, 1), "TZ" -> (1, 1),
       "COALESCE" -> (1, 99),
-      "LANG" -> (1, 1), "DATATYPE" -> (1, 1),
+      "LANG" -> (1, 1), "DATATYPE" -> (1, 1), "LANGMATCHES" -> (2, 2),
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
       "IRI" -> (1, 1), "URI" -> (1, 1),
       "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
@@ -2016,7 +2029,7 @@ object SparqlText {
             langFilters.get(v).foreach { lang =>
               require(pat.columns.contains("oLang"),
                 s"langmatches(lang(?$v)) needs an oLang column on the triple source")
-              pat = pat.filter(col("oLang") === lang)
+              pat = pat.filter(langMatchesPred(col("oLang"), lit(lang)))
               langApplied += v
             }
             projected += col("o").as(v)
@@ -2322,6 +2335,19 @@ object SparqlText {
     case (c, TyS) => c.cast("double")
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
+  /** LANGMATCHES per RFC 4647 basic filtering (§17.4.3.1): range `*`
+    * matches any NON-EMPTY tag; otherwise case-insensitive exact match
+    * or subtag-prefix match ("de" matches "de" and "de-AT"). Both the
+    * scan-attached LangM fast path and the general expression compile
+    * through here, so the two positions can never disagree; the
+    * equality/StartsWith pair stays parquet-pushable on the fast path.
+    * A NULL tag (untagged literal at the scan; LANG() already coalesces
+    * to "") yields NULL → row dropped in a FILTER, unbound elsewhere. */
+  private def langMatchesPred(tag: Column, range: Column): Column =
+    when(lower(range) === "*", tag.isNotNull && tag =!= "")
+      .otherwise(lower(tag) === lower(range) ||
+        lower(tag).startsWith(concat(lower(range), lit("-"))))
+
   /** One lexical time component as a double: regexp group pull with the
     * no-match empty string mapped to NULL explicitly — under ANSI mode
     * `CAST('' AS DOUBLE)` raises, and a zone-less/date-only literal must
@@ -2545,6 +2571,11 @@ object SparqlText {
             .otherwise(lit(XsdString))), TyS)
         case other => sys.error(s"DATATYPE expects a variable, got $other")
       }
+      // §17.4.3.1 in any boolean position (the scan-attached LangM fast
+      // path handles the bare FILTER(langmatches(lang(?v), "t")) shape;
+      // composite expressions land here) — same RFC 4647 basic filtering
+      case "LANGMATCHES" =>
+        (langMatchesPred(asStr(a0), asStr(compileE(args(1)))), TyB)
       // ---- term-kind predicates (§17.4.2.1–4): read the __kind_
       // companion a kind-carrying source (the Quad model's oType — e.g. a
       // TurtleParser load, which knows iri/literal/bnode) binds

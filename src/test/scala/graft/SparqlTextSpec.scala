@@ -1495,6 +1495,29 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("basic graph pattern"))
   }
 
+  test("LANGMATCHES: RFC 4647 basic filtering in both positions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("P1", "lbl", "Dichter", Option("de")),
+      ("P2", "lbl", "Wiener", Option("de-AT")),
+      ("P3", "lbl", "poet", Option("en")),
+      ("P4", "lbl", "plain", Option.empty[String])
+    ).toDF("s", "p", "o", "oLang")
+    def ids(q: String): Set[String] =
+      SparqlText.run(q, t, labels).collect().map(_.getString(0)).toSet
+    // scan-attached fast path: "de" matches de AND de-AT (prefix), not en
+    assert(ids("""SELECT ?s WHERE { ?s <lbl> ?l . FILTER(langmatches(lang(?l), "de")) }""") ==
+      Set("P1", "P2"))
+    // "*" matches any TAGGED literal, not the untagged one
+    assert(ids("""SELECT ?s WHERE { ?s <lbl> ?l . FILTER(langmatches(lang(?l), "*")) }""") ==
+      Set("P1", "P2", "P3"))
+    // composite expression position compiles through the same predicate
+    assert(ids("""SELECT ?s WHERE { ?s <lbl> ?l .
+                 |  FILTER(STRLEN(?l) > 5 && LANGMATCHES(LANG(?l), "de")) }"""
+        .stripMargin) == Set("P1", "P2"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
