@@ -1356,7 +1356,7 @@ object SparqlText {
       "COALESCE" -> (1, 99),
       "LANG" -> (1, 1), "DATATYPE" -> (1, 1), "LANGMATCHES" -> (2, 2),
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
-      "IRI" -> (1, 1), "URI" -> (1, 1),
+      "IRI" -> (1, 1), "URI" -> (1, 1), "BNODE" -> (0, 1),
       "MD5" -> (1, 1), "SHA1" -> (1, 1), "SHA256" -> (1, 1),
       "SHA384" -> (1, 1), "SHA512" -> (1, 1),
       "ENCODE_FOR_URI" -> (1, 1),
@@ -1428,8 +1428,10 @@ object SparqlText {
         val fn = w.toUpperCase
         i += 1; expectPunct("(")
         val args = Vector.newBuilder[EExpr]
-        args += orExpr()
-        while (peek == TPunct(",")) { i += 1; args += orExpr() }
+        if (peek != TPunct(")")) {
+          args += orExpr()
+          while (peek == TPunct(",")) { i += 1; args += orExpr() }
+        }
         expectPunct(")")
         val got = args.result()
         val (lo, hi) = exprFns(fn)
@@ -1975,6 +1977,11 @@ object SparqlText {
     val langApplied = scala.collection.mutable.Set[String]()
     var acc: Option[DataFrame] = None
     var svc: Option[Seq[String]] = None
+    // columns minted by BNODE binds: excluded from later mint/BNODE row
+    // keys so BNODE(?x) twice in one solution coalesces to the same node
+    // (§17.4.2.9 — the second call's solution identity must not include
+    // the first call's output)
+    val mintedBnodes = scala.collection.mutable.Set[String]()
 
     // Fidelity companions (see langCol's doc) are never join keys and on a
     // collision the incoming side's copy is dropped — value-join, carry
@@ -2176,6 +2183,31 @@ object SparqlText {
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), lit(null).cast("string"))
               .withColumn(kindCol(out), lit("iri"))
+          // §17.4.2.9 via the mint policy: BNODE() is a fresh node per
+          // solution, BNODE(str) maps the SAME str in the SAME solution
+          // to the SAME node and distinct solutions to distinct nodes —
+          // both exactly satisfied by md5 over (str |) the solution's
+          // sorted bound variables, and deterministic across re-runs
+          // (SURVEY §7.3) where the spec's fresh labels would not be
+          case EFn("BNODE", bArgs) =>
+            val keyCols = a.columns
+              .filterNot(c => c.startsWith("__anon") || isFidelityCol(c) ||
+                mintedBnodes.contains(c))
+              .sorted.map(col)
+            val rowKey = md5(concat_ws("|", keyCols: _*))
+            val id = bArgs match {
+              // no-arg: FRESH per call — salt with the target variable so
+              // two BNODE() binds in one solution stay distinct
+              case Seq() => concat(lit("_:b"),
+                md5(concat(lit(out), lit("|"), rowKey)))
+              case Seq(x) => concat(lit("_:b"),
+                md5(concat(asStr(compileE(x)), lit("|"), rowKey)))
+            }
+            mintedBnodes += out
+            a.withColumn(out, id)
+              .withColumn(langCol(out), lit(null).cast("string"))
+              .withColumn(dtCol(out), lit(null).cast("string"))
+              .withColumn(kindCol(out), lit("bnode"))
           case _ => a.withColumn(out, compileE(e)._1)
         })
       case BindMint(out, prefix) =>
@@ -2627,6 +2659,10 @@ object SparqlText {
       // overwhelmingly common IRI(CONCAT("http://…", ?x)) shape. The
       // kind tag only exists where a term can carry one: the BIND form.
       case "IRI" | "URI" => (asStr(a0), TyS)
+      case "BNODE" => sys.error(
+        "BNODE is supported as the top-level expression of BIND only " +
+          "(the engine mints a deterministic per-solution surrogate there, " +
+          "SURVEY §7.3 nondeterminism policy)")
       case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")

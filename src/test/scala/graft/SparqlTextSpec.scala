@@ -1518,6 +1518,36 @@ class SparqlTextSpec extends SparkSpec {
         .stripMargin) == Set("P1", "P2"))
   }
 
+  test("BNODE(): per-solution surrogate, same-label coalescing, ISBLANK true") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("P1", "slug", "alpha", "literal"),
+                ("P2", "slug", "beta", "literal"))
+      .toDF("s", "p", "o", "oType")
+    val r = SparqlText.run(
+      """SELECT ?s ?b1 ?b2 ?b3 (ISBLANK(?b1) AS ?isb) WHERE {
+        |  ?s <slug> ?v .
+        |  BIND(BNODE(?v) AS ?b1)
+        |  BIND(BNODE(?v) AS ?b2)
+        |  BIND(BNODE() AS ?b3)
+        |}""".stripMargin, t, labels).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getString(1).startsWith("_:b"))
+      // same label in the same solution -> the SAME bnode... (§17.4.2.9)
+      assert(row.getString(1) == row.getString(2))
+      assert(row.getBoolean(4))
+    }
+    // ...and distinct solutions -> distinct bnodes, for both forms
+    assert(r.map(_.getString(1)).distinct.length == 2)
+    assert(r.map(_.getString(3)).distinct.length == 2)
+    // expression position refuses loudly (mint-policy surface is BIND)
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s <slug> ?v . FILTER(BNODE(?v) = \"x\") }",
+      t, labels))
+    assert(e.getMessage.contains("BIND"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
