@@ -631,6 +631,47 @@ object TextOps {
           .otherwise(0L)).as("n_final"))
   }
 
+  /** Longest shared contiguous token run per near-dup candidate pair —
+    * the EXACT-SUBSTRING dedup metric (Lee et al. 2022 dedup long
+    * verbatim spans, 50-token threshold, via suffix arrays; for an
+    * LSH-bounded candidate list the same quantity falls out of pure
+    * relational algebra): positions where the two docs share a token
+    * form diagonals (a_pos - b_pos constant); a verbatim span is a
+    * consecutive run on one diagonal, found with the gaps-and-islands
+    * trick (pos minus rank is constant within an island) — no dynamic
+    * programming, no UDF. Cost is |matching position pairs| per
+    * candidate pair, bounded by the LSH candidate stage exactly like
+    * q143's Jaccard verify; every shuffle key carries the pair id. */
+  def q154LongestRun(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q34MinhashLsh(s, dir)
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("toks"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("p", "tok")))
+    val lens = toks.select(col("doc_id"), size(col("toks")).as("n"))
+    val m = pairs
+      .join(pos.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(pos.as("b"),
+        col("b.doc_id") === col("doc_b") && col("b.tok") === col("a.tok"))
+      .select(col("doc_a"), col("doc_b"), col("a.p").as("ap"),
+        (col("a.p") - col("b.p")).as("diag"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ap"))
+    val longest = m
+      .withColumn("island", col("ap") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run")).as("longest_run"))
+    longest
+      .join(lens.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("longest_run"),
+        round(col("longest_run") / least(col("na"), col("nb")), 4)
+          .as("overlap_share"))
+  }
+
   /** Unigram surprisal per document — the in-engine stand-in for CCNet's
     * KenLM perplexity filter (Wenzek et al. 2020 score documents against
     * a reference LM; a corpus-trained UNIGRAM model is the degenerate
@@ -796,6 +837,7 @@ object TextOps {
     "q147_quality_calibration" -> q147QualityCalibration _,
     "q151_component_representative" -> q151ComponentRepresentative _,
     "q152_unigram_surprisal" -> q152UnigramSurprisal _,
+    "q154_longest_run" -> q154LongestRun _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q143_candidate_verify" -> q143CandidateVerify _,
     "q144_corpus_funnel"  -> q144CorpusFunnel _,
@@ -925,6 +967,32 @@ object TextOps {
          JOIN win w ON w.dup_key = ky.dup_key
          JOIN canon c ON c.doc_id = d.doc_id
          GROUP BY d.source""",
+    "q154_longest_run" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         pos AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS p FROM t),
+         m AS (SELECT pr.doc_a, pr.doc_b, a.p AS ap, a.p - b.p AS diag
+               FROM pairs pr JOIN pos a ON a.doc_id = pr.doc_a
+                             JOIN pos b ON b.doc_id = pr.doc_b
+                                       AND b.tok = a.tok),
+         isl AS (SELECT doc_a, doc_b, diag, ap,
+                   ap - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                     ORDER BY ap) AS island
+                 FROM m),
+         runs AS (SELECT doc_a, doc_b, count(*) AS run FROM isl
+                  GROUP BY doc_a, doc_b, diag, island),
+         lr AS (SELECT doc_a, doc_b, max(run) AS longest_run
+                FROM runs GROUP BY 1, 2),
+         ln AS (SELECT doc_id, len(toks) AS n FROM t)
+         SELECT l.doc_a, l.doc_b, CAST(l.longest_run AS BIGINT) AS longest_run,
+                round(l.longest_run / CAST(least(la.n, lb.n) AS DOUBLE), 4)
+                  AS overlap_share
+         FROM lr l JOIN ln la ON la.doc_id = l.doc_a
+                   JOIN ln lb ON lb.doc_id = l.doc_b""",
     "q152_unigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

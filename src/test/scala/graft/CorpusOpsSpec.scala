@@ -250,6 +250,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q154: island runs equal a direct longest-common-substring DP") {
+    val rows = operators.TextOps.q154LongestRun(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    def lcsRun(a: Array[String], b: Array[String]): Long = {
+      // classic O(n*m) DP over token arrays
+      var best = 0
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      best.toLong
+    }
+    rows.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val expect = lcsRun(texts(da), texts(db))
+      assert(r.getLong(2) === expect, s"pair ($da,$db)")
+      val share = BigDecimal(expect.toDouble /
+          math.min(texts(da).length, texts(db).length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === share)
+    }
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
