@@ -1424,6 +1424,16 @@ object SparqlText {
         }
         expectPunct(")")
         EAgg(fn, arg, dist)
+      // deliberate refusals, with the reason (README §4.2 table): the
+      // engine's nondeterminism policy (SURVEY §7.3) and value model
+      case TIdent(w) if Set("RAND", "NOW", "UUID").contains(w.toUpperCase) =>
+        fail(s"${w.toUpperCase} is nondeterministic by definition and " +
+          "unsupported by policy (SURVEY §7.3) — where a stable identity " +
+          "is needed use the deterministic mints: BIND(URI(CONCAT(prefix, " +
+          "STRUUID())) AS ?v) or BIND(BNODE(...) AS ?v)")
+      case TIdent(w) if w.toUpperCase == "TIMEZONE" =>
+        fail("TIMEZONE returns an xsd:dayTimeDuration, a value type the " +
+          "string term model does not carry — TZ gives the lexical zone")
       case TIdent(w) if exprFns.contains(w.toUpperCase) =>
         val fn = w.toUpperCase
         i += 1; expectPunct("(")

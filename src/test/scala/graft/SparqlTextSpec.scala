@@ -1548,6 +1548,19 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("BIND"))
   }
 
+  test("deliberate refusals: RAND/NOW/UUID/TIMEZONE fail with the reason") {
+    Seq("RAND()", "NOW()", "UUID()").foreach { fn =>
+      val e = intercept[RuntimeException](SparqlText.run(
+        s"SELECT ?s WHERE { ?s wdt:P570 ?d . FILTER($fn > ?d) }",
+        triples, labels))
+      assert(e.getMessage.contains("nondeterministic"), fn)
+    }
+    val tz = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s (TIMEZONE(?d) AS ?z) WHERE { ?s wdt:P570 ?d . }",
+      triples, labels))
+    assert(tz.getMessage.contains("dayTimeDuration"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
