@@ -984,13 +984,13 @@ object RdfOps {
                     FROM events
                     WHERE event_id < 2000 AND event_type = 'click')
          SELECT x, d,
-           CAST(regexp_extract(d, 'T(\d{2})', 1) AS DOUBLE) AS h,
-           CAST(regexp_extract(d, 'T\d{2}:(\d{2})', 1) AS DOUBLE) AS m,
-           CAST(regexp_extract(d, 'T\d{2}:\d{2}:(\d{2})', 1) AS DOUBLE) AS sec,
-           regexp_extract(d, '(Z|[+-]\d{2}:\d{2})$', 1) AS tz
+           CAST(regexp_extract(d, '^\d{4}-\d{2}-\d{2}T(\d{2})', 1) AS DOUBLE) AS h,
+           CAST(regexp_extract(d, '^\d{4}-\d{2}-\d{2}T\d{2}:(\d{2})', 1) AS DOUBLE) AS m,
+           CAST(regexp_extract(d, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:(\d{2})', 1) AS DOUBLE) AS sec,
+           regexp_extract(d, '^\d{4}-\d{2}-\d{2}T.*?(Z|[+-]\d{2}:\d{2})$', 1) AS tz
          FROM t
-         WHERE CAST(regexp_extract(d, 'T(\d{2})', 1) AS DOUBLE) >= 12
-           AND CAST(regexp_extract(d, 'T\d{2}:(\d{2})', 1) AS DOUBLE) < 30""",
+         WHERE CAST(regexp_extract(d, '^\d{4}-\d{2}-\d{2}T(\d{2})', 1) AS DOUBLE) >= 12
+           AND CAST(regexp_extract(d, '^\d{4}-\d{2}-\d{2}T\d{2}:(\d{2})', 1) AS DOUBLE) < 30""",
     "q100_arith_expr" ->
       """SELECT 'O'||CAST(o_orderkey AS VARCHAR) AS x,
                 o_totalprice * 2.0 - 10.0 AS adj

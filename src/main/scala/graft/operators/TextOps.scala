@@ -647,8 +647,11 @@ object TextOps {
     val pairs = q34MinhashLsh(s, dir)
     val toks = docs(s, dir)
       .select(col("doc_id"), col("toks"))
+    // pos feeds BOTH sides of the match join — persist so the corpus
+    // explode runs once (the q34 band-table convention)
     val pos = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("p", "tok")))
+      posexplode(col("toks")).as(Seq("p", "tok"))).persist()
+    pos.count()
     val lens = toks.select(col("doc_id"), size(col("toks")).as("n"))
     val m = pairs
       .join(pos.as("a"), col("a.doc_id") === col("doc_a"))
@@ -664,12 +667,21 @@ object TextOps {
       .agg(count(lit(1)).as("run"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("run")).as("longest_run"))
-    longest
+    // LEFT join from the candidate list: a band-coincidence pair with
+    // ZERO shared tokens must report longest_run = 0, not vanish — a
+    // consumer diffing against the candidate list reads absence as
+    // "unverified", not "verified non-overlapping"
+    val out = pairs
+      .join(longest, Seq("doc_a", "doc_b"), "left")
       .join(lens.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(lens.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("longest_run"),
-        round(col("longest_run") / least(col("na"), col("nb")), 4)
-          .as("overlap_share"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        round(coalesce(col("longest_run"), lit(0L)) /
+          least(col("na"), col("nb")), 4).as("overlap_share"))
+      .localCheckpoint()
+    pos.unpersist(blocking = false)
+    out
   }
 
   /** Unigram surprisal per document — the in-engine stand-in for CCNet's
@@ -686,13 +698,21 @@ object TextOps {
     * the vocabulary is small, an ordinary shuffle join otherwise. The
     * corpus total is a 1-row broadcast. */
   def q152UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    val terms = docs(s, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    // the exploded term stream feeds the count table, the corpus total,
+    // AND the scoring join — persist so the explode (the row-multiplier
+    // of this query) runs once, not three times
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term")).persist()
+    terms.count()
     val cf = terms.groupBy(col("term")).agg(count(lit(1)).as("cf"))
     val total = terms.select(count(lit(1)).cast("double").as("total"))
-    terms.join(cf, "term").crossJoin(broadcast(total))
+    val out = terms.join(cf, "term").crossJoin(broadcast(total))
       .withColumn("nll", -log(col("cf") / col("total")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), round(avg(col("nll")), 4).as("surprisal"))
+      .localCheckpoint()
+    terms.unpersist(blocking = false)
+    out
   }
 
   /** Quality-aware cluster representative: q132 keeps each near-dup
@@ -988,11 +1008,15 @@ object TextOps {
          lr AS (SELECT doc_a, doc_b, max(run) AS longest_run
                 FROM runs GROUP BY 1, 2),
          ln AS (SELECT doc_id, len(toks) AS n FROM t)
-         SELECT l.doc_a, l.doc_b, CAST(l.longest_run AS BIGINT) AS longest_run,
-                round(l.longest_run / CAST(least(la.n, lb.n) AS DOUBLE), 4)
+         SELECT p.doc_a, p.doc_b,
+                CAST(coalesce(l.longest_run, 0) AS BIGINT) AS longest_run,
+                round(coalesce(l.longest_run, 0)
+                      / CAST(least(la.n, lb.n) AS DOUBLE), 4)
                   AS overlap_share
-         FROM lr l JOIN ln la ON la.doc_id = l.doc_a
-                   JOIN ln lb ON lb.doc_id = l.doc_b""",
+         FROM pairs p
+           LEFT JOIN lr l ON l.doc_a = p.doc_a AND l.doc_b = p.doc_b
+           JOIN ln la ON la.doc_id = p.doc_a
+           JOIN ln lb ON lb.doc_id = p.doc_b""",
     "q152_unigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -938,11 +938,21 @@ object SparqlText {
     /** Top entry: prologue then SELECT or CONSTRUCT. */
     def query(): Query = {
       prologue()
-      if (isKw(peek, "CONSTRUCT")) constructQuery()
+      if (isKw(peek, "CONSTRUCT")) {
+        val q = constructQuery()
+        // solution modifiers on CONSTRUCT (legal per §10.2) are not
+        // implemented — refuse loudly rather than silently returning the
+        // full unmodified graph
+        if (!eof) fail(s"trailing tokens after CONSTRUCT (solution " +
+          s"modifiers on CONSTRUCT are unsupported): $peek")
+        q
+      }
       else if (isKw(peek, "ASK")) {
         i += 1
         if (isKw(peek, "WHERE")) i += 1 // WHERE is optional in ASK
-        AskQ(group())
+        val q = AskQ(group())
+        if (!eof) fail(s"trailing tokens after ASK: $peek")
+        q
       }
       else if (isKw(peek, "DESCRIBE")) {
         i += 1
@@ -2182,42 +2192,57 @@ object SparqlText {
             a.withColumn(out, compileE(x)._1)
               .withColumn(langCol(out), compileE(l)._1)
               .withColumn(dtCol(out), lit(null).cast("string"))
-              .withColumn(kindCol(out), lit("literal"))
+              .withColumn(kindCol(out),
+                when(col(out).isNotNull, lit("literal")))
           case EFn("STRDT", Seq(x, d)) =>
             a.withColumn(out, compileE(x)._1)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), compileE(d)._1)
-              .withColumn(kindCol(out), lit("literal"))
+              .withColumn(kindCol(out),
+                when(col(out).isNotNull, lit("literal")))
           case EFn("IRI" | "URI", Seq(x)) =>
-            a.withColumn(out, compileE(x)._1)
+            // kind rides only where a VALUE exists: IRI(unbound) is an
+            // error (NULL value), and a constant kind would make
+            // ISIRI answer true on it instead of propagating the error
+            val iriV = compileE(x)._1
+            a.withColumn(out, iriV)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), lit(null).cast("string"))
-              .withColumn(kindCol(out), lit("iri"))
+              .withColumn(kindCol(out), when(iriV.isNotNull, lit("iri")))
           // §17.4.2.9 via the mint policy: BNODE() is a fresh node per
           // solution, BNODE(str) maps the SAME str in the SAME solution
-          // to the SAME node and distinct solutions to distinct nodes —
-          // both exactly satisfied by md5 over (str |) the solution's
-          // sorted bound variables, and deterministic across re-runs
-          // (SURVEY §7.3) where the spec's fresh labels would not be
+          // to the SAME node and distinct solutions to distinct nodes.
+          // The solution key is md5 of the bound variables as a JSON
+          // struct — to_json keeps NULLs and field names explicit, so
+          // (x=unbound, y="1") and (x="1", y=unbound) cannot collide the
+          // way a separator-joined concat would (NULL-skipping +
+          // delimiter injection). Deterministic across re-runs (SURVEY
+          // §7.3) where the spec's fresh labels would not be. KNOWN
+          // LIMIT: the key reflects the variables bound AT THIS BIND's
+          // position — two BNODE(same-label) calls separated by a
+          // pattern that binds a new variable mint different nodes,
+          // where §17.4.2.9 would coalesce them; adjacent calls (the
+          // practical shape) coalesce exactly.
           case EFn("BNODE", bArgs) =>
             val keyCols = a.columns
               .filterNot(c => c.startsWith("__anon") || isFidelityCol(c) ||
                 mintedBnodes.contains(c))
               .sorted.map(col)
-            val rowKey = md5(concat_ws("|", keyCols: _*))
+            val rowKey = md5(to_json(struct(keyCols: _*)))
             val id = bArgs match {
               // no-arg: FRESH per call — salt with the target variable so
               // two BNODE() binds in one solution stay distinct
               case Seq() => concat(lit("_:b"),
                 md5(concat(lit(out), lit("|"), rowKey)))
-              case Seq(x) => concat(lit("_:b"),
-                md5(concat(asStr(compileE(x)), lit("|"), rowKey)))
+              case Seq(x) =>
+                val lbl = asStr(compileE(x))
+                concat(lit("_:b"), md5(concat(lbl, lit("|"), rowKey)))
             }
             mintedBnodes += out
             a.withColumn(out, id)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), lit(null).cast("string"))
-              .withColumn(kindCol(out), lit("bnode"))
+              .withColumn(kindCol(out), when(col(out).isNotNull, lit("bnode")))
           case _ => a.withColumn(out, compileE(e)._1)
         })
       case BindMint(out, prefix) =>
@@ -2581,16 +2606,24 @@ object SparqlText {
       // accessors return the components AS WRITTEN. Regex pulls keep the
       // zone intact, stay codegen'd, and yield NULL (an unbound-propagating
       // error per §17.2) when the lexical form has no time part.
-      case "HOURS" => (timePart(asStr(a0), "T(\\d{2})"), TyN)
-      case "MINUTES" => (timePart(asStr(a0), "T\\d{2}:(\\d{2})"), TyN)
+      // anchored to the full xsd:dateTime lexical shape: an unanchored
+      // pull would extract "20" from the plain literal "BERT2020" and
+      // keep a row §17.4.5.5 calls a type error — anchoring makes
+      // malformed input NULL (unbound), matching YEAR/to_date behavior
+      case "HOURS" =>
+        (timePart(asStr(a0), "^\\d{4}-\\d{2}-\\d{2}T(\\d{2})"), TyN)
+      case "MINUTES" =>
+        (timePart(asStr(a0), "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:(\\d{2})"), TyN)
       case "SECONDS" =>
-        (timePart(asStr(a0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"), TyN)
+        (timePart(asStr(a0),
+          "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"), TyN)
       // TZ (§17.4.5.8) returns the timezone as a SIMPLE STRING — "Z", a
       // "+hh:mm" offset, or "" when the literal carries none (unlike
       // TIMEZONE, which must raise on a zone-less value and stays
       // unsupported: the engine has no xsd:dayTimeDuration type).
       case "TZ" =>
-        (regexp_extract(asStr(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1), TyS)
+        (regexp_extract(asStr(a0),
+          "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1), TyS)
       case "COALESCE" =>
         val cs = args.map(compileE)
         // uniform numeric args stay numeric; anything mixed unifies lexical

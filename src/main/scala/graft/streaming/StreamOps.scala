@@ -208,10 +208,10 @@ object StreamOps {
     * band-key semi-join: at production scale the claims side is a stored
     * table scan, the batch side is micro-batch-sized, and nothing
     * corpus-sized shuffles per trigger. The plain parquet appends here
-    * are at-least-once on crash replay (a replayed batch would find its
-    * own claims and reject itself) — a transactional table format keyed
-    * by batchId, or the upsertSink read-merge-rewrite, is the
-    * exactly-once swap at production scale. */
+    * are at-least-once on crash replay — admitted rows write BEFORE
+    * claims, so the worst replay outcome is duplicate admitted rows,
+    * never lost ones; a transactional table format keyed by batchId is
+    * the exactly-once swap at production scale. */
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -224,8 +224,14 @@ object StreamOps {
           batch.toDF().withColumn("toks", split(col("text"), " "))
             .select(col("doc_id"), col("toks"))).persist()
         try {
+          // existence probed through the same filesystem layer the
+          // reads/writes use — a java.io.File check would answer false
+          // for every hdfs://-s3a:// claims store and admit everything
+          val claimsHPath = new org.apache.hadoop.fs.Path(claimsPath)
+          val claimsFs = claimsHPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
           val hit =
-            if (new java.io.File(claimsPath).exists()) {
+            if (claimsFs.exists(claimsHPath)) {
               val claims = spark.read.parquet(claimsPath)
               bands.join(claims.select(col("band"), col("bkey")),
                 Seq("band", "bkey"), "left_semi")
@@ -233,9 +239,15 @@ object StreamOps {
             } else bands.select(col("doc_id")).limit(0)
           val admitted = batch.toDF()
             .join(hit, Seq("doc_id"), "left_anti").localCheckpoint()
+          // admitted rows FIRST, claims second: a crash between the two
+          // replays the batch with the old claims state, re-admitting
+          // the same docs — duplicate admitted rows (recoverable,
+          // at-least-once). The reverse order would find the batch's own
+          // claims on replay and reject docs that were never written
+          // anywhere — silent loss.
+          admitted.write.mode("append").parquet(admittedPath)
           bands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .write.mode("append").parquet(claimsPath)
-          admitted.write.mode("append").parquet(admittedPath)
         } finally { bands.unpersist(blocking = false) }
         ()
       }

@@ -1404,7 +1404,8 @@ class SparqlTextSpec extends SparkSpec {
     val t = Seq(
       ("E1", "at", "2020-03-01T14:45:13Z"),
       ("E2", "at", "2020-03-01T23:05:59+05:30"), // zoned: hour STAYS 23
-      ("E3", "at", "2020-03-01")                 // date-only: no time part
+      ("E3", "at", "2020-03-01"),                // date-only: no time part
+      ("E4", "at", "BERT2020Z")                  // not a dateTime at all
     ).toDF("s", "p", "o")
     val r = SparqlText.run(
       """SELECT ?x (HOURS(?d) AS ?h) (MINUTES(?d) AS ?m)
@@ -1419,6 +1420,10 @@ class SparqlTextSpec extends SparkSpec {
     // date-only: accessors are unbound (NULL), TZ is the empty string
     assert(r("E3").isNullAt(1) && r("E3").isNullAt(2) && r("E3").isNullAt(3))
     assert(r("E3").getString(4) == "")
+    // anchored shape: a non-dateTime literal containing "T20"/ending in Z
+    // yields NULL components and an empty TZ, never a bogus extraction
+    assert(r("E4").isNullAt(1) && r("E4").isNullAt(2) && r("E4").isNullAt(3))
+    assert(r("E4").getString(4) == "")
     // and an accessor in FILTER position silently drops the unbound row
     val filtered = SparqlText.run(
       "SELECT ?x WHERE { ?x <at> ?d . FILTER(HOURS(?d) >= 0) }", t, labels)
