@@ -107,6 +107,22 @@ object ComposeOps {
       graft.multimodal.Multimodal.mediaFromEvents(s, dir),
       frameSize = 4, nFrames = 3)
 
+  /** Stop-frame inventory — the pre-stage every FRAME-level video dedup
+    * needs before generating candidate pairs: per sampled-frame checksum,
+    * how many media contain it and how often. A frame shared by half the
+    * corpus (intros, color bars, silence — here the shared JSON prefix)
+    * would explode a same-hash pair join quadratically; classifying
+    * frames by media-frequency first and joining only DISTINCTIVE ones
+    * is the media twin of q135's LSH degree guard. One aggregation on
+    * the frame hash (near-uniform key, map-side partials); the inventory
+    * is vocabulary-sized, broadcastable back over the corpus. */
+  def q155StopFrames(s: SparkSession, dir: String): DataFrame =
+    q75FrameSample(s, dir)
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"))
+      .withColumn("is_stop", col("n_media") > 10)
+
   /** Bucketed co-located join (§4.2 "triple-table physical layout"): both
     * sides written bucketBy(8, key) + sortBy, then joined WITHOUT a shuffle
     * exchange on either side — the layout-level answer for the recurring
@@ -138,7 +154,8 @@ object ComposeOps {
     "q54_salted_agg"     -> q54SaltedAgg _,
     "q73_salted_join"    -> q73SaltedJoin _,
     "q74_grouping_sets"  -> q74GroupingSets _,
-    "q75_frame_sample"   -> q75FrameSample _
+    "q75_frame_sample"   -> q75FrameSample _,
+    "q155_stop_frames"   -> q155StopFrames _
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +201,14 @@ object ComposeOps {
                 round(sum(o_totalprice), 2) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+    "q155_stop_frames" ->
+      """WITH f AS (SELECT event_id AS media_id,
+                    md5(substr(props, 1 + i*4, 4)) AS frame_md5
+               FROM events, range(0, 3) t(i))
+         SELECT frame_md5, CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+                count(*) AS n_occurrences,
+                (count(DISTINCT media_id) > 10) AS is_stop
+         FROM f GROUP BY 1""",
     "q75_frame_sample" ->
       """WITH f AS (SELECT event_id AS media_id, i AS frame_no,
                     substr(props, 1 + i*4, 4) AS frame
