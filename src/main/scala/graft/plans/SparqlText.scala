@@ -605,8 +605,22 @@ object SparqlText {
     ops.zipWithIndex.foldLeft(store0.select(cols: _*)) {
       case (store, (op, idx)) =>
         val out = applyQuadOp(op, store, requestScope)
-        if (idx < ops.length - 1) out.localCheckpoint() else out
+        if (idx < ops.length - 1 && !pureNarrowOp(op)) out.localCheckpoint()
+        else out
     }
+  }
+
+  /** Ops whose output plan is a FILTER/UNION-of-filters over the input —
+    * recomputing them inside the next op's ~5 store references costs a
+    * predicate, not a join, so the inter-op materialization is skipped
+    * (CLEAR/DROP = one filter; CREATE = identity; COPY/MOVE = two
+    * filters + a relabel). ADD anti-joins its destination slice for set
+    * semantics, so it stays checkpointed with the data/modify/load ops. */
+  private def pureNarrowOp(op: UpdOp): Boolean = op match {
+    case _: ClearOp | _: CreateOp => true
+    case AddLike(kind, _, _, _) => kind != "ADD"
+    case Scoped(_, inner) => pureNarrowOp(inner)
+    case _ => false
   }
 
   private def applyQuadOp(op: UpdOp, store: DataFrame,
