@@ -2168,10 +2168,51 @@ object SparqlText {
           .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
         join(normalized.reduce(_ unionByName _))
       case OptEl(g) =>
-        val right =
-          compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
         val a = acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern"))
-        acc = Some(SparqlAlgebra.optional(a, dropSharedHidden(a, right)))
+        // §8.3.2: `OPTIONAL { P FILTER(F) }` is LeftJoin(left, P, F) — F
+        // ranges over the MERGED bindings, so a filter referencing a
+        // variable bound OUTSIDE the optional cannot evaluate inside P.
+        // Probe P's own bindings (plan-only compile, no execution), then
+        // DEFER any filter that needs outer variables into the join
+        // condition; filters P can satisfy alone stay inside (the
+        // scan-adjacent fast path — equivalent under left-outer for
+        // right-only predicates). EXISTS-bearing filters always stay
+        // inside (their mark-lift machinery runs against the inner
+        // solution); one referencing outer vars still fails loudly.
+        val innerFilters = g.collect { case f: FilterExpr => f }
+        val deferred: Seq[FilterExpr] =
+          if (innerFilters.isEmpty) Nil
+          else {
+            val probeCols = compileGroup(
+              g.filterNot(_.isInstanceOf[FilterExpr]), triples, labels,
+              params, memo, graphCtx, namedTriples)._1.columns.toSet
+            innerFilters.filter(f => !hasExists(f.e) &&
+              !exprVars(f.e).subsetOf(probeCols))
+          }
+        val right = compileGroup(g.filterNot(deferred.contains(_)), triples,
+          labels, params, memo, graphCtx, namedTriples)._1
+        if (deferred.isEmpty)
+          acc = Some(SparqlAlgebra.optional(a, dropSharedHidden(a, right)))
+        else {
+          // LeftJoin with a condition: matched = inner-join ⋉ F over the
+          // merged frame; left rows with NO surviving match re-attach
+          // null-extended (multiset-exact: the anti-join keys on every
+          // left column, so duplicate left rows survive or drop together
+          // — same split the EXISTS mark machinery uses)
+          val r2 = dropSharedHidden(a, right)
+          val shared = a.columns.intersect(r2.columns).toSeq
+          val cond = deferred.map(f => compileBool(f.e)).reduce(_ && _)
+          val matched = a.join(r2, shared, "inner").filter(cond)
+          val rightOnly = r2.columns.filterNot(shared.contains)
+          val unmatched = a.join(
+              matched.select(a.columns.map(col): _*), a.columns.toSeq,
+              "left_anti")
+          val extended = rightOnly.foldLeft(unmatched)((df, c) =>
+            df.withColumn(c, lit(null).cast("string")))
+          acc = Some(matched.select(
+            (a.columns ++ rightOnly).map(col): _*)
+            .unionByName(extended.select((a.columns ++ rightOnly).map(col): _*)))
+        }
       case GraphEl(graph, g) =>
         // inner GRAPH re-scopes (replaces, not intersects, any outer
         // context — §13.3's active-graph substitution); with explicit
@@ -2198,6 +2239,11 @@ object SparqlText {
         join(compileSelect(sub, triples, labels, params, memo))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
+        // §10.1: the BIND target must not already be in scope — silently
+        // overwriting an in-scope variable would corrupt solutions
+        if (a.columns.contains(out))
+          sys.error(s"BIND(... AS ?$out): ?$out is already bound in this " +
+            "group (SPARQL §10.1 forbids rebinding)")
         acc = Some(e match {
           // term constructors (§17.4.2.8/9): the value lands in the
           // variable, the tag in its fidelity companions — LANG/DATATYPE
@@ -2266,6 +2312,9 @@ object SparqlText {
         // existential scaffolding and fidelity companions are not solution
         // variables — both excluded from the key.
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
+        if (a.columns.contains(out))
+          sys.error(s"BIND(... AS ?$out): ?$out is already bound in this " +
+            "group (SPARQL §10.1 forbids rebinding)")
         val keyCols = a.columns
           .filterNot(c => c.startsWith("__anon") || isFidelityCol(c))
           .sorted.map(col)
@@ -2416,6 +2465,40 @@ object SparqlText {
     case (c, TyS) => c.cast("double")
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
+  /** Variables an expression references by name (EExists bodies excluded:
+    * their correlation resolves through the mark machinery, and an
+    * EXISTS-bearing filter is never deferred). */
+  private def exprVars(e: EExpr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case EBound(v) => Set(v)
+    case ENeg(x) => exprVars(x)
+    case ENot(x) => exprVars(x)
+    case EArith(_, l, r) => exprVars(l) ++ exprVars(r)
+    case ECmp(_, l, r) => exprVars(l) ++ exprVars(r)
+    case EAnd(l, r) => exprVars(l) ++ exprVars(r)
+    case EOr(l, r) => exprVars(l) ++ exprVars(r)
+    case EIn(x, _, _) => exprVars(x)
+    case EIf(c, t, f) => exprVars(c) ++ exprVars(t) ++ exprVars(f)
+    case EFn(_, args) => args.flatMap(exprVars).toSet
+    case EAgg(_, arg, _) =>
+      arg.fold(v => if (v == "*") Set.empty[String] else Set(v), exprVars)
+    case _ => Set.empty
+  }
+
+  private def hasExists(e: EExpr): Boolean = e match {
+    case _: EExists => true
+    case ENeg(x) => hasExists(x)
+    case ENot(x) => hasExists(x)
+    case EArith(_, l, r) => hasExists(l) || hasExists(r)
+    case ECmp(_, l, r) => hasExists(l) || hasExists(r)
+    case EAnd(l, r) => hasExists(l) || hasExists(r)
+    case EOr(l, r) => hasExists(l) || hasExists(r)
+    case EIn(x, _, _) => hasExists(x)
+    case EIf(c, t, f) => hasExists(c) || hasExists(t) || hasExists(f)
+    case EFn(_, args) => args.exists(hasExists)
+    case _ => false
+  }
+
   /** LANGMATCHES per RFC 4647 basic filtering (§17.4.3.1): range `*`
     * matches any NON-EMPTY tag; otherwise case-insensitive exact match
     * or subtag-prefix match ("de" matches "de" and "de-AT"). Both the

@@ -1566,6 +1566,34 @@ class SparqlTextSpec extends SparkSpec {
     assert(tz.getMessage.contains("dayTimeDuration"))
   }
 
+  test("OPTIONAL filter over outer variables is the LeftJoin condition (§8.3.2)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("A", "p", "1"), ("B", "p", "2"),
+                ("A", "q", "1"), ("B", "q", "9")).toDF("s", "p", "o")
+    // B's q-row exists but fails the cross-side filter → B must SURVIVE
+    // with ?w unbound (a post-join filter would drop it; evaluating
+    // inside the optional alone cannot see ?v)
+    val r = SparqlText.run(
+      """SELECT ?s ?v ?w WHERE {
+        |  ?s <p> ?v . OPTIONAL { ?s <q> ?w . FILTER(?w = ?v) }
+        |}""".stripMargin, t, labels)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(r == Set(("A", "1", "1"), ("B", "2", null)))
+    // filters the inner group can satisfy alone keep the inside path
+    val inner = SparqlText.run(
+      """SELECT ?s ?w WHERE {
+        |  ?s <p> ?v . OPTIONAL { ?s <q> ?w . FILTER(?w > "5") }
+        |}""".stripMargin, t, labels)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("A", null), ("B", "9")))
+    // §10.1: BIND may not rebind an in-scope variable
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE { ?s <p> ?v . BIND("x" AS ?v) }""", t, labels))
+    assert(e.getMessage.contains("already bound"))
+  }
+
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
     val kinds = Seq[(String, String, String, Option[String], Option[String], String)](
       ("s1", "p", "http://x/e1", None, None, "iri"),
