@@ -715,6 +715,39 @@ object TextOps {
     out
   }
 
+  /** Bigram conditional surprisal — one rung up q152's unigram ladder
+    * toward the KenLM n-gram scoring CCNet actually runs: score = mean
+    * over positions 2..n of -ln p(w_i | w_{i-1}), probabilities from
+    * corpus bigram counts over their prefix marginal (both observed, so
+    * no zero mass and no smoothing constant to disagree on). Repetitive
+    * or templated docs score LOW (their transitions are corpus-common) —
+    * the complementary signal to q114's within-doc repetition.
+    *
+    * Same scale shape as q152 plus one more near-uniform key: bigram
+    * counts and prefix marginals aggregate with map-side partials; the
+    * count tables join back on the bigram key (broadcast while the
+    * vocabulary² stays small, shuffle join beyond); per-doc mean is the
+    * second shuffle. */
+  def q156BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    bg.count()
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cpre = bg.groupBy(col("w1")).agg(count(lit(1)).as("cpre"))
+    val out = bg.join(cbg, Seq("w1", "w2")).join(cpre, Seq("w1"))
+      .withColumn("nll", -log(col("cbg") / col("cpre")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("surprisal"))
+      .localCheckpoint()
+    bg.unpersist(blocking = false)
+    out
+  }
+
   /** Quality-aware cluster representative: q132 keeps each near-dup
     * component's MIN-ID member (deterministic but arbitrary); production
     * pipelines keep the BEST member (longest / highest-quality — the
@@ -858,6 +891,7 @@ object TextOps {
     "q151_component_representative" -> q151ComponentRepresentative _,
     "q152_unigram_surprisal" -> q152UnigramSurprisal _,
     "q154_longest_run" -> q154LongestRun _,
+    "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
     "q143_candidate_verify" -> q143CandidateVerify _,
     "q144_corpus_funnel"  -> q144CorpusFunnel _,
@@ -1017,6 +1051,20 @@ object TextOps {
            LEFT JOIN lr l ON l.doc_a = p.doc_a AND l.doc_b = p.doc_b
            JOIN ln la ON la.doc_id = p.doc_a
            JOIN ln lb ON lb.doc_id = p.doc_b""",
+    "q156_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+                FROM t),
+         p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         cbg AS (SELECT w1, w2, count(*) AS cbg FROM p GROUP BY 1, 2),
+         cpre AS (SELECT w1, count(*) AS cpre FROM p GROUP BY 1),
+         nll AS (SELECT p.doc_id, -ln(cbg.cbg / CAST(cpre.cpre AS DOUBLE)) AS nll
+                 FROM p JOIN cbg USING (w1, w2) JOIN cpre USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(nll), 4) AS surprisal
+         FROM nll GROUP BY 1""",
     "q152_unigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

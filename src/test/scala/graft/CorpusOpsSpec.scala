@@ -280,6 +280,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q156: bigram surprisal matches a driver recount of conditional -ln p") {
+    val out = operators.TextOps.q156BigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 500)
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigrams = texts.values.flatMap(t => t.sliding(2).map(p => (p(0), p(1)))).toSeq
+    val cbg = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val cpre = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    texts.take(10).foreach { case (id, toks) =>
+      val terms = toks.sliding(2).map { p =>
+        -math.log(cbg((p(0), p(1))).toDouble / cpre(p(0)))
+      }.toSeq
+      val expect = BigDecimal(terms.sum / terms.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id).getLong(1) === toks.size.toLong - 1)
+      assert(math.abs(out(id).getDouble(2) - expect) <= 1e-4,
+        s"doc $id: ${out(id).getDouble(2)} vs $expect")
+    }
+  }
+
   test("q147: per-source keeps are a prefix of the quality ordering") {
     val rows = operators.TextOps.q147QualityCalibration(spark, dir).collect()
     assert(rows.length === 500)
