@@ -835,11 +835,17 @@ class SparqlTextSpec extends SparkSpec {
         "5", "MINUS", "NOT", "EXISTS", "BOUND", "CONTAINS", "STR", "&&",
         "||", "!", "DESC", "-3.5", "ASK", "DESCRIBE", "VALUES", "UNDEF",
         "IN", "HAVING", "SUM", "COUNT", "REGEX", "SUBSTR", "+", "-",
-        "separator", "=", ",", "GRAPH", "FROM", "NAMED")).map(_.mkString(" ")),
+        "separator", "=", ",", "GRAPH", "FROM", "NAMED",
+        // round-6 surface: time accessors, term constructors, refusals
+        "HOURS", "MINUTES", "SECONDS", "TZ", "LANGMATCHES", "LANG",
+        "IRI", "URI", "BNODE", "STRLANG", "STRDT", "SAMETERM",
+        "ISIRI", "ISBLANK", "ISNUMERIC", "DATATYPE",
+        "RAND", "NOW", "UUID", "TIMEZONE")).map(_.mkString(" ")),
       Gen.const("SELECT ?x WHERE { ?x "), // truncated
       Gen.const("SELECT ?x WHERE { { SELECT"),
+      Gen.const("CONSTRUCT WHERE { ?a <p> "),
       Gen.const("CONSTRUCT { ?a <p> ") )
-    (0 until 60).foreach { i =>
+    (0 until 90).foreach { i =>
       junk.apply(Gen.Parameters.default, Seed(99L + i)).foreach { q =>
         try { SparqlText.parse(q); () }
         catch { case _: RuntimeException => () } // loud, typed failure
