@@ -1598,6 +1598,18 @@ class SparqlTextSpec extends SparkSpec {
     val e = intercept[RuntimeException](SparqlText.run(
       """SELECT ?s WHERE { ?s <p> ?v . BIND("x" AS ?v) }""", t, labels))
     assert(e.getMessage.contains("already bound"))
+    // zero shared variables + a deferred filter: the condition decides
+    // compatibility over the cross product (A: 9<1 fails -> null-extend;
+    // B: 9 qualifies against nothing... v=2: 9<2 fails too) — rebuild
+    // with values where the outcomes split
+    val t2 = Seq(("A", "p", "1"), ("B", "p", "5"), ("X", "r", "3"))
+      .toDF("s", "p", "o")
+    val dis = SparqlText.run(
+      """SELECT ?s ?w WHERE {
+        |  ?s <p> ?v . OPTIONAL { ?x <r> ?w . FILTER(?w < ?v) }
+        |}""".stripMargin, t2, labels)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dis == Set(("A", null), ("B", "3")))
   }
 
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
