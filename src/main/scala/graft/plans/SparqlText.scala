@@ -1633,6 +1633,15 @@ object SparqlText {
         val alts = Vector.newBuilder[(String, Boolean)]
         alts += primary()
         while (peek == TPunct("|")) { i += 1; alts += primary() }
+        if (paren && peek == TPunct("/"))
+          // §9.1 allows full recursion inside '( Path )'; the engine's
+          // path model is a FLAT step sequence, so a '/' sequence inside
+          // a group — '(p/q)*', '(p/q)|r' — has no representation.
+          // Refuse with the rewrite hint rather than a bare parse error.
+          fail("path groups containing '/' sequences ('(p/q)*', " +
+            "'(p/q)|r') are unsupported — the path model is a flat step " +
+            "sequence; rewrite with single-predicate steps (e.g. expand " +
+            "the alternation arms into UNION branches)")
         if (paren) expectPunct(")")
         val raw = alts.result()
         val mod = peek match {

@@ -1559,6 +1559,18 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("BIND"))
   }
 
+  test("grouped path sequences refuse with the rewrite hint") {
+    Seq("SELECT ?o WHERE { <A> (<p>/<q>)* ?o . }",
+        "SELECT ?o WHERE { <A> (<p>/<q>)|<r> ?o . }").foreach { q =>
+      val e = intercept[RuntimeException](SparqlText.parse(q))
+      assert(e.getMessage.contains("flat step sequence"), q)
+    }
+    // single-predicate groups and sequences of groups stay legal
+    assert(SparqlText.run(
+      "SELECT ?o WHERE { <P1> (wdt:P570) ?o . }", triples, labels)
+      .collect().nonEmpty)
+  }
+
   test("deliberate refusals: RAND/NOW/UUID/TIMEZONE fail with the reason") {
     Seq("RAND()", "NOW()", "UUID()").foreach { fn =>
       val e = intercept[RuntimeException](SparqlText.run(
