@@ -106,16 +106,8 @@ object SparqlText {
     * predicate is NOT in the forward member set, unioned with the
     * REVERSED triples whose predicate is NOT in the inverse member set
     * (each complement present only when its side has members). */
-  /** One path step. `alts` = simple alternation members (predicate,
-    * inverse?); when `seqAlts` is non-empty the step is instead a GROUP
-    * of '/'-sequence arms — `(p/q)|r` is seqAlts = [[p,q],[r]] — whose
-    * edge relation is the union over arms of the composed member scans
-    * (§9.1 path recursion, one level: arm members are [^]predicates).
-    * Modifiers apply to the whole group relation, so `(p/q)*` is the
-    * closure of the p∘q composite. */
   final case class PStep(alts: Seq[(String, Boolean)], mod: String,
-                         negated: Boolean = false,
-                         seqAlts: Seq[Seq[(String, Boolean)]] = Nil) {
+                         negated: Boolean = false) {
     def star: Boolean = mod == "*"
   }
 
@@ -1638,20 +1630,20 @@ object SparqlText {
         // present only when it has members; see edgesOfStep)
         val negated = peek == TPunct("!") && { i += 1; true }
         val paren = peek == TPunct("(") && { i += 1; true }
-        // inside parens: '|'-separated ARMS, each a '/'-sequence of
-        // [^]primaries (§9.1 recursion, one level); outside: simple
-        // alternation only ('/' at this level separates path STEPS)
-        def arm(): Seq[(String, Boolean)] = {
-          val els = Vector.newBuilder[(String, Boolean)]
-          els += primary()
-          while (paren && peek == TPunct("/")) { i += 1; els += primary() }
-          els.result()
-        }
-        val arms = Vector.newBuilder[Seq[(String, Boolean)]]
-        arms += arm()
-        while (peek == TPunct("|")) { i += 1; arms += arm() }
+        val alts = Vector.newBuilder[(String, Boolean)]
+        alts += primary()
+        while (peek == TPunct("|")) { i += 1; alts += primary() }
+        if (paren && peek == TPunct("/"))
+          // §9.1 allows full recursion inside '( Path )'; the engine's
+          // path model is a FLAT step sequence, so a '/' sequence inside
+          // a group — '(p/q)*', '(p/q)|r' — has no representation.
+          // Refuse with the rewrite hint rather than a bare parse error.
+          fail("path groups containing '/' sequences ('(p/q)*', " +
+            "'(p/q)|r') are unsupported — the path model is a flat step " +
+            "sequence; rewrite with single-predicate steps (e.g. expand " +
+            "the alternation arms into UNION branches)")
         if (paren) expectPunct(")")
-        val allArms = arms.result()
+        val raw = alts.result()
         val mod = peek match {
           case TPunct("*") => i += 1; "*"
           case TPunct("+") => i += 1; "+"
@@ -1660,13 +1652,7 @@ object SparqlText {
           case TPunct("?") => i += 1; "?"
           case _ => ""
         }
-        if (allArms.forall(_.length == 1))
-          (PStep(allArms.map(_.head), mod, negated), paren)
-        else if (negated)
-          // the §9.1 NPS grammar admits only [^]predicates — no sequences
-          fail("negated property sets cannot contain '/' sequences (§9.1)")
-        else
-          (PStep(Nil, mod, negated = false, seqAlts = allArms), paren)
+        (PStep(raw, mod, negated), paren)
       }
       val steps = Vector.newBuilder[(PStep, Boolean)]
       steps += step()
