@@ -23,25 +23,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read nanos as long and floor-convert to microseconds with
-    * integer division (`div`) — a double division would lose precision at
-    * ~1.7e18 ns epochs. DuckDB keeps TIMESTAMP_NS and floors to µs the same
-    * way when formatting/µs-extracting, so oracle comparisons agree. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses by default — read as long via nanosAsLong) and, in newer
+    * generator runs, as a plain microsecond TIMESTAMP. [[deriveEventTime]]
+    * normalizes either file schema to the same two columns, so every query
+    * and oracle is generator-version-independent. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     deriveEventTime(apply(s, d, "events"))
   }
 
   /** Shared ts derivation for batch and streaming reads of the events
-    * files: rename the raw nanos INT64 to ts_ns and floor-convert to a
-    * microsecond timestamp with INTEGER division (`div`) — float division
-    * would corrupt the microsecond floor at ~1.7e18 ns epochs, and this is
-    * the invariant every events oracle depends on. */
-  def deriveEventTime(raw: DataFrame): DataFrame =
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    * files, normalizing both on-disk generations to the same shape:
+    * `ts_ns` = INT64 epoch nanoseconds, `ts` = session-TZ µs timestamp.
+    *
+    *  - nanos files (ts read as long): floor-convert with INTEGER division
+    *    (`div`) — float division corrupts the microsecond floor at
+    *    ~1.7e18 ns epochs, and this is the invariant every events oracle
+    *    depends on.
+    *  - µs-timestamp files (TIMESTAMP or TIMESTAMP_NTZ): `ts_ns` is the
+    *    µs count ×1000 (NTZ values are UTC instants by generator
+    *    convention; the session runs UTC, so the NTZ→LTZ cast is
+    *    value-preserving). */
+  def deriveEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", col("ts_ns").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

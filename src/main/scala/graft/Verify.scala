@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [name substrings…] — extra args filter the
+    // query set for targeted iteration (the driver passes exactly two)
+    val (sfDir, outDir) = (args(0), args(1))
+    val wanted = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -20,7 +23,10 @@ object Verify {
     // compare last run's output and pass).
     graft.util.Fs.deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    def sel[A](m: Map[String, A]): Map[String, A] =
+      if (wanted.isEmpty) m
+      else m.filter { case (k, _) => wanted.exists(k.contains) }
+    sel(SparkEntry.queries).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,14 +45,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = sel(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full declared-query list (superset of oracle_sql keys: includes
     // rows-only queries) so the local gate can flag a query that crashed
     // inside the try above and never produced a result directory.
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      sel(SparkEntry.queries).keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -18,13 +18,25 @@ object Events {
     * predicate is pushed to the parquet scan. Fixed cutoff, not now():
     * injectable-clock policy per SURVEY.md §7.3 "Nondeterminism". */
   def q28IncrementalWatermark(s: SparkSession, dir: String): DataFrame = {
-    // Filter on the RAW nanos column: a predicate on the derived
-    // timestamp_micros column cannot be pushed through the conversion, but
-    // `ts_ns > <cutoff nanos>` reaches the parquet scan as
-    // GreaterThan(ts, …) and prunes row groups. 2024-01-25T00:00:00Z.
-    val cutoffNs = 1706140800L * 1000000000L
-    Tables.events(s, dir)
-      .filter(col("ts_ns") > lit(cutoffNs))
+    // Filter on the RAW file column BEFORE the ts derivation: a predicate
+    // on a derived column cannot be pushed through the conversion, but a
+    // comparison against the scan's own `ts` reaches the parquet reader as
+    // GreaterThan(ts, …) and prunes row groups. The literal adapts to the
+    // file generation (epoch-nanos INT64 vs µs timestamp — see
+    // Tables.deriveEventTime). Cutoff = 2024-01-25T00:00:00Z.
+    val cutoffSec = 1706140800L
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables(s, dir, "events")
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") > lit(cutoffSec * 1000000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts") > lit(java.time.LocalDateTime.ofEpochSecond(
+          cutoffSec, 0, java.time.ZoneOffset.UTC))
+      case _ =>
+        col("ts") > lit(java.time.Instant.ofEpochSecond(cutoffSec))
+    }
+    Tables.deriveEventTime(raw.filter(pred))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }

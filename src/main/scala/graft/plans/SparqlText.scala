@@ -2213,9 +2213,16 @@ object SparqlText {
           val cond = deferred.map(f => compileBool(f.e)).reduce(_ && _)
           val matched = a.join(r2, shared, "inner").filter(cond)
           val rightOnly = r2.columns.filterNot(shared.contains)
-          val unmatched = a.join(
-              matched.select(a.columns.map(col): _*), a.columns.toSeq,
-              "left_anti")
+          // the anti-join needs EXACT row identity, so equality must be
+          // null-SAFE: a left row null-extended by an earlier OPTIONAL
+          // would never `=`-match its own matched copy and be emitted
+          // twice. `<=>` keys still plan as a hash equi-join
+          // (ExtractEquiJoinKeys admits EqualNullSafe).
+          val la = a.as("__la")
+          val mk = matched.select(a.columns.map(col): _*).as("__mk")
+          val antiCond = a.columns.map(c =>
+            col(s"__la.`$c`") <=> col(s"__mk.`$c`")).reduce(_ && _)
+          val unmatched = la.join(mk, antiCond, "left_anti")
           val extended = rightOnly.foldLeft(unmatched)((df, c) =>
             df.withColumn(c, lit(null).cast("string")))
           acc = Some(matched.select(

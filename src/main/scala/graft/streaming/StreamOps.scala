@@ -85,11 +85,11 @@ object StreamOps {
     * file = one micro-batch at test scale; at production scale this is a
     * kafka/file drop-in via readStream options).
     *
-    * The on-disk files carry a TIMESTAMP(NANOS) `ts` column (read as long
-    * via nanosAsLong) and no derived columns, so the readStream schema must
-    * be the RAW file schema; ts_ns/ts are then re-derived exactly as in
-    * [[graft.Tables.events]] (integer `div 1000` — float division corrupts
-    * the microsecond floor at ~1.7e18 ns epochs). */
+    * The on-disk files carry a raw `ts` column (epoch-nanos INT64 in older
+    * generator runs, µs TIMESTAMP in newer ones) and no derived columns, so
+    * the readStream schema must be the RAW file schema; ts_ns/ts are then
+    * re-derived exactly as in [[graft.Tables.deriveEventTime]], which
+    * normalizes either generation to the same two columns. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -1622,6 +1622,21 @@ class SparqlTextSpec extends SparkSpec {
         |}""".stripMargin, t2, labels)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(dis == Set(("A", null), ("B", "3")))
+    // a left row already carrying a NULL (from an earlier OPTIONAL) that
+    // DOES have a surviving match must appear exactly once: the
+    // matched-vs-unmatched split keys on every left column, so its
+    // equality has to be null-safe or the row is also spuriously
+    // null-extended
+    val nullSafe = SparqlText.run(
+      """SELECT ?s ?u ?w WHERE {
+        |  ?s <p> ?v .
+        |  OPTIONAL { ?s <m> ?u }
+        |  OPTIONAL { ?s <q> ?w . FILTER(?w = ?v) }
+        |}""".stripMargin, t, labels)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(nullSafe.count(_._1 == "A") == 1)
+    assert(nullSafe.toSet == Set(("A", null, "1"), ("B", null, null)))
   }
 
   test("term-kind predicates: bnode truth table; plain stores fail loudly") {
