@@ -751,6 +751,27 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Grouped path-sequence alternation (§9.1 recursion, one level):
+    * `(<nation>/<region>)|<region>` — one arm is the COMPOSED n∘r scan
+    * (customers/suppliers to their region via the nation hop), the other
+    * a plain region scan (nations to their region). The composition join
+    * shuffles on the shared node key like any BGP self-join; the arms
+    * union into one (src,dst) relation. */
+  def q157GroupedPathAlt(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT DISTINCT ?x ?y WHERE { ?x (<nation>/<region>)|<region> ?y }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** Closure of a composed group to a CONSTANT object: `(p/q)*` seeds the
+    * semi-naive [[graft.plans.Closure.reachingTo]] with the constant and
+    * walks the p∘q composite backwards — the 100 TB seeded-reach shape,
+    * with the composite materialized once per round's frontier join
+    * rather than as all-pairs. Zero-hop keeps the seed itself. */
+  def q158GroupedPathStar(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT ?x WHERE { ?x (<nation>/<region>)* <R1> }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** EXISTS in expression position (§17.4.1.4): `FILTER(expr && EXISTS
     * {…})` — the EXISTS lifts to a hidden boolean mark via the same
     * compatibility machinery as the group-level form, so the conjunction
@@ -793,6 +814,8 @@ object RdfOps {
       TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
+    "q158_grouped_path_star" -> q158GroupedPathStar _,
     "q145_term_kinds"        -> q145TermKinds _,
     "q142_hash_fns"          -> q142HashFns _,
     "q139_negated_inverse"   -> q139NegatedInverse _,
@@ -849,6 +872,23 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q157_grouped_path_alt" ->
+      s"""WITH triples AS ($T),
+         ne AS (SELECT s AS src, o AS dst FROM triples WHERE p='nation'),
+         re AS (SELECT s AS src, o AS dst FROM triples WHERE p='region')
+         SELECT DISTINCT x, y FROM (
+           SELECT n.src AS x, r.dst AS y FROM ne n JOIN re r ON r.src = n.dst
+           UNION
+           SELECT src, dst FROM re)""",
+    "q158_grouped_path_star" ->
+      s"""WITH RECURSIVE triples AS ($T),
+         comp AS (SELECT n.s AS src, r.o AS dst
+                  FROM triples n JOIN triples r ON r.s = n.o
+                  WHERE n.p = 'nation' AND r.p = 'region'),
+         reach AS (SELECT 'R1' AS x
+                   UNION
+                   SELECT c.src FROM comp c JOIN reach t ON c.dst = t.x)
+         SELECT DISTINCT x FROM reach""",
     "q145_term_kinds" ->
       s"""WITH f AS (${TripleStore.fidelityTriplesSql})
          SELECT s, o, oType = 'iri' AS kiri, oType = 'literal' AS klit,

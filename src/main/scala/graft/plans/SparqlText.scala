@@ -106,8 +106,17 @@ object SparqlText {
     * predicate is NOT in the forward member set, unioned with the
     * REVERSED triples whose predicate is NOT in the inverse member set
     * (each complement present only when its side has members). */
+  /** One path step. `alts` = simple alternation members (predicate,
+    * inverse?). When `seqAlts` is non-empty the step is instead a GROUP of
+    * '/'-sequence arms — `(p/q)|r` is seqAlts = [[p,q],[r]] (and alts is
+    * empty) — whose edge relation is the union over arms of the COMPOSED
+    * member scans (§9.1 path recursion, one level: arm members are
+    * [^]predicates). Modifiers apply to the whole group relation, so
+    * `(p/q)*` is the closure of the p∘q composite. Negated steps never
+    * carry seqAlts (the §9.1 NPS grammar admits only [^]predicates). */
   final case class PStep(alts: Seq[(String, Boolean)], mod: String,
-                         negated: Boolean = false) {
+                         negated: Boolean = false,
+                         seqAlts: Seq[Seq[(String, Boolean)]] = Nil) {
     def star: Boolean = mod == "*"
   }
 
@@ -1003,7 +1012,7 @@ object SparqlText {
         val templates = where.collect {
           // exactly one unmodified, non-negated, single-alternative step
           // = a plain constant predicate
-          case t @ Tp(_, Path(Seq(PStep(Seq((_, false)), "", false))), _) => t
+          case t @ Tp(_, Path(Seq(PStep(Seq((_, false)), "", false, Nil))), _) => t
         }
         if (templates.isEmpty || templates.size != where.size)
           fail("CONSTRUCT WHERE supports a basic graph pattern only " +
@@ -1629,21 +1638,38 @@ object SparqlText {
         // triples whose predicate is outside the inverse set (each side
         // present only when it has members; see edgesOfStep)
         val negated = peek == TPunct("!") && { i += 1; true }
-        val paren = peek == TPunct("(") && { i += 1; true }
-        val alts = Vector.newBuilder[(String, Boolean)]
-        alts += primary()
-        while (peek == TPunct("|")) { i += 1; alts += primary() }
-        if (paren && peek == TPunct("/"))
-          // §9.1 allows full recursion inside '( Path )'; the engine's
-          // path model is a FLAT step sequence, so a '/' sequence inside
-          // a group — '(p/q)*', '(p/q)|r' — has no representation.
-          // Refuse with the rewrite hint rather than a bare parse error.
-          fail("path groups containing '/' sequences ('(p/q)*', " +
-            "'(p/q)|r') are unsupported — the path model is a flat step " +
-            "sequence; rewrite with single-predicate steps (e.g. expand " +
-            "the alternation arms into UNION branches)")
-        if (paren) expectPunct(")")
-        val raw = alts.result()
+        // One top-level alternation arm: a parenthesized GROUP — which may
+        // itself hold '|'-separated '/'-sequence arms of [^]primaries
+        // (§9.1 recursion, one level) — or a single [^]primary. SPARQL's
+        // '|' binds looser than '/', so `(p/q)|r` is alternation between
+        // the p∘q composite and r.
+        def armGroup(): Seq[Seq[(String, Boolean)]] =
+          if (peek == TPunct("(")) {
+            i += 1
+            def arm(): Seq[(String, Boolean)] = {
+              val els = Vector.newBuilder[(String, Boolean)]
+              els += primary()
+              while (peek == TPunct("/")) { i += 1; els += primary() }
+              els.result()
+            }
+            val inner = Vector.newBuilder[Seq[(String, Boolean)]]
+            inner += arm()
+            while (peek == TPunct("|")) { i += 1; inner += arm() }
+            expectPunct(")")
+            inner.result()
+          } else Seq(Seq(primary()))
+        val soleParen = peek == TPunct("(")
+        val arms = Vector.newBuilder[Seq[(String, Boolean)]]
+        arms ++= armGroup()
+        var groups = 1
+        while (peek == TPunct("|")) { i += 1; arms ++= armGroup(); groups += 1 }
+        val allArms = arms.result()
+        if (negated && groups > 1)
+          // SPARQL scopes '!' to its primary: `!p|q` is (!p)|q, which this
+          // flat step cannot represent — require the §9.1 NPS parentheses
+          fail("'!' scopes to a single [^]predicate or a parenthesized " +
+            "property set — write !(p|q) for a negated set, or " +
+            "parenthesize the '!' arm inside the alternation")
         val mod = peek match {
           case TPunct("*") => i += 1; "*"
           case TPunct("+") => i += 1; "+"
@@ -1652,7 +1678,22 @@ object SparqlText {
           case TPunct("?") => i += 1; "?"
           case _ => ""
         }
-        (PStep(raw, mod, negated), paren)
+        if (mod.nonEmpty && groups > 1)
+          // SPARQL binds a modifier to its PathElt, so `p|q*` is p|(q*) —
+          // NOT the closure of the union this flat step would compute.
+          // Refuse the ambiguous surface loudly with the rewrite.
+          fail(s"a '$mod' after an unparenthesized path alternation binds " +
+            "to the LAST arm in SPARQL, which this engine's flat step " +
+            "cannot represent — parenthesize the whole alternation " +
+            s"('(p|q)$mod') or split the last arm into its own step")
+        if (allArms.forall(_.length == 1))
+          (PStep(allArms.map(_.head), mod, negated), groups == 1 && soleParen)
+        else if (negated)
+          // the §9.1 NPS grammar admits only [^]predicates — no sequences
+          fail("negated property sets cannot contain '/' sequences (§9.1)")
+        else
+          (PStep(Nil, mod, negated = false, seqAlts = allArms),
+            groups == 1 && soleParen)
       }
       val steps = Vector.newBuilder[(PStep, Boolean)]
       steps += step()
@@ -1729,15 +1770,17 @@ object SparqlText {
     }
   }
 
-  /** Memo key: (alternatives, negated) — a negated set's edge relation is
-    * a different graph than the positive set over the same predicates. */
-  private type FunctMemo =
-    scala.collection.mutable.Map[(Seq[(String, Boolean)], Boolean), Boolean]
+  /** Memo key: (alternatives, negated, sequence arms) — a negated set's
+    * edge relation is a different graph than the positive set over the
+    * same predicates, and every '/'-sequence group composes its own. */
+  private type FunctMemo = scala.collection.mutable.Map[
+    (Seq[(String, Boolean)], Boolean, Seq[Seq[(String, Boolean)]]), Boolean]
 
   /** Cross-query isFunctional results (see compilePath): plan-hash keyed,
     * one Boolean per (source, step) — bounded by a clear at 1024. */
   private val functCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Seq[(String, Boolean)], Boolean), java.lang.Boolean]()
+    (Int, Seq[(String, Boolean)], Boolean, Seq[Seq[(String, Boolean)]]),
+    java.lang.Boolean]()
 
   /** Parse + compile in one step. */
   def run(query: String, triples: DataFrame, labels: DataFrame,
@@ -1776,7 +1819,7 @@ object SparqlText {
     }
     q.templates.map { tp =>
       val p = tp.p.steps match {
-        case Seq(PStep(Seq((pv, false)), "", false)) => lit(pv)
+        case Seq(PStep(Seq((pv, false)), "", false, Nil)) => lit(pv)
         case other => sys.error(s"CONSTRUCT template predicates must be simple: $other")
       }
       bound.select(termCol(tp.s).as("s"), p.as("p"), termCol(tp.o).as("o"))
@@ -2057,7 +2100,7 @@ object SparqlText {
          else Nil)
 
     els.foreach {
-      case Tp(s, Path(Seq(PStep(Seq((pv, false)), "", false))), o) =>
+      case Tp(s, Path(Seq(PStep(Seq((pv, false)), "", false, Nil))), o) =>
         // plain predicate: a single filtered triple scan
         var pat = triples.filter(col("p") === pv)
         val projected = Vector.newBuilder[Column]
@@ -2845,7 +2888,27 @@ object SparqlText {
     // is ONE scan over the complement predicate filter (forward-only,
     // enforced at parse)
     def edgesOfStep(st: PStep): DataFrame =
-      if (st.negated) {
+      if (st.seqAlts.nonEmpty) {
+        // grouped '/'-sequence arms — `(p/q)|r` — the step's relation is
+        // the union over arms of the COMPOSED member scans: each arm
+        // joins its member edges head-to-tail ((src,mid)⋈(mid,dst) →
+        // (src,dst)). Each composition join shuffles on the shared node
+        // key like any BGP self-join; modifiers then see one (src,dst)
+        // relation, so `(p/q)*` runs the same semi-naive closure as a
+        // single-predicate star.
+        st.seqAlts.map { arm =>
+          arm.map { case (p, inv) =>
+            val e = triples.filter(col("p") === p)
+            if (inv) e.select(col("o").as("src"), col("s").as("dst"))
+            else e.select(col("s").as("src"), col("o").as("dst"))
+          }.reduce { (a, b) =>
+            val l = a.select(col("src"), col("dst").as("__mid"))
+            val r = b.select(col("src").as("__mid2"), col("dst"))
+            l.join(r, col("__mid") === col("__mid2"))
+              .select(col("src"), col("dst"))
+          }
+        }.reduce(_ unionByName _)
+      } else if (st.negated) {
         // §9.1: !(p1|…|^q1|…) = forward triples with predicate outside
         // {p1…} UNION reversed triples with predicate outside {q1…} —
         // each complement present only when its side has members
@@ -2877,8 +2940,8 @@ object SparqlText {
     // and terminal distinct keep non-forest inputs exact.
     val srcHash = triples.queryExecution.analyzed.semanticHash()
     def funct(st: PStep): Boolean =
-      memo.getOrElseUpdate((st.alts, st.negated), {
-        val key = (srcHash, st.alts, st.negated)
+      memo.getOrElseUpdate((st.alts, st.negated, st.seqAlts), {
+        val key = (srcHash, st.alts, st.negated, st.seqAlts)
         val cached = functCache.get(key)
         if (cached != null) cached.booleanValue()
         else {
@@ -2898,13 +2961,13 @@ object SparqlText {
 
     // (a, cur) relation after walking the steps from a variable subject
     val rel: DataFrame = (steps, constOf(oT)) match {
-      case (Seq(st @ PStep(_, "*", _)), Some(const)) =>
+      case (Seq(st @ PStep(_, "*", _, _)), Some(const)) =>
         // `?x p* <c>` → seeded reach, includes the seed (reflexive)
         Closure.reachingTo(edgesOfStep(st),
             spark.range(1).select(lit(const).as("node")),
             functionalEdges = funct(st))
           .select(col("node").as("__a"), lit(const).as("__b"))
-      case (init :+ (last @ PStep(_, "*", _)), Some(const))
+      case (init :+ (last @ PStep(_, "*", _, _)), Some(const))
           if init.forall(_.mod == "") =>
         // `p1/…/pk*  <c>` (star-free prefix) → chain the prefix, semi-join
         // the reach set
@@ -2916,7 +2979,7 @@ object SparqlText {
         // path's endpoint (the constant), not the prefix endpoint
         prefix.join(reach, prefix("__cur") === reach("node"), "left_semi")
           .select(col("__a"), lit(const).as("__b"))
-      case (Seq(st @ PStep(_, "*", _)), None) =>
+      case (Seq(st @ PStep(_, "*", _, _)), None) =>
         // `?a p* ?b` → transitive pairs + reflexive over the edge domain;
         // a CONSTANT subject joins the zero-hop domain even when it has no
         // p-edges (SPARQL: `<A> p* ?b` always yields the zero-length A→A)

@@ -1559,16 +1559,41 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("BIND"))
   }
 
-  test("grouped path sequences refuse with the rewrite hint") {
-    Seq("SELECT ?o WHERE { <A> (<p>/<q>)* ?o . }",
-        "SELECT ?o WHERE { <A> (<p>/<q>)|<r> ?o . }").foreach { q =>
-      val e = intercept[RuntimeException](SparqlText.parse(q))
-      assert(e.getMessage.contains("flat step sequence"), q)
-    }
+  test("grouped path sequences: (p/q)|r and (p/q)* compose the arm scans") {
+    val spark2 = spark
+    import spark2.implicits._
+    // p∘q hops A→B→C; r hops A→X; an extra q-edge D→E never reachable
+    // via p — it must NOT leak into the composite relation
+    val t = Seq(("A", "p", "B"), ("B", "q", "C"), ("A", "r", "X"),
+                ("D", "q", "E")).toDF("s", "p", "o")
+    val alt = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>/<q>)|<r> ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(alt == Set("C", "X"))
+    // closure of the composite: chain A→B→C→B2→C2 under p/q pairs
+    val t2 = Seq(("A", "p", "B"), ("B", "q", "C"),
+                 ("C", "p", "B2"), ("B2", "q", "C2")).toDF("s", "p", "o")
+    val star = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>/<q>)* ?o . }", t2, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(star == Set("A", "C", "C2")) // zero, one, and two composite hops
+    val plus = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>/<q>)+ ?o . }", t2, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(plus == Set("C", "C2"))
+    // inverse members inside an arm: ^p walks B→A, then r walks A→X
+    val inv = SparqlText.run(
+      "SELECT ?o WHERE { <B> (^<p>/<r>) ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(inv == Set("X"))
     // single-predicate groups and sequences of groups stay legal
     assert(SparqlText.run(
       "SELECT ?o WHERE { <P1> (wdt:P570) ?o . }", triples, labels)
       .collect().nonEmpty)
+    // NPS arms still refuse sequences (§9.1 grammar)
+    val e = intercept[RuntimeException](SparqlText.parse(
+      "SELECT ?o WHERE { <A> !(<p>/<q>) ?o . }"))
+    assert(e.getMessage.contains("negated property sets"))
   }
 
   test("deliberate refusals: RAND/NOW/UUID/TIMEZONE fail with the reason") {
