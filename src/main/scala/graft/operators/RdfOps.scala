@@ -772,6 +772,18 @@ object RdfOps {
       "SELECT ?x WHERE { ?x (<nation>/<region>)* <R1> }",
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Per-member modifiers inside a path group — `(<nation>/<region>*)`,
+    * the shape of Wikidata's canonical `wdt:P31/wdt:P279*` idiom written
+    * parenthesized. The starred member composes ALGEBRAICALLY: the arm
+    * relation is nation ∪ nation∘region⁺ (zero-length region-hops are
+    * identity against the nation hop), so no zero-hop node domain is
+    * materialized and the member closure runs the same transitive-pairs
+    * machinery as a top-level star. */
+  def q159GroupedMemberMod(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      "SELECT DISTINCT ?x ?y WHERE { ?x (<nation>/<region>*) ?y }",
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** EXISTS in expression position (§17.4.1.4): `FILTER(expr && EXISTS
     * {…})` — the EXISTS lifts to a hidden boolean mark via the same
     * compatibility machinery as the group-level form, so the conjunction
@@ -815,6 +827,7 @@ object RdfOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
+    "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
     "q145_term_kinds"        -> q145TermKinds _,
     "q142_hash_fns"          -> q142HashFns _,
@@ -872,6 +885,14 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q159_grouped_member_mod" ->
+      s"""WITH RECURSIVE triples AS ($T),
+         ne AS (SELECT s AS src, o AS dst FROM triples WHERE p='nation'),
+         re AS (SELECT s AS src, o AS dst FROM triples WHERE p='region'),
+         walk AS (SELECT src AS x, dst AS y FROM ne
+                  UNION
+                  SELECT w.x, r.dst FROM walk w JOIN re r ON r.src = w.y)
+         SELECT DISTINCT x, y FROM walk""",
     "q157_grouped_path_alt" ->
       s"""WITH triples AS ($T),
          ne AS (SELECT s AS src, o AS dst FROM triples WHERE p='nation'),

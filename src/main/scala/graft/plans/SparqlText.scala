@@ -106,17 +106,28 @@ object SparqlText {
     * predicate is NOT in the forward member set, unioned with the
     * REVERSED triples whose predicate is NOT in the inverse member set
     * (each complement present only when its side has members). */
+  /** One member of a grouped '/'-sequence arm: ([^]predicate, inverse?,
+    * own modifier). A starred/plus member contributes its TRANSITIVE pairs
+    * to the arm's composition — `(P31/P279*)` is P31 ∪ P31∘P279⁺ — and a
+    * zero-admitting member ('*'/'?') composes as identity with its
+    * neighbors, so no zero-length node domain is ever needed inside an
+    * arm. */
+  type PMember = (String, Boolean, String)
   /** One path step. `alts` = simple alternation members (predicate,
     * inverse?). When `seqAlts` is non-empty the step is instead a GROUP of
     * '/'-sequence arms — `(p/q)|r` is seqAlts = [[p,q],[r]] (and alts is
     * empty) — whose edge relation is the union over arms of the COMPOSED
     * member scans (§9.1 path recursion, one level: arm members are
-    * [^]predicates). Modifiers apply to the whole group relation, so
-    * `(p/q)*` is the closure of the p∘q composite. Negated steps never
-    * carry seqAlts (the §9.1 NPS grammar admits only [^]predicates). */
+    * [^]predicates, each with an optional own modifier). Step-level
+    * modifiers apply to the whole group relation, so `(p/q)*` is the
+    * closure of the p∘q composite; an arm whose members ALL admit zero
+    * ('*'/'?') makes the whole step zero-admitting, which the compiler
+    * folds into the step modifier ("" → "?", "+" → "*"). Negated steps
+    * never carry seqAlts (the §9.1 NPS grammar admits only
+    * [^]predicates). */
   final case class PStep(alts: Seq[(String, Boolean)], mod: String,
                          negated: Boolean = false,
-                         seqAlts: Seq[Seq[(String, Boolean)]] = Nil) {
+                         seqAlts: Seq[Seq[PMember]] = Nil) {
     def star: Boolean = mod == "*"
   }
 
@@ -1643,23 +1654,35 @@ object SparqlText {
         // (§9.1 recursion, one level) — or a single [^]primary. SPARQL's
         // '|' binds looser than '/', so `(p/q)|r` is alternation between
         // the p∘q composite and r.
-        def armGroup(): Seq[Seq[(String, Boolean)]] =
+        def armGroup(): Seq[Seq[PMember]] =
           if (peek == TPunct("(")) {
             i += 1
-            def arm(): Seq[(String, Boolean)] = {
-              val els = Vector.newBuilder[(String, Boolean)]
-              els += primary()
-              while (peek == TPunct("/")) { i += 1; els += primary() }
+            // each member may carry its OWN modifier — `(P31/P279*)` —
+            // consumed BEFORE ')' (a modifier after ')' is the step's)
+            def member(): PMember = {
+              val (p, inv) = primary()
+              val m = peek match {
+                case TPunct("*") => i += 1; "*"
+                case TPunct("+") => i += 1; "+"
+                case TPunct("?") => i += 1; "?"
+                case _ => ""
+              }
+              (p, inv, m)
+            }
+            def arm(): Seq[PMember] = {
+              val els = Vector.newBuilder[PMember]
+              els += member()
+              while (peek == TPunct("/")) { i += 1; els += member() }
               els.result()
             }
-            val inner = Vector.newBuilder[Seq[(String, Boolean)]]
+            val inner = Vector.newBuilder[Seq[PMember]]
             inner += arm()
             while (peek == TPunct("|")) { i += 1; inner += arm() }
             expectPunct(")")
             inner.result()
-          } else Seq(Seq(primary()))
+          } else { val (p, inv) = primary(); Seq(Seq((p, inv, ""))) }
         val soleParen = peek == TPunct("(")
-        val arms = Vector.newBuilder[Seq[(String, Boolean)]]
+        val arms = Vector.newBuilder[Seq[PMember]]
         arms ++= armGroup()
         var groups = 1
         while (peek == TPunct("|")) { i += 1; arms ++= armGroup(); groups += 1 }
@@ -1686,8 +1709,13 @@ object SparqlText {
             "to the LAST arm in SPARQL, which this engine's flat step " +
             "cannot represent — parenthesize the whole alternation " +
             s"('(p|q)$mod') or split the last arm into its own step")
-        if (allArms.forall(_.length == 1))
-          (PStep(allArms.map(_.head), mod, negated), groups == 1 && soleParen)
+        if (negated && allArms.exists(_.exists(_._3.nonEmpty)))
+          // the §9.1 NPS grammar admits only [^]predicates — no modifiers
+          fail("negated property sets cannot contain modified members " +
+            "('!(p*|q)' is not §9.1 grammar)")
+        if (allArms.forall(a => a.length == 1 && a.head._3.isEmpty))
+          (PStep(allArms.map(a => (a.head._1, a.head._2)), mod, negated),
+            groups == 1 && soleParen)
         else if (negated)
           // the §9.1 NPS grammar admits only [^]predicates — no sequences
           fail("negated property sets cannot contain '/' sequences (§9.1)")
@@ -1774,12 +1802,12 @@ object SparqlText {
     * edge relation is a different graph than the positive set over the
     * same predicates, and every '/'-sequence group composes its own. */
   private type FunctMemo = scala.collection.mutable.Map[
-    (Seq[(String, Boolean)], Boolean, Seq[Seq[(String, Boolean)]]), Boolean]
+    (Seq[(String, Boolean)], Boolean, Seq[Seq[PMember]]), Boolean]
 
   /** Cross-query isFunctional results (see compilePath): plan-hash keyed,
     * one Boolean per (source, step) — bounded by a clear at 1024. */
   private val functCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Seq[(String, Boolean)], Boolean, Seq[Seq[(String, Boolean)]]),
+    (Int, Seq[(String, Boolean)], Boolean, Seq[Seq[PMember]]),
     java.lang.Boolean]()
 
   /** Parse + compile in one step. */
@@ -2887,26 +2915,47 @@ object SparqlText {
     // s→o scan (or o→s for `^p` inverse primaries); a negated property set
     // is ONE scan over the complement predicate filter (forward-only,
     // enforced at parse)
+    val srcHash = triples.queryExecution.analyzed.semanticHash()
     def edgesOfStep(st: PStep): DataFrame =
       if (st.seqAlts.nonEmpty) {
-        // grouped '/'-sequence arms — `(p/q)|r` — the step's relation is
-        // the union over arms of the COMPOSED member scans: each arm
-        // joins its member edges head-to-tail ((src,mid)⋈(mid,dst) →
-        // (src,dst)). Each composition join shuffles on the shared node
-        // key like any BGP self-join; modifiers then see one (src,dst)
-        // relation, so `(p/q)*` runs the same semi-naive closure as a
+        // grouped '/'-sequence arms — `(p/q)|r`, `(P31/P279*)` — the
+        // step's relation is the union over arms of the COMPOSED member
+        // relations: each arm joins its members head-to-tail
+        // ((src,mid)⋈(mid,dst) → (src,dst)). A '+'/'*' member composes
+        // its TRANSITIVE pairs; the zero-length part of '*'/'?' members
+        // composes as IDENTITY — algebraically, so `p/q*` becomes
+        // p ∪ p∘q⁺ and no zero-hop node domain is ever materialized
+        // inside an arm. (A fully zero-admitting arm makes the whole
+        // step zero-admitting — folded into the step modifier by the
+        // normalization in compilePath, see stepAdmitsZero.) Each
+        // composition join shuffles on the shared node key like any BGP
+        // self-join; step modifiers then see one (src,dst) relation, so
+        // `(p/q)*` runs the same semi-naive closure as a
         // single-predicate star.
         st.seqAlts.map { arm =>
-          arm.map { case (p, inv) =>
+          arm.map { case (p, inv, mmod) =>
             val e = triples.filter(col("p") === p)
-            if (inv) e.select(col("o").as("src"), col("s").as("dst"))
-            else e.select(col("s").as("src"), col("o").as("dst"))
-          }.reduce { (a, b) =>
-            val l = a.select(col("src"), col("dst").as("__mid"))
-            val r = b.select(col("src").as("__mid2"), col("dst"))
-            l.join(r, col("__mid") === col("__mid2"))
+            val scan =
+              if (inv) e.select(col("o").as("src"), col("s").as("dst"))
+              else e.select(col("s").as("src"), col("o").as("dst"))
+            val rel = mmod match {
+              case "" | "?" => scan
+              case _ => // '+' | '*': transitive pairs of the member scan
+                Closure.ancestorPairs(scan,
+                    functionalEdges = funct(PStep(Seq((p, inv)), "*")))
+                  .select(col("node").as("src"), col("anc").as("dst"))
+            }
+            (rel, mmod == "*" || mmod == "?") // (pairs, admits zero?)
+          }.reduce[(DataFrame, Boolean)] { case ((ra, ida), (rb, idb)) =>
+            val l = ra.select(col("src"), col("dst").as("__mid"))
+            val r = rb.select(col("src").as("__mid2"), col("dst"))
+            val comp = l.join(r, col("__mid") === col("__mid2"))
               .select(col("src"), col("dst"))
-          }
+            // identity members drop out of the composition: id∘R = R
+            val withIds = Seq(Some(comp), if (idb) Some(ra) else None,
+              if (ida) Some(rb) else None).flatten.reduce(_ unionByName _)
+            (withIds, ida && idb)
+          }._1
         }.reduce(_ unionByName _)
       } else if (st.negated) {
         // §9.1: !(p1|…|^q1|…) = forward triples with predicate outside
@@ -2938,7 +2987,6 @@ object SparqlText {
     // rewritten under an identical plan mid-session) can only cost
     // performance, never correctness: the functional path's cycle guard
     // and terminal distinct keep non-forest inputs exact.
-    val srcHash = triples.queryExecution.analyzed.semanticHash()
     def funct(st: PStep): Boolean =
       memo.getOrElseUpdate((st.alts, st.negated, st.seqAlts), {
         val key = (srcHash, st.alts, st.negated, st.seqAlts)
@@ -2957,7 +3005,23 @@ object SparqlText {
       case _ => None
     }
     val spark = triples.sparkSession
-    val steps = path.steps
+    // A group arm whose members ALL admit zero — `(p?/q*)`, `(p*)` —
+    // makes the whole step zero-admitting (the all-identity composition
+    // is the identity relation, which edgesOfStep deliberately leaves
+    // out). Fold that into the step modifier: "" gains the zero-hop of
+    // '?', '+' becomes '*'; '*'/'?' already admit zero. The zero-hop
+    // domain is then the normalized step's edge-node set — the engine's
+    // documented var-var domain policy, applied consistently.
+    def stepAdmitsZero(st: PStep): Boolean =
+      st.seqAlts.exists(_.forall(m => m._3 == "*" || m._3 == "?"))
+    val steps = path.steps.map { st =>
+      if (!stepAdmitsZero(st)) st
+      else st.mod match {
+        case ""  => st.copy(mod = "?")
+        case "+" => st.copy(mod = "*")
+        case _   => st
+      }
+    }
 
     // (a, cur) relation after walking the steps from a variable subject
     val rel: DataFrame = (steps, constOf(oT)) match {

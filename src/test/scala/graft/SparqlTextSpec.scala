@@ -1596,6 +1596,42 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("negated property sets"))
   }
 
+  test("per-member modifiers inside path groups: (P31/P279*) composes closures") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("A", "p", "B"), ("B", "q", "C"), ("C", "q", "D"),
+                ("A", "q", "X")).toDF("s", "p", "o")
+    // the canonical instance-of/subclass-of idiom: p then zero+ q-hops
+    val star = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>/<q>*) ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(star == Set("B", "C", "D"))
+    val plus = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>/<q>+) ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(plus == Set("C", "D"))
+    // optional FIRST member: q alone union p-then-q
+    val opt = SparqlText.run(
+      "SELECT ?o WHERE { <A> (<p>?/<q>) ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(opt == Set("X", "C"))
+    // fully zero-admitting arm escalates the step to zero-admitting:
+    // (q*) behaves as the plain star including the zero hop
+    val zero = SparqlText.run(
+      "SELECT ?o WHERE { <B> (<q>*) ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(zero == Set("B", "C", "D"))
+    // ... and under '+' the zero-admitting arm makes the step a '*'
+    val plusZero = SparqlText.run(
+      "SELECT ?o WHERE { <B> (<q>?)+ ?o . }", t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(plusZero == Set("B", "C", "D"))
+    // modified members never enter a negated set (§9.1 grammar)
+    val e = intercept[RuntimeException](SparqlText.parse(
+      "SELECT ?o WHERE { <A> !(<p>*|<q>) ?o . }"))
+    assert(e.getMessage.contains("modified members"))
+  }
+
   test("deliberate refusals: RAND/NOW/UUID/TIMEZONE fail with the reason") {
     Seq("RAND()", "NOW()", "UUID()").foreach { fn =>
       val e = intercept[RuntimeException](SparqlText.run(
