@@ -953,7 +953,75 @@ object TextOps {
     out
   }
 
+  /** LSH banding calibration — the tuning harness that turns the bands ×
+    * rows tradeoff from folklore into a measured decision. From ONE
+    * signature pass (the same 8 Kirsch–Mitzenmacher minima as q34), two
+    * candidate schemes are derived — 4 bands × 2 rows (recall-leaning)
+    * and 2 bands × 4 rows (precision-leaning) — and each is scored
+    * against EXACT ground truth (Jaccard ≥ 0.5 over distinct 3-shingles)
+    * on a bounded calibration sample: precision, recall, candidate
+    * volume. Ground truth is the shared-shingle join (a pair above any
+    * positive threshold must share a shingle), so the exact step is
+    * |shingle-collision pairs|-bound on the SAMPLE — the corpus never
+    * sees O(N²). At 100 TB the sample rides a q58-style hash bucket; the
+    * winning scheme then runs corpus-wide with measured expectations. */
+  def q163LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashSigs.register(s)
+    val sub = docs(s, dir).filter(col("doc_id") < 300)
+      .withColumn("shingles", expr(shingles3))
+      .withColumn("sdist", expr("array_distinct(shingles)"))
+      .withColumn("sigs", graft.functions.MinHashSigs(col("shingles")))
+      .persist()
+    sub.count()
+    // exact ground truth on the sample: shared-shingle pairs → Jaccard
+    val ex = sub.select(col("doc_id"), explode(col("sdist")).as("sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sub.select(col("doc_id"), size(col("sdist")).cast("long").as("n"))
+    val gt = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nTrue = gt.count()
+    // candidate pairs under a banding scheme: rows-per-band hashes glued
+    def scheme(name: String, bands: Seq[Seq[Int]]): DataFrame = {
+      val bandStructs = bands.zipWithIndex.map { case (idx, b) =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("_", idx.map(i => col("sigs").getItem(i).cast("string")): _*))
+            .as("bkey"))
+      }
+      // concat_ws never yields NULL; mask empty-shingle docs explicitly
+      // so they don't all collide on the empty key (q34's concat trick)
+      val bk = sub.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val cand = bk.as("a").join(bk.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val tp = cand.join(gt, Seq("doc_a", "doc_b"), "left_semi").count()
+      val nc = cand.count()
+      sub.sparkSession.range(1).select(
+        lit(name).as("scheme"), lit(nc).as("n_candidates"),
+        lit(tp).as("n_true_pos"), lit(nTrue).as("n_ground_truth"),
+        round(when(lit(nc) === 0, 0.0).otherwise(lit(tp) / lit(nc).cast("double")), 4)
+          .as("precision"),
+        round(when(lit(nTrue) === 0, 0.0).otherwise(lit(tp) / lit(nTrue).cast("double")), 4)
+          .as("recall"))
+    }
+    val out = scheme("b4r2", Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7)))
+      .unionByName(scheme("b2r4", Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7))))
+      .localCheckpoint()
+    gt.unpersist(blocking = false); sub.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_lsh_calibration" -> q163LshCalibration _,
     "q160_pii_redaction"  -> q160PiiRedaction _,
     "q162_pair_triangles" -> q162PairTriangles _,
     "q140_quality_rules"  -> q140QualityRules _,
@@ -1469,6 +1537,56 @@ object TextOps {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "q163_lsh_calibration" ->
+      s"""WITH $minhashCtesSql,
+         sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 300),
+         sd AS (SELECT doc_id, list_distinct(shingles) AS sdist FROM sub),
+         exx AS (SELECT doc_id, unnest(sdist) AS s FROM sd),
+         it AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sdist) AS n FROM sd),
+         gt AS (SELECT da, db FROM it
+                JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+                WHERE i / (sa.n + sb.n - i) >= 0.5),
+         bs AS (SELECT g.* FROM sig g JOIN sub USING (doc_id)
+                WHERE len(sub.shingles) > 0),
+         ba AS (SELECT doc_id, 0 AS band, md5(h0::VARCHAR||'_'||h1::VARCHAR) AS bkey FROM bs
+                UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR||'_'||h3::VARCHAR) FROM bs
+                UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR||'_'||h5::VARCHAR) FROM bs
+                UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR||'_'||h7::VARCHAR) FROM bs),
+         bb AS (SELECT doc_id, 0 AS band,
+                  md5(h0::VARCHAR||'_'||h1::VARCHAR||'_'||h2::VARCHAR||'_'||h3::VARCHAR) AS bkey FROM bs
+                UNION ALL SELECT doc_id, 1,
+                  md5(h4::VARCHAR||'_'||h5::VARCHAR||'_'||h6::VARCHAR||'_'||h7::VARCHAR) FROM bs),
+         ca AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM ba x
+                JOIN ba y ON x.band = y.band AND x.bkey = y.bkey
+                            AND x.doc_id < y.doc_id),
+         cb AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bb x
+                JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+                            AND x.doc_id < y.doc_id),
+         nt AS (SELECT count(*) AS n FROM gt)
+         SELECT 'b4r2' AS scheme,
+                (SELECT count(*) FROM ca) AS n_candidates,
+                (SELECT count(*) FROM ca JOIN gt ON gt.da = ca.da AND gt.db = ca.db) AS n_true_pos,
+                (SELECT n FROM nt) AS n_ground_truth,
+                round(CASE WHEN (SELECT count(*) FROM ca) = 0 THEN 0
+                  ELSE (SELECT count(*) FROM ca JOIN gt ON gt.da = ca.da AND gt.db = ca.db)
+                       / CAST((SELECT count(*) FROM ca) AS DOUBLE) END, 4) AS precision,
+                round(CASE WHEN (SELECT n FROM nt) = 0 THEN 0
+                  ELSE (SELECT count(*) FROM ca JOIN gt ON gt.da = ca.da AND gt.db = ca.db)
+                       / CAST((SELECT n FROM nt) AS DOUBLE) END, 4) AS recall
+         UNION ALL
+         SELECT 'b2r4',
+                (SELECT count(*) FROM cb),
+                (SELECT count(*) FROM cb JOIN gt ON gt.da = cb.da AND gt.db = cb.db),
+                (SELECT n FROM nt),
+                round(CASE WHEN (SELECT count(*) FROM cb) = 0 THEN 0
+                  ELSE (SELECT count(*) FROM cb JOIN gt ON gt.da = cb.da AND gt.db = cb.db)
+                       / CAST((SELECT count(*) FROM cb) AS DOUBLE) END, 4),
+                round(CASE WHEN (SELECT n FROM nt) = 0 THEN 0
+                  ELSE (SELECT count(*) FROM cb JOIN gt ON gt.da = cb.da AND gt.db = cb.db)
+                       / CAST((SELECT n FROM nt) AS DOUBLE) END, 4)""",
     "q160_pii_redaction" ->
       """WITH d AS (SELECT source,
               CASE WHEN doc_id % 7 = 0

@@ -841,6 +841,12 @@ class SparqlTextSpec extends SparkSpec {
         "IRI", "URI", "BNODE", "STRLANG", "STRDT", "SAMETERM",
         "ISIRI", "ISBLANK", "ISNUMERIC", "DATATYPE",
         "RAND", "NOW", "UUID", "TIMEZONE")).map(_.mkString(" ")),
+      // round-7 surface: composed path groups with member modifiers
+      Gen.listOfN(12, Gen.oneOf("SELECT", "?x", "?y", "WHERE", "{", "}",
+        "(", ")", "<p>", "<q>", "^", "/", "|", "*", "+", "?", "!", ".",
+        "a")).map(_.mkString(" ")),
+      Gen.const("SELECT ?x WHERE { ?x (<p>/<q>"), // truncated group
+      Gen.const("SELECT ?x WHERE { ?x (<p>*/"),
       Gen.const("SELECT ?x WHERE { ?x "), // truncated
       Gen.const("SELECT ?x WHERE { { SELECT"),
       Gen.const("CONSTRUCT WHERE { ?a <p> "),
