@@ -55,6 +55,13 @@ object Bench {
         // Cache hygiene between queries: a query that persists intermediates
         // must not bleed memory pressure into the next query's timing.
         spark.catalog.clearCache()
+        // clearCache drops only catalog-tracked relations: RDD blocks
+        // pinned by localCheckpoint() (several queries return checkpointed
+        // frames) survive it and accumulate across the ~320 query runs —
+        // the round-6 probe series drifted 0.18→0.49 s over the run from
+        // exactly that pressure. Unpersist them explicitly.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // Clamp failures away from zero, matching the 2-decimal per-query
         // format: a fast failure must never round to -0.00 (which
         // JSON-parses equal to 0.0).
