@@ -772,6 +772,23 @@ object RdfOps {
       "SELECT ?x WHERE { ?x (<nation>/<region>)* <R1> }",
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** BGP join-order selection e2e: the patterns are textually ordered
+    * WORST-first (the unfiltered variable-predicate scan, then the
+    * nation hop, then the selective constant pattern) — the compiler's
+    * selectivity-greedy reorder anchors the join tree on the
+    * `type=Supplier` scan and joins the unfiltered scan last, so the
+    * intermediate never exceeds the supplier frontier. Same results by
+    * inner-join commutativity; the ORDER is what q164 pins (the oracle
+    * is order-blind, the spec asserts the reorder directly). */
+  def q164JoinOrder(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?o ?n WHERE {
+        |  ?x ?p2 ?o .
+        |  ?x <nation> ?n .
+        |  ?x <type> <Supplier> .
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Per-member modifiers inside a path group — `(<nation>/<region>*)`,
     * the shape of Wikidata's canonical `wdt:P31/wdt:P279*` idiom written
     * parenthesized. The starred member composes ALGEBRAICALLY: the arm
@@ -827,6 +844,7 @@ object RdfOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
+    "q164_join_order"        -> q164JoinOrder _,
     "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
     "q145_term_kinds"        -> q145TermKinds _,
@@ -885,6 +903,13 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q164_join_order" ->
+      s"""WITH triples AS ($T)
+         SELECT t1.s AS x, t3.o AS o, t2.o AS n
+         FROM triples t1
+         JOIN triples t2 ON t2.s = t1.s
+         JOIN triples t3 ON t3.s = t1.s
+         WHERE t1.p = 'type' AND t1.o = 'Supplier' AND t2.p = 'nation'""",
     "q159_grouped_member_mod" ->
       s"""WITH RECURSIVE triples AS ($T),
          ne AS (SELECT s AS src, o AS dst FROM triples WHERE p='nation'),

@@ -2073,12 +2073,78 @@ object SparqlText {
     * Disconnected patterns cross-join (SPARQL join of disjoint domains) —
     * later patterns sharing variables with both sides narrow the product,
     * and Catalyst sees the whole join tree declaratively. */
-  private def compileGroup(els: Seq[El], triples: DataFrame, labels: DataFrame,
+  /** BGP join-order selection: within each maximal CONTIGUOUS run of
+    * triple patterns, greedily order by selectivity while preserving
+    * connectivity with the already-bound variable set — the join tree
+    * must not be dictated by the user's textual pattern order (the
+    * standard triple-store move; Spark's own ReorderJoin has no stats
+    * here to do it for us). Scoring: +2 per constant subject/object, +1
+    * for a constant predicate (a filtered scan), −3 for a property-path
+    * pattern (closures are the expensive relations — joined late, once
+    * the frontier is narrowed). Every non-pattern element (FILTER, BIND,
+    * OPTIONAL, VALUES, GRAPH, …) is a BARRIER: runs never cross it, so
+    * anything order-sensitive keeps its position. Inner equi-joins on
+    * shared variable names commute, so results are invariant; only the
+    * join tree changes. Ties break on textual position (deterministic).
+    * A pattern sharing no variable with the bound set is only picked
+    * when nothing else remains — the disconnected cross join the
+    * language semantics require stays, but never gets created EARLY. */
+  private[graft] def reorderPatterns(els: Seq[El]): Seq[El] = {
+    def isPat(e: El): Boolean = e match {
+      case _: Tp | _: TpVar => true
+      case _ => false
+    }
+    def termVars(t: Term): Seq[String] = t match {
+      case V(v) => Seq(v)
+      case _ => Nil
+    }
+    def vars(e: El): Set[String] = e match {
+      case Tp(s, _, o) => (termVars(s) ++ termVars(o)).toSet
+      case TpVar(s, p, o) => (termVars(s) ++ (p +: termVars(o))).toSet
+      case _ => Set.empty
+    }
+    def score(e: El): Int = e match {
+      case Tp(s, Path(Seq(PStep(Seq((_, false)), "", false, Nil))), o) =>
+        1 + Seq(s, o).count(!_.isInstanceOf[V]) * 2
+      case Tp(s, _, o) => -3 + Seq(s, o).count(!_.isInstanceOf[V]) * 2
+      case TpVar(s, _, o) => Seq(s, o).count(!_.isInstanceOf[V]) * 2
+      case _ => 0
+    }
+    val out = Vector.newBuilder[El]
+    var i = 0
+    while (i < els.length) {
+      if (!isPat(els(i))) { out += els(i); i += 1 }
+      else {
+        val run = Vector.newBuilder[El]
+        while (i < els.length && isPat(els(i))) { run += els(i); i += 1 }
+        val patterns = run.result()
+        if (patterns.length <= 1) out ++= patterns
+        else {
+          val remaining =
+            scala.collection.mutable.ArrayBuffer.from(patterns.zipWithIndex)
+          val bound = scala.collection.mutable.Set.empty[String]
+          while (remaining.nonEmpty) {
+            val connected = remaining.filter { case (e, _) =>
+              bound.isEmpty || vars(e).exists(bound) }
+            val pool = if (connected.nonEmpty) connected else remaining
+            val next = pool.maxBy { case (e, idx) => (score(e), -idx) }
+            remaining -= next
+            bound ++= vars(next._1)
+            out += next._1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def compileGroup(els0: Seq[El], triples: DataFrame, labels: DataFrame,
                            params: Map[String, Long],
                            memo: FunctMemo,
                            graphCtx: Option[Term] = None,
                            namedTriples: Option[DataFrame] = None)
       : (DataFrame, Option[Seq[String]]) = {
+    val els = reorderPatterns(els0)
     // GRAPH context (§13.3): a constant graph adds a `g` filter to every
     // triple scan in scope; a variable graph binds `g` as that variable on
     // every scan, so patterns inside one GRAPH block join on the graph too

@@ -1602,6 +1602,45 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("negated property sets"))
   }
 
+  test("BGP join order: selectivity-greedy, connectivity-preserving, barrier-safe") {
+    import SparqlText.{Tp, TpVar, Path, PStep, V, C, FilterExpr, EVar}
+    def tp(s: SparqlText.Term, p: String, o: SparqlText.Term) =
+      Tp(s, Path(Seq(PStep(Seq((p, false)), ""))), o)
+    val unsel = TpVar(V("x"), "p2", V("o"))          // unfiltered scan
+    val closure = Tp(V("x"), Path(Seq(PStep(Seq(("nation", false)), "*"))), V("n"))
+    val sel = tp(V("x"), "type", C("Supplier"))      // constant p + o
+    // worst textual order: unselective first, closure, selective last →
+    // greedy emits the selective scan first, the closure LAST
+    val got = SparqlText.reorderPatterns(Seq(unsel, closure, sel))
+    assert(got == Seq(sel, unsel, closure))
+    // connectivity beats raw score: ?y's constant-object pattern scores
+    // higher than ?x's second pattern, but shares nothing with the bound
+    // set until the bridge pattern runs — no early cross join
+    val a1 = tp(V("x"), "type", C("Supplier"))
+    val a2 = tp(V("x"), "nation", V("nn"))
+    val b1 = tp(V("y"), "kind", C("K"))
+    val got2 = SparqlText.reorderPatterns(Seq(b1, a1, a2))
+    assert(got2.take(2) == Seq(a1, a2) || got2.head == b1,
+      s"unexpected order: $got2")
+    // (b1 first is fine — it is the start pick; what must NOT happen is
+    // b1 landing between a1 and a2)
+    assert(got2 != Seq(a1, b1, a2))
+    // barriers split runs: a FILTER between patterns pins both sides
+    val f = FilterExpr(EVar("x"))
+    assert(SparqlText.reorderPatterns(Seq(unsel, f, sel)) == Seq(unsel, f, sel))
+    // and the results of a deliberately badly-ordered query match the
+    // hand-ordered twin
+    val bad = SparqlText.run(
+      """SELECT ?x ?p2 ?o WHERE { ?x ?p2 ?o . ?x wdt:P27 wd:Q40 . }""",
+      triples, labels).collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    val good = SparqlText.run(
+      """SELECT ?x ?p2 ?o WHERE { ?x wdt:P27 wd:Q40 . ?x ?p2 ?o . }""",
+      triples, labels).collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(bad == good && bad.nonEmpty)
+  }
+
   test("per-member modifiers inside path groups: (P31/P279*) composes closures") {
     val spark2 = spark
     import spark2.implicits._
