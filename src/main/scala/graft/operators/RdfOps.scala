@@ -772,6 +772,20 @@ object RdfOps {
       "SELECT ?x WHERE { ?x (<nation>/<region>)* <R1> }",
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Subselect inside a constant GRAPH (§13.3): the inner
+    * `SELECT ?s (COUNT(?o) AS ?c) … GROUP BY` evaluates with the active
+    * graph `g:C` — the graph filter pre-scopes the quad view the
+    * subselect compiles against, so it pushes into the subselect's scans
+    * and the aggregate groups only customer-graph triples. */
+  def q166GraphSubselect(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?c WHERE {
+        |  GRAPH <g:C> {
+        |    { SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s <segment> ?o } GROUP BY ?s }
+        |  }
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** BGP join-order selection e2e: the patterns are textually ordered
     * WORST-first (the unfiltered variable-predicate scan, then the
     * nation hop, then the selective constant pattern) — the compiler's
@@ -845,6 +859,7 @@ object RdfOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
     "q164_join_order"        -> q164JoinOrder _,
+    "q166_graph_subselect"   -> q166GraphSubselect _,
     "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
     "q145_term_kinds"        -> q145TermKinds _,
@@ -903,6 +918,10 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q166_graph_subselect" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT s, CAST(count(o) AS BIGINT) AS c FROM quads
+         WHERE g = 'g:C' AND p = 'segment' GROUP BY 1""",
     "q164_join_order" ->
       s"""WITH triples AS ($T)
          SELECT t1.s AS x, t3.o AS o, t2.o AS n

@@ -358,7 +358,36 @@ object VectorOps {
     out
   }
 
+  /** Product-quantization assignment — the memory-side half of a
+    * production ANN index (IVF picks the cell, PQ compresses the
+    * residual): the 64-dim vector splits into 4 contiguous 16-dim
+    * subvectors, each assigned to its nearest codeword (min L2, code-id
+    * tiebreak) from a per-subspace codebook. Codebooks follow the IVF
+    * family's deterministic convention (the first 4 vectors' subvectors
+    * are the codewords; production swaps in per-subspace k-means, same
+    * join shape). One broadcast of the 16-codeword table, one keyed
+    * window — the corpus is scanned once, and the output code table is
+    * 4 bytes/vector versus 512: the 128× compression that lets a
+    * 100 TB embedding corpus fit an in-memory ANN tier. Report: per
+    * (subspace, code) occupancy + mean quantization error. */
+  def q165PqAssign(s: SparkSession, dir: String): DataFrame = {
+    val subs = vecs(s, dir).select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
+      .as(Seq("m", "sub")))
+    val cbs = subs.filter(col("vec_id") < 4)
+      .select(col("m").as("cm"), col("vec_id").as("code"), col("sub").as("cw"))
+    val scored = subs.join(broadcast(cbs), col("m") === col("cm"))
+      .withColumn("dist2", round(expr(
+        "aggregate(zip_with(sub, cw, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("code").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n"), round(avg(col("dist2")), 6).as("avg_dist2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_pq_assign"       -> q165PqAssign _,
     "q150_hard_negatives"  -> q150HardNegatives _,
     "q153_knn_consistency" -> q153KnnConsistency _,
     "q146_semantic_dedup"  -> q146SemanticDedup _,
@@ -406,6 +435,25 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q165_pq_assign" ->
+      """WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+         subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
+                  FROM e, range(0, 4) t(m)),
+         cbs AS (SELECT m AS cm, vec_id AS code, sub AS cw
+                 FROM subs WHERE vec_id < 4),
+         sc AS (SELECT s.vec_id, s.m, c.code,
+                  round(list_sum(list_transform(range(1, 17),
+                    i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
+                    AS dist2
+                FROM subs s JOIN cbs c ON c.cm = s.m),
+         best AS (SELECT vec_id, m, code, dist2,
+                    row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY dist2 ASC, code ASC) AS rn
+                  FROM sc)
+         SELECT m, code, count(*) AS n, round(avg(dist2), 6) AS avg_dist2
+         FROM best WHERE rn = 1 GROUP BY 1, 2""",
     "q153_knn_consistency" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

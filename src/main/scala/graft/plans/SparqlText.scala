@@ -2386,10 +2386,21 @@ object SparqlText {
           else compatNegation(a, right, shared, anti = true,
             requireOverlap = true)) // MINUS: dom(μ1)∩dom(μ2) must be non-empty
       case SubSel(sub) =>
-        if (graphCtx.isDefined) sys.error(
-          "subselects inside GRAPH are unsupported (lift the GRAPH block " +
-            "into the subselect's own WHERE)")
-        join(compileSelect(sub, triples, labels, params, memo))
+        // §13.3: inside GRAPH <const>, the subselect's active graph IS
+        // that graph — compile it against the graph-filtered quad view
+        // (the filter pushes into every scan the subselect plans). A
+        // VARIABLE graph would need per-graph evaluation of the whole
+        // subselect (its aggregates group WITHIN each graph) — refuse.
+        val subTriples = graphCtx match {
+          case None => triples
+          case Some(C(gc)) => requireG(); triples.filter(col("g") === gc)
+          case Some(L(gc)) => requireG(); triples.filter(col("g") === gc)
+          case Some(V(_)) => sys.error(
+            "subselects inside GRAPH ?var are unsupported (the subselect " +
+              "would need per-graph evaluation; use a constant graph or " +
+              "lift the GRAPH block into the subselect's own WHERE)")
+        }
+        join(compileSelect(sub, subTriples, labels, params, memo))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
         // §10.1: the BIND target must not already be in scope — silently

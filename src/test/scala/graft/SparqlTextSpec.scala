@@ -1241,17 +1241,19 @@ class SparqlTextSpec extends SparkSpec {
     assert(e2.getMessage.contains("quad source"))
   }
 
-  test("GRAPH fails loudly without a g column, with paths, with subselects") {
+  test("GRAPH fails loudly without a g column, with paths, with ?var subselects") {
     val e1 = intercept[IllegalArgumentException](SparqlText.run(
       "SELECT ?s WHERE { GRAPH <gA> { ?s wdt:P27 ?o } }", triples, labels))
     assert(e1.getMessage.contains("quad source"))
     val e2 = intercept[RuntimeException](SparqlText.run(
       "SELECT ?s WHERE { GRAPH ?g { ?s <type>* ?o } }", quads, labels))
     assert(e2.getMessage.contains("constant graph"))
+    // constant-graph subselects are supported (round 7); the VARIABLE
+    // graph form still refuses — per-graph aggregate evaluation
     val e3 = intercept[RuntimeException](SparqlText.run(
-      "SELECT ?s WHERE { GRAPH <gA> { { SELECT ?s WHERE { ?s <type> ?o } } } }",
+      "SELECT ?s WHERE { GRAPH ?g { { SELECT ?s WHERE { ?s <type> ?o } } } }",
       quads, labels))
-    assert(e3.getMessage.contains("subselect"))
+    assert(e3.getMessage.contains("per-graph evaluation"))
   }
 
   test("LANG() as a general expression (projection + non-equality filter)") {
@@ -1600,6 +1602,26 @@ class SparqlTextSpec extends SparkSpec {
     val e = intercept[RuntimeException](SparqlText.parse(
       "SELECT ?o WHERE { <A> !(<p>/<q>) ?o . }"))
     assert(e.getMessage.contains("negated property sets"))
+  }
+
+  test("subselect inside GRAPH: constant graph scopes the inner query; ?var refuses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val quads = Seq(
+      ("A", "p", "1", "g1"), ("A", "p", "2", "g1"), ("B", "p", "3", "g1"),
+      ("A", "p", "9", "g2"), ("A", "q", "x", "g1")).toDF("s", "p", "o", "g")
+    val got = SparqlText.run(
+      """SELECT ?s ?c WHERE {
+        |  GRAPH <g1> { { SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s <p> ?o } GROUP BY ?s } }
+        |}""".stripMargin, quads, labels)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // g2's A-row must NOT count: the aggregate groups inside g1 only
+    assert(got == Set(("A", 2L), ("B", 1L)))
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s WHERE {
+        |  GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o } } }
+        |}""".stripMargin, quads, labels))
+    assert(e.getMessage.contains("per-graph evaluation"))
   }
 
   test("BGP join order: selectivity-greedy, connectivity-preserving, barrier-safe") {
