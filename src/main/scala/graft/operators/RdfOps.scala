@@ -786,6 +786,19 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** BIND(EXISTS…) + SELECT REDUCED e2e (§17.4.1.4, §18.2.5.3): the
+    * EXISTS lifts to a hidden boolean mark against the running frame and
+    * feeds the bound IF; REDUCED compiles as full duplicate elimination
+    * (a conforming choice, and the only deterministic one). */
+  def q167BindExists(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT REDUCED ?x ?kind WHERE {
+        |  ?x <nation> ?n .
+        |  BIND(IF(EXISTS { ?x <type> <Supplier> }, "supplier", "customer")
+        |       AS ?kind)
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** BGP join-order selection e2e: the patterns are textually ordered
     * WORST-first (the unfiltered variable-predicate scan, then the
     * nation hop, then the selective constant pattern) — the compiler's
@@ -859,6 +872,7 @@ object RdfOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
     "q164_join_order"        -> q164JoinOrder _,
+    "q167_bind_exists"       -> q167BindExists _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
     "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
@@ -918,6 +932,14 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q167_bind_exists" ->
+      s"""WITH triples AS ($T)
+         SELECT DISTINCT t1.s AS x,
+           CASE WHEN EXISTS (SELECT 1 FROM triples t2
+                             WHERE t2.s = t1.s AND t2.p = 'type'
+                               AND t2.o = 'Supplier')
+                THEN 'supplier' ELSE 'customer' END AS kind
+         FROM triples t1 WHERE t1.p = 'nation'""",
     "q166_graph_subselect" ->
       s"""WITH quads AS (${TripleStore.quadsSql})
          SELECT s, CAST(count(o) AS BIGINT) AS c FROM quads

@@ -1047,7 +1047,11 @@ object SparqlText {
 
     def selectQuery(top: Boolean): SelectQ = {
       expectKw("SELECT")
-      val distinct = isKw(peek, "DISTINCT") && { i += 1; true }
+      // REDUCED (§18.2.5.3) permits eliminating ANY subset of duplicates;
+      // full elimination is a conforming choice and the only
+      // deterministic one — compile it exactly as DISTINCT
+      val distinct = (isKw(peek, "DISTINCT") || isKw(peek, "REDUCED")) &&
+        { i += 1; true }
       val proj = Vector.newBuilder[ProjItem]
       var reading = true
       while (reading) peek match {
@@ -2157,6 +2161,48 @@ object SparqlText {
     val langApplied = scala.collection.mutable.Set[String]()
     var acc: Option[DataFrame] = None
     var svc: Option[Seq[String]] = None
+
+    // §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node lifts
+    // to a hidden boolean mark: the base frame splits into compat-matched
+    // / not-matched partitions (the same audited machinery as the
+    // group-level form — exact multiset, null-compatible), re-unioned
+    // with the mark, so the surrounding expression (&&, ||, IF, NOT) sees
+    // an ordinary column. Shared by the FILTER compiler and BIND (the
+    // caller drops the returned mark columns once used).
+    def liftExistsMarks(base0: DataFrame, e: EExpr)
+        : (DataFrame, EExpr, Seq[String]) = {
+      var lifted = base0
+      var n = 0
+      val marks = Vector.newBuilder[String]
+      def lift(x: EExpr): EExpr = x match {
+        case EExists(g, neg) =>
+          val right = compileGroup(g, triples, labels, params, memo,
+            graphCtx, namedTriples)._1
+          val shared = lifted.columns.intersect(right.columns).toSeq
+            .filterNot(isFidelityCol)
+          if (shared.isEmpty) sys.error(
+            "EXISTS must share at least one variable with the outer group")
+          val m = s"__exists$n"; n += 1; marks += m
+          val matched = compatNegation(lifted, right, shared,
+            anti = false, requireOverlap = false).withColumn(m, lit(true))
+          val unmatched = compatNegation(lifted, right, shared,
+            anti = true, requireOverlap = false).withColumn(m, lit(false))
+          lifted = matched.unionByName(unmatched)
+          if (neg) ENot(EMark(m)) else EMark(m)
+        case EAnd(l, r) => EAnd(lift(l), lift(r))
+        case EOr(l, r) => EOr(lift(l), lift(r))
+        case ENot(y) => ENot(lift(y))
+        case ECmp(op, l, r) => ECmp(op, lift(l), lift(r))
+        case EArith(op, l, r) => EArith(op, lift(l), lift(r))
+        case ENeg(y) => ENeg(lift(y))
+        case EIf(c, t, f) => EIf(lift(c), lift(t), lift(f))
+        case EFn(nm, as) => EFn(nm, as.map(lift))
+        case EIn(y, vs, neg) => EIn(lift(y), vs, neg)
+        case leaf => leaf
+      }
+      val e2 = lift(e)
+      (lifted, e2, marks.result())
+    }
     // columns minted by BNODE binds: excluded from later mint/BNODE row
     // keys so BNODE(?x) twice in one solution coalesces to the same node
     // (§17.4.2.9 — the second call's solution identity must not include
@@ -2467,6 +2513,13 @@ object SparqlText {
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), lit(null).cast("string"))
               .withColumn(kindCol(out), when(col(out).isNotNull, lit("bnode")))
+          // BIND(… EXISTS{…} … AS ?b): lift the marks against the
+          // running frame, bind the rewritten expression, drop the marks
+          // — ?b is then an ordinary boolean column (§17.4.1.4 allows
+          // EXISTS anywhere a boolean fits, including BIND)
+          case x if hasExists(x) =>
+            val (lifted, e2, marks) = liftExistsMarks(a, x)
+            marks.foldLeft(lifted.withColumn(out, compileE(e2)._1))(_ drop _)
           case _ => a.withColumn(out, compileE(e)._1)
         })
       case BindMint(out, prefix) =>
@@ -2494,45 +2547,12 @@ object SparqlText {
     var out = acc.getOrElse(sys.error("empty group pattern"))
     els.foreach {
       case FilterExpr(e) =>
-        // §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node
-        // lifts to a hidden boolean mark: the left side splits into
-        // compat-matched / not-matched partitions (the same audited
-        // machinery as the group-level form — exact multiset, null-
-        // compatible), re-unioned with the mark, so the surrounding
-        // expression (&&, ||, IF, NOT) sees an ordinary column. Marks are
-        // dropped after the filter.
-        var lifted = out
-        var n = 0
-        val marks = Vector.newBuilder[String]
-        def lift(x: EExpr): EExpr = x match {
-          case EExists(g, neg) =>
-            val right = compileGroup(g, triples, labels, params, memo,
-              graphCtx, namedTriples)._1
-            val shared = lifted.columns.intersect(right.columns).toSeq
-              .filterNot(isFidelityCol)
-            if (shared.isEmpty) sys.error(
-              "EXISTS must share at least one variable with the outer group")
-            val m = s"__exists$n"; n += 1; marks += m
-            val matched = compatNegation(lifted, right, shared,
-              anti = false, requireOverlap = false).withColumn(m, lit(true))
-            val unmatched = compatNegation(lifted, right, shared,
-              anti = true, requireOverlap = false).withColumn(m, lit(false))
-            lifted = matched.unionByName(unmatched)
-            if (neg) ENot(EMark(m)) else EMark(m)
-          case EAnd(l, r) => EAnd(lift(l), lift(r))
-          case EOr(l, r) => EOr(lift(l), lift(r))
-          case ENot(y) => ENot(lift(y))
-          case ECmp(op, l, r) => ECmp(op, lift(l), lift(r))
-          case EArith(op, l, r) => EArith(op, lift(l), lift(r))
-          case ENeg(y) => ENeg(lift(y))
-          case EIf(c, t, f) => EIf(lift(c), lift(t), lift(f))
-          case EFn(nm, as) => EFn(nm, as.map(lift))
-          case EIn(y, vs, neg) => EIn(lift(y), vs, neg)
-          case leaf => leaf
-        }
-        val e2 = lift(e)
+        // §17.4.1.4: EXISTS anywhere a boolean fits — lift to hidden
+        // boolean marks (liftExistsMarks above), filter on the rewritten
+        // expression, drop the marks.
+        val (lifted, e2, marks) = liftExistsMarks(out, e)
         out = lifted.filter(compileBool(e2))
-        marks.result().foreach(m => out = out.drop(m))
+        marks.foreach(m => out = out.drop(m))
       case ExistsEl(g, negated) =>
         val right =
           compileGroup(g, triples, labels, params, memo, graphCtx, namedTriples)._1
@@ -2774,9 +2794,10 @@ object SparqlText {
     case EFn(fn, args) => compileFn(fn, args)
     case EMark(name) => (col(name), TyB)
     case _: EExists =>
-      // lifted to EMark columns by the FILTER compiler before compileE
+      // lifted to EMark columns by the FILTER/BIND compilers before
+      // compileE ever sees the expression
       sys.error("EXISTS in expression position is supported inside FILTER " +
-        "expressions only (BIND/projections cannot lift the mark join)")
+        "and BIND expressions only (projections cannot lift the mark join)")
     case _: EAgg =>
       // lifted to hidden columns by the HAVING compiler before compileE
       sys.error("aggregate calls are only legal inside HAVING expressions")

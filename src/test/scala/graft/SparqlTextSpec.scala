@@ -1351,12 +1351,14 @@ class SparqlTextSpec extends SparkSpec {
         |}""".stripMargin
     assert(rows(SparqlText.run(q3, triples, labels)) ==
       Set(Seq("P1"), Seq("P4")))
-    // outside FILTER (BIND) the lift has no attachment point — loud
-    val e = intercept[RuntimeException](SparqlText.run(
-      """SELECT ?s WHERE { ?s wdt:P569 ?b .
+    // BIND lifts too (round 7): the mark feeds the bound expression
+    val viaBind = SparqlText.run(
+      """SELECT ?s ?f WHERE { ?s wdt:P569 ?b .
         |  BIND(IF(EXISTS { ?s wdt:P570 ?d }, "y", "n") AS ?f) }""".stripMargin,
-      triples, labels))
-    assert(e.getMessage.contains("FILTER"))
+      triples, labels)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaBind == Set(("P1", "y"), ("P3", "y"), ("P5", "y"),
+      ("P2", "n"), ("P4", "n"), ("P6", "n"), ("P7", "n"), ("P8", "n")))
     // uncorrelated EXISTS refuses loudly, like the group-level form
     val e2 = intercept[RuntimeException](SparqlText.run(
       """SELECT ?s WHERE { ?s wdt:P569 ?b .
@@ -1602,6 +1604,42 @@ class SparqlTextSpec extends SparkSpec {
     val e = intercept[RuntimeException](SparqlText.parse(
       "SELECT ?o WHERE { <A> !(<p>/<q>) ?o . }"))
     assert(e.getMessage.contains("negated property sets"))
+  }
+
+  test("BIND(EXISTS{...} AS ?b) lifts the mark and binds a boolean") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("A", "p", "1"), ("B", "p", "2"), ("A", "q", "x"))
+      .toDF("s", "p", "o")
+    val r = SparqlText.run(
+      """SELECT ?s ?b ?c WHERE {
+        |  ?s <p> ?v .
+        |  BIND(EXISTS { ?s <q> ?w } AS ?b)
+        |  BIND(IF(EXISTS { ?s <q> ?w2 }, "has-q", "no-q") AS ?c)
+        |}""".stripMargin, t, labels)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .toSet
+    assert(r == Set(("A", true, "has-q"), ("B", false, "no-q")))
+    // NOT EXISTS in BIND, and the mark never leaks as a column
+    val r2 = SparqlText.run(
+      """SELECT ?s ?nb WHERE {
+        |  ?s <p> ?v . BIND(NOT EXISTS { ?s <q> ?w } AS ?nb)
+        |}""".stripMargin, t, labels)
+    assert(!r2.columns.exists(_.startsWith("__exists")))
+    assert(r2.collect().map(r => (r.getString(0), r.getBoolean(1))).toSet ==
+      Set(("A", false), ("B", true)))
+  }
+
+  test("SELECT REDUCED eliminates duplicates (the deterministic conforming choice)") {
+    // P1 and P8 share country Q40 → the projection has duplicate rows;
+    // REDUCED may drop any subset (§18.2.5.3) — the engine drops all,
+    // the only SF-independent deterministic option
+    val red = SparqlText.run(
+      "SELECT REDUCED ?c WHERE { ?x wdt:P27 ?c }", triples, labels)
+      .collect().map(_.getString(0)).toSeq
+    assert(red.distinct == red) // no duplicates survive
+    assert(red.toSet == Set("wd:Q40", "wd:Q28513", "wd:Q131964",
+      "wd:Q699964", "wd:Q183"))
   }
 
   test("subselect inside GRAPH: constant graph scopes the inner query; ?var refuses") {
