@@ -299,7 +299,58 @@ object Relational {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  /** Column profiler — the pre-ingest statistics pass every lake runs
+    * before trusting a new feed: per profiled column, row/null counts,
+    * exact distinct cardinality, and the top-3 values by frequency
+    * (count desc, value asc — deterministic). One aggregation per
+    * column over a single scan projection; each is partial-agg
+    * friendly, and the top-k is a 3-row TakeOrdered per column, never a
+    * global sort. At 100 TB the exact NDV swaps to the q64 KMV sketch
+    * per column — same output schema, one pass. */
+  def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def prof(c: String, ex: org.apache.spark.sql.Column): DataFrame = {
+      val vals = o.select(ex.cast("string").as("v"))
+      val top = vals.filter($"v".isNotNull)
+        .groupBy($"v").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"v".asc).limit(3)
+        .agg(concat_ws(",", collect_list($"v")).as("top3"))
+      vals.agg(count(lit(1)).as("n_rows"),
+          sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct($"v").as("ndv"))
+        .crossJoin(top) // 1-row × 1-row
+        .select(lit(c).as("col"), $"n_rows", $"n_null", $"ndv", $"top3")
+    }
+    prof("o_orderstatus", $"o_orderstatus")
+      .unionByName(prof("o_orderpriority", $"o_orderpriority"))
+      .unionByName(prof("o_custkey", $"o_custkey"))
+  }
+
+  /** Equi-width histogram over a numeric column — fixed [lo, hi) bins
+    * chosen from domain knowledge (not a data-dependent min/max pass, so
+    * the report is stable under incremental loads): one codegen'd bin
+    * expression + one partial-agg shuffle of ≤n_bins group states.
+    * Out-of-range rows land in clamp bins so the counts always sum to
+    * the row count — a histogram that silently drops rows misreports
+    * skew, and skew is what this report exists to catch. */
+  def q169Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = 0.0; val hi = 600000.0; val nb = 12
+    val w = (hi - lo) / nb
+    Tables.orders(s, dir)
+      .withColumn("bin",
+        least(greatest(floor(($"o_totalprice" - lo) / w), lit(0)), lit(nb - 1))
+          .cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo_seen"),
+        round(max($"o_totalprice"), 2).as("hi_seen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_column_profile" -> q168ColumnProfile _,
+    "q169_histogram"    -> q169Histogram _,
     "q161_zorder_key"   -> q161ZorderKey _,
     "q78_semi_join"     -> q78SemiJoin _,
     "q62_cube"          -> q62Cube _,
@@ -324,6 +375,28 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_column_profile" ->
+      """WITH p AS (
+           SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+         agg AS (SELECT col, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT v) AS ndv
+                 FROM p GROUP BY 1),
+         f AS (SELECT col, v, count(*) AS n FROM p WHERE v IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT col, v, row_number() OVER
+                 (PARTITION BY col ORDER BY n DESC, v ASC) AS rn FROM f),
+         t AS (SELECT col, string_agg(v, ',' ORDER BY rn) AS top3
+               FROM r WHERE rn <= 3 GROUP BY 1)
+         SELECT agg.col, n_rows, n_null, ndv, top3
+         FROM agg JOIN t ON t.col = agg.col""",
+    "q169_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bin,
+                count(*) AS n,
+                round(min(o_totalprice), 2) AS lo_seen,
+                round(max(o_totalprice), 2) AS hi_seen
+         FROM orders GROUP BY 1""",
     "q161_zorder_key" ->
       """WITH b AS (SELECT o_custkey % 65536 AS x,
               date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS y
