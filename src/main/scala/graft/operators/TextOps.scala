@@ -1020,7 +1020,58 @@ object TextOps {
     out
   }
 
+  /** Prefix-filtered EXACT similarity join (the PPJoin family, Xiao et
+    * al. 2008) — the scalable exact-threshold counterpart of the
+    * LSH+verify pipeline: two docs with distinct-token Jaccard ≥ t MUST
+    * share a token in their (|d| − ⌈t·|d|⌉ + 1)-token prefix (t = 0.9) when both
+    * token lists are sorted by GLOBAL frequency (rare first), so the
+    * candidate join explodes only prefixes, never full documents, and
+    * rare-first ordering keeps the join key near-unique. Everything is
+    * integer-exact: prefix length ⌈9n/10⌉ = (9n+9) div 10 and the
+    * verification 10·|∩| ≥ 9·|∪| — no float ever decides a pair, so the
+    * result is bit-identical on any engine. Shuffles: the token-frequency
+    * aggregation, the per-doc sort (keyed window-free sort_array), the
+    * prefix-token candidate join, and the pair verify — each keyed on a
+    * token or pair id, all |prefix|- or |candidate|-bound. */
+  def q170PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val td = docs(s, dir)
+      .select(col("doc_id"), expr("array_distinct(toks)").as("td"))
+      .persist()
+    td.count()
+    val tf = td.select(explode(col("td")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // rare-first global order: (freq asc, tok asc) — deterministic
+    val ordered = td.select(col("doc_id"), explode(col("td")).as("tok"))
+      .join(tf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(freq, tok)))").as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.tok)").as("sorted"),
+        size(col("st")).cast("long").as("n"))
+    val prefixed = ordered.withColumn("plen",
+        expr("CAST(n - ((9 * n + 9) div 10) + 1 AS INT)"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(sorted, 1, plen)")).as("ptok"))
+    val cand = prefixed.as("a").join(prefixed.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(td.select(col("doc_id").as("doc_a"), col("td").as("ta")), "doc_a")
+      .join(td.select(col("doc_id").as("doc_b"), col("td").as("tb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("long"))
+      .withColumn("uni",
+        expr("size(ta)").cast("long") + expr("size(tb)").cast("long") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 9) // Jaccard >= 0.9, exact
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        round(col("inter") / col("uni"), 4).as("jac"))
+      .localCheckpoint()
+    td.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_prefix_join"    -> q170PrefixJoin _,
     "q163_lsh_calibration" -> q163LshCalibration _,
     "q160_pii_redaction"  -> q160PiiRedaction _,
     "q162_pair_triangles" -> q162PairTriangles _,
@@ -1537,6 +1588,30 @@ object TextOps {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "q170_prefix_join" ->
+      """WITH td AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+              FROM documents),
+         ex AS (SELECT doc_id, unnest(td) AS tok FROM td),
+         tf AS (SELECT tok, count(*) AS freq FROM ex GROUP BY 1),
+         srt AS (SELECT e.doc_id,
+                   array_agg(e.tok ORDER BY f.freq, e.tok) AS sorted,
+                   count(*) AS n
+                 FROM ex e JOIN tf f ON f.tok = e.tok GROUP BY 1),
+         pfx AS (SELECT doc_id, n,
+                   unnest(sorted[1 : CAST(n - ((9 * n + 9) // 10) + 1 AS INT)])
+                     AS ptok
+                 FROM srt),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pfx a JOIN pfx b
+                    ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+         v AS (SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ta.td, tb.td)) AS BIGINT) AS inter,
+                 CAST(len(ta.td) + len(tb.td)
+                      - len(list_intersect(ta.td, tb.td)) AS BIGINT) AS uni
+               FROM cand JOIN td ta ON ta.doc_id = doc_a
+                         JOIN td tb ON tb.doc_id = doc_b)
+         SELECT doc_a, doc_b, inter, uni, round(inter / uni, 4) AS jac
+         FROM v WHERE inter * 10 >= uni * 9""",
     "q163_lsh_calibration" ->
       s"""WITH $minhashCtesSql,
          sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 300),
