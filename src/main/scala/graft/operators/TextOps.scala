@@ -1022,20 +1022,25 @@ object TextOps {
 
   /** Prefix-filtered EXACT similarity join (the PPJoin family, Xiao et
     * al. 2008) — the scalable exact-threshold counterpart of the
-    * LSH+verify pipeline: two docs with distinct-token Jaccard ≥ t MUST
-    * share a token in their (|d| − ⌈t·|d|⌉ + 1)-token prefix (t = 0.9) when both
-    * token lists are sorted by GLOBAL frequency (rare first), so the
-    * candidate join explodes only prefixes, never full documents, and
-    * rare-first ordering keeps the join key near-unique. Everything is
-    * integer-exact: prefix length ⌈9n/10⌉ = (9n+9) div 10 and the
-    * verification 10·|∩| ≥ 9·|∪| — no float ever decides a pair, so the
-    * result is bit-identical on any engine. Shuffles: the token-frequency
-    * aggregation, the per-doc sort (keyed window-free sort_array), the
-    * prefix-token candidate join, and the pair verify — each keyed on a
-    * token or pair id, all |prefix|- or |candidate|-bound. */
+    * LSH+verify pipeline: two docs with distinct-3-shingle Jaccard ≥ t
+    * MUST share a shingle in their (|d| − ⌈t·|d|⌉ + 1)-shingle prefix
+    * (t = 0.8) when both shingle lists are sorted by GLOBAL frequency
+    * (rare first), so the candidate join explodes only prefixes, never
+    * full documents, and rare-first ordering keeps the join key
+    * near-unique. Shingles — not raw tokens — are the join vocabulary:
+    * prefix filtering prunes in proportion to key rarity, and this
+    * corpus's token vocabulary is deliberately tiny (every token is
+    * common → token prefixes prune nothing) while its shingle space is
+    * large. Everything is integer-exact: prefix length ⌈4n/5⌉ =
+    * (4n+4) div 5 and the verification 5·|∩| ≥ 4·|∪| — no float ever
+    * decides a pair, so the result is bit-identical on any engine.
+    * Shuffles: the shingle-frequency aggregation, the per-doc sort,
+    * the prefix-shingle candidate join, and the pair verify — each
+    * keyed on a shingle or pair id, all |prefix|- or
+    * |candidate|-bound. */
   def q170PrefixJoin(s: SparkSession, dir: String): DataFrame = {
     val td = docs(s, dir)
-      .select(col("doc_id"), expr("array_distinct(toks)").as("td"))
+      .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
       .persist()
     td.count()
     val tf = td.select(explode(col("td")).as("tok"))
@@ -1049,7 +1054,7 @@ object TextOps {
         expr("transform(st, x -> x.tok)").as("sorted"),
         size(col("st")).cast("long").as("n"))
     val prefixed = ordered.withColumn("plen",
-        expr("CAST(n - ((9 * n + 9) div 10) + 1 AS INT)"))
+        expr("CAST(n - ((4 * n + 4) div 5) + 1 AS INT)"))
       .select(col("doc_id"), col("n"),
         explode(expr("slice(sorted, 1, plen)")).as("ptok"))
     val cand = prefixed.as("a").join(prefixed.as("b"),
@@ -1062,7 +1067,7 @@ object TextOps {
       .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("long"))
       .withColumn("uni",
         expr("size(ta)").cast("long") + expr("size(tb)").cast("long") - col("inter"))
-      .filter(col("inter") * 10 >= col("uni") * 9) // Jaccard >= 0.9, exact
+      .filter(col("inter") * 5 >= col("uni") * 4) // Jaccard >= 0.8, exact
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         round(col("inter") / col("uni"), 4).as("jac"))
       .localCheckpoint()
@@ -1589,8 +1594,9 @@ object TextOps {
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
     "q170_prefix_join" ->
-      """WITH td AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents),
+         td AS (SELECT doc_id, list_distinct($shinglesSql) AS td FROM t),
          ex AS (SELECT doc_id, unnest(td) AS tok FROM td),
          tf AS (SELECT tok, count(*) AS freq FROM ex GROUP BY 1),
          srt AS (SELECT e.doc_id,
@@ -1598,7 +1604,7 @@ object TextOps {
                    count(*) AS n
                  FROM ex e JOIN tf f ON f.tok = e.tok GROUP BY 1),
          pfx AS (SELECT doc_id, n,
-                   unnest(sorted[1 : CAST(n - ((9 * n + 9) // 10) + 1 AS INT)])
+                   unnest(sorted[1 : CAST(n - ((4 * n + 4) // 5) + 1 AS INT)])
                      AS ptok
                  FROM srt),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1611,7 +1617,7 @@ object TextOps {
                FROM cand JOIN td ta ON ta.doc_id = doc_a
                          JOIN td tb ON tb.doc_id = doc_b)
          SELECT doc_a, doc_b, inter, uni, round(inter / uni, 4) AS jac
-         FROM v WHERE inter * 10 >= uni * 9""",
+         FROM v WHERE inter * 5 >= uni * 4""",
     "q163_lsh_calibration" ->
       s"""WITH $minhashCtesSql,
          sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 300),
