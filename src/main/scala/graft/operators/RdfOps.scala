@@ -799,6 +799,16 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** EXISTS in SELECT projections e2e (§17.4.1.4 completes): the mark
+    * lifts against the grouped frame and projects as an ordinary boolean
+    * column — here flagging which nations have at least one supplier. */
+  def q171ProjectExists(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?n (EXISTS { ?s2 <nation> ?n . ?s2 <type> <Supplier> }
+        |           AS ?has_supplier)
+        |WHERE { ?n <type> <Place> }""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** BGP join-order selection e2e: the patterns are textually ordered
     * WORST-first (the unfiltered variable-predicate scan, then the
     * nation hop, then the selective constant pattern) — the compiler's
@@ -873,6 +883,7 @@ object RdfOps {
     "q157_grouped_path_alt"  -> q157GroupedPathAlt _,
     "q164_join_order"        -> q164JoinOrder _,
     "q167_bind_exists"       -> q167BindExists _,
+    "q171_project_exists"    -> q171ProjectExists _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
     "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
@@ -932,6 +943,13 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q171_project_exists" ->
+      s"""WITH triples AS ($T)
+         SELECT t1.s AS n,
+           EXISTS (SELECT 1 FROM triples t2 JOIN triples t3 ON t3.s = t2.s
+                   WHERE t2.p = 'nation' AND t2.o = t1.s
+                     AND t3.p = 'type' AND t3.o = 'Supplier') AS has_supplier
+         FROM triples t1 WHERE t1.p = 'type' AND t1.o = 'Place'""",
     "q167_bind_exists" ->
       s"""WITH triples AS ($T)
          SELECT DISTINCT t1.s AS x,

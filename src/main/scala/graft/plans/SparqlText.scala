@@ -1997,14 +1997,27 @@ object SparqlText {
       } else labeled
     if (q.proj.contains(PStar) && q.proj.size > 1)
       sys.error("SELECT * cannot be combined with other projections")
+    // §17.4.1.4 in projections — `SELECT (EXISTS{…} AS ?b)`: lift marks
+    // against the grouped frame first; the final select omits the marks,
+    // so they drop with no explicit cleanup
+    var projSrc = grouped
+    val projItems: Seq[ProjItem] = q.proj.map {
+      case PExpr(e, out) if hasExists(e) =>
+        val (lifted, e2, _) = liftExistsMarksImpl(projSrc, e, triples,
+          labels, params, memo, None, None)
+        projSrc = lifted
+        PExpr(e2, out)
+      case item => item
+    }
+    val grouped2 = projSrc
     val cols: Seq[Column] =
-      if (q.proj.contains(PStar))
+      if (projItems.contains(PStar))
         // all named variables; internal columns (__anon existentials,
-        // __having hidden aggregates) stay hidden
-        grouped.columns.filterNot(_.startsWith("__")).toSeq.map(col)
-      else q.proj.map {
+        // __having hidden aggregates, __exists marks) stay hidden
+        grouped2.columns.filterNot(_.startsWith("__")).toSeq.map(col)
+      else projItems.map {
         case PVar(src, out) =>
-          if (grouped.columns.contains(src)) col(src).as(out)
+          if (grouped2.columns.contains(src)) col(src).as(out)
           else lit(null).cast("string").as(out) // SPARQL: unbound projected var
         case PExpr(e, out) => compileE(e)._1.as(out)
         case item => col(item.out)
@@ -2022,8 +2035,8 @@ object SparqlText {
     // it; DISTINCT's shuffle would NOT preserve it, so typed keys with
     // DISTINCT fail loudly rather than silently falling back to lexical.
     val typedOrder = q.orderBy.exists {
-      case (EVar(v), _) => grouped.columns.contains(dtCol(v)) ||
-        grouped.columns.contains(kindCol(v))
+      case (EVar(v), _) => grouped2.columns.contains(dtCol(v)) ||
+        grouped2.columns.contains(kindCol(v))
       case _ => false
     }
     var out: DataFrame = null
@@ -2033,15 +2046,15 @@ object SparqlText {
           "DISTINCT (the dedup shuffle discards the typed sort; project " +
           "the typed key through a subselect instead)")
       val sortCols = q.orderBy.flatMap {
-        case (EVar(v), desc) if grouped.columns.contains(v) =>
+        case (EVar(v), desc) if grouped2.columns.contains(v) =>
           val kindRank =
-            if (grouped.columns.contains(kindCol(v)))
+            if (grouped2.columns.contains(kindCol(v)))
               when(col(v).isNull, 0)
                 .when(col(kindCol(v)) === "bnode", 1)
                 .when(col(kindCol(v)) === "iri", 2).otherwise(3)
             else when(col(v).isNull, 0).otherwise(3)
           val isNum =
-            if (grouped.columns.contains(dtCol(v)))
+            if (grouped2.columns.contains(dtCol(v)))
               coalesce(col(dtCol(v)).isin(XsdNumeric: _*), lit(false))
             else lit(false)
           // CaseWhen evaluates the cast only on numeric-typed rows, so a
@@ -2054,9 +2067,9 @@ object SparqlText {
           s"ORDER BY over a fidelity-typed solution supports bare bound " +
             s"variables only, got $e (wrap computed keys in a subselect)")
       }
-      out = grouped.orderBy(sortCols: _*).select(cols: _*)
+      out = grouped2.orderBy(sortCols: _*).select(cols: _*)
     } else {
-      out = grouped.select(cols: _*)
+      out = grouped2.select(cols: _*)
       if (q.distinct) out = out.distinct()
       if (q.orderBy.nonEmpty)
         out = out.orderBy(q.orderBy.map {
@@ -2067,6 +2080,50 @@ object SparqlText {
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
     out
+  }
+
+  /** §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node lifts
+    * to a hidden boolean mark: the base frame splits into compat-matched
+    * / not-matched partitions (the same audited machinery as the
+    * group-level form — exact multiset, null-compatible), re-unioned
+    * with the mark, so the surrounding expression (&&, ||, IF, NOT) sees
+    * an ordinary column. Callers (FILTER, BIND, projection) drop the
+    * returned mark columns once used. */
+  private def liftExistsMarksImpl(base0: DataFrame, e: EExpr,
+      triples: DataFrame, labels: DataFrame, params: Map[String, Long],
+      memo: FunctMemo, graphCtx: Option[Term],
+      namedTriples: Option[DataFrame]): (DataFrame, EExpr, Seq[String]) = {
+    var lifted = base0
+    var n = 0
+    val marks = Vector.newBuilder[String]
+    def lift(x: EExpr): EExpr = x match {
+      case EExists(g, neg) =>
+        val right = compileGroup(g, triples, labels, params, memo,
+          graphCtx, namedTriples)._1
+        val shared = lifted.columns.intersect(right.columns).toSeq
+          .filterNot(isFidelityCol)
+        if (shared.isEmpty) sys.error(
+          "EXISTS must share at least one variable with the outer group")
+        val m = s"__exists$n"; n += 1; marks += m
+        val matched = compatNegation(lifted, right, shared,
+          anti = false, requireOverlap = false).withColumn(m, lit(true))
+        val unmatched = compatNegation(lifted, right, shared,
+          anti = true, requireOverlap = false).withColumn(m, lit(false))
+        lifted = matched.unionByName(unmatched)
+        if (neg) ENot(EMark(m)) else EMark(m)
+      case EAnd(l, r) => EAnd(lift(l), lift(r))
+      case EOr(l, r) => EOr(lift(l), lift(r))
+      case ENot(y) => ENot(lift(y))
+      case ECmp(op, l, r) => ECmp(op, lift(l), lift(r))
+      case EArith(op, l, r) => EArith(op, lift(l), lift(r))
+      case ENeg(y) => ENeg(lift(y))
+      case EIf(c, t, f) => EIf(lift(c), lift(t), lift(f))
+      case EFn(nm, as) => EFn(nm, as.map(lift))
+      case EIn(y, vs, neg) => EIn(lift(y), vs, neg)
+      case leaf => leaf
+    }
+    val e2 = lift(e)
+    (lifted, e2, marks.result())
   }
 
   /** Compile a group's elements; returns (bound rows, label-service langs).
@@ -2162,47 +2219,13 @@ object SparqlText {
     var acc: Option[DataFrame] = None
     var svc: Option[Seq[String]] = None
 
-    // §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node lifts
-    // to a hidden boolean mark: the base frame splits into compat-matched
-    // / not-matched partitions (the same audited machinery as the
-    // group-level form — exact multiset, null-compatible), re-unioned
-    // with the mark, so the surrounding expression (&&, ||, IF, NOT) sees
-    // an ordinary column. Shared by the FILTER compiler and BIND (the
-    // caller drops the returned mark columns once used).
+    // §17.4.1.4 mark lift, scoped to this group's compile context (shared
+    // by the FILTER and BIND compilers; compileSelect lifts projections
+    // through the same impl).
     def liftExistsMarks(base0: DataFrame, e: EExpr)
-        : (DataFrame, EExpr, Seq[String]) = {
-      var lifted = base0
-      var n = 0
-      val marks = Vector.newBuilder[String]
-      def lift(x: EExpr): EExpr = x match {
-        case EExists(g, neg) =>
-          val right = compileGroup(g, triples, labels, params, memo,
-            graphCtx, namedTriples)._1
-          val shared = lifted.columns.intersect(right.columns).toSeq
-            .filterNot(isFidelityCol)
-          if (shared.isEmpty) sys.error(
-            "EXISTS must share at least one variable with the outer group")
-          val m = s"__exists$n"; n += 1; marks += m
-          val matched = compatNegation(lifted, right, shared,
-            anti = false, requireOverlap = false).withColumn(m, lit(true))
-          val unmatched = compatNegation(lifted, right, shared,
-            anti = true, requireOverlap = false).withColumn(m, lit(false))
-          lifted = matched.unionByName(unmatched)
-          if (neg) ENot(EMark(m)) else EMark(m)
-        case EAnd(l, r) => EAnd(lift(l), lift(r))
-        case EOr(l, r) => EOr(lift(l), lift(r))
-        case ENot(y) => ENot(lift(y))
-        case ECmp(op, l, r) => ECmp(op, lift(l), lift(r))
-        case EArith(op, l, r) => EArith(op, lift(l), lift(r))
-        case ENeg(y) => ENeg(lift(y))
-        case EIf(c, t, f) => EIf(lift(c), lift(t), lift(f))
-        case EFn(nm, as) => EFn(nm, as.map(lift))
-        case EIn(y, vs, neg) => EIn(lift(y), vs, neg)
-        case leaf => leaf
-      }
-      val e2 = lift(e)
-      (lifted, e2, marks.result())
-    }
+        : (DataFrame, EExpr, Seq[String]) =
+      liftExistsMarksImpl(base0, e, triples, labels, params, memo,
+        graphCtx, namedTriples)
     // columns minted by BNODE binds: excluded from later mint/BNODE row
     // keys so BNODE(?x) twice in one solution coalesces to the same node
     // (§17.4.2.9 — the second call's solution identity must not include
@@ -2794,10 +2817,11 @@ object SparqlText {
     case EFn(fn, args) => compileFn(fn, args)
     case EMark(name) => (col(name), TyB)
     case _: EExists =>
-      // lifted to EMark columns by the FILTER/BIND compilers before
-      // compileE ever sees the expression
-      sys.error("EXISTS in expression position is supported inside FILTER " +
-        "and BIND expressions only (projections cannot lift the mark join)")
+      // lifted to EMark columns by the FILTER/BIND/projection compilers
+      // before compileE ever sees the expression
+      sys.error("EXISTS is supported in FILTER, BIND, and SELECT " +
+        "projections (GROUP BY/HAVING/ORDER BY expressions cannot lift " +
+        "the mark join)")
     case _: EAgg =>
       // lifted to hidden columns by the HAVING compiler before compileE
       sys.error("aggregate calls are only legal inside HAVING expressions")

@@ -1630,6 +1630,21 @@ class SparqlTextSpec extends SparkSpec {
       Set(("A", false), ("B", true)))
   }
 
+  test("EXISTS in SELECT projections lifts like FILTER/BIND") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("A", "p", "1"), ("B", "p", "2"), ("A", "q", "x"))
+      .toDF("s", "p", "o")
+    val r = SparqlText.run(
+      """SELECT ?s (EXISTS { ?s <q> ?w } AS ?b)
+        |       (IF(NOT EXISTS { ?s <q> ?w2 }, "solo", "linked") AS ?k)
+        |WHERE { ?s <p> ?v }""".stripMargin, t, labels)
+    assert(!r.columns.exists(_.startsWith("__exists")))
+    assert(r.collect().map(x => (x.getString(0), x.getBoolean(1),
+      x.getString(2))).toSet ==
+      Set(("A", true, "linked"), ("B", false, "solo")))
+  }
+
   test("SELECT REDUCED eliminates duplicates (the deterministic conforming choice)") {
     // P1 and P8 share country Q40 → the projection has duplicate rows;
     // REDUCED may drop any subset (§18.2.5.3) — the engine drops all,
