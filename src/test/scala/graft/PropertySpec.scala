@@ -30,6 +30,39 @@ class PropertySpec extends SparkSpec {
       Gen.oneOf("http://x.org/a", "1903-07-01T00:00:00Z", "Point (1 2)",
         "a b c", "  ", "\t"))
 
+  test("BGP reorder: a barrier-fixed permutation, deterministic, on random element runs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.plans.SparqlText
+    import graft.plans.SparqlText.{Tp, TpVar, Path, PStep, V, C, FilterExpr, EVar, El}
+    val term: Gen[SparqlText.Term] =
+      Gen.oneOf(Gen.oneOf("x", "y", "z", "w").map(V.apply),
+        Gen.oneOf("A", "B").map(C.apply))
+    val pat: Gen[El] = Gen.oneOf(
+      Gen.zip(term, Gen.oneOf("p", "q", "r"), term).map { case (s, p, o) =>
+        Tp(s, Path(Seq(PStep(Seq((p, false)), ""))), o) },
+      Gen.zip(term, Gen.oneOf("p", "q"), term).map { case (s, p, o) =>
+        Tp(s, Path(Seq(PStep(Seq((p, false)), "*"))), o) },
+      Gen.zip(term, term).map { case (s, o) => TpVar(s, "pv", o) })
+    val el: Gen[El] = Gen.frequency(
+      4 -> pat, 1 -> Gen.const[El](FilterExpr(EVar("x"))))
+    val els: Gen[List[El]] = Gen.listOfN(9, el)
+    (0 until 60).foreach { i =>
+      els.apply(Gen.Parameters.default, Seed(7L + i)).foreach { seq =>
+        val out = SparqlText.reorderPatterns(seq)
+        // permutation: same element multiset
+        assert(out.groupBy(identity).view.mapValues(_.size).toMap ==
+          seq.groupBy(identity).view.mapValues(_.size).toMap, s"seed $i")
+        // barriers (non-patterns) stay at their exact positions
+        seq.zipWithIndex.foreach { case (e, idx) =>
+          if (e.isInstanceOf[FilterExpr]) assert(out(idx) == e, s"seed $i")
+        }
+        // deterministic
+        assert(SparqlText.reorderPatterns(seq) == out, s"seed $i")
+      }
+    }
+  }
+
   test("P3/P4 are total: never throw on arbitrary strings") {
     forAll(Gen.listOfN(30, anyString)) { xs =>
       val df = xs.toDF("x")
