@@ -47,6 +47,12 @@ object Tables {
     *    value-preserving). */
   def deriveEventTime(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    // The NTZ→LTZ cast below reads the session timezone; the ts_ns
+    // invariant (NTZ wall-clock = UTC instant, generator convention)
+    // only holds under UTC. Bench/Verify set it, but enforce it here
+    // too so an ad-hoc caller in a non-UTC JVM can't silently shift
+    // ts_ns relative to the oracle.
+    raw.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

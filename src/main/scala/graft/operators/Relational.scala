@@ -312,10 +312,16 @@ object Relational {
     val o = Tables.orders(s, dir)
     def prof(c: String, ex: org.apache.spark.sql.Column): DataFrame = {
       val vals = o.select(ex.cast("string").as("v"))
+      // Spark doesn't guarantee aggregate input order, so the (n desc,
+      // v asc) order is re-imposed inside the agg: sort struct(-n, v)
+      // pairs and project v, rather than trusting TakeOrdered's row
+      // order to survive collect_list.
       val top = vals.filter($"v".isNotNull)
         .groupBy($"v").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"v".asc).limit(3)
-        .agg(concat_ws(",", collect_list($"v")).as("top3"))
+        .agg(expr(
+          "concat_ws(',', transform(array_sort(collect_list(struct(-n as nn, v as v))), x -> x.v))")
+          .as("top3"))
       vals.agg(count(lit(1)).as("n_rows"),
           sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
           countDistinct($"v").as("ndv"))

@@ -905,13 +905,16 @@ object TextOps {
           col("doc_id").cast("string"), lit("@example.com ref "),
           (col("doc_id") * 1000003L + 777777777L).cast("string")))
         .otherwise(col("text")))
+    // Column-API regexp_count so the pattern never rides through the SQL
+    // parser (which would unescape '\.' to bare '.') — all three uses of
+    // emailPat now compile the identical automaton.
     val red = d
-      .withColumn("n_email", expr(s"regexp_count(text2, '$emailPat')"))
+      .withColumn("n_email", regexp_count(col("text2"), lit(emailPat)))
       .withColumn("redacted",
         regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
           idPat, "<ID>"))
-      .withColumn("n_id", expr(
-        s"regexp_count(regexp_replace(text2, '$emailPat', '<EMAIL>'), '$idPat')"))
+      .withColumn("n_id", regexp_count(
+        regexp_replace(col("text2"), emailPat, "<EMAIL>"), lit(idPat)))
     red.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("n_email") + col("n_id") > 0, 1L).otherwise(0L))
@@ -988,9 +991,9 @@ object TextOps {
     val nTrue = gt.count()
     // candidate pairs under a banding scheme: rows-per-band hashes glued
     def scheme(name: String, bands: Seq[Seq[Int]]): DataFrame = {
-      val bandStructs = bands.zipWithIndex.map { case (idx, b) =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("_", idx.map(i => col("sigs").getItem(i).cast("string")): _*))
+      val bandStructs = bands.zipWithIndex.map { case (sigIdxs, band) =>
+        struct(lit(band).as("band"),
+          md5(concat_ws("_", sigIdxs.map(i => col("sigs").getItem(i).cast("string")): _*))
             .as("bkey"))
       }
       // concat_ws never yields NULL; mask empty-shingle docs explicitly

@@ -1916,9 +1916,16 @@ object SparqlText {
           q.having.nonEmpty) {
         require(aggs.nonEmpty || q.having.nonEmpty,
           "GROUP BY requires at least one aggregate")
-        // expression keys compute before the grouping and group by name
+        // expression keys compute before the grouping and group by name;
+        // §17.4.1.4: an EXISTS inside a key expression lifts its mark
+        // against the PRE-aggregation frame (keys evaluate per solution,
+        // before grouping), and the mark drops as soon as the key is bound
         val keyed = q.groupByExprs.foldLeft(labeled) { case (df, (e, v)) =>
-          df.withColumn(v, compileE(e)._1)
+          if (hasExists(e)) {
+            val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
+              labels, params, memo, None, None)
+            lifted.withColumn(v, compileE(e2)._1).drop(marks: _*)
+          } else df.withColumn(v, compileE(e)._1)
         }
         val keyNames = q.groupBy ++ q.groupByExprs.map(_._2)
         // implicit (empty) grouping admits only aggregate projections —
@@ -1993,7 +2000,19 @@ object SparqlText {
         }
         val agged = keyed.groupBy(keyNames.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-        havingPreds.foldLeft(agged)((df, e) => df.filter(compileBool(e)))
+        // §17.4.1.4 in HAVING: per §18 the HAVING solution is the GROUPED
+        // row (keys + aggregates), so EXISTS marks lift against the
+        // POST-aggregation frame — the group keys are the shared
+        // variables the mark join matches on. Aggregate calls were
+        // already rewritten to __havingN columns above, so the lift sees
+        // only ordinary leaves; marks drop right after the filter.
+        havingPreds.foldLeft(agged) { (df, e) =>
+          if (hasExists(e)) {
+            val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
+              labels, params, memo, None, None)
+            lifted.filter(compileBool(e2)).drop(marks: _*)
+          } else df.filter(compileBool(e))
+        }
       } else labeled
     if (q.proj.contains(PStar) && q.proj.size > 1)
       sys.error("SELECT * cannot be combined with other projections")
@@ -2071,11 +2090,25 @@ object SparqlText {
     } else {
       out = grouped2.select(cols: _*)
       if (q.distinct) out = out.distinct()
-      if (q.orderBy.nonEmpty)
-        out = out.orderBy(q.orderBy.map {
-          case (e, true) => compileE(e)._1.desc
-          case (e, false) => compileE(e)._1.asc
-        }: _*)
+      if (q.orderBy.nonEmpty) {
+        // §17.4.1.4 in ORDER BY keys: marks lift against the PROJECTED
+        // frame (the solution at sort time), the sort reads the rewritten
+        // expression, and the narrow drop after the sort preserves the
+        // order (same projection-survives-sort property the typed-order
+        // branch relies on).
+        var sortSrc = out
+        val allMarks = Vector.newBuilder[String]
+        val keys = q.orderBy.map { case (e, desc) =>
+          val e2 =
+            if (hasExists(e)) {
+              val (lifted, rewritten, marks) = liftExistsMarksImpl(sortSrc,
+                e, triples, labels, params, memo, None, None)
+              sortSrc = lifted; allMarks ++= marks; rewritten
+            } else e
+          if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+        }
+        out = sortSrc.orderBy(keys: _*).drop(allMarks.result(): _*)
+      }
     }
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
@@ -2817,11 +2850,9 @@ object SparqlText {
     case EFn(fn, args) => compileFn(fn, args)
     case EMark(name) => (col(name), TyB)
     case _: EExists =>
-      // lifted to EMark columns by the FILTER/BIND/projection compilers
-      // before compileE ever sees the expression
-      sys.error("EXISTS is supported in FILTER, BIND, and SELECT " +
-        "projections (GROUP BY/HAVING/ORDER BY expressions cannot lift " +
-        "the mark join)")
+      // lifted to EMark columns by the FILTER/BIND/projection/GROUP BY/
+      // HAVING/ORDER BY compilers before compileE ever sees the expression
+      sys.error("internal: EExists reached compileE without a mark lift")
     case _: EAgg =>
       // lifted to hidden columns by the HAVING compiler before compileE
       sys.error("aggregate calls are only legal inside HAVING expressions")

@@ -1864,4 +1864,40 @@ class SparqlTextSpec extends SparkSpec {
     assert(!r(0).getBoolean(2), "re-tagged copy is equal but not sameTerm")
     assert(r(0).getBoolean(3), "value equality accepts the re-tagged copy")
   }
+
+  test("EXISTS in HAVING / GROUP BY keys / ORDER BY keys (§17.4.1.4 complete)") {
+    // HAVING: the solution at HAVING time is the grouped row, so the mark
+    // join matches on the group key. Citizenship groups with >1 member
+    // whose country node also appears as a subject? Use births: subjects
+    // with a death row, grouped by citizenship.
+    val having =
+      """SELECT ?c (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c
+        |HAVING(COUNT(*) > 1 && EXISTS { ?s2 wdt:P27 ?c . ?s2 wdt:P570 ?d })""".stripMargin
+    // groups: Q40 {P1,P2,P8} n=3, Q28513 {P3,P7} n=2, others n=1.
+    // deaths exist for P1 (Q40) and P3 (Q28513) → both groups survive.
+    assert(rows(SparqlText.run(having, triples, labels)) ==
+      Set(Seq("wd:Q40", 3L), Seq("wd:Q28513", 2L)))
+    // …and the EXISTS can eliminate a group that clears the count bar:
+    // restrict the inner pattern to a citizenship with no dead members.
+    val having2 = having.replace("?s2 wdt:P570 ?d", "?s2 wdt:P570 ?d . FILTER(?c = \"wd:Q40\")")
+    assert(rows(SparqlText.run(having2, triples, labels)) ==
+      Set(Seq("wd:Q40", 3L)))
+
+    // GROUP BY (EXISTS{…} AS ?k): the key evaluates per PRE-group
+    // solution — partition birth-dated subjects by whether they died.
+    val gkey =
+      """SELECT ?dead (COUNT(*) AS ?n) WHERE { ?s wdt:P569 ?b . }
+        |GROUP BY (EXISTS { ?s wdt:P570 ?d } AS ?dead)""".stripMargin
+    assert(rows(SparqlText.run(gkey, triples, labels)) ==
+      Set(Seq(true, 3L), Seq(false, 5L)))
+
+    // ORDER BY over an EXISTS key: dead-last (false < true ascending),
+    // ties broken by subject — a total, deterministic order.
+    val okey =
+      """SELECT ?s WHERE { ?s wdt:P569 ?b . }
+        |ORDER BY ASC(EXISTS { ?s wdt:P570 ?d }) ?s""".stripMargin
+    assert(SparqlText.run(okey, triples, labels).collect().map(_.getString(0)).toSeq ==
+      Seq("P2", "P4", "P6", "P7", "P8", "P1", "P3", "P5"))
+  }
 }
