@@ -827,6 +827,44 @@ object RdfOps {
         |HAVING(COUNT(*) > 5 && EXISTS { ?n <region> <R1> })""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** §17.3 XSD numeric promotion e2e at double-lossy magnitude: the
+    * nation key climbs onto the exact integer rung via the xsd:integer
+    * constructor (§17.5) and the whole expression stays long —
+    * k·900719925474099 + 11 lands past 2^53, where a double evaluation
+    * rounds the +11 away. The FILTER compares two longs that differ by
+    * exactly 1 at that magnitude: under the old blanket double cast both
+    * sides round equal and every large-k row DROPS, so the DuckDB BIGINT
+    * oracle hash-matches only if the promotion table is real. */
+  def q174IntegerExact(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?s ?big WHERE {
+        |  ?s <key> ?k .
+        |  BIND(xsd:integer(?k) * 900719925474099 + 11 AS ?big)
+        |  FILTER(xsd:integer(?big) !=
+        |         xsd:integer(?k) * 900719925474099 + 12)
+        |}""".stripMargin,
+      TripleStore.fidelityTriples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** General `SERVICE <iri> {…}` federation e2e (§18.2.4.3): the service
+    * IRI resolves through the endpoint registry to a SECOND triple store
+    * (region zone/code facts that exist nowhere in the main store — the
+    * testable stand-in for the reference's fixed remote endpoint,
+    * wikidata_index.py:129-152), the body evaluates against that store
+    * and bag-joins the outer solutions on the shared region variable.
+    * An unregistered IRI refuses; SERVICE SILENT degrades to the unit
+    * solution — both spec-covered. */
+  def q173ServiceFederation(sp: SparkSession, dir: String): DataFrame = {
+    graft.plans.SparqlText.registerService("http://example.org/geo",
+      TripleStore.serviceTriples(sp, dir))
+    graft.plans.SparqlText.run(
+      """SELECT ?n ?r ?z ?code WHERE {
+        |  ?n <region> ?r .
+        |  SERVICE <http://example.org/geo> { ?r <zone> ?z . ?r <code> ?code }
+        |  FILTER(?z = "Z1")
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+  }
+
   /** BGP join-order selection e2e: the patterns are textually ordered
     * WORST-first (the unfiltered variable-predicate scan, then the
     * nation hop, then the selective constant pattern) — the compiler's
@@ -903,6 +941,8 @@ object RdfOps {
     "q167_bind_exists"       -> q167BindExists _,
     "q171_project_exists"    -> q171ProjectExists _,
     "q172_having_exists"     -> q172HavingExists _,
+    "q173_service_federation" -> q173ServiceFederation _,
+    "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
     "q159_grouped_member_mod" -> q159GroupedMemberMod _,
     "q158_grouped_path_star" -> q158GroupedPathStar _,
@@ -962,6 +1002,19 @@ object RdfOps {
   private val EN = TripleStore.edgesNoLineitemSql
 
   val oracles: Map[String, String] = Map(
+    "q174_integer_exact" ->
+      s"""WITH f AS (${TripleStore.fidelityTriplesSql})
+         SELECT s, CAST(CAST(o AS BIGINT) * 900719925474099 + 11 AS BIGINT) AS big
+         FROM f WHERE p = 'key'
+           AND CAST(o AS BIGINT) * 900719925474099 + 11
+               <> CAST(o AS BIGINT) * 900719925474099 + 12""",
+    "q173_service_federation" ->
+      s"""WITH st AS ($T), svc AS (${TripleStore.serviceTriplesSql})
+         SELECT t.s AS n, t.o AS r, z.o AS z, c.o AS code
+         FROM st t
+         JOIN svc z ON z.s = t.o AND z.p = 'zone'
+         JOIN svc c ON c.s = t.o AND c.p = 'code'
+         WHERE t.p = 'region' AND z.o = 'Z1'""",
     "q172_having_exists" ->
       s"""WITH st AS ($T),
          g AS (SELECT o AS n, COUNT(*) AS cnt FROM st

@@ -51,12 +51,16 @@ object ConnectedComponents {
     *   canonical label could be an id outside the domain); a violation
     *   raises at action time rather than corrupting
     * @param maxIters cycle/adversarial-depth guard
-    * @param algorithm "min-label" (default — O(diameter) rounds, the right
-    *   plan for the shallow LSH pair graphs dedup produces) or "star" —
-    *   alternating large-star/small-star contraction (Kiveris et al.,
-    *   "Connected Components in MapReduce and Beyond"), which roughly
-    *   halves component diameters per round: O(log d) rounds on the deep
-    *   path-shaped components crawler mirror farms chain together. Both
+    * @param algorithm "auto" (default) starts with min-label propagation
+    *   — O(diameter) rounds, the right plan for the shallow LSH pair
+    *   graphs dedup produces — and, if the fixpoint hasn't landed after
+    *   [[AutoSwitchRound]] rounds (direct evidence the diameter is deep),
+    *   abandons it for the star contraction and logs the switch. Forcing
+    *   "min-label" keeps propagating to maxIters; "star" — alternating
+    *   large-star/small-star contraction (Kiveris et al., "Connected
+    *   Components in MapReduce and Beyond"), which roughly halves
+    *   component diameters per round: O(log d) rounds on the deep
+    *   path-shaped components crawler mirror farms chain together. All
     *   produce identical labels (min id per component, any orderable
     *   type); the star path raises if maxIters is hit before the star
     *   fixpoint (a partially contracted graph has no correct reading).
@@ -64,14 +68,25 @@ object ConnectedComponents {
     *         the undirected pair graph, deterministic under re-runs
     */
   def labels(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
-             algorithm: String = "min-label"): DataFrame = {
+             algorithm: String = "auto"): DataFrame = {
     algorithm match {
+      case "auto" => minLabelPropagation(edges, nodes, maxIters,
+        switchAfter = Some(AutoSwitchRound))
       case "min-label" => minLabelPropagation(edges, nodes, maxIters)
       case "star" => starContraction(edges, nodes, maxIters)
       case other => sys.error(
-        s"unknown algorithm '$other' (expected 'min-label' or 'star')")
+        s"unknown algorithm '$other' (expected 'auto', 'min-label' or 'star')")
     }
   }
+
+  /** Rounds of un-converged min-label propagation "auto" tolerates before
+    * concluding the graph is deep and switching to star contraction. 8
+    * covers every diameter an LSH bucket graph realistically produces
+    * (pairs share buckets, so diameters run 2–4) with margin; past it,
+    * propagation needs diameter-many MORE rounds while the contraction
+    * needs ~log₂(diameter) total — restarting is already the cheaper
+    * path at diameter ≳ 16. */
+  private val AutoSwitchRound = 8
 
   /** Terminal domain join shared by both algorithms: isolated nodes
     * self-label; the full-outer shape (same shuffle as a left join)
@@ -92,7 +107,8 @@ object ConnectedComponents {
         coalesce(col("component"), col("node")).as("component"))
 
   private def minLabelPropagation(edges: DataFrame, nodes: DataFrame,
-                                  maxIters: Int): DataFrame = {
+                                  maxIters: Int,
+                                  switchAfter: Option[Int] = None): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -146,6 +162,18 @@ object ConnectedComponents {
         }
         lab = next
         i += 1
+        // "auto": an un-landed fixpoint after this many O(diameter)
+        // rounds is direct evidence of a deep graph — hand the edges to
+        // the O(log d) contraction instead of grinding out the diameter.
+        // The propagation work is discarded (the contraction re-derives
+        // labels from the raw edges), which is the cheaper total path
+        // once diameter exceeds ~2× the switch round.
+        if (!converged && switchAfter.exists(i >= _)) {
+          System.err.println(s"[graft] ConnectedComponents auto: min-label " +
+            s"propagation not converged after $i rounds — switching to " +
+            "large-star/small-star contraction (deep-diameter evidence)")
+          return starContraction(edges, nodes, maxIters)
+        }
       }
       attachDomain(lab, nodes)
     } finally { sym.unpersist(blocking = false) }

@@ -263,6 +263,13 @@ object SparqlText {
   final case class BindMint(out: String, prefix: String) extends El
   final case class SubSel(s: SelectQ) extends El
   final case class LabelSvc(langs: Seq[String]) extends El
+  /** `SERVICE [SILENT] <iri> { … }` — general federation (§18). The IRI
+    * resolves through [[registerService]]'s name→DataFrame registry (the
+    * testable stand-in for a remote endpoint — the reference's whole
+    * federation surface is one fixed endpoint per pipeline,
+    * wikidata_index.py:129-152); the body evaluates against that graph
+    * and bag-joins on shared variables (§18.2.4.3). */
+  final case class ServiceEl(iri: String, g: Seq[El], silent: Boolean) extends El
 
   sealed trait ProjItem { def out: String }
   final case class PVar(src: String, out: String) extends ProjItem
@@ -1431,6 +1438,19 @@ object SparqlText {
       case TIri(_) =>
         val TIri(v) = next(): @unchecked
         EStr(resolveIri(v))
+      // §17.5 XPath constructor casts — `xsd:integer(?v)` etc. The
+      // integer cast is the entry point onto the exact integer rung for
+      // data-bound (lexical) variables; see the Ty scaladoc.
+      case TPname(p) if p.toLowerCase.startsWith("xsd:") &&
+          toks.lift(i + 1).contains(TPunct("(")) =>
+        i += 1; expectPunct("(")
+        val arg = orExpr()
+        expectPunct(")")
+        val name = p.substring(4).toLowerCase
+        if (!Set("integer", "decimal", "double", "float", "string",
+            "boolean").contains(name))
+          fail(s"unsupported XSD constructor xsd:$name")
+        EFn("XSD_" + name.toUpperCase, Seq(arg))
       case TPname(_) =>
         val TPname(v) = next(): @unchecked
         EStr(resolvePname(v))
@@ -1600,11 +1620,21 @@ object SparqlText {
       el
     }
 
-    /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }` */
-    private def serviceEl(): LabelSvc = {
+    /** `SERVICE wikibase:label { bd:serviceParam wikibase:language "de,en" }`
+      * (the label-service fast path) or the general
+      * `SERVICE [SILENT] <iri> { pattern }` federation form — the IRI
+      * resolves through the endpoint registry at compile time. A VARIABLE
+      * service target needs per-binding endpoint dispatch and refuses. */
+    private def serviceEl(): El = {
+      val silent = isKw(peek, "SILENT") && { i += 1; true }
       next() match {
         case TPname(p) if p.equalsIgnoreCase("wikibase:label") =>
-        case t => fail(s"only SERVICE wikibase:label is supported, got $t")
+        case TIri(iri) => return ServiceEl(iri, group(), silent)
+        case TPname(p) if !p.equalsIgnoreCase("wikibase:label") =>
+          return ServiceEl(resolvePname(p), group(), silent)
+        case TVar(v) => fail(s"SERVICE ?$v (a variable endpoint) is " +
+          "unsupported — name a registered endpoint IRI")
+        case t => fail(s"SERVICE expects wikibase:label or an endpoint IRI, got $t")
       }
       expectPunct("{")
       var langs: Seq[String] = Seq("en")
@@ -1819,6 +1849,22 @@ object SparqlText {
           params: Map[String, Long] = Map.empty): DataFrame =
     compile(parse(query), triples, labels, params)
 
+  /** Endpoint registry for general `SERVICE <iri> {…}` blocks: each IRI
+    * names a triple/quad DataFrame standing in for the remote endpoint's
+    * default graph. Registration is explicit and an UNREGISTERED IRI
+    * refuses at compile time (SILENT downgrades that to the unit
+    * solution, §18.2.4.3's error-recovery form) — the engine never
+    * guesses at federation. At scale the registered frame is just
+    * another distributed source: the service body plans against it with
+    * the same pushdown/reorder machinery as the local store, and the
+    * final bag join is an ordinary shuffle (or broadcast) equi-join on
+    * the shared variables. */
+  private val serviceRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def registerService(iri: String, endpoint: DataFrame): Unit =
+    serviceRegistry.put(iri, endpoint)
+  def unregisterService(iri: String): Unit = serviceRegistry.remove(iri)
+
   /** The reference's incremental-mode rewrite (wikidata_index.py:160-167):
     * lines carrying `#REMOVE_INCREMENTAL` are uncommented in place and
     * `{{INCREMENTAL_DATE}}` replaced with the supplied date, so the
@@ -1985,7 +2031,9 @@ object SparqlText {
           // aggregates over computed expressions — SUM(?price * ?qty)
           case PAggE(fn, e, out, dist) =>
             val (c, ty) = compileE(e)
-            val n = if (ty == TyN) c else c.cast("double")
+            // either numeric rung accumulates natively (long sums stay
+            // exact); a lexical argument casts to the double rung
+            val n = if (ty.isInstanceOf[TyNum]) c else c.cast("double")
             fn match {
               case "count" =>
                 (if (dist) countDistinct(c) else count(c)).as(out)
@@ -2598,6 +2646,25 @@ object SparqlText {
       case _: ValuesEl => // group-wide; applied below
       case _: LangM => // attached to its binding pattern above
       case LabelSvc(langs) => svc = Some(langs)
+      case ServiceEl(iri, g, silent) =>
+        // §18.2.4.3: Join(P, Service(iri, pattern)) — the body evaluates
+        // against the REGISTERED endpoint graph (its own default graph:
+        // no outer GRAPH context or dataset clause leaks in), and the
+        // result bag-joins with the accumulated solutions on shared
+        // variables via the ordinary join() path (cross join when
+        // disjoint, per the spec's compatible-merge over empty domains).
+        Option(serviceRegistry.get(iri)) match {
+          case Some(endpoint) =>
+            join(compileGroup(g, endpoint, labels, params, memo,
+              None, None)._1)
+          case None if silent =>
+            // SERVICE SILENT on an unreachable endpoint yields the unit
+            // solution — a join identity, so the group is unchanged
+            ()
+          case None => sys.error(s"SERVICE <$iri>: no endpoint registered " +
+            "under this IRI (SparqlText.registerService) — refusing to " +
+            "guess at federation")
+        }
     }
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
@@ -2697,11 +2764,24 @@ object SparqlText {
     * one type), TyB = boolean (comparisons, connectives, predicates). */
   private sealed trait Ty
   private case object TyS extends Ty
-  private case object TyN extends Ty
+  /** Numeric rungs of the §17.3 promotion ladder the engine distinguishes
+    * statically: TyI = xsd:integer (Spark long — EXACT past 2^53, where
+    * the double rung silently rounds), TyN = everything else (decimal /
+    * float / double evaluate in binary double, the engine's documented
+    * approximation for the non-integer rungs — one type, so plans and
+    * oracles agree). Promotion: integer op integer stays integer
+    * (except `/`, which divides on the decimal rung per §17.3/XPath —
+    * evaluated as double here); any non-integer operand promotes the
+    * whole expression to double, matching "the result follows the
+    * promoted operand type". */
+  private sealed trait TyNum extends Ty
+  private case object TyN extends TyNum
+  private case object TyI extends TyNum
   private case object TyB extends Ty
 
   private def asNum(ct: (Column, Ty)): Column = ct match {
     case (c, TyN) => c
+    case (c, TyI) => c // long — Spark promotes to double in mixed ops
     case (c, TyS) => c.cast("double")
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
@@ -2762,7 +2842,7 @@ object SparqlText {
   }
   private def asStr(ct: (Column, Ty)): Column = ct match {
     case (c, TyS) => c
-    case (c, TyN) => c.cast("string")
+    case (c, _: TyNum) => c.cast("string")
     case (_, TyB) => sys.error("boolean expression used as a string")
   }
   private def compileBool(e: EExpr): Column = compileE(e) match {
@@ -2806,23 +2886,43 @@ object SparqlText {
   private def compileE(e: EExpr): (Column, Ty) = e match {
     case EVar(v) => (col(v), TyS)
     case EStr(s) => (lit(s), TyS)
-    case ENum(lex) => (lit(lex.toDouble), TyN)
-    case ENeg(x) => (-asNum(compileE(x)), TyN)
+    // §17.3: an integer-lexical literal sits on the xsd:integer rung
+    // (long — exact where double rounds); anything else on the double
+    // rung. A literal past long range falls back to double, loudly exact
+    // nowhere anyway.
+    case ENum(lex) =>
+      if (lex.matches("[+-]?[0-9]+") && scala.util.Try(lex.toLong).isSuccess)
+        (lit(lex.toLong), TyI)
+      else (lit(lex.toDouble), TyN)
+    case ENeg(x) =>
+      val c = compileE(x)
+      (-asNum(c), if (c._2 == TyI) TyI else TyN)
     case EArith(op, l, r) =>
-      val (ln, rn) = (asNum(compileE(l)), asNum(compileE(r)))
-      (op match {
-        case "+" => ln + rn
-        case "-" => ln - rn
-        case "*" => ln * rn
-        case "/" => ln / rn
+      val (lc, rc) = (compileE(l), compileE(r))
+      val (ln, rn) = (asNum(lc), asNum(rc))
+      // §17.3 promotion: integer op integer stays on the integer rung
+      // (exact long arithmetic; ANSI mode raises on overflow rather than
+      // silently wrapping). `/` always divides on the decimal rung
+      // (XPath: op:numeric-divide of two integers is decimal) — double
+      // here. Any non-integer operand promotes the result to double.
+      val bothInt = lc._2 == TyI && rc._2 == TyI
+      op match {
+        case "+" => (ln + rn, if (bothInt) TyI else TyN)
+        case "-" => (ln - rn, if (bothInt) TyI else TyN)
+        case "*" => (ln * rn, if (bothInt) TyI else TyN)
+        case "/" => ((if (bothInt) ln.cast("double") else ln) / rn, TyN)
         case other => sys.error(s"unsupported arithmetic operator: $other")
-      }, TyN)
+      }
     case ECmp(op, l, r) =>
       val (lc, rc) = (compileE(l), compileE(r))
       // a numeric side forces a numeric comparison; otherwise lexical
-      // (the ISO-string date ordering)
+      // (the ISO-string date ordering). Both sides on the integer rung
+      // compare as longs (exact past 2^53); a mixed numeric pair
+      // promotes to double per §17.3.
       val (a, b) =
-        if (lc._2 == TyN || rc._2 == TyN) (asNum(lc), asNum(rc))
+        if (lc._2 == TyI && rc._2 == TyI) (lc._1, rc._1)
+        else if (lc._2.isInstanceOf[TyNum] || rc._2.isInstanceOf[TyNum])
+          (asNum(lc), asNum(rc))
         else (lc._1, rc._1)
       (op match {
         case "<" => a < b
@@ -2842,9 +2942,12 @@ object SparqlText {
     case EBound(v) => (col(v).isNotNull, TyB)
     case EIf(c, t, f) =>
       val (tc, fc) = (compileE(t), compileE(f))
-      // branches of one type keep it; mixed branches unify as strings
+      // branches of one type keep it; two numeric rungs promote to
+      // double (§17.3); otherwise-mixed branches unify as strings
       val (tv, fv, ty) =
         if (tc._2 == fc._2) (tc._1, fc._1, tc._2)
+        else if (tc._2.isInstanceOf[TyNum] && fc._2.isInstanceOf[TyNum])
+          (asNum(tc).cast("double"), asNum(fc).cast("double"), TyN)
         else (asStr(tc), asStr(fc), TyS)
       (when(compileBool(c), tv).otherwise(fv), ty)
     case EFn(fn, args) => compileFn(fn, args)
@@ -2871,6 +2974,26 @@ object SparqlText {
     def a0 = compileE(args.head)
     fn match {
       case "STR" => (asStr(a0), TyS) // identity on lexical columns
+      // §17.5 constructor casts. xsd:integer lands on the EXACT long
+      // rung: from a numeric it truncates toward zero (XPath fn rules);
+      // from a lexical it parses — an invalid integer lexical aborts
+      // loudly under ANSI, matching XPath's cast error. decimal/float/
+      // double all land on the engine's double rung (see Ty scaladoc).
+      case "XSD_INTEGER" => a0 match {
+        case (c, TyI) => (c, TyI)
+        case (c, TyN) => (c.cast("long"), TyI)
+        case (c, TyS) => (c.cast("long"), TyI)
+        case (_, TyB) => sys.error("xsd:integer of a boolean expression " +
+          "is unsupported (the term model has no boolean literals)")
+      }
+      case "XSD_DECIMAL" | "XSD_DOUBLE" | "XSD_FLOAT" =>
+        (asNum(a0).cast("double"), TyN)
+      case "XSD_STRING" => (asStr(a0), TyS)
+      case "XSD_BOOLEAN" =>
+        val s = asStr(a0)
+        (when(lower(s).isin("true", "1"), lit(true))
+          .when(lower(s).isin("false", "0"), lit(false))
+          .otherwise(lit(null).cast("boolean")), TyB)
       case "STRLEN" => (length(asStr(a0)).cast("double"), TyN)
       case "UCASE" => (upper(asStr(a0)), TyS)
       case "LCASE" => (lower(asStr(a0)), TyS)
@@ -2964,7 +3087,9 @@ object SparqlText {
       case "COALESCE" =>
         val cs = args.map(compileE)
         // uniform numeric args stay numeric; anything mixed unifies lexical
-        if (cs.forall(_._2 == TyN)) (coalesce(cs.map(_._1): _*), TyN)
+        if (cs.forall(_._2 == TyI)) (coalesce(cs.map(_._1): _*), TyI)
+        else if (cs.forall(_._2.isInstanceOf[TyNum]))
+          (coalesce(cs.map(c => asNum(c).cast("double")): _*), TyN)
         else (coalesce(cs.map(asStr): _*), TyS)
       // ---- term fidelity (§17.4.2): reads the hidden __lang_/__dt_
       // companion columns a fidelity-carrying source binds alongside each

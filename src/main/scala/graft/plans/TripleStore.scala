@@ -162,4 +162,23 @@ object TripleStore {
     s"""SELECT 'L'||CAST(l_orderkey AS VARCHAR)||'-'||CAST(l_linenumber AS VARCHAR) AS src,
       |       'O'||CAST(l_orderkey AS VARCHAR) AS dst FROM lineitem
       |UNION ALL ${edgesNoLineitemSql.replace("AS src", "").replace("AS dst", "")}""".stripMargin
+
+  /** A SECOND triple store standing in for a federated endpoint (general
+    * `SERVICE <iri>` blocks): per-region facts — a derived numeric code
+    * and a two-valued zone — that exist NOWHERE in [[triples]], so a
+    * query joining through it provably consulted the other store. */
+  def serviceTriples(sp: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(sp, dir)
+    val rs = concat(lit("R"), str(r("r_regionkey")))
+    r.select(rs.as("s"), lit("code").as("p"),
+        str(r("r_regionkey") * 7 + 1).as("o"))
+      .unionByName(r.select(rs.as("s"), lit("zone").as("p"),
+        concat(lit("Z"), str(r("r_regionkey") % 2)).as("o")))
+  }
+
+  val serviceTriplesSql: String =
+    """SELECT 'R'||CAST(r_regionkey AS VARCHAR) AS s, 'code' AS p,
+      |       CAST(r_regionkey * 7 + 1 AS VARCHAR) AS o FROM region
+      |UNION ALL SELECT 'R'||CAST(r_regionkey AS VARCHAR), 'zone',
+      |       'Z'||CAST(r_regionkey % 2 AS VARCHAR) FROM region""".stripMargin
 }

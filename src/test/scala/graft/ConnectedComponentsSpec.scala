@@ -100,6 +100,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(star(7L) == 3L && star(9L) == 3L && star(21L) == 20L)
   }
 
+  test("auto switches to star contraction on deep-diameter evidence") {
+    // depth-50 path with maxIters = 24: pure min-label propagation CANNOT
+    // finish (it needs ~50 rounds) and would return half-propagated
+    // labels, so correct labels out of "auto" under the same budget prove
+    // the switch fired and the contraction finished the job.
+    val chain = (0 until 50).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val nodes = (0 to 50).map(i => f"n$i%02d")
+    val stuck = ConnectedComponents.labels(chain.toDF("src", "dst"),
+        nodes.toDF("node"), maxIters = 24, algorithm = "min-label")
+      .as[(String, String)].collect().toMap
+    assert(stuck.values.toSet.size > 1,
+      "propagation alone must NOT have finished in 24 rounds — " +
+        "otherwise this test can't discriminate the auto switch")
+    val auto = ConnectedComponents.labels(chain.toDF("src", "dst"),
+        nodes.toDF("node"), maxIters = 24, algorithm = "auto")
+      .as[(String, String)].collect().toMap
+    assert(auto.values.toSet == Set("n00"), "auto must land the fixpoint")
+    // …and identical to fully-budgeted propagation
+    val minl = ConnectedComponents.labels(chain.toDF("src", "dst"),
+        nodes.toDF("node"), maxIters = 60, algorithm = "min-label")
+      .as[(String, String)].collect().toMap
+    assert(auto == minl)
+  }
+
   test("edge endpoint absent from nodes refuses at action time") {
     // 'ghost' bridges a and b but is not in the domain — its id could
     // become a canonical label no caller row carries. Refuse, don't corrupt.

@@ -1865,6 +1865,42 @@ class SparqlTextSpec extends SparkSpec {
     assert(r(0).getBoolean(3), "value equality accepts the re-tagged copy")
   }
 
+  test("general SERVICE: registry join, SILENT unit, unknown IRI refuses") {
+    // a second store with facts absent from `triples`: per-person genres
+    val endpoint = Seq(
+      ("P1", "ex:genre", "lyric"), ("P3", "ex:genre", "prose"),
+      ("P9", "ex:genre", "drama") // P9 unknown to the main store
+    ).toDF("s", "p", "o")
+    SparqlText.registerService("http://test/ep", endpoint)
+    try {
+      val q =
+        """SELECT ?s ?g WHERE {
+          |  ?s wdt:P570 ?d .
+          |  SERVICE <http://test/ep> { ?s ex:genre ?g }
+          |}""".stripMargin
+      // deaths: P1,P3,P5 — bag join keeps the two with genres
+      assert(rows(SparqlText.run(q, triples, labels)) ==
+        Set(Seq("P1", "lyric"), Seq("P3", "prose")))
+      // SILENT on an unregistered endpoint = unit solution (join identity)
+      val silent =
+        """SELECT ?s WHERE {
+          |  ?s wdt:P570 ?d .
+          |  SERVICE SILENT <http://test/unknown> { ?s ex:genre ?g }
+          |}""".stripMargin
+      assert(rows(SparqlText.run(silent, triples, labels)).map(_.head) ==
+        Set("P1", "P3", "P5"))
+      // non-SILENT unknown IRI refuses loudly
+      val e = intercept[RuntimeException](SparqlText.run(
+        silent.replace("SERVICE SILENT", "SERVICE"), triples, labels))
+      assert(e.getMessage.contains("no endpoint registered"))
+      // variable endpoint refuses at parse time
+      val e2 = intercept[RuntimeException](SparqlText.run(
+        silent.replace("SERVICE SILENT <http://test/unknown>", "SERVICE ?ep"),
+        triples, labels))
+      assert(e2.getMessage.contains("variable endpoint"))
+    } finally SparqlText.unregisterService("http://test/ep")
+  }
+
   test("EXISTS in HAVING / GROUP BY keys / ORDER BY keys (§17.4.1.4 complete)") {
     // HAVING: the solution at HAVING time is the grouped row, so the mark
     // join matches on the group key. Citizenship groups with >1 member
