@@ -1078,7 +1078,80 @@ object TextOps {
     out
   }
 
+  /** BM25 relevance scoring (Robertson/Sparck-Jones) — the retrieval
+    * primitive a training-data pipeline uses for quality-by-relevance
+    * filtering and hard-negative mining. k1=1.2, b=0.75, query =
+    * three fixed corpus terms. The plan is built for 100 TB: the token
+    * stream is pruned to the QUERY TERMS before any shuffle (the only
+    * corpus-wide work is one explode+filter scan plus a 1-row stats
+    * aggregate), the per-term document frequencies are a query-sized
+    * broadcast, and the final score join touches only docs containing
+    * at least one query term. Top-20 under a (score, doc_id) total
+    * order, score rounded so both engines agree to the printed digit. */
+  def q175Bm25(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("join", "hash", "scan")
+    val d = docs(s, dir).select(col("doc_id"), col("toks"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    val tf = d.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*)) // prune BEFORE the shuffle
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+  }
+
+  /** Hash-stratified sampling — per-source keep rates applied through a
+    * deterministic doc_id hash bucket, the way a corpus mixer downweights
+    * low-quality sources. ZERO shuffles: the keep decision is a codegen'd
+    * row predicate, so at 100 TB sampling costs one scan and the sample
+    * is reproducible across engines, runs, and cluster sizes (no RNG,
+    * no seed plumbing — the hash IS the seed). Changing the mix never
+    * re-reads kept history: the bucket of a doc is fixed forever, so a
+    * rate bump from 20→50 only ADDS docs (nested samples), the property
+    * incremental corpus rebuilds rely on. */
+  def q176StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 50L)
+      .when(col("source").isin("src4", "src5", "src6", "src7"), 20L)
+      .otherwise(5L)
+    Tables.documents(s, dir).filter(bucket < rate)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Deterministic per-source reservoir (k=5) via the BottomK typed
+    * Aggregator: the k lexically-smallest md5(doc_id) keys per source.
+    * Equivalent to `row_number() OVER (PARTITION BY source ORDER BY
+    * md5(id)) <= k` — but the window form SORTS every partition's full
+    * data, while the aggregator carries a bounded k-element mergeable
+    * buffer through ordinary map-side combine: per-group state is O(k)
+    * regardless of source size, the shape that survives a 100 TB source.
+    * The doc_id rides the key behind the hash (collision-free tiebreak),
+    * so the reservoir is uniform-at-random w.r.t. the hash yet exactly
+    * reproducible. */
+  def q177ReservoirPerSource(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), concat(md5(col("doc_id").cast("string")),
+        lit(":"), col("doc_id").cast("string")).as("k"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.bottomK(col("k"), 5).as("ks"))
+      .select(col("source"), explode(col("ks")).as("k"))
+      .select(col("source"),
+        split(col("k"), ":").getItem(1).cast("long").as("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_bm25"           -> q175Bm25 _,
+    "q176_stratified_sample" -> q176StratifiedSample _,
+    "q177_reservoir_per_source" -> q177ReservoirPerSource _,
     "q170_prefix_join"    -> q170PrefixJoin _,
     "q163_lsh_calibration" -> q163LshCalibration _,
     "q160_pii_redaction"  -> q160PiiRedaction _,
@@ -1153,6 +1226,36 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q175_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+         tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                        unnest(toks) AS term FROM t),
+         qt AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('join','hash','scan')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM qt GROUP BY 1),
+         sc AS (SELECT q.doc_id,
+                  ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    q.tf * 2.2 /
+                    (q.tf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)) AS contrib
+                FROM qt q JOIN dft d USING(term) CROSS JOIN st s)
+         SELECT doc_id, round(sum(contrib), 4) AS bm25 FROM sc GROUP BY 1
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q176_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 <
+           CASE WHEN source IN ('src0','src1','src2','src3') THEN 50
+                WHEN source IN ('src4','src5','src6','src7') THEN 20
+                ELSE 5 END""",
+    "q177_reservoir_per_source" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+           FROM documents) WHERE rn <= 5""",
     "q143_candidate_verify" ->
       s"""WITH $minhashCtesSql,
          pairs AS (

@@ -2054,7 +2054,15 @@ object SparqlText {
         // variables the mark join matches on. Aggregate calls were
         // already rewritten to __havingN columns above, so the lift sees
         // only ordinary leaves; marks drop right after the filter.
-        havingPreds.foldLeft(agged) { (df, e) =>
+        // The mark split references its base three ways (matched, null
+        // arms, anti) and Spark re-plans the aggregation per reference —
+        // materialize the (group-cardinality-sized) aggregate ONCE when
+        // a HAVING predicate carries EXISTS, so the corpus-side
+        // aggregation shuffle never runs in triplicate.
+        val havingBase =
+          if (havingPreds.exists(hasExists)) agged.localCheckpoint()
+          else agged
+        havingPreds.foldLeft(havingBase) { (df, e) =>
           if (hasExists(e)) {
             val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
               labels, params, memo, None, None)

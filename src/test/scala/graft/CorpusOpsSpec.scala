@@ -315,4 +315,35 @@ class CorpusOpsSpec extends SparkSpec {
         s"$src: expected ${members.length / 2} kept, got ${kept.length}")
     }
   }
+
+  test("q176/q177: hash sampling is deterministic, nested under rate bumps, " +
+      "and the reservoir matches the window formulation") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // determinism: two evaluations give identical row sets
+    val s1 = graft.operators.TextOps.q176StratifiedSample(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val s2 = graft.operators.TextOps.q176StratifiedSample(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // nested-sample property: the kept set at ANY rate is a superset of
+    // the kept set at a lower rate (the bucket of a doc never moves) —
+    // recompute with the universal rate pair (5, 50) directly
+    val d = graft.Tables.documents(spark, dir)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val at5 = d.filter(bucket < 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val at50 = d.filter(bucket < 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at5.subsetOf(at50) && at5.nonEmpty && at5.size < at50.size)
+    // reservoir ≡ window top-k per source
+    val res = graft.operators.TextOps.q177ReservoirPerSource(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val win = d.select(col("source"), col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")))).as("rn"))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(res == win && res.size == win.size)
+  }
 }
