@@ -156,6 +156,23 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("dup_key")
 
+  /** Streaming twin of the q176 hash-stratified sampler: the keep
+    * decision is a stateless codegen'd predicate (md5 bucket of the id vs
+    * a per-source rate), so it needs NO watermark, NO state store, and
+    * admits a doc identically whether it arrives in a batch rebuild or on
+    * the live stream — the exact-same-sample property that lets a corpus
+    * mixer run one config against both paths. `rates` maps source →
+    * percentage; unlisted sources use `defaultRate`. */
+  def stratifiedSampleStream(docs: DataFrame, rates: Map[String, Int],
+                             defaultRate: Int = 5): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
   /** Stream-static enrichment join: every micro-batch left-joins the static
     * dimension table (the streaming twin of the label-service / propagation
     * joins). The static side is broadcast per micro-batch — at 100 TB the

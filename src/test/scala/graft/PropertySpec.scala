@@ -196,4 +196,38 @@ class PropertySpec extends SparkSpec {
         assert(m12 == (xs ++ ys).filter(_ != null).distinct.sorted.take(4))
     }
   }
+
+  test("§17.3 integer rung: literal long arithmetic and comparisons are " +
+      "exact (vs BigInt), division rides the double rung") {
+    import graft.plans.SparqlText
+    val one = Seq(("s", "p", "o")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    val big = Gen.chooseNum(-(1L << 61), 1L << 61)
+    val small = Gen.chooseNum(-(1L << 30), 1L << 30)
+    forAll(Gen.zip(big, big), n = 12) { case (a, b) =>
+      val r = SparqlText.run(
+        s"SELECT ($a + $b AS ?add) ($a - $b AS ?sub) WHERE { ?x <p> ?o }",
+        one, lbl).head()
+      assert(BigInt(r.getLong(0)) == BigInt(a) + BigInt(b))
+      assert(BigInt(r.getLong(1)) == BigInt(a) - BigInt(b))
+    }
+    forAll(Gen.zip(small, small), n = 12) { case (a, b) =>
+      val r = SparqlText.run(
+        s"SELECT ($a * $b AS ?mul) WHERE { ?x <p> ?o }", one, lbl).head()
+      assert(BigInt(r.getLong(0)) == BigInt(a) * BigInt(b))
+    }
+    // adjacent longs past 2^53 never compare equal on the integer rung
+    // (both would round to one double on the old blanket-cast path)
+    forAll(big, n = 8) { a =>
+      assert(SparqlText.run(
+        s"SELECT ?x WHERE { ?x <p> ?o . FILTER($a < ${a + 1}) }",
+        one, lbl).count() == 1)
+      assert(SparqlText.run(
+        s"SELECT ?x WHERE { ?x <p> ?o . FILTER($a = ${a + 1}) }",
+        one, lbl).count() == 0)
+    }
+    // §17.3/XPath: integer ÷ integer leaves the integer rung
+    assert(SparqlText.run("SELECT (7 / 2 AS ?q) WHERE { ?x <p> ?o }",
+      one, lbl).head().getDouble(0) == 3.5)
+  }
 }

@@ -47,6 +47,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(!rows.exists(_.user_id == 2L))
   }
 
+  test("stratified sample stream admits exactly the batch sampler's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Map("src0" -> 50, "src1" -> 20)
+    val docs = (0L until 200L).map(i => (i, s"src${i % 3}"))
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.stratifiedSampleStream(
+        input.toDS().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("strat_sample")
+      .outputMode("append").start()
+    // arrival order must not matter: feed two shuffled halves
+    val (h1, h2) = scala.util.Random.shuffle(docs).splitAt(100)
+    input.addData(h1); query.processAllAvailable()
+    input.addData(h2); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("strat_sample")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = StreamOps.stratifiedSampleStream(
+        docs.toDF("doc_id", "source"), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // and the admitted share per source tracks its configured rate
+    val bySrc = streamed.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("src0", 0) > bySrc.getOrElse("src2", 0))
+  }
+
   test("foreachBatch upsert sink: last write wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val store = new java.io.File("target/tmp/upsert-store").getAbsolutePath
