@@ -1148,7 +1148,110 @@ object TextOps {
       .select(col("source"),
         split(col("k"), ":").getItem(1).cast("long").as("doc_id"))
 
+  /** Token-budget waterfilling — the allocation step of corpus mixing:
+    * given per-source token capacities C_s (measured from the corpus in
+    * one partial-agg pass), mixing weights w_s, and a total token budget
+    * T, allocate a_s = min(C_s, w_s·λ) with Σa_s = T (every under-weight
+    * source saturates at its capacity; the rest share the remainder in
+    * weight proportion). The classic iterative waterfill is solved
+    * CLOSED-FORM in two window passes: sort sources by capacity/weight
+    * ratio, then a source saturates iff its ratio clears the budget
+    * still unallocated over the weight still unsaturated — decided by
+    * EXACT integer cross-multiplication (C_j·Wrem ≤ w_j·Trem), never a
+    * float comparison, so both engines pick the identical saturated
+    * prefix and the one final division is bit-reproducible IEEE. The
+    * window runs over #strata rows (sources, not documents) — at
+    * millions of strata the cumsums two-phase the usual way; the corpus
+    * itself is touched exactly once. */
+  def q178MixtureWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val caps = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(col("toks"))).cast("long").as("cap"))
+      .withColumn("w",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 3L)
+          .when(col("source").isin("src4", "src5", "src6", "src7"), 2L)
+          .otherwise(1L))
+    // budget = 60% of the corpus, floored to an exact integer
+    waterfillAlloc(caps, budgetExpr = "totC * 3 div 5")
+  }
+
+  /** The waterfill core over an explicit (source, cap, w) strata table;
+    * `budgetExpr` is an integer SQL expression over `totC` (total
+    * capacity). Factored out so the law-based spec can drive it with
+    * arbitrary strata. See [[q178MixtureWaterfill]] for the algorithm
+    * and determinism notes. */
+  private[graft] def waterfillAlloc(caps: DataFrame,
+                                    budgetExpr: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = caps.agg(sum(col("cap")).as("totC"), sum(col("w")).as("totW"))
+    val base = caps.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(budgetExpr))
+    val ord = Window.orderBy(col("cap") * 1.0 / col("w"), col("source"))
+    val cum = base
+      .withColumn("cumC", sum(col("cap")).over(ord) - col("cap"))
+      .withColumn("cumW", sum(col("w")).over(ord) - col("w"))
+      .withColumn("pos", row_number().over(ord))
+      // exact saturation test: cap·(W−cumW) ≤ w·(T−cumC), all BIGINT
+      .withColumn("cond",
+        col("cap") * (col("totW") - col("cumW")) <=
+          col("w") * (col("budget") - col("cumC")))
+    // the saturated set is the maximal prefix of consecutive true conds
+    val firstFail = cum.agg(min(when(!col("cond"), col("pos"))).as("ff"))
+    val flagged = cum.crossJoin(broadcast(firstFail))
+      .withColumn("saturated", col("ff").isNull || col("pos") < col("ff"))
+    // pool the saturated prefix once, then one IEEE division for λ
+    val pool = flagged.agg(
+      sum(when(col("saturated"), col("cap")).otherwise(0L)).as("satC"),
+      sum(when(col("saturated"), col("w")).otherwise(0L)).as("satW"))
+    flagged.crossJoin(broadcast(pool))
+      .withColumn("alloc",
+        when(col("saturated"), col("cap").cast("double"))
+          .otherwise(round(col("w") * (col("budget") - col("satC")) * 1.0 /
+            (col("totW") - col("satW")), 4)))
+      .select(col("source"), col("cap"), col("w"), col("saturated"),
+        col("alloc"))
+  }
+
+  /** Curriculum difficulty binning — deciles of per-doc unigram surprisal
+    * (q152's KenLM stand-in), the ordering signal a curriculum or
+    * difficulty-aware sampler consumes. NOT ntile (a global rank would
+    * sort the corpus in one partition), and NOT interpolated percentiles
+    * (the `a + f·(b−a)` vs `(1−f)·a + f·b` formula split between engines
+    * flips boundary docs at the last ulp — measured at sf0.001). Instead
+    * DISCRETE boundaries with exact integer rank logic: boundary k = the
+    * smallest score value whose cumulative count reaches ⌈k·n/10⌉, found
+    * on the (value, count) table — cardinality-bounded, NOT corpus-bounded
+    * — so every comparison is between data values both engines hold
+    * bit-identically. Docs then bucket against the broadcast boundary
+    * array with a codegen'd filter-count: the corpus is scanned once and
+    * bin assignment is embarrassingly parallel. */
+  def q179DifficultyBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = q152UnigramSurprisal(s, dir)
+    // (value, count) table + running count over DISTINCT values — the
+    // single-partition window is over score cardinality, not docs
+    val n1 = sc.agg(count(lit(1)).as("n"))
+    val cum = sc.groupBy(col("surprisal")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("surprisal"))))
+      .crossJoin(broadcast(n1))
+    val bounds = (1 to 9).map { k =>
+      cum.filter(col("cum") >= expr(s"(n * $k + 9) div 10"))
+        .agg(min(col("surprisal")).as(s"b$k"))
+    }.reduce(_ crossJoin _)
+      .select(array((1 to 9).map(k => col(s"b$k")): _*).as("bs"))
+    sc.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("size(filter(bs, b -> surprisal > b))"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("surprisal")), 4).as("lo"),
+        round(max(col("surprisal")), 4).as("hi"),
+        round(avg(col("n_toks")), 2).as("avg_toks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_difficulty_bins" -> q179DifficultyBins _,
+    "q178_mixture_waterfill" -> q178MixtureWaterfill _,
     "q175_bm25"           -> q175Bm25 _,
     "q176_stratified_sample" -> q176StratifiedSample _,
     "q177_reservoir_per_source" -> q177ReservoirPerSource _,
@@ -1226,6 +1329,58 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q179_difficulty_bins" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         cf AS (SELECT term, count(*) AS cf FROM terms GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM terms),
+         nll AS (SELECT doc_id, -ln(cf.cf / tot.total) AS nll
+                 FROM terms JOIN cf USING (term) CROSS JOIN tot),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                       round(avg(nll), 4) AS surprisal
+                FROM nll GROUP BY 1),
+         n1 AS (SELECT count(*) AS n FROM sc),
+         cum AS (SELECT surprisal, sum(c) OVER (ORDER BY surprisal) AS cum
+                 FROM (SELECT surprisal, count(*) AS c FROM sc GROUP BY 1)),
+         ks AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k),
+         bl AS (SELECT k, min(surprisal) AS b FROM ks, cum, n1
+                WHERE cum >= (n1.n * k + 9) // 10 GROUP BY k),
+         bs AS (SELECT list(b ORDER BY k) AS bs FROM bl),
+         binned AS (SELECT s.*,
+             CAST(len(list_filter(b.bs, x -> s.surprisal > x)) AS BIGINT) AS bin
+           FROM sc s CROSS JOIN bs b)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                round(min(surprisal), 4) AS lo, round(max(surprisal), 4) AS hi,
+                round(avg(n_toks), 2) AS avg_toks
+         FROM binned GROUP BY 1""",
+    "q178_mixture_waterfill" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+         caps AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS cap,
+             CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 3
+                  WHEN source IN ('src4','src5','src6','src7') THEN 2
+                  ELSE 1 END AS BIGINT) AS w
+           FROM t GROUP BY source),
+         tot AS (SELECT sum(cap) AS totC, sum(w) AS totW FROM caps),
+         base AS (SELECT c.*, t.totC, t.totW, (t.totC * 3) // 5 AS budget
+                  FROM caps c CROSS JOIN tot t),
+         cum AS (SELECT *,
+             sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) - cap AS cumC,
+             sum(w) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) - w AS cumW,
+             row_number() OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) AS pos
+           FROM base),
+         c2 AS (SELECT *,
+             cap * (totW - cumW) <= w * (budget - cumC) AS cond FROM cum),
+         ff AS (SELECT min(CASE WHEN NOT cond THEN pos END) AS ff FROM c2),
+         fl AS (SELECT c2.*, (f.ff IS NULL OR c2.pos < f.ff) AS saturated
+                FROM c2 CROSS JOIN ff f),
+         pool AS (SELECT sum(CASE WHEN saturated THEN cap ELSE 0 END) AS satC,
+                         sum(CASE WHEN saturated THEN w ELSE 0 END) AS satW
+                  FROM fl)
+         SELECT source, cap, w, saturated,
+           CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                ELSE round(w * (budget - satC) * 1.0 / (totW - satW), 4)
+           END AS alloc
+         FROM fl CROSS JOIN pool""",
     "q175_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,

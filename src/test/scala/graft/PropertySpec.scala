@@ -230,4 +230,32 @@ class PropertySpec extends SparkSpec {
     assert(SparqlText.run("SELECT (7 / 2 AS ?q) WHERE { ?x <p> ?o }",
       one, lbl).head().getDouble(0) == 3.5)
   }
+
+  test("waterfill laws on random strata: capacity-capped, budget-exact, " +
+      "weight-proportional on the unsaturated set") {
+    val strata: Gen[List[(Long, Long)]] =
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 10000L), Gen.chooseNum(1L, 9L)))
+    forAll(Gen.zip(strata, Gen.chooseNum(1L, 10L)), n = 10) {
+      case (rows, tenths) =>
+        val caps = rows.zipWithIndex
+          .map { case ((c, w), i) => (f"s$i%02d", c, w) }
+          .toDF("source", "cap", "w")
+        val out = graft.operators.TextOps
+          .waterfillAlloc(caps, s"totC * $tenths div 10")
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3),
+            r.getDouble(4)))
+        val totC = rows.map(_._1).sum
+        val budget = totC * tenths / 10
+        // never over capacity
+        out.foreach { case (c, _, _, a) => assert(a <= c + 1e-6) }
+        // allocations meet the budget (to output rounding)
+        assert(math.abs(out.map(_._4).sum - budget) < 0.01 * out.length)
+        // unsaturated allocations share one λ = a/w
+        val lams = out.collect { case (_, w, false, a) => a / w }
+        if (lams.nonEmpty)
+          assert(lams.max - lams.min < 1e-3, s"λ spread: $lams")
+        // full-budget run saturates everything
+        if (tenths == 10L) assert(out.forall(_._3))
+    }
+  }
 }
