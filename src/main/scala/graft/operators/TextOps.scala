@@ -486,6 +486,29 @@ object TextOps {
         min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_sources") > 1)
 
+  /** Source-overlap matrix — q125's cross-source duplicate keys rolled up
+    * to the source×source view a corpus-governance review reads: for
+    * every source pair, how many content keys both carry. The pair join
+    * runs AFTER pruning to keys seen in ≥2 sources (within-source-only
+    * keys — the overwhelming majority — never reach it), and its input is
+    * (key, source) DISTINCT pairs, so cost is bounded by the multi-source
+    * key set times squared source-multiplicity, never corpus². The
+    * matrix says WHICH crawls double-count each other — the evidence
+    * behind dropping or down-weighting a mirror source before mixing. */
+  def q180SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ks = docs(s, dir)
+      .withColumn("dup_key", md5(concat_ws(" ", slice(col("toks"), 1, 8))))
+      .select(col("dup_key"), col("source")).distinct()
+    val multi = ks.groupBy(col("dup_key")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1).select(col("dup_key"))
+    val pruned = ks.join(multi, "dup_key")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.dup_key") === col("b.dup_key") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Quality-filter funnel telemetry: how many documents survive each
     * successive gate (length → token count → stopword ratio). ONE pass,
     * conditional aggregation — the per-stage counts a pipeline operator
@@ -1180,9 +1203,14 @@ object TextOps {
     * capacity). Factored out so the law-based spec can drive it with
     * arbitrary strata. See [[q178MixtureWaterfill]] for the algorithm
     * and determinism notes. */
-  private[graft] def waterfillAlloc(caps: DataFrame,
+  private[graft] def waterfillAlloc(caps0: DataFrame,
                                     budgetExpr: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the strata table is strata-sized but derives from a CORPUS-sized
+    // aggregation, and the closed-form solve references it from four
+    // branches (totals, cumsums, first-fail, pool) — materialize once so
+    // the corpus pays exactly one pass
+    val caps = caps0.localCheckpoint()
     val tot = caps.agg(sum(col("cap")).as("totC"), sum(col("w")).as("totW"))
     val base = caps.crossJoin(broadcast(tot))
       .withColumn("budget", expr(budgetExpr))
@@ -1251,6 +1279,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_difficulty_bins" -> q179DifficultyBins _,
+    "q180_source_overlap" -> q180SourceOverlap _,
     "q178_mixture_waterfill" -> q178MixtureWaterfill _,
     "q175_bm25"           -> q175Bm25 _,
     "q176_stratified_sample" -> q176StratifiedSample _,
@@ -1329,6 +1358,17 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q180_source_overlap" ->
+      """WITH k AS (SELECT DISTINCT
+             md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,
+             source FROM documents),
+         m AS (SELECT dup_key FROM k GROUP BY 1 HAVING count(*) > 1),
+         p AS (SELECT k.* FROM k JOIN m USING (dup_key))
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM p a JOIN p b
+           ON a.dup_key = b.dup_key AND a.source < b.source
+         GROUP BY 1, 2""",
     "q179_difficulty_bins" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

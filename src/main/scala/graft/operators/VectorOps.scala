@@ -370,6 +370,35 @@ object VectorOps {
     * 4 bytes/vector versus 512: the 128× compression that lets a
     * 100 TB embedding corpus fit an in-memory ANN tier. Report: per
     * (subspace, code) occupancy + mean quantization error. */
+  /** Label-centroid similarity matrix — per-label embedding centroids and
+    * their pairwise cosines: the domain-overlap diagnostic a corpus mixer
+    * reads before trusting label/source boundaries (two "different"
+    * domains whose centroids cosine ≈ 1 are the same distribution twice —
+    * double-counting in disguise). The corpus is touched ONCE (posexplode
+    * + map-side-combined per-(label, dim) mean); everything pairwise runs
+    * over k centroids — k²·dims work regardless of corpus size. Per-dim
+    * means round to 6 before any downstream use (the q68 convention:
+    * partial-agg summation order differs between engines at ~1e-13 and
+    * the round absorbs it), so the cosine matrix is cross-engine exact. */
+  def q181LabelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val nrm = cent.groupBy(col("label"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("nn"))
+    val dot = cent.as("a").join(cent.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    dot.join(nrm.select(col("label").as("la"), col("nn").as("na")), "la")
+      .join(nrm.select(col("label").as("lb"), col("nn").as("nb")), "lb")
+      .select(col("la"), col("lb"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+  }
+
   def q165PqAssign(s: SparkSession, dir: String): DataFrame = {
     val subs = vecs(s, dir).select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
@@ -398,6 +427,7 @@ object VectorOps {
     "q43_nearest_neighbor" -> q43NearestNeighbor _,
     "q60_ivf_ann"          -> q60IvfAnn _,
     "q68_kmeans_step"      -> q68KmeansStep _,
+    "q181_label_centroid_sim" -> q181LabelCentroidSim _,
     "q69_embedding_neardup" -> q69EmbeddingNearDup _,
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _
   )
@@ -435,6 +465,17 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q181_label_centroid_sim" ->
+      """WITH ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         cent AS (SELECT label, i, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+         nrm AS (SELECT label, sqrt(sum(m*m)) AS nn FROM cent GROUP BY 1),
+         dot AS (SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS dot
+                 FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+                 GROUP BY 1, 2)
+         SELECT la, lb, round(dot / (na.nn * nb.nn), 4) AS cos
+         FROM dot JOIN nrm na ON dot.la = na.label
+                  JOIN nrm nb ON dot.lb = nb.label""",
     "q165_pq_assign" ->
       """WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

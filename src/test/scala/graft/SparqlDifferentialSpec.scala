@@ -1,0 +1,202 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.plans.SparqlText
+
+/** Differential testing of the SPARQL compiler: randomly generated
+  * BGP + FILTER + OPTIONAL + UNION queries evaluate both through the
+  * Spark compiler and through an independent, deliberately naive
+  * in-memory evaluator implementing the SPARQL algebra directly
+  * (multiset join / left-join / union over binding maps, §8). Any
+  * disagreement is a bug in one of the two — and the naive side is
+  * ~60 lines of obviously-correct Scala, so in practice it arbitrates.
+  *
+  * This is the correctness net UNDER the oracle suite: DuckDB oracles
+  * pin 181 curated queries; this pins the combinatorial space around
+  * the join/optional/union semantics the curated set can't enumerate.
+  */
+class SparqlDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Binding = Map[String, String]
+
+  // ---- naive reference evaluator (SPARQL §8 algebra over multisets) ----
+
+  private def evalPattern(store: Seq[(String, String, String)],
+                          s: Either[String, String], p: String,
+                          o: Either[String, String]): Seq[Binding] =
+    store.filter(t => t._2 == p)
+      .flatMap { t =>
+        val b0: Option[Binding] = Some(Map.empty)
+        val b1 = s match {
+          case Left(const) => if (t._1 == const) b0 else None
+          case Right(v)    => b0.map(_ + (v -> t._1))
+        }
+        val b2 = o match {
+          case Left(const) => if (t._3 == const) b1 else None
+          case Right(v) => b1.flatMap { m =>
+            m.get(v) match {
+              case Some(x) if x != t._3 => None
+              case _                    => Some(m + (v -> t._3))
+            }
+          }
+        }
+        b2
+      }
+
+  private def compatible(a: Binding, b: Binding): Boolean =
+    a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+
+  private def join(l: Seq[Binding], r: Seq[Binding]): Seq[Binding] =
+    for (a <- l; b <- r if compatible(a, b)) yield a ++ b
+
+  private def leftJoin(l: Seq[Binding], r: Seq[Binding]): Seq[Binding] =
+    l.flatMap { a =>
+      val matches = r.filter(compatible(a, _)).map(a ++ _)
+      if (matches.nonEmpty) matches else Seq(a)
+    }
+
+  // ---- random query model ----
+
+  private case class Pat(s: Either[String, String], p: String,
+                         o: Either[String, String]) {
+    def text: String = {
+      def t(x: Either[String, String]) = x.fold(c => s"<$c>", v => s"?$v")
+      s"${t(s)} <$p> ${t(o)} ."
+    }
+  }
+  private case class Q(base: List[Pat], union2: Option[List[Pat]],
+                       opt: List[Pat], filterVar: Option[String]) {
+    def text: String = {
+      val core = base.map(_.text).mkString(" ")
+      val block = union2 match {
+        case Some(arm) => s"{ $core } UNION { ${arm.map(_.text).mkString(" ")} }"
+        case None      => core
+      }
+      val optTxt =
+        if (opt.isEmpty) "" else s" OPTIONAL { ${opt.map(_.text).mkString(" ")} }"
+      val fil = filterVar.fold("")(v => s""" FILTER(STRSTARTS(?$v, "n"))""")
+      s"SELECT * WHERE { $block$optTxt$fil }"
+    }
+    def vars: Seq[String] = {
+      val all = (base ++ union2.getOrElse(Nil) ++ opt)
+        .flatMap(p => p.s.toSeq ++ p.o.toSeq)
+      all.distinct
+    }
+  }
+
+  private def evalRef(store: Seq[(String, String, String)], q: Q): Seq[Binding] = {
+    def evalBgp(ps: List[Pat]): Seq[Binding] =
+      ps.foldLeft(Seq[Binding](Map.empty)) { (acc, p) =>
+        join(acc, evalPattern(store, p.s, p.p, p.o))
+      }
+    val core = q.union2 match {
+      case Some(arm) => evalBgp(q.base) ++ evalBgp(arm)
+      case None      => evalBgp(q.base)
+    }
+    val opted = if (q.opt.isEmpty) core else leftJoin(core, evalBgp(q.opt))
+    q.filterVar match {
+      // SPARQL error semantics: an unbound var poisons the filter → drop
+      case Some(v) => opted.filter(b => b.get(v).exists(_.startsWith("n")))
+      case None    => opted
+    }
+  }
+
+  // ---- the differential run ----
+
+  test("random BGP/UNION/OPTIONAL/FILTER queries agree with a naive " +
+      "algebra evaluator (multiset-exact)") {
+    // store over a small vocab so joins actually hit; includes a
+    // duplicate-producing shape (two triples with same s/p) and dead ends
+    val nodes = Seq("n1", "n2", "n3", "m4", "m5")
+    val preds = Seq("p", "q", "r")
+    val storeGen: Gen[Seq[(String, String, String)]] =
+      Gen.listOfN(24, Gen.zip(Gen.oneOf(nodes), Gen.oneOf(preds),
+        Gen.oneOf(nodes))).map(_.distinct)
+
+    val varNames = Seq("a", "b", "c")
+    val termGen: Gen[Either[String, String]] = Gen.frequency(
+      3 -> varNames.map(v => Right(v): Either[String, String])
+        .map(Gen.const).reduce(Gen.oneOf(_, _)),
+      1 -> Gen.oneOf(nodes).map(Left(_): Either[String, String]))
+    val patGen: Gen[Pat] =
+      Gen.zip(termGen, Gen.oneOf(preds), termGen).map(Pat.tupled)
+    // base patterns must be connected enough to avoid cross joins the
+    // engine plans fine but the naive side makes O(n^k): keep them short
+    val qGen: Gen[Q] = for {
+      base <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, patGen))
+      hasU <- Gen.oneOf(true, false)
+      uArm <- Gen.listOfN(1, patGen)
+      opt  <- Gen.frequency(1 -> Gen.listOfN(1, patGen),
+                            1 -> Gen.const(List.empty[Pat]))
+      fv   <- Gen.oneOf(None, Some("a"), Some("b"))
+    } yield {
+      // the filter var must be bound by the patterns that actually run
+      val active = base ++ (if (hasU) uArm else Nil)
+      Q(base, if (hasU) Some(uArm) else None, opt,
+        fv.filter(v => active.exists(p =>
+          p.s == Right(v) || p.o == Right(v))))
+    }
+
+    var ran = 0
+    (0 until 300).foreach { i =>
+      val seed = Seed(1234L + i)
+      val params = Gen.Parameters.default
+      (for {
+        store <- storeGen.apply(params, seed)
+        q <- qGen.apply(params, seed.next)
+      } yield (store, q)).foreach { case (store, q) =>
+        // UNION arms must bind the same projected vars on both sides for
+        // the engine's unionByName; skip mismatched-arm draws (the engine
+        // null-extends subject-position fidelity only) — the reference
+        // query surface always projects aligned arms
+        val armsAligned = q.union2.forall { arm =>
+          arm.flatMap(p => p.s.toSeq ++ p.o.toSeq).toSet ==
+            q.base.flatMap(p => p.s.toSeq ++ p.o.toSeq).toSet
+        }
+        // OPTIONAL requires a shared variable with the base in the engine
+        val optShares = q.opt.isEmpty ||
+          q.opt.flatMap(p => p.s.toSeq ++ p.o.toSeq)
+            .exists(q.base.flatMap(p => p.s.toSeq ++ p.o.toSeq).contains)
+        // ?a <p> ?a would project one variable from two positions — the
+        // engine binds it as two same-named columns; out of model scope
+        val noSelfVar = (q.base ++ q.union2.getOrElse(Nil) ++ q.opt)
+          .forall(p => !(p.s.isRight && p.s == p.o))
+        whenever(armsAligned && optShares && noSelfVar && q.base.nonEmpty) {
+          val triples = store.toDF("s", "p", "o")
+          val labels = Seq(("x", "en", "y")).toDF("entity", "lang", "label")
+          val got =
+            try SparqlText.run(q.text, triples, labels)
+            catch {
+              // engine policy refusals (disconnected OPTIONAL etc.) are
+              // legal outcomes, not disagreements — skip those draws
+              case e: RuntimeException
+                if e.getMessage != null &&
+                  (e.getMessage.contains("requires a preceding") ||
+                   e.getMessage.contains("share")) => null
+            }
+          whenever(got != null) {
+            val cols = got.columns.toSeq
+            val gotRows = got.collect().map(r =>
+              cols.zipWithIndex.collect {
+                case (c, idx) if !r.isNullAt(idx) => c -> r.getString(idx)
+              }.toMap).toSeq
+            val refRows = evalRef(store, q)
+              .map(_.filter { case (k, _) => cols.contains(k) })
+            def canon(xs: Seq[Binding]) =
+              xs.map(_.toSeq.sorted.mkString("|")).sorted
+            assert(canon(gotRows) == canon(refRows),
+              s"DISAGREEMENT on:\n${q.text}\nstore: $store\n" +
+                s"engine: ${canon(gotRows)}\nnaive : ${canon(refRows)}")
+            ran += 1
+          }
+        }
+      }
+    }
+    assert(ran >= 40, s"only $ran effective differential cases ran")
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+}
