@@ -18,8 +18,10 @@ import graft.Tables
   * Scale notes: the pairwise Jaccard query (q36) is intentionally bounded —
   * the unbounded-scale path for near-dup detection is MinHash banding (q34),
   * whose cost is linear in corpus size + band-bucket join (the classic
-  * shingle→minhash→band→bucket-join pipeline); bucket skew at 100 TB is
-  * handled by AQE skew-join splitting.
+  * shingle→minhash→band→bucket-join pipeline); moderate bucket skew at
+  * 100 TB is handled by AQE skew-join splitting, and pathological
+  * (boilerplate) mega-buckets are capped — members divert to the exact
+  * prefix-filtered verifier (see [[lshPairsCapped]]).
   */
 object TextOps {
 
@@ -77,26 +79,62 @@ object TextOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  def q34MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Oversized-bucket cap for the LSH band self-join (the boilerplate
+    * failure mode docs/SCALING.md names): one pathological band bucket of
+    * B docs is B²/2 candidate pairs no matter what AQE does, so buckets
+    * past the cap never enter the pair join — their members divert to the
+    * prefix-filtered EXACT verifier ([[prefixJaccardPairs]]) at the
+    * banding scheme's implied threshold (b=4, r=2 → t ≈ (1/4)^(1/2) =
+    * 0.5). On non-adversarial corpora no bucket reaches the cap, the
+    * diverted set is empty, and the plan degenerates to the classic
+    * bucket join plus a no-op semi-join — q34's oracle is unchanged. */
+  private[graft] val LshBucketCap = 1000
+
+  def q34MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairsCapped(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+      LshBucketCap)
+
+  /** Band-bucket candidate pairs with the oversized-bucket diversion.
+    * `docsWithToks` must carry (doc_id, toks); the result is the distinct
+    * (doc_a < doc_b) pair set, eagerly materialized so no cache leaks out. */
+  private[graft] def lshPairsCapped(docsWithToks: DataFrame, cap: Int): DataFrame = {
     // The documents table arrives as one small parquet split; the minhash
-    // stage is compute-bound (the md5 per shingle), so spread it across
-    // the cores first — the repartition shuffle is tiny (raw text) next
-    // to the hashing it parallelizes.
-    // Persist: both sides of the self-join would otherwise recompute the
-    // full shingle→minhash pipeline (5M+ md5 at sf0.1).
-    val bands = minhashBands(
-        docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+    // stage is compute-bound (the md5 per shingle) and is parallelized by
+    // the caller's repartition. Persist: the bucket sizing, the self-join
+    // sides, and the diversion semi-join would otherwise each recompute
+    // the full shingle→minhash pipeline (5M+ md5 at sf0.1).
+    val bands = minhashBands(docsWithToks)
+      .filter(col("bkey").isNotNull) // shingle-less docs never pair
       .persist()
     bands.count() // materialize before the self-join
-    // Materialize the (tiny) pair set eagerly so the band cache can be
-    // dropped before returning — otherwise every bench/verify run leaks a
-    // cached signature table into the rest of the session.
-    val pairs = bands.as("a").join(bands.as("b"),
+    // Bucket census: one map-side-combined shuffle over the band rows.
+    // Persisted too — it feeds both join sides of the small-bucket pair
+    // join AND the oversized-member diversion.
+    val sized = bands.join(
+        bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz")),
+        Seq("band", "bkey"))
+      .persist()
+    val small = sized.filter(col("bsz") <= cap)
+    val smallPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Diverted members: every doc that appears in ANY oversized bucket
+    // goes through the exact path once (not once per bucket).
+    val overDocs = sized.filter(col("bsz") > cap).select(col("doc_id")).distinct()
+    val overTd = docsWithToks
+      .join(overDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
+    val overPairs = prefixJaccardPairs(overTd, 1, 2)
+      .select(col("doc_a"), col("doc_b"))
+    // Materialize the (tiny) pair set eagerly so the band cache can be
+    // dropped before returning — otherwise every bench/verify run leaks a
+    // cached signature table into the rest of the session.
+    val pairs = smallPairs.unionByName(overPairs)
       .distinct()
       .localCheckpoint()
+    sized.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     pairs
   }
@@ -1069,6 +1107,22 @@ object TextOps {
       .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
       .persist()
     td.count()
+    val out = prefixJaccardPairs(td, 4, 5) // Jaccard >= 0.8, exact
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        round(col("inter") / col("uni"), 4).as("jac"))
+      .localCheckpoint()
+    td.unpersist(blocking = false)
+    out
+  }
+
+  /** The PPJoin core shared by q170 (t = 4/5) and the LSH
+    * oversized-bucket diversion (t = 1/2): exact Jaccard-threshold pairs
+    * over a prepared (doc_id, td) frame of distinct shingle arrays.
+    * Threshold is the rational tNum/tDen so prefix length
+    * n − ⌈t·n⌉ + 1 = n − ((tNum·n + tDen − 1) div tDen) + 1 and the
+    * verification tDen·|∩| ≥ tNum·|∪| stay integer-exact — no float ever
+    * decides a pair. Output: (doc_a, doc_b, inter, uni), doc_a < doc_b. */
+  private[graft] def prefixJaccardPairs(td: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val tf = td.select(explode(col("td")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // rare-first global order: (freq asc, tok asc) — deterministic
@@ -1080,25 +1134,21 @@ object TextOps {
         expr("transform(st, x -> x.tok)").as("sorted"),
         size(col("st")).cast("long").as("n"))
     val prefixed = ordered.withColumn("plen",
-        expr("CAST(n - ((4 * n + 4) div 5) + 1 AS INT)"))
-      .select(col("doc_id"), col("n"),
+        expr(s"CAST(n - (($tNum * n + ${tDen - 1}) div $tDen) + 1 AS INT)"))
+      .select(col("doc_id"),
         explode(expr("slice(sorted, 1, plen)")).as("ptok"))
     val cand = prefixed.as("a").join(prefixed.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val out = cand
+    cand
       .join(td.select(col("doc_id").as("doc_a"), col("td").as("ta")), "doc_a")
       .join(td.select(col("doc_id").as("doc_b"), col("td").as("tb")), "doc_b")
       .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("long"))
       .withColumn("uni",
         expr("size(ta)").cast("long") + expr("size(tb)").cast("long") - col("inter"))
-      .filter(col("inter") * 5 >= col("uni") * 4) // Jaccard >= 0.8, exact
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
-        round(col("inter") / col("uni"), 4).as("jac"))
-      .localCheckpoint()
-    td.unpersist(blocking = false)
-    out
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
   /** BM25 relevance scoring (Robertson/Sparck-Jones) — the retrieval

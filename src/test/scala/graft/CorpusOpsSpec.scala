@@ -346,4 +346,49 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(res == win && res.size == win.size)
   }
+
+  test("q34 bucket cap: a 10k-doc boilerplate mega-bucket diverts to the " +
+      "exact verifier — candidates bounded, recall preserved") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Adversarial corpus: 10,000 docs sharing a 10-token boilerplate
+    // prefix, each with a 30-token unique tail (true shingle Jaccard
+    // between distinct docs ≈ 8/68 < 0.5). Docs 0..9 form 5 planted
+    // identical pairs (2k, 2k+1) — the only true near-dups.
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val adv = spark.range(10000).select(col("id").as("doc_id"),
+        concat(lit(boiler + " "),
+          concat_ws(" ", (0 until 30).map(j =>
+            concat(lit(s"u${j}x"), (col("id") - col("id") % 2).cast("string"))): _*))
+          .as("text"))
+      .withColumn("text", when(col("doc_id") >= 10,
+        concat(lit(boiler + " "),
+          concat_ws(" ", (0 until 30).map(j =>
+            concat(lit(s"u${j}x"), col("doc_id").cast("string"))): _*)))
+        .otherwise(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+    // The attack is real: at least one band bucket holds >= cap members
+    // (every doc whose band minima both land on boilerplate shingles
+    // shares the identical global-min band key).
+    val cap = 50
+    val sizes = operators.TextOps.minhashBands(adv)
+      .filter(col("bkey").isNotNull)
+      .groupBy("band", "bkey").count()
+    assert(sizes.agg(max("count")).head.getLong(0) >= cap,
+      "adversarial fixture failed to build a mega-bucket")
+    val pairs = operators.TextOps.lshPairsCapped(adv, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Recall: all 5 planted pairs survive (identical docs share every
+    // band key, so they are either in the same small bucket or both
+    // diverted — the exact path verifies them at Jaccard 1).
+    val planted = (0 until 5).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(planted.subsetOf(pairs), s"lost planted pairs: ${planted -- pairs}")
+    // Bound: the mega-bucket's ~B²/2 false candidates never materialize.
+    // ~440 docs per band share the global-min key, so the uncapped join
+    // would emit ~4·440²/2 ≈ 390k pairs; capped output is the planted
+    // pairs plus at most a handful of genuine small-bucket LSH collisions
+    // (32-bit minhash birthday pairs — the uncapped join emits those too).
+    assert(pairs.size <= 50,
+      s"candidate bound violated: ${pairs.size} pairs, e.g. ${(pairs -- planted).take(10)}")
+  }
 }
