@@ -827,6 +827,31 @@ object RdfOps {
         |HAVING(COUNT(*) > 5 && EXISTS { ?n <region> <R1> })""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** EXISTS as a GROUP BY key (§17.4.1.4, the GROUP BY position e2e):
+    * the key expression evaluates per PRE-group solution — the mark lifts
+    * against the running (member, nation) frame before aggregation, and
+    * the boolean becomes the (two-group) partition: members of
+    * R1-region nations vs everyone else. */
+  def q182GroupbyExists(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?inr1 (COUNT(*) AS ?cnt) WHERE { ?m <nation> ?n }
+        |GROUP BY (EXISTS { ?n <region> <R1> } AS ?inr1)""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** EXISTS as an ORDER BY key over a GROUPED frame (§17.4.1.4, the
+    * ORDER BY position e2e): the mark lifts against the post-aggregation
+    * rows (group key ?n is the shared variable), DESC puts R1-region
+    * nations first, and the ?n tiebreak makes the order total — so the
+    * LIMIT observes the EXISTS key (R1 nations all survive the cut, the
+    * rest fill by name). */
+  def q183OrderbyExists(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?m <nation> ?n }
+        |GROUP BY ?n
+        |ORDER BY DESC(EXISTS { ?n <region> <R1> }) ?n
+        |LIMIT 10""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** §17.3 XSD numeric promotion e2e at double-lossy magnitude: the
     * nation key climbs onto the exact integer rung via the xsd:integer
     * constructor (§17.5) and the whole expression stays long —
@@ -941,6 +966,8 @@ object RdfOps {
     "q167_bind_exists"       -> q167BindExists _,
     "q171_project_exists"    -> q171ProjectExists _,
     "q172_having_exists"     -> q172HavingExists _,
+    "q182_groupby_exists"    -> q182GroupbyExists _,
+    "q183_orderby_exists"    -> q183OrderbyExists _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1022,6 +1049,21 @@ object RdfOps {
          SELECT n, CAST(cnt AS BIGINT) AS cnt FROM g
          WHERE cnt > 5 AND EXISTS (SELECT 1 FROM st r
            WHERE r.p = 'region' AND r.o = 'R1' AND r.s = g.n)""",
+    "q182_groupby_exists" ->
+      s"""WITH st AS ($T),
+         m AS (SELECT s, o AS n FROM st WHERE p = 'nation')
+         SELECT EXISTS (SELECT 1 FROM st r
+                  WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM m GROUP BY 1""",
+    "q183_orderby_exists" ->
+      s"""WITH st AS ($T),
+         g AS (SELECT o AS n, count(*) AS cnt FROM st
+               WHERE p = 'nation' GROUP BY o)
+         SELECT n, CAST(cnt AS BIGINT) AS cnt FROM g
+         ORDER BY EXISTS (SELECT 1 FROM st r
+           WHERE r.p = 'region' AND r.o = 'R1' AND r.s = g.n) DESC, n
+         LIMIT 10""",
     "q171_project_exists" ->
       s"""WITH triples AS ($T)
          SELECT t1.s AS n,
