@@ -852,6 +852,36 @@ object RdfOps {
         |LIMIT 10""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Subselect inside `GRAPH ?var` (§13.3, the variable-graph position):
+    * the engine rewrites per-graph evaluation algebraically — the GRAPH
+    * wrapper pushes inside the subselect's WHERE (every scan binds ?g and
+    * joins on it) and ?g joins the GROUP BY keys, so the aggregate groups
+    * WITHIN each named graph with no driver iteration. Here: per-graph
+    * per-subject triple counts — the named-graph audit query shape
+    * (enrich_via_sparql.py:145-166's local-store flow). */
+  def q184GraphVarSubselect(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?g ?s ?c WHERE {
+        |  GRAPH ?g {
+        |    { SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ?p2 ?o } GROUP BY ?s }
+        |  }
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
+  /** Property path inside `GRAPH ?var` (§13.3 + §9): the closure is
+    * GRAPH-PARTITIONED — nodes are tagged with their graph and ONE
+    * distributed closure runs over the disjoint union of per-graph edge
+    * sets, so walks never cross graphs. The fixture makes the difference
+    * observable: `nation` edges live in g:C/g:S and `region` edges in
+    * g:N, so the union-graph (wrong) evaluation would chain C→N→R while
+    * the per-graph answer keeps each hop inside its own graph. */
+  def q185GraphVarPath(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?g ?x ?y WHERE {
+        |  GRAPH ?g { ?x (<nation>|<region>)+ ?y }
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** §17.3 XSD numeric promotion e2e at double-lossy magnitude: the
     * nation key climbs onto the exact integer rung via the xsd:integer
     * constructor (§17.5) and the whole expression stays long —
@@ -968,6 +998,8 @@ object RdfOps {
     "q172_having_exists"     -> q172HavingExists _,
     "q182_groupby_exists"    -> q182GroupbyExists _,
     "q183_orderby_exists"    -> q183OrderbyExists _,
+    "q184_graphvar_subselect" -> q184GraphVarSubselect _,
+    "q185_graphvar_path"     -> q185GraphVarPath _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1049,6 +1081,19 @@ object RdfOps {
          SELECT n, CAST(cnt AS BIGINT) AS cnt FROM g
          WHERE cnt > 5 AND EXISTS (SELECT 1 FROM st r
            WHERE r.p = 'region' AND r.o = 'R1' AND r.s = g.n)""",
+    "q184_graphvar_subselect" ->
+      s"""WITH quads AS (${TripleStore.quadsSql})
+         SELECT g, s, CAST(count(o) AS BIGINT) AS c
+         FROM quads GROUP BY 1, 2""",
+    "q185_graphvar_path" ->
+      s"""WITH RECURSIVE quads AS (${TripleStore.quadsSql}),
+         e AS (SELECT g, s AS src, o AS dst FROM quads
+               WHERE p IN ('nation', 'region')),
+         walk AS (SELECT g, src, dst FROM e
+                  UNION
+                  SELECT w.g, w.src, e2.dst FROM walk w
+                  JOIN e e2 ON e2.g = w.g AND e2.src = w.dst)
+         SELECT g, src AS x, dst AS y FROM walk""",
     "q182_groupby_exists" ->
       s"""WITH st AS ($T),
          m AS (SELECT s, o AS n FROM st WHERE p = 'nation')

@@ -1836,7 +1836,7 @@ object SparqlText {
     * edge relation is a different graph than the positive set over the
     * same predicates, and every '/'-sequence group composes its own. */
   private type FunctMemo = scala.collection.mutable.Map[
-    (Seq[(String, Boolean)], Boolean, Seq[Seq[PMember]]), Boolean]
+    (Int, Seq[(String, Boolean)], Boolean, Seq[Seq[PMember]]), Boolean]
 
   /** Cross-query isFunctional results (see compilePath): plan-hash keyed,
     * one Boolean per (source, step) — bounded by a clear at 1024. */
@@ -2410,16 +2410,50 @@ object SparqlText {
         }
         join(pat.select(projected.result(): _*))
       case Tp(s, path, o) =>
-        val src = graphCtx match {
-          case None => triples
-          case Some(C(gc)) => requireG(); triples.filter(col("g") === gc)
-          case Some(L(gc)) => requireG(); triples.filter(col("g") === gc)
-          // a closure per graph binding is not decomposable onto one scan —
-          // fail loudly rather than silently evaluate over the union graph
-          case Some(V(_)) => sys.error(
-            "property paths inside GRAPH ?var are unsupported (use a constant graph)")
+        graphCtx match {
+          case None => join(compilePath(s, path, o, triples, memo))
+          case Some(C(gc)) => requireG()
+            join(compilePath(s, path, o, triples.filter(col("g") === gc), memo))
+          case Some(L(gc)) => requireG()
+            join(compilePath(s, path, o, triples.filter(col("g") === gc), memo))
+          case Some(V(gv)) => requireG()
+            // Graph-partitioned path evaluation: tag every node with its
+            // graph (g+\\u0001+node) and run the standard path/closure
+            // machinery ONCE over the disjoint union of the per-graph
+            // edge sets — a walk can never cross graphs because tagged
+            // node ids differ, so the single distributed closure IS the
+            // per-graph closure (no driver iteration, no per-graph
+            // plans). Constants become variables pre-tag and filter
+            // post-split. Two documented consequences: (a) the zero-hop
+            // domain of `*`/`?` under GRAPH ?var is the PER-GRAPH
+            // edge-node set — a constant takes the zero-length path only
+            // in graphs whose edge set mentions it; (b) constant-object
+            // seeded-reach fast paths don't fire (the seed differs per
+            // graph) — the general closure + post-filter runs instead.
+            val sep = "\u0001"
+            val tagged = triples.select(
+              concat_ws(sep, col("g"), col("s")).as("s"),
+              col("p"),
+              concat_ws(sep, col("g"), col("o")).as("o"))
+            val rel = compilePath(V("__gpa"), path, V("__gpb"), tagged, memo)
+            var out = rel.select(
+              split(col("__gpa"), sep, 2).getItem(0).as(gv),
+              split(col("__gpa"), sep, 2).getItem(1).as("__pa"),
+              split(col("__gpb"), sep, 2).getItem(1).as("__pb"))
+            val projected = Vector.newBuilder[Column]
+            projected += col(gv)
+            s match {
+              case V(v) => projected += col("__pa").as(v)
+              case C(v) => out = out.filter(col("__pa") === v)
+              case L(v) => out = out.filter(col("__pa") === v)
+            }
+            o match {
+              case V(v) => projected += col("__pb").as(v)
+              case C(v) => out = out.filter(col("__pb") === v)
+              case L(v) => out = out.filter(col("__pb") === v)
+            }
+            join(out.select(projected.result(): _*))
         }
-        join(compilePath(s, path, o, src, memo))
       case ValuesTabEl(vars, rowsV) =>
         // inline table → literal DataFrame. All-defined rows broadcast-
         // inner-join on shared variables (the equi-join fast path). Rows
@@ -2546,19 +2580,50 @@ object SparqlText {
       case SubSel(sub) =>
         // §13.3: inside GRAPH <const>, the subselect's active graph IS
         // that graph — compile it against the graph-filtered quad view
-        // (the filter pushes into every scan the subselect plans). A
-        // VARIABLE graph would need per-graph evaluation of the whole
-        // subselect (its aggregates group WITHIN each graph) — refuse.
-        val subTriples = graphCtx match {
-          case None => triples
-          case Some(C(gc)) => requireG(); triples.filter(col("g") === gc)
-          case Some(L(gc)) => requireG(); triples.filter(col("g") === gc)
-          case Some(V(_)) => sys.error(
-            "subselects inside GRAPH ?var are unsupported (the subselect " +
-              "would need per-graph evaluation; use a constant graph or " +
-              "lift the GRAPH block into the subselect's own WHERE)")
+        // (the filter pushes into every scan the subselect plans).
+        graphCtx match {
+          case None =>
+            join(compileSelect(sub, triples, labels, params, memo))
+          case Some(C(gc)) => requireG()
+            join(compileSelect(sub, triples.filter(col("g") === gc),
+              labels, params, memo))
+          case Some(L(gc)) => requireG()
+            join(compileSelect(sub, triples.filter(col("g") === gc),
+              labels, params, memo))
+          case Some(V(gv)) => requireG()
+            // A VARIABLE graph needs per-graph evaluation of the whole
+            // subselect (its aggregates group WITHIN each graph). That is
+            // an algebraic rewrite, not driver iteration: push the GRAPH
+            // wrapper inside the subselect's WHERE (every scan then binds
+            // ?gv and joins on it, so all patterns of one solution range
+            // over ONE graph) and add ?gv to the projection and — when
+            // aggregating — to the GROUP BY keys, which groups within
+            // each graph. DISTINCT over (?gv, vars) is per-graph
+            // DISTINCT for the same reason. Per-graph ORDER/LIMIT/OFFSET
+            // do NOT globalize — refuse those loudly.
+            if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.offset.nonEmpty)
+              sys.error("subselects with ORDER BY/LIMIT/OFFSET inside " +
+                "GRAPH ?var are unsupported (per-graph solution modifiers " +
+                "do not rewrite to a single global evaluation)")
+            if (elVars(sub.where).contains(gv) ||
+                sub.proj.exists(_.out == gv) || sub.groupBy.contains(gv))
+              sys.error(s"GRAPH ?$gv { SELECT … }: the subselect already " +
+                s"uses ?$gv — rename one of the two")
+            val aggregating = sub.groupBy.nonEmpty ||
+              sub.groupByExprs.nonEmpty || sub.having.nonEmpty ||
+              sub.proj.exists {
+                case _: PAgg | _: PAggE | _: PGroupConcat => true
+                case _ => false
+              }
+            val proj2 =
+              if (sub.proj == Seq(PStar)) sub.proj // ?gv rides along in *
+              else sub.proj :+ PVar(gv, gv)
+            val rewritten = sub.copy(
+              proj = proj2,
+              where = Seq(GraphEl(V(gv), sub.where)),
+              groupBy = if (aggregating) gv +: sub.groupBy else sub.groupBy)
+            join(compileSelect(rewritten, triples, labels, params, memo))
         }
-        join(compileSelect(sub, subTriples, labels, params, memo))
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))
         // §10.1: the BIND target must not already be in scope — silently
@@ -2811,6 +2876,49 @@ object SparqlText {
     case EAgg(_, arg, _) =>
       arg.fold(v => if (v == "*") Set.empty[String] else Set(v), exprVars)
     case _ => Set.empty
+  }
+
+  /** Every variable name mentioned anywhere in a group — terms, filters
+    * (including EXISTS bodies), binds, nested groups and subselects.
+    * Conservative by design; used for the GRAPH ?var subselect rewrite's
+    * graph-variable collision check. */
+  private def elVars(els: Seq[El]): Set[String] = {
+    def tv(ts: Term*): Set[String] = ts.collect { case V(v) => v }.toSet
+    def ev(e: EExpr): Set[String] = e match {
+      case EExists(g, _) => elVars(g)
+      case ENeg(x) => ev(x)
+      case ENot(x) => ev(x)
+      case EArith(_, l, r) => ev(l) ++ ev(r)
+      case ECmp(_, l, r) => ev(l) ++ ev(r)
+      case EAnd(l, r) => ev(l) ++ ev(r)
+      case EOr(l, r) => ev(l) ++ ev(r)
+      case EIn(x, _, _) => ev(x)
+      case EIf(c, t, f) => ev(c) ++ ev(t) ++ ev(f)
+      case EFn(_, args) => args.flatMap(ev).toSet
+      case EAgg(_, arg, _) => arg.fold(
+        v => if (v == "*") Set.empty[String] else Set(v), ev)
+      case other => exprVars(other)
+    }
+    els.flatMap {
+      case Tp(s, _, o) => tv(s, o)
+      case TpVar(s, p, o) => tv(s, o) + p
+      case GraphEl(g, body) => tv(g) ++ elVars(body)
+      case UnionEl(arms) => arms.flatMap(elVars).toSet
+      case OptEl(g) => elVars(g)
+      case MinusEl(g) => elVars(g)
+      case ExistsEl(g, _) => elVars(g)
+      case FilterExpr(e) => ev(e)
+      case LangM(v, _) => Set(v)
+      case ValuesEl(v, _) => Set(v)
+      case ValuesTabEl(vars, _) => vars.toSet
+      case BindExpr(out, e) => ev(e) + out
+      case BindMint(out, _) => Set(out)
+      case SubSel(sq) => elVars(sq.where) ++ sq.proj.map(_.out) ++
+        sq.groupBy ++ sq.groupByExprs.flatMap(ge => ev(ge._1) + ge._2) ++
+        sq.having.flatMap(ev) ++ sq.orderBy.flatMap(ob => ev(ob._1))
+      case LabelSvc(_) => Set.empty[String]
+      case ServiceEl(_, g, _) => elVars(g)
+    }.toSet
   }
 
   private def hasExists(e: EExpr): Boolean = e match {
@@ -3273,8 +3381,11 @@ object SparqlText {
     // rewritten under an identical plan mid-session) can only cost
     // performance, never correctness: the functional path's cycle guard
     // and terminal distinct keep non-forest inputs exact.
+    // per-compile memo keyed by SOURCE hash too: one compile can span
+    // several stores (SERVICE bodies, graph-tagged views), and a
+    // same-shaped path over a different store must re-probe
     def funct(st: PStep): Boolean =
-      memo.getOrElseUpdate((st.alts, st.negated, st.seqAlts), {
+      memo.getOrElseUpdate((srcHash, st.alts, st.negated, st.seqAlts), {
         val key = (srcHash, st.alts, st.negated, st.seqAlts)
         val cached = functCache.get(key)
         if (cached != null) cached.booleanValue()

@@ -1241,19 +1241,82 @@ class SparqlTextSpec extends SparkSpec {
     assert(e2.getMessage.contains("quad source"))
   }
 
-  test("GRAPH fails loudly without a g column, with paths, with ?var subselects") {
+  test("GRAPH fails loudly without a g column") {
     val e1 = intercept[IllegalArgumentException](SparqlText.run(
       "SELECT ?s WHERE { GRAPH <gA> { ?s wdt:P27 ?o } }", triples, labels))
     assert(e1.getMessage.contains("quad source"))
+  }
+
+  /** Edge fixture for graph-partitioned paths: gA holds x→y→z, gB holds
+    * y→w — a union-graph (wrong) closure would chain x→w. */
+  private lazy val pathQuads: DataFrame = Seq(
+    ("x", "e", "y", "gA"), ("y", "e", "z", "gA"),
+    ("y", "e", "w", "gB")
+  ).toDF("s", "p", "o", "g")
+
+  test("property path inside GRAPH ?var: the closure is graph-partitioned") {
+    // '+': within gA, x reaches y and z; within gB, y reaches w.
+    // x never reaches w — that chain crosses graphs.
+    val plus = SparqlText.run(
+      "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <e>+ ?b } }", pathQuads, labels)
+    assert(rows(plus) == Set(
+      Seq("gA", "x", "y"), Seq("gA", "x", "z"), Seq("gA", "y", "z"),
+      Seq("gB", "y", "w")))
+    // '*': zero-hop domain is the PER-GRAPH edge-node set
+    val star = SparqlText.run(
+      "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <e>* ?b } }", pathQuads, labels)
+    assert(rows(star) == Set(
+      Seq("gA", "x", "x"), Seq("gA", "y", "y"), Seq("gA", "z", "z"),
+      Seq("gA", "x", "y"), Seq("gA", "x", "z"), Seq("gA", "y", "z"),
+      Seq("gB", "y", "y"), Seq("gB", "w", "w"), Seq("gB", "y", "w")))
+    // constant object: filtered post-split, still per-graph
+    val toZ = SparqlText.run(
+      "SELECT ?g ?a WHERE { GRAPH ?g { ?a <e>+ <z> } }", pathQuads, labels)
+    assert(rows(toZ) == Set(Seq("gA", "x"), Seq("gA", "y")))
+    // the bound graph variable joins with outer occurrences
+    val joined = SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { ?a <e>+ <w> }
+        |  GRAPH ?g { <y> <e> <w> }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(joined) == Set(Seq("gB", "y")))
+  }
+
+  test("subselect inside GRAPH ?var: aggregates group within each graph") {
+    // per-graph triple counts: gA has 2 edges, gB has 1
+    val agg = SparqlText.run(
+      """SELECT ?g ?c WHERE {
+        |  GRAPH ?g { { SELECT (COUNT(*) AS ?c) WHERE { ?a <e> ?b } } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(agg) == Set(Seq("gA", 2L), Seq("gB", 1L)))
+    // per-graph per-subject counts — the audit-query shape
+    val per = SparqlText.run(
+      """SELECT ?g ?a ?c WHERE {
+        |  GRAPH ?g { { SELECT ?a (COUNT(?b) AS ?c) WHERE { ?a <e> ?b }
+        |               GROUP BY ?a } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(per) == Set(
+      Seq("gA", "x", 1L), Seq("gA", "y", 1L), Seq("gB", "y", 1L)))
+    // non-aggregating subselect: DISTINCT is per (graph, projection)
+    val dis = SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { { SELECT DISTINCT ?a WHERE { ?a <e> ?b } } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(dis) == Set(Seq("gA", "x"), Seq("gA", "y"), Seq("gB", "y")))
+  }
+
+  test("GRAPH ?var subselect refusals: per-graph modifiers, variable reuse") {
+    val e1 = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { { SELECT ?a WHERE { ?a <e> ?b } LIMIT 1 } }
+        |}""".stripMargin, pathQuads, labels))
+    assert(e1.getMessage.contains("ORDER BY/LIMIT/OFFSET"))
     val e2 = intercept[RuntimeException](SparqlText.run(
-      "SELECT ?s WHERE { GRAPH ?g { ?s <type>* ?o } }", quads, labels))
-    assert(e2.getMessage.contains("constant graph"))
-    // constant-graph subselects are supported (round 7); the VARIABLE
-    // graph form still refuses — per-graph aggregate evaluation
-    val e3 = intercept[RuntimeException](SparqlText.run(
-      "SELECT ?s WHERE { GRAPH ?g { { SELECT ?s WHERE { ?s <type> ?o } } } }",
-      quads, labels))
-    assert(e3.getMessage.contains("per-graph evaluation"))
+      """SELECT ?g WHERE {
+        |  GRAPH ?g { { SELECT ?g (COUNT(*) AS ?c) WHERE { ?g <e> ?b }
+        |               GROUP BY ?g } }
+        |}""".stripMargin, pathQuads, labels))
+    assert(e2.getMessage.contains("rename"))
   }
 
   test("LANG() as a general expression (projection + non-equality filter)") {
@@ -1657,7 +1720,8 @@ class SparqlTextSpec extends SparkSpec {
       "wd:Q699964", "wd:Q183"))
   }
 
-  test("subselect inside GRAPH: constant graph scopes the inner query; ?var refuses") {
+  test("subselect inside GRAPH: constant graph scopes the inner query; " +
+      "?var evaluates per graph") {
     val spark2 = spark
     import spark2.implicits._
     val quads = Seq(
@@ -1670,11 +1734,14 @@ class SparqlTextSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // g2's A-row must NOT count: the aggregate groups inside g1 only
     assert(got == Set(("A", 2L), ("B", 1L)))
-    val e = intercept[RuntimeException](SparqlText.run(
-      """SELECT ?s WHERE {
-        |  GRAPH ?g { { SELECT ?s WHERE { ?s <p> ?o } } }
-        |}""".stripMargin, quads, labels))
-    assert(e.getMessage.contains("per-graph evaluation"))
+    // variable graph: the same subselect aggregates WITHIN each graph —
+    // A counts 2 in g1 and 1 in g2, never 3
+    val per = SparqlText.run(
+      """SELECT ?g ?s ?c WHERE {
+        |  GRAPH ?g { { SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s <p> ?o } GROUP BY ?s } }
+        |}""".stripMargin, quads, labels)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(per == Set(("g1", "A", 2L), ("g1", "B", 1L), ("g2", "A", 1L)))
   }
 
   test("BGP join order: selectivity-greedy, connectivity-preserving, barrier-safe") {
