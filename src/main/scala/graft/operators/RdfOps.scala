@@ -911,13 +911,17 @@ object RdfOps {
   def q173ServiceFederation(sp: SparkSession, dir: String): DataFrame = {
     graft.plans.SparqlText.registerService("http://example.org/geo",
       TripleStore.serviceTriples(sp, dir))
-    graft.plans.SparqlText.run(
+    // resolution happens at compile time (run builds the plan eagerly),
+    // so the transient registration is dropped before returning — no
+    // stale endpoint outlives the call
+    try graft.plans.SparqlText.run(
       """SELECT ?n ?r ?z ?code WHERE {
         |  ?n <region> ?r .
         |  SERVICE <http://example.org/geo> { ?r <zone> ?z . ?r <code> ?code }
         |  FILTER(?z = "Z1")
         |}""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+    finally graft.plans.SparqlText.unregisterService("http://example.org/geo", sp)
   }
 
   /** BGP join-order selection e2e: the patterns are textually ordered

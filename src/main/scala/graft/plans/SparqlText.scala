@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SPARQL text front-end (SURVEY.md §4.2's "parser optional" gap).
@@ -1859,11 +1859,24 @@ object SparqlText {
     * the same pushdown/reorder machinery as the local store, and the
     * final bag join is an ordinary shuffle (or broadcast) equi-join on
     * the shared variables. */
-  private val serviceRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val serviceRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  /** Registration is PER SESSION (keyed weakly, so a stopped session's
+    * endpoints — and their pinned analyzed plans — are collectable) and
+    * explicit; pair with [[unregisterService]] when the endpoint is
+    * transient. */
   def registerService(iri: String, endpoint: DataFrame): Unit =
-    serviceRegistry.put(iri, endpoint)
-  def unregisterService(iri: String): Unit = serviceRegistry.remove(iri)
+    serviceRegistry.computeIfAbsent(endpoint.sparkSession,
+      _ => scala.collection.concurrent.TrieMap.empty).put(iri, endpoint)
+  def unregisterService(iri: String, sp: SparkSession): Unit =
+    Option(serviceRegistry.get(sp)).foreach(_.remove(iri))
+  private def lookupService(iri: String, sp: SparkSession): Option[DataFrame] =
+    Option(serviceRegistry.get(sp)).flatMap(_.get(iri))
+  /** Convenience: drop `iri` from every live session's registry. */
+  def unregisterService(iri: String): Unit = serviceRegistry.synchronized {
+    serviceRegistry.values.forEach(_.remove(iri))
+  }
 
   /** The reference's incremental-mode rewrite (wikidata_index.py:160-167):
     * lines carrying `#REMOVE_INCREMENTAL` are uncommented in place and
@@ -2726,10 +2739,31 @@ object SparqlText {
         // result bag-joins with the accumulated solutions on shared
         // variables via the ordinary join() path (cross join when
         // disjoint, per the spec's compatible-merge over empty domains).
-        Option(serviceRegistry.get(iri)) match {
+        lookupService(iri, triples.sparkSession) match {
           case Some(endpoint) =>
-            join(compileGroup(g, endpoint, labels, params, memo,
-              None, None)._1)
+            val svc0 = compileGroup(g, endpoint, labels, params, memo,
+              None, None)._1
+            // §18 bound join: when the outer group already bound variables
+            // the service body shares, semi-join the service-side plan on
+            // the DISTINCT outer bindings BEFORE the bag join — the
+            // federation analogue of pushing a VALUES block into the
+            // remote query, so a selective outer pattern never
+            // materializes the full registered store. Exact because the
+            // final join is a plain equi-join on the same shared columns
+            // (every semi-dropped service row had no join partner; null
+            // keys match nothing on either path). The distinct key set is
+            // outer-cardinality-bounded and usually tiny — AQE broadcasts
+            // it when it is.
+            val bounded = acc match {
+              case Some(a) =>
+                val svc = dropSharedHidden(a, svc0)
+                val shared = a.columns.intersect(svc.columns).toSeq
+                if (shared.isEmpty) svc
+                else svc.join(a.select(shared.map(col): _*).distinct(),
+                  shared, "left_semi")
+              case None => svc0
+            }
+            join(bounded)
           case None if silent =>
             // SERVICE SILENT on an unreachable endpoint yields the unit
             // solution — a join identity, so the group is unchanged

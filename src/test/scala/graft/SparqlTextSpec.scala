@@ -1968,6 +1968,38 @@ class SparqlTextSpec extends SparkSpec {
     } finally SparqlText.unregisterService("http://test/ep")
   }
 
+  test("SERVICE bound join: outer bindings semi-filter the service plan") {
+    val endpoint = Seq(
+      ("P1", "ex:genre", "lyric"), ("P3", "ex:genre", "prose"),
+      ("P9", "ex:genre", "drama")
+    ).toDF("s", "p", "o")
+    SparqlText.registerService("http://test/ep2", endpoint)
+    try {
+      val df = SparqlText.run(
+        """SELECT ?s ?g WHERE {
+          |  ?s wdt:P570 ?d .
+          |  SERVICE <http://test/ep2> { ?s ex:genre ?g }
+          |}""".stripMargin, triples, labels)
+      // §18 bound join: the service-side plan carries a LeftSemi join on
+      // the distinct outer bindings — the registered frame is filtered by
+      // the outer pattern BEFORE the bag join, never fully materialized
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"expected a LeftSemi bound-join in the service plan:\n$plan")
+      // and the results are identical to the unbounded evaluation
+      assert(rows(df) == Set(Seq("P1", "lyric"), Seq("P3", "prose")))
+      // a service FIRST in its group has no outer bindings: no semi-join,
+      // same results (the service result then joins the later pattern)
+      val first = SparqlText.run(
+        """SELECT ?s ?g WHERE {
+          |  SERVICE <http://test/ep2> { ?s ex:genre ?g }
+          |  ?s wdt:P570 ?d .
+          |}""".stripMargin, triples, labels)
+      assert(!first.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(rows(first) == Set(Seq("P1", "lyric"), Seq("P3", "prose")))
+    } finally SparqlText.unregisterService("http://test/ep2")
+  }
+
   test("EXISTS in HAVING / GROUP BY keys / ORDER BY keys (§17.4.1.4 complete)") {
     // HAVING: the solution at HAVING time is the grouped row, so the mark
     // join matches on the group key. Citizenship groups with >1 member
