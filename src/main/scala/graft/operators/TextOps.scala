@@ -1254,21 +1254,18 @@ object TextOps {
     * arbitrary strata. See [[q178MixtureWaterfill]] for the algorithm
     * and determinism notes. */
   private[graft] def waterfillAlloc(caps0: DataFrame,
-                                    budgetExpr: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                                    budgetExpr: String,
+                                    twoPhaseThreshold: Long = 10000L): DataFrame = {
     // the strata table is strata-sized but derives from a CORPUS-sized
     // aggregation, and the closed-form solve references it from four
     // branches (totals, cumsums, first-fail, pool) — materialize once so
     // the corpus pays exactly one pass
     val caps = caps0.localCheckpoint()
-    val tot = caps.agg(sum(col("cap")).as("totC"), sum(col("w")).as("totW"))
-    val base = caps.crossJoin(broadcast(tot))
-      .withColumn("budget", expr(budgetExpr))
-    val ord = Window.orderBy(col("cap") * 1.0 / col("w"), col("source"))
-    val cum = base
-      .withColumn("cumC", sum(col("cap")).over(ord) - col("cap"))
-      .withColumn("cumW", sum(col("w")).over(ord) - col("w"))
-      .withColumn("pos", row_number().over(ord))
+    // the cumsum'd frame is ALSO referenced four ways downstream —
+    // materialize it too, so the window pipeline (and at scale, the
+    // bucket machinery) runs once, not once per branch
+    val cum = waterfillCumsum(caps, budgetExpr, twoPhaseThreshold)
+      .localCheckpoint()
       // exact saturation test: cap·(W−cumW) ≤ w·(T−cumC), all BIGINT
       .withColumn("cond",
         col("cap") * (col("totW") - col("cumW")) <=
@@ -1288,6 +1285,65 @@ object TextOps {
             (col("totW") - col("satW")), 4)))
       .select(col("source"), col("cap"), col("w"), col("saturated"),
         col("alloc"))
+  }
+
+  /** The waterfill's exclusive prefix sums (cumC, cumW) and 1-based rank
+    * (pos) over the (ratio = cap/w, source) total order, plus totals and
+    * budget columns. Two shapes, switched on strata count: up to the
+    * threshold, one ordered window (strata = sources — dozens to
+    * thousands — so a single-partition sort is fine); above it, the
+    * two-phase q113 shape — order-ALIGNED range buckets from ratio
+    * quantiles, per-bucket partial sums, a window over the ≤256-row
+    * bucket summary for offsets, then bucket-partitioned cumsums. Any
+    * monotone boundary set is EXACT (bucket(x) = #{b < ratio(x)} is
+    * monotone in ratio and ratio ties always share a bucket, so
+    * (bucket, ratio, source) is the same total order); quantiles just
+    * keep buckets balanced. The ≤255-double boundary read is the one
+    * driver-side collect (bounded, like the closure's convergence
+    * reads). `caps` must already be materialized. */
+  private[graft] def waterfillCumsum(caps: DataFrame, budgetExpr: String,
+                                     twoPhaseThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nStrata = caps.count() // cheap: reads the checkpointed blocks
+    val tot = caps.agg(sum(col("cap")).as("totC"), sum(col("w")).as("totW"))
+    val base = caps.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(budgetExpr))
+      .withColumn("ratio", col("cap") * 1.0 / col("w"))
+    if (nStrata <= twoPhaseThreshold) {
+      val ord = Window.orderBy(col("ratio"), col("source"))
+      base
+        .withColumn("cumC", sum(col("cap")).over(ord) - col("cap"))
+        .withColumn("cumW", sum(col("w")).over(ord) - col("w"))
+        .withColumn("pos", row_number().over(ord).cast("long"))
+    } else {
+      val qs = caps.withColumn("ratio", col("cap") * 1.0 / col("w"))
+        .stat.approxQuantile("ratio",
+          (1 until 256).map(_ / 256.0).toArray, 0.001)
+        .distinct.sorted
+      val bs = array(qs.map(lit(_)): _*)
+      val bucketed = base.withColumn("bucket",
+        size(filter(bs, b => col("ratio") > b)).cast("long"))
+      val inB = Window.partitionBy(col("bucket"))
+        .orderBy(col("ratio"), col("source"))
+      val byB = Window.orderBy(col("bucket")) // bucket summary: ≤256 rows
+      val offsets = bucketed.groupBy(col("bucket"))
+        .agg(sum(col("cap")).as("bC"), sum(col("w")).as("bW"),
+          count(lit(1)).as("bN"))
+        .withColumn("offC",
+          coalesce(sum(col("bC")).over(byB) - col("bC"), lit(0L)))
+        .withColumn("offW",
+          coalesce(sum(col("bW")).over(byB) - col("bW"), lit(0L)))
+        .withColumn("offN",
+          coalesce(sum(col("bN")).over(byB) - col("bN"), lit(0L)))
+        .select(col("bucket"), col("offC"), col("offW"), col("offN"))
+      bucketed.join(broadcast(offsets), "bucket")
+        .withColumn("cumC",
+          col("offC") + sum(col("cap")).over(inB) - col("cap"))
+        .withColumn("cumW",
+          col("offW") + sum(col("w")).over(inB) - col("w"))
+        .withColumn("pos",
+          col("offN") + row_number().over(inB).cast("long"))
+    }
   }
 
   /** Curriculum difficulty binning — deciles of per-doc unigram surprisal

@@ -256,6 +256,53 @@ class PropertySpec extends SparkSpec {
           assert(lams.max - lams.min < 1e-3, s"λ spread: $lams")
         // full-budget run saturates everything
         if (tenths == 10L) assert(out.forall(_._3))
+        // the two-phase cumsum (forced via threshold 0) is EXACTLY the
+        // single-window evaluation — same order, same prefix sums, same λ
+        val twoPhase = graft.operators.TextOps
+          .waterfillAlloc(caps, s"totC * $tenths div 10",
+            twoPhaseThreshold = 0L)
+          .collect().map(_.toSeq).toSet
+        val onePhase = graft.operators.TextOps
+          .waterfillAlloc(caps, s"totC * $tenths div 10")
+          .collect().map(_.toSeq).toSet
+        assert(twoPhase == onePhase)
     }
+  }
+
+  test("waterfill at 1e6 strata: bucket-partitioned cumsums, laws hold, " +
+      "no strata-sized single-partition window") {
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic strata: varied caps, weights 1..9
+    val caps = spark.range(1000000L).select(
+      format_string("s%09d", col("id")).as("source"),
+      (pmod(col("id") * 2654435761L, lit(99991L)) + 1L).as("cap"),
+      (col("id") % 9 + 1).as("w"))
+    // plan shape (on the pre-materialization cumsum frame): the strata
+    // cumsums are bucket-partitioned; the ONLY unpartitioned window runs
+    // over the ≤256-row bucket summary
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val cum = graft.operators.TextOps
+      .waterfillCumsum(caps.localCheckpoint(), "totC div 2", 10000L)
+    val wins = cum.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "expected bucket-partitioned strata windows")
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      s"unexpected unpartitioned windows: ${wins.map(_.partitionSpec)}")
+    val out = graft.operators.TextOps.waterfillAlloc(caps, "totC div 2")
+    // laws, verified distributively (no driver-side collect of strata):
+    val tot = out.agg(
+      sum(col("alloc")).as("sumA"),
+      sum(col("cap")).as("sumC"),
+      sum(when(col("alloc") > col("cap") + 1e-6, 1L).otherwise(0L)).as("over"),
+      max(when(!col("saturated"), col("alloc") / col("w"))).as("lamMax"),
+      min(when(!col("saturated"), col("alloc") / col("w"))).as("lamMin")
+    ).head()
+    val budget = tot.getLong(1) / 2
+    assert(tot.getLong(2) == 0L, "an allocation exceeded its capacity")
+    // rounding-bounded budget exactness over 1e6 strata
+    assert(math.abs(tot.getDouble(0) - budget) < 0.0001 * 1000000,
+      s"sum(alloc)=${tot.getDouble(0)} vs budget=$budget")
+    // one shared λ across the unsaturated set
+    assert(tot.getDouble(3) - tot.getDouble(4) < 1e-3)
   }
 }
