@@ -161,6 +161,73 @@ object VectorOps {
         round(sqrt(sum(col("m") * col("m"))), 4).as("new_norm"))
   }
 
+  /** Full Lloyd (k-means) TRAINING loop over the IVF coarse quantizer —
+    * q68 is one step; this iterates assign→update to (at most) three
+    * rounds with an exact convergence test, seeded from q68's
+    * deterministic init (the first 8 vectors). Per iteration: every
+    * vector joins the broadcast centroid frame, takes its max-cosine
+    * cell (ccos rounded to 6, cent_id tiebreak), and each cell's new
+    * centroid is the element-wise member mean ROUNDED to 6 before any
+    * further use — the round-before-use convention that keeps the whole
+    * trajectory bit-aligned across engines, so a fixed-iteration DuckDB
+    * oracle replays it exactly. Cells that empty keep their previous
+    * centroid. Convergence = rounded centroids EXACTLY unchanged — then
+    * later oracle iterations are no-ops, so early stopping and the
+    * oracle's unconditional three rounds agree. Scale shape per round:
+    * one corpus×k broadcast scoring pass + the per-vector assignment
+    * window + one (cell, dim) partial-sum shuffle; the loop-carried
+    * centroid state (k×64 doubles) is localCheckpoint'ed each round —
+    * the per-iteration lineage cut — and the corpus stays persisted
+    * across rounds. Output: per-cell member count of the final
+    * assignment and the final centroid norm (q68's report schema). */
+  def q186KmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).persist()
+    e.count()
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    }
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint()
+    var lastAssigned: DataFrame = null
+    var it = 0
+    var converged = false
+    while (it < 3 && !converged) {
+      val assigned = assign(cents).persist()
+      val newC = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, m))), p -> p.m)")
+          .as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"))
+      val kept = cents.join(newC.select(col("cent_id")), Seq("cent_id"), "left_anti")
+      val next = newC.unionByName(kept).localCheckpoint() // lineage cut
+      // bounded driver read (k rows): exact rounded-centroid equality
+      converged = cents.as("o").join(next.as("n"), "cent_id")
+        .filter(col("o.cv") =!= col("n.cv")).isEmpty
+      cents = next
+      if (lastAssigned != null) lastAssigned.unpersist(blocking = false)
+      lastAssigned = assigned
+      it += 1
+    }
+    val out = lastAssigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_assigned"))
+      .join(cents.select(col("cent_id").as("cell"),
+        round(sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("new_norm")), Seq("cell"))
+      .localCheckpoint()
+    lastAssigned.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Multi-probe IVF ANN: queries probe their top-2 cells instead of one —
     * the standard recall/cost knob for inverted-file indexes (candidates
     * roughly double, recall loss from quantization-boundary neighbors
@@ -427,6 +494,7 @@ object VectorOps {
     "q43_nearest_neighbor" -> q43NearestNeighbor _,
     "q60_ivf_ann"          -> q60IvfAnn _,
     "q68_kmeans_step"      -> q68KmeansStep _,
+    "q186_kmeans_train"    -> q186KmeansTrain _,
     "q181_label_centroid_sim" -> q181LabelCentroidSim _,
     "q69_embedding_neardup" -> q69EmbeddingNearDup _,
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _
@@ -642,6 +710,45 @@ object VectorOps {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS rank
            FROM pc) WHERE rank <= 3""",
+    "q186_kmeans_train" -> {
+      // one Lloyd round against centroid table c{t-1} → assignment a{t}
+      // and rounded-mean centroids c{t} (empty cells keep the previous
+      // centroid) — the engine's trajectory replayed verbatim
+      def iter(t: Int): String = {
+        val prev = s"c${t - 1}"
+        s"""cd$t AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
+               FROM ex v JOIN $prev c ON v.i = c.i GROUP BY 1, 2),
+           cn$t AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM $prev GROUP BY 1),
+           cc$t AS (SELECT cd$t.vec_id, cd$t.cent_id,
+                    round(cd$t.dot/(nv.n * cn$t.n), 6) AS ccos
+                    FROM cd$t JOIN nrm nv ON cd$t.vec_id = nv.vec_id
+                              JOIN cn$t ON cd$t.cent_id = cn$t.cent_id),
+           a$t AS (SELECT vec_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cent_id) AS rn
+                     FROM cc$t) WHERE rn = 1),
+           m$t AS (SELECT a.cell AS cent_id, e.i,
+                          round(sum(e.x)/count(*), 6) AS m
+                   FROM a$t a JOIN ex e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+           c$t AS (SELECT * FROM m$t
+                   UNION ALL
+                   SELECT p.cent_id, p.i, p.m FROM $prev p
+                   WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM m$t))"""
+      }
+      s"""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         c0 AS (SELECT vec_id AS cent_id, i, x AS m FROM ex WHERE vec_id < 8),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)},
+         n3 AS (SELECT cell, count(*) AS n FROM a3 GROUP BY 1),
+         cnorm AS (SELECT cent_id, round(sqrt(sum(m*m)), 4) AS new_norm
+                   FROM c3 GROUP BY 1)
+         SELECT n3.cell, CAST(n3.n AS BIGINT) AS n_assigned, cnorm.new_norm
+         FROM n3 JOIN cnorm ON cnorm.cent_id = n3.cell"""
+    },
     "q68_kmeans_step" ->
       s"""WITH $assignSql,
          mem AS (SELECT a.cell, e.i, e.x
