@@ -49,10 +49,16 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
     // The NTZ→LTZ cast below reads the session timezone; the ts_ns
     // invariant (NTZ wall-clock = UTC instant, generator convention)
-    // only holds under UTC. Bench/Verify set it, but enforce it here
-    // too so an ad-hoc caller in a non-UTC JVM can't silently shift
-    // ts_ns relative to the oracle.
-    raw.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    // only holds under UTC. Bench/Verify/tests set it at session build;
+    // FAIL LOUDLY otherwise instead of silently rewriting session state
+    // (overwriting here would flip every later timestamp parse in the
+    // caller's session to UTC as a hidden side effect).
+    val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"deriveEventTime requires spark.sql.session.timeZone=UTC (found " +
+        s"'$tz'): the events ts_ns invariant is defined on UTC instants — " +
+        "set the session timezone at build time instead of relying on " +
+        "this reader to mutate it")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

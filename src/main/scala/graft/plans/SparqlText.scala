@@ -2019,6 +2019,16 @@ object SparqlText {
           case EIn(x, vs, neg) => EIn(liftAggs(x), vs, neg)
           case leaf => leaf
         }
+        // run the EXISTS-position check on the ORIGINAL predicates —
+        // liftAggs replaces EAgg with a hidden-column EVar, so after the
+        // rewrite hasExists can no longer see an EXISTS buried in an
+        // aggregate argument (it would surface later as the misleading
+        // internal mark-lift error)
+        q.having.foreach(hasExists)
+        q.proj.foreach {
+          case PAggE(_, e, _, _) => hasExists(e)
+          case _ => ()
+        }
         val havingPreds = q.having.map(liftAggs)
         val aggCols = (aggs ++ hiddenAggs.result()).map {
           case PGroupConcat(src, out, dist, sep) =>
@@ -2966,6 +2976,16 @@ object SparqlText {
     case EIn(x, _, _) => hasExists(x)
     case EIf(c, t, f) => hasExists(c) || hasExists(t) || hasExists(f)
     case EFn(_, args) => args.exists(hasExists)
+    // EXISTS inside an AGGREGATE argument — e.g.
+    // HAVING(SUM(IF(EXISTS{…},1,0)) > 0) — would need the mark lifted
+    // against the PRE-aggregation frame while the aggregate rewrite has
+    // already moved the expression behind the grouping; refuse with the
+    // real reason instead of the misleading internal-mark error
+    case EAgg(_, arg, _) =>
+      if (arg.exists(hasExists)) sys.error(
+        "EXISTS inside aggregate arguments is unsupported (lift it to a " +
+          "BIND before the grouping and aggregate the bound variable)")
+      else false
     case _ => false
   }
 

@@ -2000,6 +2000,16 @@ class SparqlTextSpec extends SparkSpec {
     } finally SparqlText.unregisterService("http://test/ep2")
   }
 
+  test("EXISTS inside an aggregate argument refuses with the real reason") {
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?c (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c
+        |HAVING(SUM(IF(EXISTS { ?s2 wdt:P570 ?d }, 1, 0)) > 0)""".stripMargin,
+      triples, labels))
+    assert(e.getMessage.contains("aggregate arguments"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("EXISTS in HAVING / GROUP BY keys / ORDER BY keys (§17.4.1.4 complete)") {
     // HAVING: the solution at HAVING time is the grouped row, so the mark
     // join matches on the group key. Citizenship groups with >1 member
