@@ -85,7 +85,10 @@ object Bench {
     // single-run totals by >50%, and the first pass carries each query
     // shape's one-time codegen cost. The min is the steady-state number a
     // warmed cluster would see; a failure in either pass stays negative.
-    var results = merge(runAll(), runAll())
+    val pass1 = runAll()
+    val pass2 = runAll()
+    var allPasses = Seq(pass1, pass2)
+    var results = merge(pass1, pass2)
     var passes = 2
     // If the sentinel tripped, buy one more pass: min-of-passes recovers the
     // true number for every query that got at least one clean window, and
@@ -101,7 +104,12 @@ object Bench {
                  else if (y >= 0) y
                  else -math.max(math.min(-x, -y), 0.01))
       }
-    if (contended()) { results = mergeExtra(results, runAll()); passes = 3 }
+    if (contended()) {
+      val pass3 = runAll()
+      results = mergeExtra(results, pass3)
+      allPasses :+= pass3
+      passes = 3
+    }
     probe()
 
     // The driver captures only the last ~2000 chars of output — BENCH_r07
@@ -121,8 +129,17 @@ object Bench {
       "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val fullProbes = probes.map(fmt).mkString("[", ",", "]")
+    // Every pass's raw timing per query (not just the min): round-over-
+    // round drift questions are then answerable from the committed
+    // artifact alone — two overlapping [pass1, pass2] spreads is box
+    // variance, two disjoint ones is a real change — without a live A/B.
+    val passQs = allPasses.head.indices.map { i =>
+      val name = allPasses.head(i)._1
+      "\"" + name + "\":" +
+        allPasses.map(p => fmt(p(i)._2)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"probe_sec":$fullProbes,"contended":${contended()},"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"passes_sec":$passQs,"probe_sec":$fullProbes,"contended":${contended()},"passes":$passes,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
     java.nio.file.Files.write(outFile,
