@@ -101,40 +101,61 @@ object TextOps {
   private[graft] def lshPairsCapped(docsWithToks: DataFrame, cap: Int): DataFrame = {
     // The documents table arrives as one small parquet split; the minhash
     // stage is compute-bound (the md5 per shingle) and is parallelized by
-    // the caller's repartition. Persist: the bucket sizing, the self-join
-    // sides, and the diversion semi-join would otherwise each recompute
-    // the full shingle→minhash pipeline (5M+ md5 at sf0.1).
+    // the caller's repartition. Persist: the bucket census and the
+    // self-join sides would otherwise each recompute the full
+    // shingle→minhash pipeline (5M+ md5 at sf0.1).
     val bands = minhashBands(docsWithToks)
       .filter(col("bkey").isNotNull) // shingle-less docs never pair
       .persist()
     bands.count() // materialize before the self-join
-    // Bucket census: one map-side-combined shuffle over the band rows.
-    // Persisted too — it feeds both join sides of the small-bucket pair
-    // join AND the oversized-member diversion.
-    val sized = bands.join(
-        bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz")),
-        Seq("band", "bkey"))
-      .persist()
-    val small = sized.filter(col("bsz") <= cap)
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Diverted members: every doc that appears in ANY oversized bucket
-    // goes through the exact path once (not once per bucket).
-    val overDocs = sized.filter(col("bsz") > cap).select(col("doc_id")).distinct()
-    val overTd = docsWithToks
-      .join(overDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
-    val overPairs = prefixJaccardPairs(overTd, 1, 2)
-      .select(col("doc_a"), col("doc_b"))
-    // Materialize the (tiny) pair set eagerly so the band cache can be
-    // dropped before returning — otherwise every bench/verify run leaks a
-    // cached signature table into the rest of the session.
-    val pairs = smallPairs.unionByName(overPairs)
-      .distinct()
-      .localCheckpoint()
-    sized.unpersist(blocking = false)
+    // Census of OVERSIZED buckets only — a map-side-combined aggregation
+    // over the cached band rows whose result is empty on every
+    // non-adversarial corpus and mega-bucket-count-sized otherwise.
+    val over = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("band"), col("bkey"))
+    // Bounded driver read (limit-1 over the cached census), the same
+    // class as the closure's convergence reads: the CLEAN path keeps the
+    // classic band self-join with zero extra joins or corpus scans — the
+    // cap costs one cached aggregation when no bucket is pathological.
+    val pairs =
+      if (over.isEmpty)
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          // Materialize the (tiny) pair set eagerly so the band cache can
+          // be dropped before returning — otherwise every bench/verify
+          // run leaks a cached signature table into the rest of the
+          // session.
+          .localCheckpoint()
+      else {
+        val keys = over.persist()
+        keys.count()
+        // capped buckets pair as usual (anti-join against the tiny
+        // oversized-key set — broadcast-sized by construction)
+        val small = bands.join(keys, Seq("band", "bkey"), "left_anti")
+        val smallPairs = small.as("a").join(small.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // Diverted members: every doc that appears in ANY oversized
+        // bucket goes through the exact path once (not once per bucket).
+        val overDocs = bands.join(keys, Seq("band", "bkey"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val overTd = docsWithToks
+          .join(overDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
+        val overPairs = prefixJaccardPairs(overTd, 1, 2)
+          .select(col("doc_a"), col("doc_b"))
+        val out = smallPairs.unionByName(overPairs)
+          .distinct()
+          .localCheckpoint()
+        keys.unpersist(blocking = false)
+        out
+      }
     bands.unpersist(blocking = false)
     pairs
   }
