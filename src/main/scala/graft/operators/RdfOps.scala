@@ -924,6 +924,38 @@ object RdfOps {
     finally graft.plans.SparqlText.unregisterService("http://example.org/geo", sp)
   }
 
+  /** Per-binding `SERVICE ?var` dispatch e2e (§18.2.4): regions carry an
+    * `endpoint` triple naming one of TWO registered stores, and the
+    * stores hold CONFLICTING `code` facts for every region (7k+1 vs
+    * 9k+2) — so the oracle hash-matches only if each region consulted
+    * exactly the endpoint its binding names (a union-over-endpoints
+    * evaluation would emit both codes per region). The plan is one
+    * compiled arm per registered endpoint, unioned and semi-joined on
+    * the outer (endpoint, region) bindings — a driver-bounded loop over
+    * the registry, never over data. */
+  def q187ServiceDispatch(sp: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(sp, dir)
+    val rs = concat(lit("R"), r("r_regionkey").cast("string"))
+    val epView = r.select(rs.as("s"), lit("endpoint").as("p"),
+      concat(lit("http://eps/"), (r("r_regionkey") % 2).cast("string")).as("o"))
+    val svcA = r.select(rs.as("s"), lit("code").as("p"),
+      (r("r_regionkey") * 7 + 1).cast("string").as("o"))
+    val svcB = r.select(rs.as("s"), lit("code").as("p"),
+      (r("r_regionkey") * 9 + 2).cast("string").as("o"))
+    graft.plans.SparqlText.registerService("http://eps/0", svcA)
+    graft.plans.SparqlText.registerService("http://eps/1", svcB)
+    try graft.plans.SparqlText.run(
+      """SELECT ?r ?ep ?code WHERE {
+        |  ?r <endpoint> ?ep .
+        |  SERVICE ?ep { ?r <code> ?code }
+        |}""".stripMargin,
+      epView, TripleStore.langLabels(sp, dir))
+    finally {
+      graft.plans.SparqlText.unregisterService("http://eps/0", sp)
+      graft.plans.SparqlText.unregisterService("http://eps/1", sp)
+    }
+  }
+
   /** BGP join-order selection e2e: the patterns are textually ordered
     * WORST-first (the unfiltered variable-predicate scan, then the
     * nation hop, then the selective constant pattern) — the compiler's
@@ -1004,6 +1036,7 @@ object RdfOps {
     "q183_orderby_exists"    -> q183OrderbyExists _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
+    "q187_service_dispatch"  -> q187ServiceDispatch _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1085,6 +1118,12 @@ object RdfOps {
          SELECT n, CAST(cnt AS BIGINT) AS cnt FROM g
          WHERE cnt > 5 AND EXISTS (SELECT 1 FROM st r
            WHERE r.p = 'region' AND r.o = 'R1' AND r.s = g.n)""",
+    "q187_service_dispatch" ->
+      """SELECT 'R'||CAST(r_regionkey AS VARCHAR) AS r,
+         'http://eps/'||CAST(r_regionkey % 2 AS VARCHAR) AS ep,
+         CAST(CASE WHEN r_regionkey % 2 = 0 THEN r_regionkey * 7 + 1
+                   ELSE r_regionkey * 9 + 2 END AS VARCHAR) AS code
+         FROM region""",
     "q184_graphvar_subselect" ->
       s"""WITH quads AS (${TripleStore.quadsSql})
          SELECT g, s, CAST(count(o) AS BIGINT) AS c

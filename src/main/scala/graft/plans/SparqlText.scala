@@ -270,6 +270,15 @@ object SparqlText {
     * wikidata_index.py:129-152); the body evaluates against that graph
     * and bag-joins on shared variables (§18.2.4.3). */
   final case class ServiceEl(iri: String, g: Seq[El], silent: Boolean) extends El
+  /** `SERVICE ?var { … }` — per-binding dispatch (§18.2.4): the candidate
+    * service set is the session's REGISTERED endpoints (driver-bounded),
+    * so the plan is one compiled body per registered endpoint, tagged
+    * with its IRI, unioned, and joined on the endpoint variable plus the
+    * shared body variables — each outer solution consults exactly the
+    * endpoint its binding names. An outer value naming no registered
+    * endpoint contributes no solutions (there is no row-level error
+    * channel; this is the SILENT per-row posture, documented). */
+  final case class ServiceVarEl(v: String, g: Seq[El], silent: Boolean) extends El
 
   sealed trait ProjItem { def out: String }
   final case class PVar(src: String, out: String) extends ProjItem
@@ -1632,8 +1641,7 @@ object SparqlText {
         case TIri(iri) => return ServiceEl(iri, group(), silent)
         case TPname(p) if !p.equalsIgnoreCase("wikibase:label") =>
           return ServiceEl(resolvePname(p), group(), silent)
-        case TVar(v) => fail(s"SERVICE ?$v (a variable endpoint) is " +
-          "unsupported — name a registered endpoint IRI")
+        case TVar(v) => return ServiceVarEl(v, group(), silent)
         case t => fail(s"SERVICE expects wikibase:label or an endpoint IRI, got $t")
       }
       expectPunct("{")
@@ -1873,6 +1881,8 @@ object SparqlText {
     Option(serviceRegistry.get(sp)).foreach(_.remove(iri))
   private def lookupService(iri: String, sp: SparkSession): Option[DataFrame] =
     Option(serviceRegistry.get(sp)).flatMap(_.get(iri))
+  private def listServices(sp: SparkSession): Map[String, DataFrame] =
+    Option(serviceRegistry.get(sp)).map(_.toMap).getOrElse(Map.empty)
   /** Convenience: drop `iri` from every live session's registry. */
   def unregisterService(iri: String): Unit = serviceRegistry.synchronized {
     serviceRegistry.values.forEach(_.remove(iri))
@@ -2782,6 +2792,42 @@ object SparqlText {
             "under this IRI (SparqlText.registerService) — refusing to " +
             "guess at federation")
         }
+      case ServiceVarEl(v, g, silent) =>
+        // §18.2.4 per-binding dispatch: one compiled body per REGISTERED
+        // endpoint (a driver-bounded loop over the registry, never over
+        // data), each arm tagged with its IRI; the union joins the outer
+        // solutions on ?v plus the shared body variables, so every outer
+        // row consults exactly the endpoint its binding names. The §18
+        // bound join applies to the union: the semi-join keys include
+        // ?v, which restricts each arm to the outer rows naming it.
+        val a = acc.getOrElse(sys.error(s"SERVICE ?$v requires a " +
+          "preceding pattern binding the endpoint variable"))
+        if (!a.columns.contains(v)) sys.error(s"SERVICE ?$v: the endpoint " +
+          "variable is not bound by the preceding patterns")
+        if (elVars(g).contains(v)) sys.error(s"SERVICE ?$v: the body must " +
+          "not reuse the endpoint variable")
+        val eps = listServices(triples.sparkSession)
+        if (eps.isEmpty) {
+          if (!silent) sys.error(s"SERVICE ?$v: no endpoints registered " +
+            "(SparqlText.registerService) — refusing to guess at federation")
+          // SILENT with an empty candidate set: unit solution, group
+          // unchanged
+        } else {
+          val arms = eps.toSeq.sortBy(_._1).map { case (iri, endpoint) =>
+            compileGroup(g, endpoint, labels, params, memo, None, None)._1
+              .withColumn(v, lit(iri))
+          }
+          // normalize fidelity companions across arms (endpoints may
+          // differ in term-fidelity columns) — the UnionEl convention
+          val fid = arms.flatMap(_.columns).filter(isFidelityCol).distinct
+          val svc0 = arms.map(df => fid.filterNot(df.columns.contains)
+            .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
+            .reduce(_ unionByName _)
+          val svc = dropSharedHidden(a, svc0)
+          val shared = a.columns.intersect(svc.columns).toSeq
+          join(svc.join(a.select(shared.map(col): _*).distinct(),
+            shared, "left_semi"))
+        }
     }
 
     var out = acc.getOrElse(sys.error("empty group pattern"))
@@ -2962,6 +3008,7 @@ object SparqlText {
         sq.having.flatMap(ev) ++ sq.orderBy.flatMap(ob => ev(ob._1))
       case LabelSvc(_) => Set.empty[String]
       case ServiceEl(_, g, _) => elVars(g)
+      case ServiceVarEl(v, g, _) => elVars(g) + v
     }.toSet
   }
 

@@ -1960,12 +1960,47 @@ class SparqlTextSpec extends SparkSpec {
       val e = intercept[RuntimeException](SparqlText.run(
         silent.replace("SERVICE SILENT", "SERVICE"), triples, labels))
       assert(e.getMessage.contains("no endpoint registered"))
-      // variable endpoint refuses at parse time
+      // a variable endpoint with an UNBOUND variable refuses loudly
       val e2 = intercept[RuntimeException](SparqlText.run(
         silent.replace("SERVICE SILENT <http://test/unknown>", "SERVICE ?ep"),
         triples, labels))
-      assert(e2.getMessage.contains("variable endpoint"))
+      assert(e2.getMessage.contains("not bound"))
     } finally SparqlText.unregisterService("http://test/ep")
+  }
+
+  test("SERVICE ?var: per-binding dispatch over the registered endpoints") {
+    // two OVERLAPPING endpoints with conflicting facts: per-binding
+    // dispatch must consult exactly the endpoint each row names — a
+    // union-over-endpoints evaluation would emit both variants
+    val epA = Seq(("P1", "ex:genre", "lyric"), ("P3", "ex:genre", "WRONG-A"))
+      .toDF("s", "p", "o")
+    val epB = Seq(("P3", "ex:genre", "prose"), ("P1", "ex:genre", "WRONG-B"))
+      .toDF("s", "p", "o")
+    // main store: each subject names its home endpoint; P5 names an
+    // unregistered one
+    val main = Seq(
+      ("P1", "ex:src", "http://eps/A"), ("P3", "ex:src", "http://eps/B"),
+      ("P5", "ex:src", "http://eps/NONE")).toDF("s", "p", "o")
+    SparqlText.registerService("http://eps/A", epA)
+    SparqlText.registerService("http://eps/B", epB)
+    try {
+      val q =
+        """SELECT ?s ?ep ?g WHERE {
+          |  ?s ex:src ?ep .
+          |  SERVICE ?ep { ?s ex:genre ?g }
+          |}""".stripMargin
+      assert(rows(SparqlText.run(q, main, labels)) == Set(
+        Seq("P1", "http://eps/A", "lyric"),
+        Seq("P3", "http://eps/B", "prose")))
+      // body reusing the endpoint variable refuses
+      val e = intercept[RuntimeException](SparqlText.run(
+        """SELECT ?s WHERE { ?s ex:src ?ep . SERVICE ?ep { ?ep ex:genre ?g } }""",
+        main, labels))
+      assert(e.getMessage.contains("reuse"))
+    } finally {
+      SparqlText.unregisterService("http://eps/A")
+      SparqlText.unregisterService("http://eps/B")
+    }
   }
 
   test("SERVICE bound join: outer bindings semi-filter the service plan") {
