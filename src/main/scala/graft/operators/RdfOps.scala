@@ -852,6 +852,20 @@ object RdfOps {
         |LIMIT 10""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** EXISTS inside an AGGREGATE ARGUMENT (§17.4.1.4, the last expression
+    * position): SUM(IF(EXISTS{…},1,0)) evaluates its argument per
+    * PRE-aggregation solution, so the mark lifts against the (member,
+    * nation) frame BEFORE the groupBy — the frame materializes once
+    * (the mark split references it twice) and the marks are consumed
+    * inside agg(), never surviving the grouping. Here: per-nation
+    * counts of members that are suppliers. */
+  def q188AggExists(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?n (SUM(IF(EXISTS { ?m <type> <Supplier> }, 1, 0)) AS ?nsup)
+        |WHERE { ?m <nation> ?n }
+        |GROUP BY ?n""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Subselect inside `GRAPH ?var` (§13.3, the variable-graph position):
     * the engine rewrites per-graph evaluation algebraically — the GRAPH
     * wrapper pushes inside the subselect's WHERE (every scan binds ?g and
@@ -1034,6 +1048,7 @@ object RdfOps {
     "q172_having_exists"     -> q172HavingExists _,
     "q182_groupby_exists"    -> q182GroupbyExists _,
     "q183_orderby_exists"    -> q183OrderbyExists _,
+    "q188_agg_exists"        -> q188AggExists _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1144,6 +1159,13 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q188_agg_exists" ->
+      s"""WITH st AS ($T),
+         m AS (SELECT s, o AS n FROM st WHERE p = 'nation')
+         SELECT n, CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM st r
+                  WHERE r.p = 'type' AND r.o = 'Supplier' AND r.s = m.s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS nsup
+         FROM m GROUP BY n""",
     "q183_orderby_exists" ->
       s"""WITH st AS ($T),
          g AS (SELECT o AS n, count(*) AS cnt FROM st

@@ -2029,18 +2029,31 @@ object SparqlText {
           case EIn(x, vs, neg) => EIn(liftAggs(x), vs, neg)
           case leaf => leaf
         }
-        // run the EXISTS-position check on the ORIGINAL predicates —
-        // liftAggs replaces EAgg with a hidden-column EVar, so after the
-        // rewrite hasExists can no longer see an EXISTS buried in an
-        // aggregate argument (it would surface later as the misleading
-        // internal mark-lift error)
-        q.having.foreach(hasExists)
-        q.proj.foreach {
-          case PAggE(_, e, _, _) => hasExists(e)
-          case _ => ()
-        }
         val havingPreds = q.having.map(liftAggs)
-        val aggCols = (aggs ++ hiddenAggs.result()).map {
+        // §17.4.1.4 in AGGREGATE ARGUMENTS — SUM(IF(EXISTS{…},1,0)):
+        // the argument evaluates per PRE-aggregation solution, so each
+        // EXISTS mark lifts against the keyed frame and the aggregate
+        // reads the rewritten expression. Marks are consumed inside
+        // agg() and never survive the grouping. The mark split
+        // references its base twice (matched + anti) and Spark re-plans
+        // the subtree per reference, so the (corpus-sized) pre-agg
+        // frame materializes ONCE when any argument carries EXISTS —
+        // the same move the HAVING-EXISTS path makes post-agg.
+        val aggItems0 = aggs ++ hiddenAggs.result()
+        val needsArgLift = aggItems0.exists {
+          case PAggE(_, e, _, _) => hasExists(e)
+          case _ => false
+        }
+        var aggSrc = if (needsArgLift) keyed.localCheckpoint() else keyed
+        val aggItems = aggItems0.map {
+          case PAggE(fn, e, out, dist) if hasExists(e) =>
+            val (lifted, e2, _) = liftExistsMarksImpl(aggSrc, e, triples,
+              labels, params, memo, None, None)
+            aggSrc = lifted
+            PAggE(fn, e2, out, dist)
+          case item => item
+        }
+        val aggCols = aggItems.map {
           case PGroupConcat(src, out, dist, sep) =>
             val collected =
               if (dist) collect_set(col(src)) else collect_list(col(src))
@@ -2079,7 +2092,7 @@ object SparqlText {
             }
           case other => sys.error(s"unsupported aggregate: $other")
         }
-        val agged = keyed.groupBy(keyNames.map(col): _*)
+        val agged = aggSrc.groupBy(keyNames.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
         // §17.4.1.4 in HAVING: per §18 the HAVING solution is the GROUPED
         // row (keys + aggregates), so EXISTS marks lift against the
@@ -3024,15 +3037,11 @@ object SparqlText {
     case EIf(c, t, f) => hasExists(c) || hasExists(t) || hasExists(f)
     case EFn(_, args) => args.exists(hasExists)
     // EXISTS inside an AGGREGATE argument — e.g.
-    // HAVING(SUM(IF(EXISTS{…},1,0)) > 0) — would need the mark lifted
-    // against the PRE-aggregation frame while the aggregate rewrite has
-    // already moved the expression behind the grouping; refuse with the
-    // real reason instead of the misleading internal-mark error
-    case EAgg(_, arg, _) =>
-      if (arg.exists(hasExists)) sys.error(
-        "EXISTS inside aggregate arguments is unsupported (lift it to a " +
-          "BIND before the grouping and aggregate the bound variable)")
-      else false
+    // HAVING(SUM(IF(EXISTS{…},1,0)) > 0) — is NOT an outer-frame
+    // EXISTS: liftAggs routes the argument into a hidden PAggE and the
+    // aggregate compiler lifts its marks against the PRE-aggregation
+    // frame, so the surrounding (post-agg) lift must not see it
+    case EAgg(_, _, _) => false
     case _ => false
   }
 

@@ -2035,14 +2035,34 @@ class SparqlTextSpec extends SparkSpec {
     } finally SparqlText.unregisterService("http://test/ep2")
   }
 
-  test("EXISTS inside an aggregate argument refuses with the real reason") {
-    val e = intercept[RuntimeException](SparqlText.run(
+  test("EXISTS inside aggregate arguments lifts against the pre-agg frame") {
+    // SUM(IF(EXISTS{…},1,0)) — the argument evaluates per PRE-group
+    // solution, so the mark joins the (member, citizenship) frame on ?s
+    // before the grouping: per-citizenship counts of dead members.
+    // Deaths exist for P1 (Q40), P3 (Q28513), P5 (Q699964).
+    val proj =
+      """SELECT ?c (SUM(IF(EXISTS { ?s wdt:P570 ?d }, 1, 0)) AS ?ndead)
+        |WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c""".stripMargin
+    assert(rows(SparqlText.run(proj, triples, labels)) ==
+      Set(Seq("wd:Q40", 1L), Seq("wd:Q28513", 1L), Seq("wd:Q131964", 0L),
+        Seq("wd:Q699964", 1L), Seq("wd:Q183", 0L)))
+    // …and the same shape inside HAVING (a hidden aggregate): only
+    // groups with at least one dead member survive.
+    val having =
       """SELECT ?c (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c . }
         |GROUP BY ?c
-        |HAVING(SUM(IF(EXISTS { ?s2 wdt:P570 ?d }, 1, 0)) > 0)""".stripMargin,
-      triples, labels))
-    assert(e.getMessage.contains("aggregate arguments"),
-      s"wrong refusal: ${e.getMessage}")
+        |HAVING(SUM(IF(EXISTS { ?s wdt:P570 ?d }, 1, 0)) > 0)""".stripMargin
+    assert(rows(SparqlText.run(having, triples, labels)) ==
+      Set(Seq("wd:Q40", 3L), Seq("wd:Q28513", 2L), Seq("wd:Q699964", 1L)))
+    // NOT EXISTS in the argument inverts the mark: living-member counts.
+    val neg =
+      """SELECT ?c (SUM(IF(NOT EXISTS { ?s wdt:P570 ?d }, 1, 0)) AS ?nalive)
+        |WHERE { ?s wdt:P27 ?c . }
+        |GROUP BY ?c""".stripMargin
+    assert(rows(SparqlText.run(neg, triples, labels)) ==
+      Set(Seq("wd:Q40", 2L), Seq("wd:Q28513", 1L), Seq("wd:Q131964", 1L),
+        Seq("wd:Q699964", 0L), Seq("wd:Q183", 1L)))
   }
 
   test("EXISTS in HAVING / GROUP BY keys / ORDER BY keys (§17.4.1.4 complete)") {
