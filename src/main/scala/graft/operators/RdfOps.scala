@@ -866,6 +866,21 @@ object RdfOps {
         |GROUP BY ?n""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Solution modifiers on CONSTRUCT (§10.2): ORDER BY/LIMIT/OFFSET cut
+    * the SOLUTION SEQUENCE before templating — the sort+limit compiles
+    * to TakeOrderedAndProject (per-partition top-k, driver merge; no
+    * global sort), the ≤LIMIT-row cut materializes once, and BOTH
+    * template arms instantiate from the same cut. The (?n, ?s) key is
+    * total (each nation edge is a distinct pair), so the cut — and the
+    * DuckDB oracle's — is deterministic. */
+  def q189ConstructLimit(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """CONSTRUCT { ?s <inNation> ?n . ?n <hasMember> ?s }
+        |WHERE { ?s <nation> ?n }
+        |ORDER BY ?n ?s
+        |LIMIT 20 OFFSET 5""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Subselect inside `GRAPH ?var` (§13.3, the variable-graph position):
     * the engine rewrites per-graph evaluation algebraically — the GRAPH
     * wrapper pushes inside the subselect's WHERE (every scan binds ?g and
@@ -1049,6 +1064,7 @@ object RdfOps {
     "q182_groupby_exists"    -> q182GroupbyExists _,
     "q183_orderby_exists"    -> q183OrderbyExists _,
     "q188_agg_exists"        -> q188AggExists _,
+    "q189_construct_limit"   -> q189ConstructLimit _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1159,6 +1175,13 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q189_construct_limit" ->
+      s"""WITH st AS ($T),
+         m AS (SELECT s, o AS n FROM st WHERE p = 'nation'
+               ORDER BY o, s LIMIT 20 OFFSET 5)
+         SELECT s, 'inNation' AS p, n AS o FROM m
+         UNION
+         SELECT n AS s, 'hasMember' AS p, s AS o FROM m""",
     "q188_agg_exists" ->
       s"""WITH st AS ($T),
          m AS (SELECT s, o AS n FROM st WHERE p = 'nation')

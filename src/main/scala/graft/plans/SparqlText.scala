@@ -329,8 +329,14 @@ object SparqlText {
       fromNamed: Seq[String] = Nil) extends Query
 
   /** `CONSTRUCT { templates } WHERE { … }` — emits one (s, p, o) row per
-    * template triple per solution, set-deduplicated (graph semantics). */
-  final case class ConstructQ(templates: Seq[Tp], where: Seq[El]) extends Query
+    * template triple per solution, set-deduplicated (graph semantics).
+    * Solution modifiers (§10.2: ORDER BY/LIMIT/OFFSET) apply to the
+    * SOLUTION SEQUENCE before templating — they select WHICH solutions
+    * instantiate the template; the emitted graph stays a set. */
+  final case class ConstructQ(templates: Seq[Tp], where: Seq[El],
+      orderBy: Seq[(EExpr, Boolean)] = Nil,
+      limit: Option[Either[Long, String]] = None,
+      offset: Option[Either[Long, String]] = None) extends Query
 
   /** `ASK WHERE { … }` — one row, one boolean `ask` column: does the
     * pattern have at least one solution? Compiles to limit(1) + count so
@@ -989,12 +995,23 @@ object SparqlText {
     def query(): Query = {
       prologue()
       if (isKw(peek, "CONSTRUCT")) {
-        val q = constructQuery()
-        // solution modifiers on CONSTRUCT (legal per §10.2) are not
-        // implemented — refuse loudly rather than silently returning the
-        // full unmodified graph
-        if (!eof) fail(s"trailing tokens after CONSTRUCT (solution " +
-          s"modifiers on CONSTRUCT are unsupported): $peek")
+        var q = constructQuery()
+        // §10.2 solution modifiers: ORDER BY/LIMIT/OFFSET select which
+        // solutions instantiate the template. GROUP BY/HAVING are in the
+        // grammar but meaningless without aggregate projections (a
+        // template has none) — refused with the real reason.
+        var trailing = true
+        while (trailing && !eof) {
+          if (isKw(peek, "ORDER")) q = q.copy(orderBy = orderByKeys())
+          else if (isKw(peek, "LIMIT")) { i += 1; q = q.copy(limit = Some(numOrParam())) }
+          else if (isKw(peek, "OFFSET")) { i += 1; q = q.copy(offset = Some(numOrParam())) }
+          else if (isKw(peek, "GROUP") || isKw(peek, "HAVING"))
+            fail("GROUP BY/HAVING on CONSTRUCT is unsupported (a " +
+              "template has no aggregate projections — aggregate in a " +
+              "subselect inside WHERE instead)")
+          else trailing = false
+        }
+        if (!eof) fail(s"trailing tokens after CONSTRUCT: $peek")
         q
       }
       else if (isKw(peek, "ASK")) {
@@ -1195,21 +1212,7 @@ object SparqlText {
           } finally allowAggs = false
           having = having ++ hs.result()
         } else if (isKw(peek, "ORDER")) {
-          i += 1; expectKw("BY")
-          // one or more sort keys: `?v`, `ASC(expr)`, `DESC(expr)`
-          val keys = Vector.newBuilder[(EExpr, Boolean)]
-          var more = true
-          while (more) peek match {
-            case TVar(_) => keys += ((EVar(varName()), false))
-            case t if isKw(t, "ASC") || isKw(t, "DESC") =>
-              val desc = isKw(t, "DESC")
-              i += 1; expectPunct("(")
-              keys += ((expr(), desc))
-              expectPunct(")")
-            case _ => more = false
-          }
-          orderBy = keys.result()
-          if (orderBy.isEmpty) fail("ORDER BY requires at least one key")
+          orderBy = orderByKeys()
         } else if (isKw(peek, "LIMIT")) { i += 1; limit = Some(numOrParam()) }
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
         else trailing = false
@@ -1218,6 +1221,27 @@ object SparqlText {
         having, orderBy, limit, offset, fromGraphs.result(), fromNamed.result())
       if (top && !eof) fail("trailing tokens after query")
       q
+    }
+
+    /** `ORDER BY` keys: `?v`, `ASC(expr)`, `DESC(expr)` — shared by the
+      * SELECT and CONSTRUCT (§10.2) modifier blocks. Consumes the ORDER
+      * keyword itself. */
+    private def orderByKeys(): Seq[(EExpr, Boolean)] = {
+      i += 1; expectKw("BY")
+      val keys = Vector.newBuilder[(EExpr, Boolean)]
+      var more = true
+      while (more) peek match {
+        case TVar(_) => keys += ((EVar(varName()), false))
+        case t if isKw(t, "ASC") || isKw(t, "DESC") =>
+          val desc = isKw(t, "DESC")
+          i += 1; expectPunct("(")
+          keys += ((expr(), desc))
+          expectPunct(")")
+        case _ => more = false
+      }
+      val out = keys.result()
+      if (out.isEmpty) fail("ORDER BY requires at least one key")
+      out
     }
 
     private def numOrParam(): Either[Long, String] = next() match {
@@ -1912,7 +1936,32 @@ object SparqlText {
   private def compileConstruct(q: ConstructQ, triples: DataFrame,
                                labels: DataFrame, params: Map[String, Long],
                                memo: FunctMemo): DataFrame = {
-    val (bound, _) = compileGroup(q.where, triples, labels, params, memo)
+    val (bound0, _) = compileGroup(q.where, triples, labels, params, memo)
+    // §10.2 modifiers cut the SOLUTION SEQUENCE before templating: the
+    // sort + limit compile to TakeOrderedAndProject (top-k per partition,
+    // merged on the driver — never a full global sort at scale). EXISTS
+    // in a sort key lifts marks against the solution frame, same as the
+    // SELECT path; the template projection below never sees the marks.
+    var bound = bound0
+    if (q.orderBy.nonEmpty) {
+      val keys = q.orderBy.map { case (e, desc) =>
+        val e2 =
+          if (hasExists(e)) {
+            val (lifted, rewritten, _) = liftExistsMarksImpl(bound, e,
+              triples, labels, params, memo, None, None)
+            bound = lifted; rewritten
+          } else e
+        if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+      }
+      bound = bound.orderBy(keys: _*)
+    }
+    q.offset.foreach(o => bound = bound.offset(resolve(o, params).toInt))
+    q.limit.foreach(l => bound = bound.limit(resolve(l, params).toInt))
+    // the modifier cut picks a specific solution subset; templating fans
+    // it out k ways, so materialize the (≤ LIMIT-sized) cut once instead
+    // of re-running the sort per template arm
+    if (q.templates.size > 1 && (q.limit.nonEmpty || q.offset.nonEmpty))
+      bound = bound.localCheckpoint()
     def termCol(t: Term): Column = t match {
       case V(v) => col(v)
       case C(v) => lit(v)

@@ -1579,6 +1579,36 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("basic graph pattern"))
   }
 
+  test("CONSTRUCT solution modifiers (§10.2): ORDER BY/LIMIT/OFFSET cut the solutions") {
+    // deaths: P1 1980-01-01, P3 2000-06-15, P5 1999-09-09 — DESC(?d)
+    // orders P3, P5, P1; LIMIT 2 instantiates the template for P3 and P5
+    val top2 = SparqlText.run(
+      """CONSTRUCT { ?s <died> ?d } WHERE { ?s wdt:P570 ?d }
+        |ORDER BY DESC(?d) ?s
+        |LIMIT 2""".stripMargin, triples, labels)
+    assert(rows(top2) == Set(Seq("P3", "died", "2000-06-15"),
+      Seq("P5", "died", "1999-09-09")))
+    // OFFSET skips within the same order; $param resolution works too
+    val second = SparqlText.run(
+      """CONSTRUCT { ?s <died> ?d } WHERE { ?s wdt:P570 ?d }
+        |ORDER BY DESC(?d) ?s
+        |LIMIT $limit OFFSET $offset""".stripMargin, triples, labels,
+      Map("limit" -> 1L, "offset" -> 1L))
+    assert(rows(second) == Set(Seq("P5", "died", "1999-09-09")))
+    // multi-template: the SAME solution cut instantiates every arm
+    val multi = SparqlText.run(
+      """CONSTRUCT { ?s <died> ?d . ?s <type> <Dead> }
+        |WHERE { ?s wdt:P570 ?d }
+        |ORDER BY DESC(?d) LIMIT 1""".stripMargin, triples, labels)
+    assert(rows(multi) == Set(Seq("P3", "died", "2000-06-15"),
+      Seq("P3", "type", "Dead")))
+    // GROUP BY/HAVING refuse with the real reason
+    val e = intercept[RuntimeException](SparqlText.run(
+      """CONSTRUCT { ?s <x> ?d } WHERE { ?s wdt:P570 ?d } GROUP BY ?s""",
+      triples, labels))
+    assert(e.getMessage.contains("CONSTRUCT is unsupported"))
+  }
+
   test("LANGMATCHES: RFC 4647 basic filtering in both positions") {
     val spark2 = spark
     import spark2.implicits._
