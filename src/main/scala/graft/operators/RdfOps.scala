@@ -897,6 +897,20 @@ object RdfOps {
         |}""".stripMargin,
       TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Per-graph solution modifiers inside `GRAPH ?var` (§13.3 + §18):
+    * ORDER BY + LIMIT in the subselect cut WITHIN each named graph — a
+    * row_number window partitioned on ?g over the aggregated frame (one
+    * shuffle on the graph key; the cut never globalizes and never
+    * iterates graphs on the driver). Here: each graph's top-2 subjects
+    * by triple count, (count desc, subject) a total order. */
+  def q190GraphvarTopk(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?g ?s ?c WHERE {
+        |  GRAPH ?g { { SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ?p2 ?o }
+        |               GROUP BY ?s ORDER BY DESC(?c) ?s LIMIT 2 } }
+        |}""".stripMargin,
+      TripleStore.quads(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Property path inside `GRAPH ?var` (§13.3 + §9): the closure is
     * GRAPH-PARTITIONED — nodes are tagged with their graph and ONE
     * distributed closure runs over the disjoint union of per-graph edge
@@ -1065,6 +1079,7 @@ object RdfOps {
     "q183_orderby_exists"    -> q183OrderbyExists _,
     "q188_agg_exists"        -> q188AggExists _,
     "q189_construct_limit"   -> q189ConstructLimit _,
+    "q190_graphvar_topk"     -> q190GraphvarTopk _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1175,6 +1190,14 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q190_graphvar_topk" ->
+      s"""WITH quads AS (${TripleStore.quadsSql}),
+         per AS (SELECT g, s, CAST(count(o) AS BIGINT) AS c
+                 FROM quads GROUP BY 1, 2),
+         rk AS (SELECT g, s, c,
+                  row_number() OVER (PARTITION BY g ORDER BY c DESC, s) AS rn
+                FROM per)
+         SELECT g, s, c FROM rk WHERE rn <= 2""",
     "q189_construct_limit" ->
       s"""WITH st AS ($T),
          m AS (SELECT s, o AS n FROM st WHERE p = 'nation'

@@ -2695,11 +2695,9 @@ object SparqlText {
             // aggregating — to the GROUP BY keys, which groups within
             // each graph. DISTINCT over (?gv, vars) is per-graph
             // DISTINCT for the same reason. Per-graph ORDER/LIMIT/OFFSET
-            // do NOT globalize — refuse those loudly.
-            if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.offset.nonEmpty)
-              sys.error("subselects with ORDER BY/LIMIT/OFFSET inside " +
-                "GRAPH ?var are unsupported (per-graph solution modifiers " +
-                "do not rewrite to a single global evaluation)")
+            // do NOT globalize — LIMIT/OFFSET cut WITHIN each graph via
+            // a row_number window PARTITIONED ON ?gv (one shuffle on the
+            // graph key; no driver iteration, no global sort).
             if (elVars(sub.where).contains(gv) ||
                 sub.proj.exists(_.out == gv) || sub.groupBy.contains(gv))
               sys.error(s"GRAPH ?$gv { SELECT … }: the subselect already " +
@@ -2716,8 +2714,39 @@ object SparqlText {
             val rewritten = sub.copy(
               proj = proj2,
               where = Seq(GraphEl(V(gv), sub.where)),
-              groupBy = if (aggregating) gv +: sub.groupBy else sub.groupBy)
-            join(compileSelect(rewritten, triples, labels, params, memo))
+              groupBy = if (aggregating) gv +: sub.groupBy else sub.groupBy,
+              orderBy = Nil, limit = None, offset = None)
+            var subDf = compileSelect(rewritten, triples, labels, params, memo)
+            if (sub.limit.nonEmpty || sub.offset.nonEmpty) {
+              // a per-graph cut without a sort key is a nondeterministic
+              // pick — refused per engine policy (SURVEY §7.3)
+              if (sub.orderBy.isEmpty) sys.error(
+                "LIMIT/OFFSET inside GRAPH ?var requires ORDER BY (the " +
+                  "per-graph cut would be nondeterministic)")
+              // §18 ordering: keys compile over the PROJECTED per-graph
+              // frame, so every key must be visible in the projection
+              val visible = subDf.columns.toSet
+              val keys = sub.orderBy.map { case (e, desc) =>
+                val miss = exprVars(e).diff(visible)
+                if (miss.nonEmpty) sys.error(
+                  s"ORDER BY inside GRAPH ?$gv references non-projected " +
+                    s"variable(s) ${miss.mkString(", ")} — project them " +
+                    "through the subselect")
+                if (desc) compileE(e)._1.desc else compileE(e)._1.asc
+              }
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(gv)).orderBy(keys: _*)
+              val lo = sub.offset.map(resolve(_, params)).getOrElse(0L)
+              val hi = sub.limit.map(resolve(_, params) + lo)
+              subDf = subDf.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") > lo &&
+                  hi.map(col("__rn") <= _).map(c => c: Column)
+                    .getOrElse(lit(true)))
+                .drop("__rn")
+            }
+            // ORDER BY alone (no cut) is unobservable through the outer
+            // join — a documented no-op, like any subquery ordering
+            join(subDf)
         }
       case BindExpr(out, e) =>
         val a = acc.getOrElse(sys.error("BIND requires a preceding pattern"))

@@ -1305,12 +1305,42 @@ class SparqlTextSpec extends SparkSpec {
     assert(rows(dis) == Set(Seq("gA", "x"), Seq("gA", "y"), Seq("gB", "y")))
   }
 
-  test("GRAPH ?var subselect refusals: per-graph modifiers, variable reuse") {
-    val e1 = intercept[RuntimeException](SparqlText.run(
+  test("GRAPH ?var subselect modifiers: LIMIT/OFFSET cut WITHIN each graph") {
+    // per-graph top-1 subject (ordered by ?a): gA picks x, gB picks y —
+    // a global LIMIT 1 would keep only one row total
+    val top1 = SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { { SELECT ?a WHERE { ?a <e> ?b } ORDER BY ?a LIMIT 1 } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(top1) == Set(Seq("gA", "x"), Seq("gB", "y")))
+    // OFFSET skips within the graph: gA's second-ranked subject is y;
+    // gB (one row) empties
+    val second = SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { { SELECT ?a WHERE { ?a <e> ?b }
+        |               ORDER BY ?a LIMIT 1 OFFSET 1 } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(second) == Set(Seq("gA", "y")))
+    // per-graph top-1 of an AGGREGATED subselect: count per subject,
+    // order by (count desc, subject) — gA ties 1/1 → x wins on name
+    val topAgg = SparqlText.run(
+      """SELECT ?g ?a ?c WHERE {
+        |  GRAPH ?g { { SELECT ?a (COUNT(?b) AS ?c) WHERE { ?a <e> ?b }
+        |               GROUP BY ?a ORDER BY DESC(?c) ?a LIMIT 1 } }
+        |}""".stripMargin, pathQuads, labels)
+    assert(rows(topAgg) == Set(Seq("gA", "x", 1L), Seq("gB", "y", 1L)))
+    // a cut without ORDER BY is a nondeterministic pick — refused
+    val e0 = intercept[RuntimeException](SparqlText.run(
       """SELECT ?g ?a WHERE {
         |  GRAPH ?g { { SELECT ?a WHERE { ?a <e> ?b } LIMIT 1 } }
         |}""".stripMargin, pathQuads, labels))
-    assert(e1.getMessage.contains("ORDER BY/LIMIT/OFFSET"))
+    assert(e0.getMessage.contains("requires ORDER BY"))
+    // ORDER BY keys must be projected through the subselect
+    val e1 = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?g ?a WHERE {
+        |  GRAPH ?g { { SELECT ?a WHERE { ?a <e> ?b } ORDER BY ?b LIMIT 1 } }
+        |}""".stripMargin, pathQuads, labels))
+    assert(e1.getMessage.contains("non-projected"))
     val e2 = intercept[RuntimeException](SparqlText.run(
       """SELECT ?g WHERE {
         |  GRAPH ?g { { SELECT ?g (COUNT(*) AS ?c) WHERE { ?g <e> ?b }
