@@ -866,6 +866,20 @@ object RdfOps {
         |GROUP BY ?n""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Aggregate calls in ORDER BY of a grouped query (§18: ORDER BY
+    * evaluates after grouping): DESC(COUNT(*)) rewrites to a hidden
+    * aggregate column in the SAME hash-aggregate pass as the grouping
+    * (no second shuffle), the sort runs before the final projection
+    * (which hides the column again), and sort+LIMIT compile to
+    * TakeOrderedAndProject. The ?n tiebreak makes the cut total. */
+  def q191OrderbyAgg(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?n WHERE { ?m <nation> ?n }
+        |GROUP BY ?n
+        |ORDER BY DESC(COUNT(*)) ?n
+        |LIMIT 10""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Solution modifiers on CONSTRUCT (§10.2): ORDER BY/LIMIT/OFFSET cut
     * the SOLUTION SEQUENCE before templating — the sort+limit compiles
     * to TakeOrderedAndProject (per-partition top-k, driver merge; no
@@ -1080,6 +1094,7 @@ object RdfOps {
     "q188_agg_exists"        -> q188AggExists _,
     "q189_construct_limit"   -> q189ConstructLimit _,
     "q190_graphvar_topk"     -> q190GraphvarTopk _,
+    "q191_orderby_agg"       -> q191OrderbyAgg _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1190,6 +1205,10 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q191_orderby_agg" ->
+      s"""WITH st AS ($T)
+         SELECT o AS n FROM st WHERE p = 'nation'
+         GROUP BY o ORDER BY count(*) DESC, o LIMIT 10""",
     "q190_graphvar_topk" ->
       s"""WITH quads AS (${TripleStore.quadsSql}),
          per AS (SELECT g, s, CAST(count(o) AS BIGINT) AS c

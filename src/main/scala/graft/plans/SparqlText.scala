@@ -1235,7 +1235,11 @@ object SparqlText {
         case t if isKw(t, "ASC") || isKw(t, "DESC") =>
           val desc = isKw(t, "DESC")
           i += 1; expectPunct("(")
-          keys += ((expr(), desc))
+          // aggregate calls are grammatical here (§18: ORDER BY runs
+          // after grouping) — the compiler refuses them on ungrouped
+          // queries with the real reason
+          allowAggs = true
+          keys += ((try expr() finally allowAggs = false, desc))
           expectPunct(")")
         case _ => more = false
       }
@@ -1944,6 +1948,11 @@ object SparqlText {
     // SELECT path; the template projection below never sees the marks.
     var bound = bound0
     if (q.orderBy.nonEmpty) {
+      q.orderBy.foreach { case (e, _) =>
+        if (hasAgg(e)) sys.error("aggregate calls in CONSTRUCT ORDER BY " +
+          "are unsupported (a CONSTRUCT has no grouping — aggregate in " +
+          "a subselect inside WHERE instead)")
+      }
       val keys = q.orderBy.map { case (e, desc) =>
         val e2 =
           if (hasExists(e)) {
@@ -2029,10 +2038,20 @@ object SparqlText {
       case a: PAgg => a: ProjItem
       case a: PAggE => a: ProjItem
     }
+    // §18: ORDER BY evaluates after grouping, so aggregate calls are
+    // legal in its keys on a GROUPED query — they rewrite to hidden
+    // aggregate columns (same machinery as HAVING) and the sort runs
+    // BEFORE the final projection, which hides the columns again
+    val orderHasAgg = q.orderBy.exists { case (e, _) => hasAgg(e) }
+    var orderByEff = q.orderBy
+    val grouping = q.groupBy.nonEmpty || q.groupByExprs.nonEmpty ||
+      aggs.nonEmpty || q.having.nonEmpty
+    if (orderHasAgg && !grouping) sys.error(
+      "aggregate calls in ORDER BY require a grouped query (add GROUP " +
+        "BY or an aggregate projection)")
     val grouped =
-      if (q.groupBy.nonEmpty || q.groupByExprs.nonEmpty || aggs.nonEmpty ||
-          q.having.nonEmpty) {
-        require(aggs.nonEmpty || q.having.nonEmpty,
+      if (grouping) {
+        require(aggs.nonEmpty || q.having.nonEmpty || orderHasAgg,
           "GROUP BY requires at least one aggregate")
         // expression keys compute before the grouping and group by name;
         // §17.4.1.4: an EXISTS inside a key expression lifts its mark
@@ -2079,6 +2098,10 @@ object SparqlText {
           case leaf => leaf
         }
         val havingPreds = q.having.map(liftAggs)
+        // aggregate ORDER BY keys ride the same hidden-column rewrite
+        orderByEff = orderByEff.map { case (e, d) =>
+          (if (hasAgg(e)) liftAggs(e) else e, d)
+        }
         // §17.4.1.4 in AGGREGATE ARGUMENTS — SUM(IF(EXISTS{…},1,0)):
         // the argument evaluates per PRE-aggregation solution, so each
         // EXISTS mark lifts against the keyed frame and the aggregate
@@ -2238,6 +2261,26 @@ object SparqlText {
             s"variables only, got $e (wrap computed keys in a subselect)")
       }
       out = grouped2.orderBy(sortCols: _*).select(cols: _*)
+    } else if (orderHasAgg) {
+      // aggregate sort keys reference hidden __having columns that the
+      // final projection hides — sort BEFORE the projection (the same
+      // projection-survives-sort property the typed-order branch uses).
+      // DISTINCT's dedup shuffle would discard the order — refused.
+      if (q.distinct) sys.error(
+        "ORDER BY with aggregate keys cannot combine with DISTINCT " +
+          "(the dedup shuffle discards the sort; group keys are already " +
+          "distinct — drop DISTINCT or wrap in a subselect)")
+      var sortSrc = grouped2
+      val keys = orderByEff.map { case (e, desc) =>
+        val e2 =
+          if (hasExists(e)) {
+            val (lifted, rewritten, _) = liftExistsMarksImpl(sortSrc, e,
+              triples, labels, params, memo, None, None)
+            sortSrc = lifted; rewritten
+          } else e
+        if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+      }
+      out = sortSrc.orderBy(keys: _*).select(cols: _*)
     } else {
       out = grouped2.select(cols: _*)
       if (q.distinct) out = out.distinct()
@@ -3103,6 +3146,22 @@ object SparqlText {
     }.toSet
   }
 
+  /** Does the expression contain an aggregate call? (EXISTS bodies have
+    * their own group scope and cannot host outer aggregates — excluded.) */
+  private def hasAgg(e: EExpr): Boolean = e match {
+    case _: EAgg => true
+    case ENeg(x) => hasAgg(x)
+    case ENot(x) => hasAgg(x)
+    case EArith(_, l, r) => hasAgg(l) || hasAgg(r)
+    case ECmp(_, l, r) => hasAgg(l) || hasAgg(r)
+    case EAnd(l, r) => hasAgg(l) || hasAgg(r)
+    case EOr(l, r) => hasAgg(l) || hasAgg(r)
+    case EIn(x, _, _) => hasAgg(x)
+    case EIf(c, t, f) => hasAgg(c) || hasAgg(t) || hasAgg(f)
+    case EFn(_, args) => args.exists(hasAgg)
+    case _ => false
+  }
+
   private def hasExists(e: EExpr): Boolean = e match {
     case _: EExists => true
     case ENeg(x) => hasExists(x)
@@ -3261,8 +3320,9 @@ object SparqlText {
       // HAVING/ORDER BY compilers before compileE ever sees the expression
       sys.error("internal: EExists reached compileE without a mark lift")
     case _: EAgg =>
-      // lifted to hidden columns by the HAVING compiler before compileE
-      sys.error("aggregate calls are only legal inside HAVING expressions")
+      // lifted to hidden columns by the HAVING/ORDER BY compilers
+      sys.error("aggregate calls are only legal in HAVING or in ORDER " +
+        "BY of a grouped query")
   }
 
   /** A literal-string argument (REGEX patterns, REPLACE arguments,

@@ -2095,6 +2095,31 @@ class SparqlTextSpec extends SparkSpec {
     } finally SparqlText.unregisterService("http://test/ep2")
   }
 
+  test("aggregate calls in ORDER BY of a grouped query (§18)") {
+    // counts: Q40 3, Q28513 2, the rest 1 — DESC(COUNT(*)) with a ?c
+    // tiebreak is total; the aggregate key also need not be projected
+    val df = SparqlText.run(
+      """SELECT ?c WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c
+        |ORDER BY DESC(COUNT(*)) ?c
+        |LIMIT 3""".stripMargin, triples, labels)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("wd:Q40", "wd:Q28513", "wd:Q131964"))
+    // an aggregate EXPRESSION as the key, alongside a projected one
+    val expr = SparqlText.run(
+      """SELECT ?c (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c
+        |ORDER BY DESC(COUNT(*) * 10) ?c
+        |LIMIT 2""".stripMargin, triples, labels)
+    assert(expr.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("wd:Q40", 3L), ("wd:Q28513", 2L)))
+    // ungrouped queries refuse with the real reason
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s wdt:P27 ?c } ORDER BY DESC(COUNT(*))",
+      triples, labels))
+    assert(e.getMessage.contains("grouped query"))
+  }
+
   test("EXISTS inside aggregate arguments lifts against the pre-agg frame") {
     // SUM(IF(EXISTS{…},1,0)) — the argument evaluates per PRE-group
     // solution, so the mark joins the (member, citizenship) frame on ?s
