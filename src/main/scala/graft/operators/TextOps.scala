@@ -1404,7 +1404,62 @@ object TextOps {
         round(avg(col("n_toks")), 2).as("avg_toks"))
   }
 
+  /** DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — rank raw-corpus docs
+    * by how target-like their hashed-n-gram profile is, the selection
+    * step a pretraining pipeline runs between quality filtering and
+    * mixing. Features are unigrams + bigrams hashed into B=512 buckets
+    * (md5 — identical hex both engines); the target exemplar is the
+    * src0 slice; both bag-of-buckets models are Laplace-smoothed; a
+    * doc's log importance weight is
+    *   Σ_k c_k · ( ln((t_k+1)/(T+B)) − ln((r_k+1)/(R+B)) )
+    * over its own bucket counts c_k. Output: top-50 under the total
+    * (weight desc, doc_id) order — the deterministic head a Gumbel
+    * resampler would draw from.
+    *
+    * 100 TB posture: ONE n-gram explode scan is persisted and reused by
+    * the raw model, the target model, and the doc profiles; both models
+    * are B-row (512) broadcasts; profiles aggregate (doc_id, bucket)
+    * with map-side partials — the scoring join touches B-sized state,
+    * never a per-occurrence join. The per-bucket log-ratio rounds to
+    * 6dp BEFORE the weighted sum and the weight to 4dp after
+    * (round-before-use — no summation-order drift). */
+  def q192DsirResample(s: SparkSession, dir: String): DataFrame = {
+    val B = 512
+    val ngrams = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "concat(toks, IF(size(toks) >= 2, " +
+          "transform(sequence(1, size(toks)-1), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i])), " +
+          "CAST(array() AS ARRAY<STRING>)))")).as("ng"))
+      .withColumn("bucket",
+        conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long") % B)
+      .persist()
+    ngrams.count()
+    val raw = ngrams.groupBy(col("bucket")).agg(count(lit(1)).as("rk"))
+    val tgt = ngrams.filter(col("source") === "src0")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tk"))
+    // every target bucket exists in raw (target ⊂ raw), so the left
+    // join covers the full support; absent target buckets smooth to 1
+    val lr = raw.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("tk"))
+      .crossJoin(broadcast(raw.agg(sum(col("rk")).cast("double").as("rtot"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("tk")).cast("double").as("ttot"))))
+      .select(col("bucket"), round(
+        log((col("tk") + 1) / (col("ttot") + B)) -
+          log((col("rk") + 1) / (col("rtot") + B)), 6).as("lr"))
+    val prof = ngrams.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val out = prof.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * col("lr")), 4).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id").asc).limit(50)
+      .localCheckpoint()
+    ngrams.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
     "q180_source_overlap" -> q180SourceOverlap _,
     "q178_mixture_waterfill" -> q178MixtureWaterfill _,
@@ -1485,6 +1540,29 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q192_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                    FROM documents),
+         ng AS (SELECT doc_id, source, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS ng
+                FROM t),
+         bk AS (SELECT doc_id, source,
+                  CAST(('0x'||substr(md5(ng),1,4)) AS BIGINT) % 512 AS bucket
+                FROM ng),
+         raw AS (SELECT bucket, count(*) AS rk FROM bk GROUP BY 1),
+         tgt AS (SELECT bucket, count(*) AS tk FROM bk
+                 WHERE source = 'src0' GROUP BY 1),
+         tots AS (SELECT (SELECT CAST(sum(rk) AS DOUBLE) FROM raw) AS rtot,
+                         (SELECT CAST(sum(tk) AS DOUBLE) FROM tgt) AS ttot),
+         lr AS (SELECT r.bucket,
+                  round(ln((coalesce(t.tk, 0) + 1) / (s.ttot + 512)) -
+                        ln((r.rk + 1) / (s.rtot + 512)), 6) AS lr
+                FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tots s),
+         prof AS (SELECT doc_id, bucket, count(*) AS c FROM bk GROUP BY 1, 2)
+         SELECT p.doc_id, round(sum(p.c * l.lr), 4) AS dsir_w
+         FROM prof p JOIN lr l USING (bucket)
+         GROUP BY 1 ORDER BY dsir_w DESC, doc_id LIMIT 50""",
     "q180_source_overlap" ->
       """WITH k AS (SELECT DISTINCT
              md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,

@@ -347,6 +347,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res == win && res.size == win.size)
   }
 
+  test("q192: DSIR weights match an independent driver-side reimplementation") {
+    val out = operators.TextOps.q192DsirResample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.length === 50)
+    // independent reimplementation: plain Scala, JDK md5, BigDecimal
+    // rounding — shares no code with the operator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(ng: String): Long = {
+      val hex = md.digest(ng.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 512
+    }
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docRows = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(row => (row.getLong(0), row.getString(1),
+        row.getString(2).split(" ").toSeq))
+    def ngrams(toks: Seq[String]): Seq[String] =
+      toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    val raw = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val tgt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val profs = docRows.map { case (id, src, toks) =>
+      val bs = ngrams(toks).map(bucket)
+      bs.foreach { b => raw(b) += 1; if (src == "src0") tgt(b) += 1 }
+      id -> bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val (rtot, ttot) = (raw.values.sum.toDouble, tgt.values.sum.toDouble)
+    val lr = raw.keys.map(b => b -> r(
+      math.log((tgt(b) + 1) / (ttot + 512)) -
+        math.log((raw(b) + 1) / (rtot + 512)), 6)).toMap
+    val expect = profs.map { case (id, prof) =>
+      (id, r(prof.map { case (b, c) => c * lr(b) }.sum, 4))
+    }.sortBy { case (id, w) => (-w, id) }.take(50).toSeq
+    assert(out == expect, s"mismatch:\n got  ${out.take(5)}\n want ${expect.take(5)}")
+  }
+
   test("q34 bucket cap: a 10k-doc boilerplate mega-bucket diverts to the " +
       "exact verifier — candidates bounded, recall preserved") {
     val spark2 = spark
