@@ -482,7 +482,72 @@ object VectorOps {
       .agg(count(lit(1)).as("n"), round(avg(col("dist2")), 6).as("avg_dist2"))
   }
 
+  /** IVF-PQ search with asymmetric distance computation (the IVFADC
+    * pipeline of Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search") — the composition of the IVF coarse pruning
+    * (q60) and the PQ code assignment (q165) into the actual ANN query
+    * path: db vectors are PQ-ENCODED (4 subspaces × 16 dims, codewords
+    * = the first-4 vectors' subvectors), queries stay RAW, and each
+    * query precomputes a (m, code) → ||q_sub − codeword||² distance
+    * TABLE so scoring a candidate is 4 table lookups + a sum — never a
+    * 64-dim float loop per pair. Candidates are pruned to the query's
+    * IVF cell before any scoring.
+    *
+    * 100 TB posture: encoding is one corpus scan against a broadcast
+    * codebook; the per-query distance tables are queries×4×4 rows —
+    * broadcast; the candidate join keys on the cell (IVF pruning) and
+    * scores via the broadcast table, so the only corpus-sized work is
+    * the encode scan and the in-cell top-k window. Per-subspace table
+    * entries round to 6dp BEFORE the 4-term sum (round-before-use),
+    * the ADC distance to 6 after — cross-engine exact. */
+  def q193IvfpqSearch(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(vecs(s, dir)).persist()
+    assigned.count()
+    val subs = assigned.select(col("vec_id"), col("cell"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
+      .as(Seq("m", "sub")))
+    val cbs = subs.filter(col("vec_id") < 4)
+      .select(col("m").as("cm"), col("vec_id").as("code"), col("sub").as("cw"))
+    val l2 = expr(
+      "round(aggregate(zip_with(sub, cw, (a, b) -> (a-b)*(a-b)), " +
+        "0D, (acc, x) -> acc + x), 6)")
+    // PQ codes: min-L2 codeword per (vector, subspace)
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("code").asc)
+    val codes = subs.join(broadcast(cbs), col("m") === col("cm"))
+      .withColumn("dist2", l2)
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    // per-query ADC tables: raw query subvectors vs every codeword
+    val dt = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        posexplode(expr("transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
+          .as(Seq("m", "sub")))
+      .join(broadcast(cbs), col("m") === col("cm"))
+      // distinct output names: both sides of the scoring join descend
+      // from cbs, so same-named columns would alias to one attribute
+      // (Spark would silently drop the equi-condition as trivially true)
+      .select(col("q_id"), col("q_cell"), col("m").as("qm"),
+        col("code").as("qcode"), l2.as("dt"))
+    // in-cell candidates score as 4 lookups + a sum
+    val out = codes.join(broadcast(dt),
+        col("cell") === col("q_cell") && col("m") === col("qm") &&
+          col("code") === col("qcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("cell"))
+      .agg(round(sum(col("dt")), 6).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("adist"))
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q165_pq_assign"       -> q165PqAssign _,
     "q150_hard_negatives"  -> q150HardNegatives _,
     "q153_knn_consistency" -> q153KnnConsistency _,
@@ -533,6 +598,41 @@ object VectorOps {
                       FROM cc) WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q193_ivfpq_search" ->
+      s"""WITH $assignSql,
+         e2 AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+         subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
+                  FROM e2, range(0, 4) t(m)),
+         cbs AS (SELECT m AS cm, vec_id AS code, sub AS cw
+                 FROM subs WHERE vec_id < 4),
+         sc AS (SELECT s.vec_id, s.m, c.code,
+                  round(list_sum(list_transform(range(1, 17),
+                    i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
+                    AS dist2
+                FROM subs s JOIN cbs c ON c.cm = s.m),
+         codes AS (SELECT vec_id, m, code FROM (
+                     SELECT vec_id, m, code, row_number() OVER (
+                       PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
+                       AS rn
+                     FROM sc) WHERE rn = 1),
+         qdt AS (SELECT vec_id AS q_id, m, code, dist2 AS dt FROM sc
+                 WHERE vec_id BETWEEN 100 AND 105),
+         cand AS (SELECT aq.vec_id AS q_id, av.cell, cd.vec_id,
+                    round(sum(q.dt), 6) AS adist
+                  FROM codes cd
+                  JOIN assigned av ON av.vec_id = cd.vec_id
+                  JOIN assigned aq ON aq.cell = av.cell
+                    AND aq.vec_id BETWEEN 100 AND 105
+                  JOIN qdt q ON q.q_id = aq.vec_id AND q.m = cd.m
+                    AND q.code = cd.code
+                  WHERE cd.vec_id <> aq.vec_id
+                  GROUP BY 1, 2, 3)
+         SELECT q_id, cell, vec_id, rank, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, vec_id ASC) AS rank
+           FROM cand) WHERE rank <= 3""",
     "q181_label_centroid_sim" ->
       """WITH ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

@@ -347,6 +347,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res == win && res.size == win.size)
   }
 
+  test("q193: IVF-PQ search prunes to the query's cell and ADC ranks are total") {
+    import org.apache.spark.sql.functions._
+    val out = operators.VectorOps.q193IvfpqSearch(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 6 * 3)
+    // every query returns ranks 1..k with strictly ordered (adist, vec_id)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val keys = sorted.map(r => (r.getDouble(4), r.getLong(2)))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq, s"query $q not ADC-ordered")
+    }
+    // IVF pruning: each returned candidate lives in its query's cell
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cells = {
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(graft.functions.CosineSimilarity(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cent_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    rows.foreach { r =>
+      val (q, cell, cand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cells(q) == cell && cells(cand) == cell,
+        s"candidate $cand of query $q crosses cells")
+    }
+  }
+
   test("q192: DSIR weights match an independent driver-side reimplementation") {
     val out = operators.TextOps.q192DsirResample(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
