@@ -335,6 +335,147 @@ class SparqlDifferentialSpec extends SparkSpec {
     assert(aggRan >= 15, s"only $aggRan aggregate cases ran")
   }
 
+  // ---- third model: property paths (+ / seq / alt / inverse) and GRAPH ----
+  // Queries are SELECT DISTINCT so both sides compare as SETS — the
+  // path operators' duplicate behavior (seq through two intermediates,
+  // alt arms overlapping) is then irrelevant to the comparison, and the
+  // naive side is a direct fixpoint/compose/union/swap over edge lists.
+
+  private sealed trait PathK
+  private case object PkPlus extends PathK
+  private case object PkSeq extends PathK
+  private case object PkAlt extends PathK
+  private case object PkInv extends PathK
+
+  /** graph: None = default graph; Some(None) = GRAPH ?g;
+    * Some(Some(c)) = GRAPH <c>. extra always binds ?y (join after the
+    * path) when present. */
+  private case class Q3(k: PathK, p1: String, p2: String,
+                        extra: Option[Pat], graph: Option[Option[String]]) {
+    def pathText: String = k match {
+      case PkPlus => s"<$p1>+"
+      case PkSeq  => s"<$p1>/<$p2>"
+      case PkAlt  => s"(<$p1>|<$p2>)"
+      case PkInv  => s"^<$p1>"
+    }
+    def text: String = {
+      val inner = s"?x $pathText ?y ." +
+        extra.fold("")(p => s" ${p.text}")
+      graph match {
+        case None          => s"SELECT DISTINCT * WHERE { $inner }"
+        case Some(None)    => s"SELECT DISTINCT * WHERE { GRAPH ?g { $inner } }"
+        case Some(Some(c)) => s"SELECT DISTINCT * WHERE { GRAPH <$c> { $inner } }"
+      }
+    }
+  }
+
+  private def evalPathPairs(tr: Seq[(String, String, String)],
+                            k: PathK, p1: String, p2: String)
+      : Seq[(String, String)] = {
+    def edges(p: String) = tr.filter(_._2 == p).map(t => (t._1, t._3))
+    k match {
+      case PkAlt => edges(p1) ++ edges(p2)
+      case PkInv => edges(p1).map(_.swap)
+      case PkSeq =>
+        for ((a, b) <- edges(p1); (b2, c) <- edges(p2) if b == b2) yield (a, c)
+      case PkPlus =>
+        val e = edges(p1).toSet
+        var closure = e
+        var changed = true
+        while (changed) {
+          val next = closure ++ (for ((a, b) <- closure; (b2, c) <- e
+                                      if b == b2) yield (a, c))
+          changed = next.size != closure.size
+          closure = next
+        }
+        closure.toSeq
+    }
+  }
+
+  private def evalRef3(quads: Seq[(String, String, String, String)],
+                       q: Q3): Seq[Binding] = {
+    def inGraph(tr: Seq[(String, String, String)]): Seq[Binding] = {
+      val pathSols: Seq[Binding] = evalPathPairs(tr, q.k, q.p1, q.p2)
+        .map { case (a, b) => Map("x" -> a, "y" -> b) }
+      q.extra match {
+        case None    => pathSols
+        case Some(p) => join(pathSols, evalPattern(tr, p.s, p.p, p.o))
+      }
+    }
+    val sols = q.graph match {
+      case None => inGraph(quads.map(t => (t._1, t._2, t._3)))
+      case Some(Some(c)) =>
+        inGraph(quads.filter(_._4 == c).map(t => (t._1, t._2, t._3)))
+      case Some(None) =>
+        quads.map(_._4).distinct.flatMap { g =>
+          inGraph(quads.filter(_._4 == g).map(t => (t._1, t._2, t._3)))
+            .map(_ + ("g" -> g))
+        }
+    }
+    sols.distinct
+  }
+
+  test("random property-path/GRAPH queries agree with the naive " +
+      "closure evaluator (set-exact)") {
+    val nodes = Seq("n1", "n2", "n3", "m4", "m5")
+    val preds = Seq("p", "q", "r")
+    val graphs = Seq("gA", "gB")
+    val quadGen: Gen[Seq[(String, String, String, String)]] =
+      Gen.listOfN(20, Gen.zip(Gen.oneOf(nodes), Gen.oneOf(preds),
+        Gen.oneOf(nodes), Gen.oneOf(graphs))).map(_.distinct)
+    val objGen: Gen[Either[String, String]] = Gen.frequency(
+      2 -> Gen.const(Right("z"): Either[String, String]),
+      1 -> Gen.oneOf(nodes).map(Left(_): Either[String, String]))
+    val qGen: Gen[Q3] = for {
+      k  <- Gen.oneOf(PkPlus, PkSeq, PkAlt, PkInv)
+      p1 <- Gen.oneOf(preds)
+      p2 <- Gen.oneOf(preds)
+      ex <- Gen.frequency(
+        1 -> Gen.const(Option.empty[Pat]),
+        1 -> Gen.zip(Gen.oneOf(preds), objGen).map { case (p, o) =>
+          Some(Pat(Right("y"), p, o)) })
+      gk <- Gen.oneOf(None, Some(None), Some(Some("gA")), Some(Some("gB")))
+    } yield Q3(k, p1, p2, ex, gk)
+
+    var ran = 0
+    var pathKinds = scala.collection.mutable.Set.empty[PathK]
+    var graphRan = 0
+    (0 until 300).foreach { i =>
+      val seed = Seed(24680L + i)
+      val params = Gen.Parameters.default
+      (for {
+        quads <- quadGen.apply(params, seed)
+        q <- qGen.apply(params, seed.next)
+      } yield (quads, q)).foreach { case (quads, q) =>
+        whenever(quads.nonEmpty) {
+          val src =
+            if (q.graph.isDefined) quads.toDF("s", "p", "o", "g")
+            else quads.map(t => (t._1, t._2, t._3)).toDF("s", "p", "o")
+          val labels = Seq(("x", "en", "y")).toDF("entity", "lang", "label")
+          val got = SparqlText.run(q.text, src, labels)
+          val cols = got.columns.toSeq
+          val gotRows = got.collect().map(r =>
+            cols.zipWithIndex.collect {
+              case (c, idx) if !r.isNullAt(idx) => c -> r.getString(idx)
+            }.toMap).toSeq
+          val refRows = evalRef3(quads, q)
+            .map(_.filter { case (c, _) => cols.contains(c) }).distinct
+          def canon(xs: Seq[Binding]) =
+            xs.map(_.toSeq.sorted.mkString("|")).distinct.sorted
+          assert(canon(gotRows) == canon(refRows),
+            s"DISAGREEMENT on:\n${q.text}\nquads: $quads\n" +
+              s"engine: ${canon(gotRows)}\nnaive : ${canon(refRows)}")
+          ran += 1
+          pathKinds += q.k
+          if (q.graph.isDefined) graphRan += 1
+        }
+      }
+    }
+    assert(ran >= 100, s"only $ran effective path/GRAPH cases ran")
+    assert(pathKinds.size == 4, s"path kinds missing: $pathKinds")
+    assert(graphRan >= 30, s"only $graphRan GRAPH cases ran")
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit =
     if (cond) body
 }
