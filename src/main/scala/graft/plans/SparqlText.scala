@@ -247,9 +247,7 @@ object SparqlText {
 
   final case class ValuesEl(v: String, vals: Seq[String]) extends El
   /** Multi-variable `VALUES (?a ?b) { ("x" "y") … }` — an inline table
-    * inner-joined on its variables (UNDEF is unsupported and fails loudly:
-    * compatibility-wildcard rows would poison the equi-join fast path). */
-  /** Multi-variable inline table; None = UNDEF (that row leaves the
+    * inner-joined on its variables; None = UNDEF (that row leaves the
     * variable unconstrained — §10.2.2). */
   final case class ValuesTabEl(vars: Seq[String],
                                rows: Seq[Seq[Option[String]]]) extends El
