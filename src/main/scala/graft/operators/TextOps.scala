@@ -1458,7 +1458,122 @@ object TextOps {
     out
   }
 
+  /** Per-source distribution-drift monitor: KL(source ‖ corpus) over
+    * hashed unigram bucket models — the check a pipeline runs per crawl
+    * snapshot or per source before mixing (a source whose divergence
+    * jumps between snapshots changed its crawler, its boilerplate, or
+    * its language mix). Same hashed-model machinery as q192 but
+    * summarized per SOURCE, not per doc: B=256 md5 buckets, Laplace
+    * smoothing on both sides, KL summed over the FULL bucket support
+    * (the sources × 256 grid — absent buckets carry their smoothed
+    * mass, so KL is well-defined and non-negative).
+    *
+    * 100 TB posture: one token explode scan with map-side partials into
+    * (source, bucket) counts — the only corpus-sized work; everything
+    * after runs on the |sources|·256 grid. Per-bucket terms round to
+    * 8dp before the sum, KL to 4 after (round-before-use). */
+  def q194SourceKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val terms = docs(s, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % B)
+    val sc = terms.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val ct = terms.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val grid = Tables.documents(s, dir).select(col("source")).distinct()
+      .crossJoin(s.range(B).select(col("id").as("bucket")))
+    val nSrc = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nTot = ct.agg(sum(col("ct")).cast("double").as("nt"))
+    grid.join(sc, Seq("source", "bucket"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(ct), Seq("bucket"), "left").na.fill(0L, Seq("ct"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("p", (col("c") + 1) / (col("ns") + B))
+      .withColumn("q", (col("ct") + 1) / (col("nt") + B))
+      .withColumn("term_kl", round(col("p") * log(col("p") / col("q")), 8))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_terms"),
+        round(sum(col("term_kl")), 4).as("kl"))
+  }
+
+  /** Content-defined chunk dedup — the insertion-robust counterpart of
+    * q123's FIXED chunks: a chunk boundary falls after token i exactly
+    * when the md5 of the 4-gram ending at i starts with hex '0'
+    * (p = 1/16 → ~16-token mean chunks), so inserting a sentence shifts
+    * only the chunks it touches while fixed-width chunking re-aligns
+    * the whole tail (the rsync/LBFS rolling-boundary idea applied to
+    * token streams). Chunks hashing identically across ≥2 distinct
+    * docs are the shared-content report — sub-document boilerplate the
+    * doc-level dedups (q33/q34) cannot see.
+    *
+    * 100 TB posture: one posexplode scan; the boundary flag is a
+    * codegen'd expression over the doc's own token array (no
+    * cross-row state); chunk numbering is a DOC-partitioned running
+    * sum and chunk assembly groups on the same (doc_id, …) key — the
+    * window's shuffle is reused, no second exchange; the final
+    * chunk-hash aggregation is the only other shuffle. */
+  /** The CDC chunker core: (doc_id, toks) → (doc_id, chunk_no, chunk),
+    * boundary after token i iff md5 of the 4-gram ending at i starts
+    * with hex '0'. Shared by q195 and the insertion-robustness spec. */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = d
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("i", "tok")))
+      .withColumn("flag", expr(
+        "IF(i >= 3 AND substring(md5(concat_ws(' ', " +
+          "slice(toks, i - 2, 4))), 1, 1) = '0', 1, 0)"))
+      .drop("toks")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("chunk_no", coalesce(sum(col("flag")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(expr("concat_ws(' ', transform(" +
+        "sort_array(collect_list(struct(i, tok))), x -> x.tok))")
+        .as("chunk"))
+  }
+
+  def q195CdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(docs(s, dir))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** WEIGHTED per-source reservoir (k=5) — q177's uniform reservoir
+    * upgraded to size-biased sampling via deterministic exponential
+    * clocks (Efraimidis–Spirakis A-ES): each doc draws
+    * u ∈ (0,1) from the md5 of its id (the hash IS the seed, as in
+    * q176/q177) and gets key −ln(u)/w with w = n_chars; the k SMALLEST
+    * keys per source are a weighted-without-replacement sample — a doc
+    * is drawn with probability proportional to its length, the
+    * token-mass-preserving way to subsample a source. The key encodes
+    * as an 18-digit fixed-point string (round-to-long at 1e-8, doc_id
+    * tiebreak riding behind it), so the same BottomK typed Aggregator
+    * as q177 carries O(k) mergeable state per source through map-side
+    * combine — no per-source sort, no window, at any source size. */
+  def q196WeightedReservoir(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 1) / lit(4294967297L))
+      .withColumn("kk",
+        round((-log(col("u")) / col("n_chars")) * 1e8).cast("long"))
+      .select(col("source"), concat(
+        lpad(col("kk").cast("string"), 18, "0"), lit(":"),
+        lpad(col("doc_id").cast("string"), 10, "0")).as("k"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.bottomK(col("k"), 5).as("ks"))
+      .select(col("source"), explode(col("ks")).as("k"))
+      .select(col("source"),
+        split(col("k"), ":").getItem(1).cast("long").as("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_weighted_reservoir" -> q196WeightedReservoir _,
+    "q195_cdc_chunks" -> q195CdcChunks _,
+    "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
     "q180_source_overlap" -> q180SourceOverlap _,
@@ -1540,6 +1655,65 @@ object TextOps {
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
   val oracles: Map[String, String] = Map(
+    "q196_weighted_reservoir" ->
+      """WITH d AS (SELECT source, doc_id,
+             (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                + 1) / 4294967297 AS u,
+             n_chars
+           FROM documents),
+         k AS (SELECT source, doc_id,
+                 CAST(round((-ln(u) / n_chars) * 100000000) AS BIGINT) AS kk
+               FROM d),
+         r AS (SELECT source, doc_id, row_number() OVER (
+                 PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
+         SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q195_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         pos0 AS (SELECT doc_id, toks,
+                    unnest(range(1, len(toks) + 1)) AS i FROM t),
+         pos AS (SELECT doc_id, i, toks[i] AS tok,
+                   CASE WHEN i >= 4 AND substr(md5(
+                       array_to_string(toks[i-3:i], ' ')), 1, 1) = '0'
+                     THEN 1 ELSE 0 END AS flag
+                 FROM pos0),
+         numbered AS (SELECT doc_id, i, tok,
+                        coalesce(sum(flag) OVER (PARTITION BY doc_id
+                          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS chunk_no
+                      FROM pos),
+         chunks AS (SELECT doc_id, chunk_no,
+                      string_agg(tok, ' ' ORDER BY i) AS chunk
+                    FROM numbered GROUP BY 1, 2)
+         SELECT md5(chunk) AS chunk_hash,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occ,
+                min(doc_id) AS rep_doc
+         FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+    "q194_source_kl_drift" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS term
+                    FROM documents),
+         bk AS (SELECT source,
+                  CAST(('0x'||substr(md5(term),1,4)) AS BIGINT) % 256 AS bucket
+                FROM t),
+         sc AS (SELECT source, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+         ct AS (SELECT bucket, count(*) AS ct FROM bk GROUP BY 1),
+         grid AS (SELECT s.source, b.bucket
+                  FROM (SELECT DISTINCT source FROM documents) s,
+                       (SELECT unnest(range(0, 256)) AS bucket) b),
+         ns AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
+         nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+         terms AS (SELECT g.source,
+                     (coalesce(sc.c, 0) + 1) / (ns.ns + 256) AS p,
+                     (coalesce(ct.ct, 0) + 1) / (nt.nt + 256) AS q,
+                     ns.ns
+                   FROM grid g
+                   LEFT JOIN sc ON sc.source = g.source AND sc.bucket = g.bucket
+                   LEFT JOIN ct ON ct.bucket = g.bucket
+                   JOIN ns ON ns.source = g.source
+                   CROSS JOIN nt)
+         SELECT source, CAST(max(ns) AS BIGINT) AS n_terms,
+                round(sum(round(p * ln(p / q), 8)), 4) AS kl
+         FROM terms GROUP BY 1""",
     "q192_dsir_resample" ->
       """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks
                     FROM documents),

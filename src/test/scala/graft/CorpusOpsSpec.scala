@@ -382,6 +382,71 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q194: per-source KL is non-negative and near-zero for a " +
+      "corpus-distributed source") {
+    val rows = operators.TextOps.q194SourceKlDrift(spark, dir).collect()
+    assert(rows.length === 20)
+    // Gibbs: KL(p‖q) >= 0 for proper distributions over one support;
+    // per-term 1e-8 rounding can push the sum at most 256e-8 under 0
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -0.001,
+        s"${r.getString(0)}: negative KL ${r.getDouble(2)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("q195: CDC chunks reassemble their doc and survive a front insertion") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 200).map(i => s"w${i % 37}tok$i")
+    val shifted = Seq("inserted", "prefix", "sentence") ++ base
+    val d = Seq((1L, base), (2L, shifted)).toDF("doc_id", "toks")
+    val chunks = operators.TextOps.cdcChunks(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // chunks reassemble the original token stream in chunk order
+    val re1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).mkString(" ")
+    assert(re1 == base.mkString(" "))
+    // insertion-robustness: the tail chunks realign — every doc-1 chunk
+    // after the insertion's blast radius reappears verbatim in doc 2
+    // (fixed-width chunking would shift ALL of them)
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    assert(c1.length >= 5, s"chunker degenerated: ${c1.length} chunks")
+    val shared = c1.drop(1).count(c2.contains)
+    assert(shared >= c1.length - 2,
+      s"only $shared of ${c1.length - 1} tail chunks survived the insertion")
+  }
+
+  test("q196: the weighted reservoir matches the window formulation and " +
+      "is size-biased") {
+    import org.apache.spark.sql.functions._
+    val res = operators.TextOps.q196WeightedReservoir(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val d = graft.Tables.documents(spark, dir)
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 1) / lit(4294967297L))
+      .withColumn("kk",
+        round((-log(col("u")) / col("n_chars")) * 1e8).cast("long"))
+    val win = d.select(col("source"), col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("kk"), col("doc_id"))).as("rn"))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(res == win)
+    // size bias: sampled docs are longer on average than their sources
+    // (weight = n_chars; with 5-of-25 draws per source this holds with
+    // overwhelming margin on the fixture)
+    val lens = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampledMean = res.toSeq.map(p => lens(p._2)).sum.toDouble / res.size
+    val corpusMean = lens.values.sum.toDouble / lens.size
+    assert(sampledMean > corpusMean,
+      s"no size bias: sampled $sampledMean vs corpus $corpusMean")
+  }
+
   test("q192: DSIR weights match an independent driver-side reimplementation") {
     val out = operators.TextOps.q192DsirResample(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
