@@ -866,6 +866,20 @@ object RdfOps {
         |GROUP BY ?n""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** Trailing VALUES clause (§18.2.4): the inline table joins AFTER
+    * grouping and HAVING — it constrains GROUPS (and decorates them
+    * with table columns), never their inputs, so the counts stay the
+    * full per-nation counts. The UNDEF row is a compatibility wildcard:
+    * N1/N2 match their own row AND the wildcard (multiset: two rows
+    * each). Always a broadcast of the literal table. */
+  def q197TrailingValues(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?n ?tier (COUNT(*) AS ?cnt) WHERE { ?m <nation> ?n }
+        |GROUP BY ?n
+        |VALUES (?n ?tier) { (<N1> "gold") (<N2> "silver") (UNDEF "rest") }"""
+        .stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Aggregate calls in ORDER BY of a grouped query (§18: ORDER BY
     * evaluates after grouping): DESC(COUNT(*)) rewrites to a hidden
     * aggregate column in the SAME hash-aggregate pass as the grouping
@@ -1095,6 +1109,7 @@ object RdfOps {
     "q189_construct_limit"   -> q189ConstructLimit _,
     "q190_graphvar_topk"     -> q190GraphvarTopk _,
     "q191_orderby_agg"       -> q191OrderbyAgg _,
+    "q197_trailing_values"   -> q197TrailingValues _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1205,6 +1220,15 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q197_trailing_values" ->
+      s"""WITH st AS ($T),
+         g AS (SELECT o AS n, CAST(count(*) AS BIGINT) AS cnt FROM st
+               WHERE p = 'nation' GROUP BY o),
+         v AS (SELECT 'N1' AS n, 'gold' AS tier
+               UNION ALL SELECT 'N2', 'silver'
+               UNION ALL SELECT NULL, 'rest')
+         SELECT g.n, v.tier, g.cnt
+         FROM g JOIN v ON v.n IS NULL OR v.n = g.n""",
     "q191_orderby_agg" ->
       s"""WITH st AS ($T)
          SELECT o AS n FROM st WHERE p = 'nation'

@@ -324,7 +324,11 @@ object SparqlText {
       // and GRAPH ranges over exactly the FROM NAMED set (empty if only
       // FROM appears). Both compile to `g` filters on the quad source.
       fromGraphs: Seq[String] = Nil,
-      fromNamed: Seq[String] = Nil) extends Query
+      fromNamed: Seq[String] = Nil,
+      // trailing `VALUES` clause (§18.2.4: joined AFTER grouping and
+      // HAVING, before projection/DISTINCT/ORDER — so on a grouped
+      // query it constrains GROUPS, not their inputs)
+      postValues: Option[El] = None) extends Query
 
   /** `CONSTRUCT { templates } WHERE { … }` — emits one (s, p, o) row per
     * template triple per solution, set-deduplicated (graph semantics).
@@ -1171,6 +1175,7 @@ object SparqlText {
       var orderBy: Seq[(EExpr, Boolean)] = Nil
       var limit: Option[Either[Long, String]] = None
       var offset: Option[Either[Long, String]] = None
+      var postValues: Option[El] = None
       var trailing = true
       while (trailing && !eof) {
         if (isKw(peek, "GROUP")) {
@@ -1213,10 +1218,12 @@ object SparqlText {
           orderBy = orderByKeys()
         } else if (isKw(peek, "LIMIT")) { i += 1; limit = Some(numOrParam()) }
         else if (isKw(peek, "OFFSET")) { i += 1; offset = Some(numOrParam()) }
+        else if (isKw(peek, "VALUES")) { i += 1; postValues = Some(valuesEl()) }
         else trailing = false
       }
       val q = SelectQ(distinct, proj.result(), where, groupBy, groupByExprs,
-        having, orderBy, limit, offset, fromGraphs.result(), fromNamed.result())
+        having, orderBy, limit, offset, fromGraphs.result(), fromNamed.result(),
+        postValues)
       if (top && !eof) fail("trailing tokens after query")
       q
     }
@@ -2064,9 +2071,17 @@ object SparqlText {
         }
         val keyNames = q.groupBy ++ q.groupByExprs.map(_._2)
         // implicit (empty) grouping admits only aggregate projections —
-        // a plain ?var would silently project null (SPARQL errors here)
+        // a plain ?var would silently project null (SPARQL errors here).
+        // Variables bound by the trailing VALUES clause join AFTER the
+        // aggregation (§18.2.4) and are legally projectable.
+        val postVars: Set[String] = q.postValues match {
+          case Some(ValuesEl(v, _))      => Set(v)
+          case Some(ValuesTabEl(vs, _))  => vs.toSet
+          case _                         => Set.empty
+        }
         q.proj.collect { case PVar(src, _) => src }
-          .filterNot(keyNames.contains).foreach(v =>
+          .filterNot(keyNames.contains).filterNot(postVars.contains)
+          .foreach(v =>
             sys.error(s"?$v must appear in GROUP BY to be projected " +
               "alongside aggregates"))
         // HAVING aggregates ride along as hidden columns, filtered after
@@ -2188,10 +2203,32 @@ object SparqlText {
       } else labeled
     if (q.proj.contains(PStar) && q.proj.size > 1)
       sys.error("SELECT * cannot be combined with other projections")
+    // trailing VALUES (§18.2.4): joins the post-HAVING solution — on a
+    // grouped query it constrains GROUPS (their keys), never the
+    // pre-aggregation inputs; on an ungrouped one this is equivalent to
+    // a VALUES element at the end of the WHERE group. Always a
+    // broadcast of the literal table.
+    val valued = q.postValues match {
+      case None => grouped
+      case Some(ValuesEl(v, vals)) =>
+        if (grouped.columns.contains(v)) grouped.filter(col(v).isin(vals: _*))
+        else grouped.crossJoin(broadcast(valuesTableDf(
+          triples.sparkSession, Seq(v), vals.map(x => Seq(Option(x))))))
+      case Some(ValuesTabEl(vars, rowsV)) =>
+        val df = valuesTableDf(triples.sparkSession, vars, rowsV)
+        if (rowsV.exists(_.exists(_.isEmpty))) undefValuesJoin(grouped, df)
+        else {
+          val shared = grouped.columns.intersect(df.columns).toSeq
+          if (shared.isEmpty) grouped.crossJoin(broadcast(df))
+          else grouped.join(broadcast(df), shared)
+        }
+      case Some(other) =>
+        sys.error(s"internal: unexpected trailing VALUES form $other")
+    }
     // §17.4.1.4 in projections — `SELECT (EXISTS{…} AS ?b)`: lift marks
     // against the grouped frame first; the final select omits the marks,
     // so they drop with no explicit cleanup
-    var projSrc = grouped
+    var projSrc = valued
     val projItems: Seq[ProjItem] = q.proj.map {
       case PExpr(e, out) if hasExists(e) =>
         val (lifted, e2, _) = liftExistsMarksImpl(projSrc, e, triples,
@@ -2305,6 +2342,39 @@ object SparqlText {
     q.offset.foreach(o => out = out.offset(resolve(o, params).toInt))
     q.limit.foreach(l => out = out.limit(resolve(l, params).toInt))
     out
+  }
+
+  /** Inline `VALUES` table as a literal DataFrame (shared by the
+    * in-group element and the trailing §18.2.4 clause). */
+  private def valuesTableDf(sp: SparkSession, vars: Seq[String],
+      rowsV: Seq[Seq[Option[String]]]): DataFrame = {
+    val hasUndef = rowsV.exists(_.exists(_.isEmpty))
+    val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+      org.apache.spark.sql.types.StructField(v,
+        org.apache.spark.sql.types.StringType, nullable = hasUndef)))
+    sp.createDataFrame(
+      java.util.Arrays.asList(rowsV.map(r =>
+        org.apache.spark.sql.Row(r.map(_.orNull): _*)).toArray: _*), schema)
+  }
+
+  /** §10.2.2 null-compatible inline-table join: compatibility is
+    * symmetric — an UNBOUND accumulator cell (a variable bound in only
+    * one UNION arm, or from an earlier UNDEF row) is compatible with
+    * ANY table value, just as an UNDEF table cell is with any
+    * accumulator value; the output coalesces the bound side. */
+  private def undefValuesJoin(a: DataFrame, df: DataFrame): DataFrame = {
+    val shared = a.columns.intersect(df.columns).toSeq
+    if (shared.isEmpty) sys.error(
+      "VALUES with UNDEF shares no variable with the preceding " +
+        "patterns; drop the block or bind a shared variable first")
+    val t = broadcast(df)
+    val cond = shared.map(v => t(v).isNull || a(v).isNull || t(v) === a(v))
+      .reduce(_ && _)
+    val outCols =
+      a.columns.map(c =>
+        if (shared.contains(c)) coalesce(a(c), t(c)).as(c) else a(c)) ++
+      df.columns.filterNot(a.columns.contains).map(c => t(c))
+    a.join(t, cond).select(outCols.toSeq: _*)
   }
 
   /** §17.4.1.4: EXISTS anywhere a boolean fits. Each EExists node lifts
@@ -2598,37 +2668,14 @@ object SparqlText {
         // condition per shared var is `T.v IS NULL OR T.v = acc.v` and the
         // output coalesces the bound side — multiset semantics fall out
         // (a solution compatible with two rows appears twice, §10.2.2).
-        val sp = triples.sparkSession
-        val hasUndef = rowsV.exists(_.exists(_.isEmpty))
-        val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
-          org.apache.spark.sql.types.StructField(v,
-            org.apache.spark.sql.types.StringType, nullable = hasUndef)))
-        val df = sp.createDataFrame(
-          java.util.Arrays.asList(rowsV.map(r =>
-            org.apache.spark.sql.Row(r.map(_.orNull): _*)).toArray: _*), schema)
-        if (!hasUndef) join(broadcast(df))
+        val df = valuesTableDf(triples.sparkSession, vars, rowsV)
+        if (!rowsV.exists(_.exists(_.isEmpty))) join(broadcast(df))
         else acc match {
           case None => sys.error(
             "VALUES with UNDEF must follow a pattern binding its " +
               "variables (an unbound leading wildcard row has no " +
               "null-compatible join partner)")
-          case Some(a) =>
-            val shared = a.columns.intersect(df.columns).toSeq
-            if (shared.isEmpty) sys.error(
-              "VALUES with UNDEF shares no variable with the preceding " +
-                "patterns; drop the block or bind a shared variable first")
-            val t = broadcast(df)
-            // compatibility is symmetric (§10.2): an UNBOUND accumulator
-            // cell (a variable bound in only one UNION arm, or from an
-            // earlier UNDEF row) is compatible with ANY table value, just
-            // as an UNDEF table cell is with any accumulator value
-            val cond = shared.map(v => t(v).isNull || a(v).isNull || t(v) === a(v))
-              .reduce(_ && _)
-            val outCols =
-              a.columns.map(c =>
-                if (shared.contains(c)) coalesce(a(c), t(c)).as(c) else a(c)) ++
-              df.columns.filterNot(a.columns.contains).map(c => t(c))
-            acc = Some(a.join(t, cond).select(outCols.toSeq: _*))
+          case Some(a) => acc = Some(undefValuesJoin(a, df))
         }
       case UnionEl(arms) =>
         val dfs = arms.map(a =>

@@ -2095,6 +2095,39 @@ class SparqlTextSpec extends SparkSpec {
     } finally SparqlText.unregisterService("http://test/ep2")
   }
 
+  test("trailing VALUES clause (§18.2.4): joins after grouping and HAVING") {
+    // ungrouped: equivalent to an in-group VALUES element
+    val plain = SparqlText.run(
+      """SELECT ?s ?c WHERE { ?s wdt:P27 ?c } VALUES ?c { "wd:Q40" }""",
+      triples, labels)
+    assert(rows(plain) == Set(Seq("P1", "wd:Q40"), Seq("P2", "wd:Q40"),
+      Seq("P8", "wd:Q40")))
+    // grouped: VALUES constrains GROUPS, never their inputs — counts
+    // stay the full per-citizenship counts
+    val grouped = SparqlText.run(
+      """SELECT ?c (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c
+        |VALUES ?c { "wd:Q40" "wd:Q183" }""".stripMargin, triples, labels)
+    assert(rows(grouped) == Set(Seq("wd:Q40", 3L), Seq("wd:Q183", 1L)))
+    // table form with UNDEF over the grouped frame: the UNDEF row is a
+    // wildcard, so Q40 matches BOTH rows (multiset: appears twice); the
+    // VALUES variable ?tag binds after aggregation and projects legally
+    val tagged = SparqlText.run(
+      """SELECT ?c ?tag (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c
+        |VALUES (?c ?tag) { ("wd:Q40" "big") (UNDEF "any") }""".stripMargin,
+      triples, labels)
+    assert(rows(tagged) == Set(
+      Seq("wd:Q40", "big", 3L), Seq("wd:Q40", "any", 3L),
+      Seq("wd:Q28513", "any", 2L), Seq("wd:Q131964", "any", 1L),
+      Seq("wd:Q699964", "any", 1L), Seq("wd:Q183", "any", 1L)))
+    // an unbound VALUES variable extends solutions (cross product)
+    val ext = SparqlText.run(
+      """SELECT ?s ?z WHERE { ?s wdt:P570 ?d } VALUES ?z { "a" "b" }""",
+      triples, labels)
+    assert(ext.count() == 6) // 3 deaths × 2 values
+  }
+
   test("aggregate calls in ORDER BY of a grouped query (§18)") {
     // counts: Q40 3, Q28513 2, the rest 1 — DESC(COUNT(*)) with a ?c
     // tiebreak is total; the aggregate key also need not be projected
