@@ -866,6 +866,53 @@ object RdfOps {
         |GROUP BY ?n""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** PageRank over the entity graph (nation/region edges: C→N, S→N,
+    * N→R) — the iterative-centrality companion to the census operators
+    * (q110 components, q135 degrees, q162 triangles). Three damped
+    * iterations (d = 0.85) with exact dangling-mass redistribution;
+    * per-iteration ranks ROUND to 10dp before any further use (the
+    * q186 round-before-use convention), so the whole trajectory
+    * replays bit-identically as three chained CTEs in DuckDB.
+    *
+    * Scale shape per iteration: one (pr ⋈ deg) broadcast-or-shuffle
+    * join, one contribution aggregation keyed on the edge DESTINATION
+    * (map-side partials; the only corpus-sized shuffle), a 1-row
+    * dangling-mass broadcast, and a localCheckpoint lineage cut so
+    * iteration t never replays 1..t−1. Edges and the node set persist
+    * across iterations. Top-20 under the total (pr desc, node) order
+    * via TakeOrderedAndProject. */
+  def q198Pagerank(sp: SparkSession, dir: String): DataFrame = {
+    val e = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region"))
+      .select(col("s").as("src"), col("o").as("dst")).persist()
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    var pr: DataFrame = nodes.withColumn("pr", lit(1.0) / n)
+    (1 to 3).foreach { _ =>
+      val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contribs = pr.join(deg, pr("node") === deg("src"))
+        .select(pr("node").as("cn"), (col("pr") / col("deg")).as("share"))
+        .join(e, col("cn") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("cin"))
+      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nodes("node"), round(
+          lit(0.15) / n + lit(0.85) *
+            (coalesce(col("cin"), lit(0.0)) + col("dm") / n), 10).as("pr"))
+        .localCheckpoint()
+    }
+    val out = pr
+      .orderBy(col("pr").desc, col("node").asc).limit(20)
+      .select(col("node"), round(col("pr"), 8).as("pr"))
+      .localCheckpoint()
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Trailing VALUES clause (§18.2.4): the inline table joins AFTER
     * grouping and HAVING — it constrains GROUPS (and decorates them
     * with table columns), never their inputs, so the counts stay the
@@ -1110,6 +1157,7 @@ object RdfOps {
     "q190_graphvar_topk"     -> q190GraphvarTopk _,
     "q191_orderby_agg"       -> q191OrderbyAgg _,
     "q197_trailing_values"   -> q197TrailingValues _,
+    "q198_pagerank"          -> q198Pagerank _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1220,6 +1268,44 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q198_pagerank" ->
+      s"""WITH st AS ($T),
+         e AS (SELECT s AS src, o AS dst FROM st
+               WHERE p IN ('nation', 'region')),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                 FROM e GROUP BY 1),
+         p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM p0
+                LEFT JOIN deg ON p0.node = deg.src WHERE deg.src IS NULL),
+         c1 AS (SELECT e.dst, sum(p0.pr / deg.deg) AS cin FROM p0
+                JOIN deg ON p0.node = deg.src
+                JOIN e ON e.src = p0.node GROUP BY 1),
+         p1 AS (SELECT nodes.node, round(0.15 / nn.n + 0.85 *
+                  (coalesce(c1.cin, 0) + d1.dm / nn.n), 10) AS pr
+                FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node
+                CROSS JOIN nn CROSS JOIN d1),
+         d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM p1
+                LEFT JOIN deg ON p1.node = deg.src WHERE deg.src IS NULL),
+         c2 AS (SELECT e.dst, sum(p1.pr / deg.deg) AS cin FROM p1
+                JOIN deg ON p1.node = deg.src
+                JOIN e ON e.src = p1.node GROUP BY 1),
+         p2 AS (SELECT nodes.node, round(0.15 / nn.n + 0.85 *
+                  (coalesce(c2.cin, 0) + d2.dm / nn.n), 10) AS pr
+                FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node
+                CROSS JOIN nn CROSS JOIN d2),
+         d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM p2
+                LEFT JOIN deg ON p2.node = deg.src WHERE deg.src IS NULL),
+         c3 AS (SELECT e.dst, sum(p2.pr / deg.deg) AS cin FROM p2
+                JOIN deg ON p2.node = deg.src
+                JOIN e ON e.src = p2.node GROUP BY 1),
+         p3 AS (SELECT nodes.node, round(0.15 / nn.n + 0.85 *
+                  (coalesce(c3.cin, 0) + d3.dm / nn.n), 10) AS pr
+                FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node
+                CROSS JOIN nn CROSS JOIN d3)
+         SELECT node, round(pr, 8) AS pr FROM p3
+         ORDER BY pr DESC, node LIMIT 20""",
     "q197_trailing_values" ->
       s"""WITH st AS ($T),
          g AS (SELECT o AS n, CAST(count(*) AS BIGINT) AS cnt FROM st

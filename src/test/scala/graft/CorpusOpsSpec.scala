@@ -382,6 +382,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q198: PageRank top-20 is totally ordered and sinks outrank sources") {
+    val full = graft.operators.RdfOps.q198Pagerank(spark, dir)
+    val rows = full.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    // ranks are positive and the cut is ordered under (pr desc, node)
+    assert(rows.forall(_._2 > 0))
+    val keys = rows.map { case (n, p) => (-p, n) }
+    assert(keys.toSeq == keys.sortBy(identity).toSeq)
+    // structural sanity: every top rank is a region or nation (all mass
+    // flows C/S → N → R; customers/suppliers only hold teleport mass)
+    assert(rows.forall { case (node, _) =>
+      node.startsWith("R") || node.startsWith("N") },
+      s"non-sink in top-20: ${rows.filterNot(r =>
+        r._1.startsWith("R") || r._1.startsWith("N")).take(3)}")
+    // regions (terminal sinks) hold the highest ranks
+    assert(rows.take(3).forall(_._1.startsWith("R")))
+  }
+
   test("q194: per-source KL is non-negative and near-zero for a " +
       "corpus-distributed source") {
     val rows = operators.TextOps.q194SourceKlDrift(spark, dir).collect()
