@@ -229,6 +229,54 @@ object StreamOps {
     * claims, so the worst replay outcome is duplicate admitted rows,
     * never lost ones; a transactional table format keyed by batchId is
     * the exactly-once swap at production scale. */
+  /** Streaming CDC-chunk admission — [[nearDupAdmitSink]] at
+    * SUB-document granularity: each micro-batch chunks its docs with
+    * q195's content-defined chunker (insertion-robust md5 rolling
+    * boundaries), REJECTS any doc sharing at least `minShared`
+    * DISTINCT chunk hashes with the persistent chunk-claims index, and
+    * admitted docs claim their chunks. This catches a doc that embeds
+    * an already-seen passage even when every doc-level key (q33
+    * content key, q34 band buckets) differs — the whole point of
+    * content-defined boundaries is that the embedded copy re-aligns.
+    * Same at-least-once discipline as nearDupAdmitSink: admitted rows
+    * write BEFORE claims, so a crash replay re-admits rather than
+    * silently losing docs. */
+  def cdcAdmitSink(docs: DataFrame, claimsPath: String,
+                   admittedPath: String, minShared: Int = 1)
+                  (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val chunks = graft.operators.TextOps.cdcChunks(
+            batch.toDF().withColumn("toks", split(col("text"), " "))
+              .select(col("doc_id"), col("toks")))
+          .select(col("doc_id"), md5(col("chunk")).as("chash"))
+          .distinct().persist()
+        try {
+          val claimsHPath = new org.apache.hadoop.fs.Path(claimsPath)
+          val claimsFs = claimsHPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val rejected =
+            if (claimsFs.exists(claimsHPath)) {
+              val claims = spark.read.parquet(claimsPath)
+              chunks.join(claims.select(col("chash")).distinct(),
+                  Seq("chash"), "left_semi")
+                .groupBy(col("doc_id")).agg(count(lit(1)).as("nshared"))
+                .filter(col("nshared") >= minShared)
+                .select(col("doc_id"))
+            } else chunks.select(col("doc_id")).limit(0)
+          val admitted = batch.toDF()
+            .join(rejected, Seq("doc_id"), "left_anti").localCheckpoint()
+          admitted.write.mode("append").parquet(admittedPath)
+          chunks.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .write.mode("append").parquet(claimsPath)
+        } finally { chunks.unpersist(blocking = false) }
+        ()
+      }
+      .start()
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

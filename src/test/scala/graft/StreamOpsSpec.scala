@@ -240,6 +240,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(batchKeys == admitted)
   }
 
+  test("cdcAdmitSink: an embedded already-seen passage rejects the doc " +
+      "even when every doc-level key differs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcadmit").toFile
+    val claims = new java.io.File(dir, "claims").getAbsolutePath
+    val outPath = new java.io.File(dir, "admitted").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      // a long passage (~150 tokens → several CDC chunks)
+      val passage = (0 until 150).map(i => s"p${i % 41}word$i").mkString(" ")
+      val query = StreamOps.cdcAdmitSink(docs, claims, outPath, 2)(ckpt)
+      input.addData((1L, passage))
+      query.processAllAvailable()
+      // batch 2: doc 3 EMBEDS the passage between fresh prefix/suffix —
+      // its content key, shingles, and band buckets all differ from
+      // doc 1, but its interior CDC chunks re-align; doc 4 is fresh
+      val embedded = "fresh prefix words here " + passage + " and a fresh tail"
+      val fresh = (0 until 80).map(i => s"f${i % 13}tok$i").mkString(" ")
+      input.addData((3L, embedded), (4L, fresh))
+      query.processAllAvailable()
+      query.stop()
+      val admitted = spark.read.parquet(outPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(1L, 4L),
+        s"expected embedded-copy doc 3 rejected, got $admitted")
+      val claimed = spark.read.parquet(claims)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(claimed == Set(1L, 4L))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("nearDupAdmitSink: claims index rejects exact and near copies across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup").toFile
