@@ -1570,7 +1570,102 @@ object TextOps {
       .select(col("source"),
         split(col("k"), ":").getItem(1).cast("long").as("doc_id"))
 
+  /** Stupid Backoff scoring (Brants et al. 2007, "Large Language Models
+    * in Machine Translation") — the held-out LM filter q152/q156 build
+    * toward: bigram counts TRAIN on the even-doc_id half, the odd half
+    * SCORES against them, and a position whose bigram was never seen
+    * backs off to 0.4·unigram (0.4²·1/total when even the unigram is
+    * unseen — the deterministic bottom rung). Per doc: mean −ln(S),
+    * plus the exact count of backed-off positions (an integer, so the
+    * interesting column is float-free). Unlike q156, scoring held-out
+    * text makes the backoff path REAL — the train side has never seen
+    * the scored docs' transitions.
+    *
+    * Scale shape: train-side counts are two map-side-partial
+    * aggregations; the scoring stream left-joins them on the bigram /
+    * unigram key (broadcast while the vocab is small, shuffle join
+    * beyond); per-doc mean is the last shuffle. */
+  def q199StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "IF(size(toks) >= 2, transform(sequence(1, size(toks)-1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2)), " +
+          "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    bg.count()
+    val train = bg.filter(col("doc_id") % 2 === 0)
+    val cbg = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cpre = train.groupBy(col("w1")).agg(count(lit(1)).as("cpre"))
+    val cuni = train.groupBy(col("w2")).agg(count(lit(1)).as("cuni"))
+    val total = train.agg(count(lit(1)).cast("double").as("total"))
+    val out = bg.filter(col("doc_id") % 2 === 1)
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cpre, Seq("w1"), "left")
+      .join(cuni, Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("sb", when(col("cbg").isNotNull,
+          col("cbg") / col("cpre"))
+        .when(col("cuni").isNotNull,
+          lit(0.4) * col("cuni") / col("total"))
+        .otherwise(lit(0.16) / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cbg").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(avg(-log(col("sb"))), 4).as("score"))
+      .localCheckpoint()
+    bg.unpersist(blocking = false)
+    out
+  }
+
+  /** Shingle-containment verification over CDC-chunk candidates — the
+    * PASSAGE-INCLUSION dedup the Jaccard family structurally misses: a
+    * short doc fully embedded in a long one has low Jaccard (the union
+    * is large) and rarely collides in minhash bands (minhash estimates
+    * Jaccard, not containment), but the embedded region's
+    * content-defined chunks re-align EXACTLY, so q195's chunker is the
+    * right candidate generator. Pairs sharing a chunk (chunk buckets
+    * capped at 50 docs — a >50-doc chunk is boilerplate, q195's report
+    * covers it) verify by exact distinct-3-shingle containment
+    * |A∩B| / min(|A|,|B|) ≥ 0.5, decided integer-exactly
+    * (2·inter ≥ mn) before the rounded ratio is emitted.
+    *
+    * 100 TB posture: candidates are chunk-bucket joins (never
+    * corpus²), the verify joins are pair-list-bound, and the cap makes
+    * a boilerplate mega-chunk cost 0 pairs here instead of B²/2. */
+  def q200ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val td = d.select(col("doc_id"), expr(s"array_distinct($shingles3)").as("sd"))
+      .persist()
+    td.count()
+    val ch = cdcChunks(d.select(col("doc_id"), col("toks")))
+      .select(col("doc_id"), md5(col("chunk")).as("chash")).distinct()
+      .persist()
+    ch.count()
+    val cand = ch.groupBy(col("chash")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 50)).select(col("chash"))
+    val side = ch.join(cand, Seq("chash"), "left_semi")
+    val pairs = side.as("a").join(side.as("b"),
+        col("a.chash") === col("b.chash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = pairs
+      .join(td.select(col("doc_id").as("doc_a"), col("sd").as("sa")), "doc_a")
+      .join(td.select(col("doc_id").as("doc_b"), col("sd").as("sb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("mn",
+        least(expr("size(sa)"), expr("size(sb)")).cast("long"))
+      .filter(col("mn") > 0 && col("inter") * 2 >= col("mn"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / col("mn"), 4).as("containment"))
+      .localCheckpoint()
+    td.unpersist(blocking = false); ch.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_containment_join" -> q200ContainmentJoin _,
+    "q199_stupid_backoff" -> q199StupidBackoff _,
     "q196_weighted_reservoir" -> q196WeightedReservoir _,
     "q195_cdc_chunks" -> q195CdcChunks _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -1654,7 +1749,57 @@ object TextOps {
        bands AS (
          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR||'_'||h${2 * b + 1}::VARCHAR) AS bkey FROM sig").mkString(" UNION ALL ")})"""
 
+  /** CDC chunker CTE chain shared by the q195 and q200 oracles (must
+    * stay in lockstep with [[cdcChunks]]): `ct` (doc_id, toks) through
+    * `chunks` (doc_id, chunk_no, chunk). */
+  private val cdcCtesSql =
+    """ct AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       cpos0 AS (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i FROM ct),
+       cpos AS (SELECT doc_id, i, toks[i] AS tok,
+                  CASE WHEN i >= 4 AND substr(md5(
+                      array_to_string(toks[i-3:i], ' ')), 1, 1) = '0'
+                    THEN 1 ELSE 0 END AS flag
+                FROM cpos0),
+       cnum AS (SELECT doc_id, i, tok,
+                  coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_no
+                FROM cpos),
+       chunks AS (SELECT doc_id, chunk_no,
+                    string_agg(tok, ' ' ORDER BY i) AS chunk
+                  FROM cnum GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    "q199_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+                FROM t),
+         p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         train AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+         cbg AS (SELECT w1, w2, count(*) AS cbg FROM train GROUP BY 1, 2),
+         cpre AS (SELECT w1, count(*) AS cpre FROM train GROUP BY 1),
+         cuni AS (SELECT w2, count(*) AS cuni FROM train GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM train),
+         sc AS (SELECT p.doc_id,
+                  CASE WHEN cbg.cbg IS NOT NULL
+                         THEN cbg.cbg / CAST(cpre.cpre AS DOUBLE)
+                       WHEN cuni.cuni IS NOT NULL
+                         THEN 0.4 * cuni.cuni / tot.total
+                       ELSE 0.16 / tot.total END AS sb,
+                  CASE WHEN cbg.cbg IS NULL THEN 1 ELSE 0 END AS backed
+                FROM p
+                LEFT JOIN cbg USING (w1, w2)
+                LEFT JOIN cpre USING (w1)
+                LEFT JOIN cuni USING (w2)
+                CROSS JOIN tot
+                WHERE p.doc_id % 2 = 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(backed) AS BIGINT) AS n_backoff,
+                round(avg(-ln(sb)), 4) AS score
+         FROM sc GROUP BY 1""",
     "q196_weighted_reservoir" ->
       """WITH d AS (SELECT source, doc_id,
              (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
@@ -1668,27 +1813,31 @@ object TextOps {
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
     "q195_cdc_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         pos0 AS (SELECT doc_id, toks,
-                    unnest(range(1, len(toks) + 1)) AS i FROM t),
-         pos AS (SELECT doc_id, i, toks[i] AS tok,
-                   CASE WHEN i >= 4 AND substr(md5(
-                       array_to_string(toks[i-3:i], ' ')), 1, 1) = '0'
-                     THEN 1 ELSE 0 END AS flag
-                 FROM pos0),
-         numbered AS (SELECT doc_id, i, tok,
-                        coalesce(sum(flag) OVER (PARTITION BY doc_id
-                          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), 0) AS chunk_no
-                      FROM pos),
-         chunks AS (SELECT doc_id, chunk_no,
-                      string_agg(tok, ' ' ORDER BY i) AS chunk
-                    FROM numbered GROUP BY 1, 2)
+      s"""WITH $cdcCtesSql
          SELECT md5(chunk) AS chunk_hash,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 CAST(count(*) AS BIGINT) AS n_occ,
                 min(doc_id) AS rep_doc
          FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+    "q200_containment_join" ->
+      s"""WITH $cdcCtesSql,
+         ch AS (SELECT DISTINCT doc_id, md5(chunk) AS chash FROM chunks),
+         cand AS (SELECT chash FROM ch GROUP BY 1
+                  HAVING count(*) BETWEEN 2 AND 50),
+         side AS (SELECT ch.* FROM ch JOIN cand USING (chash)),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM side a JOIN side b
+                     ON a.chash = b.chash AND a.doc_id < b.doc_id),
+         sd AS (SELECT doc_id, list_distinct($shinglesSql) AS sdist FROM ct),
+         j AS (SELECT p.doc_a, p.doc_b,
+                 len(list_intersect(a.sdist, b.sdist)) AS inter,
+                 least(len(a.sdist), len(b.sdist)) AS mn
+               FROM pairs p
+               JOIN sd a ON a.doc_id = p.doc_a
+               JOIN sd b ON b.doc_id = p.doc_b)
+         SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                round(inter / CAST(mn AS DOUBLE), 4) AS containment
+         FROM j WHERE mn > 0 AND inter * 2 >= mn""",
     "q194_source_kl_drift" ->
       """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS term
                     FROM documents),

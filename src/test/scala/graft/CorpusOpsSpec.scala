@@ -382,6 +382,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q200: containment catches a short doc embedded in a long one " +
+      "that Jaccard misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 1: a 200-token passage (~12 expected CDC boundaries → ~11
+    // interior chunks). doc 2: 600 fresh tokens with the passage
+    // embedded in the middle — Jaccard ≈ 198/800 ≈ 0.25 < 0.5, but
+    // containment of doc 1 in doc 2 = 1.0.
+    val passage = (0 until 200).map(i => s"e${i % 11}w$i").mkString(" ")
+    val filler1 = (0 until 300).map(i => s"x${i % 17}a$i").mkString(" ")
+    val filler2 = (0 until 300).map(i => s"y${i % 19}b$i").mkString(" ")
+    val d = Seq(
+      (1L, passage),
+      (2L, s"$filler1 $passage $filler2"),
+      (3L, (0 until 60).map(i => s"z${i % 7}c$i").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("toks", split(col("text"), " "))
+    // candidate generation: the embedded copy re-aligns CDC chunks
+    val ch = operators.TextOps.cdcChunks(d.select(col("doc_id"), col("toks")))
+      .select(col("doc_id"), md5(col("chunk")).as("chash")).distinct()
+    val shared = ch.as("a").join(ch.as("b"),
+        col("a.chash") === col("b.chash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared.contains((1L, 2L)),
+      s"embedded passage produced no shared chunk: $shared")
+    assert(!shared.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact containment verify over the candidate pair
+    val sd = d.select(col("doc_id"), expr("array_distinct(IF(size(toks) >= 3, " +
+        "transform(sequence(0, size(toks)-3), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), " +
+        "CAST(array() AS ARRAY<STRING>)))").as("sd"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val inter = sd(1L).intersect(sd(2L)).size
+    assert(inter.toDouble / math.min(sd(1L).size, sd(2L).size) >= 0.9,
+      "containment of the embedded passage should be ~1")
+    assert(inter.toDouble / sd(1L).union(sd(2L)).size < 0.5,
+      "fixture error: Jaccard should be low, or the test proves nothing")
+  }
+
   test("q198: PageRank top-20 is totally ordered and sinks outrank sources") {
     val full = graft.operators.RdfOps.q198Pagerank(spark, dir)
     val rows = full.collect().map(r => (r.getString(0), r.getDouble(1)))
