@@ -1663,7 +1663,66 @@ object TextOps {
     out
   }
 
+  /** Bloom-filter decontamination — q116's SCALE PATH: q116 broadcasts
+    * the eval n-gram set exactly, which stops working when the eval
+    * suite outgrows executor memory; here the eval set compresses into
+    * a 2^16-bit Bloom filter (2048 32-bit words, 4 md5-derived probes
+    * per gram), the corpus probes the broadcast filter first, and only
+    * the Bloom SURVIVORS reach the exact join — at 100 TB the exact
+    * join's left side shrinks from every-train-gram to
+    * (true hits + deterministic false positives). Both engines derive
+    * the same probes from the same md5 hex, so even the false
+    * positives hash-match: the output carries n_candidates (Bloom
+    * hits, the FP-rate audit) alongside n_hits (exact, = q116).
+    * A candidate row with n_hits = 0 is a measured false positive. */
+  def q201BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val fiveGrams =
+      "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
+        "CAST(array() AS ARRAY<STRING>))"
+    val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
+      .persist()
+    g.count()
+    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    // probe j reads hex nibbles [4j, 4j+4) of md5(g): a 16-bit position
+    // split into (word = p div 32, bit = p % 32) — 32-bit words keep
+    // every mask positive, no sign/shift edge cases in either engine
+    val probesSql = (0 until 4).map { j =>
+      val off = j * 4 + 1
+      s"named_struct(" +
+        s"'w', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) div 32, " +
+        s"'b', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) % 32)"
+    }.mkString(", ")
+    val bloom = evalGrams
+      .select(explode(expr(s"array($probesSql)")).as("pb"))
+      .select(col("pb.w").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pb.b AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+    val train = g.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("g")).distinct()
+    val candidates = train
+      .select(col("doc_id"), col("g"),
+        explode(expr(s"array($probesSql)")).as("pb"))
+      .join(broadcast(bloom), col("pb.w") === col("w"))
+      .filter(expr(
+        "(mask & shiftleft(CAST(1 AS BIGINT), CAST(pb.b AS INT))) != 0"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === 4)
+      .select(col("doc_id"), col("g"))
+    val exact = candidates.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val out = candidates
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_bloom_decontaminate" -> q201BloomDecontaminate _,
     "q200_containment_join" -> q200ContainmentJoin _,
     "q199_stupid_backoff" -> q199StupidBackoff _,
     "q196_weighted_reservoir" -> q196WeightedReservoir _,
@@ -1771,6 +1830,34 @@ object TextOps {
                   FROM cnum GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "q201_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         g0 AS (SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks) - 3, 1))) AS i FROM t),
+         g AS (SELECT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||
+                 toks[i+3]||' '||toks[i+4] AS g FROM g0),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+         train AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id >= 20),
+         evp AS (SELECT CAST(('0x'||substr(md5(g), j*4+1, 4)) AS BIGINT) AS p
+                 FROM ev, range(0, 4) r(j)),
+         bloom AS (SELECT p // 32 AS w,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS mask
+                   FROM evp GROUP BY 1),
+         tp AS (SELECT doc_id, g,
+                  CAST(('0x'||substr(md5(g), j*4+1, 4)) AS BIGINT) AS p
+                FROM train, range(0, 4) r(j)),
+         hits AS (SELECT doc_id, g, count(*) AS nh
+                  FROM tp JOIN bloom ON bloom.w = tp.p // 32
+                  WHERE (bloom.mask &
+                    (CAST(1 AS BIGINT) << CAST(tp.p % 32 AS INT))) != 0
+                  GROUP BY 1, 2),
+         cand AS (SELECT doc_id, g FROM hits WHERE nh = 4),
+         ex AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM cand c JOIN ev USING (g) GROUP BY 1)
+         SELECT cd.doc_id, cd.n_candidates, coalesce(ex.n_hits, 0) AS n_hits
+         FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+               FROM cand GROUP BY 1) cd
+         LEFT JOIN ex USING (doc_id)""",
     "q199_stupid_backoff" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          bg AS (SELECT doc_id,

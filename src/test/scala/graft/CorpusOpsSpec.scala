@@ -382,6 +382,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q201: the Bloom layer is transparent — exact hits equal q116") {
+    val bloomed = graft.operators.TextOps.q201BloomDecontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = graft.operators.TextOps.q116Decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every q116 hit appears with the same exact count (no false
+    // negatives — a Bloom filter can only over-approximate)
+    assert(exact.nonEmpty)
+    val hitsOf = bloomed.map(t => t._1 -> t._3).toMap
+    exact.foreach { case (id, n) =>
+      assert(hitsOf.get(id).contains(n), s"doc $id: ${hitsOf.get(id)} vs $n")
+    }
+    // candidates bound hits; docs present only via false positives
+    // report n_hits = 0
+    bloomed.foreach { case (id, cand, hits) =>
+      assert(cand >= hits && cand >= 1)
+      if (!exact.contains(id)) assert(hits == 0L)
+    }
+  }
+
   test("q200: containment catches a short doc embedded in a long one " +
       "that Jaccard misses") {
     val spark2 = spark
