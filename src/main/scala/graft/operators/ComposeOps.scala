@@ -147,7 +147,50 @@ object ComposeOps {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Media near-dup via perceptual-hash banding — the image/audio
+    * counterpart of q56's SimHash pipeline, over OPAQUE binary payloads:
+    * every media row aHashes (8×8 stub-decoded grid, integer-exact mean
+    * threshold — [[graft.multimodal.Multimodal.aHash]]), hashes dedup to
+    * GROUPS first (identical payloads collapse before any pairing — the
+    * corpus-side explosion guard: a million copies of one image are ONE
+    * group row), and the near-dup search runs over DISTINCT hashes via
+    * 16-bit band keys: pairs sharing any of the 4 bands verify at
+    * Hamming ≤ 6 with the native codegen'd expression. Output carries
+    * both group sizes, so the pair report prices the collapse a merge
+    * would perform. */
+  def q202MediaAhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(s)
+    // richer stub payload than the q45/q75 props-only table: the media
+    // bytes concatenate the event's fields, so grids vary per row
+    val media = Tables.events(s, dir)
+      .select(col("event_id").as("media_id"),
+        encode(concat_ws("|", col("event_type"), col("value"),
+          col("props"), col("user_id")), "UTF-8").as("payload"))
+    val groups = graft.multimodal.Multimodal.aHash(media)
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep_media"))
+    val bands = groups.select(col("ahash"), col("n_media"),
+      explode(expr("transform(sequence(0, 3), " +
+        "j -> struct(j AS band, substring(ahash, j * 16 + 1, 16) AS key))"))
+        .as("b"))
+      .select(col("ahash"), col("n_media"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("hash_a"), col("b.ahash").as("hash_b"),
+        col("a.n_media").as("n_a"), col("b.n_media").as("n_b"))
+      .distinct()
+      .withColumn("dist",
+        graft.functions.HammingDistance(col("hash_a"), col("hash_b"))
+          .cast("long"))
+      .filter(col("dist") <= 6)
+      .select(col("hash_a"), col("hash_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_media_ahash"   -> q202MediaAhash _,
     "q76_bucketed_join"  -> q76BucketedJoin _,
     "q52_career_render"  -> q52CareerRender _,
     "q53_double_optional" -> q53DoubleOptional _,
@@ -159,6 +202,37 @@ object ComposeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_media_ahash" ->
+      """WITH m0 AS (SELECT event_id AS media_id,
+                       event_type||'|'||value||'|'||props||'|'||user_id AS s
+                     FROM events),
+         m AS (SELECT media_id,
+                 CASE WHEN length(s) = 0 THEN repeat('0', 128)
+                      ELSE substr(repeat(hex(s), 64 // length(s) + 1), 1, 128)
+                 END AS hx FROM m0),
+         px AS (SELECT media_id,
+                  list_transform(range(0, 64),
+                    i -> CAST(('0x'||substr(hx, 2*i + 1, 2)) AS BIGINT)) AS pix
+                FROM m),
+         ah AS (SELECT media_id, pix, list_sum(pix) AS total FROM px),
+         h AS (SELECT media_id,
+                 array_to_string(list_transform(pix,
+                   p -> CASE WHEN p * 64 > total THEN '1' ELSE '0' END), '')
+                   AS ahash
+               FROM ah),
+         g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_media,
+                 min(media_id) AS rep_media FROM h GROUP BY 1),
+         bands AS (SELECT ahash, n_media, j AS band,
+                     substr(ahash, j * 16 + 1, 16) AS key
+                   FROM g, range(0, 4) r(j)),
+         pairs AS (SELECT DISTINCT a.ahash AS hash_a, b.ahash AS hash_b,
+                     a.n_media AS n_a, b.n_media AS n_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.key = b.key
+                    AND a.ahash < b.ahash)
+         SELECT hash_a, hash_b,
+                CAST(hamming(hash_a, hash_b) AS BIGINT) AS dist, n_a, n_b
+         FROM pairs WHERE hamming(hash_a, hash_b) <= 6""",
     "q52_career_render" ->
       """WITH b AS (
            SELECT 'CAR'||md5(CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)||'|'||

@@ -31,4 +31,26 @@ class MultimodalSpec extends SparkSpec {
       "900150983cd24fb0d6963f7d28e17f72"))
     assert(got(1).n_bytes == 3 && got(1).first_byte == 0 && got(1).last_byte == 255)
   }
+
+  test("aHash locality: a one-byte payload change flips only a few bits; " +
+      "identical payloads collide exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "a moderately long media payload standing in for pixels 0123456789"
+    // tweak a byte INSIDE the 8×8 (= 64-byte) grid — the payload is 66
+    // bytes, so its last two bytes never become pixels
+    val tweaked = base.updated(10, 'X')
+    val d = Seq((1L, base), (2L, tweaked), (3L, base))
+      .toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val hashes = Multimodal.aHash(d)
+      .select("media_id", "ahash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes.values.forall(h => h.length == 64 && h.forall("01".contains(_))))
+    assert(hashes(1L) == hashes(3L), "identical payloads must collide")
+    val dist = hashes(1L).zip(hashes(2L)).count { case (a, b) => a != b }
+    assert(dist >= 1 && dist <= 8,
+      s"one-byte change should flip few bits, flipped $dist")
+  }
 }
