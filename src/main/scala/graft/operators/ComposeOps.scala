@@ -166,9 +166,13 @@ object ComposeOps {
       .select(col("event_id").as("media_id"),
         encode(concat_ws("|", col("event_type"), col("value"),
           col("props"), col("user_id")), "UTF-8").as("payload"))
+    // the group table is distinct-hash-sized (tiny) but sits on top of
+    // the full media scan — materialize once so the band self-join's two
+    // sides never re-hash the corpus
     val groups = graft.multimodal.Multimodal.aHash(media)
       .groupBy(col("ahash"))
       .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep_media"))
+      .localCheckpoint()
     val bands = groups.select(col("ahash"), col("n_media"),
       explode(expr("transform(sequence(0, 3), " +
         "j -> struct(j AS band, substring(ahash, j * 16 + 1, 16) AS key))"))
