@@ -476,6 +476,122 @@ class SparqlDifferentialSpec extends SparkSpec {
     assert(graphRan >= 30, s"only $graphRan GRAPH cases ran")
   }
 
+  // ---- fourth model: the round-9 grouped-query semantics ----
+  // EXISTS inside aggregate arguments, aggregate ORDER BY keys + LIMIT,
+  // and the trailing VALUES clause — each evaluated directly over
+  // binding maps per §18.2.4's stage order (group → aggregate → VALUES
+  // → order/limit), which is exactly where an implementation that
+  // joined VALUES into WHERE or sorted after projection would diverge.
+
+  private case class Q4(base: List[Pat], gv: String, ep: Pat,
+                        withExists: Boolean, orderLimit: Boolean,
+                        postVals: Option[Seq[String]]) {
+    def text: String = {
+      val se =
+        if (withExists) s" (SUM(IF(EXISTS { ${ep.text} }, 1, 0)) AS ?se)"
+        else ""
+      val vals = postVals.fold("")(vs =>
+        s" VALUES ?$gv { ${vs.map(v => s"<$v>").mkString(" ")} }")
+      val ol = if (orderLimit) s" ORDER BY DESC(COUNT(*)) ?$gv LIMIT 2" else ""
+      s"SELECT ?$gv (COUNT(*) AS ?n)$se WHERE { ${base.map(_.text).mkString(" ")} } " +
+        s"GROUP BY ?$gv$vals$ol"
+    }
+  }
+
+  private def evalRef4(store: Seq[(String, String, String)],
+                       q: Q4): Seq[Binding] = {
+    def evalBgp(ps: List[Pat]): Seq[Binding] =
+      ps.foldLeft(Seq[Binding](Map.empty)) { (acc, p) =>
+        join(acc, evalPattern(store, p.s, p.p, p.o))
+      }
+    val sols = evalBgp(q.base)
+    val inner = if (q.withExists) evalBgp(List(q.ep)) else Nil
+    var groups = sols.groupBy(_(q.gv)).toSeq.map { case (k, ms) =>
+      val row = Map(q.gv -> k, "n" -> ms.size.toString)
+      if (q.withExists)
+        row + ("se" -> ms.count(m => inner.exists(compatible(m, _))).toString)
+      else row
+    }
+    // trailing VALUES joins the GROUPED solution (§18.2.4 stage order)
+    q.postVals.foreach(vs => groups = groups.filter(r => vs.contains(r(q.gv))))
+    // ORDER BY aggregates + LIMIT cut after the VALUES join
+    if (q.orderLimit)
+      groups = groups.sortBy(r => (-r("n").toInt, r(q.gv))).take(2)
+    groups
+  }
+
+  test("random grouped queries with EXISTS-in-aggregate / aggregate " +
+      "ORDER BY / trailing VALUES agree with the staged evaluator") {
+    val nodes = Seq("n1", "n2", "n3", "m4", "m5")
+    val preds = Seq("p", "q", "r")
+    val storeGen: Gen[Seq[(String, String, String)]] =
+      Gen.listOfN(24, Gen.zip(Gen.oneOf(nodes), Gen.oneOf(preds),
+        Gen.oneOf(nodes))).map(_.distinct)
+    val varNames = Seq("a", "b", "c")
+    val termGen: Gen[Either[String, String]] = Gen.frequency(
+      3 -> varNames.map(v => Right(v): Either[String, String])
+        .map(Gen.const).reduce(Gen.oneOf(_, _)),
+      1 -> Gen.oneOf(nodes).map(Left(_): Either[String, String]))
+    val patGen: Gen[Pat] =
+      Gen.zip(termGen, Gen.oneOf(preds), termGen).map(Pat.tupled)
+    val qGen: Gen[Q4] = for {
+      base <- Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, patGen))
+      ep   <- patGen
+      we   <- Gen.oneOf(true, false)
+      ol   <- Gen.oneOf(true, false)
+      pv   <- Gen.oneOf(None, Some(Seq("n1", "m4")), Some(Seq("n2")))
+    } yield {
+      val bound = base.flatMap(p => p.s.toSeq ++ p.o.toSeq).distinct
+      val gv = bound.headOption.getOrElse("a")
+      // the EXISTS body must share a variable with the pre-agg frame
+      val epShared =
+        if ((ep.s.toSeq ++ ep.o.toSeq).exists(bound.contains)) ep
+        else ep.copy(s = Right(gv))
+      Q4(base, gv, epShared, we, ol, pv)
+    }
+
+    var ran = 0
+    var existsRan = 0
+    var olRan = 0
+    var pvRan = 0
+    (0 until 300).foreach { i =>
+      val seed = Seed(1357911L + i)
+      val params = Gen.Parameters.default
+      (for {
+        store <- storeGen.apply(params, seed)
+        q <- qGen.apply(params, seed.next)
+      } yield (store, q)).foreach { case (store, q) =>
+        val noSelfVar = (q.base :+ q.ep)
+          .forall(p => !(p.s.isRight && p.s == p.o))
+        val hasVar = q.base.exists(p => p.s.isRight || p.o.isRight)
+        whenever(noSelfVar && hasVar && q.base.nonEmpty) {
+          val triples = store.toDF("s", "p", "o")
+          val labels = Seq(("x", "en", "y")).toDF("entity", "lang", "label")
+          val got = SparqlText.run(q.text, triples, labels)
+          val cols = got.columns.toSeq
+          val gotRows = got.collect().map(r =>
+            cols.zipWithIndex.collect {
+              case (c, idx) if !r.isNullAt(idx) => c -> r.get(idx).toString
+            }.toMap).toSeq
+          val refRows = evalRef4(store, q)
+            .map(_.filter { case (c, _) => cols.contains(c) })
+          def canon(xs: Seq[Binding]) =
+            xs.map(_.toSeq.sorted.mkString("|")).sorted
+          assert(canon(gotRows) == canon(refRows),
+            s"DISAGREEMENT on:\n${q.text}\nstore: $store\n" +
+              s"engine: ${canon(gotRows)}\nnaive : ${canon(refRows)}")
+          ran += 1
+          if (q.withExists) existsRan += 1
+          if (q.orderLimit) olRan += 1
+          if (q.postVals.nonEmpty) pvRan += 1
+        }
+      }
+    }
+    assert(ran >= 100, s"only $ran effective grouped cases ran")
+    assert(existsRan >= 30 && olRan >= 30 && pvRan >= 30,
+      s"coverage: exists=$existsRan orderLimit=$olRan postVals=$pvRan")
+  }
+
   private def whenever(cond: Boolean)(body: => Unit): Unit =
     if (cond) body
 }
