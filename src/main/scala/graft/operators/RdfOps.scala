@@ -905,8 +905,12 @@ object RdfOps {
             (coalesce(col("cin"), lit(0.0)) + col("dm") / n), 10).as("pr"))
         .localCheckpoint()
     }
+    // the cut sorts on the SAME 8dp key it emits (round-before-use):
+    // sorting on the 10dp iteration state would let two 8dp-equal nodes
+    // straddling rank 20 resolve differently from the oracle's
+    // (rounded alias, node) order
     val out = pr
-      .orderBy(col("pr").desc, col("node").asc).limit(20)
+      .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
       .select(col("node"), round(col("pr"), 8).as("pr"))
       .localCheckpoint()
     e.unpersist(blocking = false); nodes.unpersist(blocking = false)

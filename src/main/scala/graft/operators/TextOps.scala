@@ -32,6 +32,15 @@ object TextOps {
   private val shingles3 =
     "IF(size(toks) >= 3, transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), CAST(array() AS ARRAY<STRING>))"
 
+  /** 5-gram shingles shared by q116 and its Bloom scale path q201 — ONE
+    * definition, because q201's transparency invariant (exact hits equal
+    * q116) requires byte-identical gram construction. */
+  private val fiveGrams =
+      "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
+        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
+        "CAST(array() AS ARRAY<STRING>))"
+
+
   /** Exact dedup by content key (hash-groupBy): md5 of the first-8-token
     * prefix; keep the smallest doc_id per group. Map-side partial agg makes
     * this a single shuffle of (key → min,count) state at any scale. */
@@ -437,10 +446,6 @@ object TextOps {
     * n-gram order (13 is the usual published choice; 5 here scales to the
     * 56-token synthetic docs). */
   def q116Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val fiveGrams =
-      "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
-        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
-        "CAST(array() AS ARRAY<STRING>))"
     val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
     val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
     g.filter(col("doc_id") >= 20)
@@ -1676,10 +1681,6 @@ object TextOps {
     * hits, the FP-rate audit) alongside n_hits (exact, = q116).
     * A candidate row with n_hits = 0 is a measured false positive. */
   def q201BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val fiveGrams =
-      "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
-        "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
-        "CAST(array() AS ARRAY<STRING>))"
     val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
       .persist()
     g.count()

@@ -2073,12 +2073,16 @@ object SparqlText {
         // implicit (empty) grouping admits only aggregate projections —
         // a plain ?var would silently project null (SPARQL errors here).
         // Variables bound by the trailing VALUES clause join AFTER the
-        // aggregation (§18.2.4) and are legally projectable.
-        val postVars: Set[String] = q.postValues match {
+        // aggregation (§18.2.4) and are legally projectable — but ONLY
+        // the ones the WHERE pattern does not also bind: an ungrouped
+        // pattern variable stays a §17.2.2 projection error even when a
+        // same-named VALUES column exists (the table would fabricate
+        // bindings unrelated to the group's own).
+        val postVars: Set[String] = (q.postValues match {
           case Some(ValuesEl(v, _))      => Set(v)
           case Some(ValuesTabEl(vs, _))  => vs.toSet
-          case _                         => Set.empty
-        }
+          case _                         => Set.empty[String]
+        }).diff(elVars(q.where))
         q.proj.collect { case PVar(src, _) => src }
           .filterNot(keyNames.contains).filterNot(postVars.contains)
           .foreach(v =>
@@ -2384,12 +2388,20 @@ object SparqlText {
     * with the mark, so the surrounding expression (&&, ||, IF, NOT) sees
     * an ordinary column. Callers (FILTER, BIND, projection) drop the
     * returned mark columns once used. */
+  /** Mark-name source for [[liftExistsMarksImpl]]: process-unique so
+    * SEQUENTIAL lift calls over one accumulating frame (several
+    * EXISTS-bearing aggregate arguments, several EXISTS ORDER BY keys,
+    * several EXISTS projections) can never collide — a per-call counter
+    * would reuse `__exists0` and the second lift's withColumn would
+    * silently REPLACE the first lift's mark, making both expressions
+    * read the second EXISTS. */
+  private val markIds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def liftExistsMarksImpl(base0: DataFrame, e: EExpr,
       triples: DataFrame, labels: DataFrame, params: Map[String, Long],
       memo: FunctMemo, graphCtx: Option[Term],
       namedTriples: Option[DataFrame]): (DataFrame, EExpr, Seq[String]) = {
     var lifted = base0
-    var n = 0
     val marks = Vector.newBuilder[String]
     def lift(x: EExpr): EExpr = x match {
       case EExists(g, neg) =>
@@ -2399,7 +2411,7 @@ object SparqlText {
           .filterNot(isFidelityCol)
         if (shared.isEmpty) sys.error(
           "EXISTS must share at least one variable with the outer group")
-        val m = s"__exists$n"; n += 1; marks += m
+        val m = s"__exists${markIds.getAndIncrement()}"; marks += m
         val matched = compatNegation(lifted, right, shared,
           anti = false, requireOverlap = false).withColumn(m, lit(true))
         val unmatched = compatNegation(lifted, right, shared,

@@ -2153,6 +2153,41 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("grouped query"))
   }
 
+  test("several EXISTS lifts over one frame keep distinct marks " +
+      "(no __exists name collision)") {
+    // two EXISTS-bearing aggregate arguments: ?ndead varies per group,
+    // ?nborn counts every member (all subjects have P569) — a mark
+    // collision would make BOTH columns read the second EXISTS
+    val two = SparqlText.run(
+      """SELECT ?c (SUM(IF(EXISTS { ?s wdt:P570 ?d }, 1, 0)) AS ?ndead)
+        |           (SUM(IF(EXISTS { ?s wdt:P569 ?b }, 1, 0)) AS ?nborn)
+        |WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c""".stripMargin, triples, labels)
+    assert(rows(two) == Set(
+      Seq("wd:Q40", 1L, 3L), Seq("wd:Q28513", 1L, 2L),
+      Seq("wd:Q131964", 0L, 1L), Seq("wd:Q699964", 1L, 1L),
+      Seq("wd:Q183", 0L, 1L)))
+    // two EXISTS projections: ?dead varies, ?cit is uniformly true
+    val proj = SparqlText.run(
+      """SELECT ?s (EXISTS { ?s wdt:P570 ?d } AS ?dead)
+        |          (EXISTS { ?s wdt:P27 ?c } AS ?cit)
+        |WHERE { ?s wdt:P569 ?b }""".stripMargin, triples, labels)
+    val byS = proj.collect().map(r =>
+      r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(byS.values.forall(_._2), "?cit must be true for every subject")
+    assert(byS.count(_._2._1) == 3 &&
+      Set("P1", "P3", "P5").forall(byS(_)._1),
+      s"?dead must vary: $byS")
+  }
+
+  test("trailing VALUES cannot make an ungrouped WHERE variable projectable") {
+    val e = intercept[RuntimeException](SparqlText.run(
+      """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c
+        |VALUES ?s { <P1> }""".stripMargin, triples, labels))
+    assert(e.getMessage.contains("GROUP BY"), e.getMessage)
+  }
+
   test("EXISTS inside aggregate arguments lifts against the pre-agg frame") {
     // SUM(IF(EXISTS{…},1,0)) — the argument evaluates per PRE-group
     // solution, so the mark joins the (member, citizenship) frame on ?s
