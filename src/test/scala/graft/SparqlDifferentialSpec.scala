@@ -483,17 +483,25 @@ class SparqlDifferentialSpec extends SparkSpec {
   // → order/limit), which is exactly where an implementation that
   // joined VALUES into WHERE or sorted after projection would diverge.
 
-  private case class Q4(base: List[Pat], gv: String, ep: Pat,
-                        withExists: Boolean, orderLimit: Boolean,
+  private case class Q4(base: List[Pat], gv: String, ep: Pat, ep2: Pat,
+                        withExists: Boolean, twoExists: Boolean,
+                        orderLimit: Boolean,
                         postVals: Option[Seq[String]]) {
     def text: String = {
       val se =
         if (withExists) s" (SUM(IF(EXISTS { ${ep.text} }, 1, 0)) AS ?se)"
         else ""
+      // a SECOND EXISTS aggregate over one pre-agg frame — the mark
+      // columns of sequential lifts must stay distinct (the __exists
+      // collision class)
+      val se2 =
+        if (withExists && twoExists)
+          s" (SUM(IF(EXISTS { ${ep2.text} }, 1, 0)) AS ?s2)"
+        else ""
       val vals = postVals.fold("")(vs =>
         s" VALUES ?$gv { ${vs.map(v => s"<$v>").mkString(" ")} }")
       val ol = if (orderLimit) s" ORDER BY DESC(COUNT(*)) ?$gv LIMIT 2" else ""
-      s"SELECT ?$gv (COUNT(*) AS ?n)$se WHERE { ${base.map(_.text).mkString(" ")} } " +
+      s"SELECT ?$gv (COUNT(*) AS ?n)$se$se2 WHERE { ${base.map(_.text).mkString(" ")} } " +
         s"GROUP BY ?$gv$vals$ol"
     }
   }
@@ -506,11 +514,15 @@ class SparqlDifferentialSpec extends SparkSpec {
       }
     val sols = evalBgp(q.base)
     val inner = if (q.withExists) evalBgp(List(q.ep)) else Nil
+    val inner2 =
+      if (q.withExists && q.twoExists) evalBgp(List(q.ep2)) else Nil
     var groups = sols.groupBy(_(q.gv)).toSeq.map { case (k, ms) =>
-      val row = Map(q.gv -> k, "n" -> ms.size.toString)
+      var row = Map(q.gv -> k, "n" -> ms.size.toString)
       if (q.withExists)
-        row + ("se" -> ms.count(m => inner.exists(compatible(m, _))).toString)
-      else row
+        row += ("se" -> ms.count(m => inner.exists(compatible(m, _))).toString)
+      if (q.withExists && q.twoExists)
+        row += ("s2" -> ms.count(m => inner2.exists(compatible(m, _))).toString)
+      row
     }
     // trailing VALUES joins the GROUPED solution (§18.2.4 stage order)
     q.postVals.foreach(vs => groups = groups.filter(r => vs.contains(r(q.gv))))
@@ -537,21 +549,24 @@ class SparqlDifferentialSpec extends SparkSpec {
     val qGen: Gen[Q4] = for {
       base <- Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, patGen))
       ep   <- patGen
+      ep2  <- patGen
       we   <- Gen.oneOf(true, false)
+      te   <- Gen.oneOf(true, false)
       ol   <- Gen.oneOf(true, false)
       pv   <- Gen.oneOf(None, Some(Seq("n1", "m4")), Some(Seq("n2")))
     } yield {
       val bound = base.flatMap(p => p.s.toSeq ++ p.o.toSeq).distinct
       val gv = bound.headOption.getOrElse("a")
-      // the EXISTS body must share a variable with the pre-agg frame
-      val epShared =
-        if ((ep.s.toSeq ++ ep.o.toSeq).exists(bound.contains)) ep
-        else ep.copy(s = Right(gv))
-      Q4(base, gv, epShared, we, ol, pv)
+      // each EXISTS body must share a variable with the pre-agg frame
+      def share(p: Pat): Pat =
+        if ((p.s.toSeq ++ p.o.toSeq).exists(bound.contains)) p
+        else p.copy(s = Right(gv))
+      Q4(base, gv, share(ep), share(ep2), we, te, ol, pv)
     }
 
     var ran = 0
     var existsRan = 0
+    var twoRan = 0
     var olRan = 0
     var pvRan = 0
     (0 until 300).foreach { i =>
@@ -561,7 +576,7 @@ class SparqlDifferentialSpec extends SparkSpec {
         store <- storeGen.apply(params, seed)
         q <- qGen.apply(params, seed.next)
       } yield (store, q)).foreach { case (store, q) =>
-        val noSelfVar = (q.base :+ q.ep)
+        val noSelfVar = (q.base :+ q.ep :+ q.ep2)
           .forall(p => !(p.s.isRight && p.s == p.o))
         val hasVar = q.base.exists(p => p.s.isRight || p.o.isRight)
         whenever(noSelfVar && hasVar && q.base.nonEmpty) {
@@ -582,14 +597,16 @@ class SparqlDifferentialSpec extends SparkSpec {
               s"engine: ${canon(gotRows)}\nnaive : ${canon(refRows)}")
           ran += 1
           if (q.withExists) existsRan += 1
+          if (q.withExists && q.twoExists) twoRan += 1
           if (q.orderLimit) olRan += 1
           if (q.postVals.nonEmpty) pvRan += 1
         }
       }
     }
     assert(ran >= 100, s"only $ran effective grouped cases ran")
-    assert(existsRan >= 30 && olRan >= 30 && pvRan >= 30,
-      s"coverage: exists=$existsRan orderLimit=$olRan postVals=$pvRan")
+    assert(existsRan >= 30 && twoRan >= 15 && olRan >= 30 && pvRan >= 30,
+      s"coverage: exists=$existsRan two=$twoRan orderLimit=$olRan " +
+        s"postVals=$pvRan")
   }
 
   private def whenever(cond: Boolean)(body: => Unit): Unit =
