@@ -158,8 +158,10 @@ object ComposeOps {
     * Hamming ≤ 6 with the native codegen'd expression. Output carries
     * both group sizes, so the pair report prices the collapse a merge
     * would perform. */
-  def q202MediaAhash(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HammingDistance.register(s)
+  /** aHash groups over the events-derived media table: (ahash, n_media,
+    * rep_media), materialized once — the full media scan behind it runs
+    * exactly one time per caller. Shared by q202 and q203. */
+  private def ahashGroups(s: SparkSession, dir: String): DataFrame = {
     // richer stub payload than the q45/q75 props-only table: the media
     // bytes concatenate the event's fields, so grids vary per row.
     // The events table arrives as one small parquet split while the
@@ -171,13 +173,16 @@ object ComposeOps {
       .select(col("event_id").as("media_id"),
         encode(concat_ws("|", col("event_type"), col("value"),
           col("props"), col("user_id")), "UTF-8").as("payload"))
-    // the group table is distinct-hash-sized (tiny) but sits on top of
-    // the full media scan — materialize once so the band self-join's two
-    // sides never re-hash the corpus
-    val groups = graft.multimodal.Multimodal.aHash(media)
+    graft.multimodal.Multimodal.aHash(media)
       .groupBy(col("ahash"))
       .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep_media"))
       .localCheckpoint()
+  }
+
+  /** Near-dup hash pairs over the DISTINCT-hash table: 16-bit band keys,
+    * Hamming ≤ 6 verification (native codegen'd expression). */
+  private def ahashPairs(s: SparkSession, groups: DataFrame): DataFrame = {
+    graft.functions.HammingDistance.register(s)
     val bands = groups.select(col("ahash"), col("n_media"),
       explode(expr("transform(sequence(0, 3), " +
         "j -> struct(j AS band, substring(ahash, j * 16 + 1, 16) AS key))"))
@@ -194,12 +199,36 @@ object ComposeOps {
         graft.functions.HammingDistance(col("hash_a"), col("hash_b"))
           .cast("long"))
       .filter(col("dist") <= 6)
+  }
+
+  def q202MediaAhash(s: SparkSession, dir: String): DataFrame =
+    ahashPairs(s, ahashGroups(s, dir))
       .select(col("hash_a"), col("hash_b"), col("dist"),
         col("n_a"), col("n_b"))
+
+  /** Media near-dup CLUSTERS — q110's component step on the aHash pair
+    * graph: verified hash pairs feed the same distributed min-label
+    * propagation ([[graft.plans.ConnectedComponents]], string labels),
+    * isolated hashes label themselves, and each cluster reports how
+    * many media rows a canonical-representative merge would collapse.
+    * Everything after the one media scan runs on the distinct-hash
+    * table — cluster work never touches the corpus again. */
+  def q203MediaClusters(s: SparkSession, dir: String): DataFrame = {
+    val groups = ahashGroups(s, dir)
+    val pairs = ahashPairs(s, groups)
+    graft.plans.ConnectedComponents.labels(
+        pairs.select(col("hash_a").as("src"), col("hash_b").as("dst")),
+        groups.select(col("ahash").as("node")))
+      .join(groups, col("node") === col("ahash"))
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(col("n_media")).as("n_media"),
+        min(col("rep_media")).as("rep_media"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_media_ahash"   -> q202MediaAhash _,
+    "q203_media_clusters" -> q203MediaClusters _,
     "q76_bucketed_join"  -> q76BucketedJoin _,
     "q52_career_render"  -> q52CareerRender _,
     "q53_double_optional" -> q53DoubleOptional _,
@@ -210,38 +239,60 @@ object ComposeOps {
     "q155_stop_frames"   -> q155StopFrames _
   )
 
+  /** aHash CTE chain shared by the q202/q203 oracles (must stay in
+    * lockstep with [[ahashGroups]]/[[ahashPairs]]): `g` (distinct-hash
+    * groups) through `pairs` (band-sharing candidates, unverified). */
+  private val ahashCtesSql =
+    """m0 AS (SELECT event_id AS media_id,
+                event_type||'|'||value||'|'||props||'|'||user_id AS s
+              FROM events),
+       m AS (SELECT media_id,
+               CASE WHEN length(s) = 0 THEN repeat('0', 128)
+                    ELSE substr(repeat(hex(s), 64 // length(s) + 1), 1, 128)
+               END AS hx FROM m0),
+       px AS (SELECT media_id,
+                list_transform(range(0, 64),
+                  i -> CAST(('0x'||substr(hx, 2*i + 1, 2)) AS BIGINT)) AS pix
+              FROM m),
+       ah AS (SELECT media_id, pix, list_sum(pix) AS total FROM px),
+       h AS (SELECT media_id,
+               array_to_string(list_transform(pix,
+                 p -> CASE WHEN p * 64 > total THEN '1' ELSE '0' END), '')
+                 AS ahash
+             FROM ah),
+       g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_media,
+               min(media_id) AS rep_media FROM h GROUP BY 1),
+       bands AS (SELECT ahash, n_media, j AS band,
+                   substr(ahash, j * 16 + 1, 16) AS key
+                 FROM g, range(0, 4) r(j)),
+       pairs AS (SELECT DISTINCT a.ahash AS hash_a, b.ahash AS hash_b,
+                   a.n_media AS n_a, b.n_media AS n_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.ahash < b.ahash)"""
+
   val oracles: Map[String, String] = Map(
     "q202_media_ahash" ->
-      """WITH m0 AS (SELECT event_id AS media_id,
-                       event_type||'|'||value||'|'||props||'|'||user_id AS s
-                     FROM events),
-         m AS (SELECT media_id,
-                 CASE WHEN length(s) = 0 THEN repeat('0', 128)
-                      ELSE substr(repeat(hex(s), 64 // length(s) + 1), 1, 128)
-                 END AS hx FROM m0),
-         px AS (SELECT media_id,
-                  list_transform(range(0, 64),
-                    i -> CAST(('0x'||substr(hx, 2*i + 1, 2)) AS BIGINT)) AS pix
-                FROM m),
-         ah AS (SELECT media_id, pix, list_sum(pix) AS total FROM px),
-         h AS (SELECT media_id,
-                 array_to_string(list_transform(pix,
-                   p -> CASE WHEN p * 64 > total THEN '1' ELSE '0' END), '')
-                   AS ahash
-               FROM ah),
-         g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_media,
-                 min(media_id) AS rep_media FROM h GROUP BY 1),
-         bands AS (SELECT ahash, n_media, j AS band,
-                     substr(ahash, j * 16 + 1, 16) AS key
-                   FROM g, range(0, 4) r(j)),
-         pairs AS (SELECT DISTINCT a.ahash AS hash_a, b.ahash AS hash_b,
-                     a.n_media AS n_a, b.n_media AS n_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.key = b.key
-                    AND a.ahash < b.ahash)
+      s"""WITH $ahashCtesSql
          SELECT hash_a, hash_b,
                 CAST(hamming(hash_a, hash_b) AS BIGINT) AS dist, n_a, n_b
          FROM pairs WHERE hamming(hash_a, hash_b) <= 6""",
+    "q203_media_clusters" ->
+      s"""WITH RECURSIVE $ahashCtesSql,
+         vp AS (SELECT hash_a, hash_b FROM pairs
+                WHERE hamming(hash_a, hash_b) <= 6),
+         sym AS (SELECT hash_a AS src, hash_b AS dst FROM vp
+                 UNION SELECT hash_b, hash_a FROM vp),
+         reach(node, mm) AS (
+           SELECT ahash, ahash FROM g
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.mm),
+         lab AS (SELECT node, min(mm) AS cluster FROM reach GROUP BY node)
+         SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_hashes,
+                CAST(sum(g2.n_media) AS BIGINT) AS n_media,
+                min(g2.rep_media) AS rep_media
+         FROM lab l JOIN g g2 ON g2.ahash = l.node
+         GROUP BY 1""",
     "q52_career_render" ->
       """WITH b AS (
            SELECT 'CAR'||md5(CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)||'|'||
