@@ -35,7 +35,7 @@ object TextOps {
   /** 5-gram shingles shared by q116 and its Bloom scale path q201 — ONE
     * definition, because q201's transparency invariant (exact hits equal
     * q116) requires byte-identical gram construction. */
-  private val fiveGrams =
+  private[graft] val fiveGrams =
       "IF(size(toks) >= 5, transform(sequence(0, size(toks)-5), i -> " +
         "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), " +
         "CAST(array() AS ARRAY<STRING>))"
@@ -1680,36 +1680,48 @@ object TextOps {
     * positives hash-match: the output carries n_candidates (Bloom
     * hits, the FP-rate audit) alongside n_hits (exact, = q116).
     * A candidate row with n_hits = 0 is a measured false positive. */
-  def q201BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
-      .persist()
-    g.count()
-    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
-    // probe j reads hex nibbles [4j, 4j+4) of md5(g): a 16-bit position
-    // split into (word = p div 32, bit = p % 32) — 32-bit words keep
-    // every mask positive, no sign/shift edge cases in either engine
-    val probesSql = (0 until 4).map { j =>
-      val off = j * 4 + 1
-      s"named_struct(" +
-        s"'w', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) div 32, " +
-        s"'b', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) % 32)"
-    }.mkString(", ")
-    val bloom = evalGrams
-      .select(explode(expr(s"array($probesSql)")).as("pb"))
+  /** Probe-array SQL shared by the Bloom build and probe sides: probe j
+    * reads hex nibbles [4j, 4j+4) of md5(g) — a 16-bit position split
+    * into (word = p div 32, bit = p % 32); 32-bit words keep every mask
+    * positive, no sign/shift edge cases in either engine. */
+  private[graft] val bloomProbesSql = (0 until 4).map { j =>
+    val off = j * 4 + 1
+    s"named_struct(" +
+      s"'w', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) div 32, " +
+      s"'b', CAST(conv(substring(md5(g), $off, 4), 16, 10) AS BIGINT) % 32)"
+  }.mkString(", ")
+
+  /** 2^16-bit Bloom filter of a gram set as ≤2048 (word, mask) rows —
+    * the broadcastable artifact of the decontamination scale path. */
+  private[graft] def bloomWordsOf(evalGrams: DataFrame): DataFrame =
+    evalGrams
+      .select(explode(expr(s"array($bloomProbesSql)")).as("pb"))
       .select(col("pb.w").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pb.b AS INT))").as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
-    val train = g.filter(col("doc_id") >= 20)
-      .select(col("doc_id"), col("g")).distinct()
-    val candidates = train
+
+  /** Distinct (doc_id, g) grams whose FOUR Bloom probes all hit — the
+    * candidate set the exact join verifies. */
+  private[graft] def bloomCandidates(grams: DataFrame,
+                                     bloomWords: DataFrame): DataFrame =
+    grams
       .select(col("doc_id"), col("g"),
-        explode(expr(s"array($probesSql)")).as("pb"))
-      .join(broadcast(bloom), col("pb.w") === col("w"))
+        explode(expr(s"array($bloomProbesSql)")).as("pb"))
+      .join(broadcast(bloomWords), col("pb.w") === col("w"))
       .filter(expr(
         "(mask & shiftleft(CAST(1 AS BIGINT), CAST(pb.b AS INT))) != 0"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("nh"))
       .filter(col("nh") === 4)
       .select(col("doc_id"), col("g"))
+
+  def q201BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
+      .persist()
+    g.count()
+    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val train = g.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("g")).distinct()
+    val candidates = bloomCandidates(train, bloomWordsOf(evalGrams))
     val exact = candidates.join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     val out = candidates

@@ -277,6 +277,39 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming decontamination sink — q201's Bloom scale path applied
+    * per micro-batch against a STATIC eval suite: each batch's 5-grams
+    * probe the broadcast ≤2048-word Bloom filter, only survivors reach
+    * the exact join against the eval gram set, and docs with ≥1 exact
+    * hit are dropped; clean docs append to `cleanPath`. Both static
+    * artifacts (Bloom words + gram set) are precomputed ONCE — per
+    * trigger the corpus-sized side is only the micro-batch. Filtering
+    * is idempotent, so crash replay at-least-once re-appends the same
+    * clean rows at worst (duplicate rows, never contaminated ones). */
+  def decontaminateSink(docs: DataFrame, evalGrams: DataFrame,
+                        cleanPath: String)
+                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val bloom = graft.operators.TextOps.bloomWordsOf(evalGrams)
+      .localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val grams = batch.toDF()
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            explode(expr(graft.operators.TextOps.fiveGrams)).as("g"))
+          .distinct()
+        val hits = graft.operators.TextOps.bloomCandidates(grams, bloom)
+          .join(broadcast(evalGrams), Seq("g"))
+          .select(col("doc_id")).distinct()
+        batch.toDF().join(hits, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(cleanPath)
+        ()
+      }
+      .start()
+  }
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

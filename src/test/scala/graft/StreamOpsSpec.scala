@@ -240,6 +240,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(batchKeys == admitted)
   }
 
+  test("decontaminateSink drops exactly the docs the batch q201 flags " +
+      "with exact hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("decon").toFile
+    val cleanPath = new java.io.File(dir, "clean").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      // static artifacts: the same eval gram set q201 derives
+      val evalGrams = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 20)
+        .withColumn("toks", split(col("text"), " "))
+        .select(explode(expr(graft.operators.TextOps.fiveGrams)).as("g"))
+        .distinct().localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      val query = StreamOps.decontaminateSink(docs, evalGrams, cleanPath)(ckpt)
+      // replay the train half (doc_id >= 20) in two micro-batches
+      val train = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") >= 20).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val (b1, b2) = train.splitAt(train.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      query.stop()
+      val kept = spark.read.parquet(cleanPath)
+        .select("doc_id").as[Long].collect().toSet
+      val flagged = graft.operators.TextOps
+        .q201BloomDecontaminate(spark, sfDir)
+        .filter(col("n_hits") >= 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(flagged.nonEmpty, "fixture should contaminate something")
+      assert(kept == train.map(_._1).toSet -- flagged,
+        s"stream/batch divergence: missing=${train.map(_._1).toSet -- flagged -- kept} " +
+          s"extra=${kept.intersect(flagged)}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("cdcAdmitSink: an embedded already-seen passage rejects the doc " +
       "even when every doc-level key differs") {
     implicit val sqlCtx = spark.sqlContext
