@@ -65,32 +65,24 @@ object Multimodal {
         md5(col("f.frame")).as("frame_md5"))
   }
 
-  /** Average-hash (aHash) over the stub-decoded pixel grid: the payload's
-    * first 64 bytes act as the 8×8 grayscale grid (zero-padded — a real
-    * decoder would downsample the decoded image to 8×8 here), and bit i
-    * is set iff pixel i exceeds the grid mean — decided integer-exactly
-    * (64·p_i > Σp) so both engines agree bit-for-bit. The hash is a
-    * 64-char '0'/'1' string: byte-wise Hamming distance (the native
-    * [[graft.functions.HammingDistance]] expression) IS the perceptual
-    * distance, and a one-byte payload change flips only a few bits —
-    * the locality property that makes near-dup banding work on media. */
-  def aHash(media: DataFrame): DataFrame =
-    media
-      // the 8×8 grid TILES the payload to fill 64 bytes (a real decoder
-      // downsamples the decoded image here; tiling keeps every pixel
-      // content-derived so the hash is not length-dominated); an empty
-      // payload grids to all-zero
-      .withColumn("hx", expr(
-        "CASE WHEN length(payload) = 0 THEN repeat('0', 128) " +
-          "ELSE substring(repeat(hex(payload), " +
-          "CAST(64 div length(payload) AS INT) + 1), 1, 128) END"))
-      .withColumn("pix", expr("transform(sequence(0, 63), " +
-        "i -> CAST(conv(substring(hx, 2*i + 1, 2), 16, 10) AS BIGINT))"))
-      .withColumn("total", expr(
-        "aggregate(pix, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .withColumn("ahash", expr(
-        "concat_ws('', transform(pix, p -> IF(p * 64 > total, '1', '0')))"))
-      .drop("hx", "pix", "total")
+  /** Average-hash (aHash) over the stub-decoded pixel grid: the payload
+    * tiles to an 8×8 grayscale grid (a real decoder would downsample the
+    * decoded image to 8×8 here), and bit i is set iff pixel i exceeds the
+    * grid mean — decided integer-exactly (64·p_i > Σp) so both engines
+    * agree bit-for-bit. The hash is a 64-char '0'/'1' string: byte-wise
+    * Hamming distance (the native [[graft.functions.HammingDistance]]
+    * expression) IS the perceptual distance, and a one-byte payload change
+    * flips only a few bits — the locality property that makes near-dup
+    * banding work on media.
+    *
+    * Computed by the native codegen expression
+    * [[graft.functions.AHash64]] — one fused loop inside whole-stage
+    * codegen, replacing the earlier 64-lambda HOF formulation that never
+    * codegen'd (docs/SCALING.md q202 postmortem). */
+  def aHash(media: DataFrame): DataFrame = {
+    graft.functions.AHash64.register(media.sparkSession)
+    media.withColumn("ahash", graft.functions.AHash64(col("payload")))
+  }
 
   /** Build a binary media table from the events props strings (the driver
     * data has no blob column; utf-8 bytes keep every derived feature

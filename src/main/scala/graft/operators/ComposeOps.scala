@@ -164,12 +164,10 @@ object ComposeOps {
   private def ahashGroups(s: SparkSession, dir: String): DataFrame = {
     // richer stub payload than the q45/q75 props-only table: the media
     // bytes concatenate the event's fields, so grids vary per row.
-    // The events table arrives as one small parquet split while the
-    // hash stage is compute-bound (64 interpreted lambda evals per row
-    // — HOF lambdas don't codegen) — spread it across the cores first,
-    // the q38 signature-stage precedent.
+    // The hash stage is the native codegen AHash64 expression (one fused
+    // loop per row), so no repartition is needed to spread interpreted
+    // work — the scan's own splits carry it at memory-bandwidth speed.
     val media = Tables.events(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("event_id").as("media_id"),
         encode(concat_ws("|", col("event_type"), col("value"),
           col("props"), col("user_id")), "UTF-8").as("payload"))

@@ -53,4 +53,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dist >= 1 && dist <= 8,
       s"one-byte change should flip few bits, flipped $dist")
   }
+
+  test("native AHash64 matches the HOF SQL formulation on every tiling " +
+      "regime (empty / shorter / exact / longer than the 64-byte grid)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val payloads = Seq("", "x", "abc", "a" * 63 + "b", "0123456789" * 7,
+      (0 until 64).map(i => ('a' + i % 26).toChar).mkString,
+      "édge càse bytes beyond ascii ü" * 4)
+    val d = payloads.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    // the pre-round-10 interpreted formulation, kept here as the spec oracle
+    val sqlSide = d
+      .withColumn("hx", expr(
+        "CASE WHEN length(payload) = 0 THEN repeat('0', 128) " +
+          "ELSE substring(repeat(hex(payload), " +
+          "CAST(64 div length(payload) AS INT) + 1), 1, 128) END"))
+      .withColumn("pix", expr("transform(sequence(0, 63), " +
+        "i -> CAST(conv(substring(hx, 2*i + 1, 2), 16, 10) AS BIGINT))"))
+      .withColumn("total", expr(
+        "aggregate(pix, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("expected", expr(
+        "concat_ws('', transform(pix, p -> IF(p * 64 > total, '1', '0')))"))
+      .select("media_id", "expected")
+    val got = Multimodal.aHash(d).select("media_id", "ahash")
+      .join(sqlSide, "media_id").collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"media ${r.getLong(0)}: native ${r.getString(1)} != sql ${r.getString(2)}")
+    }
+  }
 }
