@@ -945,6 +945,28 @@ object RdfOps {
         |LIMIT 10""".stripMargin,
       TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
 
+  /** GROUP BY/HAVING on CONSTRUCT (§10.2 full SolutionModifier): the
+    * solution sequence becomes the GROUPED solutions — group keys plus
+    * the engine's aggregate group-condition extension
+    * `GROUP BY ?n (COUNT(?s) AS ?c)`, the only way a projection-less
+    * CONSTRUCT can template an aggregate value. Desugars at parse time
+    * to `CONSTRUCT { t } WHERE { SELECT … }`, so HAVING's hidden
+    * aggregate columns, the aggregate ORDER BY keys, and the LIMIT cut
+    * all ride the one SELECT grouping code path; the aggregate takes
+    * its lexical form on emission (the graph stays (s,p,o) strings).
+    * Reference shape: an aggregate-templated enrichment graph over a
+    * local store (prosnet-prefect-pipelines/enrich_via_sparql.py:145-166
+    * builds CONSTRUCT-style enrichment batches per entity). */
+  def q204ConstructGroupby(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """CONSTRUCT { ?n <memberCount> ?c . ?n <type> <PopulousNation> }
+        |WHERE { ?s <nation> ?n }
+        |GROUP BY ?n (COUNT(?s) AS ?c)
+        |HAVING (COUNT(?s) >= 3)
+        |ORDER BY DESC(COUNT(?s)) ?n
+        |LIMIT 8""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** Solution modifiers on CONSTRUCT (§10.2): ORDER BY/LIMIT/OFFSET cut
     * the SOLUTION SEQUENCE before templating — the sort+limit compiles
     * to TakeOrderedAndProject (per-partition top-k, driver merge; no
@@ -1158,6 +1180,7 @@ object RdfOps {
     "q183_orderby_exists"    -> q183OrderbyExists _,
     "q188_agg_exists"        -> q188AggExists _,
     "q189_construct_limit"   -> q189ConstructLimit _,
+    "q204_construct_groupby" -> q204ConstructGroupby _,
     "q190_graphvar_topk"     -> q190GraphvarTopk _,
     "q191_orderby_agg"       -> q191OrderbyAgg _,
     "q197_trailing_values"   -> q197TrailingValues _,
@@ -1338,6 +1361,14 @@ object RdfOps {
          SELECT s, 'inNation' AS p, n AS o FROM m
          UNION
          SELECT n AS s, 'hasMember' AS p, s AS o FROM m""",
+    "q204_construct_groupby" ->
+      s"""WITH st AS ($T),
+         g AS (SELECT o AS n, count(s) AS c FROM st WHERE p = 'nation'
+               GROUP BY o HAVING count(s) >= 3
+               ORDER BY count(s) DESC, o LIMIT 8)
+         SELECT n AS s, 'memberCount' AS p, CAST(c AS VARCHAR) AS o FROM g
+         UNION
+         SELECT n AS s, 'type' AS p, 'PopulousNation' AS o FROM g""",
     "q188_agg_exists" ->
       s"""WITH st AS ($T),
          m AS (SELECT s, o AS n FROM st WHERE p = 'nation')

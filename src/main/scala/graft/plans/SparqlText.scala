@@ -998,22 +998,92 @@ object SparqlText {
       prologue()
       if (isKw(peek, "CONSTRUCT")) {
         var q = constructQuery()
-        // §10.2 solution modifiers: ORDER BY/LIMIT/OFFSET select which
-        // solutions instantiate the template. GROUP BY/HAVING are in the
-        // grammar but meaningless without aggregate projections (a
-        // template has none) — refused with the real reason.
+        // §10.2 solution modifiers: the full SolutionModifier is
+        // grammatical on CONSTRUCT. ORDER BY/LIMIT/OFFSET select which
+        // solutions instantiate the template. GROUP BY/HAVING make the
+        // solution sequence the GROUPED solutions — and because CONSTRUCT
+        // has no projection clause to name an aggregate, the engine
+        // accepts the extension `GROUP BY ?k (COUNT(?x) AS ?c)`: a group
+        // condition whose expression is a single aggregate call BINDS
+        // that aggregate over each group (it is not a key), which is the
+        // only way a template can reference an aggregate value. Grouped
+        // CONSTRUCTs desugar to `CONSTRUCT { t } WHERE { SELECT … }` —
+        // the subselect compiles through the full SELECT grouping
+        // machinery (hidden HAVING columns, aggregate ORDER BY, §18
+        // stage order), so the two spellings are one code path.
+        var groupBy: Seq[String] = Nil
+        var groupByExprs: Seq[(EExpr, String)] = Nil
+        var aggBinds: Seq[ProjItem] = Nil
+        var having: Seq[EExpr] = Nil
         var trailing = true
         while (trailing && !eof) {
           if (isKw(peek, "ORDER")) q = q.copy(orderBy = orderByKeys())
           else if (isKw(peek, "LIMIT")) { i += 1; q = q.copy(limit = Some(numOrParam())) }
           else if (isKw(peek, "OFFSET")) { i += 1; q = q.copy(offset = Some(numOrParam())) }
-          else if (isKw(peek, "GROUP") || isKw(peek, "HAVING"))
-            fail("GROUP BY/HAVING on CONSTRUCT is unsupported (a " +
-              "template has no aggregate projections — aggregate in a " +
-              "subselect inside WHERE instead)")
+          else if (isKw(peek, "GROUP")) {
+            i += 1; expectKw("BY")
+            val gs = Vector.newBuilder[String]
+            val ges = Vector.newBuilder[(EExpr, String)]
+            val abs = Vector.newBuilder[ProjItem]
+            var more = true
+            while (more) peek match {
+              case TVar(_) => gs += varName()
+              case TPunct("(") =>
+                i += 1
+                allowAggs = true
+                val e = try expr() finally allowAggs = false
+                expectKw("AS")
+                val v = varName()
+                expectPunct(")")
+                e match {
+                  case EAgg(fn, Left(src), dist) => abs += PAgg(fn, src, v, dist)
+                  case EAgg(fn, Right(ex), dist) => abs += PAggE(fn, ex, v, dist)
+                  case other if hasAgg(other) => fail(
+                    "an aggregate group condition on CONSTRUCT must be a " +
+                      "single aggregate call (wrap arithmetic inside the " +
+                      s"aggregate or use a subselect): $other")
+                  case other => ges += ((other, v))
+                }
+              case _ => more = false
+            }
+            groupBy = gs.result(); groupByExprs = ges.result()
+            aggBinds = abs.result()
+            if (groupBy.isEmpty && groupByExprs.isEmpty)
+              fail("GROUP BY requires at least one key")
+          } else if (isKw(peek, "HAVING")) {
+            i += 1
+            if (peek != TPunct("(")) fail("HAVING expects a parenthesized expression")
+            val hs = Vector.newBuilder[EExpr]
+            allowAggs = true
+            try {
+              while (peek == TPunct("(")) {
+                i += 1
+                hs += orExpr()
+                expectPunct(")")
+              }
+            } finally allowAggs = false
+            having = having ++ hs.result()
+          }
           else trailing = false
         }
         if (!eof) fail(s"trailing tokens after CONSTRUCT: $peek")
+        if (groupBy.nonEmpty || groupByExprs.nonEmpty || having.nonEmpty) {
+          val keyNames = groupBy ++ groupByExprs.map(_._2)
+          val bound = (keyNames ++ aggBinds.map(_.out)).toSet
+          val tplVars = q.templates.flatMap(tp =>
+            Seq(tp.s, tp.o).collect { case V(v) => v })
+          val miss = tplVars.distinct.filterNot(bound)
+          if (miss.nonEmpty) fail(
+            s"grouped CONSTRUCT template references ungrouped variable(s) " +
+              s"${miss.map("?" + _).mkString(", ")} — every template " +
+              "variable must be a GROUP BY key or an aggregate binding")
+          val sel = SelectQ(distinct = false,
+            proj = keyNames.map(v => PVar(v, v)) ++ aggBinds,
+            where = q.where, groupBy = groupBy, groupByExprs = groupByExprs,
+            having = having, orderBy = q.orderBy, limit = q.limit,
+            offset = q.offset)
+          q = ConstructQ(q.templates, Seq(SubSel(sel)))
+        }
         q
       }
       else if (isKw(peek, "ASK")) {
@@ -1954,9 +2024,9 @@ object SparqlText {
     var bound = bound0
     if (q.orderBy.nonEmpty) {
       q.orderBy.foreach { case (e, _) =>
-        if (hasAgg(e)) sys.error("aggregate calls in CONSTRUCT ORDER BY " +
-          "are unsupported (a CONSTRUCT has no grouping — aggregate in " +
-          "a subselect inside WHERE instead)")
+        if (hasAgg(e)) sys.error("aggregate calls in ORDER BY require a " +
+          "grouped CONSTRUCT (add GROUP BY — the grouped form compiles " +
+          "them through the SELECT hidden-column machinery)")
       }
       val keys = q.orderBy.map { case (e, desc) =>
         val e2 =
@@ -1977,7 +2047,10 @@ object SparqlText {
     if (q.templates.size > 1 && (q.limit.nonEmpty || q.offset.nonEmpty))
       bound = bound.localCheckpoint()
     def termCol(t: Term): Column = t match {
-      case V(v) => col(v)
+      // the emitted graph is lexical (s, p, o string columns); an
+      // aggregate-bound variable from a grouped CONSTRUCT arrives
+      // numeric and takes its lexical form here
+      case V(v) => col(v).cast("string")
       case C(v) => lit(v)
       case L(v) => lit(v)
     }

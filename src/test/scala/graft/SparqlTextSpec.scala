@@ -1632,11 +1632,12 @@ class SparqlTextSpec extends SparkSpec {
         |ORDER BY DESC(?d) LIMIT 1""".stripMargin, triples, labels)
     assert(rows(multi) == Set(Seq("P3", "died", "2000-06-15"),
       Seq("P3", "type", "Dead")))
-    // GROUP BY/HAVING refuse with the real reason
+    // GROUP BY with a template var outside the keys refuses loudly
+    // (grouped CONSTRUCT itself is supported — see the dedicated test)
     val e = intercept[RuntimeException](SparqlText.run(
       """CONSTRUCT { ?s <x> ?d } WHERE { ?s wdt:P570 ?d } GROUP BY ?s""",
       triples, labels))
-    assert(e.getMessage.contains("CONSTRUCT is unsupported"))
+    assert(e.getMessage.contains("ungrouped variable"))
   }
 
   test("LANGMATCHES: RFC 4647 basic filtering in both positions") {
@@ -2252,5 +2253,45 @@ class SparqlTextSpec extends SparkSpec {
         |ORDER BY ASC(EXISTS { ?s wdt:P570 ?d }) ?s""".stripMargin
     assert(SparqlText.run(okey, triples, labels).collect().map(_.getString(0)).toSeq ==
       Seq("P2", "P4", "P6", "P7", "P8", "P1", "P3", "P5"))
+  }
+
+  test("grouped CONSTRUCT: GROUP BY + aggregate binding + HAVING + " +
+      "aggregate ORDER BY + LIMIT template from the grouped frame") {
+    // citizenship groups: Q40 n=3, Q28513 n=2, Q131964/Q699964/Q183 n=1
+    val g = SparqlText.run(
+      """CONSTRUCT { ?c <nMembers> ?n . ?c <type> <Citizenship> }
+        |WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c (COUNT(?s) AS ?n)
+        |HAVING (COUNT(?s) >= 2)
+        |ORDER BY DESC(COUNT(?s)) ?c
+        |LIMIT 1""".stripMargin, triples, labels)
+    // LIMIT cuts the grouped SOLUTION SEQUENCE (top group by count),
+    // then both template arms instantiate; the count emits lexically
+    assert(rows(g) == Set(
+      Seq("wd:Q40", "nMembers", "3"),
+      Seq("wd:Q40", "type", "Citizenship")))
+    // HAVING alone (no aggregate binding) — keys-only templates
+    val h = SparqlText.run(
+      """CONSTRUCT { ?c <type> <Multi> } WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c HAVING (COUNT(?s) >= 2)""".stripMargin, triples, labels)
+    assert(rows(h) == Set(Seq("wd:Q40", "type", "Multi"),
+      Seq("wd:Q28513", "type", "Multi")))
+    // expression group keys work on CONSTRUCT like on SELECT
+    val ek = SparqlText.run(
+      """CONSTRUCT { ?cent <born> ?n } WHERE { ?s wdt:P569 ?b }
+        |GROUP BY (SUBSTR(?b, 1, 2) AS ?cent) (COUNT(?s) AS ?n)
+        |HAVING (COUNT(?s) >= 2)""".stripMargin, triples, labels)
+    // decades: 19xx births P1,P3,P4,P5,P8 (n=5); 13xx/18xx/12xx n=1 each
+    assert(rows(ek) == Set(Seq("19", "born", "5")))
+    // template var that is neither key nor aggregate binding → loud
+    val e1 = intercept[RuntimeException](SparqlText.run(
+      """CONSTRUCT { ?s <in> ?c } WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c HAVING (COUNT(*) > 0)""".stripMargin, triples, labels))
+    assert(e1.getMessage.contains("ungrouped variable"))
+    // aggregate group condition must be a SINGLE aggregate call
+    val e2 = intercept[RuntimeException](SparqlText.run(
+      """CONSTRUCT { ?c <n> ?n } WHERE { ?s wdt:P27 ?c }
+        |GROUP BY ?c (COUNT(?s) + 1 AS ?n)""".stripMargin, triples, labels))
+    assert(e2.getMessage.contains("single aggregate call"))
   }
 }
