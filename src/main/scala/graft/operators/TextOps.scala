@@ -116,20 +116,30 @@ object TextOps {
     val bands = minhashBands(docsWithToks)
       .filter(col("bkey").isNotNull) // shingle-less docs never pair
       .persist()
-    bands.count() // materialize before the self-join
-    // Census of OVERSIZED buckets only — a map-side-combined aggregation
-    // over the cached band rows whose result is empty on every
-    // non-adversarial corpus and mega-bucket-count-sized otherwise.
-    val over = bands.groupBy(col("band"), col("bkey"))
+    // ONE action both materializes the persist and answers the census
+    // question: the max band-bucket size is a map-side-combined
+    // aggregation plus a 1-row global max, so the clean path pays no
+    // separate count + isEmpty barrier (the round-9 form ran two full
+    // passes over the cached bands before the self-join could start).
+    // 1-row driver read — the same bounded class as the closure's
+    // convergence reads.
+    val maxBucket = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(max(col("bsz")).as("m"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0L // no bands at all
+        case r => r.getLong(0)
+      }
+    // The CLEAN path keeps the classic band self-join with zero extra
+    // joins or corpus scans — the cap costs nothing extra when no bucket
+    // is pathological. Oversized keys recompute from the cached bands
+    // only on the adversarial path.
+    lazy val over = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
       .select(col("band"), col("bkey"))
-    // Bounded driver read (limit-1 over the cached census), the same
-    // class as the closure's convergence reads: the CLEAN path keeps the
-    // classic band self-join with zero extra joins or corpus scans — the
-    // cap costs one cached aggregation when no bucket is pathological.
     val pairs =
-      if (over.isEmpty)
+      if (maxBucket <= cap)
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
