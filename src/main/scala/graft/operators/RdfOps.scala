@@ -1052,6 +1052,61 @@ object RdfOps {
     * and bag-joins the outer solutions on the shared region variable.
     * An unregistered IRI refuses; SERVICE SILENT degrades to the unit
     * solution — both spec-covered. */
+  /** Remote-shaped SERVICE endpoint e2e (SURVEY S1's optional
+    * remote-fetch variant; the reference's primary mode —
+    * prosnet-prefect-pipelines/wikidata_index.py:129-152 walks SPARQL
+    * results-JSON bindings dicts page by page): the endpoint's pages are
+    * REAL W3C results-JSON documents parsed by the paged DSv2 source
+    * ([[graft.sources.SparqlJsonPagedProvider]], one page file = one
+    * input partition), carrying term fidelity (uri/literal kinds,
+    * xml:lang, datatype) into the bindings frame; the frame registers as
+    * the SERVICE graph and the body's LANG() filter reads the remote
+    * language tags. No egress in the sandbox, so the pages are written
+    * to local disk from the 25-row nation table first (bounded fixture
+    * generation, the q80 precedent) — a live adapter fetches the same
+    * bodies over HTTP and changes nothing downstream. */
+  def q205SparqlJsonEndpoint(sp: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SparqlResultsJson
+    import graft.sources.SparqlResultsJson.RTerm
+    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sparql_json_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+    val fsPath = new org.apache.hadoop.fs.Path(fixDir)
+    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(fsPath, true)
+    val nations = graft.Tables.nation(sp, dir)
+      .selectExpr("CAST(n_nationkey AS LONG)", "n_name",
+        "CAST(n_regionkey AS LONG)")
+      .collect().sortBy(_.getLong(0)) // 25 rows at every SF — fixture-gen
+    def iri(v: String) = Some(RTerm(v, kind = "iri"))
+    val rows = nations.flatMap { n =>
+      val (k, name, rk) = (n.getLong(0), n.getString(1), n.getLong(2))
+      Seq(
+        Seq(iri(s"N$k"), iri("region"), iri(s"R$rk")),
+        Seq(iri(s"N$k"), iri("label"),
+          Some(RTerm(name, lang = Some("en")))),
+        Seq(iri(s"N$k"), iri("label"),
+          Some(RTerm("de " + name, lang = Some("de")))),
+        Seq(iri(s"N$k"), iri("pop"), Some(RTerm((k * 37 + 11).toString,
+          dt = Some("http://www.w3.org/2001/XMLSchema#integer")))))
+    }.toSeq
+    SparqlResultsJson.writePages(fixDir, Seq("s", "p", "o"), rows, pageSize = 13)
+    val endpoint = SparqlResultsJson.asTriples(
+      SparqlResultsJson.bindings(sp, fixDir))
+    graft.plans.SparqlText.registerService("http://fixture.example/sparql", endpoint)
+    try graft.plans.SparqlText.run(
+      """SELECT ?c ?r ?lbl WHERE {
+        |  ?c <nation> ?n .
+        |  SERVICE <http://fixture.example/sparql> {
+        |    ?n <region> ?r . ?n <label> ?lbl
+        |    FILTER(LANG(?lbl) = "en")
+        |  }
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+    finally graft.plans.SparqlText.unregisterService(
+      "http://fixture.example/sparql", sp)
+  }
+
   def q173ServiceFederation(sp: SparkSession, dir: String): DataFrame = {
     graft.plans.SparqlText.registerService("http://example.org/geo",
       TripleStore.serviceTriples(sp, dir))
@@ -1188,6 +1243,7 @@ object RdfOps {
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
+    "q205_sparql_json_endpoint" -> q205SparqlJsonEndpoint _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1369,6 +1425,15 @@ object RdfOps {
          SELECT n AS s, 'memberCount' AS p, CAST(c AS VARCHAR) AS o FROM g
          UNION
          SELECT n AS s, 'type' AS p, 'PopulousNation' AS o FROM g""",
+    "q205_sparql_json_endpoint" ->
+      """WITH m AS (
+           SELECT 'C'||CAST(c_custkey AS VARCHAR) AS c, c_nationkey AS nk
+           FROM customer
+           UNION ALL
+           SELECT 'S'||CAST(s_suppkey AS VARCHAR), s_nationkey FROM supplier)
+         SELECT m.c AS c, 'R'||CAST(n_regionkey AS VARCHAR) AS r,
+                n_name AS lbl
+         FROM m JOIN nation ON m.nk = n_nationkey""",
     "q188_agg_exists" ->
       s"""WITH st AS ($T),
          m AS (SELECT s, o AS n FROM st WHERE p = 'nation')
