@@ -115,7 +115,7 @@ object VectorOps {
   }
 
   /** rn=1 projection of [[rankedCells]]: every vector's single cell. */
-  private def assignCells(e: DataFrame): DataFrame =
+  private[graft] def assignCells(e: DataFrame): DataFrame =
     rankedCells(e).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
 
@@ -482,12 +482,127 @@ object VectorOps {
       .agg(count(lit(1)).as("n"), round(avg(col("dist2")), 6).as("avg_dist2"))
   }
 
+  /** (vec_id, m, sub): the 4 × 16-dim subvector decomposition every PQ
+    * stage shares. */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
+      .as(Seq("m", "sub")))
+      .select(col("vec_id"), col("m"), col("sub"))
+
+  private val pqL2 = expr(
+    "round(aggregate(zip_with(sub, cw, (a, b) -> (a-b)*(a-b)), " +
+      "0D, (acc, x) -> acc + x), 6)")
+
+  /** TRAINED product-quantizer codebooks: per-subspace Lloyd k-means
+    * (k = 4 codewords × 4 subspaces), seeded from the first-4 vectors'
+    * subvectors — the q186 training-loop discipline applied per
+    * subspace, WITHOUT a driver loop over subspaces: the subspace id is
+    * an ordinary grouping key, so one distributed assign pass (subs ×
+    * broadcast codebooks, min-L2 window) and one (m, code, dim)
+    * partial-sum shuffle train all 4 codebooks at once. Rounded means
+    * (6dp) before any further use + fixed round count = the whole
+    * trajectory replays verbatim in DuckDB as chained CTEs; the exact
+    * rounded-fixpoint early stop commutes with the oracle's
+    * unconditional rounds (a converged round is a no-op). Empty
+    * clusters keep their previous codeword. Loop-carried state is 16
+    * rows — localCheckpoint'ed per round (lineage cut). Output:
+    * (cm, code, cw). */
+  private[graft] def trainPqCodebooks(e: DataFrame, rounds: Int = 2): DataFrame = {
+    val subs = pqSubs(e).persist()
+    subs.count()
+    var cbs = subs.filter(col("vec_id") < 4)
+      .select(col("m").as("cm"), col("vec_id").as("code"), col("sub").as("cw"))
+      .localCheckpoint()
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("code").asc)
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
+      val a = subs.join(broadcast(cbs), col("m") === col("cm"))
+        .withColumn("dist2", pqL2)
+        .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("sub"))
+      val means = a
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("i", "x")))
+        .groupBy(col("m"), col("code"), col("i"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("w"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr("transform(sort_array(collect_list(struct(i, w))), p -> p.w)")
+          .as("cw"))
+        .select(col("m").as("cm"), col("code"), col("cw"))
+      val kept = cbs.join(means.select(col("cm"), col("code")),
+        Seq("cm", "code"), "left_anti")
+      val next = means.unionByName(kept).localCheckpoint() // lineage cut
+      // bounded driver read (16 rows): exact rounded-codeword equality
+      converged = cbs.as("o").join(next.as("n"), Seq("cm", "code"))
+        .filter(col("o.cw") =!= col("n.cw")).isEmpty
+      cbs = next
+      it += 1
+    }
+    subs.unpersist(blocking = false)
+    cbs
+  }
+
+  /** PQ-train e2e: the trained codebooks themselves, one row per
+    * (subspace, codeword, dim) — pins the full 2-round Lloyd trajectory
+    * (assignments, rounded means, empty-cluster carry) against the
+    * chained-CTE DuckDB replay. */
+  def q206PqTrain(s: SparkSession, dir: String): DataFrame =
+    trainPqCodebooks(vecs(s, dir))
+      .select(col("cm").cast("long").as("m"), col("code"),
+        posexplode(col("cw")).as(Seq("pos", "w")))
+      .select(col("m"), col("code"), (col("pos") + 1).cast("long").as("i"),
+        col("w"))
+
+  /** IVF-PQ ADC search as a LIBRARY operator: caller supplies the
+    * cell-assigned corpus, the codebooks, and the QUERY frame (q_id,
+    * q_cell, sub per subspace — any frame, not a pinned id range). The
+    * corpus is PQ-encoded once against the broadcast codebooks; each
+    * query precomputes its (m, code) distance table (broadcast); in-cell
+    * candidates score as 4 lookups + a sum. */
+  private[graft] def ivfpqAdcSearch(assigned: DataFrame, cbs: DataFrame,
+                                    queries: DataFrame, topK: Int): DataFrame = {
+    val subs = assigned.select(col("vec_id"), col("cell"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
+      .as(Seq("m", "sub")))
+    // PQ codes: min-L2 codeword per (vector, subspace)
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("code").asc)
+    val codes = subs.join(broadcast(cbs), col("m") === col("cm"))
+      .withColumn("dist2", pqL2)
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    // per-query ADC tables: raw query subvectors vs every codeword
+    val dtTab = queries
+      .select(col("q_id"), col("q_cell"), posexplode(expr(
+          "transform(sequence(0, 3), m -> slice(qv, m*16+1, 16))"))
+        .as(Seq("m", "sub")))
+      .join(broadcast(cbs), col("m") === col("cm"))
+      // distinct output names: both sides of the scoring join descend
+      // from cbs, so same-named columns would alias to one attribute
+      // (Spark would silently drop the equi-condition as trivially true)
+      .select(col("q_id"), col("q_cell"), col("m").as("qm"),
+        col("code").as("qcode"), pqL2.as("dt"))
+    codes.join(broadcast(dtTab),
+        col("cell") === col("q_cell") && col("m") === col("qm") &&
+          col("code") === col("qcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("cell"))
+      .agg(round(sum(col("dt")), 6).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("adist"))
+  }
+
   /** IVF-PQ search with asymmetric distance computation (the IVFADC
     * pipeline of Jégou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search") — the composition of the IVF coarse pruning
     * (q60) and the PQ code assignment (q165) into the actual ANN query
-    * path: db vectors are PQ-ENCODED (4 subspaces × 16 dims, codewords
-    * = the first-4 vectors' subvectors), queries stay RAW, and each
+    * path: db vectors are PQ-ENCODED (4 subspaces × 16 dims, codebooks
+    * TRAINED by the per-subspace Lloyd loop), queries stay RAW, and each
     * query precomputes a (m, code) → ||q_sub − codeword||² distance
     * TABLE so scoring a candidate is 4 table lookups + a sum — never a
     * 64-dim float loop per pair. Candidates are pruned to the query's
@@ -503,44 +618,14 @@ object VectorOps {
   def q193IvfpqSearch(s: SparkSession, dir: String): DataFrame = {
     val assigned = assignCells(vecs(s, dir)).persist()
     assigned.count()
-    val subs = assigned.select(col("vec_id"), col("cell"), posexplode(expr(
-        "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
-      .as(Seq("m", "sub")))
-    val cbs = subs.filter(col("vec_id") < 4)
-      .select(col("m").as("cm"), col("vec_id").as("code"), col("sub").as("cw"))
-    val l2 = expr(
-      "round(aggregate(zip_with(sub, cw, (a, b) -> (a-b)*(a-b)), " +
-        "0D, (acc, x) -> acc + x), 6)")
-    // PQ codes: min-L2 codeword per (vector, subspace)
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist2").asc, col("code").asc)
-    val codes = subs.join(broadcast(cbs), col("m") === col("cm"))
-      .withColumn("dist2", l2)
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("code"))
-    // per-query ADC tables: raw query subvectors vs every codeword
-    val dt = assigned.filter(col("vec_id").between(100, 105))
+    // codebooks are TRAINED (per-subspace Lloyd, [[trainPqCodebooks]]),
+    // not the first-4 stand-in; the query frame is caller-supplied to
+    // the library operator — here the 100..105 slice of the corpus.
+    val cbs = trainPqCodebooks(vecs(s, dir))
+    val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
-        posexplode(expr("transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
-          .as(Seq("m", "sub")))
-      .join(broadcast(cbs), col("m") === col("cm"))
-      // distinct output names: both sides of the scoring join descend
-      // from cbs, so same-named columns would alias to one attribute
-      // (Spark would silently drop the equi-condition as trivially true)
-      .select(col("q_id"), col("q_cell"), col("m").as("qm"),
-        col("code").as("qcode"), l2.as("dt"))
-    // in-cell candidates score as 4 lookups + a sum
-    val out = codes.join(broadcast(dt),
-        col("cell") === col("q_cell") && col("m") === col("qm") &&
-          col("code") === col("qcode"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"), col("cell"))
-      .agg(round(sum(col("dt")), 6).as("adist"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("adist").asc, col("vec_id").asc)).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("adist"))
+        col("v").as("qv"))
+    val out = ivfpqAdcSearch(assigned, cbs, queries, topK = 3)
       .localCheckpoint()
     assigned.unpersist(blocking = false)
     out
@@ -548,6 +633,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
+    "q206_pq_train"        -> q206PqTrain _,
     "q165_pq_assign"       -> q165PqAssign _,
     "q150_hard_negatives"  -> q150HardNegatives _,
     "q153_knn_consistency" -> q153KnnConsistency _,
@@ -597,16 +683,54 @@ object VectorOps {
                                ORDER BY ccos DESC, cent_id) AS rn
                       FROM cc) WHERE rn = 1)"""
 
+  /** PQ codebook TRAINING replay (trainPqCodebooks' 2-round Lloyd
+    * trajectory, chained CTEs): `psubs` (per-vector subvectors) →
+    * `pc0` (first-4 seed) → assign/means per round → `pc2` (trained
+    * (m, code, cw) codebooks). Rounding lockstep: dist2 round 6 over the
+    * ORDERED 16-term list sum, means round 6 before reuse, empty
+    * clusters carry the previous codeword. */
+  private val pqTrainSql = {
+    def round(t: Int): String = {
+      val prev = s"pc${t - 1}"
+      s"""pd$t AS (SELECT s.vec_id, s.m, c.code,
+                round(list_sum(list_transform(range(1, 17),
+                  i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
+                  AS dist2
+              FROM psubs s JOIN $prev c ON c.m = s.m),
+         pa$t AS (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
+                    AS rn FROM pd$t) WHERE rn = 1),
+         pm$t AS (SELECT a.m, a.code, u.i,
+                  round(sum(s.sub[u.i])/count(*), 6) AS w
+                FROM pa$t a JOIN psubs s
+                  ON s.vec_id = a.vec_id AND s.m = a.m, range(1, 17) u(i)
+                GROUP BY 1, 2, 3),
+         pr$t AS (SELECT m, code, list(w ORDER BY i) AS cw
+                FROM pm$t GROUP BY 1, 2),
+         pc$t AS (SELECT * FROM pr$t
+                UNION ALL
+                SELECT p.m, p.code, p.cw FROM $prev p
+                WHERE NOT EXISTS (SELECT 1 FROM pr$t r
+                  WHERE r.m = p.m AND r.code = p.code))"""
+    }
+    s"""pe AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+       psubs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
+                 FROM pe, range(0, 4) t(m)),
+       pc0 AS (SELECT m, vec_id AS code, sub AS cw
+               FROM psubs WHERE vec_id < 4),
+       ${round(1)},
+       ${round(2)}"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q193_ivfpq_search" ->
       s"""WITH $assignSql,
-         e2 AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings),
-         subs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
-                  FROM e2, range(0, 4) t(m)),
-         cbs AS (SELECT m AS cm, vec_id AS code, sub AS cw
-                 FROM subs WHERE vec_id < 4),
+         $pqTrainSql,
+         subs AS (SELECT vec_id, m, sub FROM psubs),
+         cbs AS (SELECT m AS cm, code, cw FROM pc2),
          sc AS (SELECT s.vec_id, s.m, c.code,
                   round(list_sum(list_transform(range(1, 17),
                     i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
@@ -644,6 +768,11 @@ object VectorOps {
          SELECT la, lb, round(dot / (na.nn * nb.nn), 4) AS cos
          FROM dot JOIN nrm na ON dot.la = na.label
                   JOIN nrm nb ON dot.lb = nb.label""",
+    "q206_pq_train" ->
+      s"""WITH $pqTrainSql
+         SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+                CAST(u.i AS BIGINT) AS i, cw[u.i] AS w
+         FROM pc2, range(1, 17) u(i)""",
     "q165_pq_assign" ->
       """WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

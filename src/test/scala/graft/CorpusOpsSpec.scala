@@ -605,4 +605,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs.size <= 50,
       s"candidate bound violated: ${pairs.size} pairs, e.g. ${(pairs -- planted).take(10)}")
   }
+
+  test("ivfpqAdcSearch is a library operator: a caller-supplied query " +
+      "frame (arbitrary ids, not the pinned corpus range) scores against " +
+      "trained codebooks, and identical queries get identical rankings") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 64-dim corpus: 4 well-separated direction clusters so the trained
+    // codebooks and cells are stable
+    def mk(seed: Int): Seq[Double] =
+      (0 until 64).map(i => math.sin(seed * 64 + i * 0.7) + (seed % 4) * 3.0)
+    val e = (0 until 40).map(i => (i.toLong, mk(i))).toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark) // assignCells scoring
+    val assigned = operators.VectorOps.assignCells(e)
+    val books = operators.VectorOps.trainPqCodebooks(e)
+    assert(books.count() == 16) // 4 subspaces x 4 codewords
+    // the SAME underlying query vector under TWO caller-chosen ids: the
+    // operator must treat q_id as opaque and rank both identically
+    val base = assigned.filter(col("vec_id") === 20L)
+    val queries = base.select(lit(1020L).as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
+      .unionByName(base.select(lit(2077L).as("q_id"),
+        col("cell").as("q_cell"), col("v").as("qv")))
+    val out = operators.VectorOps.ivfpqAdcSearch(assigned, books, queries, 3)
+      .collect()
+    def ranking(q: Long) = out.filter(_.getLong(0) == q)
+      .map(r => (r.getLong(3), r.getLong(2), r.getDouble(4))).sorted.toSeq
+    assert(ranking(1020L).nonEmpty && ranking(1020L).size <= 3)
+    assert(ranking(1020L).map(_._1) == (1L to ranking(1020L).size).toSeq)
+    assert(ranking(1020L) == ranking(2077L),
+      s"same vector, different caller id must rank identically: " +
+        s"${ranking(1020L)} vs ${ranking(2077L)}")
+  }
 }
