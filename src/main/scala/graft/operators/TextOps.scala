@@ -1487,17 +1487,25 @@ object TextOps {
     * (source, bucket) counts — the only corpus-sized work; everything
     * after runs on the |sources|·256 grid. Per-bucket terms round to
     * 8dp before the sum, KL to 4 after (round-before-use). */
-  def q194SourceKlDrift(s: SparkSession, dir: String): DataFrame = {
-    val B = 256
-    val terms = docs(s, dir)
-      .select(col("source"), explode(col("toks")).as("term"))
+  /** (source, bucket, c) hashed-unigram count partials for a (source,
+    * toks) frame — the corpus-sized pass of the drift monitor; shared by
+    * q194 and the streaming sink twin (whose per-trigger partials merge
+    * by plain addition, which is what makes the monitor streamable). */
+  private[graft] def klCountPartials(d: DataFrame, B: Int = 256): DataFrame =
+    d.select(col("source"), explode(col("toks")).as("term"))
       .withColumn("bucket",
         conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % B)
-    val sc = terms.groupBy(col("source"), col("bucket"))
+      .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val ct = terms.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val grid = Tables.documents(s, dir).select(col("source")).distinct()
-      .crossJoin(s.range(B).select(col("id").as("bucket")))
+
+  /** The grid-sized tail of the drift monitor: KL(source ‖ corpus) from
+    * (source, bucket, c) partials. Corpus totals derive from the same
+    * partials, so a running count state is all a streaming twin needs. */
+  private[graft] def klFromCounts(sources: DataFrame, sc: DataFrame,
+                                  B: Int = 256): DataFrame = {
+    val s = sc.sparkSession
+    val ct = sc.groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val grid = sources.crossJoin(s.range(B).select(col("id").as("bucket")))
     val nSrc = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val nTot = ct.agg(sum(col("ct")).cast("double").as("nt"))
     grid.join(sc, Seq("source", "bucket"), "left").na.fill(0L, Seq("c"))
@@ -1511,6 +1519,11 @@ object TextOps {
       .agg(max(col("ns")).as("n_terms"),
         round(sum(col("term_kl")), 4).as("kl"))
   }
+
+  def q194SourceKlDrift(s: SparkSession, dir: String): DataFrame =
+    klFromCounts(
+      Tables.documents(s, dir).select(col("source")).distinct(),
+      klCountPartials(docs(s, dir)))
 
   /** Content-defined chunk dedup — the insertion-robust counterpart of
     * q123's FIXED chunks: a chunk boundary falls after token i exactly

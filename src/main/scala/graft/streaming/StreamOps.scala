@@ -310,6 +310,44 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming twin of q194's per-source KL drift monitor: drift is
+    * intrinsically a per-snapshot concern — each micro-batch folds its
+    * (source, bucket) hashed-unigram partials into a RUNNING count state
+    * (plain addition, which is why the monitor streams: the grid-sized
+    * KL tail recomputes from totals, never from raw tokens) and
+    * refreshes the per-source KL report. Per-trigger work is
+    * batch-tokens + the |sources|×256 grid; the corpus never replays.
+    * State and report are parquet artifacts so a dashboard (or the next
+    * pipeline stage's mixing decision) reads the current snapshot
+    * without touching the stream. */
+  def klDriftSink(docs: DataFrame, statePath: String, reportPath: String)
+                 (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.operators.TextOps.klCountPartials(
+          batch.toDF().withColumn("toks", split(col("text"), " "))
+            .select(col("source"), col("toks")))
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(partial)
+               .groupBy(col("source"), col("bucket"))
+               .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+           else partial)
+            // cut lineage from the path about to be overwritten
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        graft.operators.TextOps.klFromCounts(
+            merged.select(col("source")).distinct(), merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -279,6 +279,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("klDriftSink: the running-count report after N micro-batches " +
+      "equals q194's batch grid over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("kldrift").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "text")
+        .as[(Long, String, String)].collect()
+      val input = MemoryStream[(Long, String, String)]
+      val docs = input.toDF().toDF("doc_id", "source", "text")
+      val query = StreamOps.klDriftSink(docs, statePath, reportPath)(ckpt)
+      // three uneven micro-batches — merges must be order/shape blind
+      val (b1, rest) = fixture.splitAt(fixture.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      val streamed = spark.read.parquet(reportPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.operators.TextOps.q194SourceKlDrift(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream/batch drift grids diverge:\n stream=$streamed\n batch=$batch")
+      // and the mid-stream state really is count partials: report
+      // regenerates from state alone
+      val state = spark.read.parquet(statePath)
+      val regen = graft.operators.TextOps.klFromCounts(
+          state.select(col("source")).distinct(), state)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(regen == batch)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("cdcAdmitSink: an embedded already-seen passage rejects the doc " +
       "even when every doc-level key differs") {
     implicit val sqlCtx = spark.sqlContext
