@@ -421,6 +421,93 @@ object TextOps {
         ((col("cum") - col("n_toks")) / budget).cast("long").as("pack_id"))
   }
 
+  /** Distributed LOGISTIC-REGRESSION training loop — the quality-
+    * classifier shape (fastText/CCNet-style doc scoring reduced to its
+    * engine skeleton): y = (lang = 'en'), two deterministic rounded
+    * features (scaled length, type-token ratio), full-batch gradient
+    * descent for 3 fixed steps at lr = 0.5. Per step the gradient is ONE
+    * partial-aggregable corpus scan (per-doc residuals round to 8dp,
+    * the three avg-gradients to 6dp, weights to 6dp before any further
+    * use — the q186/q198 round-before-use discipline), and the
+    * loop-carried state is a 3-double weight vector read on the driver
+    * (the bounded-read class of the closure's convergence probes). The
+    * whole trajectory replays verbatim in DuckDB as chained CTEs;
+    * z-sign prediction keeps the final accuracy integer-exact.
+    * Output: final weights + training accuracy. */
+  def q209LogregTrain(s: SparkSession, dir: String): DataFrame = {
+    val f = docs(s, dir)
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        round(size(col("toks")) / lit(100.0), 6).as("x1"),
+        round(size(array_distinct(col("toks"))) /
+          size(col("toks")).cast("double"), 6).as("x2"))
+      .persist()
+    f.count()
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val r = round(lit(1.0) / (lit(1.0) + exp(-z)) - col("y"), 8)
+      val g = f.agg(round(avg(r), 6).as("g0"),
+        round(avg(r * col("x1")), 6).as("g1"),
+        round(avg(r * col("x2")), 6).as("g2")).collect()(0)
+      w = Array(r6(w(0) - 0.5 * g.getDouble(0)),
+        r6(w(1) - 0.5 * g.getDouble(1)),
+        r6(w(2) - 0.5 * g.getDouble(2)))
+    }
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+    val out = f.agg(
+        sum(when((z >= 0) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n"))
+      .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
+      .withColumn("w2", lit(w(2)))
+      .select(col("w0"), col("w1"), col("w2"), col("n_correct"), col("n"))
+      .localCheckpoint()
+    f.unpersist(blocking = false)
+    out
+  }
+
+  /** Fixed CONTEXT-WINDOW chunking of the concatenated token stream —
+    * the GPT-pretraining "concat docs (in doc order), cut every C
+    * tokens" layout, where windows CROSS document boundaries (q113's
+    * packing never splits a doc; this always cuts at C). Each doc's
+    * global token span [start, start+n) comes from the same distributed
+    * prefix sum as q113 (bucket partials + a tiny per-bucket offset
+    * window — no corpus-wide single-partition window), a doc then emits
+    * one row per window it overlaps (⌈n/C⌉+1 rows max — the explode is
+    * span-bounded, never corpus²), and the per-window report (docs
+    * spanned, token fill, first/last doc) aggregates on the window id.
+    * A training job reads this to size epochs and to audit how many
+    * windows straddle documents. */
+  def q208ContextWindows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 128L
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bucket", (col("doc_id") / 100L).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val byBucket = Window.orderBy(col("bucket")) // one row per bucket: tiny
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("n_toks")).as("btoks"))
+      .withColumn("offset",
+        coalesce(sum(col("btoks")).over(byBucket) - col("btoks"), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    d.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + sum(col("n_toks")).over(inBucket))
+      .withColumn("start", col("cum") - col("n_toks"))
+      .select(col("doc_id"), col("start"), col("cum"),
+        explode(expr(s"sequence(start div $C, (cum - 1) div $C)")).as("w"))
+      .groupBy(col("w").as("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("w") + 1) * C) -
+          greatest(col("start"), col("w") * C)).as("n_toks"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Packing-efficiency report over q113's assignment: per-pack token
     * fill vs the 512 budget, aggregated to the one-row summary a training
     * job reads before accepting the layout. Fill ratios divide by a power
@@ -1563,6 +1650,38 @@ object TextOps {
         .as("chunk"))
   }
 
+  /** Sub-document dedup REWRITE with first-occurrence-wins (the
+    * C4/Dolma paragraph-dedup move, on CDC chunks so it is
+    * insertion-robust): every chunk occurrence keeps iff it is the
+    * GLOBALLY FIRST occurrence of its content hash ((doc_id, chunk_no)
+    * order — later copies of boilerplate drop, the original survives),
+    * then each doc reassembles from its kept chunks in order. q195
+    * REPORTS shared chunks; this executes the drop and prices it per
+    * doc: kept/dropped chunk counts, kept token count, and the md5 of
+    * the rewritten text (a fully-duplicate doc rewrites to the empty
+    * string). 100 TB posture: the corpus is touched once by the
+    * chunker; first-occurrence is one window on the chunk-hash key and
+    * reassembly groups on doc_id — two shuffles, both on near-uniform
+    * keys; no pair join anywhere. */
+  def q207ChunkDedupRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunks(docs(s, dir)).withColumn("h", md5(col("chunk")))
+    val wFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id").asc, col("chunk_no").asc)
+    chunks.withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("rn") === 1,
+          size(split(col("chunk"), " ")).cast("long"))), lit(0L))
+          .as("n_toks_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(" +
+            "IF(rn = 1, struct(chunk_no, chunk), NULL))), x -> x.chunk)")))
+          .as("new_md5"))
+  }
+
   def q195CdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcChunks(docs(s, dir))
       .groupBy(md5(col("chunk")).as("chunk_hash"))
@@ -1763,6 +1882,9 @@ object TextOps {
     "q199_stupid_backoff" -> q199StupidBackoff _,
     "q196_weighted_reservoir" -> q196WeightedReservoir _,
     "q195_cdc_chunks" -> q195CdcChunks _,
+    "q207_chunk_dedup_rewrite" -> q207ChunkDedupRewrite _,
+    "q208_context_windows" -> q208ContextWindows _,
+    "q209_logreg_train" -> q209LogregTrain _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -1935,6 +2057,77 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q209_logreg_train" -> {
+      // one GD step: residuals from w{t-1}, three rounded avg-gradients,
+      // rounded weight update — the engine trajectory replayed verbatim
+      def step(t: Int): String = {
+        val prev = s"lw${t - 1}"
+        s"""lr$t AS (SELECT y, x1, x2,
+                round(1/(1 + exp(-(w0 + w1*x1 + w2*x2))) - y, 8) AS r
+              FROM lf, $prev),
+           lg$t AS (SELECT round(avg(r), 6) AS g0,
+                      round(avg(r*x1), 6) AS g1,
+                      round(avg(r*x2), 6) AS g2 FROM lr$t),
+           lw$t AS (SELECT round(w0 - 0.5*g0, 6) AS w0,
+                      round(w1 - 0.5*g1, 6) AS w1,
+                      round(w2 - 0.5*g2, 6) AS w2
+                    FROM $prev, lg$t)"""
+      }
+      s"""WITH lf AS (SELECT
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             round(len(string_split(text, ' ')) / 100.0, 6) AS x1,
+             round(len(list_distinct(string_split(text, ' '))) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x2
+           FROM documents),
+         lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         ${step(1)},
+         ${step(2)},
+         ${step(3)}
+         SELECT w0, w1, w2,
+           CAST(sum(CASE WHEN ((w0 + w1*x1 + w2*x2) >= 0) = (y = 1.0)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lf, lw3 GROUP BY 1, 2, 3"""
+    },
+    "q208_context_windows" ->
+      """WITH d AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents WHERE len(string_split(text, ' ')) > 0),
+         b AS (SELECT doc_id, n_toks, doc_id // 100 AS bucket FROM d),
+         boff AS (SELECT bucket, sum(n_toks) AS btoks FROM b GROUP BY 1),
+         boff2 AS (SELECT bucket,
+                     coalesce(sum(btoks) OVER (ORDER BY bucket) - btoks, 0)
+                       AS off FROM boff),
+         c AS (SELECT doc_id, n_toks,
+                 off + sum(n_toks) OVER (PARTITION BY b.bucket
+                   ORDER BY doc_id) AS cum
+               FROM b JOIN boff2 USING (bucket)),
+         spans AS (SELECT doc_id, cum - n_toks AS strt, cum FROM c),
+         wx AS (SELECT doc_id, strt, cum,
+                  unnest(range(CAST(strt // 128 AS BIGINT),
+                               CAST((cum - 1) // 128 + 1 AS BIGINT))) AS w
+                FROM spans)
+         SELECT w AS window_id, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(least(cum, (w + 1) * 128) -
+                         greatest(strt, w * 128)) AS BIGINT) AS n_toks,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM wx GROUP BY 1""",
+    "q207_chunk_dedup_rewrite" ->
+      s"""WITH $cdcCtesSql,
+         hk AS (SELECT doc_id, chunk_no, chunk,
+                  row_number() OVER (PARTITION BY md5(chunk)
+                    ORDER BY doc_id, chunk_no) AS rn
+                FROM chunks)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN rn = 1
+             THEN len(string_split(chunk, ' ')) END), 0) AS BIGINT)
+             AS n_toks_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_no)
+             FILTER (WHERE rn = 1), '')) AS new_md5
+         FROM hk GROUP BY 1""",
     "q195_cdc_chunks" ->
       s"""WITH $cdcCtesSql
          SELECT md5(chunk) AS chunk_hash,

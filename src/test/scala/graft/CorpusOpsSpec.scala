@@ -606,6 +606,36 @@ class CorpusOpsSpec extends SparkSpec {
       s"candidate bound violated: ${pairs.size} pairs, e.g. ${(pairs -- planted).take(10)}")
   }
 
+  test("q207/q208 conservation laws: first-occurrence rewrite keeps " +
+      "exactly one copy per distinct chunk; context windows partition " +
+      "the token stream exactly") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rewrite = operators.TextOps.q207ChunkDedupRewrite(spark, sfDir)
+    val totalKept = rewrite.agg(sum("n_kept")).head.getLong(0)
+    val distinctChunks = operators.TextOps.q195CdcChunks(spark, sfDir)
+      .count() // chunks in >= 2 docs
+    // kept = one occurrence per DISTINCT chunk content (shared or not)
+    val allDistinct = {
+      val d = graft.Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"))
+      operators.TextOps.cdcChunks(d).select(md5(col("chunk"))).distinct().count()
+    }
+    assert(totalKept == allDistinct,
+      s"kept $totalKept != distinct chunks $allDistinct")
+    assert(rewrite.filter(col("n_dropped") > 0).count() >= distinctChunks / 10,
+      "the fixture shares chunks, so some docs must lose some")
+    val win = operators.TextOps.q208ContextWindows(spark, sfDir)
+    val totalToks = graft.Tables.documents(spark, sfDir)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(win.agg(sum("n_toks")).head.getLong(0) == totalToks,
+      "windows must partition the concatenated stream exactly")
+    assert(win.filter(col("n_toks") > 128).count() == 0)
+    // every window except the last is exactly full
+    assert(win.filter(col("n_toks") < 128).count() <= 1)
+  }
+
   test("ivfpqAdcSearch is a library operator: a caller-supplied query " +
       "frame (arbitrary ids, not the pinned corpus range) scores against " +
       "trained codebooks, and identical queries get identical rankings") {
