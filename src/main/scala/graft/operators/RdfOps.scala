@@ -543,6 +543,29 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** TIMEZONE() e2e (§17.4.5.7, the last §17.4 builtin family): the
+    * zone of an xsd:dateTime binds as an xsd:dayTimeDuration TYPED
+    * literal (value in the variable, type in its __dt companion) —
+    * events carry one of four zones by id, covering Z, positive and
+    * negative offsets, and the zone-less raise→unbound case; DATATYPE
+    * reads the companion back (xsd:string default on the unbound row). */
+  def q210Timezone(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?z ?dt WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(DATATYPE(?z) AS ?dt)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1244,6 +1267,7 @@ object RdfOps {
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
     "q205_sparql_json_endpoint" -> q205SparqlJsonEndpoint _,
+    "q210_timezone"          -> q210Timezone _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1638,6 +1662,17 @@ object RdfOps {
          UNION ALL
          SELECT 'O'||CAST(o_orderkey AS VARCHAR), o_orderpriority
          FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') = '1995-01-01'""",
+    "q210_timezone" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      event_id % 4 AS zi
+                    FROM events WHERE event_id < 2000)
+         SELECT x,
+           CASE zi WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT5H30M'
+                   WHEN 2 THEN '-PT8H' ELSE NULL END AS z,
+           CASE WHEN zi = 3 THEN 'http://www.w3.org/2001/XMLSchema#string'
+                ELSE 'http://www.w3.org/2001/XMLSchema#dayTimeDuration'
+           END AS dt
+         FROM t""",
     "q148_datetime_fns" ->
       """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
                       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d

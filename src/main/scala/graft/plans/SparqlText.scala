@@ -1520,6 +1520,7 @@ object SparqlText {
       "CEIL" -> (1, 1), "FLOOR" -> (1, 1), "YEAR" -> (1, 1),
       "MONTH" -> (1, 1), "DAY" -> (1, 1), "HOURS" -> (1, 1),
       "MINUTES" -> (1, 1), "SECONDS" -> (1, 1), "TZ" -> (1, 1),
+      "TIMEZONE" -> (1, 1),
       "COALESCE" -> (1, 99),
       "LANG" -> (1, 1), "DATATYPE" -> (1, 1), "LANGMATCHES" -> (2, 2),
       "STRLANG" -> (2, 2), "STRDT" -> (2, 2),
@@ -1611,9 +1612,6 @@ object SparqlText {
           "unsupported by policy (SURVEY §7.3) — where a stable identity " +
           "is needed use the deterministic mints: BIND(URI(CONCAT(prefix, " +
           "STRUUID())) AS ?v) or BIND(BNODE(...) AS ?v)")
-      case TIdent(w) if w.toUpperCase == "TIMEZONE" =>
-        fail("TIMEZONE returns an xsd:dayTimeDuration, a value type the " +
-          "string term model does not carry — TZ gives the lexical zone")
       case TIdent(w) if exprFns.contains(w.toUpperCase) =>
         val fn = w.toUpperCase
         i += 1; expectPunct("(")
@@ -2944,6 +2942,35 @@ object SparqlText {
               .withColumn(dtCol(out), compileE(d)._1)
               .withColumn(kindCol(out),
                 when(col(out).isNotNull, lit("literal")))
+          // §17.4.5.7 TIMEZONE: the zone of an xsd:dateTime as an
+          // xsd:dayTimeDuration — the duration VALUE rides in the
+          // variable's lexical column and the type in its __dt
+          // companion (the dt-companion carrier that closes the last
+          // §17.4 builtin-family gap: the engine needs no duration
+          // arithmetic, only the typed-literal term). Zone-less values
+          // raise per XPath fn:timezone-from-dateTime → NULL (unbound).
+          // CaseWhen keeps the offset-digit casts off the 'Z'/zone-less
+          // rows (ANSI-safe: '' never reaches CAST).
+          case EFn("TIMEZONE", Seq(x)) =>
+            val s0 = compileE(x)._1.cast("string")
+            val zone = regexp_extract(s0,
+              "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
+            val h = substring(zone, 2, 2).cast("int")
+            val mi = substring(zone, 5, 2).cast("int")
+            val dur = when(zone === "", lit(null).cast("string"))
+              .when(zone === "Z", lit("PT0S"))
+              .when(h === 0 && mi === 0, lit("PT0S"))
+              .otherwise(concat(
+                when(substring(zone, 1, 1) === "-", lit("-")).otherwise(lit("")),
+                lit("PT"),
+                when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+                when(mi > 0, concat(mi.cast("string"), lit("M"))).otherwise(lit(""))))
+            a.withColumn(out, dur)
+              .withColumn(langCol(out), lit(null).cast("string"))
+              .withColumn(dtCol(out), when(col(out).isNotNull,
+                lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration")))
+              .withColumn(kindCol(out),
+                when(col(out).isNotNull, lit("literal")))
           case EFn("IRI" | "URI", Seq(x)) =>
             // kind rides only where a VALUE exists: IRI(unbound) is an
             // error (NULL value), and a constant kind would make
@@ -3662,7 +3689,7 @@ object SparqlText {
         "BNODE is supported as the top-level expression of BIND only " +
           "(the engine mints a deterministic per-solution surrogate there, " +
           "SURVEY §7.3 nondeterminism policy)")
-      case "STRLANG" | "STRDT" => sys.error(
+      case "STRLANG" | "STRDT" | "TIMEZONE" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")
       case other => sys.error(s"unsupported function: $other")

@@ -1880,7 +1880,8 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("modified members"))
   }
 
-  test("deliberate refusals: RAND/NOW/UUID/TIMEZONE fail with the reason") {
+  test("deliberate refusals: RAND/NOW/UUID fail with the reason; " +
+      "TIMEZONE outside BIND points at the BIND form") {
     Seq("RAND()", "NOW()", "UUID()").foreach { fn =>
       val e = intercept[RuntimeException](SparqlText.run(
         s"SELECT ?s WHERE { ?s wdt:P570 ?d . FILTER($fn > ?d) }",
@@ -1890,7 +1891,7 @@ class SparqlTextSpec extends SparkSpec {
     val tz = intercept[RuntimeException](SparqlText.run(
       "SELECT ?s (TIMEZONE(?d) AS ?z) WHERE { ?s wdt:P570 ?d . }",
       triples, labels))
-    assert(tz.getMessage.contains("dayTimeDuration"))
+    assert(tz.getMessage.contains("BIND only"))
   }
 
   test("OPTIONAL filter over outer variables is the LeftJoin condition (§8.3.2)") {
@@ -2253,6 +2254,47 @@ class SparqlTextSpec extends SparkSpec {
         |ORDER BY ASC(EXISTS { ?s wdt:P570 ?d }) ?s""".stripMargin
     assert(SparqlText.run(okey, triples, labels).collect().map(_.getString(0)).toSeq ==
       Seq("P2", "P4", "P6", "P7", "P8", "P1", "P3", "P5"))
+  }
+
+  test("TIMEZONE(): xsd:dayTimeDuration typed literal via the dt " +
+      "companion; zone-less raises to unbound; TZ stays lexical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("P1", "when", "2024-03-01T10:00:00Z"),
+      ("P2", "when", "2024-03-01T10:00:00+05:30"),
+      ("P3", "when", "2024-03-01T10:00:00-08:00"),
+      ("P4", "when", "2024-03-01T10:00:00+00:00"),
+      ("P5", "when", "2024-03-01T10:00:00"),
+      ("P6", "when", "2024-03-01T10:00:00+05:00")
+    ).toDF("s", "p", "o")
+    val labels = Seq.empty[(String, String, String)].toDF("entity", "lang", "label")
+    val out = SparqlText.run(
+      """SELECT ?s ?z ?dt ?lex WHERE {
+        |  ?s <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(DATATYPE(?z) AS ?dt)
+        |  BIND(TZ(?d) AS ?lex)
+        |}""".stripMargin, t, labels)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
+      .toMap
+    val dtd = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    assert(out("P1") == ((Some("PT0S"), Some(dtd), "Z")))
+    assert(out("P2") == ((Some("PT5H30M"), Some(dtd), "+05:30")))
+    assert(out("P3") == ((Some("-PT8H"), Some(dtd), "-08:00")))
+    assert(out("P4") == ((Some("PT0S"), Some(dtd), "+00:00")))
+    assert(out("P6") == ((Some("PT5H"), Some(dtd), "+05:00")))
+    // no zone: TIMEZONE raises (unbound), its DATATYPE propagates the
+    // error as xsd:string of an unbound -> also unbound? DATATYPE of an
+    // unbound var coalesces to xsd:string per the engine's value model;
+    // the z VALUE itself must be null and TZ must give ""
+    assert(out("P5")._1.isEmpty && out("P5")._3 == "")
+    // expression position refuses loudly toward BIND
+    val e = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s <when> ?d FILTER(TIMEZONE(?d) = \"PT0S\") }",
+      t, labels))
+    assert(e.getMessage.contains("BIND only"))
   }
 
   test("grouped CONSTRUCT: GROUP BY + aggregate binding + HAVING + " +
