@@ -363,6 +363,55 @@ object TextOps {
       .select(col("node").as("doc_id"), col("component").as("canonical_id"))
   }
 
+  /** Right-to-be-forgotten propagation through the dedup clusters (the
+    * GDPR deletion pass a production corpus must run BEFORE honoring a
+    * removal request — dropping the rows is not enough when derived
+    * artifacts reference them): given the deletion set (doc_id % 17 = 0,
+    * the deterministic fixture), the near-dup graph RECLUSTERS over the
+    * surviving subgraph — a deleted doc that bridged two groups SPLITS
+    * its old cluster — and every affected cluster reports members
+    * before, deletions, surviving component count (0 = cluster fully
+    * erased, >1 = split), and the re-elected representative. Two CC
+    * runs over the hash-bounded pair graph; the corpus-sized work is
+    * the one LSH pass both share. */
+  def q212DeletionPropagation(s: SparkSession, dir: String): DataFrame = {
+    val allDocs = Tables.documents(s, dir).select(col("doc_id").as("node"))
+    val pairs = q34MinhashLsh(s, dir)
+    // full frame feeds three consumers (stats, affected set, recluster
+    // input) — node-sized, cut once
+    val full = graft.plans.ConnectedComponents.labels(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), allDocs)
+      .withColumn("deleted", col("node") % 17 === 0)
+      .localCheckpoint()
+    // the RECLUSTER runs only over AFFECTED clusters' survivors: a
+    // cluster with no deletion keeps its labels by definition, so the
+    // second CC's input is deletion-adjacent, not corpus-sized (pair
+    // endpoints always share a component, so one semi-join bounds both)
+    val affected = full.filter(col("deleted"))
+      .select(col("component")).distinct()
+    val affNodes = full.filter(!col("deleted"))
+      .join(affected, Seq("component"), "left_semi")
+      .select(col("node"))
+    val affPairs = pairs
+      .filter(col("doc_a") % 17 =!= 0 && col("doc_b") % 17 =!= 0)
+      .join(affNodes.select(col("node").as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val after = graft.plans.ConnectedComponents.labels(affPairs, affNodes)
+    val stats = full.groupBy(col("component").as("old_cluster"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"))
+      .filter(col("n_deleted") > 0)
+    val aft = full.filter(!col("deleted"))
+      .join(after.select(col("node"), col("component").as("new_comp")), "node")
+      .groupBy(col("component").as("old_cluster"))
+      .agg(countDistinct(col("new_comp")).as("n_components_after"),
+        min(col("node")).as("new_rep"))
+    stats.join(aft, Seq("old_cluster"), "left")
+      .na.fill(0L, Seq("n_components_after"))
+      .select(col("old_cluster"), col("n_before"), col("n_deleted"),
+        col("n_components_after"), col("new_rep"))
+  }
+
   /** C4-style cleaning pass, all codegen'd HOFs: lowercase, drop tokens
     * shorter than 3 chars (stopword-ish noise), then drop documents whose
     * cleaned token count falls under 30 — the filter-then-threshold shape
@@ -1029,6 +1078,50 @@ object TextOps {
     * near-uniform shuffle (or a broadcast when the batch is small);
     * within-batch duplicates are intentionally NOT flagged here — they
     * are the next index build's q33/q110 job. */
+  /** NEAR-DUP decontamination (the contamination protocol real evals
+    * run — q116/q201 catch verbatim n-gram overlap, this catches the
+    * lightly-edited copy those structurally miss): eval docs (doc_id <
+    * 20, the q116 split) and train docs band through ONE minhash pass;
+    * train docs sharing any band bucket with an eval doc verify at
+    * exact distinct-shingle Jaccard ≥ 0.5 (the b=4/r=2 banding
+    * threshold, decided integer-exactly as 2·∩ ≥ ∪), and each
+    * contaminated train doc reports its best-matching eval doc. The
+    * eval side is benchmark-sized — its bands broadcast, so the corpus
+    * pays one hashing scan and a broadcast semi-ish join, never a
+    * corpus×corpus band join. */
+  def q211NeardupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    d.count()
+    val bands = minhashBands(d.select(col("doc_id"), col("toks")))
+      .filter(col("bkey").isNotNull)
+    val evalBands = bands.filter(col("doc_id") < 20)
+      .select(col("band"), col("bkey"), col("doc_id").as("eval_id"))
+    val cand = bands.filter(col("doc_id") >= 20)
+      .join(broadcast(evalBands), Seq("band", "bkey"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val sets = d.select(col("doc_id"),
+      expr(s"array_distinct($shingles3)").as("sset"))
+    val ver = cand
+      .join(sets, Seq("doc_id"))
+      .join(broadcast(sets.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("eval_id"), col("sset").as("eset"))),
+        Seq("eval_id"))
+      .withColumn("inter", size(array_intersect(col("sset"), col("eset"))))
+      .withColumn("uni",
+        size(col("sset")) + size(col("eset")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .withColumn("jac", round(col("inter") / col("uni").cast("double"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jac").desc, col("eval_id").asc)
+    val out = ver.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_id"), col("jac"))
+      .localCheckpoint()
+    d.unpersist(blocking = false)
+    out
+  }
+
   def q141IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
       .cast("long") % 100
@@ -1885,6 +1978,8 @@ object TextOps {
     "q207_chunk_dedup_rewrite" -> q207ChunkDedupRewrite _,
     "q208_context_windows" -> q208ContextWindows _,
     "q209_logreg_train" -> q209LogregTrain _,
+    "q211_neardup_decontaminate" -> q211NeardupDecontaminate _,
+    "q212_deletion_propagation" -> q212DeletionPropagation _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2057,6 +2152,65 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q212_deletion_propagation" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         canon AS (SELECT node AS doc_id, min(m) AS old_cluster
+                   FROM reach GROUP BY node),
+         sym2 AS (SELECT src, dst FROM sym
+                  WHERE src % 17 <> 0 AND dst % 17 <> 0),
+         reach2(node, m) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id % 17 <> 0
+           UNION
+           SELECT r.node, s.dst FROM reach2 r JOIN sym2 s ON s.src = r.m),
+         canon2 AS (SELECT node AS doc_id, min(m) AS new_comp
+                    FROM reach2 GROUP BY node),
+         base AS (SELECT doc_id, old_cluster, doc_id % 17 = 0 AS deleted
+                  FROM canon),
+         stats AS (SELECT old_cluster,
+                     CAST(count(*) AS BIGINT) AS n_before,
+                     CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deleted
+                   FROM base GROUP BY 1
+                   HAVING sum(CASE WHEN deleted THEN 1 ELSE 0 END) > 0),
+         aft AS (SELECT b.old_cluster,
+                   CAST(count(DISTINCT c2.new_comp) AS BIGINT)
+                     AS n_components_after,
+                   min(b.doc_id) AS new_rep
+                 FROM base b JOIN canon2 c2 ON c2.doc_id = b.doc_id
+                 WHERE NOT b.deleted GROUP BY 1)
+         SELECT s.old_cluster, s.n_before, s.n_deleted,
+                coalesce(a.n_components_after, 0) AS n_components_after,
+                a.new_rep
+         FROM stats s LEFT JOIN aft a USING (old_cluster)""",
+    "q211_neardup_decontaminate" ->
+      s"""WITH $minhashCtesSql,
+         ev AS (SELECT band, bkey, doc_id AS eval_id FROM bands
+                WHERE doc_id < 20 AND bkey IS NOT NULL),
+         tr AS (SELECT band, bkey, doc_id FROM bands
+                WHERE doc_id >= 20 AND bkey IS NOT NULL),
+         cand AS (SELECT DISTINCT tr.doc_id, ev.eval_id
+                  FROM tr JOIN ev USING (band, bkey)),
+         ssets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+         ver AS (SELECT c.doc_id, c.eval_id,
+                   len(list_intersect(a.sset, b.sset)) AS inter,
+                   len(a.sset) + len(b.sset)
+                     - len(list_intersect(a.sset, b.sset)) AS uni
+                 FROM cand c JOIN ssets a ON a.doc_id = c.doc_id
+                      JOIN ssets b ON b.doc_id = c.eval_id)
+         SELECT doc_id, eval_id, round(inter * 1.0 / uni, 6) AS jac FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(inter * 1.0 / uni, 6) DESC, eval_id) AS rn
+           FROM ver WHERE 2 * inter >= uni) WHERE rn = 1""",
     "q209_logreg_train" -> {
       // one GD step: residuals from w{t-1}, three rounded avg-gradients,
       // rounded weight update — the engine trajectory replayed verbatim
