@@ -123,6 +123,37 @@ object ComposeOps {
         count(lit(1)).as("n_occurrences"))
       .withColumn("is_stop", col("n_media") > 10)
 
+  /** Scene-cut detection over the sampled frame stream — the shot-
+    * boundary pass a video pipeline runs before frame-level dedup or
+    * captioning: a cut falls wherever a frame's checksum differs from
+    * its predecessor, static runs between cuts are scenes, and the
+    * per-media report (scene count, longest static run) is what decides
+    * sampling density downstream. The stub decode stands in for a real
+    * codec exactly as in q75 — the Spark shape (media-partitioned
+    * ordered window over the frame stream, then a scene-keyed regroup)
+    * is the production plumbing. Windows partition by media_id, so the
+    * pass is embarrassingly parallel; no corpus-wide ordering exists
+    * anywhere. */
+  def q213SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.mediaFromEvents(s, dir),
+      frameSize = 4, nFrames = 8)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val cuts = frames
+      .withColumn("cut", when(lag(col("frame_md5"), 1).over(w).isNull ||
+        col("frame_md5") =!= lag(col("frame_md5"), 1).over(w), 1L)
+        .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts.groupBy(col("media_id"), col("scene_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("run_len")).as("n_frames"),
+        max(col("scene_id")).as("n_scenes"),
+        max(col("run_len")).as("longest_scene"))
+  }
+
   /** Bucketed co-located join (§4.2 "triple-table physical layout"): both
     * sides written bucketBy(8, key) + sortBy, then joined WITHOUT a shuffle
     * exchange on either side — the layout-level answer for the recurring
@@ -234,7 +265,8 @@ object ComposeOps {
     "q73_salted_join"    -> q73SaltedJoin _,
     "q74_grouping_sets"  -> q74GroupingSets _,
     "q75_frame_sample"   -> q75FrameSample _,
-    "q155_stop_frames"   -> q155StopFrames _
+    "q155_stop_frames"   -> q155StopFrames _,
+    "q213_scene_cuts"    -> q213SceneCuts _
   )
 
   /** aHash CTE chain shared by the q202/q203 oracles (must stay in
@@ -348,6 +380,25 @@ object ComposeOps {
          SELECT media_id, frame_no,
                 CAST(length(frame) AS BIGINT) AS frame_bytes,
                 md5(frame) AS frame_md5
-         FROM f"""
+         FROM f""",
+    "q213_scene_cuts" ->
+      """WITH f AS (SELECT event_id AS media_id, i AS frame_no,
+                    md5(substr(props, 1 + i*4, 4)) AS h
+               FROM events, range(0, 8) t(i)),
+         c AS (SELECT media_id, frame_no, h,
+                 CASE WHEN lag(h) OVER w IS NULL OR h <> lag(h) OVER w
+                   THEN 1 ELSE 0 END AS cut
+               FROM f
+               WINDOW w AS (PARTITION BY media_id ORDER BY frame_no)),
+         sc AS (SELECT media_id, frame_no,
+                  sum(cut) OVER (PARTITION BY media_id ORDER BY frame_no)
+                    AS scene_id
+                FROM c),
+         runs AS (SELECT media_id, scene_id, count(*) AS run_len
+                  FROM sc GROUP BY 1, 2)
+         SELECT media_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
+                CAST(max(scene_id) AS BIGINT) AS n_scenes,
+                CAST(max(run_len) AS BIGINT) AS longest_scene
+         FROM runs GROUP BY 1"""
   )
 }

@@ -482,6 +482,29 @@ object VectorOps {
       .agg(count(lit(1)).as("n"), round(avg(col("dist2")), 6).as("avg_dist2"))
   }
 
+  /** Dimension-truncation audit (the Matryoshka / MRL question: can the
+    * ANN tier run on a 16-dim prefix of the 64-dim embedding?): for each
+    * query's exact 64-dim top-3, score the SAME pairs with the first-16
+    * prefix and report both cosines plus the drift — the measured
+    * evidence behind swapping a 4× cheaper vector into the index. Same
+    * broadcast shape as the exact top-k (queries broadcast, one corpus
+    * scan); the truncated rescore touches only the 18 reported pairs. */
+  def q214TruncationAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos64", round(CosineSimilarity(col("qv"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos64").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .withColumn("cos16", round(CosineSimilarity(
+        slice(col("qv"), 1, 16), slice(col("v"), 1, 16)), 6))
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos64"),
+        col("cos16"), round(abs(col("cos64") - col("cos16")), 6).as("drift"))
+  }
+
   /** (vec_id, m, sub): the 4 × 16-dim subvector decomposition every PQ
     * stage shares. */
   private def pqSubs(e: DataFrame): DataFrame =
@@ -634,6 +657,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q206_pq_train"        -> q206PqTrain _,
+    "q214_truncation_audit" -> q214TruncationAudit _,
     "q165_pq_assign"       -> q165PqAssign _,
     "q150_hard_negatives"  -> q150HardNegatives _,
     "q153_knn_consistency" -> q153KnnConsistency _,
@@ -1031,6 +1055,32 @@ object VectorOps {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS rank
            FROM pc) WHERE rank <= 3""",
+    "q214_truncation_audit" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         n16 AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex
+                 WHERE i <= 16 GROUP BY 1),
+         d AS (SELECT q.vec_id AS q_id, e.vec_id,
+                 sum(q.x * e.x) AS dot,
+                 sum(CASE WHEN q.i <= 16 THEN q.x * e.x ELSE 0 END) AS dot16
+               FROM ex q JOIN ex e ON q.i = e.i
+                 AND q.vec_id BETWEEN 100 AND 105 AND e.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+         c AS (SELECT d.q_id, d.vec_id,
+                 round(d.dot/(nq.n * ne.n), 6) AS cos64,
+                 round(d.dot16/(mq.n * me.n), 6) AS cos16
+               FROM d JOIN nrm nq ON d.q_id = nq.vec_id
+                      JOIN nrm ne ON d.vec_id = ne.vec_id
+                      JOIN n16 mq ON d.q_id = mq.vec_id
+                      JOIN n16 me ON d.vec_id = me.vec_id),
+         rk AS (SELECT q_id, vec_id, cos64, cos16,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos64 DESC, vec_id) AS rank
+                FROM c)
+         SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, cos64, cos16,
+                round(abs(cos64 - cos16), 6) AS drift
+         FROM rk WHERE rank <= 3""",
     "q37_cosine_topk" -> topKSql(5, 10, "q_id, vec_id, rank, cos"),
     "q43_nearest_neighbor" -> topKSql(50, 1, "q_id, vec_id AS nn_id, cos"),
     "q38_lsh_buckets" ->
