@@ -79,7 +79,51 @@ object PipelineOps {
         col("coordinates").getItem(1).as("lng"))
   }
 
+  /** WARC ingest e2e (ISO 28500 — the Common Crawl segment format, i.e.
+    * the wire format a web-scale pretraining corpus actually arrives
+    * in): events serialize to spec-framed .warc segment files (one
+    * warcinfo record + response records, CRLF framing, Content-Length
+    * payloads), [[graft.sources.WarcSourceProvider]] parses them back
+    * file-per-partition, and the report keys each response by target
+    * URI with its byte length and body digest. Disk stands in for the
+    * fetched archive (q205's fixture convention); a live pipeline reads
+    * identical framing off the crawl bucket. */
+  def q215WarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcIO
+    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_warc_" + java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+    val fsPath = new org.apache.hadoop.fs.Path(fixDir)
+    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(fsPath, true)
+    fs.mkdirs(fsPath)
+    // bounded fixture generation (event_id < 2000): two segment files,
+    // each led by a warcinfo record with no Target-URI (the NULL-header
+    // path the reader must survive)
+    val evs = graft.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id").cast("long"), col("props"))
+      .collect().sortBy(_.getLong(0))
+    evs.grouped(1000).zipWithIndex.foreach { case (seg, i) =>
+      val info = WarcIO.WarcRecord("warcinfo", s"<urn:uuid:seg-$i>", None,
+        "2024-01-01T00:00:00Z", Some("application/warc-fields"),
+        s"segment: $i\r\n".getBytes("UTF-8"))
+      val responses = seg.map { r =>
+        WarcIO.WarcRecord("response", s"<urn:uuid:rec-${r.getLong(0)}>",
+          Some(s"http://crawl.example/e/${r.getLong(0)}"),
+          "2024-01-01T00:00:00Z", Some("text/plain"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      WarcIO.writeWarc(new java.io.File(fixDir, f"segment-$i%03d.warc").getPath,
+        info +: responses.toSeq)
+    }
+    WarcIO.read(s, fixDir)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("content_length"),
+        md5(col("body")).as("body_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_warc_ingest"        -> q215WarcIngest _,
     "q44_worklist_expand"     -> q44WorklistExpand _,
     "q45_multimodal_features" -> q45MultimodalFeatures _,
     "q46_person_index"        -> q46PersonIndex _,
@@ -88,6 +132,13 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_warc_ingest" ->
+      """SELECT 'http://crawl.example/e/'||CAST(event_id AS VARCHAR)
+                  AS target_uri,
+                CAST(octet_length(encode(props)) AS BIGINT)
+                  AS content_length,
+                md5(props) AS body_md5
+         FROM events WHERE event_id < 2000""",
     "q80_geonames_docs" ->
       """SELECT 'https://sws.geonames.org/'||CAST(n_nationkey AS VARCHAR)||'/' AS id,
                 n_name||' (R'||CAST(n_regionkey AS VARCHAR)||') - PPL'

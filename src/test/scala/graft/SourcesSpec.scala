@@ -39,4 +39,48 @@ class SourcesSpec extends SparkSpec {
       PagedSource.drainPages(spark, fetch(10), limit = 10, maxObjects = 20))
     assert(truncated.count() == 20)
   }
+
+  test("WARC source: spec framing round-trips binary bodies, NULL " +
+      "headers survive, file-per-partition, malformed input fails loudly") {
+    import graft.sources.WarcIO
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warc").toFile
+    dir.deleteOnExit()
+    // binary body with CRLFs and non-UTF8 bytes INSIDE the payload —
+    // Content-Length framing must carry it through untouched
+    val tricky = Array[Byte](87, 65, 13, 10, 13, 10, -1, 0, -128, 66)
+    WarcIO.writeWarc(new java.io.File(dir, "a.warc").getPath, Seq(
+      WarcIO.WarcRecord("warcinfo", "<urn:uuid:i0>", None,
+        "2024-01-01T00:00:00Z", Some("application/warc-fields"),
+        "x: y\r\n".getBytes("UTF-8")),
+      WarcIO.WarcRecord("response", "<urn:uuid:r1>",
+        Some("http://e/1"), "2024-01-01T00:00:00Z", Some("text/plain"),
+        "hello warc".getBytes("UTF-8")),
+      WarcIO.WarcRecord("response", "<urn:uuid:r2>",
+        Some("http://e/2"), "2024-01-01T00:00:00Z", None, tricky)))
+    WarcIO.writeWarc(new java.io.File(dir, "b.warc").getPath, Seq(
+      WarcIO.WarcRecord("response", "<urn:uuid:r3>",
+        Some("http://e/3"), "2024-01-02T00:00:00Z", Some("text/plain"),
+        "second file".getBytes("UTF-8"))))
+    val df = WarcIO.read(spark, dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    assert(rows("<urn:uuid:i0>").getString(2) == null) // no Target-URI
+    assert(rows("<urn:uuid:r2>").getString(4) == null) // no Content-Type
+    assert(rows("<urn:uuid:r2>").getAs[Array[Byte]]("body").toSeq ==
+      tricky.toSeq, "binary body must round-trip byte-exactly")
+    assert(rows("<urn:uuid:r1>").getLong(5) == 10L)
+    assert(df.filter(col("warc_type") === "response").count() == 3)
+    // malformed: garbage where the version line should be
+    val bad = new java.io.File(dir, "bad")
+    bad.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bad.getPath, "x.warc"),
+      "NOT-A-WARC\r\n".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException](
+      WarcIO.read(spark, bad.getAbsolutePath).count())
+    assert(e.getMessage.contains("malformed WARC") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed WARC")))
+  }
 }
