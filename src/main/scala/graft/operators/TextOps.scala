@@ -412,6 +412,47 @@ object TextOps {
         col("n_components_after"), col("new_rep"))
   }
 
+  /** Incremental ARTIFACT maintenance — the 100 TB pattern behind every
+    * derived table (vocabulary, df counts, n-gram models): when a crawl
+    * snapshot updates, recompute the vocabulary from the CHANGED docs
+    * only, not the corpus. Snapshots derive deterministically from the
+    * fixture (doc_id%10=7 added, %10=3 removed, %5=0 edited by an
+    * appended token); the delta pass explodes terms of
+    * added/removed/edited docs alone (±1 occurrence deltas, one
+    * term-key shuffle over the CHANGED-doc token stream), then patches
+    * the old vocabulary artifact by addition. The ORACLE recomputes
+    * both snapshots' vocabularies in full and diffs them — so the
+    * hash-match IS the proof that the delta path equals the full
+    * recompute. Output: every term whose count moved. */
+  def q216VocabDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("toks"),
+      when(col("doc_id") % 5 === 0,
+        expr("array_append(toks, 'graftedit')")).otherwise(col("toks"))
+        .as("new_toks"))
+    // the OLD vocabulary artifact (precomputed in production; built
+    // here so the query is self-contained — q141's index-side move)
+    val oldCf = d.filter(col("doc_id") % 10 =!= 7)
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("old_cf"))
+    // ±1 deltas from CHANGED docs only
+    val added = d.filter(col("doc_id") % 10 === 7)
+      .select(explode(col("new_toks")).as("term"), lit(1L).as("dc"))
+    val removed = d.filter(col("doc_id") % 10 === 3)
+      .select(explode(col("toks")).as("term"), lit(-1L).as("dc"))
+    val editedNew = d.filter(col("doc_id") % 5 === 0)
+      .select(explode(col("new_toks")).as("term"), lit(1L).as("dc"))
+    val editedOld = d.filter(col("doc_id") % 5 === 0)
+      .select(explode(col("toks")).as("term"), lit(-1L).as("dc"))
+    val delta = added.unionByName(removed).unionByName(editedNew)
+      .unionByName(editedOld)
+      .groupBy(col("term")).agg(sum(col("dc")).as("delta"))
+      .filter(col("delta") =!= 0)
+    delta.join(oldCf, Seq("term"), "left")
+      .na.fill(0L, Seq("old_cf"))
+      .select(col("term"), col("old_cf"), col("delta"),
+        (col("old_cf") + col("delta")).as("new_cf"))
+  }
+
   /** C4-style cleaning pass, all codegen'd HOFs: lowercase, drop tokens
     * shorter than 3 chars (stopword-ish noise), then drop documents whose
     * cleaned token count falls under 30 — the filter-then-threshold shape
@@ -1980,6 +2021,7 @@ object TextOps {
     "q209_logreg_train" -> q209LogregTrain _,
     "q211_neardup_decontaminate" -> q211NeardupDecontaminate _,
     "q212_deletion_propagation" -> q212DeletionPropagation _,
+    "q216_vocab_delta" -> q216VocabDelta _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2152,6 +2194,26 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q216_vocab_delta" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                CASE WHEN doc_id % 5 = 0
+                  THEN list_append(string_split(text, ' '), 'graftedit')
+                  ELSE string_split(text, ' ') END AS new_toks
+              FROM documents),
+         oldv AS (SELECT t.term, CAST(count(*) AS BIGINT) AS cf
+                  FROM (SELECT unnest(toks) AS term FROM d
+                        WHERE doc_id % 10 <> 7) t
+                  GROUP BY 1),
+         newv AS (SELECT t.term, CAST(count(*) AS BIGINT) AS cf
+                  FROM (SELECT unnest(new_toks) AS term FROM d
+                        WHERE doc_id % 10 <> 3) t
+                  GROUP BY 1)
+         SELECT coalesce(o.term, n.term) AS term,
+                coalesce(o.cf, 0) AS old_cf,
+                coalesce(n.cf, 0) - coalesce(o.cf, 0) AS delta,
+                coalesce(n.cf, 0) AS new_cf
+         FROM oldv o FULL OUTER JOIN newv n ON o.term = n.term
+         WHERE coalesce(n.cf, 0) <> coalesce(o.cf, 0)""",
     "q212_deletion_propagation" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pairs AS (
