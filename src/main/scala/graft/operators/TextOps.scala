@@ -412,6 +412,46 @@ object TextOps {
         col("n_components_after"), col("new_rep"))
   }
 
+  /** HTML → text extraction (the step between WARC ingest and every
+    * text operator on this board — what trafilatura/jusText do in a
+    * crawl pipeline, reduced to its deterministic core): drop
+    * script/style blocks WITH their contents, strip remaining tags,
+    * decode the five core entities, collapse whitespace. All five
+    * passes are chained regexp_replace in the RE2 ∩ java.regex common
+    * dialect (the q160 redaction convention) — codegen'd, shuffle-free,
+    * linear in the corpus. The fixture wraps each doc's tokens in a
+    * deterministic HTML template (title/style/script/h1/two paragraphs
+    * + an entity), so the report (extracted text hash + token count)
+    * proves tag/script removal AND content preservation. */
+  def q217HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("half",
+      (size(col("toks")) / 2).cast("int"))
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title><style>p{color:red}</style>"),
+      lit("<script>var x = \"1 &lt; 2\";</script></head>"),
+      lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+      concat_ws(" ", expr("slice(toks, 1, half)")),
+      lit("</p><p class=\"b\">"),
+      concat_ws(" ", expr("slice(toks, half + 1, size(toks) - half)")),
+      lit(" &amp; more</p></body></html>"))
+    val extracted = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => regexp_replace(c, "<script[^>]*>[^<]*</script>", " "),
+      c => regexp_replace(c, "<style[^>]*>[^<]*</style>", " "),
+      c => regexp_replace(c, "<[^>]+>", " "),
+      c => regexp_replace(c, "&amp;", "&"),
+      c => regexp_replace(c, "&lt;", "<"),
+      c => regexp_replace(c, "&gt;", ">"),
+      c => regexp_replace(c, "&quot;", "\""),
+      c => regexp_replace(c, "&#39;", "'"),
+      c => regexp_replace(c, "\\s+", " ")
+    ).foldLeft(html: org.apache.spark.sql.Column)((c, f) => f(c))
+    d.select(col("doc_id"),
+      trim(extracted).as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("text_md5"),
+        size(split(col("clean"), " ")).cast("long").as("n_toks"))
+  }
+
   /** Incremental ARTIFACT maintenance — the 100 TB pattern behind every
     * derived table (vocabulary, df counts, n-gram models): when a crawl
     * snapshot updates, recompute the vocabulary from the CHANGED docs
@@ -2022,6 +2062,7 @@ object TextOps {
     "q211_neardup_decontaminate" -> q211NeardupDecontaminate _,
     "q212_deletion_propagation" -> q212DeletionPropagation _,
     "q216_vocab_delta" -> q216VocabDelta _,
+    "q217_html_extract" -> q217HtmlExtract _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2194,6 +2235,37 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q217_html_extract" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) // 2 AS half
+              FROM documents),
+         h AS (SELECT doc_id,
+                 '<html><head><title>doc '||doc_id||
+                 '</title><style>p{color:red}</style>'||
+                 '<script>var x = "1 &lt; 2";</script></head>'||
+                 '<body><h1>Doc '||doc_id||'</h1><p>'||
+                 array_to_string(toks[1:half], ' ')||
+                 '</p><p class="b">'||
+                 array_to_string(toks[half+1:len(toks)], ' ')||
+                 ' &amp; more</p></body></html>' AS html
+               FROM t),
+         c AS (SELECT doc_id, trim(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                   '<style[^>]*>[^<]*</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&', 'g'),
+                   '&lt;', '<', 'g'),
+                   '&gt;', '>', 'g'),
+                   '&quot;', '"', 'g'),
+                   '&#39;', '''', 'g'),
+                   '\s+', ' ', 'g')) AS clean
+               FROM h)
+         SELECT doc_id, md5(clean) AS text_md5,
+                CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_toks
+         FROM c""",
     "q216_vocab_delta" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
                 CASE WHEN doc_id % 5 = 0
