@@ -48,7 +48,8 @@ private class WarcTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"warc($dir)"
   override def schema(): StructType = WarcIO.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -60,7 +61,46 @@ private class WarcTable(dir: String) extends Table with SupportsRead {
           .map(p => WarcFilePartition(p): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new WarcReaderFactory
+      // Streaming form: a crawl KEEPS landing segment files — the
+      // stream offset is the count of the name-sorted file listing, so
+      // each trigger picks up exactly the newly-arrived segments (one
+      // partition per new file). Assumes the archive convention the
+      // batch side sorts by anyway: segment names are monotone
+      // (segment-000.warc, -001, …) and files are immutable once
+      // written. Restart replays from the checkpointed count.
+      override def toMicroBatchStream(
+          checkpointLocation: String): streaming.MicroBatchStream =
+        new WarcMicroBatchStream(dir)
     }
+}
+
+private case class WarcFileCountOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private class WarcMicroBatchStream(dir: String)
+    extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WarcFileCountOffset(0)
+  override def latestOffset(): Offset =
+    WarcFileCountOffset(WarcIO.listFiles(dir).size)
+  override def deserializeOffset(json: String): Offset =
+    WarcFileCountOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcFileCountOffset].n
+    val e = end.asInstanceOf[WarcFileCountOffset].n
+    WarcIO.listFiles(dir).slice(s, e)
+      .map(p => WarcFilePartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class WarcFilePartition(path: String) extends InputPartition
@@ -98,6 +138,12 @@ object WarcIO {
   /** Bindings entry point. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[WarcSourceProvider].getName)
+      .option("dir", dir).load()
+
+  /** Streaming entry point: one micro-batch per newly-landed segment
+    * set (see the MicroBatchStream notes on the naming assumption). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format(classOf[WarcSourceProvider].getName)
       .option("dir", dir).load()
 
   private[sources] def listFiles(dir: String): Seq[String] = {

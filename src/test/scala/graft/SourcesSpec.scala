@@ -83,4 +83,32 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed WARC") ||
       Option(e.getCause).exists(_.getMessage.contains("malformed WARC")))
   }
+
+  test("WARC stream: each trigger picks up exactly the newly-landed " +
+      "segment files") {
+    import graft.sources.WarcIO
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    dir.deleteOnExit()
+    val ckpt = new java.io.File(dir, "_ckpt").getAbsolutePath
+    def seg(i: Int, ids: Seq[Int]): Unit =
+      WarcIO.writeWarc(new java.io.File(dir, f"segment-$i%03d.warc").getPath,
+        ids.map(n => WarcIO.WarcRecord("response", s"<urn:uuid:r$n>",
+          Some(s"http://e/$n"), "2024-01-01T00:00:00Z", Some("text/plain"),
+          s"body $n".getBytes("UTF-8"))))
+    seg(0, Seq(1, 2))
+    val query = WarcIO.readStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 2)
+      seg(1, Seq(3, 4, 5))
+      query.processAllAvailable()
+      val uris = spark.table("warc_stream")
+        .select("target_uri").collect().map(_.getString(0)).toSet
+      assert(uris == (1 to 5).map(n => s"http://e/$n").toSet,
+        s"expected 5 records across two triggers, got $uris")
+    } finally query.stop()
+  }
 }
