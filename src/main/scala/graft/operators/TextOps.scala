@@ -412,6 +412,50 @@ object TextOps {
         col("n_components_after"), col("new_rep"))
   }
 
+  /** BPE tokenizer APPLICATION (q130 is the training inner loop; this
+    * runs a learned merge list over the corpus — the "tokenize 100 TB"
+    * pass itself): every non-space char wraps as a `{c}` symbol, and
+    * each merge `(a,b)` in priority order rewrites `{a}{b}` → `{ab}`
+    * exhaustively via literal `replace` (left-to-right, non-overlap —
+    * the classic BPE apply order). The brace-wrapping makes symbol
+    * boundaries unambiguous (a merge can never fire on a symbol
+    * PREFIX: `{a}{bc}` does not contain `{a}{b}`), adjacent pairs keep
+    * their own interior separators so runs merge correctly, and space
+    * stays unwrapped so merges never cross token boundaries. The whole
+    * pass is chained codegen'd string functions over the text column —
+    * linear, shuffle-free, no HOF lambdas (the aHash lesson), no UDF.
+    * Fixture constraint: symbols must not contain brace chars (a
+    * production build swaps the brackets for /).
+    * Output per doc: original char count, piece count after merges,
+    * and how many merges fired (chars − pieces). */
+  /** The encode column: text → brace-wrapped symbols → merge rewrites
+    * in priority order. Shared by q218 and the semantics spec. */
+  private[graft] def bpeEncoded(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val wrapped = regexp_replace(text, "([^ ])", "{$1}")
+    merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.call_function("replace",
+        c, lit(s"{$a}{$b}"), lit(s"{$a$b}"))
+    }
+  }
+
+  def q218BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncoded(col("text"),
+      Seq(("t", "h"), ("th", "e"), ("e", "r")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), enc.as("enc"))
+      .select(col("doc_id"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .as("n_spaces"),
+        (length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .as("n_chars"),
+        (length(col("enc")) - length(regexp_replace(col("enc"), "\\{", "")))
+          .cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_chars"), col("n_pieces"),
+        (col("n_chars") - col("n_pieces")).as("n_merged"))
+  }
+
   /** HTML → text extraction (the step between WARC ingest and every
     * text operator on this board — what trafilatura/jusText do in a
     * crawl pipeline, reduced to its deterministic core): drop
@@ -2063,6 +2107,7 @@ object TextOps {
     "q212_deletion_propagation" -> q212DeletionPropagation _,
     "q216_vocab_delta" -> q216VocabDelta _,
     "q217_html_extract" -> q217HtmlExtract _,
+    "q218_bpe_encode" -> q218BpeEncode _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2235,6 +2280,22 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q218_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
+                regexp_replace(text, '([^ ])', '{\1}', 'g') AS wr
+              FROM documents),
+         e AS (SELECT doc_id, n_chars,
+                 replace(replace(replace(wr,
+                   '{t}{h}', '{th}'),
+                   '{th}{e}', '{the}'),
+                   '{e}{r}', '{er}') AS enc
+               FROM w)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                CAST(length(enc) - length(replace(enc, '{', ''))
+                  AS BIGINT) AS n_pieces,
+                CAST(n_chars - (length(enc) - length(replace(enc, '{', '')))
+                  AS BIGINT) AS n_merged
+         FROM e""",
     "q217_html_extract" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                 len(string_split(text, ' ')) // 2 AS half

@@ -606,6 +606,25 @@ class CorpusOpsSpec extends SparkSpec {
       s"candidate bound violated: ${pairs.size} pairs, e.g. ${(pairs -- planted).take(10)}")
   }
 
+  test("BPE apply semantics: priority order, exhaustive per rule, " +
+      "adjacent runs, no prefix false-fires, no cross-token merges") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val m = Seq(("t", "h"), ("th", "e"), ("e", "r"))
+    val got = Seq("the", "ther", "thth", "er the", "tether", "xyz")
+      .toDF("text")
+      .select(col("text"), operators.TextOps.bpeEncoded(col("text"), m).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("the") == "{the}")          // chained merges t+h, th+e
+    assert(got("ther") == "{the}{r}")      // (th,e) outranks (e,r)
+    assert(got("thth") == "{th}{th}")      // adjacent run merges both
+    assert(got("er the") == "{er}{ }{the}".replace("{ }", " "))
+    // t,e,t,h,e,r: (t,h) fires mid-word, then th+e, leaving {t}{e}{the}{r}
+    assert(got("tether") == "{t}{e}{the}{r}")
+    assert(got("xyz") == "{x}{y}{z}")      // no rule applies
+  }
+
   test("q207/q208 conservation laws: first-occurrence rewrite keeps " +
       "exactly one copy per distinct chunk; context windows partition " +
       "the token stream exactly") {
