@@ -348,6 +348,42 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming WARC ingestion: crawl segments land → response records
+    * extract → append to the corpus parquet, idempotently. A claims
+    * file records ingested WARC-Record-IDs and each micro-batch
+    * anti-joins against it, so a crash-replayed batch (foreachBatch is
+    * at-least-once) re-appends nothing whose claim landed — effectively
+    * exactly-once at record granularity. Write order is corpus-first,
+    * claims-second (the cdcAdmitSink discipline): a crash between the
+    * two can duplicate a corpus row on replay but never LOSE one, and
+    * the record_id key lets a compaction drop the duplicate. */
+  def warcIngestSink(records: DataFrame, claimsPath: String,
+                     corpusPath: String)
+                    (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val resp = batch.toDF().filter(col("warc_type") === "response")
+          .select(col("record_id"), col("target_uri"),
+            col("content_length"),
+            org.apache.spark.sql.functions.md5(col("body")).as("body_md5"))
+        val claimsHPath = new org.apache.hadoop.fs.Path(claimsPath)
+        val claimsFs = claimsHPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          (if (claimsFs.exists(claimsHPath))
+             resp.join(spark.read.parquet(claimsPath),
+               Seq("record_id"), "left_anti")
+           else resp).localCheckpoint()
+        fresh.write.mode("append").parquet(corpusPath)
+        fresh.select(col("record_id"))
+          .write.mode("append").parquet(claimsPath)
+        ()
+      }
+      .start()
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -111,4 +111,40 @@ class SourcesSpec extends SparkSpec {
         s"expected 5 records across two triggers, got $uris")
     } finally query.stop()
   }
+
+  test("warcIngestSink: idempotent record-granular ingestion across " +
+      "triggers (a re-presented record never re-appends)") {
+    import graft.sources.WarcIO
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("warcsink").toFile
+    dir.deleteOnExit()
+    val seg = new java.io.File(dir, "segs"); seg.mkdirs()
+    val claims = new java.io.File(dir, "claims").getAbsolutePath
+    val corpus = new java.io.File(dir, "corpus").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def w(i: Int, ids: Seq[Int]): Unit =
+      WarcIO.writeWarc(new java.io.File(seg, f"segment-$i%03d.warc").getPath,
+        WarcIO.WarcRecord("warcinfo", s"<urn:uuid:i$i>", None,
+          "2024-01-01T00:00:00Z", None, "x\r\n".getBytes("UTF-8")) +:
+        ids.map(n => WarcIO.WarcRecord("response", s"<urn:uuid:r$n>",
+          Some(s"http://e/$n"), "2024-01-01T00:00:00Z", Some("text/plain"),
+          s"body $n".getBytes("UTF-8"))))
+    w(0, Seq(1, 2))
+    val query = StreamOps.warcIngestSink(
+      WarcIO.readStream(spark, seg.getAbsolutePath), claims, corpus)(ckpt)
+    try {
+      query.processAllAvailable()
+      // segment 1 RE-PRESENTS record 2 (a crawl retry) plus new records
+      w(1, Seq(2, 3))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(corpus)
+        .select("record_id").collect().map(_.getString(0)).toSeq
+      assert(rows.sorted == Seq("<urn:uuid:r1>", "<urn:uuid:r2>",
+        "<urn:uuid:r3>"), s"got $rows")
+      // warcinfo records never reach the corpus
+      assert(!rows.exists(_.contains("uuid:i")))
+      assert(spark.read.parquet(claims).count() == 3)
+    } finally query.stop()
+  }
 }
