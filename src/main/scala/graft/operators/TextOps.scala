@@ -412,6 +412,40 @@ object TextOps {
         col("n_components_after"), col("new_rep"))
   }
 
+  /** Epoch-seat APPORTIONMENT — the execution step of corpus mixing
+    * (q124 sets temperature weights, q178 allocates against capacity;
+    * this turns weights into the integer per-source sample counts one
+    * training epoch actually draws): B = 1e6 slots split proportional
+    * to w_s = √mass_s by the largest-remainder (Hamilton) method,
+    * computed INTEGER-EXACTLY — weights quantize to BIGINT once
+    * (round(√mass·1e6), the only float step, deterministic IEEE), then
+    * floor seats are `B·w6 div W`, remainders `(B·w6) mod W`, and the
+    * leftover seats go to the largest remainders (source tiebreak) —
+    * so Σseats = B holds by construction on both engines, no float
+    * ranking anywhere (the q178 cross-multiplication discipline).
+    * Everything after the one per-source aggregation runs on the
+    * strata table; the ranking window is strata-sized (the waterfill
+    * precedent — bucket the cumsum past ~10k strata). */
+  def q219EpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1000000L
+    val strata = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+      .withColumn("w6",
+        round(sqrt(col("mass").cast("double")) * 1e6, 0).cast("long"))
+    val tot = strata.agg(sum(col("w6")).as("wtot"))
+    val quota = strata.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"$B * w6 div wtot"))
+      .withColumn("r", expr(s"($B * w6) % wtot"))
+    val deficit = quota.agg((lit(B) - sum(col("fl"))).as("deficit"))
+    quota.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("r").desc, col("source").asc)))
+      .withColumn("seats",
+        col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("source"), col("mass"), col("seats"))
+  }
+
   /** BPE tokenizer APPLICATION (q130 is the training inner loop; this
     * runs a learned merge list over the corpus — the "tokenize 100 TB"
     * pass itself): every non-space char wraps as a `{c}` symbol, and
@@ -2108,6 +2142,7 @@ object TextOps {
     "q216_vocab_delta" -> q216VocabDelta _,
     "q217_html_extract" -> q217HtmlExtract _,
     "q218_bpe_encode" -> q218BpeEncode _,
+    "q219_epoch_schedule" -> q219EpochSchedule _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2280,6 +2315,26 @@ object TextOps {
          r AS (SELECT source, doc_id, row_number() OVER (
                  PARTITION BY source ORDER BY kk, doc_id) AS rn FROM k)
          SELECT source, doc_id FROM r WHERE rn <= 5""",
+    "q219_epoch_schedule" ->
+      """WITH strata AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+              FROM documents GROUP BY 1),
+         w AS (SELECT source, mass,
+                 CAST(round(sqrt(CAST(mass AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS w6
+               FROM strata),
+         t AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot FROM w),
+         q AS (SELECT source, mass, w6,
+                 CAST(1000000 * w6 // wtot AS BIGINT) AS fl,
+                 CAST((1000000 * w6) % wtot AS BIGINT) AS r
+               FROM w, t),
+         d AS (SELECT CAST(1000000 - sum(fl) AS BIGINT) AS deficit FROM q),
+         rk AS (SELECT q.*, d.deficit,
+                  row_number() OVER (ORDER BY r DESC, source) AS rk
+                FROM q, d)
+         SELECT source, mass,
+                CAST(fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                  AS BIGINT) AS seats
+         FROM rk""",
     "q218_bpe_encode" ->
       """WITH w AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
                 regexp_replace(text, '([^ ])', '{\1}', 'g') AS wr
