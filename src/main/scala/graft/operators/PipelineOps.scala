@@ -90,11 +90,9 @@ object PipelineOps {
     * identical framing off the crawl bucket. */
   def q215WarcIngest(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.WarcIO
-    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_warc_" + java.util.UUID.nameUUIDFromBytes(
-        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+    val fixDir = graft.util.Fs.scratchDir("graft_warc", dir)
     val fsPath = new org.apache.hadoop.fs.Path(fixDir)
-    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fsPath.getFileSystem(graft.util.Fs.hadoopConf())
     fs.delete(fsPath, true)
     fs.mkdirs(fsPath)
     // bounded fixture generation (event_id < 2000): two segment files,

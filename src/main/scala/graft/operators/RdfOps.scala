@@ -1091,11 +1091,9 @@ object RdfOps {
   def q205SparqlJsonEndpoint(sp: SparkSession, dir: String): DataFrame = {
     import graft.sources.SparqlResultsJson
     import graft.sources.SparqlResultsJson.RTerm
-    val fixDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_sparql_json_" + java.util.UUID.nameUUIDFromBytes(
-        dir.getBytes("UTF-8")).toString.take(8)).getAbsolutePath
+    val fixDir = graft.util.Fs.scratchDir("graft_sparql_json", dir)
     val fsPath = new org.apache.hadoop.fs.Path(fixDir)
-    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fsPath.getFileSystem(graft.util.Fs.hadoopConf())
     fs.delete(fsPath, true)
     val nations = graft.Tables.nation(sp, dir)
       .selectExpr("CAST(n_nationkey AS LONG)", "n_name",

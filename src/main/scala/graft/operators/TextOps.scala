@@ -429,10 +429,13 @@ object TextOps {
   def q219EpochSchedule(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 1000000L
+    // strata-sized: cut lineage so tot/quota/deficit (4 references to
+    // this subtree) cost ONE corpus aggregation, not one each
     val strata = Tables.documents(s, dir)
       .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
       .withColumn("w6",
         round(sqrt(col("mass").cast("double")) * 1e6, 0).cast("long"))
+      .localCheckpoint()
     val tot = strata.agg(sum(col("w6")).as("wtot"))
     val quota = strata.crossJoin(broadcast(tot))
       .withColumn("fl", expr(s"$B * w6 div wtot"))
@@ -479,9 +482,6 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), enc.as("enc"))
       .select(col("doc_id"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", ""))).cast("long")
-          .as("n_spaces"),
         (length(regexp_replace(col("text"), " ", ""))).cast("long")
           .as("n_chars"),
         (length(col("enc")) - length(regexp_replace(col("enc"), "\\{", "")))

@@ -493,16 +493,19 @@ object VectorOps {
     val e = vecs(s, dir)
     val q = e.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // 4dp cosines before ranking — the q37/q43 cross-engine discipline
+    // (at 6dp a ~1-ULP summation-order difference vs the oracle can
+    // straddle a rounding boundary and flip the row_number ranking)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos64", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("cos64", round(CosineSimilarity(col("qv"), col("v")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos64").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .withColumn("cos16", round(CosineSimilarity(
-        slice(col("qv"), 1, 16), slice(col("v"), 1, 16)), 6))
+        slice(col("qv"), 1, 16), slice(col("v"), 1, 16)), 4))
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos64"),
-        col("cos16"), round(abs(col("cos64") - col("cos16")), 6).as("drift"))
+        col("cos16"), round(abs(col("cos64") - col("cos16")), 4).as("drift"))
   }
 
   /** (vec_id, m, sub): the 4 × 16-dim subvector decomposition every PQ
@@ -644,7 +647,9 @@ object VectorOps {
     // codebooks are TRAINED (per-subspace Lloyd, [[trainPqCodebooks]]),
     // not the first-4 stand-in; the query frame is caller-supplied to
     // the library operator — here the 100..105 slice of the corpus.
-    val cbs = trainPqCodebooks(vecs(s, dir))
+    // Training reads the persisted `assigned` frame (it carries vec_id
+    // + v) rather than re-scanning the embeddings table.
+    val cbs = trainPqCodebooks(assigned)
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
         col("v").as("qv"))
@@ -1068,8 +1073,8 @@ object VectorOps {
                  AND q.vec_id BETWEEN 100 AND 105 AND e.vec_id <> q.vec_id
                GROUP BY 1, 2),
          c AS (SELECT d.q_id, d.vec_id,
-                 round(d.dot/(nq.n * ne.n), 6) AS cos64,
-                 round(d.dot16/(mq.n * me.n), 6) AS cos16
+                 round(d.dot/(nq.n * ne.n), 4) AS cos64,
+                 round(d.dot16/(mq.n * me.n), 4) AS cos16
                FROM d JOIN nrm nq ON d.q_id = nq.vec_id
                       JOIN nrm ne ON d.vec_id = ne.vec_id
                       JOIN n16 mq ON d.q_id = mq.vec_id
@@ -1079,7 +1084,7 @@ object VectorOps {
                     ORDER BY cos64 DESC, vec_id) AS rank
                 FROM c)
          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank, cos64, cos16,
-                round(abs(cos64 - cos16), 6) AS drift
+                round(abs(cos64 - cos16), 4) AS drift
          FROM rk WHERE rank <= 3""",
     "q37_cosine_topk" -> topKSql(5, 10, "q_id, vec_id, rank, cos"),
     "q43_nearest_neighbor" -> topKSql(50, 1, "q_id, vec_id AS nn_id, cos"),

@@ -2957,7 +2957,10 @@ object SparqlText {
               "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
             val h = substring(zone, 2, 2).cast("int")
             val mi = substring(zone, 5, 2).cast("int")
-            val dur = when(zone === "", lit(null).cast("string"))
+            // unbound/NULL argument must stay unbound: a NULL s0 makes
+            // every `when` condition NULL (→ skipped), so without the
+            // isNull guard the otherwise-concat would mint a bare "PT"
+            val dur = when(s0.isNull || zone === "", lit(null).cast("string"))
               .when(zone === "Z", lit("PT0S"))
               .when(h === 0 && mi === 0, lit("PT0S"))
               .otherwise(concat(

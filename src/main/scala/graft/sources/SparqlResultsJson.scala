@@ -51,7 +51,8 @@ class SparqlJsonPagedProvider extends TableProvider {
     val pages = SparqlResultsJson.listPages(dir)
     require(pages.nonEmpty, s"no .json result pages under $dir")
     SparqlResultsJson.schemaFor(
-      SparqlResultsJson.headVars(SparqlResultsJson.readTree(pages.head)))
+      SparqlResultsJson.headVars(SparqlResultsJson.readTree(pages.head,
+        graft.util.Fs.hadoopConf())))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -77,24 +78,29 @@ private class SparqlJsonTable(dir: String, tableSchema: StructType)
         SparqlResultsJson.listPages(dir)
           .map(p => SparqlJsonPagePartition(p): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new SparqlJsonReaderFactory(tableSchema)
+        new SparqlJsonReaderFactory(tableSchema,
+          new org.apache.spark.util.SerializableConfiguration(
+            graft.util.Fs.hadoopConf()))
     }
 }
 
 private case class SparqlJsonPagePartition(path: String) extends InputPartition
 
-private class SparqlJsonReaderFactory(schema: StructType)
+private class SparqlJsonReaderFactory(schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
-  // vars recovered from the schema (every 4th column is a value column)
+  // vars recovered structurally: schemaFor emits exactly 4 columns per
+  // var with the value column first, so take every 4th field. (A prefix
+  // filter would misread legal SPARQL vars that start with "__".)
   private val vars: Seq[String] =
-    schema.fieldNames.toSeq.filterNot(_.startsWith("__"))
+    schema.fieldNames.toSeq.grouped(4).map(_.head).toSeq
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val SparqlJsonPagePartition(path) = partition
     new PartitionReader[InternalRow] {
       // one page = one bounded HTTP response body — parsed whole, like
       // the reference's per-page json.loads
-      private val root = SparqlResultsJson.readTree(path)
+      private val root = SparqlResultsJson.readTree(path, conf.value)
       private val pageVars = SparqlResultsJson.headVars(root)
       require(pageVars.forall(vars.contains),
         s"page $path declares vars $pageVars outside the table schema $vars")
@@ -171,16 +177,17 @@ object SparqlResultsJson {
     * so the same listing works on a distributed filesystem. */
   private[sources] def listPages(dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
       .map(_.getPath.toString).sorted
   }
 
-  private[sources] def readTree(path: String): JsonNode = {
+  private[sources] def readTree(path: String,
+      conf: org.apache.hadoop.conf.Configuration): JsonNode = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try new ObjectMapper().readTree(in) finally in.close()
   }
@@ -197,7 +204,7 @@ object SparqlResultsJson {
                  rows: Seq[Seq[Option[RTerm]]], pageSize: Int): Seq[String] = {
     require(pageSize > 0, "pageSize must be positive")
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
     fs.mkdirs(p)
     val mapper = new ObjectMapper()
     rows.grouped(pageSize).zipWithIndex.map { case (page, pi) =>

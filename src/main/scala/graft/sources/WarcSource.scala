@@ -60,7 +60,9 @@ private class WarcTable(dir: String) extends Table with SupportsRead {
         WarcIO.listFiles(dir)
           .map(p => WarcFilePartition(p): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new WarcReaderFactory
+        new WarcReaderFactory(
+          new org.apache.spark.util.SerializableConfiguration(
+            graft.util.Fs.hadoopConf()))
       // Streaming form: a crawl KEEPS landing segment files — the
       // stream offset is the count of the name-sorted file listing, so
       // each trigger picks up exactly the newly-arrived segments (one
@@ -97,7 +99,9 @@ private class WarcMicroBatchStream(dir: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory
+    new WarcReaderFactory(
+      new org.apache.spark.util.SerializableConfiguration(
+        graft.util.Fs.hadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -105,13 +109,16 @@ private class WarcMicroBatchStream(dir: String)
 
 private case class WarcFilePartition(path: String) extends InputPartition
 
-private class WarcReaderFactory extends PartitionReaderFactory {
+/** The conf is captured driver-side at scan build (so `spark.hadoop.*`
+  * reaches executors) and ships with the factory. */
+private class WarcReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val WarcFilePartition(path) = partition
     new PartitionReader[InternalRow] {
       private val p = new org.apache.hadoop.fs.Path(path)
-      private val in = p.getFileSystem(
-        new org.apache.hadoop.conf.Configuration()).open(p)
+      private val in = p.getFileSystem(conf.value).open(p)
       private var row: InternalRow = _
 
       override def next(): Boolean = {
@@ -148,7 +155,7 @@ object WarcIO {
 
   private[sources] def listFiles(dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".warc"))
@@ -193,6 +200,11 @@ object WarcIO {
         }
         val len = headers.getOrElse("content-length",
           sys.error(s"WARC record without Content-Length in $path")).toLong
+        // One record = one JVM byte[]; a payload past Int.MaxValue cannot
+        // be framed that way, and len.toInt would silently mis-frame the
+        // rest of the file — refuse explicitly instead.
+        if (len < 0 || len > Int.MaxValue - 16)
+          sys.error(s"WARC record in $path has unsupported Content-Length $len")
         val body = new Array[Byte](len.toInt)
         din.readFully(body)
         def hs(k: String) = headers.get(k)
@@ -213,7 +225,7 @@ object WarcIO {
     * fetched archive). */
   def writeWarc(path: String, records: Seq[WarcRecord]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
     val os = fs.create(p, true)
     try records.foreach { r =>
       val sb = new StringBuilder()

@@ -82,6 +82,19 @@ class SourcesSpec extends SparkSpec {
       WarcIO.read(spark, bad.getAbsolutePath).count())
     assert(e.getMessage.contains("malformed WARC") ||
       Option(e.getCause).exists(_.getMessage.contains("malformed WARC")))
+    // a >2 GiB Content-Length cannot frame as one JVM byte[] — must
+    // refuse explicitly, never truncate via toInt and mis-frame the file
+    val big = new java.io.File(dir, "big")
+    big.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(big.getPath, "x.warc"),
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Length: 2200000000\r\n\r\n").getBytes("UTF-8"))
+    val e2 = intercept[org.apache.spark.SparkException](
+      WarcIO.read(spark, big.getAbsolutePath).count())
+    assert(e2.getMessage.contains("unsupported Content-Length") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("unsupported Content-Length")))
   }
 
   test("WARC stream: each trigger picks up exactly the newly-landed " +

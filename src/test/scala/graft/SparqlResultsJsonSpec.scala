@@ -79,6 +79,19 @@ class SparqlResultsJsonSpec extends SparkSpec {
       .collect().sorted.toSeq == (0 until 10).map(i => s"E$i").sorted)
   }
 
+  test("underscore-prefixed result vars parse (regression: vars were " +
+      "recovered by a __ prefix filter, dropping legal SPARQL names)") {
+    val dir = tmpDir("sjson4")
+    SparqlResultsJson.writePages(dir, Seq("__x", "y"), Seq(
+      Seq(Some(RTerm("A", kind = "iri")), Some(RTerm("1"))),
+      Seq(Some(RTerm("B", kind = "iri")), None)), 10)
+    val df = SparqlResultsJson.bindings(spark, dir)
+    assert(df.columns.take(2).toSeq == Seq("__x", "__kind___x"))
+    val got = df.select(col("__x"), col("y"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("A", Some("1")), ("B", None)))
+  }
+
   test("asTriples + SERVICE: remote bindings join local solutions with " +
       "language fidelity intact") {
     val spark2 = spark

@@ -2297,6 +2297,26 @@ class SparqlTextSpec extends SparkSpec {
     assert(e.getMessage.contains("BIND only"))
   }
 
+  test("TIMEZONE(unbound) stays unbound (regression: the NULL argument " +
+      "used to skip every when() and mint a bare \"PT\")") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("P1", "a", "x"), ("P2", "a", "x"),
+      ("P1", "when", "2024-03-01T10:00:00+02:00")
+    ).toDF("s", "p", "o")
+    val labels = Seq.empty[(String, String, String)].toDF("entity", "lang", "label")
+    val out = SparqlText.run(
+      """SELECT ?s ?z WHERE {
+        |  ?s <a> ?x .
+        |  OPTIONAL { ?s <when> ?d }
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |}""".stripMargin, t, labels)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("P1") == Some("PT2H"))
+    assert(out("P2").isEmpty) // unbound ?d -> unbound ?z, never "PT"
+  }
+
   test("grouped CONSTRUCT: GROUP BY + aggregate binding + HAVING + " +
       "aggregate ORDER BY + LIMIT template from the grouped frame") {
     // citizenship groups: Q40 n=3, Q28513 n=2, Q131964/Q699964/Q183 n=1
