@@ -20,7 +20,8 @@ object SparkEntry {
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
       (operators.RenderOps.queries, operators.RenderOps.oracles),
-      (operators.ComposeOps.queries, operators.ComposeOps.oracles)
+      (operators.ComposeOps.queries, operators.ComposeOps.oracles),
+      (operators.CrawlOps.queries, operators.CrawlOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
