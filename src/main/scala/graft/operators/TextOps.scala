@@ -490,6 +490,37 @@ object TextOps {
         (col("n_chars") - col("n_pieces")).as("n_merged"))
   }
 
+  /** Tokenizer vocabulary-coverage audit (the go/no-go check before
+    * committing a tokenizer to a corpus mix: what fraction of each
+    * source's tokens fall outside the vocabulary?): vocab = global
+    * top-200 tokens (count desc, token asc — deterministic), then one
+    * more pass counts per-source OOV hits against the broadcast vocab.
+    *
+    * 100 TB posture: ONE persisted token explode feeds both consumers
+    * (the DSIR single-scan discipline); the vocab is a 200-row
+    * broadcast; per-source totals are a partial-agg groupBy. The rate
+    * divides two exact BIGINTs in IEEE double — deterministic across
+    * engines, so round(…,6) is safe. */
+  def q224OovCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .persist()
+    tok.count() // materialize once for both consumers
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(200)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    val out = tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
   /** HTML → text extraction (the step between WARC ingest and every
     * text operator on this board — what trafilatura/jusText do in a
     * crawl pipeline, reduced to its deterministic core): drop
@@ -2143,6 +2174,7 @@ object TextOps {
     "q217_html_extract" -> q217HtmlExtract _,
     "q218_bpe_encode" -> q218BpeEncode _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
+    "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
     "q192_dsir_resample" -> q192DsirResample _,
     "q179_difficulty_bins" -> q179DifficultyBins _,
@@ -2335,6 +2367,19 @@ object TextOps {
                 CAST(fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
                   AS BIGINT) AS seats
          FROM rk""",
+    "q224_oov_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         vocab AS (SELECT tok FROM tok GROUP BY tok
+                   ORDER BY count(*) DESC, tok LIMIT 200)
+         SELECT t.source,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS oov_rate
+         FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY t.source""",
     "q218_bpe_encode" ->
       """WITH w AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
                 regexp_replace(text, '([^ ])', '{\1}', 'g') AS wr

@@ -384,6 +384,51 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming crawl-frontier admission — q220's canonical-URL dedup as
+    * a sink (the batch/stream parity convention of cdcAdmitSink /
+    * nearDupAdmitSink): each micro-batch of discovered URLs
+    * canonicalizes through [[graft.operators.CrawlOps.canonicalized]],
+    * collapses within-batch spellings (min doc_id per canonical form),
+    * anti-joins against the persistent claims store on the canonical
+    * key, appends the survivors to the accepted store, then claims
+    * their canonicals. Accepted-before-claims ordering keeps a crash
+    * replay at-least-once (duplicate accepted rows, recoverable) rather
+    * than silently dropping URLs that were never written anywhere.
+    *
+    * 100 TB posture: the claims store is parquet partitioned by the
+    * canonical hash key — the anti-join is the same keyed shuffle the
+    * batch q220 window uses, and each trigger touches one batch of
+    * URLs, never the full history. */
+  def frontierSink(urls: DataFrame, claimsPath: String,
+                   acceptedPath: String)
+                  (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    urls.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val canon = graft.operators.CrawlOps.canonicalized(batch.toDF())
+          .select(col("doc_id"), col("url"), col("canonical"), col("host"))
+          .groupBy(col("canonical"))
+          .agg(org.apache.spark.sql.functions.min(
+            struct(col("doc_id"), col("url"), col("host"))).as("first"))
+          .select(col("first.doc_id"), col("first.url"), col("canonical"),
+            col("first.host"))
+        val claimsHPath = new org.apache.hadoop.fs.Path(claimsPath)
+        val claimsFs = claimsHPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          (if (claimsFs.exists(claimsHPath))
+             canon.join(spark.read.parquet(claimsPath),
+               Seq("canonical"), "left_anti")
+           else canon).localCheckpoint()
+        fresh.write.mode("append").parquet(acceptedPath)
+        fresh.select(col("canonical"))
+          .write.mode("append").parquet(claimsPath)
+        ()
+      }
+      .start()
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -390,4 +390,43 @@ class StreamOpsSpec extends SparkSpec {
       assert(claimed == Set(1L, 2L, 5L))
     } finally graft.util.Fs.deleteRecursively(dir)
   }
+
+  test("frontierSink admits one URL per canonical form within and " +
+      "across batches (q220 parity at the stream boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("frontier").toFile
+    val claims = new java.io.File(dir, "claims").getAbsolutePath
+    val accepted = new java.io.File(dir, "accepted").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val input = MemoryStream[(Long, String)]
+      val urls = input.toDF().toDF("doc_id", "url")
+      val query = StreamOps.frontierSink(urls, claims, accepted)(ckpt)
+      // batch 1: two spellings of ONE canonical + a distinct page
+      input.addData(
+        (1L, "HTTP://Example.COM:80/a?b=2&a=1#frag"),
+        (2L, "http://example.com/a?a=1&b=2"),
+        (3L, "https://example.com/other"))
+      query.processAllAvailable()
+      // batch 2: yet another spelling of the same page (rejected via the
+      // claims store), plus a genuinely new one
+      input.addData(
+        (4L, "http://EXAMPLE.com/a?a=1&b=2"),
+        (5L, "https://example.com/new"))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.read.parquet(accepted)
+        .select("doc_id", "canonical").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set(
+        (1L, "http://example.com/a?a=1&b=2"),
+        (3L, "https://example.com/other"),
+        (5L, "https://example.com/new")),
+        s"frontier admitted $got")
+      // claims store carries exactly the admitted canonicals
+      val claimed = spark.read.parquet(claims)
+        .select("canonical").as[String].collect().toSet
+      assert(claimed == got.map(_._2))
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 }
