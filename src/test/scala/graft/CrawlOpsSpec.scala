@@ -95,6 +95,25 @@ class CrawlOpsSpec extends SparkSpec {
       s"nfc_normalize fell out of codegen:\n$plan")
   }
 
+  test("canonicalization is idempotent over generated URL shapes " +
+      "(canon(canon(u)) == canon(u))") {
+    val schemes = Seq("http", "HTTPS", "Http")
+    val hosts = Seq("A.example.COM", "example.net", "x.Y.z")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/a", "/a/b.html")
+    val qs = Seq("", "?b=2&a=1", "?k=v", "?z=1&y=2&x=3")
+    val frags = Seq("", "#f")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- ports; pa <- paths; q <- qs; f <- frags
+    } yield s"$s://$h$p$pa$q$f"
+    val first = canon(urls: _*)
+    val second = canon(first.values.toSeq.distinct: _*)
+    first.foreach { case (raw, c) =>
+      assert(second(c) == c, s"not idempotent: $raw -> $c -> ${second(c)}")
+    }
+    assert(urls.size == 1152 && first.size == urls.size)
+  }
+
   test("script audit counts each Unicode block and flags mixed docs") {
     val out = graft.operators.CrawlOps.q222ScriptAudit(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
