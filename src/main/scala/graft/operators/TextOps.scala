@@ -490,6 +490,53 @@ object TextOps {
         (col("n_chars") - col("n_pieces")).as("n_merged"))
   }
 
+  /** BPE merge-TRAINING loop — q130 is one step, q218 applies a learned
+    * list; this LEARNS the list (Sennrich et al. 2016: repeatedly merge
+    * the most frequent adjacent symbol pair). The loop trains over the
+    * token-TYPE frequency table, not token occurrences — the corpus is
+    * touched exactly once (the word-count groupBy), and every merge
+    * round after that is vocabulary-sized: one pair-explode shuffle
+    * over the word table plus a 1-row argmax driver read (the bounded-
+    * read class of the closure/k-means convergence probes). Applying
+    * the chosen merge is a map over the word table; loop-carried state
+    * is localCheckpoint'ed per round (the q186 lineage-cut discipline).
+    * Determinism: the argmax tiebreak is (count desc, left asc, right
+    * asc) — on round 1 this coincides with q130's top-1 pair, which the
+    * spec pins. Symbol boundaries use the q218 brace convention
+    * (symbols must not contain brace chars — same fixture caveat).
+    * Output: the learned merge table (round, lhs, rhs, merged,
+    * pair_count), replayed verbatim in DuckDB as chained CTEs. */
+  def q225BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var words = docs(s, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("tok"), "(.)", "{$1}").as("enc"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to 3) {
+      val best = words
+        .select(col("n"),
+          split(regexp_replace(col("enc"), "^\\{|\\}$", ""), "\\}\\{").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0) // bounded 1-row driver read per round
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, a, b, cnt))
+      words = words.select(
+        call_function("replace", col("enc"), lit(s"{$a}{$b}"), lit(s"{$a$b}")).as("enc"),
+        col("n")).localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
+
   /** Tokenizer vocabulary-coverage audit (the go/no-go check before
     * committing a tokenizer to a corpus mix: what fraction of each
     * source's tokens fall outside the vocabulary?): vocab = global
@@ -2173,6 +2220,7 @@ object TextOps {
     "q216_vocab_delta" -> q216VocabDelta _,
     "q217_html_extract" -> q217HtmlExtract _,
     "q218_bpe_encode" -> q218BpeEncode _,
+    "q225_bpe_train" -> q225BpeTrain _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -2396,6 +2444,46 @@ object TextOps {
                 CAST(n_chars - (length(enc) - length(replace(enc, '{', '')))
                   AS BIGINT) AS n_merged
          FROM e""",
+    "q225_bpe_train" ->
+      """WITH w0 AS (
+           SELECT regexp_replace(tok, '(.)', '{\1}', 'g') AS enc,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE length(tok) >= 2 GROUP BY 1),
+         p1 AS (
+           SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM (
+             SELECT n, unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+             FROM (SELECT string_split(trim(enc, '{}'), '}{') AS syms, n FROM w0)
+             WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+         w1 AS (SELECT replace(enc, '{'||b1.a||'}{'||b1.b||'}', '{'||b1.a||b1.b||'}') AS enc, n
+                FROM w0, b1),
+         p2 AS (
+           SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM (
+             SELECT n, unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+             FROM (SELECT string_split(trim(enc, '{}'), '}{') AS syms, n FROM w1)
+             WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+         w2 AS (SELECT replace(enc, '{'||b2.a||'}{'||b2.b||'}', '{'||b2.a||b2.b||'}') AS enc, n
+                FROM w1, b2),
+         p3 AS (
+           SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM (
+             SELECT n, unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+             FROM (SELECT string_split(trim(enc, '{}'), '}{') AS syms, n FROM w2)
+             WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+         SELECT CAST(1 AS INTEGER) AS round, a AS lhs, b AS rhs, a||b AS merged,
+                CAST(cnt AS BIGINT) AS pair_count FROM b1
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), a, b, a||b, CAST(cnt AS BIGINT) FROM b2
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), a, b, a||b, CAST(cnt AS BIGINT) FROM b3""",
     "q217_html_extract" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                 len(string_split(text, ' ')) // 2 AS half
