@@ -21,7 +21,8 @@ object SparkEntry {
       (operators.PipelineOps.queries, operators.PipelineOps.oracles),
       (operators.RenderOps.queries, operators.RenderOps.oracles),
       (operators.ComposeOps.queries, operators.ComposeOps.oracles),
-      (operators.CrawlOps.queries, operators.CrawlOps.oracles)
+      (operators.CrawlOps.queries, operators.CrawlOps.oracles),
+      (operators.SketchOps.queries, operators.SketchOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

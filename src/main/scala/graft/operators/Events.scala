@@ -151,8 +151,93 @@ object Events {
         col("n_users"))
   }
 
+  /** Bin-replicated interval join with NO equi key: every click landing
+    * inside ANY error's 30-minute window, across all users. q70 leans on
+    * its user_id equi key to bound candidates; here no such key exists, so
+    * a naive theta-join is all-pairs (clicks × windows — quadratic, the
+    * classic 100 TB range-join killer). Instead both sides map onto fixed
+    * 30-minute time bins: a window (duration == bin width) overlaps at
+    * most 2 bins and replicates to each; a point click lives in exactly 1
+    * bin. The equi-join on `bin` bounds candidates to same-bin pairs, the
+    * residual range predicate runs inside the join, and because the
+    * click's bin is unique each qualifying (error, click) pair is emitted
+    * exactly once — no dedup pass needed. At scale this is one shuffle on
+    * a time key both sides are naturally clustered by. */
+  def q232IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 1800L * 1000000L // bin width == window duration (30 min)
+    val ev = Tables.events(s, dir)
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + binUs)
+      .withColumn("bin",
+        explode(sequence(floor(col("w_start") / binUs).cast("long"),
+          floor(col("w_end") / binUs).cast("long"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", floor(col("c_us") / binUs).cast("long"))
+    windows.join(clicks, Seq("bin"))
+      .filter(col("c_us") >= col("w_start") && col("c_us") <= col("w_end"))
+      .select(col("error_id"), col("click_id"),
+        (col("c_us") - col("w_start")).as("gap_us"))
+  }
+
+  /** Gap-fill + forward-fill resample: a dense per-user hourly grid over
+    * the user's observed purchase span, carrying the last observed hourly
+    * purchase total forward across empty hours (the standard time-series
+    * densification before windowed feature extraction). The grid comes
+    * from `sequence()` exploded per user — span-bounded fan-out, no
+    * driver-side loop — and the fill is one `last(ignoreNulls)` running
+    * window per user: a single shuffle on user_id end to end. */
+  def q226Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")), 2).as("obs"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("obs"), col("filled"))
+  }
+
+  /** SCD2 history build: collapse each user's event stream into
+    * slowly-changing-dimension validity intervals — one row per
+    * consecutive run of the same event_type, with [valid_from, valid_to)
+    * half-open bounds (valid_to NULL on the open run). The run ids come
+    * from the lag-change + running-sum idiom (one window), the interval
+    * bounds from a lead over the per-user run frame (run-cardinality
+    * sized). Both windows partition on user_id, so the whole history
+    * build is one shuffle on the dimension key — the layout an SCD2
+    * merge-write wants anyway. */
+  def q227Scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(byUser)
+    val runs = Tables.events(s, dir)
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("to_ts", lead(col("from_ts"), 1).over(byRun))
+      .select(col("user_id"), col("event_type").as("state"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
+    "q232_interval_join" -> q232IntervalJoin _,
+    "q226_gapfill"       -> q226Gapfill _,
+    "q227_scd2"          -> q227Scd2 _,
     "q59_rollup"    -> q59Rollup _,
     "q70_attribution_batch" -> q70AttributionBatch _,
     "q77_hourly_kmv" -> q77HourlyKmv _,
@@ -164,6 +249,45 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q232_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id,
+                epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+         FROM events e JOIN events c
+           ON epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 1800000000
+         WHERE e.event_type = 'error' AND c.event_type = 'click'""",
+    "q226_gapfill" ->
+      """WITH p AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                           round(sum(value), 2) AS obs
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM p GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                  FROM span)
+         SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour, p.obs,
+                last_value(p.obs IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM grid g LEFT JOIN p ON g.user_id = p.user_id AND g.hour = p.hour""",
+    "q227_scd2" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+               FROM c),
+         runs AS (SELECT user_id, run_id, event_type,
+                         min(ts) AS from_ts, count(*) AS n_events
+                  FROM r GROUP BY 1, 2, 3)
+         SELECT user_id, event_type AS state,
+                strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY run_id),
+                         '%Y-%m-%d %H:%M:%S') AS valid_to,
+                n_events
+         FROM runs""",
     "q77_hourly_kmv" ->
       """WITH h AS (SELECT DISTINCT
                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -940,6 +940,42 @@ object RdfOps {
     out
   }
 
+  /** Min-hop BFS from a seed entity over the UNDIRECTED entity graph
+    * (nation/region/segment edges) — the shortest-path companion to the
+    * reachability closure (J4) and PageRank (q198): closure asks "which",
+    * BFS asks "how far". Semi-naive frontier expansion: each round joins
+    * ONLY the previous round's newly-discovered frontier against the
+    * persisted edge list, anti-joins the visited set (so no node is
+    * re-expanded — work per round is frontier-bound, not
+    * visited-bound), and localCheckpoints to cut lineage. Bounded to 4
+    * hops, which the segment hub edges make sufficient to label the whole
+    * component; the same loop at 100 TB is the standard BSP BFS — one
+    * frontier-sized shuffle per round. Oracle: a hop-bounded recursive
+    * CTE taking min(hop) per node. */
+  def q230BfsHops(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val fwd = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region", "segment"))
+      .select(col("s").as("src"), col("o").as("dst"))
+    val e = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    e.count()
+    var visited = Seq(("R1", 0L)).toDF("node", "hop").localCheckpoint()
+    var frontier = visited.select("node")
+    (1 to 4).foreach { h =>
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** Trailing VALUES clause (§18.2.4): the inline table joins AFTER
     * grouping and HAVING — it constrains GROUPS (and decorates them
     * with table columns), never their inputs, so the counts stay the
@@ -1261,6 +1297,7 @@ object RdfOps {
     "q191_orderby_agg"       -> q191OrderbyAgg _,
     "q197_trailing_values"   -> q197TrailingValues _,
     "q198_pagerank"          -> q198Pagerank _,
+    "q230_bfs_hops"          -> q230BfsHops _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1373,6 +1410,19 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q230_bfs_hops" ->
+      s"""WITH RECURSIVE st AS ($T),
+         e AS (SELECT s AS src, o AS dst FROM st
+               WHERE p IN ('nation', 'region', 'segment')
+               UNION
+               SELECT o, s FROM st
+               WHERE p IN ('nation', 'region', 'segment')),
+         walk(node, hop) AS (
+           SELECT 'R1', 0
+           UNION
+           SELECT e.dst, w.hop + 1 FROM walk w
+           JOIN e ON e.src = w.node WHERE w.hop < 4)
+         SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY 1""",
     "q198_pagerank" ->
       s"""WITH st AS ($T),
          e AS (SELECT s AS src, o AS dst FROM st
