@@ -233,8 +233,89 @@ object Events {
         col("n_events"))
   }
 
+  /** Snapshot diff (lakehouse CDC derivation): classify every key across
+    * two table versions as insert / delete / update by a single full-outer
+    * join on the key, comparing the value columns — the read-side
+    * complement of the MERGE upsert sink (q65 writes a new version; this
+    * reports what changed between two). Unchanged keys drop out, so the
+    * output is delta-sized. One shuffle on the snapshot key; at scale both
+    * versions are bucketed by that key and the join is co-located.
+    *
+    * Fixture snapshots derive from `orders` per the CrawlOps convention
+    * (built inside the query on both engines): the OLD version is missing
+    * keys ≡0 (mod 11) (inserted since), carries a stale price on keys ≡0
+    * (mod 7) (updated since); the NEW version dropped keys ≡0 (mod 13)
+    * (deleted since). */
+  def q233SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val old = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") + 1.0, 2))
+          .otherwise(col("o_totalprice")).as("old_price"))
+    val neu = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("new_price"))
+    old.join(neu, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("k").as("o_orderkey"), col("change"),
+        col("old_price"), col("new_price"))
+  }
+
+  /** Ordered funnel analysis: the furthest signup → click → purchase
+    * stage each user reaches, where each stage must happen STRICTLY AFTER
+    * the previous one (a purchase before the first post-signup click does
+    * not convert the funnel). Three chained min-over-user windows — each
+    * stage's cutoff is the previous window's result — then a per-user
+    * collapse; all four operators key on user_id, so Spark plans ONE
+    * exchange and the windows + final aggregation reuse its partitioning. */
+  def q234Funnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val out = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("us"))).over(byUser))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("us") > col("s1"), col("us"))).over(byUser))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("us") > col("s2"), col("us"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("first_signup_us"),
+        max(col("s2")).as("first_click_us"),
+        max(col("s3")).as("first_purchase_us"))
+    out.withColumn("stage",
+      when(col("first_purchase_us").isNotNull, lit("purchase"))
+        .when(col("first_click_us").isNotNull, lit("click"))
+        .when(col("first_signup_us").isNotNull, lit("signup"))
+        .otherwise(lit("none")))
+  }
+
+  /** Cohort retention matrix: users grouped by first-active week, counted
+    * per week-offset since their cohort week — the standard growth
+    * analytics grid. Cohort assignment is one aggregation on user_id; the
+    * activity join keys on the same column (partitioning reuse); the
+    * final distinct + count shuffles the (cohort, offset, user) triple,
+    * whose cardinality is bounded by |events|. */
+  def q235Retention(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), floor(day / 7).cast("long").as("week"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
+    "q233_snapshot_diff" -> q233SnapshotDiff _,
+    "q234_funnel"        -> q234Funnel _,
+    "q235_retention"     -> q235Retention _,
     "q232_interval_join" -> q232IntervalJoin _,
     "q226_gapfill"       -> q226Gapfill _,
     "q227_scd2"          -> q227Scd2 _,
@@ -249,6 +330,49 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 1.0, 2)
+                     ELSE o_totalprice END AS old_price
+              FROM orders WHERE o_orderkey % 11 <> 0),
+         neu AS (SELECT o_orderkey AS k, o_totalprice AS new_price
+              FROM orders WHERE o_orderkey % 13 <> 0),
+         j AS (SELECT coalesce(old.k, neu.k) AS o_orderkey, old_price, new_price
+               FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+         SELECT o_orderkey,
+                CASE WHEN old_price IS NULL THEN 'insert'
+                     WHEN new_price IS NULL THEN 'delete'
+                     WHEN old_price <> new_price THEN 'update' END AS change,
+                old_price, new_price
+         FROM j
+         WHERE old_price IS NULL OR new_price IS NULL OR old_price <> new_price""",
+    "q234_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                  OVER (PARTITION BY user_id) AS s1 FROM e),
+         w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > s1 THEN us END)
+                  OVER (PARTITION BY user_id) AS s2 FROM w1),
+         w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2 THEN us END)
+                  OVER (PARTITION BY user_id) AS s3 FROM w2)
+         SELECT user_id,
+                max(s1) AS first_signup_us,
+                max(s2) AS first_click_us,
+                max(s3) AS first_purchase_us,
+                CASE WHEN max(s3) IS NOT NULL THEN 'purchase'
+                     WHEN max(s2) IS NOT NULL THEN 'click'
+                     WHEN max(s1) IS NOT NULL THEN 'signup'
+                     ELSE 'none' END AS stage
+         FROM w3 GROUP BY 1""",
+    "q235_retention" ->
+      """WITH e AS (SELECT user_id,
+                CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7) AS BIGINT) AS week
+              FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+                      e.week - c.cohort_week AS week_offset
+               FROM e JOIN c ON e.user_id = c.user_id)
+         SELECT cohort_week, week_offset, count(*) AS n_active
+         FROM a GROUP BY 1, 2""",
     "q232_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id,
                 epoch_us(c.ts) - epoch_us(e.ts) AS gap_us

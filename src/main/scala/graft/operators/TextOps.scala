@@ -1218,6 +1218,45 @@ object TextOps {
     out
   }
 
+  /** PMI collocation mining: the top bigrams by pointwise mutual
+    * information ln(p(w1 w2) / (p(w1)·p(w2))) with a min-count support
+    * floor — the classic collocation-extraction signal (phrases whose
+    * words co-occur far above chance), the phrase-vocabulary feeder for
+    * tokenizer and n-gram work (q121/q130's neighbor). One persisted
+    * token explode feeds the unigram table AND the bigram table (same
+    * single-scan rule as q152/q156); both count tables aggregate with
+    * map-side partials; the scoring joins key on the unigram term —
+    * broadcast while the vocabulary is small, ordinary shuffle joins
+    * beyond. Totals are 1-row broadcasts. Ranking sorts on the ROUNDED
+    * pmi (round-before-use, the q198 convention) with the bigram as
+    * total tiebreak, compiling to TakeOrderedAndProject. */
+  def q236PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("toks")).persist()
+    d.count()
+    val uni = d.select(explode(col("toks")).as("term"))
+    val cf = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nu = uni.select(count(lit(1)).cast("double").as("nu"))
+    val bg = d.select(explode(expr(
+      "transform(sequence(1, size(toks)-1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nb = bg.select(count(lit(1)).cast("double").as("nb"))
+    val out = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .join(cf.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(cf.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log((col("n") / col("nb")) /
+        ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 4))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(20)
+      .localCheckpoint()
+    d.unpersist(blocking = false)
+    out
+  }
+
   /** Quality-aware cluster representative: q132 keeps each near-dup
     * component's MIN-ID member (deterministic but arbitrary); production
     * pipelines keep the BEST member (longest / highest-quality — the
@@ -2239,6 +2278,7 @@ object TextOps {
     "q147_quality_calibration" -> q147QualityCalibration _,
     "q151_component_representative" -> q151ComponentRepresentative _,
     "q152_unigram_surprisal" -> q152UnigramSurprisal _,
+    "q236_pmi_collocations" -> q236PmiCollocations _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -2941,6 +2981,26 @@ object TextOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(avg(nll), 4) AS surprisal
          FROM nll GROUP BY 1""",
+    "q236_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS term FROM t),
+         cf AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+         bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+                FROM t),
+         cb AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg)
+         SELECT w1 || ' ' || w2 AS bigram, cb.n,
+                round(ln((cb.n / nb.n) /
+                  ((c1.c / nu.n) * (c2.c / nu.n))), 4) AS pmi
+         FROM cb
+         JOIN cf c1 ON c1.term = cb.w1
+         JOIN cf c2 ON c2.term = cb.w2
+         CROSS JOIN nu CROSS JOIN nb
+         WHERE cb.n >= 5
+         ORDER BY pmi DESC, bigram ASC
+         LIMIT 20""",
     "q152_unigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, TextOps}
+
+/** Warehouse-analytics block (q233 snapshot diff, q234 funnel,
+  * q235 retention, q236 PMI): semantics pinned against independent naive
+  * recomputations over the collected fixture — strict-order funnel
+  * conversion, delta-only diff output, cohort-size invariants, and the
+  * PMI formula/support floor/ordering. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q233: output is delta-only and every class is right on the " +
+      "fixture arithmetic") {
+    val rows = Events.q233SnapshotDiff(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val byKey = rows.map(t => t._1 -> t).toMap
+    assert(rows.length == byKey.size) // one verdict per key
+    rows.foreach { case (k, change, o, n) =>
+      change match {
+        case "insert" => // in new only: was hidden from old by %11
+          assert(k % 11 == 0 && k % 13 != 0); assert(o.isEmpty && n.isDefined)
+        case "delete" => // in old only: dropped from new by %13
+          assert(k % 13 == 0 && k % 11 != 0); assert(o.isDefined && n.isEmpty)
+        case "update" => // stale price: %7, present in both
+          assert(k % 7 == 0 && k % 11 != 0 && k % 13 != 0)
+          assert(o.isDefined && n.isDefined && o != n)
+      }
+    }
+    // completeness: every key the fixture perturbs (and only those) appears
+    val allKeys = Tables.orders(spark, dir)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    allKeys.foreach { k =>
+      val inOld = k % 11 != 0
+      val inNew = k % 13 != 0
+      val changed = (inOld != inNew) || (inOld && inNew && k % 7 == 0)
+      assert(byKey.contains(k) == changed, s"key $k")
+    }
+  }
+
+  test("q234: strict-order funnel — stage advances only on events after " +
+      "the previous stage's first hit") {
+    val out = Events.q234Funnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val s1 = es.filter(_._2 == "signup").map(_._3).minOption
+      val s2 = s1.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val s3 = s2.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      val expect =
+        if (s3.isDefined) "purchase" else if (s2.isDefined) "click"
+        else if (s1.isDefined) "signup" else "none"
+      assert(out(u) == expect, s"user $u")
+    }
+  }
+
+  test("q235: offset-0 cell equals the cohort's size and offsets are " +
+      "within the observed span") {
+    val cells = Events.q235Retention(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cells.keys.forall { case (_, off) => off >= 0 })
+    val cohorts = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))) / 7).cast("long").as("w"))
+      .groupBy("user_id").agg(min(col("w")).as("cw"))
+      .collect().map(_.getLong(1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    cohorts.foreach { case (cw, size) =>
+      assert(cells((cw, 0L)) == size, s"cohort $cw") // everyone active in week 0
+    }
+  }
+
+  test("q236: PMI formula, support floor, and rounded-key ordering") {
+    val rows = TextOps.q236PmiCollocations(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_._2 >= 5)) // support floor
+    // sorted by (pmi desc, bigram asc)
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // recompute PMI naively for the top row
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val unigrams = toks.flatten
+    val bigrams = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+    val (top, n, pmi) = rows.head
+    val Array(w1, w2) = top.split(" ", 2)
+    val cab = bigrams.count(p => p._1 == w1 && p._2 == w2).toDouble
+    assert(cab.toLong == n)
+    val expect = math.log((cab / bigrams.length) /
+      ((unigrams.count(_ == w1).toDouble / unigrams.length) *
+        (unigrams.count(_ == w2).toDouble / unigrams.length)))
+    assert(math.abs(BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble - pmi) < 1e-9)
+  }
+}
