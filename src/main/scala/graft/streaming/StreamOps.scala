@@ -348,6 +348,62 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of q228's heavy hitters: the state is a MERGED
+    * Misra–Gries summary (≤ k counters) plus the exact running total and
+    * the accumulated decrement mass — the mergeable-summaries form
+    * (Agarwal et al., PODS'12): each trigger sums the batch's exact
+    * term counts into the stored counters, subtracts the (k+1)-th
+    * largest value t from every counter, and drops ≤0. Counters only
+    * ever undercount, by at most the accumulated `err`, so two exact
+    * reports fall out of the state without any corpus replay:
+    * `guaranteed` (c > n/k — state count already proves heaviness) and
+    * `candidates` (c + err > n/k — a superset of every true heavy
+    * hitter, the set a periodic exact pass would re-count). Per-trigger
+    * work is batch-sized + the k-row state; the (k+1)-th-largest read
+    * is a census-sized driver action, same class as the closure
+    * convergence reads. */
+  def heavyHittersSink(tokens: DataFrame, statePath: String,
+                       reportPath: String, k: Int = 50)
+                      (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tokens.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val bc = batch.toDF().groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val bn = batch.count()
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (prev, prevN, prevErr) =
+          if (fs.exists(sp)) {
+            val st = spark.read.parquet(statePath)
+            val meta = spark.read.parquet(statePath + "_meta").collect()(0)
+            (st.select(col("term"), col("c")), meta.getLong(0), meta.getLong(1))
+          } else (bc.limit(0), 0L, 0L)
+        val summed = prev.unionByName(bc)
+          .groupBy(col("term")).agg(sum(col("c")).as("c"))
+          .localCheckpoint() // also cuts lineage from the state file
+        // (k+1)-th largest counter = the decrement that trims back to k
+        val top = summed.orderBy(col("c").desc, col("term"))
+          .limit(k + 1).collect()
+        val t = if (top.length > k) top.last.getLong(1) else 0L
+        val n = prevN + bn
+        val err = prevErr + t
+        val trimmed = summed.select(col("term"), (col("c") - t).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint()
+        trimmed.write.mode("overwrite").parquet(statePath)
+        import spark.implicits._
+        Seq((n, err)).toDF("n", "err")
+          .write.mode("overwrite").parquet(statePath + "_meta")
+        trimmed
+          .withColumn("guaranteed", col("c") > lit(n.toDouble / k))
+          .filter(col("c") + err > lit(n.toDouble / k))
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming WARC ingestion: crawl segments land → response records
     * extract → append to the corpus parquet, idempotently. A claims
     * file records ingested WARC-Record-IDs and each micro-batch

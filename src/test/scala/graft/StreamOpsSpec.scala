@@ -279,6 +279,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("heavyHittersSink: merged MG state's guaranteed set is a subset " +
+      "and its candidate set a superset of q228's exact heavy hitters") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("hhsink").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .as[String].collect()
+      val input = MemoryStream[String]
+      val query = StreamOps.heavyHittersSink(
+        input.toDF().toDF("term"), statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      // exact truth over the same rows
+      val n = fixture.length
+      val exactCounts = fixture.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val trueHeavy = exactCounts.filter { case (_, c) => c > n / 50.0 }.keySet
+      val meta = spark.read.parquet(statePath + "_meta").collect()(0)
+      assert(meta.getLong(0) == n.toLong) // exact running total
+      val err = meta.getLong(1)
+      val report = spark.read.parquet(reportPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val candidates = report.map(_._1).toSet
+      val guaranteed = report.filter(_._3).map(_._1).toSet
+      assert(guaranteed.subsetOf(trueHeavy),
+        s"guaranteed over-claims: ${guaranteed -- trueHeavy}")
+      assert(trueHeavy.subsetOf(candidates),
+        s"candidates miss true heavy hitters: ${trueHeavy -- candidates}")
+      // every stored counter undercounts truth by at most err
+      report.foreach { case (term, c, _) =>
+        val truth = exactCounts.getOrElse(term, 0L)
+        assert(c <= truth && truth <= c + err, s"$term c=$c truth=$truth err=$err")
+      }
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("klDriftSink: the running-count report after N micro-batches " +
       "equals q194's batch grid over the same rows") {
     implicit val sqlCtx = spark.sqlContext
