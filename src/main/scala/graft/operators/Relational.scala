@@ -354,7 +354,46 @@ object Relational {
         round(max($"o_totalprice"), 2).as("hi_seen"))
   }
 
+  /** Constraint / referential-integrity audit (the q168 profiler's
+    * enforcement sibling — the deequ/dbt-test surface a lake runs before
+    * publishing a load): foreign-key orphan counts via left-anti joins,
+    * key uniqueness, domain-range checks, and one cross-table temporal
+    * invariant. Each check is a single aggregation-shaped pass; the
+    * anti-joins broadcast their dimension side when small and degrade to
+    * ordinary shuffle joins beyond, and the row-local checks
+    * (quantity/discount) are codegen'd filters inside the scan. The
+    * output is fixed-cardinality (one row per check), so the report is
+    * broadcastable to whatever gate consumes it. */
+  def q238IntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val p = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    cnt(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"),
+        "lineitem_orphan_order")
+      .unionByName(cnt(li.join(p, li("l_partkey") === p("p_partkey"), "left_anti"),
+        "lineitem_orphan_part"))
+      .unionByName(cnt(li.join(su, li("l_suppkey") === su("s_suppkey"), "left_anti"),
+        "lineitem_orphan_supplier"))
+      .unionByName(cnt(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"),
+        "order_orphan_customer"))
+      .unionByName(cnt(o.groupBy(col("o_orderkey")).count().filter(col("count") > 1),
+        "duplicate_orderkey"))
+      .unionByName(cnt(li.filter(col("l_quantity") <= 0), "nonpositive_quantity"))
+      .unionByName(cnt(li.filter(col("l_discount") < 0 || col("l_discount") > 1),
+        "discount_range"))
+      .unionByName(cnt(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate")),
+        "ship_before_order"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
     "q161_zorder_key"   -> q161ZorderKey _,
@@ -381,6 +420,35 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_integrity_audit" ->
+      """SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n_violations
+           FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL
+         UNION ALL
+         SELECT 'lineitem_orphan_part', count(*)
+           FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_partkey IS NULL
+         UNION ALL
+         SELECT 'lineitem_orphan_supplier', count(*)
+           FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_suppkey IS NULL
+         UNION ALL
+         SELECT 'order_orphan_customer', count(*)
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey IS NULL
+         UNION ALL
+         SELECT 'duplicate_orderkey', count(*)
+           FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'nonpositive_quantity', count(*)
+           FROM lineitem WHERE l_quantity <= 0
+         UNION ALL
+         SELECT 'discount_range', count(*)
+           FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+         UNION ALL
+         SELECT 'ship_before_order', count(*)
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate < o.o_orderdate""",
     "q168_column_profile" ->
       """WITH p AS (
            SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS v FROM orders

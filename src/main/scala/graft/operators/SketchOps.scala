@@ -125,6 +125,83 @@ object SketchOps {
     out
   }
 
+  // ---------------------------------------------------------------- q237
+
+  /** Per-group exact median — the grouped form of q229, proving the
+    * histogram-refinement pattern composes with grouping: the histogram
+    * keys on (group, bucket), the cumulative windows partition on the
+    * group (parallel across groups, bucket-count-sized within), and the
+    * in-bucket rank selection partitions per group. Still two
+    * aggregation-shaped corpus passes, still zero global sorts, for ANY
+    * number of groups. */
+  def q237GroupedMedian(s: SparkSession, dir: String): DataFrame = {
+    val bucketW = 65536L
+    val cents = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .withColumn("bucket", floor(col("c") / bucketW).cast("long"))
+      .persist()
+    val ranks = cents.groupBy(col("g")).agg(count(lit(1)).as("gn"))
+      .select(col("g"), ceil(col("gn") / 2.0).cast("long").as("rank"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val targets = cents.groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(wcum))
+      .withColumn("prior", col("cum") - col("bn"))
+      .join(ranks, Seq("g"))
+      .filter(col("prior") < col("rank") && col("rank") <= col("cum"))
+      .select(col("g"), col("bucket"), col("prior"), col("rank"))
+    val win = Window.partitionBy(col("g")).orderBy(col("c"))
+    val out = cents.join(broadcast(targets), Seq("g", "bucket"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("prior") + col("rn") === col("rank"))
+      .select(col("g").as("l_returnflag"), col("c").as("median_cents"))
+      .localCheckpoint()
+    cents.unpersist(blocking = false)
+    out
+  }
+
+  // ---------------------------------------------------------------- q239
+
+  /** Equal-frequency discretization (decile binning) — the feature-
+    * engineering consumer of q229's machinery: the 9 internal decile
+    * boundaries come from the two-pass exact-quantile plan, collect as a
+    * 9-value census read (the ranks-frame class), and bin assignment is
+    * then 9 codegen'd comparisons inside the scan — `Σ [c > bᵢ]` over the
+    * boundary MULTISET, so duplicate boundaries (a value straddling
+    * several deciles) bin identically on both engines. No ntile(), whose
+    * tie order is nondeterministic; no global sort anywhere. */
+  def q239EquifreqBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = (1 to 9).map(_ / 10.0)
+    val bucketW = 65536L
+    val cents = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .withColumn("bucket", floor(col("c") / bucketW).cast("long"))
+      .persist()
+    val n = cents.count()
+    val ranks = ps.map(p => (p, math.ceil(p * n).toLong)).toDF("p", "rank")
+    val wcum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    val targets = cents.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(wcum))
+      .withColumn("prior", col("cum") - col("bn"))
+      .join(broadcast(ranks), col("prior") < col("rank") && col("rank") <= col("cum"))
+      .select(col("p"), col("rank"), col("bucket"), col("prior"))
+    val win = Window.partitionBy(col("p")).orderBy(col("c"))
+    val bvals = cents.join(broadcast(targets), Seq("bucket"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("prior") + col("rn") === col("rank"))
+      .select(col("c")).collect().map(_.getLong(0)) // 9 boundaries — census read
+    val bin = bvals.map(b => when(col("c") > b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = cents
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("lo"), max(col("c")).as("hi"))
+      .localCheckpoint()
+    cents.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------- q231
 
   /** Token/char-budget curation: select documents in (quality desc,
@@ -166,7 +243,9 @@ object SketchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_heavy_hitters"  -> q228HeavyHitters _,
     "q229_exact_quantiles" -> q229ExactQuantiles _,
-    "q231_budget_select"  -> q231BudgetSelect _
+    "q231_budget_select"  -> q231BudgetSelect _,
+    "q237_grouped_median" -> q237GroupedMedian _,
+    "q239_equifreq_bins"  -> q239EquifreqBins _
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +265,31 @@ object SketchOps {
          SELECT ps.p, r.c AS value_cents
          FROM ps CROSS JOIN n
          JOIN r ON r.rn = CAST(ceil(ps.p * n.total) AS BIGINT)""",
+    "q237_grouped_median" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+         r AS (SELECT g, c,
+                      row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+                      count(*) OVER (PARTITION BY g) AS gn
+               FROM v)
+         SELECT g AS l_returnflag, c AS median_cents
+         FROM r WHERE rn = CAST(ceil(gn / 2.0) AS BIGINT)""",
+    "q239_equifreq_bins" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+         r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+         n AS (SELECT count(*) AS total FROM v),
+         ps AS (SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]
+                                   AS DOUBLE[])) AS p),
+         b AS (SELECT r.c AS bval
+               FROM ps CROSS JOIN n
+               JOIN r ON r.rn = CAST(ceil(ps.p * n.total) AS BIGINT)),
+         binned AS (SELECT v.c,
+                      (SELECT count(*) FROM b WHERE b.bval < v.c) AS bin
+                    FROM v)
+         SELECT bin, count(*) AS n, min(c) AS lo, max(c) AS hi
+         FROM binned GROUP BY 1""",
     "q231_budget_select" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
                     FROM documents),

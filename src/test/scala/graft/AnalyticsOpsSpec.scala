@@ -77,6 +77,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q238: integrity audit — clean FK checks report zero, the " +
+      "temporal invariant catches the generator's real violations") {
+    val out = graft.operators.Relational.q238IntegrityAudit(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 8)
+    // the synthetic generator keys FKs consistently — these must be 0,
+    // and a nonzero here means the anti-join direction flipped
+    Seq("lineitem_orphan_order", "lineitem_orphan_part",
+      "lineitem_orphan_supplier", "order_orphan_customer",
+      "duplicate_orderkey", "nonpositive_quantity", "discount_range")
+      .foreach(c => assert(out(c) == 0L, c))
+    // ship/order dates are generated independently → real violations
+    assert(out("ship_before_order") > 0L)
+    val expected = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(out("ship_before_order") == expected)
+  }
+
   test("q236: PMI formula, support floor, and rounded-key ordering") {
     val rows = TextOps.q236PmiCollocations(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

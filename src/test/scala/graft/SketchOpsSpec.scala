@@ -75,6 +75,41 @@ class SketchOpsSpec extends SparkSpec {
     assert(sorted(5) == 100L && sorted(8) == 200L)
   }
 
+  test("q237: per-group median equals the full per-group sort at " +
+      "rank ceil(n/2)") {
+    val out = SketchOps.q237GroupedMedian(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val groups = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    assert(out.keySet == groups.keySet)
+    groups.foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val rank = math.ceil(sorted.length / 2.0).toInt
+      assert(out(g) == sorted(rank - 1), s"group $g")
+    }
+  }
+
+  test("q239: decile bins partition the rows, respect boundary order, " +
+      "and each bin's [lo, hi] ranges never overlap") {
+    val bins = SketchOps.q239EquifreqBins(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val total = graft.Tables.lineitem(spark, dir).count()
+    assert(bins.map(_._2).sum == total)           // no row dropped
+    assert(bins.map(_._1).distinct.length == bins.length)
+    bins.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3)      // hi(bin i) <= lo(bin i+1)
+      case _ =>
+    }
+    // roughly equal frequency: every bin within 3x of the ideal share
+    val ideal = total.toDouble / bins.length
+    bins.foreach { case (i, n, _, _) =>
+      assert(n < 3 * ideal, s"bin $i way oversized: $n vs ideal $ideal")
+    }
+  }
+
   // -------------------------------------------------------- budget select
 
   test("q231: output is the maximal prefix of the (score desc, doc_id) " +
