@@ -202,6 +202,38 @@ object SketchOps {
     out
   }
 
+  // ---------------------------------------------------------------- q240
+
+  /** PER-GROUP exact heavy hitters via the [[graft.functions.MgCandidates]]
+    * typed Aggregator — q228's two-phase pattern where the bounded-memory
+    * sketch runs INSIDE the aggregation layer (map-side partials, k
+    * counters per group per partition, mergeable) instead of
+    * mapPartitions, so it composes with any groupBy. Phase 2 recounts the
+    * candidate (group, term) pairs exactly (a semi-join against the
+    * candidate set — broadcast-sized by construction: ≤k per group) and
+    * filters on the true per-group threshold, which erases the sketch's
+    * partition-order sensitivity from the answer. k=25 sits BELOW the
+    * fixture vocabulary so the decrement path genuinely fires. */
+  def q240GroupedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val tokens = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("gn"))
+    val cand = tokens.groupBy(col("source"))
+      .agg(graft.functions.MgCandidates.mgCandidates(col("term"), k).as("cands"))
+      .select(col("source"), explode(col("cands")).as("term"))
+    val out = tokens.join(broadcast(cand), Seq("source", "term"), "left_semi")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("n") > col("gn") / k)
+      .select(col("source"), col("term"), col("n"))
+      .localCheckpoint()
+    tokens.unpersist(blocking = false)
+    out
+  }
+
   // ---------------------------------------------------------------- q231
 
   /** Token/char-budget curation: select documents in (quality desc,
@@ -245,7 +277,8 @@ object SketchOps {
     "q229_exact_quantiles" -> q229ExactQuantiles _,
     "q231_budget_select"  -> q231BudgetSelect _,
     "q237_grouped_median" -> q237GroupedMedian _,
-    "q239_equifreq_bins"  -> q239EquifreqBins _
+    "q239_equifreq_bins"  -> q239EquifreqBins _,
+    "q240_grouped_heavy_hitters" -> q240GroupedHeavyHitters _
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,6 +298,15 @@ object SketchOps {
          SELECT ps.p, r.c AS value_cents
          FROM ps CROSS JOIN n
          JOIN r ON r.rn = CAST(ceil(ps.p * n.total) AS BIGINT)""",
+    "q240_grouped_heavy_hitters" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tok AS (SELECT source, term FROM t WHERE term <> ''),
+         g AS (SELECT source, count(*) AS gn FROM tok GROUP BY 1)
+         SELECT tok.source, term, count(*) AS n
+         FROM tok JOIN g ON tok.source = g.source
+         GROUP BY tok.source, term, g.gn
+         HAVING count(*) > g.gn / 25.0""",
     "q237_grouped_median" ->
       """WITH v AS (SELECT l_returnflag AS g,
                            CAST(round(l_extendedprice * 100) AS BIGINT) AS c
