@@ -976,6 +976,72 @@ object RdfOps {
     visited
   }
 
+  /** Synchronous label-propagation communities (3 rounds, deterministic):
+    * every node starts as its own label; each round it adopts the MOST
+    * FREQUENT label among its neighbors, ties to the smallest label — the
+    * argmax is `min(struct(-count, label))`, so the round is ONE
+    * neighbor-label shuffle + one aggregation, no window, no
+    * nondeterministic mode(). Fixed round count + total tie order make
+    * the whole trajectory replayable as chained CTEs in DuckDB (the q198
+    * convention), and each round localCheckpoints so round t never
+    * replays rounds 1..t−1. Communities differ from q110's components:
+    * LPA splits a connected graph along density, components only along
+    * reachability. */
+  def q241LabelPropagation(sp: SparkSession, dir: String): DataFrame = {
+    val fwd = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region", "segment"))
+      .select(col("s").as("src"), col("o").as("dst"))
+    val e = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    e.count()
+    var lbl = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    (1 to 3).foreach { _ =>
+      lbl = e.join(lbl, e("src") === lbl("node"))
+        .groupBy(e("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    lbl
+  }
+
+  /** Bounded weighted shortest paths (4 Bellman-Ford relaxation rounds)
+    * from the seed over the entity graph with deterministic
+    * length-derived edge weights — the weighted companion to q230's BFS.
+    * Each round is one edge-relaxation shuffle (dist ⋈ edges on the
+    * source key) merged with the previous distances by a min-
+    * aggregation; monotone non-increasing per node, integer-exact, so
+    * the 4-round trajectory replays as chained CTEs. localCheckpoint per
+    * round cuts the lineage exactly as the closure/PageRank loops do. */
+  def q242WeightedSssp(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val fwd = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region", "segment"))
+      .select(col("s").as("src"), col("o").as("dst"))
+    val e = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .withColumn("w", (length(col("src")) * 7 + length(col("dst")) * 13) % 5 + 1)
+      .persist()
+    e.count()
+    var dist = Seq(("R1", 0L)).toDF("node", "dist").localCheckpoint()
+    (1 to 4).foreach { _ =>
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   /** Trailing VALUES clause (§18.2.4): the inline table joins AFTER
     * grouping and HAVING — it constrains GROUPS (and decorates them
     * with table columns), never their inputs, so the counts stay the
@@ -1298,6 +1364,8 @@ object RdfOps {
     "q197_trailing_values"   -> q197TrailingValues _,
     "q198_pagerank"          -> q198Pagerank _,
     "q230_bfs_hops"          -> q230BfsHops _,
+    "q241_label_propagation" -> q241LabelPropagation _,
+    "q242_weighted_sssp"     -> q242WeightedSssp _,
     "q184_graphvar_subselect" -> q184GraphVarSubselect _,
     "q185_graphvar_path"     -> q185GraphVarPath _,
     "q187_service_dispatch"  -> q187ServiceDispatch _,
@@ -1410,6 +1478,66 @@ object RdfOps {
                   WHERE r.p = 'region' AND r.o = 'R1' AND r.s = m.n) AS inr1,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM m GROUP BY 1""",
+    "q241_label_propagation" ->
+      s"""WITH st AS ($T),
+         e AS (SELECT DISTINCT src, dst FROM (
+               SELECT s AS src, o AS dst FROM st
+               WHERE p IN ('nation', 'region', 'segment')
+               UNION ALL
+               SELECT o, s FROM st
+               WHERE p IN ('nation', 'region', 'segment'))),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         r1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+         l1 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, label) AS rn FROM r1)
+                WHERE rn = 1),
+         r2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+         l2 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, label) AS rn FROM r2)
+                WHERE rn = 1),
+         r3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+         l3 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, label) AS rn FROM r3)
+                WHERE rn = 1)
+         SELECT node, label FROM l3""",
+    "q242_weighted_sssp" ->
+      s"""WITH st AS ($T),
+         e AS (SELECT src, dst,
+                      (length(src) * 7 + length(dst) * 13) % 5 + 1 AS w
+               FROM (SELECT DISTINCT src, dst FROM (
+                 SELECT s AS src, o AS dst FROM st
+                 WHERE p IN ('nation', 'region', 'segment')
+                 UNION ALL
+                 SELECT o, s FROM st
+                 WHERE p IN ('nation', 'region', 'segment')))),
+         d0 AS (SELECT 'R1' AS node, 0 AS dist),
+         d1 AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d0 d JOIN e ON e.src = d.node)
+                GROUP BY 1),
+         d2 AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d1 d JOIN e ON e.src = d.node)
+                GROUP BY 1),
+         d3 AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d2 d JOIN e ON e.src = d.node)
+                GROUP BY 1),
+         d4 AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d3 d JOIN e ON e.src = d.node)
+                GROUP BY 1)
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""",
     "q230_bfs_hops" ->
       s"""WITH RECURSIVE st AS ($T),
          e AS (SELECT s AS src, o AS dst FROM st

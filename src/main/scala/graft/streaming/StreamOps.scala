@@ -122,6 +122,31 @@ object StreamOps {
         col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickToPurchase]] plus
+    * the semantics an outer join adds under streaming: a click with no
+    * purchase in its hour emits a NULL-extended row, but only once the
+    * watermark proves no matching purchase can still arrive (state
+    * expiry IS the null-emission trigger — there is no other sound
+    * moment). Both sides carry the same 2-hour watermark, so click state
+    * is held exactly [join range + lateness] and the unmatched row's
+    * latency is bounded by the watermark delay. The batch twin of the
+    * matched+unmatched union is a plain left join (parity spec). */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("purchase_id"), col("value"))
+  }
+
   /** Windowed distinct-user KMV sketch — the streaming face of the batch
     * estimator (q64): the BottomK aggregator's bounded mergeable buffer
     * rides the streaming state store like any partial aggregate, so

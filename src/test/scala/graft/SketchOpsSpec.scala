@@ -236,6 +236,46 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  private def undirectedEdges(): Array[(String, String)] = {
+    val fwd = graft.plans.TripleStore.triples(spark, dir)
+      .filter(col("p").isin("nation", "region", "segment"))
+      .select("s", "o").collect().map(r => (r.getString(0), r.getString(1)))
+    (fwd ++ fwd.map(_.swap)).distinct
+  }
+
+  test("q241: three synchronous LPA rounds match an independent in-memory " +
+      "replay (mode with min-label tie-break)") {
+    val got = graft.operators.RdfOps.q241LabelPropagation(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val e = undirectedEdges()
+    val inNbrs = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = e.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = inNbrs.map { case (node, srcs) =>
+        val freq = srcs.map(lbl).groupBy(identity).view.mapValues(_.size).toMap
+        node -> freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got == lbl)
+  }
+
+  test("q242: four relaxation rounds match an independent Bellman-Ford " +
+      "replay with the same length-derived weights") {
+    val got = graft.operators.RdfOps.q242WeightedSssp(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val we = undirectedEdges().map { case (s, d) =>
+      (s, d, ((s.length * 7 + d.length * 13) % 5 + 1).toLong)
+    }
+    var dist = Map("R1" -> 0L)
+    (1 to 4).foreach { _ =>
+      val relaxed = we.flatMap { case (s, d, w) => dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist)
+    assert(got("R1") == 0L)
+  }
+
   test("q227: intervals tile each user's timeline half-open with no gaps, " +
       "and consecutive states differ") {
     val rows = Events.q227Scd2(spark, dir)

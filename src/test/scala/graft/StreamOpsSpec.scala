@@ -111,6 +111,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((11L, 10L)))
   }
 
+  test("clickAttributionOuter: unmatched clicks emit NULL-extended rows " +
+      "once the watermark passes, and the union equals the batch left join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = StreamOps.clickAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode("append").start()
+    // user 1 matches in range; user 2's purchase is 3 h late (outside);
+    // user 3's purchase precedes the click; user 4 never purchases.
+    clicks.addData(ev(10, 1, 0), ev(20, 2, 0), ev(30, 3, 60), ev(40, 4, 0))
+    purchases.addData(ev(11, 1, 30), ev(21, 2, 180), ev(31, 3, 0))
+    query.processAllAvailable()
+    // nothing unmatched may emit yet — the watermark hasn't proven absence
+    val early = spark.table("attributed_outer")
+      .filter(col("purchase_id").isNull).count()
+    assert(early == 0L)
+    // advance both watermarks far past every click's join range
+    clicks.addData(ev(90, 9, 600)); purchases.addData(ev(91, 9, 600))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("attributed_outer")
+      .filter(col("click_id") =!= 90L) // drop the sentinel's own row
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((10L, Some(11L)), (20L, None), (30L, None), (40L, None)))
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
