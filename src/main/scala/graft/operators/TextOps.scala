@@ -1257,6 +1257,38 @@ object TextOps {
     out
   }
 
+  /** Unigram-LM Viterbi segmentation ([[graft.functions.UnigramViterbi]]
+    * — SentencePiece's inference step, Kudo 2018): segment the
+    * space-stripped document prefix against a corpus-derived piece
+    * vocabulary (token costs = −ln(p) quantized to 10⁻⁶ longs; 26
+    * single-char fallback pieces guarantee segmentability). The DP runs
+    * as ONE fused codegen loop per row — an imperative backpointer loop
+    * no HOF lambda chain could keep inside whole-stage codegen — and
+    * because costs are integers the full DP replays bit-identically in
+    * the DuckDB oracle's recursive CTE (a maxLen-wide sliding window of
+    * dp values per doc). The vocabulary is a vocab-sized census read
+    * (the q239 boundary class); at 100 TB it is an artifact of the
+    * tokenizer-training job, broadcast with the plan. */
+  def q243ViterbiSegment(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(col("toks")).as("t")).filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    val fromCorpus = counts.map { case (t, c) =>
+      (t, math.round(-math.log(c / total) * 1e6)) }
+    val fallback = ('a' to 'z').map(ch => (ch.toString, 20000000L))
+    val vocab = (fromCorpus ++ fallback).groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
+    graft.functions.UnigramViterbi.register(s, vocab.map(_._1), vocab.map(_._2))
+    docs(s, dir).select(col("doc_id"),
+        graft.functions.UnigramViterbi(
+          regexp_replace(substring(col("text"), 1, 60), " ", "")).as("seg"))
+      .withColumn("n_pieces",
+        when(col("seg") === "", 0L)
+          .otherwise(size(split(col("seg"), "\\|")).cast("long")))
+  }
+
   /** Quality-aware cluster representative: q132 keeps each near-dup
     * component's MIN-ID member (deterministic but arbitrary); production
     * pipelines keep the BEST member (longest / highest-quality — the
@@ -2279,6 +2311,7 @@ object TextOps {
     "q151_component_representative" -> q151ComponentRepresentative _,
     "q152_unigram_surprisal" -> q152UnigramSurprisal _,
     "q236_pmi_collocations" -> q236PmiCollocations _,
+    "q243_viterbi_segment" -> q243ViterbiSegment _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -2981,6 +3014,53 @@ object TextOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(avg(nll), 4) AS surprisal
          FROM nll GROUP BY 1""",
+    "q243_viterbi_segment" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      replace(substr(text, 1, 60), ' ', '') AS s
+               FROM documents),
+         tok AS (SELECT unnest(toks) AS tt FROM t),
+         tc AS (SELECT tt AS piece, count(*) AS c FROM tok WHERE tt <> '' GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok WHERE tt <> ''),
+         vocab AS (SELECT piece, min(cost) AS cost FROM (
+                   SELECT piece, CAST(round(-ln(c / total) * 1000000) AS BIGINT) AS cost
+                     FROM tc CROSS JOIN tot
+                   UNION ALL
+                   SELECT chr(CAST(96 + g.i AS INTEGER)), CAST(20000000 AS BIGINT)
+                     FROM generate_series(1, 26) g(i)) GROUP BY 1),
+         walk(doc_id, s, i, dps, paths) AS (
+           SELECT doc_id, s, 0,
+                  [CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL],
+                  ['', NULL, NULL, NULL, NULL, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL]
+           FROM t
+           UNION ALL
+           SELECT q.doc_id, q.s, q.i,
+                  list_prepend(q.best.cand, q.dps)[1:12],
+                  list_prepend(CASE WHEN q.paths[q.best.j] = ''
+                                    THEN substr(q.s, q.i - q.best.j + 1, q.best.j)
+                                    ELSE q.paths[q.best.j] || '|' ||
+                                         substr(q.s, q.i - q.best.j + 1, q.best.j) END,
+                               q.paths)[1:12]
+           FROM (
+             SELECT w.doc_id, any_value(w.s) AS s, w.i + 1 AS i,
+                    any_value(w.dps) AS dps, any_value(w.paths) AS paths,
+                    min(struct_pack(cand := w.dps[j.j] + v.cost, j := j.j)) AS best
+             FROM walk w
+             CROSS JOIN generate_series(1, 12) j(j)
+             JOIN vocab v ON v.piece =
+               substr(w.s, w.i + 2 - CAST(j.j AS INTEGER), CAST(j.j AS INTEGER))
+             WHERE w.i < length(w.s) AND j.j <= w.i + 1
+               AND w.dps[j.j] IS NOT NULL
+             GROUP BY w.doc_id, w.i
+           ) q
+         )
+         SELECT w.doc_id, w.paths[1] AS seg,
+                CASE WHEN w.paths[1] = '' THEN 0
+                     ELSE CAST(len(string_split(w.paths[1], '|')) AS BIGINT)
+                END AS n_pieces
+         FROM walk w WHERE w.i = length(w.s)""",
     "q236_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
          uni AS (SELECT unnest(toks) AS term FROM t),
