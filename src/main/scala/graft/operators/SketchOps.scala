@@ -15,20 +15,15 @@ import graft.Tables
   * approxQuantile, nothing here is approximate in the OUTPUT — the sketch
   * only prunes, so the result hash-matches a plain-SQL oracle.
   *
-  * Three instances:
-  *  - q228 heavy hitters: per-partition Misra–Gries summaries → candidate
-  *    superset → one exact count pass over candidates only.
-  *  - q229 exact quantiles: one histogram aggregation finds the bucket
-  *    holding each target rank → exact rank-selection inside buckets —
-  *    no global sort anywhere.
-  *  - q231 budget selection: greedy quality-prefix selection under a
-  *    corpus-wide character budget via the bucketed two-phase prefix sum
-  *    (q113's machinery applied to top-down curation) — again no global
-  *    sort; every corpus-sized window is bucket-partitioned.
+  * Every operator is a LIBRARY function over caller-supplied frames (the
+  * q193 parameterization convention); the qNNN entries are thin fixture
+  * wrappers that bind the TESTDATA tables. A seeded property net
+  * (SketchPropertySpec) drives the cores over generated frames —
+  * constant, two-point, uniform, skewed — against brute-force replays.
   */
 object SketchOps {
 
-  // ---------------------------------------------------------------- q228
+  // ------------------------------------------------------- heavy hitters
 
   /** Misra–Gries summary of one partition's term stream with `cap`
     * counters: bounded memory, and any term whose LOCAL frequency exceeds
@@ -55,25 +50,23 @@ object SketchOps {
     counts.keysIterator
   }
 
-  /** Exact heavy hitters (terms with count > n/k) via the two-phase
-    * Misra–Gries pattern: pass 1 is a shuffle-free mapPartitions sketch
-    * (bounded to k counters per partition — mapPartitions is justified
-    * here exactly as for codec init: the sketch's decrement step is
-    * genuinely imperative state no Column expression carries); the
-    * survivors union to ≤ k·partitions candidate terms, which broadcast
-    * into pass 2's exact count of candidates ONLY. Output = exact counts
-    * filtered by the global threshold — deterministic regardless of how
-    * rows were partitioned, because the candidate set is a guaranteed
-    * superset and the final counts/filter are exact. At 100 TB the
-    * unbounded term-cardinality groupBy never happens; the only full
-    * shuffle keys on a candidate set of at most a few thousand terms. */
-  def q228HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  /** Exact heavy hitters (terms with count > n/k) over a `term` column,
+    * via the two-phase Misra–Gries pattern: pass 1 is a shuffle-free
+    * mapPartitions sketch (bounded to k counters per partition —
+    * mapPartitions is justified here exactly as for codec init: the
+    * sketch's decrement step is genuinely imperative state no Column
+    * expression carries); the survivors union to ≤ k·partitions candidate
+    * terms, which broadcast into pass 2's exact count of candidates ONLY.
+    * Output = exact counts filtered by the global threshold —
+    * deterministic regardless of how rows were partitioned, because the
+    * candidate set is a guaranteed superset and the final counts/filter
+    * are exact. At 100 TB the unbounded term-cardinality groupBy never
+    * happens; the only full shuffle keys on a candidate set of at most a
+    * few thousand terms. */
+  def heavyHitters(terms: DataFrame, k: Int): DataFrame = {
+    val s = terms.sparkSession
     import s.implicits._
-    val k = 50
-    val tokens = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .persist()
+    val tokens = terms.select(col("term")).persist()
     val n = tokens.count() // materializes the persist; total for the threshold
     val candidates = tokens.as[String]
       .mapPartitions(misraGries(k, _))
@@ -87,24 +80,50 @@ object SketchOps {
     out
   }
 
-  // ---------------------------------------------------------------- q229
+  /** PER-GROUP exact heavy hitters over (g, term) via the
+    * [[graft.functions.MgCandidates]] typed Aggregator — the two-phase
+    * pattern where the bounded-memory sketch runs INSIDE the aggregation
+    * layer (map-side partials, k counters per group per partition,
+    * mergeable) instead of mapPartitions, so it composes with any
+    * groupBy. Phase 2 recounts the candidate (g, term) pairs exactly (a
+    * semi-join against the candidate set — broadcast-sized by
+    * construction: ≤k per group) and filters on the true per-group
+    * threshold, which erases the sketch's partition-order sensitivity
+    * from the answer. */
+  def groupedHeavyHitters(terms: DataFrame, k: Int): DataFrame = {
+    val tokens = terms.select(col("g"), col("term")).persist()
+    val totals = tokens.groupBy(col("g")).agg(count(lit(1)).as("gn"))
+    val cand = tokens.groupBy(col("g"))
+      .agg(graft.functions.MgCandidates.mgCandidates(col("term"), k).as("cands"))
+      .select(col("g"), explode(col("cands")).as("term"))
+    val out = tokens.join(broadcast(cand), Seq("g", "term"), "left_semi")
+      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("g"))
+      .filter(col("n") > col("gn") / k)
+      .select(col("g"), col("term"), col("n"))
+      .localCheckpoint()
+    tokens.unpersist(blocking = false)
+    out
+  }
 
-  /** EXACT quantiles without a global sort: pass 1 aggregates a coarse
-    * value histogram (fixed 65536-cent buckets — bounded, sketch-sized);
-    * a running sum over the bucket frame locates, for each target rank
-    * ceil(p·n), the one bucket containing it; pass 2 rank-selects inside
-    * those buckets only — a row_number window partitioned per target,
-    * over ~n/buckets rows each. Two corpus passes total, both
-    * aggregation-shaped (map-side partials), zero corpus-sized sorts.
-    * The bucket-cumsum window is the only single-partition window and it
-    * runs on the histogram (≤ domain/65536 rows), not the data — the
-    * same census-size class as the closure convergence reads. */
-  def q229ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+  // ------------------------------------------------------ rank selection
+
+  /** EXACT quantiles of a long `c` column without a global sort: pass 1
+    * aggregates a coarse value histogram (fixed-width buckets — bounded,
+    * sketch-sized); a running sum over the bucket frame locates, for each
+    * target rank ceil(p·n), the one bucket containing it; pass 2
+    * rank-selects inside those buckets only — a row_number window
+    * partitioned per target, over ~n/buckets rows each. Two corpus passes
+    * total, both aggregation-shaped (map-side partials), zero corpus-
+    * sized sorts. The bucket-cumsum window is the only single-partition
+    * window and it runs on the histogram (≤ domain/bucketW rows), not the
+    * data — the same census-size class as the closure convergence reads.
+    * Returns (p, value). */
+  def exactQuantiles(values: DataFrame, ps: Seq[Double],
+                     bucketW: Long = 65536L): DataFrame = {
+    val s = values.sparkSession
     import s.implicits._
-    val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-    val bucketW = 65536L
-    val cents = Tables.lineitem(s, dir)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val cents = values.select(col("c"))
       .withColumn("bucket", floor(col("c") / bucketW).cast("long"))
       .persist()
     val n = cents.count()
@@ -119,26 +138,21 @@ object SketchOps {
     val out = cents.join(broadcast(targets), Seq("bucket"))
       .withColumn("rn", row_number().over(win))
       .filter(col("prior") + col("rn") === col("rank"))
-      .select(col("p"), col("c").as("value_cents"))
+      .select(col("p"), col("c").as("value"))
       .localCheckpoint()
     cents.unpersist(blocking = false)
     out
   }
 
-  // ---------------------------------------------------------------- q237
-
-  /** Per-group exact median — the grouped form of q229, proving the
-    * histogram-refinement pattern composes with grouping: the histogram
-    * keys on (group, bucket), the cumulative windows partition on the
-    * group (parallel across groups, bucket-count-sized within), and the
-    * in-bucket rank selection partitions per group. Still two
-    * aggregation-shaped corpus passes, still zero global sorts, for ANY
-    * number of groups. */
-  def q237GroupedMedian(s: SparkSession, dir: String): DataFrame = {
-    val bucketW = 65536L
-    val cents = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("g"),
-        round(col("l_extendedprice") * 100).cast("long").as("c"))
+  /** Per-group exact median over (g, c) — [[exactQuantiles]]' pattern
+    * composed with grouping: the histogram keys on (group, bucket), the
+    * cumulative windows partition on the group (parallel across groups,
+    * bucket-count-sized within), and the in-bucket rank selection
+    * partitions per group. Still two aggregation-shaped corpus passes,
+    * still zero global sorts, for ANY number of groups. Returns
+    * (g, median). */
+  def groupedMedian(values: DataFrame, bucketW: Long = 65536L): DataFrame = {
+    val cents = values.select(col("g"), col("c"))
       .withColumn("bucket", floor(col("c") / bucketW).cast("long"))
       .persist()
     val ranks = cents.groupBy(col("g")).agg(count(lit(1)).as("gn"))
@@ -155,121 +169,126 @@ object SketchOps {
     val out = cents.join(broadcast(targets), Seq("g", "bucket"))
       .withColumn("rn", row_number().over(win))
       .filter(col("prior") + col("rn") === col("rank"))
-      .select(col("g").as("l_returnflag"), col("c").as("median_cents"))
+      .select(col("g"), col("c").as("median"))
       .localCheckpoint()
     cents.unpersist(blocking = false)
     out
   }
 
-  // ---------------------------------------------------------------- q239
-
-  /** Equal-frequency discretization (decile binning) — the feature-
-    * engineering consumer of q229's machinery: the 9 internal decile
-    * boundaries come from the two-pass exact-quantile plan, collect as a
-    * 9-value census read (the ranks-frame class), and bin assignment is
-    * then 9 codegen'd comparisons inside the scan — `Σ [c > bᵢ]` over the
-    * boundary MULTISET, so duplicate boundaries (a value straddling
-    * several deciles) bin identically on both engines. No ntile(), whose
-    * tie order is nondeterministic; no global sort anywhere. */
-  def q239EquifreqBins(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ps = (1 to 9).map(_ / 10.0)
-    val bucketW = 65536L
-    val cents = Tables.lineitem(s, dir)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-      .withColumn("bucket", floor(col("c") / bucketW).cast("long"))
-      .persist()
-    val n = cents.count()
-    val ranks = ps.map(p => (p, math.ceil(p * n).toLong)).toDF("p", "rank")
-    val wcum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
-    val targets = cents.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-      .withColumn("cum", sum(col("bn")).over(wcum))
-      .withColumn("prior", col("cum") - col("bn"))
-      .join(broadcast(ranks), col("prior") < col("rank") && col("rank") <= col("cum"))
-      .select(col("p"), col("rank"), col("bucket"), col("prior"))
-    val win = Window.partitionBy(col("p")).orderBy(col("c"))
-    val bvals = cents.join(broadcast(targets), Seq("bucket"))
-      .withColumn("rn", row_number().over(win))
-      .filter(col("prior") + col("rn") === col("rank"))
-      .select(col("c")).collect().map(_.getLong(0)) // 9 boundaries — census read
+  /** Equal-frequency discretization of a long `c` column — the feature-
+    * engineering consumer of [[exactQuantiles]]: the internal boundaries
+    * come from the two-pass exact-quantile plan, collect as a census read
+    * (the ranks-frame class), and bin assignment is then |ps| codegen'd
+    * comparisons inside the scan — `Σ [c > bᵢ]` over the boundary
+    * MULTISET, so duplicate boundaries (a value straddling several
+    * quantiles) bin identically on both engines. No ntile(), whose tie
+    * order is nondeterministic; no global sort anywhere. Returns
+    * (bin, n, lo, hi). */
+  def equifreqBins(values: DataFrame, ps: Seq[Double],
+                   bucketW: Long = 65536L): DataFrame = {
+    val vals = values.select(col("c")).persist()
+    val bvals = exactQuantiles(vals, ps, bucketW)
+      .select(col("value")).collect().map(_.getLong(0))
     val bin = bvals.map(b => when(col("c") > b, 1L).otherwise(0L))
       .reduce(_ + _)
-    val out = cents
+    val out = vals
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"), min(col("c")).as("lo"), max(col("c")).as("hi"))
       .localCheckpoint()
-    cents.unpersist(blocking = false)
+    vals.unpersist(blocking = false)
     out
   }
 
-  // ---------------------------------------------------------------- q240
+  // ----------------------------------------------------- budget curation
 
-  /** PER-GROUP exact heavy hitters via the [[graft.functions.MgCandidates]]
-    * typed Aggregator — q228's two-phase pattern where the bounded-memory
-    * sketch runs INSIDE the aggregation layer (map-side partials, k
-    * counters per group per partition, mergeable) instead of
-    * mapPartitions, so it composes with any groupBy. Phase 2 recounts the
-    * candidate (group, term) pairs exactly (a semi-join against the
-    * candidate set — broadcast-sized by construction: ≤k per group) and
-    * filters on the true per-group threshold, which erases the sketch's
-    * partition-order sensitivity from the answer. k=25 sits BELOW the
-    * fixture vocabulary so the decrement path genuinely fires. */
-  def q240GroupedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val k = 25
-    val tokens = Tables.documents(s, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .persist()
-    val totals = tokens.groupBy(col("source")).agg(count(lit(1)).as("gn"))
-    val cand = tokens.groupBy(col("source"))
-      .agg(graft.functions.MgCandidates.mgCandidates(col("term"), k).as("cands"))
-      .select(col("source"), explode(col("cands")).as("term"))
-    val out = tokens.join(broadcast(cand), Seq("source", "term"), "left_semi")
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
-      .join(broadcast(totals), Seq("source"))
-      .filter(col("n") > col("gn") / k)
-      .select(col("source"), col("term"), col("n"))
-      .localCheckpoint()
-    tokens.unpersist(blocking = false)
-    out
-  }
-
-  // ---------------------------------------------------------------- q231
-
-  /** Token/char-budget curation: select documents in (quality desc,
-    * doc_id) order while the running character total stays within 60% of
-    * the corpus — the greedy-prefix data-selection step behind
-    * "keep the best B tokens" corpus curation. The running total over a
+  /** Budget-prefix curation over (id, score, w): select rows in
+    * (score desc, id) order while the running weight total stays within
+    * `frac` of the grand total — the greedy-prefix data-selection step
+    * behind "keep the best B tokens". The running total over a
     * corpus-wide order is the scale hazard; it computes here as the
-    * bucketed two-phase prefix sum: per-doc cumsum windows partition on
-    * the quality bucket (floor(score·1000) — monotone in the sort key, so
+    * bucketed two-phase prefix sum: per-row cumsum windows partition on
+    * the score bucket (floor(score·1000) — monotone in the sort key, so
     * bucket-desc-then-in-bucket order IS the global order), and only the
-    * per-bucket offset table (≤1001 rows) sees a single-partition window.
-    * The quality score reuses q40's oracled definition. */
+    * per-bucket offset table sees a single-partition window. Returns
+    * (id, score, w, cum). */
+  def budgetPrefix(scored: DataFrame, frac: Double): DataFrame = {
+    val in = scored.select(col("id"), col("score"), col("w"))
+      .withColumn("sb", floor(col("score") * 1000).cast("long"))
+      .persist()
+    val budget = in.agg(floor(sum(col("w")) * frac).cast("long").as("budget"))
+    val wb = Window.orderBy(col("sb").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = in.groupBy(col("sb")).agg(sum(col("w")).as("bsum"))
+      .withColumn("offset", sum(col("bsum")).over(wb) - col("bsum"))
+      .select(col("sb"), col("offset"))
+    val win = Window.partitionBy(col("sb")).orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = in.join(broadcast(offsets), Seq("sb"))
+      .withColumn("cum", col("offset") + sum(col("w")).over(win))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .select(col("id"), col("score"), col("w"), col("cum"))
+      .localCheckpoint()
+    in.unpersist(blocking = false)
+    out
+  }
+
+  // ------------------------------------------------- fixture query board
+
+  /** q228: [[heavyHitters]] (k=50) over the document token stream. */
+  def q228HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= ""),
+      k = 50)
+
+  /** q240: [[groupedHeavyHitters]] (k=25 — BELOW the fixture vocabulary,
+    * so the MG decrement path genuinely fires) per document source. */
+  def q240GroupedHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    groupedHeavyHitters(
+      Tables.documents(s, dir)
+        .select(col("source").as("g"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= ""),
+      k = 25)
+      .select(col("g").as("source"), col("term"), col("n"))
+
+  /** q229: [[exactQuantiles]] of l_extendedprice in integer cents. */
+  def q229ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantiles(
+      Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c")),
+      ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .select(col("p"), col("value").as("value_cents"))
+
+  /** q237: [[groupedMedian]] of cents per l_returnflag. */
+  def q237GroupedMedian(s: SparkSession, dir: String): DataFrame =
+    groupedMedian(
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("c")))
+      .select(col("g").as("l_returnflag"), col("median").as("median_cents"))
+
+  /** q239: [[equifreqBins]] deciles of cents. */
+  def q239EquifreqBins(s: SparkSession, dir: String): DataFrame =
+    equifreqBins(
+      Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c")),
+      ps = (1 to 9).map(_ / 10.0))
+
+  /** q231: [[budgetPrefix]] at 60% of corpus chars, scored by q40's
+    * oracled quality definition. */
   def q231BudgetSelect(s: SparkSession, dir: String): DataFrame = {
     val nToks = size(col("toks")).cast("long")
     val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
-    val scored = Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("n_chars"),
-        round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4).as("score"))
-      .withColumn("sb", floor(col("score") * 1000).cast("long"))
-      .persist()
-    val budget = scored.agg(floor(sum(col("n_chars")) * 0.6).cast("long").as("budget"))
-    val wb = Window.orderBy(col("sb").desc).rowsBetween(Window.unboundedPreceding, 0)
-    val offsets = scored.groupBy(col("sb")).agg(sum(col("n_chars")).as("bsum"))
-      .withColumn("offset", sum(col("bsum")).over(wb) - col("bsum"))
-      .select(col("sb"), col("offset"))
-    val win = Window.partitionBy(col("sb")).orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val out = scored.join(broadcast(offsets), Seq("sb"))
-      .withColumn("cum_chars", col("offset") + sum(col("n_chars")).over(win))
-      .crossJoin(broadcast(budget))
-      .filter(col("cum_chars") <= col("budget"))
-      .select(col("doc_id"), col("score"), col("n_chars"), col("cum_chars"))
-      .localCheckpoint()
-    scored.unpersist(blocking = false)
-    out
+    budgetPrefix(
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id").as("id"), col("n_chars").as("w"),
+          round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4)
+            .as("score")),
+      frac = 0.6)
+      .select(col("id").as("doc_id"), col("score"),
+        col("w").as("n_chars"), col("cum").as("cum_chars"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
