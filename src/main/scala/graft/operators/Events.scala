@@ -215,22 +215,75 @@ object Events {
     * sized). Both windows partition on user_id, so the whole history
     * build is one shuffle on the dimension key — the layout an SCD2
     * merge-write wants anyway. */
-  def q227Scd2(s: SparkSession, dir: String): DataFrame = {
+  def q227Scd2(s: SparkSession, dir: String): DataFrame =
+    finishRuns(runsOf(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        lit(1L).as("wt"))))
+
+  /** Weight-aware run collapse shared by q227 and the incremental q244:
+    * consecutive same-state rows (per user, (ts, event_id) order) fold
+    * into (user_id, run_id, state, from_ts, n_events = Σwt). The weight
+    * column is what lets an already-collapsed run re-enter the machinery
+    * as ONE pseudo-row carrying its event count. */
+  private def runsOf(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("event_type"), 1).over(byUser)
-    val runs = Tables.events(s, dir)
+    ev
       .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
       .withColumn("run_id",
         sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("run_id"), col("event_type"))
-      .agg(min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
-    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      .agg(min(col("ts")).as("from_ts"), sum(col("wt")).as("n_events"))
+  }
+
+  /** Interval bounds + output shape shared by q227/q244: valid_to = next
+    * run's start (runs are time-ordered per user, so from_ts is a valid
+    * run order even when run_ids come from different builds). */
+  private def finishRuns(runs: DataFrame): DataFrame = {
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("from_ts"))
     runs
       .withColumn("to_ts", lead(col("from_ts"), 1).over(byRun))
       .select(col("user_id"), col("event_type").as("state"),
         date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("n_events"))
+  }
+
+  /** INCREMENTAL SCD2 maintenance — the q216 move applied to q227: the
+    * history rebuilds from (closed runs ∪ a tail rebuild), never from
+    * the full event log, while the ORACLE recomputes the whole history
+    * from scratch — the hash-match proves incremental == full rebuild.
+    * Mechanics: events before the cutoff build the base history once;
+    * each user's OPEN run re-enters the run machinery as ONE pseudo-row
+    * weighted with its event count (wt = n_events, ts = from_ts — the
+    * run collapse is weight-aware, so a same-state first new run merges
+    * with the open run and keeps its original valid_from, while a
+    * different state closes it). Per refresh the windows only touch
+    * open-run rows + NEW events — the 100 TB property: incremental cost
+    * scales with the delta, not the history. Closed runs pass through
+    * untouched. */
+  def q244Scd2Incremental(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.time.LocalDateTime.of(2024, 1, 20, 0, 0))
+      .cast(Tables.events(s, dir).schema("ts").dataType)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val base = runsOf(ev.filter(col("ts") < cutoff).withColumn("wt", lit(1L)))
+    val lastRun = Window.partitionBy(col("user_id"))
+    val baseM = base.withColumn("is_open",
+      col("run_id") === max(col("run_id")).over(lastRun))
+    val closed = baseM.filter(!col("is_open"))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("from_ts"), col("n_events"))
+    // the open run as a weighted pseudo-event (event_id −1 sorts before
+    // any real event; its ts predates the cutoff, so order is safe)
+    val pseudo = baseM.filter(col("is_open"))
+      .select(col("user_id"), col("event_type"),
+        col("from_ts").as("ts"), lit(-1L).as("event_id"),
+        col("n_events").as("wt"))
+    val tail = runsOf(
+      ev.filter(col("ts") >= cutoff).withColumn("wt", lit(1L))
+        .unionByName(pseudo))
+    finishRuns(closed.unionByName(tail))
   }
 
   /** Snapshot diff (lakehouse CDC derivation): classify every key across
@@ -316,6 +369,7 @@ object Events {
     "q233_snapshot_diff" -> q233SnapshotDiff _,
     "q234_funnel"        -> q234Funnel _,
     "q235_retention"     -> q235Retention _,
+    "q244_scd2_incremental" -> q244Scd2Incremental _,
     "q232_interval_join" -> q232IntervalJoin _,
     "q226_gapfill"       -> q226Gapfill _,
     "q227_scd2"          -> q227Scd2 _,
@@ -392,6 +446,29 @@ object Events {
                   PARTITION BY g.user_id ORDER BY g.hour
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          FROM grid g LEFT JOIN p ON g.user_id = p.user_id AND g.hour = p.hour""",
+    // q244's oracle IS the full-history SCD2 rebuild (q227's SQL): the
+    // hash-match proves the incremental closed∪tail construction equals
+    // recomputing from scratch — the q216 incremental-artifact pattern.
+    "q244_scd2_incremental" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+               FROM c),
+         runs AS (SELECT user_id, run_id, event_type,
+                         min(ts) AS from_ts, count(*) AS n_events
+                  FROM r GROUP BY 1, 2, 3)
+         SELECT user_id, event_type AS state,
+                strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY run_id),
+                         '%Y-%m-%d %H:%M:%S') AS valid_to,
+                n_events
+         FROM runs""",
     "q227_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

@@ -96,6 +96,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("ship_before_order") == expected)
   }
 
+  test("q244: incremental SCD2 (closed runs + weighted tail rebuild) " +
+      "equals the full-history build, including a cross-cutoff merge") {
+    type Row5 = (Long, String, String, Option[String], Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    val inc = rows(Events.q244Scd2Incremental(spark, dir))
+    val full = rows(Events.q227Scd2(spark, dir))
+    assert(inc == full)
+    // the equality is only a real incremental test if some run actually
+    // SPANS the cutoff (same state on both sides — the merge path)
+    val cutoff = "2024-01-20 00:00:00"
+    val spanning = full.exists { case (_, _, from, to, _) =>
+      from < cutoff && to.forall(_ > cutoff) && to.isDefined
+    }
+    assert(spanning, "fixture has no run spanning the cutoff — merge path untested")
+  }
+
   test("q236: PMI formula, support floor, and rounded-key ordering") {
     val rows = TextOps.q236PmiCollocations(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
