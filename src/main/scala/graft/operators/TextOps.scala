@@ -837,6 +837,48 @@ object TextOps {
       .agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** End-to-end corpus-build funnel — the composition proof: quality
+    * gate (q40's score) → exact dedup (first-occurrence-wins among
+    * survivors, q33's content key) → eval-set decontamination (q116's
+    * 5-gram join) → deterministic hash sampling (q58/q176's md5 bucket),
+    * each stage defined ON the previous stage's survivors, reported as
+    * per-source counts at every gate. One quality/dedup pass over the
+    * corpus (the content-key window), one decontamination join (eval
+    * grams broadcast), zero extra scans for the sample gate (a codegen
+    * hash test). The pipeline stages are the exact oracled semantics of
+    * their standalone queries — this query pins that they COMPOSE. */
+  def q245CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
+    val base = docs(s, dir).filter(col("doc_id") >= 20)
+      .withColumn("quality",
+        round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4))
+      .withColumn("pass_q", col("quality") >= 0.9)
+      .withColumn("key", md5(col("text")))
+    val wKey = Window.partitionBy(col("key"))
+    val canon = base
+      .withColumn("canon_id", min(when(col("pass_q"), col("doc_id"))).over(wKey))
+      .withColumn("pass_c", col("pass_q") && col("doc_id") === col("canon_id"))
+    val g = docs(s, dir).select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
+    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val dirty = g.filter(col("doc_id") >= 20)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("dirty", lit(true))
+    canon.join(dirty, Seq("doc_id"), "left")
+      .withColumn("pass_d", col("pass_c") && col("dirty").isNull)
+      .withColumn("pass_s", col("pass_d") &&
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 < 7)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("pass_c"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("pass_d"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("pass_s"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
     * table with collection frequency and document frequency, top-20 by cf
     * with a lexical tiebreak. ONE shuffle on term with map-side partial
@@ -2312,6 +2354,7 @@ object TextOps {
     "q152_unigram_surprisal" -> q152UnigramSurprisal _,
     "q236_pmi_collocations" -> q236PmiCollocations _,
     "q243_viterbi_segment" -> q243ViterbiSegment _,
+    "q245_corpus_build" -> q245CorpusBuild _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -3014,6 +3057,36 @@ object TextOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(avg(nll), 4) AS surprisal
          FROM nll GROUP BY 1""",
+    "q245_corpus_build" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         sc AS (SELECT doc_id, source, text,
+                  round(least(1.0, len(toks) / 100.0) *
+                        (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                               / CAST(len(toks) AS DOUBLE)), 4) AS quality
+                FROM t WHERE doc_id >= 20),
+         f1 AS (SELECT *, quality >= 0.9 AS pass_q FROM sc),
+         f2 AS (SELECT *, pass_q AND doc_id =
+                  min(CASE WHEN pass_q THEN doc_id END) OVER (PARTITION BY md5(text))
+                  AS pass_c FROM f1),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                   i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS g
+               FROM t),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+         dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN ev ON g.g = ev.g
+                   WHERE g.doc_id >= 20),
+         f3 AS (SELECT f2.*, f2.pass_c AND d.doc_id IS NULL AS pass_d
+                FROM f2 LEFT JOIN dirty d ON f2.doc_id = d.doc_id),
+         f4 AS (SELECT *, pass_d AND
+                  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 10 < 7 AS pass_s FROM f3)
+         SELECT source, count(*) AS n_in,
+           CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN pass_c THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN pass_d THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN pass_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM f4 GROUP BY 1""",
     "q243_viterbi_segment" ->
       """WITH RECURSIVE
          t AS (SELECT doc_id, string_split(text, ' ') AS toks,

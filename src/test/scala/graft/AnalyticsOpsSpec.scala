@@ -114,6 +114,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(spanning, "fixture has no run spanning the cutoff — merge path untested")
   }
 
+  test("q245: funnel counts are monotone per source and the pipeline " +
+      "is selective end to end") {
+    val rows = graft.operators.TextOps.q245CorpusBuild(spark, dir)
+      .collect().map(r => (r.getString(0),
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, fs) =>
+      fs.sliding(2).foreach { case Seq(a, b) => assert(a >= b, src); case _ => }
+    }
+    // the pipeline as a whole is genuinely selective (per-gate activity
+    // at this tiny sf is distribution-dependent; the sf0.01 oracle
+    // hash-match pins each stage's exact semantics)
+    val totals = rows.toSeq.map(_._2).transpose.map(_.sum)
+    assert(totals.head > totals.last, totals)
+  }
+
   test("q236: PMI formula, support floor, and rounded-key ordering") {
     val rows = TextOps.q236PmiCollocations(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
