@@ -163,22 +163,36 @@ object Events {
     * click's bin is unique each qualifying (error, click) pair is emitted
     * exactly once — no dedup pass needed. At scale this is one shuffle on
     * a time key both sides are naturally clustered by. */
+  /** Library core of the bin-replicated interval join over ARBITRARY
+    * interval lengths: intervals (iid, t0, t1) replicate to each fixed-
+    * width bin they overlap (⌈len/binW⌉+1 bins — pick binW near the
+    * typical interval length to keep replication ~2×), points (pid, t)
+    * map to exactly one bin, the bin equi-join bounds candidates, and
+    * the residual containment predicate runs inside the join. Each
+    * qualifying (interval, point) pair emits EXACTLY once because the
+    * point's bin is unique — no dedup pass regardless of how many bins
+    * the interval spans. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, binW: Long): DataFrame = {
+    val w = intervals.withColumn("bin",
+      explode(sequence(floor(col("t0") / binW).cast("long"),
+        floor(col("t1") / binW).cast("long"))))
+    val p = points.withColumn("bin", floor(col("t") / binW).cast("long"))
+    w.join(p, Seq("bin"))
+      .filter(col("t") >= col("t0") && col("t") <= col("t1"))
+      .select(col("iid"), col("pid"), (col("t") - col("t0")).as("gap"))
+  }
+
   def q232IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val binUs = 1800L * 1000000L // bin width == window duration (30 min)
     val ev = Tables.events(s, dir)
     val windows = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("w_start"))
-      .withColumn("w_end", col("w_start") + binUs)
-      .withColumn("bin",
-        explode(sequence(floor(col("w_start") / binUs).cast("long"),
-          floor(col("w_end") / binUs).cast("long"))))
+      .select(col("event_id").as("iid"), unix_micros(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + binUs)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("c_us"))
-      .withColumn("bin", floor(col("c_us") / binUs).cast("long"))
-    windows.join(clicks, Seq("bin"))
-      .filter(col("c_us") >= col("w_start") && col("c_us") <= col("w_end"))
-      .select(col("error_id"), col("click_id"),
-        (col("c_us") - col("w_start")).as("gap_us"))
+      .select(col("event_id").as("pid"), unix_micros(col("ts")).as("t"))
+    intervalJoin(clicks, windows, binUs)
+      .select(col("iid").as("error_id"), col("pid").as("click_id"),
+        col("gap").as("gap_us"))
   }
 
   /** Gap-fill + forward-fill resample: a dense per-user hourly grid over

@@ -193,6 +193,30 @@ class SketchOpsSpec extends SparkSpec {
     assert(fast.size == fast.distinct.size)
   }
 
+  test("intervalJoin: variable-length intervals (0 to 40x the bin width) " +
+      "match a naive theta-join exactly once each, for several bin widths") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val intervals = (0L until 120L).map { i =>
+      val t0 = rnd.nextInt(100000).toLong
+      (i, t0, t0 + rnd.nextInt(40000).toLong) // lengths 0..40k vs bins 1k..16k
+    }
+    val points = (0L until 400L).map(i => (i, rnd.nextInt(140000).toLong))
+    val naive = (for {
+      (iid, t0, t1) <- intervals
+      (pid, t) <- points
+      if t >= t0 && t <= t1
+    } yield (iid, pid)).sorted
+    for (binW <- Seq(1000L, 4096L, 16000L)) {
+      val got = graft.operators.Events.intervalJoin(
+          points.toDF("pid", "t"), intervals.toDF("iid", "t0", "t1"), binW)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.distinct.size, s"binW=$binW dupes")
+      assert(got.sorted == naive, s"binW=$binW")
+    }
+  }
+
   test("q226: grid is dense per user and fill carries the last observation") {
     val rows = Events.q226Gapfill(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1),
