@@ -232,6 +232,39 @@ object SketchOps {
     out
   }
 
+  /** Per-group budget-prefix curation over (g, id, score, w): every
+    * group independently keeps its (score desc, id) prefix within `frac`
+    * of ITS weight total — the per-source form of [[budgetPrefix]] (each
+    * source capped at a share of its own mass, the shape source-balanced
+    * curation actually wants). Grouping makes the plan STRICTLY more
+    * scalable than the global form: the bucket-offset cumsum partitions
+    * per group (no single-partition window anywhere), and the per-row
+    * windows partition on (group, bucket). Returns (g, id, score, w,
+    * cum). */
+  def groupedBudgetPrefix(scored: DataFrame, frac: Double): DataFrame = {
+    val in = scored.select(col("g"), col("id"), col("score"), col("w"))
+      .withColumn("sb", floor(col("score") * 1000).cast("long"))
+      .persist()
+    val budgets = in.groupBy(col("g"))
+      .agg(floor(sum(col("w")) * frac).cast("long").as("budget"))
+    val wb = Window.partitionBy(col("g")).orderBy(col("sb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = in.groupBy(col("g"), col("sb")).agg(sum(col("w")).as("bsum"))
+      .withColumn("offset", sum(col("bsum")).over(wb) - col("bsum"))
+      .select(col("g"), col("sb"), col("offset"))
+    val win = Window.partitionBy(col("g"), col("sb"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = in.join(broadcast(offsets), Seq("g", "sb"))
+      .withColumn("cum", col("offset") + sum(col("w")).over(win))
+      .join(broadcast(budgets), Seq("g"))
+      .filter(col("cum") <= col("budget"))
+      .select(col("g"), col("id"), col("score"), col("w"), col("cum"))
+      .localCheckpoint()
+    in.unpersist(blocking = false)
+    out
+  }
+
   // ------------------------------------------------- fixture query board
 
   /** q228: [[heavyHitters]] (k=50) over the document token stream. */
@@ -291,7 +324,25 @@ object SketchOps {
         col("w").as("n_chars"), col("cum").as("cum_chars"))
   }
 
+  /** q246: [[groupedBudgetPrefix]] — each source keeps its best docs up
+    * to 60% of its own character mass (q231's global form, per source). */
+  def q246GroupedBudget(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
+    groupedBudgetPrefix(
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source").as("g"), col("doc_id").as("id"),
+          col("n_chars").as("w"),
+          round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4)
+            .as("score")),
+      frac = 0.6)
+      .select(col("g").as("source"), col("id").as("doc_id"),
+        col("score"), col("w").as("n_chars"), col("cum").as("cum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_grouped_budget" -> q246GroupedBudget _,
     "q228_heavy_hitters"  -> q228HeavyHitters _,
     "q229_exact_quantiles" -> q229ExactQuantiles _,
     "q231_budget_select"  -> q231BudgetSelect _,
@@ -301,6 +352,25 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_grouped_budget" ->
+      """WITH t AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+                    FROM documents),
+         sc AS (SELECT doc_id, source, n_chars,
+                  round(least(1.0, len(toks) / 100.0) *
+                        (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                               / CAST(len(toks) AS DOUBLE)), 4) AS score
+                FROM t),
+         b AS (SELECT source, CAST(floor(sum(n_chars) * 0.6) AS BIGINT) AS budget
+               FROM sc GROUP BY 1),
+         c AS (SELECT doc_id, source, score, n_chars,
+                      CAST(sum(n_chars) OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS cum_chars
+               FROM sc)
+         SELECT c.source, doc_id, score, n_chars, cum_chars
+         FROM c JOIN b ON c.source = b.source
+         WHERE cum_chars <= budget""",
     "q228_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          tok AS (SELECT term FROM t WHERE term <> ''),

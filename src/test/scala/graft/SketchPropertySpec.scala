@@ -95,6 +95,30 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("groupedBudgetPrefix == per-group windowed brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 600L).map { i =>
+      (s"g${i % 5}", i,
+        math.rint(rnd.nextInt(30) / 29.0 * 10000) / 10000.0,
+        rnd.nextInt(900).toLong + 1)
+    }
+    val got = SketchOps.groupedBudgetPrefix(
+        rows.toDF("g", "id", "score", "w").repartition(4), 0.4)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(4))).toMap
+    val expect = scala.collection.mutable.Map.empty[(String, Long), Long]
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val budget = math.floor(rs.map(_._4).sum * 0.4).toLong
+      var run = 0L
+      rs.sortBy { case (_, id, sc, _) => (-sc, id) }.foreach { case (_, id, _, w) =>
+        run += w
+        if (run <= budget) expect((g, id)) = run
+      }
+    }
+    assert(got == expect.toMap)
+  }
+
   test("budgetPrefix == windowed brute force, including the all-selected " +
       "and tie-heavy cases") {
     val spark2 = spark
