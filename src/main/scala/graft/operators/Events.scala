@@ -220,6 +220,81 @@ object Events {
         col("obs"), col("filled"))
   }
 
+  /** Time-weighted interval→bucket allocation: each user's inter-event
+    * interval [ts, next ts) — capped at one hour, the sessionization
+    * convention — spreads its duration and its value across the hourly
+    * buckets it overlaps, giving per-(event_type, hour) busy-time and
+    * value totals. This is the utilization/cost-attribution operator
+    * (machine-seconds per hour, spend per window) that plain hourly
+    * groupBys get WRONG whenever intervals straddle bucket edges.
+    *
+    * Determinism at scale: the entire computation stays in the INTEGER
+    * microsecond domain — bucket ids are integer divisions, overlap is a
+    * long subtraction, and the value allocation is integer-proportional
+    * (`value_micro * overlap div duration`), so every aggregate is a SUM
+    * of longs: order-independent under any partitioning (a float Σ would
+    * drift). The cap bounds the per-row `sequence()` fan-out at 2
+    * buckets (the library generalization would cap at span/bucket), and
+    * the only shuffles are the per-user lead window and the final
+    * (type, hour) aggregation with map-side partials. */
+  def q251IntervalAllocate(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead(col("us"), 1).over(byUser))
+      .filter(col("nxt").isNotNull && col("nxt") > col("us"))
+      .withColumn("fin", least(col("nxt"), col("us") + hourUs))
+      .withColumn("vmic", round(col("value") * 1e6).cast("long"))
+      .select(col("event_type").as("g"), col("us"), col("fin"), col("vmic"))
+    allocateIntervals(iv, hourUs)
+      .select(col("g").as("event_type"), col("hour_us"),
+        col("busy_us"), col("alloc_micro"))
+  }
+
+  /** [[q251IntervalAllocate]]'s core as a library operator (the q193
+    * parameterization convention): allocates half-open integer-µs
+    * intervals (g, us, fin, vmic) with us < fin across fixed-width
+    * buckets. Caller bounds the span (cap intervals first) so the
+    * per-row fan-out stays ≤ span/bucketUs + 1. Returns
+    * (g, hour_us, busy_us, alloc_micro), all longs. */
+  def allocateIntervals(iv: DataFrame, bucketUs: Long): DataFrame =
+    iv.select(col("g"), col("us"), col("fin"), col("vmic"),
+        explode(expr(s"sequence(us div $bucketUs, (fin - 1) div $bucketUs)")).as("hb"))
+      .withColumn("h0", col("hb") * bucketUs)
+      .withColumn("ov",
+        least(col("fin"), col("h0") + bucketUs) - greatest(col("us"), col("h0")))
+      .groupBy(col("g"), col("h0").as("hour_us"))
+      .agg(sum(col("ov")).as("busy_us"),
+        sum(expr("vmic * ov div (fin - us)")).as("alloc_micro"))
+
+  /** First-order Markov transition model over each user's event-type
+    * journey — the generative companion to the funnel (q234: one fixed
+    * path) and retention (q235: one fixed cadence): counts and
+    * probabilities for EVERY observed state→state step, with a START
+    * pseudo-state so entry behavior is modeled too. The per-user
+    * sequence order is (ts, event_id) — total, so the lag is
+    * deterministic under ties. One user-key window shuffle + one
+    * (src,dst) aggregation with map-side partials; the row-normalizing
+    * window runs on the states×states frame (≤ |types|² rows — census-
+    * sized, same class as the closure convergence reads). p derives from
+    * integer counts (bit-exact as doubles, the house ratio rule). */
+  def q252MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("src_state",
+        coalesce(lag(col("event_type"), 1).over(byUser), lit("START")))
+      .groupBy(col("src_state"), col("event_type").as("dst_state"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("src_state"))), 6))
+  }
+
   /** SCD2 history build: collapse each user's event stream into
     * slowly-changing-dimension validity intervals — one row per
     * consecutive run of the same event_type, with [valid_from, valid_to)
@@ -380,6 +455,8 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> q57AsofJoin _,
+    "q251_interval_allocate" -> q251IntervalAllocate _,
+    "q252_markov_transitions" -> q252MarkovTransitions _,
     "q233_snapshot_diff" -> q233SnapshotDiff _,
     "q234_funnel"        -> q234Funnel _,
     "q235_retention"     -> q235Retention _,
@@ -398,6 +475,43 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q251_interval_allocate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts) AS us
+                    FROM events),
+         iv AS (SELECT event_type, us, value,
+                       lead(us) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) AS nxt
+                FROM e),
+         capped AS (SELECT event_type, us,
+                           least(nxt, us + 3600000000) AS fin,
+                           CAST(round(value * 1e6) AS BIGINT) AS vmic
+                    FROM iv WHERE nxt IS NOT NULL AND nxt > us),
+         b AS (SELECT event_type, us, fin, vmic,
+                      unnest(generate_series(us // 3600000000,
+                                             (fin - 1) // 3600000000)) AS hb
+               FROM capped),
+         ov AS (SELECT event_type, hb * 3600000000 AS hour_us,
+                       least(fin, hb * 3600000000 + 3600000000)
+                         - greatest(us, hb * 3600000000) AS ov,
+                       vmic, fin - us AS dur
+                FROM b)
+         SELECT event_type, hour_us, CAST(sum(ov) AS BIGINT) AS busy_us,
+                CAST(sum(vmic * ov // dur) AS BIGINT) AS alloc_micro
+         FROM ov GROUP BY 1, 2""",
+    "q252_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                    FROM events),
+         tr AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id), 'START') AS src_state,
+                  event_type AS dst_state
+                FROM e),
+         c AS (SELECT src_state, dst_state, count(*) AS n
+               FROM tr GROUP BY 1, 2)
+         SELECT src_state, dst_state, n,
+                round(n / CAST(sum(n) OVER (PARTITION BY src_state) AS DOUBLE), 6)
+                  AS p
+         FROM c""",
     "q233_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey AS k,
                 CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 1.0, 2)

@@ -940,6 +940,61 @@ object RdfOps {
     out
   }
 
+  /** HITS hubs & authorities over the entity graph — the second classic
+    * link-analysis fixpoint next to PageRank (q198): PageRank scores
+    * global importance through damped random walks; HITS separates
+    * POINTING-WELL (hub) from BEING-POINTED-AT-WELL (authority), the
+    * right lens for bipartite-ish reference graphs (members→nations→
+    * regions). Three mutual-reinforcement rounds, L1-normalized (sum
+    * division — no sqrt, so the replay stays in +,/,round):
+    *   a ← normalize(Σ_{j→i} h(j));  h ← normalize(Σ_{i→j} a(j))
+    * with every normalized score ROUNDED to 10dp before the next use
+    * (the q186/q198 round-before-use convention), so the whole
+    * trajectory replays bit-identically as chained CTEs in DuckDB.
+    *
+    * Scale shape per round: one contribution aggregation keyed on the
+    * edge DESTINATION and one on the SOURCE (both map-side-partial
+    * shuffles over the edge list), two 1-row norm broadcasts, and a
+    * localCheckpoint lineage cut. Edges and the node frame persist
+    * across rounds. Top-20 under (authority desc, node) via
+    * TakeOrderedAndProject. */
+  def q249Hits(sp: SparkSession, dir: String): DataFrame = {
+    val e = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region"))
+      .select(col("s").as("src"), col("o").as("dst")).persist()
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    var hub: DataFrame = nodes.withColumn("h", lit(1.0) / n)
+    var auth: DataFrame = null
+    (1 to 3).foreach { _ =>
+      val aRaw = hub.join(e, hub("node") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val aNorm = aRaw.agg(sum(col("ar")).as("an"))
+      auth = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(nodes("node"),
+          round(coalesce(col("ar"), lit(0.0)) / col("an"), 10).as("a"))
+        .localCheckpoint()
+      val hRaw = auth.join(e, auth("node") === e("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hNorm = hRaw.agg(sum(col("hr")).as("hn"))
+      hub = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(nodes("node"),
+          round(coalesce(col("hr"), lit(0.0)) / col("hn"), 10).as("h"))
+        .localCheckpoint()
+    }
+    val out = auth.join(hub, Seq("node"))
+      .orderBy(round(col("a"), 8).desc, col("node").asc).limit(20)
+      .select(col("node"), round(col("a"), 8).as("authority"),
+        round(col("h"), 8).as("hub"))
+      .localCheckpoint()
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Min-hop BFS from a seed entity over the UNDIRECTED entity graph
     * (nation/region/segment edges) — the shortest-path companion to the
     * reachability closure (J4) and PageRank (q198): closure asks "which",
@@ -1363,6 +1418,7 @@ object RdfOps {
     "q191_orderby_agg"       -> q191OrderbyAgg _,
     "q197_trailing_values"   -> q197TrailingValues _,
     "q198_pagerank"          -> q198Pagerank _,
+    "q249_hits"              -> q249Hits _,
     "q230_bfs_hops"          -> q230BfsHops _,
     "q241_label_propagation" -> q241LabelPropagation _,
     "q242_weighted_sssp"     -> q242WeightedSssp _,
@@ -1589,6 +1645,46 @@ object RdfOps {
                 CROSS JOIN nn CROSS JOIN d3)
          SELECT node, round(pr, 8) AS pr FROM p3
          ORDER BY pr DESC, node LIMIT 20""",
+    "q249_hits" ->
+      s"""WITH st AS ($T),
+         e AS (SELECT s AS src, o AS dst FROM st
+               WHERE p IN ('nation', 'region')),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn),
+         a1r AS (SELECT e.dst, sum(h0.h) AS ar FROM h0
+                 JOIN e ON h0.node = e.src GROUP BY 1),
+         a1n AS (SELECT sum(ar) AS an FROM a1r),
+         a1 AS (SELECT nodes.node, round(coalesce(ar, 0) / an, 10) AS a
+                FROM nodes LEFT JOIN a1r ON a1r.dst = nodes.node CROSS JOIN a1n),
+         h1r AS (SELECT e.src, sum(a1.a) AS hr FROM a1
+                 JOIN e ON a1.node = e.dst GROUP BY 1),
+         h1n AS (SELECT sum(hr) AS hn FROM h1r),
+         h1 AS (SELECT nodes.node, round(coalesce(hr, 0) / hn, 10) AS h
+                FROM nodes LEFT JOIN h1r ON h1r.src = nodes.node CROSS JOIN h1n),
+         a2r AS (SELECT e.dst, sum(h1.h) AS ar FROM h1
+                 JOIN e ON h1.node = e.src GROUP BY 1),
+         a2n AS (SELECT sum(ar) AS an FROM a2r),
+         a2 AS (SELECT nodes.node, round(coalesce(ar, 0) / an, 10) AS a
+                FROM nodes LEFT JOIN a2r ON a2r.dst = nodes.node CROSS JOIN a2n),
+         h2r AS (SELECT e.src, sum(a2.a) AS hr FROM a2
+                 JOIN e ON a2.node = e.dst GROUP BY 1),
+         h2n AS (SELECT sum(hr) AS hn FROM h2r),
+         h2 AS (SELECT nodes.node, round(coalesce(hr, 0) / hn, 10) AS h
+                FROM nodes LEFT JOIN h2r ON h2r.src = nodes.node CROSS JOIN h2n),
+         a3r AS (SELECT e.dst, sum(h2.h) AS ar FROM h2
+                 JOIN e ON h2.node = e.src GROUP BY 1),
+         a3n AS (SELECT sum(ar) AS an FROM a3r),
+         a3 AS (SELECT nodes.node, round(coalesce(ar, 0) / an, 10) AS a
+                FROM nodes LEFT JOIN a3r ON a3r.dst = nodes.node CROSS JOIN a3n),
+         h3r AS (SELECT e.src, sum(a3.a) AS hr FROM a3
+                 JOIN e ON a3.node = e.dst GROUP BY 1),
+         h3n AS (SELECT sum(hr) AS hn FROM h3r),
+         h3 AS (SELECT nodes.node, round(coalesce(hr, 0) / hn, 10) AS h
+                FROM nodes LEFT JOIN h3r ON h3r.src = nodes.node CROSS JOIN h3n)
+         SELECT a3.node, round(a3.a, 8) AS authority, round(h3.h, 8) AS hub
+         FROM a3 JOIN h3 ON a3.node = h3.node
+         ORDER BY round(a3.a, 8) DESC, a3.node LIMIT 20""",
     "q197_trailing_values" ->
       s"""WITH st AS ($T),
          g AS (SELECT o AS n, CAST(count(*) AS BIGINT) AS cnt FROM st

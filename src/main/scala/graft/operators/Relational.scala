@@ -307,6 +307,34 @@ object Relational {
     * friendly, and the top-k is a 3-row TakeOrdered per column, never a
     * global sort. At 100 TB the exact NDV swaps to the q64 KMV sketch
     * per column — same output schema, one pass. */
+  /** Join-key skew audit — the measurement step that decides whether the
+    * skew MITIGATIONS on the board (q73 salted join, q54 salted agg, AQE
+    * skew splitting) are needed, and with what salt factor. Per key of
+    * the prospective shuffle (l_suppkey, q73's join key): exact count,
+    * share of the table, skew ratio vs the uniform expectation
+    * (cnt·ndv/total — 1.0 means perfectly even), and the recommended
+    * salt fan-out `ceil(cnt / (total/32))` — the number of splits that
+    * brings the key's largest slice back under one 32-partition share.
+    * Top-10 heaviest keys via TakeOrderedAndProject.
+    *
+    * Scale shape: one key-count aggregation with map-side partials (the
+    * audit costs ONE pass over the fact table — strictly cheaper than
+    * the join it plans), a 1-row stats broadcast, and a top-k. At 100 TB
+    * this runs on a sample or on the previous load's counts; the plan is
+    * identical either way. All ratios derive from integer counts (house
+    * bit-exact rule). */
+  def q250SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndv"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(col("cnt").desc, col("key")).limit(10)
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"),
+        round(col("cnt") * col("ndv") / col("total"), 4).as("skew"),
+        greatest(lit(1L), ceil(col("cnt") * 32 / col("total"))).as("salt"))
+  }
+
   def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -393,6 +421,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_skew_audit" -> q250SkewAudit _,
     "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
@@ -420,6 +449,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q250_skew_audit" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+         st AS (SELECT sum(cnt) AS total, count(*) AS ndv FROM c)
+         SELECT key, cnt,
+                round(cnt / CAST(total AS DOUBLE), 6) AS share,
+                round(cnt * ndv / CAST(total AS DOUBLE), 4) AS skew,
+                greatest(1, CAST(ceil(cnt * 32 / CAST(total AS DOUBLE)) AS BIGINT))
+                  AS salt
+         FROM c CROSS JOIN st
+         ORDER BY cnt DESC, key LIMIT 10""",
     "q238_integrity_audit" ->
       """SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n_violations
            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -879,6 +879,169 @@ object TextOps {
         sum(when(col("pass_s"), 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** Multinomial Naive Bayes TRAINING for a model-based corpus filter —
+    * the learned companion to the rule-based quality heuristics
+    * (q39/q40), the same shape as the fastText/CCNet-style classifiers
+    * LLM corpus builds use: score an expensive target signal on a
+    * training slice, DISTILL it into a cheap bag-of-words model, apply
+    * the model at full scale. Fixture task: distill q40's oracled
+    * quality rule (quality ≥ 0.9) — a label the token stream genuinely
+    * determines (the fixture's lang/source labels are token-uniform by
+    * construction, so they carry no learnable signal; the held-out
+    * accuracy spec pins that this one does).
+    *
+    * Plan shape — training a bag-of-words model IS an aggregation:
+    *  - deterministic 70% train split by the md5 doc_id hash (the q58
+    *    convention — replayable on any engine, stable under reshuffles);
+    *  - ONE token-key shuffle with map-side partials produces the
+    *    per-token class counts (n_pos, n_neg);
+    *  - class token totals + vocabulary size are a 1-row broadcast;
+    *  - the Laplace-smoothed log-odds weight
+    *      w = ln(n_pos+1) − ln(Npos+V) − [ln(n_neg+1) − ln(Nneg+V)]
+    *    is a per-row codegen expression over INTEGER arguments, emitted
+    *    in integer MICRO-UNITS (round-before-use) so every downstream
+    *    consumer sums longs — order-independent, hash-matchable.
+    * At 100 TB: the corpus appears once, the model is vocab-sized (MB —
+    * broadcastable), and nothing iterates — NB training is embarrassingly
+    * parallel, which is exactly why corpus pipelines reach for it first. */
+  /** q40's quality definition as the training label (shared by q247/q248
+    * so model and evaluation can never drift apart). */
+  private def hqLabeled(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
+    docs(s, dir)
+      .withColumn("pos",
+        round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4) >= 0.9)
+      .withColumn("train",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 < 7)
+  }
+
+  def q247NbTrain(s: SparkSession, dir: String): DataFrame =
+    nbTrain(hqLabeled(s, dir).filter(col("train"))
+      .select(col("pos"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= ""))
+
+  /** [[q247NbTrain]]'s core as a library operator over a caller-supplied
+    * labeled token stream (pos: Boolean, token: String) — the q193
+    * parameterization convention. Returns (token, n_pos, n_neg, w_micro). */
+  def nbTrain(tokens: DataFrame): DataFrame = {
+    val counts = tokens.groupBy(col("token"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val totals = counts.agg(sum(col("n_pos")).as("tp"),
+      sum(col("n_neg")).as("tn"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_pos"), col("n_neg"),
+        round((log(col("n_pos") + 1) - log(col("tp") + col("v"))
+          - log(col("n_neg") + 1) + log(col("tn") + col("v"))) * 1e6)
+          .cast("long").as("w_micro"))
+  }
+
+  /** Naive Bayes SCORING of the held-out 30% with q247's model — the
+    * apply half of the model-based filter. Per doc:
+    *   score = bias + Σ_tokens w(token)   (multinomial: every occurrence
+    * counts; tokens outside the training vocabulary drop out via the
+    * inner join, the standard NB treatment of unseen terms). The bias is
+    * the smoothed log doc-class prior. All arithmetic is LONG micro-unit
+    * sums — integer-exact, so the result is independent of partitioning
+    * and addition order (a float Σ would not be).
+    *
+    * Plan: held-out docs explode once; the token→weight join is a
+    * BROADCAST against the vocab-sized model; one doc-key aggregation
+    * re-assembles scores. The model stays an engine-level DataFrame —
+    * scoring composes with any upstream (the q141 pattern: artifact
+    * tables, not driver state). */
+  def q248NbScore(s: SparkSession, dir: String): DataFrame = {
+    val labeled = hqLabeled(s, dir)
+    val bias = labeled.filter(col("train"))
+      .agg((log(sum(when(col("pos"), 1L).otherwise(0L)) + 1)
+        - log(sum(when(!col("pos"), 1L).otherwise(0L)) + 1)).as("b"))
+      .select(round(col("b") * 1e6).cast("long").as("bias_micro"))
+    val model = q247NbTrain(s, dir).select(col("token"), col("w_micro"))
+    val heldout = labeled.filter(!col("train"))
+      .select(col("doc_id"), col("pos").as("hq"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    heldout.join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"), col("hq"))
+      .agg(sum(col("w_micro")).as("sw"))
+      .crossJoin(broadcast(bias))
+      .select(col("doc_id"), col("hq"),
+        (col("bias_micro") + col("sw")).as("score_micro"),
+        (col("bias_micro") + col("sw") > 0).as("pred_hq"))
+  }
+
+  /** Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08 — design
+    * note, not code) over the DISTINCT part-name catalog: all name pairs
+    * within Levenshtein distance ≤ 2. The third similarity-join modality
+    * on the board next to set-overlap (q170 PPJoin) and Jaccard (q34
+    * LSH), and the one record-linkage actually needs for typo-grade
+    * variation.
+    *
+    * Scale shape, in order:
+    *  1. COLLAPSE to distinct names first (the q202 aHash precedent: a
+    *     million rows sharing one name cost one comparison, not 10^12);
+    *  2. q-gram PREFIX FILTER: k edits destroy ≤ k·q of a string's
+    *     q-grams, so two strings within distance k share ≥ 1 gram among
+    *     each one's (k·q+1) RAREST grams under a global (frequency, gram)
+    *     order — rare-first prefixes keep candidate buckets small (the
+    *     q170 convention). Candidates = equi-join on signature grams,
+    *     never an all-pairs product;
+    *  3. length filter |len(a)−len(b)| ≤ k inside the join condition;
+    *  4. EXACT levenshtein verify ≤ k — the filter only prunes, so the
+    *     output equals brute force and hash-matches the oracle's
+    *     all-pairs replay.
+    * Output: (a, b, dist), a < b. */
+  def q253EditDistanceJoin(s: SparkSession, dir: String): DataFrame =
+    editDistanceJoin(
+      Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+        .localCheckpoint(),
+      k = 2, q = 2)
+
+  /** [[q253EditDistanceJoin]]'s core as a library operator over any
+    * distinct `name` frame. Returns (a, b, dist) with a < b and dist ≤ k.
+    *
+    * The gram-prefix guarantee ("k edits destroy ≤ k·q grams, so strings
+    * within distance k share a gram among each one's k·q+1 rarest") is
+    * VACUOUS for strings carrying ≤ k·q grams — all of them can be
+    * destroyed (the property net's planted counterexample: two length-6
+    * strings at distance 3 sharing zero bigrams). Those go through the
+    * SHORT BUCKET: strings of length ≤ k·q+q−1 pair all-ways against the
+    * bounded-length stratum ≤ k·q+q−1+k that the length filter confines
+    * their partners to. The stratum is a fixed-length subspace of
+    * DISTINCT strings — census-sized after the collapse, never
+    * corpus-sized — and both paths feed the same exact verifier, so the
+    * union equals brute force. */
+  def editDistanceJoin(names: DataFrame, k: Int, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = names.select(col("name"),
+      explode(expr(s"transform(sequence(1, length(name) - $q + 1), " +
+        s"i -> substring(name, i, $q))")).as("gram"))
+      .distinct()
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("gf"))
+    val wRare = Window.partitionBy(col("name"))
+      .orderBy(col("gf").asc, col("gram").asc)
+    val sig = grams.join(freq, Seq("gram"))
+      .withColumn("rk", row_number().over(wRare))
+      .filter(col("rk") <= k * q + 1)
+      .select(col("name"), col("gram"))
+    val gramCand = sig.as("x").join(sig.as("y"),
+      col("x.gram") === col("y.gram") && col("x.name") < col("y.name") &&
+        abs(length(col("x.name")) - length(col("y.name"))) <= k)
+      .select(col("x.name").as("a"), col("y.name").as("b"))
+    val shortLen = k * q + q - 1
+    val stratum = names.filter(length(col("name")) <= shortLen + k)
+    val shortCand = stratum.as("x").join(stratum.as("y"),
+      col("x.name") < col("y.name") &&
+        abs(length(col("x.name")) - length(col("y.name"))) <= k &&
+        (length(col("x.name")) <= shortLen || length(col("y.name")) <= shortLen))
+      .select(col("x.name").as("a"), col("y.name").as("b"))
+    gramCand.unionByName(shortCand).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= k)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
     * table with collection frequency and document frequency, top-20 by cf
     * with a lexical tiebreak. ONE shuffle on term with map-side partial
@@ -2355,6 +2518,9 @@ object TextOps {
     "q236_pmi_collocations" -> q236PmiCollocations _,
     "q243_viterbi_segment" -> q243ViterbiSegment _,
     "q245_corpus_build" -> q245CorpusBuild _,
+    "q247_nb_train" -> q247NbTrain _,
+    "q248_nb_score" -> q248NbScore _,
+    "q253_edit_distance_join" -> q253EditDistanceJoin _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -3057,6 +3223,67 @@ object TextOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(avg(nll), 4) AS surprisal
          FROM nll GROUP BY 1""",
+    "q247_nb_train" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents
+                     WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 10 < 7),
+         d AS (SELECT toks,
+                 round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                          / CAST(len(toks) AS DOUBLE)), 4) >= 0.9 AS pos
+               FROM d0),
+         tok AS (SELECT pos, unnest(toks) AS token FROM d),
+         c AS (SELECT token,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+               FROM tok WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                        count(*) AS v FROM c)
+         SELECT token, n_pos, n_neg,
+           CAST(round((ln(n_pos + 1) - ln(tp + v)
+                       - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
+         FROM c CROSS JOIN tot""",
+    "q248_nb_score" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 10 < 7 AS train
+                     FROM documents),
+         d AS (SELECT doc_id, toks, train,
+                 round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                          / CAST(len(toks) AS DOUBLE)), 4) >= 0.9 AS pos
+               FROM d0),
+         tok AS (SELECT pos, unnest(toks) AS token FROM d WHERE train),
+         c AS (SELECT token,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+               FROM tok WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                        count(*) AS v FROM c),
+         m AS (SELECT token,
+                 CAST(round((ln(n_pos + 1) - ln(tp + v)
+                   - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
+               FROM c CROSS JOIN tot),
+         b AS (SELECT CAST(round((ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+                 - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1e6)
+                 AS BIGINT) AS bias_micro
+               FROM d WHERE train),
+         h AS (SELECT doc_id, pos AS hq, unnest(toks) AS token
+               FROM d WHERE NOT train),
+         sc AS (SELECT doc_id, hq, sum(w_micro) AS sw
+                FROM h JOIN m ON h.token = m.token
+                WHERE h.token <> '' GROUP BY 1, 2)
+         SELECT doc_id, hq, bias_micro + sw AS score_micro,
+                bias_micro + sw > 0 AS pred_hq
+         FROM sc CROSS JOIN b""",
+    "q253_edit_distance_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS a, b.name AS b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM n a JOIN n b
+           ON a.name < b.name AND abs(len(a.name) - len(b.name)) <= 2
+         WHERE levenshtein(a.name, b.name) <= 2""",
     "q245_corpus_build" ->
       """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
                     FROM documents),
