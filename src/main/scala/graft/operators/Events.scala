@@ -295,6 +295,39 @@ object Events {
         round(col("n") / sum(col("n")).over(Window.partitionBy(col("src_state"))), 6))
   }
 
+  /** Rolling z-score anomaly detection over per-(event_type, day) counts
+    * — the volume-monitoring operator a pipeline dashboard runs on every
+    * ingest slice: flag a day whose count deviates > 3σ from the
+    * TRAILING 7-day window (frame ends at the PREVIOUS day, so the
+    * tested point never contaminates its own baseline; ≥ 4 prior days
+    * required before judging).
+    *
+    * The 3σ test never touches floating point: with S1 = Σx, S2 = Σx²
+    * over the n-day frame, z² > 9 is the INTEGER cross-multiplication
+    *   (n·x − S1)² > 9·(n·S2 − S1²)
+    * so the flag is bit-identical on any engine and partitioning — the
+    * same move the waterfill saturation test uses. One (type, day)
+    * aggregation with map-side partials, then a per-type ordered window
+    * over the DAYS table (days per type, not events — census-sized
+    * partitions, no skew). */
+  def q257RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wnd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily.select(col("event_type"), col("day"), col("x"),
+        count(col("x")).over(wnd).as("n"),
+        sum(col("x")).over(wnd).as("s1"),
+        sum(col("x") * col("x")).over(wnd).as("s2"))
+      .filter(col("n") >= 4)
+      .select(col("event_type"), col("day"), col("x"), col("n"),
+        ((col("n") * col("x") - col("s1"))
+          * (col("n") * col("x") - col("s1"))).as("zsq_num"),
+        (lit(9L) * (col("n") * col("s2") - col("s1") * col("s1"))).as("zsq_den"))
+      .withColumn("anomaly", col("zsq_num") > col("zsq_den"))
+  }
+
   /** SCD2 history build: collapse each user's event stream into
     * slowly-changing-dimension validity intervals — one row per
     * consecutive run of the same event_type, with [valid_from, valid_to)
@@ -457,6 +490,7 @@ object Events {
     "q57_asof_join" -> q57AsofJoin _,
     "q251_interval_allocate" -> q251IntervalAllocate _,
     "q252_markov_transitions" -> q252MarkovTransitions _,
+    "q257_rolling_anomaly" -> q257RollingAnomaly _,
     "q233_snapshot_diff" -> q233SnapshotDiff _,
     "q234_funnel"        -> q234Funnel _,
     "q235_retention"     -> q235Retention _,
@@ -499,6 +533,22 @@ object Events {
          SELECT event_type, hour_us, CAST(sum(ov) AS BIGINT) AS busy_us,
                 CAST(sum(vmic * ov // dur) AS BIGINT) AS alloc_micro
          FROM ov GROUP BY 1, 2""",
+    "q257_rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                count(*) AS x
+         FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, x,
+                      count(x) OVER fr AS n,
+                      sum(x) OVER fr AS s1,
+                      sum(x * x) OVER fr AS s2
+               FROM daily
+               WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n,
+                CAST((n * x - s1) * (n * x - s1) AS BIGINT) AS zsq_num,
+                CAST(9 * (n * s2 - s1 * s1) AS BIGINT) AS zsq_den,
+                (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1) AS anomaly
+         FROM w WHERE n >= 4""",
     "q252_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
                     FROM events),

@@ -995,6 +995,57 @@ object RdfOps {
     out
   }
 
+  /** k-core decomposition by iterative peeling over the bipartite
+    * part–supplier co-occurrence graph (distinct lineitem pairs): delete
+    * every node of degree < k, recompute, repeat to the FIXPOINT — the
+    * densest-region extractor behind community seeding and graph
+    * cleaning (Seidman 1983 — design note, not code). Unlike the
+    * fixed-round link-analysis fixpoints (q198/q249), peeling's rounds
+    * are data-dependent; the loop runs to convergence with a per-round
+    * edge-count read (census-sized, the Closure convention) and a
+    * lineage cut. The oracle replays MORE rounds than any SF needs —
+    * peeling is idempotent at the fixpoint, so surplus rounds are no-ops
+    * and both engines land on the identical core.
+    *
+    * Scale shape per round: one degree aggregation (map-side partials)
+    * + two semi-joins of the edge list against surviving nodes; work is
+    * proportional to the REMAINING edge set, which only shrinks. */
+  def q256KCore(sp: SparkSession, dir: String): DataFrame =
+    kCore(Tables.lineitem(sp, dir)
+      .select(concat(lit("P"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("S"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct(), k = 4)
+
+  /** [[q256KCore]]'s core as a library operator: undirected k-core over
+    * an edge frame (src, dst), one row per undirected pair, no
+    * self-loops. Returns surviving (node, core_deg). maxRounds is a
+    * refuse-loudly guard, not a truncation — non-convergence throws. */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    var edges = edges0
+      .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var m = edges.count()
+    var rounds = 0
+    var done = m == 0L
+    while (!done && rounds < maxRounds) {
+      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val pruned = edges
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m2 = pruned.count()
+      done = m2 == m
+      m = m2
+      edges = pruned
+      rounds += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kCore did not converge in $maxRounds rounds — raise maxRounds")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Min-hop BFS from a seed entity over the UNDIRECTED entity graph
     * (nation/region/segment edges) — the shortest-path companion to the
     * reachability closure (J4) and PageRank (q198): closure asks "which",
@@ -1419,6 +1470,7 @@ object RdfOps {
     "q197_trailing_values"   -> q197TrailingValues _,
     "q198_pagerank"          -> q198Pagerank _,
     "q249_hits"              -> q249Hits _,
+    "q256_kcore"             -> q256KCore _,
     "q230_bfs_hops"          -> q230BfsHops _,
     "q241_label_propagation" -> q241LabelPropagation _,
     "q242_weighted_sssp"     -> q242WeightedSssp _,
@@ -1645,6 +1697,26 @@ object RdfOps {
                 CROSS JOIN nn CROSS JOIN d3)
          SELECT node, round(pr, 8) AS pr FROM p3
          ORDER BY pr DESC, node LIMIT 20""",
+    // Peeling replay: 12 chained rounds — strictly more than any tested
+    // SF needs; rounds past the fixpoint delete nothing, so the surplus
+    // is a no-op and the final frame IS the 4-core (see q256KCore doc).
+    "q256_kcore" -> {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // s(i) references s(i-1) three times — inlined, the chain expands
+      // 3^12 scans; materialized, it is 12 linear passes.
+      val rounds = (1 to 12).map { i =>
+        s""", a$i AS MATERIALIZED (SELECT src AS node FROM s${i - 1}
+                      GROUP BY src HAVING count(*) >= 4),
+         s$i AS MATERIALIZED (SELECT e.src, e.dst FROM s${i - 1} e
+                 JOIN a$i x ON e.src = x.node
+                 JOIN a$i y ON e.dst = y.node)"""
+      }.mkString
+      s"""WITH e0 AS (SELECT DISTINCT 'P'||CAST(l_partkey AS VARCHAR) AS src,
+                'S'||CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+         s0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)$rounds
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM s12 GROUP BY 1"""
+    },
     "q249_hits" ->
       s"""WITH st AS ($T),
          e AS (SELECT s AS src, o AS dst FROM st

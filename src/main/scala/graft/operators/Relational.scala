@@ -335,6 +335,62 @@ object Relational {
         greatest(lit(1L), ceil(col("cnt") * 32 / col("total"))).as("salt"))
   }
 
+  /** Per-group closed-form OLS (normal equations): slope, intercept, and
+    * R² of extendedprice (cents) against quantity per return flag — the
+    * regression-as-aggregation pattern: a linear fit over any data size
+    * is FIVE integer sufficient statistics (n, Σx, Σy, Σxy, Σx², plus
+    * Σy² for R²), i.e. one partial-aggregable pass, never an iterative
+    * solver. This is the scalable form of the drift/trend fits a corpus
+    * dashboard runs per slice.
+    *
+    * Determinism: x is an integer, y is exact cents, so every sufficient
+    * statistic is an exact integer (Σy² exceeds long range at sf≥0.1 and
+    * accumulates in DECIMAL(38,0) — DuckDB's HUGEINT twin); the closed
+    * forms then evaluate in doubles over exactly-representable inputs
+    * with the SAME operation sequence on both engines, and the slope
+    * ROUNDS before the intercept consumes it (round-before-use). */
+  def q255OlsRegression(s: SparkSession, dir: String): DataFrame =
+    olsFit(Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y")))
+      .withColumnRenamed("g", "flag")
+
+  /** [[q255OlsRegression]]'s core as a library operator over any
+    * (g, x: Long, y: Long) frame — per-group closed-form least squares.
+    * Returns (g, n, slope, intercept, r2). */
+  def olsFit(points: DataFrame): DataFrame = {
+    val stats = points.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .cast("double").as("syy"))
+    val d = (c: String) => col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denX = d("n") * d("sxx") - d("sx") * d("sx")
+    val denY = d("n") * col("syy") - d("sy") * d("sy")
+    stats
+      .withColumn("slope", round(num / denX, 6))
+      .select(col("g"), col("n"), col("slope"),
+        round(d("sy") / d("n") - col("slope") * (d("sx") / d("n")), 4)
+          .as("intercept"),
+        round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /** ROLLUP hierarchy totals — (flag, status), per-flag subtotals, and the
+    * grand total in ONE pass: Spark expands the grouping sets inside a
+    * single partial-aggregable hash aggregate (rows replicate to their
+    * grouping sets map-side), so the hierarchy costs one shuffle, not one
+    * job per level — the cube/report primitive at any scale. grouping_id
+    * disambiguates a genuine NULL key from a rolled-up one. */
+  def q258Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+
   def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -422,6 +478,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_skew_audit" -> q250SkewAudit _,
+    "q255_ols_regression" -> q255OlsRegression _,
+    "q258_rollup" -> q258Rollup _,
     "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
@@ -449,6 +507,39 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q255_ols_regression" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+                CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem),
+         a AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * y) AS sxy, sum(x * x) AS sxx,
+                      CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+               FROM b GROUP BY 1),
+         s AS (SELECT flag, CAST(n AS BIGINT) AS n,
+                      CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                      CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                      CAST(sxx AS DOUBLE) AS sxxd, syy
+               FROM a),
+         f AS (SELECT flag, n, nd, sxd, syd,
+                      nd * sxyd - sxd * syd AS num,
+                      nd * sxxd - sxd * sxd AS denx,
+                      nd * syy - syd * syd AS deny,
+                      round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+                        AS slope
+               FROM s)
+         SELECT flag, n, slope,
+                round(syd / nd - slope * (sxd / nd), 4) AS intercept,
+                round(num * num / (denx * deny), 6) AS r2
+         FROM f""",
+    "q258_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q250_skew_audit" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
                     FROM lineitem GROUP BY 1),

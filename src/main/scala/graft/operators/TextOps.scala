@@ -1042,6 +1042,55 @@ object TextOps {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo SIGMOD'95 —
+    * design note, not code) over the distinct part-name catalog: sort by
+    * the name key, compare each record only to its w−1 successors in the
+    * GLOBAL sort order, verify Levenshtein ≤ 2. The third blocking
+    * modality next to gram signatures (q253) and LSH bands (q34): SNM's
+    * candidate count is exactly (w−1)·N regardless of value skew — the
+    * property that makes it the safe default when a hot key would flood
+    * a signature bucket.
+    *
+    * The global rank is computed WITHOUT a single-partition sort — the
+    * classic two-phase form: range-repartition on the key, rank within
+    * each range, then add per-range offsets (a ≤32-row census rolled up
+    * on the driver-free broadcast path). The result is invariant to
+    * where the range boundaries land, so the sampling inside
+    * repartitionByRange cannot affect answers. Neighbor pairing is an
+    * EQUI-join: each row explodes its w−1 successor ranks and joins on
+    * rank — no range-join nested loop. */
+  def q254SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodJoin(
+      Tables.customer(s, dir).select(col("c_name").as("name")).distinct(),
+      w = 5, k = 2)
+
+  /** [[q254SortedNeighborhood]]'s core as a library operator over any
+    * distinct `name` frame: pairs within a w-wide window of the global
+    * name order, kept when levenshtein ≤ k. Returns (a, b, dist), a < b
+    * in sort order. */
+  def sortedNeighborhoodJoin(names: DataFrame, w: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = names.repartitionByRange(32, col("name"))
+      .withColumn("pid", spark_partition_id())
+    val intra = parts.withColumn("rk",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(col("name"))))
+    // per-range offsets: ≤32 rows — census-sized, same class as the
+    // closure convergence reads
+    val off = intra.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = intra.join(broadcast(off), Seq("pid"))
+      .select(col("name"), (col("off") + col("rk")).as("rn"))
+      .localCheckpoint()
+    val probes = ranked.select(col("name").as("a"),
+      explode(expr(s"sequence(rn + 1, rn + ${w - 1})")).as("rn"))
+    probes.join(ranked.withColumnRenamed("name", "b"), Seq("rn"))
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= k)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
     * table with collection frequency and document frequency, top-20 by cf
     * with a lexical tiebreak. ONE shuffle on term with map-side partial
@@ -2521,6 +2570,7 @@ object TextOps {
     "q247_nb_train" -> q247NbTrain _,
     "q248_nb_score" -> q248NbScore _,
     "q253_edit_distance_join" -> q253EditDistanceJoin _,
+    "q254_sorted_neighborhood" -> q254SortedNeighborhood _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -3277,6 +3327,13 @@ object TextOps {
          SELECT doc_id, hq, bias_micro + sw AS score_micro,
                 bias_micro + sw > 0 AS pred_hq
          FROM sc CROSS JOIN b""",
+    "q254_sorted_neighborhood" ->
+      """WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
+         r AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM n)
+         SELECT a.name AS a, b.name AS b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+         WHERE levenshtein(a.name, b.name) <= 2""",
     "q253_edit_distance_join" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
          SELECT a.name AS a, b.name AS b,

@@ -1,159 +1,139 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, TextOps}
 
-/** Warehouse-analytics block (q233 snapshot diff, q234 funnel,
-  * q235 retention, q236 PMI): semantics pinned against independent naive
-  * recomputations over the collected fixture — strict-order funnel
-  * conversion, delta-only diff output, cohort-size invariants, and the
-  * PMI formula/support floor/ordering. */
+/** Round-11 analytics additions — properties beyond the hash oracle:
+  * sorted-neighborhood pairing equals the global-sort sliding-window
+  * definition on adversarial frames (so the distributed two-phase rank
+  * is exact), k-core peeling equals an in-memory fixpoint replay and is
+  * idempotent, the OLS closed form recovers a planted exact line, the
+  * rolling-anomaly window replays in memory, and ROLLUP levels are
+  * mutually consistent. */
 class AnalyticsOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q233: output is delta-only and every class is right on the " +
-      "fixture arithmetic") {
-    val rows = Events.q233SnapshotDiff(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getString(1),
-        Option(r.get(2)).map(_.asInstanceOf[Double]),
-        Option(r.get(3)).map(_.asInstanceOf[Double])))
-    val byKey = rows.map(t => t._1 -> t).toMap
-    assert(rows.length == byKey.size) // one verdict per key
-    rows.foreach { case (k, change, o, n) =>
-      change match {
-        case "insert" => // in new only: was hidden from old by %11
-          assert(k % 11 == 0 && k % 13 != 0); assert(o.isEmpty && n.isDefined)
-        case "delete" => // in old only: dropped from new by %13
-          assert(k % 13 == 0 && k % 11 != 0); assert(o.isDefined && n.isEmpty)
-        case "update" => // stale price: %7, present in both
-          assert(k % 7 == 0 && k % 11 != 0 && k % 13 != 0)
-          assert(o.isDefined && n.isDefined && o != n)
+  test("sortedNeighborhoodJoin == global-sort sliding window replay, " +
+      "across widths and hostile partitionings") {
+    val spark2 = spark
+    import spark2.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val names = (0 until 200).map(i =>
+      f"rec${rnd.nextInt(1000)}%04d${('a' + i % 7).toChar}").distinct
+    for (w <- Seq(2, 5, 9); parts <- Seq(1, 7)) {
+      val got = operators.TextOps.sortedNeighborhoodJoin(
+          names.toDF("name").repartition(parts), w, k = 3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val sorted = names.sorted
+      val expect = (for {
+        i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+        d = lev(sorted(i), sorted(j)) if d <= 3
+      } yield (sorted(i), sorted(j), d)).toSet
+      assert(got == expect, s"w=$w parts=$parts")
+    }
+  }
+
+  test("kCore == in-memory peel fixpoint on random graphs; idempotent " +
+      "(running k-core on the core returns the core)") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- Seq(3, 17); k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 300).map { _ =>
+        val a = rnd.nextInt(60); var b = rnd.nextInt(60)
+        while (b == a) b = rnd.nextInt(60)
+        (s"n$a", s"n$b")
+      }.distinct.filter { case (a, b) => a < b }
+      val got = operators.RdfOps.kCore(edges.toDF("src", "dst"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // in-memory peel to fixpoint over the symmetrized simple graph
+      var adj = (edges ++ edges.map(e => (e._2, e._1))).distinct
+      var stable = false
+      while (!stable) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val alive = deg.filter(_._2 >= k).keySet
+        val pruned = adj.filter(e => alive(e._1) && alive(e._2))
+        stable = pruned.size == adj.size
+        adj = pruned
+      }
+      val expect = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got == expect, s"seed=$seed k=$k")
+      if (expect.nonEmpty) {
+        val again = operators.RdfOps.kCore(
+            adj.filter(e => e._1 < e._2).toDF("src", "dst"), k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        assert(again == expect, s"idempotence seed=$seed k=$k")
       }
     }
-    // completeness: every key the fixture perturbs (and only those) appears
-    val allKeys = Tables.orders(spark, dir)
-      .select("o_orderkey").collect().map(_.getLong(0))
-    allKeys.foreach { k =>
-      val inOld = k % 11 != 0
-      val inNew = k % 13 != 0
-      val changed = (inOld != inNew) || (inOld && inNew && k % 7 == 0)
-      assert(byKey.contains(k) == changed, s"key $k")
-    }
   }
 
-  test("q234: strict-order funnel — stage advances only on events after " +
-      "the previous stage's first hit") {
-    val out = Events.q234Funnel(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    ev.groupBy(_._1).foreach { case (u, es) =>
-      val s1 = es.filter(_._2 == "signup").map(_._3).minOption
-      val s2 = s1.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
-      val s3 = s2.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
-      val expect =
-        if (s3.isDefined) "purchase" else if (s2.isDefined) "click"
-        else if (s1.isDefined) "signup" else "none"
-      assert(out(u) == expect, s"user $u")
-    }
+  test("olsFit recovers a planted exact line (slope 3, intercept -7, r2 1) " +
+      "and a degenerate-noise group stays finite") {
+    val spark2 = spark
+    import spark2.implicits._
+    val line = (1L to 50L).map(x => ("line", x, 3 * x - 7))
+    val noisy = Seq(("noisy", 1L, 10L), ("noisy", 2L, 9L),
+      ("noisy", 3L, 14L), ("noisy", 4L, 11L))
+    val got = operators.Relational.olsFit((line ++ noisy).toDF("g", "x", "y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("line") == ((50L, 3.0, -7.0, 1.0)))
+    val (n, slope, _, r2) = got("noisy")
+    assert(n == 4L && slope > 0 && r2 > 0 && r2 < 1)
   }
 
-  test("q235: offset-0 cell equals the cohort's size and offsets are " +
-      "within the observed span") {
-    val cells = Events.q235Retention(spark, dir)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    assert(cells.keys.forall { case (_, off) => off >= 0 })
-    val cohorts = Tables.events(spark, dir)
-      .select(col("user_id"),
-        floor(datediff(to_date(col("ts")),
-          lit(java.sql.Date.valueOf("2024-01-01"))) / 7).cast("long").as("w"))
-      .groupBy("user_id").agg(min(col("w")).as("cw"))
-      .collect().map(_.getLong(1))
-      .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    cohorts.foreach { case (cw, size) =>
-      assert(cells((cw, 0L)) == size, s"cohort $cw") // everyone active in week 0
-    }
+  test("q257: the integer 3-sigma test replays from in-memory daily counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Events.q257RollingAnomaly(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val days = rows.sortBy(_._2)
+      days.indices.flatMap { i =>
+        val frame = days.slice(math.max(0, i - 7), i).map(_._3)
+        val (n, x) = (frame.length.toLong, days(i)._3)
+        if (n < 4) None else {
+          val (s1, s2) = (frame.sum, frame.map(v => v * v).sum)
+          val num = (n * x - s1) * (n * x - s1)
+          val den = 9L * (n * s2 - s1 * s1)
+          Some(((t, days(i)._2), (x, n, num, den, num > den)))
+        }
+      }
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
   }
 
-  test("q238: integrity audit — clean FK checks report zero, the " +
-      "temporal invariant catches the generator's real violations") {
-    val out = graft.operators.Relational.q238IntegrityAudit(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(out.size == 8)
-    // the synthetic generator keys FKs consistently — these must be 0,
-    // and a nonzero here means the anti-join direction flipped
-    Seq("lineitem_orphan_order", "lineitem_orphan_part",
-      "lineitem_orphan_supplier", "order_orphan_customer",
-      "duplicate_orderkey", "nonpositive_quantity", "discount_range")
-      .foreach(c => assert(out(c) == 0L, c))
-    // ship/order dates are generated independently → real violations
-    assert(out("ship_before_order") > 0L)
-    val expected = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") < col("o_orderdate")).count()
-    assert(out("ship_before_order") == expected)
-  }
-
-  test("q244: incremental SCD2 (closed runs + weighted tail rebuild) " +
-      "equals the full-history build, including a cross-cutoff merge") {
-    type Row5 = (Long, String, String, Option[String], Long)
-    def rows(df: org.apache.spark.sql.DataFrame): Set[Row5] =
-      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        Option(r.getString(3)), r.getLong(4))).toSet
-    val inc = rows(Events.q244Scd2Incremental(spark, dir))
-    val full = rows(Events.q227Scd2(spark, dir))
-    assert(inc == full)
-    // the equality is only a real incremental test if some run actually
-    // SPANS the cutoff (same state on both sides — the merge path)
-    val cutoff = "2024-01-20 00:00:00"
-    val spanning = full.exists { case (_, _, from, to, _) =>
-      from < cutoff && to.forall(_ > cutoff) && to.isDefined
+  test("q258: rollup levels are mutually consistent and gid separates " +
+      "detail, subtotal, and grand total") {
+    val rows = operators.Relational.q258Rollup(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val detail = rows.filter(_._3 == 0L)
+    val sub = rows.filter(_._3 == 1L)
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1)
+    assert(grand.head._1.isEmpty && grand.head._2.isEmpty)
+    assert(detail.map(_._4).sum == grand.head._4)
+    assert(sub.map(_._5).sum == grand.head._5)
+    sub.foreach { s =>
+      val d = detail.filter(_._1 == s._1)
+      assert(d.map(_._4).sum == s._4 && d.map(_._5).sum == s._5)
     }
-    assert(spanning, "fixture has no run spanning the cutoff — merge path untested")
-  }
-
-  test("q245: funnel counts are monotone per source and the pipeline " +
-      "is selective end to end") {
-    val rows = graft.operators.TextOps.q245CorpusBuild(spark, dir)
-      .collect().map(r => (r.getString(0),
-        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
-    assert(rows.nonEmpty)
-    rows.foreach { case (src, fs) =>
-      fs.sliding(2).foreach { case Seq(a, b) => assert(a >= b, src); case _ => }
-    }
-    // the pipeline as a whole is genuinely selective (per-gate activity
-    // at this tiny sf is distribution-dependent; the sf0.01 oracle
-    // hash-match pins each stage's exact semantics)
-    val totals = rows.toSeq.map(_._2).transpose.map(_.sum)
-    assert(totals.head > totals.last, totals)
-  }
-
-  test("q236: PMI formula, support floor, and rounded-key ordering") {
-    val rows = TextOps.q236PmiCollocations(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.nonEmpty && rows.length <= 20)
-    assert(rows.forall(_._2 >= 5)) // support floor
-    // sorted by (pmi desc, bigram asc)
-    rows.toSeq.sliding(2).foreach {
-      case Seq(a, b) =>
-        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
-      case _ =>
-    }
-    // recompute PMI naively for the top row
-    val toks = Tables.documents(spark, dir)
-      .select(split(col("text"), " ").as("toks"))
-      .collect().map(_.getSeq[String](0))
-    val unigrams = toks.flatten
-    val bigrams = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
-    val (top, n, pmi) = rows.head
-    val Array(w1, w2) = top.split(" ", 2)
-    val cab = bigrams.count(p => p._1 == w1 && p._2 == w2).toDouble
-    assert(cab.toLong == n)
-    val expect = math.log((cab / bigrams.length) /
-      ((unigrams.count(_ == w1).toDouble / unigrams.length) *
-        (unigrams.count(_ == w2).toDouble / unigrams.length)))
-    assert(math.abs(BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble - pmi) < 1e-9)
   }
 }
