@@ -328,6 +328,99 @@ object Events {
       .withColumn("anomaly", col("zsq_num") > col("zsq_den"))
   }
 
+  /** Per-user EWMA (α = 1/2) over the event-value stream — the smoothing
+    * primitive behind per-entity trend features. A recurrence
+    * (e_i = (e_{i−1} + v_i) / 2) cannot be a window function, and a
+    * driver loop would not be distributed; instead each user's stream
+    * collapses to ONE grouped row and the recurrence runs as a codegen'd
+    * `aggregate` HOF fold over the time-sorted struct array — the
+    * per-group-sequential-fold pattern: parallel across users, exact
+    * sequential semantics within a user. State per user is its event
+    * array (bounded: ~70 events/user in this table; an unbounded stream
+    * would fold incrementally via mapGroupsWithState — the q30 streaming
+    * posture). Arithmetic is integer micro-units with `div 2` halving,
+    * so the fold is bit-replayable (values are non-negative, making
+    * truncating and flooring division agree across engines). */
+  def q259EwmaFold(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          round(col("value") * 1e6).cast("long").as("v")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("rec"))).as("arr"))
+      .select(col("user_id"), size(col("arr")).cast("long").as("n_events"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].v, " +
+          "(acc, e) -> (acc + e.v) div 2)").as("ewma_micro"))
+
+  /** Two-proportion A/B z-test per event type: users split into arms by
+    * key parity (deterministic, no RNG — the q58 hashing convention),
+    * "converted" = the user emitted the event type at all. The
+    * significance DECISION is an integer cross-multiplication —
+    *   z² > 3.8416  ⟺  10000·(x₁n₀−x₀n₁)²·(n₀+n₁) > 38416·n₀n₁·x·(n−x)
+    * carried in DECIMAL(38,0) (DuckDB's HUGEINT twin), so the flag is
+    * bit-identical on any engine; the reported z² rounds from the same
+    * exact integers. One distinct-(user,type) shuffle + a 2-row arm
+    * census broadcast — experiment readouts are aggregation-shaped at
+    * any scale. */
+  def q261AbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", col("user_id") % 2)
+    val armSizes = users.groupBy(col("arm")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(when(col("arm") === 0, col("cnt"))).as("n0"),
+        sum(when(col("arm") === 1, col("cnt"))).as("n1"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = dec(col("x1") * col("n0") - col("x0") * col("n1"))
+    val num2 = d * d * dec(col("n0") + col("n1"))
+    val den = dec(col("n0") * col("n1")) * dec(col("x0") + col("x1")) *
+      dec(col("n0") + col("n1") - col("x0") - col("x1"))
+    ev.select(col("user_id"), col("event_type")).distinct()
+      .join(broadcast(users), Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x1"))
+      .crossJoin(broadcast(armSizes))
+      .select(col("event_type"), col("n0"), col("x0"), col("n1"), col("x1"),
+        round(col("x0").cast("double") / col("n0"), 6).as("rate0"),
+        round(col("x1").cast("double") / col("n1"), 6).as("rate1"),
+        when(den === dec(lit(0)), lit(null).cast("double"))
+          .otherwise(round(num2.cast("double") / den.cast("double"), 4))
+          .as("zsq"),
+        (num2 * dec(lit(10000)) > den * dec(lit(38416))).as("significant"))
+  }
+
+  /** Top session path trigrams — the sequence-mining readout over
+    * sessionized journeys (q30's 30-minute-gap sessions): every
+    * 3-step event-type sequence within a session, counted corpus-wide,
+    * top-20 under (count desc, lexical). Two stacked windows on the SAME
+    * (user, time) shuffle key (Catalyst collapses them into one sort),
+    * one (s1,s2,s3) aggregation with map-side partials, and a
+    * TakeOrderedAndProject — no global sort. The n-gram companion to
+    * q252's first-order transition matrix: Markov says where one step
+    * leads; this surfaces whole recurring routes. */
+  def q262PathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+    val bySess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+        col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(20)
+  }
+
   /** SCD2 history build: collapse each user's event stream into
     * slowly-changing-dimension validity intervals — one row per
     * consecutive run of the same event_type, with [valid_from, valid_to)
@@ -491,6 +584,9 @@ object Events {
     "q251_interval_allocate" -> q251IntervalAllocate _,
     "q252_markov_transitions" -> q252MarkovTransitions _,
     "q257_rolling_anomaly" -> q257RollingAnomaly _,
+    "q259_ewma_fold" -> q259EwmaFold _,
+    "q261_ab_test" -> q261AbTest _,
+    "q262_path_trigrams" -> q262PathTrigrams _,
     "q233_snapshot_diff" -> q233SnapshotDiff _,
     "q234_funnel"        -> q234Funnel _,
     "q235_retention"     -> q235Retention _,
@@ -533,6 +629,63 @@ object Events {
          SELECT event_type, hour_us, CAST(sum(ov) AS BIGINT) AS busy_us,
                 CAST(sum(vmic * ov // dur) AS BIGINT) AS alloc_micro
          FROM ov GROUP BY 1, 2""",
+    "q259_ewma_fold" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS rn,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events),
+         f(user_id, rn, acc) AS (
+           SELECT user_id, rn, v FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn, (f.acc + e.v) // 2
+           FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+         SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+                CAST(arg_max(acc, rn) AS BIGINT) AS ewma_micro
+         FROM f GROUP BY 1""",
+    "q261_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         ua AS (SELECT user_id, user_id % 2 AS arm FROM u),
+         arms AS (SELECT
+                sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1 FROM ua),
+         c AS (SELECT DISTINCT e.user_id, e.event_type, ua.arm
+               FROM events e JOIN ua ON e.user_id = ua.user_id),
+         x AS (SELECT event_type,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1
+               FROM c GROUP BY 1),
+         j AS (SELECT event_type, CAST(n0 AS BIGINT) AS n0, x0,
+                      CAST(n1 AS BIGINT) AS n1, x1,
+                      CAST(x1 * n0 - x0 * n1 AS HUGEINT) AS d,
+                      CAST(n0 AS HUGEINT) * n1 * (x0 + x1)
+                        * (n0 + n1 - x0 - x1) AS den
+               FROM x CROSS JOIN arms)
+         SELECT event_type, n0, x0, n1, x1,
+                round(CAST(x0 AS DOUBLE) / n0, 6) AS rate0,
+                round(CAST(x1 AS DOUBLE) / n1, 6) AS rate1,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE round(CAST(d * d * (n0 + n1) AS DOUBLE)
+                                / CAST(den AS DOUBLE), 4) END AS zsq,
+                d * d * (n0 + n1) * 10000 > den * 38416 AS significant
+         FROM j""",
+    "q262_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         g AS (SELECT *, us - lag(us) OVER w AS gap FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                                  THEN 1 ELSE 0 END) OVER w AS sid
+               FROM g
+               WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         t AS (SELECT event_type AS s1,
+                      lead(event_type, 1) OVER w AS s2,
+                      lead(event_type, 2) OVER w AS s3
+               FROM s
+               WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id))
+         SELECT s1, s2, s3, count(*) AS n FROM t
+         WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+         ORDER BY n DESC, s1, s2, s3 LIMIT 20""",
     "q257_rolling_anomaly" ->
       """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                 count(*) AS x

@@ -391,6 +391,29 @@ object Relational {
         sum(col("l_quantity").cast("long")).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
 
+  /** Zone-map (min/max data-skipping) audit over 1024-key order buckets:
+    * per-bucket row count and min/max for a CLUSTERED column
+    * (o_orderkey — defines the bucketing) and an UNCLUSTERED one
+    * (o_orderdate), plus the pruning verdict each predicate would get
+    * (`prune_*` = the whole bucket is skippable because its min/max
+    * range misses the predicate). The audit quantifies the z-order/
+    * layout decision (q161): the key predicate prunes almost every
+    * bucket, the date predicate prunes almost none — the measured gap IS
+    * the reorganization payoff. One aggregation with map-side partials;
+    * the 100 TB form runs over parquet footer stats instead of rows,
+    * same output schema. */
+  def q260ZoneMap(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(expr("o_orderkey div 1024").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .withColumn("prune_date",
+        col("max_date") < lit("1996-01-01") || col("min_date") > lit("1996-12-31"))
+      .withColumn("prune_key",
+        col("max_key") < lit(4096L) || col("min_key") > lit(8191L))
+
   def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -480,6 +503,7 @@ object Relational {
     "q250_skew_audit" -> q250SkewAudit _,
     "q255_ols_regression" -> q255OlsRegression _,
     "q258_rollup" -> q258Rollup _,
+    "q260_zone_map" -> q260ZoneMap _,
     "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
@@ -507,6 +531,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q260_zone_map" ->
+      """WITH z AS (SELECT o_orderkey // 1024 AS bucket, count(*) AS n_rows,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n_rows, min_date, max_date,
+                CAST(min_key AS BIGINT) AS min_key,
+                CAST(max_key AS BIGINT) AS max_key,
+                max_date < '1996-01-01' OR min_date > '1996-12-31' AS prune_date,
+                max_key < 4096 OR min_key > 8191 AS prune_key
+         FROM z""",
     "q255_ols_regression" ->
       """WITH b AS (SELECT l_returnflag AS flag,
                 CAST(l_quantity AS BIGINT) AS x,

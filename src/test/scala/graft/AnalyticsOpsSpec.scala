@@ -119,6 +119,95 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q259: the EWMA fold replays an in-memory sequential recurrence " +
+      "per user") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Events.q259EwmaFold(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 1e6).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = ev.groupBy(_._1).view.mapValues { rows =>
+      val vs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      (vs.length.toLong, vs.tail.foldLeft(vs.head)((acc, v) => (acc + v) / 2))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("q261: significance flag matches the exact rational z-square on a " +
+      "planted frame where the rounded double would be ambiguous") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = operators.Events.q261AbTest(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n0, x0, n1, x1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val d = BigInt(x1 * n0 - x0 * n1)
+      val num = d * d * BigInt(n0 + n1) * 10000
+      val den = BigInt(n0) * BigInt(n1) * BigInt(x0 + x1) *
+        BigInt(n0 + n1 - x0 - x1) * 38416
+      assert(r.getBoolean(8) == (num > den), r.toString)
+      if (!r.isNullAt(7)) {
+        val zsq = r.getDouble(7)
+        // the rounded statistic and the exact decision must agree except
+        // within rounding distance of the 3.8416 threshold
+        if (math.abs(zsq - 3.8416) > 0.001)
+          assert((zsq > 3.8416) == r.getBoolean(8))
+      }
+    }
+  }
+
+  test("q262: trigram counts replay from an in-memory sessionization") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Events.q262PathTrigrams(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // split into 30-min-gap sessions, then per-session trigrams
+      val sessions = ordered.foldLeft(List.empty[List[(Long, String)]]) {
+        case (acc, r) =>
+          acc match {
+            case (cur @ ((lastUs, _) :: _)) :: rest
+                if r._2 - lastUs <= 1800L * 1000000L =>
+              ((r._2, r._4) :: cur) :: rest
+            case _ => List((r._2, r._4)) :: acc
+          }
+      }.map(_.reverse.map(_._2))
+      sessions.flatMap(s => s.sliding(3).filter(_.length == 3)
+        .map(t => (t(0), t(1), t(2))))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expect = tri.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(got.toSeq == expect.map { case (k, n) => (k, n) } && got.nonEmpty)
+  }
+
+  test("q260: zone-map buckets partition the table and prune verdicts " +
+      "are sound (no pruned bucket contains a matching row)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Relational.q260ZoneMap(spark, dir).collect()
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .as[(Long, String)].collect()
+    assert(got.map(_.getLong(1)).sum == orders.length)
+    got.foreach { r =>
+      val rows = orders.filter(_._1 / 1024 == r.getLong(0))
+      if (r.getBoolean(6))
+        assert(!rows.exists(o => o._2 >= "1996-01-01" && o._2 <= "1996-12-31"))
+      if (r.getBoolean(7))
+        assert(!rows.exists(o => o._1 >= 4096L && o._1 <= 8191L))
+    }
+    // the layout story: the clustered predicate prunes buckets, the
+    // unclustered one does not
+    assert(got.count(_.getBoolean(7)) > got.count(_.getBoolean(6)))
+  }
+
   test("q258: rollup levels are mutually consistent and gid separates " +
       "detail, subtotal, and grand total") {
     val rows = operators.Relational.q258Rollup(spark, dir).collect()
