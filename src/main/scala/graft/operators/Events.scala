@@ -310,10 +310,20 @@ object Events {
     * aggregation with map-side partials, then a per-type ordered window
     * over the DAYS table (days per type, not events — census-sized
     * partitions, no skew). */
-  def q257RollingAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def q257RollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(dailyCounts(Tables.events(s, dir)))
+
+  /** Per-(event_type, day) counts — the shared input of the batch query
+    * and the streaming sink's merged state table. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("x"))
+
+  /** [[q257RollingAnomaly]]'s core over any (event_type, day, x) daily
+    * frame — also evaluated per trigger by
+    * [[graft.streaming.StreamOps.anomalySink]] on its running state. */
+  def rollingAnomaly(daily: DataFrame): DataFrame = {
     val wnd = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-7, -1)
     daily.select(col("event_type"), col("day"), col("x"),

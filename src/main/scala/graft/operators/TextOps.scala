@@ -1091,6 +1091,37 @@ object TextOps {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** Deterministic epoch shuffle + sharding — the training data-loader
+    * order: each epoch permutes the corpus by ranking on
+    * md5(epoch:doc_id) and deals documents into shards, so every epoch
+    * is a DIFFERENT but fully REPRODUCIBLE permutation with no RNG
+    * state to checkpoint (the q58/q176 hashing convention). Shard
+    * assignment is hash-mod (balanced in expectation, invariant to
+    * corpus partitioning); within-shard position is a rank over the
+    * shard's OWN hash order — a window partitioned by shard, never a
+    * global sort, so the permutation costs one hash scan + one
+    * shard-keyed shuffle at any corpus size. Resuming mid-epoch needs
+    * only (epoch, shard, pos > cursor) — a pushable predicate, no
+    * loader state. */
+  def q263EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(docs(s, dir).select(col("doc_id")), epoch = 7, nShards = 32)
+
+  /** [[q263EpochShuffle]]'s core over any id frame. Returns
+    * (doc_id, shard, pos) — a permutation: each id exactly once, pos
+    * dense 1..n within each shard. */
+  def epochShuffle(ids: DataFrame, epoch: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ids.select(col("doc_id"),
+        md5(concat(lit(epoch.toString), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
     * table with collection frequency and document frequency, top-20 by cf
     * with a lexical tiebreak. ONE shuffle on term with map-side partial
@@ -2571,6 +2602,7 @@ object TextOps {
     "q248_nb_score" -> q248NbScore _,
     "q253_edit_distance_join" -> q253EditDistanceJoin _,
     "q254_sorted_neighborhood" -> q254SortedNeighborhood _,
+    "q263_epoch_shuffle" -> q263EpochShuffle _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -3327,6 +3359,15 @@ object TextOps {
          SELECT doc_id, hq, bias_micro + sw AS score_micro,
                 bias_micro + sw > 0 AS pred_hq
          FROM sc CROSS JOIN b""",
+    "q263_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+                md5('7:'||CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         s AS (SELECT doc_id, h,
+                CAST(('0x'||substr(h, 1, 8)) AS BIGINT) % 32 AS shard FROM k)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                     AS BIGINT) AS pos
+         FROM s""",
     "q254_sorted_neighborhood" ->
       """WITH n AS (SELECT DISTINCT c_name AS name FROM customer),
          r AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM n)

@@ -373,6 +373,39 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of q257's rolling volume anomaly: per trigger the
+    * batch's (event_type, day) partial counts merge into a persistent
+    * daily-counts state table (idempotent sum-merge, the klDriftSink
+    * convention), and the integer 3σ window re-evaluates over the state
+    * — days per type, census-sized, so the per-trigger cost is
+    * batch-sized plus the days table regardless of stream age. The
+    * report after the last trigger is IDENTICAL to the batch q257 over
+    * the same events (parity spec), because counts merge associatively
+    * and the anomaly test reads only the merged counts. */
+  def anomalySink(events: DataFrame, statePath: String, reportPath: String)
+                 (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.operators.Events.dailyCounts(batch.toDF())
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(partial)
+               .groupBy(col("event_type"), col("day"))
+               .agg(org.apache.spark.sql.functions.sum(col("x")).as("x"))
+           else partial)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        graft.operators.Events.rollingAnomaly(merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q228's heavy hitters: the state is a MERGED
     * Misra–Gries summary (≤ k counters) plus the exact running total and
     * the accumulated decrement mass — the mergeable-summaries form

@@ -208,6 +208,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.count(_.getBoolean(7)) > got.count(_.getBoolean(6)))
   }
 
+  test("epochShuffle: a true permutation (every id once, dense shard " +
+      "positions), different across epochs, stable across partitionings") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    val e3 = operators.TextOps.epochShuffle(ids, epoch = 3, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e3.map(_._1).toSet == (1L to 500L).toSet && e3.length == 500)
+    e3.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val e4 = operators.TextOps.epochShuffle(ids, epoch = 4, nShards = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(e3.count { case (id, s, p) => e4(id) == ((s, p)) } < 100,
+      "epochs 3 and 4 barely differ — not a re-shuffle")
+    val e3b = operators.TextOps.epochShuffle(ids.repartition(13), 3, 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(e3.map(r => (r._1, (r._2, r._3))).toMap == e3b)
+  }
+
   test("q258: rollup levels are mutually consistent and gid separates " +
       "detail, subtotal, and grand total") {
     val rows = operators.Relational.q258Rollup(spark, dir).collect()

@@ -395,6 +395,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("anomalySink: the report after N micro-batches equals q257's batch " +
+      "anomalies over the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+        .as[(String, Timestamp)].collect()
+      val input = MemoryStream[(String, Timestamp)]
+      val events = input.toDF().toDF("event_type", "ts")
+      val query = StreamOps.anomalySink(events, statePath, reportPath)(ckpt)
+      // three uneven micro-batches that SPLIT days across triggers — the
+      // state merge must re-sum partial day counts correctly
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 4)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))
+      val streamed = spark.read.parquet(reportPath).collect().map(key).toSet
+      val batch = graft.operators.Events.q257RollingAnomaly(spark, sfDir)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("cdcAdmitSink: an embedded already-seen passage rejects the doc " +
       "even when every doc-level key differs") {
     implicit val sqlCtx = spark.sqlContext
