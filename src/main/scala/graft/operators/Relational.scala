@@ -414,6 +414,43 @@ object Relational {
       .withColumn("prune_key",
         col("max_key") < lit(4096L) || col("min_key") > lit(8191L))
 
+  /** Market-basket association rules over order baskets (brand
+    * co-occurrence): support, confidence, and lift for every brand pair
+    * appearing in ≥ 5 orders, top-20 by lift — the co-occurrence mining
+    * primitive (recommenders, query-expansion, co-purchase analytics).
+    *
+    * Scale shape: baskets collapse to DISTINCT (order, brand) first, so
+    * the pair self-join is keyed on the ORDER and its fan-out is bounded
+    * by items-per-basket², never corpus² (the a-priori candidate bound);
+    * item marginals are a 25-row broadcast, the order total a 1-row
+    * broadcast. Lift/confidence derive from integer counts and round
+    * before the TakeOrdered ranking (house ulp rule). */
+  def q264AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
+      .distinct().localCheckpoint()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(marg.select(col("item").as("a"), col("n_item").as("n_a"))), Seq("a"))
+      .join(broadcast(marg.select(col("item").as("b"), col("n_item").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") / col("n_orders"), 6).as("support"),
+        round(col("n_ab") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+  }
+
   def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -504,6 +541,7 @@ object Relational {
     "q255_ols_regression" -> q255OlsRegression _,
     "q258_rollup" -> q258Rollup _,
     "q260_zone_map" -> q260ZoneMap _,
+    "q264_association_rules" -> q264AssociationRules _,
     "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
@@ -531,6 +569,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+               FROM items),
+         marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+                  FROM items GROUP BY 1),
+         p AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM items x JOIN items y
+                 ON x.okey = y.okey AND x.item < y.item
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT a, b, n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
+                round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+                round(n_ab / CAST(ma.n_item AS DOUBLE), 6) AS confidence,
+                round(CAST(n_ab AS DOUBLE) * n_orders
+                      / (ma.n_item * mb.n_item), 6) AS lift
+         FROM p JOIN marg ma ON p.a = ma.item
+                JOIN marg mb ON p.b = mb.item CROSS JOIN n
+         ORDER BY lift DESC, a, b LIMIT 20""",
     "q260_zone_map" ->
       """WITH z AS (SELECT o_orderkey // 1024 AS bucket, count(*) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,

@@ -1122,6 +1122,51 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Record-linkage funnel — the entity-resolution composition story
+    * (blocking → match → cluster → survivorship), the ER mirror of the
+    * corpus-build funnel (q245): Ed-Join candidate pairs at Levenshtein
+    * ≤ 2 over the distinct part-name catalog (q253's gram-signature
+    * blocking, output == brute force) feed the distributed
+    * connected-components step (q110's engine), every name gets its
+    * cluster's canonical representative (min member — deterministic
+    * survivorship) and cluster size. Each stage is the already-oracled
+    * library operator; this query pins that they COMPOSE — the
+    * pair-graph CC is pair-bound, the catalog is touched once. */
+  def q265LinkageFunnel(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name").as("name"))
+      .distinct().localCheckpoint()
+    val pairs = editDistanceJoin(names, k = 2, q = 2)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val lab = graft.plans.ConnectedComponents.labels(
+      pairs, names.select(col("name").as("node")))
+    val sizes = lab.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("component"))
+      .select(col("node").as("name"), col("component").as("canonical"),
+        col("cluster_size"))
+  }
+
+  /** Zipf-law fit over the corpus frequency spectrum: log-log OLS of
+    * collection frequency against frequency rank, reusing the
+    * closed-form regression operator ([[Relational.olsFit]]) — slope ≈
+    * −α is the Zipf exponent, R² measures how Zipfian the corpus is
+    * (a sanity gate on synthetic/corrupted corpora whose spectra go
+    * flat). One term shuffle builds the spectrum; the rank window runs
+    * on the VOCABULARY table (bounded artifact, the q121 convention);
+    * log coordinates quantize to integer micro-units before the fit so
+    * the sufficient statistics stay engine-exact. */
+  def q266ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = docs(s, dir)
+      .select(explode(col("toks")).as("term")).filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ranked = cf.withColumn("rank",
+      row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+    Relational.olsFit(ranked.select(lit("zipf").as("g"),
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("cf").cast("double")) * 1e6).cast("long").as("y")))
+  }
+
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
     * table with collection frequency and document frequency, top-20 by cf
     * with a lexical tiebreak. ONE shuffle on term with map-side partial
@@ -2603,6 +2648,8 @@ object TextOps {
     "q253_edit_distance_join" -> q253EditDistanceJoin _,
     "q254_sorted_neighborhood" -> q254SortedNeighborhood _,
     "q263_epoch_shuffle" -> q263EpochShuffle _,
+    "q265_linkage_funnel" -> q265LinkageFunnel _,
+    "q266_zipf_fit" -> q266ZipfFit _,
     "q154_longest_run" -> q154LongestRun _,
     "q156_bigram_surprisal" -> q156BigramSurprisal _,
     "q141_incremental_dedup" -> q141IncrementalDedup _,
@@ -3359,6 +3406,52 @@ object TextOps {
          SELECT doc_id, hq, bias_micro + sw AS score_micro,
                 bias_micro + sw > 0 AS pred_hq
          FROM sc CROSS JOIN b""",
+    "q265_linkage_funnel" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+         p AS (SELECT a.name AS a, b.name AS b
+               FROM n a JOIN n b
+                 ON a.name < b.name AND abs(len(a.name) - len(b.name)) <= 2
+               WHERE levenshtein(a.name, b.name) <= 2),
+         sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         reach(node, m) AS (
+           SELECT name, name FROM n
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         lab AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
+         sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM lab GROUP BY 1)
+         SELECT node AS name, lab.canonical, cluster_size
+         FROM lab JOIN sz USING (canonical)""",
+    "q266_zipf_fit" ->
+      """WITH cf AS (SELECT t.token AS term, CAST(count(*) AS BIGINT) AS cf
+               FROM (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents) t
+               WHERE t.token <> '' GROUP BY 1),
+         rk AS (SELECT term, cf,
+                  row_number() OVER (ORDER BY cf DESC, term) AS rank FROM cf),
+         b AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                      CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT) AS y
+               FROM rk),
+         a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * y) AS sxy, sum(x * x) AS sxx,
+                      CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+               FROM b),
+         s AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+                      syy
+               FROM a),
+         f AS (SELECT n, nd, sxd, syd,
+                      nd * sxyd - sxd * syd AS num,
+                      nd * sxxd - sxd * sxd AS denx,
+                      nd * syy - syd * syd AS deny,
+                      round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+                        AS slope
+               FROM s)
+         SELECT 'zipf' AS g, n, slope,
+                round(syd / nd - slope * (sxd / nd), 4) AS intercept,
+                round(num * num / (denx * deny), 6) AS r2
+         FROM f""",
     "q263_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
                 md5('7:'||CAST(doc_id AS VARCHAR)) AS h FROM documents),
