@@ -347,6 +347,86 @@ object TextOps {
         col("exact_texts"), col("sample_p50"), col("exact_p50"))
   }
 
+  /** HyperLogLog distinct estimate, deterministic edition (Flajolet et
+    * al. 2007): per-language distinct-text count via 256 registers, next
+    * to the exact count so the error stays visible. The 100 TB story:
+    * the register table is the ONLY shuffled state — (group, 256) rows of
+    * `max(rho)` partial-aggregate regardless of corpus size, mergeable
+    * across days/shards by the same max, vs countDistinct's full
+    * distinct-key shuffle. Everything is engine-exact: bucket = first
+    * md5 byte, rho = leading zeros of the next 48 bits + 1 (computed by
+    * STRING length of `bin()`, no float log), and the harmonic sum runs
+    * in INTEGER space — Σ 2^(49−M_j) ≤ 256·2^49 fits a long — so the one
+    * double division (and the small-range ln correction) rounds from
+    * identical integers in both engines. approx_count_distinct (HLL++)
+    * is the built-in drop-in when cross-engine replay is not required. */
+  def q267HllSketch(s: SparkSession, dir: String): DataFrame = {
+    val m = 256 // registers; alpha_256 = 0.7213/(1 + 1.079/256)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val h = Tables.documents(s, dir)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .withColumn("bucket", expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)"))
+      .withColumn("tail48", expr("CAST(conv(substr(h, 3, 12), 16, 10) AS BIGINT)"))
+      .withColumn("rho",
+        when(col("tail48") === 0L, lit(49L))
+          .otherwise(lit(49L) - length(expr("bin(tail48)"))))
+    val regs = h.groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val exact = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("exact_texts"))
+    regs.groupBy(col("lang"))
+      .agg(
+        // integer harmonic sum: present buckets contribute 2^(49-reg),
+        // the (m - present) empty registers contribute 2^49 each
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - reg AS INT))")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << 49)).as("s49"),
+        (lit(m.toLong) - count(when(col("reg") > 0, 1))).as("n_zero_regs"))
+      .withColumn("raw_est",
+        lit(alpha * m.toDouble * m.toDouble * (1L << 49).toDouble) / col("s49"))
+      .withColumn("hll_texts",
+        round(when(col("raw_est") <= lit(2.5 * m) && col("n_zero_regs") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+          .otherwise(col("raw_est")), 4))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("hll_texts"), col("exact_texts"),
+        col("n_zero_regs"))
+  }
+
+  /** Count-Min sketch point queries (Cormode & Muthukrishnan 2005) over
+    * the 3-shingle frequency stream: d=4 rows × w=1024 counters, built as
+    * ONE shingle aggregation fanned ×4 into (row, idx) partial sums —
+    * bounded 4096-counter state at any corpus size, mergeable by plain
+    * addition (the CMS property), vs the exact per-key frequency table
+    * whose cardinality grows with the corpus. Reported: the top-10 exact
+    * shingles with their CMS estimate and the (always ≥ 0) collision
+    * overestimate — the one-sided error bound that makes CMS safe for
+    * threshold filters. All integers; hashes are md5-derived, so the
+    * DuckDB replay is bit-identical. */
+  def q268CountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val tf = docs(s, dir)
+      .select(explode(expr(shingles3)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("cf"))
+      .localCheckpoint()
+    val hashed = tf.select(col("sh"), col("cf"),
+      posexplode(array((0 until d).map(r =>
+        expr(s"CAST(conv(substr(md5(concat('$r', ':', sh)), 1, 4), 16, 10) AS BIGINT) % $w")): _*))
+        .as(Seq("row", "idx")))
+    val counters = hashed.groupBy(col("row"), col("idx"))
+      .agg(sum(col("cf")).as("counter"))
+    val top = tf.orderBy(col("cf").desc, col("sh")).limit(10)
+    top.select(col("sh"), col("cf"),
+        posexplode(array((0 until d).map(r =>
+          expr(s"CAST(conv(substr(md5(concat('$r', ':', sh)), 1, 4), 16, 10) AS BIGINT) % $w")): _*))
+          .as(Seq("row", "idx")))
+      .join(broadcast(counters), Seq("row", "idx"))
+      .groupBy(col("sh"), col("cf"))
+      .agg(min(col("counter")).as("cms_cf"))
+      .select(col("sh"), col("cf").as("exact_cf"), col("cms_cf"),
+        (col("cms_cf") - col("cf")).as("overestimate"))
+  }
+
   /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
     * connected components → canonical id per document (the component
     * minimum). The step between pair GENERATION and a keep/drop decision:
@@ -2674,6 +2754,8 @@ object TextOps {
     "q110_dedup_clusters" -> q110DedupClusters _,
     "q81_approx_stats"   -> q81ApproxStats _,
     "q55_bottomk_sketch" -> q55BottomKSketch _,
+    "q267_hll_sketch" -> q267HllSketch _,
+    "q268_count_min_sketch" -> q268CountMinSketch _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -3897,6 +3979,52 @@ object TextOps {
          r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
          SELECT lang, string_agg(h, ',' ORDER BY h) AS sketch
          FROM r WHERE rn <= 3 GROUP BY 1""",
+    "q267_hll_sketch" ->
+      """WITH h AS (SELECT lang, md5(text) AS h FROM documents),
+         b AS (SELECT lang,
+                 CAST(('0x'||substr(h, 1, 2)) AS BIGINT) AS bucket,
+                 CAST(('0x'||substr(h, 3, 12)) AS BIGINT) AS tail48
+               FROM h),
+         r AS (SELECT lang, bucket,
+                 max(CASE WHEN tail48 = 0 THEN 49
+                     ELSE 49 - len(bin(tail48)) END) AS reg
+               FROM b GROUP BY 1, 2),
+         a AS (SELECT lang,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(49 - reg AS INT))
+                      + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                      AS BIGINT) AS s49,
+                 CAST(256 - count(CASE WHEN reg > 0 THEN 1 END) AS BIGINT)
+                   AS n_zero_regs
+               FROM r GROUP BY 1),
+         e AS (SELECT lang, s49, n_zero_regs,
+                 ((0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                   * 562949953421312.0) / s49 AS raw_est
+               FROM a),
+         x AS (SELECT lang, count(DISTINCT text) AS exact_texts
+               FROM documents GROUP BY 1)
+         SELECT e.lang AS lang,
+                round(CASE WHEN raw_est <= 640.0 AND n_zero_regs > 0
+                      THEN 256.0 * ln(256.0 / n_zero_regs)
+                      ELSE raw_est END, 4) AS hll_texts,
+                exact_texts, n_zero_regs
+         FROM e JOIN x ON e.lang = x.lang""",
+    "q268_count_min_sketch" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT unnest($shinglesSql) AS sh FROM t WHERE len(toks) >= 3),
+         tf AS (SELECT sh, CAST(count(*) AS BIGINT) AS cf FROM s GROUP BY 1),
+         hx AS (SELECT sh, cf, r,
+                  CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||sh), 1, 4))
+                       AS BIGINT) % 1024 AS idx
+                FROM tf, range(0, 4) tr(r)),
+         cnt AS (SELECT r, idx, CAST(sum(cf) AS BIGINT) AS counter
+                 FROM hx GROUP BY 1, 2),
+         top AS (SELECT sh, cf FROM tf ORDER BY cf DESC, sh LIMIT 10)
+         SELECT top.sh, top.cf AS exact_cf,
+                CAST(min(counter) AS BIGINT) AS cms_cf,
+                CAST(min(counter) - top.cf AS BIGINT) AS overestimate
+         FROM top JOIN hx ON hx.sh = top.sh
+                  JOIN cnt ON cnt.r = hx.r AND cnt.idx = hx.idx
+         GROUP BY 1, 2""",
     "q33_dedup_exact" ->
       """SELECT md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS dup_key,
          min(doc_id) AS keep_id, count(*) AS n_docs
