@@ -427,6 +427,96 @@ object TextOps {
         (col("cms_cf") - col("cf")).as("overestimate"))
   }
 
+  /** Cross-source similarity by KMV sketch (Beyer et al. 2007): per-source
+    * bottom-64 text-hash sketches → pairwise Jaccard ESTIMATE (matches
+    * among the union's k smallest, over the union-sketch size), next to
+    * the exact Jaccard so the error stays visible. The 100 TB story: the
+    * exact pair overlap needs a corpus-sized self-join per source pair;
+    * the sketch path touches the corpus ONCE (one bottom-k aggregation,
+    * bounded mergeable state) and the |sources|²-bounded pair math runs
+    * on k-length arrays. Union elements present in set A are provably ≤
+    * A's k-th minimum, so sketch membership IS set membership — the
+    * estimator is deterministic and the DuckDB replay exact. Below k the
+    * union sketch is the full union and the estimate degenerates to
+    * exact (the sf0.01 path; sf0.1 exercises the true sketch path). */
+  def q269KmvSourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val sk = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.bottomK(col("h"), k).as("sk"))
+      .localCheckpoint() // ≤ |sources| rows
+    val st = Tables.documents(s, dir)
+      .select(col("source"), col("text")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.text") === col("b.text") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.sk").as("ska"), col("y.sk").as("skb"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("matches",
+        size(array_intersect(col("u"),
+          array_intersect(col("ska"), col("skb")))).cast("long"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        round(col("matches") / size(col("u")).cast("double"), 4)
+          .as("kmv_jaccard"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))
+          .cast("double"), 4).as("exact_jaccard"))
+  }
+
+  /** Train/test split-leakage audit: near-duplicate pairs (q34's LSH
+    * candidate set) whose members land on DIFFERENT sides of the q58
+    * hash split — the contamination mode a random split always has on an
+    * un-deduplicated corpus (a test doc near-identical to a train doc
+    * inflates eval). Reports the split×split pair matrix with a leaked
+    * flag per cell. Pair-bound: the corpus appears only in the split
+    * assignment (two doc_id-keyed joins against the bounded pair list);
+    * the fix it motivates is the q110→q151 dedup-first flow. */
+  def q271SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)")
+      .cast("long") % 100
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+    q34MinhashLsh(s, dir)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+  }
+
+  /** Sliding-window chunking (RAG / context-window prep): fixed 32-token
+    * windows at stride 24 (8-token overlap so no boundary sentence is
+    * lost to retrieval), chunk identity as md5 of the joined window.
+    * Start offsets derive from INTEGER arithmetic (last start = the
+    * smallest stride multiple covering the tail), the per-doc fan-out is
+    * ceil(len/stride)-bounded, and everything stays inside one codegen'd
+    * projection — no shuffle at all until a downstream consumer groups.
+    * Chunk keys feed q33-style exact dedup or embedding indexing
+    * directly. */
+  def q272SlidingChunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          "sequence(0, greatest(0, ((size(toks) - 9) div 24) * 24), 24)"))
+          .as("start_tok"))
+      .withColumn("chunk", expr("slice(toks, start_tok + 1, 32)"))
+      .select(col("doc_id"), (col("start_tok") / 24).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+
   /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
     * connected components → canonical id per document (the component
     * minimum). The step between pair GENERATION and a keep/drop decision:
@@ -2756,6 +2846,9 @@ object TextOps {
     "q55_bottomk_sketch" -> q55BottomKSketch _,
     "q267_hll_sketch" -> q267HllSketch _,
     "q268_count_min_sketch" -> q268CountMinSketch _,
+    "q269_kmv_source_jaccard" -> q269KmvSourceJaccard _,
+    "q271_split_leakage" -> q271SplitLeakage _,
+    "q272_sliding_chunks" -> q272SlidingChunks _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4008,6 +4101,52 @@ object TextOps {
                       ELSE raw_est END, 4) AS hll_texts,
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
+    "q269_kmv_source_jaccard" ->
+      """WITH st AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM st),
+         sk AS (SELECT source, list(h ORDER BY h) AS sk
+                FROM r WHERE rn <= 64 GROUP BY 1),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM st GROUP BY 1),
+         ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS n_inter
+                FROM st a JOIN st b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2),
+         p AS (SELECT a.source AS src_a, b.source AS src_b,
+                 a.sk AS ska, b.sk AS skb,
+                 list_sort(list_distinct(a.sk || b.sk))[1:64] AS u
+               FROM sk a JOIN sk b ON a.source < b.source),
+         m AS (SELECT src_a, src_b,
+                 len(list_filter(u, x ->
+                   list_contains(ska, x) AND list_contains(skb, x))) AS mt,
+                 len(u) AS du
+               FROM p)
+         SELECT m.src_a, m.src_b,
+                round(mt / CAST(du AS DOUBLE), 4) AS kmv_jaccard,
+                round(COALESCE(n_inter, 0)
+                      / CAST(na.n + nb.n - COALESCE(n_inter, 0) AS DOUBLE), 4)
+                  AS exact_jaccard
+         FROM m JOIN sz na ON na.source = m.src_a
+                JOIN sz nb ON nb.source = m.src_b
+                LEFT JOIN ix ON ix.src_a = m.src_a AND ix.src_b = m.src_b""",
+    "q272_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         st AS (SELECT doc_id, toks,
+                  unnest(range(0, greatest(0, ((len(toks) - 9) // 24) * 24)
+                               + 1, 24)) AS start_tok
+                FROM t),
+         c AS (SELECT doc_id, start_tok,
+                 toks[start_tok + 1 : start_tok + 32] AS chunk
+               FROM st)
+         SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+                CAST(start_tok AS BIGINT) AS start_tok,
+                CAST(len(chunk) AS BIGINT) AS n_toks,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c""",
     "q268_count_min_sketch" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
          s AS (SELECT unnest($shinglesSql) AS sh FROM t WHERE len(toks) >= 3),
@@ -4034,6 +4173,26 @@ object TextOps {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+    "q271_split_leakage" ->
+      s"""WITH $minhashCtesSql,
+         pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id),
+         sp AS (SELECT doc_id,
+                  CASE WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+                       WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS BIGINT) % 100 < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM documents),
+         j AS (SELECT least(sa.split, sb.split) AS split_lo,
+                      greatest(sa.split, sb.split) AS split_hi
+               FROM pr JOIN sp sa ON sa.doc_id = pr.doc_a
+                       JOIN sp sb ON sb.doc_id = pr.doc_b)
+         SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+                split_lo <> split_hi AS leaked
+         FROM j GROUP BY 1, 2""",
     "q170_prefix_join" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents),
