@@ -659,7 +659,77 @@ object VectorOps {
     out
   }
 
+  /** k-center greedy coreset (Gonzalez 1985; the SemDeDup/D4-style
+    * DIVERSITY selection next to q146's redundancy removal): pick 8
+    * maximally-spread vectors — seed = min vec_id, then 7× "the point
+    * farthest from its nearest selected center". The greedy gives a
+    * 2-approximation of the optimal k-center radius; dist2 at selection
+    * is that radius trajectory (non-increasing), directly usable as the
+    * coverage-radius audit of the selected coreset. Scale shape per
+    * round: ONE codegen'd least(mind, d²(v, new_center)) map over the
+    * corpus against a broadcast 64-long literal center — no shuffle at
+    * all inside the loop — plus a TakeOrdered(1) argmax and a
+    * localCheckpoint lineage cut; the k 1-row collects are the bounded
+    * driver reads of the q186 convention. Coordinates quantize to
+    * integer micro-units first, so every distance and argmax comparison
+    * is integer-exact in both engines (no float-sum order anywhere). */
+  def q270KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    def d2(v: org.apache.spark.sql.Column, c: Seq[Long]) =
+      aggregate(zip_with(v, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("v"))
+      .localCheckpoint()
+    val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+    var selected = Vector((seed.getLong(0), 0L))
+    var cur = q.filter(col("vec_id") =!= seed.getLong(0))
+      .withColumn("mind", d2(col("v"), seed.getSeq[Long](1)))
+      .localCheckpoint()
+    for (_ <- 1 until k) {
+      val r = cur.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+      selected :+= ((r.getLong(0), r.getLong(2)))
+      cur = cur.filter(col("vec_id") =!= r.getLong(0))
+        .withColumn("mind", least(col("mind"), d2(col("v"), r.getSeq[Long](1))))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, d), i) => (i.toLong, id, d) }
+      .toDF("sel_idx", "vec_id", "dist2")
+  }
+
+  private val kcenterOracleSql: String = {
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i])))"
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS mind
+             FROM q ORDER BY vec_id LIMIT 1),
+      """
+    sb ++= s"d1 AS (SELECT q.vec_id, q.v, ${dist("q", "c")} AS mind " +
+      "FROM q, c0 c WHERE q.vec_id <> c.vec_id)"
+    for (i <- 1 until 8) {
+      sb ++= s", c$i AS (SELECT vec_id, v, mind FROM d$i " +
+        "ORDER BY mind DESC, vec_id LIMIT 1)"
+      if (i < 7)
+        sb ++= s", d${i + 1} AS (SELECT d.vec_id, d.v, " +
+          s"least(d.mind, ${dist("d", "c")}) AS mind " +
+          s"FROM d$i d, c$i c WHERE d.vec_id <> c.vec_id)"
+    }
+    sb ++= " SELECT * FROM (" + (0 until 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_idx, vec_id, " +
+        s"CAST(mind AS BIGINT) AS dist2 FROM c$i").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_kcenter_coreset" -> q270KcenterCoreset _,
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q206_pq_train"        -> q206PqTrain _,
     "q214_truncation_audit" -> q214TruncationAudit _,
@@ -755,6 +825,7 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q270_kcenter_coreset" -> kcenterOracleSql,
     "q193_ivfpq_search" ->
       s"""WITH $assignSql,
          $pqTrainSql,
