@@ -517,6 +517,98 @@ object TextOps {
         size(col("chunk")).cast("long").as("n_toks"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
 
+  /** BPE tokenizer TRAINING loop (Sennrich et al. 2016) — 8 greedy merges,
+    * the full algorithm q130's single pair-census is one step of. The
+    * 100 TB insight this implements: BPE trains on the word-TYPE table
+    * (word → corpus count), so the corpus is touched exactly ONCE (the
+    * initial word count); every merge round shuffles only the
+    * vocabulary-bounded type table. Per round: adjacent-pair census
+    * weighted by type count → argmax (count desc, pair asc — the
+    * deterministic tiebreak) via a bounded 1-row driver read (q186's
+    * convention) → greedy left-to-right non-overlapping merge applied as
+    * a codegen'd string `replace` over a double-space-delimited token
+    * string (proven equivalent to the scan-merge in BpeSpec), then a
+    * re-normalize + lineage cut. Output: the 8 learned merges with their
+    * winning pair counts — the artifact a tokenizer ships. */
+  /** " t1  t2  ...  tn " — every token owns BOTH its neighbors' separator
+    * spaces, so replacing " a  b " with " ab " merges back-to-back
+    * occurrences exactly like the left-to-right greedy scan (BpeSpec
+    * proves the equivalence property over adversarial token streams). */
+  private[graft] def bpePadWs(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(" "), concat_ws("  ", tokens), lit(" "))
+
+  /** One greedy BPE merge of the pair (a, b) over a [[bpePadWs]] string,
+    * re-normalized so the output is again a valid padded token string. */
+  private[graft] def bpeMergeWs(ws: org.apache.spark.sql.Column, a: String, b: String): org.apache.spark.sql.Column =
+    bpePadWs(filter(
+      split(org.apache.spark.sql.functions.replace(ws,
+        lit(s" $a  $b "), lit(s" $a$b ")), " "),
+      t => t =!= ""))
+
+  def q273BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    var types = docs(s, dir)
+      .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(bpePadWs(
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as("ws"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = types
+        .select(col("cnt"), expr("filter(split(ws, ' '), t -> t <> '')").as("tk"))
+        .select(col("cnt"), explode(expr(
+          "IF(size(tk) >= 2, transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(tk[i-1] AS a, tk[i] AS b)), " +
+            "CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()(0) // bounded 1-row read per round
+      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, n))
+      types = types
+        .withColumn("ws", bpeMergeWs(col("ws"), a, b))
+        .localCheckpoint() // per-round lineage cut on the type table
+    }
+    import s.implicits._
+    merges.toSeq.map { case (i, a, b, n) => (i, a, b, a + b, n) }
+      .toDF("merge_idx", "lhs", "rhs", "merged", "n")
+  }
+
+  private val bpeOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH t0 AS (
+        SELECT ' ' || array_to_string(
+                 list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ')
+               || ' ' AS ws, cnt
+        FROM (SELECT t.token AS w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents) t
+              WHERE t.token <> '' GROUP BY 1))"""
+    for (r <- 1 to 8) {
+      sb ++= s""", p$r AS (
+          SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt,
+                  unnest(list_transform(range(1, len(tk)),
+                    i -> {'a': tk[i], 'b': tk[i + 1]})) AS pr
+                FROM (SELECT cnt,
+                        list_filter(string_split(ws, ' '), x -> x <> '') AS tk
+                      FROM t${r - 1}))
+          GROUP BY 1, 2),
+        b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+        t$r AS (SELECT ' ' || array_to_string(list_filter(string_split(
+                  replace(ws, ' '||bb.a||'  '||bb.b||' ', ' '||bb.a||bb.b||' '),
+                  ' '), x -> x <> ''), '  ') || ' ' AS ws, cnt
+                FROM t${r - 1}, b$r bb)"""
+    }
+    sb ++= " SELECT * FROM (" + (1 to 8).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, " +
+        s"a||b AS merged, n FROM b$r").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
     * connected components → canonical id per document (the component
     * minimum). The step between pair GENERATION and a keep/drop decision:
@@ -2849,6 +2941,7 @@ object TextOps {
     "q269_kmv_source_jaccard" -> q269KmvSourceJaccard _,
     "q271_split_leakage" -> q271SplitLeakage _,
     "q272_sliding_chunks" -> q272SlidingChunks _,
+    "q273_bpe_train" -> q273BpeTrain _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4101,6 +4194,7 @@ object TextOps {
                       ELSE raw_est END, 4) AS hll_texts,
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
+    "q273_bpe_train" -> bpeOracleSql,
     "q269_kmv_source_jaccard" ->
       """WITH st AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
          r AS (SELECT source, h,
