@@ -360,20 +360,24 @@ object TextOps {
     * double division (and the small-range ln correction) rounds from
     * identical integers in both engines. approx_count_distinct (HLL++)
     * is the built-in drop-in when cross-engine replay is not required. */
-  def q267HllSketch(s: SparkSession, dir: String): DataFrame = {
-    val m = 256 // registers; alpha_256 = 0.7213/(1 + 1.079/256)
-    val alpha = 0.7213 / (1 + 1.079 / m)
-    val h = Tables.documents(s, dir)
-      .select(col("lang"), md5(col("text")).as("h"))
+  /** (lang, text) rows → the (lang, bucket, max-rho) HLL register table —
+    * the ONE mergeable state both the batch q267 and the streaming
+    * [[graft.streaming.StreamOps.hllSink]] maintain (merge = max). */
+  private[graft] def hllRegisters(rows: DataFrame): DataFrame =
+    rows.select(col("lang"), md5(col("text")).as("h"))
       .withColumn("bucket", expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)"))
       .withColumn("tail48", expr("CAST(conv(substr(h, 3, 12), 16, 10) AS BIGINT)"))
       .withColumn("rho",
         when(col("tail48") === 0L, lit(49L))
           .otherwise(lit(49L) - length(expr("bin(tail48)"))))
-    val regs = h.groupBy(col("lang"), col("bucket"))
+      .groupBy(col("lang"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
-    val exact = Tables.documents(s, dir).groupBy(col("lang"))
-      .agg(countDistinct(col("text")).as("exact_texts"))
+
+  /** Register table → (lang, hll_texts, n_zero_regs). ONE definition so
+    * the batch query and the streaming sink can never disagree. */
+  private[graft] def hllReport(regs: DataFrame): DataFrame = {
+    val m = 256 // registers; alpha_256 = 0.7213/(1 + 1.079/256)
+    val alpha = 0.7213 / (1 + 1.079 / m)
     regs.groupBy(col("lang"))
       .agg(
         // integer harmonic sum: present buckets contribute 2^(49-reg),
@@ -387,6 +391,13 @@ object TextOps {
         round(when(col("raw_est") <= lit(2.5 * m) && col("n_zero_regs") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
           .otherwise(col("raw_est")), 4))
+      .select(col("lang"), col("hll_texts"), col("n_zero_regs"))
+  }
+
+  def q267HllSketch(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("exact_texts"))
+    hllReport(hllRegisters(Tables.documents(s, dir)))
       .join(exact, Seq("lang"))
       .select(col("lang"), col("hll_texts"), col("exact_texts"),
         col("n_zero_regs"))
@@ -402,29 +413,40 @@ object TextOps {
     * overestimate — the one-sided error bound that makes CMS safe for
     * threshold filters. All integers; hashes are md5-derived, so the
     * DuckDB replay is bit-identical. */
-  def q268CountMinSketch(s: SparkSession, dir: String): DataFrame = {
-    val d = 4
-    val w = 1024
-    val tf = docs(s, dir)
+  /** The d=4 (row, idx) hash fan-out of a (sh, …) frame — the one hash
+    * definition shared by counter build, probe, and the streaming sink. */
+  private[graft] def cmsHashed(tf: DataFrame): DataFrame =
+    tf.select(col("sh"), col("cf"),
+      posexplode(array((0 until 4).map(r =>
+        expr(s"CAST(conv(substr(md5(concat('$r', ':', sh)), 1, 4), 16, 10) AS BIGINT) % 1024")): _*))
+        .as(Seq("row", "idx")))
+
+  /** Shingle term frequencies of a (text) frame — the CMS input stream. */
+  private[graft] def cmsTf(texts: DataFrame): DataFrame =
+    texts.withColumn("toks", split(col("text"), " "))
       .select(explode(expr(shingles3)).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("cf"))
-      .localCheckpoint()
-    val hashed = tf.select(col("sh"), col("cf"),
-      posexplode(array((0 until d).map(r =>
-        expr(s"CAST(conv(substr(md5(concat('$r', ':', sh)), 1, 4), 16, 10) AS BIGINT) % $w")): _*))
-        .as(Seq("row", "idx")))
-    val counters = hashed.groupBy(col("row"), col("idx"))
+
+  /** tf → the 4×1024 counter table. CMS is LINEAR, so per-batch counters
+    * sum-merge to exactly the full-corpus table — the property the
+    * streaming sink's state merge relies on. */
+  private[graft] def cmsCounters(tf: DataFrame): DataFrame =
+    cmsHashed(tf).groupBy(col("row"), col("idx"))
       .agg(sum(col("cf")).as("counter"))
-    val top = tf.orderBy(col("cf").desc, col("sh")).limit(10)
-    top.select(col("sh"), col("cf"),
-        posexplode(array((0 until d).map(r =>
-          expr(s"CAST(conv(substr(md5(concat('$r', ':', sh)), 1, 4), 16, 10) AS BIGINT) % $w")): _*))
-          .as(Seq("row", "idx")))
+
+  /** Point queries: min over the d counters each probe term hashes to. */
+  private[graft] def cmsProbe(counters: DataFrame, probe: DataFrame): DataFrame =
+    cmsHashed(probe)
       .join(broadcast(counters), Seq("row", "idx"))
       .groupBy(col("sh"), col("cf"))
       .agg(min(col("counter")).as("cms_cf"))
       .select(col("sh"), col("cf").as("exact_cf"), col("cms_cf"),
         (col("cms_cf") - col("cf")).as("overestimate"))
+
+  def q268CountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    val tf = cmsTf(Tables.documents(s, dir).select(col("text")))
+      .localCheckpoint()
+    cmsProbe(cmsCounters(tf), tf.orderBy(col("cf").desc, col("sh")).limit(10))
   }
 
   /** Cross-source similarity by KMV sketch (Beyer et al. 2007): per-source

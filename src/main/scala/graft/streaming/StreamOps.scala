@@ -373,6 +373,76 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming HLL cardinality monitor — the streaming face of q267.
+    * Per trigger: the batch's (lang, bucket, max-rho) register partials
+    * MAX-merge into the persistent register table (HLL's defining
+    * property — the same merge unions sketches across days, shards, or
+    * datacenters), then the report re-derives the estimate from the
+    * ≤ groups×256-row state. Per-trigger cost is batch-sized plus the
+    * register table; the raw stream never replays, and the report after
+    * the last trigger equals the batch q267 over the same rows (parity
+    * spec), because max is associative, commutative, and idempotent —
+    * replayed micro-batches cannot corrupt the state. */
+  def hllSink(docs: DataFrame, statePath: String, reportPath: String)
+             (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val regs = graft.operators.TextOps.hllRegisters(batch.toDF())
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(regs)
+               .groupBy(col("lang"), col("bucket"))
+               .agg(org.apache.spark.sql.functions.max(col("reg")).as("reg"))
+           else regs)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        graft.operators.TextOps.hllReport(merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
+  /** Streaming Count-Min sketch — the streaming face of q268. CMS is
+    * LINEAR, so per-batch counter tables SUM-merge into exactly the
+    * counters the batch job would build over the union of all batches;
+    * state is the fixed 4×1024 grid regardless of stream age or key
+    * cardinality. The report is the counter table itself — point
+    * estimates come from [[graft.operators.TextOps.cmsProbe]] against
+    * the state, so any consumer can ask about any term after the fact
+    * (the heavy-hitters sink answers "what is frequent"; this one
+    * answers "how frequent is X"). Unlike [[hllSink]]'s max-merge, sum
+    * is NOT idempotent: a crash-replayed trigger (foreachBatch is
+    * at-least-once) double-counts its batch — the estimates stay valid
+    * upper bounds (CMS error is one-sided by construction), they just
+    * loosen; exactly-once admission is the claims-file sinks' design. */
+  def cmsSink(docs: DataFrame, statePath: String)
+             (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val counters = graft.operators.TextOps.cmsCounters(
+          graft.operators.TextOps.cmsTf(batch.toDF().select(col("text"))))
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(counters)
+               .groupBy(col("row"), col("idx"))
+               .agg(org.apache.spark.sql.functions.sum(col("counter")).as("counter"))
+           else counters)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q257's rolling volume anomaly: per trigger the
     * batch's (event_type, day) partial counts merge into a persistent
     * daily-counts state table (idempotent sum-merge, the klDriftSink

@@ -536,4 +536,71 @@ class StreamOpsSpec extends SparkSpec {
       assert(claimed == got.map(_._2))
     } finally graft.util.Fs.deleteRecursively(dir)
   }
+
+  test("hllSink: the estimate after N micro-batches equals batch q267 " +
+      "over the same rows — and replayed batches cannot corrupt the state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hllsink").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("lang", "text").as[(String, String)].collect()
+      val input = MemoryStream[(String, String)]
+      val docs = input.toDF().toDF("lang", "text")
+      val query = StreamOps.hllSink(docs, statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      // idempotence: replay an entire earlier batch — max-merge must
+      // leave the register table (and so the report) unchanged
+      input.addData(b2.toSeq); query.processAllAvailable()
+      query.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getDouble(1), r.getLong(2))
+      val streamed = spark.read.parquet(reportPath)
+        .select("lang", "hll_texts", "n_zero_regs").collect().map(key).toSet
+      val batch = graft.operators.TextOps.q267HllSketch(spark, sfDir)
+        .select("lang", "hll_texts", "n_zero_regs").collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("cmsSink: probing the merged counters reproduces batch q268 exactly " +
+      "(CMS linearity across micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cmssink").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("text").as[String].collect()
+      val input = MemoryStream[String]
+      val docs = input.toDF().toDF("text")
+      val query = StreamOps.cmsSink(docs, statePath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      val counters = spark.read.parquet(statePath)
+      val tf = graft.operators.TextOps.cmsTf(
+        graft.Tables.documents(spark, sfDir).select(col("text")))
+      val probed = graft.operators.TextOps.cmsProbe(counters,
+          tf.orderBy(col("cf").desc, col("sh")).limit(10))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.operators.TextOps.q268CountMinSketch(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(batch.nonEmpty && probed == batch)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 }
