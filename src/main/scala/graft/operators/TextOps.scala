@@ -449,6 +449,68 @@ object TextOps {
     cmsProbe(cmsCounters(tf), tf.orderBy(col("cf").desc, col("sh")).limit(10))
   }
 
+  /** Histogram-sketch quantiles — the third mergeable sketch next to HLL
+    * (cardinality, q267) and CMS (frequency, q268): per-language p50/p90
+    * of document length from a FIXED 256-bin histogram (width-4 bins
+    * over [0, 1024)), next to the exact interpolating percentile so the
+    * ≤ bin-width error stays visible. The 100 TB story: exact quantiles
+    * need a full sort (or multi-pass selection); the histogram is a
+    * (group, ≤256) count state — one map-side-combined shuffle,
+    * mergeable by plain addition across days/shards, and the quantile
+    * read is a bounded cumulative scan over the artifact. Estimate =
+    * upper edge of the first bin whose cumulative count reaches
+    * ceil(q·n) — all-integer once past the one ceil, so the replay is
+    * exact. */
+  def q274HistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, dir)
+      .groupBy(col("lang"), (col("n_chars") / 4).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val cum = hist
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("bin"))))
+      .join(broadcast(tot), Seq("lang"))
+    def est(q: Double) = min(when(
+      col("cum") >= expr(s"CAST(ceil($q * n) AS BIGINT)"),
+      col("bin") * 4 + 3)).cast("long")
+    val exact = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("exact_p90"))
+    cum.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        est(0.5).as("hist_p50"), est(0.9).as("hist_p90"))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("hist_p50"), col("exact_p50"),
+        col("hist_p90"), col("exact_p90"))
+  }
+
+  /** Leakage-safe GroupKFold: cross-validation folds assigned by hash of
+    * the q110 DEDUP CLUSTER (not the document), so near-duplicates can
+    * never straddle a fold boundary — the grouped-split discipline that
+    * keeps k-fold eval honest on an un-deduplicated corpus (the failure
+    * q271 measures for the plain hash split). The output carries its own
+    * audit: n_crossing_pairs counts LSH candidate pairs whose endpoints
+    * fall in different folds, provably 0 because pairs live inside
+    * components by construction — the column is the regression tripwire
+    * if the fold key ever drifts off the canonical id. */
+  def q275GroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val folds = q110DedupClusters(s, dir)
+      .withColumn("fold",
+        expr("CAST(conv(substr(md5(CAST(canonical_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 5")
+          .cast("long"))
+      .localCheckpoint() // shared by the per-fold census and the audit
+    val crossing = q34MinhashLsh(s, dir)
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fa")), Seq("doc_a"))
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fb")), Seq("doc_b"))
+      .agg(sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)).as("n_crossing_pairs"))
+      .select(coalesce(col("n_crossing_pairs"), lit(0L)).as("n_crossing_pairs"))
+    folds.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"))
+      .crossJoin(broadcast(crossing))
+  }
+
   /** Cross-source similarity by KMV sketch (Beyer et al. 2007): per-source
     * bottom-64 text-hash sketches → pairwise Jaccard ESTIMATE (matches
     * among the union's k smallest, over the union-sketch size), next to
@@ -2964,6 +3026,8 @@ object TextOps {
     "q271_split_leakage" -> q271SplitLeakage _,
     "q272_sliding_chunks" -> q272SlidingChunks _,
     "q273_bpe_train" -> q273BpeTrain _,
+    "q274_histogram_quantiles" -> q274HistogramQuantiles _,
+    "q275_group_kfold" -> q275GroupKfold _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4217,6 +4281,53 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q274_histogram_quantiles" ->
+      """WITH h AS (SELECT lang, n_chars // 4 AS bin,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+         t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         cm AS (SELECT h.lang, bin, c, n,
+                  sum(c) OVER (PARTITION BY h.lang ORDER BY bin) AS cum
+                FROM h JOIN t ON t.lang = h.lang),
+         e AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+                 CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                          THEN bin * 4 + 3 END) AS BIGINT) AS hist_p50,
+                 CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                          THEN bin * 4 + 3 END) AS BIGINT) AS hist_p90
+               FROM cm GROUP BY 1),
+         x AS (SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS exact_p50,
+                      round(quantile_cont(n_chars, 0.9), 4) AS exact_p90
+               FROM documents GROUP BY 1)
+         SELECT e.lang AS lang, n_docs, hist_p50, exact_p50,
+                hist_p90, exact_p90
+         FROM e JOIN x ON x.lang = e.lang""",
+    "q275_group_kfold" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         lab AS (SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+                 FROM reach GROUP BY node),
+         f AS (SELECT doc_id, canonical_id,
+                 CAST(('0x'||substr(md5(CAST(canonical_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 5 AS fold
+               FROM lab),
+         cr AS (SELECT CAST(COALESCE(sum(CASE WHEN fa.fold <> fb.fold
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  AS n_crossing_pairs
+                FROM pairs p JOIN f fa ON fa.doc_id = p.doc_a
+                             JOIN f fb ON fb.doc_id = p.doc_b)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+                n_crossing_pairs
+         FROM f CROSS JOIN cr GROUP BY fold, n_crossing_pairs""",
     "q269_kmv_source_jaccard" ->
       """WITH st AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
          r AS (SELECT source, h,
