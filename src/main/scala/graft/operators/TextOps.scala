@@ -693,6 +693,52 @@ object TextOps {
     sb.toString
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): per document, the RIGHTMOST-minimum 3-shingle
+    * hash in every sliding window of w=4 hash positions, deduplicated —
+    * the fingerprint-selection scheme with the positional GUARANTEE
+    * MinHash lacks: any shared substring of ≥ w+k−1 tokens shares a
+    * fingerprint (local plagiarism/boilerplate detection, not just
+    * whole-document similarity). Pairs sharing ≥ 2 distinct fingerprints
+    * are reported with the shared count.
+    *
+    * Scale shape: hashes and the window-min are ONE pass (a frame-bounded
+    * window inside the doc partition — no cross-doc shuffle); the
+    * (hash, rightmost-pos) argmin is encoded as a single integer key
+    * h·2^20 + (2^20−1−i), so the frame min IS the tiebreak (docs must
+    * have < 2^20 shingles — chunk longer docs first). The pair stage is
+    * a fingerprint-bucket join, bounded like q34's banding (and, like
+    * it, cap-able on pathological boilerplate buckets). */
+  /** (doc_id, toks) → distinct (doc_id, fph) winnowing fingerprints
+    * (w=4 windows over 3-shingle hashes, rightmost-min tiebreak). */
+  private[graft] def winnowFingerprints(docsWithToks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 4
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    docsWithToks
+      .select(col("doc_id"), posexplode(expr(shingles3)).as(Seq("i", "sh")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("key",
+        col("h") * lit(1048576L) + (lit(1048575L) - col("i")))
+      .withColumn("n", count(lit(1)).over(dw.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("wmin", min(col("key")).over(dw.rowsBetween(0, w - 1)))
+      .filter(col("i") <= col("n") - w)
+      .select(col("doc_id"), expr("wmin div 1048576").as("fph"))
+      .distinct()
+  }
+
+  def q276Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(docs(s, dir))
+      .localCheckpoint() // fingerprint table: the shared artifact
+    fps.as("a").join(fps.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   /** Dedup clustering: MinHash-LSH candidate pairs (q34's pipeline) →
     * connected components → canonical id per document (the component
     * minimum). The step between pair GENERATION and a keep/drop decision:
@@ -3028,6 +3074,7 @@ object TextOps {
     "q273_bpe_train" -> q273BpeTrain _,
     "q274_histogram_quantiles" -> q274HistogramQuantiles _,
     "q275_group_kfold" -> q275GroupKfold _,
+    "q276_winnowing" -> q276Winnowing _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4281,6 +4328,29 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q276_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s0 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> {'i': i - 1,
+                          'sh': toks[i]||' '||toks[i+1]||' '||toks[i+2]})) AS p
+                FROM t),
+         s AS (SELECT doc_id, p.i AS i,
+                 CAST(('0x'||substr(md5(p.sh), 1, 8)) AS BIGINT) AS h
+               FROM s0),
+         k AS (SELECT doc_id, i,
+                 count(*) OVER (PARTITION BY doc_id) AS n,
+                 min(h * 1048576 + (1048575 - i)) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+               FROM s),
+         f AS (SELECT DISTINCT doc_id, wmin // 1048576 AS fph
+               FROM k WHERE i <= n - 4)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM f a JOIN f b ON a.fph = b.fph AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q274_histogram_quantiles" ->
       """WITH h AS (SELECT lang, n_chars // 4 AS bin,
                  CAST(count(*) AS BIGINT) AS c

@@ -126,6 +126,49 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    def word() = "w" + rnd.nextInt(5000)
+    // 20 doc pairs, each sharing a planted 6-token run (w+k-1 = 4+3-1)
+    // at random offsets inside otherwise-unrelated 30-token docs
+    val rows = (0 until 20).flatMap { p =>
+      val run = Seq.fill(6)(word())
+      Seq(0, 1).map { j =>
+        val pre = Seq.fill(rnd.nextInt(12))(word())
+        val post = Seq.fill(rnd.nextInt(12))(word())
+        (p * 2L + j, (pre ++ run ++ post).mkString(" "))
+      }
+    }
+    val fps = operators.TextOps.winnowFingerprints(
+        rows.toDF("doc_id", "text")
+          .withColumn("toks", split(col("text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 20).foreach { p =>
+      val shared = fps(p * 2L) intersect fps(p * 2L + 1)
+      assert(shared.nonEmpty, s"pair $p must share a fingerprint")
+    }
+  }
+
+  test("saltedJoin == plain join under adversarial skew (one key = 90% of rows)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val big = ((0 until 9000).map(i => (i.toLong, "hot")) ++
+        (0 until 1000).map(i => (9000L + i, s"k${i % 50}")))
+      .toDF("id", "k")
+    val small = (Seq(("hot", 10L)) ++ (0 until 50).map(i => (s"k$i", i.toLong)))
+      .toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val got = canon(operators.Relational.saltedJoin(
+      big, small, "k", col("id"), fanout = 16))
+    val expect = canon(big.join(small, "k"))
+    assert(got === expect && got.size === 10000)
+  }
+
   test("HLL estimate within 15% of exact per lang; CMS one-sided; KMV exact below k") {
     val hll = operators.TextOps.q267HllSketch(spark, dir).collect()
     hll.foreach { r =>
