@@ -728,7 +728,76 @@ object VectorOps {
     sb.toString
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    * a lexical arm (per-query BM25 over the query document's distinct
+    * terms, q175's scorer generalized from a literal term list to a
+    * broadcast query-term table) and a semantic arm (cosine top-k,
+    * q37's scorer) fuse by RRF — score = Σ 1/(60 + rank_arm) over the
+    * arms that retrieved the doc — the standard fusion that needs NO
+    * score calibration between arms because it consumes only ranks.
+    *
+    * Scale shape: the corpus term explode is pruned by the broadcast
+    * query-term set BEFORE its one shuffle; the semantic arm broadcasts
+    * the query vectors; fusion unions two rank lists of queries×k rows —
+    * bounded — and every float that feeds a rank is pinned first
+    * (per-term BM25 contributions quantize to integer micro-units
+    * BEFORE the per-doc sum; cos rounds to 6dp; the RRF sum has ≤ 2
+    * addends, so its pre-round value is order-independent). */
+  def q278HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val nQ = 3; val kArm = 20; val kOut = 10
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    val qt = d.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("q_id"), explode(col("toks")).as("term"))
+      .distinct().localCheckpoint()
+    val tf = d.select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val lexW = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    // per-term contributions quantize to integer micro-units BEFORE the
+    // per-(query, doc) sum — up to |vocab| float addends would otherwise
+    // make the ranking score order-dependent in the last ulp
+    val lex = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("cm", expr("CAST(round(contrib * 1000000) AS BIGINT)"))
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("cm")).as("bm25_micro"))
+      .withColumn("r", row_number().over(lexW)).filter(col("r") <= kArm)
+      .select(col("q_id"), col("doc_id"), col("r"))
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val semW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("r", row_number().over(semW)).filter(col("r") <= kArm)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r"))
+    val fuseW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.unionByName(sem)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(60.0) + col("r"))), 6).as("rrf"),
+        count(lit(1)).as("n_arms"))
+      .withColumn("rank", row_number().over(fuseW).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("rrf"), col("n_arms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_hybrid_rrf"      -> q278HybridRrf _,
     "q270_kcenter_coreset" -> q270KcenterCoreset _,
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q206_pq_train"        -> q206PqTrain _,
@@ -825,6 +894,62 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q278_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+                  SELECT doc_id AS q_id, unnest(toks) AS term
+                  FROM t WHERE doc_id < 3)),
+         tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                        unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN (SELECT term FROM qt)
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY 1),
+         sc AS (SELECT q.q_id, f.doc_id,
+                  ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    f.tf * 2.2 /
+                    (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS contrib
+                FROM tf f JOIN dft d USING (term) JOIN qt q USING (term)
+                     CROSS JOIN st s
+                WHERE f.doc_id <> q.q_id),
+         lexs AS (SELECT q_id, doc_id,
+                    CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
+                         AS BIGINT) AS bm25_micro
+                  FROM sc GROUP BY 1, 2),
+         lex AS (SELECT q_id, doc_id, r FROM (
+                   SELECT q_id, doc_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS r
+                   FROM lexs) WHERE r <= 20),
+         ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, range(1, 65) ti(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         dd AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                  sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e
+                  ON q.i = e.i AND q.vec_id < 3 AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         cc AS (SELECT dd.q_id, dd.doc_id,
+                  round(dd.dot / (nq.n * ne.n), 6) AS cos
+                FROM dd JOIN nrm nq ON dd.q_id = nq.vec_id
+                        JOIN nrm ne ON dd.doc_id = ne.vec_id),
+         sem AS (SELECT q_id, doc_id, r FROM (
+                   SELECT q_id, doc_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r
+                   FROM cc) WHERE r <= 20),
+         u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         f2 AS (SELECT q_id, doc_id,
+                  round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_arms
+                FROM u GROUP BY 1, 2)
+         SELECT q_id, doc_id, rank, rrf, n_arms FROM (
+           SELECT q_id, doc_id, CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+             rrf, n_arms
+           FROM f2) WHERE rank <= 10""",
     "q270_kcenter_coreset" -> kcenterOracleSql,
     "q193_ivfpq_search" ->
       s"""WITH $assignSql,
