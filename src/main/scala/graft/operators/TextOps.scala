@@ -3103,7 +3103,7 @@ object TextOps {
   /** The q34 shingle→minhash→band CTE chain, shared by the q34 oracle and
     * the q110 component oracle (Kirsch–Mitzenmacher permutations — must
     * stay in lockstep with [[q34MinhashLsh]]). */
-  private val minhashCtesSql =
+  private[graft] val minhashCtesSql =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
        hp AS (SELECT doc_id, list_transform(list_transform(shingles, s -> md5(s)),

@@ -796,7 +796,42 @@ object VectorOps {
       .select(col("q_id"), col("doc_id"), col("rank"), col("rrf"), col("n_arms"))
   }
 
+  /** Contrastive triplet mining — the training-data EXPORTER for
+    * embedding-model finetuning, composed from three already-oracled
+    * operators: anchors are docs with an LSH near-dup (q34), the
+    * positive is the anchor's smallest paired doc, and the negative is
+    * the hardest embedding neighbor OUTSIDE the anchor's dedup cluster
+    * (q110's labels exclude everything transitively near-duplicate, so
+    * a chained duplicate can never leak in as a "negative" — the
+    * false-negative trap naive cosine mining has). Scale shape: anchors
+    * are pair-bound and broadcast against ONE corpus-embedding pass
+    * (q150's shape); at index scale the negative search cell-prunes
+    * through the IVF path (q60/q193) instead of the dense scan. */
+  def q279TripletMining(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.TextOps.q34MinhashLsh(s, dir)
+    val pos = pairs.groupBy(col("doc_a").as("anchor_id"))
+      .agg(min(col("doc_b")).as("pos_id"))
+    val canon = graft.operators.TextOps.q110DedupClusters(s, dir)
+    val e = vecs(s, dir)
+    val anchors = pos
+      .join(e.select(col("vec_id").as("anchor_id"), col("v").as("av")),
+        Seq("anchor_id"))
+      .join(canon.select(col("doc_id").as("anchor_id"),
+        col("canonical_id").as("ac")), Seq("anchor_id"))
+      .localCheckpoint() // pair-bound
+    val cand = e.join(canon.select(col("doc_id").as("vec_id"),
+      col("canonical_id").as("cc")), Seq("vec_id"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(broadcast(anchors), col("cc") =!= col("ac"))
+      .withColumn("cos", round(CosineSimilarity(col("av"), col("v")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("pos_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_triplet_mining"  -> q279TripletMining _,
     "q278_hybrid_rrf"      -> q278HybridRrf _,
     "q270_kcenter_coreset" -> q270KcenterCoreset _,
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
@@ -894,6 +929,45 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q279_triplet_mining" ->
+      s"""WITH RECURSIVE ${graft.operators.TextOps.minhashCtesSql},
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         pos AS (SELECT doc_a AS anchor_id, CAST(min(doc_b) AS BIGINT)
+                   AS pos_id
+                 FROM pairs GROUP BY 1),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         lab AS (SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+                 FROM reach GROUP BY node),
+         ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, range(1, 65) ti(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         an AS (SELECT p.anchor_id, p.pos_id, la.canonical_id AS ac
+                FROM pos p JOIN lab la ON la.doc_id = p.anchor_id
+                     JOIN nrm nn ON nn.vec_id = p.anchor_id),
+         cnd AS (SELECT nr.vec_id, lc.canonical_id AS cc
+                 FROM nrm nr JOIN lab lc ON lc.doc_id = nr.vec_id),
+         dd AS (SELECT a.anchor_id, c.vec_id, sum(qa.x * qc.x) AS dot
+                FROM an a JOIN cnd c ON c.cc <> a.ac
+                     JOIN ex qa ON qa.vec_id = a.anchor_id
+                     JOIN ex qc ON qc.vec_id = c.vec_id AND qc.i = qa.i
+                GROUP BY 1, 2),
+         cs AS (SELECT dd.anchor_id, dd.vec_id,
+                  round(dd.dot / (na.n * nc.n), 6) AS cos
+                FROM dd JOIN nrm na ON na.vec_id = dd.anchor_id
+                        JOIN nrm nc ON nc.vec_id = dd.vec_id),
+         r AS (SELECT anchor_id, vec_id, cos, row_number() OVER (
+                 PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn
+               FROM cs)
+         SELECT r.anchor_id, an.pos_id, r.vec_id AS neg_id, r.cos AS neg_cos
+         FROM r JOIN an ON an.anchor_id = r.anchor_id WHERE rn = 1""",
     "q278_hybrid_rrf" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
