@@ -461,11 +461,17 @@ object TextOps {
     * upper edge of the first bin whose cumulative count reaches
     * ceil(q·n) — all-integer once past the one ceil, so the replay is
     * exact. */
-  def q274HistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(s, dir)
-      .groupBy(col("lang"), (col("n_chars") / 4).cast("long").as("bin"))
+  /** (lang, n_chars) rows → the (lang, bin, c) fixed-width histogram —
+    * the one mergeable state both the batch q274 and the streaming
+    * [[graft.streaming.StreamOps.histSink]] maintain (merge = sum). */
+  private[graft] def histCounts(rows: DataFrame): DataFrame =
+    rows.groupBy(col("lang"), (col("n_chars") / 4).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
+
+  /** Histogram → (lang, n_docs, hist_p50, hist_p90). ONE definition so
+    * the batch query and the streaming sink can never disagree. */
+  private[graft] def histQuantiles(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val cum = hist
       .withColumn("cum", sum(col("c"))
@@ -474,12 +480,16 @@ object TextOps {
     def est(q: Double) = min(when(
       col("cum") >= expr(s"CAST(ceil($q * n) AS BIGINT)"),
       col("bin") * 4 + 3)).cast("long")
-    val exact = Tables.documents(s, dir).groupBy(col("lang"))
-      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("exact_p50"),
-        round(expr("percentile(n_chars, 0.9)"), 4).as("exact_p90"))
     cum.groupBy(col("lang"))
       .agg(max(col("n")).as("n_docs"),
         est(0.5).as("hist_p50"), est(0.9).as("hist_p90"))
+  }
+
+  def q274HistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val exact = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("exact_p90"))
+    histQuantiles(histCounts(Tables.documents(s, dir)))
       .join(exact, Seq("lang"))
       .select(col("lang"), col("n_docs"), col("hist_p50"), col("exact_p50"),
         col("hist_p90"), col("exact_p90"))
@@ -692,6 +702,32 @@ object TextOps {
         s"a||b AS merged, n FROM b$r").mkString(" UNION ALL ") + ")"
     sb.toString
   }
+
+  /** Token-entropy quality filter (the CCNet/Gopher-style low-diversity
+    * gate): per-document Shannon entropy of the token distribution,
+    * H = ln n − (Σ c·ln c)/n, with a low-entropy flag for the repeated-
+    * boilerplate / keyword-stuffing failure mode length and stopword
+    * ratios miss. One (doc, term) aggregation + one per-doc rollup —
+    * two map-side-combined shuffles, no windows. Determinism: each ln
+    * quantizes to integer micro-units BEFORE the weighted sum, so
+    * score_micro = n·⌊ln n·10⁶⌉ − Σ c·⌊ln c·10⁶⌉ is an exact integer
+    * and the flag is the integer comparison score_micro < 2·10⁶·n
+    * (H < 2 nats) — no float reaches a decision. */
+  def q280TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * expr("CAST(round(ln(c) * 1000000) AS BIGINT)")).as("sc"))
+      .withColumn("score_micro",
+        col("n_toks") * expr("CAST(round(ln(n_toks) * 1000000) AS BIGINT)")
+          - col("sc"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("score_micro") / (col("n_toks") * lit(1000000.0)), 6)
+          .as("entropy"),
+        (col("score_micro") < col("n_toks") * lit(2000000L)).as("low_entropy"))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): per document, the RIGHTMOST-minimum 3-shingle
@@ -3075,6 +3111,7 @@ object TextOps {
     "q274_histogram_quantiles" -> q274HistogramQuantiles _,
     "q275_group_kfold" -> q275GroupKfold _,
     "q276_winnowing" -> q276Winnowing _,
+    "q280_token_entropy" -> q280TokenEntropy _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4328,6 +4365,23 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q280_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, t.token AS t, CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents) t
+               WHERE t.token <> '' GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                 CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                      AS BIGINT) AS sc
+               FROM tc GROUP BY 1),
+         e AS (SELECT doc_id, n_toks,
+                 n_toks * CAST(round(ln(n_toks) * 1000000) AS BIGINT) - sc
+                   AS score_micro
+               FROM a)
+         SELECT doc_id, n_toks,
+                round(score_micro / (n_toks * 1000000.0), 6) AS entropy,
+                score_micro < n_toks * 2000000 AS low_entropy
+         FROM e""",
     "q276_winnowing" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),

@@ -443,6 +443,37 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming histogram-quantile monitor — the streaming face of q274,
+    * completing the sketch-trio parity story (hllSink = cardinality,
+    * cmsSink = frequency, this = quantiles). Per trigger the batch's
+    * (lang, bin) counts SUM-merge into the persistent fixed-width
+    * histogram and the quantile report re-derives from the ≤ groups×256
+    * state — the length-drift dashboard a corpus ingest watches without
+    * ever sorting or replaying the stream. */
+  def histSink(docs: DataFrame, statePath: String, reportPath: String)
+              (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hist = graft.operators.TextOps.histCounts(batch.toDF())
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(hist)
+               .groupBy(col("lang"), col("bin"))
+               .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+           else hist)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        graft.operators.TextOps.histQuantiles(merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q257's rolling volume anomaly: per trigger the
     * batch's (event_type, day) partial counts merge into a persistent
     * daily-counts state table (idempotent sum-merge, the klDriftSink

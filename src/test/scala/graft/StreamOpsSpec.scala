@@ -571,6 +571,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("histSink: the quantile report after N micro-batches equals batch " +
+      "q274's sketch columns over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("histsink").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("lang", "n_chars").as[(String, Long)].collect()
+      val input = MemoryStream[(String, Long)]
+      val docs = input.toDF().toDF("lang", "n_chars")
+      val query = StreamOps.histSink(docs, statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.read.parquet(reportPath)
+        .select("lang", "n_docs", "hist_p50", "hist_p90")
+        .collect().map(key).toSet
+      val batch = graft.operators.TextOps.q274HistogramQuantiles(spark, sfDir)
+        .select("lang", "n_docs", "hist_p50", "hist_p90")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("cmsSink: probing the merged counters reproduces batch q268 exactly " +
       "(CMS linearity across micro-batches)") {
     implicit val sqlCtx = spark.sqlContext
