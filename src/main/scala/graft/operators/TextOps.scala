@@ -639,11 +639,13 @@ object TextOps {
         lit(s" $a  $b "), lit(s" $a$b ")), " "),
       t => t =!= ""))
 
-  def q273BpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val rounds = 8
-    var types = docs(s, dir)
-      .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+  /** Library form: the greedy merge loop over a caller-supplied
+    * (w, cnt) word-type frame (the q193 parameterization convention —
+    * q273 is the corpus binding). Returns the learned merge table
+    * (merge_idx, lhs, rhs, merged, n). */
+  private[graft] def bpeTrain(s: SparkSession, wordCounts: DataFrame,
+                              rounds: Int): DataFrame = {
+    var types = wordCounts
       .select(bpePadWs(
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
         .as("ws"), col("cnt"))
@@ -670,6 +672,11 @@ object TextOps {
     merges.toSeq.map { case (i, a, b, n) => (i, a, b, a + b, n) }
       .toDF("merge_idx", "lhs", "rhs", "merged", "n")
   }
+
+  def q273BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, docs(s, dir)
+      .select(explode(col("toks")).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")), rounds = 8)
 
   private val bpeOracleSql: String = {
     val sb = new StringBuilder

@@ -673,16 +673,17 @@ object VectorOps {
     * driver reads of the q186 convention. Coordinates quantize to
     * integer micro-units first, so every distance and argmax comparison
     * is integer-exact in both engines (no float-sum order anywhere). */
-  def q270KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
+  /** Library form: greedy k-center over a caller-supplied
+    * (vec_id, v: array<long>) frame of INTEGER-quantized vectors (the
+    * q193 parameterization convention — q270 is the fixture binding).
+    * Returns (sel_idx, vec_id, dist2): selection order and the squared
+    * covering radius at each pick. */
+  private[graft] def kcenterCoreset(s: SparkSession, vectors: DataFrame,
+                                    k: Int): DataFrame = {
     def d2(v: org.apache.spark.sql.Column, c: Seq[Long]) =
       aggregate(zip_with(v, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
         lit(0L), (a, x) => a + x)
-    val q = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("v"))
-      .localCheckpoint()
+    val q = vectors.localCheckpoint()
     val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
     var selected = Vector((seed.getLong(0), 0L))
     var cur = q.filter(col("vec_id") =!= seed.getLong(0))
@@ -700,6 +701,12 @@ object VectorOps {
       .map { case ((id, d), i) => (i.toLong, id, d) }
       .toDF("sel_idx", "vec_id", "dist2")
   }
+
+  def q270KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    kcenterCoreset(s, Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("v")), k = 8)
 
   private val kcenterOracleSql: String = {
     def dist(a: String, b: String) =

@@ -56,27 +56,79 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("q273 BPE training loop == in-memory reference trainer") {
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").groupBy("w").count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    var types: Map[List[String], Long] =
-      words.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-        .map { case (w, n) => (w.toList.map(_.toString), n) }
-    val expect = (1 to 8).map { i =>
+  // in-memory reference BPE trainer (pair census → argmax → scan merge)
+  private def refBpe(words: Seq[(String, Long)],
+                     rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var types: Seq[(List[String], Long)] =
+      words.map { case (w, n) => (w.toList.map(_.toString), n) }
+    (1 to rounds).flatMap { i =>
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
       types.foreach { case (toks, n) =>
         toks.zip(toks.drop(1)).foreach { p => pc(p) = pc.getOrElse(p, 0L) + n }
       }
-      val ((a, b), n) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-      types = types.map { case (toks, cnt) => (scanMerge(toks, a, b), cnt) }
-      (i.toLong, a, b, a + b, n)
+      if (pc.isEmpty) None
+      else {
+        val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        types = types.map { case (toks, cnt) => (scanMerge(toks, a, b), cnt) }
+        Some((i.toLong, a, b, a + b, n))
+      }
     }
+  }
+
+  test("q273 BPE training loop == in-memory reference trainer") {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val got = operators.TextOps.q273BpeTrain(spark, dir)
       .orderBy("merge_idx").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-    assert(got.toSeq === expect)
+    assert(got.toSeq === refBpe(words, 8))
+  }
+
+  test("bpeTrain differential net: generated word tables across seeds") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed)
+      // tiny alphabet forces dense pair collisions and merge-token reuse
+      val words = (0 until (5 + rnd.nextInt(20))).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString
+      }.distinct.map(w => (w, 1L + rnd.nextInt(50)))
+      val got = operators.TextOps.bpeTrain(spark,
+          words.toDF("w", "cnt"), rounds = 4)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got === refBpe(words, 4), s"seed $seed words $words")
+    }
+  }
+
+  test("kcenterCoreset differential net: generated vector frames across seeds") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextInt(2001) - 1000L).toSeq))
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val seedV = vecs.head
+      var remaining = vecs.tail.map { case (id, v) => (id, v, d2(v, seedV._2)) }
+      var expect = Vector((0L, seedV._1, 0L))
+      for (i <- 1 until 5) {
+        val pick = remaining.minBy { case (id, _, d) => (-d, id) }
+        expect :+= ((i.toLong, pick._1, pick._3))
+        remaining = remaining.filter(_._1 != pick._1)
+          .map { case (id, v, d) => (id, v, math.min(d, d2(v, pick._2))) }
+      }
+      val got = operators.VectorOps.kcenterCoreset(spark,
+          vecs.toDF("vec_id", "v"), k = 5)
+        .orderBy("sel_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+      assert(got === expect, s"seed $seed")
+    }
   }
 
   test("q270 k-center == in-memory greedy replay; radius non-increasing") {
