@@ -710,6 +710,68 @@ object TextOps {
     sb.toString
   }
 
+  /** Survivorship-policy comparison — the dedup decision q151 fixes to
+    * min-id, opened up: for every near-dup cluster (q110, size ≥ 2) the
+    * representative under three policies — smallest id (stable),
+    * longest text (keep the superset document), highest token entropy
+    * (keep the most diverse content, q280's scorer) — plus how many
+    * DISTINCT docs the policies elect. The disagreement count is the
+    * data a corpus owner needs before committing to a policy: when it
+    * is high, "which copy survives" materially changes the corpus.
+    * Cluster-bounded work after one corpus pass for lengths/entropy;
+    * every ordering is (rounded score, doc_id) — deterministic. */
+  def q281Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = q110DedupClusters(s, dir)
+    val ent = q280TokenEntropy(s, dir).select(col("doc_id"), col("entropy"))
+    val m = canon
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .join(ent, Seq("doc_id"))
+    def pick(w: org.apache.spark.sql.expressions.WindowSpec, name: String) =
+      first(col("doc_id")).over(w).as(name)
+    val c = col("canonical_id")
+    val byId = Window.partitionBy(c).orderBy(col("doc_id").asc)
+    val byLen = Window.partitionBy(c)
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val byEnt = Window.partitionBy(c)
+      .orderBy(col("entropy").desc, col("doc_id").asc)
+    m.select(c, pick(byId, "rep_min_id"), pick(byLen, "rep_longest"),
+        pick(byEnt, "rep_max_entropy"))
+      .groupBy(c)
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("rep_min_id")).as("rep_min_id"),
+        max(col("rep_longest")).as("rep_longest"),
+        max(col("rep_max_entropy")).as("rep_max_entropy"))
+      .filter(col("cluster_size") >= 2)
+      .withColumn("n_distinct_reps",
+        size(array_distinct(array(col("rep_min_id"), col("rep_longest"),
+          col("rep_max_entropy")))).cast("long"))
+  }
+
+  /** Eval-overlap fraction — q116's decontamination hit count refined to
+    * the THRESHOLD DECISION real pipelines apply: per candidate doc, the
+    * fraction of its distinct 5-grams that are eval grams, with a
+    * contaminated flag at ≥ 10% decided by the integer cross-
+    * multiplication 10·hits ≥ n_grams (no float in the flag). Zero-hit
+    * docs appear with fraction 0 (left join), because the AUDIT view of
+    * decontamination must cover the whole corpus, not just offenders. */
+  def q282OverlapFraction(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), explode(expr(fiveGrams)).as("g"))
+    val evalGrams = g.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val cand = g.filter(col("doc_id") >= 20)
+    val tot = cand.groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_grams"))
+    val hits = cand.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams").cast("double"), 4).as("frac"),
+        (col("n_hits") * 10 >= col("n_grams")).as("contaminated"))
+  }
+
   /** Token-entropy quality filter (the CCNet/Gopher-style low-diversity
     * gate): per-document Shannon entropy of the token distribution,
     * H = ln n − (Σ c·ln c)/n, with a low-entropy flag for the repeated-
@@ -3119,6 +3181,8 @@ object TextOps {
     "q275_group_kfold" -> q275GroupKfold _,
     "q276_winnowing" -> q276Winnowing _,
     "q280_token_entropy" -> q280TokenEntropy _,
+    "q281_survivorship" -> q281Survivorship _,
+    "q282_overlap_fraction" -> q282OverlapFraction _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4372,6 +4436,71 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q281_survivorship" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, m) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
+         lab AS (SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+                 FROM reach GROUP BY node),
+         tc AS (SELECT doc_id, t.token AS t, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents) t
+                WHERE t.token <> '' GROUP BY 1, 2),
+         ea AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                  CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                       AS BIGINT) AS sc
+                FROM tc GROUP BY 1),
+         en AS (SELECT doc_id,
+                  round((n_toks * CAST(round(ln(n_toks) * 1000000) AS BIGINT)
+                         - sc) / (n_toks * 1000000.0), 6) AS entropy
+                FROM ea),
+         m AS (SELECT lab.doc_id, canonical_id, d.n_chars, en.entropy
+               FROM lab JOIN documents d USING (doc_id)
+                        JOIN en USING (doc_id)),
+         p AS (SELECT canonical_id,
+                 first_value(doc_id) OVER (PARTITION BY canonical_id
+                   ORDER BY doc_id) AS rep_min_id,
+                 first_value(doc_id) OVER (PARTITION BY canonical_id
+                   ORDER BY n_chars DESC, doc_id) AS rep_longest,
+                 first_value(doc_id) OVER (PARTITION BY canonical_id
+                   ORDER BY entropy DESC, doc_id) AS rep_max_entropy
+               FROM m),
+         g AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
+                 CAST(max(rep_min_id) AS BIGINT) AS rep_min_id,
+                 CAST(max(rep_longest) AS BIGINT) AS rep_longest,
+                 CAST(max(rep_max_entropy) AS BIGINT) AS rep_max_entropy
+               FROM p GROUP BY 1 HAVING count(*) >= 2)
+         SELECT canonical_id, cluster_size, rep_min_id, rep_longest,
+                rep_max_entropy,
+                CAST(len(list_distinct([rep_min_id, rep_longest,
+                  rep_max_entropy])) AS BIGINT) AS n_distinct_reps
+         FROM g""",
+    "q282_overlap_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS g
+         FROM t),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+         tot AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_grams
+                 FROM g WHERE doc_id >= 20 GROUP BY 1),
+         h AS (SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+               FROM g JOIN ev ON g.g = ev.g
+               WHERE g.doc_id >= 20 GROUP BY 1)
+         SELECT tot.doc_id, n_grams,
+                CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                round(COALESCE(n_hits, 0) / CAST(n_grams AS DOUBLE), 4) AS frac,
+                COALESCE(n_hits, 0) * 10 >= n_grams AS contaminated
+         FROM tot LEFT JOIN h ON h.doc_id = tot.doc_id""",
     "q280_token_entropy" ->
       """WITH tc AS (SELECT doc_id, t.token AS t, CAST(count(*) AS BIGINT) AS c
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
