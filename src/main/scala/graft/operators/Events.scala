@@ -589,7 +589,43 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Exponentially time-decayed per-type volume (half-life 7 days,
+    * anchored at the corpus max date so the query is deterministic) —
+    * the trending/recency weighting a plain count can't express: an
+    * event contributes 2^(−age/7), so last week outweighs last quarter.
+    * The decayed counter is MERGEABLE the way production decay counters
+    * are: partials anchored at the same reference sum directly, and
+    * re-anchoring to a newer reference is one scalar multiply of the
+    * total — never a replay. Determinism: 2^(−age/7) factors as an
+    * exact integer right-shift by (age div 7) of a SEVEN-literal
+    * micro-unit table for (age mod 7) — no transcendental runs in
+    * either engine (a first cut used pow() and drifted one micro-unit
+    * on a handful of ages between libm implementations), so the
+    * aggregate is an exact integer everywhere. */
+  def q283DecayedCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val ref = ev.agg(max(col("d")).as("ref"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", datediff(col("ref"), col("d")).cast("long"))
+      .withColumn("wm", expr(s"shiftright(${Q283Lookup}, " +
+        "CAST(least(age div 7, 62) AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wm")).as("decayed_micro"))
+      .withColumn("decayed",
+        round(col("decayed_micro") / lit(1000000.0), 4))
+  }
+
+  /** round(2^(−r/7)·10⁶) for r = 0..6, rendered as a CASE so the Spark
+    * expression and the DuckDB oracle share ONE source of the constants. */
+  private val Q283Lookup: String =
+    "CASE CAST(age % 7 AS INT) " +
+      (0 until 7).map(r => s"WHEN $r THEN CAST(" +
+        s"${math.round(math.pow(2.0, -r / 7.0) * 1000000)} AS BIGINT) ")
+        .mkString + "END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_decayed_counts" -> q283DecayedCounts _,
     "q57_asof_join" -> q57AsofJoin _,
     "q251_interval_allocate" -> q251IntervalAllocate _,
     "q252_markov_transitions" -> q252MarkovTransitions _,
@@ -615,6 +651,19 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q283_decayed_counts" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+         r AS (SELECT max(d) AS ref FROM ev),
+         ag AS (SELECT event_type,
+                  CAST(date_diff('day', d, ref) AS BIGINT) AS age
+                FROM ev CROSS JOIN r),
+         w AS (SELECT event_type,
+                 ($Q283Lookup) >> CAST(least(age // 7, 62) AS INT) AS wm
+               FROM ag)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(wm) AS BIGINT) AS decayed_micro,
+                round(sum(wm) / 1000000.0, 4) AS decayed
+         FROM w GROUP BY 1""",
     "q251_interval_allocate" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
                            epoch_us(ts) AS us

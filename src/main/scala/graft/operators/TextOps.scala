@@ -710,6 +710,33 @@ object TextOps {
     sb.toString
   }
 
+  /** Inverted-index build — the artifact BM25/retrieval serves from:
+    * per term, the doc-sorted posting list with within-doc positions
+    * ("doc:p1|p2"), plus df/cf and the id span (the delta-encoding
+    * budget). The postings_md5 column pins the index BYTES, not just
+    * the stats — a reproducible-artifact proof: any engine, run, or
+    * partitioning that builds the same corpus index hashes identically.
+    * One (term, doc) aggregation + one term rollup, both map-side
+    * combined; positions ride as sorted arrays, never strings until
+    * the final render. Top-20 by cf (the vocabulary-table convention). */
+  def q284InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val px = docs(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    px.groupBy(col("t"), col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("c"))
+      .withColumn("entry", concat(col("doc_id").cast("string"), lit(":"),
+        concat_ws("|", expr("transform(ps, x -> CAST(x AS STRING))"))))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        md5(concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(doc_id, entry))), x -> x.entry)")))
+          .as("postings_md5"),
+        (max(col("doc_id")) - min(col("doc_id"))).as("id_span"))
+      .orderBy(col("cf").desc, col("term")).limit(20)
+  }
+
   /** Survivorship-policy comparison — the dedup decision q151 fixes to
     * min-id, opened up: for every near-dup cluster (q110, size ≥ 2) the
     * representative under three policies — smallest id (stable),
@@ -3183,6 +3210,7 @@ object TextOps {
     "q280_token_entropy" -> q280TokenEntropy _,
     "q281_survivorship" -> q281Survivorship _,
     "q282_overlap_fraction" -> q282OverlapFraction _,
+    "q284_inverted_index" -> q284InvertedIndex _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4436,6 +4464,24 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q284_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         px AS (SELECT doc_id, u.p AS p, u.t AS t FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                    i -> {'p': i - 1, 't': toks[i]})) AS u
+                  FROM t)
+                WHERE u.t <> ''),
+         pd AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c,
+                  CAST(doc_id AS VARCHAR)||':'||array_to_string(
+                    list_transform(list_sort(list(p)),
+                      x -> CAST(x AS VARCHAR)), '|') AS entry
+                FROM px GROUP BY t, doc_id)
+         SELECT t AS term, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(c) AS BIGINT) AS cf,
+                md5(string_agg(entry, ',' ORDER BY doc_id)) AS postings_md5,
+                CAST(max(doc_id) - min(doc_id) AS BIGINT) AS id_span
+         FROM pd GROUP BY 1 ORDER BY cf DESC, term LIMIT 20""",
     "q281_survivorship" ->
       s"""WITH RECURSIVE $minhashCtesSql,
          pairs AS (
