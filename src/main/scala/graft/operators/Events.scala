@@ -602,19 +602,31 @@ object Events {
     * either engine (a first cut used pow() and drifted one micro-unit
     * on a handful of ages between libm implementations), so the
     * aggregate is an exact integer everywhere. */
-  def q283DecayedCounts(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("d"))
-    val ref = ev.agg(max(col("d")).as("ref"))
-    ev.crossJoin(broadcast(ref))
+  /** (event_type, d, n) daily counts → the decayed report, anchored at
+    * the max day present. ONE definition shared by the batch q283 and
+    * the streaming [[graft.streaming.StreamOps.decayedCountsSink]] —
+    * decay depends only on the DAY, so per-day counts are a lossless
+    * compression of the per-event stream for this operator. */
+  private[graft] def decayedFromDaily(daily: DataFrame): DataFrame = {
+    val ref = daily.agg(max(col("d")).as("ref"))
+    daily.crossJoin(broadcast(ref))
       .withColumn("age", datediff(col("ref"), col("d")).cast("long"))
       .withColumn("wm", expr(s"shiftright(${Q283Lookup}, " +
         "CAST(least(age div 7, 62) AS INT))"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("wm")).as("decayed_micro"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("wm") * col("n")).as("decayed_micro"))
       .withColumn("decayed",
         round(col("decayed_micro") / lit(1000000.0), 4))
   }
+
+  /** (event_type, d: DATE, n) counts — the decayed-counter state. */
+  private[graft] def decayDailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+
+  def q283DecayedCounts(s: SparkSession, dir: String): DataFrame =
+    decayedFromDaily(decayDailyCounts(Tables.events(s, dir)))
 
   /** round(2^(−r/7)·10⁶) for r = 0..6, rendered as a CASE so the Spark
     * expression and the DuckDB oracle share ONE source of the constants. */

@@ -737,6 +737,37 @@ object TextOps {
       .orderBy(col("cf").desc, col("term")).limit(20)
   }
 
+  /** Positional phrase query — what q284's positions are FOR: evaluate
+    * the top-3 corpus bigrams as phrase queries through the classic
+    * postings position-adjacency join (postings(t1) ⋈ postings(t2) on
+    * (doc, p+1)), reporting per-phrase document and occurrence counts.
+    * The DuckDB oracle evaluates the same phrases by a DIRECT adjacent-
+    * token scan — the hash-match is the proof that index-served phrase
+    * evaluation equals a corpus scan. Scale shape: the left postings
+    * prune by the broadcast 3-term set before any join; the adjacency
+    * join is keyed on (doc, position) — co-partitioned, never a
+    * per-doc cross product. */
+  def q285PhraseQuery(s: SparkSession, dir: String): DataFrame = {
+    val bigrams =
+      "IF(size(toks) >= 2, transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1])), CAST(array() AS ARRAY<STRING>))"
+    val top3 = docs(s, dir)
+      .select(explode(expr(bigrams)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg")).limit(3)
+      .select(col("bg").as("phrase"),
+        split(col("bg"), " ")(0).as("t1"), split(col("bg"), " ")(1).as("t2"))
+    val px = docs(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    px.as("x").join(broadcast(top3), col("x.t") === col("t1"))
+      .join(px.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.p") === col("x.p") + 1 && col("y.t") === col("t2"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("x.doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+  }
+
   /** Survivorship-policy comparison — the dedup decision q151 fixes to
     * min-id, opened up: for every near-dup cluster (q110, size ≥ 2) the
     * representative under three policies — smallest id (stable),
@@ -3211,6 +3242,7 @@ object TextOps {
     "q281_survivorship" -> q281Survivorship _,
     "q282_overlap_fraction" -> q282OverlapFraction _,
     "q284_inverted_index" -> q284InvertedIndex _,
+    "q285_phrase_query" -> q285PhraseQuery _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4464,6 +4496,22 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q285_phrase_query" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                         i -> toks[i]||' '||toks[i+1])
+                  ELSE [] END) AS bg
+                FROM t),
+         top3 AS (SELECT bg FROM (
+                    SELECT bg, count(*) AS n FROM bg
+                    GROUP BY 1 ORDER BY n DESC, bg LIMIT 3)),
+         occ AS (SELECT doc_id, bg FROM bg
+                 WHERE bg IN (SELECT bg FROM top3))
+         SELECT bg AS phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occ
+         FROM occ GROUP BY 1""",
     "q284_inverted_index" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),

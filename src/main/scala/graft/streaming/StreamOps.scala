@@ -474,6 +474,39 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming decayed-counter monitor — the streaming face of q283.
+    * State is the (event_type, day) daily-count table (decay depends
+    * only on the day, so daily counts are a LOSSLESS compression of the
+    * event stream for this operator); per trigger the batch's partials
+    * sum-merge in and the report re-derives with the shared integer
+    * decay table, re-anchoring automatically as newer days arrive —
+    * the production property that a decayed counter never replays
+    * history to move its reference point. */
+  def decayedCountsSink(events: DataFrame, statePath: String,
+                        reportPath: String)
+                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val daily = graft.operators.Events.decayDailyCounts(batch.toDF())
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(daily)
+               .groupBy(col("event_type"), col("d"))
+               .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
+           else daily)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        graft.operators.Events.decayedFromDaily(merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q257's rolling volume anomaly: per trigger the
     * batch's (event_type, day) partial counts merge into a persistent
     * daily-counts state table (idempotent sum-merge, the klDriftSink

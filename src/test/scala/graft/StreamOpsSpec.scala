@@ -571,6 +571,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("decayedCountsSink: the decayed report after N micro-batches equals " +
+      "batch q283 over the same events — including mid-stream re-anchoring") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decayed").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      // feed OLDEST first so later batches move the anchor forward and
+      // the state-side re-anchoring really exercises
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts")).orderBy(col("ts"))
+        .as[(String, Timestamp)].collect()
+      val input = MemoryStream[(String, Timestamp)]
+      val events = input.toDF().toDF("event_type", "ts")
+      val query = StreamOps.decayedCountsSink(events, statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val streamed = spark.read.parquet(reportPath)
+        .select("event_type", "n_events", "decayed_micro", "decayed")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.q283DecayedCounts(spark, sfDir)
+        .select("event_type", "n_events", "decayed_micro", "decayed")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("histSink: the quantile report after N micro-batches equals batch " +
       "q274's sketch columns over the same rows") {
     implicit val sqlCtx = spark.sqlContext
