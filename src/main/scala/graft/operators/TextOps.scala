@@ -1526,6 +1526,57 @@ object TextOps {
         (col("bias_micro") + col("sw") > 0).as("pred_hq"))
   }
 
+  /** Confusion matrix + precision/recall/F1/accuracy for the distilled
+    * NB filter — the eval table that decides whether the cheap model
+    * replaces the expensive signal (a corpus filter optimizes RECALL on
+    * high-quality docs at acceptable precision; accuracy alone hides
+    * that trade). One conditional aggregation over q248's held-out
+    * scores; every rate derives from the four integer cells and rounds
+    * once. */
+  def q286NbConfusion(s: SparkSession, dir: String): DataFrame =
+    q248NbScore(s, dir)
+      .agg(
+        sum(when(col("hq") && col("pred_hq"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("hq") && col("pred_hq"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("hq") && !col("pred_hq"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("hq") && !col("pred_hq"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        // nullif guards: an empty cell (e.g. zero positive predictions
+        // at tiny scale) yields NULL, not a divide-by-zero / inf split
+        // between engines
+        round(col("tp") / nullif((col("tp") + col("fp")).cast("double"),
+          lit(0.0)), 6).as("precision"),
+        round(col("tp") / nullif((col("tp") + col("fn")).cast("double"),
+          lit(0.0)), 6).as("recall"),
+        round(col("tp") * 2 / nullif((col("tp") * 2 + col("fp") + col("fn"))
+          .cast("double"), lit(0.0)), 6).as("f1"),
+        round((col("tp") + col("tn")) /
+          nullif((col("tp") + col("fp") + col("fn") + col("tn"))
+            .cast("double"), lit(0.0)), 6).as("accuracy"))
+
+  /** Calibration (reliability) curve for the NB scores: held-out docs
+    * in 10 score deciles, per decile the mean score and the ACTUAL
+    * positive rate — monotone pos_rate across deciles is what licenses
+    * using the score as a ranking/threshold signal (q144's funnel
+    * consumes it that way). The decile window is global but runs on
+    * the held-out EVAL slice — sample-bounded by design (q150's
+    * harness convention), never the corpus. No sigmoid: calibration
+    * diagrams are invariant to monotone transforms, and skipping it
+    * keeps the query transcendental-free. */
+  def q287NbCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    q248NbScore(s, dir)
+      .withColumn("decile", ntile(10)
+        .over(Window.orderBy(col("score_micro"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("score_micro")) / count(lit(1)).cast("double"), 2)
+          .as("mean_score"),
+        sum(when(col("hq"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        round(col("n_pos") / col("n").cast("double"), 4))
+  }
+
   /** Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08 — design
     * note, not code) over the DISTINCT part-name catalog: all name pairs
     * within Levenshtein distance ≤ 2. The third similarity-join modality
@@ -3243,6 +3294,8 @@ object TextOps {
     "q282_overlap_fraction" -> q282OverlapFraction _,
     "q284_inverted_index" -> q284InvertedIndex _,
     "q285_phrase_query" -> q285PhraseQuery _,
+    "q286_nb_confusion" -> q286NbConfusion _,
+    "q287_nb_calibration" -> q287NbCalibration _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -3271,6 +3324,44 @@ object TextOps {
   /** The q34 shingle→minhash→band CTE chain, shared by the q34 oracle and
     * the q110 component oracle (Kirsch–Mitzenmacher permutations — must
     * stay in lockstep with [[q34MinhashLsh]]). */
+  /** The full q248 scoring chain as a CTE block ending in
+    * `scored(doc_id, hq, score_micro, pred_hq)` — shared by q248 and the
+    * model-evaluation queries (q286 confusion, q287 calibration) so the
+    * evaluated scores can never drift from the scoring query. */
+  private val nbScoreCtesSql =
+    """d0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 10 < 7 AS train
+                     FROM documents),
+         d AS (SELECT doc_id, toks, train,
+                 round(least(1.0, len(toks) / 100.0) *
+                   (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                          / CAST(len(toks) AS DOUBLE)), 4) >= 0.9 AS pos
+               FROM d0),
+         tok AS (SELECT pos, unnest(toks) AS token FROM d WHERE train),
+         c AS (SELECT token,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+               FROM tok WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                        count(*) AS v FROM c),
+         m AS (SELECT token,
+                 CAST(round((ln(n_pos + 1) - ln(tp + v)
+                   - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
+               FROM c CROSS JOIN tot),
+         b AS (SELECT CAST(round((ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+                 - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1e6)
+                 AS BIGINT) AS bias_micro
+               FROM d WHERE train),
+         h AS (SELECT doc_id, pos AS hq, unnest(toks) AS token
+               FROM d WHERE NOT train),
+         sc AS (SELECT doc_id, hq, sum(w_micro) AS sw
+                FROM h JOIN m ON h.token = m.token
+                WHERE h.token <> '' GROUP BY 1, 2),
+         scored AS (SELECT doc_id, hq, bias_micro + sw AS score_micro,
+                bias_micro + sw > 0 AS pred_hq
+         FROM sc CROSS JOIN b)"""
+
   private[graft] val minhashCtesSql =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        sh AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
@@ -3943,38 +4034,39 @@ object TextOps {
                        - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
          FROM c CROSS JOIN tot""",
     "q248_nb_score" ->
-      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                       CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                            AS BIGINT) % 10 < 7 AS train
-                     FROM documents),
-         d AS (SELECT doc_id, toks, train,
-                 round(least(1.0, len(toks) / 100.0) *
-                   (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and')))
-                          / CAST(len(toks) AS DOUBLE)), 4) >= 0.9 AS pos
-               FROM d0),
-         tok AS (SELECT pos, unnest(toks) AS token FROM d WHERE train),
-         c AS (SELECT token,
-                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-                 CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-               FROM tok WHERE token <> '' GROUP BY 1),
-         tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
-                        count(*) AS v FROM c),
-         m AS (SELECT token,
-                 CAST(round((ln(n_pos + 1) - ln(tp + v)
-                   - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
-               FROM c CROSS JOIN tot),
-         b AS (SELECT CAST(round((ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
-                 - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1e6)
-                 AS BIGINT) AS bias_micro
-               FROM d WHERE train),
-         h AS (SELECT doc_id, pos AS hq, unnest(toks) AS token
-               FROM d WHERE NOT train),
-         sc AS (SELECT doc_id, hq, sum(w_micro) AS sw
-                FROM h JOIN m ON h.token = m.token
-                WHERE h.token <> '' GROUP BY 1, 2)
-         SELECT doc_id, hq, bias_micro + sw AS score_micro,
-                bias_micro + sw > 0 AS pred_hq
-         FROM sc CROSS JOIN b""",
+      s"""WITH $nbScoreCtesSql
+         SELECT doc_id, hq, score_micro, pred_hq FROM scored""",
+    "q286_nb_confusion" ->
+      s"""WITH $nbScoreCtesSql,
+         cm AS (SELECT
+             CAST(sum(CASE WHEN hq AND pred_hq THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT hq AND pred_hq THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN hq AND NOT pred_hq THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT hq AND NOT pred_hq THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM scored)
+         SELECT tp, fp, fn, tn,
+                round(tp / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6)
+                  AS precision,
+                round(tp / nullif(CAST(tp + fn AS DOUBLE), 0.0), 6) AS recall,
+                round(2 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0), 6)
+                  AS f1,
+                round((tp + tn)
+                      / nullif(CAST(tp + fp + fn + tn AS DOUBLE), 0.0), 6)
+                  AS accuracy
+         FROM cm""",
+    "q287_nb_calibration" ->
+      s"""WITH $nbScoreCtesSql,
+         dec AS (SELECT hq, score_micro,
+                   ntile(10) OVER (ORDER BY score_micro, doc_id) AS decile
+                 FROM scored)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(score_micro) / CAST(count(*) AS DOUBLE), 2)
+                  AS mean_score,
+                CAST(sum(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                round(sum(CASE WHEN hq THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS pos_rate
+         FROM dec GROUP BY 1""",
     "q265_linkage_funnel" ->
       """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
          p AS (SELECT a.name AS a, b.name AS b
