@@ -1526,6 +1526,58 @@ object TextOps {
         (col("bias_micro") + col("sw") > 0).as("pred_hq"))
   }
 
+  /** LSH candidate-quality evaluation — the number every dedup pipeline
+    * reports before trusting its blocking scheme: precision and recall
+    * of q34's banded candidates against the EXACT Jaccard ≥ 1/2 truth
+    * (the banding scheme's own implied threshold, b=4 r=2 → t ≈ 0.5),
+    * computed by the integer-exact PPJoin verifier. Both pair sets are
+    * pair-bound; the comparison is a join on the pair key. Recall < 1
+    * here is not a bug — it is the measured false-negative rate of the
+    * banding scheme, the quantity q163's calibration table predicts. */
+  def q288LshPrEval(s: SparkSession, dir: String): DataFrame = {
+    val td = docs(s, dir)
+      .select(col("doc_id"), expr(s"array_distinct($shingles3)").as("td"))
+      .persist()
+    td.count()
+    val truth = prefixJaccardPairs(td, 1, 2)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    td.unpersist(blocking = false)
+    val cand = q34MinhashLsh(s, dir)
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(col("n_hits") / nullif(col("n_candidates").cast("double"),
+          lit(0.0)), 4).as("precision"),
+        round(col("n_hits") / nullif(col("n_truth").cast("double"),
+          lit(0.0)), 4).as("recall"))
+  }
+
+  /** Term burstiness (variance-to-mean ratio of per-document counts,
+    * zeros included): VMR > 1 marks CLUMPED terms (topical/keyword
+    * behavior), VMR ≈ 1 Poisson background — the dispersion signal
+    * keyword extraction and stop-list construction use on top of raw
+    * frequency. Sufficient statistics are three integers per term
+    * (df, Σc, Σc²) from ONE (term, doc) aggregation, and
+    * VMR = (N·Σc² − (Σc)²)/(N·Σc) keeps numerator and denominator
+    * integer-exact until the single rounded division. Top-20 by cf. */
+  def q289TermBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("cf2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("cf"),
+        round((col("nd") * col("cf2") - col("cf") * col("cf")) /
+          (col("nd") * col("cf")).cast("double"), 6).as("vmr"))
+      .orderBy(col("cf").desc, col("term")).limit(20)
+  }
+
   /** Confusion matrix + precision/recall/F1/accuracy for the distilled
     * NB filter — the eval table that decides whether the cheap model
     * replaces the expensive signal (a corpus filter optimizes RECALL on
@@ -3296,6 +3348,8 @@ object TextOps {
     "q285_phrase_query" -> q285PhraseQuery _,
     "q286_nb_confusion" -> q286NbConfusion _,
     "q287_nb_calibration" -> q287NbCalibration _,
+    "q288_lsh_pr_eval" -> q288LshPrEval _,
+    "q289_term_burstiness" -> q289TermBurstiness _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4588,6 +4642,59 @@ object TextOps {
                 exact_texts, n_zero_regs
          FROM e JOIN x ON e.lang = x.lang""",
     "q273_bpe_train" -> bpeOracleSql,
+    "q288_lsh_pr_eval" ->
+      s"""WITH $minhashCtesSql,
+         cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id),
+         td AS (SELECT doc_id, list_distinct($shinglesSql) AS td FROM t),
+         ex2 AS (SELECT doc_id, unnest(td) AS tok FROM td),
+         tf2 AS (SELECT tok, count(*) AS freq FROM ex2 GROUP BY 1),
+         srt AS (SELECT e.doc_id,
+                   array_agg(e.tok ORDER BY f.freq, e.tok) AS sorted,
+                   count(*) AS n
+                 FROM ex2 e JOIN tf2 f ON f.tok = e.tok GROUP BY 1),
+         pfx AS (SELECT doc_id, n,
+                   unnest(sorted[1 : CAST(n - ((n + 1) // 2) + 1 AS INT)])
+                     AS ptok
+                 FROM srt),
+         cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM pfx a JOIN pfx b
+                  ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+         tr AS (SELECT doc_a, doc_b FROM (
+                  SELECT doc_a, doc_b,
+                    CAST(len(list_intersect(ta.td, tb.td)) AS BIGINT) AS inter,
+                    CAST(len(ta.td) + len(tb.td)
+                         - len(list_intersect(ta.td, tb.td)) AS BIGINT) AS uni
+                  FROM cp JOIN td ta ON ta.doc_id = doc_a
+                          JOIN td tb ON tb.doc_id = doc_b)
+                WHERE inter * 2 >= uni),
+         h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+               FROM cnd JOIN tr USING (doc_a, doc_b)),
+         ncc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cnd),
+         ntt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr)
+         SELECT n_candidates, n_truth, n_hits,
+                round(n_hits / nullif(CAST(n_candidates AS DOUBLE), 0.0), 4)
+                  AS precision,
+                round(n_hits / nullif(CAST(n_truth AS DOUBLE), 0.0), 4)
+                  AS recall
+         FROM ncc CROSS JOIN ntt CROSS JOIN h""",
+    "q289_term_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         tc AS (SELECT t.token AS term, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents) t
+                WHERE t.token <> '' GROUP BY 1, 2),
+         a AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(c) AS BIGINT) AS cf,
+                 CAST(sum(c * c) AS BIGINT) AS cf2
+               FROM tc GROUP BY 1)
+         SELECT term, df, cf,
+                round((nd * cf2 - cf * cf) / CAST(nd * cf AS DOUBLE), 6)
+                  AS vmr
+         FROM a CROSS JOIN nd
+         ORDER BY cf DESC, term LIMIT 20""",
     "q285_phrase_query" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
