@@ -1526,6 +1526,33 @@ object TextOps {
         (col("bias_micro") + col("sw") > 0).as("pred_hq"))
   }
 
+  /** Top-terms drift between two corpus versions (fixture: even/odd
+    * doc_id halves standing in for two dump snapshots): the top-20
+    * term lists of each side full-outer-joined on the term, with ranks
+    * and collection frequencies from both — the "did the vocabulary
+    * shift between dumps?" diff a corpus release gate reads (terms
+    * present on one side only, rank migrations). Two term aggregations
+    * that share one corpus scan via conditional partial sums — the
+    * split rides the SAME shuffle, not two scans. */
+  def q290TopTermsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = docs(s, dir)
+      .select((col("doc_id") % 2 === 0).as("v1"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t"))
+      .agg(sum(when(col("v1"), 1L).otherwise(0L)).as("cf1"),
+        sum(when(!col("v1"), 1L).otherwise(0L)).as("cf2"))
+    def top(cfCol: String, rName: String) = cf.filter(col(cfCol) > 0)
+      .withColumn(rName, row_number()
+        .over(Window.orderBy(col(cfCol).desc, col("t"))).cast("long"))
+      .filter(col(rName) <= 20)
+    top("cf1", "rank_v1").select(col("t"), col("rank_v1"), col("cf1"))
+      .join(top("cf2", "rank_v2").select(col("t"), col("rank_v2"), col("cf2")),
+        Seq("t"), "full_outer")
+      .select(col("t").as("term"), col("rank_v1"), col("cf1").as("cf_v1"),
+        col("rank_v2"), col("cf2").as("cf_v2"))
+  }
+
   /** LSH candidate-quality evaluation — the number every dedup pipeline
     * reports before trusting its blocking scheme: precision and recall
     * of q34's banded candidates against the EXACT Jaccard ≥ 1/2 truth
@@ -3350,6 +3377,7 @@ object TextOps {
     "q287_nb_calibration" -> q287NbCalibration _,
     "q288_lsh_pr_eval" -> q288LshPrEval _,
     "q289_term_burstiness" -> q289TermBurstiness _,
+    "q290_top_terms_drift" -> q290TopTermsDrift _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4680,6 +4708,26 @@ object TextOps {
                 round(n_hits / nullif(CAST(n_truth AS DOUBLE), 0.0), 4)
                   AS recall
          FROM ncc CROSS JOIN ntt CROSS JOIN h""",
+    "q290_top_terms_drift" ->
+      """WITH cf AS (SELECT t.token AS t,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cf1,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+                      AS BIGINT) AS cf2
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents) t
+               WHERE t.token <> '' GROUP BY 1),
+         t1 AS (SELECT t, rank_v1, cf1 FROM (
+                  SELECT t, cf1, CAST(row_number() OVER (
+                    ORDER BY cf1 DESC, t) AS BIGINT) AS rank_v1
+                  FROM cf WHERE cf1 > 0) WHERE rank_v1 <= 20),
+         t2 AS (SELECT t, rank_v2, cf2 FROM (
+                  SELECT t, cf2, CAST(row_number() OVER (
+                    ORDER BY cf2 DESC, t) AS BIGINT) AS rank_v2
+                  FROM cf WHERE cf2 > 0) WHERE rank_v2 <= 20)
+         SELECT COALESCE(t1.t, t2.t) AS term, rank_v1, cf1 AS cf_v1,
+                rank_v2, cf2 AS cf_v2
+         FROM t1 FULL OUTER JOIN t2 ON t1.t = t2.t""",
     "q289_term_burstiness" ->
       """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
          tc AS (SELECT t.token AS term, doc_id, CAST(count(*) AS BIGINT) AS c
