@@ -451,43 +451,6 @@ object Relational {
       .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
   }
 
-  /** Salted equi-join: the hot-key mitigation q250's skew audit
-    * recommends, as a composable operator. The big side salts each row
-    * into one of `fanout` sub-keys (deterministic, from a caller-chosen
-    * per-row expression — never rand(), so retries recompute the same
-    * plan); the small side replicates ×fanout; the join runs on
-    * (key, salt), so a key holding 50% of the big side spreads over
-    * `fanout` reducers instead of melting one. Correctness is
-    * replication: every big row still meets every matching small row
-    * exactly once. Pinned to a shuffle-hash join — if the small side
-    * fits a broadcast, broadcasting beats salting and this operator is
-    * the wrong tool (that judgment is the caller's; q250 measures it). */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltExpr: org.apache.spark.sql.Column, fanout: Int): DataFrame = {
-    val b = big.withColumn("__salt", pmod(saltExpr, lit(fanout)))
-    val sm = small.withColumn("__salt",
-      explode(expr(s"sequence(0, ${fanout - 1})")))
-    b.join(sm.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
-  }
-
-  /** Salted-join demonstration on the events fact: per-type totals
-    * computed THROUGH [[saltedJoin]] against a type-weight dim — the
-    * result is identical to the plain join (the oracle is the plain
-    * SQL), the plan is the skew-proof one. Values quantize to integer
-    * cents before summation so the total is order-independent. */
-  def q277SaltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val dim = ev.select(col("event_type")).distinct()
-      .withColumn("weight", when(col("event_type") === "purchase", 3L)
-        .when(col("event_type") === "signup", 2L).otherwise(1L))
-    saltedJoin(ev, dim, "event_type", col("event_id"), fanout = 16)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("cents") * col("weight")).as("weighted_cents"))
-  }
-
   def q168ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -579,7 +542,6 @@ object Relational {
     "q258_rollup" -> q258Rollup _,
     "q260_zone_map" -> q260ZoneMap _,
     "q264_association_rules" -> q264AssociationRules _,
-    "q277_salted_join" -> q277SaltedJoin _,
     "q238_integrity_audit" -> q238IntegrityAudit _,
     "q168_column_profile" -> q168ColumnProfile _,
     "q169_histogram"    -> q169Histogram _,
@@ -607,17 +569,6 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
-    "q277_salted_join" ->
-      """WITH ev AS (SELECT event_id, event_type,
-                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-         dim AS (SELECT DISTINCT event_type FROM events),
-         dw AS (SELECT event_type,
-                  CASE WHEN event_type = 'purchase' THEN 3
-                       WHEN event_type = 'signup' THEN 2 ELSE 1 END AS weight
-                FROM dim)
-         SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(cents * weight) AS BIGINT) AS weighted_cents
-         FROM ev JOIN dw USING (event_type) GROUP BY 1""",
     "q264_association_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS item
                         FROM lineitem JOIN part ON l_partkey = p_partkey),

@@ -204,7 +204,7 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("saltedJoin == plain join under adversarial skew (one key = 90% of rows)") {
+  test("Skew.saltedJoin == plain join under adversarial skew (one key = 90% of rows)") {
     val spark2 = spark
     import spark2.implicits._
     val big = ((0 until 9000).map(i => (i.toLong, "hot")) ++
@@ -215,8 +215,8 @@ class CurationOpsSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "k", "v").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
-    val got = canon(operators.Relational.saltedJoin(
-      big, small, "k", col("id"), fanout = 16))
+    val got = canon(graft.plans.Skew.saltedJoin(
+      big, small, "k", col("id"), salts = 16))
     val expect = canon(big.join(small, "k"))
     assert(got === expect && got.size === 10000)
   }
