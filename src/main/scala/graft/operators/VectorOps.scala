@@ -837,7 +837,56 @@ object VectorOps {
         col("cos").as("neg_cos"))
   }
 
+  /** Clustering quality — purity and NMI of the IVF cell assignment
+    * against the embeddings' ground-truth labels, the eval step between
+    * "k-means converged" (q186) and "use the cells for ANN/SemDeDup"
+    * (q60/q146): purity says how label-homogeneous cells are, NMI
+    * corrects purity's bias toward many small cells. Per-cell rows
+    * carry the majority label and cell purity; the overall purity/NMI
+    * ride every row (the k-row frame is the artifact). Determinism: all
+    * counts are integers, every ln is of an INTEGER argument quantized
+    * to micro-units separately, so N·MI and N·H are exact integer sums —
+    * the single sqrt/division rounds once at the end. */
+  def q291ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    def lnM(c: String) = expr(s"CAST(round(ln($c) * 1000000) AS BIGINT)")
+    val cl = assignCells(vecs(s, dir)).select(col("vec_id"), col("cell"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+      .localCheckpoint() // cells×labels — the bounded contingency table
+    val nc = cl.groupBy(col("cell")).agg(sum(col("n_cl")).as("n_c"))
+    val nl = cl.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+    val nT = cl.agg(sum(col("n_cl")).as("n"))
+    val mi = cl.join(nc, Seq("cell")).join(nl, Seq("label"))
+      .crossJoin(broadcast(nT))
+      .agg(sum(col("n_cl") *
+        (lnM("n") + lnM("n_cl") - lnM("n_c") - lnM("n_l"))).as("mi_n"))
+    val hc = nc.crossJoin(broadcast(nT))
+      .agg(sum(col("n_c") * (lnM("n") - lnM("n_c"))).as("hc_n"))
+    val hl = nl.crossJoin(broadcast(nT))
+      .agg(sum(col("n_l") * (lnM("n") - lnM("n_l"))).as("hl_n"))
+    val perCell = cl
+      .groupBy(col("cell"))
+      .agg(sum(col("n_cl")).as("n_c"),
+        max(struct(col("n_cl").as("n_cl"),
+          (-col("label")).as("neg_label"))).as("mx"))
+      .select(col("cell"), col("n_c"),
+        (-col("mx.neg_label")).as("majority_label"),
+        col("mx.n_cl").as("n_majority"),
+        round(col("mx.n_cl") / col("n_c").cast("double"), 4).as("cell_purity"))
+    perCell
+      .crossJoin(broadcast(perCell.agg(sum(col("n_majority")).as("maj_tot"))))
+      .crossJoin(broadcast(nT))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .select(col("cell"), col("n_c"), col("majority_label"),
+        col("n_majority"), col("cell_purity"),
+        round(col("maj_tot") / col("n").cast("double"), 4).as("purity"),
+        round(col("mi_n") / sqrt(col("hc_n").cast("double")
+          * col("hl_n").cast("double")), 6).as("nmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_cluster_quality" -> q291ClusterQuality _,
     "q279_triplet_mining"  -> q279TripletMining _,
     "q278_hybrid_rrf"      -> q278HybridRrf _,
     "q270_kcenter_coreset" -> q270KcenterCoreset _,
@@ -936,6 +985,49 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q291_cluster_quality" ->
+      s"""WITH $assignSql,
+         cl AS (SELECT a.cell, CAST(e.label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS n_cl
+                FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+                GROUP BY 1, 2),
+         nc AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c
+                FROM cl GROUP BY 1),
+         nl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l
+                FROM cl GROUP BY 1),
+         nt AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cl),
+         mi AS (SELECT CAST(sum(n_cl * (
+                    CAST(round(ln(n) * 1000000) AS BIGINT)
+                  + CAST(round(ln(n_cl) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_c) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_l) * 1000000) AS BIGINT)))
+                  AS BIGINT) AS mi_n
+                FROM cl JOIN nc USING (cell) JOIN nl USING (label)
+                     CROSS JOIN nt),
+         hc AS (SELECT CAST(sum(n_c * (
+                    CAST(round(ln(n) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_c) * 1000000) AS BIGINT)))
+                  AS BIGINT) AS hc_n
+                FROM nc CROSS JOIN nt),
+         hl AS (SELECT CAST(sum(n_l * (
+                    CAST(round(ln(n) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_l) * 1000000) AS BIGINT)))
+                  AS BIGINT) AS hl_n
+                FROM nl CROSS JOIN nt),
+         pc AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c,
+                  CAST(-(max(struct_pack(a := n_cl, b := -label)).b)
+                       AS BIGINT) AS majority_label,
+                  CAST(max(struct_pack(a := n_cl, b := -label)).a
+                       AS BIGINT) AS n_majority
+                FROM cl GROUP BY 1),
+         mj AS (SELECT CAST(sum(n_majority) AS BIGINT) AS maj_tot FROM pc)
+         SELECT pc.cell, pc.n_c, majority_label, n_majority,
+                round(n_majority / CAST(pc.n_c AS DOUBLE), 4) AS cell_purity,
+                round(maj_tot / CAST(n AS DOUBLE), 4) AS purity,
+                round(mi_n / sqrt(CAST(hc_n AS DOUBLE) * CAST(hl_n AS DOUBLE)),
+                      6) AS nmi
+         FROM pc CROSS JOIN mj CROSS JOIN nt CROSS JOIN mi
+              CROSS JOIN hc CROSS JOIN hl""",
     "q279_triplet_mining" ->
       s"""WITH RECURSIVE ${graft.operators.TextOps.minhashCtesSql},
          pairs AS (
