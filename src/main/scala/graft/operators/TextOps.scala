@@ -1526,6 +1526,60 @@ object TextOps {
         (col("bias_micro") + col("sw") > 0).as("pred_hq"))
   }
 
+  /** Robust spread per language: median absolute deviation of document
+    * length — the outlier-resistant spread statistic (a handful of
+    * pathological giant documents move stddev arbitrarily but barely
+    * touch MAD), the robust gate's scale estimate for "drop docs beyond
+    * k·MAD of the median". Two passes by construction (the per-group
+    * median must exist before deviations do): both are exact
+    * interpolating percentiles over the group, the second on
+    * |n_chars − median| — deviations stay exact because the median of
+    * an integer column is at worst a .5 fraction. Flags count docs
+    * beyond 3·MAD (integer-scaled comparison: 2·|x−med| > 6·mad in
+    * half-units, never a float threshold). */
+  def q292RobustSpread(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = Tables.documents(s, dir).join(broadcast(med), Seq("lang"))
+      // 2·|x − med| is an exact integer (med is at worst a .5 fraction)
+      .withColumn("dev2",
+        abs(col("n_chars") * 2 - (col("med") * 2).cast("long")))
+      .localCheckpoint()
+    val mad = dev.groupBy(col("lang"))
+      // 4·MAD is again an exact integer (the dev2 median interpolates
+      // at worst midway between two integers)
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(max(col("med")), 1).as("median"),
+        round(max(col("mad4")) / 4.0, 2).as("mad"),
+        // |x−med| > 3·MAD ⟺ 2·dev2 > 3·mad4, all integers
+        sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Per-source contamination rollup — q282's per-doc eval-overlap audit
+    * aggregated to the view a corpus owner signs off on: per source, the
+    * candidate count, contaminated count and share, and the worst
+    * offender (max fraction, doc_id tiebreak). One join of the per-doc
+    * audit against the doc→source projection; the flag logic is q282's
+    * integer cross-multiplication, re-derived, not re-decided. */
+  def q293ContaminationBySource(s: SparkSession, dir: String): DataFrame = {
+    val frac = q282OverlapFraction(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    frac.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        max(struct(col("frac").as("frac"), (-col("doc_id")).as("neg_id")))
+          .as("mx"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_docs").cast("double"), 4)
+          .as("contaminated_share"),
+        (-col("mx.neg_id")).as("worst_doc"), col("mx.frac").as("worst_frac"))
+  }
+
   /** Top-terms drift between two corpus versions (fixture: even/odd
     * doc_id halves standing in for two dump snapshots): the top-20
     * term lists of each side full-outer-joined on the term, with ranks
@@ -3378,6 +3432,8 @@ object TextOps {
     "q288_lsh_pr_eval" -> q288LshPrEval _,
     "q289_term_burstiness" -> q289TermBurstiness _,
     "q290_top_terms_drift" -> q290TopTermsDrift _,
+    "q292_robust_spread" -> q292RobustSpread _,
+    "q293_contamination_by_source" -> q293ContaminationBySource _,
     "q56_simhash_pairs"  -> q56SimhashPairs _,
     "q58_train_test_split" -> q58TrainTestSplit _,
     "q61_length_quantiles" -> q61LengthQuantiles _,
@@ -4708,6 +4764,51 @@ object TextOps {
                 round(n_hits / nullif(CAST(n_truth AS DOUBLE), 0.0), 4)
                   AS recall
          FROM ncc CROSS JOIN ntt CROSS JOIN h""",
+    "q292_robust_spread" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+               FROM documents GROUP BY 1),
+         dev AS (SELECT d.lang, med,
+                   abs(n_chars * 2 - CAST(med * 2 AS BIGINT)) AS dev2
+                 FROM documents d JOIN med USING (lang)),
+         m4 AS (SELECT lang,
+                  CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+                FROM dev GROUP BY 1)
+         SELECT dev.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+                round(max(med), 1) AS median,
+                round(max(mad4) / 4.0, 2) AS mad,
+                CAST(sum(CASE WHEN dev2 * 2 > mad4 * 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dev JOIN m4 USING (lang) GROUP BY 1""",
+    "q293_contamination_by_source" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS g
+         FROM t),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+         tot AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_grams
+                 FROM g WHERE doc_id >= 20 GROUP BY 1),
+         h AS (SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+               FROM g JOIN ev ON g.g = ev.g
+               WHERE g.doc_id >= 20 GROUP BY 1),
+         fr AS (SELECT tot.doc_id, n_grams,
+                  COALESCE(n_hits, 0) AS n_hits,
+                  round(COALESCE(n_hits, 0) / CAST(n_grams AS DOUBLE), 4)
+                    AS frac,
+                  COALESCE(n_hits, 0) * 10 >= n_grams AS contaminated
+                FROM tot LEFT JOIN h ON h.doc_id = tot.doc_id),
+         j AS (SELECT fr.*, d.source FROM fr
+               JOIN documents d ON d.doc_id = fr.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated,
+                round(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS contaminated_share,
+                CAST(-(max(struct_pack(a := frac, b := -doc_id)).b)
+                     AS BIGINT) AS worst_doc,
+                max(struct_pack(a := frac, b := -doc_id)).a AS worst_frac
+         FROM j GROUP BY 1""",
     "q290_top_terms_drift" ->
       """WITH cf AS (SELECT t.token AS t,
                  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
