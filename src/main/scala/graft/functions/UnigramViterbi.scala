@@ -14,10 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * them).
   *
   * dp[i] = min over piece lengths j ≤ maxLen of dp[i−j] + cost(s[i−j..i)),
-  * ties to the SMALLEST start (longest piece) — decided INTEGER-exactly
-  * because costs are pre-quantized to round(−ln(p)·10⁶) longs, so the
-  * whole DP replays bit-identically in the DuckDB oracle's recursive CTE
-  * (which carries a maxLen-wide sliding window of dp values per doc).
+  * ties to the SHORTEST piece (largest start) — the same order as the
+  * oracle's min(struct(cost, pieceLen)), decided INTEGER-exactly because
+  * costs are pre-quantized to round(−ln(p)·10⁶) longs, so the whole DP
+  * replays bit-identically in the DuckDB oracle's recursive CTE (which
+  * carries a maxLen-wide sliding window of dp values per doc).
   * Unsegmentable inputs yield NULL; the empty string yields "".
   *
   * Why an Expression and not HOF `aggregate()`: the DP is an imperative
@@ -86,13 +87,14 @@ object UnigramViterbi {
     while (i <= n) { dp(i) = NoPath; i += 1 }
     i = 1
     while (i <= n) {
-      // j ascending = smallest start wins ties (strict <) — the oracle's
-      // min(struct(cost, start)) order
+      // j ascending with <=: the LAST equal-cost start wins, i.e. the
+      // largest start = the SHORTEST piece — the oracle's
+      // min(struct(cost, pieceLen)) tie order
       var j = math.max(0, i - maxLen)
       while (j < i) {
         if (dp(j) != NoPath) {
           val c = table.get(s.substring(j, i))
-          if (c != null && dp(j) + c < dp(i)) {
+          if (c != null && dp(j) + c <= dp(i)) {
             dp(i) = dp(j) + c
             back(i) = i - j
           }

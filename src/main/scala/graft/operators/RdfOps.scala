@@ -566,6 +566,32 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Duration-VALUE comparison (§17.4.5.7 × §17.3 — the last §17.4
+    * type-system refusal closed): TIMEZONE's xsd:dayTimeDuration results
+    * compare through the seconds carrier, not lexically — the
+    * `< "PT10H"` gate is the discriminator (lexically "PT5H30M" >
+    * "PT10H" and the +05:30 rows would vanish), and the IF classifies
+    * mixed-sign zones against "PT0S". Zone-less rows error→unbound in
+    * the FILTER and drop, per §17.2. Same scan shape as q210. */
+  def q294DurationCompare(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?z ?cls WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  FILTER(TIMEZONE(?d) < "PT10H"^^xsd:dayTimeDuration)
+        |  BIND(IF(TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration,
+        |          "east", "nonpositive") AS ?cls)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1479,6 +1505,7 @@ object RdfOps {
     "q187_service_dispatch"  -> q187ServiceDispatch _,
     "q205_sparql_json_endpoint" -> q205SparqlJsonEndpoint _,
     "q210_timezone"          -> q210Timezone _,
+    "q294_duration_compare"  -> q294DurationCompare _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -2017,6 +2044,19 @@ object RdfOps {
                 ELSE 'http://www.w3.org/2001/XMLSchema#dayTimeDuration'
            END AS dt
          FROM t""",
+    "q294_duration_compare" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      event_id % 4 AS zi
+                    FROM events WHERE event_id < 2000),
+         d AS (SELECT x,
+                 CASE zi WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT5H30M'
+                         WHEN 2 THEN '-PT8H' ELSE NULL END AS z,
+                 CASE zi WHEN 0 THEN 0 WHEN 1 THEN 19800
+                         WHEN 2 THEN -28800 ELSE NULL END AS secs
+               FROM t)
+         SELECT x, z,
+                CASE WHEN secs > 0 THEN 'east' ELSE 'nonpositive' END AS cls
+         FROM d WHERE secs IS NOT NULL AND secs < 36000""",
     "q148_datetime_fns" ->
       """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
                       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d

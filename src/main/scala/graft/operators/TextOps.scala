@@ -752,6 +752,10 @@ object TextOps {
       "IF(size(toks) >= 2, transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1])), CAST(array() AS ARRAY<STRING>))"
     val top3 = docs(s, dir)
       .select(explode(expr(bigrams)).as("bg"))
+      // a bigram containing an empty token (double-spaced text) can't be
+      // served by the postings index (px drops empty terms) — exclude it
+      // from the top-3 on BOTH engines rather than quietly returning 0
+      .filter(!col("bg").startsWith(" ") && !col("bg").endsWith(" "))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bg")).limit(3)
       .select(col("bg").as("phrase"),
@@ -1454,14 +1458,15 @@ object TextOps {
     *  - the Laplace-smoothed log-odds weight
     *      w = ln(n_pos+1) − ln(Npos+V) − [ln(n_neg+1) − ln(Nneg+V)]
     *    is a per-row codegen expression over INTEGER arguments, emitted
-    *    in integer MICRO-UNITS (round-before-use) so every downstream
-    *    consumer sums longs — order-independent, hash-matchable.
+    *    as integer fixed-point units (round-before-use, quantum
+    *    1/[[NbQuantum]]) so every downstream consumer sums longs —
+    *    order-independent, hash-matchable.
     * At 100 TB: the corpus appears once, the model is vocab-sized (MB —
     * broadcastable), and nothing iterates — NB training is embarrassingly
     * parallel, which is exactly why corpus pipelines reach for it first. */
   /** q40's quality definition as the training label (shared by q247/q248
     * so model and evaluation can never drift apart). */
-  private def hqLabeled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hqLabeled(s: SparkSession, dir: String): DataFrame = {
     val nToks = size(col("toks")).cast("long")
     val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))").cast("long")
     docs(s, dir)
@@ -1477,6 +1482,18 @@ object TextOps {
       .select(col("pos"), explode(col("toks")).as("token"))
       .filter(col("token") =!= ""))
 
+  /** NB fixed-point quantum. NOT 1e6: a rounded `ln` sits a hash-flip
+    * away from disagreeing across engines whenever its unrounded value
+    * lands near a .5 boundary of the quantum (at 1e6 the sf0.1 token
+    * 'filter' sat 4.9e-4 units from one — a ~1e-9-relative libm
+    * divergence between DuckDB builds flips the long). 962000 was
+    * chosen by a margin search over every rounding input the NB family
+    * produces at sf0.001/0.01/0.1 (weights AND bias): the minimum
+    * half-boundary distance is 3.1e-2 units, ~3·10⁶× the worst
+    * realistic cross-libm drift of a 1-ulp ln (≈1e-8 units). The
+    * NbMarginSpec tripwire re-asserts that margin on every test run. */
+  private[graft] val NbQuantum = 962000.0
+
   /** [[q247NbTrain]]'s core as a library operator over a caller-supplied
     * labeled token stream (pos: Boolean, token: String) — the q193
     * parameterization convention. Returns (token, n_pos, n_neg, w_micro). */
@@ -1489,7 +1506,7 @@ object TextOps {
     counts.crossJoin(broadcast(totals))
       .select(col("token"), col("n_pos"), col("n_neg"),
         round((log(col("n_pos") + 1) - log(col("tp") + col("v"))
-          - log(col("n_neg") + 1) + log(col("tn") + col("v"))) * 1e6)
+          - log(col("n_neg") + 1) + log(col("tn") + col("v"))) * NbQuantum)
           .cast("long").as("w_micro"))
   }
 
@@ -1512,7 +1529,7 @@ object TextOps {
     val bias = labeled.filter(col("train"))
       .agg((log(sum(when(col("pos"), 1L).otherwise(0L)) + 1)
         - log(sum(when(!col("pos"), 1L).otherwise(0L)) + 1)).as("b"))
-      .select(round(col("b") * 1e6).cast("long").as("bias_micro"))
+      .select(round(col("b") * NbQuantum).cast("long").as("bias_micro"))
     val model = q247NbTrain(s, dir).select(col("token"), col("w_micro"))
     val heldout = labeled.filter(!col("train"))
       .select(col("doc_id"), col("pos").as("hq"), explode(col("toks")).as("token"))
@@ -1587,24 +1604,42 @@ object TextOps {
     * shift between dumps?" diff a corpus release gate reads (terms
     * present on one side only, rank migrations). Two term aggregations
     * that share one corpus scan via conditional partial sums — the
-    * split rides the SAME shuffle, not two scans. */
+    * split rides the SAME shuffle, not two scans. Each top-20 is a
+    * TakeOrderedAndProject (q289's pattern — never a global window:
+    * at corpus scale the vocabulary is billions of rows and an
+    * unpartitioned row_number would pull ALL of them through one
+    * task); the ranks 1..20 come from a broadcast self-join over the
+    * already-cut 20-row frame, so nothing unbounded ever sorts in one
+    * place. */
   def q290TopTermsDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cf = docs(s, dir)
       .select((col("doc_id") % 2 === 0).as("v1"), explode(col("toks")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t"))
       .agg(sum(when(col("v1"), 1L).otherwise(0L)).as("cf1"),
         sum(when(!col("v1"), 1L).otherwise(0L)).as("cf2"))
-    def top(cfCol: String, rName: String) = cf.filter(col(cfCol) > 0)
-      .withColumn(rName, row_number()
-        .over(Window.orderBy(col(cfCol).desc, col("t"))).cast("long"))
-      .filter(col(rName) <= 20)
-    top("cf1", "rank_v1").select(col("t"), col("rank_v1"), col("cf1"))
+      .persist()
+    def top(cfCol: String, rName: String) = {
+      val t20 = cf.filter(col(cfCol) > 0)
+        .select(col("t"), col(cfCol))
+        .orderBy(col(cfCol).desc, col("t")).limit(20)
+        .localCheckpoint() // ≤20 rows by construction
+      // rank within the bounded frame = #members sorting at-or-before —
+      // a 20×20 broadcast theta-join, no WindowExec anywhere
+      t20.join(broadcast(t20.select(col("t").as("bt"), col(cfCol).as("bcf"))),
+          col("bcf") > col(cfCol) ||
+            (col("bcf") === col(cfCol) && col("bt") <= col("t")))
+        .groupBy(col("t"), col(cfCol))
+        .agg(count(lit(1)).as(rName))
+    }
+    val out = top("cf1", "rank_v1").select(col("t"), col("rank_v1"), col("cf1"))
       .join(top("cf2", "rank_v2").select(col("t"), col("rank_v2"), col("cf2")),
         Seq("t"), "full_outer")
       .select(col("t").as("term"), col("rank_v1"), col("cf1").as("cf_v1"),
         col("rank_v2"), col("cf2").as("cf_v2"))
+      .localCheckpoint()
+    cf.unpersist(blocking = false)
+    out
   }
 
   /** LSH candidate-quality evaluation — the number every dedup pipeline
@@ -1691,16 +1726,33 @@ object TextOps {
     * in 10 score deciles, per decile the mean score and the ACTUAL
     * positive rate — monotone pos_rate across deciles is what licenses
     * using the score as a ranking/threshold signal (q144's funnel
-    * consumes it that way). The decile window is global but runs on
-    * the held-out EVAL slice — sample-bounded by design (q150's
-    * harness convention), never the corpus. No sigmoid: calibration
-    * diagrams are invariant to monotone transforms, and skipping it
-    * keeps the query transcendental-free. */
+    * consumes it that way). NOT ntile: a global-window decile sorts the
+    * whole eval slice through one task, and "the eval set is small" is a
+    * convention, not a bound — at corpus scale held-out slices are
+    * corpus-sized too. Instead q179's DISCRETE-boundary method: decile
+    * boundary k = the smallest score whose cumulative count reaches
+    * ⌈k·n/10⌉, found on the (score, count) table (cardinality-bounded),
+    * then a broadcast 9-boundary array bins every doc inside the scan.
+    * Tied scores land in ONE decile (the honest treatment — ntile split
+    * ties arbitrarily by doc_id). No sigmoid: calibration diagrams are
+    * invariant to monotone transforms, and skipping it keeps the query
+    * transcendental-free. */
   def q287NbCalibration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    q248NbScore(s, dir)
-      .withColumn("decile", ntile(10)
-        .over(Window.orderBy(col("score_micro"), col("doc_id"))).cast("long"))
+    val sc = q248NbScore(s, dir)
+    val n1 = sc.agg(count(lit(1)).as("n"))
+    val cum = sc.groupBy(col("score_micro")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("score_micro"))))
+      .crossJoin(broadcast(n1))
+    val bounds = (1 to 9).map { k =>
+      cum.filter(col("cum") >= expr(s"(n * $k + 9) div 10"))
+        .agg(min(col("score_micro")).as(s"b$k"))
+    }.reduce(_ crossJoin _)
+      .select(array((1 to 9).map(k => col(s"b$k")): _*).as("bs"))
+    sc.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (expr("size(filter(bs, b -> score_micro > b))") + 1).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("score_micro")) / count(lit(1)).cast("double"), 2)
@@ -1890,20 +1942,56 @@ object TextOps {
     * closed-form regression operator ([[Relational.olsFit]]) — slope ≈
     * −α is the Zipf exponent, R² measures how Zipfian the corpus is
     * (a sanity gate on synthetic/corrupted corpora whose spectra go
-    * flat). One term shuffle builds the spectrum; the rank window runs
-    * on the VOCABULARY table (bounded artifact, the q121 convention);
-    * log coordinates quantize to integer micro-units before the fit so
-    * the sufficient statistics stay engine-exact. */
+    * flat). One term shuffle builds the spectrum; log coordinates
+    * quantize to integer micro-units before the fit so the sufficient
+    * statistics stay engine-exact.
+    *
+    * The fit needs EVERY term's frequency rank, so a limit can't cut
+    * the window — instead rank computes as the bucketed two-phase
+    * prefix (the budgetPrefix pattern): rank = cf-group offset +
+    * in-group index. Only the DISTINCT-frequency table (√-scale of the
+    * vocabulary, Zipf's own guarantee) sees an unpartitioned cumsum;
+    * per-term windows partition on (cf, salt) where the 64-way term-hash
+    * salt breaks the hapax mega-group (at web scale, cf=1 alone is half
+    * the vocabulary — unsalted, one task would sort billions of ties).
+    * The within-group assignment is salt-permuted rather than lexical,
+    * which the OLS is invariant to: a cf-group's members receive the
+    * SAME rank set {off+1..off+k} under any permutation, and every
+    * member shares y = ln(cf), so the fit's sufficient statistics are
+    * bit-identical to the oracle's lexical row_number. */
   def q266ZipfFit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cf = docs(s, dir)
       .select(explode(col("toks")).as("term")).filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val ranked = cf.withColumn("rank",
-      row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
-    Relational.olsFit(ranked.select(lit("zipf").as("g"),
+      .withColumn("salt", pmod(xxhash64(col("term")), lit(64)).cast("long"))
+    val cells = cf.groupBy(col("cf"), col("salt")).agg(count(lit(1)).as("k"))
+      .persist()
+    // phase 1a: offset of each cf group = Σ sizes of strictly-higher groups
+    // (unpartitioned cumsum, but over the distinct-frequency table only)
+    val wCf = Window.orderBy(col("cf").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grp = cells.groupBy(col("cf")).agg(sum(col("k")).as("kg"))
+      .withColumn("goff", coalesce(sum(col("kg")).over(wCf), lit(0L)))
+      .select(col("cf"), col("goff"))
+    // phase 1b: offset of each salt cell within its cf group (windows
+    // partition on cf; ≤64 rows each)
+    val wSalt = Window.partitionBy(col("cf")).orderBy(col("salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = cells
+      .withColumn("soff", coalesce(sum(col("k")).over(wSalt), lit(0L)))
+      .join(grp, Seq("cf"))
+      .select(col("cf"), col("salt"), (col("goff") + col("soff")).as("off"))
+    // phase 2: per-term rank inside the salted cell
+    val wIn = Window.partitionBy(col("cf"), col("salt")).orderBy(col("term"))
+    val ranked = cf.join(cellOff, Seq("cf", "salt"))
+      .withColumn("rank", col("off") + row_number().over(wIn))
+    val out = Relational.olsFit(ranked.select(lit("zipf").as("g"),
       round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
       round(log(col("cf").cast("double")) * 1e6).cast("long").as("y")))
+      .localCheckpoint()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Vocabulary extraction (tokenizer/vocab building): corpus-wide term
@@ -2305,9 +2393,14 @@ object TextOps {
     val uni = d.select(explode(col("toks")).as("term"))
     val cf = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nu = uni.select(count(lit(1)).cast("double").as("nu"))
+    // size guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+    // empty like DuckDB's generate_series — unguarded, a single-token doc
+    // would mint two null-padded bigrams that shift nb (and pmi) for
+    // every row (the q192/q285/bpeTrain convention)
     val bg = d.select(explode(expr(
-      "transform(sequence(1, size(toks)-1), " +
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      "IF(size(toks) >= 2, transform(sequence(1, size(toks)-1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)), " +
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val nb = bg.select(count(lit(1)).cast("double").as("nb"))
     val out = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
@@ -2335,13 +2428,23 @@ object TextOps {
     * no HOF lambda chain could keep inside whole-stage codegen — and
     * because costs are integers the full DP replays bit-identically in
     * the DuckDB oracle's recursive CTE (a maxLen-wide sliding window of
-    * dp values per doc). The vocabulary is a vocab-sized census read
-    * (the q239 boundary class); at 100 TB it is an artifact of the
-    * tokenizer-training job, broadcast with the plan. */
+    * dp values per doc). The piece vocabulary is a FIXED-SIZE artifact
+    * by construction — top-[[ViterbiVocabSize]] tokens by count (length
+    * ≤ 12, the oracle's DP window width) via TakeOrdered, so the driver
+    * read is V-bounded no matter the corpus (real tokenizers ship fixed
+    * vocab sizes; an unbounded collect here was round-11's named
+    * scale-killer). Costs renormalize over the kept vocabulary. The
+    * model then rides the plan as expression constructor data. */
+  /** q243's fixed piece-vocabulary budget: the TakeOrdered cut that makes
+    * the driver-side model read bounded by construction. */
+  private[graft] val ViterbiVocabSize = 512
+
   def q243ViterbiSegment(s: SparkSession, dir: String): DataFrame = {
     val counts = docs(s, dir)
-      .select(explode(col("toks")).as("t")).filter(col("t") =!= "")
+      .select(explode(col("toks")).as("t"))
+      .filter(col("t") =!= "" && length(col("t")) <= 12)
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(ViterbiVocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val total = counts.map(_._2).sum.toDouble
     val fromCorpus = counts.map { case (t, c) =>
@@ -3485,10 +3588,10 @@ object TextOps {
                         count(*) AS v FROM c),
          m AS (SELECT token,
                  CAST(round((ln(n_pos + 1) - ln(tp + v)
-                   - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
+                   - ln(n_neg + 1) + ln(tn + v)) * 962000) AS BIGINT) AS w_micro
                FROM c CROSS JOIN tot),
          b AS (SELECT CAST(round((ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
-                 - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1e6)
+                 - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 962000)
                  AS BIGINT) AS bias_micro
                FROM d WHERE train),
          h AS (SELECT doc_id, pos AS hq, unnest(toks) AS token
@@ -4169,7 +4272,8 @@ object TextOps {
                         count(*) AS v FROM c)
          SELECT token, n_pos, n_neg,
            CAST(round((ln(n_pos + 1) - ln(tp + v)
-                       - ln(n_neg + 1) + ln(tn + v)) * 1e6) AS BIGINT) AS w_micro
+                       - ln(n_neg + 1) + ln(tn + v)) * 962000) AS BIGINT)
+             AS w_micro
          FROM c CROSS JOIN tot""",
     "q248_nb_score" ->
       s"""WITH $nbScoreCtesSql
@@ -4194,10 +4298,20 @@ object TextOps {
          FROM cm""",
     "q287_nb_calibration" ->
       s"""WITH $nbScoreCtesSql,
-         dec AS (SELECT hq, score_micro,
-                   ntile(10) OVER (ORDER BY score_micro, doc_id) AS decile
-                 FROM scored)
-         SELECT CAST(decile AS BIGINT) AS decile,
+         n1 AS (SELECT count(*) AS n FROM scored),
+         cum AS (SELECT score_micro,
+                        sum(c) OVER (ORDER BY score_micro) AS cum
+                 FROM (SELECT score_micro, count(*) AS c
+                       FROM scored GROUP BY 1)),
+         ks AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k),
+         bl AS (SELECT k, min(score_micro) AS b FROM ks, cum, n1
+                WHERE cum >= (n1.n * k + 9) // 10 GROUP BY k),
+         bs AS (SELECT list(b ORDER BY k) AS bs FROM bl),
+         dec AS (SELECT s.hq, s.score_micro,
+                   1 + CAST(len(list_filter(b.bs, x -> s.score_micro > x))
+                            AS BIGINT) AS decile
+                 FROM scored s CROSS JOIN bs b)
+         SELECT decile,
                 CAST(count(*) AS BIGINT) AS n,
                 round(sum(score_micro) / CAST(count(*) AS DOUBLE), 2)
                   AS mean_score,
@@ -4310,8 +4424,10 @@ object TextOps {
                       replace(substr(text, 1, 60), ' ', '') AS s
                FROM documents),
          tok AS (SELECT unnest(toks) AS tt FROM t),
-         tc AS (SELECT tt AS piece, count(*) AS c FROM tok WHERE tt <> '' GROUP BY 1),
-         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok WHERE tt <> ''),
+         tc AS (SELECT tt AS piece, count(*) AS c FROM tok
+                WHERE tt <> '' AND length(tt) <= 12
+                GROUP BY 1 ORDER BY c DESC, tt LIMIT 512),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tc),
          vocab AS (SELECT piece, min(cost) AS cost FROM (
                    SELECT piece, CAST(round(-ln(c / total) * 1000000) AS BIGINT) AS cost
                      FROM tc CROSS JOIN tot
@@ -4346,11 +4462,12 @@ object TextOps {
              GROUP BY w.doc_id, w.i
            ) q
          )
-         SELECT w.doc_id, w.paths[1] AS seg,
+         SELECT t.doc_id, w.paths[1] AS seg,
                 CASE WHEN w.paths[1] = '' THEN 0
                      ELSE CAST(len(string_split(w.paths[1], '|')) AS BIGINT)
                 END AS n_pieces
-         FROM walk w WHERE w.i = length(w.s)""",
+         FROM t LEFT JOIN walk w
+           ON w.doc_id = t.doc_id AND w.i = length(t.s)""",
     "q236_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
          uni AS (SELECT unnest(toks) AS term FROM t),
@@ -4854,6 +4971,7 @@ object TextOps {
                 FROM t),
          top3 AS (SELECT bg FROM (
                     SELECT bg, count(*) AS n FROM bg
+                    WHERE bg NOT LIKE ' %' AND bg NOT LIKE '% '
                     GROUP BY 1 ORDER BY n DESC, bg LIMIT 3)),
          occ AS (SELECT doc_id, bg FROM bg
                  WHERE bg IN (SELECT bg FROM top3))

@@ -810,31 +810,41 @@ object VectorOps {
     * the hardest embedding neighbor OUTSIDE the anchor's dedup cluster
     * (q110's labels exclude everything transitively near-duplicate, so
     * a chained duplicate can never leak in as a "negative" — the
-    * false-negative trap naive cosine mining has). Scale shape: anchors
-    * are pair-bound and broadcast against ONE corpus-embedding pass
-    * (q150's shape); at index scale the negative search cell-prunes
-    * through the IVF path (q60/q193) instead of the dense scan. */
+    * false-negative trap naive cosine mining has). Scale shape: the
+    * negative search CELL-PRUNES through the IVF coarse quantizer
+    * (q60/q193's own path) — the anchor probes its assigned cell and
+    * only cell-local candidates get the exact cosine + cluster-exclusion
+    * filter, so the join is a broadcast EQUI-join on the cell key, never
+    * the corpus × anchors non-equi product (round-11's named
+    * scale-killer: with web-crawl dup rates, anchors are a large corpus
+    * fraction and the dense product blows up quadratically). The mined
+    * negative is the hardest IN-CELL candidate — exactly the approximate
+    * hard-negative semantics an ANN-served mining job ships. */
   def q279TripletMining(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.TextOps.q34MinhashLsh(s, dir)
     val pos = pairs.groupBy(col("doc_a").as("anchor_id"))
       .agg(min(col("doc_b")).as("pos_id"))
     val canon = graft.operators.TextOps.q110DedupClusters(s, dir)
-    val e = vecs(s, dir)
+    val cells = assignCells(vecs(s, dir)).persist()
     val anchors = pos
-      .join(e.select(col("vec_id").as("anchor_id"), col("v").as("av")),
-        Seq("anchor_id"))
+      .join(cells.select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("cell")), Seq("anchor_id"))
       .join(canon.select(col("doc_id").as("anchor_id"),
         col("canonical_id").as("ac")), Seq("anchor_id"))
       .localCheckpoint() // pair-bound
-    val cand = e.join(canon.select(col("doc_id").as("vec_id"),
+    val cand = cells.join(canon.select(col("doc_id").as("vec_id"),
       col("canonical_id").as("cc")), Seq("vec_id"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.join(broadcast(anchors), col("cc") =!= col("ac"))
+    val out = cand.join(broadcast(anchors), Seq("cell"))
+      .filter(col("cc") =!= col("ac"))
       .withColumn("cos", round(CosineSimilarity(col("av"), col("v")), 6))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("anchor_id"), col("pos_id"), col("vec_id").as("neg_id"),
         col("cos").as("neg_cos"))
+      .localCheckpoint()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Clustering quality — purity and NMI of the IVF cell assignment
@@ -849,6 +859,13 @@ object VectorOps {
     * the single sqrt/division rounds once at the end. */
   def q291ClusterQuality(s: SparkSession, dir: String): DataFrame = {
     def lnM(c: String) = expr(s"CAST(round(ln($c) * 1000000) AS BIGINT)")
+    // fail LOUDLY on a non-numeric label schema: a silent cast("long")
+    // would turn every label into NULL (and the NULL group would vanish
+    // through the contingency groupBy) while the oracle's CAST errors —
+    // an asymmetric drift, not a diff (round-11 ADVICE)
+    val labelType = Tables.embeddings(s, dir).schema("label").dataType
+    require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"q291 needs a numeric embeddings label column, got $labelType")
     val cl = assignCells(vecs(s, dir)).select(col("vec_id"), col("cell"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
@@ -1045,16 +1062,14 @@ object VectorOps {
            SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.m),
          lab AS (SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
                  FROM reach GROUP BY node),
-         ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-                FROM embeddings, range(1, 65) ti(i)),
-         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
-         an AS (SELECT p.anchor_id, p.pos_id, la.canonical_id AS ac
+         $assignSql,
+         an AS (SELECT p.anchor_id, p.pos_id, la.canonical_id AS ac, aa.cell
                 FROM pos p JOIN lab la ON la.doc_id = p.anchor_id
-                     JOIN nrm nn ON nn.vec_id = p.anchor_id),
-         cnd AS (SELECT nr.vec_id, lc.canonical_id AS cc
-                 FROM nrm nr JOIN lab lc ON lc.doc_id = nr.vec_id),
+                     JOIN assigned aa ON aa.vec_id = p.anchor_id),
+         cnd AS (SELECT a2.vec_id, lc.canonical_id AS ccl, a2.cell
+                 FROM assigned a2 JOIN lab lc ON lc.doc_id = a2.vec_id),
          dd AS (SELECT a.anchor_id, c.vec_id, sum(qa.x * qc.x) AS dot
-                FROM an a JOIN cnd c ON c.cc <> a.ac
+                FROM an a JOIN cnd c ON c.cell = a.cell AND c.ccl <> a.ac
                      JOIN ex qa ON qa.vec_id = a.anchor_id
                      JOIN ex qc ON qc.vec_id = c.vec_id AND qc.i = qa.i
                 GROUP BY 1, 2),

@@ -1540,8 +1540,14 @@ object SparqlText {
         e
       case TVar(_) => EVar(varName())
       case TStr(_, _) =>
-        val TStr(s, _) = next(): @unchecked
-        EStr(s)
+        val TStr(s, dt) = next(): @unchecked
+        // a duration-typed literal lands on the duration rung, so
+        // comparisons against it order by duration VALUE (§17.4.5.7's
+        // result type); every other datatype keeps the lexical rung
+        if (dt.exists(d => d == "xsd:dayTimeDuration" || d == "xsd:duration"
+            || d.endsWith("#dayTimeDuration") || d.endsWith("#duration")))
+          EFn("XSD_DAYTIMEDURATION", Seq(EStr(s)))
+        else EStr(s)
       case TNum(_) =>
         val TNum(s) = next(): @unchecked
         ENum(s)
@@ -1561,7 +1567,7 @@ object SparqlText {
         expectPunct(")")
         val name = p.substring(4).toLowerCase
         if (!Set("integer", "decimal", "double", "float", "string",
-            "boolean").contains(name))
+            "boolean", "daytimeduration").contains(name))
           fail(s"unsupported XSD constructor xsd:$name")
         EFn("XSD_" + name.toUpperCase, Seq(arg))
       case TPname(_) =>
@@ -2952,22 +2958,7 @@ object SparqlText {
           // CaseWhen keeps the offset-digit casts off the 'Z'/zone-less
           // rows (ANSI-safe: '' never reaches CAST).
           case EFn("TIMEZONE", Seq(x)) =>
-            val s0 = compileE(x)._1.cast("string")
-            val zone = regexp_extract(s0,
-              "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
-            val h = substring(zone, 2, 2).cast("int")
-            val mi = substring(zone, 5, 2).cast("int")
-            // unbound/NULL argument must stay unbound: a NULL s0 makes
-            // every `when` condition NULL (→ skipped), so without the
-            // isNull guard the otherwise-concat would mint a bare "PT"
-            val dur = when(s0.isNull || zone === "", lit(null).cast("string"))
-              .when(zone === "Z", lit("PT0S"))
-              .when(h === 0 && mi === 0, lit("PT0S"))
-              .otherwise(concat(
-                when(substring(zone, 1, 1) === "-", lit("-")).otherwise(lit("")),
-                lit("PT"),
-                when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
-                when(mi > 0, concat(mi.cast("string"), lit("M"))).otherwise(lit(""))))
+            val dur = timezoneDurationOf(compileE(x)._1.cast("string"))
             a.withColumn(out, dur)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull,
@@ -3235,11 +3226,19 @@ object SparqlText {
   private case object TyN extends TyNum
   private case object TyI extends TyNum
   private case object TyB extends Ty
+  /** xsd:dayTimeDuration on the expression rung: the VALUE is the lexical
+    * form ("±PnDTnHnMnS" — what projects and what BIND stores), but the
+    * type carries a SECONDS interpretation ([[durationSeconds]]) that
+    * comparisons and numeric contexts read, so
+    * `TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration` orders by duration
+    * VALUE, not by string (where "PT10H" < "PT2H"). */
+  private case object TyDur extends Ty
 
   private def asNum(ct: (Column, Ty)): Column = ct match {
     case (c, TyN) => c
     case (c, TyI) => c // long — Spark promotes to double in mixed ops
     case (c, TyS) => c.cast("double")
+    case (c, TyDur) => durationSeconds(c)
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
   /** Variables an expression references by name (EExists bodies excluded:
@@ -3365,8 +3364,47 @@ object SparqlText {
   }
   private def asStr(ct: (Column, Ty)): Column = ct match {
     case (c, TyS) => c
+    case (c, TyDur) => c // the value IS the duration lexical form
     case (c, _: TyNum) => c.cast("string")
     case (_, TyB) => sys.error("boolean expression used as a string")
+  }
+
+  /** xsd:dayTimeDuration lexical → signed seconds (double): the value
+    * carrier duration comparisons and numeric contexts read. Component
+    * pulls are independent regexes (day/hour/minute/second designators
+    * are unambiguous in a DAY-TIME duration — no months, so 'M' is
+    * always minutes); absent components contribute 0, a NULL lexical
+    * stays NULL (unbound-propagating). */
+  private def durationSeconds(c: Column): Column = {
+    def part(p: String) = {
+      val x = regexp_extract(c, p, 1)
+      when(x === "", lit(0.0)).otherwise(x.cast("double"))
+    }
+    val total = part("(\\d+)D") * 86400 + part("(\\d+)H") * 3600 +
+      part("(\\d+)M") * 60 + part("(\\d+(?:\\.\\d+)?)S")
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(when(c.startsWith("-"), -total).otherwise(total))
+  }
+
+  /** §17.4.5.7 core shared by the BIND path (which adds the __dt
+    * companion) and plain expression position: the zone of an
+    * xsd:dateTime lexical as an xsd:dayTimeDuration lexical — NULL
+    * (unbound-propagating error) when zone-less or malformed, per XPath
+    * fn:timezone-from-dateTime. CaseWhen keeps the offset-digit casts
+    * off the 'Z'/zone-less rows (ANSI-safe: '' never reaches CAST). */
+  private def timezoneDurationOf(s0: Column): Column = {
+    val zone = regexp_extract(s0,
+      "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val h = substring(zone, 2, 2).cast("int")
+    val mi = substring(zone, 5, 2).cast("int")
+    when(s0.isNull || zone === "", lit(null).cast("string"))
+      .when(zone === "Z", lit("PT0S"))
+      .when(h === 0 && mi === 0, lit("PT0S"))
+      .otherwise(concat(
+        when(substring(zone, 1, 1) === "-", lit("-")).otherwise(lit("")),
+        lit("PT"),
+        when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+        when(mi > 0, concat(mi.cast("string"), lit("M"))).otherwise(lit(""))))
   }
   private def compileBool(e: EExpr): Column = compileE(e) match {
     case (c, TyB) => c
@@ -3438,12 +3476,16 @@ object SparqlText {
       }
     case ECmp(op, l, r) =>
       val (lc, rc) = (compileE(l), compileE(r))
-      // a numeric side forces a numeric comparison; otherwise lexical
-      // (the ISO-string date ordering). Both sides on the integer rung
-      // compare as longs (exact past 2^53); a mixed numeric pair
-      // promotes to double per §17.3.
+      // a duration side forces a duration-VALUE comparison (both sides
+      // through the seconds carrier — lexical would order "PT10H" below
+      // "PT2H"); a numeric side forces a numeric comparison; otherwise
+      // lexical (the ISO-string date ordering). Both sides on the
+      // integer rung compare as longs (exact past 2^53); a mixed numeric
+      // pair promotes to double per §17.3.
       val (a, b) =
-        if (lc._2 == TyI && rc._2 == TyI) (lc._1, rc._1)
+        if (lc._2 == TyDur || rc._2 == TyDur)
+          (durationSeconds(asStr(lc)), durationSeconds(asStr(rc)))
+        else if (lc._2 == TyI && rc._2 == TyI) (lc._1, rc._1)
         else if (lc._2.isInstanceOf[TyNum] || rc._2.isInstanceOf[TyNum])
           (asNum(lc), asNum(rc))
         else (lc._1, rc._1)
@@ -3513,6 +3555,11 @@ object SparqlText {
       case "XSD_DECIMAL" | "XSD_DOUBLE" | "XSD_FLOAT" =>
         (asNum(a0).cast("double"), TyN)
       case "XSD_STRING" => (asStr(a0), TyS)
+      // the duration rung's entry point: typed duration literals parse
+      // to this constructor, and data-bound lexicals cast onto it —
+      // value stays the lexical form, the TYPE makes comparisons read
+      // the seconds carrier
+      case "XSD_DAYTIMEDURATION" => (asStr(a0), TyDur)
       case "XSD_BOOLEAN" =>
         val s = asStr(a0)
         (when(lower(s).isin("true", "1"), lit(true))
@@ -3603,8 +3650,8 @@ object SparqlText {
           "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"), TyN)
       // TZ (§17.4.5.8) returns the timezone as a SIMPLE STRING — "Z", a
       // "+hh:mm" offset, or "" when the literal carries none (unlike
-      // TIMEZONE, which must raise on a zone-less value and stays
-      // unsupported: the engine has no xsd:dayTimeDuration type).
+      // TIMEZONE, which raises on a zone-less value and lands on the
+      // duration rung — see the TIMEZONE case below).
       case "TZ" =>
         (regexp_extract(asStr(a0),
           "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1), TyS)
@@ -3692,7 +3739,12 @@ object SparqlText {
         "BNODE is supported as the top-level expression of BIND only " +
           "(the engine mints a deterministic per-solution surrogate there, " +
           "SURVEY §7.3 nondeterminism policy)")
-      case "STRLANG" | "STRDT" | "TIMEZONE" => sys.error(
+      // §17.4.5.7 in plain expression position: the duration VALUE with
+      // the duration type (comparisons read the seconds carrier). The
+      // BIND form additionally tags the bound variable's __dt companion.
+      case "TIMEZONE" =>
+        (timezoneDurationOf(asStr(a0).cast("string")), TyDur)
+      case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")
       case other => sys.error(s"unsupported function: $other")

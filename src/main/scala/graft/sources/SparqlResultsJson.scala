@@ -137,12 +137,122 @@ private class SparqlJsonReaderFactory(schema: StructType,
   }
 }
 
+/** Transport seam for the paged results fetch: one call = one page body
+  * (the W3C results-JSON text an endpoint returns for `$query OFFSET
+  * $offset LIMIT $limit`). `None` means "past the last page" — the
+  * pagination loop's stop signal (the reference stops on a short/empty
+  * bindings page; a fetcher may equally stop on HTTP 416 or an empty
+  * body). Implementations: [[DiskPageFetcher]] (the sandbox fixture
+  * path), a production HTTP fetcher (SPARQLWrapper-shaped GET — not
+  * buildable here: zero egress), both usually wrapped in
+  * [[RetryingFetcher]] for the reference's retry/backoff/rate-limit
+  * semantics (prosnet-prefect-pipelines/wikidata_index.py:129-152). */
+trait PageFetcher extends Serializable {
+  def fetch(offset: Long, limit: Long): Option[String]
+}
+
+/** Fixture transport: page `offset/limit` is the (offset/limit)-th
+  * name-sorted .json file under `dir` — the disk stand-in for the HTTP
+  * responses, sharing the parser and pagination loop with a live
+  * fetcher. Offsets must land on page boundaries (they do by
+  * construction: the loop advances by `limit`). */
+final class DiskPageFetcher(dir: String) extends PageFetcher {
+  override def fetch(offset: Long, limit: Long): Option[String] = {
+    require(limit > 0 && offset % limit == 0,
+      s"offset $offset is not a multiple of the page limit $limit")
+    val pages = SparqlResultsJson.listPages(dir)
+    val idx = (offset / limit).toInt
+    if (idx >= pages.length) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(pages(idx))
+      val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+}
+
+/** Retry/backoff/rate-limit decorator — the reference's transport policy
+  * (retry transient failures with exponential backoff, sleep between
+  * pages to respect the endpoint's rate limit) as CONFIG on the seam,
+  * so any fetcher gains it unchanged. `sleeper` is injectable so specs
+  * assert the schedule without waiting. */
+final class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 3,
+    backoffMs: Long = 1000L, pageDelayMs: Long = 0L,
+    sleeper: Long => Unit = Thread.sleep) extends PageFetcher {
+  require(maxRetries >= 0 && backoffMs >= 0 && pageDelayMs >= 0)
+  override def fetch(offset: Long, limit: Long): Option[String] = {
+    if (pageDelayMs > 0 && offset > 0) sleeper(pageDelayMs)
+    var attempt = 0
+    while (true) {
+      try return inner.fetch(offset, limit)
+      catch {
+        case e: Exception if attempt < maxRetries =>
+          sleeper(backoffMs << attempt) // 1×, 2×, 4×, … exponential
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+}
+
 object SparqlResultsJson {
 
   /** Bindings frame for a page directory — the library entry point. */
   def bindings(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[SparqlJsonPagedProvider].getName)
       .option("dir", dir).load()
+
+  /** The reference's pagination loop over the transport seam: fetch
+    * pages at offsets 0, limit, 2·limit, … until the fetcher signals
+    * the end or a page carries fewer than `limit` bindings (the short
+    * page — the reference's own stop condition), STAGING each body as
+    * `page-NNNNN.json` under `spoolDir`. Fetch is sequential by nature
+    * (the next offset exists only after the previous page arrives —
+    * exactly the reference's loop); the stage → parse split is what
+    * restores parallelism: the spooled pages parse cluster-wide through
+    * the DSv2 source. Returns the staged paths. */
+  def stagePages(fetcher: PageFetcher, limit: Long,
+                 spoolDir: String): Seq[String] = {
+    require(limit > 0, "limit must be positive")
+    val p = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = p.getFileSystem(graft.util.Fs.hadoopConf())
+    fs.mkdirs(p)
+    val mapper = new ObjectMapper()
+    val staged = Seq.newBuilder[String]
+    var offset = 0L
+    var more = true
+    while (more) {
+      fetcher.fetch(offset, limit) match {
+        case None => more = false
+        case Some(body) =>
+          val n = mapper.readTree(body).path("results").path("bindings").size()
+          if (n > 0) {
+            val out = new org.apache.hadoop.fs.Path(p,
+              f"page-${offset / limit}%05d.json")
+            val os = fs.create(out, true)
+            try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            staged += out.toString
+          }
+          more = n >= limit
+          offset += limit
+      }
+    }
+    staged.result()
+  }
+
+  /** Fetch-stage-parse composition: the full remote-endpoint read path
+    * with the transport pluggable — `bindingsVia(spark, new
+    * RetryingFetcher(httpFetcher), 200, spool)` is the production call;
+    * the sandbox spec drives the same loop with [[DiskPageFetcher]]. */
+  def bindingsVia(spark: SparkSession, fetcher: PageFetcher, limit: Long,
+                  spoolDir: String): DataFrame = {
+    stagePages(fetcher, limit, spoolDir)
+    bindings(spark, spoolDir)
+  }
 
   /** A (s, p, o)-shaped bindings frame as a registerable SERVICE endpoint
     * graph: the object's term companions become the source-level fidelity

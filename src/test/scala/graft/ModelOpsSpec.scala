@@ -60,7 +60,7 @@ class ModelOpsSpec extends SparkSpec {
   }
 
   test("nbTrain: weights equal the closed-form smoothed log-odds in " +
-      "integer micro-units") {
+      "integer fixed-point units") {
     val spark2 = spark
     import spark2.implicits._
     val rows = Seq(
@@ -71,7 +71,8 @@ class ModelOpsSpec extends SparkSpec {
     val (tp, tn, v) = (3L, 4L, 4L)
     def w(np: Long, nn: Long): Long =
       math.round((math.log(np + 1.0) - math.log(tp + v.toDouble)
-        - math.log(nn + 1.0) + math.log(tn + v.toDouble)) * 1e6)
+        - math.log(nn + 1.0) + math.log(tn + v.toDouble)) *
+        operators.TextOps.NbQuantum)
     assert(got == Map(
       "la" -> ((2L, 0L, w(2, 0))), "vie" -> ((1L, 0L, w(1, 0))),
       "the" -> ((0L, 3L, w(0, 3))), "life" -> ((0L, 1L, w(0, 1)))))

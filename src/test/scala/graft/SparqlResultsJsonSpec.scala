@@ -126,4 +126,57 @@ class SparqlResultsJsonSpec extends SparkSpec {
     } finally graft.plans.SparqlText.unregisterService("http://remote/sparql",
       spark)
   }
+
+  test("PageFetcher seam: bindingsVia(DiskPageFetcher) over the spool " +
+      "equals the direct file read — the fixture and HTTP paths share " +
+      "the pagination loop and parser") {
+    val dir = tmpDir("sjsonSeamSrc")
+    val rows = (0 until 7).map(i => Seq(
+      Some(RTerm(s"http://x/E$i", "iri")),
+      Some(RTerm(s"name $i", "literal", lang = Some("en")))))
+    SparqlResultsJson.writePages(dir, Seq("s", "name"), rows, pageSize = 3)
+    val spool = tmpDir("sjsonSeamSpool")
+    val viaSeam = SparqlResultsJson.bindingsVia(spark,
+      new graft.sources.DiskPageFetcher(dir), limit = 3, spoolDir = spool)
+    val direct = SparqlResultsJson.bindings(spark, dir)
+    assert(viaSeam.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // the short final page (1 row < limit 3) stopped the loop: 3 pages
+    assert(new java.io.File(spool).listFiles().count(
+      _.getName.endsWith(".json")) == 3)
+  }
+
+  test("RetryingFetcher: transient failures retry on the exponential " +
+      "backoff schedule, page delays rate-limit between pages, and " +
+      "exhausted retries propagate") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    class Flaky(failures: Int) extends graft.sources.PageFetcher {
+      private var remaining = failures
+      var calls = 0
+      override def fetch(offset: Long, limit: Long): Option[String] = {
+        calls += 1
+        if (remaining > 0) { remaining -= 1; throw new RuntimeException("503") }
+        if (offset >= 4) None else Some(s"page@$offset")
+      }
+    }
+    // two transient failures → two backoff sleeps (1×, 2×), then success
+    val f1 = new Flaky(2)
+    val r1 = new graft.sources.RetryingFetcher(f1, maxRetries = 3,
+      backoffMs = 100L, pageDelayMs = 0L, sleeper = sleeps += _)
+    assert(r1.fetch(0, 2).contains("page@0") && f1.calls == 3)
+    assert(sleeps.toSeq == Seq(100L, 200L))
+    // rate limit: no delay before the first page, one before each later
+    sleeps.clear()
+    val r2 = new graft.sources.RetryingFetcher(new Flaky(0), maxRetries = 0,
+      backoffMs = 0L, pageDelayMs = 50L, sleeper = sleeps += _)
+    assert(r2.fetch(0, 2).isDefined && sleeps.isEmpty)
+    assert(r2.fetch(2, 2).isDefined && sleeps.toSeq == Seq(50L))
+    // retries exhausted: the transport error surfaces, after maxRetries
+    // backoffs
+    sleeps.clear()
+    val r3 = new graft.sources.RetryingFetcher(new Flaky(10), maxRetries = 2,
+      backoffMs = 10L, pageDelayMs = 0L, sleeper = sleeps += _)
+    intercept[RuntimeException](r3.fetch(0, 2))
+    assert(sleeps.toSeq == Seq(10L, 20L))
+  }
 }

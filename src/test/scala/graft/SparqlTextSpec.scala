@@ -1881,17 +1881,18 @@ class SparqlTextSpec extends SparkSpec {
   }
 
   test("deliberate refusals: RAND/NOW/UUID fail with the reason; " +
-      "TIMEZONE outside BIND points at the BIND form") {
+      "STRLANG outside BIND points at the BIND form") {
     Seq("RAND()", "NOW()", "UUID()").foreach { fn =>
       val e = intercept[RuntimeException](SparqlText.run(
         s"SELECT ?s WHERE { ?s wdt:P570 ?d . FILTER($fn > ?d) }",
         triples, labels))
       assert(e.getMessage.contains("nondeterministic"), fn)
     }
-    val tz = intercept[RuntimeException](SparqlText.run(
-      "SELECT ?s (TIMEZONE(?d) AS ?z) WHERE { ?s wdt:P570 ?d . }",
+    val sl = intercept[RuntimeException](SparqlText.run(
+      "SELECT ?s WHERE { ?s wdt:P570 ?d . " +
+        "FILTER(STRLANG(?d, \"en\") = ?d) }",
       triples, labels))
-    assert(tz.getMessage.contains("BIND only"))
+    assert(sl.getMessage.contains("BIND only"))
   }
 
   test("OPTIONAL filter over outer variables is the LeftJoin condition (§8.3.2)") {
@@ -2290,11 +2291,55 @@ class SparqlTextSpec extends SparkSpec {
     // unbound var coalesces to xsd:string per the engine's value model;
     // the z VALUE itself must be null and TZ must give ""
     assert(out("P5")._1.isEmpty && out("P5")._3 == "")
-    // expression position refuses loudly toward BIND
-    val e = intercept[RuntimeException](SparqlText.run(
+    // expression position evaluates (the duration rung): zero-offset
+    // zones pass the =, the zone-less row errors→unbound and drops
+    val eq = SparqlText.run(
       "SELECT ?s WHERE { ?s <when> ?d FILTER(TIMEZONE(?d) = \"PT0S\") }",
-      t, labels))
-    assert(e.getMessage.contains("BIND only"))
+      t, labels).collect().map(_.getString(0)).toSet
+    assert(eq == Set("P1", "P4"))
+  }
+
+  test("duration comparisons order by VALUE through the seconds carrier, " +
+      "not lexically (§17.4.5.7 result type in §17.3 ordering)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("P1", "when", "2024-03-01T10:00:00Z"),
+      ("P2", "when", "2024-03-01T10:00:00+05:30"),
+      ("P3", "when", "2024-03-01T10:00:00-08:00"),
+      ("P5", "when", "2024-03-01T10:00:00"),
+      ("P6", "when", "2024-03-01T10:00:00+05:00")
+    ).toDF("s", "p", "o")
+    val labels = Seq.empty[(String, String, String)]
+      .toDF("entity", "lang", "label")
+    // lexical ordering would call "PT5H30M" > "PT10H" and drop P2/P6;
+    // value ordering keeps every zone below ten hours
+    val out = SparqlText.run(
+      """SELECT ?s ?cls WHERE {
+        |  ?s <when> ?d .
+        |  FILTER(TIMEZONE(?d) < "PT10H"^^xsd:dayTimeDuration)
+        |  BIND(IF(TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration,
+        |          "east", "nonpositive") AS ?cls)
+        |}""".stripMargin, t, labels)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("P1" -> "nonpositive", "P2" -> "east",
+      "P3" -> "nonpositive", "P6" -> "east")) // P5: zone-less, dropped
+    // negative durations sit below every positive one: -PT8H < PT5H
+    val neg = SparqlText.run(
+      """SELECT ?s WHERE { ?s <when> ?d .
+        |  FILTER(TIMEZONE(?d) < "-PT7H59M"^^xsd:dayTimeDuration)
+        |}""".stripMargin, t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(neg == Set("P3"))
+    // the xsd:dayTimeDuration(...) constructor casts a lexical onto the
+    // duration rung: same comparison through a data-bound string
+    val cast = SparqlText.run(
+      """SELECT ?s WHERE { ?s <when> ?d .
+        |  FILTER(xsd:dayTimeDuration("PT6H") > TIMEZONE(?d)
+        |         && TIMEZONE(?d) >= "PT0S"^^xsd:dayTimeDuration)
+        |}""".stripMargin, t, labels)
+      .collect().map(_.getString(0)).toSet
+    assert(cast == Set("P1", "P2", "P6"))
   }
 
   test("TIMEZONE(unbound) stays unbound (regression: the NULL argument " +

@@ -26,12 +26,20 @@ class UnigramViterbiSpec extends SparkSpec {
     assert(seg("abc", v + ("abc" -> 1000L) + ("c" -> 2L)).contains("a|b|c"))
   }
 
-  test("equal-cost ties resolve to the smallest start (longest piece), " +
-      "matching the oracle's min(struct(cost, j)) order") {
+  test("equal-cost ties resolve to the SHORTEST piece (largest start), " +
+      "matching the oracle's min(struct(cost, pieceLen)) order") {
     // "aaaa" with a=5, aa=10: every split costs 20 — the DP must pick
-    // back(2)=aa (j=0 beats j=1), back(4)=aa (j=2 beats j=3) → "aa|aa"
+    // the 1-char piece at every cell (min piece length on ties, exactly
+    // what DuckDB's min(struct_pack(cand, j)) computes) → "a|a|a|a".
+    // Round-11 ADVICE: the Scala side used to prefer the LONGEST piece
+    // ("aa|aa"), silently diverging from the oracle on any exact
+    // micro-unit cost tie in a real corpus.
     val v = Map("a" -> 5L, "aa" -> 10L)
-    assert(seg("aaaa", v).contains("aa|aa"))
+    assert(seg("aaaa", v).contains("a|a|a|a"))
+    // and a mixed case: "abab" with ab=9, a=4, b=5 — both factorizations
+    // cost 18; shortest-piece must win at every tie cell
+    assert(seg("abab", Map("ab" -> 9L, "a" -> 4L, "b" -> 5L))
+      .contains("a|b|a|b"))
   }
 
   test("unsegmentable input yields null, empty input yields the empty " +
@@ -45,14 +53,18 @@ class UnigramViterbiSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = graft.operators.TextOps.q243ViterbiSegment(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
-    // rebuild the vocab exactly as the query does
+    // rebuild the vocab exactly as the query does: top-V by (count desc,
+    // token) over pieces of length <= 12, costs renormalized over the cut
     val toks = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "" && length(col("t")) <= 12)
       .collect().map(_.getString(0))
-    val total = toks.length.toDouble
-    val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
-    val vocab = (counts.map { case (t, c) =>
-        (t, math.round(-math.log(c / total) * 1e6)) }.toSeq ++
+    val top = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(graft.operators.TextOps.ViterbiVocabSize)
+    val total = top.map(_._2).sum.toDouble
+    val vocab = (top.map { case (t, c) =>
+        (t, math.round(-math.log(c / total) * 1e6)) } ++
         ('a' to 'z').map(ch => (ch.toString, 20000000L)))
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val inputs = Tables.documents(spark, dir)
