@@ -1745,10 +1745,14 @@ object TextOps {
       .withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("score_micro"))))
       .crossJoin(broadcast(n1))
-    val bounds = (1 to 9).map { k =>
-      cum.filter(col("cum") >= expr(s"(n * $k + 9) div 10"))
-        .agg(min(col("score_micro")).as(s"b$k"))
-    }.reduce(_ crossJoin _)
+    // all nine boundaries from ONE conditional aggregation over the
+    // (score, cum) table — nine filtered-agg branches would replicate
+    // the cumsum window subtree nine times in the plan
+    val bExprs = (1 to 9).map { k =>
+      min(when(col("cum") >= expr(s"(n * $k + 9) div 10"),
+        col("score_micro"))).as(s"b$k")
+    }
+    val bounds = cum.agg(bExprs.head, bExprs.tail: _*)
       .select(array((1 to 9).map(k => col(s"b$k")): _*).as("bs"))
     sc.crossJoin(broadcast(bounds))
       .withColumn("decile",
@@ -1760,6 +1764,83 @@ object TextOps {
         sum(when(col("hq"), 1L).otherwise(0L)).as("n_pos"))
       .withColumn("pos_rate",
         round(col("n_pos") / col("n").cast("double"), 4))
+  }
+
+  /** Within-document repetition profile — the Gopher repetition rule
+    * family (Rae et al. 2021 §A1.2: duplicate-n-gram fractions and the
+    * top-n-gram share), the quality signal that catches boilerplate,
+    * keyword stuffing, and decoding loops that per-token rules (q140)
+    * miss. Per doc and n ∈ {2, 3}: the fraction of n-gram OCCURRENCES
+    * whose n-gram repeats within the doc, and the share of the single
+    * most frequent n-gram; the keep bit gates on the 3-gram fraction.
+    * ONE (doc, n, gram) aggregation serves both n's (n rides the
+    * grouping key, so the two gram lengths share the shuffle with
+    * map-side partials); every fraction divides two exact integers and
+    * rounds once. Embarrassingly parallel at any corpus size — the key
+    * space is doc-local. */
+  def q295RepetitionProfile(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = s"IF(size(toks) >= $n, transform(" +
+      s"sequence(0, size(toks)-$n), i -> struct($n AS n, " +
+      (0 until n).map(k => s"toks[i+$k]")
+        .mkString("concat_ws(' ', ", ", ", ") AS g") +
+      ")), CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>))"
+    val counts = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr(s"concat(${grams(2)}, ${grams(3)})")).as("p"))
+      .groupBy(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"),
+        max(col("c")).as("top"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("n") === 2, col("total")).otherwise(0L)).as("n2_total"),
+        // nullif guards: a doc too short for an n-gram length divides
+        // 0/0 — NaN in IEEE, NULL in DuckDB; NULL on both is the diff
+        round(sum(when(col("n") === 2, col("dup")).otherwise(0L)) /
+          nullif(sum(when(col("n") === 2, col("total")).otherwise(0L))
+            .cast("double"), lit(0.0)), 4).as("dup2_frac"),
+        round(sum(when(col("n") === 2, col("top")).otherwise(0L)) /
+          nullif(sum(when(col("n") === 2, col("total")).otherwise(0L))
+            .cast("double"), lit(0.0)), 4).as("top2_share"),
+        round(sum(when(col("n") === 3, col("dup")).otherwise(0L)) /
+          nullif(sum(when(col("n") === 3, col("total")).otherwise(0L))
+            .cast("double"), lit(0.0)), 4).as("dup3_frac"))
+      // Gopher's most-binding 3-gram gate: 5·dup ≤ 4·total in integers
+      // would be the exact form; the rounded fraction is already
+      // engine-exact, so compare it
+      .withColumn("keep", col("dup3_frac") <= 0.8)
+  }
+
+  /** Tokenizer fertility / compression audit per source — the go/no-go
+    * table a tokenizer change ships with (fertility = pieces per word;
+    * chars per piece = compression): q218's BPE encoder applied
+    * corpus-wide, rolled up by source. A tokenizer that's efficient on
+    * one source and pathological on another skews the token budget the
+    * mixture solver (q124/q178) allocates — this is the table that
+    * catches it. One scan, one partial-agg groupBy; all ratios divide
+    * exact per-source BIGINT sums and round once. */
+  def q296TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncoded(col("text"),
+      Seq(("t", "h"), ("th", "e"), ("e", "r")))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+        (length(enc) - length(regexp_replace(enc, "\\{", "")))
+          .cast("long").as("np"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))")
+          .cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"), sum(col("np")).as("n_pieces"),
+        sum(col("nw")).as("n_words"),
+        round(sum(col("nc")) /
+          nullif(sum(col("np")).cast("double"), lit(0.0)), 4)
+          .as("chars_per_piece"),
+        round(sum(col("np")) /
+          nullif(sum(col("nw")).cast("double"), lit(0.0)), 4)
+          .as("fertility"))
   }
 
   /** Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08 — design
@@ -3065,10 +3146,14 @@ object TextOps {
       .withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("surprisal"))))
       .crossJoin(broadcast(n1))
-    val bounds = (1 to 9).map { k =>
-      cum.filter(col("cum") >= expr(s"(n * $k + 9) div 10"))
-        .agg(min(col("surprisal")).as(s"b$k"))
-    }.reduce(_ crossJoin _)
+    // all nine boundaries from ONE conditional aggregation (the q287
+    // convention): nine filtered-agg branches would replicate the
+    // cumsum window subtree nine times in the plan
+    val bExprs = (1 to 9).map { k =>
+      min(when(col("cum") >= expr(s"(n * $k + 9) div 10"),
+        col("surprisal"))).as(s"b$k")
+    }
+    val bounds = cum.agg(bExprs.head, bExprs.tail: _*)
       .select(array((1 to 9).map(k => col(s"b$k")): _*).as("bs"))
     sc.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("size(filter(bs, b -> surprisal > b))"))
@@ -3464,6 +3549,8 @@ object TextOps {
     "q217_html_extract" -> q217HtmlExtract _,
     "q218_bpe_encode" -> q218BpeEncode _,
     "q225_bpe_train" -> q225BpeTrain _,
+    "q295_repetition_profile" -> q295RepetitionProfile _,
+    "q296_tokenizer_fertility" -> q296TokenizerFertility _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -3740,6 +3827,67 @@ object TextOps {
                         AS DOUBLE) / count(*), 6) AS oov_rate
          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
          GROUP BY t.source""",
+    "q295_repetition_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         gr AS (SELECT doc_id, 2 AS n,
+                  unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                           i -> toks[i]||' '||toks[i+1])
+                    ELSE [] END) AS g
+                FROM t
+                UNION ALL
+                SELECT doc_id, 3 AS n,
+                  unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+                    ELSE [] END) AS g
+                FROM t),
+         c AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         pn AS (SELECT doc_id, n, sum(c) AS total,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+                  max(c) AS top
+                FROM c GROUP BY 1, 2),
+         pd AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN n = 2 THEN total ELSE 0 END)
+                       AS BIGINT) AS n2_total,
+                  round(sum(CASE WHEN n = 2 THEN dup ELSE 0 END) /
+                    nullif(CAST(sum(CASE WHEN n = 2 THEN total ELSE 0 END)
+                      AS DOUBLE), 0.0), 4) AS dup2_frac,
+                  round(sum(CASE WHEN n = 2 THEN top ELSE 0 END) /
+                    nullif(CAST(sum(CASE WHEN n = 2 THEN total ELSE 0 END)
+                      AS DOUBLE), 0.0), 4) AS top2_share,
+                  round(sum(CASE WHEN n = 3 THEN dup ELSE 0 END) /
+                    nullif(CAST(sum(CASE WHEN n = 3 THEN total ELSE 0 END)
+                      AS DOUBLE), 0.0), 4) AS dup3_frac
+                FROM pn GROUP BY 1)
+         SELECT doc_id, n2_total, dup2_frac, top2_share, dup3_frac,
+                dup3_frac <= 0.8 AS keep
+         FROM pd""",
+    "q296_tokenizer_fertility" ->
+      """WITH w AS (SELECT source, length(replace(text, ' ', '')) AS nc,
+                regexp_replace(text, '([^ ])', '{\1}', 'g') AS wr,
+                len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS nw
+              FROM documents),
+         e AS (SELECT source, nc, nw,
+                 replace(replace(replace(wr,
+                   '{t}{h}', '{th}'),
+                   '{th}{e}', '{the}'),
+                   '{e}{r}', '{er}') AS enc
+               FROM w),
+         p AS (SELECT source, nc, nw,
+                 length(enc) - length(replace(enc, '{', '')) AS np
+               FROM e)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(sum(np) AS BIGINT) AS n_pieces,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                round(sum(nc) / nullif(CAST(sum(np) AS DOUBLE), 0.0), 4)
+                  AS chars_per_piece,
+                round(sum(np) / nullif(CAST(sum(nw) AS DOUBLE), 0.0), 4)
+                  AS fertility
+         FROM p GROUP BY 1""",
     "q218_bpe_encode" ->
       """WITH w AS (SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
                 regexp_replace(text, '([^ ])', '{\1}', 'g') AS wr

@@ -335,6 +335,42 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming model-based admit — the apply half of the NB distillation
+    * (q247 trains, q248 scores) as a stream gate, the shape a crawl
+    * pipeline actually deploys the cheap model in: each micro-batch
+    * scores its docs against the BROADCAST token-weight model (one
+    * explode + broadcast join + per-doc LONG sum — integer fixed-point
+    * weights, so admit decisions are bit-identical to the batch scorer
+    * regardless of micro-batch boundaries) and appends admitted docs to
+    * `acceptPath`. STATELESS by design: the model is plan-side constant
+    * data, per-trigger cost is batch-sized, and replay is safe (a
+    * re-scored doc admits identically — idempotent append semantics up
+    * to duplicate rows, the upsertSink concern, not this gate's). A doc
+    * with NO in-vocabulary token is rejected (it never reaches the
+    * scorer — q248's inner-join semantics). */
+  def nbFilterSink(docs: DataFrame, model: DataFrame, biasMicro: Long,
+                   acceptPath: String)
+                  (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = model.select(col("token"), col("w_micro")).localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val admitted = batch.toDF()
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .join(broadcast(m), Seq("token"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w_micro")).as("sw"))
+          .filter(col("sw") + biasMicro > 0)
+          .select(col("doc_id"))
+        batch.toDF().join(admitted, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(acceptPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of q194's per-source KL drift monitor: drift is
     * intrinsically a per-snapshot concern — each micro-batch folds its
     * (source, bucket) hashed-unigram partials into a RUNNING count state

@@ -670,4 +670,47 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.nonEmpty && probed == batch)
     } finally graft.util.Fs.deleteRecursively(dir)
   }
+
+  test("nbFilterSink admits exactly the docs the batch q248 scorer marks " +
+      "pred_hq, independent of micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("nbfilter").toFile
+    val acceptPath = new java.io.File(dir, "accept").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      // sf0.01: the smallest fixture where the model actually admits a
+      // held-out doc (sf0.001 scores every one negative — a vacuous
+      // parity), so the test sees both admit and reject paths
+      val sfDir = "/root/testdata/sf0.01"
+      // the trained artifacts, exactly as the batch pair derives them
+      val model = graft.operators.TextOps.q247NbTrain(spark, sfDir)
+        .localCheckpoint()
+      val lab = graft.operators.TextOps.hqLabeled(spark, sfDir)
+        .localCheckpoint()
+      val b = lab.filter(col("train"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn")).collect()(0)
+      val biasMicro = math.round(
+        (math.log(b.getLong(0) + 1.0) - math.log(b.getLong(1) + 1.0)) *
+          graft.operators.TextOps.NbQuantum)
+      val heldout = lab.filter(!col("train"))
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      val query = StreamOps.nbFilterSink(
+        input.toDF().toDF("doc_id", "text"), model, biasMicro, acceptPath)(ckpt)
+      val (b1, b2) = heldout.splitAt(heldout.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      query.stop()
+      val admitted = spark.read.parquet(acceptPath)
+        .select("doc_id").as[Long].collect().toSet
+      val expected = graft.operators.TextOps.q248NbScore(spark, sfDir)
+        .filter(col("pred_hq")).select("doc_id").as[Long].collect().toSet
+      assert(expected.nonEmpty, "fixture should admit something")
+      assert(admitted == expected,
+        s"stream/batch divergence: missing=${expected -- admitted} " +
+          s"extra=${admitted -- expected}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 }
