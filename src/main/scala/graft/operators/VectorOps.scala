@@ -114,10 +114,33 @@ object VectorOps {
     scoredCells.withColumn("rn", row_number().over(wCell))
   }
 
-  /** rn=1 projection of [[rankedCells]]: every vector's single cell. */
-  private[graft] def assignCells(e: DataFrame): DataFrame =
-    rankedCells(e).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+  /** rn=1 projection of [[rankedCells]]: every vector's single cell.
+    *
+    * NOT via the window: the k-row centroid frame collects to the driver
+    * (a bounded 8-row read — the closure-census class) and the argmax
+    * becomes a per-row codegen CaseWhen over k literal-centroid cosines
+    * (first equal-to-max wins = smallest cent_id, the window's exact tie
+    * order). This removes a corpus×k explode plus a corpus-keyed window
+    * shuffle from EVERY IVF consumer (q60/q193/q279/q291) — cell
+    * assignment is embarrassingly parallel and now plans that way.
+    * [[rankedCells]] stays for the multi-probe path (rn ≤ p needs the
+    * full ranking). */
+  private[graft] def assignCells(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1) // ties below resolve to the SMALLEST cent_id
+    require(cents.nonEmpty, "assignCells needs at least one centroid")
+    val cos = cents.map { case (_, cv) =>
+      round(CosineSimilarity(col("v"),
+        array(cv.map(lit(_)): _*)), 6)
+    }
+    val mx = if (cos.length == 1) cos.head else greatest(cos: _*)
+    val cell = cents.zip(cos).map { case ((id, _), c) =>
+      when(c === mx, lit(id))
+    }.reduceRight((w, e2) => w.otherwise(e2)) // nested: first max wins
+    e.select(col("vec_id"), col("v"), cell.as("cell"))
+  }
 
   def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
     // assigned feeds both the probe list and the candidate scan — persist
