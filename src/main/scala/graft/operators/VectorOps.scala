@@ -826,6 +826,51 @@ object VectorOps {
       .select(col("q_id"), col("doc_id"), col("rank"), col("rrf"), col("n_arms"))
   }
 
+  /** Retrieval-quality evaluation over the hybrid retriever — MRR and
+    * nDCG@10 of q278's fused ranking against label relevance (a ranked
+    * doc is relevant iff it shares the query's embedding label), the
+    * eval that closes the retrieval loop the way q286/q287 close the
+    * model loop and q288 closes the blocking loop: build the index, run
+    * the queries, MEASURE before trusting it. Discount weights
+    * round(10⁶/log₂(rank+1)) are integers (margins ≥ 0.16 from any .5
+    * boundary for ranks 1..10 — verified), so DCG/IDCG are exact long
+    * sums; the ideal DCG caps at min(10, |label| − 1) relevant docs
+    * (the query's own row is excluded by q278). Scale shape: the ranked
+    * table is (queries × 10) rows; label lookups are joins against the
+    * label table; the per-label census is label-cardinality-bounded. */
+  def q297RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val ranked = q278HybridRrf(s, dir)
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val labCnt = lab.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+    val qlab = lab.select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+      .join(labCnt.select(col("label").as("qlabel"), col("n_lab")),
+        Seq("qlabel"))
+    ranked
+      .join(qlab, Seq("q_id"))
+      .join(lab.select(col("vec_id").as("doc_id"),
+        col("label").as("dlabel")), Seq("doc_id"))
+      .withColumn("rel", (col("dlabel") === col("qlabel")).cast("long"))
+      .withColumn("w",
+        round(lit(1e6) / log2(col("rank") + 1)).cast("long"))
+      .groupBy(col("q_id"), col("n_lab"))
+      .agg(sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1, col("w")).otherwise(0L)).as("dcg_micro"))
+      .withColumn("m", least(lit(10L), col("n_lab") - 1))
+      .withColumn("idcg_micro", expr(
+        "IF(m >= 1, aggregate(sequence(1, CAST(m AS INT)), 0L, " +
+          "(acc, i) -> acc + CAST(round(1000000.0 / log2(CAST(i AS DOUBLE)" +
+          " + 1)) AS BIGINT)), 0L)"))
+      .select(col("q_id"), col("n_rel"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          round(lit(1e6) / col("first_rel_rank")).cast("long"))
+          .as("rr_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        round(col("dcg_micro") /
+          nullif(col("idcg_micro").cast("double"), lit(0.0)), 6).as("ndcg"))
+  }
+
   /** Contrastive triplet mining — the training-data EXPORTER for
     * embedding-model finetuning, composed from three already-oracled
     * operators: anchors are docs with an LSH near-dup (q34), the
@@ -929,6 +974,7 @@ object VectorOps {
     "q291_cluster_quality" -> q291ClusterQuality _,
     "q279_triplet_mining"  -> q279TripletMining _,
     "q278_hybrid_rrf"      -> q278HybridRrf _,
+    "q297_retrieval_eval"  -> q297RetrievalEval _,
     "q270_kcenter_coreset" -> q270KcenterCoreset _,
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q206_pq_train"        -> q206PqTrain _,
@@ -1024,6 +1070,68 @@ object VectorOps {
        ${round(2)}"""
   }
 
+  /** q278's full hybrid-retrieval chain as a CTE block ending in
+    * `rrf_ranked(q_id, doc_id, rank, rrf, n_arms)` — shared by the q278
+    * oracle and the retrieval-eval oracle (q297) so the evaluated
+    * ranking can never drift from the retrieval query (the nbScoreCtes
+    * convention). */
+  private val rrfCtesSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+                  SELECT doc_id AS q_id, unnest(toks) AS term
+                  FROM t WHERE doc_id < 3)),
+         tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                        unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN (SELECT term FROM qt)
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY 1),
+         sc AS (SELECT q.q_id, f.doc_id,
+                  ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    f.tf * 2.2 /
+                    (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS contrib
+                FROM tf f JOIN dft d USING (term) JOIN qt q USING (term)
+                     CROSS JOIN st s
+                WHERE f.doc_id <> q.q_id),
+         lexs AS (SELECT q_id, doc_id,
+                    CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
+                         AS BIGINT) AS bm25_micro
+                  FROM sc GROUP BY 1, 2),
+         lex AS (SELECT q_id, doc_id, r FROM (
+                   SELECT q_id, doc_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS r
+                   FROM lexs) WHERE r <= 20),
+         ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, range(1, 65) ti(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         dd AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                  sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e
+                  ON q.i = e.i AND q.vec_id < 3 AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         cc AS (SELECT dd.q_id, dd.doc_id,
+                  round(dd.dot / (nq.n * ne.n), 6) AS cos
+                FROM dd JOIN nrm nq ON dd.q_id = nq.vec_id
+                        JOIN nrm ne ON dd.doc_id = ne.vec_id),
+         sem AS (SELECT q_id, doc_id, r FROM (
+                   SELECT q_id, doc_id, row_number() OVER (
+                     PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r
+                   FROM cc) WHERE r <= 20),
+         u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         f2 AS (SELECT q_id, doc_id,
+                  round(sum(1.0 / (60.0 + r)), 6) AS rrf,
+                  CAST(count(*) AS BIGINT) AS n_arms
+                FROM u GROUP BY 1, 2),
+         rrf_ranked AS (SELECT q_id, doc_id, rank, rrf, n_arms FROM (
+           SELECT q_id, doc_id, CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+             rrf, n_arms
+           FROM f2) WHERE rank <= 10)"""
+
   val oracles: Map[String, String] = Map(
     "q291_cluster_quality" ->
       s"""WITH $assignSql,
@@ -1106,61 +1214,44 @@ object VectorOps {
          SELECT r.anchor_id, an.pos_id, r.vec_id AS neg_id, r.cos AS neg_cos
          FROM r JOIN an ON an.anchor_id = r.anchor_id WHERE rn = 1""",
     "q278_hybrid_rrf" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
-         qt AS (SELECT DISTINCT q_id, term FROM (
-                  SELECT doc_id AS q_id, unnest(toks) AS term
-                  FROM t WHERE doc_id < 3)),
-         tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-                        unnest(toks) AS term FROM t),
-         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-                FROM tok WHERE term IN (SELECT term FROM qt)
-                GROUP BY 1, 2, 3),
-         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-                 FROM tf GROUP BY 1),
-         sc AS (SELECT q.q_id, f.doc_id,
-                  ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-                    f.tf * 2.2 /
-                    (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS contrib
-                FROM tf f JOIN dft d USING (term) JOIN qt q USING (term)
-                     CROSS JOIN st s
-                WHERE f.doc_id <> q.q_id),
-         lexs AS (SELECT q_id, doc_id,
-                    CAST(sum(CAST(round(contrib * 1000000) AS BIGINT))
-                         AS BIGINT) AS bm25_micro
-                  FROM sc GROUP BY 1, 2),
-         lex AS (SELECT q_id, doc_id, r FROM (
-                   SELECT q_id, doc_id, row_number() OVER (
-                     PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS r
-                   FROM lexs) WHERE r <= 20),
-         ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-                FROM embeddings, range(1, 65) ti(i)),
-         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
-         dd AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
-                  sum(q.x * e.x) AS dot
-                FROM ex q JOIN ex e
-                  ON q.i = e.i AND q.vec_id < 3 AND e.vec_id <> q.vec_id
-                GROUP BY 1, 2),
-         cc AS (SELECT dd.q_id, dd.doc_id,
-                  round(dd.dot / (nq.n * ne.n), 6) AS cos
-                FROM dd JOIN nrm nq ON dd.q_id = nq.vec_id
-                        JOIN nrm ne ON dd.doc_id = ne.vec_id),
-         sem AS (SELECT q_id, doc_id, r FROM (
-                   SELECT q_id, doc_id, row_number() OVER (
-                     PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r
-                   FROM cc) WHERE r <= 20),
-         u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
-         f2 AS (SELECT q_id, doc_id,
-                  round(sum(1.0 / (60.0 + r)), 6) AS rrf,
-                  CAST(count(*) AS BIGINT) AS n_arms
-                FROM u GROUP BY 1, 2)
-         SELECT q_id, doc_id, rank, rrf, n_arms FROM (
-           SELECT q_id, doc_id, CAST(row_number() OVER (
-               PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-             rrf, n_arms
-           FROM f2) WHERE rank <= 10""",
+      s"""WITH $rrfCtesSql
+         SELECT q_id, doc_id, rank, rrf, n_arms FROM rrf_ranked""",
+    "q297_retrieval_eval" ->
+      s"""WITH $rrfCtesSql,
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         lc AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY 1),
+         j AS (SELECT r.q_id, r.rank,
+                 CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END AS rel,
+                 CAST(round(1000000.0 / log2(CAST(r.rank AS DOUBLE) + 1))
+                      AS BIGINT) AS w,
+                 lcq.n_lab
+               FROM rrf_ranked r
+               JOIN lab ql ON ql.vec_id = r.q_id
+               JOIN lab dl ON dl.vec_id = r.doc_id
+               JOIN lc lcq ON lcq.label = ql.label),
+         pq AS (SELECT q_id, any_value(n_lab) AS n_lab,
+                  CAST(sum(rel) AS BIGINT) AS n_rel,
+                  CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+                    AS first_rel_rank,
+                  CAST(sum(CASE WHEN rel = 1 THEN w ELSE 0 END) AS BIGINT)
+                    AS dcg_micro
+                FROM j GROUP BY 1),
+         iq AS (SELECT q_id, n_rel, first_rel_rank, dcg_micro,
+                  least(10, n_lab - 1) AS m FROM pq),
+         iq2 AS (SELECT *,
+                  CAST(COALESCE(list_sum(list_transform(range(1, m + 1),
+                    i -> CAST(round(1000000.0 / log2(CAST(i AS DOUBLE) + 1))
+                         AS BIGINT))), 0) AS BIGINT) AS idcg_micro
+                 FROM iq)
+         SELECT q_id, n_rel, first_rel_rank,
+                CASE WHEN first_rel_rank IS NOT NULL
+                     THEN CAST(round(1000000.0 / first_rel_rank) AS BIGINT)
+                END AS rr_micro,
+                dcg_micro, idcg_micro,
+                round(dcg_micro / nullif(CAST(idcg_micro AS DOUBLE), 0.0), 6)
+                  AS ndcg
+         FROM iq2""",
     "q270_kcenter_coreset" -> kcenterOracleSql,
     "q193_ivfpq_search" ->
       s"""WITH $assignSql,
