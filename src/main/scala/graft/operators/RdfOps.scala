@@ -966,6 +966,58 @@ object RdfOps {
     out
   }
 
+  /** PERSONALIZED PageRank from a seed set (the topic-sensitive variant,
+    * Haveliwala 2002 — design note, not code): teleport mass lands only
+    * on R1's nations, so scores rank the graph by proximity TO THAT
+    * NEIGHBORHOOD instead of global importance — the relevance prior a
+    * graph-aware retrieval layer mixes into ranking, and the third
+    * walk-family member next to global PageRank (q198) and HITS (q249).
+    * Same scale shape as q198 — per round one edge-keyed contribution
+    * shuffle, a 1-row dangling broadcast, a lineage cut — with two PPR
+    * differences: the dangling mass redistributes to the SEED set (the
+    * personalization vector), and nodes outside the seed set get zero
+    * teleport. Seeds are a broadcast nation-cardinality frame. Scores
+    * round to 10dp before reuse; the top-20 sorts on the 8dp emitted
+    * key (q198's round-before-use cut). */
+  def q298PersonalizedPagerank(sp: SparkSession, dir: String): DataFrame = {
+    val e = TripleStore.triples(sp, dir)
+      .filter(col("p").isin("nation", "region"))
+      .select(col("s").as("src"), col("o").as("dst")).persist()
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val seeds = e.filter(col("dst") === "R1")
+      .select(col("src").as("node")).distinct().localCheckpoint()
+    val ns = seeds.count().toDouble
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+    val seedTag = broadcast(seeds.withColumn("inS", lit(1.0)))
+    var pr: DataFrame = nodes.join(seedTag, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("inS"), lit(0.0)) / ns).as("pr"))
+    (1 to 3).foreach { _ =>
+      val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contribs = pr.join(deg, pr("node") === deg("src"))
+        .select(pr("node").as("cn"), (col("pr") / col("deg")).as("share"))
+        .join(e, col("cn") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("cin"))
+      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .join(seedTag, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), round(
+          coalesce(col("inS"), lit(0.0)) *
+            (lit(0.15) / ns + lit(0.85) * col("dm") / ns) +
+            lit(0.85) * coalesce(col("cin"), lit(0.0)), 10).as("pr"))
+        .localCheckpoint()
+    }
+    val out = pr
+      .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
+      .select(col("node"), round(col("pr"), 8).as("pr"))
+      .localCheckpoint()
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    out
+  }
+
   /** HITS hubs & authorities over the entity graph — the second classic
     * link-analysis fixpoint next to PageRank (q198): PageRank scores
     * global importance through damped random walks; HITS separates
@@ -1506,6 +1558,7 @@ object RdfOps {
     "q205_sparql_json_endpoint" -> q205SparqlJsonEndpoint _,
     "q210_timezone"          -> q210Timezone _,
     "q294_duration_compare"  -> q294DurationCompare _,
+    "q298_personalized_pagerank" -> q298PersonalizedPagerank _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
     "q166_graph_subselect"   -> q166GraphSubselect _,
@@ -1724,6 +1777,42 @@ object RdfOps {
                 CROSS JOIN nn CROSS JOIN d3)
          SELECT node, round(pr, 8) AS pr FROM p3
          ORDER BY pr DESC, node LIMIT 20""",
+    "q298_personalized_pagerank" -> {
+      def rnd(k: Int) = {
+        val prev = s"p${k - 1}"
+        s"""d$k AS (SELECT coalesce(sum(pr), 0) AS dm FROM $prev
+                LEFT JOIN deg ON $prev.node = deg.src WHERE deg.src IS NULL),
+         c$k AS (SELECT e.dst, sum($prev.pr / deg.deg) AS cin FROM $prev
+                JOIN deg ON $prev.node = deg.src
+                JOIN e ON e.src = $prev.node GROUP BY 1),
+         p$k AS (SELECT nodes.node, round(
+                  CASE WHEN seeds.node IS NOT NULL
+                       THEN 0.15 / sn.ns + 0.85 * d$k.dm / sn.ns
+                       ELSE 0 END
+                  + 0.85 * coalesce(c$k.cin, 0), 10) AS pr
+                FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node
+                LEFT JOIN seeds ON seeds.node = nodes.node
+                CROSS JOIN sn CROSS JOIN d$k)"""
+      }
+      s"""WITH st AS ($T),
+         e AS (SELECT s AS src, o AS dst FROM st
+               WHERE p IN ('nation', 'region')),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         seeds AS (SELECT DISTINCT src AS node FROM e WHERE dst = 'R1'),
+         sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+         p0 AS (SELECT nodes.node,
+                  CASE WHEN seeds.node IS NOT NULL THEN 1.0 / sn.ns
+                       ELSE 0 END AS pr
+                FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+                CROSS JOIN sn),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                 FROM e GROUP BY 1),
+         ${rnd(1)},
+         ${rnd(2)},
+         ${rnd(3)}
+         SELECT node, round(pr, 8) AS pr FROM p3
+         ORDER BY pr DESC, node LIMIT 20"""
+    },
     // Peeling replay: 12 chained rounds — strictly more than any tested
     // SF needs; rounds past the fixpoint delete nothing, so the surplus
     // is a no-op and the final frame IS the 4-core (see q256KCore doc).
