@@ -103,15 +103,38 @@ object VectorOps {
     * exactly this. Complements the hyperplane-LSH bucketing (q38). */
   /** Coarse-quantizer cell ranking shared by the IVF family: cosine of
     * every vector against the first-8-vector centroids, ranked per vector
-    * (rn=1 is the assignment cell, rn≤p the multi-probe set). One shuffle
-    * (the per-vector window); the centroid side broadcasts. */
+    * (rn=1 is the assignment cell, rn≤p the multi-probe set).
+    *
+    * ZERO-SHUFFLE (the assignCells discipline): the centroids collect to
+    * the driver (bounded 8-row read) and per-row ranking is an 8-element
+    * array_sort over literal-centroid cosine structs — (ccos desc,
+    * cent_id asc), the exact order the old per-vector window produced —
+    * followed by a posexplode. The old shape was a corpus×8 crossJoin
+    * plus a corpus-keyed window shuffle; this is a Generate inside the
+    * scan stage. */
   private def rankedCells(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val scoredCells = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    scoredCells.withColumn("rn", row_number().over(wCell))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "rankedCells needs at least one centroid")
+    val cells = array(cents.map { case (id, cv) =>
+      struct(
+        round(CosineSimilarity(col("v"), array(cv.map(lit(_)): _*)), 6)
+          .as("ccos"),
+        lit(id).as("cent_id"))
+    }: _*)
+    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l("ccos") > r("ccos"), -1)
+        .when(l("ccos") < r("ccos"), 1)
+        .when(l("cent_id") < r("cent_id"), -1)
+        .when(l("cent_id") > r("cent_id"), 1)
+        .otherwise(0)
+    e.select(col("vec_id"), col("v"),
+        posexplode(array_sort(cells, cmp)).as(Seq("p0", "c0")))
+      .select(col("vec_id"), col("v"),
+        col("c0.cent_id").as("cent_id"), col("c0.ccos").as("ccos"),
+        (col("p0") + 1).cast("int").as("rn"))
   }
 
   /** rn=1 projection of [[rankedCells]]: every vector's single cell.
