@@ -1770,7 +1770,8 @@ object TextOps {
     * family (Rae et al. 2021 §A1.2: duplicate-n-gram fractions and the
     * top-n-gram share), the quality signal that catches boilerplate,
     * keyword stuffing, and decoding loops that per-token rules (q140)
-    * miss. Per doc and n ∈ {2, 3}: the fraction of n-gram OCCURRENCES
+    * miss. q114 reports only the single top-bigram share; this is the
+    * full rule family that gate decisions actually read. Per doc and n ∈ {2, 3}: the fraction of n-gram OCCURRENCES
     * whose n-gram repeats within the doc, and the share of the single
     * most frequent n-gram; the keep bit gates on the 3-gram fraction.
     * ONE (doc, n, gram) aggregation serves both n's (n rides the

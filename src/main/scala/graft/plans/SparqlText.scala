@@ -2039,7 +2039,8 @@ object SparqlText {
               triples, labels, params, memo, None, None)
             bound = lifted; rewritten
           } else e
-        if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+        val ct = compileE(e2)
+          if (desc) sortKey(ct).desc else sortKey(ct).asc
       }
       bound = bound.orderBy(keys: _*)
     }
@@ -2394,7 +2395,8 @@ object SparqlText {
               triples, labels, params, memo, None, None)
             sortSrc = lifted; rewritten
           } else e
-        if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+        val ct = compileE(e2)
+          if (desc) sortKey(ct).desc else sortKey(ct).asc
       }
       out = sortSrc.orderBy(keys: _*).select(cols: _*)
     } else {
@@ -2415,7 +2417,8 @@ object SparqlText {
                 e, triples, labels, params, memo, None, None)
               sortSrc = lifted; allMarks ++= marks; rewritten
             } else e
-          if (desc) compileE(e2)._1.desc else compileE(e2)._1.asc
+          val ct = compileE(e2)
+          if (desc) sortKey(ct).desc else sortKey(ct).asc
         }
         out = sortSrc.orderBy(keys: _*).drop(allMarks.result(): _*)
       }
@@ -2909,7 +2912,8 @@ object SparqlText {
                   s"ORDER BY inside GRAPH ?$gv references non-projected " +
                     s"variable(s) ${miss.mkString(", ")} — project them " +
                     "through the subselect")
-                if (desc) compileE(e)._1.desc else compileE(e)._1.asc
+                val ct = compileE(e)
+                if (desc) sortKey(ct).desc else sortKey(ct).asc
               }
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(col(gv)).orderBy(keys: _*)
@@ -3367,6 +3371,14 @@ object SparqlText {
     case (c, TyDur) => c // the value IS the duration lexical form
     case (c, _: TyNum) => c.cast("string")
     case (_, TyB) => sys.error("boolean expression used as a string")
+  }
+
+  /** ORDER BY key for a compiled expression: duration-typed keys sort
+    * through the seconds carrier (the comparison rule, §15.1 via op:
+    * duration ordering), everything else sorts on its compiled value. */
+  private def sortKey(ct: (Column, Ty)): Column = ct match {
+    case (c, TyDur) => durationSeconds(c)
+    case (c, _) => c
   }
 
   /** xsd:dayTimeDuration lexical → signed seconds (double): the value

@@ -2340,6 +2340,16 @@ class SparqlTextSpec extends SparkSpec {
         |}""".stripMargin, t, labels)
       .collect().map(_.getString(0)).toSet
     assert(cast == Set("P1", "P2", "P6"))
+    // ORDER BY on a duration key sorts by VALUE too: +10:00 (10 h) must
+    // land AFTER +05:30 even though "PT10H" < "PT5H30M" lexically; the
+    // zone-less row's unbound key sorts first (nulls-first asc)
+    val t7 = t.union(Seq(("P7", "when", "2024-03-01T10:00:00+10:00"))
+      .toDF("s", "p", "o"))
+    val ord = SparqlText.run(
+      """SELECT ?s WHERE { ?s <when> ?d . } ORDER BY ASC(TIMEZONE(?d))""",
+      t7, labels).collect().map(_.getString(0)).toSeq
+    // unbound first (nulls-first asc), then -8h < 0 < 5h < 5h30 < 10h
+    assert(ord == Seq("P5", "P3", "P1", "P6", "P2", "P7"))
   }
 
   test("TIMEZONE(unbound) stays unbound (regression: the NULL argument " +
