@@ -3387,7 +3387,7 @@ object SparqlText {
     * are unambiguous in a DAY-TIME duration — no months, so 'M' is
     * always minutes); absent components contribute 0, a NULL lexical
     * stays NULL (unbound-propagating). */
-  private def durationSeconds(c: Column): Column = {
+  private[graft] def durationSeconds(c: Column): Column = {
     def part(p: String) = {
       val x = regexp_extract(c, p, 1)
       when(x === "", lit(0.0)).otherwise(x.cast("double"))

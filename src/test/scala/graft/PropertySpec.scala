@@ -305,4 +305,44 @@ class PropertySpec extends SparkSpec {
     // one shared λ across the unsaturated set
     assert(tot.getDouble(3) - tot.getDouble(4) < 1e-3)
   }
+
+  test("durationSeconds parses every generated xsd:dayTimeDuration " +
+      "lexical to its exact signed second count") {
+    val gen = for {
+      neg <- Gen.oneOf(true, false)
+      d <- Gen.choose(0, 40)
+      h <- Gen.choose(0, 23)
+      m <- Gen.choose(0, 59)
+      sec <- Gen.choose(0, 59)
+      // which components appear lexically (absent = zero); at least one
+      // must appear for a legal duration
+      mask <- Gen.choose(1, 15)
+    } yield {
+      val dd = if ((mask & 1) != 0) d else 0
+      val hh = if ((mask & 2) != 0) h else 0
+      val mm = if ((mask & 4) != 0) m else 0
+      val ss = if ((mask & 8) != 0) sec else 0
+      val timePart =
+        (if ((mask & 2) != 0) s"${hh}H" else "") +
+          (if ((mask & 4) != 0) s"${mm}M" else "") +
+          (if ((mask & 8) != 0) s"${ss}S" else "")
+      val lex = (if (neg) "-" else "") + "P" +
+        (if ((mask & 1) != 0) s"${dd}D" else "") +
+        (if (timePart.nonEmpty) "T" + timePart else "")
+      val total = (dd * 86400L + hh * 3600L + mm * 60L + ss) *
+        (if (neg) -1 else 1)
+      (lex, total)
+    }
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+      .filter(_._1 != "P") // mask can zero out; "P" alone is not legal
+      .filter(_._1 != "-P")
+    assert(cases.nonEmpty)
+    val df = cases.toDF("lex", "expected")
+      .withColumn("got", graft.plans.SparqlText.durationSeconds(col("lex")))
+    val bad = df.filter(col("got") =!= col("expected").cast("double"))
+      .collect()
+    assert(bad.isEmpty,
+      s"durationSeconds mismatch: ${bad.take(3).mkString(", ")}")
+  }
 }
