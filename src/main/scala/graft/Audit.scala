@@ -54,6 +54,8 @@ object Audit {
       wanted.isEmpty || wanted.exists(n.contains)
     }
     var flagged = 0
+    var unexemptTotal = 0
+    var failures = 0
     sel.foreach { case (name, fn) =>
       plans.clear()
       try {
@@ -79,6 +81,7 @@ object Audit {
             l.contains("CartesianProduct")))
         if (unexempt.nonEmpty || loops.nonEmpty || unpart.length > 2) {
           flagged += 1
+          unexemptTotal += unexempt.length
           println(f"AUDIT $name%-32s unpartWindows=${unpart.length}%d " +
             f"unexempt=${unexempt.length}%d condLoops=${loops.length}%d")
           loops.take(2).foreach(l => println(s"    $l"))
@@ -86,11 +89,17 @@ object Audit {
       } catch {
         case e: Throwable =>
           flagged += 1
+          failures += 1
           println(s"AUDIT $name FAILED: ${e.getMessage}")
       }
     }
-    println(s"== audit: ${sel.length} queries, $flagged flagged ==")
+    println(s"== audit: ${sel.length} queries, $flagged flagged, " +
+      s"$unexemptTotal unexempt windows, $failures failures ==")
     spark.listenerManager.unregister(listener)
     spark.stop()
+    // hard gate: an unpartitioned window over per-row data (or a query
+    // that crashes under audit) fails the build; bounded-frame loop
+    // flags stay report-only (the documented broadcast-query classes)
+    if (unexemptTotal > 0 || failures > 0) sys.exit(1)
   }
 }

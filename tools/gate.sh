@@ -31,6 +31,10 @@ step "compile"  sbt -batch compile
 step "test"     sbt -batch test
 step "verify"   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR/verify"
 step "oracle"   python3 tools/check.py "$SF_DIR" "$OUT_DIR/verify"
+# plan-posture hard gate: exits 1 if ANY query executes an unpartitioned
+# window over per-row data (aggregate-fed offset windows exempt) or
+# crashes under the audit listener (sf0.001 — posture, not perf)
+step "audit"    sbt -batch "runMain graft.Audit /root/testdata/sf0.001"
 step "bench"    env SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench"
 
 echo "== gate: ALL GREEN (sf=$SF_DIR) =="
