@@ -1316,6 +1316,19 @@ object SparqlText {
           allowAggs = true
           keys += ((try expr() finally allowAggs = false, desc))
           expectPunct(")")
+        // §18 OrderCondition also admits a bare Constraint: a bracketted
+        // expression or a builtin call, ascending. A bare known-function
+        // ident parses as that call; an unknown ident (LIMIT, OFFSET,
+        // VALUES, …) ends the key list.
+        case TPunct("(") =>
+          i += 1
+          allowAggs = true
+          keys += ((try expr() finally allowAggs = false, false))
+          expectPunct(")")
+        case TIdent(w) if exprFns.contains(w.toUpperCase) ||
+            Seq("BOUND", "EXISTS", "IF", "COALESCE").contains(w.toUpperCase) =>
+          allowAggs = true
+          keys += ((try primaryExpr() finally allowAggs = false, false))
         case _ => more = false
       }
       val out = keys.result()

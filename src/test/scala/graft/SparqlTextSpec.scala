@@ -2350,6 +2350,16 @@ class SparqlTextSpec extends SparkSpec {
       t7, labels).collect().map(_.getString(0)).toSeq
     // unbound first (nulls-first asc), then -8h < 0 < 5h < 5h30 < 10h
     assert(ord == Seq("P5", "P3", "P1", "P6", "P2", "P7"))
+    // §18 OrderCondition: a BARE builtin call and a bare bracketted
+    // expression are grammatical keys (ascending) — same order
+    val bare = SparqlText.run(
+      """SELECT ?s WHERE { ?s <when> ?d . } ORDER BY TIMEZONE(?d) LIMIT 3""",
+      t7, labels).collect().map(_.getString(0)).toSeq
+    assert(bare == Seq("P5", "P3", "P1"))
+    val brk = SparqlText.run(
+      """SELECT ?s WHERE { ?s <when> ?d . } ORDER BY (STRLEN(?d)) ?s""",
+      t7, labels).collect().map(_.getString(0)).toSeq
+    assert(brk.head == "P5" && brk(1) == "P1") // 19 chars, 20, then 25s
   }
 
   test("TIMEZONE(unbound) stays unbound (regression: the NULL argument " +
