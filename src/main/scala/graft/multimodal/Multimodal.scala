@@ -84,6 +84,27 @@ object Multimodal {
     media.withColumn("ahash", graft.functions.AHash64(col("payload")))
   }
 
+  /** RESIZE stub — the downsample step of an image pipeline (a real
+    * build decodes the container and block-averages the pixel buffer at
+    * the same offsets): the first 256 payload characters form a 16×16
+    * grid (space-padded — deterministic for short payloads) and each
+    * output cell is the INTEGER mean of its 2×2 block, so the resized
+    * 8×8 grid is engine-exact. 64 static substring+ascii lanes — all
+    * intrinsics, fused into whole-stage codegen (the q202 aHash lesson:
+    * never a per-row lambda chain). Returns array<long>(64). */
+  def resize8x8(payloadStr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = rpad(substring(payloadStr, 1, 256), 256, " ")
+    array((0 until 64).map { b =>
+      val base = 32 * (b / 8) + 2 * (b % 8)
+      val s4 = ascii(substring(g, base + 1, 1)) +
+        ascii(substring(g, base + 2, 1)) +
+        ascii(substring(g, base + 17, 1)) +
+        ascii(substring(g, base + 18, 1))
+      // non-negative int sum: floor(x/4) IS integer division, exactly
+      floor(s4 / 4.0).cast("long")
+    }: _*)
+  }
+
   /** Build a binary media table from the events props strings (the driver
     * data has no blob column; utf-8 bytes keep every derived feature
     * SQL-checkable from the string side). */

@@ -154,6 +154,28 @@ object ComposeOps {
         max(col("run_len")).as("longest_scene"))
   }
 
+  /** Media RESIZE / downsample audit — the remaining multimodal verb
+    * next to decode (q75), frame-sample + scene cuts (q213), and aHash
+    * near-dup (q202/q203): every document payload resizes to the 8×8
+    * block-mean grid ([[graft.multimodal.Multimodal.resize8x8]] — a real
+    * build swaps the char grid for the decoded pixel buffer at the same
+    * offsets) and the audit reports the grid checksum (pinning the
+    * resized BYTES, the q284 reproducible-artifact convention) plus
+    * min/mean/max cell intensity. Embarrassingly parallel: 64 codegen
+    * intrinsic lanes per row, one scan, no shuffle beyond the
+    * final-report pass-through. */
+  def q299MediaResize(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        graft.multimodal.Multimodal.resize8x8(col("text")).as("grid"))
+      .select(col("media_id"),
+        md5(concat_ws(",", expr("transform(grid, x -> CAST(x AS STRING))")))
+          .as("grid_md5"),
+        expr("array_min(grid)").as("px_min"),
+        // Σ cells div 64 — exact integer mean of the 64 block means
+        expr("aggregate(grid, 0L, (a, x) -> a + x) div 64").as("px_mean"),
+        expr("array_max(grid)").as("px_max"))
+
   /** Bucketed co-located join (§4.2 "triple-table physical layout"): both
     * sides written bucketBy(8, key) + sortBy, then joined WITHOUT a shuffle
     * exchange on either side — the layout-level answer for the recurring
@@ -266,7 +288,8 @@ object ComposeOps {
     "q74_grouping_sets"  -> q74GroupingSets _,
     "q75_frame_sample"   -> q75FrameSample _,
     "q155_stop_frames"   -> q155StopFrames _,
-    "q213_scene_cuts"    -> q213SceneCuts _
+    "q213_scene_cuts"    -> q213SceneCuts _,
+    "q299_media_resize"  -> q299MediaResize _
   )
 
   /** aHash CTE chain shared by the q202/q203 oracles (must stay in
@@ -399,6 +422,25 @@ object ComposeOps {
          SELECT media_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
                 CAST(max(scene_id) AS BIGINT) AS n_scenes,
                 CAST(max(run_len) AS BIGINT) AS longest_scene
-         FROM runs GROUP BY 1"""
+         FROM runs GROUP BY 1""",
+    "q299_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                    rpad(substr(text, 1, 256), 256, ' ') AS g
+               FROM documents),
+         r AS (SELECT media_id,
+                 list_transform(range(0, 64), b -> (
+                     ord(substr(g, CAST(32*(b//8) + 2*(b%8) + 1 AS INTEGER), 1))
+                   + ord(substr(g, CAST(32*(b//8) + 2*(b%8) + 2 AS INTEGER), 1))
+                   + ord(substr(g, CAST(32*(b//8) + 2*(b%8) + 17 AS INTEGER), 1))
+                   + ord(substr(g, CAST(32*(b//8) + 2*(b%8) + 18 AS INTEGER), 1))
+                   ) // 4) AS grid
+               FROM m)
+         SELECT media_id,
+                md5(array_to_string(list_transform(grid,
+                  x -> CAST(x AS VARCHAR)), ',')) AS grid_md5,
+                CAST(list_min(grid) AS BIGINT) AS px_min,
+                CAST(list_sum(grid) // 64 AS BIGINT) AS px_mean,
+                CAST(list_max(grid) AS BIGINT) AS px_max
+         FROM r"""
   )
 }
