@@ -2260,13 +2260,30 @@ object SparqlText {
             // either numeric rung accumulates natively (long sums stay
             // exact); a lexical argument casts to the double rung
             val n = if (ty.isInstanceOf[TyNum]) c else c.cast("double")
+            // duration-typed arguments (MIN(TIMEZONE(?d))) extremize by
+            // VALUE through the seconds carrier but EMIT the lexical —
+            // a struct-min so equal-second spellings tie deterministically
+            // on the lexical (lexical min/max would put "PT5H30M" above
+            // "PT10H")
+            def durExtreme(maxSide: Boolean): Column = {
+              // NULL guard: min/max skip NULL inputs, but a struct with
+              // null FIELDS is not null — an unbound duration (zone-less
+              // row) must not shadow real extremes
+              val s = when(c.isNotNull,
+                struct(durationSeconds(c).as("s"), c.as("l")))
+              (if (maxSide) max(s) else min(s)).getField("l")
+            }
             fn match {
               case "count" =>
                 (if (dist) countDistinct(c) else count(c)).as(out)
               case "sum" => (if (dist) sum_distinct(n) else sum(n)).as(out)
               case "avg" => avg(n).as(out)
-              case "min" => min(c).as(out)
-              case "max" => max(c).as(out)
+              case "min" =>
+                (if (ty == TyDur) durExtreme(maxSide = false) else min(c))
+                  .as(out)
+              case "max" =>
+                (if (ty == TyDur) durExtreme(maxSide = true) else max(c))
+                  .as(out)
               case "sample" => min(c).as(out)
               case other => sys.error(s"unsupported aggregate: $other")
             }

@@ -2360,6 +2360,14 @@ class SparqlTextSpec extends SparkSpec {
       """SELECT ?s WHERE { ?s <when> ?d . } ORDER BY (STRLEN(?d)) ?s""",
       t7, labels).collect().map(_.getString(0)).toSeq
     assert(brk.head == "P5" && brk(1) == "P1") // 19 chars, 20, then 25s
+    // MIN/MAX over a duration expression extremize by VALUE and emit
+    // the lexical: lexical MAX would answer "PT5H30M" (> "PT10H" as a
+    // string); the zone-less row's unbound duration must not shadow
+    val mm = SparqlText.run(
+      """SELECT (MIN(TIMEZONE(?d)) AS ?lo) (MAX(TIMEZONE(?d)) AS ?hi)
+        |WHERE { ?s <when> ?d . }""".stripMargin,
+      t7, labels).collect()(0)
+    assert(mm.getString(0) == "-PT8H" && mm.getString(1) == "PT10H")
   }
 
   test("TIMEZONE(unbound) stays unbound (regression: the NULL argument " +
