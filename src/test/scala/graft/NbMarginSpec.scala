@@ -57,5 +57,29 @@ class NbMarginSpec extends SparkSpec {
       assert(margin(bias) >= minMargin,
         s"NB bias at sf$sf is ${margin(bias)} units from a .5 boundary")
     }
+
+    test("every q243 Viterbi piece cost clears the .5 rounding boundary " +
+        s"at sf$sf (same fragility class as the NB weights)") {
+      assume(new java.io.File(s"$dir/documents.parquet").exists())
+      // rebuild the vocab cut exactly as q243 does (top-V by count,
+      // length <= 12, total over the kept counts)
+      val top = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "" && length(col("t")) <= 12)
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t"))
+        .limit(TextOps.ViterbiVocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = top.map(_._2).sum.toDouble
+      val worst = top.map { case (t, c) =>
+        (math.abs(-math.log(c / total) * 1e6 % 1.0 - 0.5), t)
+      }.minBy(_._1)
+      // observed minima: 2.3e-2..3.8e-2 across the gate SFs — a fixture
+      // landing a cost near a boundary shows up here, not as a driver
+      // hash mismatch three rounds later
+      assert(worst._1 >= minMargin,
+        s"piece '${worst._2}' cost at sf$sf sits ${worst._1} units from " +
+          "a .5 boundary — requantize the Viterbi cost scale")
+    }
   }
 }
