@@ -247,6 +247,40 @@ object TextOps {
       round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4).as("quality"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis 2006 —
+    * design note, not code): draw k docs with inclusion probability
+    * proportional to the q40 quality weight — the quality-biased
+    * counterpart of the uniform reservoirs (q112/q177), the sampler a
+    * budgeted corpus build actually wants ("spend the token budget on
+    * better documents, stochastically, without replacement"). The E–S
+    * key u^(1/w) maximization becomes ln(u)/w maximization; determinism
+    * and engine-exactness come from the integer carrier: u derives from
+    * the md5(doc_id) hex prefix (the q58 deterministic-randomness
+    * convention), ln(u) quantizes to an integer once, the weight is the
+    * 4dp-integer quality, and the sort key is ONE IEEE division of the
+    * two exact integers — identically rounded on every engine, so the
+    * top-k cut cannot straddle an ulp. TakeOrdered, no global sort; at
+    * 100 TB this is a single scan + a k-row reduction, and the same key
+    * works as a STREAMING weighted reservoir (keep the k largest keys
+    * seen — E–S's own Algorithm A-Res). */
+  def q300WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    // u in (0,1]: (hex64 + 1) / (2^32 + 1) — never 0, so ln(u) is finite
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / lit(4294967297.0)
+    q40Quality(s, dir).select(col("doc_id"), col("quality"))
+      .filter(col("quality") > 0)
+      .withColumn("lnu_micro", round(log(u) * 1e6).cast("long"))
+      .withColumn("w4", round(col("quality") * 1e4).cast("long"))
+      // ln(u) < 0: dividing by a LARGER weight pulls the key toward 0,
+      // i.e. up — exactly u^(1/w)'s order. Deliberately NOT re-rounded:
+      // the division of two identical integers is ALREADY bit-identical
+      // on every IEEE engine, while a decimal re-round would reintroduce
+      // the .5-boundary fragility the integer carrier exists to avoid
+      .withColumn("es_key", col("lnu_micro").cast("double") / col("w4"))
+      .orderBy(col("es_key").desc, col("doc_id").asc).limit(50)
+      .select(col("doc_id"), col("quality"), col("es_key"))
+  }
+
   /** Token counting: whitespace tokens + regex-based subtoken counts (the
     * BPE-ish pass: alpha runs and long alpha runs). */
   def q41TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -3552,6 +3586,7 @@ object TextOps {
     "q225_bpe_train" -> q225BpeTrain _,
     "q295_repetition_profile" -> q295RepetitionProfile _,
     "q296_tokenizer_fertility" -> q296TokenizerFertility _,
+    "q300_weighted_sample" -> q300WeightedSample _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -3828,6 +3863,26 @@ object TextOps {
                         AS DOUBLE) / count(*), 6) AS oov_rate
          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
          GROUP BY t.source""",
+    "q300_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+               FROM documents),
+         c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                      AS BIGINT) AS n_stop
+               FROM t),
+         q AS (SELECT doc_id,
+                 round(least(1.0, n_tokens/100.0) * (1.0 - n_stop/n_tokens),
+                       4) AS quality
+               FROM c),
+         k AS (SELECT doc_id, quality,
+                 CAST(round(ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) + 1.0) / 4294967297.0) * 1e6)
+                      AS BIGINT) AS lnu_micro,
+                 CAST(round(quality * 1e4) AS BIGINT) AS w4
+               FROM q WHERE quality > 0)
+         SELECT doc_id, quality,
+                CAST(lnu_micro AS DOUBLE) / w4 AS es_key
+         FROM k ORDER BY es_key DESC, doc_id LIMIT 50""",
     "q295_repetition_profile" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
