@@ -371,6 +371,55 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming WEIGHTED reservoir — Efraimidis–Spirakis Algorithm A-Res,
+    * the streaming face of q300: every arriving doc gets the same
+    * deterministic E–S key (quantized ln(u) from the md5 hex prefix,
+    * divided once by the integer quality weight), and the reservoir is
+    * simply THE k LARGEST KEYS SEEN — so each micro-batch unions its
+    * keyed docs with the persisted k-row state and keeps the top k.
+    * The merge is associative, commutative, and idempotent on keys
+    * (max-k of a multiset), so replayed batches cannot corrupt the
+    * reservoir — the hllSink replay-safety argument, applied to
+    * sampling. State is k rows; per-trigger cost is batch + k. After
+    * the last row the reservoir EQUALS the batch q300 over the same
+    * corpus (parity spec) — the property uniform reservoirs lack under
+    * weights and the reason A-Res exists. */
+  def weightedReservoirSink(docs: DataFrame, k: Int, statePath: String)
+                           (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val toks = split(col("text"), " ")
+        val nToks = size(toks).cast("long")
+        val nStop = expr(
+          "size(filter(split(text, ' '), t -> t IN ('the','a','of','and')))")
+          .cast("long")
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("double") + 1.0) / lit(4294967297.0)
+        val keyed = batch.toDF()
+          .withColumn("quality", round(least(lit(1.0), nToks / 100.0) *
+            (lit(1.0) - nStop / nToks), 4))
+          .filter(col("quality") > 0)
+          .withColumn("lnu_micro", round(log(u) * 1e6).cast("long"))
+          .withColumn("w4", round(col("quality") * 1e4).cast("long"))
+          .withColumn("es_key",
+            col("lnu_micro").cast("double") / col("w4"))
+          .select(col("doc_id"), col("quality"), col("es_key"))
+        val sp = new org.apache.hadoop.fs.Path(statePath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          (if (fs.exists(sp))
+             spark.read.parquet(statePath).unionByName(keyed)
+           else keyed)
+            .orderBy(col("es_key").desc, col("doc_id").asc).limit(k)
+            .localCheckpoint() // cut lineage from the path being replaced
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q194's per-source KL drift monitor: drift is
     * intrinsically a per-snapshot concern — each micro-batch folds its
     * (source, bucket) hashed-unigram partials into a RUNNING count state

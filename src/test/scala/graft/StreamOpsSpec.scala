@@ -671,6 +671,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("weightedReservoirSink: the k-row reservoir after N micro-batches " +
+      "equals the batch q300 weighted sample over the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wres").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      val query = StreamOps.weightedReservoirSink(
+        input.toDF().toDF("doc_id", "text"), k = 50, statePath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      val streamed = spark.read.parquet(statePath)
+        .select("doc_id", "es_key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val batch = graft.operators.TextOps.q300WeightedSample(spark, sfDir)
+        .select("doc_id", "es_key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.size == 50 && streamed == batch,
+        s"reservoir/batch divergence: missing=${batch -- streamed} " +
+          s"extra=${streamed -- batch}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("nbFilterSink admits exactly the docs the batch q248 scorer marks " +
       "pred_hq, independent of micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
