@@ -281,6 +281,84 @@ object TextOps {
       .select(col("doc_id"), col("quality"), col("es_key"))
   }
 
+  /** Per-source DATASHEET — the release-manifest table a corpus ships
+    * with (Gebru et al. "Datasheets for Datasets" shape, reduced to the
+    * metrics this engine already computes): per source, document and
+    * token counts, mean q40 quality, the high-quality share (the NB
+    * family's label base rate), and the near-duplicate DOC share (docs
+    * appearing in ≥1 LSH candidate pair — q34's banding). Every column
+    * composes an already-oracled signal, so the datasheet can never
+    * drift from the queries that audit those signals individually.
+    * Scale shape: one corpus scan for counts/quality + the pair-bound
+    * LSH table rolled up by source; the per-source frame is the
+    * bounded artifact. */
+  def q301SourceDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))")
+      .cast("long")
+    val q = round(least(lit(1.0), nToks / 100.0) *
+      (lit(1.0) - nStop / nToks), 4)
+    val pairs = q34MinhashLsh(s, dir)
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    base
+      .join(dupDocs.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nToks).as("n_tokens"),
+        // quality is already a 4dp-rounded value: summing its 1e4
+        // integer form keeps the mean order-independent (a float avg
+        // drifts in the last ulp under reshuffles)
+        round(sum(round(q * 1e4).cast("long")) /
+          (count(lit(1)) * 10000.0), 4).as("mean_quality"),
+        round(sum(when(q >= 0.9, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("hq_share"),
+        round(sum(when(col("dup").isNotNull, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("dup_doc_share"))
+  }
+
+  /** Lang × source independence audit — Pearson's chi-square over the
+    * contingency table, the "is language balanced across sources?"
+    * check a mixture design needs before per-source weights can be set
+    * independently of language targets (a dependent table means
+    * reweighting sources SILENTLY reweights languages). Exactness: with
+    * o·N and row·col exact longs, each cell's contribution
+    * (o−e)²/e = (o·N − row·col)² / (row·col·N) is ONE division of
+    * exact integers — bit-identical IEEE on every engine — and the
+    * total sums the per-cell values through a micro-unit long (rounding
+    * identical doubles is identical regardless of boundary proximity,
+    * unlike rounding separately-computed transcendentals — the NB
+    * lesson). The contingency table is |lang|×|source| — the bounded
+    * artifact; one corpus scan feeds it. */
+  def q302ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cl = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // bounded contingency table
+    val rows = cl.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val cols = cl.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = cl.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    val cells = cl.join(rows, Seq("lang")).join(cols, Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("num", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("contrib",
+        (col("num") * col("num")).cast("double") /
+          (col("rt") * col("ct") * col("n")).cast("double"))
+      .withColumn("cm", round(col("contrib") * 1e6).cast("long"))
+    cells
+      .crossJoin(broadcast(cells.agg(sum(col("cm")).as("chi2_micro"))))
+      .select(col("lang"), col("source"), col("o"),
+        round((col("rt") * col("ct")).cast("double") / col("n"), 4)
+          .as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("chi2_micro") / 1e6, 4).as("chi2"),
+        ((col("nl") - 1) * (col("ns") - 1)).as("dof"))
+  }
+
   /** Token counting: whitespace tokens + regex-based subtoken counts (the
     * BPE-ish pass: alpha runs and long alpha runs). */
   def q41TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -3587,6 +3665,8 @@ object TextOps {
     "q295_repetition_profile" -> q295RepetitionProfile _,
     "q296_tokenizer_fertility" -> q296TokenizerFertility _,
     "q300_weighted_sample" -> q300WeightedSample _,
+    "q301_source_datasheet" -> q301SourceDatasheet _,
+    "q302_chi_square" -> q302ChiSquare _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -3863,6 +3943,54 @@ object TextOps {
                         AS DOUBLE) / count(*), 6) AS oov_rate
          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
          GROUP BY t.source""",
+    "q302_chi_square" ->
+      """WITH cl AS (SELECT lang, source, count(*) AS o
+               FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, sum(o) AS rt FROM cl GROUP BY 1),
+         c AS (SELECT source, sum(o) AS ct FROM cl GROUP BY 1),
+         n AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+                      count(DISTINCT source) AS ns FROM cl),
+         cells AS (SELECT cl.lang, cl.source, o, rt, ct, n.n, nl, ns,
+                     CAST((o*n.n - rt*ct)*(o*n.n - rt*ct) AS DOUBLE) /
+                       CAST(rt*ct*n.n AS DOUBLE) AS contrib
+                   FROM cl JOIN r USING (lang) JOIN c USING (source)
+                   CROSS JOIN n),
+         tot AS (SELECT CAST(sum(CAST(round(contrib*1e6) AS BIGINT))
+                        AS BIGINT) AS chi2_micro FROM cells)
+         SELECT lang, source, CAST(o AS BIGINT) AS o,
+                round(CAST(rt*ct AS DOUBLE)/n, 4) AS expected,
+                round(contrib, 6) AS contrib,
+                round(chi2_micro/1e6, 4) AS chi2,
+                CAST((nl-1)*(ns-1) AS BIGINT) AS dof
+         FROM cells CROSS JOIN tot""",
+    "q301_source_datasheet" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         dup AS (SELECT DISTINCT doc_id FROM (
+                   SELECT doc_a AS doc_id FROM pairs
+                   UNION ALL SELECT doc_b FROM pairs)),
+         d AS (SELECT doc_id, source, string_split(text,' ') AS toks
+               FROM documents),
+         m AS (SELECT d.source,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 round(least(1.0, len(toks)/100.0) *
+                   (1.0 - len(list_filter(toks, x ->
+                      x IN ('the','a','of','and')))
+                        / CAST(len(toks) AS DOUBLE)), 4) AS q,
+                 CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dp
+               FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                round(sum(CAST(round(q * 1e4) AS BIGINT)) /
+                  (count(*) * 10000.0), 4) AS mean_quality,
+                round(sum(CASE WHEN q >= 0.9 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS hq_share,
+                round(sum(dp) / CAST(count(*) AS DOUBLE), 4)
+                  AS dup_doc_share
+         FROM m GROUP BY 1""",
     "q300_weighted_sample" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
                FROM documents),
