@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.{QueryExecution, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -19,14 +19,65 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Usage: runMain graft.Audit [sfDir] [name substrings...]
   */
 object Audit {
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val kids: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    Seq(p) ++ kids(p).flatMap(nodes)
+
+  /** Row-preserving / wrapper nodes that sit between an operator and its
+    * semantic input without changing its cardinality class: safe to look
+    * through when deciding whether an aggregate FEEDS a window or sort.
+    * Generate/Join/Expand/Union are deliberately absent — an aggregate on
+    * the far side of one of those no longer bounds the rows the operator
+    * actually consumes (the round-12 advisor's counterexample: an
+    * aggregate joined back to per-row data, then windowed, was wrongly
+    * exempted by the any-descendant rule). */
+  private val lookThrough = Seq("Project", "Filter", "Sort", "Exchange",
+    "AQEShuffleRead", "WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+    "Coalesce", "LocalLimit", "GlobalLimit")
+
+  private def isWrapper(p: SparkPlan): Boolean = p match {
+    case _: AdaptiveSparkPlanExec | _: QueryStageExec |
+         _: ReusedExchangeExec => true
+    case other => lookThrough.exists(other.nodeName.startsWith)
+  }
+
+  /** The first cardinality-relevant node at or below `p`: unwraps AQE
+    * stages and row-preserving wrappers, stops at everything else. */
+  private def firstSemantic(p: SparkPlan): SparkPlan =
+    if (isWrapper(p) && kids(p).nonEmpty) firstSemantic(kids(p).head) else p
+
+  /** The bounded-input exemption: the operator's DIRECT semantic input is
+    * an aggregate, so it reads a cardinality-bounded table, not per-row
+    * data. (All aggregate exec names contain "Aggregate".) */
+  private def aggregateFed(child: SparkPlan): Boolean =
+    firstSemantic(child).nodeName.contains("Aggregate")
+
+  /** Global (cross-partition) sorts that are NOT the query's final
+    * output ordering: a mid-pipeline `orderBy` plans a full range
+    * exchange + per-partition sort — fine as the last thing before a
+    * sink or collect, a scale hazard when more work sits above it.
+    * Top-of-plan sorts (only wrappers above) are therefore excluded
+    * here; sort+limit pairs never reach this check because Spark plans
+    * them as TakeOrderedAndProject. */
+  private def midPlanGlobalSorts(root: SparkPlan): Seq[SortExec] = {
+    def walk(p: SparkPlan, onlyWrappersAbove: Boolean): Seq[SortExec] = {
+      val here = p match {
+        case s: SortExec if s.global && !onlyWrappersAbove => Seq(s)
+        case _ => Seq.empty[SortExec]
+      }
+      // a top-level Sort keeps "top of plan" status for its own subtree
+      // head (sort-over-sort dedups to the outer ordering)
+      val stillTop = onlyWrappersAbove &&
+        (isWrapper(p) || p.isInstanceOf[SortExec])
+      here ++ kids(p).flatMap(walk(_, stillTop))
     }
-    Seq(p) ++ kids.flatMap(nodes)
+    walk(root, onlyWrappersAbove = true)
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,6 +106,7 @@ object Audit {
     }
     var flagged = 0
     var unexemptTotal = 0
+    var globalSortTotal = 0
     var failures = 0
     sel.foreach { case (name, fn) =>
       plans.clear()
@@ -72,19 +124,28 @@ object Audit {
         val unpart = all.flatMap(p => nodes(p).collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         })
-        // the bounded-offset exemption: an aggregate below the window
-        // means it reads a cardinality-bounded table, not per-row data
-        val unexempt = unpart.filterNot(w =>
-          nodes(w.child).exists(_.nodeName.contains("HashAggregate")))
+        // the bounded-input exemption: the window's DIRECT input (through
+        // row-preserving wrappers only — not across joins/generates) is
+        // an aggregate, so it reads a cardinality-bounded table
+        val unexempt = unpart.filterNot(w => aggregateFed(w.child))
         val loops = all.flatMap(_.toString.linesIterator.filter(l =>
           (l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")) ||
             l.contains("CartesianProduct")))
-        if (unexempt.nonEmpty || loops.nonEmpty || unpart.length > 2) {
+        // report-only: mid-pipeline global sorts over per-row data (the
+        // one scale-hazard shape the window/loop sweep doesn't cover)
+        val midSorts = all.flatMap(midPlanGlobalSorts)
+          .filterNot(s => aggregateFed(s.child))
+        globalSortTotal += midSorts.length
+        if (unexempt.nonEmpty || loops.nonEmpty || unpart.length > 2 ||
+            midSorts.nonEmpty) {
           flagged += 1
           unexemptTotal += unexempt.length
           println(f"AUDIT $name%-32s unpartWindows=${unpart.length}%d " +
-            f"unexempt=${unexempt.length}%d condLoops=${loops.length}%d")
+            f"unexempt=${unexempt.length}%d condLoops=${loops.length}%d " +
+            f"midGlobalSorts=${midSorts.length}%d")
           loops.take(2).foreach(l => println(s"    $l"))
+          midSorts.take(2).foreach(s =>
+            println(s"    midGlobalSort: ${s.simpleStringWithNodeId()}"))
         }
       } catch {
         case e: Throwable =>
@@ -94,12 +155,15 @@ object Audit {
       }
     }
     println(s"== audit: ${sel.length} queries, $flagged flagged, " +
-      s"$unexemptTotal unexempt windows, $failures failures ==")
+      s"$unexemptTotal unexempt windows, $globalSortTotal mid-plan " +
+      s"global sorts, $failures failures ==")
     spark.listenerManager.unregister(listener)
     spark.stop()
     // hard gate: an unpartitioned window over per-row data (or a query
-    // that crashes under audit) fails the build; bounded-frame loop
-    // flags stay report-only (the documented broadcast-query classes)
+    // that crashes under audit) fails the build; bounded-frame loop flags
+    // and mid-plan global sorts stay report-only (the documented
+    // broadcast-query classes / sink-ordering exemptions — see
+    // docs/SCALING.md "Global-sort audit")
     if (unexemptTotal > 0 || failures > 0) sys.exit(1)
   }
 }

@@ -592,6 +592,40 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Duration ARITHMETIC (§17 operator maps, the family q294's
+    * comparisons left open): duration+duration re-renders through the
+    * seconds carrier (PT5H30M + PT1H30M = PT7H — lexical concatenation
+    * has no such algebra), dateTime+duration shifts the clock face and
+    * preserves the zone suffix, and the yearMonthDuration rung does
+    * months arithmetic (P1Y + P11M = P1Y11M). A data-bound variable
+    * re-enters the duration rung via the xsd:dayTimeDuration constructor
+    * (BIND strips static types — the same §17.5 re-entry xsd:integer
+    * provides for the numeric rungs). Zone-less rows error→unbound in
+    * the duration FILTER and drop, per §17.2. Same scan shape as
+    * q210/q294. */
+  def q277DurationArith(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?zsum ?later ?ym WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(xsd:dayTimeDuration(?z) + "PT1H30M"^^xsd:dayTimeDuration
+        |       AS ?zsum)
+        |  BIND(?d + "P1DT2H"^^xsd:dayTimeDuration AS ?later)
+        |  BIND("P1Y"^^xsd:yearMonthDuration + "P11M"^^xsd:yearMonthDuration
+        |       AS ?ym)
+        |  FILTER(xsd:dayTimeDuration(?z) - "PT9H"^^xsd:dayTimeDuration
+        |         < "PT0S"^^xsd:dayTimeDuration)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1558,6 +1592,7 @@ object RdfOps {
     "q205_sparql_json_endpoint" -> q205SparqlJsonEndpoint _,
     "q210_timezone"          -> q210Timezone _,
     "q294_duration_compare"  -> q294DurationCompare _,
+    "q277_duration_arith"    -> q277DurationArith _,
     "q298_personalized_pagerank" -> q298PersonalizedPagerank _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
@@ -2146,6 +2181,19 @@ object RdfOps {
          SELECT x, z,
                 CASE WHEN secs > 0 THEN 'east' ELSE 'nonpositive' END AS cls
          FROM d WHERE secs IS NOT NULL AND secs < 36000""",
+    "q277_duration_arith" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      event_id % 4 AS zi, ts,
+                      CASE event_id % 4 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+                           WHEN 2 THEN '-08:00' ELSE '' END AS zone
+                    FROM events WHERE event_id < 2000)
+         SELECT x,
+           CASE zi WHEN 0 THEN 'PT1H30M' WHEN 1 THEN 'PT7H'
+                   WHEN 2 THEN '-PT6H30M' END AS zsum,
+           strftime(ts + INTERVAL 26 HOUR, '%Y-%m-%dT%H:%M:%S') || zone
+             AS later,
+           'P1Y11M' AS ym
+         FROM t WHERE zi < 3""",
     "q148_datetime_fns" ->
       """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
                       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d

@@ -324,15 +324,21 @@ object TextOps {
     * contingency table, the "is language balanced across sources?"
     * check a mixture design needs before per-source weights can be set
     * independently of language targets (a dependent table means
-    * reweighting sources SILENTLY reweights languages). Exactness: with
-    * o·N and row·col exact longs, each cell's contribution
-    * (o−e)²/e = (o·N − row·col)² / (row·col·N) is ONE division of
-    * exact integers — bit-identical IEEE on every engine — and the
-    * total sums the per-cell values through a micro-unit long (rounding
-    * identical doubles is identical regardless of boundary proximity,
-    * unlike rounding separately-computed transcendentals — the NB
-    * lesson). The contingency table is |lang|×|source| — the bounded
-    * artifact; one corpus scan feeds it. */
+    * reweighting sources SILENTLY reweights languages). Exactness: each
+    * cell's contribution (o−e)²/e = (o·N − row·col)² / (row·col·N) is
+    * computed as the SAME IEEE-double op DAG on both engines (cast each
+    * integer factor to double first, then multiply/subtract/square/
+    * divide in a fixed order) — every step is exactly-rounded IEEE, so
+    * the results are bit-identical cross-engine, and the total sums the
+    * per-cell values through a micro-unit long (rounding identical
+    * doubles is identical regardless of boundary proximity — the NB
+    * lesson). Doubles, not longs, because the integer forms overflow
+    * silently at corpus scale: o·N exceeds Long past ~3e9² docs and
+    * (o·N − row·col)² wraps already near 50k docs on a skewed table —
+    * a wrap the DuckDB oracle (HUGEINT) would not share, i.e. exactly
+    * the asymmetric divergence this pipeline bans. The contingency
+    * table is |lang|×|source| — the bounded artifact; one corpus scan
+    * feeds it. */
   def q302ChiSquare(s: SparkSession, dir: String): DataFrame = {
     val cl = Tables.documents(s, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
@@ -342,18 +348,22 @@ object TextOps {
     val n = cl.agg(sum(col("o")).as("n"),
       countDistinct(col("lang")).as("nl"),
       countDistinct(col("source")).as("ns"))
+    // all-double op DAG, factor-cast first — mirrored verbatim in the
+    // oracle SQL so both engines run the identical IEEE sequence and
+    // neither can integer-overflow (see docstring)
+    val (od, rtd, ctd, nd) = (col("o").cast("double"),
+      col("rt").cast("double"), col("ct").cast("double"),
+      col("n").cast("double"))
     val cells = cl.join(rows, Seq("lang")).join(cols, Seq("source"))
       .crossJoin(broadcast(n))
-      .withColumn("num", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("num", od * nd - rtd * ctd)
       .withColumn("contrib",
-        (col("num") * col("num")).cast("double") /
-          (col("rt") * col("ct") * col("n")).cast("double"))
+        col("num") * col("num") / (rtd * ctd * nd))
       .withColumn("cm", round(col("contrib") * 1e6).cast("long"))
     cells
       .crossJoin(broadcast(cells.agg(sum(col("cm")).as("chi2_micro"))))
       .select(col("lang"), col("source"), col("o"),
-        round((col("rt") * col("ct")).cast("double") / col("n"), 4)
-          .as("expected"),
+        round(rtd * ctd / nd, 4).as("expected"),
         round(col("contrib"), 6).as("contrib"),
         round(col("chi2_micro") / 1e6, 4).as("chi2"),
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"))
@@ -3802,7 +3812,8 @@ object TextOps {
          sc AS (SELECT doc_id, hq, sum(w_micro) AS sw
                 FROM h JOIN m ON h.token = m.token
                 WHERE h.token <> '' GROUP BY 1, 2),
-         scored AS (SELECT doc_id, hq, bias_micro + sw AS score_micro,
+         scored AS (SELECT doc_id, hq,
+                CAST(bias_micro + sw AS BIGINT) AS score_micro,
                 bias_micro + sw > 0 AS pred_hq
          FROM sc CROSS JOIN b)"""
 
@@ -3951,14 +3962,20 @@ object TextOps {
          n AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
                       count(DISTINCT source) AS ns FROM cl),
          cells AS (SELECT cl.lang, cl.source, o, rt, ct, n.n, nl, ns,
-                     CAST((o*n.n - rt*ct)*(o*n.n - rt*ct) AS DOUBLE) /
-                       CAST(rt*ct*n.n AS DOUBLE) AS contrib
+                     CAST(o AS DOUBLE) AS od, CAST(rt AS DOUBLE) AS rtd,
+                     CAST(ct AS DOUBLE) AS ctd, CAST(n.n AS DOUBLE) AS nd,
+                     (CAST(o AS DOUBLE)*CAST(n.n AS DOUBLE)
+                        - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE))
+                     * (CAST(o AS DOUBLE)*CAST(n.n AS DOUBLE)
+                        - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE))
+                     / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)
+                        *CAST(n.n AS DOUBLE)) AS contrib
                    FROM cl JOIN r USING (lang) JOIN c USING (source)
                    CROSS JOIN n),
          tot AS (SELECT CAST(sum(CAST(round(contrib*1e6) AS BIGINT))
                         AS BIGINT) AS chi2_micro FROM cells)
          SELECT lang, source, CAST(o AS BIGINT) AS o,
-                round(CAST(rt*ct AS DOUBLE)/n, 4) AS expected,
+                round(rtd*ctd/nd, 4) AS expected,
                 round(contrib, 6) AS contrib,
                 round(chi2_micro/1e6, 4) AS chi2,
                 CAST((nl-1)*(ns-1) AS BIGINT) AS dof

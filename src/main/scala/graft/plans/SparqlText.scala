@@ -1557,7 +1557,10 @@ object SparqlText {
         // a duration-typed literal lands on the duration rung, so
         // comparisons against it order by duration VALUE (§17.4.5.7's
         // result type); every other datatype keeps the lexical rung
-        if (dt.exists(d => d == "xsd:dayTimeDuration" || d == "xsd:duration"
+        if (dt.exists(d => d == "xsd:yearMonthDuration"
+            || d.endsWith("#yearMonthDuration")))
+          EFn("XSD_YEARMONTHDURATION", Seq(EStr(s)))
+        else if (dt.exists(d => d == "xsd:dayTimeDuration" || d == "xsd:duration"
             || d.endsWith("#dayTimeDuration") || d.endsWith("#duration")))
           EFn("XSD_DAYTIMEDURATION", Seq(EStr(s)))
         else EStr(s)
@@ -1580,7 +1583,8 @@ object SparqlText {
         expectPunct(")")
         val name = p.substring(4).toLowerCase
         if (!Set("integer", "decimal", "double", "float", "string",
-            "boolean", "daytimeduration").contains(name))
+            "boolean", "daytimeduration", "yearmonthduration")
+            .contains(name))
           fail(s"unsupported XSD constructor xsd:$name")
         EFn("XSD_" + name.toUpperCase, Seq(arg))
       case TPname(_) =>
@@ -2269,20 +2273,22 @@ object SparqlText {
               // NULL guard: min/max skip NULL inputs, but a struct with
               // null FIELDS is not null — an unbound duration (zone-less
               // row) must not shadow real extremes
-              val s = when(c.isNotNull,
-                struct(durationSeconds(c).as("s"), c.as("l")))
+              val carrier =
+                if (ty == TyDurYM) durationMonths(c) else durationSeconds(c)
+              val s = when(c.isNotNull, struct(carrier.as("s"), c.as("l")))
               (if (maxSide) max(s) else min(s)).getField("l")
             }
+            val durTy = ty == TyDur || ty == TyDurYM
             fn match {
               case "count" =>
                 (if (dist) countDistinct(c) else count(c)).as(out)
               case "sum" => (if (dist) sum_distinct(n) else sum(n)).as(out)
               case "avg" => avg(n).as(out)
               case "min" =>
-                (if (ty == TyDur) durExtreme(maxSide = false) else min(c))
+                (if (durTy) durExtreme(maxSide = false) else min(c))
                   .as(out)
               case "max" =>
-                (if (ty == TyDur) durExtreme(maxSide = true) else max(c))
+                (if (durTy) durExtreme(maxSide = true) else max(c))
                   .as(out)
               case "sample" => min(c).as(out)
               case other => sys.error(s"unsupported aggregate: $other")
@@ -3049,7 +3055,25 @@ object SparqlText {
           case x if hasExists(x) =>
             val (lifted, e2, marks) = liftExistsMarks(a, x)
             marks.foldLeft(lifted.withColumn(out, compileE(e2)._1))(_ drop _)
-          case _ => a.withColumn(out, compileE(e)._1)
+          case _ =>
+            val (cv, ty) = compileE(e)
+            val bound = a.withColumn(out, cv)
+            // duration-typed results (duration arithmetic, typed-literal
+            // pass-through) carry their datatype in the __dt companion
+            // so DATATYPE(?out) answers correctly — same treatment the
+            // TIMEZONE special case gives its results
+            def durBind(iri: String) = bound
+              .withColumn(langCol(out), lit(null).cast("string"))
+              .withColumn(dtCol(out), when(col(out).isNotNull, lit(iri)))
+              .withColumn(kindCol(out),
+                when(col(out).isNotNull, lit("literal")))
+            ty match {
+              case TyDur => durBind(
+                "http://www.w3.org/2001/XMLSchema#dayTimeDuration")
+              case TyDurYM => durBind(
+                "http://www.w3.org/2001/XMLSchema#yearMonthDuration")
+              case _ => bound
+            }
         })
       case BindMint(out, prefix) =>
         // STRUUID surrogate: md5 of the row's non-anonymous bound variables
@@ -3267,12 +3291,20 @@ object SparqlText {
     * `TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration` orders by duration
     * VALUE, not by string (where "PT10H" < "PT2H"). */
   private case object TyDur extends Ty
+  /** xsd:yearMonthDuration — same design as [[TyDur]] but the value
+    * carrier is SIGNED MONTHS ([[durationMonths]]): the two XSD duration
+    * subtypes are deliberately incomparable (§17 operator maps define
+    * ordering within each subtype only — a month has no fixed length in
+    * seconds), so they ride separate rungs and never coerce into each
+    * other. */
+  private case object TyDurYM extends Ty
 
   private def asNum(ct: (Column, Ty)): Column = ct match {
     case (c, TyN) => c
     case (c, TyI) => c // long — Spark promotes to double in mixed ops
     case (c, TyS) => c.cast("double")
     case (c, TyDur) => durationSeconds(c)
+    case (c, TyDurYM) => durationMonths(c)
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
   /** Variables an expression references by name (EExists bodies excluded:
@@ -3399,6 +3431,7 @@ object SparqlText {
   private def asStr(ct: (Column, Ty)): Column = ct match {
     case (c, TyS) => c
     case (c, TyDur) => c // the value IS the duration lexical form
+    case (c, TyDurYM) => c
     case (c, _: TyNum) => c.cast("string")
     case (_, TyB) => sys.error("boolean expression used as a string")
   }
@@ -3408,6 +3441,7 @@ object SparqlText {
     * duration ordering), everything else sorts on its compiled value. */
   private def sortKey(ct: (Column, Ty)): Column = ct match {
     case (c, TyDur) => durationSeconds(c)
+    case (c, TyDurYM) => durationMonths(c)
     case (c, _) => c
   }
 
@@ -3415,8 +3449,14 @@ object SparqlText {
     * carrier duration comparisons and numeric contexts read. Component
     * pulls are independent regexes (day/hour/minute/second designators
     * are unambiguous in a DAY-TIME duration — no months, so 'M' is
-    * always minutes); absent components contribute 0, a NULL lexical
-    * stays NULL (unbound-propagating). */
+    * always minutes); absent components contribute 0. A NULL lexical
+    * stays NULL, and a lexical OUTSIDE the dayTimeDuration grammar also
+    * maps to NULL (error→unbound, mirroring the zone-less TIMEZONE
+    * behavior) — without the guard a numeric or arbitrary string operand
+    * reaching a duration comparison would match none of the component
+    * regexes and silently compare as PT0S. The grammar check requires at
+    * least one component and forbids a bare trailing 'T' (lookaheads),
+    * per the XSD lexical rule. */
   private[graft] def durationSeconds(c: Column): Column = {
     def part(p: String) = {
       val x = regexp_extract(c, p, 1)
@@ -3424,8 +3464,103 @@ object SparqlText {
     }
     val total = part("(\\d+)D") * 86400 + part("(\\d+)H") * 3600 +
       part("(\\d+)M") * 60 + part("(\\d+(?:\\.\\d+)?)S")
-    when(c.isNull, lit(null).cast("double"))
+    val wellFormed = c.rlike(
+      "^-?P(?=\\d|T\\d)(\\d+D)?(T(?=\\d)(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$")
+    when(c.isNull || !wellFormed, lit(null).cast("double"))
       .otherwise(when(c.startsWith("-"), -total).otherwise(total))
+  }
+
+  /** xsd:yearMonthDuration lexical → signed months (double): the
+    * [[TyDurYM]] value carrier. Same error→unbound discipline as
+    * [[durationSeconds]]: a lexical outside the "±PnYnM" grammar (at
+    * least one component) maps to NULL instead of silently comparing
+    * as P0M. */
+  private[graft] def durationMonths(c: Column): Column = {
+    def part(p: String) = {
+      val x = regexp_extract(c, p, 1)
+      when(x === "", lit(0.0)).otherwise(x.cast("double"))
+    }
+    val total = part("(\\d+)Y") * 12 + part("(\\d+)M")
+    val wellFormed = c.rlike("^-?P(?=\\d)(\\d+Y)?(\\d+M)?$")
+    when(c.isNull || !wellFormed, lit(null).cast("double"))
+      .otherwise(when(c.startsWith("-"), -total).otherwise(total))
+  }
+
+  /** Signed seconds → canonical xsd:dayTimeDuration lexical (§17
+    * op:add/subtract-dayTimeDurations result rendering): components in
+    * D/H/M/S order, zero components omitted, "PT0S" for the zero
+    * duration. Seconds are rounded to integers — the engine's duration
+    * values all come from integer-second lexicals or zone offsets, so
+    * the round is exact on every path the grammar can reach. */
+  private[graft] def durationLexicalOfSeconds(sec: Column): Column = {
+    val a = round(abs(sec)).cast("long")
+    val d = a / 86400L
+    val h = (a % 86400L) / 3600L
+    val mi = (a % 3600L) / 60L
+    val s2 = a % 60L
+    val timePart = concat(
+      when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+      when(mi > 0, concat(mi.cast("string"), lit("M"))).otherwise(lit("")),
+      when(s2 > 0, concat(s2.cast("string"), lit("S"))).otherwise(lit("")))
+    when(sec.isNull, lit(null).cast("string"))
+      .when(a === 0, lit("PT0S"))
+      .otherwise(concat(
+        when(sec < 0, lit("-")).otherwise(lit("")), lit("P"),
+        when(d > 0, concat(d.cast("string"), lit("D"))).otherwise(lit("")),
+        when(h > 0 || mi > 0 || s2 > 0, concat(lit("T"), timePart))
+          .otherwise(lit(""))))
+  }
+
+  /** Signed months → canonical xsd:yearMonthDuration lexical: "PnYnM"
+    * with zero components omitted, "P0M" for zero. */
+  private[graft] def durationLexicalOfMonths(m: Column): Column = {
+    val a = round(abs(m)).cast("long")
+    val y = a / 12L
+    val mo = a % 12L
+    when(m.isNull, lit(null).cast("string"))
+      .when(a === 0, lit("P0M"))
+      .otherwise(concat(
+        when(m < 0, lit("-")).otherwise(lit("")), lit("P"),
+        when(y > 0, concat(y.cast("string"), lit("Y"))).otherwise(lit("")),
+        when(mo > 0, concat(mo.cast("string"), lit("M"))).otherwise(lit(""))))
+  }
+
+  /** op:add-dayTimeDuration-to-dateTime (§17 operator map, via XPath):
+    * shift an xsd:dateTime lexical by signed seconds, preserving the
+    * original zone suffix verbatim — a fixed-offset zone's clock face
+    * shifts identically to its instant, so adding to the zone-less core
+    * and re-attaching the zone is exact (no DST zones exist in the
+    * lexical space: XSD zones are fixed offsets). A lexical outside the
+    * dateTime grammar → NULL (error→unbound). Sub-second parts are not
+    * carried (the engine's duration values are integer seconds). */
+  private[graft] def dateTimePlusSeconds(dtLex: Column, sec: Column): Column = {
+    val core = regexp_extract(dtLex,
+      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})", 1)
+    val zone = regexp_extract(dtLex,
+      "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val ts = to_timestamp(core, "yyyy-MM-dd'T'HH:mm:ss")
+    val shifted = (ts.cast("long") + round(sec).cast("long")).cast("timestamp")
+    when(dtLex.isNull || sec.isNull || core === "",
+      lit(null).cast("string"))
+      .otherwise(concat(
+        date_format(shifted, "yyyy-MM-dd'T'HH:mm:ss"), zone))
+  }
+
+  /** op:add-yearMonthDuration-to-dateTime: month arithmetic on the date
+    * part (day-of-month clamps to the target month's last day, the XPath
+    * rule add_months shares), clock time and zone preserved. */
+  private[graft] def dateTimePlusMonths(dtLex: Column, months: Column): Column = {
+    val core = regexp_extract(dtLex,
+      "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})", 1)
+    val zone = regexp_extract(dtLex,
+      "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val shifted = add_months(
+      to_timestamp(core, "yyyy-MM-dd'T'HH:mm:ss").cast("date"),
+      round(months).cast("int"))
+    when(dtLex.isNull || months.isNull || core === "",
+      lit(null).cast("string"))
+      .otherwise(concat(date_format(shifted, "yyyy-MM-dd"), lit("T"),
+        substring(core, 12, 8), zone))
   }
 
   /** §17.4.5.7 core shared by the BIND path (which adds the __dt
@@ -3502,6 +3637,51 @@ object SparqlText {
       (-asNum(c), if (c._2 == TyI) TyI else TyN)
     case EArith(op, l, r) =>
       val (lc, rc) = (compileE(l), compileE(r))
+      // §17 operator-map duration arithmetic, dispatched on the typed
+      // rungs BEFORE numeric promotion: the two duration subtypes never
+      // mix (a month has no fixed seconds length), and a duration never
+      // silently coerces to a number.
+      (lc._2, rc._2, op) match {
+        // op:add/subtract-dayTimeDurations → dayTimeDuration
+        case (TyDur, TyDur, "+") =>
+          return (durationLexicalOfSeconds(
+            durationSeconds(lc._1) + durationSeconds(rc._1)), TyDur)
+        case (TyDur, TyDur, "-") =>
+          return (durationLexicalOfSeconds(
+            durationSeconds(lc._1) - durationSeconds(rc._1)), TyDur)
+        // op:add/subtract-yearMonthDurations → yearMonthDuration
+        case (TyDurYM, TyDurYM, "+") =>
+          return (durationLexicalOfMonths(
+            durationMonths(lc._1) + durationMonths(rc._1)), TyDurYM)
+        case (TyDurYM, TyDurYM, "-") =>
+          return (durationLexicalOfMonths(
+            durationMonths(lc._1) - durationMonths(rc._1)), TyDurYM)
+        // op:add-dayTimeDuration-to-dateTime and the subtract twin: the
+        // non-duration side is a dateTime LEXICAL on the string rung
+        // (the engine's term model) — a lexical outside the dateTime
+        // grammar maps to NULL inside the helper (error→unbound)
+        case (TyS, TyDur, "+") =>
+          return (dateTimePlusSeconds(lc._1, durationSeconds(rc._1)), TyS)
+        case (TyDur, TyS, "+") => // dateTime + on either side commutes
+          return (dateTimePlusSeconds(rc._1, durationSeconds(lc._1)), TyS)
+        case (TyS, TyDur, "-") =>
+          return (dateTimePlusSeconds(lc._1, -durationSeconds(rc._1)), TyS)
+        case (TyS, TyDurYM, "+") =>
+          return (dateTimePlusMonths(lc._1, durationMonths(rc._1)), TyS)
+        case (TyDurYM, TyS, "+") =>
+          return (dateTimePlusMonths(rc._1, durationMonths(lc._1)), TyS)
+        case (TyS, TyDurYM, "-") =>
+          return (dateTimePlusMonths(lc._1, -durationMonths(rc._1)), TyS)
+        case (TyDur, TyDurYM, _) | (TyDurYM, TyDur, _) =>
+          sys.error("dayTimeDuration and yearMonthDuration are " +
+            "incomparable rungs (§17: no operator mixes them)")
+        case (TyDur, _, _) | (_, TyDur, _) | (TyDurYM, _, _) |
+             (_, TyDurYM, _) =>
+          sys.error(s"unsupported duration arithmetic: $op with a " +
+            "numeric operand (§17 defines only duration±duration and " +
+            "dateTime±duration)")
+        case _ => // numeric path below
+      }
       val (ln, rn) = (asNum(lc), asNum(rc))
       // §17.3 promotion: integer op integer stays on the integer rung
       // (exact long arithmetic; ANSI mode raises on overflow rather than
@@ -3527,6 +3707,8 @@ object SparqlText {
       val (a, b) =
         if (lc._2 == TyDur || rc._2 == TyDur)
           (durationSeconds(asStr(lc)), durationSeconds(asStr(rc)))
+        else if (lc._2 == TyDurYM || rc._2 == TyDurYM)
+          (durationMonths(asStr(lc)), durationMonths(asStr(rc)))
         else if (lc._2 == TyI && rc._2 == TyI) (lc._1, rc._1)
         else if (lc._2.isInstanceOf[TyNum] || rc._2.isInstanceOf[TyNum])
           (asNum(lc), asNum(rc))
@@ -3593,6 +3775,8 @@ object SparqlText {
         case (c, TyS) => (c.cast("long"), TyI)
         case (_, TyB) => sys.error("xsd:integer of a boolean expression " +
           "is unsupported (the term model has no boolean literals)")
+        case (_, TyDur | TyDurYM) => sys.error("xsd:integer of a duration " +
+          "is undefined (§17.5 has no duration→integer cast)")
       }
       case "XSD_DECIMAL" | "XSD_DOUBLE" | "XSD_FLOAT" =>
         (asNum(a0).cast("double"), TyN)
@@ -3602,6 +3786,8 @@ object SparqlText {
       // value stays the lexical form, the TYPE makes comparisons read
       // the seconds carrier
       case "XSD_DAYTIMEDURATION" => (asStr(a0), TyDur)
+      // the yearMonth rung's twin entry point (months carrier)
+      case "XSD_YEARMONTHDURATION" => (asStr(a0), TyDurYM)
       case "XSD_BOOLEAN" =>
         val s = asStr(a0)
         (when(lower(s).isin("true", "1"), lit(true))

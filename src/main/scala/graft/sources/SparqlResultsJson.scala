@@ -174,6 +174,57 @@ final class DiskPageFetcher(dir: String) extends PageFetcher {
   }
 }
 
+/** Production HTTP transport for the seam — the reference's primary mode
+  * (SPARQLWrapper GET against a live endpoint,
+  * prosnet-prefect-pipelines/wikidata_index.py:129-152): one fetch = one
+  * GET of the query template with `$offset`/`$limit` substituted (the
+  * reference's own `string.Template` placeholders), results-JSON
+  * negotiated via the Accept header. Status mapping: 200 → the page
+  * body; 404/416 → `None` (past the last page — the range-exhausted
+  * signals); anything else THROWS so a wrapping [[RetryingFetcher]]
+  * applies the reference's retry/backoff policy (its Prefect task
+  * declares retries=6 with exponential backoff; pass
+  * `new RetryingFetcher(httpFetcher, maxRetries = 6, backoffMs = 30000,
+  * pageDelayMs = ...)` for the same schedule plus the wikidata rate
+  * limit). The HttpClient is transient-lazy: fetchers cross the driver→
+  * executor boundary inside DSv2 partitions, and the client rebuilds on
+  * first use per JVM. Spec'd against an in-process HttpServer stub (the
+  * sandbox has zero egress); a production deployment is a constructor
+  * swap on [[SparqlResultsJson.bindingsVia]], not new code. */
+final class HttpPageFetcher(
+    endpoint: String,
+    queryTemplate: String,
+    timeoutMs: Long = 60000L,
+    userAgent: String = "graft-sparql/1.0") extends PageFetcher {
+  require(queryTemplate.contains("$offset") && queryTemplate.contains("$limit"),
+    "query template must carry $offset/$limit placeholders")
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .build()
+  override def fetch(offset: Long, limit: Long): Option[String] = {
+    val q = queryTemplate
+      .replace("$offset", offset.toString)
+      .replace("$limit", limit.toString)
+    val url = endpoint + (if (endpoint.contains("?")) "&" else "?") +
+      "query=" + java.net.URLEncoder.encode(q, "UTF-8")
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Accept", "application/sparql-results+json")
+      .header("User-Agent", userAgent)
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => Some(resp.body())
+      case 404 | 416 => None // past the last page
+      case code => throw new java.io.IOException(
+        s"HTTP $code from SPARQL endpoint at offset=$offset limit=$limit")
+    }
+  }
+}
+
 /** Retry/backoff/rate-limit decorator — the reference's transport policy
   * (retry transient failures with exponential backoff, sleep between
   * pages to respect the endpoint's rate limit) as CONFIG on the seam,

@@ -371,16 +371,54 @@ object StreamOps {
       .start()
   }
 
+  /** Reads persisted sink state, falling back to the `.old` sibling when
+    * a crash during [[atomicOverwrite]] left the swap half-done (live dir
+    * renamed aside, replacement not yet swapped in). Recovering the OLD
+    * state is always safe: foreachBatch replays the interrupted trigger,
+    * so the merge that was lost simply re-runs. */
+  private def readState(spark: SparkSession, path: String): Option[DataFrame] = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) Some(spark.read.parquet(path))
+    else if (fs.exists(old)) Some(spark.read.parquet(path + ".old"))
+    else None
+  }
+
+  /** Crash-safe state overwrite: write the replacement to a `.tmp`
+    * sibling, rename the live dir aside, swap the tmp in, drop the old
+    * copy. A plain `mode("overwrite")` deletes the live state BEFORE the
+    * new files commit, so a crash mid-write loses the state entirely;
+    * with the swap, every crash point leaves either the old or the new
+    * state readable ([[readState]] falls back to `.old`). */
+  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Streaming WEIGHTED reservoir — Efraimidis–Spirakis Algorithm A-Res,
     * the streaming face of q300: every arriving doc gets the same
     * deterministic E–S key (quantized ln(u) from the md5 hex prefix,
     * divided once by the integer quality weight), and the reservoir is
     * simply THE k LARGEST KEYS SEEN — so each micro-batch unions its
     * keyed docs with the persisted k-row state and keeps the top k.
-    * The merge is associative, commutative, and idempotent on keys
-    * (max-k of a multiset), so replayed batches cannot corrupt the
-    * reservoir — the hllSink replay-safety argument, applied to
-    * sampling. State is k rows; per-trigger cost is batch + k. After
+    * The merge is associative and commutative, and the per-doc E–S key
+    * is deterministic, so a dropDuplicates on doc_id after the union
+    * makes the merge idempotent too (max-k of a SET): a crash-replayed
+    * micro-batch (foreachBatch is at-least-once) re-contributes rows
+    * identical to ones already in state, the dedup collapses them, and
+    * no legitimate member is evicted by its own echo — the hllSink
+    * replay-safety argument, applied to sampling.
+    * State is k rows; per-trigger cost is batch + k. After
     * the last row the reservoir EQUALS the batch q300 over the same
     * corpus (parity spec) — the property uniform reservoirs lack under
     * weights and the reason A-Res exists. */
@@ -407,16 +445,15 @@ object StreamOps {
           .withColumn("es_key",
             col("lnu_micro").cast("double") / col("w4"))
           .select(col("doc_id"), col("quality"), col("es_key"))
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(keyed)
-           else keyed)
+          readState(spark, statePath).map(_.unionByName(keyed))
+            .getOrElse(keyed)
+            // replayed docs carry the identical deterministic es_key —
+            // dedup before the top-k so an echo can't hold two slots
+            .dropDuplicates("doc_id")
             .orderBy(col("es_key").desc, col("doc_id").asc).limit(k)
             .localCheckpoint() // cut lineage from the path being replaced
-        merged.write.mode("overwrite").parquet(statePath)
-        ()
+        atomicOverwrite(merged, statePath)
       }
       .start()
 
@@ -440,17 +477,15 @@ object StreamOps {
         val partial = graft.operators.TextOps.klCountPartials(
           batch.toDF().withColumn("toks", split(col("text"), " "))
             .select(col("source"), col("toks")))
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(partial)
-               .groupBy(col("source"), col("bucket"))
-               .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
-           else partial)
-            // cut lineage from the path about to be overwritten
+          readState(spark, statePath)
+            .map(_.unionByName(partial)
+              .groupBy(col("source"), col("bucket"))
+              .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
+            .getOrElse(partial)
+            // cut lineage from the path about to be replaced
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(merged, statePath)
         graft.operators.TextOps.klFromCounts(
             merged.select(col("source")).distinct(), merged)
           .write.mode("overwrite").parquet(reportPath)
@@ -476,16 +511,14 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val regs = graft.operators.TextOps.hllRegisters(batch.toDF())
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(regs)
-               .groupBy(col("lang"), col("bucket"))
-               .agg(org.apache.spark.sql.functions.max(col("reg")).as("reg"))
-           else regs)
+          readState(spark, statePath)
+            .map(_.unionByName(regs)
+              .groupBy(col("lang"), col("bucket"))
+              .agg(org.apache.spark.sql.functions.max(col("reg")).as("reg")))
+            .getOrElse(regs)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(merged, statePath)
         graft.operators.TextOps.hllReport(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -514,17 +547,14 @@ object StreamOps {
         val spark = batch.sparkSession
         val counters = graft.operators.TextOps.cmsCounters(
           graft.operators.TextOps.cmsTf(batch.toDF().select(col("text"))))
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(counters)
-               .groupBy(col("row"), col("idx"))
-               .agg(org.apache.spark.sql.functions.sum(col("counter")).as("counter"))
-           else counters)
+          readState(spark, statePath)
+            .map(_.unionByName(counters)
+              .groupBy(col("row"), col("idx"))
+              .agg(org.apache.spark.sql.functions.sum(col("counter")).as("counter")))
+            .getOrElse(counters)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
-        ()
+        atomicOverwrite(merged, statePath)
       }
       .start()
 
@@ -543,16 +573,14 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val hist = graft.operators.TextOps.histCounts(batch.toDF())
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(hist)
-               .groupBy(col("lang"), col("bin"))
-               .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
-           else hist)
+          readState(spark, statePath)
+            .map(_.unionByName(hist)
+              .groupBy(col("lang"), col("bin"))
+              .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
+            .getOrElse(hist)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(merged, statePath)
         graft.operators.TextOps.histQuantiles(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -576,16 +604,14 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val daily = graft.operators.Events.decayDailyCounts(batch.toDF())
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(daily)
-               .groupBy(col("event_type"), col("d"))
-               .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"))
-           else daily)
+          readState(spark, statePath)
+            .map(_.unionByName(daily)
+              .groupBy(col("event_type"), col("d"))
+              .agg(org.apache.spark.sql.functions.sum(col("n")).as("n")))
+            .getOrElse(daily)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(merged, statePath)
         graft.operators.Events.decayedFromDaily(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -609,16 +635,14 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val partial = graft.operators.Events.dailyCounts(batch.toDF())
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (fs.exists(sp))
-             spark.read.parquet(statePath).unionByName(partial)
-               .groupBy(col("event_type"), col("day"))
-               .agg(org.apache.spark.sql.functions.sum(col("x")).as("x"))
-           else partial)
+          readState(spark, statePath)
+            .map(_.unionByName(partial)
+              .groupBy(col("event_type"), col("day"))
+              .agg(org.apache.spark.sql.functions.sum(col("x")).as("x")))
+            .getOrElse(partial)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(merged, statePath)
         graft.operators.Events.rollingAnomaly(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -649,14 +673,13 @@ object StreamOps {
         val spark = batch.sparkSession
         val bc = batch.toDF().groupBy(col("term")).agg(count(lit(1)).as("c"))
         val bn = batch.count()
-        val sp = new org.apache.hadoop.fs.Path(statePath)
-        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val (prev, prevN, prevErr) =
-          if (fs.exists(sp)) {
-            val st = spark.read.parquet(statePath)
-            val meta = spark.read.parquet(statePath + "_meta").collect()(0)
-            (st.select(col("term"), col("c")), meta.getLong(0), meta.getLong(1))
-          } else (bc.limit(0), 0L, 0L)
+          (readState(spark, statePath), readState(spark, statePath + "_meta")) match {
+            case (Some(st), Some(metaDf)) =>
+              val meta = metaDf.collect()(0)
+              (st.select(col("term"), col("c")), meta.getLong(0), meta.getLong(1))
+            case _ => (bc.limit(0), 0L, 0L)
+          }
         val summed = prev.unionByName(bc)
           .groupBy(col("term")).agg(sum(col("c")).as("c"))
           .localCheckpoint() // also cuts lineage from the state file
@@ -669,10 +692,9 @@ object StreamOps {
         val trimmed = summed.select(col("term"), (col("c") - t).as("c"))
           .filter(col("c") > 0)
           .localCheckpoint()
-        trimmed.write.mode("overwrite").parquet(statePath)
+        atomicOverwrite(trimmed, statePath)
         import spark.implicits._
-        Seq((n, err)).toDF("n", "err")
-          .write.mode("overwrite").parquet(statePath + "_meta")
+        atomicOverwrite(Seq((n, err)).toDF("n", "err"), statePath + "_meta")
         trimmed
           .withColumn("guaranteed", col("c") > lit(n.toDouble / k))
           .filter(col("c") + err > lit(n.toDouble / k))

@@ -71,6 +71,25 @@ def main():
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             n_bad += 1
             continue
+        # Driver-strict dtype gate: the driver's hash distinguishes int64
+        # from float64 even when "%.9g" stringification collapses them
+        # (e.g. DuckDB HUGEINT sums arrive as float64 through the pandas
+        # bridge while Spark emits int64 — round-12's q248). Fail loudly
+        # on an integer/float kind split BEFORE canonicalization erases
+        # it. A float column holding NaN may just be pandas' nullable-int
+        # carrier, so only a NaN-free float column triggers the gate.
+        kind_bad = []
+        for c in set(spark_df.columns) & set(oracle_df.columns):
+            ka, kb = spark_df[c].dtype.kind, oracle_df[c].dtype.kind
+            ints, flts = {"i", "u"}, {"f"}
+            if (ka in ints and kb in flts and not oracle_df[c].isna().any()) \
+                    or (kb in ints and ka in flts and not spark_df[c].isna().any()):
+                kind_bad.append(f"{c}: spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}")
+        if kind_bad:
+            print(f"✗ {name}: dtype kind mismatch (driver hash would differ): "
+                  + "; ".join(kind_bad))
+            n_bad += 1
+            continue
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"✗ {name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}")
