@@ -37,14 +37,21 @@ object Audit {
     * actually consumes (the round-12 advisor's counterexample: an
     * aggregate joined back to per-row data, then windowed, was wrongly
     * exempted by the any-descendant rule). */
-  private val lookThrough = Seq("Project", "Filter", "Sort", "Exchange",
-    "AQEShuffleRead", "WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+  private val lookThrough = Set("Project", "Filter", "Sort", "Exchange",
+    "AQEShuffleRead", "InputAdapter", "ColumnarToRow",
     "Coalesce", "LocalLimit", "GlobalLimit")
 
   private def isWrapper(p: SparkPlan): Boolean = p match {
     case _: AdaptiveSparkPlanExec | _: QueryStageExec |
          _: ReusedExchangeExec => true
-    case other => lookThrough.exists(other.nodeName.startsWith)
+    // EXACT nodeName match — a startsWith here made "Sort" swallow
+    // SortMergeJoin (descending only its left child: an aggregate on the
+    // join's left wrongly exempted a per-row window) and SortAggregate
+    // (a legitimately aggregate-fed window spuriously failed the gate).
+    // WholeStageCodegen is the one prefix case: its nodeName carries the
+    // codegen stage id ("WholeStageCodegen (3)").
+    case other => lookThrough.contains(other.nodeName) ||
+      other.nodeName.startsWith("WholeStageCodegen")
   }
 
   /** The first cardinality-relevant node at or below `p`: unwraps AQE
@@ -111,7 +118,15 @@ object Audit {
     sel.foreach { case (name, fn) =>
       plans.clear()
       try {
-        fn(spark, sfDir).collect()
+        // bounded await (round 13: the audit could never complete because
+        // one query hung codegen before its listener ever fired)
+        graft.util.Watchdog.run(spark.sparkContext, name,
+          graft.util.Watchdog.defaultTimeoutSec) {
+          fn(spark, sfDir).collect()
+        } match {
+          case Right(_) => ()
+          case Left(e) => throw e
+        }
         // drain the async listener bus
         var last = -1; var stable = 0
         val deadline = System.nanoTime() + 5000000000L

@@ -49,9 +49,18 @@ object Bench {
       case ((name, fn), i) =>
         if (i % 25 == 0) probe() // interleave the sentinel with real work
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // bounded await per query (round 13: a single codegen hang left
+        // the whole bench rc=124 with no JSON) — a timeout reports as
+        // the same negative sentinel as a failure
+        val ok = graft.util.Watchdog.run(spark.sparkContext, name,
+          graft.util.Watchdog.defaultTimeoutSec) {
+          fn(spark, sfDir).count()
+        } match {
+          case Right(_) => true
+          case Left(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // Cache hygiene between queries: a query that persists intermediates
         // must not bleed memory pressure into the next query's timing.

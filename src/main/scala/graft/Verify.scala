@@ -26,11 +26,18 @@ object Verify {
     def sel[A](m: Map[String, A]): Map[String, A] =
       if (wanted.isEmpty) m
       else m.filter { case (k, _) => wanted.exists(k.contains) }
+    // Each query under a bounded await (round 13: one non-terminating
+    // codegen compile zeroed the whole artifact; the watchdog turns that
+    // into one red line and a complete run).
+    val budget = graft.util.Watchdog.defaultTimeoutSec
     sel(SparkEntry.queries).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      graft.util.Watchdog.run(spark.sparkContext, name, budget) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Right(_) => ()
+        case Left(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

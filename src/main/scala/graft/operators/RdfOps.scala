@@ -626,6 +626,36 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Duration MULTIPLY/DIVIDE (op:multiply/divide-dayTimeDuration and
+    * op:divide-dayTimeDuration-by-dayTimeDuration from the XPath §17
+    * operator map — the family q277 left open): on the round-14 numeric
+    * value carrier these are plain double arithmetic on seconds/months,
+    * with the canonical lexical rendered once per BIND. The
+    * duration÷duration ratio lands on the decimal (double) rung. The
+    * zone-less rows keep their solutions with UNBOUND results (BIND
+    * error→unbound does not drop rows — unlike q277's FILTER), so null
+    * propagation through the carrier is part of the oracle. */
+  def q303DurationMulDiv(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?tri ?half ?ratio ?ymq WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(xsd:dayTimeDuration(?z) * 3 AS ?tri)
+        |  BIND(xsd:dayTimeDuration(?z) / 2 AS ?half)
+        |  BIND(xsd:dayTimeDuration(?z) / "PT1H"^^xsd:dayTimeDuration
+        |       AS ?ratio)
+        |  BIND("P2Y6M"^^xsd:yearMonthDuration * 2 AS ?ymq)
+        |}""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1593,6 +1623,7 @@ object RdfOps {
     "q210_timezone"          -> q210Timezone _,
     "q294_duration_compare"  -> q294DurationCompare _,
     "q277_duration_arith"    -> q277DurationArith _,
+    "q303_duration_muldiv"   -> q303DurationMulDiv _,
     "q298_personalized_pagerank" -> q298PersonalizedPagerank _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
@@ -2194,6 +2225,19 @@ object RdfOps {
              AS later,
            'P1Y11M' AS ym
          FROM t WHERE zi < 3""",
+    "q303_duration_muldiv" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      event_id % 4 AS zi
+                    FROM events WHERE event_id < 2000)
+         SELECT x,
+           CASE zi WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT16H30M'
+                   WHEN 2 THEN '-P1D' END AS tri,
+           CASE zi WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT2H45M'
+                   WHEN 2 THEN '-PT4H' END AS half,
+           CAST(CASE zi WHEN 0 THEN 0.0 WHEN 1 THEN 5.5
+                        WHEN 2 THEN -8.0 END AS DOUBLE) AS ratio,
+           'P5Y' AS ymq
+         FROM t""",
     "q148_datetime_fns" ->
       """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
                       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d

@@ -2161,8 +2161,8 @@ object SparqlText {
           if (hasExists(e)) {
             val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
               labels, params, memo, None, None)
-            lifted.withColumn(v, compileE(e2)._1).drop(marks: _*)
-          } else df.withColumn(v, compileE(e)._1)
+            lifted.withColumn(v, emitVal(compileE(e2))).drop(marks: _*)
+          } else df.withColumn(v, emitVal(compileE(e)))
         }
         val keyNames = q.groupBy ++ q.groupByExprs.map(_._2)
         // implicit (empty) grouping admits only aggregate projections —
@@ -2264,19 +2264,15 @@ object SparqlText {
             // either numeric rung accumulates natively (long sums stay
             // exact); a lexical argument casts to the double rung
             val n = if (ty.isInstanceOf[TyNum]) c else c.cast("double")
-            // duration-typed arguments (MIN(TIMEZONE(?d))) extremize by
-            // VALUE through the seconds carrier but EMIT the lexical —
-            // a struct-min so equal-second spellings tie deterministically
-            // on the lexical (lexical min/max would put "PT5H30M" above
-            // "PT10H")
+            // duration-typed arguments (MIN(TIMEZONE(?d))) extremize on
+            // the numeric carrier (min/max skip NULL inputs natively —
+            // unbound zone-less rows never shadow real extremes) and
+            // EMIT the canonical lexical, rendered once on the single
+            // aggregated value
             def durExtreme(maxSide: Boolean): Column = {
-              // NULL guard: min/max skip NULL inputs, but a struct with
-              // null FIELDS is not null — an unbound duration (zone-less
-              // row) must not shadow real extremes
-              val carrier =
-                if (ty == TyDurYM) durationMonths(c) else durationSeconds(c)
-              val s = when(c.isNotNull, struct(carrier.as("s"), c.as("l")))
-              (if (maxSide) max(s) else min(s)).getField("l")
+              val m = if (maxSide) max(c) else min(c)
+              if (ty == TyDurYM) durationLexicalOfMonths(m)
+              else durationLexicalOfSeconds(m)
             }
             val durTy = ty == TyDur || ty == TyDurYM
             fn match {
@@ -2365,7 +2361,7 @@ object SparqlText {
         case PVar(src, out) =>
           if (grouped2.columns.contains(src)) col(src).as(out)
           else lit(null).cast("string").as(out) // SPARQL: unbound projected var
-        case PExpr(e, out) => compileE(e)._1.as(out)
+        case PExpr(e, out) => emitVal(compileE(e)).as(out)
         case item => col(item.out)
       }
     // §15.1 typed-literal ordering: lexical order puts "10" before "2",
@@ -2998,7 +2994,8 @@ object SparqlText {
           // CaseWhen keeps the offset-digit casts off the 'Z'/zone-less
           // rows (ANSI-safe: '' never reaches CAST).
           case EFn("TIMEZONE", Seq(x)) =>
-            val dur = timezoneDurationOf(compileE(x)._1.cast("string"))
+            val dur = durationLexicalOfSeconds(
+              timezoneSecondsOf(compileE(x)._1.cast("string")))
             a.withColumn(out, dur)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull,
@@ -3054,10 +3051,14 @@ object SparqlText {
           // EXISTS anywhere a boolean fits, including BIND)
           case x if hasExists(x) =>
             val (lifted, e2, marks) = liftExistsMarks(a, x)
-            marks.foldLeft(lifted.withColumn(out, compileE(e2)._1))(_ drop _)
+            marks.foldLeft(
+              lifted.withColumn(out, emitVal(compileE(e2))))(_ drop _)
           case _ =>
             val (cv, ty) = compileE(e)
-            val bound = a.withColumn(out, cv)
+            // output boundary: a duration-typed result materializes its
+            // canonical lexical HERE, once — downstream uses re-enter
+            // the rung through the xsd: constructor
+            val bound = a.withColumn(out, emitVal((cv, ty)))
             // duration-typed results (duration arithmetic, typed-literal
             // pass-through) carry their datatype in the __dt companion
             // so DATATYPE(?out) answers correctly — same treatment the
@@ -3284,12 +3285,19 @@ object SparqlText {
   private case object TyN extends TyNum
   private case object TyI extends TyNum
   private case object TyB extends Ty
-  /** xsd:dayTimeDuration on the expression rung: the VALUE is the lexical
-    * form ("±PnDTnHnMnS" — what projects and what BIND stores), but the
-    * type carries a SECONDS interpretation ([[durationSeconds]]) that
-    * comparisons and numeric contexts read, so
-    * `TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration` orders by duration
-    * VALUE, not by string (where "PT10H" < "PT2H"). */
+  /** xsd:dayTimeDuration on the expression rung: the compiled VALUE is
+    * the numeric carrier — SIGNED SECONDS as a double — not the lexical
+    * form. The lexical parses exactly once at rung ENTRY (a typed
+    * literal, the xsd:dayTimeDuration constructor, TIMEZONE) and renders
+    * exactly once at output boundaries ([[emitVal]]: SELECT projection,
+    * BIND materialization, aggregate emit). Round 13 carried the LEXICAL
+    * as the value and re-derived seconds at every use; the multiplicative
+    * re-derivation (each [[durationSeconds]] embeds its input ~7×, each
+    * [[durationLexicalOfSeconds]] ~14×) built expression trees of 10⁴⁺
+    * nodes on a three-operator chain and hung whole-stage codegen's
+    * `reduceCodeSize` before a single row executed. The numeric carrier
+    * makes duration algebra plain double arithmetic — tree size linear
+    * in the expression, exactly like TyI/TyN. */
   private case object TyDur extends Ty
   /** xsd:yearMonthDuration — same design as [[TyDur]] but the value
     * carrier is SIGNED MONTHS ([[durationMonths]]): the two XSD duration
@@ -3303,8 +3311,8 @@ object SparqlText {
     case (c, TyN) => c
     case (c, TyI) => c // long — Spark promotes to double in mixed ops
     case (c, TyS) => c.cast("double")
-    case (c, TyDur) => durationSeconds(c)
-    case (c, TyDurYM) => durationMonths(c)
+    case (c, TyDur) => c // carrier IS signed seconds
+    case (c, TyDurYM) => c // carrier IS signed months
     case (_, TyB) => sys.error("boolean expression used numerically")
   }
   /** Variables an expression references by name (EExists bodies excluded:
@@ -3430,18 +3438,32 @@ object SparqlText {
   }
   private def asStr(ct: (Column, Ty)): Column = ct match {
     case (c, TyS) => c
-    case (c, TyDur) => c // the value IS the duration lexical form
-    case (c, TyDurYM) => c
+    // string context renders the CANONICAL lexical from the numeric
+    // carrier (one render node — never re-parsed afterwards)
+    case (c, TyDur) => durationLexicalOfSeconds(c)
+    case (c, TyDurYM) => durationLexicalOfMonths(c)
     case (c, _: TyNum) => c.cast("string")
     case (_, TyB) => sys.error("boolean expression used as a string")
+  }
+
+  /** Output-boundary materialization: the duration rungs render their
+    * canonical lexical exactly ONCE here (SELECT projection, BIND
+    * materialization, GROUP BY key binding); every other rung projects
+    * its compiled value unchanged. This is the render half of the
+    * value-carrier design — see the [[TyDur]] scaladoc for why the
+    * lexical must not be the in-flight value. */
+  private def emitVal(ct: (Column, Ty)): Column = ct match {
+    case (c, TyDur) => durationLexicalOfSeconds(c)
+    case (c, TyDurYM) => durationLexicalOfMonths(c)
+    case (c, _) => c
   }
 
   /** ORDER BY key for a compiled expression: duration-typed keys sort
     * through the seconds carrier (the comparison rule, §15.1 via op:
     * duration ordering), everything else sorts on its compiled value. */
   private def sortKey(ct: (Column, Ty)): Column = ct match {
-    case (c, TyDur) => durationSeconds(c)
-    case (c, TyDurYM) => durationMonths(c)
+    case (c, TyDur) => c // numeric carrier — already the §15.1 value order
+    case (c, TyDurYM) => c
     case (c, _) => c
   }
 
@@ -3494,9 +3516,11 @@ object SparqlText {
     * the round is exact on every path the grammar can reach. */
   private[graft] def durationLexicalOfSeconds(sec: Column): Column = {
     val a = round(abs(sec)).cast("long")
-    val d = a / 86400L
-    val h = (a % 86400L) / 3600L
-    val mi = (a % 3600L) / 60L
+    // Column `/` is DOUBLE division even on longs — floor back to the
+    // integral component count (a is non-negative, so floor = truncate)
+    val d = floor(a / 86400L)
+    val h = floor((a % 86400L) / 3600L)
+    val mi = floor((a % 3600L) / 60L)
     val s2 = a % 60L
     val timePart = concat(
       when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
@@ -3515,7 +3539,7 @@ object SparqlText {
     * with zero components omitted, "P0M" for zero. */
   private[graft] def durationLexicalOfMonths(m: Column): Column = {
     val a = round(abs(m)).cast("long")
-    val y = a / 12L
+    val y = floor(a / 12L) // Column `/` is double division — floor back
     val mo = a % 12L
     when(m.isNull, lit(null).cast("string"))
       .when(a === 0, lit("P0M"))
@@ -3563,25 +3587,22 @@ object SparqlText {
         substring(core, 12, 8), zone))
   }
 
-  /** §17.4.5.7 core shared by the BIND path (which adds the __dt
-    * companion) and plain expression position: the zone of an
-    * xsd:dateTime lexical as an xsd:dayTimeDuration lexical — NULL
-    * (unbound-propagating error) when zone-less or malformed, per XPath
-    * fn:timezone-from-dateTime. CaseWhen keeps the offset-digit casts
-    * off the 'Z'/zone-less rows (ANSI-safe: '' never reaches CAST). */
-  private def timezoneDurationOf(s0: Column): Column = {
+  /** §17.4.5.7 core shared by the BIND path (which renders the lexical
+    * and adds the __dt companion) and plain expression position: the
+    * zone of an xsd:dateTime lexical as SIGNED SECONDS (the [[TyDur]]
+    * carrier) — NULL (unbound-propagating error) when zone-less or
+    * malformed, per XPath fn:timezone-from-dateTime. CaseWhen keeps the
+    * offset-digit casts off the 'Z'/zone-less rows (ANSI-safe: '' never
+    * reaches CAST). */
+  private def timezoneSecondsOf(s0: Column): Column = {
     val zone = regexp_extract(s0,
       "^\\d{4}-\\d{2}-\\d{2}T.*?(Z|[+-]\\d{2}:\\d{2})$", 1)
     val h = substring(zone, 2, 2).cast("int")
     val mi = substring(zone, 5, 2).cast("int")
-    when(s0.isNull || zone === "", lit(null).cast("string"))
-      .when(zone === "Z", lit("PT0S"))
-      .when(h === 0 && mi === 0, lit("PT0S"))
-      .otherwise(concat(
-        when(substring(zone, 1, 1) === "-", lit("-")).otherwise(lit("")),
-        lit("PT"),
-        when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
-        when(mi > 0, concat(mi.cast("string"), lit("M"))).otherwise(lit(""))))
+    val mag = (h * 3600 + mi * 60).cast("double")
+    when(s0.isNull || zone === "", lit(null).cast("double"))
+      .when(zone === "Z", lit(0.0))
+      .otherwise(when(substring(zone, 1, 1) === "-", -mag).otherwise(mag))
   }
   private def compileBool(e: EExpr): Column = compileE(e) match {
     case (c, TyB) => c
@@ -3642,43 +3663,54 @@ object SparqlText {
       // mix (a month has no fixed seconds length), and a duration never
       // silently coerces to a number.
       (lc._2, rc._2, op) match {
-        // op:add/subtract-dayTimeDurations → dayTimeDuration
-        case (TyDur, TyDur, "+") =>
-          return (durationLexicalOfSeconds(
-            durationSeconds(lc._1) + durationSeconds(rc._1)), TyDur)
-        case (TyDur, TyDur, "-") =>
-          return (durationLexicalOfSeconds(
-            durationSeconds(lc._1) - durationSeconds(rc._1)), TyDur)
+        // op:add/subtract-dayTimeDurations → dayTimeDuration: plain
+        // double arithmetic on the seconds carrier — the lexical renders
+        // once, at the output boundary (emitVal)
+        case (TyDur, TyDur, "+") => return (lc._1 + rc._1, TyDur)
+        case (TyDur, TyDur, "-") => return (lc._1 - rc._1, TyDur)
+        // op:divide-dayTimeDuration-by-dayTimeDuration → xs:decimal
+        // (XPath §17 operator map): the dimensionless ratio
+        case (TyDur, TyDur, "/") => return (lc._1 / rc._1, TyN)
         // op:add/subtract-yearMonthDurations → yearMonthDuration
-        case (TyDurYM, TyDurYM, "+") =>
-          return (durationLexicalOfMonths(
-            durationMonths(lc._1) + durationMonths(rc._1)), TyDurYM)
-        case (TyDurYM, TyDurYM, "-") =>
-          return (durationLexicalOfMonths(
-            durationMonths(lc._1) - durationMonths(rc._1)), TyDurYM)
+        case (TyDurYM, TyDurYM, "+") => return (lc._1 + rc._1, TyDurYM)
+        case (TyDurYM, TyDurYM, "-") => return (lc._1 - rc._1, TyDurYM)
+        case (TyDurYM, TyDurYM, "/") => return (lc._1 / rc._1, TyN)
+        // op:multiply/divide-dayTimeDuration (and the yearMonth twins):
+        // duration × number scales the carrier; the boundary render
+        // rounds to whole seconds/months per the engine's
+        // integer-second duration model
+        case (TyDur, TyI | TyN, "*") => return (lc._1 * asNum(rc), TyDur)
+        case (TyI | TyN, TyDur, "*") => return (asNum(lc) * rc._1, TyDur)
+        case (TyDur, TyI | TyN, "/") => return (lc._1 / asNum(rc), TyDur)
+        case (TyDurYM, TyI | TyN, "*") =>
+          return (lc._1 * asNum(rc), TyDurYM)
+        case (TyI | TyN, TyDurYM, "*") =>
+          return (asNum(lc) * rc._1, TyDurYM)
+        case (TyDurYM, TyI | TyN, "/") =>
+          return (lc._1 / asNum(rc), TyDurYM)
         // op:add-dayTimeDuration-to-dateTime and the subtract twin: the
         // non-duration side is a dateTime LEXICAL on the string rung
         // (the engine's term model) — a lexical outside the dateTime
         // grammar maps to NULL inside the helper (error→unbound)
         case (TyS, TyDur, "+") =>
-          return (dateTimePlusSeconds(lc._1, durationSeconds(rc._1)), TyS)
+          return (dateTimePlusSeconds(lc._1, rc._1), TyS)
         case (TyDur, TyS, "+") => // dateTime + on either side commutes
-          return (dateTimePlusSeconds(rc._1, durationSeconds(lc._1)), TyS)
+          return (dateTimePlusSeconds(rc._1, lc._1), TyS)
         case (TyS, TyDur, "-") =>
-          return (dateTimePlusSeconds(lc._1, -durationSeconds(rc._1)), TyS)
+          return (dateTimePlusSeconds(lc._1, -rc._1), TyS)
         case (TyS, TyDurYM, "+") =>
-          return (dateTimePlusMonths(lc._1, durationMonths(rc._1)), TyS)
+          return (dateTimePlusMonths(lc._1, rc._1), TyS)
         case (TyDurYM, TyS, "+") =>
-          return (dateTimePlusMonths(rc._1, durationMonths(lc._1)), TyS)
+          return (dateTimePlusMonths(rc._1, lc._1), TyS)
         case (TyS, TyDurYM, "-") =>
-          return (dateTimePlusMonths(lc._1, -durationMonths(rc._1)), TyS)
+          return (dateTimePlusMonths(lc._1, -rc._1), TyS)
         case (TyDur, TyDurYM, _) | (TyDurYM, TyDur, _) =>
           sys.error("dayTimeDuration and yearMonthDuration are " +
             "incomparable rungs (§17: no operator mixes them)")
         case (TyDur, _, _) | (_, TyDur, _) | (TyDurYM, _, _) |
              (_, TyDurYM, _) =>
-          sys.error(s"unsupported duration arithmetic: $op with a " +
-            "numeric operand (§17 defines only duration±duration and " +
+          sys.error(s"unsupported duration arithmetic: $op (§17 defines " +
+            "duration±duration, duration×÷number, duration÷duration and " +
             "dateTime±duration)")
         case _ => // numeric path below
       }
@@ -3704,11 +3736,22 @@ object SparqlText {
       // lexical (the ISO-string date ordering). Both sides on the
       // integer rung compare as longs (exact past 2^53); a mixed numeric
       // pair promotes to double per §17.3.
+      // a duration-typed side is ALREADY its numeric carrier; a lexical
+      // (TyS) side facing a duration parses once here (error→unbound on
+      // a malformed lexical, same as every rung entry)
+      def durSec(ct: (Column, Ty)): Column = ct match {
+        case (c, TyDur) => c
+        case other => durationSeconds(asStr(other))
+      }
+      def durMo(ct: (Column, Ty)): Column = ct match {
+        case (c, TyDurYM) => c
+        case other => durationMonths(asStr(other))
+      }
       val (a, b) =
         if (lc._2 == TyDur || rc._2 == TyDur)
-          (durationSeconds(asStr(lc)), durationSeconds(asStr(rc)))
+          (durSec(lc), durSec(rc))
         else if (lc._2 == TyDurYM || rc._2 == TyDurYM)
-          (durationMonths(asStr(lc)), durationMonths(asStr(rc)))
+          (durMo(lc), durMo(rc))
         else if (lc._2 == TyI && rc._2 == TyI) (lc._1, rc._1)
         else if (lc._2.isInstanceOf[TyNum] || rc._2.isInstanceOf[TyNum])
           (asNum(lc), asNum(rc))
@@ -3782,12 +3825,18 @@ object SparqlText {
         (asNum(a0).cast("double"), TyN)
       case "XSD_STRING" => (asStr(a0), TyS)
       // the duration rung's entry point: typed duration literals parse
-      // to this constructor, and data-bound lexicals cast onto it —
-      // value stays the lexical form, the TYPE makes comparisons read
-      // the seconds carrier
-      case "XSD_DAYTIMEDURATION" => (asStr(a0), TyDur)
+      // to this constructor, and data-bound lexicals cast onto it — the
+      // ONE place a dayTimeDuration lexical parses to its seconds
+      // carrier (a literal argument constant-folds at planning)
+      case "XSD_DAYTIMEDURATION" => a0 match {
+        case (c, TyDur) => (c, TyDur) // already on the rung
+        case other => (durationSeconds(asStr(other)), TyDur)
+      }
       // the yearMonth rung's twin entry point (months carrier)
-      case "XSD_YEARMONTHDURATION" => (asStr(a0), TyDurYM)
+      case "XSD_YEARMONTHDURATION" => a0 match {
+        case (c, TyDurYM) => (c, TyDurYM)
+        case other => (durationMonths(asStr(other)), TyDurYM)
+      }
       case "XSD_BOOLEAN" =>
         val s = asStr(a0)
         (when(lower(s).isin("true", "1"), lit(true))
@@ -3967,11 +4016,13 @@ object SparqlText {
         "BNODE is supported as the top-level expression of BIND only " +
           "(the engine mints a deterministic per-solution surrogate there, " +
           "SURVEY §7.3 nondeterminism policy)")
-      // §17.4.5.7 in plain expression position: the duration VALUE with
-      // the duration type (comparisons read the seconds carrier). The
-      // BIND form additionally tags the bound variable's __dt companion.
+      // §17.4.5.7 in plain expression position: the zone offset enters
+      // the duration rung directly as its SECONDS carrier (no lexical
+      // detour — comparisons and arithmetic read the number; a
+      // projection/BIND renders the lexical at the boundary). The BIND
+      // form additionally tags the bound variable's __dt companion.
       case "TIMEZONE" =>
-        (timezoneDurationOf(asStr(a0).cast("string")), TyDur)
+        (timezoneSecondsOf(asStr(a0).cast("string")), TyDur)
       case "STRLANG" | "STRDT" => sys.error(
         s"$fn is supported as the top-level expression of BIND only " +
           "(the constructed term's tag rides in hidden fidelity columns)")

@@ -180,8 +180,12 @@ final class DiskPageFetcher(dir: String) extends PageFetcher {
   * GET of the query template with `$offset`/`$limit` substituted (the
   * reference's own `string.Template` placeholders), results-JSON
   * negotiated via the Accept header. Status mapping: 200 → the page
-  * body; 404/416 → `None` (past the last page — the range-exhausted
-  * signals); anything else THROWS so a wrapping [[RetryingFetcher]]
+  * body; 416 → `None` (the range-exhausted signal); 404 → `None` only
+  * AFTER a successful page (past-the-end on REST-ish endpoints), else
+  * an error (a first-page 404 is a wrong endpoint path — real SPARQL
+  * endpoints answer 200 with empty bindings past the end, so mapping
+  * it to `None` would yield a silently empty dataset);
+  * anything else THROWS so a wrapping [[RetryingFetcher]]
   * applies the reference's retry/backoff policy (its Prefect task
   * declares retries=6 with exponential backoff; pass
   * `new RetryingFetcher(httpFetcher, maxRetries = 6, backoffMs = 30000,
@@ -202,6 +206,14 @@ final class HttpPageFetcher(
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
     .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
     .build()
+  // Whether any page has fetched successfully (the loop is sequential
+  // within a partition, so a plain var suffices). Gates the 404→end
+  // mapping: real SPARQL endpoints — including Wikidata, the
+  // reference's target — answer 200 with empty bindings past the end,
+  // while a 404 on the FIRST page almost always means a misconfigured
+  // endpoint path, which must surface as an error, not as a silently
+  // empty dataset.
+  @transient private var sawPage = false
   override def fetch(offset: Long, limit: Long): Option[String] = {
     val q = queryTemplate
       .replace("$offset", offset.toString)
@@ -217,8 +229,12 @@ final class HttpPageFetcher(
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
-      case 200 => Some(resp.body())
-      case 404 | 416 => None // past the last page
+      case 200 => sawPage = true; Some(resp.body())
+      case 416 => None // the range-exhausted signal: past the last page
+      // 404 is end-of-pages ONLY once a page has succeeded; on the first
+      // page it is a wrong endpoint path and throws (so RetryingFetcher
+      // retries it and the caller ultimately sees the error)
+      case 404 if sawPage => None
       case code => throw new java.io.IOException(
         s"HTTP $code from SPARQL endpoint at offset=$offset limit=$limit")
     }

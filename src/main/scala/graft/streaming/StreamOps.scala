@@ -398,9 +398,18 @@ object StreamOps {
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    // Delete the stale `.old` ONLY when a live target exists to replace
+    // it: after a crash recovered via the `.old` fallback (target absent,
+    // `.old` the only live copy), deleting `.old` before the tmp→target
+    // rename lands would leave a crash window with NEITHER copy readable
+    // — permanent state loss. With the guard, every crash point leaves
+    // old or new readable. Rename results are asserted: a silent rename
+    // failure would strand the new state in `.tmp`.
+    if (fs.exists(target)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    }
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     fs.delete(old, true)
     ()
   }
@@ -669,36 +678,58 @@ object StreamOps {
     tokens.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val bc = batch.toDF().groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val bn = batch.count()
-        val (prev, prevN, prevErr) =
-          (readState(spark, statePath), readState(spark, statePath + "_meta")) match {
-            case (Some(st), Some(metaDf)) =>
-              val meta = metaDf.collect()(0)
-              (st.select(col("term"), col("c")), meta.getLong(0), meta.getLong(1))
-            case _ => (bc.limit(0), 0L, 0L)
-          }
-        val summed = prev.unionByName(bc)
-          .groupBy(col("term")).agg(sum(col("c")).as("c"))
-          .localCheckpoint() // also cuts lineage from the state file
-        // (k+1)-th largest counter = the decrement that trims back to k
-        val top = summed.orderBy(col("c").desc, col("term"))
-          .limit(k + 1).collect()
-        val t = if (top.length > k) top.last.getLong(1) else 0L
-        val n = prevN + bn
-        val err = prevErr + t
-        val trimmed = summed.select(col("term"), (col("c") - t).as("c"))
-          .filter(col("c") > 0)
-          .localCheckpoint()
-        atomicOverwrite(trimmed, statePath)
         import spark.implicits._
-        atomicOverwrite(Seq((n, err)).toDF("n", "err"), statePath + "_meta")
-        trimmed
-          .withColumn("guaranteed", col("c") > lit(n.toDouble / k))
-          .filter(col("c") + err > lit(n.toDouble / k))
-          .write.mode("overwrite").parquet(reportPath)
+        // n / err / batch_id ride IN the state parquet (repeated per row,
+        // plus a null-term sentinel row so an empty counter set still
+        // carries them): one file, one atomic swap. Two separate swaps
+        // (state, then a _meta sibling) left a crash window where new
+        // counters paired with stale meta and the replayed batch's
+        // sum-merge double-counted — the one sink whose merge is not
+        // idempotent by algebra, so idempotence comes from the recorded
+        // batch_id instead.
+        def report(counters: DataFrame, n: Long, err: Long): Unit =
+          counters
+            .withColumn("guaranteed", col("c") > lit(n.toDouble / k))
+            .filter(col("c") + err > lit(n.toDouble / k))
+            .write.mode("overwrite").parquet(reportPath)
+        val stateOpt = readState(spark, statePath)
+        val (prevN, prevErr, prevBatch) = stateOpt.map { st =>
+          val m = st.select(col("n"), col("err"), col("batch_id"))
+            .limit(1).collect()(0)
+          (m.getLong(0), m.getLong(1), m.getLong(2))
+        }.getOrElse((0L, 0L, -1L))
+        def counters(st: DataFrame): DataFrame =
+          st.filter(col("term").isNotNull).select(col("term"), col("c"))
+        if (prevBatch == batchId) {
+          // crash-replayed trigger: its counts are already folded into
+          // the (atomically swapped) state — regenerate the report only
+          report(counters(stateOpt.get), prevN, prevErr)
+        } else {
+          val bc = batch.toDF().groupBy(col("term")).agg(count(lit(1)).as("c"))
+          val bn = batch.count()
+          val prev = stateOpt.map(counters).getOrElse(bc.limit(0))
+          val summed = prev.unionByName(bc)
+            .groupBy(col("term")).agg(sum(col("c")).as("c"))
+            .localCheckpoint() // also cuts lineage from the state file
+          // (k+1)-th largest counter = the decrement that trims back to k
+          val top = summed.orderBy(col("c").desc, col("term"))
+            .limit(k + 1).collect()
+          val t = if (top.length > k) top.last.getLong(1) else 0L
+          val n = prevN + bn
+          val err = prevErr + t
+          val trimmed = summed.select(col("term"), (col("c") - t).as("c"))
+            .filter(col("c") > 0)
+            .localCheckpoint()
+          val sentinel = Seq((null: String, 0L, n, err, batchId))
+            .toDF("term", "c", "n", "err", "batch_id")
+          atomicOverwrite(trimmed
+            .withColumn("n", lit(n)).withColumn("err", lit(err))
+            .withColumn("batch_id", lit(batchId))
+            .unionByName(sentinel), statePath)
+          report(trimmed, n, err)
+        }
         ()
       }
       .start()

@@ -94,6 +94,15 @@ class HttpPageFetcherSpec extends SparkSpec {
     }
   }
 
+  test("404 on the FIRST page throws (a wrong endpoint path must surface " +
+      "as an error, not a silently empty dataset — real SPARQL endpoints " +
+      "answer 200 with empty bindings past the end)") {
+    withServer(total = 0) { (endpoint, _) =>
+      val fetcher = new HttpPageFetcher(endpoint, template)
+      intercept[java.io.IOException](fetcher.fetch(0, 2))
+    }
+  }
+
   test("transient 5xx throws, and RetryingFetcher recovers it with the " +
       "reference's exponential backoff (retries resume the SAME page)") {
     withServer(total = 2, flakyFirst = 2) { (endpoint, received) =>

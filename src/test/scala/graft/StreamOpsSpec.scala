@@ -334,7 +334,10 @@ class StreamOpsSpec extends SparkSpec {
       val n = fixture.length
       val exactCounts = fixture.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val trueHeavy = exactCounts.filter { case (_, c) => c > n / 50.0 }.keySet
-      val meta = spark.read.parquet(statePath + "_meta").collect()(0)
+      // n/err/batch_id ride in the state parquet itself (single atomic
+      // swap — no separate _meta sibling to race against)
+      val meta = spark.read.parquet(statePath)
+        .select("n", "err").limit(1).collect()(0)
       assert(meta.getLong(0) == n.toLong) // exact running total
       val err = meta.getLong(1)
       val report = spark.read.parquet(reportPath)

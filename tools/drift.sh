@@ -1,0 +1,85 @@
+#!/usr/bin/env bash
+# Automated bench-drift A/B (the gate's answer to "did the board really
+# get slower, or is the box noisy?"): compare the just-written
+# bench_latest.json against the last COMMITTED bench_latest.json. When
+# the total moved >15% at the SAME SF, rebuild the prior round's HEAD in
+# a scratch git worktree, re-time the top-5 slowest queries THERE and
+# HERE back-to-back (same box, same minutes), and append the A/B table
+# to docs/SCALING.md — the round-12 manual worktree procedure
+# (docs/SCALING.md "Round-12 A/B"), automated so a drifting close can
+# never ship without its defense attached.
+#
+# Exit 0 always unless the comparison itself is impossible: drift is a
+# diagnostic, not a gate failure — the TABLE is the deliverable.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+NEW=bench_latest.json
+[ -f "$NEW" ] || { echo "drift: no $NEW; run Bench first" >&2; exit 1; }
+
+PREV_COMMIT=$(git log -n1 --format=%H -- "$NEW" 2>/dev/null || true)
+if [ -z "$PREV_COMMIT" ]; then
+  echo "drift: no committed $NEW to compare against — skipping"
+  exit 0
+fi
+git show "$PREV_COMMIT:$NEW" > /tmp/graft_bench_prev.json 2>/dev/null || {
+  echo "drift: prior $NEW unreadable at $PREV_COMMIT — skipping"; exit 0; }
+
+VERDICT=$(python3 - "$NEW" /tmp/graft_bench_prev.json <<'EOF'
+import json, sys
+new = json.load(open(sys.argv[1])); prev = json.load(open(sys.argv[2]))
+if new.get("sf") != prev.get("sf"):
+    print("SKIP sf-mismatch", new.get("sf"), prev.get("sf")); raise SystemExit
+nt, pt = float(new["value"]), float(prev["value"])
+drift = abs(nt - pt) / max(pt, 1e-9)
+if drift <= 0.15:
+    print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s)"); raise SystemExit
+top5 = sorted(new["queries"].items(), key=lambda kv: -abs(kv[1]))[:5]
+print("DRIFT", f"{drift:.3f}", ",".join(k for k, _ in top5))
+EOF
+)
+case "$VERDICT" in
+  OK*|SKIP*) echo "drift: $VERDICT"; exit 0 ;;
+  DRIFT*) ;;
+  *) echo "drift: unparseable bench JSONs ($VERDICT) — skipping"; exit 0 ;;
+esac
+PCT=$(echo "$VERDICT" | awk '{print $2}')
+QUERIES=$(echo "$VERDICT" | awk '{print $3}' | tr ',' ' ')
+SF=$(python3 -c "import json;print(json.load(open('$NEW'))['sf'])")
+echo "drift: total moved ${PCT} — A/B on: $QUERIES (sf=$SF, base=$PREV_COMMIT)"
+
+WT=$(mktemp -d /tmp/graft-ab.XXXXXX)
+rmdir "$WT"
+git worktree add --detach "$WT" "$PREV_COMMIT" >/dev/null 2>&1 || {
+  echo "drift: worktree add failed — skipping A/B" >&2; exit 0; }
+trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
+
+# back-to-back, same box: prior HEAD first, current tree second
+( cd "$WT" && env SPARK_GRAFT_SF_DIR="$SF" \
+    SPARK_GRAFT_BENCH_OUT=/tmp/graft_ab_prev.json \
+    sbt -batch "runMain graft.Bench $QUERIES" >/dev/null 2>&1 ) || {
+  echo "drift: prior-HEAD bench failed — skipping A/B" >&2; exit 0; }
+env SPARK_GRAFT_SF_DIR="$SF" \
+    SPARK_GRAFT_BENCH_OUT=/tmp/graft_ab_new.json \
+    sbt -batch "runMain graft.Bench $QUERIES" >/dev/null 2>&1 || {
+  echo "drift: current-HEAD bench failed — skipping A/B" >&2; exit 0; }
+
+python3 - "$PREV_COMMIT" "$PCT" <<'EOF' >> docs/SCALING.md
+import json, subprocess, sys
+prev = json.load(open("/tmp/graft_ab_prev.json"))
+new = json.load(open("/tmp/graft_ab_new.json"))
+head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                      capture_output=True, text=True).stdout.strip()
+print(f"\n## Bench-drift A/B (auto, gate): {sys.argv[1][:8]} -> {head}")
+print(f"\nFull-board total drifted {float(sys.argv[2])*100:.0f}% vs the "
+      f"last committed bench at the same SF ({new['sf']}); top-5 slowest "
+      "re-timed back-to-back in a scratch worktree of the prior HEAD vs "
+      "the current tree (min of the same pass policy, same box, "
+      f"contended: prior={prev['contended']} current={new['contended']}).")
+print("\n| query | prior HEAD (s) | current (s) |")
+print("|---|---|---|")
+for q in sorted(new["queries"]):
+    print(f"| {q} | {prev['queries'].get(q, float('nan')):.2f} "
+          f"| {new['queries'][q]:.2f} |")
+EOF
+echo "drift: A/B table appended to docs/SCALING.md"

@@ -36,5 +36,9 @@ step "oracle"   python3 tools/check.py "$SF_DIR" "$OUT_DIR/verify"
 # crashes under the audit listener (sf0.001 — posture, not perf)
 step "audit"    sbt -batch "runMain graft.Audit /root/testdata/sf0.001"
 step "bench"    env SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench"
+# >15%-total drift vs the last committed bench at the same SF auto-runs
+# the scratch-worktree A/B on the top-5 slow tail and appends the table
+# to docs/SCALING.md (diagnostic: informs, never blocks)
+step "drift"    tools/drift.sh
 
 echo "== gate: ALL GREEN (sf=$SF_DIR) =="
