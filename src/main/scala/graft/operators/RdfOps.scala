@@ -656,6 +656,40 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Duration AGGREGATES (§18.5 set functions closed under the duration
+    * types — SUM is op:add-dayTimeDurations folded over the group, AVG
+    * its mean): zones classify into sign groups via the §17.4 duration
+    * comparison and each group aggregates TIMEZONE's dayTimeDuration
+    * values on the numeric carrier, rendering the canonical lexical once
+    * per emitted aggregate. Zone-less rows carry an UNBOUND ?z (the §17.2
+    * error→unbound) — they group under the unbound key with COUNT 0 and
+    * NULL duration aggregates, per §18.5's definition (errors are
+    * dropped from the multiset a set function sees). Single scan, one
+    * aggregation shuffle over a |sign-classes|-bounded output. */
+  def q304DurationAgg(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?cls (COUNT(?z) AS ?n)
+        |       (SUM(xsd:dayTimeDuration(?z)) AS ?tot)
+        |       (AVG(xsd:dayTimeDuration(?z)) AS ?mean)
+        |       (MIN(xsd:dayTimeDuration(?z)) AS ?lo)
+        |       (MAX(xsd:dayTimeDuration(?z)) AS ?hi)
+        |WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(IF(TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration,
+        |          "east", "nonpositive") AS ?cls)
+        |}
+        |GROUP BY ?cls""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1624,6 +1658,7 @@ object RdfOps {
     "q294_duration_compare"  -> q294DurationCompare _,
     "q277_duration_arith"    -> q277DurationArith _,
     "q303_duration_muldiv"   -> q303DurationMulDiv _,
+    "q304_duration_agg"      -> q304DurationAgg _,
     "q298_personalized_pagerank" -> q298PersonalizedPagerank _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
@@ -2238,6 +2273,57 @@ object RdfOps {
                         WHEN 2 THEN -8.0 END AS DOUBLE) AS ratio,
            'P5Y' AS ymq
          FROM t""",
+    // q304: aggregate seconds per sign class, then render the canonical
+    // dayTimeDuration lexical ONCE over an unpivoted (stat, seconds)
+    // frame and pivot back — the renderer is written a single time, in
+    // exactly the engine's op order (round(abs(s)) → BIGINT, integer
+    // component splits, zero components omitted, 'PT0S' for zero)
+    "q304_duration_agg" ->
+      """WITH t AS (SELECT event_id % 4 AS zi FROM events
+                    WHERE event_id < 2000),
+         d AS (SELECT CASE zi WHEN 0 THEN 0.0 WHEN 1 THEN 19800.0
+                              WHEN 2 THEN -28800.0 END AS secs,
+                      CASE WHEN zi = 1 THEN 'east'
+                           WHEN zi = 3 THEN NULL
+                           ELSE 'nonpositive' END AS cls
+               FROM t),
+         agg AS (SELECT cls, count(secs) AS n, sum(secs) AS tot_s,
+                        avg(secs) AS mean_s, min(secs) AS lo_s,
+                        max(secs) AS hi_s
+                 FROM d GROUP BY cls),
+         u AS (SELECT cls, n, 'tot' AS stat, tot_s AS s FROM agg
+               UNION ALL SELECT cls, n, 'mean', mean_s FROM agg
+               UNION ALL SELECT cls, n, 'lo', lo_s FROM agg
+               UNION ALL SELECT cls, n, 'hi', hi_s FROM agg),
+         r AS (SELECT cls, n, stat,
+                 CASE WHEN s IS NULL THEN NULL
+                      WHEN a = 0 THEN 'PT0S'
+                      ELSE (CASE WHEN s < 0 THEN '-' ELSE '' END) || 'P' ||
+                        (CASE WHEN a // 86400 > 0
+                              THEN CAST(a // 86400 AS VARCHAR) || 'D'
+                              ELSE '' END) ||
+                        (CASE WHEN (a % 86400) // 3600 > 0
+                                OR (a % 3600) // 60 > 0 OR a % 60 > 0
+                              THEN 'T' ||
+                                (CASE WHEN (a % 86400) // 3600 > 0
+                                      THEN CAST((a % 86400) // 3600 AS VARCHAR) || 'H'
+                                      ELSE '' END) ||
+                                (CASE WHEN (a % 3600) // 60 > 0
+                                      THEN CAST((a % 3600) // 60 AS VARCHAR) || 'M'
+                                      ELSE '' END) ||
+                                (CASE WHEN a % 60 > 0
+                                      THEN CAST(a % 60 AS VARCHAR) || 'S'
+                                      ELSE '' END)
+                              ELSE '' END)
+                 END AS dur
+               FROM (SELECT cls, n, stat, s,
+                            CAST(round(abs(s)) AS BIGINT) AS a FROM u))
+         SELECT cls, n,
+           max(CASE WHEN stat = 'tot' THEN dur END) AS tot,
+           max(CASE WHEN stat = 'mean' THEN dur END) AS mean,
+           max(CASE WHEN stat = 'lo' THEN dur END) AS lo,
+           max(CASE WHEN stat = 'hi' THEN dur END) AS hi
+         FROM r GROUP BY cls, n""",
     "q148_datetime_fns" ->
       """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
                       strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS d

@@ -369,6 +369,138 @@ object TextOps {
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"))
   }
 
+  /** Bradley–Terry preference aggregation — the rating model RLHF/
+    * preference pipelines fit over pairwise comparison data (Hunter 2004
+    * MM algorithm, three fixed iterations). Comparisons derive
+    * deterministically from the corpus: consecutive doc_ids with
+    * different sources pit source-vs-source, the longer document wins
+    * (ties to the earlier doc). The MM update
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j), normalized to Σp = 1 per round,
+    * runs on integer micro-carriers: every division is ONE IEEE op on
+    * exact integers, every Σ is a long sum — bit-identical across
+    * engines regardless of aggregation order (the chi-square/NB
+    * lesson). Scale shape: ONE corpus self-join keyed on doc_id+1
+    * produces the comparisons, which immediately reduce to the
+    * |sources|²-bounded pair matrix; all three iterations run on that
+    * bounded table with broadcast rating joins — corpus size buys
+    * comparisons, never iteration cost. */
+  def q305BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val comps = d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        when(col("b.n_chars") > col("a.n_chars"), col("b.source"))
+          .otherwise(col("a.source")).as("winner"))
+    val pairs = comps
+      .select(least(col("sa"), col("sb")).as("i"),
+        greatest(col("sa"), col("sb")).as("j"), col("winner"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // |sources|² bound — the iteration substrate
+    val wins = comps.groupBy(col("winner")).agg(count(lit(1)).as("w"))
+      .withColumnRenamed("winner", "src")
+      .localCheckpoint()
+    val ed = pairs.select(col("i").as("a2"), col("j").as("b2"), col("nij"))
+      .unionByName(
+        pairs.select(col("j").as("a2"), col("i").as("b2"), col("nij")))
+    val players = ed.select(col("a2").as("src")).distinct()
+    // ratings as MICRO-longs (p × 1e6): each update is one exact-integer
+    // division per term, one long sum, one rounding — order-independent
+    def step(p: DataFrame): DataFrame = {
+      val pa = p.select(col("src").as("a2"), col("pm").as("pam"))
+      val pb = p.select(col("src").as("b2"), col("pm").as("pbm"))
+      val denom = ed
+        .join(broadcast(pa), "a2").join(broadcast(pb), "b2")
+        .withColumn("term_micro",
+          round(lit(1e6) * (col("nij").cast("double") /
+            (greatest(col("pam") + col("pbm"), lit(1L)).cast("double") / 1e6)))
+            .cast("long"))
+        .groupBy(col("a2").as("src"))
+        .agg(sum(col("term_micro")).as("dm"))
+      val praw = denom.join(broadcast(wins), Seq("src"), "left")
+        .withColumn("prm",
+          round(lit(1e6) * (coalesce(col("w"), lit(0L)).cast("double") /
+            (greatest(col("dm"), lit(1L)).cast("double") / 1e6)))
+            .cast("long"))
+      praw
+        .crossJoin(broadcast(praw.agg(sum(col("prm")).as("sm"))))
+        .select(col("src"),
+          round(lit(1e6) * (col("prm").cast("double") /
+            col("sm").cast("double"))).cast("long").as("pm"))
+    }
+    var p = players.withColumn("pm", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to 3) p = step(p).localCheckpoint() // tiny: |sources| rows
+    p.join(broadcast(wins), Seq("src"), "left")
+      .select(col("src"), coalesce(col("w"), lit(0L)).as("w"),
+        (col("pm").cast("double") / 1e6).as("p"))
+  }
+
+  /** Inter-annotator agreement (Cohen's kappa) per source — the label-
+    * quality gate an annotation/judge pipeline runs before trusting a
+    * rater pair. The two raters are deterministic judges over the
+    * corpus (rater A: n_chars ≥ 200; rater B: ≥ 40 whitespace tokens);
+    * kappa = (p_o − p_e)/(1 − p_e) from the per-source 2×2 confusion.
+    * All inputs are integer counts; the ratio DAG casts each factor to
+    * double first and runs the identical exactly-rounded IEEE sequence
+    * on both engines (the chi-square convention), with the degenerate
+    * p_e = 1 table mapping to NULL on both. One corpus scan; the
+    * per-source confusion is the bounded artifact. */
+  def q306CohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("ra", (col("n_chars") >= 200).cast("int"))
+      .withColumn("rb", (size(split(col("text"), " ")) >= 40).cast("int"))
+    val ct = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L)).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nd
+    val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nd * nd)
+    ct.select(col("source"), col("n"),
+      col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(lit(1.0) - pe === 0.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Preference-pair construction (the DPO/RLHF chosen-vs-rejected
+    * mining step): within each source, rank documents by length (doc_id
+    * tiebreak) and pair rank r from the top with rank r from the bottom
+    * — top-8 chosen vs bottom-8 rejected, pairs that would overlap the
+    * middle dropped. Windows are PARTITIONED by source (rank and count
+    * both), so the ranking is per-group parallel with no global sort;
+    * the chosen↔rejected match is an equi-join on (source, rank) whose
+    * cardinality is 8 × |sources|. Margin (length gap) ships with each
+    * pair — the downstream curriculum/filter signal. */
+  def q307PreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = d
+      .withColumn("r", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    val rejected = ranked.select(col("source").as("source2"),
+      col("r").as("rr"), col("doc_id").as("rejected_id"),
+      col("n_chars").as("rejected_chars"))
+    ranked
+      .filter(col("r") <= 8 && col("r") < col("cnt") - col("r") + 1)
+      .join(rejected, col("source2") === col("source") &&
+        col("rr") === col("cnt") - col("r") + 1)
+      .select(col("source"), col("r").cast("long").as("pos"),
+        col("doc_id").as("chosen_id"), col("rejected_id"),
+        (col("n_chars") - col("rejected_chars")).as("margin"))
+  }
+
   /** Token counting: whitespace tokens + regex-based subtoken counts (the
     * BPE-ish pass: alpha runs and long alpha runs). */
   def q41TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -3677,6 +3809,9 @@ object TextOps {
     "q300_weighted_sample" -> q300WeightedSample _,
     "q301_source_datasheet" -> q301SourceDatasheet _,
     "q302_chi_square" -> q302ChiSquare _,
+    "q305_bradley_terry" -> q305BradleyTerry _,
+    "q306_cohen_kappa" -> q306CohenKappa _,
+    "q307_preference_pairs" -> q307PreferencePairs _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -3980,6 +4115,111 @@ object TextOps {
                 round(chi2_micro/1e6, 4) AS chi2,
                 CAST((nl-1)*(ns-1) AS BIGINT) AS dof
          FROM cells CROSS JOIN tot""",
+    // q305: three MM iterations unrolled as CTEs; every division is one
+    // IEEE op on exact micro-integer carriers, every sum a BIGINT sum —
+    // the same op DAG the engine runs, so aggregation order is moot
+    "q305_bradley_terry" ->
+      """WITH comp AS (SELECT a.source AS sa, b.source AS sb,
+                CASE WHEN b.n_chars > a.n_chars THEN b.source
+                     ELSE a.source END AS winner
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.source <> b.source),
+         pairs AS (SELECT least(sa, sb) AS i, greatest(sa, sb) AS j,
+                          count(*) AS nij
+                   FROM comp GROUP BY 1, 2),
+         wins AS (SELECT winner AS src, count(*) AS w
+                  FROM comp GROUP BY 1),
+         ed AS (SELECT i AS a2, j AS b2, nij FROM pairs
+                UNION ALL SELECT j, i, nij FROM pairs),
+         players AS (SELECT DISTINCT a2 AS src FROM ed),
+         p0 AS (SELECT src, CAST(1000000 AS BIGINT) AS pm FROM players),
+         d1 AS (SELECT e.a2 AS src,
+                  sum(CAST(round(1e6 * (CAST(e.nij AS DOUBLE) /
+                    (CAST(greatest(pa.pm + pb.pm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT)) AS dm
+                FROM ed e JOIN p0 pa ON pa.src = e.a2
+                          JOIN p0 pb ON pb.src = e.b2
+                GROUP BY 1),
+         r1 AS (SELECT d1.src,
+                  CAST(round(1e6 * (CAST(coalesce(w.w, 0) AS DOUBLE) /
+                    (CAST(greatest(dm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT) AS prm
+                FROM d1 LEFT JOIN wins w ON w.src = d1.src),
+         p1 AS (SELECT src, CAST(round(1e6 * (CAST(prm AS DOUBLE) /
+                  CAST(sm AS DOUBLE))) AS BIGINT) AS pm
+                FROM r1 CROSS JOIN (SELECT sum(prm) AS sm FROM r1)),
+         d2 AS (SELECT e.a2 AS src,
+                  sum(CAST(round(1e6 * (CAST(e.nij AS DOUBLE) /
+                    (CAST(greatest(pa.pm + pb.pm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT)) AS dm
+                FROM ed e JOIN p1 pa ON pa.src = e.a2
+                          JOIN p1 pb ON pb.src = e.b2
+                GROUP BY 1),
+         r2 AS (SELECT d2.src,
+                  CAST(round(1e6 * (CAST(coalesce(w.w, 0) AS DOUBLE) /
+                    (CAST(greatest(dm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT) AS prm
+                FROM d2 LEFT JOIN wins w ON w.src = d2.src),
+         p2 AS (SELECT src, CAST(round(1e6 * (CAST(prm AS DOUBLE) /
+                  CAST(sm AS DOUBLE))) AS BIGINT) AS pm
+                FROM r2 CROSS JOIN (SELECT sum(prm) AS sm FROM r2)),
+         d3 AS (SELECT e.a2 AS src,
+                  sum(CAST(round(1e6 * (CAST(e.nij AS DOUBLE) /
+                    (CAST(greatest(pa.pm + pb.pm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT)) AS dm
+                FROM ed e JOIN p2 pa ON pa.src = e.a2
+                          JOIN p2 pb ON pb.src = e.b2
+                GROUP BY 1),
+         r3 AS (SELECT d3.src,
+                  CAST(round(1e6 * (CAST(coalesce(w.w, 0) AS DOUBLE) /
+                    (CAST(greatest(dm, 1) AS DOUBLE) / 1e6)))
+                    AS BIGINT) AS prm
+                FROM d3 LEFT JOIN wins w ON w.src = d3.src),
+         p3 AS (SELECT src, CAST(round(1e6 * (CAST(prm AS DOUBLE) /
+                  CAST(sm AS DOUBLE))) AS BIGINT) AS pm
+                FROM r3 CROSS JOIN (SELECT sum(prm) AS sm FROM r3))
+         SELECT p3.src, coalesce(w.w, 0) AS w,
+                CAST(p3.pm AS DOUBLE) / 1e6 AS p
+         FROM p3 LEFT JOIN wins w ON w.src = p3.src""",
+    "q306_cohen_kappa" ->
+      """WITH rated AS (SELECT source,
+                CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+                CASE WHEN array_length(string_split(text, ' ')) >= 40
+                     THEN 1 ELSE 0 END AS rb
+              FROM documents),
+         ct AS (SELECT source, count(*) AS n,
+                  CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n11,
+                  CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n00
+                FROM rated GROUP BY source),
+         k AS (SELECT source, n, n11, n10, n01, n00,
+                 CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                 (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+               FROM ct)
+         SELECT source, n, n11, n10, n01, n00,
+                round(po, 6) AS po, round(pe, 6) AS pe,
+                CASE WHEN 1.0 - pe = 0.0 THEN NULL
+                     ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+         FROM k""",
+    "q307_preference_pairs" ->
+      """WITH ranked AS (SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS r,
+                count(*) OVER (PARTITION BY source) AS cnt
+              FROM documents)
+         SELECT c.source, c.r AS pos, c.doc_id AS chosen_id,
+                j.doc_id AS rejected_id,
+                c.n_chars - j.n_chars AS margin
+         FROM ranked c JOIN ranked j
+           ON j.source = c.source AND j.r = c.cnt - c.r + 1
+         WHERE c.r <= 8 AND c.r < c.cnt - c.r + 1""",
     "q301_source_datasheet" ->
       s"""WITH $minhashCtesSql,
          pairs AS (

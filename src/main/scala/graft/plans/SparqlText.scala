@@ -240,6 +240,18 @@ object SparqlText {
   final case class EExists(g: Seq[El], negated: Boolean) extends EExpr
   /** Internal: a lifted boolean mark column reference. */
   private[plans] final case class EMark(name: String) extends EExpr
+  /** Compiler-internal leaf: read a duration-typed variable's NUMERIC
+    * carrier companion (`__dv_v`) instead of re-parsing its rendered
+    * lexical. Substituted by [[SparqlText.rewriteDurVals]] for
+    * `xsd:dayTimeDuration(?v)` / `xsd:yearMonthDuration(?v)` when the
+    * frame carries the companion (i.e. ?v was BOUND duration-typed in
+    * this query) — the parse∘render round-trip is the identity there,
+    * and skipping it keeps codegen size linear: without this, a BIND'd
+    * duration re-entering the rung inlines its (large) render CaseWhen
+    * into each of the parser's ~7 uses — the sub-hang remnant of the
+    * round-13 codegen explosion (q277: 13.6 s of pure JIT at sf0.1). */
+  private[plans] final case class EDurVal(v: String, ym: Boolean)
+    extends EExpr
   /** Builtin call: STR, STRLEN, UCASE, LCASE, SUBSTR, CONCAT, CONTAINS,
     * STRSTARTS, STRENDS, STRBEFORE, STRAFTER, REPLACE, REGEX, ABS, ROUND,
     * CEIL, FLOOR, YEAR, MONTH, DAY, COALESCE. */
@@ -2161,8 +2173,10 @@ object SparqlText {
           if (hasExists(e)) {
             val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
               labels, params, memo, None, None)
-            lifted.withColumn(v, emitVal(compileE(e2))).drop(marks: _*)
-          } else df.withColumn(v, emitVal(compileE(e)))
+            lifted.withColumn(v, emitVal(compileE(
+              rewriteDurVals(lifted.columns.toSet, e2)))).drop(marks: _*)
+          } else df.withColumn(v,
+            emitVal(compileE(rewriteDurVals(df.columns.toSet, e))))
         }
         val keyNames = q.groupBy ++ q.groupByExprs.map(_._2)
         // implicit (empty) grouping admits only aggregate projections —
@@ -2260,31 +2274,37 @@ object SparqlText {
           case PAgg("sample", src, out, _) => min(col(src)).as(out)
           // aggregates over computed expressions — SUM(?price * ?qty)
           case PAggE(fn, e, out, dist) =>
-            val (c, ty) = compileE(e)
+            val (c, ty) = compileE(rewriteDurVals(aggSrc.columns.toSet, e))
             // either numeric rung accumulates natively (long sums stay
             // exact); a lexical argument casts to the double rung
             val n = if (ty.isInstanceOf[TyNum]) c else c.cast("double")
-            // duration-typed arguments (MIN(TIMEZONE(?d))) extremize on
-            // the numeric carrier (min/max skip NULL inputs natively —
-            // unbound zone-less rows never shadow real extremes) and
-            // EMIT the canonical lexical, rendered once on the single
-            // aggregated value
-            def durExtreme(maxSide: Boolean): Column = {
-              val m = if (maxSide) max(c) else min(c)
+            // duration-typed arguments aggregate on the numeric carrier
+            // (all of min/max/sum/avg skip NULL inputs natively —
+            // unbound zone-less rows never shadow real values) and EMIT
+            // the canonical lexical, rendered once on the single
+            // aggregated value. SUM is op:add-dayTimeDurations folded
+            // over the group and AVG its mean (XPath §17 operator map
+            // closed under the duration types), so both stay
+            // duration-typed; the lexical renderer rounds a fractional
+            // mean to whole seconds/months (canonical XSD lexicals are
+            // integral at this engine's resolution).
+            def durRender(m: Column): Column =
               if (ty == TyDurYM) durationLexicalOfMonths(m)
               else durationLexicalOfSeconds(m)
-            }
             val durTy = ty == TyDur || ty == TyDurYM
             fn match {
               case "count" =>
                 (if (dist) countDistinct(c) else count(c)).as(out)
-              case "sum" => (if (dist) sum_distinct(n) else sum(n)).as(out)
-              case "avg" => avg(n).as(out)
+              case "sum" =>
+                val s0 = if (dist) sum_distinct(n) else sum(n)
+                (if (durTy) durRender(s0) else s0).as(out)
+              case "avg" =>
+                (if (durTy) durRender(avg(n)) else avg(n)).as(out)
               case "min" =>
-                (if (durTy) durExtreme(maxSide = false) else min(c))
+                (if (durTy) durRender(min(c)) else min(c))
                   .as(out)
               case "max" =>
-                (if (durTy) durExtreme(maxSide = true) else max(c))
+                (if (durTy) durRender(max(c)) else max(c))
                   .as(out)
               case "sample" => min(c).as(out)
               case other => sys.error(s"unsupported aggregate: $other")
@@ -2311,8 +2331,10 @@ object SparqlText {
           if (hasExists(e)) {
             val (lifted, e2, marks) = liftExistsMarksImpl(df, e, triples,
               labels, params, memo, None, None)
-            lifted.filter(compileBool(e2)).drop(marks: _*)
-          } else df.filter(compileBool(e))
+            lifted.filter(compileBool(
+              rewriteDurVals(lifted.columns.toSet, e2))).drop(marks: _*)
+          } else df.filter(
+            compileBool(rewriteDurVals(df.columns.toSet, e)))
         }
       } else labeled
     if (q.proj.contains(PStar) && q.proj.size > 1)
@@ -2361,7 +2383,8 @@ object SparqlText {
         case PVar(src, out) =>
           if (grouped2.columns.contains(src)) col(src).as(out)
           else lit(null).cast("string").as(out) // SPARQL: unbound projected var
-        case PExpr(e, out) => emitVal(compileE(e)).as(out)
+        case PExpr(e, out) => emitVal(compileE(
+          rewriteDurVals(grouped2.columns.toSet, e))).as(out)
         case item => col(item.out)
       }
     // §15.1 typed-literal ordering: lexical order puts "10" before "2",
@@ -2994,9 +3017,11 @@ object SparqlText {
           // CaseWhen keeps the offset-digit casts off the 'Z'/zone-less
           // rows (ANSI-safe: '' never reaches CAST).
           case EFn("TIMEZONE", Seq(x)) =>
-            val dur = durationLexicalOfSeconds(
-              timezoneSecondsOf(compileE(x)._1.cast("string")))
-            a.withColumn(out, dur)
+            val secs = timezoneSecondsOf(compileE(x)._1.cast("string"))
+            a.withColumn(out, durationLexicalOfSeconds(secs))
+              // numeric-carrier companion: later constructor re-entries
+              // read this instead of re-parsing the rendered lexical
+              .withColumn(dvCol(out), secs)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull,
                 lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration")))
@@ -3052,18 +3077,21 @@ object SparqlText {
           case x if hasExists(x) =>
             val (lifted, e2, marks) = liftExistsMarks(a, x)
             marks.foldLeft(
-              lifted.withColumn(out, emitVal(compileE(e2))))(_ drop _)
+              lifted.withColumn(out, emitVal(compileE(
+                rewriteDurVals(lifted.columns.toSet, e2)))))(_ drop _)
           case _ =>
-            val (cv, ty) = compileE(e)
+            val (cv, ty) = compileE(rewriteDurVals(a.columns.toSet, e))
             // output boundary: a duration-typed result materializes its
             // canonical lexical HERE, once — downstream uses re-enter
-            // the rung through the xsd: constructor
+            // the rung through the xsd: constructor (which reads the
+            // __dv_ carrier companion bound below, never the render)
             val bound = a.withColumn(out, emitVal((cv, ty)))
             // duration-typed results (duration arithmetic, typed-literal
             // pass-through) carry their datatype in the __dt companion
             // so DATATYPE(?out) answers correctly — same treatment the
             // TIMEZONE special case gives its results
             def durBind(iri: String) = bound
+              .withColumn(dvCol(out), cv) // numeric-carrier companion
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull, lit(iri)))
               .withColumn(kindCol(out),
@@ -3181,7 +3209,8 @@ object SparqlText {
         // boolean marks (liftExistsMarks above), filter on the rewritten
         // expression, drop the marks.
         val (lifted, e2, marks) = liftExistsMarks(out, e)
-        out = lifted.filter(compileBool(e2))
+        out = lifted.filter(
+          compileBool(rewriteDurVals(lifted.columns.toSet, e2)))
         marks.foreach(m => out = out.drop(m))
       case ExistsEl(g, negated) =>
         val right =
@@ -3330,6 +3359,7 @@ object SparqlText {
     case EIn(x, _, _) => exprVars(x)
     case EIf(c, t, f) => exprVars(c) ++ exprVars(t) ++ exprVars(f)
     case EFn(_, args) => args.flatMap(exprVars).toSet
+    case EDurVal(v, _) => Set(v)
     case EAgg(_, arg, _) =>
       arg.fold(v => if (v == "*") Set.empty[String] else Set(v), exprVars)
     case _ => Set.empty
@@ -3622,11 +3652,41 @@ object SparqlText {
   private[plans] def langCol(v: String): String = s"__lang_$v"
   private[plans] def dtCol(v: String): String = s"__dt_$v"
   private[plans] def kindCol(v: String): String = s"__kind_$v"
+  /** Duration-value companion: the numeric carrier (signed seconds /
+    * months as double) a duration-typed BIND stores alongside its
+    * rendered lexical, so a later `xsd:dayTimeDuration(?v)` re-entry
+    * reads the value instead of re-parsing the render (see [[EDurVal]]). */
+  private[plans] def dvCol(v: String): String = s"__dv_$v"
   /** ONLY the fidelity companions are join-transparent — __anon blank-node
     * columns stay ordinary join keys (J10's correlation rides on them). */
   private def isFidelityCol(c: String): Boolean =
     c.startsWith("__lang_") || c.startsWith("__dt_") ||
-      c.startsWith("__kind_")
+      c.startsWith("__kind_") || c.startsWith("__dv_")
+  /** Substitute [[EDurVal]] carrier reads for duration-constructor calls
+    * on variables whose frame carries the `__dv_` companion. Runs at
+    * each frame-aware compile site (FILTER, BIND, projection, group
+    * keys, aggregate args, HAVING) immediately before compileE — after
+    * every other analysis (EXISTS lifts, aggregate lifts), so no other
+    * traversal ever sees the internal leaf. */
+  private def rewriteDurVals(cols: Set[String], e: EExpr): EExpr = {
+    def rw(x: EExpr): EExpr = x match {
+      case EFn("XSD_DAYTIMEDURATION", Seq(EVar(v))) if cols(dvCol(v)) =>
+        EDurVal(v, ym = false)
+      case EFn("XSD_YEARMONTHDURATION", Seq(EVar(v))) if cols(dvCol(v)) =>
+        EDurVal(v, ym = true)
+      case EFn(n, as) => EFn(n, as.map(rw))
+      case ENeg(a) => ENeg(rw(a))
+      case EArith(op, l, r) => EArith(op, rw(l), rw(r))
+      case ECmp(op, l, r) => ECmp(op, rw(l), rw(r))
+      case EIn(a, vs, neg) => EIn(rw(a), vs, neg)
+      case EAnd(l, r) => EAnd(rw(l), rw(r))
+      case EOr(l, r) => EOr(rw(l), rw(r))
+      case ENot(a) => ENot(rw(a))
+      case EIf(c, t, f) => EIf(rw(c), rw(t), rw(f))
+      case leaf => leaf // vars, literals, marks, EXISTS bodies (own frame)
+    }
+    rw(e)
+  }
   private val RdfLangString =
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
@@ -3781,9 +3841,17 @@ object SparqlText {
         else if (tc._2.isInstanceOf[TyNum] && fc._2.isInstanceOf[TyNum])
           (asNum(tc).cast("double"), asNum(fc).cast("double"), TyN)
         else (asStr(tc), asStr(fc), TyS)
-      (when(compileBool(c), tv).otherwise(fv), ty)
+      // §17.6: IF errors when the condition's EBV errors — a NULL
+      // condition (unbound operand, type error) must yield unbound, NOT
+      // the else branch (`otherwise` would swallow the error). Two
+      // complementary whens leave the null case null.
+      val cv = compileBool(c)
+      (when(cv, tv).when(!cv, fv), ty)
     case EFn(fn, args) => compileFn(fn, args)
     case EMark(name) => (col(name), TyB)
+    // carrier read: the parse∘render identity skipped (see EDurVal)
+    case EDurVal(v, ym) =>
+      (col(dvCol(v)), if (ym) TyDurYM else TyDur)
     case _: EExists =>
       // lifted to EMark columns by the FILTER/BIND/projection/GROUP BY/
       // HAVING/ORDER BY compilers before compileE ever sees the expression

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Round-14 additions: duration aggregates (§18.5 set functions closed
+  * under the duration types), the §17.6 IF error-propagation fix (a NULL
+  * condition must yield unbound, not the else branch — the bug that made
+  * zone-less rows land in q304's "nonpositive" group), Bradley–Terry
+  * preference aggregation vs an in-memory MM reference, Cohen's kappa vs
+  * a direct confusion-table computation, and the preference-pair mining
+  * invariants. Every test EXECUTES a plan (the round-13 lesson). */
+class Round14OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IF with a null (error) condition yields unbound, not the else " +
+      "branch (§17.6)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("a", "when", "2024-01-01T00:00:00Z"),
+      ("b", "when", "2024-01-01T00:00:00")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    val out = graft.plans.SparqlText.run(
+      """SELECT ?x ?cls WHERE {
+        |  ?x <when> ?d .
+        |  BIND(IF(TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration,
+        |          "east", "nonpositive") AS ?cls)
+        |}""".stripMargin, t, lbl)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") === Some("nonpositive")) // PT0S > PT0S is false
+    assert(out("b") === None) // zone-less: TIMEZONE errors -> IF errors
+  }
+
+  test("q304: duration SUM/AVG/MIN/MAX aggregate on the numeric carrier " +
+      "and render canonical lexicals; unbound rows group with COUNT 0") {
+    val rows = operators.RdfOps.q304DurationAgg(spark, dir).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), Option(r.getString(2)), Option(r.getString(3)),
+          Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(rows.size === 3)
+    // sf0.001: event_id < 2000 -> 1000 events, 250 per zone slot
+    assert(rows(Some("east")) ===
+      ((250L, Some("P57DT7H"), Some("PT5H30M"), Some("PT5H30M"),
+        Some("PT5H30M"))))
+    // nonpositive = 250 x 0s + 250 x -28800s: sum -7200000s = -P83DT8H
+    assert(rows(Some("nonpositive")) ===
+      ((500L, Some("-P83DT8H"), Some("-PT4H"), Some("-PT8H"),
+        Some("PT0S"))))
+    // zone-less rows: ?z unbound -> COUNT 0, NULL duration aggregates
+    assert(rows(None) === ((0L, None, None, None, None)))
+  }
+
+  test("q305: Bradley-Terry ratings equal an in-memory MM reference on " +
+      "the same comparisons, ratings normalize to ~1, more wins => " +
+      "higher rating among equal-schedule players") {
+    val out = TextOps.q305BradleyTerry(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // reference: rebuild comparisons exactly as the operator does
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val comps = d.sliding(2).collect {
+      case Array((i1, s1, c1), (i2, s2, c2))
+          if i2 == i1 + 1 && s1 != s2 =>
+        (s1, s2, if (c2 > c1) s2 else s1)
+    }.toSeq
+    val wins = comps.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val pairs = comps
+      .groupBy(c => (Seq(c._1, c._2).min, Seq(c._1, c._2).max))
+      .map { case (k, v) => k -> v.size.toLong }
+    val ed = pairs.toSeq.flatMap { case ((i, j), n) =>
+      Seq((i, j, n), (j, i, n)) }
+    val players = ed.map(_._1).distinct
+    var pm = players.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val dm = ed.groupBy(_._1).map { case (a, es) =>
+        a -> es.map { case (_, b, n) =>
+          math.round(1e6 * (n.toDouble /
+            (math.max(pm(a) + pm(b), 1L).toDouble / 1e6)))
+        }.sum
+      }
+      val prm = players.map { a =>
+        a -> math.round(1e6 * (wins.getOrElse(a, 0L).toDouble /
+          (math.max(dm(a), 1L).toDouble / 1e6)))
+      }.toMap
+      val sm = prm.values.sum
+      pm = players.map(a =>
+        a -> math.round(1e6 * (prm(a).toDouble / sm.toDouble))).toMap
+    }
+    assert(out.length === players.size)
+    out.foreach { case (src, w, p) =>
+      assert(w === wins.getOrElse(src, 0L), src)
+      assert(p === pm(src).toDouble / 1e6, src)
+    }
+    // normalization: micro-rounded ratings sum to 1 within rounding slack
+    val tot = out.map(_._3).sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"ratings sum $tot")
+  }
+
+  test("q306: kappa equals the direct confusion-table computation and " +
+      "sits in [-1, 1]") {
+    val out = TextOps.q306CohenKappa(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, n11, n10, n01, n00) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(n === n11 + n10 + n01 + n00)
+      val po = (n11 + n00).toDouble / n.toDouble
+      val pe = ((n11 + n10).toDouble * (n11 + n01).toDouble +
+        (n01 + n00).toDouble * (n10 + n00).toDouble) /
+        (n.toDouble * n.toDouble)
+      val kappa = r.getAs[java.lang.Double]("kappa")
+      if (1.0 - pe == 0.0) assert(kappa == null)
+      else {
+        assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-6)
+        assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("q307: preference pairs are top-vs-bottom within source, margins " +
+      "non-negative, chosen and rejected sets disjoint, <= 8 per source") {
+    val out = TextOps.q307PreferencePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 8, src)
+      assert(rows.map(_._2).distinct.length === rows.length, src)
+    }
+    val chosen = out.map(_._3).toSet
+    val rejected = out.map(_._4).toSet
+    assert(chosen.intersect(rejected).isEmpty)
+    assert(out.forall(_._5 >= 0L), "margin >= 0 (chosen is the longer doc)")
+    // spot-check rank-1 pair for one source against a direct sort
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = d.groupBy(_._2)
+    out.filter(_._2 == 1L).foreach { case (src, _, ch, rj, _) =>
+      val sorted = bySrc(src).sortBy(t => (-t._3, t._1))
+      assert(ch === sorted.head._1, s"$src chosen")
+      assert(rj === sorted.last._1, s"$src rejected")
+    }
+  }
+}
