@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{QueryExecution, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -23,6 +24,12 @@ object Audit {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
     case q: QueryStageExec => Seq(q.plan)
     case r: ReusedExchangeExec => Seq(r.child)
+    // a cached frame keeps its provenance: descend into the cached plan
+    // so "window over persisted strata aggregate" stays recognizably
+    // aggregate-fed (a localCheckpoint erases this — bounded frames that
+    // feed windows therefore persist() instead, per docs/SCALING.md
+    // "Global-sort audit")
+    case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
     case other => other.children
   }
 
@@ -38,12 +45,12 @@ object Audit {
     * aggregate joined back to per-row data, then windowed, was wrongly
     * exempted by the any-descendant rule). */
   private val lookThrough = Set("Project", "Filter", "Sort", "Exchange",
-    "AQEShuffleRead", "InputAdapter", "ColumnarToRow",
+    "BroadcastExchange", "AQEShuffleRead", "InputAdapter", "ColumnarToRow",
     "Coalesce", "LocalLimit", "GlobalLimit")
 
   private def isWrapper(p: SparkPlan): Boolean = p match {
     case _: AdaptiveSparkPlanExec | _: QueryStageExec |
-         _: ReusedExchangeExec => true
+         _: ReusedExchangeExec | _: InMemoryTableScanExec => true
     // EXACT nodeName match — a startsWith here made "Sort" swallow
     // SortMergeJoin (descending only its left child: an aggregate on the
     // join's left wrongly exempted a per-row window) and SortAggregate
@@ -59,11 +66,23 @@ object Audit {
   private def firstSemantic(p: SparkPlan): SparkPlan =
     if (isWrapper(p) && kids(p).nonEmpty) firstSemantic(kids(p).head) else p
 
-  /** The bounded-input exemption: the operator's DIRECT semantic input is
-    * an aggregate, so it reads a cardinality-bounded table, not per-row
-    * data. (All aggregate exec names contain "Aggregate".) */
-  private def aggregateFed(child: SparkPlan): Boolean =
-    firstSemantic(child).nodeName.contains("Aggregate")
+  /** The bounded-input exemption: the operator's DIRECT semantic input
+    * is cardinality-BOUNDED — an aggregate, or a join ALL of whose
+    * inputs are themselves bounded (bounded ⋈ bounded stays bounded:
+    * the waterfill/apportionment shape is strata-agg ⋈ broadcast 1-row
+    * agg). A join with ANY per-row side stays unexempt — that is the
+    * round-12 counterexample (an aggregate joined back to per-row data,
+    * then windowed) this rule exists to catch. (All aggregate exec
+    * names contain "Aggregate"; all join execs contain "Join" except
+    * CartesianProduct.) */
+  private def aggregateFed(child: SparkPlan): Boolean = {
+    val s = firstSemantic(child)
+    if (s.nodeName.contains("Aggregate")) true
+    else if (s.nodeName.contains("Join") ||
+        s.nodeName == "CartesianProduct")
+      kids(s).nonEmpty && kids(s).forall(aggregateFed)
+    else false
+  }
 
   /** Global (cross-partition) sorts that are NOT the query's final
     * output ordering: a mid-pipeline `orderBy` plans a full range

@@ -690,6 +690,60 @@ object RdfOps {
       t, TripleStore.langLabels(sp, dir))
   }
 
+  /** Duration ORDER BY — §15.1 via op:duration ordering: a duration-typed
+    * sort key orders by VALUE through the numeric-carrier companion, not
+    * lexically (lexical puts "PT10H" before "PT2H"); the LIMIT straddles
+    * the PT2H/PT10H boundary at every test SF, so a lexical fallback
+    * changes the selected row SET, not just its order (the hash compare
+    * is order-insensitive). Zone-less rows drop via BOUND. Plan:
+    * TakeOrderedAndProject — no global sort survives the limit. */
+  def q308DurationOrderby(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+10:00"), lit("+02:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?z WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  FILTER(BOUND(?z))
+        |}
+        |ORDER BY ?z ?x
+        |LIMIT 600""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
+  /** Direct-VARIABLE duration aggregates — the §18.5 set functions over a
+    * duration-typed variable itself (SUM(?z), not SUM(xsd:…(?z))): the
+    * PAgg path reads the numeric-carrier companion a duration BIND
+    * stores, so MIN/MAX extremize by VALUE (the +10:00/+02:00 pair makes
+    * a lexical MIN visibly wrong: "PT10H" < "PT2H" lexically) and
+    * SUM/AVG have an actual algebra. Same grouping/unbound semantics as
+    * q304. */
+  def q309DurationVarAgg(sp: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(sp, dir).filter(col("event_id") < 2000)
+    val zone = element_at(
+      array(lit("Z"), lit("+10:00"), lit("+02:00"), lit("")),
+      (col("event_id") % 4 + 1).cast("int"))
+    val t = e.select(concat(lit("E"), col("event_id").cast("string")).as("s"),
+      lit("when").as("p"),
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), zone).as("o"))
+    graft.plans.SparqlText.run(
+      """SELECT ?cls (COUNT(?z) AS ?n) (SUM(?z) AS ?tot) (AVG(?z) AS ?mean)
+        |       (MIN(?z) AS ?lo) (MAX(?z) AS ?hi)
+        |WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(IF(TIMEZONE(?d) > "PT0S"^^xsd:dayTimeDuration,
+        |          "east", "nonpositive") AS ?cls)
+        |}
+        |GROUP BY ?cls""".stripMargin,
+      t, TripleStore.langLabels(sp, dir))
+  }
+
   /** Negated property set `!(p1|p2)` (§9.1): everything EXCEPT the listed
     * predicates — one complement-filtered scan, not a union of the other
     * arms — for orders placed on the epoch date. */
@@ -1659,6 +1713,8 @@ object RdfOps {
     "q277_duration_arith"    -> q277DurationArith _,
     "q303_duration_muldiv"   -> q303DurationMulDiv _,
     "q304_duration_agg"      -> q304DurationAgg _,
+    "q308_duration_orderby"  -> q308DurationOrderby _,
+    "q309_duration_var_agg"  -> q309DurationVarAgg _,
     "q298_personalized_pagerank" -> q298PersonalizedPagerank _,
     "q173_service_federation" -> q173ServiceFederation _,
     "q174_integer_exact"     -> q174IntegerExact _,
@@ -2286,6 +2342,70 @@ object RdfOps {
                       CASE WHEN zi = 1 THEN 'east'
                            WHEN zi = 3 THEN NULL
                            ELSE 'nonpositive' END AS cls
+               FROM t),
+         agg AS (SELECT cls, count(secs) AS n, sum(secs) AS tot_s,
+                        avg(secs) AS mean_s, min(secs) AS lo_s,
+                        max(secs) AS hi_s
+                 FROM d GROUP BY cls),
+         u AS (SELECT cls, n, 'tot' AS stat, tot_s AS s FROM agg
+               UNION ALL SELECT cls, n, 'mean', mean_s FROM agg
+               UNION ALL SELECT cls, n, 'lo', lo_s FROM agg
+               UNION ALL SELECT cls, n, 'hi', hi_s FROM agg),
+         r AS (SELECT cls, n, stat,
+                 CASE WHEN s IS NULL THEN NULL
+                      WHEN a = 0 THEN 'PT0S'
+                      ELSE (CASE WHEN s < 0 THEN '-' ELSE '' END) || 'P' ||
+                        (CASE WHEN a // 86400 > 0
+                              THEN CAST(a // 86400 AS VARCHAR) || 'D'
+                              ELSE '' END) ||
+                        (CASE WHEN (a % 86400) // 3600 > 0
+                                OR (a % 3600) // 60 > 0 OR a % 60 > 0
+                              THEN 'T' ||
+                                (CASE WHEN (a % 86400) // 3600 > 0
+                                      THEN CAST((a % 86400) // 3600 AS VARCHAR) || 'H'
+                                      ELSE '' END) ||
+                                (CASE WHEN (a % 3600) // 60 > 0
+                                      THEN CAST((a % 3600) // 60 AS VARCHAR) || 'M'
+                                      ELSE '' END) ||
+                                (CASE WHEN a % 60 > 0
+                                      THEN CAST(a % 60 AS VARCHAR) || 'S'
+                                      ELSE '' END)
+                              ELSE '' END)
+                 END AS dur
+               FROM (SELECT cls, n, stat, s,
+                            CAST(round(abs(s)) AS BIGINT) AS a FROM u))
+         SELECT cls, n,
+           max(CASE WHEN stat = 'tot' THEN dur END) AS tot,
+           max(CASE WHEN stat = 'mean' THEN dur END) AS mean,
+           max(CASE WHEN stat = 'lo' THEN dur END) AS lo,
+           max(CASE WHEN stat = 'hi' THEN dur END) AS hi
+         FROM r GROUP BY cls, n""",
+    // q308: the ordered-prefix SET is the evidence (the hash compare is
+    // order-insensitive, but the LIMIT straddles the PT2H/PT10H value
+    // boundary, which lexical order would pick differently)
+    "q308_duration_orderby" ->
+      """WITH t AS (SELECT 'E' || CAST(event_id AS VARCHAR) AS x,
+                      event_id % 4 AS zi
+                    FROM events WHERE event_id < 2000),
+         d AS (SELECT x,
+                 CASE zi WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT10H'
+                         WHEN 2 THEN 'PT2H' ELSE NULL END AS z,
+                 CASE zi WHEN 0 THEN 0 WHEN 1 THEN 36000
+                         WHEN 2 THEN 7200 ELSE NULL END AS secs
+               FROM t)
+         SELECT x, z FROM d WHERE z IS NOT NULL
+         ORDER BY secs, x LIMIT 600""",
+    // q309: same unpivoted single renderer as q304, over the direct-
+    // variable aggregate path's zone set (+10:00/+02:00 discriminate
+    // value-order MIN/MAX from lexical)
+    "q309_duration_var_agg" ->
+      """WITH t AS (SELECT event_id % 4 AS zi FROM events
+                    WHERE event_id < 2000),
+         d AS (SELECT CASE zi WHEN 0 THEN 0.0 WHEN 1 THEN 36000.0
+                              WHEN 2 THEN 7200.0 END AS secs,
+                      CASE WHEN zi = 3 THEN NULL
+                           WHEN zi = 0 THEN 'nonpositive'
+                           ELSE 'east' END AS cls
                FROM t),
          agg AS (SELECT cls, count(secs) AS n, sum(secs) AS tot_s,
                         avg(secs) AS mean_s, min(secs) AS lo_s,

@@ -1248,7 +1248,11 @@ object TextOps {
       .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
       .withColumn("w6",
         round(sqrt(col("mass").cast("double")) * 1e6, 0).cast("long"))
-      .localCheckpoint()
+      // persist, NOT localCheckpoint: same materialize-once economics,
+      // but the cached plan keeps the aggregate provenance visible, so
+      // the posture audit can PROVE the ranking window below reads a
+      // strata-bounded table (a checkpoint erases it into a bare RDD scan)
+      .persist()
     val tot = strata.agg(sum(col("w6")).as("wtot"))
     val quota = strata.crossJoin(broadcast(tot))
       .withColumn("fl", expr(s"$B * w6 div wtot"))
@@ -3291,8 +3295,11 @@ object TextOps {
     // the strata table is strata-sized but derives from a CORPUS-sized
     // aggregation, and the closed-form solve references it from four
     // branches (totals, cumsums, first-fail, pool) — materialize once so
-    // the corpus pays exactly one pass
-    val caps = caps0.localCheckpoint()
+    // the corpus pays exactly one pass. persist, NOT localCheckpoint:
+    // the cached plan keeps the aggregate provenance visible, so the
+    // posture audit can PROVE the ranking window reads a strata-bounded
+    // table (a checkpoint erases it into a bare RDD scan)
+    val caps = caps0.persist()
     // the cumsum'd frame is ALSO referenced four ways downstream —
     // materialize it too, so the window pipeline (and at scale, the
     // bucket machinery) runs once, not once per branch

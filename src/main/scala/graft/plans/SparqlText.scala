@@ -2251,6 +2251,20 @@ object SparqlText {
             PAggE(fn, e2, out, dist)
           case item => item
         }
+        // duration-typed VARIABLES (bound by a duration BIND in this
+        // query) aggregate on their numeric-carrier companion — MIN/MAX
+        // by lexical would order "PT10H" < "PT2H", and SUM/AVG over the
+        // lexical is no algebra at all; the canonical lexical renders
+        // once on the aggregated value (§18.5 closed under durations,
+        // same as the expression-argument path below)
+        def durVarCarrier(src: String): Option[(Column, Boolean)] =
+          if (aggSrc.columns.contains(dvsCol(src)))
+            Some((col(dvsCol(src)), false))
+          else if (aggSrc.columns.contains(dvmCol(src)))
+            Some((col(dvmCol(src)), true))
+          else None
+        def durVarRender(m: Column, ym: Boolean): Column =
+          if (ym) durationLexicalOfMonths(m) else durationLexicalOfSeconds(m)
         val aggCols = aggItems.map {
           case PGroupConcat(src, out, dist, sep) =>
             val collected =
@@ -2261,14 +2275,31 @@ object SparqlText {
           case PAgg("count", "*", out, _) => count(lit(1)).as(out)
           case PAgg("count", src, out, true) => countDistinct(col(src)).as(out)
           case PAgg("count", src, out, false) => count(col(src)).as(out)
-          case PAgg("min", src, out, _) => min(col(src)).as(out)
-          case PAgg("max", src, out, _) => max(col(src)).as(out)
+          case PAgg("min", src, out, _) =>
+            (durVarCarrier(src) match {
+              case Some((c, ym)) => durVarRender(min(c), ym)
+              case None => min(col(src))
+            }).as(out)
+          case PAgg("max", src, out, _) =>
+            (durVarCarrier(src) match {
+              case Some((c, ym)) => durVarRender(max(c), ym)
+              case None => max(col(src))
+            }).as(out)
           // SPARQL numeric aggregates over the engine's lexical string
           // columns: compare/accumulate numerically via a double cast
-          case PAgg("sum", src, out, true) =>
-            sum_distinct(col(src).cast("double")).as(out)
-          case PAgg("sum", src, out, false) => sum(col(src).cast("double")).as(out)
-          case PAgg("avg", src, out, _) => avg(col(src).cast("double")).as(out)
+          case PAgg("sum", src, out, dist) =>
+            (durVarCarrier(src) match {
+              case Some((c, ym)) =>
+                durVarRender(if (dist) sum_distinct(c) else sum(c), ym)
+              case None =>
+                if (dist) sum_distinct(col(src).cast("double"))
+                else sum(col(src).cast("double"))
+            }).as(out)
+          case PAgg("avg", src, out, _) =>
+            (durVarCarrier(src) match {
+              case Some((c, ym)) => durVarRender(avg(c), ym)
+              case None => avg(col(src).cast("double"))
+            }).as(out)
           // SAMPLE may return any group member; the engine picks min()
           // so re-runs are deterministic (SURVEY §7.3 "Nondeterminism")
           case PAgg("sample", src, out, _) => min(col(src)).as(out)
@@ -2425,8 +2456,16 @@ object SparqlText {
           // CaseWhen evaluates the cast only on numeric-typed rows, so a
           // non-numeric lexical never reaches it (ANSI-safe); a CORRUPT
           // numeric literal fails the query loudly, per engine policy
+          // duration-typed keys additionally order by VALUE through the
+          // carrier companion ("PT10H" must sort above "PT2H" — §15.1
+          // via op:duration ordering), lexical as the final tiebreak
+          val durKey =
+            if (grouped2.columns.contains(dvsCol(v))) Seq(col(dvsCol(v)))
+            else if (grouped2.columns.contains(dvmCol(v)))
+              Seq(col(dvmCol(v)))
+            else Seq.empty[Column]
           val keys = Seq(kindRank, when(isNum, 0).otherwise(1),
-            when(isNum, col(v).cast("double")), col(v))
+            when(isNum, col(v).cast("double"))) ++ durKey :+ col(v)
           if (desc) keys.map(_.desc) else keys.map(_.asc)
         case (e, _) => sys.error(
           s"ORDER BY over a fidelity-typed solution supports bare bound " +
@@ -3021,7 +3060,7 @@ object SparqlText {
             a.withColumn(out, durationLexicalOfSeconds(secs))
               // numeric-carrier companion: later constructor re-entries
               // read this instead of re-parsing the rendered lexical
-              .withColumn(dvCol(out), secs)
+              .withColumn(dvsCol(out), secs)
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull,
                 lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration")))
@@ -3090,17 +3129,19 @@ object SparqlText {
             // pass-through) carry their datatype in the __dt companion
             // so DATATYPE(?out) answers correctly — same treatment the
             // TIMEZONE special case gives its results
-            def durBind(iri: String) = bound
-              .withColumn(dvCol(out), cv) // numeric-carrier companion
+            def durBind(iri: String, dv: String) = bound
+              .withColumn(dv, cv) // numeric-carrier companion
               .withColumn(langCol(out), lit(null).cast("string"))
               .withColumn(dtCol(out), when(col(out).isNotNull, lit(iri)))
               .withColumn(kindCol(out),
                 when(col(out).isNotNull, lit("literal")))
             ty match {
               case TyDur => durBind(
-                "http://www.w3.org/2001/XMLSchema#dayTimeDuration")
+                "http://www.w3.org/2001/XMLSchema#dayTimeDuration",
+                dvsCol(out))
               case TyDurYM => durBind(
-                "http://www.w3.org/2001/XMLSchema#yearMonthDuration")
+                "http://www.w3.org/2001/XMLSchema#yearMonthDuration",
+                dvmCol(out))
               case _ => bound
             }
         })
@@ -3652,11 +3693,17 @@ object SparqlText {
   private[plans] def langCol(v: String): String = s"__lang_$v"
   private[plans] def dtCol(v: String): String = s"__dt_$v"
   private[plans] def kindCol(v: String): String = s"__kind_$v"
-  /** Duration-value companion: the numeric carrier (signed seconds /
-    * months as double) a duration-typed BIND stores alongside its
-    * rendered lexical, so a later `xsd:dayTimeDuration(?v)` re-entry
-    * reads the value instead of re-parsing the render (see [[EDurVal]]). */
-  private[plans] def dvCol(v: String): String = s"__dv_$v"
+  /** Duration-value companions: the numeric carrier a duration-typed
+    * BIND stores alongside its rendered lexical, so a later
+    * `xsd:dayTimeDuration(?v)` re-entry, a direct SUM/AVG/MIN/MAX over
+    * the variable, or a typed ORDER BY reads the value instead of
+    * re-parsing the render (see [[EDurVal]]). Flavor is part of the
+    * NAME — seconds (`__dv_s_`) vs months (`__dv_m_`) — so a
+    * cross-flavor constructor (`xsd:yearMonthDuration(?z)` on a
+    * dayTime-typed ?z) can never misread seconds as months: it simply
+    * finds no companion and falls back to the lexical path. */
+  private[plans] def dvsCol(v: String): String = s"__dv_s_$v"
+  private[plans] def dvmCol(v: String): String = s"__dv_m_$v"
   /** ONLY the fidelity companions are join-transparent — __anon blank-node
     * columns stay ordinary join keys (J10's correlation rides on them). */
   private def isFidelityCol(c: String): Boolean =
@@ -3670,9 +3717,9 @@ object SparqlText {
     * traversal ever sees the internal leaf. */
   private def rewriteDurVals(cols: Set[String], e: EExpr): EExpr = {
     def rw(x: EExpr): EExpr = x match {
-      case EFn("XSD_DAYTIMEDURATION", Seq(EVar(v))) if cols(dvCol(v)) =>
+      case EFn("XSD_DAYTIMEDURATION", Seq(EVar(v))) if cols(dvsCol(v)) =>
         EDurVal(v, ym = false)
-      case EFn("XSD_YEARMONTHDURATION", Seq(EVar(v))) if cols(dvCol(v)) =>
+      case EFn("XSD_YEARMONTHDURATION", Seq(EVar(v))) if cols(dvmCol(v)) =>
         EDurVal(v, ym = true)
       case EFn(n, as) => EFn(n, as.map(rw))
       case ENeg(a) => ENeg(rw(a))
@@ -3851,7 +3898,7 @@ object SparqlText {
     case EMark(name) => (col(name), TyB)
     // carrier read: the parse∘render identity skipped (see EDurVal)
     case EDurVal(v, ym) =>
-      (col(dvCol(v)), if (ym) TyDurYM else TyDur)
+      if (ym) (col(dvmCol(v)), TyDurYM) else (col(dvsCol(v)), TyDur)
     case _: EExists =>
       // lifted to EMark columns by the FILTER/BIND/projection/GROUP BY/
       // HAVING/ORDER BY compilers before compileE ever sees the expression

@@ -33,6 +33,45 @@ class Round14OpsSpec extends SparkSpec {
     assert(out("b") === None) // zone-less: TIMEZONE errors -> IF errors
   }
 
+  test("cross-flavor constructor on a carrier-bound variable falls back " +
+      "to the lexical path (never misreads seconds as months)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(("a", "when", "2024-01-01T00:00:00+02:00"))
+      .toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    val out = graft.plans.SparqlText.run(
+      """SELECT ?x ?ym WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |  BIND(xsd:yearMonthDuration(?z) AS ?ym)
+        |}""".stripMargin, t, lbl).collect()
+    assert(out.length === 1)
+    // ?z is "PT2H" (dayTime, carrier = 7200 SECONDS); a yearMonth
+    // constructor must NOT read 7200 as months (= "P600Y") — the lexical
+    // "PT2H" is not a yearMonthDuration, so the cast errors -> unbound
+    assert(out.head.getString(1) === null)
+  }
+
+  test("ORDER BY a duration-typed variable sorts by VALUE through the " +
+      "carrier companion (PT2H before PT10H), not lexically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("a", "when", "2024-01-01T00:00:00+10:00"),
+      ("b", "when", "2024-01-01T00:00:00+02:00"),
+      ("c", "when", "2024-01-01T00:00:00-08:00"),
+      ("d", "when", "2024-01-01T00:00:00Z")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    val out = graft.plans.SparqlText.run(
+      """SELECT ?z WHERE {
+        |  ?x <when> ?d .
+        |  BIND(TIMEZONE(?d) AS ?z)
+        |} ORDER BY ?z""".stripMargin, t, lbl)
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("-PT8H", "PT0S", "PT2H", "PT10H"))
+  }
+
   test("q304: duration SUM/AVG/MIN/MAX aggregate on the numeric carrier " +
       "and render canonical lexicals; unbound rows group with COUNT 0") {
     val rows = operators.RdfOps.q304DurationAgg(spark, dir).collect()
