@@ -384,15 +384,23 @@ object TextOps {
     * |sources|²-bounded pair matrix; all three iterations run on that
     * bounded table with broadcast rating joins — corpus size buys
     * comparisons, never iteration cost. */
-  def q305BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic pairwise-comparison table q305/q311 share:
+    * consecutive doc_ids with different sources pit source-vs-source,
+    * the longer document wins (ties to the earlier doc). One corpus
+    * self-join keyed on doc_id+1. */
+  private def prefComparisons(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val comps = d.as("a")
+    d.as("a")
       .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .filter(col("a.source") =!= col("b.source"))
       .select(col("a.source").as("sa"), col("b.source").as("sb"),
         when(col("b.n_chars") > col("a.n_chars"), col("b.source"))
           .otherwise(col("a.source")).as("winner"))
+  }
+
+  def q305BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val comps = prefComparisons(s, dir)
     val pairs = comps
       .select(least(col("sa"), col("sb")).as("i"),
         greatest(col("sa"), col("sb")).as("j"), col("winner"))
@@ -435,6 +443,31 @@ object TextOps {
     p.join(broadcast(wins), Seq("src"), "left")
       .select(col("src"), coalesce(col("w"), lit(0L)).as("w"),
         (col("pm").cast("double") / 1e6).as("p"))
+  }
+
+  /** Win-rate significance — the sign test a preference pipeline runs
+    * before trusting a pairwise verdict between two sources: per
+    * unordered source pair, the normal-approximation sign-test statistic
+    * z = (2·w_i − n)/√n over q305's comparison table (H₀: either side
+    * wins a toss-up), with |z| > 1.96 flagging the pair as DECISIVE at
+    * ~95%. Complements q305: the MM fit RANKS sources, this says which
+    * head-to-head edges carry enough evidence to act on. z is one fixed
+    * IEEE DAG over exact integer counts (cast-first, the chi-square
+    * convention), and the decisive flag reads the ROUNDED z so both
+    * engines compare the identical 6dp value. Pair-matrix bounded
+    * (|sources|²); one corpus scan. */
+  def q311WinrateSignificance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = prefComparisons(s, dir)
+      .select(least(col("sa"), col("sb")).as("i"),
+        greatest(col("sa"), col("sb")).as("j"), col("winner"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("winner") === col("i"), 1L).otherwise(0L)).as("wi"))
+    pairs
+      .withColumn("z", round(
+        (lit(2.0) * col("wi").cast("double") - col("n").cast("double")) /
+          sqrt(col("n").cast("double")), 6))
+      .withColumn("decisive", abs(col("z")) > 1.96)
   }
 
   /** Inter-annotator agreement (Cohen's kappa) per source — the label-
@@ -3819,6 +3852,7 @@ object TextOps {
     "q305_bradley_terry" -> q305BradleyTerry _,
     "q306_cohen_kappa" -> q306CohenKappa _,
     "q307_preference_pairs" -> q307PreferencePairs _,
+    "q311_winrate_significance" -> q311WinrateSignificance _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4188,6 +4222,22 @@ object TextOps {
          SELECT p3.src, coalesce(w.w, 0) AS w,
                 CAST(p3.pm AS DOUBLE) / 1e6 AS p
          FROM p3 LEFT JOIN wins w ON w.src = p3.src""",
+    "q311_winrate_significance" ->
+      """WITH comp AS (SELECT a.source AS sa, b.source AS sb,
+                CASE WHEN b.n_chars > a.n_chars THEN b.source
+                     ELSE a.source END AS winner
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.source <> b.source),
+         pairs AS (SELECT least(sa, sb) AS i, greatest(sa, sb) AS j,
+                          count(*) AS n,
+                          CAST(sum(CASE WHEN winner = least(sa, sb)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS wi
+                   FROM comp GROUP BY 1, 2),
+         zt AS (SELECT i, j, n, wi,
+                  round((2.0 * CAST(wi AS DOUBLE) - CAST(n AS DOUBLE))
+                        / sqrt(CAST(n AS DOUBLE)), 6) AS z
+                FROM pairs)
+         SELECT i, j, n, wi, z, abs(z) > 1.96 AS decisive FROM zt""",
     "q306_cohen_kappa" ->
       """WITH rated AS (SELECT source,
                 CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,

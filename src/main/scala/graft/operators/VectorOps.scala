@@ -535,6 +535,46 @@ object VectorOps {
     * evidence behind swapping a 4× cheaper vector into the index. Same
     * broadcast shape as the exact top-k (queries broadcast, one corpus
     * scan); the truncated rescore touches only the 18 reported pairs. */
+  /** Matryoshka truncation-recall evaluation — the "which prefix dim can
+    * we ship" decision table for matryoshka-style embeddings: for each
+    * query vector, recall@10 of prefix-dim cosine retrieval (dims 8, 16,
+    * 32) against full 64-dim cosine truth. q214 audits the top-3's
+    * cosine DRIFT at one dim; this measures the retrieval consequence
+    * across the dim ladder — the two together are the truncation
+    * decision protocol. Cosines round to 4dp before ranking (the
+    * q214/q37 cross-engine discipline), ranks tiebreak on vec_id. Scale
+    * shape: the full-truth top-10 materializes once (Q×10 rows) and each
+    * prefix run is the same broadcast-query scan as q37 — at 100 TB the
+    * prefix scans would go through the IVF route (q60) instead of brute
+    * force; the eval harness itself is query-bounded. */
+  def q310MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def top10(dim: Option[Int]): DataFrame = {
+      val (a, b) = dim match {
+        case Some(d) => (slice(col("qv"), 1, d), slice(col("v"), 1, d))
+        case None => (col("qv"), col("v"))
+      }
+      joined.withColumn("cos", round(CosineSimilarity(a, b), 4))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val truth = top10(None).localCheckpoint() // Q×10 rows, reused 3×
+    Seq(8, 16, 32).map { d =>
+      truth.join(top10(Some(d)).withColumn("__hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("dim"), col("q_id"), col("n_hit"),
+        round(col("n_hit") / 10.0, 4).as("recall"))
+  }
+
   def q214TruncationAudit(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.filter(col("vec_id").between(100, 105))
@@ -1002,6 +1042,7 @@ object VectorOps {
     "q193_ivfpq_search"    -> q193IvfpqSearch _,
     "q206_pq_train"        -> q206PqTrain _,
     "q214_truncation_audit" -> q214TruncationAudit _,
+    "q310_matryoshka_recall" -> q310MatryoshkaRecall _,
     "q165_pq_assign"       -> q165PqAssign _,
     "q150_hard_negatives"  -> q150HardNegatives _,
     "q153_knn_consistency" -> q153KnnConsistency _,
@@ -1581,6 +1622,53 @@ object VectorOps {
                   row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, vec_id) AS rank
            FROM pc) WHERE rank <= 3""",
+    // q310: one exploded pass computes full + all prefix dots/norms via
+    // conditional sums; truth = full-dim top-10, prefix top-10s rank per
+    // (dim, q_id); recall joins prefix hits onto truth rows
+    "q310_matryoshka_recall" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         d AS (SELECT q.vec_id AS q_id, e.vec_id,
+                 sum(q.x * e.x) AS dot64,
+                 sum(CASE WHEN q.i <= 8 THEN q.x * e.x ELSE 0 END) AS dot8,
+                 sum(CASE WHEN q.i <= 16 THEN q.x * e.x ELSE 0 END) AS dot16,
+                 sum(CASE WHEN q.i <= 32 THEN q.x * e.x ELSE 0 END) AS dot32
+               FROM ex q JOIN ex e ON q.i = e.i
+                 AND q.vec_id < 20 AND e.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+         nr AS (SELECT vec_id, sqrt(sum(x*x)) AS n64,
+                  sqrt(sum(CASE WHEN i <= 8 THEN x*x ELSE 0 END)) AS n8,
+                  sqrt(sum(CASE WHEN i <= 16 THEN x*x ELSE 0 END)) AS n16,
+                  sqrt(sum(CASE WHEN i <= 32 THEN x*x ELSE 0 END)) AS n32
+                FROM ex GROUP BY 1),
+         c AS (SELECT d.q_id, d.vec_id,
+                 round(dot64/(a.n64*b.n64), 4) AS cos64,
+                 round(dot8/(a.n8*b.n8), 4) AS cos8,
+                 round(dot16/(a.n16*b.n16), 4) AS cos16,
+                 round(dot32/(a.n32*b.n32), 4) AS cos32
+               FROM d JOIN nr a ON d.q_id = a.vec_id
+                      JOIN nr b ON d.vec_id = b.vec_id),
+         truth AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos64 DESC, vec_id) AS r
+                     FROM c) WHERE r <= 10),
+         p AS (SELECT dim, q_id, vec_id FROM (
+                 SELECT dm.dim, c.q_id, c.vec_id, row_number() OVER (
+                   PARTITION BY dm.dim, c.q_id
+                   ORDER BY CASE dm.dim WHEN 8 THEN cos8
+                            WHEN 16 THEN cos16 ELSE cos32 END DESC,
+                            c.vec_id) AS r
+                 FROM c CROSS JOIN (VALUES (8), (16), (32)) dm(dim))
+               WHERE r <= 10),
+         j AS (SELECT dm.dim, tr.q_id, tr.vec_id,
+                 CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM truth tr CROSS JOIN (VALUES (8), (16), (32)) dm(dim)
+               LEFT JOIN p ON p.dim = dm.dim AND p.q_id = tr.q_id
+                 AND p.vec_id = tr.vec_id)
+         SELECT CAST(dim AS BIGINT) AS dim, q_id,
+                CAST(sum(hit) AS BIGINT) AS n_hit,
+                round(CAST(sum(hit) AS DOUBLE) / 10.0, 4) AS recall
+         FROM j GROUP BY 1, 2""",
     "q214_truncation_audit" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

@@ -161,6 +161,39 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q310: matryoshka recall ladder is sane — 3 dims x 20 queries, " +
+      "n_hit in [0,10], mean recall non-decreasing as the prefix widens") {
+    val out = operators.VectorOps.q310MatryoshkaRecall(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 60)
+    assert(out.map(_._1).distinct.sorted.toSeq === Seq(8L, 16L, 32L))
+    out.foreach { case (_, _, h, rec) =>
+      assert(h >= 0L && h <= 10L)
+      assert(math.abs(rec - h / 10.0) < 1e-9)
+    }
+    val mean = out.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._4).sum / rs.length).toMap
+    assert(mean(8L) <= mean(16L) + 1e-9)
+    assert(mean(16L) <= mean(32L) + 1e-9)
+  }
+
+  test("q311: sign-test z matches the direct computation from counts, " +
+      "decisive reads the rounded z at 1.96") {
+    val out = operators.TextOps.q311WinrateSignificance(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (i, j, n, wi, z, dec) =>
+      assert(i < j)
+      assert(wi >= 0L && wi <= n)
+      val zRef = BigDecimal((2.0 * wi - n) / math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(z === zRef, s"$i-$j")
+      assert(dec === (math.abs(z) > 1.96), s"$i-$j")
+    }
+  }
+
   test("q307: preference pairs are top-vs-bottom within source, margins " +
       "non-negative, chosen and rejected sets disjoint, <= 8 per source") {
     val out = TextOps.q307PreferencePairs(spark, dir).collect()
