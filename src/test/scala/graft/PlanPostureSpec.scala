@@ -143,4 +143,20 @@ class PlanPostureSpec extends SparkSpec {
     assert(plans.exists(_.toString.contains("TakeOrderedAndProject")),
       "the vocabulary cut must plan as TakeOrdered, not a full sort")
   }
+
+  test("q308 duration ORDER BY + LIMIT plans as TakeOrderedAndProject — " +
+      "the typed-order multi-key sort must never degrade to a global " +
+      "sort that survives the limit") {
+    val plans = capturedPlans {
+      operators.RdfOps.q308DurationOrderby(spark, dir).collect()
+    }
+    assert(plans.nonEmpty)
+    assert(plans.exists(_.toString.contains("TakeOrderedAndProject")),
+      "typed ORDER BY + LIMIT must plan as TakeOrdered")
+    // no full-width global sort: any SortExec in these jobs would mean
+    // the limit stopped collapsing into the sort
+    assert(plans.forall(p => nodes(p).collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty), "global SortExec alongside the limit")
+  }
 }
