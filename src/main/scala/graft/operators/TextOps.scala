@@ -388,7 +388,7 @@ object TextOps {
     * consecutive doc_ids with different sources pit source-vs-source,
     * the longer document wins (ties to the earlier doc). One corpus
     * self-join keyed on doc_id+1. */
-  private def prefComparisons(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def prefComparisons(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     d.as("a")
@@ -400,15 +400,27 @@ object TextOps {
   }
 
   def q305BradleyTerry(s: SparkSession, dir: String): DataFrame = {
-    val comps = prefComparisons(s, dir)
-    val pairs = comps
+    val pairs = prefComparisons(s, dir)
       .select(least(col("sa"), col("sb")).as("i"),
         greatest(col("sa"), col("sb")).as("j"), col("winner"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("nij"))
-      .localCheckpoint() // |sources|² bound — the iteration substrate
-    val wins = comps.groupBy(col("winner")).agg(count(lit(1)).as("w"))
-      .withColumnRenamed("winner", "src")
+      .agg(count(lit(1)).as("nij"),
+        sum(when(col("winner") === col("i"), 1L).otherwise(0L)).as("wi"))
+    bradleyTerryFit(pairs)
+  }
+
+  /** The MM fit over an explicit (i, j, nij, wi) unordered-pair matrix —
+    * shared by q305 and the streaming preference sink (whose state IS
+    * this matrix, summed across micro-batches). Per-source win totals
+    * derive from the matrix (Σ wi on the i side + Σ nij−wi on the j
+    * side — identical to counting winners directly), so the pair table
+    * is the complete sufficient statistic. */
+  private[graft] def bradleyTerryFit(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint() // |sources|² bound
+    val wins = pairs.select(col("i").as("src"), col("wi").as("w"))
+      .unionByName(pairs.select(col("j").as("src"),
+        (col("nij") - col("wi")).as("w")))
+      .groupBy(col("src")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
     val ed = pairs.select(col("i").as("a2"), col("j").as("b2"), col("nij"))
       .unionByName(

@@ -734,6 +734,64 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of q305's Bradley–Terry preference aggregation:
+    * pairwise verdicts (sa, sb, winner) arrive as they are judged — the
+    * live RLHF/eval shape — and the state is the unordered-pair matrix
+    * (i, j, nij, wi), the fit's complete sufficient statistic: each
+    * trigger sums the batch's pair counts into it (one atomic swap, the
+    * heavy-hitters single-file discipline with the batch_id sentinel
+    * row for replay idempotence — the sum merge is not idempotent by
+    * algebra) and re-runs the 3-iteration MM fit on the
+    * |sources|²-bounded matrix into the report. Per-trigger cost is
+    * batch + pair-matrix; the fit never touches the verdict history. */
+  def preferenceSink(comparisons: DataFrame, statePath: String,
+                     reportPath: String)
+                    (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    comparisons.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val stateOpt = readState(spark, statePath)
+        val prevBatch = stateOpt.map(
+          _.select(col("batch_id")).limit(1).collect()(0).getLong(0))
+          .getOrElse(-1L)
+        def pairsOf(st: DataFrame): DataFrame =
+          st.filter(col("i").isNotNull)
+            .select(col("i"), col("j"), col("nij"), col("wi"))
+        def report(pairs: DataFrame): Unit =
+          graft.operators.TextOps.bradleyTerryFit(pairs)
+            .write.mode("overwrite").parquet(reportPath)
+        if (prevBatch == batchId) {
+          // crash-replayed trigger: counts already folded into the
+          // atomically-swapped state — regenerate the report only
+          report(pairsOf(stateOpt.get))
+        } else {
+          val bp = batch.toDF()
+            .filter(col("sa") =!= col("sb"))
+            .select(least(col("sa"), col("sb")).as("i"),
+              greatest(col("sa"), col("sb")).as("j"), col("winner"))
+            .groupBy(col("i"), col("j"))
+            .agg(count(lit(1)).as("nij"),
+              sum(when(col("winner") === col("i"), 1L).otherwise(0L))
+                .as("wi"))
+          val prev = stateOpt.map(pairsOf).getOrElse(bp.limit(0))
+          val merged = prev.unionByName(bp)
+            .groupBy(col("i"), col("j"))
+            .agg(sum(col("nij")).as("nij"), sum(col("wi")).as("wi"))
+            .localCheckpoint() // also cuts lineage from the state file
+          val sentinel = Seq((null: String, null: String, 0L, 0L, batchId))
+            .toDF("i", "j", "nij", "wi", "batch_id")
+          atomicOverwrite(
+            merged.withColumn("batch_id", lit(batchId))
+              .unionByName(sentinel), statePath)
+          report(merged)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming WARC ingestion: crawl segments land → response records
     * extract → append to the corpus parquet, idempotently. A claims
     * file records ingested WARC-Record-IDs and each micro-batch

@@ -748,4 +748,39 @@ class StreamOpsSpec extends SparkSpec {
           s"extra=${admitted -- expected}")
     } finally graft.util.Fs.deleteRecursively(dir)
   }
+
+  test("preferenceSink: the Bradley-Terry report after N micro-batches " +
+      "equals batch q305 over the same comparisons, independent of " +
+      "batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pref").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      // the exact comparison stream the batch query derives — verdicts
+      // arriving one micro-batch at a time
+      val fixture = graft.operators.TextOps.prefComparisons(spark, sfDir)
+        .as[(String, String, String)].collect()
+      val input = MemoryStream[(String, String, String)]
+      val query = StreamOps.preferenceSink(
+        input.toDF().toDF("sa", "sb", "winner"), statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      val streamed = spark.read.parquet(reportPath)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.TextOps.q305BradleyTerry(spark, sfDir)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream/batch divergence: missing=${batch -- streamed} " +
+          s"extra=${streamed -- batch}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 }
