@@ -3263,6 +3263,37 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape): run the
+    * q175 BM25 query, take its top-3 feedback documents, and rank
+    * candidate expansion terms by length-normalized term mass Σ tf/dl
+    * across the feedback set (query terms excluded) — the relevance-
+    * model estimate a sparse retrieval stack adds to the query before
+    * the second pass. Per-doc contributions quantize to micro-longs
+    * (one exact IEEE division each) so the cross-doc sum is
+    * order-independent; ranking is an integer sort with a term
+    * tiebreak, cut by TakeOrdered. Feedback set is broadcast-joined —
+    * corpus scanned once; candidate table bounded by 3 docs' vocab. */
+  def q312PrfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("join", "hash", "scan")
+    val top = q175Bm25(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(3)
+      .select(col("doc_id"))
+    val tf = docs(s, dir).select(col("doc_id"), col("toks"))
+      .join(broadcast(top), "doc_id")
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(!col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("cm", round(lit(1e6) * (col("tf") / col("dl"))).cast("long"))
+    tf.groupBy(col("term"))
+      .agg(sum(col("cm")).as("wm"),
+        countDistinct(col("doc_id")).as("nd"))
+      .orderBy(col("wm").desc, col("term").asc).limit(8)
+      .select(col("term"), (col("wm").cast("double") / 1e6).as("w"),
+        col("nd"))
+  }
+
   /** Hash-stratified sampling — per-source keep rates applied through a
     * deterministic doc_id hash bucket, the way a corpus mixer downweights
     * low-quality sources. ZERO shuffles: the keep decision is a codegen'd
@@ -3865,6 +3896,7 @@ object TextOps {
     "q306_cohen_kappa" -> q306CohenKappa _,
     "q307_preference_pairs" -> q307PreferencePairs _,
     "q311_winrate_significance" -> q311WinrateSignificance _,
+    "q312_prf_expansion" -> q312PrfExpansion _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4790,6 +4822,38 @@ object TextOps {
                 FROM qt q JOIN dft d USING(term) CROSS JOIN st s)
          SELECT doc_id, round(sum(contrib), 4) AS bm25 FROM sc GROUP BY 1
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q312_prf_expansion" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+         tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                        unnest(toks) AS term FROM t),
+         qt AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('join','hash','scan')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM qt GROUP BY 1),
+         sc AS (SELECT q.doc_id,
+                  ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    q.tf * 2.2 /
+                    (q.tf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)) AS contrib
+                FROM qt q JOIN dft d USING(term) CROSS JOIN st s),
+         fb AS (SELECT doc_id FROM (
+                  SELECT doc_id, round(sum(contrib), 4) AS bm25
+                  FROM sc GROUP BY 1
+                  ORDER BY bm25 DESC, doc_id LIMIT 3)),
+         cand AS (SELECT k.doc_id, k.dl, k.term,
+                    CAST(count(*) AS DOUBLE) AS tf
+                  FROM tok k JOIN fb ON fb.doc_id = k.doc_id
+                  WHERE k.term NOT IN ('join','hash','scan')
+                  GROUP BY 1, 2, 3),
+         cm AS (SELECT term,
+                  CAST(sum(CAST(round(1e6 * (tf / dl)) AS BIGINT))
+                       AS BIGINT) AS wm,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM cand GROUP BY 1)
+         SELECT term, CAST(wm AS DOUBLE) / 1e6 AS w, nd FROM cm
+         ORDER BY wm DESC, term LIMIT 8""",
     "q176_stratified_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 <

@@ -194,6 +194,19 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q312: PRF expansion terms exclude the query, weights are " +
+      "positive and non-increasing, feedback-doc counts in [1,3]") {
+    val out = operators.TextOps.q312PrfExpansion(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length === 8)
+    assert(out.map(_._1).toSet.intersect(Set("join", "hash", "scan")).isEmpty)
+    assert(out.forall(_._2 > 0.0))
+    assert(out.forall(t => t._3 >= 1L && t._3 <= 3L))
+    // the operator emits in rank order (TakeOrdered): non-increasing w
+    val ws = out.map(_._2)
+    ws.indices.drop(1).foreach(i => assert(ws(i - 1) >= ws(i)))
+  }
+
   test("q307: preference pairs are top-vs-bottom within source, margins " +
       "non-negative, chosen and rejected sets disjoint, <= 8 per source") {
     val out = TextOps.q307PreferencePairs(spark, dir).collect()
