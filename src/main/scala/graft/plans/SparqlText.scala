@@ -2869,10 +2869,13 @@ object SparqlText {
         // normalize fidelity companions across arms: an arm binding ?v in
         // SUBJECT position carries no companions for it — fill nulls
         // (= plain term) so the union lines up; user variables still must
-        // match across arms (loud otherwise)
+        // match across arms (loud otherwise). __dv_ numeric carriers get
+        // a TYPE-correct fill (see companionFill) — a null STRING here
+        // would make unionByName widen the other arm's double carrier to
+        // string, silently degrading duration value semantics.
         val fid = dfs.flatMap(_.columns).filter(isFidelityCol).distinct
         val normalized = dfs.map(df => fid.filterNot(df.columns.contains)
-          .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
+          .foldLeft(df)((d, c) => d.withColumn(c, companionFill(d, c))))
         join(normalized.reduce(_ unionByName _))
       case OptEl(g) =>
         val a = acc.getOrElse(sys.error("OPTIONAL requires a preceding pattern"))
@@ -2921,8 +2924,11 @@ object SparqlText {
           val antiCond = a.columns.map(c =>
             col(s"__la.`$c`") <=> col(s"__mk.`$c`")).reduce(_ && _)
           val unmatched = la.join(mk, antiCond, "left_anti")
+          // null-extension: __dv_ carriers fill type-correctly (the base
+          // var is itself null-extended, so the parse is null → null
+          // DOUBLE, keeping the union's carrier column numeric)
           val extended = rightOnly.foldLeft(unmatched)((df, c) =>
-            df.withColumn(c, lit(null).cast("string")))
+            df.withColumn(c, companionFill(df, c)))
           acc = Some(matched.select(
             (a.columns ++ rightOnly).map(col): _*)
             .unionByName(extended.select((a.columns ++ rightOnly).map(col): _*)))
@@ -3234,7 +3240,7 @@ object SparqlText {
           // differ in term-fidelity columns) — the UnionEl convention
           val fid = arms.flatMap(_.columns).filter(isFidelityCol).distinct
           val svc0 = arms.map(df => fid.filterNot(df.columns.contains)
-            .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string"))))
+            .foldLeft(df)((d, c) => d.withColumn(c, companionFill(d, c))))
             .reduce(_ unionByName _)
           val svc = dropSharedHidden(a, svc0)
           val shared = a.columns.intersect(svc.columns).toSeq
@@ -3709,6 +3715,26 @@ object SparqlText {
   private def isFidelityCol(c: String): Boolean =
     c.startsWith("__lang_") || c.startsWith("__dt_") ||
       c.startsWith("__kind_") || c.startsWith("__dv_")
+  /** Fill expression for a column missing from one arm of a set
+    * operation (UNION arm normalization, OPTIONAL null-extension,
+    * SERVICE dispatch union). Ordinary columns and the string fidelity
+    * companions fill as null STRINGS (= plain term / unbound). The
+    * __dv_ NUMERIC carriers must not: unionByName would widen the other
+    * arm's double to string and duration value semantics (aggregates,
+    * typed ORDER BY) would silently degrade to lexicographic. They fill
+    * by PARSING the arm's own lexical instead — the rung-entry rule
+    * applied at the set-op boundary (grammar-guarded: a non-duration or
+    * null lexical parses to null DOUBLE, keeping the column numeric). */
+  private def companionFill(df: DataFrame, c: String): Column =
+    if (c.startsWith("__dv_s_")) {
+      val v = c.stripPrefix("__dv_s_")
+      if (df.columns.contains(v)) durationSeconds(col(v))
+      else lit(null).cast("double")
+    } else if (c.startsWith("__dv_m_")) {
+      val v = c.stripPrefix("__dv_m_")
+      if (df.columns.contains(v)) durationMonths(col(v))
+      else lit(null).cast("double")
+    } else lit(null).cast("string")
   /** Substitute [[EDurVal]] carrier reads for duration-constructor calls
     * on variables whose frame carries the `__dv_` companion. Runs at
     * each frame-aware compile site (FILTER, BIND, projection, group

@@ -696,6 +696,13 @@ object StreamOps {
             .write.mode("overwrite").parquet(reportPath)
         val stateOpt = readState(spark, statePath)
         val (prevN, prevErr, prevBatch) = stateOpt.map { st =>
+          // loud guard, not a silent crash on a missing column: state
+          // written before the single-file schema (term,c + a _meta
+          // sibling) cannot be resumed — the meta it needs may be stale
+          require(st.columns.contains("batch_id"),
+            s"heavy-hitters state at $statePath predates the single-file " +
+              "schema (term,c,n,err,batch_id); delete it (and any _meta " +
+              "sibling) to restart the stream cleanly")
           val m = st.select(col("n"), col("err"), col("batch_id"))
             .limit(1).collect()(0)
           (m.getLong(0), m.getLong(1), m.getLong(2))

@@ -18,7 +18,15 @@ import org.apache.spark.SparkContext
   * `interruptOnCancel` reaches the executor threads) and the daemon
   * thread is interrupted — a driver-side hang (codegen) cannot be
   * killed, but the daemon flag means it can never block JVM exit, and
-  * the caller moves on to the next query. */
+  * the caller moves on to the next query.
+  *
+  * Residual (accepted) risk: cancelJobGroup only kills jobs RUNNING at
+  * cancel time. A driver-side hang that later unblocks can still submit
+  * and run its job — late work that may overlap the next query (in
+  * Bench, inflating a min-of-passes window; in Audit, publishing a plan
+  * into the next query's listener window). Both harnesses already mark
+  * the timed-out query failed, so the run is flagged suspect either
+  * way; a hard kill would need Thread.stop, which risks the whole JVM. */
 object Watchdog {
   /** Default per-query bound, env-tunable: generous against the slowest
     * green query the board has ever recorded (~7 s at sf0.1), tight

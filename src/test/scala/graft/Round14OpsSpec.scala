@@ -72,6 +72,40 @@ class Round14OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq("-PT8H", "PT0S", "PT2H", "PT10H"))
   }
 
+  test("duration carrier survives a UNION with a plain-binding arm: " +
+      "type-correct companion fill, value-order MAX and ORDER BY") {
+    val spark2 = spark
+    import spark2.implicits._
+    // c's <when> is zone-less: its first-arm ?z is unbound, its second
+    // arm binds ?z from DATA ("PT2H") — the arm with no carrier column
+    val t = Seq(
+      ("a", "when", "2024-01-01T00:00:00+10:00"),
+      ("b", "when", "2024-01-01T00:00:00+02:00"),
+      ("c", "when", "2024-01-01T00:00:00"),
+      ("c", "zone", "PT2H")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    // MAX over the unioned ?z must extremize by VALUE (PT10H > PT2H,
+    // lexically the reverse) — with a null-STRING companion fill the
+    // union widens the carrier to string and this silently degrades
+    val agg = graft.plans.SparqlText.run(
+      """SELECT (MAX(?z) AS ?hi) (MIN(?z) AS ?lo) WHERE {
+        |  { ?x <when> ?d . BIND(TIMEZONE(?d) AS ?z) }
+        |  UNION { ?x <zone> ?z . ?x <when> ?d }
+        |}""".stripMargin, t, lbl).collect()
+    assert(agg.length === 1)
+    assert(agg.head.getString(0) === "PT10H")
+    assert(agg.head.getString(1) === "PT2H")
+    // typed ORDER BY across the union orders by value (unbound first,
+    // the §15.1 total-order extension), x as tiebreak
+    val ord = graft.plans.SparqlText.run(
+      """SELECT ?x ?z WHERE {
+        |  { ?x <when> ?d . BIND(TIMEZONE(?d) AS ?z) }
+        |  UNION { ?x <zone> ?z . ?x <when> ?d }
+        |} ORDER BY ?z ?x""".stripMargin, t, lbl)
+      .collect().map(_.getString(0))
+    assert(ord.toSeq === Seq("c", "b", "c", "a"))
+  }
+
   test("q304: duration SUM/AVG/MIN/MAX aggregate on the numeric carrier " +
       "and render canonical lexicals; unbound rows group with COUNT 0") {
     val rows = operators.RdfOps.q304DurationAgg(spark, dir).collect()

@@ -30,11 +30,25 @@ import json, sys
 new = json.load(open(sys.argv[1])); prev = json.load(open(sys.argv[2]))
 if new.get("sf") != prev.get("sf"):
     print("SKIP sf-mismatch", new.get("sf"), prev.get("sf")); raise SystemExit
-nt, pt = float(new["value"]), float(prev["value"])
+# Compare over the INTERSECTION of query keys: a round that adds queries
+# inflates the full-board total without any regression, and a query only
+# one side knows can never be A/B'd in the prior HEAD anyway.
+shared = sorted(set(new["queries"]) & set(prev["queries"]))
+if not shared:
+    print("SKIP no-shared-queries"); raise SystemExit
+nt = sum(abs(new["queries"][q]) for q in shared)
+pt = sum(abs(prev["queries"][q]) for q in shared)
 drift = abs(nt - pt) / max(pt, 1e-9)
 if drift <= 0.15:
-    print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s)"); raise SystemExit
-top5 = sorted(new["queries"].items(), key=lambda kv: -abs(kv[1]))[:5]
+    print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s over {len(shared)} shared)")
+    raise SystemExit
+# top-5 slowest SHARED queries, failures/timeouts excluded: a negative
+# entry is Bench's failure sentinel (a watchdog timeout reads ~-180) —
+# re-timing a known-failed query buys minutes of pure timeout wait
+top5 = sorted(((q, new["queries"][q]) for q in shared
+               if new["queries"][q] >= 0), key=lambda kv: -kv[1])[:5]
+if not top5:
+    print("SKIP all-shared-failed"); raise SystemExit
 print("DRIFT", f"{drift:.3f}", ",".join(k for k, _ in top5))
 EOF
 )
