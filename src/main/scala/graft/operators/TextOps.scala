@@ -3294,6 +3294,49 @@ object TextOps {
         col("nd"))
   }
 
+  /** Neyman-allocation sampling DESIGN — the statistically optimal
+    * per-stratum sample sizes for a fixed annotation/eval budget
+    * (n_h ∝ N_h·S_h: big AND internally-varied sources deserve more
+    * labels than big-but-uniform ones — the survey-sampling allocation
+    * rule, applied to per-source quality scores). Within-stratum
+    * std dev computes in EXACT integer algebra on the 1e4 quality
+    * micro-carrier ((n·Σx² − (Σx)²)/n² — both products bounded well
+    * inside Long at any stratum size that fits a groupBy), one IEEE
+    * sqrt per stratum, and the budget apportions by the q219
+    * largest-remainder machinery on integer weights, so Σseats = B by
+    * construction on both engines. One corpus scan; everything after
+    * the per-source aggregation runs on the strata table (persist(),
+    * not localCheckpoint — the audit-visible bounded-provenance rule). */
+  def q313NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 100L
+    val q4 = round(col("quality") * 1e4).cast("long")
+    val strata = q40Quality(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), q4.as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("q4")).as("s1"),
+        sum(col("q4") * col("q4")).as("s2"))
+      .withColumn("sh", sqrt(
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))))
+      .withColumn("wq",
+        round(col("n").cast("double") * col("sh")).cast("long"))
+      .persist()
+    val tot = strata.agg(greatest(sum(col("wq")), lit(1L)).as("W"))
+    val quota = strata.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"$B * wq div W"))
+      .withColumn("r", expr(s"($B * wq) % W"))
+    val deficit = quota.agg((lit(B) - sum(col("fl"))).as("deficit"))
+    quota.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("r").desc, col("source").asc)))
+      .select(col("source"), col("n"), round(col("sh"), 4).as("sh"),
+        (col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("seats"))
+  }
+
   /** Hash-stratified sampling — per-source keep rates applied through a
     * deterministic doc_id hash bucket, the way a corpus mixer downweights
     * low-quality sources. ZERO shuffles: the keep decision is a codegen'd
@@ -3897,6 +3940,7 @@ object TextOps {
     "q307_preference_pairs" -> q307PreferencePairs _,
     "q311_winrate_significance" -> q311WinrateSignificance _,
     "q312_prf_expansion" -> q312PrfExpansion _,
+    "q313_neyman_allocation" -> q313NeymanAllocation _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4854,6 +4898,41 @@ object TextOps {
                 FROM cand GROUP BY 1)
          SELECT term, CAST(wm AS DOUBLE) / 1e6 AS w, nd FROM cm
          ORDER BY wm DESC, term LIMIT 8""",
+    "q313_neyman_allocation" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+                      AS BIGINT) AS n_stop
+               FROM t),
+         q AS (SELECT doc_id,
+                 round(least(1.0, n_tokens/100.0) * (1.0 - n_stop/n_tokens),
+                       4) AS quality
+               FROM c),
+         dq AS (SELECT d.source, CAST(round(q.quality * 1e4) AS BIGINT) AS q4
+                FROM q JOIN documents d USING (doc_id)),
+         st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(q4) AS BIGINT) AS s1,
+                  CAST(sum(q4 * q4) AS BIGINT) AS s2
+                FROM dq GROUP BY 1),
+         sh AS (SELECT source, n,
+                  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+                       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sh
+                FROM st),
+         w AS (SELECT source, n, sh,
+                 CAST(round(CAST(n AS DOUBLE) * sh) AS BIGINT) AS wq
+               FROM sh),
+         tot AS (SELECT CAST(greatest(sum(wq), 1) AS BIGINT) AS W FROM w),
+         qa AS (SELECT source, n, sh, wq,
+                  100 * wq // W AS fl, (100 * wq) % W AS r
+                FROM w CROSS JOIN tot),
+         def AS (SELECT 100 - CAST(sum(fl) AS BIGINT) AS deficit FROM qa),
+         rk AS (SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rk
+                FROM qa)
+         SELECT source, n, round(sh, 4) AS sh,
+                CAST(fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                     AS BIGINT) AS seats
+         FROM rk CROSS JOIN def""",
     "q176_stratified_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 <

@@ -241,6 +241,38 @@ class Round14OpsSpec extends SparkSpec {
     ws.indices.drop(1).foreach(i => assert(ws(i - 1) >= ws(i)))
   }
 
+  test("q313: Neyman allocation spends exactly the budget, allocates " +
+      "in n*sh order, and reproduces the direct integer-algebra std dev") {
+    val out = operators.TextOps.q313NeymanAllocation(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sum === 100L, "largest-remainder must spend B")
+    assert(out.forall(_._3 >= 0.0))
+    // reference: per-source std dev from the raw micro-quality values
+    val q = operators.TextOps.q40Quality(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .select(col("source"), round(col("quality") * 1e4).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = q.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2)
+      val (n, s1, s2) =
+        (v.length.toLong, v.sum, v.map(x => x * x).sum)
+      src -> math.sqrt((n * s2 - s1 * s1).toDouble / (n.toDouble * n))
+    }
+    out.foreach { case (src, n, sh, _) =>
+      assert(n === q.count(_._1 == src).toLong, src)
+      assert(math.abs(sh - ref(src)) < 5e-5, src)
+    }
+    // monotone-ish: allocation order follows the n*sh weight order
+    // (largest remainder can flip equal-weight neighbors by at most 1)
+    val byW = out.sortBy(t => -t._2 * ref(t._1))
+    byW.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4 - 1L, s"${a._1} vs ${b._1}")
+      case _ => ()
+    }
+  }
+
   test("q307: preference pairs are top-vs-bottom within source, margins " +
       "non-negative, chosen and rejected sets disjoint, <= 8 per source") {
     val out = TextOps.q307PreferencePairs(spark, dir).collect()
