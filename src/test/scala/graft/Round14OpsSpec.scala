@@ -106,6 +106,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(ord.toSeq === Seq("c", "b", "c", "a"))
   }
 
+  test("duration carrier survives deferred-OPTIONAL null-extension " +
+      "(type-correct fill on the unmatched side)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = Seq(
+      ("a", "when", "1"), ("a", "zone2", "PT2H"),
+      ("b", "when", "2")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    // the FILTER references the OUTER ?d, forcing the deferred LeftJoin
+    // path whose null-extension fills the right side's columns — the
+    // __dv_s_z carrier must fill as a DOUBLE or the matched/unmatched
+    // union widens it to string
+    val out = graft.plans.SparqlText.run(
+      """SELECT ?x ?z WHERE {
+        |  ?x <when> ?d .
+        |  OPTIONAL { ?x <zone2> ?w .
+        |             BIND(xsd:dayTimeDuration(?w) AS ?z)
+        |             FILTER(?d != "skip") }
+        |} ORDER BY ?z ?x""".stripMargin, t, lbl)
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out.toSeq === Seq("b" -> None, "a" -> Some("PT2H")))
+  }
+
   test("q304: duration SUM/AVG/MIN/MAX aggregate on the numeric carrier " +
       "and render canonical lexicals; unbound rows group with COUNT 0") {
     val rows = operators.RdfOps.q304DurationAgg(spark, dir).collect()
