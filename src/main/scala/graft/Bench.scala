@@ -153,6 +153,19 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
     java.nio.file.Files.write(outFile,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Per-SF reference copy (bench_latest.sf0.01.json / .sf0.1.json …):
+    // the drift check compares same-SF only, and the gate benches at
+    // sf0.01 while the driver benches at sf0.1 — one shared latest-file
+    // made the sf0.1 slow tail structurally invisible to drift (round-14
+    // verdict task 1). Only FULL runs may become a reference: a
+    // query-filtered profiling run would shrink the shared-key set to
+    // its filter and blind the next comparison.
+    if (wanted.isEmpty) {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      java.nio.file.Files.write(
+        outFile.resolveSibling(s"bench_latest.$sfName.json"),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val collisions = prefix.values.groupBy(identity).collect {

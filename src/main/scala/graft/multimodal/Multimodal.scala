@@ -105,6 +105,75 @@ object Multimodal {
     }: _*)
   }
 
+  /** REAL pixel decode via javax.imageio (JDK-built-in: PNG/BMP/GIF/
+    * JPEG readers ship with the JRE — no external codec needed): the
+    * production implementation behind the stub seam. Decodes the
+    * payload and block-averages integer luma (ITU-R BT.601 in exact
+    * integer form: (299R+587G+114B)/1000) to an 8×8 grid — the real
+    * counterpart of [[resize8x8]]'s contract. None when the payload is
+    * not a decodable image; callers keep the row with a null feature
+    * (audit visibility) rather than dropping it. */
+  def decodeImage8x8(payload: Array[Byte]): Option[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val cnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 8 / w
+          val rgb = img.getRGB(x, y)
+          val lum = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)) / 1000L
+          val c = gy * 8 + gx
+          sums(c) += lum
+          cnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(64)(i =>
+        if (cnt(i) == 0) 0 else (sums(i) / cnt(i)).toInt))
+    }
+  }
+
+  /** aHash bit rule over a decoded 8×8 grid — IDENTICAL to the byte-tile
+    * expression ([[graft.functions.AHash64]]): bit i set iff 64·p_i > Σp,
+    * decided integer-exactly. Shared so the real-decode path and the
+    * expression path can never drift. */
+  def aHashOfGrid(grid: Array[Int]): String = {
+    val total = grid.foldLeft(0L)(_ + _)
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 64) {
+      out(i) = if (grid(i).toLong * 64L > total) '1' else '0'
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Real-decode aHash over a media table: the SAME per-partition
+    * iterator seam as [[extractFeatures]], with javax.imageio replacing
+    * the stub (reader lookup + cache config initialize once per task,
+    * not per row). Non-image payloads yield a null ahash. */
+  def extractImageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-task codec init: ImageIO's default disk-backed stream cache
+      // is pure overhead for in-memory payloads
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        (r.media_id, r.kind, decodeImage8x8(r.payload).map(aHashOfGrid).orNull)
+      }
+    }.toDF("media_id", "kind", "ahash")
+  }
+
   /** Build a binary media table from the events props strings (the driver
     * data has no blob column; utf-8 bytes keep every derived feature
     * SQL-checkable from the string side). */

@@ -3300,9 +3300,14 @@ object TextOps {
     * labels than big-but-uniform ones — the survey-sampling allocation
     * rule, applied to per-source quality scores). Within-stratum
     * std dev computes in EXACT integer algebra on the 1e4 quality
-    * micro-carrier ((n·Σx² − (Σx)²)/n² — both products bounded well
-    * inside Long at any stratum size that fits a groupBy), one IEEE
-    * sqrt per stratum, and the budget apportions by the q219
+    * micro-carrier: n·Σx² − (Σx)² is evaluated in WIDE integers
+    * (Spark decimal(38,0), DuckDB HUGEINT) because (Σx)² ≤ n²·1e8
+    * overflows Long once a stratum passes ~3×10⁵ docs — Spark would
+    * wrap silently where DuckDB errors, breaking both the result and
+    * cross-engine parity. decimal(38,0) holds the product exactly to
+    * n ≈ 10¹⁵; the single cast-to-double of the same exact integer
+    * rounds identically on both engines, then one IEEE sqrt per
+    * stratum, and the budget apportions by the q219
     * largest-remainder machinery on integer weights, so Σseats = B by
     * construction on both engines. One corpus scan; everything after
     * the per-source aggregation runs on the strata table (persist(),
@@ -3319,7 +3324,9 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("q4")).as("s1"),
         sum(col("q4") * col("q4")).as("s2"))
       .withColumn("sh", sqrt(
-        (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+        (col("n").cast("decimal(38,0)") * col("s2").cast("decimal(38,0)") -
+          col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+          .cast("double") /
           (col("n").cast("double") * col("n").cast("double"))))
       .withColumn("wq",
         round(col("n").cast("double") * col("sh")).cast("long"))
@@ -4916,7 +4923,8 @@ object TextOps {
                   CAST(sum(q4 * q4) AS BIGINT) AS s2
                 FROM dq GROUP BY 1),
          sh AS (SELECT source, n,
-                  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+                  sqrt(CAST(CAST(n AS HUGEINT) * s2
+                            - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) /
                        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sh
                 FROM st),
          w AS (SELECT source, n, sh,

@@ -2265,6 +2265,20 @@ object SparqlText {
           else None
         def durVarRender(m: Column, ym: Boolean): Column =
           if (ym) durationLexicalOfMonths(m) else durationLexicalOfSeconds(m)
+        // §18.5 type-error guard for the carrier path: after a set-op, a
+        // variable can be duration-typed in one arm and plain in another
+        // — those rows carry a non-null LEXICAL but a null CARRIER, and
+        // summing the carrier would silently aggregate only the duration
+        // subset. SUM/AVG over a mixed-type multiset is a type error →
+        // unbound, so the group emits null whenever any member has a
+        // value the carrier cannot see. (MIN/MAX stay lenient on the
+        // carrier — the documented §15.1-ordering deviation: they pick
+        // among the duration members rather than erroring, matching the
+        // engine's error→unbound comparison posture.)
+        def durMixedGuard(src: String, carrier: Column, agg: Column): Column =
+          when(max(when(col(src).isNotNull && carrier.isNull, lit(1))
+            .otherwise(lit(0))) === 1, lit(null).cast("string"))
+            .otherwise(agg)
         val aggCols = aggItems.map {
           case PGroupConcat(src, out, dist, sep) =>
             val collected =
@@ -2289,15 +2303,16 @@ object SparqlText {
           // columns: compare/accumulate numerically via a double cast
           case PAgg("sum", src, out, dist) =>
             (durVarCarrier(src) match {
-              case Some((c, ym)) =>
-                durVarRender(if (dist) sum_distinct(c) else sum(c), ym)
+              case Some((c, ym)) => durMixedGuard(src, c,
+                durVarRender(if (dist) sum_distinct(c) else sum(c), ym))
               case None =>
                 if (dist) sum_distinct(col(src).cast("double"))
                 else sum(col(src).cast("double"))
             }).as(out)
           case PAgg("avg", src, out, _) =>
             (durVarCarrier(src) match {
-              case Some((c, ym)) => durVarRender(avg(c), ym)
+              case Some((c, ym)) =>
+                durMixedGuard(src, c, durVarRender(avg(c), ym))
               case None => avg(col(src).cast("double"))
             }).as(out)
           // SAMPLE may return any group member; the engine picks min()
@@ -2866,15 +2881,19 @@ object SparqlText {
       case UnionEl(arms) =>
         val dfs = arms.map(a =>
           compileGroup(a, triples, labels, params, memo, graphCtx, namedTriples)._1)
-        // normalize fidelity companions across arms: an arm binding ?v in
-        // SUBJECT position carries no companions for it — fill nulls
-        // (= plain term) so the union lines up; user variables still must
-        // match across arms (loud otherwise). __dv_ numeric carriers get
-        // a TYPE-correct fill (see companionFill) — a null STRING here
-        // would make unionByName widen the other arm's double carrier to
-        // string, silently degrading duration value semantics.
-        val fid = dfs.flatMap(_.columns).filter(isFidelityCol).distinct
-        val normalized = dfs.map(df => fid.filterNot(df.columns.contains)
+        // §16.3 union normalization: arms may bind DIFFERENT variable
+        // sets — a variable absent from an arm is unbound there, so every
+        // missing column fills before unionByName. User variables and the
+        // string fidelity companions fill as null STRINGS (= unbound /
+        // plain term); __dv_ numeric carriers get a TYPE-correct fill
+        // (see companionFill) — a null STRING there would make unionByName
+        // widen the other arm's double carrier to string, silently
+        // degrading duration value semantics. (Until round 15 only the
+        // fidelity companions were filled and differing user-variable
+        // sets failed loudly in ResolveUnion — a documented deviation,
+        // now closed.)
+        val allCols = dfs.flatMap(_.columns).distinct
+        val normalized = dfs.map(df => allCols.filterNot(df.columns.contains)
           .foldLeft(df)((d, c) => d.withColumn(c, companionFill(d, c))))
         join(normalized.reduce(_ unionByName _))
       case OptEl(g) =>

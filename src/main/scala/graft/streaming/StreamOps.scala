@@ -414,6 +414,43 @@ object StreamOps {
     ()
   }
 
+  /** Replay guard for sinks whose state merge is a non-idempotent SUM —
+    * the heavy-hitters single-file discipline, factored so every
+    * sum-merge sink shares it. foreachBatch is at-least-once: after a
+    * crash between the state swap and the checkpoint commit, the
+    * trigger REPLAYS with the same batchId, and a bare sum-merge
+    * double-counts its batch (hll's max-merge and the reservoir's
+    * dedup-merge shrug that off; sums cannot). State rows carry the
+    * writing trigger's batch_id plus one ALL-NULL sentinel row, so an
+    * empty merge still records it — one file, one atomic swap (a
+    * separate _meta sibling reopens the stale-pairing crash window the
+    * heavy-hitters sink closed). Convention: the FIRST state column is
+    * a group key that is never null in real rows — the sentinel is
+    * recognized by its null there. */
+  private def stateBatchId(st: DataFrame): Long = {
+    // loud guard, not a silent crash on a missing column: state written
+    // before the replay-guard schema cannot prove which trigger wrote it
+    require(st.columns.contains("batch_id"),
+      "sink state predates the batch_id replay-guard schema (data rows " +
+        "+ an all-null sentinel, every row carrying batch_id); delete " +
+        "the state directory to restart the stream cleanly")
+    st.select(col("batch_id")).limit(1).collect()(0).getLong(0)
+  }
+  private def stripGuard(st: DataFrame): DataFrame =
+    st.filter(col(st.columns.head).isNotNull).drop("batch_id")
+  private def withGuard(data: DataFrame, batchId: Long): DataFrame = {
+    val spark = data.sparkSession
+    val tagged = data.withColumn("batch_id", lit(batchId))
+    val schema = org.apache.spark.sql.types.StructType(
+      tagged.schema.map(_.copy(nullable = true)))
+    val sentinel = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(
+          data.schema.map(_ => null) :+ Long.box(batchId))),
+      schema)
+    tagged.unionByName(sentinel)
+  }
+
   /** Streaming WEIGHTED reservoir — Efraimidis–Spirakis Algorithm A-Res,
     * the streaming face of q300: every arriving doc gets the same
     * deterministic E–S key (quantized ln(u) from the md5 hex prefix,
@@ -481,20 +518,27 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val partial = graft.operators.TextOps.klCountPartials(
-          batch.toDF().withColumn("toks", split(col("text"), " "))
-            .select(col("source"), col("toks")))
+        val stateOpt = readState(spark, statePath)
         val merged =
-          readState(spark, statePath)
-            .map(_.unionByName(partial)
-              .groupBy(col("source"), col("bucket"))
-              .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
-            .getOrElse(partial)
-            // cut lineage from the path about to be replaced
-            .localCheckpoint()
-        atomicOverwrite(merged, statePath)
+          if (stateOpt.exists(stateBatchId(_) == batchId))
+            // crash-replayed trigger: counts already folded into the
+            // atomically-swapped state — regenerate the report only
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val partial = graft.operators.TextOps.klCountPartials(
+              batch.toDF().withColumn("toks", split(col("text"), " "))
+                .select(col("source"), col("toks")))
+            val m = stateOpt.map(st => stripGuard(st).unionByName(partial)
+                .groupBy(col("source"), col("bucket"))
+                .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
+              .getOrElse(partial)
+              // cut lineage from the path about to be replaced
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId), statePath)
+            m
+          }
         graft.operators.TextOps.klFromCounts(
             merged.select(col("source")).distinct(), merged)
           .write.mode("overwrite").parquet(reportPath)
@@ -543,27 +587,29 @@ object StreamOps {
     * the state, so any consumer can ask about any term after the fact
     * (the heavy-hitters sink answers "what is frequent"; this one
     * answers "how frequent is X"). Unlike [[hllSink]]'s max-merge, sum
-    * is NOT idempotent: a crash-replayed trigger (foreachBatch is
-    * at-least-once) double-counts its batch — the estimates stay valid
-    * upper bounds (CMS error is one-sided by construction), they just
-    * loosen; exactly-once admission is the claims-file sinks' design. */
+    * is NOT idempotent, so the state carries the batch_id replay guard
+    * (round 15 — before it, a crash-replayed trigger double-counted its
+    * batch; the CMS estimates stayed valid one-sided upper bounds, but
+    * they loosened silently). */
   def cmsSink(docs: DataFrame, statePath: String)
              (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val counters = graft.operators.TextOps.cmsCounters(
-          graft.operators.TextOps.cmsTf(batch.toDF().select(col("text"))))
-        val merged =
-          readState(spark, statePath)
-            .map(_.unionByName(counters)
+        val stateOpt = readState(spark, statePath)
+        if (!stateOpt.exists(stateBatchId(_) == batchId)) {
+          val counters = graft.operators.TextOps.cmsCounters(
+            graft.operators.TextOps.cmsTf(batch.toDF().select(col("text"))))
+          val merged = stateOpt
+            .map(st => stripGuard(st).unionByName(counters)
               .groupBy(col("row"), col("idx"))
               .agg(org.apache.spark.sql.functions.sum(col("counter")).as("counter")))
             .getOrElse(counters)
             .localCheckpoint()
-        atomicOverwrite(merged, statePath)
+          atomicOverwrite(withGuard(merged, batchId), statePath)
+        } // else: crash-replayed trigger, already folded in — no-op
       }
       .start()
 
@@ -579,17 +625,22 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val hist = graft.operators.TextOps.histCounts(batch.toDF())
+        val stateOpt = readState(spark, statePath)
         val merged =
-          readState(spark, statePath)
-            .map(_.unionByName(hist)
-              .groupBy(col("lang"), col("bin"))
-              .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
-            .getOrElse(hist)
-            .localCheckpoint()
-        atomicOverwrite(merged, statePath)
+          if (stateOpt.exists(stateBatchId(_) == batchId))
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val hist = graft.operators.TextOps.histCounts(batch.toDF())
+            val m = stateOpt.map(st => stripGuard(st).unionByName(hist)
+                .groupBy(col("lang"), col("bin"))
+                .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
+              .getOrElse(hist)
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId), statePath)
+            m
+          }
         graft.operators.TextOps.histQuantiles(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -610,17 +661,22 @@ object StreamOps {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val daily = graft.operators.Events.decayDailyCounts(batch.toDF())
+        val stateOpt = readState(spark, statePath)
         val merged =
-          readState(spark, statePath)
-            .map(_.unionByName(daily)
-              .groupBy(col("event_type"), col("d"))
-              .agg(org.apache.spark.sql.functions.sum(col("n")).as("n")))
-            .getOrElse(daily)
-            .localCheckpoint()
-        atomicOverwrite(merged, statePath)
+          if (stateOpt.exists(stateBatchId(_) == batchId))
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val daily = graft.operators.Events.decayDailyCounts(batch.toDF())
+            val m = stateOpt.map(st => stripGuard(st).unionByName(daily)
+                .groupBy(col("event_type"), col("d"))
+                .agg(org.apache.spark.sql.functions.sum(col("n")).as("n")))
+              .getOrElse(daily)
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId), statePath)
+            m
+          }
         graft.operators.Events.decayedFromDaily(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()
@@ -641,17 +697,22 @@ object StreamOps {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val partial = graft.operators.Events.dailyCounts(batch.toDF())
+        val stateOpt = readState(spark, statePath)
         val merged =
-          readState(spark, statePath)
-            .map(_.unionByName(partial)
-              .groupBy(col("event_type"), col("day"))
-              .agg(org.apache.spark.sql.functions.sum(col("x")).as("x")))
-            .getOrElse(partial)
-            .localCheckpoint()
-        atomicOverwrite(merged, statePath)
+          if (stateOpt.exists(stateBatchId(_) == batchId))
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val partial = graft.operators.Events.dailyCounts(batch.toDF())
+            val m = stateOpt.map(st => stripGuard(st).unionByName(partial)
+                .groupBy(col("event_type"), col("day"))
+                .agg(org.apache.spark.sql.functions.sum(col("x")).as("x")))
+              .getOrElse(partial)
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId), statePath)
+            m
+          }
         graft.operators.Events.rollingAnomaly(merged)
           .write.mode("overwrite").parquet(reportPath)
         ()

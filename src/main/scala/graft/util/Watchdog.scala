@@ -1,8 +1,9 @@
 package graft.util
 
+import java.util.concurrent.atomic.AtomicLong
 import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
 
-import org.apache.spark.SparkContext
+import org.apache.spark.{JobExecutionStatus, SparkContext}
 
 /** Bounded-await execution for harness query bodies (Verify / Bench /
   * Audit). Round 13 proved the failure mode: ONE query that never
@@ -13,20 +14,23 @@ import org.apache.spark.SparkContext
   * per-task timeouts (get_data_apis_vanilla.py:115 — 60 s per render
   * task); this is the engine-side equivalent.
   *
-  * The body runs on a fresh daemon thread under a per-query Spark job
-  * group. On timeout the job group is cancelled (kills any RUNNING jobs;
-  * `interruptOnCancel` reaches the executor threads) and the daemon
-  * thread is interrupted — a driver-side hang (codegen) cannot be
-  * killed, but the daemon flag means it can never block JVM exit, and
-  * the caller moves on to the next query.
+  * The body runs on a fresh daemon thread under a per-invocation Spark
+  * job group. On timeout the group is cancelled with
+  * `cancelJobGroupAndFutureJobs` — running jobs die
+  * (`interruptOnCancel` reaches the executor threads) AND any job the
+  * hung body submits LATER under the group is cancelled on arrival, so
+  * a driver-side hang that eventually unblocks (codegen finishing after
+  * minutes) cannot push work into the next query's bench window or
+  * audit listener window. The daemon thread is then interrupted, and
+  * the caller waits (bounded, 10 s) for the group's in-flight jobs to
+  * drain from the status tracker before moving on — executor task
+  * teardown is asynchronous, and tasks still winding down would pollute
+  * the next query's timing otherwise.
   *
-  * Residual (accepted) risk: cancelJobGroup only kills jobs RUNNING at
-  * cancel time. A driver-side hang that later unblocks can still submit
-  * and run its job — late work that may overlap the next query (in
-  * Bench, inflating a min-of-passes window; in Audit, publishing a plan
-  * into the next query's listener window). Both harnesses already mark
-  * the timed-out query failed, so the run is flagged suspect either
-  * way; a hard kill would need Thread.stop, which risks the whole JVM. */
+  * The group id carries a per-invocation sequence number: future-job
+  * cancellation is sticky per group id, and Bench runs each query name
+  * twice (min-of-passes) — pass 2 must start with a clean group even if
+  * pass 1 timed out. */
 object Watchdog {
   /** Default per-query bound, env-tunable: generous against the slowest
     * green query the board has ever recorded (~7 s at sf0.1), tight
@@ -34,13 +38,34 @@ object Watchdog {
   def defaultTimeoutSec: Long =
     sys.env.get("GRAFT_QUERY_TIMEOUT_SEC").map(_.toLong).getOrElse(180L)
 
+  private val seq = new AtomicLong(0L)
+
+  /** Post-cancel drain: true when no job in `group` is still RUNNING,
+    * polled up to `boundMs`. UNKNOWN counts as drained — the tracker
+    * drops state for cancelled jobs, and waiting on it would turn every
+    * timeout into a full 10 s stall. */
+  private def quiesce(sc: SparkContext, group: String,
+                      boundMs: Long = 10000L): Boolean = {
+    val deadline = System.nanoTime() + boundMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      val running = sc.statusTracker.getJobIdsForGroup(group).exists { id =>
+        sc.statusTracker.getJobInfo(id)
+          .exists(_.status() == JobExecutionStatus.RUNNING)
+      }
+      if (!running) return true
+      Thread.sleep(100L)
+    }
+    false
+  }
+
   /** Run `body` with a bounded await. Right(result) on completion,
     * Left(cause) on failure, Left(TimeoutException) after `timeoutSec`.
-    * `sc` is used to scope and cancel the query's Spark jobs. */
+    * `sc` is used to scope, cancel, and drain the query's Spark jobs. */
   def run[A](sc: SparkContext, name: String, timeoutSec: Long)
             (body: => A): Either[Throwable, A] = {
+    val group = s"graft-wd-$name-${seq.incrementAndGet()}"
     val task = new FutureTask[A](() => {
-      sc.setJobGroup(s"graft-wd-$name", name, interruptOnCancel = true)
+      sc.setJobGroup(group, name, interruptOnCancel = true)
       try body finally sc.clearJobGroup()
     })
     val t = new Thread(task, s"graft-watchdog-$name")
@@ -51,10 +76,12 @@ object Watchdog {
       case e: java.util.concurrent.ExecutionException =>
         Left(Option(e.getCause).getOrElse(e))
       case _: TimeoutException =>
-        sc.cancelJobGroup(s"graft-wd-$name")
+        sc.cancelJobGroupAndFutureJobs(group)
         t.interrupt()
+        val drained = quiesce(sc, group)
         Left(new TimeoutException(
-          s"$name TIMED OUT after ${timeoutSec}s (watchdog)"))
+          s"$name TIMED OUT after ${timeoutSec}s (watchdog" +
+            (if (drained) ")" else "; jobs still draining after 10s)")))
     }
   }
 }

@@ -388,8 +388,10 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.nonEmpty && streamed == batch,
         s"stream/batch drift grids diverge:\n stream=$streamed\n batch=$batch")
       // and the mid-stream state really is count partials: report
-      // regenerates from state alone
+      // regenerates from state alone (guard columns stripped — the
+      // all-null sentinel row and batch_id are replay bookkeeping)
       val state = spark.read.parquet(statePath)
+        .filter(col("source").isNotNull).drop("batch_id")
       val regen = graft.operators.TextOps.klFromCounts(
           state.select(col("source")).distinct(), state)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -661,6 +663,7 @@ class StreamOpsSpec extends SparkSpec {
       input.addData(b3.toSeq); query.processAllAvailable()
       query.stop()
       val counters = spark.read.parquet(statePath)
+        .filter(col("row").isNotNull).drop("batch_id")
       val tf = graft.operators.TextOps.cmsTf(
         graft.Tables.documents(spark, sfDir).select(col("text")))
       val probed = graft.operators.TextOps.cmsProbe(counters,

@@ -1,0 +1,233 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamOps
+
+/** Kill-and-resume coverage for every state-carrying sink (round-14
+  * verdict task 5). Technique: a DURABLE file-backed source (parquet
+  * files appended to a dir) + the SAME checkpoint across query
+  * instances — the restart contract Structured Streaming actually
+  * guarantees (MemoryStream state dies with the JVM, so the parity
+  * specs' streams can't restart). A crash between the sink's state swap
+  * and the checkpoint commit is simulated by deleting the checkpoint's
+  * last `commits/<N>` file: on restart Spark REPLAYS that trigger with
+  * the same batchId — the exact at-least-once window the batch_id
+  * replay guard (and the claims/dedup idempotence of the other sinks)
+  * must absorb. */
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Simulate "crashed after the state swap, before the commit": the
+    * next start of the same checkpoint replays the last trigger. The
+    * Hadoop local FS keeps a `.N.crc` checksum sibling next to each
+    * commit marker — it must go too, or the replay's re-commit rename
+    * trips FileAlreadyExists and Spark misreads it as a concurrent
+    * query on the same checkpoint. */
+  private def dropLastCommit(ckpt: String): Unit = {
+    val dir = new java.io.File(ckpt, "commits")
+    val commits = dir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no committed trigger to crash")
+    val crc = new java.io.File(dir, s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove commit marker")
+    if (crc.exists()) assert(crc.delete(), "could not remove crc sibling")
+  }
+
+  test("decayedCountsSink survives kill-and-resume WITH a crash-replayed " +
+      "trigger: the batch_id guard absorbs the replay, batch 2 still " +
+      "merges, and the final report equals batch q283") {
+    val dir = java.nio.file.Files.createTempDirectory("dcrestart").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts")).orderBy(col("ts"))
+        .as[(String, Timestamp)].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      b1.toSeq.toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.decayedCountsSink(src(), statePath, reportPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      // crash: state swapped, commit lost -> trigger 0 will replay
+      dropLastCommit(ckpt)
+      b2.toSeq.toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.decayedCountsSink(src(), statePath, reportPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val streamed = spark.read.parquet(reportPath)
+        .select("event_type", "n_events", "decayed_micro", "decayed")
+        .collect().map(key).toSet
+      val batch = graft.operators.Events.q283DecayedCounts(spark, sfDir)
+        .select("event_type", "n_events", "decayed_micro", "decayed")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"replay double-counted or lost rows:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("preferenceSink survives kill-and-resume with a crash-replayed " +
+      "trigger: the pair-matrix state equals the exact pair counts over " +
+      "all comparisons (no double count, no loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("prefrestart").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      // deterministic synthetic verdicts over 4 sources
+      val srcs = (0 until 4).map(i => s"src$i")
+      val comparisons = (for {
+        a <- srcs.indices; b <- srcs.indices if a != b
+        r <- 0 until (a + b + 1)
+      } yield (srcs(a), srcs(b),
+        if ((a * 7 + b * 3 + r) % 3 == 0) srcs(a) else srcs(b))).toVector
+      val (b1, b2) = comparisons.splitAt(comparisons.length / 2)
+      val schema = StructType(Seq(StructField("sa", StringType),
+        StructField("sb", StringType), StructField("winner", StringType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      b1.toDF("sa", "sb", "winner").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.preferenceSink(src(), statePath, reportPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      dropLastCommit(ckpt)
+      b2.toDF("sa", "sb", "winner").write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.preferenceSink(src(), statePath, reportPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      val state = spark.read.parquet(statePath)
+        .filter(col("i").isNotNull)
+        .select("i", "j", "nij", "wi")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // exact expected pair matrix over ALL comparisons, counted once
+      val expected = comparisons
+        .map { case (sa, sb, w) =>
+          val (i, j) = if (sa < sb) (sa, sb) else (sb, sa)
+          (i, j, w)
+        }
+        .groupBy { case (i, j, _) => (i, j) }
+        .map { case (k, vs) =>
+          k -> (vs.size.toLong, vs.count { case (i, _, w) => w == i }.toLong)
+        }
+      assert(state === expected,
+        s"pair matrix drifted under replay:\n state=$state\n expected=$expected")
+      // and the report is the MM fit of exactly that matrix
+      assert(spark.read.parquet(reportPath).count() === srcs.size.toLong)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("weightedReservoirSink survives kill-and-resume with a crash-" +
+      "replayed trigger: the dedup merge absorbs the echo and the final " +
+      "reservoir equals batch q300") {
+    val dir = java.nio.file.Files.createTempDirectory("wresrestart").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.weightedReservoirSink(src(), 50, statePath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      dropLastCommit(ckpt)
+      b2.toSeq.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.weightedReservoirSink(src(), 50, statePath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      val streamed = spark.read.parquet(statePath)
+        .select("doc_id", "es_key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val batch = graft.operators.TextOps.q300WeightedSample(spark, sfDir)
+        .select("doc_id", "es_key")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.size == 50 && streamed == batch,
+        s"reservoir corrupted by replay: missing=${batch -- streamed} " +
+          s"extra=${streamed -- batch}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("cdcAdmitSink survives kill-and-resume with a crash-replayed " +
+      "trigger: self-claim rejection keeps admitted unique, an embedded " +
+      "copy in batch 2 is rejected, a fresh doc is admitted") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcrestart").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val claimsPath = new java.io.File(dir, "claims").getAbsolutePath
+    val admittedPath = new java.io.File(dir, "admitted").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val b1 = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 40)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      // batch 2: an exact copy of a b1 doc under a fresh id (must be
+      // rejected via its claimed chunks) + a doc of unique tokens (must
+      // be admitted)
+      val freshText = (0 until 120).map(i => s"zq${i}xw").mkString(" ")
+      val b2 = Seq((100000L, b1.head._2), (100001L, freshText))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.cdcAdmitSink(src(), claimsPath, admittedPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      val admittedAfterB1 = spark.read.parquet(admittedPath)
+        .select("doc_id").as[Long].collect().toSet
+      dropLastCommit(ckpt)
+      b2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.cdcAdmitSink(src(), claimsPath, admittedPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      val admitted = spark.read.parquet(admittedPath)
+        .select("doc_id").as[Long].collect()
+      // replayed trigger re-admits NOTHING: every b1 doc's chunks are in
+      // claims (its own claim), so the admitted file has no duplicates
+      assert(admitted.length === admitted.distinct.length,
+        s"replay duplicated admitted rows: ${admitted.groupBy(identity).collect { case (k, v) if v.length > 1 => k }.toSeq}")
+      assert(admitted.toSet.intersect(admittedAfterB1) === admittedAfterB1,
+        "replay lost previously admitted docs")
+      assert(!admitted.contains(100000L), "embedded exact copy must reject")
+      assert(admitted.contains(100001L), "fresh unique doc must admit")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("a pre-guard state (no batch_id) fails LOUDLY on resume, not " +
+      "silently: the stale-schema guard names the fix") {
+    val dir = java.nio.file.Files.createTempDirectory("staleguard").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      // a round-14-era state: (event_type, d, n) with no batch_id column
+      Seq(("click", java.sql.Date.valueOf("2024-01-01"), 5L))
+        .toDF("event_type", "d", "n")
+        .write.parquet(statePath)
+      Seq(("click", Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      val q = StreamOps.decayedCountsSink(
+        spark.readStream.schema(schema).parquet(srcDir),
+        statePath, reportPath)(ckpt)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(e.getMessage.contains("batch_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("batch_id")),
+        s"guard message missing: ${e.getMessage}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+}

@@ -30,6 +30,37 @@ class WatchdogSpec extends SparkSpec {
     assert(ok == Right(100L))
   }
 
+  test("a late-unblocking body cannot push work past its timeout: the " +
+      "job it submits AFTER cancellation dies on arrival (quiesce path)") {
+    val sc = spark.sparkContext
+    @volatile var lateOutcome: Option[Either[Throwable, Long]] = None
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val r = graft.util.Watchdog.run(sc, "late_unblock", 1L) {
+      // a driver-side hang that shrugs off interrupts and unblocks well
+      // after the bound — the round-14 residual risk: without
+      // cancelJobGroupAndFutureJobs its late job would run to completion
+      // inside the NEXT query's bench/audit window
+      val until = System.nanoTime() + 3000000000L
+      while (System.nanoTime() < until) {
+        try Thread.sleep(20)
+        catch { case _: InterruptedException => () }
+      }
+      lateOutcome = Some(
+        try Right(spark.range(500000000L).selectExpr("sum(id * 7)")
+          .collect().head.getLong(0))
+        catch { case e: Throwable => Left(e) })
+      done.countDown()
+      0
+    }
+    assert(r.isLeft, "must time out")
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "body never unblocked — test is broken")
+    lateOutcome match {
+      case Some(Left(_)) => () // cancelled on submit — the fix working
+      case other => fail(s"late job was allowed to run: $other")
+    }
+  }
+
   test("a throwing body surfaces its own cause, not a wrapper") {
     val r = graft.util.Watchdog.run(spark.sparkContext, "boom", 120L) {
       sys.error("kaboom"); 1

@@ -1,13 +1,17 @@
 #!/usr/bin/env bash
 # Automated bench-drift A/B (the gate's answer to "did the board really
 # get slower, or is the box noisy?"): compare the just-written
-# bench_latest.json against the last COMMITTED bench_latest.json. When
-# the total moved >15% at the SAME SF, rebuild the prior round's HEAD in
+# bench_latest.json against the last COMMITTED bench at the SAME scale
+# factor — per-SF reference files (bench_latest.sf0.01.json,
+# bench_latest.sf0.1.json, …) written by every full Bench run, so the
+# driver's sf0.1 board and the gate's sf0.01 board each have their own
+# regression baseline (round-14 verdict: one shared latest-file SKIPped
+# on SF mismatch and left the sf0.1 slow tail unguarded). When the
+# shared-green total moved >15%, rebuild the prior reference's commit in
 # a scratch git worktree, re-time the top-5 slowest queries THERE and
 # HERE back-to-back (same box, same minutes), and append the A/B table
-# to docs/SCALING.md — the round-12 manual worktree procedure
-# (docs/SCALING.md "Round-12 A/B"), automated so a drifting close can
-# never ship without its defense attached.
+# to docs/SCALING.md — the round-12 manual worktree procedure,
+# automated so a drifting close can never ship without its defense.
 #
 # Exit 0 always unless the comparison itself is impossible: drift is a
 # diagnostic, not a gate failure — the TABLE is the deliverable.
@@ -17,13 +21,22 @@ cd "$(dirname "$0")/.."
 NEW=bench_latest.json
 [ -f "$NEW" ] || { echo "drift: no $NEW; run Bench first" >&2; exit 1; }
 
-PREV_COMMIT=$(git log -n1 --format=%H -- "$NEW" 2>/dev/null || true)
+SF_NAME=$(python3 -c "import json,os;print(os.path.basename(json.load(open('$NEW'))['sf'].rstrip('/')))")
+REF="bench_latest.$SF_NAME.json"
+PREV_COMMIT=$(git log -n1 --format=%H -- "$REF" 2>/dev/null || true)
+PREV_FILE="$REF"
 if [ -z "$PREV_COMMIT" ]; then
-  echo "drift: no committed $NEW to compare against — skipping"
+  # bootstrap: before the first per-SF reference exists, fall back to the
+  # legacy shared file — same-SF is still enforced inside the comparison
+  PREV_COMMIT=$(git log -n1 --format=%H -- "$NEW" 2>/dev/null || true)
+  PREV_FILE="$NEW"
+fi
+if [ -z "$PREV_COMMIT" ]; then
+  echo "drift: no committed bench to compare against — skipping"
   exit 0
 fi
-git show "$PREV_COMMIT:$NEW" > /tmp/graft_bench_prev.json 2>/dev/null || {
-  echo "drift: prior $NEW unreadable at $PREV_COMMIT — skipping"; exit 0; }
+git show "$PREV_COMMIT:$PREV_FILE" > /tmp/graft_bench_prev.json 2>/dev/null || {
+  echo "drift: prior $PREV_FILE unreadable at $PREV_COMMIT — skipping"; exit 0; }
 
 VERDICT=$(python3 - "$NEW" /tmp/graft_bench_prev.json <<'EOF'
 import json, sys
@@ -36,23 +49,43 @@ if new.get("sf") != prev.get("sf"):
 shared = sorted(set(new["queries"]) & set(prev["queries"]))
 if not shared:
     print("SKIP no-shared-queries"); raise SystemExit
-nt = sum(abs(new["queries"][q]) for q in shared)
-pt = sum(abs(prev["queries"][q]) for q in shared)
-drift = abs(nt - pt) / max(pt, 1e-9)
-if drift <= 0.15:
-    print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s over {len(shared)} shared)")
+# A negative entry is Bench's failure sentinel (a watchdog timeout reads
+# ~-180). Folding its magnitude into a timing total lets one flipped
+# failure dominate the ratio (round-14 advice), so the timing comparison
+# runs only over queries green on BOTH sides; failure-set CHANGES are
+# reported on their own line — a newly-failing query is worse news than
+# any drift percentage and must not hide inside (or get excluded from) a
+# timing average.
+green = [q for q in shared
+         if new["queries"][q] >= 0 and prev["queries"][q] >= 0]
+newly_bad = [q for q in shared
+             if new["queries"][q] < 0 <= prev["queries"][q]]
+newly_ok = [q for q in shared
+            if prev["queries"][q] < 0 <= new["queries"][q]]
+if newly_bad:
+    print("FAILSET newly-failing:" + ",".join(newly_bad)
+          + (" newly-fixed:" + ",".join(newly_ok) if newly_ok else ""))
     raise SystemExit
-# top-5 slowest SHARED queries, failures/timeouts excluded: a negative
-# entry is Bench's failure sentinel (a watchdog timeout reads ~-180) —
-# re-timing a known-failed query buys minutes of pure timeout wait
-top5 = sorted(((q, new["queries"][q]) for q in shared
-               if new["queries"][q] >= 0), key=lambda kv: -kv[1])[:5]
-if not top5:
-    print("SKIP all-shared-failed"); raise SystemExit
+if not green:
+    print("SKIP no-shared-green"); raise SystemExit
+nt = sum(new["queries"][q] for q in green)
+pt = sum(prev["queries"][q] for q in green)
+drift = abs(nt - pt) / max(pt, 1e-9)
+fixed = f" (newly-fixed: {','.join(newly_ok)})" if newly_ok else ""
+if drift <= 0.15:
+    print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s over {len(green)} "
+          f"shared-green){fixed}")
+    raise SystemExit
+top5 = sorted(((q, new["queries"][q]) for q in green),
+              key=lambda kv: -kv[1])[:5]
 print("DRIFT", f"{drift:.3f}", ",".join(k for k, _ in top5))
 EOF
 )
 case "$VERDICT" in
+  FAILSET*)
+    # a failure-set change is its own deliverable: loud, but still exit 0
+    # (the oracle gate, not drift, owns correctness failure)
+    echo "drift: $VERDICT" ; exit 0 ;;
   OK*|SKIP*) echo "drift: $VERDICT"; exit 0 ;;
   DRIFT*) ;;
   *) echo "drift: unparseable bench JSONs ($VERDICT) — skipping"; exit 0 ;;
@@ -85,7 +118,7 @@ new = json.load(open("/tmp/graft_ab_new.json"))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip()
 print(f"\n## Bench-drift A/B (auto, gate): {sys.argv[1][:8]} -> {head}")
-print(f"\nFull-board total drifted {float(sys.argv[2])*100:.0f}% vs the "
+print(f"\nShared-green total drifted {float(sys.argv[2])*100:.0f}% vs the "
       f"last committed bench at the same SF ({new['sf']}); top-5 slowest "
       "re-timed back-to-back in a scratch worktree of the prior HEAD vs "
       "the current tree (min of the same pass policy, same box, "
