@@ -95,6 +95,16 @@ object Bench {
     // shape's one-time codegen cost. The min is the steady-state number a
     // warmed cluster would see; a failure in either pass stays negative.
     val pass1 = runAll()
+    // Inter-pass barrier: BENCH_r14 showed a slow-tail pass-2 anomaly
+    // (q203 3.78→9.11, q275 4.62→7.92, q279 6.70→10.07 in passes_sec)
+    // with FLAT probes — intra-JVM aging, not box contention. 313
+    // queries of generated classes accumulate metaspace/old-gen garbage
+    // that pass 2 then pays for mid-query; an explicit full GC between
+    // passes moves that cost OFF the timed windows (min-of-passes
+    // already discards the slower window, but a cleaner pass 2 tightens
+    // the min toward steady state and de-noises the drift check).
+    System.gc()
+    Thread.sleep(500L)
     val pass2 = runAll()
     var allPasses = Seq(pass1, pass2)
     var results = merge(pass1, pass2)

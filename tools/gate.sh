@@ -27,6 +27,9 @@ step() {
   fi
 }
 
+# README operator tables must not cite a query id that no longer exists
+# in the engine source (the reverse of the gate-generated counts)
+step "readme"   python3 tools/readme_check.py
 step "compile"  sbt -batch compile
 step "test"     sbt -batch test
 step "verify"   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR/verify"
