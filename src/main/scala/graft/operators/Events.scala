@@ -628,6 +628,43 @@ object Events {
   def q283DecayedCounts(s: SparkSession, dir: String): DataFrame =
     decayedFromDaily(decayDailyCounts(Tables.events(s, dir)))
 
+  /** pass@k ESTIMATION (Chen et al. 2021, "Evaluating LLMs Trained on
+    * Code" — the HumanEval estimator): per problem, n sampled attempts
+    * with c passes give the unbiased pass@k = 1 − C(n−c,k)/C(n,k). The
+    * binomial RATIO is computed as the explicit ten-factor product
+    * Π_{i<10} (n−c−i)/(n−i) — NEVER the two binomials themselves
+    * (C(500,10) ≈ 2.5×10²¹ overflows Long and loses double precision;
+    * each factor here divides exactly-representable small integers, so
+    * the fixed-order IEEE product is bit-identical on both engines —
+    * the q283 pow() lesson applied to combinatorics). n−c < k short-
+    * circuits to exactly 1.0 (an all-k sample must contain a pass).
+    * Attempts map to problems by event_id mod 50 and pass/fail derives
+    * from an md5 bit with a per-problem rate (deterministic fixture —
+    * the q176 hash-bucket idiom), so the estimator is hash-oracled
+    * end-to-end. One scan, one bounded groupBy: at 100 TB of eval logs
+    * this is a two-column aggregation over |problems| groups. */
+  def q314PassAtK(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("problem", col("event_id") % 50)
+      .withColumn("h100",
+        conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("pass",
+        (col("h100") < lit(15L) + col("problem") % 40).cast("long"))
+    val agg = ev.groupBy(col("problem"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("c"))
+      .filter(col("n") >= 10)
+    val f = (col("n") - col("c")).cast("double")
+    val nd = col("n").cast("double")
+    val prod = (0 until 10)
+      .map(i => (f - lit(i.toDouble)) / (nd - lit(i.toDouble)))
+      .reduce(_ * _)
+    agg.select(col("problem"), col("n"), col("c"),
+      round(col("c").cast("double") / nd, 6).as("pass1"),
+      when(col("n") - col("c") < 10, lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6)).as("pass10"))
+  }
+
   /** round(2^(−r/7)·10⁶) for r = 0..6, rendered as a CASE so the Spark
     * expression and the DuckDB oracle share ONE source of the constants. */
   private val Q283Lookup: String =
@@ -638,6 +675,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_decayed_counts" -> q283DecayedCounts _,
+    "q314_pass_at_k" -> q314PassAtK _,
     "q57_asof_join" -> q57AsofJoin _,
     "q251_interval_allocate" -> q251IntervalAllocate _,
     "q252_markov_transitions" -> q252MarkovTransitions _,
@@ -663,6 +701,28 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q314_pass_at_k" -> {
+      // the explicit ten-factor product, identical op order to the Spark
+      // side (left-assoc multiplication of IEEE divisions of
+      // exactly-representable integers)
+      val prod = (0 until 10).map(i =>
+        s"((CAST(n - c AS DOUBLE) - $i.0) / (CAST(n AS DOUBLE) - $i.0))")
+        .mkString(" * ")
+      s"""WITH e AS (SELECT event_id % 50 AS problem,
+                CASE WHEN CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)),
+                                             1, 4)) AS BIGINT) % 100
+                          < 15 + (event_id % 50) % 40
+                     THEN 1 ELSE 0 END AS pass
+              FROM events),
+         a AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pass) AS BIGINT) AS c
+               FROM e GROUP BY 1 HAVING count(*) >= 10)
+         SELECT problem, n, c,
+                round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass1,
+                CASE WHEN n - c < 10 THEN 1.0
+                     ELSE round(1.0 - $prod, 6) END AS pass10
+         FROM a"""
+    },
     "q283_decayed_counts" ->
       s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
          r AS (SELECT max(d) AS ref FROM ev),

@@ -515,6 +515,49 @@ object TextOps {
         .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Fleiss' kappa — MULTI-rater agreement (Fleiss 1971), the m-rater
+    * generalization the 2-rater q306 Cohen's κ cannot express: an
+    * annotation campaign routinely puts 3–5 raters on each item, and
+    * "how consistent is the pool" is the go/no-go signal before the
+    * labels train a reward model. Items are consecutive blocks of 4
+    * docs (doc_id div 4); each doc contributes its rater's (doc_id mod
+    * 4) category from the 3-bucket length rubric, so every full item
+    * has exactly m=4 ratings (the partial tail block is dropped — the
+    * statistic is undefined off equal m). The whole computation rides
+    * on EXACT integer sufficient statistics: Σ_i Σ_j n_ij² and the
+    * per-category totals T_j, then P̄ = (Σn² − Nm)/(Nm(m−1)) and
+    * P_e = ΣT_j²/(Nm)² each spend ONE IEEE division, identical op order
+    * in both engines. Two bounded groupBys over one scan — at 100 TB
+    * the state is |items|×|categories| partials with full map-side
+    * combine, same shape as any count aggregation. */
+  def q315FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("item", expr("doc_id div 4"))
+      .withColumn("cat", when(col("n_chars") < 150, 0L)
+        .when(col("n_chars") < 300, 1L).otherwise(2L))
+    val full = d.groupBy(col("item")).agg(count(lit(1)).as("mm"))
+      .filter(col("mm") === 4).select(col("item"))
+    val nij = d.join(full, "item")
+      .groupBy(col("item"), col("cat")).agg(count(lit(1)).as("nij"))
+    val stats = nij.agg(
+      countDistinct(col("item")).as("n_items"),
+      sum(col("nij") * col("nij")).as("sum_sq"),
+      sum(when(col("cat") === 0, col("nij")).otherwise(0L)).as("t0"),
+      sum(when(col("cat") === 1, col("nij")).otherwise(0L)).as("t1"),
+      sum(when(col("cat") === 2, col("nij")).otherwise(0L)).as("t2"))
+    val n = col("n_items").cast("double")
+    val pbar = (col("sum_sq").cast("double") - n * lit(4.0)) /
+      (n * lit(4.0) * lit(3.0))
+    val pe = (col("t0").cast("double") * col("t0").cast("double") +
+      col("t1").cast("double") * col("t1").cast("double") +
+      col("t2").cast("double") * col("t2").cast("double")) /
+      ((n * lit(4.0)) * (n * lit(4.0)))
+    stats.select(col("n_items"), col("sum_sq"),
+      col("t0"), col("t1"), col("t2"),
+      round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
+      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Preference-pair construction (the DPO/RLHF chosen-vs-rejected
     * mining step): within each source, rank documents by length (doc_id
     * tiebreak) and pair rank r from the top with rank r from the bottom
@@ -3948,6 +3991,7 @@ object TextOps {
     "q311_winrate_significance" -> q311WinrateSignificance _,
     "q312_prf_expansion" -> q312PrfExpansion _,
     "q313_neyman_allocation" -> q313NeymanAllocation _,
+    "q315_fleiss_kappa" -> q315FleissKappa _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4905,6 +4949,38 @@ object TextOps {
                 FROM cand GROUP BY 1)
          SELECT term, CAST(wm AS DOUBLE) / 1e6 AS w, nd FROM cm
          ORDER BY wm DESC, term LIMIT 8""",
+    "q315_fleiss_kappa" ->
+      """WITH d AS (SELECT doc_id // 4 AS item,
+                CASE WHEN n_chars < 150 THEN 0
+                     WHEN n_chars < 300 THEN 1 ELSE 2 END AS cat
+              FROM documents),
+         full_items AS (SELECT item FROM d GROUP BY 1
+                        HAVING count(*) = 4),
+         nij AS (SELECT d.item, d.cat, CAST(count(*) AS BIGINT) AS nij
+                 FROM d JOIN full_items USING (item)
+                 GROUP BY 1, 2),
+         st AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+                  CAST(sum(nij * nij) AS BIGINT) AS sum_sq,
+                  CAST(sum(CASE WHEN cat = 0 THEN nij ELSE 0 END)
+                       AS BIGINT) AS t0,
+                  CAST(sum(CASE WHEN cat = 1 THEN nij ELSE 0 END)
+                       AS BIGINT) AS t1,
+                  CAST(sum(CASE WHEN cat = 2 THEN nij ELSE 0 END)
+                       AS BIGINT) AS t2
+                FROM nij),
+         k AS (SELECT *,
+                 (CAST(sum_sq AS DOUBLE) - CAST(n_items AS DOUBLE) * 4.0)
+                   / (CAST(n_items AS DOUBLE) * 4.0 * 3.0) AS pbar,
+                 (CAST(t0 AS DOUBLE) * CAST(t0 AS DOUBLE)
+                  + CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                  + CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))
+                   / ((CAST(n_items AS DOUBLE) * 4.0)
+                      * (CAST(n_items AS DOUBLE) * 4.0)) AS pe
+               FROM st)
+         SELECT n_items, sum_sq, t0, t1, t2,
+                round(pbar, 6) AS pbar, round(pe, 6) AS pe,
+                round((pbar - pe) / (1.0 - pe), 6) AS kappa
+         FROM k""",
     "q313_neyman_allocation" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
                     FROM documents),

@@ -60,6 +60,61 @@ class Round15OpsSpec extends SparkSpec {
     assert(pure.getString(1) === "PT6H")
   }
 
+  test("q314: pass@k matches the in-memory Chen et al. estimator exactly, " +
+      "is bounded by pass@1, and clamps to 1.0 when failures < k") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Events.q314PassAtK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 50, "every problem has >= 10 attempts at sf0.001")
+    out.foreach { case (p, n, c, p1, p10) =>
+      // same fixed-order ten-factor product as both engines
+      val prod = (0 until 10).map(i =>
+        ((n - c).toDouble - i) / (n.toDouble - i)).product
+      val want =
+        if (n - c < 10) 1.0
+        else BigDecimal(1.0 - prod)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p10 === want, s"problem $p (n=$n c=$c)")
+      assert(p1 === BigDecimal(c.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"p1 $p")
+      assert(p10 >= p1 - 1e-9 && p10 <= 1.0 && p1 >= 0.0,
+        s"bounds violated at $p")
+      if (c > 0) assert(p10 > 0.0, s"c>0 must give positive pass@10 at $p")
+      if (c == 0) assert(p10 === 0.0, s"c=0 must give 0 at $p")
+    }
+  }
+
+  test("q315: Fleiss' kappa equals an exact in-memory computation over " +
+      "the same item/rater/category construction") {
+    val dir = "/root/testdata/sf0.001"
+    val row = operators.TextOps.q315FleissKappa(spark, dir).collect().head
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rated = docs.map { case (id, nc) =>
+      (id / 4, if (nc < 150) 0 else if (nc < 300) 1 else 2)
+    }
+    val byItem = rated.groupBy(_._1).filter(_._2.length == 4)
+    val nItems = byItem.size.toLong
+    val nij = byItem.values.flatMap(_.groupBy(_._2).values.map(_.length.toLong))
+    val sumSq = nij.map(x => x * x).sum
+    val tj = (0 until 3).map(cat =>
+      byItem.values.flatten.count(_._2 == cat).toLong)
+    assert(row.getLong(0) === nItems)
+    assert(row.getLong(1) === sumSq)
+    assert(Seq(row.getLong(2), row.getLong(3), row.getLong(4)) === tj)
+    val n = nItems.toDouble
+    val pbar = (sumSq.toDouble - n * 4.0) / (n * 4.0 * 3.0)
+    val pe = tj.map(t => t.toDouble * t.toDouble).sum / ((n * 4.0) * (n * 4.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(5) === r6(pbar))
+    assert(row.getDouble(6) === r6(pe))
+    assert(row.getDouble(7) === r6((pbar - pe) / (1.0 - pe)))
+    assert(row.getDouble(7) > -1.0 - 1e-9 && row.getDouble(7) < 1.0 + 1e-9)
+  }
+
   test("q313 variance algebra survives strata past the Long-overflow " +
       "boundary (decimal(38,0) second moment, exact vs BigInt reference)") {
     // 350k rows of q4 in [9000, 11000): s1 ≈ 3.5e9, s1² ≈ 1.2e19 > 2^63 —
