@@ -209,6 +209,23 @@ object RdfOps {
       Map("limit" -> 8L))
   }
 
+  /** §16.3 union with DISJOINT variable sets through the text front-end
+    * (round 15 — previously a documented refusal: only the fidelity
+    * companions were filled across arms and differing user variables
+    * failed in ResolveUnion): arm 1 binds (?x ?nat) over suppliers,
+    * arm 2 binds (?x ?seg) over customer segments — each arm's missing
+    * variable is UNBOUND (null) in the other's rows, the SPARQL bag
+    * union. The oracle recomputes both arms with explicit NULL columns.
+    * Compiles to a unionByName of two column-pruned scans — no shuffle,
+    * no join; the fill is a null literal per missing column. */
+  def q316SparqlUnionDisjoint(sp: SparkSession, dir: String): DataFrame =
+    graft.plans.SparqlText.run(
+      """SELECT ?x ?nat ?seg WHERE {
+        |  { ?x <nation> ?nat . ?x <type> <Supplier> }
+        |  UNION { ?x <segment> ?seg }
+        |}""".stripMargin,
+      TripleStore.triples(sp, dir), TripleStore.langLabels(sp, dir))
+
   /** SPARQL property-path e2e: `?x <within>* <R1>` goes through the text
     * front-end — tokenizer → path AST → [[graft.plans.Closure.reachingTo]]
     * (seeded semi-naive, the J4 plan) — over the containment edge view
@@ -1759,6 +1776,7 @@ object RdfOps {
     "q82_turtle_roundtrip" -> q82TurtleRoundtrip _,
     "q86_sparql_parse"     -> q86SparqlParse _,
     "q87_sparql_path"      -> q87SparqlPathClosure _,
+    "q316_union_disjoint"  -> q316SparqlUnionDisjoint _,
     "q90_sparql_construct" -> q90SparqlConstruct _,
     "q14_bgp_europe"       -> q14BgpEurope _,
     "q15_label_service"    -> q15LabelService _,
@@ -2585,6 +2603,16 @@ object RdfOps {
            UNION
            SELECT e.src FROM edges e JOIN reach r ON e.dst = r.x)
          SELECT DISTINCT x FROM reach""",
+    "q316_union_disjoint" ->
+      s"""WITH triples AS ($T)
+         SELECT t1.s AS x, t1.o AS nat, CAST(NULL AS VARCHAR) AS seg
+         FROM triples t1
+         JOIN triples t2 ON t2.s = t1.s AND t2.p = 'type'
+                        AND t2.o = 'Supplier'
+         WHERE t1.p = 'nation'
+         UNION ALL
+         SELECT s, CAST(NULL AS VARCHAR), o FROM triples
+         WHERE p = 'segment'""",
     "q86_sparql_parse" ->
       s"""WITH triples AS ($T), labels AS ($L),
          core AS (

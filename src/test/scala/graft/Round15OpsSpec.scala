@@ -26,6 +26,21 @@ class Round15OpsSpec extends SparkSpec {
       ("a", Some("2024"), None), ("c", None, Some("apple"))))
   }
 
+  test("q316: union with disjoint variable sets over the triple view — " +
+      "arm counts add up and each arm's missing variable is null") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.RdfOps.q316SparqlUnionDisjoint(spark, dir)
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)), Option(r.getString(2))))
+    val suppliers = out.filter(_._2.nonEmpty)
+    val segments = out.filter(_._3.nonEmpty)
+    assert(out.nonEmpty)
+    assert(suppliers.length + segments.length === out.length,
+      "every row binds exactly one of ?nat / ?seg")
+    assert(suppliers.forall(_._1.startsWith("S")))
+    assert(segments.forall(_._1.startsWith("C")))
+  }
+
   test("SUM/AVG over a mixed duration/non-duration multiset is a type " +
       "error (unbound, §18.5); MIN stays carrier-lenient; a pure " +
       "duration multiset still aggregates") {
