@@ -643,17 +643,26 @@ object Events {
     * the q176 hash-bucket idiom), so the estimator is hash-oracled
     * end-to-end. One scan, one bounded groupBy: at 100 TB of eval logs
     * this is a two-column aggregation over |problems| groups. */
-  def q314PassAtK(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  /** (problem, n, c) per-problem attempt/pass counts from raw event
+    * rows — the estimator's complete sufficient statistic, shared by the
+    * batch q314 and the streaming
+    * [[graft.streaming.StreamOps.passAtKSink]] (counts sum-merge across
+    * micro-batches, so the state is two longs per problem forever). */
+  private[graft] def passCounts(events: DataFrame): DataFrame =
+    events
       .withColumn("problem", col("event_id") % 50)
       .withColumn("h100",
         conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
           .cast("long") % 100)
       .withColumn("pass",
         (col("h100") < lit(15L) + col("problem") % 40).cast("long"))
-    val agg = ev.groupBy(col("problem"))
+      .groupBy(col("problem"))
       .agg(count(lit(1)).as("n"), sum(col("pass")).as("c"))
-      .filter(col("n") >= 10)
+
+  /** The estimator over merged (problem, n, c) counts — ONE definition
+    * for batch and stream, so the parity can never drift. */
+  private[graft] def passAtKReport(counts: DataFrame): DataFrame = {
+    val agg = counts.filter(col("n") >= 10)
     val f = (col("n") - col("c")).cast("double")
     val nd = col("n").cast("double")
     val prod = (0 until 10)
@@ -664,6 +673,9 @@ object Events {
       when(col("n") - col("c") < 10, lit(1.0))
         .otherwise(round(lit(1.0) - prod, 6)).as("pass10"))
   }
+
+  def q314PassAtK(s: SparkSession, dir: String): DataFrame =
+    passAtKReport(passCounts(Tables.events(s, dir)))
 
   /** round(2^(−r/7)·10⁶) for r = 0..6, rendered as a CASE so the Spark
     * expression and the DuckDB oracle share ONE source of the constants. */

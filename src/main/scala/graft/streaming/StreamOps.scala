@@ -802,6 +802,43 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of q314's pass@k — the LIVE eval dashboard: attempt
+    * results arrive as they are judged, the state is the per-problem
+    * (n, c) count table (two longs per problem, the estimator's complete
+    * sufficient statistic — the raw attempt stream never replays), each
+    * trigger sum-merges its batch partials under the shared batch_id
+    * replay guard, and the report re-derives pass@1/pass@10 through the
+    * SAME ten-factor product as the batch query (one definition,
+    * [[graft.operators.Events.passAtKReport]]). Per-trigger cost is
+    * batch + |problems|. */
+  def passAtKSink(events: DataFrame, statePath: String, reportPath: String)
+                 (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateOpt = readState(spark, statePath)
+        val merged =
+          if (stateOpt.exists(stateBatchId(_) == batchId))
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val partial = graft.operators.Events.passCounts(batch.toDF())
+            val m = stateOpt.map(st => stripGuard(st).unionByName(partial)
+                .groupBy(col("problem"))
+                .agg(org.apache.spark.sql.functions.sum(col("n")).as("n"),
+                  org.apache.spark.sql.functions.sum(col("c")).as("c")))
+              .getOrElse(partial)
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId), statePath)
+            m
+          }
+        graft.operators.Events.passAtKReport(merged)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of q305's Bradley–Terry preference aggregation:
     * pairwise verdicts (sa, sb, winner) arrive as they are judged — the
     * live RLHF/eval shape — and the state is the unordered-pair matrix

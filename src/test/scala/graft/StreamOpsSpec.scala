@@ -752,6 +752,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("passAtKSink: the pass@k report after N micro-batches equals batch " +
+      "q314 over the same attempts, independent of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("passk").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select("event_id").as[Long].collect()
+      val input = MemoryStream[Long]
+      val query = StreamOps.passAtKSink(
+        input.toDF().toDF("event_id"), statePath, reportPath)(ckpt)
+      val (b1, rest) = fixture.splitAt(fixture.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val streamed = spark.read.parquet(reportPath).collect().map(key).toSet
+      val batch = graft.operators.Events.q314PassAtK(spark, sfDir)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("preferenceSink: the Bradley-Terry report after N micro-batches " +
       "equals batch q305 over the same comparisons, independent of " +
       "batch boundaries") {
