@@ -314,6 +314,53 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** Bitext mining — margin-based reciprocal matching (the LASER/
+    * CCMatrix shape, Artetxe & Schwenk 2019): candidate parallel pairs
+    * between two language sides are the RECIPROCAL cosine best matches
+    * (src's best tgt whose own best is that src), scored by an absolute
+    * margin — best minus the mean of the source's top-4 neighborhood —
+    * so a hub vector ("everyone's neighbor") cannot mint pairs on raw
+    * similarity alone. Cross-engine determinism: cosines round to 6
+    * digits (the q69 parity surface), then everything is integer
+    * micro-algebra — both rank windows order by the micro-long, the
+    * top-4 mean is an exact long sum, and the margin spends ONE IEEE
+    * division ((best·k − Σtop_k)/(k·10⁶)). Windows are PARTITIONED by
+    * side (never global); the tgt side broadcasts. Brute-force pair
+    * frame is the eval-scale baseline — at corpus scale the IVF cell
+    * prefilter (q193) bounds the candidates per src, same as q279's
+    * mining route. */
+  def q317BitextMining(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = vecs(s, dir).join(lang, "vec_id")
+    val a = e.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("va"))
+    val b = e.filter(col("lang") === "de")
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
+      .withColumn("cm", round(col("cos") * 1e6).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
+    val ws = Window.partitionBy(col("src_id"))
+      .orderBy(col("cm").desc, col("tgt_id").asc)
+    val wt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cm").desc, col("src_id").asc)
+    val ranked = pairs
+      .withColumn("rs", row_number().over(ws))
+      .withColumn("rt", row_number().over(wt))
+      .persist()
+    val top4 = ranked.filter(col("rs") <= 4)
+      .groupBy(col("src_id"))
+      .agg(sum(col("cm")).as("scm"), count(lit(1)).as("k4"),
+        max(when(col("rs") === 1, col("cm"))).as("best"))
+    ranked.filter(col("rs") === 1 && col("rt") === 1)
+      .join(top4, "src_id")
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        round((col("best") * col("k4") - col("scm")).cast("double") /
+          (col("k4").cast("double") * lit(1000000.0)), 6).as("margin"))
+  }
+
   /** Int8 symmetric quantization report — the vector-compression pass an
     * ANN index build runs before storing embeddings at corpus scale (4×
     * smaller than float32; the scale factor and reconstruction error are
@@ -1057,7 +1104,8 @@ object VectorOps {
     "q186_kmeans_train"    -> q186KmeansTrain _,
     "q181_label_centroid_sim" -> q181LabelCentroidSim _,
     "q69_embedding_neardup" -> q69EmbeddingNearDup _,
-    "q71_multiprobe_ann"   -> q71MultiprobeAnn _
+    "q71_multiprobe_ann"   -> q71MultiprobeAnn _,
+    "q317_bitext_mining"   -> q317BitextMining _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1578,6 +1626,39 @@ object VectorOps {
          SELECT cell, CAST(max(n) AS BIGINT) AS n_assigned,
                 round(sqrt(sum(m*m)), 4) AS new_norm
          FROM dim GROUP BY 1""",
+    "q317_bitext_mining" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         aa AS (SELECT ex.vec_id, i, x FROM ex JOIN lg USING (vec_id)
+                WHERE lang = 'en'),
+         bb AS (SELECT ex.vec_id, i, x FROM ex JOIN lg USING (vec_id)
+                WHERE lang = 'de'),
+         dots AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                    sum(a.x * b.x) AS dot
+                  FROM aa a JOIN bb b ON a.i = b.i GROUP BY 1, 2),
+         c AS (SELECT src_id, tgt_id,
+                 round(dot / (na.n * nb.n), 6) AS cos
+               FROM dots JOIN nrm na ON src_id = na.vec_id
+                         JOIN nrm nb ON tgt_id = nb.vec_id),
+         cm AS (SELECT src_id, tgt_id, cos,
+                  CAST(round(cos * 1e6) AS BIGINT) AS cm
+                FROM c),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cm DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cm DESC, src_id) AS rt
+               FROM cm),
+         t4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
+                  CAST(count(*) AS BIGINT) AS k4,
+                  CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best
+                FROM r WHERE rs <= 4 GROUP BY 1)
+         SELECT r.src_id, r.tgt_id, r.cos,
+                round(CAST(best * k4 - scm AS DOUBLE)
+                      / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
+         FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
     "q69_embedding_neardup" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i) WHERE vec_id < 300),

@@ -130,6 +130,60 @@ class Round15OpsSpec extends SparkSpec {
     assert(row.getDouble(7) > -1.0 - 1e-9 && row.getDouble(7) < 1.0 + 1e-9)
   }
 
+  test("q317: bitext pairs are reciprocal one-to-one best matches with " +
+      "margins matching an exact in-memory recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.VectorOps.q317BitextMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty, "fixture should mine some pairs")
+    // one-to-one: reciprocal best matches can never share an endpoint
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.map(_._2).distinct.length === out.length)
+    // independent reference: double cosine over the raw vectors,
+    // rounded 6 (the engines' shared parity surface), then exact
+    // micro-integer ranks/margins
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def side(l: String) = emb.keys.filter(id =>
+      lang.get(id).contains(l)).toSeq.sorted
+    val (en, de) = (side("en"), side("de"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cm(a: Long, b: Long): Long = {
+      val (va, vb) = (emb(a), emb(b))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < va.length) {
+        dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+        i += 1
+      }
+      math.round(r6(dot / (math.sqrt(na) * math.sqrt(nb))) * 1e6)
+    }
+    val mat = (for (s <- en; t <- de) yield (s, t) -> cm(s, t)).toMap
+    def bestTgt(s: Long) = de.minBy(t => (-mat((s, t)), t))
+    def bestSrc(t: Long) = en.minBy(s => (-mat((s, t)), s))
+    val expected = (for {
+      s <- en
+      t = bestTgt(s) if bestSrc(t) == s
+    } yield {
+      val top = de.map(x => mat((s, x))).sorted(Ordering[Long].reverse)
+        .take(4)
+      val margin = r6((top.head * top.length - top.sum).toDouble /
+        (top.length.toDouble * 1e6))
+      (s, t, mat((s, t)) / 1e6, margin)
+    }).toSet
+    val got = out.map { case (s, t, c, m) =>
+      (s, t, math.round(c * 1e6) / 1e6, m)
+    }.toSet
+    assert(got === expected,
+      s"bitext drifted:\n got=$got\n want=$expected")
+  }
+
   test("q313 variance algebra survives strata past the Long-overflow " +
       "boundary (decimal(38,0) second moment, exact vs BigInt reference)") {
     // 350k rows of q4 in [9000, 11000): s1 ≈ 3.5e9, s1² ≈ 1.2e19 > 2^63 —
