@@ -515,6 +515,60 @@ object TextOps {
         .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Template mining — instruction/boilerplate FREQUENCY analysis (the
+    * curation step that catches ten thousand documents stamped from one
+    * synthetic-instruction template even when near-dup misses them
+    * because the slot VALUES differ): the template is the normalized
+    * OPENING (lowercase, digit runs → '0', whitespace collapsed, first
+    * 8 tokens — instruction stamps live in the prefix: "write a story
+    * about 0 ..."), keyed by md5; report each template's document
+    * count, source spread, and smallest doc id as the canonical
+    * example. Pure codegen string chain + ONE groupBy — at 100 TB this
+    * is a single scan with map-side combine and a |templates|-bounded
+    * report. Templates seen once are noise and drop (n_docs >= 2). */
+  def q318TemplateMining(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "0"), "\\s+", " ")
+    val template = concat_ws(" ", slice(split(norm, " "), 1, 8))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(template).as("template_key"))
+      .groupBy(col("template_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Sequence-packing audit — the concat-and-chunk preprocessing step
+    * of a pretraining pipeline: within each source, document tokens
+    * stream contiguously in doc_id order and training sequences are the
+    * fixed 2048-token chunks of that stream. A document belongs to the
+    * sequence containing its FIRST token (seq = (cum − n_tok) div 2048,
+    * the prefix-before-me rule); a document whose last token lands in a
+    * later chunk is SPLIT by the chunker — the per-sequence split count
+    * is the coherence-loss signal this audit exists for (how many
+    * training sequences start mid-document decides whether you pay for
+    * a doc-boundary-respecting packer). The cumulative sum runs over a
+    * source-PARTITIONED window (never a global sort; sources chunk
+    * independently exactly as shards do at corpus scale), then one
+    * bounded groupBy. */
+  def q319SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val sized = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"))
+    sized
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq", expr("(cum - n_tok) div 2048"))
+      .withColumn("split",
+        when(expr("(cum - 1) div 2048") > col("seq"), 1L).otherwise(0L))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("split")).as("n_split"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   /** Fleiss' kappa — MULTI-rater agreement (Fleiss 1971), the m-rater
     * generalization the 2-rater q306 Cohen's κ cannot express: an
     * annotation campaign routinely puts 3–5 raters on each item, and
@@ -3992,6 +4046,8 @@ object TextOps {
     "q312_prf_expansion" -> q312PrfExpansion _,
     "q313_neyman_allocation" -> q313NeymanAllocation _,
     "q315_fleiss_kappa" -> q315FleissKappa _,
+    "q318_template_mining" -> q318TemplateMining _,
+    "q319_sequence_packing" -> q319SequencePacking _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4949,6 +5005,33 @@ object TextOps {
                 FROM cand GROUP BY 1)
          SELECT term, CAST(wm AS DOUBLE) / 1e6 AS w, nd FROM cm
          ORDER BY wm DESC, term LIMIT 8""",
+    "q318_template_mining" ->
+      """WITH t AS (SELECT doc_id, source,
+              md5(array_to_string(list_slice(string_split(
+                    regexp_replace(regexp_replace(lower(text),
+                      '[0-9]+', '0', 'g'), '\s+', ' ', 'g'), ' '),
+                    1, 8), ' ')) AS template_key
+            FROM documents)
+         SELECT template_key, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(min(doc_id) AS BIGINT) AS example_doc
+         FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q319_sequence_packing" ->
+      """WITH s AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+                 ORDER BY doc_id) AS cum FROM s),
+         b AS (SELECT source, (cum - n_tok) // 2048 AS seq, n_tok, doc_id,
+                 CASE WHEN (cum - 1) // 2048 > (cum - n_tok) // 2048
+                      THEN 1 ELSE 0 END AS split
+               FROM c)
+         SELECT source, CAST(seq AS BIGINT) AS seq,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(split) AS BIGINT) AS n_split,
+                CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM b GROUP BY 1, 2""",
     "q315_fleiss_kappa" ->
       """WITH d AS (SELECT doc_id // 4 AS item,
                 CASE WHEN n_chars < 150 THEN 0

@@ -130,6 +130,58 @@ class Round15OpsSpec extends SparkSpec {
     assert(row.getDouble(7) > -1.0 - 1e-9 && row.getDouble(7) < 1.0 + 1e-9)
   }
 
+  test("q318: template mining groups digit-varied copies under one key " +
+      "and drops singletons") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q318TemplateMining(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference over raw docs
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grouped = docs.groupBy { case (_, _, text) =>
+      text.toLowerCase.replaceAll("[0-9]+", "0").replaceAll("\\s+", " ")
+        .split(" ").take(8).mkString(" ")
+    }.values.filter(_.length >= 2)
+    assert(grouped.nonEmpty, "fixture must produce non-trivial templates")
+    assert(out.length === grouped.size)
+    val wantCounts = grouped.map(g =>
+      (g.length.toLong, g.map(_._2).distinct.length.toLong,
+        g.map(_._1).min)).toSet
+    assert(out.map(t => (t._2, t._3, t._4)).toSet === wantCounts)
+    // and the md5 key really is the normalized-template hash
+    out.foreach(t => assert(t._1.matches("[0-9a-f]{32}")))
+  }
+
+  test("q319: sequence packing conserves docs/tokens, attributes each doc " +
+      "to the chunk of its first token, and counts split docs exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q319SequencePacking(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length.toLong))
+    val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      var cum = 0L
+      val rows = ds.sortBy(_._1).map { case (id, _, n) =>
+        val prefix = cum; cum += n
+        val seq = prefix / 2048
+        val split = if ((cum - 1) / 2048 > seq) 1L else 0L
+        (seq, id, n, split)
+      }
+      rows.groupBy(_._1).map { case (seq, rs) =>
+        (src, seq) -> (rs.length.toLong, rs.map(_._3).sum,
+          rs.map(_._4).sum, rs.map(_._2).min)
+      }
+    }
+    assert(out === expected)
+    // conservation: every doc and token lands in exactly one sequence
+    assert(out.values.map(_._1).sum === docs.length.toLong)
+    assert(out.values.map(_._2).sum === docs.map(_._3).sum)
+  }
+
   test("q317: bitext pairs are reciprocal one-to-one best matches with " +
       "margins matching an exact in-memory recompute") {
     val dir = "/root/testdata/sf0.001"
