@@ -111,8 +111,11 @@ object ScaleProbe {
       val ok = graft.util.Watchdog.run(spark.sparkContext, name, 900L) {
         fn(spark, dir).count()
       }.isRight
-      spark.catalog.clearCache()
+      // clock stops BEFORE cache teardown: clearCache cost grows with
+      // the N× input for persist()ing queries, and billing it to the
+      // query would bias exactly the N×/1× ratio this probe reports
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
       if (ok) sec else -math.max(sec, 0.01)
     }
     // 1x warm pass (absorbs per-shape codegen), then the timed pairs

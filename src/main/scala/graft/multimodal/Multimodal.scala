@@ -112,8 +112,13 @@ object Multimodal {
     * integer form: (299R+587G+114B)/1000) to an 8×8 grid — the real
     * counterpart of [[resize8x8]]'s contract. None when the payload is
     * not a decodable image; callers keep the row with a null feature
-    * (audit visibility) rather than dropping it. */
-  def decodeImage8x8(payload: Array[Byte]): Option[Array[Int]] = {
+    * (audit visibility) rather than dropping it. ImageIO.read returns
+    * null only when NO reader claims the payload — a payload with a
+    * valid magic header but a truncated/corrupt body THROWS from the
+    * matched reader instead, so the whole decode is exception-guarded:
+    * any decode failure is the same "not a decodable image" outcome,
+    * never a task-killing error. */
+  def decodeImage8x8(payload: Array[Byte]): Option[Array[Int]] = try {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
@@ -141,6 +146,10 @@ object Multimodal {
       Some(Array.tabulate(64)(i =>
         if (cnt(i) == 0) 0 else (sums(i) / cnt(i)).toInt))
     }
+  } catch {
+    // corrupt body behind a valid header (IIOException et al.): same
+    // contract as the no-reader case — null feature, row kept
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** aHash bit rule over a decoded 8×8 grid — IDENTICAL to the byte-tile

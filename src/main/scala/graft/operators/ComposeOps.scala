@@ -277,8 +277,50 @@ object ComposeOps {
         min(col("rep_media")).as("rep_media"))
   }
 
+  /** REAL javax.imageio round-trip, oracled (the q202/q203/q299 family
+    * rides the deterministic byte-tile stub because the DuckDB oracle
+    * needs SQL-computable pixels — this query closes that gap): each
+    * event mints a deterministic 8×8 RGB PNG whose 64 gray values are
+    * the first md5 byte of "<media_id>:<cell>", ENCODES it with
+    * ImageIO per partition (codec init once per task), then decodes it
+    * back through [[graft.multimodal.Multimodal.decodeImage8x8]] — the
+    * production decode path — and aHashes the decoded grid with the
+    * shared bit rule. PNG is lossless and r=g=b makes the exact-integer
+    * BT.601 luma equal the gray value, so the decoded grid EQUALS the
+    * md5-derived pixels and the oracle recomputes the hash from the
+    * same md5 algebra: javax.imageio encode→decode round-trips for
+    * real under the hash gate. Embarrassingly parallel — one scan, two
+    * mapPartitions, no shuffle; at 100 TB the decode cost is the
+    * per-row codec work every media pipeline pays, nothing else. */
+  def q321ImageioAhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = graft.Tables.events(s, dir)
+      .select(col("event_id").as("media_id")).as[Long]
+    val media = ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          md.reset()
+          val p = md.digest(s"$id:$i".getBytes("UTF-8"))(0) & 0xff
+          img.setRGB(i % 8, i / 8, (p << 16) | (p << 8) | p)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "png", bos.toByteArray)
+      }
+    }.toDF("media_id", "kind", "payload")
+      .as[graft.multimodal.Multimodal.MediaRow]
+    graft.multimodal.Multimodal.extractImageAHash(media)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_media_ahash"   -> q202MediaAhash _,
+    "q321_imageio_ahash" -> q321ImageioAhash _,
     "q203_media_clusters" -> q203MediaClusters _,
     "q76_bucketed_join"  -> q76BucketedJoin _,
     "q52_career_render"  -> q52CareerRender _,
@@ -325,6 +367,19 @@ object ComposeOps {
                   AND a.ahash < b.ahash)"""
 
   val oracles: Map[String, String] = Map(
+    "q321_imageio_ahash" ->
+      """WITH px AS (SELECT event_id AS media_id, i,
+                CAST(('0x'||substr(md5(CAST(event_id AS VARCHAR)||':'||i),
+                      1, 2)) AS BIGINT) AS p
+              FROM events, range(0, 64) t(i)),
+         t AS (SELECT media_id, list(p ORDER BY i) AS pix,
+                 CAST(sum(p) AS BIGINT) AS total
+               FROM px GROUP BY 1)
+         SELECT media_id, 'png' AS kind,
+                array_to_string(list_transform(pix,
+                  p -> CASE WHEN p * 64 > total THEN '1' ELSE '0' END), '')
+                  AS ahash
+         FROM t""",
     "q202_media_ahash" ->
       s"""WITH $ahashCtesSql
          SELECT hash_a, hash_b,

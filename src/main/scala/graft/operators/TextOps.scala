@@ -609,7 +609,10 @@ object TextOps {
     stats.select(col("n_items"), col("sum_sq"),
       col("t0"), col("t1"), col("t2"),
       round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
-      round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      // degenerate corpus (all items one category) → pe = 1 → κ undefined:
+      // null on BOTH engines (q306's guard), never an engine-specific NaN
+      when(lit(1.0) - pe === 0.0, lit(null).cast("double"))
+        .otherwise(round((pbar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Preference-pair construction (the DPO/RLHF chosen-vs-rejected
@@ -5062,7 +5065,8 @@ object TextOps {
                FROM st)
          SELECT n_items, sum_sq, t0, t1, t2,
                 round(pbar, 6) AS pbar, round(pe, 6) AS pe,
-                round((pbar - pe) / (1.0 - pe), 6) AS kappa
+                CASE WHEN 1.0 - pe = 0 THEN NULL
+                     ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa
          FROM k""",
     "q313_neyman_allocation" ->
       """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks

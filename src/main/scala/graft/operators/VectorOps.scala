@@ -326,11 +326,10 @@ object VectorOps {
     * top-4 mean is an exact long sum, and the margin spends ONE IEEE
     * division ((best·k − Σtop_k)/(k·10⁶)). Windows are PARTITIONED by
     * side (never global); the tgt side broadcasts. Brute-force pair
-    * frame is the eval-scale baseline — at corpus scale the IVF cell
-    * prefilter (q193) bounds the candidates per src, same as q279's
-    * mining route. */
+    * frame is the EVAL-scale exact baseline (the q288/q310 class);
+    * [[q320BitextIvf]] is the corpus-scale path — same algebra over
+    * the IVF cell-equi-join candidate frame. */
   def q317BitextMining(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
     val e = vecs(s, dir).join(lang, "vec_id")
@@ -342,6 +341,20 @@ object VectorOps {
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
+    bitextMarginPairs(pairs)
+  }
+
+  /** Reciprocal-rank + margin tail shared by q317 (brute-force pair
+    * frame) and q320 (IVF cell-prefiltered pair frame): both rank
+    * windows are PARTITIONED per side and order by the integer
+    * micro-cosine, the top-4 neighborhood mean is an exact long sum,
+    * and the margin spends ONE IEEE division — identical op order in
+    * both engines. The ranked frame persists for its three consumers
+    * (two window projections + the top-4 agg), the result is
+    * localCheckpoint'ed out, and the cache releases before return
+    * (q200 discipline — no query leaks a persisted frame). */
+  private def bitextMarginPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ws = Window.partitionBy(col("src_id"))
       .orderBy(col("cm").desc, col("tgt_id").asc)
     val wt = Window.partitionBy(col("tgt_id"))
@@ -354,11 +367,44 @@ object VectorOps {
       .groupBy(col("src_id"))
       .agg(sum(col("cm")).as("scm"), count(lit(1)).as("k4"),
         max(when(col("rs") === 1, col("cm"))).as("best"))
-    ranked.filter(col("rs") === 1 && col("rt") === 1)
+    val out = ranked.filter(col("rs") === 1 && col("rt") === 1)
       .join(top4, "src_id")
       .select(col("src_id"), col("tgt_id"), col("cos"),
         round((col("best") * col("k4") - col("scm")).cast("double") /
           (col("k4").cast("double") * lit(1000000.0)), 6).as("margin"))
+      .localCheckpoint()
+    ranked.unpersist(blocking = false)
+    out
+  }
+
+  /** Bitext mining at CORPUS scale — q317's reciprocal-margin algebra
+    * over an IVF-bounded candidate frame instead of the brute-force
+    * cross product: both sides assign to their coarse-quantizer cell
+    * ([[assignCells]] — the q193/q279 route, zero-shuffle codegen
+    * argmax) and candidate pairs are the CELL EQUI-JOIN, so the pair
+    * count is Σ_cell |en_cell|·|de_cell|, never |en|·|de|. Ranks,
+    * top-4 neighborhood, and margin then read exactly as q317 — but
+    * each src's neighborhood is its candidate set, the standard ANN
+    * relaxation (a cross-cell true best is invisible; recall is the
+    * q128-style eval's business).
+    *
+    * 100 TB posture: the cell join is a keyed shuffle on the cell id —
+    * with production k ≈ √N cells the per-cell work is corpus/k per
+    * side and nothing broadcasts or crosses. The windows partition by
+    * src/tgt inside the pair frame, the top-4 agg is |src|-bounded. */
+  def q320BitextIvf(s: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val cells = assignCells(vecs(s, dir)).join(lang, "vec_id")
+    val a = cells.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("va"), col("cell"))
+    val b = cells.filter(col("lang") === "de")
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("cell"))
+    val pairs = a.join(b, "cell")
+      .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
+      .withColumn("cm", round(col("cos") * 1e6).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
+    bitextMarginPairs(pairs)
   }
 
   /** Int8 symmetric quantization report — the vector-compression pass an
@@ -1105,7 +1151,8 @@ object VectorOps {
     "q181_label_centroid_sim" -> q181LabelCentroidSim _,
     "q69_embedding_neardup" -> q69EmbeddingNearDup _,
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _,
-    "q317_bitext_mining"   -> q317BitextMining _
+    "q317_bitext_mining"   -> q317BitextMining _,
+    "q320_bitext_ivf"      -> q320BitextIvf _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1651,6 +1698,39 @@ object VectorOps {
                  row_number() OVER (PARTITION BY tgt_id
                    ORDER BY cm DESC, src_id) AS rt
                FROM cm),
+         t4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
+                  CAST(count(*) AS BIGINT) AS k4,
+                  CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best
+                FROM r WHERE rs <= 4 GROUP BY 1)
+         SELECT r.src_id, r.tgt_id, r.cos,
+                round(CAST(best * k4 - scm AS DOUBLE)
+                      / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
+         FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q320_bitext_ivf" ->
+      s"""WITH $assignSql,
+         lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         cand AS (SELECT sa.vec_id AS src_id, sb.vec_id AS tgt_id
+                  FROM assigned sa
+                  JOIN lg la ON la.vec_id = sa.vec_id AND la.lang = 'en'
+                  JOIN assigned sb ON sb.cell = sa.cell
+                  JOIN lg lb ON lb.vec_id = sb.vec_id AND lb.lang = 'de'),
+         dots AS (SELECT cd2.src_id, cd2.tgt_id, sum(a.x * b.x) AS dot
+                  FROM cand cd2
+                  JOIN ex a ON a.vec_id = cd2.src_id
+                  JOIN ex b ON b.vec_id = cd2.tgt_id AND b.i = a.i
+                  GROUP BY 1, 2),
+         co AS (SELECT src_id, tgt_id, round(dot / (na.n * nb.n), 6) AS cos
+                FROM dots JOIN nrm na ON src_id = na.vec_id
+                          JOIN nrm nb ON tgt_id = nb.vec_id),
+         cmt AS (SELECT src_id, tgt_id, cos,
+                   CAST(round(cos * 1e6) AS BIGINT) AS cm
+                 FROM co),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cm DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cm DESC, src_id) AS rt
+               FROM cmt),
          t4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
                   CAST(count(*) AS BIGINT) AS k4,
                   CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best

@@ -1568,13 +1568,28 @@ object SparqlText {
         val TStr(s, dt) = next(): @unchecked
         // a duration-typed literal lands on the duration rung, so
         // comparisons against it order by duration VALUE (§17.4.5.7's
-        // result type); every other datatype keeps the lexical rung
+        // result type); every other datatype keeps the lexical rung.
+        // xsd:duration is the UNION supertype (XSD 1.1 §3.3.6): a static
+        // literal routes to the subtype rung its lexical actually
+        // inhabits — Y/M-only fields → yearMonth, else dayTime. A MIXED
+        // lexical (P1Y2M3DT4H) is outside both subtype grammars and
+        // lands unbound on the dayTime rung: mixed durations are not
+        // totally ordered even in XPath (op:duration-less-than exists
+        // only for the subtypes), so refusing them a value is the
+        // documented deviation rather than an invented order.
         if (dt.exists(d => d == "xsd:yearMonthDuration"
             || d.endsWith("#yearMonthDuration")))
           EFn("XSD_YEARMONTHDURATION", Seq(EStr(s)))
-        else if (dt.exists(d => d == "xsd:dayTimeDuration" || d == "xsd:duration"
-            || d.endsWith("#dayTimeDuration") || d.endsWith("#duration")))
+        else if (dt.exists(d => d == "xsd:dayTimeDuration"
+            || d.endsWith("#dayTimeDuration")))
           EFn("XSD_DAYTIMEDURATION", Seq(EStr(s)))
+        else if (dt.exists(d => d == "xsd:duration" || d.endsWith("#duration")))
+          EFn(
+            if (s.matches("[+-]?P(\\d+Y)?(\\d+M)?") &&
+                s.exists(c => c == 'Y' || c == 'M'))
+              "XSD_YEARMONTHDURATION"
+            else "XSD_DAYTIMEDURATION",
+            Seq(EStr(s)))
         else EStr(s)
       case TNum(_) =>
         val TNum(s) = next(): @unchecked

@@ -421,32 +421,54 @@ object StreamOps {
     * trigger REPLAYS with the same batchId, and a bare sum-merge
     * double-counts its batch (hll's max-merge and the reservoir's
     * dedup-merge shrug that off; sums cannot). State rows carry the
-    * writing trigger's batch_id plus one ALL-NULL sentinel row, so an
-    * empty merge still records it — one file, one atomic swap (a
-    * separate _meta sibling reopens the stale-pairing crash window the
-    * heavy-hitters sink closed). Convention: the FIRST state column is
-    * a group key that is never null in real rows — the sentinel is
-    * recognized by its null there. */
-  private def stateBatchId(st: DataFrame): Long = {
-    // loud guard, not a silent crash on a missing column: state written
+    * writing trigger's batch_id, the owning CHECKPOINT path (the run
+    * id — batch ids restart at 0 under a fresh checkpoint, so a bare
+    * batch_id compare against mis-paired state would silently discard
+    * the first colliding batch; the path compare turns that into a
+    * loud failure), and an explicit `is_sentinel` flag plus one
+    * all-null sentinel row so an empty merge still records the guard
+    * — one file, one atomic swap (a separate _meta sibling reopens
+    * the stale-pairing crash window the heavy-hitters sink closed).
+    * The flag replaced the round-15 null-first-column convention: a
+    * real row whose GROUP KEY is genuinely null (a null lang reaching
+    * histSink, a null source reaching klDriftSink) now survives the
+    * state round-trip instead of being silently dropped every
+    * trigger. */
+  private def stateBatchId(st: DataFrame, checkpoint: String): Long = {
+    // loud guards, not silent crashes on missing columns: state written
     // before the replay-guard schema cannot prove which trigger wrote it
     require(st.columns.contains("batch_id"),
       "sink state predates the batch_id replay-guard schema (data rows " +
         "+ an all-null sentinel, every row carrying batch_id); delete " +
         "the state directory to restart the stream cleanly")
-    st.select(col("batch_id")).limit(1).collect()(0).getLong(0)
+    require(st.columns.contains("is_sentinel") && st.columns.contains("ckpt"),
+      "sink state predates the explicit-sentinel guard schema (every " +
+        "row carrying is_sentinel + the owning checkpoint path); delete " +
+        "the state directory to restart the stream cleanly")
+    val r = st.select(col("batch_id"), col("ckpt")).limit(1).collect()(0)
+    require(r.getString(1) == checkpoint,
+      s"state/checkpoint mis-pairing: this state was written by a " +
+        s"stream checkpointed at '${r.getString(1)}' but the running " +
+        s"stream checkpoints at '$checkpoint' — a fresh checkpoint " +
+        "restarts batch ids at 0, so resuming would silently mis-replay; " +
+        "reuse the original checkpoint or delete the state directory")
+    r.getLong(0)
   }
   private def stripGuard(st: DataFrame): DataFrame =
-    st.filter(col(st.columns.head).isNotNull).drop("batch_id")
-  private def withGuard(data: DataFrame, batchId: Long): DataFrame = {
+    st.filter(!col("is_sentinel")).drop("batch_id", "is_sentinel", "ckpt")
+  private def withGuard(data: DataFrame, batchId: Long,
+                        checkpoint: String): DataFrame = {
     val spark = data.sparkSession
     val tagged = data.withColumn("batch_id", lit(batchId))
+      .withColumn("is_sentinel", lit(false))
+      .withColumn("ckpt", lit(checkpoint))
     val schema = org.apache.spark.sql.types.StructType(
       tagged.schema.map(_.copy(nullable = true)))
     val sentinel = spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row.fromSeq(
-          data.schema.map(_ => null) :+ Long.box(batchId))),
+          data.schema.map(_ => null) :+ Long.box(batchId) :+
+            Boolean.box(true) :+ checkpoint)),
       schema)
     tagged.unionByName(sentinel)
   }
@@ -522,7 +544,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
         val merged =
-          if (stateOpt.exists(stateBatchId(_) == batchId))
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
             // crash-replayed trigger: counts already folded into the
             // atomically-swapped state — regenerate the report only
             stripGuard(stateOpt.get).localCheckpoint()
@@ -536,7 +558,7 @@ object StreamOps {
               .getOrElse(partial)
               // cut lineage from the path about to be replaced
               .localCheckpoint()
-            atomicOverwrite(withGuard(m, batchId), statePath)
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
             m
           }
         graft.operators.TextOps.klFromCounts(
@@ -599,7 +621,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
-        if (!stateOpt.exists(stateBatchId(_) == batchId)) {
+        if (!stateOpt.exists(stateBatchId(_, checkpoint) == batchId)) {
           val counters = graft.operators.TextOps.cmsCounters(
             graft.operators.TextOps.cmsTf(batch.toDF().select(col("text"))))
           val merged = stateOpt
@@ -608,7 +630,7 @@ object StreamOps {
               .agg(org.apache.spark.sql.functions.sum(col("counter")).as("counter")))
             .getOrElse(counters)
             .localCheckpoint()
-          atomicOverwrite(withGuard(merged, batchId), statePath)
+          atomicOverwrite(withGuard(merged, batchId, checkpoint), statePath)
         } // else: crash-replayed trigger, already folded in — no-op
       }
       .start()
@@ -629,7 +651,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
         val merged =
-          if (stateOpt.exists(stateBatchId(_) == batchId))
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
             stripGuard(stateOpt.get).localCheckpoint()
           else {
             val hist = graft.operators.TextOps.histCounts(batch.toDF())
@@ -638,7 +660,7 @@ object StreamOps {
                 .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
               .getOrElse(hist)
               .localCheckpoint()
-            atomicOverwrite(withGuard(m, batchId), statePath)
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
             m
           }
         graft.operators.TextOps.histQuantiles(merged)
@@ -665,7 +687,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
         val merged =
-          if (stateOpt.exists(stateBatchId(_) == batchId))
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
             stripGuard(stateOpt.get).localCheckpoint()
           else {
             val daily = graft.operators.Events.decayDailyCounts(batch.toDF())
@@ -674,7 +696,7 @@ object StreamOps {
                 .agg(org.apache.spark.sql.functions.sum(col("n")).as("n")))
               .getOrElse(daily)
               .localCheckpoint()
-            atomicOverwrite(withGuard(m, batchId), statePath)
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
             m
           }
         graft.operators.Events.decayedFromDaily(merged)
@@ -701,7 +723,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
         val merged =
-          if (stateOpt.exists(stateBatchId(_) == batchId))
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
             stripGuard(stateOpt.get).localCheckpoint()
           else {
             val partial = graft.operators.Events.dailyCounts(batch.toDF())
@@ -710,7 +732,7 @@ object StreamOps {
                 .agg(org.apache.spark.sql.functions.sum(col("x")).as("x")))
               .getOrElse(partial)
               .localCheckpoint()
-            atomicOverwrite(withGuard(m, batchId), statePath)
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
             m
           }
         graft.operators.Events.rollingAnomaly(merged)
@@ -742,14 +764,16 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        // n / err / batch_id ride IN the state parquet (repeated per row,
-        // plus a null-term sentinel row so an empty counter set still
+        // n / err / batch_id / ckpt ride IN the state parquet (repeated
+        // per row, plus an is_sentinel row so an empty counter set still
         // carries them): one file, one atomic swap. Two separate swaps
         // (state, then a _meta sibling) left a crash window where new
         // counters paired with stale meta and the replayed batch's
         // sum-merge double-counted — the one sink whose merge is not
         // idempotent by algebra, so idempotence comes from the recorded
-        // batch_id instead.
+        // batch_id (scoped by the owning checkpoint path, the shared
+        // stateBatchId convention: a fresh checkpoint restarts ids at 0
+        // and must not pair with old state silently).
         def report(counters: DataFrame, n: Long, err: Long): Unit =
           counters
             .withColumn("guaranteed", col("c") > lit(n.toDouble / k))
@@ -758,18 +782,23 @@ object StreamOps {
         val stateOpt = readState(spark, statePath)
         val (prevN, prevErr, prevBatch) = stateOpt.map { st =>
           // loud guard, not a silent crash on a missing column: state
-          // written before the single-file schema (term,c + a _meta
-          // sibling) cannot be resumed — the meta it needs may be stale
-          require(st.columns.contains("batch_id"),
+          // written before the current schema cannot be resumed — the
+          // meta it needs may be stale or mis-paired
+          require(st.columns.contains("batch_id") &&
+              st.columns.contains("is_sentinel") && st.columns.contains("ckpt"),
             s"heavy-hitters state at $statePath predates the single-file " +
-              "schema (term,c,n,err,batch_id); delete it (and any _meta " +
-              "sibling) to restart the stream cleanly")
-          val m = st.select(col("n"), col("err"), col("batch_id"))
+              "schema (term,c,n,err,batch_id,is_sentinel,ckpt); delete it " +
+              "(and any _meta sibling) to restart the stream cleanly")
+          val m = st.select(col("n"), col("err"), col("batch_id"), col("ckpt"))
             .limit(1).collect()(0)
+          require(m.getString(3) == checkpoint,
+            s"state/checkpoint mis-pairing: heavy-hitters state at " +
+              s"$statePath belongs to checkpoint '${m.getString(3)}', not " +
+              s"'$checkpoint'; reuse the original checkpoint or delete the state")
           (m.getLong(0), m.getLong(1), m.getLong(2))
         }.getOrElse((0L, 0L, -1L))
         def counters(st: DataFrame): DataFrame =
-          st.filter(col("term").isNotNull).select(col("term"), col("c"))
+          st.filter(!col("is_sentinel")).select(col("term"), col("c"))
         if (prevBatch == batchId) {
           // crash-replayed trigger: its counts are already folded into
           // the (atomically swapped) state — regenerate the report only
@@ -790,11 +819,13 @@ object StreamOps {
           val trimmed = summed.select(col("term"), (col("c") - t).as("c"))
             .filter(col("c") > 0)
             .localCheckpoint()
-          val sentinel = Seq((null: String, 0L, n, err, batchId))
-            .toDF("term", "c", "n", "err", "batch_id")
+          val sentinel = Seq((null: String, 0L, n, err, batchId, true, checkpoint))
+            .toDF("term", "c", "n", "err", "batch_id", "is_sentinel", "ckpt")
           atomicOverwrite(trimmed
             .withColumn("n", lit(n)).withColumn("err", lit(err))
             .withColumn("batch_id", lit(batchId))
+            .withColumn("is_sentinel", lit(false))
+            .withColumn("ckpt", lit(checkpoint))
             .unionByName(sentinel), statePath)
           report(trimmed, n, err)
         }
@@ -820,7 +851,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val stateOpt = readState(spark, statePath)
         val merged =
-          if (stateOpt.exists(stateBatchId(_) == batchId))
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
             stripGuard(stateOpt.get).localCheckpoint()
           else {
             val partial = graft.operators.Events.passCounts(batch.toDF())
@@ -830,7 +861,7 @@ object StreamOps {
                   org.apache.spark.sql.functions.sum(col("c")).as("c")))
               .getOrElse(partial)
               .localCheckpoint()
-            atomicOverwrite(withGuard(m, batchId), statePath)
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
             m
           }
         graft.operators.Events.passAtKReport(merged)
@@ -859,12 +890,9 @@ object StreamOps {
         val spark = batch.sparkSession
         import spark.implicits._
         val stateOpt = readState(spark, statePath)
-        val prevBatch = stateOpt.map(
-          _.select(col("batch_id")).limit(1).collect()(0).getLong(0))
-          .getOrElse(-1L)
+        val prevBatch = stateOpt.map(stateBatchId(_, checkpoint)).getOrElse(-1L)
         def pairsOf(st: DataFrame): DataFrame =
-          st.filter(col("i").isNotNull)
-            .select(col("i"), col("j"), col("nij"), col("wi"))
+          stripGuard(st).select(col("i"), col("j"), col("nij"), col("wi"))
         def report(pairs: DataFrame): Unit =
           graft.operators.TextOps.bradleyTerryFit(pairs)
             .write.mode("overwrite").parquet(reportPath)
@@ -886,11 +914,7 @@ object StreamOps {
             .groupBy(col("i"), col("j"))
             .agg(sum(col("nij")).as("nij"), sum(col("wi")).as("wi"))
             .localCheckpoint() // also cuts lineage from the state file
-          val sentinel = Seq((null: String, null: String, 0L, 0L, batchId))
-            .toDF("i", "j", "nij", "wi", "batch_id")
-          atomicOverwrite(
-            merged.withColumn("batch_id", lit(batchId))
-              .unionByName(sentinel), statePath)
+          atomicOverwrite(withGuard(merged, batchId, checkpoint), statePath)
           report(merged)
         }
         ()

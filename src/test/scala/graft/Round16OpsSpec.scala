@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 coverage: the IVF-bounded bitext path (q320), the REAL
+  * javax.imageio encode→decode round-trip under the oracle gate (q321),
+  * the Fleiss-kappa degenerate-corpus guard, and the corrupt-image-body
+  * decode contract. Every test EXECUTES a plan (the round-13 lesson). */
+class Round16OpsSpec extends SparkSpec {
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q320: IVF-bounded bitext pairs are reciprocal within the cell-" +
+      "candidate frame and match an exact in-memory recompute of the " +
+      "cell-restricted margin algebra") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.VectorOps.q320BitextIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty, "fixture should mine some pairs")
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.map(_._2).distinct.length === out.length)
+    // in-memory reference: cells by argmax r6-cosine against the first-8
+    // centroids (smallest cent_id wins ties — the assignCells order),
+    // candidates = same-cell pairs, then the q317 rank/margin algebra
+    // restricted to each src's candidate set
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cosR6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val cents = emb.filter(_._1 < 8).toSeq.sortBy(_._1)
+    def cell(v: Array[Double]): Long =
+      cents.map { case (id, cv) => (id, cosR6(v, cv)) }
+        .minBy { case (id, c) => (-c, id) }._1
+    val cells = emb.map { case (id, v) => id -> cell(v) }
+    def side(l: String) = emb.keys.filter(id =>
+      lang.get(id).contains(l)).toSeq.sorted
+    val (en, de) = (side("en"), side("de"))
+    def cm(a: Long, b: Long): Long = math.round(cosR6(emb(a), emb(b)) * 1e6)
+    // every emitted pair shares a cell — the candidate bound is real
+    out.foreach { case (s, t, _, _) =>
+      assert(cells(s) === cells(t), s"pair ($s,$t) crosses cells")
+    }
+    val expected = (for {
+      s <- en
+      cand = de.filter(t => cells(t) == cells(s))
+      if cand.nonEmpty
+      t = cand.minBy(t0 => (-cm(s, t0), t0))
+      // reciprocal: s must be t's best among t's same-cell en candidates
+      if en.filter(s0 => cells(s0) == cells(t))
+        .minBy(s0 => (-cm(s0, t), s0)) == s
+    } yield {
+      val top = cand.map(x => cm(s, x)).sorted(Ordering[Long].reverse).take(4)
+      val margin = r6((top.head * top.length - top.sum).toDouble /
+        (top.length.toDouble * 1e6))
+      (s, t, cm(s, t) / 1e6, margin)
+    }).toSet
+    val got = out.map { case (s, t, c, m) =>
+      (s, t, math.round(c * 1e6) / 1e6, m)
+    }.toSet
+    assert(got === expected, s"ivf bitext drifted:\n got=$got\n want=$expected")
+    // and the candidate bound actually bit: fewer or equal pairs than the
+    // brute-force exact baseline would ever admit per side
+    assert(out.length <= math.min(en.length, de.length))
+  }
+
+  test("q321: the real javax.imageio PNG encode->decode round-trip " +
+      "reproduces the md5-derived pixel aHash for every media row") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.ComposeOps.q321ImageioAhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val ids = Tables.events(spark, dir)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(out.length === ids.length, "one hash per media row")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectedHash(id: Long): String = {
+      val pix = (0 until 64).map { i =>
+        md.reset()
+        md.digest(s"$id:$i".getBytes("UTF-8"))(0) & 0xff
+      }
+      val total = pix.map(_.toLong).sum
+      pix.map(p => if (p.toLong * 64L > total) '1' else '0').mkString
+    }
+    out.foreach { case (id, kind, ahash) =>
+      assert(kind === "png")
+      assert(ahash != null, s"decode returned null for $id — imageio failed")
+      assert(ahash === expectedHash(id),
+        s"decoded grid drifted from the md5 pixels at media $id")
+    }
+  }
+
+  test("decodeImage8x8 returns None (and extractImageAHash a null row) " +
+      "for a payload with a valid PNG header but corrupt body — a decode " +
+      "exception must not kill the task") {
+    import graft.multimodal.Multimodal
+    // a real PNG, then truncate: ImageIO matches the PNG reader on the
+    // magic header and THROWS from the body parse (the case ADVICE r15
+    // flagged: ImageIO.read only returns null when NO reader matches)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val whole = bos.toByteArray
+    val truncated = whole.take(24)
+    assert(Multimodal.decodeImage8x8(truncated).isEmpty,
+      "corrupt body must yield None, not throw")
+    assert(Multimodal.decodeImage8x8("notanimage".getBytes).isEmpty)
+    assert(Multimodal.decodeImage8x8(whole).nonEmpty, "the intact PNG decodes")
+    // and through the task seam: the row survives with a null feature
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", truncated),
+      Multimodal.MediaRow(2L, "png", whole)).toDS()
+    val rows = Multimodal.extractImageAHash(media).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows(1L) === None, "corrupt image keeps its row, null ahash")
+    assert(rows(2L).exists(_.length == 64))
+  }
+
+  test("xsd:duration (the union supertype) routes static literals to the " +
+      "subtype rung their lexical inhabits: dayTime-shaped values BIND/" +
+      "compare/aggregate like dayTimeDuration, Y/M-shaped like " +
+      "yearMonthDuration, and a MIXED lexical is unbound (documented " +
+      "deviation: mixed durations have no total order even in XPath)") {
+    import graft.plans.SparqlText
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq(("s", "p", "o")).toDF("s", "p", "o")
+    val lbl = Seq(("e", "en", "l")).toDF("entity", "lang", "label")
+    // dayTime-shaped: value algebra + comparison, identical to the subtype
+    val dt = SparqlText.run(
+      """SELECT ("P1DT2H"^^xsd:duration + "PT1H"^^xsd:duration AS ?add)
+        |       (IF("P2D"^^xsd:duration > "P1DT23H"^^xsd:duration,
+        |           "gt", "le") AS ?cmp)
+        |WHERE { ?s ?p ?o }""".stripMargin, one, lbl).collect().head
+    assert(dt.getString(0) === "P1DT3H")
+    assert(dt.getString(1) === "gt")
+    // yearMonth-shaped: lands on the month carrier, not seconds
+    val ym = SparqlText.run(
+      """SELECT ("P1Y"^^xsd:duration + "P2M"^^xsd:duration AS ?add)
+        |       (IF("P1Y"^^xsd:duration > "P11M"^^xsd:duration,
+        |           "gt", "le") AS ?cmp)
+        |WHERE { ?s ?p ?o }""".stripMargin, one, lbl).collect().head
+    assert(ym.getString(0) === "P1Y2M")
+    assert(ym.getString(1) === "gt")
+    // aggregates: a BIND'd xsd:duration flows through SUM/MIN like its
+    // subtype (three rows, one duration each)
+    val three = Seq(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3"))
+      .toDF("s", "p", "o")
+    val agg = SparqlText.run(
+      """SELECT (SUM(?d) AS ?tot) (MIN(?d) AS ?lo) WHERE {
+        |  ?s ?p ?o .
+        |  BIND(IF(?o = "1", "PT1H"^^xsd:duration,
+        |        IF(?o = "2", "PT2H"^^xsd:duration,
+        |                   "PT3H"^^xsd:duration)) AS ?d)
+        |}""".stripMargin, three, lbl).collect().head
+    assert(agg.getString(0) === "PT6H")
+    assert(agg.getString(1) === "PT1H")
+    // mixed lexical: outside both subtype grammars -> unbound, loudly
+    // nothing (never a fabricated value or a crash)
+    val mixed = SparqlText.run(
+      """SELECT ("P1Y2M3DT4H"^^xsd:duration AS ?v)
+        |       (BOUND(?u) AS ?b)
+        |WHERE { ?s ?p ?o . BIND("P1Y1D"^^xsd:duration AS ?u) }"""
+        .stripMargin, one, lbl).collect().head
+    assert(Option(mixed.getString(0)) === None, "mixed lexical is unbound")
+    assert(mixed.getBoolean(1) === false, "BIND of a mixed lexical is unbound")
+  }
+
+  test("q315 emits NULL kappa (both engines' guard) on a degenerate " +
+      "corpus where every rating lands in one category (pe = 1)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fleissdeg").toFile
+    try {
+      // 8 docs, all n_chars < 150 -> every item all-cat-0 -> pe = 1
+      (0L until 8L).map(i => (i, s"t $i", "en", "src", 10L + i))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+      val row = operators.TextOps.q315FleissKappa(
+        spark, dir.getAbsolutePath).collect().head
+      assert(row.getLong(0) === 2L, "two full items")
+      assert(row.getDouble(6) === 1.0, "pe must be exactly 1")
+      assert(row.isNullAt(7),
+        "kappa must be NULL when 1 - pe = 0, not NaN")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+}

@@ -391,7 +391,7 @@ class StreamOpsSpec extends SparkSpec {
       // regenerates from state alone (guard columns stripped — the
       // all-null sentinel row and batch_id are replay bookkeeping)
       val state = spark.read.parquet(statePath)
-        .filter(col("source").isNotNull).drop("batch_id")
+        .filter(!col("is_sentinel")).drop("batch_id", "is_sentinel", "ckpt")
       val regen = graft.operators.TextOps.klFromCounts(
           state.select(col("source")).distinct(), state)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -663,7 +663,7 @@ class StreamOpsSpec extends SparkSpec {
       input.addData(b3.toSeq); query.processAllAvailable()
       query.stop()
       val counters = spark.read.parquet(statePath)
-        .filter(col("row").isNotNull).drop("batch_id")
+        .filter(!col("is_sentinel")).drop("batch_id", "is_sentinel", "ckpt")
       val tf = graft.operators.TextOps.cmsTf(
         graft.Tables.documents(spark, sfDir).select(col("text")))
       val probed = graft.operators.TextOps.cmsProbe(counters,

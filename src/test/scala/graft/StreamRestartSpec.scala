@@ -202,6 +202,228 @@ class StreamRestartSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  /** Shared crash-replay harness for the guarded sum-merge sinks (round
+    * 16: one kill-and-resume spec per stateful sink, not just the four
+    * that shared code transitively) — writes batch 1, stops, drops the
+    * commit marker (crash between state swap and checkpoint commit),
+    * appends batch 2, resumes the SAME checkpoint. Returns after the
+    * resumed query drains both the replayed and the new trigger. */
+  private def crashResume[A](dir: java.io.File, schema: StructType,
+      b1: Seq[A], b2: Seq[A], toDf: Seq[A] => DataFrame)(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+    toDf(b1).write.mode("append").parquet(srcDir)
+    val q1 = start(src(), ckpt)
+    q1.processAllAvailable(); q1.stop()
+    dropLastCommit(ckpt)
+    toDf(b2).write.mode("append").parquet(srcDir)
+    val q2 = start(src(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+  }
+
+  test("cmsSink survives kill-and-resume with a crash-replayed trigger: " +
+      "probing the merged counters still reproduces batch q268 exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("cmsrestart").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("text").as[String].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      crashResume(dir, StructType(Seq(StructField("text", StringType))),
+        b1.toSeq, b2.toSeq, (s: Seq[String]) => s.toDF("text")) {
+        (src, ckpt) => StreamOps.cmsSink(src, statePath)(ckpt)
+      }
+      val counters = spark.read.parquet(statePath)
+        .filter(!col("is_sentinel"))
+        .drop("batch_id", "is_sentinel", "ckpt")
+      val tf = graft.operators.TextOps.cmsTf(
+        graft.Tables.documents(spark, sfDir).select(col("text")))
+      val probed = graft.operators.TextOps.cmsProbe(counters,
+          tf.orderBy(col("cf").desc, col("sh")).limit(10))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.operators.TextOps.q268CountMinSketch(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(batch.nonEmpty && probed == batch,
+        s"CMS counters double-counted under replay:\n probed=$probed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("klDriftSink survives kill-and-resume with a crash-replayed " +
+      "trigger: the KL report equals batch q194 over the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("klrestart").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "text")
+        .as[(Long, String, String)].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      crashResume(dir, schema, b1.toSeq, b2.toSeq,
+        (s: Seq[(Long, String, String)]) => s.toDF("doc_id", "source", "text")) {
+        (src, ckpt) => StreamOps.klDriftSink(src, statePath, reportPath)(ckpt)
+      }
+      val streamed = spark.read.parquet(reportPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.operators.TextOps.q194SourceKlDrift(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"KL grid drifted under replay:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("histSink survives kill-and-resume with a crash-replayed trigger: " +
+      "the quantile report equals batch q274 over the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("histrestart").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.documents(spark, sfDir)
+        .select("lang", "n_chars").as[(String, Long)].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      val schema = StructType(Seq(StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      crashResume(dir, schema, b1.toSeq, b2.toSeq,
+        (s: Seq[(String, Long)]) => s.toDF("lang", "n_chars")) {
+        (src, ckpt) => StreamOps.histSink(src, statePath, reportPath)(ckpt)
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.read.parquet(reportPath)
+        .select("lang", "n_docs", "hist_p50", "hist_p90")
+        .collect().map(key).toSet
+      val batch = graft.operators.TextOps.q274HistogramQuantiles(spark, sfDir)
+        .select("lang", "n_docs", "hist_p50", "hist_p90")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"histogram drifted under replay:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("anomalySink survives kill-and-resume with a crash-replayed " +
+      "trigger: the report equals batch q257 over the same events") {
+    val dir = java.nio.file.Files.createTempDirectory("anomrestart").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+        .as[(String, Timestamp)].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      crashResume(dir, schema, b1.toSeq, b2.toSeq,
+        (s: Seq[(String, Timestamp)]) => s.toDF("event_type", "ts")) {
+        (src, ckpt) => StreamOps.anomalySink(src, statePath, reportPath)(ckpt)
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))
+      val streamed = spark.read.parquet(reportPath).collect().map(key).toSet
+      val batch = graft.operators.Events.q257RollingAnomaly(spark, sfDir)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"anomaly report drifted under replay:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("passAtKSink survives kill-and-resume with a crash-replayed " +
+      "trigger: the pass@k report equals batch q314 over the same attempts") {
+    val dir = java.nio.file.Files.createTempDirectory("passkrestart").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val fixture = graft.Tables.events(spark, sfDir)
+        .select("event_id").as[Long].collect()
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      crashResume(dir, StructType(Seq(StructField("event_id", LongType))),
+        b1.toSeq, b2.toSeq, (s: Seq[Long]) => s.toDF("event_id")) {
+        (src, ckpt) => StreamOps.passAtKSink(src, statePath, reportPath)(ckpt)
+      }
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val streamed = spark.read.parquet(reportPath).collect().map(key).toSet
+      val batch = graft.operators.Events.q314PassAtK(spark, sfDir)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"pass@k drifted under replay:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("a real state row with a NULL group key survives the guard " +
+      "round-trip (round 16: explicit is_sentinel replaced the null-" +
+      "first-column convention, which silently dropped such rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("nullkey").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      // two triggers, each carrying null-lang rows: under the old
+      // convention trigger 2's stripGuard dropped trigger 1's null-lang
+      // counts from state — a permanent, silent undercount
+      val schema = StructType(Seq(StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      Seq((null: String, 10L), ("en", 20L), (null: String, 30L))
+        .toDF("lang", "n_chars").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.histSink(src(), statePath, reportPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      Seq((null: String, 40L), ("en", 50L))
+        .toDF("lang", "n_chars").write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.histSink(src(), statePath, reportPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      val nullLangDocs = spark.read.parquet(statePath)
+        .filter(!col("is_sentinel") && col("lang").isNull)
+        .agg(sum(col("c"))).collect()(0).getLong(0)
+      assert(nullLangDocs === 3L,
+        s"null-lang rows lost in the state round-trip: kept $nullLangDocs of 3")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("pairing existing state with a FRESH checkpoint fails LOUDLY " +
+      "(batch ids restart at 0 — a bare batch_id compare would silently " +
+      "discard the first colliding batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("mispair").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val ckptA = new java.io.File(dir, "ckptA").getAbsolutePath
+    val ckptB = new java.io.File(dir, "ckptB").getAbsolutePath
+    try {
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      Seq(("click", Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.anomalySink(src(), statePath, reportPath)(ckptA)
+      q1.processAllAvailable(); q1.stop()
+      // same state, FRESH checkpoint: its batch 0 collides with the
+      // state's recorded batch_id 0 — must fail loudly, not skip the batch
+      val q2 = StreamOps.anomalySink(src(), statePath, reportPath)(ckptB)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("mis-pairing"),
+        s"mis-pairing guard message missing: ${e.getMessage}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("a pre-guard state (no batch_id) fails LOUDLY on resume, not " +
       "silently: the stale-schema guard names the fix") {
     val dir = java.nio.file.Files.createTempDirectory("staleguard").toFile

@@ -7,11 +7,14 @@
 # driver's sf0.1 board and the gate's sf0.01 board each have their own
 # regression baseline (round-14 verdict: one shared latest-file SKIPped
 # on SF mismatch and left the sf0.1 slow tail unguarded). When the
-# shared-green total moved >15%, rebuild the prior reference's commit in
-# a scratch git worktree, re-time the top-5 slowest queries THERE and
-# HERE back-to-back (same box, same minutes), and append the A/B table
-# to docs/SCALING.md — the round-12 manual worktree procedure,
-# automated so a drifting close can never ship without its defense.
+# shared-green total moved >15%, OR any individual shared-green query
+# moved >30% AND >1 s (round-16: single-query regressions hid inside a
+# faster board total), rebuild the prior reference's commit in a
+# scratch git worktree, re-time the flagged queries THERE and HERE
+# back-to-back (same box, same minutes), and append the A/B table to
+# docs/SCALING.md — the round-12 manual worktree procedure, automated
+# so a drifting close can never ship without its defense. A contended
+# A/B pass (Bench's probe sentinel) is discarded, not reported.
 #
 # Exit 0 always unless the comparison itself is impossible: drift is a
 # diagnostic, not a gate failure — the TABLE is the deliverable.
@@ -72,20 +75,33 @@ nt = sum(new["queries"][q] for q in green)
 pt = sum(prev["queries"][q] for q in green)
 drift = abs(nt - pt) / max(pt, 1e-9)
 fixed = f" (newly-fixed: {','.join(newly_ok)})" if newly_ok else ""
+# PER-QUERY guard (round-16 verdict task 1): a single query regressing
+# hard can hide inside a green — even FASTER — board total (round 15:
+# q200 +27% and q212 +32% inside an 8%-faster board). Flag any
+# shared-green query that moved >30% AND >1 s absolute; the A/B runs on
+# the flagged set even when the total needs no defense.
+movers = sorted(q for q in green
+                if new["queries"][q] > prev["queries"][q] * 1.30
+                and new["queries"][q] - prev["queries"][q] > 1.0)
 # The scratch-worktree A/B defends against REGRESSIONS; a faster board
 # needs no defense, however large the move (round-15 gate burned ~10
-# bench-minutes re-proving a 20% improvement) — report it and move on.
-if nt <= pt:
+# bench-minutes re-proving a 20% improvement) — report it and move on
+# (unless an individual query drifted — the per-query guard overrides).
+if nt <= pt and not movers:
     print(f"OK {drift:.3f}-faster ({pt:.1f}s -> {nt:.1f}s over "
           f"{len(green)} shared-green){fixed}")
     raise SystemExit
-if drift <= 0.15:
+if drift <= 0.15 and not movers:
     print(f"OK {drift:.3f} ({pt:.1f}s -> {nt:.1f}s over {len(green)} "
           f"shared-green){fixed}")
     raise SystemExit
-top5 = sorted(((q, new["queries"][q]) for q in green),
-              key=lambda kv: -kv[1])[:5]
-print("DRIFT", f"{drift:.3f}", ",".join(k for k, _ in top5))
+if drift > 0.15 and nt > pt:
+    top5 = [k for k, _ in sorted(((q, new["queries"][q]) for q in green),
+                                 key=lambda kv: -kv[1])[:5]]
+    flagged = sorted(set(top5) | set(movers))
+    print("DRIFT", f"{drift:.3f}", ",".join(flagged), "total")
+else:
+    print("DRIFT", f"{drift:.3f}", ",".join(movers), "per-query")
 EOF
 )
 case "$VERDICT" in
@@ -99,8 +115,9 @@ case "$VERDICT" in
 esac
 PCT=$(echo "$VERDICT" | awk '{print $2}')
 QUERIES=$(echo "$VERDICT" | awk '{print $3}' | tr ',' ' ')
+REASON=$(echo "$VERDICT" | awk '{print $4}')
 SF=$(python3 -c "import json;print(json.load(open('$NEW'))['sf'])")
-echo "drift: total moved ${PCT} — A/B on: $QUERIES (sf=$SF, base=$PREV_COMMIT)"
+echo "drift: $REASON drift (total ${PCT}) — A/B on: $QUERIES (sf=$SF, base=$PREV_COMMIT)"
 
 WT=$(mktemp -d /tmp/graft-ab.XXXXXX)
 rmdir "$WT"
@@ -118,18 +135,39 @@ env SPARK_GRAFT_SF_DIR="$SF" \
     sbt -batch "runMain graft.Bench $QUERIES" >/dev/null 2>&1 || {
   echo "drift: current-HEAD bench failed — skipping A/B" >&2; exit 0; }
 
-python3 - "$PREV_COMMIT" "$PCT" <<'EOF' >> docs/SCALING.md
+# Bench records its contention sentinel (probe_sec/contended) in every
+# output, A/B runs included — a contended A/B pass is box noise wearing
+# a regression costume, so DISCARD it loudly instead of appending a
+# misleading table (round-15 advice item 8).
+AB_OK=$(python3 -c "
+import json
+p = json.load(open('/tmp/graft_ab_prev.json'))
+n = json.load(open('/tmp/graft_ab_new.json'))
+print('no' if p.get('contended') or n.get('contended') else 'yes')")
+if [ "$AB_OK" != yes ]; then
+  echo "drift: A/B DISCARDED — a pass was contended (probe series kept" \
+       "in /tmp/graft_ab_{prev,new}.json); re-run on an idle box"
+  exit 0
+fi
+
+python3 - "$PREV_COMMIT" "$PCT" "$REASON" <<'EOF' >> docs/SCALING.md
 import json, subprocess, sys
 prev = json.load(open("/tmp/graft_ab_prev.json"))
 new = json.load(open("/tmp/graft_ab_new.json"))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip()
+def med(js):
+    s = sorted(js.get("probe_sec", []) or [0.0])
+    return s[len(s) // 2]
 print(f"\n## Bench-drift A/B (auto, gate): {sys.argv[1][:8]} -> {head}")
-print(f"\nShared-green total drifted {float(sys.argv[2])*100:.0f}% vs the "
-      f"last committed bench at the same SF ({new['sf']}); top-5 slowest "
-      "re-timed back-to-back in a scratch worktree of the prior HEAD vs "
-      "the current tree (min of the same pass policy, same box, "
-      f"contended: prior={prev['contended']} current={new['contended']}).")
+scope = ("top-5 slowest" if sys.argv[3] == "total"
+         else "individually-flagged (>30% and >1s) queries")
+print(f"\n{sys.argv[3]} drift {float(sys.argv[2])*100:.0f}% vs the last "
+      f"committed bench at the same SF ({new['sf']}); {scope} re-timed "
+      "back-to-back in a scratch worktree of the prior HEAD vs the "
+      "current tree (min of the same pass policy, same box; both passes "
+      f"uncontended, probe medians prior={med(prev):.2f}s "
+      f"current={med(new):.2f}s).")
 print("\n| query | prior HEAD (s) | current (s) |")
 print("|---|---|---|")
 for q in sorted(new["queries"]):
