@@ -569,6 +569,129 @@ object TextOps {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Word-bigram expression shared by the diversity audit (q322):
+    * adjacent token pairs, empty below 2 tokens. */
+  private val bigrams =
+    "IF(size(toks) >= 2, transform(sequence(0, size(toks)-2), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1])), " +
+      "CAST(array() AS ARRAY<STRING>))"
+
+  /** N-gram diversity audit — the synthetic-data MODE-COLLAPSE detector
+    * (self-BLEU's cheap dual): a source whose generator loops emits few
+    * DISTINCT bigrams relative to its token mass and a low-entropy
+    * bigram distribution, long before near-dup fires (the documents
+    * differ; their phrase inventory doesn't). Per source: total and
+    * distinct bigram counts, distinct ratio, and the Shannon entropy of
+    * the bigram distribution. Entropy rides the micro-integer
+    * convention: Σ c·(ln N − ln c) quantizes PER GRAM to a long
+    * (round(c·(lnN−lnc)·10⁶)), so the cross-gram sum is exact long
+    * addition — aggregation-order-proof — and ONE final division lands
+    * the nats. Scale shape: one scan + a (source, gram)-keyed partial
+    * agg (vocab-bounded state) + a |sources|-bounded rollup. */
+  def q322NgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val gc = docs(s, dir)
+      .select(col("source"), explode(expr(bigrams)).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = gc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n2"), count(lit(1)).as("d2"))
+    gc.join(broadcast(tot), "source")
+      .withColumn("term", round(
+        (log(col("n2").cast("double")) - log(col("c").cast("double"))) *
+          col("c").cast("double") * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n2")).as("n_bigrams"), max(col("d2")).as("d_bigrams"),
+        sum(col("term")).as("tm"))
+      .select(col("source"), col("n_bigrams"), col("d_bigrams"),
+        round(col("d_bigrams") / col("n_bigrams"), 6).as("distinct_ratio"),
+        round(col("tm").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6), 6).as("entropy_nats"))
+  }
+
+  /** Effective token yield after exact dedup — the budget truth a
+    * mixture solver needs BEFORE allocating: raw per-source token counts
+    * overstate what training sees once the dedup pass collapses copies,
+    * and the overstatement is wildly source-skewed (a crawl source full
+    * of mirrors yields 40% of its raw mass; a curated source 99%). Keys
+    * are q33's content key (md5 of the first 8 tokens), keeps are the
+    * min-doc_id representative GLOBALLY (cross-source copies collapse to
+    * ONE survivor, attributed to the survivor's source — the same
+    * decision q33 ships). Two keyed shuffles, both partial-aggregable;
+    * never corpus². */
+  def q323EffectiveYield(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dup_key"))
+    val keep = d.groupBy(col("dup_key")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, "dup_key")
+      .withColumn("kept", (col("doc_id") === col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("kept")).as("kept_docs"),
+        sum(col("kept") * col("n_tok")).as("kept_tokens"))
+      .withColumn("token_yield",
+        round(col("kept_tokens") / col("n_tokens"), 6))
+  }
+
+  /** One DoReMi-style mixture-reweight step (Xie et al. 2023 shape —
+    * design note, not code): domains = sources, each domain's excess-
+    * loss proxy is its mean quality DEFICIT (1 − mean q40 quality, read
+    * from the exact 10⁴ integer carrier so the mean is one IEEE division
+    * of exact longs), and the exponentiated-gradient update reweights a
+    * uniform baseline: w'_i ∝ exp(loss_i), normalized. Every exp term
+    * quantizes to a micro-long before the normalizing sum (order-proof),
+    * and each output weight spends one final division. |domains|-bounded
+    * everything after one corpus scan with map-side combine. */
+  def q324DoremiStep(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(col("toks")).cast("long")
+    val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))")
+      .cast("long")
+    val w4 = round(
+      round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4)
+        * 1e4).cast("long")
+    val dom = docs(s, dir).select(col("source"), w4.as("w4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w4")).as("sw4"))
+      .withColumn("loss", round(lit(1.0) -
+        col("sw4").cast("double") / (col("n_docs").cast("double") * 1e4), 6))
+      .withColumn("em", round(exp(col("loss")) * 1e6).cast("long"))
+    val z = dom.agg(sum(col("em")).as("z"))
+    dom.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("loss"),
+        round(col("em").cast("double") / col("z").cast("double"), 6)
+          .as("weight"))
+  }
+
+  /** Top-k vocabulary coverage — the tokenizer/vocab-budget audit ("how
+    * many types cover 90% / 99% of the token mass?"): per source, rank
+    * types by count (token tiebreak), cumulative mass along the rank,
+    * and report the smallest rank reaching each coverage bar — decided
+    * INTEGER-exactly (cum·10 ≥ 9·total), never via a float share. The
+    * rank window's input is the (source, token) COUNT AGGREGATE —
+    * vocab-bounded state, the audit-exempt window class — and the
+    * final rollup is |sources| rows. */
+  def q325VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs(s, dir)
+      .select(col("source"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("token").asc)
+    val tot = tc.groupBy(col("source"))
+      .agg(sum(col("c")).as("nt"), count(lit(1)).as("vocab"))
+    tc.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "source")
+      .groupBy(col("source"))
+      .agg(max(col("vocab")).as("vocab_size"),
+        max(col("nt")).as("n_tokens"),
+        min(when(col("cum") * 10 >= col("nt") * 9, col("r"))).as("k90"),
+        min(when(col("cum") * 100 >= col("nt") * 99, col("r"))).as("k99"),
+        max(when(col("r") === 1, col("token"))).as("top_token"))
+  }
+
   /** Fleiss' kappa — MULTI-rater agreement (Fleiss 1971), the m-rater
     * generalization the 2-rater q306 Cohen's κ cannot express: an
     * annotation campaign routinely puts 3–5 raters on each item, and
@@ -4051,6 +4174,10 @@ object TextOps {
     "q315_fleiss_kappa" -> q315FleissKappa _,
     "q318_template_mining" -> q318TemplateMining _,
     "q319_sequence_packing" -> q319SequencePacking _,
+    "q322_ngram_diversity" -> q322NgramDiversity _,
+    "q323_effective_yield" -> q323EffectiveYield _,
+    "q324_doremi_step"     -> q324DoremiStep _,
+    "q325_vocab_coverage"  -> q325VocabCoverage _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -5019,6 +5146,90 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q322_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+         g AS (SELECT source, unnest(list_transform(
+                 range(1, greatest(len(toks), 1)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+               FROM t),
+         gc AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+                FROM g GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n2,
+                   CAST(count(*) AS BIGINT) AS d2
+                 FROM gc GROUP BY 1),
+         tm AS (SELECT gc.source,
+                  CAST(sum(CAST(round((ln(CAST(n2 AS DOUBLE))
+                          - ln(CAST(c AS DOUBLE)))
+                        * CAST(c AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+                    AS tm
+                FROM gc JOIN tot USING (source) GROUP BY 1)
+         SELECT source, n2 AS n_bigrams, d2 AS d_bigrams,
+                round(CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+                  AS distinct_ratio,
+                round(CAST(tm AS DOUBLE)
+                      / (CAST(n2 AS DOUBLE) * 1e6), 6) AS entropy_nats
+         FROM tot JOIN tm USING (source)""",
+    "q323_effective_yield" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5(array_to_string(list_slice(string_split(text, ' '),
+                1, 8), ' ')) AS dup_key
+            FROM documents),
+         keep AS (SELECT dup_key, min(doc_id) AS keep_id
+                  FROM d GROUP BY 1),
+         k AS (SELECT d.source, d.n_tok,
+                 CASE WHEN d.doc_id = keep.keep_id THEN 1 ELSE 0 END AS kept
+               FROM d JOIN keep USING (dup_key))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(kept) AS BIGINT) AS kept_docs,
+                CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens,
+                round(CAST(sum(kept * n_tok) AS DOUBLE)
+                      / CAST(sum(n_tok) AS DOUBLE), 6) AS token_yield
+         FROM k GROUP BY 1""",
+    "q324_doremi_step" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+         q AS (SELECT source,
+                 CAST(round(round(least(1.0,
+                     CAST(len(toks) AS DOUBLE) / 100.0)
+                   * (1.0 - CAST(len(list_filter(toks,
+                       x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)), 4) * 1e4) AS BIGINT)
+                   AS w4
+               FROM t),
+         dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(1.0 - CAST(sum(w4) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e4), 6) AS loss
+                 FROM q GROUP BY 1),
+         em AS (SELECT *, CAST(round(exp(loss) * 1e6) AS BIGINT) AS em
+                FROM dom),
+         z AS (SELECT CAST(sum(em) AS BIGINT) AS z FROM em)
+         SELECT source, n_docs, loss,
+                round(CAST(em AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+         FROM em, z""",
+    "q325_vocab_coverage" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+         tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                FROM t WHERE token <> '' GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS vocab
+                 FROM tc GROUP BY 1),
+         r AS (SELECT source, token, c,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, token) AS BIGINT) AS r,
+                 sum(c) OVER (PARTITION BY source
+                   ORDER BY c DESC, token) AS cum
+               FROM tc)
+         SELECT r.source, max(vocab) AS vocab_size, max(nt) AS n_tokens,
+                CAST(min(CASE WHEN cum * 10 >= nt * 9 THEN r END)
+                     AS BIGINT) AS k90,
+                CAST(min(CASE WHEN cum * 100 >= nt * 99 THEN r END)
+                     AS BIGINT) AS k99,
+                max(CASE WHEN r = 1 THEN token END) AS top_token
+         FROM r JOIN tot USING (source) GROUP BY 1""",
     "q319_sequence_packing" ->
       """WITH s AS (SELECT doc_id, source,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -128,6 +128,124 @@ class Round16OpsSpec extends SparkSpec {
     assert(rows(2L).exists(_.length == 64))
   }
 
+  test("q322: bigram diversity matches an exact in-memory recompute " +
+      "(counts, distinct ratio, micro-quantized entropy)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q322NgramDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val grams = ds.flatMap { case (_, text) =>
+        val t = text.split(" ")
+        t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }
+      val counts = grams.groupBy(identity).map(_._2.length.toLong)
+      val n2 = counts.sum
+      val tm = counts.map(c =>
+        math.round((math.log(n2.toDouble) - math.log(c.toDouble)) *
+          c.toDouble * 1e6)).sum
+      src -> (n2, counts.size.toLong,
+        r6(counts.size.toDouble / n2), r6(tm.toDouble / (n2 * 1e6)))
+    }
+    assert(out === expected)
+    // sanity: entropy positive, ratio in (0, 1]
+    out.values.foreach { case (_, _, ratio, ent) =>
+      assert(ratio > 0 && ratio <= 1.0 && ent > 0)
+    }
+  }
+
+  test("q323: effective yield books every token exactly once and every " +
+      "dup group keeps exactly its min-doc_id survivor") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q323EffectiveYield(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(text: String): String = {
+      md.reset()
+      md.digest(text.split(" ").take(8).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keeps = docs.groupBy(d => key(d._3)).map(_._2.map(_._1).min).toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val nTok = ds.map(_._3.split(" ").length.toLong)
+      val keptTok = ds.collect {
+        case (id, _, t) if keeps(id) => t.split(" ").length.toLong
+      }
+      src -> (ds.length.toLong, nTok.sum, keptTok.length.toLong,
+        keptTok.sum, r6(keptTok.sum.toDouble / nTok.sum))
+    }
+    assert(out === expected)
+    // cross-source conservation: total keeps = number of dup groups
+    assert(out.values.map(_._3).sum === keeps.size.toLong)
+  }
+
+  test("q324: the DoReMi step emits weights that sum to ~1, order " +
+      "domains by loss, and match the exact micro-integer recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q324DoremiStep(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val w4s = docs.map { case (src, text) =>
+      val toks = text.split(" ")
+      val nTok = toks.length.toLong
+      val nStop = toks.count(Set("the", "a", "of", "and")).toLong
+      val q = r6(math.min(1.0, nTok / 100.0) * (1.0 - nStop.toDouble / nTok))
+      val q4 = BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      (src, math.round(q4 * 1e4))
+    }
+    val dom = w4s.groupBy(_._1).map { case (src, xs) =>
+      val loss = r6(1.0 - xs.map(_._2).sum.toDouble / (xs.length * 1e4))
+      (src, xs.length.toLong, loss, math.round(math.exp(loss) * 1e6))
+    }
+    val z = dom.map(_._4).sum
+    val expected = dom.map { case (src, n, loss, em) =>
+      src -> (n, loss, r6(em.toDouble / z))
+    }.toMap
+    assert(out === expected)
+    val wsum = out.values.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // monotone: higher loss never gets a lower weight
+    val byLoss = out.values.toSeq.sortBy(_._2)
+    assert(byLoss.map(_._3) === byLoss.map(_._3).sorted)
+  }
+
+  test("q325: vocab coverage ranks are integer-exact — k90/k99 are the " +
+      "smallest count-ordered prefixes reaching the coverage bars") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q325VocabCoverage(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      val nt = counts.map(_._2).sum
+      val cum = counts.scanLeft(0L)(_ + _._2).tail
+      def bar(num: Long, den: Long) =
+        (cum.indexWhere(c => c * den >= nt * num) + 1).toLong
+      src -> (counts.length.toLong, nt, bar(9, 10), bar(99, 100),
+        counts.head._1)
+    }
+    assert(out === expected)
+    out.values.foreach { case (vocab, _, k90, k99, _) =>
+      assert(k90 <= k99 && k99 <= vocab)
+    }
+  }
+
   test("xsd:duration (the union supertype) routes static literals to the " +
       "subtype rung their lexical inhabits: dayTime-shaped values BIND/" +
       "compare/aggregate like dayTimeDuration, Y/M-shaped like " +
