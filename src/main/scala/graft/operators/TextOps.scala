@@ -692,6 +692,77 @@ object TextOps {
         max(when(col("r") === 1, col("token"))).as("top_token"))
   }
 
+  /** Canary / leaked-string contamination scan — the eval-protection
+    * pass decontamination suites run ALONGSIDE n-gram overlap (q116/
+    * q201 ask "how much eval text leaked"; this asks "which exact
+    * planted strings appear ANYWHERE in training text"): the canary set
+    * is each eval doc's 4-token opening (eval docs = doc_id ≡ 0 mod 31
+    * — the deterministic holdout convention), and a hit is the canary
+    * appearing as a contiguous TOKEN RUN in another doc. Token-aligned
+    * containment makes the scan a keyed EQUI-JOIN of the corpus's
+    * exploded 4-gram runs against the broadcast canary set — at 100 TB
+    * this is one scan + a broadcast hash join (eval-sized build side),
+    * never a per-(doc, canary) substring pass; an Aho–Corasick UDF
+    * would catch mid-token alignments but turns the scan into
+    * unindexable per-row work for a case synthetic canaries never
+    * exercise (canaries are planted token-aligned by construction). */
+  def q326CanaryScan(s: SparkSession, dir: String): DataFrame = {
+    val fourGrams =
+      "IF(size(toks) >= 4, transform(sequence(0, size(toks)-4), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])), " +
+        "CAST(array() AS ARRAY<STRING>))"
+    val t = docs(s, dir)
+    val canaries = t
+      .filter(col("doc_id") % 31 === 0 && size(col("toks")) >= 4)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(col("toks"), 1, 4)).as("g4"))
+    t.select(col("doc_id"), col("source"),
+        explode(expr(fourGrams)).as("g4"))
+      .join(broadcast(canaries), "g4")
+      .filter(col("doc_id") =!= col("eval_id"))
+      .select(col("source"), col("doc_id"), col("eval_id")).distinct()
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_hit_docs"),
+        count(lit(1)).as("n_pairs"),
+        min(col("doc_id")).as("example_doc"),
+        min(col("eval_id")).as("example_canary"))
+  }
+
+  /** LSH banding-precision sample — the PRODUCTION companion of q288's
+    * exact-truth eval (q288 measures precision AND recall against a
+    * brute-force truth it can only afford at eval scale; a 100 TB dedup
+    * run can still afford THIS: deterministically sample the candidate
+    * pair list, verify the sample exactly, read banding precision off
+    * it). Sample = pairs whose md5("a:b") opens with hex '0' (a fixed
+    * 1/16, reproducible across runs and engines); verification is the
+    * exact distinct-3-shingle Jaccard ≥ 0.5 decided integer-exactly
+    * (2·inter ≥ union — the q211 convention). Cost: the pair list the
+    * dedup already built + a sample-bound verify join; the full-corpus
+    * truth q288 needs never materializes. */
+  def q327LshPrecisionSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val pairs = lshPairsCapped(d, LshBucketCap)
+    val sampled = pairs.filter(
+      substring(md5(concat_ws(":", col("doc_a"), col("doc_b"))), 1, 1)
+        === "0")
+    val sd = d.select(col("doc_id"),
+      expr(s"array_distinct($shingles3)").as("sd"))
+    val ver = sampled
+      .join(sd.select(col("doc_id").as("doc_a"), col("sd").as("sa")), "doc_a")
+      .join(sd.select(col("doc_id").as("doc_b"), col("sd").as("sb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sa, sb))").cast("long"))
+      .withColumn("un", expr("size(array_union(sa, sb))").cast("long"))
+      .withColumn("istrue",
+        (col("un") > 0 && col("inter") * 2 >= col("un")).cast("long"))
+    pairs.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(ver.agg(count(lit(1)).as("n_sampled"),
+        coalesce(sum(col("istrue")), lit(0L)).as("n_true"))))
+      .select(col("n_candidates"), col("n_sampled"), col("n_true"),
+        when(col("n_sampled") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_true") / col("n_sampled"), 6))
+          .as("precision"))
+  }
+
   /** Fleiss' kappa — MULTI-rater agreement (Fleiss 1971), the m-rater
     * generalization the 2-rater q306 Cohen's κ cannot express: an
     * annotation campaign routinely puts 3–5 raters on each item, and
@@ -4178,6 +4249,8 @@ object TextOps {
     "q323_effective_yield" -> q323EffectiveYield _,
     "q324_doremi_step"     -> q324DoremiStep _,
     "q325_vocab_coverage"  -> q325VocabCoverage _,
+    "q326_canary_scan"     -> q326CanaryScan _,
+    "q327_lsh_precision_sample" -> q327LshPrecisionSample _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -4602,6 +4675,33 @@ object TextOps {
          FROM ranked c JOIN ranked j
            ON j.source = c.source AND j.r = c.cnt - c.r + 1
          WHERE c.r <= 8 AND c.r < c.cnt - c.r + 1""",
+    "q327_lsh_precision_sample" ->
+      s"""WITH $minhashCtesSql,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sampled AS (SELECT * FROM pairs
+           WHERE substr(md5(CAST(doc_a AS VARCHAR)||':'
+                 ||CAST(doc_b AS VARCHAR)), 1, 1) = '0'),
+         sdx AS (SELECT doc_id, list_distinct($shinglesSql) AS sdist FROM t),
+         ver AS (SELECT
+             CAST(len(list_intersect(a.sdist, b.sdist)) AS BIGINT) AS inter,
+             CAST(len(a.sdist) + len(b.sdist)
+                  - len(list_intersect(a.sdist, b.sdist)) AS BIGINT) AS un
+           FROM sampled s2 JOIN sdx a ON a.doc_id = s2.doc_a
+                           JOIN sdx b ON b.doc_id = s2.doc_b),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(coalesce(sum(CASE WHEN un > 0 AND inter * 2 >= un
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true
+           FROM ver),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs)
+         SELECT n_candidates, n_sampled, n_true,
+                CASE WHEN n_sampled = 0 THEN NULL
+                     ELSE round(CAST(n_true AS DOUBLE)
+                                / CAST(n_sampled AS DOUBLE), 6)
+                END AS precision
+         FROM tot, ag""",
     "q301_source_datasheet" ->
       s"""WITH $minhashCtesSql,
          pairs AS (
@@ -5146,6 +5246,25 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q326_canary_scan" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents),
+         canaries AS (SELECT doc_id AS eval_id,
+             array_to_string(list_slice(toks, 1, 4), ' ') AS g4
+           FROM t WHERE doc_id % 31 = 0 AND len(toks) >= 4),
+         g AS (SELECT doc_id, source, unnest(list_transform(
+                 range(1, greatest(len(toks) - 2, 1)),
+                 i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '
+                      ||toks[i+3])) AS g4
+               FROM t WHERE len(toks) >= 4),
+         hits AS (SELECT DISTINCT g.source, g.doc_id, c.eval_id
+                  FROM g JOIN canaries c ON g.g4 = c.g4
+                  WHERE g.doc_id <> c.eval_id)
+         SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hit_docs,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(min(doc_id) AS BIGINT) AS example_doc,
+                CAST(min(eval_id) AS BIGINT) AS example_canary
+         FROM hits GROUP BY 1""",
     "q322_ngram_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks
               FROM documents),

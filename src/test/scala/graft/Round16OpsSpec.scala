@@ -246,6 +246,72 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q326: canary scan finds exactly the docs containing an eval " +
+      "doc's 4-token opening as a contiguous token run") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q326CanaryScan(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").toSeq))
+    val canaries = docs.collect {
+      case (id, _, toks) if id % 31 == 0 && toks.length >= 4 =>
+        id -> toks.take(4).mkString(" ")
+    }
+    val hits = (for {
+      (id, src, toks) <- docs if toks.length >= 4
+      runs = toks.sliding(4).map(_.mkString(" ")).toSet
+      (evalId, c) <- canaries if id != evalId && runs(c)
+    } yield (src, id, evalId)).distinct
+    assert(hits.nonEmpty, "fixture must plant at least one hit")
+    val expected = hits.groupBy(_._1).map { case (src, hs) =>
+      src -> (hs.map(_._2).distinct.length.toLong, hs.length.toLong,
+        hs.map(_._2).min, hs.map(_._3).min)
+    }
+    assert(out === expected)
+  }
+
+  test("q327: the banding-precision sample is the md5-deterministic 1/16 " +
+      "of q34's candidate pairs, verified at exact distinct-shingle " +
+      "Jaccard >= 0.5") {
+    val dir = "/root/testdata/sf0.001"
+    val row = operators.TextOps.q327LshPrecisionSample(spark, dir)
+      .collect().head
+    val (nCand, nSamp, nTrue) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // reference pair list = q34's own (oracled) candidates
+    val pairs = operators.TextOps.q34MinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nCand === pairs.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s: String): Char = {
+      md.reset()
+      "%02x".format(md.digest(s.getBytes("UTF-8"))(0)).charAt(0)
+    }
+    val sampled = pairs.filter { case (a, b) => hex1(s"$a:$b") == '0' }
+    assert(nSamp === sampled.length.toLong)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ")
+        r.getLong(0) ->
+          t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val trueN = sampled.count { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val un = (sa ++ sb).size
+      un > 0 && (sa & sb).size * 2 >= un
+    }
+    assert(nTrue === trueN.toLong)
+    assert(nSamp > 0, "the 1/16 sample must be non-vacuous at sf0.001")
+    val p = row.getDouble(3)
+    assert(p >= 0.0 && p <= 1.0 &&
+      p === r6(trueN.toDouble / sampled.length))
+  }
+
   test("xsd:duration (the union supertype) routes static literals to the " +
       "subtype rung their lexical inhabits: dayTime-shaped values BIND/" +
       "compare/aggregate like dayTimeDuration, Y/M-shaped like " +
