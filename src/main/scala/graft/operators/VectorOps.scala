@@ -407,6 +407,33 @@ object VectorOps {
     bitextMarginPairs(pairs)
   }
 
+  /** IVF-bitext recall/precision eval — the q128-style answer to the
+    * question [[q320BitextIvf]] explicitly defers ("a cross-cell true
+    * best is invisible; recall is the eval's business"): run BOTH the
+    * exact brute-force mining (q317) and the IVF-bounded mining (q320)
+    * over the same corpus and report how much of the exact pair set the
+    * scale path keeps. The exact side is affordable exactly because
+    * this is an eval (the q288 pattern — truth at eval scale, sampled
+    * monitoring in production via q327's discipline); all counts are
+    * integers, the two ratios spend one IEEE division each. */
+  def q328BitextIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = q317BitextMining(s, dir)
+      .select(col("src_id"), col("tgt_id"))
+    val ivf = q320BitextIvf(s, dir)
+      .select(col("src_id"), col("tgt_id"))
+    val hit = exact.join(ivf, Seq("src_id", "tgt_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(ivf.agg(count(lit(1)).as("n_ivf"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_shared"))))
+      .select(col("n_exact"), col("n_ivf"), col("n_shared"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_shared") / col("n_exact"), 6))
+          .as("recall"),
+        when(col("n_ivf") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_shared") / col("n_ivf"), 6))
+          .as("precision"))
+  }
+
   /** Int8 symmetric quantization report — the vector-compression pass an
     * ANN index build runs before storing embeddings at corpus scale (4×
     * smaller than float32; the scale factor and reconstruction error are
@@ -1152,7 +1179,8 @@ object VectorOps {
     "q69_embedding_neardup" -> q69EmbeddingNearDup _,
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _,
     "q317_bitext_mining"   -> q317BitextMining _,
-    "q320_bitext_ivf"      -> q320BitextIvf _
+    "q320_bitext_ivf"      -> q320BitextIvf _,
+    "q328_bitext_ivf_recall" -> q328BitextIvfRecall _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1739,6 +1767,55 @@ object VectorOps {
                 round(CAST(best * k4 - scm AS DOUBLE)
                       / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
          FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q328_bitext_ivf_recall" ->
+      s"""WITH $assignSql,
+         lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         dx AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                  sum(a.x * b.x) AS dot
+                FROM ex a JOIN lg la ON la.vec_id = a.vec_id
+                                    AND la.lang = 'en'
+                JOIN ex b ON b.i = a.i
+                JOIN lg lb ON lb.vec_id = b.vec_id AND lb.lang = 'de'
+                GROUP BY 1, 2),
+         cx AS (SELECT src_id, tgt_id,
+                  CAST(round(round(dot / (na.n * nb.n), 6) * 1e6) AS BIGINT)
+                    AS cm
+                FROM dx JOIN nrm na ON src_id = na.vec_id
+                        JOIN nrm nb ON tgt_id = nb.vec_id),
+         rx AS (SELECT *,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY cm DESC, tgt_id) AS rs,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY cm DESC, src_id) AS rt
+                FROM cx),
+         px AS (SELECT src_id, tgt_id FROM rx WHERE rs = 1 AND rt = 1),
+         ci AS (SELECT sa.vec_id AS src_id, sb.vec_id AS tgt_id
+                FROM assigned sa
+                JOIN lg la ON la.vec_id = sa.vec_id AND la.lang = 'en'
+                JOIN assigned sb ON sb.cell = sa.cell
+                JOIN lg lb ON lb.vec_id = sb.vec_id AND lb.lang = 'de'),
+         cmi AS (SELECT c.src_id, c.tgt_id, cx.cm
+                 FROM ci c JOIN cx ON cx.src_id = c.src_id
+                                  AND cx.tgt_id = c.tgt_id),
+         ri AS (SELECT *,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY cm DESC, tgt_id) AS rs,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY cm DESC, src_id) AS rt
+                FROM cmi),
+         pi AS (SELECT src_id, tgt_id FROM ri WHERE rs = 1 AND rt = 1),
+         nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM px),
+         ni AS (SELECT CAST(count(*) AS BIGINT) AS n_ivf FROM pi),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+                FROM px JOIN pi USING (src_id, tgt_id))
+         SELECT n_exact, n_ivf, n_shared,
+                CASE WHEN n_exact = 0 THEN NULL
+                     ELSE round(CAST(n_shared AS DOUBLE)
+                                / CAST(n_exact AS DOUBLE), 6) END AS recall,
+                CASE WHEN n_ivf = 0 THEN NULL
+                     ELSE round(CAST(n_shared AS DOUBLE)
+                                / CAST(n_ivf AS DOUBLE), 6) END AS precision
+         FROM nx, ni, ns""",
     "q69_embedding_neardup" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i) WHERE vec_id < 300),

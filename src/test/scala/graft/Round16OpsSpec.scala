@@ -246,6 +246,27 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q328: the IVF-bitext recall eval books exactly q317's and " +
+      "q320's pair sets and their intersection") {
+    val dir = "/root/testdata/sf0.001"
+    val row = operators.VectorOps.q328BitextIvfRecall(spark, dir)
+      .collect().head
+    val exact = operators.VectorOps.q317BitextMining(spark, dir)
+      .select(col("src_id"), col("tgt_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.VectorOps.q320BitextIvf(spark, dir)
+      .select(col("src_id"), col("tgt_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shared = exact & ivf
+    assert(row.getLong(0) === exact.size.toLong)
+    assert(row.getLong(1) === ivf.size.toLong)
+    assert(row.getLong(2) === shared.size.toLong)
+    assert(row.getDouble(3) === r6(shared.size.toDouble / exact.size))
+    assert(row.getDouble(4) === r6(shared.size.toDouble / ivf.size))
+    // the relaxation is real but not vacuous at the fixture's 8 cells
+    assert(shared.nonEmpty && row.getDouble(3) <= 1.0)
+  }
+
   test("q326: canary scan finds exactly the docs containing an eval " +
       "doc's 4-token opening as a contiguous token run") {
     val dir = "/root/testdata/sf0.001"
