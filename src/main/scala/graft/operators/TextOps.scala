@@ -643,23 +643,66 @@ object TextOps {
     * and each output weight spends one final division. |domains|-bounded
     * everything after one corpus scan with map-side combine. */
   def q324DoremiStep(s: SparkSession, dir: String): DataFrame = {
+    val dom = doremiEm(s, dir)
+    val z = dom.agg(sum(col("em")).as("z"))
+    dom.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("loss"),
+        round(col("em").cast("double") / col("z").cast("double"), 6)
+          .as("weight"))
+  }
+
+  /** (source, n_docs, loss, em) — q324's per-domain exponentiated loss
+    * terms, factored so the epoch planner (q329) reweights with the
+    * SAME algebra the mixture step ships. */
+  private def doremiEm(s: SparkSession, dir: String): DataFrame = {
     val nToks = size(col("toks")).cast("long")
     val nStop = expr("size(filter(toks, t -> t IN ('the','a','of','and')))")
       .cast("long")
     val w4 = round(
       round(least(lit(1.0), nToks / 100.0) * (lit(1.0) - nStop / nToks), 4)
         * 1e4).cast("long")
-    val dom = docs(s, dir).select(col("source"), w4.as("w4"))
+    docs(s, dir).select(col("source"), w4.as("w4"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("w4")).as("sw4"))
       .withColumn("loss", round(lit(1.0) -
         col("sw4").cast("double") / (col("n_docs").cast("double") * 1e4), 6))
       .withColumn("em", round(exp(col("loss")) * 1e6).cast("long"))
-    val z = dom.agg(sum(col("em")).as("z"))
-    dom.crossJoin(broadcast(z))
-      .select(col("source"), col("n_docs"), col("loss"),
+  }
+
+  /** Data-constrained epoch planner (the Muennighoff et al. 2023
+    * question every mixture step must answer next: "the solver wants
+    * weight w_i of a B-token budget from source i — how many EPOCHS of
+    * i's deduplicated tokens is that, and who crosses the repetition
+    * cap?"): compose q323's effective yield (kept tokens after exact
+    * dedup) with q324's mixture weights (same algebra via the shared
+    * helper), budget = 4× total kept tokens (a deliberately
+    * over-subscribed corpus so the report exercises the cap), epochs =
+    * ceil(w_i·B / kept_i), flag epochs > 4 (the ~4-epoch
+    * diminishing-returns knee). All counts exact longs; each epoch
+    * figure spends the same raw em/z ratio the weights round from —
+    * never a re-parsed rounded weight. |sources|-bounded after the two
+    * q323 shuffles. */
+  def q329EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dup_key"))
+    val keep = d.groupBy(col("dup_key")).agg(min(col("doc_id")).as("keep_id"))
+    val y = d.join(keep, "dup_key")
+      .groupBy(col("source"))
+      .agg(sum(when(col("doc_id") === col("keep_id"), col("n_tok"))
+        .otherwise(0L)).as("kept_tokens"))
+    val em = doremiEm(s, dir)
+    val z = em.agg(sum(col("em")).as("z"))
+    val tot = y.agg((sum(col("kept_tokens")) * 4).as("budget"))
+    em.join(y, "source")
+      .crossJoin(broadcast(z)).crossJoin(broadcast(tot))
+      .select(col("source"), col("kept_tokens"),
         round(col("em").cast("double") / col("z").cast("double"), 6)
-          .as("weight"))
+          .as("weight"),
+        ceil(col("em").cast("double") / col("z").cast("double")
+          * col("budget").cast("double") / col("kept_tokens").cast("double"))
+          .cast("long").as("epochs"))
+      .withColumn("over_epoch_cap", col("epochs") > 4)
   }
 
   /** Top-k vocabulary coverage — the tokenizer/vocab-budget audit ("how
@@ -4251,6 +4294,7 @@ object TextOps {
     "q325_vocab_coverage"  -> q325VocabCoverage _,
     "q326_canary_scan"     -> q326CanaryScan _,
     "q327_lsh_precision_sample" -> q327LshPrecisionSample _,
+    "q329_epoch_plan"      -> q329EpochPlan _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -5246,6 +5290,47 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q329_epoch_plan" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5(array_to_string(list_slice(string_split(text, ' '),
+                1, 8), ' ')) AS dup_key,
+              string_split(text, ' ') AS toks
+            FROM documents),
+         keep AS (SELECT dup_key, min(doc_id) AS keep_id
+                  FROM d GROUP BY 1),
+         y AS (SELECT source,
+                 CAST(sum(CASE WHEN doc_id = keep_id THEN n_tok
+                          ELSE 0 END) AS BIGINT) AS kept_tokens
+               FROM d JOIN keep USING (dup_key) GROUP BY source),
+         q4 AS (SELECT source,
+                  CAST(round(round(least(1.0,
+                      CAST(len(toks) AS DOUBLE) / 100.0)
+                    * (1.0 - CAST(len(list_filter(toks,
+                        x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)), 4) * 1e4) AS BIGINT)
+                    AS w4
+                FROM d),
+         dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(1.0 - CAST(sum(w4) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1e4), 6) AS loss
+                 FROM q4 GROUP BY 1),
+         em AS (SELECT *, CAST(round(exp(loss) * 1e6) AS BIGINT) AS em
+                FROM dom),
+         z AS (SELECT CAST(sum(em) AS BIGINT) AS z FROM em),
+         tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) * 4 AS budget
+                 FROM y)
+         SELECT em.source, y.kept_tokens,
+                round(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+                  AS weight,
+                CAST(ceil(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE)
+                    * CAST(budget AS DOUBLE)
+                    / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT) AS epochs,
+                CAST(ceil(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE)
+                    * CAST(budget AS DOUBLE)
+                    / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT) > 4
+                  AS over_epoch_cap
+         FROM em, z, tot JOIN y ON y.source = em.source""",
     "q326_canary_scan" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
               FROM documents),

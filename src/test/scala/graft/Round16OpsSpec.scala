@@ -246,6 +246,44 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q329: the epoch plan composes q323's kept tokens with q324's " +
+      "raw em/z ratio — epochs = ceil(w*B/kept), cap flag at > 4") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q329EpochPlan(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).toMap
+    val yld = operators.TextOps.q323EffectiveYield(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap // kept_tokens
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val em = docs.groupBy(_._1).map { case (src, ds) =>
+      val w4s = ds.map { case (_, text) =>
+        val toks = text.split(" ")
+        val q = r6(math.min(1.0, toks.length / 100.0) *
+          (1.0 - toks.count(Set("the", "a", "of", "and")).toDouble /
+            toks.length))
+        math.round(BigDecimal(q).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 1e4)
+      }
+      val loss = r6(1.0 - w4s.sum.toDouble / (w4s.length * 1e4))
+      src -> math.round(math.exp(loss) * 1e6)
+    }
+    val z = em.values.sum
+    val budget = yld.values.sum * 4
+    val expected = em.map { case (src, e) =>
+      val epochs = math.ceil(
+        e.toDouble / z * budget.toDouble / yld(src).toDouble).toLong
+      src -> (yld(src), r6(e.toDouble / z), epochs, epochs > 4)
+    }
+    assert(out === expected)
+    // the over-subscribed budget makes the cap flag non-vacuous
+    assert(out.values.exists(_._4) || out.values.forall(_._3 > 1),
+      "plan must exercise multi-epoch territory")
+    md.reset()
+  }
+
   test("q328: the IVF-bitext recall eval books exactly q317's and " +
       "q320's pair sets and their intersection") {
     val dir = "/root/testdata/sf0.001"
