@@ -735,6 +735,35 @@ object TextOps {
         max(when(col("r") === 1, col("token"))).as("top_token"))
   }
 
+  /** Soft dedup — duplicate DOWNWEIGHTING instead of dropping (the
+    * SoftDeDup alternative to q33's hard keep/drop: dropping loses the
+    * signal that popular text is popular; training instead weights each
+    * copy 1/n_copies so every duplicate GROUP contributes one document's
+    * mass, distributed over its members). Per source: raw docs/tokens
+    * and the soft-weighted token mass, each doc's contribution
+    * n_tok/n_copies quantized to a micro-long (ONE IEEE division per
+    * doc, then exact long sums — aggregation-order-proof), plus the
+    * soft/raw ratio next to q323's hard yield for the three-way
+    * comparison a budget meeting actually wants. Same two keyed
+    * shuffles as q323. */
+  def q330SoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dup_key"))
+    val grp = d.groupBy(col("dup_key")).agg(count(lit(1)).as("n_copies"))
+    d.join(grp, "dup_key")
+      .withColumn("soft_micro", round(
+        col("n_tok").cast("double") * 1e6 / col("n_copies").cast("double"))
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("soft_micro")).as("soft_micro"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("soft_micro").cast("double") / 1e6, 3).as("soft_tokens"),
+        round(col("soft_micro").cast("double") /
+          (col("n_tokens").cast("double") * 1e6), 6).as("soft_ratio"))
+  }
+
   /** Canary / leaked-string contamination scan — the eval-protection
     * pass decontamination suites run ALONGSIDE n-gram overlap (q116/
     * q201 ask "how much eval text leaked"; this asks "which exact
@@ -749,16 +778,24 @@ object TextOps {
     * would catch mid-token alignments but turns the scan into
     * unindexable per-row work for a case synthetic canaries never
     * exercise (canaries are planted token-aligned by construction). */
-  def q326CanaryScan(s: SparkSession, dir: String): DataFrame = {
-    val fourGrams =
-      "IF(size(toks) >= 4, transform(sequence(0, size(toks)-4), " +
-        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])), " +
-        "CAST(array() AS ARRAY<STRING>))"
-    val t = docs(s, dir)
-    val canaries = t
-      .filter(col("doc_id") % 31 === 0 && size(col("toks")) >= 4)
+  /** 4-token runs shared by the canary scan (q326) and its streaming
+    * gate ([[graft.streaming.StreamOps.canaryGateSink]]) — ONE
+    * definition so batch and stream can never disagree on alignment. */
+  private[graft] val fourGrams =
+    "IF(size(toks) >= 4, transform(sequence(0, size(toks)-4), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])), " +
+      "CAST(array() AS ARRAY<STRING>))"
+
+  /** The canary set q326 scans for: each eval doc's (doc_id ≡ 0 mod 31)
+    * 4-token opening, with its eval id. */
+  private[graft] def canarySet(t: DataFrame): DataFrame =
+    t.filter(col("doc_id") % 31 === 0 && size(col("toks")) >= 4)
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(col("toks"), 1, 4)).as("g4"))
+
+  def q326CanaryScan(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+    val canaries = canarySet(t)
     t.select(col("doc_id"), col("source"),
         explode(expr(fourGrams)).as("g4"))
       .join(broadcast(canaries), "g4")
@@ -4295,6 +4332,7 @@ object TextOps {
     "q326_canary_scan"     -> q326CanaryScan _,
     "q327_lsh_precision_sample" -> q327LshPrecisionSample _,
     "q329_epoch_plan"      -> q329EpochPlan _,
+    "q330_soft_dedup"      -> q330SoftDedup _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -5290,6 +5328,25 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q330_soft_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5(array_to_string(list_slice(string_split(text, ' '),
+                1, 8), ' ')) AS dup_key
+            FROM documents),
+         grp AS (SELECT dup_key, CAST(count(*) AS BIGINT) AS n_copies
+                 FROM d GROUP BY 1),
+         sm AS (SELECT source, n_tok,
+                  CAST(round(CAST(n_tok AS DOUBLE) * 1e6
+                        / CAST(n_copies AS DOUBLE)) AS BIGINT) AS soft_micro
+                FROM d JOIN grp USING (dup_key))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                round(CAST(sum(soft_micro) AS DOUBLE) / 1e6, 3)
+                  AS soft_tokens,
+                round(CAST(sum(soft_micro) AS DOUBLE)
+                      / (CAST(sum(n_tok) AS DOUBLE) * 1e6), 6) AS soft_ratio
+         FROM sm GROUP BY 1""",
     "q329_epoch_plan" ->
       """WITH d AS (SELECT doc_id, source,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -1002,6 +1002,39 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming canary gate — q326's leaked-string scan as an ingest
+    * admit filter (the decontaminateSink pattern at exact-string
+    * granularity): the canary set is a STATIC artifact precomputed from
+    * the eval suite; each micro-batch explodes its docs' 4-token runs
+    * (the shared [[graft.operators.TextOps.fourGrams]] definition —
+    * batch and stream can never disagree on alignment), semi-joins the
+    * broadcast canaries, and drops any doc carrying one; clean docs
+    * append to `cleanPath`. STATELESS — filtering is idempotent, so a
+    * crash-replayed trigger re-appends the same clean rows at worst
+    * (duplicate rows, never a leaked canary). Per-trigger cost is
+    * batch-sized + the eval-sized broadcast. */
+  def canaryGateSink(docs: DataFrame, canaries: DataFrame,
+                     cleanPath: String)
+                    (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = canaries.select(col("g4"), col("eval_id")).localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val hits = batch.toDF()
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            explode(expr(graft.operators.TextOps.fourGrams)).as("g4"))
+          .join(broadcast(c), "g4")
+          .filter(col("doc_id") =!= col("eval_id"))
+          .select(col("doc_id")).distinct()
+        batch.toDF().join(hits, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(cleanPath)
+        ()
+      }
+      .start()
+  }
+
   def nearDupAdmitSink(docs: DataFrame, claimsPath: String,
                        admittedPath: String)
                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

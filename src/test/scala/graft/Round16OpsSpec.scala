@@ -246,6 +246,44 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q330: soft dedup conserves one document's mass per duplicate " +
+      "group and matches the micro-quantized in-memory recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q330SoftDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(text: String): String = {
+      md.reset()
+      md.digest(text.split(" ").take(8).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val copies = docs.groupBy(d => key(d._3)).view
+      .mapValues(_.length.toLong).toMap
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val perDoc = ds.map { case (_, _, t) =>
+        val n = t.split(" ").length.toLong
+        (n, math.round(n.toDouble * 1e6 / copies(key(t)).toDouble))
+      }
+      val (nTok, soft) = (perDoc.map(_._1).sum, perDoc.map(_._2).sum)
+      src -> (ds.length.toLong, nTok,
+        BigDecimal(soft.toDouble / 1e6)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r6(soft.toDouble / (nTok.toDouble * 1e6)))
+    }
+    assert(out === expected)
+    // conservation: each dup group contributes exactly its MEAN member
+    // length (Σ n_i/g over g members), up to micro rounding
+    val totalSoft = out.values.map(_._3).sum
+    val groupMass = docs.groupBy(d => key(d._3)).values
+      .map(g => g.map(_._3.split(" ").length.toDouble).sum / g.length).sum
+    assert(math.abs(totalSoft - groupMass) < 0.01 * groupMass,
+      s"soft mass $totalSoft vs group mass $groupMass")
+  }
+
   test("q329: the epoch plan composes q323's kept tokens with q324's " +
       "raw em/z ratio — epochs = ceil(w*B/kept), cap flag at > 4") {
     val dir = "/root/testdata/sf0.001"

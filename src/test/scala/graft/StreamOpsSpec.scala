@@ -307,6 +307,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("canaryGateSink drops exactly the docs the batch q326 canary " +
+      "scan flags, independent of micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("canary").toFile
+    val cleanPath = new java.io.File(dir, "clean").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      // static artifact: the same canary set q326 derives
+      val canaries = graft.operators.TextOps.canarySet(
+        graft.Tables.documents(spark, sfDir)
+          .withColumn("toks", split(col("text"), " ")))
+        .localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDF().toDF("doc_id", "text")
+      val query = StreamOps.canaryGateSink(docs, canaries, cleanPath)(ckpt)
+      val all = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val (b1, rest) = all.splitAt(all.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(b3.toSeq); query.processAllAvailable()
+      query.stop()
+      val kept = spark.read.parquet(cleanPath)
+        .select("doc_id").as[Long].collect().toSet
+      // batch truth: docs carrying any canary as a token run (self-hits
+      // excluded) — re-derived from raw rows, not from the sink's code
+      val canaryList = canaries.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val flagged = all.collect {
+        case (id, text)
+            if canaryList.exists { case (evalId, c) =>
+              id != evalId &&
+                text.split(" ").sliding(4).exists(_.mkString(" ") == c)
+            } => id
+      }.toSet
+      assert(flagged.nonEmpty, "fixture should plant at least one hit")
+      assert(kept == all.map(_._1).toSet -- flagged,
+        s"stream/batch divergence: extra=${kept.intersect(flagged)} " +
+          s"missing=${all.map(_._1).toSet -- flagged -- kept}")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("heavyHittersSink: merged MG state's guaranteed set is a subset " +
       "and its candidate set a superset of q228's exact heavy hitters") {
     implicit val sqlCtx = spark.sqlContext
