@@ -764,6 +764,46 @@ object TextOps {
           (col("n_tokens").cast("double") * 1e6), 6).as("soft_ratio"))
   }
 
+  /** Shard-incremental novelty curve — the data-accumulation question
+    * behind every "should we ingest the next shard" decision: visiting
+    * shards (sources) in a fixed deterministic order (lexicographic —
+    * the convention, documented, not arrival time), how many TOKENS of
+    * each shard are NEW, i.e. their q33 content key was never seen in
+    * an earlier shard? A shard of mirrors adds mass but no novelty;
+    * the curve's flattening point is where ingestion stops paying.
+    * Each dup group's novelty is booked ONCE, in its first owning
+    * shard, at its representative's (min doc_id there) token count.
+    * Scale shape: the same two dup-key shuffles as q323 plus one
+    * |sources|-row cumulative window over the joined AGGREGATES (the
+    * audit-exempt bounded-window class). */
+  def q331NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dup_key"))
+    val firstSrc = d.groupBy(col("dup_key"))
+      .agg(min(col("source")).as("fs"))
+    val novel = d.join(firstSrc, "dup_key")
+      .filter(col("source") === col("fs"))
+      .groupBy(col("dup_key"))
+      .agg(min(struct(col("doc_id"), col("n_tok"))).as("r"),
+        max(col("fs")).as("src"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_new_groups"),
+        sum(col("r.n_tok")).as("novel_tokens"))
+    val totals = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals.join(novel, col("source") === col("src"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_groups"), lit(0L)).as("n_new_groups"),
+        coalesce(col("novel_tokens"), lit(0L)).as("novel_tokens"))
+      .withColumn("novelty_ratio",
+        round(col("novel_tokens") / col("n_tokens"), 6))
+      .withColumn("cum_novel_tokens", sum(col("novel_tokens")).over(w))
+  }
+
   /** Canary / leaked-string contamination scan — the eval-protection
     * pass decontamination suites run ALONGSIDE n-gram overlap (q116/
     * q201 ask "how much eval text leaked"; this asks "which exact
@@ -4333,6 +4373,7 @@ object TextOps {
     "q327_lsh_precision_sample" -> q327LshPrecisionSample _,
     "q329_epoch_plan"      -> q329EpochPlan _,
     "q330_soft_dedup"      -> q330SoftDedup _,
+    "q331_novelty_curve"   -> q331NoveltyCurve _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -5328,6 +5369,37 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q331_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5(array_to_string(list_slice(string_split(text, ' '),
+                1, 8), ' ')) AS dup_key
+            FROM documents),
+         fs AS (SELECT dup_key, min(source) AS fs FROM d GROUP BY 1),
+         firstdocs AS (SELECT d.dup_key, min(d.doc_id) AS rep
+                       FROM d JOIN fs USING (dup_key)
+                       WHERE d.source = fs.fs GROUP BY 1),
+         novel AS (SELECT d2.source AS src,
+                     CAST(count(*) AS BIGINT) AS n_new_groups,
+                     CAST(sum(d2.n_tok) AS BIGINT) AS novel_tokens
+                   FROM firstdocs f JOIN d d2 ON d2.doc_id = f.rep
+                   GROUP BY 1),
+         totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                    FROM d GROUP BY 1),
+         j AS (SELECT t.source, t.n_docs, t.n_tokens,
+                 coalesce(n.n_new_groups, 0) AS n_new_groups,
+                 coalesce(n.novel_tokens, 0) AS novel_tokens
+               FROM totals t LEFT JOIN novel n ON n.src = t.source)
+         SELECT source, n_docs, n_tokens,
+                CAST(n_new_groups AS BIGINT) AS n_new_groups,
+                CAST(novel_tokens AS BIGINT) AS novel_tokens,
+                round(CAST(novel_tokens AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE), 6) AS novelty_ratio,
+                CAST(sum(novel_tokens) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_novel_tokens
+         FROM j""",
     "q330_soft_dedup" ->
       """WITH d AS (SELECT doc_id, source,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -353,7 +353,7 @@ object VectorOps {
     * (two window projections + the top-4 agg), the result is
     * localCheckpoint'ed out, and the cache releases before return
     * (q200 discipline — no query leaks a persisted frame). */
-  private def bitextMarginPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def bitextMarginPairs(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = Window.partitionBy(col("src_id"))
       .orderBy(col("cm").desc, col("tgt_id").asc)

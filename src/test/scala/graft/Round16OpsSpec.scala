@@ -246,6 +246,85 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q331: the novelty curve books each dup group once, in its " +
+      "lexicographically-first shard, at its representative's tokens") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q331NoveltyCurve(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(text: String): String = {
+      md.reset()
+      md.digest(text.split(" ").take(8).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length.toLong, key(r.getString(2))))
+    val novelBySrc = docs.groupBy(_._4).values.map { g =>
+      val fs = g.map(_._2).min
+      val rep = g.filter(_._2 == fs).minBy(_._1)
+      (fs, rep._3)
+    }.toSeq.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val (ng, nt) = novelBySrc.getOrElse(src, (0L, 0L))
+      src -> (ds.length.toLong, ds.map(_._3).sum, ng, nt,
+        r6(nt.toDouble / ds.map(_._3).sum))
+    }
+    assert(out.view.mapValues(v =>
+      (v._1, v._2, v._3, v._4, v._5)).toMap === expected)
+    // cumulative column: running sum over lexicographic source order,
+    // total = one representative's tokens per distinct dup group
+    val srcs = out.keys.toSeq.sorted
+    val cums = srcs.scanLeft(0L)((acc, s) => acc + out(s)._4).tail
+    assert(srcs.map(s => out(s)._6) === cums)
+    assert(cums.last === novelBySrc.values.map(_._2).sum)
+  }
+
+  test("bitextMarginPairs property: over random integer micro-cosine " +
+      "pair frames, the output is exactly the reciprocal best matches " +
+      "with top-4 margins (ties broken by id, both windows)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark2 = spark
+    import spark2.implicits._
+    val frameGen = for {
+      nSrc <- Gen.chooseNum(1, 7)
+      nTgt <- Gen.chooseNum(1, 7)
+      // small cm range FORCES ties — the tiebreak paths must fire
+      cms <- Gen.listOfN(nSrc * nTgt, Gen.chooseNum(-3L, 3L))
+    } yield for {
+      s <- 0 until nSrc; t <- 0 until nTgt
+    } yield (s.toLong, (100 + t).toLong, cms(s * nTgt + t))
+    (0 until 25).foreach { i =>
+      val rows = frameGen(Gen.Parameters.default, Seed(777L + i)).get
+      val pairs = rows
+        .toDF("src_id", "tgt_id", "cm")
+        .withColumn("cos", col("cm").cast("double") / 1e6)
+        .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
+      val got = operators.VectorOps.bitextMarginPairs(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      val bySrc = rows.groupBy(_._1)
+      val byTgt = rows.groupBy(_._2)
+      def best[A](xs: Seq[(Long, Long, Long)], pick: ((Long, Long, Long)) => Long) =
+        xs.minBy(x => (-x._3, pick(x)))
+      val expected = bySrc.flatMap { case (s, xs) =>
+        val b = best(xs.toSeq, _._2)
+        val recip = best(byTgt(b._2).toSeq, _._1)
+        if (recip._1 == s) {
+          val top = xs.map(_._3).toSeq.sorted(Ordering[Long].reverse).take(4)
+          val margin = BigDecimal((top.head * top.length - top.sum).toDouble /
+            (top.length.toDouble * 1e6))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((s, b._2, margin))
+        } else None
+      }.toSet
+      assert(got === expected, s"seed ${777 + i}:\n got=$got\n want=$expected")
+    }
+  }
+
   test("q330: soft dedup conserves one document's mass per duplicate " +
       "group and matches the micro-quantized in-memory recompute") {
     val dir = "/root/testdata/sf0.001"
