@@ -112,7 +112,7 @@ object VectorOps {
     * followed by a posexplode. The old shape was a corpus×8 crossJoin
     * plus a corpus-keyed window shuffle; this is a Generate inside the
     * scan stage. */
-  private def rankedCells(e: DataFrame): DataFrame = {
+  private[graft] def rankedCells(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -401,6 +401,35 @@ object VectorOps {
     val b = cells.filter(col("lang") === "de")
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("cell"))
     val pairs = a.join(b, "cell")
+      .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
+      .withColumn("cm", round(col("cos") * 1e6).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
+    bitextMarginPairs(pairs)
+  }
+
+  /** Multi-probe IVF bitext — the recall KNOB q328's eval motivates
+    * (8 fixed cells keep ~35% of exact pairs single-probe): the src
+    * side probes its TOP-2 cells ([[rankedCells]] rn ≤ 2, the q71
+    * convention — probing multiplies only the querying side's fan-out,
+    * the corpus side stays at its one assigned cell), candidates are
+    * pairs sharing any probed cell, deduped before the rank windows
+    * (a pair can meet in two cells; the margin algebra assumes one row
+    * per pair), then the shared margin tail. Cost: ≤2× the q320 pair
+    * frame — the standard probe/recall trade, now measurable against
+    * q317's exact truth alongside q320. */
+  def q332BitextMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val lang = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val ranked = rankedCells(vecs(s, dir)).join(lang, "vec_id")
+    val a = ranked.filter(col("lang") === "en" && col("rn") <= 2)
+      .select(col("vec_id").as("src_id"), col("v").as("va"),
+        col("cent_id").as("cell"))
+    val b = ranked.filter(col("lang") === "de" && col("rn") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+        col("cent_id").as("cell"))
+    val pairs = a.join(b, "cell")
+      .select(col("src_id"), col("tgt_id"), col("va"), col("vb"))
+      .dropDuplicates("src_id", "tgt_id")
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
@@ -1180,7 +1209,8 @@ object VectorOps {
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _,
     "q317_bitext_mining"   -> q317BitextMining _,
     "q320_bitext_ivf"      -> q320BitextIvf _,
-    "q328_bitext_ivf_recall" -> q328BitextIvfRecall _
+    "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
+    "q332_bitext_multiprobe" -> q332BitextMultiprobe _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1741,6 +1771,44 @@ object VectorOps {
                   FROM assigned sa
                   JOIN lg la ON la.vec_id = sa.vec_id AND la.lang = 'en'
                   JOIN assigned sb ON sb.cell = sa.cell
+                  JOIN lg lb ON lb.vec_id = sb.vec_id AND lb.lang = 'de'),
+         dots AS (SELECT cd2.src_id, cd2.tgt_id, sum(a.x * b.x) AS dot
+                  FROM cand cd2
+                  JOIN ex a ON a.vec_id = cd2.src_id
+                  JOIN ex b ON b.vec_id = cd2.tgt_id AND b.i = a.i
+                  GROUP BY 1, 2),
+         co AS (SELECT src_id, tgt_id, round(dot / (na.n * nb.n), 6) AS cos
+                FROM dots JOIN nrm na ON src_id = na.vec_id
+                          JOIN nrm nb ON tgt_id = nb.vec_id),
+         cmt AS (SELECT src_id, tgt_id, cos,
+                   CAST(round(cos * 1e6) AS BIGINT) AS cm
+                 FROM co),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cm DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cm DESC, src_id) AS rt
+               FROM cmt),
+         t4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
+                  CAST(count(*) AS BIGINT) AS k4,
+                  CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best
+                FROM r WHERE rs <= 4 GROUP BY 1)
+         SELECT r.src_id, r.tgt_id, r.cos,
+                round(CAST(best * k4 - scm AS DOUBLE)
+                      / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
+         FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q332_bitext_multiprobe" ->
+      s"""WITH $assignSql,
+         probed AS (SELECT vec_id, cent_id AS cell FROM (
+                      SELECT vec_id, cent_id,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cent_id) AS rn
+                      FROM cc) WHERE rn <= 2),
+         lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         cand AS (SELECT DISTINCT pa.vec_id AS src_id, sb.vec_id AS tgt_id
+                  FROM probed pa
+                  JOIN lg la ON la.vec_id = pa.vec_id AND la.lang = 'en'
+                  JOIN assigned sb ON sb.cell = pa.cell
                   JOIN lg lb ON lb.vec_id = sb.vec_id AND lb.lang = 'de'),
          dots AS (SELECT cd2.src_id, cd2.tgt_id, sum(a.x * b.x) AS dot
                   FROM cand cd2

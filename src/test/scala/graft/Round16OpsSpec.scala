@@ -246,6 +246,36 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q332: multi-probe bitext is one-to-one, meets only in the src's " +
+      "top-2 cells, and its recall vs exact q317 is >= single-probe q320's") {
+    val dir = "/root/testdata/sf0.001"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("tgt_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = pairsOf(operators.VectorOps.q332BitextMultiprobe(spark, dir))
+    val sp = pairsOf(operators.VectorOps.q320BitextIvf(spark, dir))
+    val exact = pairsOf(operators.VectorOps.q317BitextMining(spark, dir))
+    assert(mp.nonEmpty)
+    assert(mp.map(_._1).size === mp.size && mp.map(_._2).size === mp.size,
+      "reciprocal pairs are one-to-one")
+    val recallMp = (mp & exact).size.toDouble / exact.size
+    val recallSp = (sp & exact).size.toDouble / exact.size
+    assert(recallMp >= recallSp,
+      s"probing 2 cells must not lose recall: $recallMp vs $recallSp")
+    // cell consistency: every pair's tgt cell is among the src's top-2
+    val ranked = operators.VectorOps.rankedCells(
+        Tables.embeddings(spark, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+      .select(col("vec_id"), col("cent_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val top2 = ranked.filter(_._3 <= 2).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val cell1 = ranked.filter(_._3 == 1).map(x => x._1 -> x._2).toMap
+    mp.foreach { case (s, t) =>
+      assert(top2(s).contains(cell1(t)), s"pair ($s,$t) met outside probes")
+    }
+  }
+
   test("q331: the novelty curve books each dup group once, in its " +
       "lexicographically-first shard, at its representative's tokens") {
     val dir = "/root/testdata/sf0.001"
