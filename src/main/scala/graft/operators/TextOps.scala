@@ -764,6 +764,39 @@ object TextOps {
           (col("n_tokens").cast("double") * 1e6), 6).as("soft_ratio"))
   }
 
+  /** Global-vs-local dedup comparison — the FineWeb finding turned into
+    * an audit ("per-dump dedup beat global dedup"; Penedo et al. 2024):
+    * for each source, the duplicate share under GLOBAL dedup (one keep
+    * per content key corpus-wide — cross-shard copies die) vs LOCAL
+    * dedup (one keep per key WITHIN the shard — cross-shard copies all
+    * survive). The gap per source is exactly the cross-shard duplicate
+    * mass, the number that decides which regime a corpus build runs.
+    * Keys and keeps are q33's (md5 first-8-token key, min-doc_id
+    * survivor). Three keyed partial-aggregable shuffles, all on the
+    * near-uniform content key. */
+  def q333GlobalVsLocalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tok"),
+      md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dup_key"))
+    val gkeep = d.groupBy(col("dup_key")).agg(min(col("doc_id")).as("gk"))
+    val lkeep = d.groupBy(col("dup_key"), col("source"))
+      .agg(min(col("doc_id")).as("lk"))
+    d.join(gkeep, "dup_key")
+      .join(lkeep, Seq("dup_key", "source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("doc_id") === col("gk"), col("n_tok")).otherwise(0L))
+          .as("global_kept_tokens"),
+        sum(when(col("doc_id") === col("lk"), col("n_tok")).otherwise(0L))
+          .as("local_kept_tokens"))
+      .withColumn("global_yield",
+        round(col("global_kept_tokens") / col("n_tokens"), 6))
+      .withColumn("local_yield",
+        round(col("local_kept_tokens") / col("n_tokens"), 6))
+      .withColumn("cross_shard_dup_tokens",
+        col("local_kept_tokens") - col("global_kept_tokens"))
+  }
+
   /** Shard-incremental novelty curve — the data-accumulation question
     * behind every "should we ingest the next shard" decision: visiting
     * shards (sources) in a fixed deterministic order (lexicographic —
@@ -4374,6 +4407,7 @@ object TextOps {
     "q329_epoch_plan"      -> q329EpochPlan _,
     "q330_soft_dedup"      -> q330SoftDedup _,
     "q331_novelty_curve"   -> q331NoveltyCurve _,
+    "q333_global_vs_local_dedup" -> q333GlobalVsLocalDedup _,
     "q219_epoch_schedule" -> q219EpochSchedule _,
     "q224_oov_coverage" -> q224OovCoverage _,
     "q194_source_kl_drift" -> q194SourceKlDrift _,
@@ -5369,6 +5403,32 @@ object TextOps {
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(min(doc_id) AS BIGINT) AS example_doc
          FROM t GROUP BY 1 HAVING count(*) >= 2""",
+    "q333_global_vs_local_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5(array_to_string(list_slice(string_split(text, ' '),
+                1, 8), ' ')) AS dup_key
+            FROM documents),
+         gk AS (SELECT dup_key, min(doc_id) AS gk FROM d GROUP BY 1),
+         lk AS (SELECT dup_key, source, min(doc_id) AS lk
+                FROM d GROUP BY 1, 2),
+         j AS (SELECT d.source, d.n_tok,
+                 CASE WHEN d.doc_id = gk.gk THEN d.n_tok ELSE 0 END AS gt,
+                 CASE WHEN d.doc_id = lk.lk THEN d.n_tok ELSE 0 END AS lt
+               FROM d JOIN gk USING (dup_key)
+                      JOIN lk ON lk.dup_key = d.dup_key
+                             AND lk.source = d.source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(gt) AS BIGINT) AS global_kept_tokens,
+                CAST(sum(lt) AS BIGINT) AS local_kept_tokens,
+                round(CAST(sum(gt) AS DOUBLE)
+                      / CAST(sum(n_tok) AS DOUBLE), 6) AS global_yield,
+                round(CAST(sum(lt) AS DOUBLE)
+                      / CAST(sum(n_tok) AS DOUBLE), 6) AS local_yield,
+                CAST(sum(lt) - sum(gt) AS BIGINT)
+                  AS cross_shard_dup_tokens
+         FROM j GROUP BY 1""",
     "q331_novelty_curve" ->
       """WITH d AS (SELECT doc_id, source,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

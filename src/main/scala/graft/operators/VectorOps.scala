@@ -436,6 +436,36 @@ object VectorOps {
     bitextMarginPairs(pairs)
   }
 
+  /** Semantic eval-proximity audit — the decontamination layer the
+    * string family (q116/q201/q211/q326) structurally misses: a
+    * PARAPHRASED or translated eval leak shares no n-grams and no
+    * shingles, but its embedding sits next to the eval doc. For each
+    * eval vector (doc_id ≡ 0 mod 31 — the q326 holdout convention):
+    * the nearest training vector, its cosine, and how many training
+    * docs sit above the 0.5 watch bar. All ranking on the 6dp-rounded
+    * micro-integer cosine (argmax via one max-struct — smallest train
+    * id breaks ties); report is |eval|-bounded. Scale shape: the EVAL
+    * side broadcasts (benchmark-sized by definition), the corpus
+    * streams through one scan with map-side partial aggregation —
+    * never a corpus shuffle; the IVF cell route (q193/q320) is the
+    * swap-in when even |eval|×corpus cosines stop fitting. */
+  def q334SemanticEvalProximity(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val ev = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("evec"))
+    val train = e.filter(col("vec_id") % 31 =!= 0)
+    train.crossJoin(broadcast(ev))
+      .withColumn("cm",
+        round(round(CosineSimilarity(col("evec"), col("v")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("cm"), (-col("vec_id")).as("negid"))).as("m"),
+        sum(when(col("cm") >= 500000L, 1L).otherwise(0L)).as("n_close"))
+      .select(col("eval_id"),
+        round(col("m.cm").cast("double") / 1e6, 6).as("max_cos"),
+        (-col("m.negid")).as("nearest_train"), col("n_close"))
+  }
+
   /** IVF-bitext recall/precision eval — the q128-style answer to the
     * question [[q320BitextIvf]] explicitly defers ("a cross-cell true
     * best is invisible; recall is the eval's business"): run BOTH the
@@ -1210,7 +1240,8 @@ object VectorOps {
     "q317_bitext_mining"   -> q317BitextMining _,
     "q320_bitext_ivf"      -> q320BitextIvf _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
-    "q332_bitext_multiprobe" -> q332BitextMultiprobe _
+    "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
+    "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1797,6 +1828,31 @@ object VectorOps {
                 round(CAST(best * k4 - scm AS DOUBLE)
                       / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
          FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q334_semantic_eval_proximity" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         dots AS (SELECT e.vec_id AS eval_id, tr.vec_id AS train_id,
+                    sum(e.x * tr.x) AS dot
+                  FROM ex e JOIN ex tr ON tr.i = e.i
+                  WHERE e.vec_id % 31 = 0 AND tr.vec_id % 31 <> 0
+                  GROUP BY 1, 2),
+         c AS (SELECT eval_id, train_id,
+                 CAST(round(round(dot / (ne.n * nt.n), 6) * 1e6) AS BIGINT)
+                   AS cm
+               FROM dots JOIN nrm ne ON eval_id = ne.vec_id
+                         JOIN nrm nt ON train_id = nt.vec_id),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY eval_id
+                   ORDER BY cm DESC, train_id) AS rn
+               FROM c),
+         agg AS (SELECT eval_id,
+                   CAST(sum(CASE WHEN cm >= 500000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_close
+                 FROM c GROUP BY 1)
+         SELECT r.eval_id, round(CAST(cm AS DOUBLE) / 1e6, 6) AS max_cos,
+                r.train_id AS nearest_train, agg.n_close
+         FROM r JOIN agg USING (eval_id) WHERE rn = 1""",
     "q332_bitext_multiprobe" ->
       s"""WITH $assignSql,
          probed AS (SELECT vec_id, cent_id AS cell FROM (

@@ -246,6 +246,67 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q333: global keeps are a subset of local keeps per source, the " +
+      "gap is exactly the cross-shard duplicate mass, and counts match " +
+      "an in-memory recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.TextOps.q333GlobalVsLocalDedup(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(7))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(text: String): String = {
+      md.reset()
+      md.digest(text.split(" ").take(8).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length.toLong, key(r.getString(2))))
+    val gkeep = docs.groupBy(_._4).map(_._2.map(_._1).min).toSet
+    val lkeep = docs.groupBy(d => (d._4, d._2)).map(_._2.map(_._1).min).toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val g = ds.collect { case (id, _, n, _) if gkeep(id) => n }.sum
+      val l = ds.collect { case (id, _, n, _) if lkeep(id) => n }.sum
+      src -> (ds.length.toLong, ds.map(_._3).sum, g, l, l - g)
+    }
+    assert(out === expected)
+    // global ⊆ local: the gap is never negative, and somewhere positive
+    // (the fixture has cross-shard copies)
+    assert(out.values.forall(v => v._5 >= 0))
+    assert(out.values.exists(_._5 > 0), "fixture must cross shards")
+  }
+
+  test("q334: semantic eval proximity reports each eval vector's true " +
+      "nearest training vector under the rounded-cosine order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.VectorOps.q334SemanticEvalProximity(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(r6(dot / (math.sqrt(na) * math.sqrt(nb))) * 1e6)
+    }
+    val (ev, tr) = emb.keys.toSeq.sorted.partition(_ % 31 == 0)
+    assert(out.keySet === ev.toSet)
+    ev.foreach { e =>
+      val scored = tr.map(t => (t, cm(emb(e), emb(t))))
+      val (bestId, bestCm) = scored.minBy { case (t, c) => (-c, t) }
+      val (gCos, gNear, gClose) = out(e)
+      assert(gNear === bestId, s"eval $e nearest")
+      assert(gCos === r6(bestCm.toDouble / 1e6), s"eval $e cos")
+      assert(gClose === scored.count(_._2 >= 500000L).toLong, s"eval $e close")
+    }
+  }
+
   test("q332: multi-probe bitext is one-to-one, meets only in the src's " +
       "top-2 cells, and its recall vs exact q317 is >= single-probe q320's") {
     val dir = "/root/testdata/sf0.001"
