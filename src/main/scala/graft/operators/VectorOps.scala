@@ -412,11 +412,13 @@ object VectorOps {
     * side probes its TOP-2 cells ([[rankedCells]] rn ≤ 2, the q71
     * convention — probing multiplies only the querying side's fan-out,
     * the corpus side stays at its one assigned cell), candidates are
-    * pairs sharing any probed cell, deduped before the rank windows
-    * (a pair can meet in two cells; the margin algebra assumes one row
-    * per pair), then the shared margin tail. Cost: ≤2× the q320 pair
-    * frame — the standard probe/recall trade, now measurable against
-    * q317's exact truth alongside q320. */
+    * pairs sharing a probed cell, then the shared margin tail. No
+    * dedup is needed — the tgt side carries exactly ONE cell (rn = 1),
+    * so a pair can meet in at most one probe; the round-16 30× probe
+    * caught the defensive dropDuplicates shuffling the pair frame WITH
+    * both 64-dim vectors (133× wall at 30× data) for that no-op.
+    * Cost: ≤2× the q320 pair frame — the standard probe/recall trade,
+    * now measurable against q317's exact truth alongside q320. */
   def q332BitextMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
@@ -428,8 +430,6 @@ object VectorOps {
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
         col("cent_id").as("cell"))
     val pairs = a.join(b, "cell")
-      .select(col("src_id"), col("tgt_id"), col("va"), col("vb"))
-      .dropDuplicates("src_id", "tgt_id")
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
