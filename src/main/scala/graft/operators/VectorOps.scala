@@ -466,6 +466,34 @@ object VectorOps {
         (-col("m.negid")).as("nearest_train"), col("n_close"))
   }
 
+  /** IVF-accelerated proximity SCREEN — [[q334SemanticEvalProximity]]'s
+    * continuous-monitoring twin, the same split q317/q320 ships for
+    * bitext: q334's exact |eval|×corpus frame is the RELEASE gate (run
+    * once per candidate corpus); this screen joins eval and training
+    * vectors on their coarse cell so per-trigger/per-increment cost is
+    * cell-local, and it only ever UNDER-reports (every flagged neighbor
+    * is genuinely close — precision 1 by construction; a cross-cell
+    * near-leak is the release gate's to catch, or shrink the miss with
+    * the q332 multi-probe knob). Eval vectors with no same-cell
+    * training neighbor are absent — a screen reports findings, not
+    * absences. */
+  def q335ProximityScreenIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = assignCells(vecs(s, dir))
+    val ev = cells.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("evec"), col("cell"))
+    val train = cells.filter(col("vec_id") % 31 =!= 0)
+    train.join(broadcast(ev), "cell")
+      .withColumn("cm",
+        round(round(CosineSimilarity(col("evec"), col("v")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("cm"), (-col("vec_id")).as("negid"))).as("m"),
+        sum(when(col("cm") >= 500000L, 1L).otherwise(0L)).as("n_close"))
+      .select(col("eval_id"),
+        round(col("m.cm").cast("double") / 1e6, 6).as("max_cos"),
+        (-col("m.negid")).as("nearest_train"), col("n_close"))
+  }
+
   /** IVF-bitext recall/precision eval — the q128-style answer to the
     * question [[q320BitextIvf]] explicitly defers ("a cross-cell true
     * best is invisible; recall is the eval's business"): run BOTH the
@@ -1241,7 +1269,8 @@ object VectorOps {
     "q320_bitext_ivf"      -> q320BitextIvf _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
-    "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _
+    "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
+    "q335_proximity_screen_ivf" -> q335ProximityScreenIvf _
   )
 
   private def topKSql(nQueries: Int, k: Int, cols: String): String =
@@ -1828,6 +1857,32 @@ object VectorOps {
                 round(CAST(best * k4 - scm AS DOUBLE)
                       / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
          FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q335_proximity_screen_ivf" ->
+      s"""WITH $assignSql,
+         dots AS (SELECT ae.vec_id AS eval_id, at.vec_id AS train_id,
+                    sum(e.x * tr.x) AS dot
+                  FROM assigned ae
+                  JOIN assigned at ON at.cell = ae.cell
+                  JOIN ex e ON e.vec_id = ae.vec_id
+                  JOIN ex tr ON tr.vec_id = at.vec_id AND tr.i = e.i
+                  WHERE ae.vec_id % 31 = 0 AND at.vec_id % 31 <> 0
+                  GROUP BY 1, 2),
+         c AS (SELECT eval_id, train_id,
+                 CAST(round(round(dot / (ne.n * nt.n), 6) * 1e6) AS BIGINT)
+                   AS cm
+               FROM dots JOIN nrm ne ON eval_id = ne.vec_id
+                         JOIN nrm nt ON train_id = nt.vec_id),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY eval_id
+                   ORDER BY cm DESC, train_id) AS rn
+               FROM c),
+         agg AS (SELECT eval_id,
+                   CAST(sum(CASE WHEN cm >= 500000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_close
+                 FROM c GROUP BY 1)
+         SELECT r.eval_id, round(CAST(cm AS DOUBLE) / 1e6, 6) AS max_cos,
+                r.train_id AS nearest_train, agg.n_close
+         FROM r JOIN agg USING (eval_id) WHERE rn = 1""",
     "q334_semantic_eval_proximity" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

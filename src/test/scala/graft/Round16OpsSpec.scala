@@ -307,6 +307,30 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("q335: the IVF proximity screen only under-reports q334 — every " +
+      "screened cosine is <= the exact nearest, n_close is a lower " +
+      "bound, and a same-cell exact nearest matches exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = operators.VectorOps.q334SemanticEvalProximity(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val screen = operators.VectorOps.q335ProximityScreenIvf(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(screen.nonEmpty && screen.keySet.subsetOf(exact.keySet))
+    screen.foreach { case (e, (cos, _, nClose)) =>
+      assert(cos <= exact(e)._1 + 1e-9, s"eval $e screen overshot exact")
+      assert(nClose <= exact(e)._3, s"eval $e n_close must lower-bound")
+    }
+    // precision-1 direction: when the exact nearest shares the eval's
+    // cell, the screen reports exactly it
+    val sameCell = screen.filter { case (e, (cos, near, _)) =>
+      cos == exact(e)._1 && near == exact(e)._2
+    }
+    assert(sameCell.nonEmpty,
+      "fixture should have same-cell nearest neighbors")
+  }
+
   test("q332: multi-probe bitext is one-to-one, meets only in the src's " +
       "top-2 cells, and its recall vs exact q317 is >= single-probe q320's") {
     val dir = "/root/testdata/sf0.001"

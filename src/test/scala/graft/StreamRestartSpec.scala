@@ -362,6 +362,48 @@ class StreamRestartSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("canaryGateSink under kill-and-resume: a crash-replayed trigger " +
+      "re-appends clean rows only — no canary carrier ever lands, " +
+      "duplicates stay dedupe-able by doc_id") {
+    val dir = java.nio.file.Files.createTempDirectory("canaryrestart").toFile
+    val cleanPath = new java.io.File(dir, "clean").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val canaries = graft.operators.TextOps.canarySet(
+        graft.Tables.documents(spark, sfDir)
+          .withColumn("toks", split(col("text"), " ")))
+        .localCheckpoint()
+      val all = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val (b1, b2) = all.splitAt(all.length / 2)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      crashResume(dir, schema, b1.toSeq, b2.toSeq,
+        (s: Seq[(Long, String)]) => s.toDF("doc_id", "text")) {
+        (src, ckpt) =>
+          StreamOps.canaryGateSink(src, canaries, cleanPath)(ckpt)
+      }
+      val kept = spark.read.parquet(cleanPath)
+        .select("doc_id").as[Long].collect()
+      val canaryList = canaries.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val flagged = all.collect {
+        case (id, text)
+            if canaryList.exists { case (evalId, c) =>
+              id != evalId &&
+                text.split(" ").sliding(4).exists(_.mkString(" ") == c)
+            } => id
+      }.toSet
+      // at-least-once: the replayed trigger may re-append b1's clean
+      // rows (duplicates), but the SET equals batch truth and no
+      // carrier leaks
+      assert(kept.toSet == all.map(_._1).toSet -- flagged,
+        s"leak or loss: extra=${kept.toSet.intersect(flagged)} " +
+          s"missing=${all.map(_._1).toSet -- flagged -- kept.toSet}")
+      assert(kept.length >= kept.distinct.length)
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("a real state row with a NULL group key survives the guard " +
       "round-trip (round 16: explicit is_sentinel replaced the null-" +
       "first-column convention, which silently dropped such rows)") {
