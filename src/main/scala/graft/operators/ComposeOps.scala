@@ -299,9 +299,13 @@ object ComposeOps {
     val media = ids.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
+      // per-TASK buffers (the codec-init discipline): every row
+      // overwrites all 64 pixels and resets the byte sink, so reuse is
+      // safe and drops two heap allocations per row off the hot loop
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream(256)
       rows.map { id =>
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
         while (i < 64) {
           md.reset()
@@ -309,7 +313,7 @@ object ComposeOps {
           img.setRGB(i % 8, i / 8, (p << 16) | (p << 8) | p)
           i += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
+        bos.reset()
         javax.imageio.ImageIO.write(img, "png", bos)
         (id, "png", bos.toByteArray)
       }
