@@ -694,15 +694,23 @@ object TextOps {
     val em = doremiEm(s, dir)
     val z = em.agg(sum(col("em")).as("z"))
     val tot = y.agg((sum(col("kept_tokens")) * 4).as("budget"))
+    // kept_tokens can be 0 (every one of a source's dup-group keepers
+    // lives in another source): ceil(w·B/0) would silently yield
+    // Long.MaxValue here while the oracle's CAST(ceil(inf) AS BIGINT)
+    // errors — guard BOTH engines to null, the q327/q328 ratio
+    // convention (round-16 ADVICE).
     em.join(y, "source")
       .crossJoin(broadcast(z)).crossJoin(broadcast(tot))
       .select(col("source"), col("kept_tokens"),
         round(col("em").cast("double") / col("z").cast("double"), 6)
           .as("weight"),
-        ceil(col("em").cast("double") / col("z").cast("double")
-          * col("budget").cast("double") / col("kept_tokens").cast("double"))
-          .cast("long").as("epochs"))
-      .withColumn("over_epoch_cap", col("epochs") > 4)
+        when(col("kept_tokens") === 0, lit(null).cast("long"))
+          .otherwise(ceil(col("em").cast("double") / col("z").cast("double")
+            * col("budget").cast("double") / col("kept_tokens").cast("double"))
+            .cast("long")).as("epochs"))
+      .withColumn("over_epoch_cap",
+        when(col("kept_tokens") === 0, lit(null).cast("boolean"))
+          .otherwise(col("epochs") > 4))
   }
 
   /** Top-k vocabulary coverage — the tokenizer/vocab-budget audit ("how
@@ -5512,13 +5520,16 @@ object TextOps {
          SELECT em.source, y.kept_tokens,
                 round(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
                   AS weight,
-                CAST(ceil(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE)
-                    * CAST(budget AS DOUBLE)
-                    / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT) AS epochs,
-                CAST(ceil(CAST(em.em AS DOUBLE) / CAST(z.z AS DOUBLE)
-                    * CAST(budget AS DOUBLE)
-                    / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT) > 4
-                  AS over_epoch_cap
+                CASE WHEN y.kept_tokens = 0 THEN NULL
+                     ELSE CAST(ceil(CAST(em.em AS DOUBLE)
+                         / CAST(z.z AS DOUBLE) * CAST(budget AS DOUBLE)
+                         / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT)
+                END AS epochs,
+                CASE WHEN y.kept_tokens = 0 THEN NULL
+                     ELSE CAST(ceil(CAST(em.em AS DOUBLE)
+                         / CAST(z.z AS DOUBLE) * CAST(budget AS DOUBLE)
+                         / CAST(y.kept_tokens AS DOUBLE)) AS BIGINT) > 4
+                END AS over_epoch_cap
          FROM em, z, tot JOIN y ON y.source = em.source""",
     "q326_canary_scan" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks

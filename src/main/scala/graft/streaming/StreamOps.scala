@@ -434,6 +434,18 @@ object StreamOps {
     * histSink, a null source reaching klDriftSink) now survives the
     * state round-trip instead of being silently dropped every
     * trigger. */
+  /** Canonical form of a checkpoint path for the mis-pairing compare:
+    * the SAME checkpoint spelled differently across restarts (relative
+    * vs absolute, trailing slash, a symlinked tmp dir) must not fail
+    * the pairing guard with a misleading "mis-pairing" error — both
+    * the stored and the running spelling canonicalize before writing
+    * and before comparing (round-16 ADVICE). Paths a java.io.File
+    * cannot canonicalize (exotic URI schemes) fall back to the raw
+    * string — for those, callers must pass a stable spelling. */
+  private def canonCkpt(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: Exception => p }
+
   private def stateBatchId(st: DataFrame, checkpoint: String): Long = {
     // loud guards, not silent crashes on missing columns: state written
     // before the replay-guard schema cannot prove which trigger wrote it
@@ -446,7 +458,7 @@ object StreamOps {
         "row carrying is_sentinel + the owning checkpoint path); delete " +
         "the state directory to restart the stream cleanly")
     val r = st.select(col("batch_id"), col("ckpt")).limit(1).collect()(0)
-    require(r.getString(1) == checkpoint,
+    require(canonCkpt(r.getString(1)) == canonCkpt(checkpoint),
       s"state/checkpoint mis-pairing: this state was written by a " +
         s"stream checkpointed at '${r.getString(1)}' but the running " +
         s"stream checkpoints at '$checkpoint' — a fresh checkpoint " +
@@ -459,16 +471,17 @@ object StreamOps {
   private def withGuard(data: DataFrame, batchId: Long,
                         checkpoint: String): DataFrame = {
     val spark = data.sparkSession
+    val ckptCanon = canonCkpt(checkpoint)
     val tagged = data.withColumn("batch_id", lit(batchId))
       .withColumn("is_sentinel", lit(false))
-      .withColumn("ckpt", lit(checkpoint))
+      .withColumn("ckpt", lit(ckptCanon))
     val schema = org.apache.spark.sql.types.StructType(
       tagged.schema.map(_.copy(nullable = true)))
     val sentinel = spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row.fromSeq(
           data.schema.map(_ => null) :+ Long.box(batchId) :+
-            Boolean.box(true) :+ checkpoint)),
+            Boolean.box(true) :+ ckptCanon)),
       schema)
     tagged.unionByName(sentinel)
   }

@@ -466,6 +466,36 @@ class StreamRestartSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("the SAME checkpoint spelled differently across restarts (a '.' " +
+      "path segment) resumes cleanly — the pairing guard compares " +
+      "canonical paths, not raw strings") {
+    val dir = java.nio.file.Files.createTempDirectory("ckptspell").toFile
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    // same directory, non-canonical spelling: File canonicalizes both
+    val ckptAlt = dir.getAbsolutePath + "/./ckpt"
+    try {
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      Seq(("click", Timestamp.valueOf("2024-01-02 00:00:00")))
+        .toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.anomalySink(src(), statePath, reportPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      Seq(("click", Timestamp.valueOf("2024-01-02 01:00:00")))
+        .toDF("event_type", "ts").write.mode("append").parquet(srcDir)
+      // restart under the alternate spelling: genuinely the same
+      // checkpoint, so the guard must NOT report a mis-pairing
+      val q2 = StreamOps.anomalySink(src(), statePath, reportPath)(ckptAlt)
+      q2.processAllAvailable(); q2.stop()
+      val n = spark.read.parquet(statePath)
+        .filter(!col("is_sentinel")).count()
+      assert(n >= 1, "resume under the alternate spelling must process")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("a pre-guard state (no batch_id) fails LOUDLY on resume, not " +
       "silently: the stale-schema guard names the fix") {
     val dir = java.nio.file.Files.createTempDirectory("staleguard").toFile

@@ -119,6 +119,11 @@ REASON=$(echo "$VERDICT" | awk '{print $4}')
 SF=$(python3 -c "import json;print(json.load(open('$NEW'))['sf'])")
 echo "drift: $REASON drift (total ${PCT}) — A/B on: $QUERIES (sf=$SF, base=$PREV_COMMIT)"
 
+# Per-run scratch for the A/B JSONs: two drift runs on the same box
+# (the sf0.01 gate and the sf0.1 driver board run separately) would
+# clobber fixed /tmp names and append a table built from the other
+# run's numbers (round-16 ADVICE).
+AB_DIR=$(mktemp -d /tmp/graft-abjson.XXXXXX)
 WT=$(mktemp -d /tmp/graft-ab.XXXXXX)
 rmdir "$WT"
 git worktree add --detach "$WT" "$PREV_COMMIT" >/dev/null 2>&1 || {
@@ -127,11 +132,11 @@ trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
 
 # back-to-back, same box: prior HEAD first, current tree second
 ( cd "$WT" && env SPARK_GRAFT_SF_DIR="$SF" \
-    SPARK_GRAFT_BENCH_OUT=/tmp/graft_ab_prev.json \
+    SPARK_GRAFT_BENCH_OUT=$AB_DIR/prev.json \
     sbt -batch "runMain graft.Bench $QUERIES" >/dev/null 2>&1 ) || {
   echo "drift: prior-HEAD bench failed — skipping A/B" >&2; exit 0; }
 env SPARK_GRAFT_SF_DIR="$SF" \
-    SPARK_GRAFT_BENCH_OUT=/tmp/graft_ab_new.json \
+    SPARK_GRAFT_BENCH_OUT=$AB_DIR/new.json \
     sbt -batch "runMain graft.Bench $QUERIES" >/dev/null 2>&1 || {
   echo "drift: current-HEAD bench failed — skipping A/B" >&2; exit 0; }
 
@@ -141,19 +146,19 @@ env SPARK_GRAFT_SF_DIR="$SF" \
 # misleading table (round-15 advice item 8).
 AB_OK=$(python3 -c "
 import json
-p = json.load(open('/tmp/graft_ab_prev.json'))
-n = json.load(open('/tmp/graft_ab_new.json'))
+p = json.load(open('$AB_DIR/prev.json'))
+n = json.load(open('$AB_DIR/new.json'))
 print('no' if p.get('contended') or n.get('contended') else 'yes')")
 if [ "$AB_OK" != yes ]; then
   echo "drift: A/B DISCARDED — a pass was contended (probe series kept" \
-       "in /tmp/graft_ab_{prev,new}.json); re-run on an idle box"
+       "in $AB_DIR/{prev,new}.json); re-run on an idle box"
   exit 0
 fi
 
-python3 - "$PREV_COMMIT" "$PCT" "$REASON" <<'EOF' >> docs/SCALING.md
+python3 - "$PREV_COMMIT" "$PCT" "$REASON" "$AB_DIR" <<'EOF' >> docs/SCALING.md
 import json, subprocess, sys
-prev = json.load(open("/tmp/graft_ab_prev.json"))
-new = json.load(open("/tmp/graft_ab_new.json"))
+prev = json.load(open(sys.argv[4] + "/prev.json"))
+new = json.load(open(sys.argv[4] + "/new.json"))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip()
 def med(js):
