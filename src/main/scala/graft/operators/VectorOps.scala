@@ -95,28 +95,109 @@ object VectorOps {
         round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer — the first 8 vectors
-    * act as centroids; every vector is assigned to its max-cosine cell;
-    * queries probe only their own cell and rank candidates inside it. The
-    * production refinement replaces the fixed centroids with k-means means,
-    * but the join shape (assign → shuffle on cell → in-cell ranking) is
-    * exactly this. Complements the hyperplane-LSH bucketing (q38). */
-  /** Coarse-quantizer cell ranking shared by the IVF family: cosine of
-    * every vector against the first-8-vector centroids, ranked per vector
-    * (rn=1 is the assignment cell, rn≤p the multi-probe set).
+  /** TRAINED coarse quantizer for the whole IVF family (q60/q71/q146/
+    * q193/q279/q291/q320/q332/q335): k = clamp(√N, 8, 64) centroids,
+    * seeded by md5-order over vec_id (deterministic and free of
+    * insertion-order correlation — "the first 8 vectors" of round 16
+    * were arbitrary directions, the measured cause of q328's ~35%
+    * single-probe recall), then 2 Lloyd rounds: assign every vector to
+    * its max-cosine centroid (6dp-rounded ccos, smallest-cent_id tie),
+    * recompute each centroid as the element-wise member mean ROUNDED
+    * to 6dp before any further use (the q186 round-before-use
+    * convention — the whole trajectory replays verbatim in DuckDB),
+    * empty cells keep their previous centroid, exact rounded-fixpoint
+    * early stop (a converged round is a no-op, so it commutes with the
+    * oracle's unconditional 2 rounds).
     *
-    * ZERO-SHUFFLE (the assignCells discipline): the centroids collect to
-    * the driver (bounded 8-row read) and per-row ranking is an 8-element
-    * array_sort over literal-centroid cosine structs — (ccos desc,
-    * cent_id asc), the exact order the old per-vector window produced —
-    * followed by a posexplode. The old shape was a corpus×8 crossJoin
-    * plus a corpus-keyed window shuffle; this is a Generate inside the
-    * scan stage. */
-  private[graft] def rankedCells(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
+    * Scale shape per round: the seed is a TakeOrdered(k) (never a
+    * global sort), assignment is the zero-shuffle literal-centroid
+    * argmax below, and the mean is ONE (cell, dim) partial-aggregable
+    * shuffle; the loop-carried state is a k×64 driver array (bounded:
+    * k ≤ 64 — the cap that keeps the literal argmax inside whole-stage
+    * codegen; past it the scoring join swaps to the q186
+    * crossJoin(broadcast) shape, same math). The k ≈ √N rule is the
+    * standard IVF cost balance: probe cost |corpus|/k per cell vs k
+    * centroid scores per query. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(8L, math.min(64L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  private[graft] def trainCentroids(e: DataFrame): Array[(Long, Seq[Double])] = {
+    val k = ivfK(e.count())
+    // md5-ordered seed: TakeOrderedAndProject, k bounded rows to driver
+    var cents: Array[(Long, Seq[Double])] = e
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h")).limit(k)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    require(cents.nonEmpty, "trainCentroids needs at least one vector")
+    var it = 0
+    var converged = false
+    while (it < 2 && !converged) {
+      // one corpus scan: zero-shuffle argmax + (cell, dim) mean agg;
+      // k×64 bounded driver read closes the round
+      val means = e
+        .select(cellOf(cents).as("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+        .collect()
+      val byCell: Map[Long, Seq[Double]] = means
+        .groupBy(_.getLong(0)).map { case (id, rows) =>
+          id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val next = cents.map { case (id, old) =>
+        (id, byCell.getOrElse(id, old)) // empty cell keeps its centroid
+      }
+      converged = next.iterator.zip(cents.iterator)
+        .forall { case ((_, a), (_, b)) => a == b }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** The trained quantizer is an INDEX ARTIFACT — a pure function of
+    * the (immutable) embeddings table — so it trains once per table
+    * directory and every IVF consumer reuses it (a production run
+    * persists it beside the corpus; here the JVM-lifetime cache is the
+    * same contract). Keyed by canonical path; spec frames that never
+    * touch a directory train directly via the [[assignCells]]
+    * overload. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double])]]()
+  private[graft] def coarseCentroids(s: SparkSession, dir: String): Array[(Long, Seq[Double])] =
+    centCache.computeIfAbsent(
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: Exception => dir },
+      _ => trainCentroids(vecs(s, dir)))
+
+  /** Zero-shuffle argmax cell over literal centroids: ONE array_max of
+    * (ccos, −cent_id) structs — max ccos first, then largest negid =
+    * SMALLEST cent_id, the exact tie order the per-vector window
+    * produced. Each centroid cosine appears once (the round-16
+    * greatest+CaseWhen form repeated every cosine ~3×, which stops
+    * compiling cleanly at k = 64). */
+  private def cellOf(cents: Array[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+    val structs = array(cents.map { case (id, cv) =>
+      struct(
+        round(CosineSimilarity(col("v"), array(cv.map(lit(_)): _*)), 6)
+          .as("ccos"),
+        lit(-id).as("negid"))
+    }: _*)
+    -array_max(structs).getField("negid")
+  }
+
+  /** Coarse-quantizer cell ranking for the multi-probe path: cosine of
+    * every vector against the TRAINED centroids, top-`maxRn` cells per
+    * vector (rn=1 is the assignment cell, rn≤p the probe set).
+    *
+    * ZERO-SHUFFLE (the assignCells discipline): per-row ranking is a
+    * k-element array_sort over literal-centroid cosine structs — (ccos
+    * desc, cent_id asc) — SLICED to maxRn before the posexplode, so the
+    * generated frame is corpus×p rows, not corpus×k (the probe width is
+    * fixed while k grows with the corpus). */
+  private[graft] def rankedCells(e: DataFrame, cents: Array[(Long, Seq[Double])],
+                                 maxRn: Int = 2): DataFrame = {
     require(cents.nonEmpty, "rankedCells needs at least one centroid")
     val cells = array(cents.map { case (id, cv) =>
       struct(
@@ -131,46 +212,36 @@ object VectorOps {
         .when(l("cent_id") > r("cent_id"), 1)
         .otherwise(0)
     e.select(col("vec_id"), col("v"),
-        posexplode(array_sort(cells, cmp)).as(Seq("p0", "c0")))
+        posexplode(slice(array_sort(cells, cmp), 1, maxRn)).as(Seq("p0", "c0")))
       .select(col("vec_id"), col("v"),
         col("c0.cent_id").as("cent_id"), col("c0.ccos").as("ccos"),
         (col("p0") + 1).cast("int").as("rn"))
   }
 
-  /** rn=1 projection of [[rankedCells]]: every vector's single cell.
-    *
-    * NOT via the window: the k-row centroid frame collects to the driver
-    * (a bounded 8-row read — the closure-census class) and the argmax
-    * becomes a per-row codegen CaseWhen over k literal-centroid cosines
-    * (first equal-to-max wins = smallest cent_id, the window's exact tie
-    * order). This removes a corpus×k explode plus a corpus-keyed window
-    * shuffle from EVERY IVF consumer (q60/q193/q279/q291) — cell
-    * assignment is embarrassingly parallel and now plans that way.
-    * [[rankedCells]] stays for the multi-probe path (rn ≤ p needs the
-    * full ranking). */
-  private[graft] def assignCells(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1) // ties below resolve to the SMALLEST cent_id
+  /** Library overload: train from the frame itself (spec fixtures and
+    * callers without a table directory). */
+  private[graft] def rankedCells(e: DataFrame): DataFrame =
+    rankedCells(e, trainCentroids(e))
+
+  /** Every vector's single assigned cell: the zero-shuffle literal
+    * argmax ([[cellOf]]) over the trained centroids — cell assignment
+    * is embarrassingly parallel and plans that way (no corpus×k explode,
+    * no corpus-keyed window shuffle in ANY IVF consumer). */
+  private[graft] def assignCells(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "assignCells needs at least one centroid")
-    val cos = cents.map { case (_, cv) =>
-      round(CosineSimilarity(col("v"),
-        array(cv.map(lit(_)): _*)), 6)
-    }
-    val mx = if (cos.length == 1) cos.head else greatest(cos: _*)
-    val cell = cents.zip(cos).map { case ((id, _), c) =>
-      when(c === mx, lit(id))
-    }.reduceRight((w, e2) => w.otherwise(e2)) // nested: first max wins
-    e.select(col("vec_id"), col("v"), cell.as("cell"))
+    e.select(col("vec_id"), col("v"), cellOf(cents).as("cell"))
   }
+
+  /** Library overload: train from the frame itself. */
+  private[graft] def assignCells(e: DataFrame): DataFrame =
+    assignCells(e, trainCentroids(e))
 
   def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
     // assigned feeds both the probe list and the candidate scan — persist
     // so the corpus×centroid scoring runs once, checkpoint the (tiny)
     // result, release the cache (q34 pattern: no cache leaks out of the
     // query).
-    val assigned = assignCells(vecs(s, dir)).persist()
+    val assigned = assignCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     assigned.count()
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
@@ -186,17 +257,18 @@ object VectorOps {
     out
   }
 
-  /** One Lloyd (k-means) iteration over the IVF coarse quantizer — the
-    * "trained centroids" refinement q60's Scaladoc promises: assign every
-    * vector to its cell, then recompute each centroid as the element-wise
-    * mean of its members. Emits per-cell member count and the new
-    * centroid's norm (means rounded to 6, norm to 4 — integer-count
-    * denominators plus rounding keep both engines' float sums aligned).
-    * The iteration is two shuffles (assignment window + per-(cell,dim)
+  /** One FURTHER Lloyd (k-means) iteration on top of the trained coarse
+    * quantizer — the index-refresh step a production run schedules after
+    * corpus growth: assign every vector to its (trained) cell, then
+    * recompute each centroid as the element-wise mean of its members.
+    * Emits per-cell member count and the new centroid's norm (means
+    * rounded to 6, norm to 4 — integer-count denominators plus rounding
+    * keep both engines' float sums aligned). The iteration is two
+    * shuffles (zero-shuffle argmax assignment + per-(cell,dim)
     * partial-sum agg), both partial-aggregable — the loop is flat per
     * round at any scale. */
   def q68KmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val assigned = assignCells(vecs(s, dir))
+    val assigned = assignCells(vecs(s, dir), coarseCentroids(s, dir))
     assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i"))
@@ -207,10 +279,12 @@ object VectorOps {
         round(sqrt(sum(col("m") * col("m"))), 4).as("new_norm"))
   }
 
-  /** Full Lloyd (k-means) TRAINING loop over the IVF coarse quantizer —
-    * q68 is one step; this iterates assign→update to (at most) three
-    * rounds with an exact convergence test, seeded from q68's
-    * deterministic init (the first 8 vectors). Per iteration: every
+  /** Full Lloyd (k-means) TRAINING loop, PINNED at the fixed first-8
+    * seed and k=8 — the oracled training-trajectory demo (the
+    * production quantizer every IVF consumer actually uses is
+    * [[trainCentroids]]: md5-ordered seed, k = clamp(√N, 8, 64), same
+    * Lloyd algebra — this query keeps the small fixed configuration so
+    * its 3-round DuckDB replay stays readable and cheap). Per iteration: every
     * vector joins the broadcast centroid frame, takes its max-cosine
     * cell (ccos rounded to 6, cent_id tiebreak), and each cell's new
     * centroid is the element-wise member mean ROUNDED to 6 before any
@@ -283,7 +357,7 @@ object VectorOps {
   def q71MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
     // Both the assignment (rn=1) and the probe set (rn≤2) project the same
     // ranked frame — persist it so corpus×centroid scoring runs once.
-    val ranked = rankedCells(vecs(s, dir)).persist()
+    val ranked = rankedCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     ranked.count()
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
@@ -395,7 +469,7 @@ object VectorOps {
   def q320BitextIvf(s: SparkSession, dir: String): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val cells = assignCells(vecs(s, dir)).join(lang, "vec_id")
+    val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir)).join(lang, "vec_id")
     val a = cells.filter(col("lang") === "en")
       .select(col("vec_id").as("src_id"), col("v").as("va"), col("cell"))
     val b = cells.filter(col("lang") === "de")
@@ -408,7 +482,8 @@ object VectorOps {
   }
 
   /** Multi-probe IVF bitext — the recall KNOB q328's eval motivates
-    * (8 fixed cells keep ~35% of exact pairs single-probe): the src
+    * (the round-16 8-arbitrary-cell quantizer kept ~35% of exact pairs
+    * single-probe; q328 re-measures against the trained cells): the src
     * side probes its TOP-2 cells ([[rankedCells]] rn ≤ 2, the q71
     * convention — probing multiplies only the querying side's fan-out,
     * the corpus side stays at its one assigned cell), candidates are
@@ -422,7 +497,7 @@ object VectorOps {
   def q332BitextMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val ranked = rankedCells(vecs(s, dir)).join(lang, "vec_id")
+    val ranked = rankedCells(vecs(s, dir), coarseCentroids(s, dir)).join(lang, "vec_id")
     val a = ranked.filter(col("lang") === "en" && col("rn") <= 2)
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         col("cent_id").as("cell"))
@@ -478,7 +553,7 @@ object VectorOps {
     * training neighbor are absent — a screen reports findings, not
     * absences. */
   def q335ProximityScreenIvf(s: SparkSession, dir: String): DataFrame = {
-    val cells = assignCells(vecs(s, dir))
+    val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir))
     val ev = cells.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("eval_id"), col("v").as("evec"), col("cell"))
     val train = cells.filter(col("vec_id") % 31 =!= 0)
@@ -653,7 +728,7 @@ object VectorOps {
     * to 6 before comparison, so the keep set is engine- and
     * parallelism-exact. */
   def q146SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedCells(vecs(s, dir))
+    val ranked = rankedCells(vecs(s, dir), coarseCentroids(s, dir))
     val wPos = Window.partitionBy(col("cell"))
       .orderBy(col("ccos").asc, col("vec_id").asc)
     // persist: the positioned cell table feeds both sides of the pair join
@@ -935,7 +1010,7 @@ object VectorOps {
     * entries round to 6dp BEFORE the 4-term sum (round-before-use),
     * the ADC distance to 6 after — cross-engine exact. */
   def q193IvfpqSearch(s: SparkSession, dir: String): DataFrame = {
-    val assigned = assignCells(vecs(s, dir)).persist()
+    val assigned = assignCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     assigned.count()
     // codebooks are TRAINED (per-subspace Lloyd, [[trainPqCodebooks]]),
     // not the first-4 stand-in; the query frame is caller-supplied to
@@ -1163,7 +1238,7 @@ object VectorOps {
     val pos = pairs.groupBy(col("doc_a").as("anchor_id"))
       .agg(min(col("doc_b")).as("pos_id"))
     val canon = graft.operators.TextOps.q110DedupClusters(s, dir)
-    val cells = assignCells(vecs(s, dir)).persist()
+    val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     val anchors = pos
       .join(cells.select(col("vec_id").as("anchor_id"), col("v").as("av"),
         col("cell")), Seq("anchor_id"))
@@ -1204,7 +1279,7 @@ object VectorOps {
     val labelType = Tables.embeddings(s, dir).schema("label").dataType
     require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"q291 needs a numeric embeddings label column, got $labelType")
-    val cl = assignCells(vecs(s, dir)).select(col("vec_id"), col("cell"))
+    val cl = assignCells(vecs(s, dir), coarseCentroids(s, dir)).select(col("vec_id"), col("cell"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
       .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
@@ -1287,23 +1362,64 @@ object VectorOps {
              FROM c)
        SELECT $cols FROM r WHERE rank <= $k"""
 
-  /** Shared assignment CTE chain (mirrors [[assignCells]]). */
-  private val assignSql =
-    """ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  /** Shared assignment CTE chain — the TRAINED quantizer's verbatim
+    * DuckDB replay (mirrors [[trainCentroids]] + [[assignCells]]):
+    * k = clamp(√N, 8, 64), md5-ordered seed, 2 Lloyd rounds with
+    * 6dp-rounded means and empty-cell carry, then the final scoring
+    * (`cc`) and argmax assignment (`assigned`) against the trained
+    * centroid table `kc2`. The engine's exact rounded-fixpoint early
+    * stop commutes with the unconditional 2 rounds here (a converged
+    * round is a no-op — the q186/PQ-train argument). */
+  private val assignSql = {
+    // one Lloyd round against centroid table kc{t-1} → assignment ka{t}
+    // and rounded-mean centroids kc{t} (empty cells carry)
+    def lloyd(t: Int): String = {
+      val prev = s"kc${t - 1}"
+      s"""kd$t AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
+               FROM ex v JOIN $prev c ON v.i = c.i GROUP BY 1, 2),
+         kn$t AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM $prev GROUP BY 1),
+         kq$t AS (SELECT kd$t.vec_id, kd$t.cent_id,
+                    round(kd$t.dot/(nv.n * kn$t.n), 6) AS ccos
+                  FROM kd$t JOIN nrm nv ON kd$t.vec_id = nv.vec_id
+                            JOIN kn$t ON kd$t.cent_id = kn$t.cent_id),
+         ka$t AS (SELECT vec_id, cent_id AS cell FROM (
+                    SELECT vec_id, cent_id, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+                    FROM kq$t) WHERE rn = 1),
+         km$t AS (SELECT a.cell AS cent_id, e.i,
+                    round(sum(e.x)/count(*), 6) AS m
+                  FROM ka$t a JOIN ex e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         kc$t AS (SELECT * FROM km$t
+                  UNION ALL
+                  SELECT p.cent_id, p.i, p.m FROM $prev p
+                  WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM km$t))"""
+    }
+    s"""ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, range(1, 65) t(i)),
        nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
-       cd AS (SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
-              FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id < 8
-              GROUP BY 1, 2),
+       kk AS (SELECT CAST(greatest(8, least(64, round(sqrt(count(*)))))
+                     AS BIGINT) AS k FROM embeddings),
+       ksd AS (SELECT vec_id, row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srn
+               FROM embeddings),
+       kc0 AS (SELECT e.vec_id AS cent_id, e.i, e.x AS m
+               FROM ex e JOIN ksd ON ksd.vec_id = e.vec_id, kk
+               WHERE ksd.srn <= kk.k),
+       ${lloyd(1)},
+       ${lloyd(2)},
+       cd AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
+              FROM ex v JOIN kc2 c ON v.i = c.i GROUP BY 1, 2),
+       cn AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM kc2 GROUP BY 1),
        cc AS (SELECT cd.vec_id, cd.cent_id,
-                     round(cd.dot/(nv.n * nc.n), 6) AS ccos
+                     round(cd.dot/(nv.n * cn.n), 6) AS ccos
               FROM cd JOIN nrm nv ON cd.vec_id = nv.vec_id
-                      JOIN nrm nc ON cd.cent_id = nc.vec_id),
+                      JOIN cn ON cd.cent_id = cn.cent_id),
        assigned AS (SELECT vec_id, cent_id AS cell FROM (
                       SELECT vec_id, cent_id,
                              row_number() OVER (PARTITION BY vec_id
                                ORDER BY ccos DESC, cent_id) AS rn
                       FROM cc) WHERE rn = 1)"""
+  }
 
   /** PQ codebook TRAINING replay (trainPqCodebooks' 2-round Lloyd
     * trajectory, chained CTEs): `psubs` (per-vector subvectors) →
@@ -2007,21 +2123,7 @@ object VectorOps {
                      JOIN nrm nb ON d.vec_b = nb.vec_id
          WHERE round(d.dot/(na.n*nb.n), 6) >= 0.40""",
     "q60_ivf_ann" ->
-      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-             FROM embeddings, range(1, 65) t(i)),
-         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
-         cd AS (SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
-                FROM ex v JOIN ex c ON v.i = c.i AND c.vec_id < 8
-                GROUP BY 1, 2),
-         cc AS (SELECT cd.vec_id, cd.cent_id,
-                       round(cd.dot/(nv.n * nc.n), 6) AS ccos
-                FROM cd JOIN nrm nv ON cd.vec_id = nv.vec_id
-                        JOIN nrm nc ON cd.cent_id = nc.vec_id),
-         assigned AS (SELECT vec_id, cent_id AS cell FROM (
-                        SELECT vec_id, cent_id,
-                               row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY ccos DESC, cent_id) AS rn
-                        FROM cc) WHERE rn = 1),
+      s"""WITH $assignSql,
          q AS (SELECT vec_id AS q_id, cell FROM assigned
                WHERE vec_id BETWEEN 100 AND 105),
          cand AS (SELECT q.q_id, q.cell, a.vec_id

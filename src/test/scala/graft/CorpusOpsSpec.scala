@@ -362,9 +362,14 @@ class CorpusOpsSpec extends SparkSpec {
     // IVF pruning: each returned candidate lives in its query's cell
     val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // cell reference via the broadcast-score + window formulation over
+    // the TRAINED centroids (round 17) — a different plan shape than the
+    // query's zero-shuffle literal argmax, same assignment
     val cells = {
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val s2 = spark
+      import s2.implicits._
+      val cents = operators.VectorOps.trainCentroids(e)
+        .toSeq.toDF("cent_id", "cv")
       e.crossJoin(broadcast(cents))
         .withColumn("ccos",
           round(graft.functions.CosineSimilarity(col("v"), col("cv")), 6))

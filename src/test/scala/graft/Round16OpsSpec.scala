@@ -38,11 +38,36 @@ class Round16OpsSpec extends SparkSpec {
       }
       r6(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    val cents = emb.filter(_._1 < 8).toSeq.sortBy(_._1)
-    def cell(v: Array[Double]): Long =
-      cents.map { case (id, cv) => (id, cosR6(v, cv)) }
-        .minBy { case (id, c) => (-c, id) }._1
-    val cells = emb.map { case (id, v) => id -> cell(v) }
+    // cells from the TRAINED coarse quantizer (round 17): replay the
+    // trainer in memory — md5-ordered seed of k, 2 Lloyd rounds with
+    // 6dp-rounded means — and argmax-assign against the result; the
+    // query's own assignment goes through the same trainCentroids path,
+    // so this is an independent recompute, not a tautology
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = math.max(8L, math.min(64L,
+      math.round(math.sqrt(emb.size.toDouble)))).toInt
+    var cents: Seq[(Long, Array[Double])] = emb.keys.toSeq
+      .sortBy(id => md5hex(id.toString)).take(k).sorted
+      .map(id => id -> emb(id))
+    def assign(cs: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      emb.map { case (id, v) =>
+        id -> cs.map { case (cid, cv) => (cid, cosR6(v, cv)) }
+          .minBy { case (cid, c) => (-c, cid) }._1
+      }
+    for (_ <- 1 to 2) {
+      val a = assign(cents)
+      val members = emb.keys.groupBy(a)
+      cents = cents.map { case (cid, old) =>
+        cid -> members.get(cid).map { ms =>
+          val n = ms.size
+          (0 until 64).map(i =>
+            r6(ms.iterator.map(m => emb(m)(i)).sum / n)).toArray
+        }.getOrElse(old)
+      }
+    }
+    val cells = assign(cents)
     def side(l: String) = emb.keys.filter(id =>
       lang.get(id).contains(l)).toSeq.sorted
     val (en, de) = (side("en"), side("de"))
