@@ -236,6 +236,91 @@ object VectorOps {
   private[graft] def assignCells(e: DataFrame): DataFrame =
     assignCells(e, trainCentroids(e))
 
+  /** (vec_id, v, c1, c2): every vector's top-2 trained cells in ONE
+    * zero-shuffle projection (positions 1–2 of the k-struct sort) — the
+    * shared side-builder for the capped bitext cell join. The clean
+    * path never reads c2, so Catalyst prunes it; k ≥ 8 guarantees a
+    * second cell exists. */
+  private def top2Cells(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
+    require(cents.length >= 2, "top2Cells needs at least two centroids")
+    val cells = array(cents.map { case (id, cv) =>
+      struct(
+        round(CosineSimilarity(col("v"), array(cv.map(lit(_)): _*)), 6)
+          .as("ccos"),
+        lit(id).as("cent_id"))
+    }: _*)
+    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l("ccos") > r("ccos"), -1)
+        .when(l("ccos") < r("ccos"), 1)
+        .when(l("cent_id") < r("cent_id"), -1)
+        .when(l("cent_id") > r("cent_id"), 1)
+        .otherwise(0)
+    val sorted = array_sort(cells, cmp)
+    e.select(col("vec_id"), col("v"),
+      sorted.getItem(0).getField("cent_id").as("c1"),
+      sorted.getItem(1).getField("cent_id").as("c2"))
+  }
+
+  /** Oversized-cell occupancy cap for the IVF cell equi-join — the
+    * [[graft.operators.TextOps.lshPairsCapped]] discipline applied to
+    * cells: at 100 TB a boilerplate-dense hub cell (the rdf:type skew
+    * of vector space) recreates the q317 brute-force blowup INSIDE one
+    * cell unless its |en_cell|·|de_cell| product is defended. */
+  private[graft] val IvfCellCap = 1000
+
+  /** Cell-join candidate pairs with the oversized-cell diversion.
+    * `a` must carry (src_id, va, cell, alta); `b` (tgt_id, vb, cell,
+    * altb) — `alt*` is the side's OTHER top-2 cell ([[top2Cells]]).
+    *
+    * The census (max per-side cell occupancy) is one map-side-combined
+    * aggregation + a 1-row driver read — the lshPairsCapped class; the
+    * CLEAN path is the classic cell equi-join with zero extra joins
+    * (the alt columns prune out of the plan). Cells whose occupancy
+    * exceeds `cap` divert: their pairs additionally key on the
+    * second-choice cell (join key becomes (cell, alt) — a COMPOSITE
+    * hash-join key, so the shuffle product is per (cell, alt)
+    * sub-group, ≤ (k−1)-way split of the hub). That is the same ANN
+    * relaxation the cell join already is, tightened one rung — a
+    * cross-sub-cell best inside a hub cell is invisible, which is
+    * q328's business to measure. A POINT-MASS hub (all members
+    * identical) also shares its second cell and keeps its product —
+    * semantically irreducible for mining (every pair IS a candidate
+    * translation pair); the real remedy there is upstream semantic
+    * dedup (q146), not the candidate generator. */
+  private[graft] def cappedCellCandidates(a: DataFrame, b: DataFrame,
+                                          cap: Int): DataFrame = {
+    val occ = a.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("cell")).agg(count(lit(1)).as("nb")),
+        Seq("cell"), "full_outer")
+      .select(col("cell"),
+        greatest(coalesce(col("na"), lit(0L)),
+          coalesce(col("nb"), lit(0L))).as("occ"))
+    // 1-row bounded driver read (the lshPairsCapped census class)
+    val mx = occ.agg(max(col("occ")).as("m")).collect()(0)
+    val maxOcc = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (maxOcc <= cap)
+      a.drop("alta").join(b.drop("altb"), "cell")
+        .select(col("src_id"), col("va"), col("tgt_id"), col("vb"))
+    else {
+      // oversized keys: tiny by construction (cells over the cap),
+      // eagerly materialized so both anti/semi sides broadcast it
+      val keys = occ.filter(col("occ") > cap).select(col("cell"))
+        .localCheckpoint()
+      val small = a.join(broadcast(keys), Seq("cell"), "left_anti")
+        .drop("alta")
+        .join(b.join(broadcast(keys), Seq("cell"), "left_anti")
+          .drop("altb"), "cell")
+        .select(col("src_id"), col("va"), col("tgt_id"), col("vb"))
+      val big = a.join(broadcast(keys), Seq("cell"), "left_semi").as("ba")
+        .join(b.join(broadcast(keys), Seq("cell"), "left_semi").as("bb"),
+          col("ba.cell") === col("bb.cell") &&
+            col("ba.alta") === col("bb.altb"))
+        .select(col("ba.src_id").as("src_id"), col("ba.va").as("va"),
+          col("bb.tgt_id").as("tgt_id"), col("bb.vb").as("vb"))
+      small.unionByName(big)
+    }
+  }
+
   def q60IvfAnn(s: SparkSession, dir: String): DataFrame = {
     // assigned feeds both the probe list and the candidate scan — persist
     // so the corpus×centroid scoring runs once, checkpoint the (tiny)
@@ -466,15 +551,27 @@ object VectorOps {
     * with production k ≈ √N cells the per-cell work is corpus/k per
     * side and nothing broadcasts or crosses. The windows partition by
     * src/tgt inside the pair frame, the top-4 agg is |src|-bounded. */
-  def q320BitextIvf(s: SparkSession, dir: String): DataFrame = {
+  def q320BitextIvf(s: SparkSession, dir: String): DataFrame =
+    bitextIvfImpl(s, dir, IvfCellCap)
+
+  /** q320 body with the occupancy cap as a parameter (specs force the
+    * diversion with a small cap on real data; production runs at
+    * [[IvfCellCap]] — at the test SFs every cell is under the cap, so
+    * the DuckDB oracle encodes the clean path, the lshPairsCapped
+    * convention). */
+  private[graft] def bitextIvfImpl(s: SparkSession, dir: String,
+                                   cap: Int): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir)).join(lang, "vec_id")
-    val a = cells.filter(col("lang") === "en")
-      .select(col("vec_id").as("src_id"), col("v").as("va"), col("cell"))
-    val b = cells.filter(col("lang") === "de")
-      .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("cell"))
-    val pairs = a.join(b, "cell")
+    val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir))
+      .join(lang, "vec_id")
+    val a = t2.filter(col("lang") === "en")
+      .select(col("vec_id").as("src_id"), col("v").as("va"),
+        col("c1").as("cell"), col("c2").as("alta"))
+    val b = t2.filter(col("lang") === "de")
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+        col("c1").as("cell"), col("c2").as("altb"))
+    val pairs = cappedCellCandidates(a, b, cap)
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
@@ -494,17 +591,31 @@ object VectorOps {
     * both 64-dim vectors (133× wall at 30× data) for that no-op.
     * Cost: ≤2× the q320 pair frame — the standard probe/recall trade,
     * now measurable against q317's exact truth alongside q320. */
-  def q332BitextMultiprobe(s: SparkSession, dir: String): DataFrame = {
+  def q332BitextMultiprobe(s: SparkSession, dir: String): DataFrame =
+    bitextMultiprobeImpl(s, dir, IvfCellCap)
+
+  /** q332 body with the occupancy cap as a parameter (the q320
+    * convention). The src side's two probe rows carry complementary
+    * (cell, alt) — probing via c1 leaves c2 as the diversion sub-key
+    * and vice versa — so under a hub cell the probe fan-out and the
+    * sub-split compose instead of fighting. */
+  private[graft] def bitextMultiprobeImpl(s: SparkSession, dir: String,
+                                          cap: Int): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val ranked = rankedCells(vecs(s, dir), coarseCentroids(s, dir)).join(lang, "vec_id")
-    val a = ranked.filter(col("lang") === "en" && col("rn") <= 2)
+    val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir))
+      .join(lang, "vec_id")
+    val a = t2.filter(col("lang") === "en")
       .select(col("vec_id").as("src_id"), col("v").as("va"),
-        col("cent_id").as("cell"))
-    val b = ranked.filter(col("lang") === "de" && col("rn") === 1)
+        explode(array(
+          struct(col("c1").as("cell"), col("c2").as("alt")),
+          struct(col("c2").as("cell"), col("c1").as("alt")))).as("pc"))
+      .select(col("src_id"), col("va"),
+        col("pc.cell").as("cell"), col("pc.alt").as("alta"))
+    val b = t2.filter(col("lang") === "de")
       .select(col("vec_id").as("tgt_id"), col("v").as("vb"),
-        col("cent_id").as("cell"))
-    val pairs = a.join(b, "cell")
+        col("c1").as("cell"), col("c2").as("altb"))
+    val pairs = cappedCellCandidates(a, b, cap)
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))

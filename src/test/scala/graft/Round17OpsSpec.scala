@@ -89,4 +89,103 @@ class Round17OpsSpec extends SparkSpec {
     }
     assert(vm.size === 60)
   }
+
+  /** In-memory replay of the trained quantizer + top-2 cells over the
+    * sf0.001 embeddings — the shared reference for the diversion and
+    * router tests below. */
+  private lazy val fixtureTop2: Map[Long, (Long, Long)] = {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.functions.CosineSimilarity.register(spark)
+    operators.VectorOps.rankedCells(
+        e, operators.VectorOps.trainCentroids(e), maxRn = 2)
+      .select(col("vec_id"), col("cent_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        val m = rs.map(x => x._3 -> x._2).toMap
+        id -> (m(1), m(2))
+      }
+  }
+
+  test("q320's oversized-cell diversion: under a small cap, hub-cell " +
+      "pairs additionally share the second-choice cell, clean cells " +
+      "are untouched, and the pair product is genuinely split") {
+    val dir = "/root/testdata/sf0.001"
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val top2 = fixtureTop2
+    val en = top2.keys.filter(id => lang.get(id).contains("en")).toSeq
+    val de = top2.keys.filter(id => lang.get(id).contains("de")).toSeq
+    val cap = 5
+    // per-cell per-side occupancy on the q320 frame (c1 only)
+    val occ = (en.groupBy(id => top2(id)._1).view.mapValues(_.size).toMap,
+      de.groupBy(id => top2(id)._1).view.mapValues(_.size).toMap)
+    val cellsAll = (occ._1.keySet ++ occ._2.keySet)
+    val over = cellsAll.filter(c =>
+      math.max(occ._1.getOrElse(c, 0), occ._2.getOrElse(c, 0)) > cap)
+    assert(over.nonEmpty, s"cap=$cap must force the diversion at sf0.001")
+    assert(over.size < cellsAll.size, "some cells must stay clean")
+    val out = operators.VectorOps.bitextIvfImpl(spark, dir, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    // schema parity with the production entry point
+    assert(operators.VectorOps.bitextIvfImpl(spark, dir, cap).schema ===
+      operators.VectorOps.q320BitextIvf(spark, dir).schema)
+    out.foreach { case (s0, t) =>
+      assert(top2(s0)._1 === top2(t)._1, s"pair ($s0,$t) crosses cells")
+      if (over(top2(s0)._1))
+        assert(top2(s0)._2 === top2(t)._2,
+          s"hub-cell pair ($s0,$t) must share the second-choice cell")
+    }
+    // the candidate frames: diverted cells split by alt on both sides
+    val cleanCand = (for {
+      s0 <- en; t <- de
+      if top2(s0)._1 == top2(t)._1
+    } yield (s0, t)).toSet
+    val cappedCand = cleanCand.filter { case (s0, t) =>
+      !over(top2(s0)._1) || top2(s0)._2 == top2(t)._2
+    }
+    assert(cappedCand.size < cleanCand.size,
+      "the diversion must actually shrink the hub-cell pair frame")
+    // every mined pair comes from the capped candidate set
+    out.foreach { case (s0, t) =>
+      assert(cappedCand((s0, t)), s"pair ($s0,$t) outside capped frame")
+    }
+  }
+
+  test("q332's multi-probe diversion composes with the probe fan-out: " +
+      "probing via c1 leaves c2 as the sub-key and vice versa") {
+    val dir = "/root/testdata/sf0.001"
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val top2 = fixtureTop2
+    val en = top2.keys.filter(id => lang.get(id).contains("en")).toSeq
+    val de = top2.keys.filter(id => lang.get(id).contains("de")).toSeq
+    val cap = 5
+    // q332's a-side census counts PROBE rows (both cells of every src)
+    val aOcc = en.flatMap(id => Seq(top2(id)._1, top2(id)._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val bOcc = de.groupBy(id => top2(id)._1).view.mapValues(_.size).toMap
+    val over = (aOcc.keySet ++ bOcc.keySet).filter(c =>
+      math.max(aOcc.getOrElse(c, 0), bOcc.getOrElse(c, 0)) > cap)
+    assert(over.nonEmpty, "cap=5 must force the multi-probe diversion")
+    val out = operators.VectorOps.bitextMultiprobeImpl(spark, dir, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    out.foreach { case (s0, t) =>
+      val (s1, s2) = top2(s0)
+      val tc = top2(t)._1
+      assert(s1 == tc || s2 == tc, s"pair ($s0,$t) met outside probes")
+      // if the meeting cell is oversized, the complementary probe cell
+      // must match the tgt's second choice
+      if (over(tc)) {
+        val alt = if (s1 == tc) s2 else s1
+        assert(alt === top2(t)._2,
+          s"hub-cell probe pair ($s0,$t) must share the sub-key")
+      }
+    }
+  }
 }
