@@ -874,12 +874,21 @@ object TextOps {
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(col("toks"), 1, 4)).as("g4"))
 
-  def q326CanaryScan(s: SparkSession, dir: String): DataFrame = {
+  def q326CanaryScan(s: SparkSession, dir: String): DataFrame =
+    canaryScanImpl(s, dir, graft.util.Guards.EvalBroadcastRows)
+
+  /** q326 body with the eval-broadcast bound as a parameter (specs
+    * prove the guard fires; production runs at the shared bound). The
+    * canary set is eval-sized BY CONTRACT — the guard makes the
+    * contract loud instead of conventional. */
+  private[graft] def canaryScanImpl(s: SparkSession, dir: String,
+                                    evalBound: Long): DataFrame = {
     val t = docs(s, dir)
-    val canaries = canarySet(t)
+    val canaries = graft.util.Guards.boundedBroadcast(
+      canarySet(t), evalBound, "q326 canary scan")
     t.select(col("doc_id"), col("source"),
         explode(expr(fourGrams)).as("g4"))
-      .join(broadcast(canaries), "g4")
+      .join(canaries, "g4")
       .filter(col("doc_id") =!= col("eval_id"))
       .select(col("source"), col("doc_id"), col("eval_id")).distinct()
       .groupBy(col("source"))

@@ -635,12 +635,20 @@ object VectorOps {
     * streams through one scan with map-side partial aggregation —
     * never a corpus shuffle; the IVF cell route (q193/q320) is the
     * swap-in when even |eval|×corpus cosines stop fitting. */
-  def q334SemanticEvalProximity(s: SparkSession, dir: String): DataFrame = {
+  def q334SemanticEvalProximity(s: SparkSession, dir: String): DataFrame =
+    semanticEvalProximityImpl(s, dir, graft.util.Guards.EvalBroadcastRows)
+
+  /** q334 body with the eval-broadcast bound as a parameter (specs
+    * prove the guard fires; production runs at the shared bound). */
+  private[graft] def semanticEvalProximityImpl(s: SparkSession, dir: String,
+                                               evalBound: Long): DataFrame = {
     val e = vecs(s, dir)
-    val ev = e.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("eval_id"), col("v").as("evec"))
+    val ev = graft.util.Guards.boundedBroadcast(
+      e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("evec")),
+      evalBound, "q334 semantic eval-proximity release gate")
     val train = e.filter(col("vec_id") % 31 =!= 0)
-    train.crossJoin(broadcast(ev))
+    train.crossJoin(ev)
       .withColumn("cm",
         round(round(CosineSimilarity(col("evec"), col("v")), 6) * 1e6)
           .cast("long"))
@@ -663,12 +671,21 @@ object VectorOps {
     * the q332 multi-probe knob). Eval vectors with no same-cell
     * training neighbor are absent — a screen reports findings, not
     * absences. */
-  def q335ProximityScreenIvf(s: SparkSession, dir: String): DataFrame = {
+  def q335ProximityScreenIvf(s: SparkSession, dir: String): DataFrame =
+    proximityScreenIvfImpl(s, dir, graft.util.Guards.EvalBroadcastRows)
+
+  /** q335 body with the eval-broadcast bound as a parameter (specs
+    * prove the guard fires; production runs at the shared bound). */
+  private[graft] def proximityScreenIvfImpl(s: SparkSession, dir: String,
+                                            evalBound: Long): DataFrame = {
     val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir))
-    val ev = cells.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("eval_id"), col("v").as("evec"), col("cell"))
+    val ev = graft.util.Guards.boundedBroadcast(
+      cells.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("evec"),
+          col("cell")),
+      evalBound, "q335 IVF proximity screen")
     val train = cells.filter(col("vec_id") % 31 =!= 0)
-    train.join(broadcast(ev), "cell")
+    train.join(ev, "cell")
       .withColumn("cm",
         round(round(CosineSimilarity(col("evec"), col("v")), 6) * 1e6)
           .cast("long"))

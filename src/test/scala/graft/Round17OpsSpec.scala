@@ -188,4 +188,28 @@ class Round17OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("eval-set broadcasts are size-GUARDED, not conventional: an " +
+      "over-bound eval side fails loudly naming the contract, and the " +
+      "production bound keeps all three queries live") {
+    val dir = "/root/testdata/sf0.001"
+    // the sf0.001 eval split (doc_id % 31) has ~16 members — bound 3
+    // forces each guard to fire
+    def msgOf(t: => Any): String =
+      intercept[IllegalArgumentException](t).getMessage
+    val m1 = msgOf(operators.TextOps.canaryScanImpl(spark, dir, 3).collect())
+    assert(m1.contains("eval-set bound") && m1.contains("q326"))
+    val m2 = msgOf(
+      operators.VectorOps.semanticEvalProximityImpl(spark, dir, 3).collect())
+    assert(m2.contains("eval-set bound") && m2.contains("release gate"))
+    val m3 = msgOf(
+      operators.VectorOps.proximityScreenIvfImpl(spark, dir, 3).collect())
+    assert(m3.contains("eval-set bound") && m3.contains("q335"))
+    // and the shipped bound admits the real eval sets
+    assert(operators.TextOps.q326CanaryScan(spark, dir).collect().nonEmpty)
+    assert(operators.VectorOps.q334SemanticEvalProximity(spark, dir)
+      .collect().nonEmpty)
+    assert(operators.VectorOps.q335ProximityScreenIvf(spark, dir)
+      .collect().nonEmpty)
+  }
 }
