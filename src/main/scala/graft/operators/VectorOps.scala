@@ -724,6 +724,47 @@ object VectorOps {
           .as("precision"))
   }
 
+  /** Pair-frame bound for the bitext router: below it the exact
+    * brute-force frame (q317) is affordable and is the better answer
+    * (no recall loss); above it only the IVF cell join (q320) scales.
+    * 10M pairs ≈ a few GB of scored pair rows — comfortably inside one
+    * executor wave, far outside broadcast territory. */
+  private[graft] val BitextExactPairBound = 10000000L
+
+  /** The routing predicate, factored for the spec to pin the switch
+    * point: exact iff |en|·|de| ≤ bound (BigInt — two 3e9-row sides
+    * must route to IVF, not overflow Long into the exact path). */
+  private[graft] def bitextRouteExact(nEn: Long, nDe: Long, bound: Long): Boolean =
+    BigInt(nEn) * BigInt(nDe) <= BigInt(bound)
+
+  /** Size-routed bitext mining — the lshPairsCapped auto-diversion
+    * pattern applied at the ENTRY POINT, so a caller can no longer run
+    * q317 semantics at corpus scale by accident: count the two language
+    * sides (one column-pruned scan — the price of the contract, the
+    * q326/q334 guard discipline), then pick the exact frame below
+    * [[BitextExactPairBound]] and the IVF cell join above it. Both
+    * routes share [[bitextMarginPairs]], so the output schema is
+    * identical by construction and the router changes WHICH candidate
+    * frame feeds the margin algebra, never the algebra itself. */
+  def q336BitextAuto(s: SparkSession, dir: String): DataFrame =
+    bitextAutoImpl(s, dir, BitextExactPairBound)
+
+  /** q336 body with the pair bound as a parameter (specs pin both
+    * routes on the same data; production runs at the shipped bound). */
+  private[graft] def bitextAutoImpl(s: SparkSession, dir: String,
+                                    bound: Long): DataFrame = {
+    val lang = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val counts = Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(lang, "vec_id")
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nEn, nDe) = (counts.getOrElse("en", 0L), counts.getOrElse("de", 0L))
+    if (bitextRouteExact(nEn, nDe, bound)) q317BitextMining(s, dir)
+    else q320BitextIvf(s, dir)
+  }
+
   /** Int8 symmetric quantization report — the vector-compression pass an
     * ANN index build runs before storing embeddings at corpus scale (4×
     * smaller than float32; the scale factor and reconstruction error are
@@ -1470,6 +1511,7 @@ object VectorOps {
     "q71_multiprobe_ann"   -> q71MultiprobeAnn _,
     "q317_bitext_mining"   -> q317BitextMining _,
     "q320_bitext_ivf"      -> q320BitextIvf _,
+    "q336_bitext_auto"     -> q336BitextAuto _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2190,6 +2232,73 @@ object VectorOps {
                 round(CAST(best * k4 - scm AS DOUBLE)
                       / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
          FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    // the router replayed: both candidate chains share the cosine table
+    // (xcm), the route predicate is the same |en|·|de| ≤ bound compare,
+    // and exactly one arm of the UNION survives — the engine's
+    // driver-side if/else expressed as two route-gated SELECTs
+    "q336_bitext_auto" ->
+      s"""WITH $assignSql,
+         lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         rc AS (SELECT
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nd
+                FROM embeddings e JOIN lg ON lg.vec_id = e.vec_id),
+         xdots AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                     sum(a.x * b.x) AS dot
+                   FROM ex a JOIN lg la ON la.vec_id = a.vec_id
+                                       AND la.lang = 'en'
+                   JOIN ex b ON b.i = a.i
+                   JOIN lg lb ON lb.vec_id = b.vec_id AND lb.lang = 'de'
+                   GROUP BY 1, 2),
+         xcm AS (SELECT src_id, tgt_id,
+                   round(dot / (na.n * nb.n), 6) AS cos,
+                   CAST(round(round(dot / (na.n * nb.n), 6) * 1e6)
+                        AS BIGINT) AS cm
+                 FROM xdots JOIN nrm na ON src_id = na.vec_id
+                            JOIN nrm nb ON tgt_id = nb.vec_id),
+         xr AS (SELECT *,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY cm DESC, tgt_id) AS rs,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY cm DESC, src_id) AS rt
+                FROM xcm),
+         xt4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
+                   CAST(count(*) AS BIGINT) AS k4,
+                   CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best
+                 FROM xr WHERE rs <= 4 GROUP BY 1),
+         xout AS (SELECT xr.src_id, xr.tgt_id, xr.cos,
+                    round(CAST(best * k4 - scm AS DOUBLE)
+                          / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
+                  FROM xr JOIN xt4 USING (src_id) WHERE rs = 1 AND rt = 1),
+         icand AS (SELECT sa.vec_id AS src_id, sb.vec_id AS tgt_id
+                   FROM assigned sa
+                   JOIN lg la ON la.vec_id = sa.vec_id AND la.lang = 'en'
+                   JOIN assigned sb ON sb.cell = sa.cell
+                   JOIN lg lb ON lb.vec_id = sb.vec_id AND lb.lang = 'de'),
+         icm AS (SELECT c.src_id, c.tgt_id, x.cos, x.cm
+                 FROM icand c JOIN xcm x ON x.src_id = c.src_id
+                                        AND x.tgt_id = c.tgt_id),
+         ir AS (SELECT *,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY cm DESC, tgt_id) AS rs,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY cm DESC, src_id) AS rt
+                FROM icm),
+         it4 AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS scm,
+                   CAST(count(*) AS BIGINT) AS k4,
+                   CAST(max(CASE WHEN rs = 1 THEN cm END) AS BIGINT) AS best
+                 FROM ir WHERE rs <= 4 GROUP BY 1),
+         iout AS (SELECT ir.src_id, ir.tgt_id, ir.cos,
+                    round(CAST(best * k4 - scm AS DOUBLE)
+                          / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
+                  FROM ir JOIN it4 USING (src_id) WHERE rs = 1 AND rt = 1)
+         SELECT src_id, tgt_id, cos, margin FROM xout
+         WHERE (SELECT ne * nd FROM rc) <= 10000000
+         UNION ALL
+         SELECT src_id, tgt_id, cos, margin FROM iout
+         WHERE (SELECT ne * nd FROM rc) > 10000000""",
     "q328_bitext_ivf_recall" ->
       s"""WITH $assignSql,
          lg AS (SELECT doc_id AS vec_id, lang FROM documents),

@@ -212,4 +212,30 @@ class Round17OpsSpec extends SparkSpec {
     assert(operators.VectorOps.q335ProximityScreenIvf(spark, dir)
       .collect().nonEmpty)
   }
+
+  test("q336 bitext router: the switch point is |en|*|de| <= bound " +
+      "(BigInt — no Long overflow into the exact path), both routes " +
+      "share one schema, and each route reproduces its target query") {
+    import operators.VectorOps
+    // switch point pinned exactly
+    assert(VectorOps.bitextRouteExact(100, 100, 10000))
+    assert(!VectorOps.bitextRouteExact(100, 101, 10000))
+    assert(VectorOps.bitextRouteExact(0, 1000000000L, 0))
+    // two 3e9-row sides: Long would overflow negative and route exact
+    assert(!VectorOps.bitextRouteExact(3000000000L, 3000000000L,
+      VectorOps.BitextExactPairBound))
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val auto = VectorOps.q336BitextAuto(spark, dir)
+    val exact = VectorOps.q317BitextMining(spark, dir)
+    val ivf = VectorOps.q320BitextIvf(spark, dir)
+    assert(auto.schema === exact.schema && auto.schema === ivf.schema,
+      "both routes must produce one schema")
+    // sf0.001 is far under the bound: the router must pick the exact frame
+    assert(pairs(auto) === pairs(exact))
+    // a 1-pair bound forces the IVF route on the same data
+    assert(pairs(VectorOps.bitextAutoImpl(spark, dir, 1)) === pairs(ivf))
+  }
 }
