@@ -238,4 +238,26 @@ class Round17OpsSpec extends SparkSpec {
     // a 1-pair bound forces the IVF route on the same data
     assert(pairs(VectorOps.bitextAutoImpl(spark, dir, 1)) === pairs(ivf))
   }
+
+  test("IVF-bitext recall FLOOR (the round-16 verdict's quality gate): " +
+      "a refactor that silently craters single-probe recall turns this " +
+      "red instead of staying oracle-green") {
+    val dir = "/root/testdata/sf0.001"
+    val row = operators.VectorOps.q328BitextIvfRecall(spark, dir)
+      .collect().head
+    val (nExact, recall, precision) =
+      (row.getLong(0), row.getDouble(3), row.getDouble(4))
+    assert(nExact > 0, "the eval needs a non-empty exact truth")
+    // Measured at HEAD (round 17, trained k=22 quantizer, single
+    // probe): recall 0.2745, precision 0.3415 at sf0.001 (0.2909 /
+    // 0.2963 at sf0.01). The floors sit ~40% under the measured
+    // values — far above the ~1/k ≈ 0.05 a broken (random-cell)
+    // quantizer produces, far enough under the point estimate that
+    // benign rounding drift cannot flap the gate.
+    assert(recall >= 0.15,
+      s"single-probe IVF-bitext recall crashed to $recall (< 0.15): " +
+        "the coarse quantizer has regressed toward random cells")
+    assert(precision >= 0.15,
+      s"IVF-bitext precision crashed to $precision (< 0.15)")
+  }
 }
