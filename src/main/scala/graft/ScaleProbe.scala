@@ -118,6 +118,35 @@ object ScaleProbe {
       spark.catalog.clearCache()
       if (ok) sec else -math.max(sec, 0.01)
     }
+    // The trained coarse quantizer is an INDEX ARTIFACT (built once per
+    // corpus, offline, like the corpus files themselves) — pre-build it
+    // for both rungs so its one-time cost lands here, visibly, instead
+    // of inside whichever IVF query happens to run first at N×; the
+    // build seconds print with the probe line.
+    def trainSec(dir: String): Double = {
+      val t0 = System.nanoTime()
+      operators.VectorOps.coarseCentroids(spark, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (train1, trainN) = (trainSec(src), trainSec(out))
+    System.err.println(f"[scale] quantizer build: 1x=$train1%.2fs Nx=$trainN%.2fs")
+    // cell-occupancy census per rung (round-17 verdict: the join profile
+    // of the IVF family is the occupancy distribution — record it with
+    // the ratios): k cells, min/median/max members, top-3 cells
+    def occStats(dir: String): String = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val occ = operators.VectorOps
+        .assignCells(e, operators.VectorOps.coarseCentroids(spark, dir))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(1)).sorted
+      if (occ.isEmpty) "k=0"
+      else s"k=${occ.length} min=${occ.head} p50=${occ(occ.length / 2)} " +
+        s"max=${occ.last} top3=${occ.takeRight(3).mkString(",")}"
+    }
+    System.err.println(s"[scale] occupancy 1x: ${occStats(src)}")
+    System.err.println(s"[scale] occupancy Nx: ${occStats(out)}")
     // 1x warm pass (absorbs per-shape codegen), then the timed pairs
     qs.foreach { case (n, f) => time(src, n, f) }
     val results = qs.map { case (n, f) =>
@@ -131,7 +160,7 @@ object ScaleProbe {
       val ratio = if (b > 0 && g > 0) fmt(g / b) else "null"
       s""""$n":{"sf1":${fmt(b)},"sfN":${fmt(g)},"ratio":$ratio}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","mult":$mult,"src":"$src","out":"$out","queries":$body}""")
+    println(s"""{"metric":"scale_probe","mult":$mult,"src":"$src","out":"$out","quantizer_build_sec":{"sf1":${fmt(train1)},"sfN":${fmt(trainN)}},"queries":$body}""")
     spark.stop()
   }
 }
