@@ -131,20 +131,31 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "trainCentroids needs at least one vector")
+    val dim = cents.head._2.length
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var it = 0
     var converged = false
     while (it < 2 && !converged) {
-      // one corpus scan: zero-shuffle argmax + (cell, dim) mean agg;
-      // k×64 bounded driver read closes the round
-      val means = e
-        .select(cellOf(cents).as("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+      // ONE corpus scan per round: the argmax rides the GROUPING KEY
+      // (evaluated once per row by the hash aggregate) and the per-dim
+      // sums are `dim` element_at aggregates — deliberately NO
+      // posexplode: a Generate re-evaluates non-attribute projections
+      // per GENERATED row, so explode-next-to-argmax multiplies the
+      // k×dim scoring by dim (measured: the 30× probe rung burned
+      // ~650 CPU-seconds PER TASK on that shape before this fix).
+      // Map-side combine makes the shuffle k rows × (dim+1) sums;
+      // the k×(dim+1) driver read closes the round. Means round to 6dp
+      // half-up ON THE DRIVER — the same BigDecimal semantics as the
+      // in-plan round(col, 6) the oracle mirrors.
+      val sums = e.groupBy(cellOf(cents).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*)
         .collect()
-      val byCell: Map[Long, Seq[Double]] = means
-        .groupBy(_.getLong(0)).map { case (id, rows) =>
-          id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+      val byCell: Map[Long, Seq[Double]] = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getLong(0) -> (0 until dim).map(i => r6(r.getDouble(i + 2) / n))
+      }.toMap
       val next = cents.map { case (id, old) =>
         (id, byCell.getOrElse(id, old)) // empty cell keeps its centroid
       }
@@ -353,7 +364,12 @@ object VectorOps {
     * partial-sum agg), both partial-aggregable — the loop is flat per
     * round at any scale. */
   def q68KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint = the Generate barrier: posexplode would otherwise
+    // re-evaluate the k×dim argmax cell per EXPLODED row (Generate
+    // recomputes non-attribute projections per generated element — the
+    // shape the round-17 30× probe caught in trainCentroids' first cut)
     val assigned = assignCells(vecs(s, dir), coarseCentroids(s, dir))
+      .localCheckpoint()
     assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i"))
