@@ -740,6 +740,79 @@ object VectorOps {
           .as("precision"))
   }
 
+  /** Quantizer census — the per-cell health report an IVF index build
+    * publishes next to the artifact (this round's probe prints the
+    * same stats to stderr; this makes them a first-class ORACLED
+    * output): per cell, member count plus mean/min/max assigned-cell
+    * cosine. The mean is an exact micro-long sum spending ONE IEEE
+    * division (the q317 margin discipline); min/max are
+    * order-independent on the 6dp-rounded ccos. One zero-shuffle
+    * ranking pass + one k-row aggregation. */
+  def q337QuantizerCensus(s: SparkSession, dir: String): DataFrame =
+    rankedCells(vecs(s, dir), coarseCentroids(s, dir), maxRn = 1)
+      .select(col("cent_id").as("cell"),
+        round(col("ccos") * 1e6).cast("long").as("cm"), col("ccos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("cm")).as("scm"),
+        min(col("ccos")).as("min_ccos"), max(col("ccos")).as("max_ccos"))
+      .select(col("cell"), col("n_members"),
+        round(col("scm").cast("double") /
+          (lit(1e6) * col("n_members").cast("double")), 6).as("avg_ccos"),
+        col("min_ccos"), col("max_ccos"))
+
+  /** IVF imbalance factor (the FAISS index-health metric:
+    * k·Σn_c²/N² — 1.0 is perfectly balanced, the expected slowdown
+    * multiplier of cell-probed search under skew) plus the occupancy
+    * extremes and the count of cells over [[IvfCellCap]] — the one-row
+    * go/no-go an index build reads before serving: imbalance near 1
+    * and n_over_cap 0 means the cell join runs clean-path everywhere.
+    * Integer sufficient statistics; the imbalance spends one IEEE
+    * chain mirrored exactly in the oracle. */
+  def q338IvfImbalance(s: SparkSession, dir: String): DataFrame =
+    assignCells(vecs(s, dir), coarseCentroids(s, dir))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+      .agg(count(lit(1)).as("k"), sum(col("n_c")).as("n"),
+        sum(col("n_c") * col("n_c")).as("s2"),
+        max(col("n_c")).as("max_occ"),
+        sum(when(col("n_c") > IvfCellCap, 1L).otherwise(0L))
+          .as("n_over_cap"))
+      .select(col("k"), col("n"),
+        round(col("k").cast("double") * col("s2").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("imbalance"),
+        col("max_occ"), col("n_over_cap"))
+
+  /** Multi-probe proximity SCREEN — [[q335ProximityScreenIvf]] with the
+    * q332 recall knob applied: each EVAL vector probes its TOP-2 cells
+    * (the probe fan-out multiplies only the broadcast eval side — the
+    * corpus stays at its one assigned cell, and a (train, eval) pair
+    * can meet in at most one probe because the train side carries one
+    * cell). Still precision-1 under-reporting, but the miss the
+    * single-probe screen's scaladoc concedes shrinks by the measured
+    * q328 single→two-probe recall step. Same size-guarded broadcast
+    * contract as q335. */
+  def q339MultiprobeScreen(s: SparkSession, dir: String): DataFrame = {
+    val cents = coarseCentroids(s, dir)
+    val e = vecs(s, dir)
+    val ev = graft.util.Guards.boundedBroadcast(
+      rankedCells(e.filter(col("vec_id") % 31 === 0), cents, maxRn = 2)
+        .select(col("vec_id").as("eval_id"), col("v").as("evec"),
+          col("cent_id").as("cell")),
+      graft.util.Guards.EvalBroadcastRows,
+      "q339 multi-probe proximity screen")
+    val train = assignCells(e, cents).filter(col("vec_id") % 31 =!= 0)
+    train.join(ev, "cell")
+      .withColumn("cm",
+        round(round(CosineSimilarity(col("evec"), col("v")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("cm"), (-col("vec_id")).as("negid"))).as("m"),
+        sum(when(col("cm") >= 500000L, 1L).otherwise(0L)).as("n_close"))
+      .select(col("eval_id"),
+        round(col("m.cm").cast("double") / 1e6, 6).as("max_cos"),
+        (-col("m.negid")).as("nearest_train"), col("n_close"))
+  }
+
   /** Pair-frame bound for the bitext router: below it the exact
     * brute-force frame (q317) is affordable and is the better answer
     * (no recall loss); above it only the IVF cell join (q320) scales.
@@ -1528,6 +1601,9 @@ object VectorOps {
     "q317_bitext_mining"   -> q317BitextMining _,
     "q320_bitext_ivf"      -> q320BitextIvf _,
     "q336_bitext_auto"     -> q336BitextAuto _,
+    "q337_quantizer_census" -> q337QuantizerCensus _,
+    "q338_ivf_imbalance"   -> q338IvfImbalance _,
+    "q339_multiprobe_screen" -> q339MultiprobeScreen _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2248,6 +2324,66 @@ object VectorOps {
                 round(CAST(best * k4 - scm AS DOUBLE)
                       / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
          FROM r JOIN t4 USING (src_id) WHERE rs = 1 AND rt = 1""",
+    "q337_quantizer_census" ->
+      s"""WITH $assignSql,
+         ac AS (SELECT a.vec_id, a.cell, cc.ccos
+                FROM assigned a
+                JOIN cc ON cc.vec_id = a.vec_id AND cc.cent_id = a.cell),
+         m AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(sum(CAST(round(ccos * 1e6) AS BIGINT)) AS BIGINT)
+                   AS scm,
+                 min(ccos) AS min_ccos, max(ccos) AS max_ccos
+               FROM ac GROUP BY 1)
+         SELECT cell, n_members,
+                round(CAST(scm AS DOUBLE)
+                      / (1e6 * CAST(n_members AS DOUBLE)), 6) AS avg_ccos,
+                min_ccos, max_ccos
+         FROM m""",
+    "q338_ivf_imbalance" ->
+      s"""WITH $assignSql,
+         oc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_c
+                FROM assigned GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n_c) AS BIGINT) AS n,
+                round(CAST(count(*) AS DOUBLE)
+                        * CAST(sum(n_c * n_c) AS DOUBLE)
+                      / (CAST(sum(n_c) AS DOUBLE)
+                        * CAST(sum(n_c) AS DOUBLE)), 6) AS imbalance,
+                CAST(max(n_c) AS BIGINT) AS max_occ,
+                CAST(sum(CASE WHEN n_c > 1000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_over_cap
+         FROM oc""",
+    "q339_multiprobe_screen" ->
+      s"""WITH $assignSql,
+         probed AS (SELECT vec_id, cent_id AS cell FROM (
+                      SELECT vec_id, cent_id,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cent_id) AS rn
+                      FROM cc WHERE vec_id % 31 = 0) WHERE rn <= 2),
+         dots AS (SELECT p.vec_id AS eval_id, at.vec_id AS train_id,
+                    sum(e.x * tr.x) AS dot
+                  FROM probed p
+                  JOIN assigned at ON at.cell = p.cell
+                  JOIN ex e ON e.vec_id = p.vec_id
+                  JOIN ex tr ON tr.vec_id = at.vec_id AND tr.i = e.i
+                  WHERE at.vec_id % 31 <> 0
+                  GROUP BY 1, 2),
+         c AS (SELECT eval_id, train_id,
+                 CAST(round(round(dot / (ne.n * nt.n), 6) * 1e6) AS BIGINT)
+                   AS cm
+               FROM dots JOIN nrm ne ON eval_id = ne.vec_id
+                         JOIN nrm nt ON train_id = nt.vec_id),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY eval_id
+                   ORDER BY cm DESC, train_id) AS rn
+               FROM c),
+         agg AS (SELECT eval_id,
+                   CAST(sum(CASE WHEN cm >= 500000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_close
+                 FROM c GROUP BY 1)
+         SELECT r.eval_id, round(CAST(cm AS DOUBLE) / 1e6, 6) AS max_cos,
+                r.train_id AS nearest_train, agg.n_close
+         FROM r JOIN agg USING (eval_id) WHERE rn = 1""",
     // the router replayed: both candidate chains share the cosine table
     // (xcm), the route predicate is the same |en|·|de| ≤ bound compare,
     // and exactly one arm of the UNION survives — the engine's

@@ -260,4 +260,45 @@ class Round17OpsSpec extends SparkSpec {
     assert(precision >= 0.15,
       s"IVF-bitext precision crashed to $precision (< 0.15)")
   }
+
+  test("q337/q338: the quantizer census books every vector exactly " +
+      "once and the imbalance report matches the census") {
+    val dir = "/root/testdata/sf0.001"
+    val n = Tables.embeddings(spark, dir).count()
+    val census = operators.VectorOps.q337QuantizerCensus(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census.values.sum === n, "every vector in exactly one cell")
+    assert(census.size === operators.VectorOps.ivfK(n),
+      "one census row per trained cell")
+    val imb = operators.VectorOps.q338IvfImbalance(spark, dir)
+      .collect().head
+    assert(imb.getLong(0) === census.size.toLong)
+    assert(imb.getLong(1) === n)
+    // k * sum(n_c^2) / N^2, same op order as both engines
+    val want = BigDecimal(census.size.toDouble *
+        census.values.map(c => (c * c).toDouble).sum / (n.toDouble * n.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(imb.getDouble(2) === want)
+    assert(imb.getDouble(2) >= 1.0 - 1e-9, "imbalance is >= 1 by QM-AM")
+    assert(imb.getLong(3) === census.values.max)
+    assert(imb.getLong(4) === 0L, "no cell over the cap at this SF")
+  }
+
+  test("q339: the two-probe screen dominates the single-probe screen " +
+      "per eval vector (superset candidates, still precision-1)") {
+    val dir = "/root/testdata/sf0.001"
+    def byEval(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3)))
+        .toMap
+    val one = byEval(operators.VectorOps.q335ProximityScreenIvf(spark, dir))
+    val two = byEval(operators.VectorOps.q339MultiprobeScreen(spark, dir))
+    assert(two.nonEmpty)
+    assert(one.keySet.subsetOf(two.keySet),
+      "an eval vector screened single-probe is screened two-probe")
+    one.foreach { case (id, (cos1, close1)) =>
+      val (cos2, close2) = two(id)
+      assert(cos2 >= cos1, s"eval $id: two-probe max_cos regressed")
+      assert(close2 >= close1, s"eval $id: two-probe n_close regressed")
+    }
+  }
 }
