@@ -682,6 +682,63 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming IVF cell-occupancy monitor — the streaming face of the
+    * q337/q338 index-health reports: an incremental ingest assigns
+    * each arriving vector to its TRAINED cell (the zero-shuffle
+    * literal-argmax plan over the frozen quantizer artifact —
+    * retraining is the offline q186/q68 refresh loop's job, never a
+    * trigger's) and SUM-merges per-cell counts into the guarded state;
+    * each trigger the report re-derives q338's go/no-go row (k, n,
+    * imbalance, max_occ, n_over_cap) from the ≤k-row state. Sum-merge
+    * is non-idempotent, so state carries the batch_id replay guard.
+    * n_over_cap flipping positive is the re-shard signal — the
+    * q320/q332 diversion absorbs the hub in-query meanwhile. */
+  def cellOccupancySink(vectors: DataFrame,
+                        cents: Array[(Long, Seq[Double])],
+                        statePath: String, reportPath: String)
+                       (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stateOpt = readState(spark, statePath)
+        val merged =
+          if (stateOpt.exists(stateBatchId(_, checkpoint) == batchId))
+            stripGuard(stateOpt.get).localCheckpoint()
+          else {
+            val counts = graft.operators.VectorOps.assignCells(
+                batch.toDF().select(col("vec_id"),
+                  expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                    .as("v")),
+                cents)
+              .groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+            val m = stateOpt.map(st => stripGuard(st).unionByName(counts)
+                .groupBy(col("cell"))
+                .agg(org.apache.spark.sql.functions.sum(col("n_c")).as("n_c")))
+              .getOrElse(counts)
+              .localCheckpoint()
+            atomicOverwrite(withGuard(m, batchId, checkpoint), statePath)
+            m
+          }
+        merged
+          .agg(count(lit(1)).as("k"),
+            org.apache.spark.sql.functions.sum(col("n_c")).as("n"),
+            org.apache.spark.sql.functions.sum(col("n_c") * col("n_c")).as("s2"),
+            org.apache.spark.sql.functions.max(col("n_c")).as("max_occ"),
+            org.apache.spark.sql.functions.sum(
+              when(col("n_c") > graft.operators.VectorOps.IvfCellCap, 1L)
+                .otherwise(0L)).as("n_over_cap"))
+          .select(col("k"), col("n"),
+            round(col("k").cast("double") * col("s2").cast("double") /
+              (col("n").cast("double") * col("n").cast("double")), 6)
+              .as("imbalance"),
+            col("max_occ"), col("n_over_cap"))
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming decayed-counter monitor — the streaming face of q283.
     * State is the (event_type, day) daily-count table (decay depends
     * only on the day, so daily counts are a LOSSLESS compression of the

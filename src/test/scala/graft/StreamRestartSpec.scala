@@ -466,6 +466,45 @@ class StreamRestartSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("cellOccupancySink survives kill-and-resume with a crash-replayed " +
+      "trigger: the guard absorbs the replay and the final report " +
+      "equals batch q338 over the full table") {
+    val dir = java.nio.file.Files.createTempDirectory("cellocc").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val statePath = new java.io.File(dir, "state").getAbsolutePath
+    val reportPath = new java.io.File(dir, "report").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      graft.functions.CosineSimilarity.register(spark)
+      val cents = graft.operators.VectorOps.coarseCentroids(spark, sfDir)
+      val full = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val (b1, b2) = (full.filter(col("vec_id") % 2 === 0),
+        full.filter(col("vec_id") % 2 =!= 0))
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      b1.write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.cellOccupancySink(src(), cents, statePath,
+        reportPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      // crash: state swapped, commit lost -> trigger 0 will replay
+      dropLastCommit(ckpt)
+      b2.write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.cellOccupancySink(src(), cents, statePath,
+        reportPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))
+      val streamed = spark.read.parquet(reportPath).collect().map(key).toSet
+      val batch = graft.operators.VectorOps.q338IvfImbalance(spark, sfDir)
+        .collect().map(key).toSet
+      assert(streamed === batch,
+        s"replay double-counted or lost vectors:\n stream=$streamed\n batch=$batch")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("the SAME checkpoint spelled differently across restarts (a '.' " +
       "path segment) resumes cleanly — the pairing guard compares " +
       "canonical paths, not raw strings") {
