@@ -1285,6 +1285,63 @@ object VectorOps {
     out
   }
 
+  /** Multi-probe IVF-PQ search — [[q193IvfpqSearch]] with the q71/q332
+    * probe knob on the PRODUCTION ANN path: each query scores ADC
+    * candidates from its TOP-2 coarse cells instead of one. The probe
+    * fan-out multiplies only the (queries×2×4×4-row) broadcast
+    * distance-table side — the corpus encode scan and the in-cell
+    * candidate join are unchanged, and a candidate can meet a query in
+    * at most one probe (it carries exactly one cell), so no dedup (the
+    * q332 lesson: a defensive dropDuplicates here shuffled ~1 TB at
+    * the 30× rung for a semantic no-op). */
+  def q340IvfpqMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val cents = coarseCentroids(s, dir)
+    val e = vecs(s, dir)
+    val assigned = assignCells(e, cents).persist()
+    assigned.count()
+    val cbs = trainPqCodebooks(assigned)
+    val queries = rankedCells(
+        e.filter(col("vec_id").between(100, 105)), cents, maxRn = 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("q_cell"),
+        col("v").as("qv"))
+    val out = ivfpqAdcSearch(assigned, cbs, queries, topK = 3)
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** ADC recall eval — the q128 protocol applied to the IVF-PQ path:
+    * recall@3 of single-probe (q193) and two-probe (q340) ADC search
+    * against the exact cosine top-3, one row per (arm, query). This is
+    * the number that prices the PQ probe knob the way q328 prices the
+    * bitext one — both approximation layers (cell pruning AND 4-byte
+    * codes) measured against truth, not asserted. Integer hit counts;
+    * recall spends one division rounded 4 (the q128 convention). */
+  def q341AdcRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // Q×3 rows, reused by both arms
+    def arm(name: String, res: DataFrame): DataFrame =
+      exactTop.join(res.select(col("q_id"), col("vec_id"),
+          lit(1L).as("__hit")), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
+            .as("recall"))
+        .withColumn("arm", lit(name))
+    arm("adc1", q193IvfpqSearch(s, dir))
+      .unionByName(arm("adc2", q340IvfpqMultiprobe(s, dir)))
+      .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
+  }
+
   /** k-center greedy coreset (Gonzalez 1985; the SemDeDup/D4-style
     * DIVERSITY selection next to q146's redundancy removal): pick 8
     * maximally-spread vectors — seed = min vec_id, then 7× "the point
@@ -1604,6 +1661,8 @@ object VectorOps {
     "q337_quantizer_census" -> q337QuantizerCensus _,
     "q338_ivf_imbalance"   -> q338IvfImbalance _,
     "q339_multiprobe_screen" -> q339MultiprobeScreen _,
+    "q340_ivfpq_multiprobe" -> q340IvfpqMultiprobe _,
+    "q341_adc_recall"      -> q341AdcRecall _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -1724,6 +1783,54 @@ object VectorOps {
        ${round(1)},
        ${round(2)}"""
   }
+
+  /** ADC search CTE block shared by the q193/q340/q341 oracles:
+    * PQ-encode the corpus against the trained codebooks (`codes`),
+    * per-query distance tables (`qdt`), then the single-probe
+    * candidate frame (`cand`) and the two-probe one (`cand2` —
+    * probes = cc rn ≤ 2, the rankedCells replay). ONE definition so
+    * the recall eval can never drift from the search queries it
+    * scores (the rrfCtes convention). */
+  private val adcCtesSql =
+    """subs AS (SELECT vec_id, m, sub FROM psubs),
+         cbs AS (SELECT m AS cm, code, cw FROM pc2),
+         sc AS (SELECT s.vec_id, s.m, c.code,
+                  round(list_sum(list_transform(range(1, 17),
+                    i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
+                    AS dist2
+                FROM subs s JOIN cbs c ON c.cm = s.m),
+         codes AS (SELECT vec_id, m, code FROM (
+                     SELECT vec_id, m, code, row_number() OVER (
+                       PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
+                       AS rn
+                     FROM sc) WHERE rn = 1),
+         qdt AS (SELECT vec_id AS q_id, m, code, dist2 AS dt FROM sc
+                 WHERE vec_id BETWEEN 100 AND 105),
+         cand AS (SELECT aq.vec_id AS q_id, av.cell, cd.vec_id,
+                    round(sum(q.dt), 6) AS adist
+                  FROM codes cd
+                  JOIN assigned av ON av.vec_id = cd.vec_id
+                  JOIN assigned aq ON aq.cell = av.cell
+                    AND aq.vec_id BETWEEN 100 AND 105
+                  JOIN qdt q ON q.q_id = aq.vec_id AND q.m = cd.m
+                    AND q.code = cd.code
+                  WHERE cd.vec_id <> aq.vec_id
+                  GROUP BY 1, 2, 3),
+         qprobes AS (SELECT vec_id AS q_id, cent_id AS cell FROM (
+                       SELECT vec_id, cent_id, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY ccos DESC, cent_id) AS rn
+                       FROM cc WHERE vec_id BETWEEN 100 AND 105)
+                     WHERE rn <= 2),
+         cand2 AS (SELECT p.q_id, av.cell, cd.vec_id,
+                     round(sum(q.dt), 6) AS adist
+                   FROM codes cd
+                   JOIN assigned av ON av.vec_id = cd.vec_id
+                   JOIN qprobes p ON p.cell = av.cell
+                   JOIN qdt q ON q.q_id = p.q_id AND q.m = cd.m
+                     AND q.code = cd.code
+                   WHERE cd.vec_id <> p.q_id
+                   GROUP BY 1, 2, 3)"""
 
   /** q278's full hybrid-retrieval chain as a CTE block ending in
     * `rrf_ranked(q_id, doc_id, rank, rrf, n_arms)` — shared by the q278
@@ -1911,34 +2018,61 @@ object VectorOps {
     "q193_ivfpq_search" ->
       s"""WITH $assignSql,
          $pqTrainSql,
-         subs AS (SELECT vec_id, m, sub FROM psubs),
-         cbs AS (SELECT m AS cm, code, cw FROM pc2),
-         sc AS (SELECT s.vec_id, s.m, c.code,
-                  round(list_sum(list_transform(range(1, 17),
-                    i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
-                    AS dist2
-                FROM subs s JOIN cbs c ON c.cm = s.m),
-         codes AS (SELECT vec_id, m, code FROM (
-                     SELECT vec_id, m, code, row_number() OVER (
-                       PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
-                       AS rn
-                     FROM sc) WHERE rn = 1),
-         qdt AS (SELECT vec_id AS q_id, m, code, dist2 AS dt FROM sc
-                 WHERE vec_id BETWEEN 100 AND 105),
-         cand AS (SELECT aq.vec_id AS q_id, av.cell, cd.vec_id,
-                    round(sum(q.dt), 6) AS adist
-                  FROM codes cd
-                  JOIN assigned av ON av.vec_id = cd.vec_id
-                  JOIN assigned aq ON aq.cell = av.cell
-                    AND aq.vec_id BETWEEN 100 AND 105
-                  JOIN qdt q ON q.q_id = aq.vec_id AND q.m = cd.m
-                    AND q.code = cd.code
-                  WHERE cd.vec_id <> aq.vec_id
-                  GROUP BY 1, 2, 3)
+         $adcCtesSql
          SELECT q_id, cell, vec_id, rank, adist FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY adist ASC, vec_id ASC) AS rank
            FROM cand) WHERE rank <= 3""",
+    "q340_ivfpq_multiprobe" ->
+      s"""WITH $assignSql,
+         $pqTrainSql,
+         $adcCtesSql
+         SELECT q_id, cell, vec_id, rank, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, vec_id ASC) AS rank
+           FROM cand2) WHERE rank <= 3""",
+    "q341_adc_recall" ->
+      s"""WITH $assignSql,
+         $pqTrainSql,
+         $adcCtesSql,
+         a1 AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist ASC, vec_id ASC)
+                    AS rank
+                  FROM cand) WHERE rank <= 3),
+         a2 AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist ASC, vec_id ASC)
+                    AS rank
+                  FROM cand2) WHERE rank <= 3),
+         ed AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e ON q.i = e.i
+                  AND q.vec_id BETWEEN 100 AND 105
+                  AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         etop AS (SELECT q_id, vec_id FROM (
+                    SELECT ed.q_id, ed.vec_id, row_number() OVER (
+                      PARTITION BY ed.q_id
+                      ORDER BY round(ed.dot/(nq.n * nv.n), 6) DESC,
+                        ed.vec_id) AS rank
+                    FROM ed JOIN nrm nq ON ed.q_id = nq.vec_id
+                            JOIN nrm nv ON ed.vec_id = nv.vec_id)
+                  WHERE rank <= 3)
+         SELECT 'adc1' AS arm, e.q_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+                round(count(x.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                  AS recall
+         FROM etop e LEFT JOIN a1 x
+           ON x.q_id = e.q_id AND x.vec_id = e.vec_id
+         GROUP BY 2
+         UNION ALL
+         SELECT 'adc2' AS arm, e.q_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+                round(count(x.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                  AS recall
+         FROM etop e LEFT JOIN a2 x
+           ON x.q_id = e.q_id AND x.vec_id = e.vec_id
+         GROUP BY 2""",
     "q181_label_centroid_sim" ->
       """WITH ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
              FROM embeddings, range(1, 65) t(i)),

@@ -301,4 +301,47 @@ class Round17OpsSpec extends SparkSpec {
       assert(close2 >= close1, s"eval $id: two-probe n_close regressed")
     }
   }
+
+  test("q340/q341: multi-probe ADC candidates stay inside the query's " +
+      "top-2 cells, the best ADC distance can only improve with the " +
+      "second probe, and the recall eval books both arms") {
+    val dir = "/root/testdata/sf0.001"
+    val top2 = fixtureTop2
+    val mp = operators.VectorOps.q340IvfpqMultiprobe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(mp.nonEmpty)
+    mp.foreach { case (q, cell, cand, _, _) =>
+      val (c1, c2) = top2(q)
+      assert(cell == c1 || cell == c2, s"query $q probed foreign cell $cell")
+      assert(top2(cand)._1 === cell, s"candidate $cand not assigned to $cell")
+      assert(cand !== q)
+    }
+    mp.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1L to rs.length).toSeq,
+        s"query $q ranks not dense")
+    }
+    val sp = operators.VectorOps.q193IvfpqSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // NOT recall dominance (extra candidates can displace true hits in
+    // an APPROXIMATE ranking) — the true invariant is on the best
+    // achievable ADC distance: a superset candidate frame can only
+    // improve (or keep) the rank-1 distance
+    val best1 = sp.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val best2 = mp.filter(_._4 == 1L).map(r => r._1 -> r._5).toMap
+    best1.foreach { case (q, d1) =>
+      assert(best2(q) <= d1 + 1e-9,
+        s"query $q: two-probe best ADC distance regressed ($d1 -> ${best2(q)})")
+    }
+    val rec = operators.VectorOps.q341AdcRecall(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rec.map(_._1).distinct.sorted.toSeq === Seq("adc1", "adc2"))
+    assert(rec.count(_._1 == "adc1") === rec.count(_._1 == "adc2"))
+    rec.foreach { case (_, _, k, nh, r) =>
+      assert(k === 3L && nh >= 0L && nh <= k)
+      assert(r === BigDecimal(nh.toDouble / k)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
