@@ -1342,6 +1342,68 @@ object VectorOps {
       .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
   }
 
+  /** RESIDUAL IVF-PQ search — the true IVFADC encoding (Jégou et al.
+    * 2011 §III: PQ quantizes v − centroid(cell), not v): residuals are
+    * smaller and centered, so the same 8-bit code budget spends its
+    * precision on the part of the vector the coarse cell did NOT
+    * already explain. Implementation is the LIBRARY composition the
+    * operator split was built for: the residual frame (one broadcast
+    * k-row centroid join + a zip_with subtract, zero shuffle) feeds
+    * the UNCHANGED trainPqCodebooks and ivfpqAdcSearch — encode, train
+    * and search never learn they run on residuals. Residual values are
+    * exact (raw doubles minus 6dp-rounded centroid literals), so the
+    * whole trajectory replays in DuckDB like the raw chain. */
+  def q342IvfpqResidual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = coarseCentroids(s, dir)
+    val e = vecs(s, dir)
+    val cdf = cents.toSeq.toDF("cell", "cv")
+    val res = assignCells(e, cents).join(broadcast(cdf), "cell")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cell"))
+      .persist()
+    res.count()
+    val cbs = trainPqCodebooks(res)
+    val queries = res.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
+    val out = ivfpqAdcSearch(res, cbs, queries, topK = 3)
+      .localCheckpoint()
+    res.unpersist(blocking = false)
+    out
+  }
+
+  /** Raw-vs-residual ADC recall — the eval that decides whether the
+    * residual refinement (q342) earns its centroid join on THIS
+    * corpus: recall@3 of the raw-encoded (q193) and residual-encoded
+    * (q342) single-probe searches against the exact cosine top-3, one
+    * row per (arm, query) — q341's protocol with the encoding, not
+    * the probe count, as the variable. */
+  def q343ResidualGain(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint()
+    def arm(name: String, res: DataFrame): DataFrame =
+      exactTop.join(res.select(col("q_id"), col("vec_id"),
+          lit(1L).as("__hit")), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
+            .as("recall"))
+        .withColumn("arm", lit(name))
+    arm("raw", q193IvfpqSearch(s, dir))
+      .unionByName(arm("residual", q342IvfpqResidual(s, dir)))
+      .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
+  }
+
   /** k-center greedy coreset (Gonzalez 1985; the SemDeDup/D4-style
     * DIVERSITY selection next to q146's redundancy removal): pick 8
     * maximally-spread vectors — seed = min vec_id, then 7× "the point
@@ -1663,6 +1725,8 @@ object VectorOps {
     "q339_multiprobe_screen" -> q339MultiprobeScreen _,
     "q340_ivfpq_multiprobe" -> q340IvfpqMultiprobe _,
     "q341_adc_recall"      -> q341AdcRecall _,
+    "q342_ivfpq_residual"  -> q342IvfpqResidual _,
+    "q343_residual_gain"   -> q343ResidualGain _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -1710,14 +1774,14 @@ object VectorOps {
          km$t AS (SELECT a.cell AS cent_id, e.i,
                     round(sum(e.x)/count(*), 6) AS m
                   FROM ka$t a JOIN ex e ON a.vec_id = e.vec_id GROUP BY 1, 2),
-         kc$t AS (SELECT * FROM km$t
+         kc$t AS MATERIALIZED (SELECT * FROM km$t
                   UNION ALL
                   SELECT p.cent_id, p.i, p.m FROM $prev p
                   WHERE p.cent_id NOT IN (SELECT DISTINCT cent_id FROM km$t))"""
     }
-    s"""ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+    s"""ex AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, range(1, 65) t(i)),
-       nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+       nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
        kk AS (SELECT CAST(greatest(8, least(64, round(sqrt(count(*)))))
                      AS BIGINT) AS k FROM embeddings),
        ksd AS (SELECT vec_id, row_number() OVER (
@@ -1731,11 +1795,11 @@ object VectorOps {
        cd AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
               FROM ex v JOIN kc2 c ON v.i = c.i GROUP BY 1, 2),
        cn AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM kc2 GROUP BY 1),
-       cc AS (SELECT cd.vec_id, cd.cent_id,
+       cc AS MATERIALIZED (SELECT cd.vec_id, cd.cent_id,
                      round(cd.dot/(nv.n * cn.n), 6) AS ccos
               FROM cd JOIN nrm nv ON cd.vec_id = nv.vec_id
                       JOIN cn ON cd.cent_id = cn.cent_id),
-       assigned AS (SELECT vec_id, cent_id AS cell FROM (
+       assigned AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (
                       SELECT vec_id, cent_id,
                              row_number() OVER (PARTITION BY vec_id
                                ORDER BY ccos DESC, cent_id) AS rn
@@ -1748,74 +1812,103 @@ object VectorOps {
     * (m, code, cw) codebooks). Rounding lockstep: dist2 round 6 over the
     * ORDERED 16-term list sum, means round 6 before reuse, empty
     * clusters carry the previous codeword. */
-  private val pqTrainSql = {
+  /** PQ codebook-training CTE chain GENERATOR: `peSql` defines the
+    * base vector CTE (named ${pfx}pe, columns vec_id + v:list<double>)
+    * and every CTE name carries the prefix so two chains (raw +
+    * residual) can coexist in one oracle (q343). The default chain
+    * (empty prefix, raw embeddings) keeps the round-14 names verbatim
+    * — q206/q193/q340/q341 oracles are byte-identical. */
+  private def pqTrainSqlOver(peSql: String, pfx: String): String = {
     def round(t: Int): String = {
-      val prev = s"pc${t - 1}"
-      s"""pd$t AS (SELECT s.vec_id, s.m, c.code,
+      val prev = s"${pfx}pc${t - 1}"
+      s"""${pfx}pd$t AS (SELECT s.vec_id, s.m, c.code,
                 round(list_sum(list_transform(range(1, 17),
                   i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
                   AS dist2
-              FROM psubs s JOIN $prev c ON c.m = s.m),
-         pa$t AS (SELECT vec_id, m, code FROM (
+              FROM ${pfx}psubs s JOIN $prev c ON c.m = s.m),
+         ${pfx}pa$t AS (SELECT vec_id, m, code FROM (
                   SELECT vec_id, m, code, row_number() OVER (
                     PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
-                    AS rn FROM pd$t) WHERE rn = 1),
-         pm$t AS (SELECT a.m, a.code, u.i,
+                    AS rn FROM ${pfx}pd$t) WHERE rn = 1),
+         ${pfx}pm$t AS (SELECT a.m, a.code, u.i,
                   round(sum(s.sub[u.i])/count(*), 6) AS w
-                FROM pa$t a JOIN psubs s
+                FROM ${pfx}pa$t a JOIN ${pfx}psubs s
                   ON s.vec_id = a.vec_id AND s.m = a.m, range(1, 17) u(i)
                 GROUP BY 1, 2, 3),
-         pr$t AS (SELECT m, code, list(w ORDER BY i) AS cw
-                FROM pm$t GROUP BY 1, 2),
-         pc$t AS (SELECT * FROM pr$t
+         ${pfx}pr$t AS (SELECT m, code, list(w ORDER BY i) AS cw
+                FROM ${pfx}pm$t GROUP BY 1, 2),
+         ${pfx}pc$t AS MATERIALIZED (SELECT * FROM ${pfx}pr$t
                 UNION ALL
                 SELECT p.m, p.code, p.cw FROM $prev p
-                WHERE NOT EXISTS (SELECT 1 FROM pr$t r
+                WHERE NOT EXISTS (SELECT 1 FROM ${pfx}pr$t r
                   WHERE r.m = p.m AND r.code = p.code))"""
     }
-    s"""pe AS (SELECT vec_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-       psubs AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
-                 FROM pe, range(0, 4) t(m)),
-       pc0 AS (SELECT m, vec_id AS code, sub AS cw
-               FROM psubs WHERE vec_id < 4),
+    s"""${pfx}pe AS MATERIALIZED ($peSql),
+       ${pfx}psubs AS MATERIALIZED (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sub
+                 FROM ${pfx}pe, range(0, 4) t(m)),
+       ${pfx}pc0 AS (SELECT m, vec_id AS code, sub AS cw
+               FROM ${pfx}psubs WHERE vec_id < 4),
        ${round(1)},
        ${round(2)}"""
   }
 
-  /** ADC search CTE block shared by the q193/q340/q341 oracles:
-    * PQ-encode the corpus against the trained codebooks (`codes`),
-    * per-query distance tables (`qdt`), then the single-probe
-    * candidate frame (`cand`) and the two-probe one (`cand2` —
-    * probes = cc rn ≤ 2, the rankedCells replay). ONE definition so
-    * the recall eval can never drift from the search queries it
-    * scores (the rrfCtes convention). */
-  private val adcCtesSql =
-    """subs AS (SELECT vec_id, m, sub FROM psubs),
-         cbs AS (SELECT m AS cm, code, cw FROM pc2),
-         sc AS (SELECT s.vec_id, s.m, c.code,
+  private val rawPeSql =
+    """SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings"""
+
+  /** Residual base: v − trained-cell centroid per dimension — the true
+    * IVFADC encoding (Jégou et al. 2011 §III); reads `assigned` + the
+    * trained centroid table `kc2` from the shared assignSql chain. */
+  private val residualPeSql =
+    """SELECT e.vec_id, list(e.x - c.m ORDER BY e.i) AS v
+            FROM ex e JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN kc2 c ON c.cent_id = a.cell AND c.i = e.i
+            GROUP BY e.vec_id"""
+
+  private val pqTrainSql = pqTrainSqlOver(rawPeSql, "")
+
+  /** ADC single-probe candidate CTE GENERATOR (prefix discipline as
+    * [[pqTrainSqlOver]]): PQ-encode the corpus against the trained
+    * ${pfx}pc2 codebooks (`${pfx}codes`), per-query distance tables
+    * (`${pfx}qdt`), then the single-probe candidate frame
+    * (`${pfx}cand`). Cell assignment/probes always come from the ONE
+    * shared trained quantizer (`assigned`/`cc`), whatever the encoding
+    * base. */
+  private def adcCandSqlOver(pfx: String): String =
+    s"""${pfx}subs AS (SELECT vec_id, m, sub FROM ${pfx}psubs),
+         ${pfx}cbs AS (SELECT m AS cm, code, cw FROM ${pfx}pc2),
+         ${pfx}sc AS MATERIALIZED (SELECT s.vec_id, s.m, c.code,
                   round(list_sum(list_transform(range(1, 17),
                     i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i]))), 6)
                     AS dist2
-                FROM subs s JOIN cbs c ON c.cm = s.m),
-         codes AS (SELECT vec_id, m, code FROM (
+                FROM ${pfx}subs s JOIN ${pfx}cbs c ON c.cm = s.m),
+         ${pfx}codes AS MATERIALIZED (SELECT vec_id, m, code FROM (
                      SELECT vec_id, m, code, row_number() OVER (
                        PARTITION BY vec_id, m ORDER BY dist2 ASC, code ASC)
                        AS rn
-                     FROM sc) WHERE rn = 1),
-         qdt AS (SELECT vec_id AS q_id, m, code, dist2 AS dt FROM sc
+                     FROM ${pfx}sc) WHERE rn = 1),
+         ${pfx}qdt AS (SELECT vec_id AS q_id, m, code, dist2 AS dt
+                 FROM ${pfx}sc
                  WHERE vec_id BETWEEN 100 AND 105),
-         cand AS (SELECT aq.vec_id AS q_id, av.cell, cd.vec_id,
+         ${pfx}cand AS (SELECT aq.vec_id AS q_id, av.cell, cd.vec_id,
                     round(sum(q.dt), 6) AS adist
-                  FROM codes cd
+                  FROM ${pfx}codes cd
                   JOIN assigned av ON av.vec_id = cd.vec_id
                   JOIN assigned aq ON aq.cell = av.cell
                     AND aq.vec_id BETWEEN 100 AND 105
-                  JOIN qdt q ON q.q_id = aq.vec_id AND q.m = cd.m
+                  JOIN ${pfx}qdt q ON q.q_id = aq.vec_id AND q.m = cd.m
                     AND q.code = cd.code
                   WHERE cd.vec_id <> aq.vec_id
-                  GROUP BY 1, 2, 3),
+                  GROUP BY 1, 2, 3)"""
+
+  /** ADC search CTE block shared by the q193/q340/q341 oracles: the
+    * raw-encoding single-probe frame (`cand`) plus the two-probe one
+    * (`cand2` — probes = cc rn ≤ 2, the rankedCells replay). ONE
+    * definition so the recall eval can never drift from the search
+    * queries it scores (the rrfCtes convention). */
+  private val adcCtesSql =
+    s"""${adcCandSqlOver("")},
          qprobes AS (SELECT vec_id AS q_id, cent_id AS cell FROM (
                        SELECT vec_id, cent_id, row_number() OVER (
                          PARTITION BY vec_id
@@ -2023,6 +2116,58 @@ object VectorOps {
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY adist ASC, vec_id ASC) AS rank
            FROM cand) WHERE rank <= 3""",
+    "q342_ivfpq_residual" ->
+      s"""WITH $assignSql,
+         ${pqTrainSqlOver(residualPeSql, "r")},
+         ${adcCandSqlOver("r")}
+         SELECT q_id, cell, vec_id, rank, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, vec_id ASC) AS rank
+           FROM rcand) WHERE rank <= 3""",
+    "q343_residual_gain" ->
+      s"""WITH $assignSql,
+         $pqTrainSql,
+         ${adcCandSqlOver("")},
+         ${pqTrainSqlOver(residualPeSql, "r")},
+         ${adcCandSqlOver("r")},
+         a1 AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist ASC, vec_id ASC)
+                    AS rank
+                  FROM cand) WHERE rank <= 3),
+         ar AS (SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY adist ASC, vec_id ASC)
+                    AS rank
+                  FROM rcand) WHERE rank <= 3),
+         ed AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e ON q.i = e.i
+                  AND q.vec_id BETWEEN 100 AND 105
+                  AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         etop AS (SELECT q_id, vec_id FROM (
+                    SELECT ed.q_id, ed.vec_id, row_number() OVER (
+                      PARTITION BY ed.q_id
+                      ORDER BY round(ed.dot/(nq.n * nv.n), 6) DESC,
+                        ed.vec_id) AS rank
+                    FROM ed JOIN nrm nq ON ed.q_id = nq.vec_id
+                            JOIN nrm nv ON ed.vec_id = nv.vec_id)
+                  WHERE rank <= 3)
+         SELECT 'raw' AS arm, e.q_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+                round(count(x.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                  AS recall
+         FROM etop e LEFT JOIN a1 x
+           ON x.q_id = e.q_id AND x.vec_id = e.vec_id
+         GROUP BY 2
+         UNION ALL
+         SELECT 'residual' AS arm, e.q_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+                round(count(x.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                  AS recall
+         FROM etop e LEFT JOIN ar x
+           ON x.q_id = e.q_id AND x.vec_id = e.vec_id
+         GROUP BY 2""",
     "q340_ivfpq_multiprobe" ->
       s"""WITH $assignSql,
          $pqTrainSql,

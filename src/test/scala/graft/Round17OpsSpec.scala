@@ -344,4 +344,34 @@ class Round17OpsSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q342/q343: residual IVFADC searches the query's own cell over " +
+      "residual codes, and the gain eval books both encodings") {
+    val dir = "/root/testdata/sf0.001"
+    val top2 = fixtureTop2
+    val rr = operators.VectorOps.q342IvfpqResidual(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rr.nonEmpty)
+    rr.foreach { case (q, cell, cand, _, adist) =>
+      assert(top2(q)._1 === cell, s"query $q searched a foreign cell")
+      assert(top2(cand)._1 === cell, s"candidate $cand not in cell $cell")
+      assert(cand !== q)
+      assert(adist >= 0.0, "ADC distance is a sum of squared L2 terms")
+    }
+    rr.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1L to rs.length).toSeq,
+        s"query $q ranks not dense")
+    }
+    val gain = operators.VectorOps.q343ResidualGain(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(gain.map(_._1).distinct.sorted.toSeq === Seq("raw", "residual"))
+    assert(gain.count(_._1 == "raw") === gain.count(_._1 == "residual"))
+    gain.foreach { case (_, _, k, nh, r) =>
+      assert(k === 3L && nh >= 0L && nh <= k)
+      assert(r === BigDecimal(nh.toDouble / k)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
