@@ -96,12 +96,14 @@ object VectorOps {
   }
 
   /** TRAINED coarse quantizer for the whole IVF family (q60/q71/q146/
-    * q193/q279/q291/q320/q332/q335): k = clamp(√N, 8, 64) centroids,
-    * seeded by md5-order over vec_id (deterministic and free of
-    * insertion-order correlation — "the first 8 vectors" of round 16
-    * were arbitrary directions, the measured cause of q328's ~35%
-    * single-probe recall), then 2 Lloyd rounds: assign every vector to
-    * its max-cosine centroid (6dp-rounded ccos, smallest-cent_id tie),
+    * q193/q279/q291/q320/q332/q335): k = max(8, round(√N)) centroids —
+    * UNCAPPED, the standard IVF cost balance (probe cost |corpus|/k
+    * per cell vs k centroid scores per query) — seeded by md5-order
+    * over vec_id (deterministic and free of insertion-order
+    * correlation — "the first 8 vectors" of round 16 were arbitrary
+    * directions, the measured cause of q328's ~35% single-probe
+    * recall), then 2 Lloyd rounds: assign every vector to its
+    * max-cosine centroid (6dp-rounded ccos, smallest-cent_id tie),
     * recompute each centroid as the element-wise member mean ROUNDED
     * to 6dp before any further use (the q186 round-before-use
     * convention — the whole trajectory replays verbatim in DuckDB),
@@ -111,15 +113,59 @@ object VectorOps {
     *
     * Scale shape per round: the seed is a TakeOrdered(k) (never a
     * global sort), assignment is the zero-shuffle literal-centroid
-    * argmax below, and the mean is ONE (cell, dim) partial-aggregable
-    * shuffle; the loop-carried state is a k×64 driver array (bounded:
-    * k ≤ 64 — the cap that keeps the literal argmax inside whole-stage
-    * codegen; past it the scoring join swaps to the q186
-    * crossJoin(broadcast) shape, same math). The k ≈ √N rule is the
-    * standard IVF cost balance: probe cost |corpus|/k per cell vs k
-    * centroid scores per query. */
+    * argmax up to k = [[IvfLiteralMaxK]] (the whole-stage-codegen
+    * width) and the broadcast-join + max-struct argmax past it — SAME
+    * math, SAME tie order, strategy-parity spec-pinned — and the mean
+    * is ONE (cell, dim) partial-aggregable shuffle; the loop-carried
+    * state is a k×dim driver array (k ≈ √N grows like the SQUARE ROOT
+    * of the corpus — ~316k rows at 10¹¹ vectors, driver-safe). */
   private[graft] def ivfK(n: Long): Int =
-    math.max(8L, math.min(64L, math.round(math.sqrt(n.toDouble)))).toInt
+    math.max(8L, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** Widest k the literal-inline argmax compiles cleanly at; past it
+    * cell scoring swaps to [[scoredCellsBroadcast]]. */
+  private[graft] val IvfLiteralMaxK = 64
+
+  /** Broadcast-join cell scoring for k past the literal-codegen width:
+    * the corpus joins the broadcast k-row centroid table and every
+    * (vector, centroid) pair scores once — (vec_id, v, cent_id, ccos).
+    * One broadcast, zero shuffle; the argmax/ranking reductions on top
+    * are the consumers' business. */
+  private def scoredCellsBroadcast(e: DataFrame,
+                                   cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val cdf = broadcast(cents.toSeq.toDF("cent_id", "cv"))
+    e.crossJoin(cdf)
+      .withColumn("ccos", round(CosineSimilarity(col("v"), col("cv")), 6))
+      .select(col("vec_id"), col("v"), col("cent_id"), col("ccos"))
+  }
+
+  /** Broadcast-strategy assignment: ONE corpus-keyed partial-aggregable
+    * max-struct reduction over [[scoredCellsBroadcast]] — (ccos,
+    * −cent_id), the literal path's exact tie order. private[graft] so
+    * the strategy-parity spec can pin it against the literal plan on
+    * the same centroids. */
+  private[graft] def assignCellsBroadcast(e: DataFrame,
+                                          cents: Array[(Long, Seq[Double])]): DataFrame =
+    scoredCellsBroadcast(e, cents)
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), col("v"), (-col("m.negid")).as("cell"))
+
+  /** Broadcast-strategy ranking: the per-vector window over the scored
+    * frame (partitioned by vec_id — never global), rn ≤ maxRn. */
+  private[graft] def rankedCellsBroadcast(e: DataFrame,
+                                          cents: Array[(Long, Seq[Double])],
+                                          maxRn: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    scoredCellsBroadcast(e, cents)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxRn)
+      .select(col("vec_id"), col("v"), col("cent_id"), col("ccos"),
+        col("rn"))
+  }
 
   private[graft] def trainCentroids(e: DataFrame): Array[(Long, Seq[Double])] = {
     val k = ivfK(e.count())
@@ -148,7 +194,10 @@ object VectorOps {
       // the k×(dim+1) driver read closes the round. Means round to 6dp
       // half-up ON THE DRIVER — the same BigDecimal semantics as the
       // in-plan round(col, 6) the oracle mirrors.
-      val sums = e.groupBy(cellOf(cents).as("cell"))
+      // assignCells picks the strategy (literal argmax ≤ IvfLiteralMaxK,
+      // broadcast max-struct past it); grouping on its `cell` attribute
+      // keeps the scoring once-per-row either way
+      val sums = assignCells(e, cents).groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*)
         .collect()
@@ -210,6 +259,8 @@ object VectorOps {
   private[graft] def rankedCells(e: DataFrame, cents: Array[(Long, Seq[Double])],
                                  maxRn: Int = 2): DataFrame = {
     require(cents.nonEmpty, "rankedCells needs at least one centroid")
+    if (cents.length > IvfLiteralMaxK)
+      return rankedCellsBroadcast(e, cents, maxRn)
     val cells = array(cents.map { case (id, cv) =>
       struct(
         round(CosineSimilarity(col("v"), array(cv.map(lit(_)): _*)), 6)
@@ -240,7 +291,8 @@ object VectorOps {
     * no corpus-keyed window shuffle in ANY IVF consumer). */
   private[graft] def assignCells(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "assignCells needs at least one centroid")
-    e.select(col("vec_id"), col("v"), cellOf(cents).as("cell"))
+    if (cents.length > IvfLiteralMaxK) assignCellsBroadcast(e, cents)
+    else e.select(col("vec_id"), col("v"), cellOf(cents).as("cell"))
   }
 
   /** Library overload: train from the frame itself. */
@@ -254,6 +306,11 @@ object VectorOps {
     * second cell exists. */
   private def top2Cells(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
     require(cents.length >= 2, "top2Cells needs at least two centroids")
+    if (cents.length > IvfLiteralMaxK)
+      return rankedCellsBroadcast(e, cents, maxRn = 2)
+        .groupBy(col("vec_id"), col("v"))
+        .agg(max(when(col("rn") === 1, col("cent_id"))).as("c1"),
+          max(when(col("rn") === 2, col("cent_id"))).as("c2"))
     val cells = array(cents.map { case (id, cv) =>
       struct(
         round(CosineSimilarity(col("v"), array(cv.map(lit(_)): _*)), 6)
@@ -383,7 +440,7 @@ object VectorOps {
   /** Full Lloyd (k-means) TRAINING loop, PINNED at the fixed first-8
     * seed and k=8 — the oracled training-trajectory demo (the
     * production quantizer every IVF consumer actually uses is
-    * [[trainCentroids]]: md5-ordered seed, k = clamp(√N, 8, 64), same
+    * [[trainCentroids]]: md5-ordered seed, k = max(8, √N) (uncapped — the literal argmax serves k ≤ 64, the broadcast max-struct argmax past it, parity-pinned), same
     * Lloyd algebra — this query keeps the small fixed configuration so
     * its 3-round DuckDB replay stays readable and cheap). Per iteration: every
     * vector joins the broadcast centroid frame, takes its max-cosine
@@ -1749,7 +1806,7 @@ object VectorOps {
 
   /** Shared assignment CTE chain — the TRAINED quantizer's verbatim
     * DuckDB replay (mirrors [[trainCentroids]] + [[assignCells]]):
-    * k = clamp(√N, 8, 64), md5-ordered seed, 2 Lloyd rounds with
+    * k = max(8, √N) (uncapped — the literal argmax serves k ≤ 64, the broadcast max-struct argmax past it, parity-pinned), md5-ordered seed, 2 Lloyd rounds with
     * 6dp-rounded means and empty-cell carry, then the final scoring
     * (`cc`) and argmax assignment (`assigned`) against the trained
     * centroid table `kc2`. The engine's exact rounded-fixpoint early
@@ -1782,7 +1839,7 @@ object VectorOps {
     s"""ex AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, range(1, 65) t(i)),
        nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
-       kk AS (SELECT CAST(greatest(8, least(64, round(sqrt(count(*)))))
+       kk AS (SELECT CAST(greatest(8, round(sqrt(count(*))))
                      AS BIGINT) AS k FROM embeddings),
        ksd AS (SELECT vec_id, row_number() OVER (
                  ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srn

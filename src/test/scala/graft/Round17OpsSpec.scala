@@ -37,11 +37,64 @@ class Round17OpsSpec extends SparkSpec {
     util.Fs.deleteRecursively(new java.io.File(dir))
   }
 
-  test("ivfK: the coarse-quantizer width follows clamp(sqrt(N), 8, 64)") {
+  test("ivfK: the coarse-quantizer width follows max(8, sqrt(N)) — " +
+      "UNCAPPED (the strategy, not the width, changes past the " +
+      "literal-codegen limit)") {
     assert(operators.VectorOps.ivfK(10) === 8)
     assert(operators.VectorOps.ivfK(500) === 22)
     assert(operators.VectorOps.ivfK(2000) === 45)
-    assert(operators.VectorOps.ivfK(10000000) === 64)
+    assert(operators.VectorOps.ivfK(10000000) === 3162)
+  }
+
+  test("assignment strategy parity: the broadcast max-struct argmax " +
+      "and window ranking reproduce the literal plans exactly on the " +
+      "same trained centroids") {
+    val s2 = spark
+    import s2.implicits._
+    def mk(j: Int): Seq[Double] =
+      (0 until 64).map(i => math.sin(j * 64 + i * 0.7) + (j % 4) * 2.0)
+    val e = (0 until 80).map(j => (j.toLong, mk(j))).toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = operators.VectorOps.trainCentroids(e) // k=8 < 64: literal
+    val lit0 = operators.VectorOps.assignCells(e, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bc = operators.VectorOps.assignCellsBroadcast(e, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lit0 === bc, "broadcast argmax drifted from the literal plan")
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val rl = ranked(operators.VectorOps.rankedCells(e, cents, maxRn = 2))
+    val rb = ranked(operators.VectorOps.rankedCellsBroadcast(e, cents, 2))
+    assert(rl === rb, "broadcast ranking drifted from the literal plan")
+  }
+
+  test("past IvfLiteralMaxK the quantizer trains and assigns through " +
+      "the broadcast strategy, matching an in-memory argmax") {
+    val s2 = spark
+    import s2.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 4900 vectors -> k = 70 > IvfLiteralMaxK: the fallback is live
+    def mk(j: Int): Seq[Double] =
+      (0 until 8).map(i => math.sin(j * 8 + i * 0.37) + (j % 5) * 1.5)
+    val rows = (0 until 4900).map(j => (j.toLong, mk(j)))
+    val e = rows.toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = operators.VectorOps.trainCentroids(e)
+    assert(cents.length === 70)
+    val assigned = operators.VectorOps.assignCells(e, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      r6(dot / (math.sqrt(a.iterator.map(x => x * x).sum) *
+        math.sqrt(b.iterator.map(x => x * x).sum)))
+    }
+    rows.foreach { case (id, v) =>
+      val want = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+      assert(assigned(id) === want, s"vec $id off-argmax at k=70")
+    }
   }
 
   test("trainCentroids: deterministic, locks onto cluster structure, " +
