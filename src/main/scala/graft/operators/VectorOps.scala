@@ -310,6 +310,7 @@ object VectorOps {
       return rankedCellsBroadcast(e, cents, maxRn = 2)
         .groupBy(col("vec_id"), col("v"))
         .agg(max(when(col("rn") === 1, col("cent_id"))).as("c1"),
+          max(when(col("rn") === 1, col("ccos"))).as("ccos1"),
           max(when(col("rn") === 2, col("cent_id"))).as("c2"))
     val cells = array(cents.map { case (id, cv) =>
       struct(
@@ -326,6 +327,7 @@ object VectorOps {
     val sorted = array_sort(cells, cmp)
     e.select(col("vec_id"), col("v"),
       sorted.getItem(0).getField("cent_id").as("c1"),
+      sorted.getItem(0).getField("ccos").as("ccos1"),
       sorted.getItem(1).getField("cent_id").as("c2"))
   }
 
@@ -1042,21 +1044,57 @@ object VectorOps {
     * sub-cluster pass, the paper's own remedy). Every cosine is rounded
     * to 6 before comparison, so the keep set is engine- and
     * parallelism-exact. */
-  def q146SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedCells(vecs(s, dir), coarseCentroids(s, dir))
+  def q146SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupImpl(s, dir, IvfCellCap)
+
+  /** q146 body with the occupancy cap as a parameter (the q320/q332
+    * convention — the third and last in-cell-quadratic consumer gets
+    * the same hub defense): cells over the cap run the PAPER'S OWN
+    * remedy, a sub-cluster pass — the within-cell prior-similarity
+    * pairs additionally key on the second-choice cell (composite
+    * (cell, alt) hash key), so a hub's O(n²) term splits up to
+    * (k−1)-ways and keep/drop decisions become sub-cluster-local
+    * (slightly MORE keeps inside a hub — the conservative direction
+    * for a dedup). Clean path (every test SF) is byte-identical to
+    * the classic plan; the census is the 1-row lshPairsCapped read. */
+  private[graft] def semanticDedupImpl(s: SparkSession, dir: String,
+                                       cap: Int): DataFrame = {
     val wPos = Window.partitionBy(col("cell"))
       .orderBy(col("ccos").asc, col("vec_id").asc)
-    // persist: the positioned cell table feeds both sides of the pair join
-    val pos = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"), col("ccos"))
+    // persist: the positioned cell table feeds the census and both
+    // sides of the pair join
+    val pos = top2Cells(vecs(s, dir), coarseCentroids(s, dir))
+      .select(col("vec_id"), col("v"), col("c1").as("cell"),
+        col("ccos1").as("ccos"), col("c2").as("alt"))
       .withColumn("pos", row_number().over(wPos))
       .persist()
     pos.count()
-    val priorSim = pos.as("a")
-      .join(pos.as("b"),
-        col("a.cell") === col("b.cell") && col("a.pos") < col("b.pos"))
-      .select(col("b.vec_id").as("vec_id"),
-        round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cos"))
+    val mx = pos.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).collect()(0)
+    val maxOcc = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    // project each self-join down to (vec_id of the LATER member, both
+    // vectors) before any union — the raw join carries duplicate names
+    def proj(j: DataFrame): DataFrame =
+      j.select(col("b.vec_id").as("vec_id"),
+        col("a.v").as("av"), col("b.v").as("bv"))
+    val pairs =
+      if (maxOcc <= cap)
+        proj(pos.as("a").join(pos.as("b"),
+          col("a.cell") === col("b.cell") && col("a.pos") < col("b.pos")))
+      else {
+        val keys = pos.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select(col("cell")).localCheckpoint()
+        val small = pos.join(broadcast(keys), Seq("cell"), "left_anti")
+        val big = pos.join(broadcast(keys), Seq("cell"), "left_semi")
+        proj(small.as("a").join(small.as("b"),
+            col("a.cell") === col("b.cell") && col("a.pos") < col("b.pos")))
+          .unionByName(proj(big.as("a").join(big.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.alt") === col("b.alt") && col("a.pos") < col("b.pos"))))
+      }
+    val priorSim = pairs
+      .select(col("vec_id"),
+        round(CosineSimilarity(col("av"), col("bv")), 6).as("cos"))
       .groupBy(col("vec_id")).agg(max(col("cos")).as("max_prior_sim"))
     val out = pos
       .join(priorSim, Seq("vec_id"), "left")

@@ -427,4 +427,36 @@ class Round17OpsSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q146's hub-cell sub-cluster pass: under a small cap, prior-" +
+      "similarity comparisons stay inside (cell, alt) sub-clusters, " +
+      "keeps can only GROW (the conservative direction for a dedup), " +
+      "and clean cells are untouched") {
+    val dir = "/root/testdata/sf0.001"
+    val top2 = fixtureTop2
+    val occ = top2.values.groupBy(_._1).view.mapValues(_.size).toMap
+    // cap at the occupancy median: some cells divert, some stay clean
+    val cap = occ.values.toSeq.sorted.apply(occ.size / 2)
+    val over = occ.filter(_._2 > cap).keySet
+    assert(over.nonEmpty && over.size < occ.size,
+      s"median cap=$cap must divert some cells and leave some clean")
+    def keeps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    val clean = keeps(operators.VectorOps.semanticDedupImpl(spark, dir,
+      Int.MaxValue))
+    val capped = keeps(operators.VectorOps.semanticDedupImpl(spark, dir, cap))
+    assert(clean.keySet === capped.keySet, "every vector keeps its row")
+    clean.foreach { case (id, (cell, keepClean)) =>
+      val (cellC, keepCapped) = capped(id)
+      assert(cell === cellC)
+      if (!over(cell))
+        assert(keepCapped === keepClean,
+          s"vec $id in a CLEAN cell flipped its keep decision")
+      else if (keepClean)
+        assert(keepCapped,
+          s"vec $id: the sub-cluster pass can only ADD keeps, " +
+            "never drop one the full-cell pass kept")
+    }
+    assert(capped.values.count(_._2) >= clean.values.count(_._2))
+  }
 }
