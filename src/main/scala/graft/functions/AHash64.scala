@@ -76,8 +76,7 @@ object AHash64 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ahash64", exprs => AHash64(exprs(0)), "scala_udf")
+    Natives.registerOnce(spark, "ahash64")(exprs => AHash64(exprs(0)))
 
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("ahash64", c)

@@ -85,8 +85,7 @@ object CosineSimilarity {
   /** Register as a SQL function so `expr("cosine_sim(a, b)")` works in any
     * session (mirrors the reference's dispatch-by-name registry shape). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    Natives.registerOnce(spark, "cosine_sim")(exprs => CosineSimilarity(exprs(0), exprs(1)))
 
   /** Column-side handle. Requires [[register]] on the session first (the
     * Column companion that would lift an Expression directly is

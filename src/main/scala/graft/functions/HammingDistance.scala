@@ -66,8 +66,7 @@ case class HammingDistance(left: Expression, right: Expression)
 
 object HammingDistance {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming_dist", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
+    Natives.registerOnce(spark, "hamming_dist")(exprs => HammingDistance(exprs(0), exprs(1)))
 
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("hamming_dist", a, b)

@@ -95,8 +95,7 @@ object MinHashSigs {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinHashSigs(exprs(0)), "scala_udf")
+    Natives.registerOnce(spark, "minhash_sigs")(exprs => MinHashSigs(exprs(0)))
 
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_sigs", c)

@@ -55,8 +55,7 @@ object NfcNormalize {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    Natives.registerOnce(spark, "nfc_normalize")(exprs => NfcNormalize(exprs(0)))
 
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("nfc_normalize", c)

@@ -82,8 +82,7 @@ object SimHash16 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash16", exprs => SimHash16(exprs(0)), "scala_udf")
+    Natives.registerOnce(spark, "simhash16")(exprs => SimHash16(exprs(0)))
 
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash16", c)

@@ -218,18 +218,123 @@ object VectorOps {
 
   /** The trained quantizer is an INDEX ARTIFACT — a pure function of
     * the (immutable) embeddings table — so it trains once per table
-    * directory and every IVF consumer reuses it (a production run
-    * persists it beside the corpus; here the JVM-lifetime cache is the
-    * same contract). Keyed by canonical path; spec frames that never
-    * touch a directory train directly via the [[assignCells]]
-    * overload. */
+    * directory and every IVF consumer reuses it. Resolution order is
+    * the production contract: session cache → persisted on-disk
+    * artifact ([[IvfIndex]], fingerprint-validated) → train. Keyed by
+    * (canonical path, corpus fingerprint) so a REWRITTEN embeddings
+    * table inside one JVM retrains instead of silently serving stale
+    * centroids (assignments would still look valid while recall and
+    * oracle parity rot — the loud-guard convention applied to caches).
+    * Spec frames that never touch a directory train directly via the
+    * [[assignCells]] overload. */
   private val centCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Double])]]()
+
+  private[graft] def canonicalDir(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case _: Exception => dir }
+
+  /** Cheap fs-metadata fingerprint of the embeddings table: file count,
+    * total bytes, max mtime over the `embeddings.parquet` tree — no
+    * Spark job, no data read. Any rewrite/append bumps at least one of
+    * the three (an overwrite preserving count AND bytes AND mtime to
+    * millisecond precision is not a scenario a cache key can be asked
+    * to defend). On a cluster store the same triple comes from the
+    * Hadoop FileSystem listing; local java.io is the engine-local
+    * binding. */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val root = new java.io.File(dir, "embeddings.parquet")
+    if (!root.exists()) "absent"
+    else {
+      val fs = walk(root)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .toVector
+      s"${fs.size}_${fs.map(_.length()).sum}_" +
+        s"${fs.map(_.lastModified()).foldLeft(0L)(math.max)}"
+    }
+  }
+
+  private def corpusKey(dir: String): String =
+    canonicalDir(dir) + "|" + corpusFingerprint(dir)
+
   private[graft] def coarseCentroids(s: SparkSession, dir: String): Array[(Long, Seq[Double])] =
-    centCache.computeIfAbsent(
-      try new java.io.File(dir).getCanonicalPath
-      catch { case _: Exception => dir },
-      _ => trainCentroids(vecs(s, dir)))
+    centCache.computeIfAbsent(corpusKey(dir),
+      _ => IvfIndex.loadCentroids(s, dir)
+        .getOrElse(trainCentroids(vecs(s, dir))))
+
+  /** Trained PQ codebooks, memoized like the coarse centroids (the
+    * round-17 verdict's top item: without this every ADC consumer
+    * retrained — q341 twice, q343 twice more per Verify pass). Value is
+    * the COLLECTED 16-row codebook (subspace, code, codeword), so the
+    * cache is driver data and each consumer rebuilds a broadcast-able
+    * local frame; keyed by (canonical dir, fingerprint, raw|residual) —
+    * the residual books depend on the centroids, which are themselves a
+    * pure function of the same corpus. Resolution order matches
+    * [[coarseCentroids]]: cache → on-disk artifact → train. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Long, Seq[Double])]]()
+
+  private[graft] def collectCodebooks(df: DataFrame): Array[(Int, Long, Seq[Double])] =
+    df.select(col("cm").cast("int"), col("code").cast("long"), col("cw"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+
+  private[graft] def codebookDf(s: SparkSession,
+                                rows: Array[(Int, Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    rows.toSeq.toDF("cm", "code", "cw")
+  }
+
+  /** `train` is by-name: it runs ONLY on a cache+artifact miss (the
+    * cache-hit spec pins a second call training zero Lloyd jobs). */
+  private[graft] def pqCodebooksFor(s: SparkSession, dir: String,
+                                    residual: Boolean)
+                                   (train: => DataFrame): DataFrame = {
+    val flavor = if (residual) IvfIndex.FlavorResidual else IvfIndex.FlavorRaw
+    val rows = pqCache.computeIfAbsent(corpusKey(dir) + "|" + flavor,
+      _ => IvfIndex.loadCodebooks(s, dir, flavor)
+        .getOrElse(collectCodebooks(train)))
+    codebookDf(s, rows)
+  }
+
+  /** Collected-row view of the memoized codebooks — what
+    * [[IvfIndex.build]] persists. Same cache/artifact/train resolution
+    * as [[pqCodebooksFor]] with the default training frames (raw
+    * trains on the corpus, residual on [[residualVecs]] — only vec_id
+    * and v are read, so this is value-identical to the consumers'
+    * persisted-frame training). */
+  private[graft] def pqCodebookRows(s: SparkSession, dir: String,
+                                    residual: Boolean): Array[(Int, Long, Seq[Double])] = {
+    val flavor = if (residual) IvfIndex.FlavorResidual else IvfIndex.FlavorRaw
+    pqCache.computeIfAbsent(corpusKey(dir) + "|" + flavor,
+      _ => IvfIndex.loadCodebooks(s, dir, flavor)
+        .getOrElse(collectCodebooks(trainPqCodebooks(
+          if (residual) residualVecs(s, dir) else vecs(s, dir)))))
+  }
+
+  /** Test hook: drop every memoized index artifact (forces the next
+    * consumer through the artifact-load / train path). */
+  private[graft] def clearIndexCaches(): Unit = {
+    centCache.clear(); pqCache.clear()
+  }
+
+  /** The residual corpus view (v − centroid(cell)) the true-IVFADC
+    * family (q342/q343) and the artifact builder share: one broadcast
+    * k-row centroid join + a zip_with subtract — zero shuffle. */
+  private[graft] def residualVecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = coarseCentroids(s, dir)
+    val cdf = cents.toSeq.toDF("cell", "cv")
+    assignCells(vecs(s, dir), cents).join(broadcast(cdf), "cell")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cell"))
+  }
 
   /** Zero-shuffle argmax cell over literal centroids: ONE array_max of
     * (ccos, −cent_id) structs — max ccos first, then largest negid =
@@ -638,8 +743,14 @@ object VectorOps {
                                    cap: Int): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
+    // t2 carries the corpus × k cell-scoring work and feeds FOUR
+    // consumers (the occupancy census on each side + both sides of the
+    // pair join) — persist so the scoring runs once, release after the
+    // margin frame is checkpointed out (the q146 persist discipline)
     val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir))
       .join(lang, "vec_id")
+      .persist()
+    t2.count()
     val a = t2.filter(col("lang") === "en")
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         col("c1").as("cell"), col("c2").as("alta"))
@@ -650,7 +761,9 @@ object VectorOps {
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
-    bitextMarginPairs(pairs)
+    val out = bitextMarginPairs(pairs) // localCheckpoint'ed inside
+    t2.unpersist(blocking = false)
+    out
   }
 
   /** Multi-probe IVF bitext — the recall KNOB q328's eval motivates
@@ -678,8 +791,12 @@ object VectorOps {
                                           cap: Int): DataFrame = {
     val lang = Tables.documents(s, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
+    // same four-consumer shape as bitextIvfImpl — persist the scored
+    // frame so corpus × k cell scoring runs once, not per consumer
     val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir))
       .join(lang, "vec_id")
+      .persist()
+    t2.count()
     val a = t2.filter(col("lang") === "en")
       .select(col("vec_id").as("src_id"), col("v").as("va"),
         explode(array(
@@ -694,7 +811,9 @@ object VectorOps {
       .withColumn("cos", round(CosineSimilarity(col("va"), col("vb")), 6))
       .withColumn("cm", round(col("cos") * 1e6).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("cos"), col("cm"))
-    bitextMarginPairs(pairs)
+    val out = bitextMarginPairs(pairs) // localCheckpoint'ed inside
+    t2.unpersist(blocking = false)
+    out
   }
 
   /** Semantic eval-proximity audit — the decontamination layer the
@@ -1308,18 +1427,25 @@ object VectorOps {
     * corpus is PQ-encoded once against the broadcast codebooks; each
     * query precomputes its (m, code) distance table (broadcast); in-cell
     * candidates score as 4 lookups + a sum. */
-  private[graft] def ivfpqAdcSearch(assigned: DataFrame, cbs: DataFrame,
-                                    queries: DataFrame, topK: Int): DataFrame = {
+  /** PQ-encode a cell-assigned corpus against broadcast codebooks:
+    * min-L2 codeword per (vector, subspace) → (vec_id, cell, m, code).
+    * One corpus scan; shared by [[ivfpqAdcSearch]], the streaming
+    * encode-append sink, and the batch-parity spec between them. */
+  private[graft] def pqEncode(assigned: DataFrame, cbs: DataFrame): DataFrame = {
     val subs = assigned.select(col("vec_id"), col("cell"), posexplode(expr(
         "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
       .as(Seq("m", "sub")))
-    // PQ codes: min-L2 codeword per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist2").asc, col("code").asc)
-    val codes = subs.join(broadcast(cbs), col("m") === col("cm"))
+    subs.join(broadcast(cbs), col("m") === col("cm"))
       .withColumn("dist2", pqL2)
       .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
+  }
+
+  private[graft] def ivfpqAdcSearch(assigned: DataFrame, cbs: DataFrame,
+                                    queries: DataFrame, topK: Int): DataFrame = {
+    val codes = pqEncode(assigned, cbs)
     // per-query ADC tables: raw query subvectors vs every codeword
     val dtTab = queries
       .select(col("q_id"), col("q_cell"), posexplode(expr(
@@ -1368,9 +1494,11 @@ object VectorOps {
     // codebooks are TRAINED (per-subspace Lloyd, [[trainPqCodebooks]]),
     // not the first-4 stand-in; the query frame is caller-supplied to
     // the library operator — here the 100..105 slice of the corpus.
-    // Training reads the persisted `assigned` frame (it carries vec_id
-    // + v) rather than re-scanning the embeddings table.
-    val cbs = trainPqCodebooks(assigned)
+    // Memoized per corpus like the coarse centroids (on a miss, training
+    // reads the persisted `assigned` frame — it carries vec_id + v —
+    // rather than re-scanning the embeddings table).
+    val cbs = pqCodebooksFor(s, dir, residual = false)(
+      trainPqCodebooks(assigned))
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
         col("v").as("qv"))
@@ -1394,7 +1522,8 @@ object VectorOps {
     val e = vecs(s, dir)
     val assigned = assignCells(e, cents).persist()
     assigned.count()
-    val cbs = trainPqCodebooks(assigned)
+    val cbs = pqCodebooksFor(s, dir, residual = false)(
+      trainPqCodebooks(assigned))
     val queries = rankedCells(
         e.filter(col("vec_id").between(100, 105)), cents, maxRn = 2)
       .select(col("vec_id").as("q_id"), col("cent_id").as("q_cell"),
@@ -1449,16 +1578,9 @@ object VectorOps {
     * exact (raw doubles minus 6dp-rounded centroid literals), so the
     * whole trajectory replays in DuckDB like the raw chain. */
   def q342IvfpqResidual(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cents = coarseCentroids(s, dir)
-    val e = vecs(s, dir)
-    val cdf = cents.toSeq.toDF("cell", "cv")
-    val res = assignCells(e, cents).join(broadcast(cdf), "cell")
-      .select(col("vec_id"),
-        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cell"))
-      .persist()
+    val res = residualVecs(s, dir).persist()
     res.count()
-    val cbs = trainPqCodebooks(res)
+    val cbs = pqCodebooksFor(s, dir, residual = true)(trainPqCodebooks(res))
     val queries = res.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
         col("v").as("qv"))
@@ -1499,6 +1621,202 @@ object VectorOps {
       .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
   }
 
+  /** PQ quantization-distortion report — the codebook-quality number
+    * that gates the ADC family the way q328's recall floor gates the
+    * coarse quantizer. For each encoding arm (raw | residual) and
+    * subspace: the corpus-average min-L2 distortion under the SEED
+    * codebook (the first-4 subvectors — Lloyd's round-0 state) and
+    * under the TRAINED one. Training monotonically improves this
+    * (k-means descent), so `trained < seed` per (arm, subspace) is a
+    * pinned spec invariant — a codebook regression (bad join, wrong
+    * rounding, dead codewords) shows up here even on corpora where
+    * top-k recall is noise-bound (the isotropic synthetic embeddings:
+    * measured ADC recall@3 ≈ 0.06 — a recall floor would pin noise,
+    * distortion is the signal). Determinism: per-(vector, subspace)
+    * min over 6dp-rounded distances as micro-integers, ONE division at
+    * the end. Scale shape: two corpus scans per arm (seed + trained
+    * scoring), each a broadcast join + partial-aggregable min/sum. */
+  def q346PqDistortion(s: SparkSession, dir: String): DataFrame = {
+    def seedCbs(base: DataFrame): DataFrame =
+      pqSubs(base).filter(col("vec_id") < 4)
+        .select(col("m").as("cm"), col("vec_id").as("code"),
+          col("sub").as("cw"))
+    def armStats(arm: String, base: DataFrame, trained: DataFrame): DataFrame = {
+      val subs = pqSubs(base)
+      def stage(st: String, cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb), col("m") === col("cm"))
+          .withColumn("dm", round(pqL2 * 1e6).cast("long"))
+          .groupBy(col("vec_id"), col("m")).agg(min(col("dm")).as("md"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n"), sum(col("md")).as("smd"))
+          .select(lit(arm).as("arm"), lit(st).as("stage"),
+            col("m").cast("long").as("m"), col("n"),
+            round(col("smd") / (col("n") * lit(1e6)), 6).as("avg_dist2"))
+      stage("seed", seedCbs(base)).unionByName(stage("trained", trained))
+    }
+    val raw = vecs(s, dir)
+    val rawStats = armStats("raw", raw,
+      pqCodebooksFor(s, dir, residual = false)(trainPqCodebooks(raw)))
+    val res = residualVecs(s, dir).persist()
+    res.count()
+    val out = rawStats.unionByName(armStats("residual", res,
+        pqCodebooksFor(s, dir, residual = true)(trainPqCodebooks(res))))
+      .localCheckpoint()
+    res.unpersist(blocking = false)
+    out
+  }
+
+  /** SQ8 scalar quantization eval — the third compression rung next to
+    * PQ (q193-family) and Matryoshka truncation (q310): each dimension
+    * quantizes to an 8-bit code against its corpus [min, max] span
+    * (the FAISS SQ8 contract — 4× smaller than float32, no training),
+    * vectors reconstruct as mn + q·span/255, and the eval reports
+    * recall@3 of reconstructed-cosine search against the exact top-3
+    * plus the query vector's own reconstruction error. Per-dim spans
+    * are a 64-row bounded driver read (min/max are order-exact, no
+    * float-sum issue); ranking uses 4dp cosines (the q214 convention)
+    * and the error is a per-dim micro-integer sum — cross-engine
+    * exact. Scale shape: one corpus scan to quantize (broadcast
+    * 64-element literal spans), then the q37 broadcast-query scoring
+    * scan; nothing shuffles corpus-wide. */
+  def q347Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    // per-dim min/max: 64-row driver read (the centroid-artifact class)
+    val mm = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnArr = array(mm.map(t => lit(t._2._1)): _*)
+    val spanArr = array(mm.map(t => lit(t._2._2 - t._2._1)): _*)
+    // q = round((x-mn)*255/span); recon = q*span/255 + mn — operation
+    // order mirrored exactly in the oracle
+    val rec = e.select(col("vec_id"),
+      zip_with(
+        zip_with(
+          zip_with(col("v"), mnArr, (x, a) => x - a),
+          spanArr, (d, sp) => when(sp === 0d, lit(0d)).otherwise(round(d * 255 / sp))),
+        spanArr, (q, sp) => q * sp / 255).as("vr"), col("v"))
+    val recon = rec.select(col("vec_id"),
+      zip_with(col("vr"), mnArr, (y, a) => y + a).as("vr"), col("v"))
+      .persist()
+    recon.count()
+    val q = recon.filter(col("vec_id").between(100, 105))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exactTop = recon.join(broadcast(
+        q.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val sqTop = recon.join(broadcast(
+        q.select(col("vec_id").as("q_id"), col("vr").as("qr"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(CosineSimilarity(col("qr"), col("vr")), 4))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    val err = q.select(col("vec_id").as("q_id"),
+      aggregate(
+        zip_with(col("v"), col("vr"), (x, y) => round((x - y) * (x - y) * 1e12)),
+        lit(0L), (acc, z) => acc + z.cast("long")).as("mse_micro"))
+    val out = exactTop.join(sqTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+        round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
+          .as("recall"))
+      .join(err, "q_id")
+      .select(col("q_id"), col("k"), col("n_hit"), col("recall"),
+        col("mse_micro"))
+      .localCheckpoint()
+    recon.unpersist(blocking = false)
+    out
+  }
+
+  /** PQ codeword-usage histogram — the index-health report for the
+    * codebook layer (FAISS's code-usage histogram next to q337/q338's
+    * cell census): for each (flavor, subspace, codeword), how many
+    * corpus vectors encode to it. A DEAD codeword (n_used = 0 — it
+    * still appears, via the right join against the codebook) wastes a
+    * quarter of that subspace's code space; heavy skew means the
+    * trainer collapsed. One encode scan per flavor (the q193 encode,
+    * memoized codebooks) + a 16-row aggregation. */
+  def q348CodeUsage(s: SparkSession, dir: String): DataFrame = {
+    val raw = vecs(s, dir)
+    def usage(flavor: String, base: DataFrame, cbs: DataFrame): DataFrame = {
+      val assigned = base.withColumn("cell", lit(0L)) // cell unused here
+      val counts = pqEncode(assigned, cbs)
+        .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_used"))
+      cbs.select(col("cm").cast("long").as("m"), col("code"))
+        .join(counts, Seq("m", "code"), "left")
+        .select(lit(flavor).as("flavor"), col("m"), col("code"),
+          coalesce(col("n_used"), lit(0L)).as("n_used"))
+    }
+    val rawU = usage("raw", raw,
+      pqCodebooksFor(s, dir, residual = false)(trainPqCodebooks(raw)))
+    val res = residualVecs(s, dir).persist()
+    res.count()
+    val out = rawU.unionByName(usage("residual", res,
+        pqCodebooksFor(s, dir, residual = true)(trainPqCodebooks(res))))
+      .localCheckpoint()
+    res.unpersist(blocking = false)
+    out
+  }
+
+  /** Scratch artifact root for the q344/q345 round-trip queries: a
+    * deterministic per-corpus location under the JVM tmpdir (the corpus
+    * store under test is read-only, so "beside the corpus" binds to the
+    * writable twin the `graft.index.dir` conf models in production). */
+  private def scratchIndexRoot(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonicalDir(dir).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_index_$h").getPath
+  }
+
+  /** Index-artifact round trip as a data-plane query: BUILD the on-disk
+    * index for the corpus ([[IvfIndex.build]] — centroids + both
+    * codebook flavors + fingerprint meta), LOAD the centroids back
+    * through the fingerprint gate (explicit root — the session cache is
+    * not consulted for the loaded copy), and emit every vector's cell
+    * under the LOADED centroids. Hash-matching the DuckDB trained
+    * replay proves the persisted artifact reproduces the in-session
+    * training bit-exactly — the train-once/load-many contract, oracled.
+    * Scale shape: the build is the (memoized) training plus three tiny
+    * parquet writes; the assignment is the standard zero-shuffle argmax
+    * scan. */
+  def q344ArtifactAssign(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchIndexRoot(dir)
+    IvfIndex.build(s, dir, root)
+    val cents = IvfIndex.loadCentroidsAt(s, dir, root).getOrElse(
+      sys.error(s"q344: just-built index at $root failed its fingerprint gate"))
+    assignCells(vecs(s, dir), cents).select(col("vec_id"), col("cell"))
+  }
+
+  /** ADC search SERVED FROM the persisted index — [[q193IvfpqSearch]]
+    * with centroids AND raw codebooks loaded from the q344 artifact
+    * instead of the in-session trainer: the production query path of an
+    * index-serving job (open artifact → encode/assign → search). Equal
+    * results to q193 by construction; sharing q193's oracle pins that
+    * equality through DuckDB rather than asserting it. */
+  def q345ArtifactAdc(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchIndexRoot(dir)
+    IvfIndex.build(s, dir, root)
+    val cents = IvfIndex.loadCentroidsAt(s, dir, root).getOrElse(
+      sys.error(s"q345: just-built index at $root failed its fingerprint gate"))
+    val cbRows = IvfIndex.loadCodebooksAt(s, dir, IvfIndex.FlavorRaw, root)
+      .getOrElse(sys.error(s"q345: no raw codebooks in the index at $root"))
+    val assigned = assignCells(vecs(s, dir), cents).persist()
+    assigned.count()
+    val queries = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
+    val out = ivfpqAdcSearch(assigned, codebookDf(s, cbRows), queries, topK = 3)
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
   /** k-center greedy coreset (Gonzalez 1985; the SemDeDup/D4-style
     * DIVERSITY selection next to q146's redundancy removal): pick 8
     * maximally-spread vectors — seed = min vec_id, then 7× "the point
@@ -1520,6 +1838,15 @@ object VectorOps {
     * covering radius at each pick. */
   private[graft] def kcenterCoreset(s: SparkSession, vectors: DataFrame,
                                     k: Int): DataFrame = {
+    // growth guard: each pick is a sequential 1-row driver argmax plus a
+    // localCheckpoint lineage cut — fine at coreset-sized k, quadratic in
+    // driver round-trips if a caller raises k toward corpus scale. Past
+    // this bound the right implementation is the map-side variant (one
+    // pass per BATCH of picks: per-partition local argmax folded on the
+    // driver), not this loop — fail loudly instead of degrading silently.
+    require(k <= 64,
+      s"kcenterCoreset is a sequential greedy loop (k driver round-trips); " +
+        s"k=$k > 64 needs a batched per-partition argmax variant")
     def d2(v: org.apache.spark.sql.Column, c: Seq[Long]) =
       aggregate(zip_with(v, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
         lit(0L), (a, x) => a + x)
@@ -1822,6 +2149,11 @@ object VectorOps {
     "q341_adc_recall"      -> q341AdcRecall _,
     "q342_ivfpq_residual"  -> q342IvfpqResidual _,
     "q343_residual_gain"   -> q343ResidualGain _,
+    "q344_artifact_assign" -> q344ArtifactAssign _,
+    "q345_artifact_adc"    -> q345ArtifactAdc _,
+    "q346_pq_distortion"   -> q346PqDistortion _,
+    "q347_sq8_recall"      -> q347Sq8Recall _,
+    "q348_code_usage"      -> q348CodeUsage _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2020,6 +2352,18 @@ object VectorOps {
                    WHERE cd.vec_id <> p.q_id
                    GROUP BY 1, 2, 3)"""
 
+  /** The single-probe IVF-PQ search oracle — shared verbatim by q193
+    * (in-session trained index) and q345 (the same index through the
+    * parquet save/load round trip). */
+  private val ivfpqSearchOracle =
+    s"""WITH $assignSql,
+         $pqTrainSql,
+         $adcCtesSql
+         SELECT q_id, cell, vec_id, rank, adist FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, vec_id ASC) AS rank
+           FROM cand) WHERE rank <= 3"""
+
   /** q278's full hybrid-retrieval chain as a CTE block ending in
     * `rrf_ranked(q_id, doc_id, rank, rrf, n_arms)` — shared by the q278
     * oracle and the retrieval-eval oracle (q297) so the evaluated
@@ -2203,14 +2547,128 @@ object VectorOps {
                   AS ndcg
          FROM iq2""",
     "q270_kcenter_coreset" -> kcenterOracleSql,
-    "q193_ivfpq_search" ->
+    "q193_ivfpq_search" -> ivfpqSearchOracle,
+    // the artifact queries re-run the SAME trained trajectory through a
+    // parquet save/load — value-identical by the round-trip contract, so
+    // they share the trained-replay oracles verbatim
+    "q344_artifact_assign" ->
+      s"""WITH $assignSql
+         SELECT vec_id, cell FROM assigned""",
+    "q345_artifact_adc" -> ivfpqSearchOracle,
+    // seed distortion = round-1 distances (pd1 is scored against the
+    // pc0 seed codebook); trained distortion = the ADC chain's sc/rsc
+    // (scored against pc2). Micro-integer min/sum, one final division.
+    "q346_pq_distortion" ->
       s"""WITH $assignSql,
          $pqTrainSql,
-         $adcCtesSql
-         SELECT q_id, cell, vec_id, rank, adist FROM (
-           SELECT *, row_number() OVER (PARTITION BY q_id
-             ORDER BY adist ASC, vec_id ASC) AS rank
-           FROM cand) WHERE rank <= 3""",
+         ${adcCandSqlOver("")},
+         ${pqTrainSqlOver(residualPeSql, "r")},
+         ${adcCandSqlOver("r")},
+         sr AS (SELECT vec_id, m,
+                  min(CAST(round(dist2 * 1e6) AS BIGINT)) AS md
+                FROM pd1 GROUP BY 1, 2),
+         tr AS (SELECT vec_id, m,
+                  min(CAST(round(dist2 * 1e6) AS BIGINT)) AS md
+                FROM sc GROUP BY 1, 2),
+         rsr AS (SELECT vec_id, m,
+                   min(CAST(round(dist2 * 1e6) AS BIGINT)) AS md
+                 FROM rpd1 GROUP BY 1, 2),
+         rtr AS (SELECT vec_id, m,
+                   min(CAST(round(dist2 * 1e6) AS BIGINT)) AS md
+                 FROM rsc GROUP BY 1, 2)
+         SELECT 'raw' AS arm, 'seed' AS stage, CAST(m AS BIGINT) AS m,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(md) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS avg_dist2
+         FROM sr GROUP BY 3
+         UNION ALL
+         SELECT 'raw', 'trained', CAST(m AS BIGINT),
+                CAST(count(*) AS BIGINT),
+                round(CAST(sum(md) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+         FROM tr GROUP BY 3
+         UNION ALL
+         SELECT 'residual', 'seed', CAST(m AS BIGINT),
+                CAST(count(*) AS BIGINT),
+                round(CAST(sum(md) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+         FROM rsr GROUP BY 3
+         UNION ALL
+         SELECT 'residual', 'trained', CAST(m AS BIGINT),
+                CAST(count(*) AS BIGINT),
+                round(CAST(sum(md) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+         FROM rtr GROUP BY 3""",
+    "q347_sq8_recall" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             FROM embeddings, range(1, 65) t(i)),
+         mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         qz AS (SELECT e.vec_id, e.i,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE round((e.x - mn) * 255 / (mx - mn)) END AS q,
+                  mn, mx
+                FROM ex e JOIN mm USING (i)),
+         rec AS MATERIALIZED (SELECT vec_id, i,
+                  q * (mx - mn) / 255 + mn AS xr FROM qz),
+         nv AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+         nr AS (SELECT vec_id, sqrt(sum(xr*xr)) AS n FROM rec GROUP BY 1),
+         ed AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e ON q.i = e.i
+                  AND q.vec_id BETWEEN 100 AND 105
+                  AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         et AS (SELECT q_id, vec_id FROM (
+                  SELECT ed.q_id, ed.vec_id, row_number() OVER (
+                    PARTITION BY ed.q_id
+                    ORDER BY round(ed.dot/(a.n * b.n), 4) DESC, ed.vec_id)
+                    AS rank
+                  FROM ed JOIN nv a ON ed.q_id = a.vec_id
+                          JOIN nv b ON ed.vec_id = b.vec_id)
+                WHERE rank <= 3),
+         rd AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.xr * e.xr) AS dot
+                FROM rec q JOIN rec e ON q.i = e.i
+                  AND q.vec_id BETWEEN 100 AND 105
+                  AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         rt AS (SELECT q_id, vec_id FROM (
+                  SELECT rd.q_id, rd.vec_id, row_number() OVER (
+                    PARTITION BY rd.q_id
+                    ORDER BY round(rd.dot/(a.n * b.n), 4) DESC, rd.vec_id)
+                    AS rank
+                  FROM rd JOIN nr a ON rd.q_id = a.vec_id
+                          JOIN nr b ON rd.vec_id = b.vec_id)
+                WHERE rank <= 3),
+         err AS (SELECT e.vec_id AS q_id,
+                   CAST(sum(CAST(round((e.x - r.xr) * (e.x - r.xr) * 1e12)
+                                 AS BIGINT)) AS BIGINT) AS mse_micro
+                 FROM ex e JOIN rec r ON r.vec_id = e.vec_id AND r.i = e.i
+                 WHERE e.vec_id BETWEEN 100 AND 105 GROUP BY 1),
+         agg AS (SELECT et.q_id, CAST(count(*) AS BIGINT) AS k,
+                   CAST(count(rt.vec_id) AS BIGINT) AS n_hit,
+                   round(count(rt.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                     AS recall
+                 FROM et LEFT JOIN rt
+                   ON rt.q_id = et.q_id AND rt.vec_id = et.vec_id
+                 GROUP BY 1)
+         SELECT agg.q_id, k, n_hit, recall, err.mse_micro
+         FROM agg JOIN err ON err.q_id = agg.q_id""",
+    "q348_code_usage" ->
+      s"""WITH $assignSql,
+         $pqTrainSql,
+         ${adcCandSqlOver("")},
+         ${pqTrainSqlOver(residualPeSql, "r")},
+         ${adcCandSqlOver("r")},
+         ru AS (SELECT m, code, CAST(count(*) AS BIGINT) AS n_used
+                FROM codes GROUP BY 1, 2),
+         rru AS (SELECT m, code, CAST(count(*) AS BIGINT) AS n_used
+                 FROM rcodes GROUP BY 1, 2)
+         SELECT 'raw' AS flavor, CAST(c.m AS BIGINT) AS m, c.code,
+                COALESCE(ru.n_used, CAST(0 AS BIGINT)) AS n_used
+         FROM pc2 c LEFT JOIN ru ON ru.m = c.m AND ru.code = c.code
+         UNION ALL
+         SELECT 'residual', CAST(c.m AS BIGINT), c.code,
+                COALESCE(rru.n_used, CAST(0 AS BIGINT))
+         FROM rpc2 c LEFT JOIN rru ON rru.m = c.m AND rru.code = c.code""",
     "q342_ivfpq_residual" ->
       s"""WITH $assignSql,
          ${pqTrainSqlOver(residualPeSql, "r")},
@@ -2724,7 +3182,7 @@ object VectorOps {
                       / (CAST(sum(n_c) AS DOUBLE)
                         * CAST(sum(n_c) AS DOUBLE)), 6) AS imbalance,
                 CAST(max(n_c) AS BIGINT) AS max_occ,
-                CAST(sum(CASE WHEN n_c > 1000 THEN 1 ELSE 0 END)
+                CAST(sum(CASE WHEN n_c > $IvfCellCap THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_over_cap
          FROM oc""",
     "q339_multiprobe_screen" ->
@@ -2821,10 +3279,10 @@ object VectorOps {
                           / (CAST(k4 AS DOUBLE) * 1000000.0), 6) AS margin
                   FROM ir JOIN it4 USING (src_id) WHERE rs = 1 AND rt = 1)
          SELECT src_id, tgt_id, cos, margin FROM xout
-         WHERE (SELECT ne * nd FROM rc) <= 10000000
+         WHERE (SELECT ne * nd FROM rc) <= $BitextExactPairBound
          UNION ALL
          SELECT src_id, tgt_id, cos, margin FROM iout
-         WHERE (SELECT ne * nd FROM rc) > 10000000""",
+         WHERE (SELECT ne * nd FROM rc) > $BitextExactPairBound""",
     "q328_bitext_ivf_recall" ->
       s"""WITH $assignSql,
          lg AS (SELECT doc_id AS vec_id, lang FROM documents),

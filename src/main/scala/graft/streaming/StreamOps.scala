@@ -739,6 +739,57 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming INDEX MAINTENANCE — the encode-append half the
+    * cellOccupancySink monitor implies: each arriving vector is
+    * assigned to its TRAINED cell and PQ-ENCODED against the PERSISTED
+    * codebooks (both loaded once from the [[graft.operators.IvfIndex]]
+    * artifact at sink construction — the frozen-index contract;
+    * retraining is the offline refresh loop's job, never a trigger's),
+    * and the (vec_id, cell, m, code) rows APPEND to the serving index.
+    * Batch searches (q193's ADC path) read the result directly.
+    *
+    * Idempotency: encoding is deterministic under a frozen index, so
+    * the index itself is the claims table — each trigger anti-joins the
+    * batch's codes against the vec_ids already present and appends only
+    * the missing rows. A crash-replayed micro-batch (at-least-once
+    * foreachBatch) re-encodes bit-identical rows, the anti-join drops
+    * them all, and the append is empty — no batch_id state to guard, no
+    * crash window between data append and claim append (they are the
+    * same write). Per-trigger cost: batch-sized encode + one
+    * column-pruned vec_id scan of the index (production partitions the
+    * index by ingest epoch so the scan prunes to recent epochs). */
+  def indexAppendSink(vectors: DataFrame,
+                      cents: Array[(Long, Seq[Double])],
+                      cbs: Array[(Int, Long, Seq[Double])],
+                      indexPath: String)
+                     (checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val assigned = graft.operators.VectorOps.assignCells(
+          batch.toDF().select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
+          cents)
+        val codes = graft.operators.VectorOps.pqEncode(assigned,
+          graft.operators.VectorOps.codebookDf(spark, cbs))
+        val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
+        val idxFs = idxHPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (idxFs.exists(idxHPath))
+            codes.join(spark.read.parquet(indexPath)
+                .select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else codes
+        // materialize BEFORE the append: the plan reads the same path it
+        // is about to write (the weightedReservoirSink lineage-cut rule)
+        fresh.localCheckpoint().write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+
   /** Streaming decayed-counter monitor — the streaming face of q283.
     * State is the (event_type, day) daily-count table (decay depends
     * only on the day, so daily counts are a LOSSLESS compression of the

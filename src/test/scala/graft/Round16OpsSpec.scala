@@ -46,8 +46,10 @@ class Round16OpsSpec extends SparkSpec {
     def md5hex(s0: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val k = math.max(8L, math.min(64L,
-      math.round(math.sqrt(emb.size.toDouble)))).toInt
+    // the ENGINE's k sizing — re-deriving it here with a cap would make
+    // the replay diverge (for the wrong reason) on any fixture > 4096
+    // vectors, since production ivfK is deliberately uncapped
+    val k = operators.VectorOps.ivfK(emb.size.toLong)
     var cents: Seq[(Long, Array[Double])] = emb.keys.toSeq
       .sortBy(id => md5hex(id.toString)).take(k).sorted
       .map(id => id -> emb(id))

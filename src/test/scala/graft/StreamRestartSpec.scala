@@ -505,6 +505,53 @@ class StreamRestartSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(dir)
   }
 
+  test("indexAppendSink survives kill-and-resume with a crash-replayed " +
+      "trigger: the index-as-claims anti-join absorbs the replay (zero " +
+      "duplicate rows) and the final index equals the batch pqEncode " +
+      "over the whole corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("idxappend").toFile
+    val srcDir = new java.io.File(dir, "src").getAbsolutePath
+    val indexPath = new java.io.File(dir, "index").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      graft.functions.CosineSimilarity.register(spark)
+      val cents = graft.operators.VectorOps.coarseCentroids(spark, sfDir)
+      val cbs = graft.operators.VectorOps.pqCodebookRows(spark, sfDir,
+        residual = false)
+      val full = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      def src(): DataFrame = spark.readStream.schema(schema).parquet(srcDir)
+      full.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(srcDir)
+      val q1 = StreamOps.indexAppendSink(src(), cents, cbs, indexPath)(ckpt)
+      q1.processAllAvailable(); q1.stop()
+      // crash: index rows appended, commit lost -> trigger 0 replays
+      dropLastCommit(ckpt)
+      full.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+      val q2 = StreamOps.indexAppendSink(src(), cents, cbs, indexPath)(ckpt)
+      q2.processAllAvailable(); q2.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      val streamedRows = spark.read.parquet(indexPath)
+        .select("vec_id", "cell", "m", "code").collect()
+      val streamed = streamedRows.map(key).toSet
+      val batch = graft.operators.VectorOps.pqEncode(
+          graft.operators.VectorOps.assignCells(
+            full.select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
+            cents),
+          graft.operators.VectorOps.codebookDf(spark, cbs))
+        .select("vec_id", "cell", "m", "code").collect().map(key).toSet
+      assert(streamedRows.length === batch.size,
+        s"crash replay duplicated rows: ${streamedRows.length} appended " +
+          s"vs ${batch.size} distinct")
+      assert(streamed === batch,
+        "streamed encode-append must equal the batch encode row set")
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("the SAME checkpoint spelled differently across restarts (a '.' " +
       "path segment) resumes cleanly — the pairing guard compares " +
       "canonical paths, not raw strings") {

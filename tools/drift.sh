@@ -179,4 +179,8 @@ for q in sorted(new["queries"]):
     print(f"| {q} | {prev['queries'].get(q, float('nan')):.2f} "
           f"| {new['queries'][q]:.2f} |")
 EOF
+# success path: the JSONs are folded into the table above — drop the
+# scratch dir (it is kept only on the contended-discard path, where the
+# message points users at the preserved probe series)
+rm -rf "$AB_DIR"
 echo "drift: A/B table appended to docs/SCALING.md"
