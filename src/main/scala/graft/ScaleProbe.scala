@@ -130,6 +130,18 @@ object ScaleProbe {
     }
     val (train1, trainN) = (trainSec(src), trainSec(out))
     System.err.println(f"[scale] quantizer build: 1x=$train1%.2fs Nx=$trainN%.2fs")
+    // PQ codebooks get the same index-artifact treatment (round 18): the
+    // memoized trainer runs once per (corpus, flavor) here, visibly,
+    // instead of inside whichever ADC query runs first at N×.
+    def pqSec(dir: String): Double = {
+      val t0 = System.nanoTime()
+      operators.VectorOps.pqCodebookRows(spark, dir, residual = false)
+      operators.VectorOps.pqCodebookRows(spark, dir, residual = true)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (pq1, pqN) = (pqSec(src), pqSec(out))
+    System.err.println(f"[scale] pq codebook build (raw+residual): " +
+      f"1x=$pq1%.2fs Nx=$pqN%.2fs")
     // cell-occupancy census per rung (round-17 verdict: the join profile
     // of the IVF family is the occupancy distribution — record it with
     // the ratios): k cells, min/median/max members, top-3 cells
@@ -160,7 +172,7 @@ object ScaleProbe {
       val ratio = if (b > 0 && g > 0) fmt(g / b) else "null"
       s""""$n":{"sf1":${fmt(b)},"sfN":${fmt(g)},"ratio":$ratio}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","mult":$mult,"src":"$src","out":"$out","quantizer_build_sec":{"sf1":${fmt(train1)},"sfN":${fmt(trainN)}},"queries":$body}""")
+    println(s"""{"metric":"scale_probe","mult":$mult,"src":"$src","out":"$out","quantizer_build_sec":{"sf1":${fmt(train1)},"sfN":${fmt(trainN)}},"pq_build_sec":{"sf1":${fmt(pq1)},"sfN":${fmt(pqN)}},"queries":$body}""")
     spark.stop()
   }
 }

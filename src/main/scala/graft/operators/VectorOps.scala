@@ -1763,6 +1763,32 @@ object VectorOps {
     out
   }
 
+  /** Index-refresh drift — the number that prices the FROZEN-INDEX
+    * contract ([[IvfIndex]] artifact, [[graft.streaming.StreamOps
+    * .indexAppendSink]]): treat vec_id % 10 == 9 as the post-build
+    * arrivals (10% growth), train a quantizer WITHOUT them (what the
+    * serving index was built from), and compare every vector's cell
+    * under the frozen quantizer vs the fully retrained one (`moved` =
+    * routed to a centroid of a different seed lineage). The moved-rate
+    * is the staleness measure an index operator reads against the
+    * occupancy monitor before scheduling the offline refresh (q68's
+    * Lloyd step / a full [[IvfIndex.build]]). Both trainings replay
+    * verbatim in DuckDB; the frozen training is a one-off here (not
+    * cached — it is not THE corpus artifact). Scale shape: two
+    * trainings (bounded driver state each) + two zero-shuffle
+    * assignment scans + a vec_id equi-join. */
+  def q349RefreshDrift(s: SparkSession, dir: String): DataFrame = {
+    val full = vecs(s, dir)
+    val oldCents = trainCentroids(full.filter(col("vec_id") % 10 =!= 9))
+    val frozen = assignCells(full, oldCents)
+      .select(col("vec_id"), col("cell").as("cell_frozen"))
+    val fresh = assignCells(full, coarseCentroids(s, dir))
+      .select(col("vec_id"), col("cell").as("cell_fresh"))
+    frozen.join(fresh, "vec_id")
+      .select(col("vec_id"), col("cell_frozen"), col("cell_fresh"),
+        (col("cell_frozen") =!= col("cell_fresh")).cast("long").as("moved"))
+  }
+
   /** Scratch artifact root for the q344/q345 round-trip queries: a
     * deterministic per-corpus location under the JVM tmpdir (the corpus
     * store under test is read-only, so "beside the corpus" binds to the
@@ -2154,6 +2180,7 @@ object VectorOps {
     "q346_pq_distortion"   -> q346PqDistortion _,
     "q347_sq8_recall"      -> q347Sq8Recall _,
     "q348_code_usage"      -> q348CodeUsage _,
+    "q349_refresh_drift"   -> q349RefreshDrift _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2231,6 +2258,61 @@ object VectorOps {
                              row_number() OVER (PARTITION BY vec_id
                                ORDER BY ccos DESC, cent_id) AS rn
                       FROM cc) WHERE rn = 1)"""
+  }
+
+  /** The q349 frozen-quantizer chain: the assignSql trainer replayed
+    * over the PRE-GROWTH corpus (vec_id % 10 <> 9) with o-prefixed CTE
+    * names, then the FULL corpus assigned against the frozen centroids
+    * (`oassigned`). Reads `ex`/`nrm` from the main chain. */
+  private val frozenAssignSql = {
+    def lloyd(t: Int): String = {
+      val prev = s"okc${t - 1}"
+      s"""okd$t AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
+               FROM otex v JOIN $prev c ON v.i = c.i GROUP BY 1, 2),
+         okn$t AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM $prev GROUP BY 1),
+         okq$t AS (SELECT okd$t.vec_id, okd$t.cent_id,
+                     round(okd$t.dot/(nv.n * okn$t.n), 6) AS ccos
+                   FROM okd$t JOIN otn nv ON okd$t.vec_id = nv.vec_id
+                             JOIN okn$t ON okd$t.cent_id = okn$t.cent_id),
+         oka$t AS (SELECT vec_id, cent_id AS cell FROM (
+                     SELECT vec_id, cent_id, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+                     FROM okq$t) WHERE rn = 1),
+         okm$t AS (SELECT a.cell AS cent_id, e.i,
+                     round(sum(e.x)/count(*), 6) AS m
+                   FROM oka$t a JOIN otex e ON a.vec_id = e.vec_id
+                   GROUP BY 1, 2),
+         okc$t AS MATERIALIZED (SELECT * FROM okm$t
+                  UNION ALL
+                  SELECT p.cent_id, p.i, p.m FROM $prev p
+                  WHERE p.cent_id NOT IN
+                    (SELECT DISTINCT cent_id FROM okm$t))"""
+    }
+    s"""otex AS MATERIALIZED (SELECT * FROM ex WHERE vec_id % 10 <> 9),
+       otn AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM otex GROUP BY 1),
+       okk AS (SELECT CAST(greatest(8, round(sqrt(count(*))))
+                      AS BIGINT) AS k
+               FROM embeddings WHERE vec_id % 10 <> 9),
+       oksd AS (SELECT vec_id, row_number() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))) AS srn
+                FROM embeddings WHERE vec_id % 10 <> 9),
+       okc0 AS (SELECT e.vec_id AS cent_id, e.i, e.x AS m
+                FROM otex e JOIN oksd ON oksd.vec_id = e.vec_id, okk
+                WHERE oksd.srn <= okk.k),
+       ${lloyd(1)},
+       ${lloyd(2)},
+       ocd AS (SELECT v.vec_id, c.cent_id, sum(v.x * c.m) AS dot
+               FROM ex v JOIN okc2 c ON v.i = c.i GROUP BY 1, 2),
+       ocn AS (SELECT cent_id, sqrt(sum(m*m)) AS n FROM okc2 GROUP BY 1),
+       occ AS (SELECT ocd.vec_id, ocd.cent_id,
+                 round(ocd.dot/(nv.n * ocn.n), 6) AS ccos
+               FROM ocd JOIN nrm nv ON ocd.vec_id = nv.vec_id
+                       JOIN ocn ON ocd.cent_id = ocn.cent_id),
+       oassigned AS (SELECT vec_id, cent_id AS cell FROM (
+                       SELECT vec_id, cent_id,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS rn
+                       FROM occ) WHERE rn = 1)"""
   }
 
   /** PQ codebook TRAINING replay (trainPqCodebooks' 2-round Lloyd
@@ -2669,6 +2751,13 @@ object VectorOps {
          SELECT 'residual', CAST(c.m AS BIGINT), c.code,
                 COALESCE(rru.n_used, CAST(0 AS BIGINT))
          FROM rpc2 c LEFT JOIN rru ON rru.m = c.m AND rru.code = c.code""",
+    "q349_refresh_drift" ->
+      s"""WITH $assignSql,
+         $frozenAssignSql
+         SELECT a.vec_id, o.cell AS cell_frozen, a.cell AS cell_fresh,
+                CAST(CASE WHEN o.cell <> a.cell THEN 1 ELSE 0 END AS BIGINT)
+                  AS moved
+         FROM oassigned o JOIN assigned a ON a.vec_id = o.vec_id""",
     "q342_ivfpq_residual" ->
       s"""WITH $assignSql,
          ${pqTrainSqlOver(residualPeSql, "r")},

@@ -190,6 +190,48 @@ class Round18OpsSpec extends SparkSpec {
           "code budget on what the cell did not explain)")
   }
 
+  test("q347 SQ8 eval: 8-bit-per-dim quantization is near-lossless on " +
+      "this corpus (recall 1.0) while PQ's 4 codewords are noise-bound " +
+      "— the compression/recall tradeoff the two evals price together") {
+    val rows = VectorOps.q347Sq8Recall(spark, dir).collect()
+    assert(rows.length === 6)
+    // measured: recall 1.0 on every query at sf0.001/sf0.01 — SQ8 keeps
+    // 8 bits per dimension, so 4dp cosine ranking is unperturbed; gate
+    // at >= 0.9 mean so a quantizer bug (wrong span, off-by-one code)
+    // turns red without pinning bit-exact ties
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.9, s"SQ8 recall collapsed to $mean")
+    assert(rows.forall(_.getLong(4) > 0L),
+      "reconstruction error must be positive (quantization is lossy)")
+  }
+
+  test("q348 code usage: every corpus vector contributes exactly 4 " +
+      "subspace codes per flavor and no codeword row is lost (dead " +
+      "codewords would still appear with n_used = 0)") {
+    val n = Tables.embeddings(spark, dir).count()
+    val rows = VectorOps.q348CodeUsage(spark, dir).collect()
+    assert(rows.length === 32, "2 flavors x 4 subspaces x 4 codewords")
+    for (flavor <- Seq("raw", "residual")) {
+      val f = rows.filter(_.getString(0) == flavor)
+      assert(f.map(_.getLong(3)).sum === 4 * n,
+        s"$flavor: every vector encodes once per subspace")
+    }
+  }
+
+  test("q349 refresh drift: every vector is booked under both the " +
+      "frozen and the fresh quantizer, the pre-growth vectors mostly " +
+      "keep their seed lineage, and moved is a 0/1 flag") {
+    val n = Tables.embeddings(spark, dir).count()
+    val rows = VectorOps.q349RefreshDrift(spark, dir).collect()
+    assert(rows.length === n)
+    assert(rows.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
+    val movedRate = rows.map(_.getLong(3)).sum.toDouble / n
+    // 10% growth on an isotropic corpus: most vectors keep their cell
+    // (measured ~0.1-0.3); a rate near 1.0 would mean the frozen chain
+    // diverged from the trainer (wrong seed/rounding), not real drift
+    assert(movedRate < 0.8, s"implausible moved rate $movedRate")
+  }
+
   test("kcenterCoreset growth guard: k past the sequential-loop bound " +
       "fails loudly instead of degrading into corpus-scale driver trips") {
     val vecsDf = Seq((0L, Seq(0L, 0L)), (1L, Seq(1L, 1L)))
