@@ -1789,6 +1789,118 @@ object VectorOps {
         (col("cell_frozen") =!= col("cell_fresh")).cast("long").as("moved"))
   }
 
+  /** kNN-graph edges — the build step of graph-based ANN (the NSW/HNSW
+    * family's base layer): each vector's top-`k` IN-CELL neighbors by
+    * micro-integer cosine. Candidates come from the IVF cell equi-join
+    * with the full [[cappedCellCandidates]] hub discipline (occupancy
+    * census + (cell, second-choice) diversion), so the build is
+    * Σ|cell|² bounded and NEVER all-pairs — with k ≈ √N cells that is
+    * ~N·√N/… per-cell work, the same shape SemDeDup (q146) ships.
+    * Output: (src_id, tgt_id, rank, cm). */
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String,
+                                   k: Int): DataFrame = {
+    val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir)).persist()
+    t2.count()
+    val a = t2.select(col("vec_id").as("src_id"), col("v").as("va"),
+      col("c1").as("cell"), col("c2").as("alta"))
+    val b = t2.select(col("vec_id").as("tgt_id"), col("v").as("vb"),
+      col("c1").as("cell"), col("c2").as("altb"))
+    val pairs = cappedCellCandidates(a, b, IvfCellCap)
+      .filter(col("src_id") =!= col("tgt_id"))
+      .withColumn("cm",
+        round(round(CosineSimilarity(col("va"), col("vb")), 6) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cm").desc, col("tgt_id").asc)
+    val out = pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("tgt_id"), col("rank"), col("cm"))
+      .localCheckpoint()
+    t2.unpersist(blocking = false)
+    out
+  }
+
+  /** kNN-graph build as a query: every vector's top-3 in-cell
+    * neighbors — the navigable-graph artifact q351 searches (and a
+    * useful product in its own right: the doc-similarity edge list a
+    * recommender or link-dedup pass consumes). */
+  def q350KnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(s, dir, 3)
+      .select(col("src_id"), col("tgt_id"), col("rank"),
+        round(col("cm") / 1e6, 6).as("cos"))
+
+  /** Graph-based ANN search — CLUSTER-ROUTED beam search over the q350
+    * kNN graph (the SPANN/NSW hybrid: IVF routing picks the
+    * neighborhood, the navigable graph refines inside it; a fixed hop
+    * budget instead of a convergence test so the trajectory replays in
+    * SQL). Entry point per query = the md5-min member of the query's
+    * own coarse cell (the graph's edges are cell-local, so routing
+    * must land the beam inside the right cell — exactly the role the
+    * coarse quantizer already plays for ADC search); then 3 rounds of
+    * "expand the beam's out-edges, score candidates against the query,
+    * keep the best 4", and report each query's final top-3. Re-scoring
+    * a node is idempotent (deterministic micro-cosine), so the beam
+    * needs no visited set — beam ∪ neighbors, distinct, score, top-4.
+    *
+    * 100 TB posture: the beam frame is queries×4 rows; each hop is ONE
+    * broadcast-beam join against the (corpus×3)-row edge list + one
+    * broadcast-candidate join against the corpus for vectors + scoring
+    * — per-hop cost is edge-lookup + |cand| cosines, never a corpus
+    * shuffle; hops are fixed (the HNSW layer hierarchy's job is to
+    * shrink the hop count — cluster routing is the flat-graph
+    * equivalent, and the entry pick is one broadcast-query join). */
+  def q351GraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val edges = knnGraphEdges(s, dir, 3)
+      .select(col("src_id"), col("tgt_id"))
+    val assigned = assignCells(e, coarseCentroids(s, dir)).persist()
+    assigned.count()
+    val queries = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
+      .localCheckpoint() // 6 rows
+    // per-query entry: md5-min member of the query's cell (not the
+    // query itself) — one broadcast join + a per-query window
+    val wEntry = Window.partitionBy(col("q_id"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+    val entries = assigned
+      .join(broadcast(queries.select(col("q_id"), col("q_cell"))),
+        col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(wEntry)).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("node"))
+    def score(cand: DataFrame): DataFrame =
+      e.select(col("vec_id").as("node"), col("v"))
+        .join(broadcast(cand), "node")
+        .join(broadcast(queries.select(col("q_id"), col("qv"))), "q_id")
+        .filter(col("node") =!= col("q_id"))
+        .withColumn("cm",
+          round(round(CosineSimilarity(col("qv"), col("v")), 6) * 1e6)
+            .cast("long"))
+        .select(col("q_id"), col("node"), col("cm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cm").desc, col("node").asc)
+    var beam = score(entries)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("q_id"), col("node"), col("cm")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val cand = beam.select(col("q_id"), col("node"))
+        .unionByName(edges.join(broadcast(beam),
+            col("src_id") === col("node"))
+          .select(col("q_id"), col("tgt_id").as("node")))
+        .distinct()
+      beam = score(cand)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select(col("q_id"), col("node"), col("cm")).localCheckpoint()
+    }
+    assigned.unpersist(blocking = false)
+    beam.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("node").as("vec_id"), col("rank"),
+        round(col("cm") / 1e6, 6).as("cos"))
+  }
+
   /** Scratch artifact root for the q344/q345 round-trip queries: a
     * deterministic per-corpus location under the JVM tmpdir (the corpus
     * store under test is read-only, so "beside the corpus" binds to the
@@ -2181,6 +2293,8 @@ object VectorOps {
     "q347_sq8_recall"      -> q347Sq8Recall _,
     "q348_code_usage"      -> q348CodeUsage _,
     "q349_refresh_drift"   -> q349RefreshDrift _,
+    "q350_knn_graph"       -> q350KnnGraph _,
+    "q351_graph_search"    -> q351GraphSearch _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2433,6 +2547,29 @@ object VectorOps {
                      AND q.code = cd.code
                    WHERE cd.vec_id <> p.q_id
                    GROUP BY 1, 2, 3)"""
+
+  /** The q350 kNN-graph replay (reads assigned/ex/nrm from the shared
+    * assignSql chain): in-cell candidate pairs → micro-cosine → top-3
+    * out-edges per vector as `g`. Shared by the q350 build oracle and
+    * the q351 beam-search oracle. */
+  private val graphCtesSql =
+    """gpc AS (SELECT sa.vec_id AS src_id, sb.vec_id AS tgt_id
+               FROM assigned sa JOIN assigned sb
+                 ON sb.cell = sa.cell AND sb.vec_id <> sa.vec_id),
+       gpd AS (SELECT c.src_id, c.tgt_id, sum(xa.x * xb.x) AS dot
+               FROM gpc c JOIN ex xa ON xa.vec_id = c.src_id
+                          JOIN ex xb ON xb.vec_id = c.tgt_id
+                            AND xb.i = xa.i
+               GROUP BY 1, 2),
+       gcm AS (SELECT src_id, tgt_id,
+                 CAST(round(round(dot/(na.n * nb.n), 6) * 1e6) AS BIGINT)
+                   AS cm
+               FROM gpd JOIN nrm na ON src_id = na.vec_id
+                        JOIN nrm nb ON tgt_id = nb.vec_id),
+       g AS MATERIALIZED (SELECT src_id, tgt_id, rank, cm FROM (
+              SELECT src_id, tgt_id, cm, row_number() OVER (
+                PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rank
+              FROM gcm) WHERE rank <= 3)"""
 
   /** The single-probe IVF-PQ search oracle — shared verbatim by q193
     * (in-session trained index) and q345 (the same index through the
@@ -2758,6 +2895,63 @@ object VectorOps {
                 CAST(CASE WHEN o.cell <> a.cell THEN 1 ELSE 0 END AS BIGINT)
                   AS moved
          FROM oassigned o JOIN assigned a ON a.vec_id = o.vec_id""",
+    "q350_knn_graph" ->
+      s"""WITH $assignSql,
+         $graphCtesSql
+         SELECT src_id, tgt_id, CAST(rank AS BIGINT) AS rank,
+                round(CAST(cm AS DOUBLE) / 1e6, 6) AS cos
+         FROM g""",
+    "q351_graph_search" -> {
+      def hop(t: Int): String =
+        s"""h$t AS (SELECT DISTINCT q_id, node FROM (
+                 SELECT q_id, node FROM b${t - 1}
+                 UNION ALL
+                 SELECT b.q_id, g.tgt_id AS node
+                 FROM b${t - 1} b JOIN g ON g.src_id = b.node)),
+           b$t AS (SELECT q_id, node, cm FROM (
+                 SELECT s.q_id, s.node, s.cm, row_number() OVER (
+                   PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
+                 FROM h$t c JOIN qc s
+                   ON s.q_id = c.q_id AND s.node = c.node)
+               WHERE rn <= 4)"""
+      s"""WITH $assignSql,
+         $graphCtesSql,
+         qs AS (SELECT vec_id AS q_id, cell FROM assigned
+                WHERE vec_id BETWEEN 100 AND 105),
+         qd AS (SELECT q.vec_id AS q_id, e.vec_id AS node,
+                  sum(q.x * e.x) AS dot
+                FROM ex q JOIN ex e ON e.i = q.i
+                  AND q.vec_id BETWEEN 100 AND 105
+                  AND e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+         qc AS MATERIALIZED (SELECT q_id, node,
+                CAST(round(round(dot/(na.n * nb.n), 6) * 1e6) AS BIGINT)
+                  AS cm
+              FROM qd JOIN nrm na ON q_id = na.vec_id
+                      JOIN nrm nb ON node = nb.vec_id),
+         ent AS (SELECT q_id, node FROM (
+                   SELECT qs.q_id, a.vec_id AS node, row_number() OVER (
+                     PARTITION BY qs.q_id
+                     ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id)
+                     AS rn
+                   FROM qs JOIN assigned a
+                     ON a.cell = qs.cell AND a.vec_id <> qs.q_id)
+                 WHERE rn = 1),
+         b0 AS (SELECT q_id, node, cm FROM (
+                  SELECT s.q_id, s.node, s.cm, row_number() OVER (
+                    PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
+                  FROM ent c
+                  JOIN qc s ON s.q_id = c.q_id AND s.node = c.node)
+                WHERE rn <= 4),
+         ${hop(1)},
+         ${hop(2)},
+         ${hop(3)}
+         SELECT q_id, node AS vec_id, CAST(rank AS BIGINT) AS rank,
+                round(CAST(cm AS DOUBLE) / 1e6, 6) AS cos
+         FROM (SELECT q_id, node, cm, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cm DESC, node) AS rank
+               FROM b3) WHERE rank <= 3"""
+    },
     "q342_ivfpq_residual" ->
       s"""WITH $assignSql,
          ${pqTrainSqlOver(residualPeSql, "r")},

@@ -232,6 +232,45 @@ class Round18OpsSpec extends SparkSpec {
     assert(movedRate < 0.8, s"implausible moved rate $movedRate")
   }
 
+  test("q350 kNN graph: at most 3 out-edges per vector with contiguous " +
+      "ranks, and every edge stays inside one coarse cell (the build is " +
+      "the capped cell equi-join, never all-pairs)") {
+    val edges = VectorOps.q350KnnGraph(spark, dir).collect()
+    val bySrc = edges.groupBy(_.getLong(0))
+    assert(bySrc.forall(_._2.length <= 3))
+    assert(bySrc.forall(g =>
+      g._2.map(_.getLong(2)).sorted.sameElements(1L to g._2.length)))
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cellOf = VectorOps.assignCells(base,
+        VectorOps.coarseCentroids(spark, dir))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges.forall(r => cellOf(r.getLong(0)) == cellOf(r.getLong(1))),
+      "graph edges must be cell-local (the cluster-routing contract)")
+  }
+
+  test("q351 cluster-routed beam search: FLOOR against the exact " +
+      "in-cell top-3 (q60) — the graph refinement must recover most of " +
+      "what the exact in-cell scan finds") {
+    // Measured at HEAD (sf0.001): 12/18 = 0.667 of q60's rows recovered
+    // by a 4-wide, 3-hop beam from the cell's md5-min member — well
+    // above ADC's 0.333 on the same protocol. Floor 0.4 sits 40% under
+    // the measurement; a broken graph (wrong edges, dead routing) lands
+    // near the ~3/|cell| ≈ 0.13 random level.
+    val exact = VectorOps.q60IvfAnn(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beam = VectorOps.q351GraphSearch(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val agreement = (exact & beam).size.toDouble / exact.size
+    assert(agreement >= 0.4,
+      s"graph-search agreement with the exact in-cell top-3 crashed to " +
+        s"$agreement (< 0.4)")
+  }
+
   test("kcenterCoreset growth guard: k past the sequential-loop bound " +
       "fails loudly instead of degrading into corpus-scale driver trips") {
     val vecsDf = Seq((0L, Seq(0L, 0L)), (1L, Seq(1L, 1L)))
