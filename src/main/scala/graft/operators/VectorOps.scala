@@ -1901,6 +1901,25 @@ object VectorOps {
         round(col("cm") / 1e6, 6).as("cos"))
   }
 
+  /** Graph-search recall eval — the q341/q343 protocol applied to the
+    * cluster-routed beam: recall@3 of q351's beam results against the
+    * EXACT IN-CELL top-3 (q60's frame — the strongest result any
+    * cell-local method can reach, so this isolates what the BEAM loses
+    * vs what cell pruning already gave up; q328 prices the latter).
+    * One row per query; integer hits, one rounded division. */
+  def q352GraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = q60IvfAnn(s, dir).select(col("q_id"), col("vec_id"))
+    val beam = q351GraphSearch(s, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    exact.join(beam, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+        round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
+          .as("recall"))
+      .select(col("q_id"), col("k"), col("n_hit"), col("recall"))
+  }
+
   /** Scratch artifact root for the q344/q345 round-trip queries: a
     * deterministic per-corpus location under the JVM tmpdir (the corpus
     * store under test is read-only, so "beside the corpus" binds to the
@@ -2295,6 +2314,7 @@ object VectorOps {
     "q349_refresh_drift"   -> q349RefreshDrift _,
     "q350_knn_graph"       -> q350KnnGraph _,
     "q351_graph_search"    -> q351GraphSearch _,
+    "q352_graph_recall"    -> q352GraphRecall _,
     "q328_bitext_ivf_recall" -> q328BitextIvfRecall _,
     "q332_bitext_multiprobe" -> q332BitextMultiprobe _,
     "q334_semantic_eval_proximity" -> q334SemanticEvalProximity _,
@@ -2570,6 +2590,56 @@ object VectorOps {
               SELECT src_id, tgt_id, cm, row_number() OVER (
                 PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rank
               FROM gcm) WHERE rank <= 3)"""
+
+  /** The q351 cluster-routed beam replay (reads assigned/ex/nrm from
+    * assignSql and `g` from [[graphCtesSql]]): query cells (`qs`),
+    * the query×corpus micro-cosine table (`qc`), the per-query cell
+    * entry point (`ent`), and beams b0..b3 (width 4, 3 hops). Shared
+    * by the q351 search oracle and the q352 recall oracle. */
+  private val beamCtesSql = {
+    def hop(t: Int): String =
+      s"""h$t AS (SELECT DISTINCT q_id, node FROM (
+               SELECT q_id, node FROM b${t - 1}
+               UNION ALL
+               SELECT b.q_id, g.tgt_id AS node
+               FROM b${t - 1} b JOIN g ON g.src_id = b.node)),
+         b$t AS (SELECT q_id, node, cm FROM (
+               SELECT s.q_id, s.node, s.cm, row_number() OVER (
+                 PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
+               FROM h$t c JOIN qc s
+                 ON s.q_id = c.q_id AND s.node = c.node)
+             WHERE rn <= 4)"""
+    s"""qs AS (SELECT vec_id AS q_id, cell FROM assigned
+              WHERE vec_id BETWEEN 100 AND 105),
+       qd AS (SELECT q.vec_id AS q_id, e.vec_id AS node,
+                sum(q.x * e.x) AS dot
+              FROM ex q JOIN ex e ON e.i = q.i
+                AND q.vec_id BETWEEN 100 AND 105
+                AND e.vec_id <> q.vec_id
+              GROUP BY 1, 2),
+       qc AS MATERIALIZED (SELECT q_id, node,
+              CAST(round(round(dot/(na.n * nb.n), 6) * 1e6) AS BIGINT)
+                AS cm
+            FROM qd JOIN nrm na ON q_id = na.vec_id
+                    JOIN nrm nb ON node = nb.vec_id),
+       ent AS (SELECT q_id, node FROM (
+                 SELECT qs.q_id, a.vec_id AS node, row_number() OVER (
+                   PARTITION BY qs.q_id
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id)
+                   AS rn
+                 FROM qs JOIN assigned a
+                   ON a.cell = qs.cell AND a.vec_id <> qs.q_id)
+               WHERE rn = 1),
+       b0 AS (SELECT q_id, node, cm FROM (
+                SELECT s.q_id, s.node, s.cm, row_number() OVER (
+                  PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
+                FROM ent c
+                JOIN qc s ON s.q_id = c.q_id AND s.node = c.node)
+              WHERE rn <= 4),
+       ${hop(1)},
+       ${hop(2)},
+       ${hop(3)}"""
+  }
 
   /** The single-probe IVF-PQ search oracle — shared verbatim by q193
     * (in-session trained index) and q345 (the same index through the
@@ -2901,57 +2971,40 @@ object VectorOps {
          SELECT src_id, tgt_id, CAST(rank AS BIGINT) AS rank,
                 round(CAST(cm AS DOUBLE) / 1e6, 6) AS cos
          FROM g""",
-    "q351_graph_search" -> {
-      def hop(t: Int): String =
-        s"""h$t AS (SELECT DISTINCT q_id, node FROM (
-                 SELECT q_id, node FROM b${t - 1}
-                 UNION ALL
-                 SELECT b.q_id, g.tgt_id AS node
-                 FROM b${t - 1} b JOIN g ON g.src_id = b.node)),
-           b$t AS (SELECT q_id, node, cm FROM (
-                 SELECT s.q_id, s.node, s.cm, row_number() OVER (
-                   PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
-                 FROM h$t c JOIN qc s
-                   ON s.q_id = c.q_id AND s.node = c.node)
-               WHERE rn <= 4)"""
+    "q351_graph_search" ->
       s"""WITH $assignSql,
          $graphCtesSql,
-         qs AS (SELECT vec_id AS q_id, cell FROM assigned
-                WHERE vec_id BETWEEN 100 AND 105),
-         qd AS (SELECT q.vec_id AS q_id, e.vec_id AS node,
-                  sum(q.x * e.x) AS dot
-                FROM ex q JOIN ex e ON e.i = q.i
-                  AND q.vec_id BETWEEN 100 AND 105
-                  AND e.vec_id <> q.vec_id
-                GROUP BY 1, 2),
-         qc AS MATERIALIZED (SELECT q_id, node,
-                CAST(round(round(dot/(na.n * nb.n), 6) * 1e6) AS BIGINT)
-                  AS cm
-              FROM qd JOIN nrm na ON q_id = na.vec_id
-                      JOIN nrm nb ON node = nb.vec_id),
-         ent AS (SELECT q_id, node FROM (
-                   SELECT qs.q_id, a.vec_id AS node, row_number() OVER (
-                     PARTITION BY qs.q_id
-                     ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id)
-                     AS rn
-                   FROM qs JOIN assigned a
-                     ON a.cell = qs.cell AND a.vec_id <> qs.q_id)
-                 WHERE rn = 1),
-         b0 AS (SELECT q_id, node, cm FROM (
-                  SELECT s.q_id, s.node, s.cm, row_number() OVER (
-                    PARTITION BY s.q_id ORDER BY s.cm DESC, s.node) AS rn
-                  FROM ent c
-                  JOIN qc s ON s.q_id = c.q_id AND s.node = c.node)
-                WHERE rn <= 4),
-         ${hop(1)},
-         ${hop(2)},
-         ${hop(3)}
+         $beamCtesSql
          SELECT q_id, node AS vec_id, CAST(rank AS BIGINT) AS rank,
                 round(CAST(cm AS DOUBLE) / 1e6, 6) AS cos
          FROM (SELECT q_id, node, cm, row_number() OVER (
                  PARTITION BY q_id ORDER BY cm DESC, node) AS rank
-               FROM b3) WHERE rank <= 3"""
-    },
+               FROM b3) WHERE rank <= 3""",
+    "q352_graph_recall" ->
+      s"""WITH $assignSql,
+         $graphCtesSql,
+         $beamCtesSql,
+         xcand AS (SELECT q.q_id, a.vec_id
+                   FROM qs q JOIN assigned a
+                     ON q.cell = a.cell AND a.vec_id <> q.q_id),
+         xpc AS (SELECT q_id, vec_id FROM (
+                   SELECT c.q_id, c.vec_id, row_number() OVER (
+                     PARTITION BY c.q_id
+                     ORDER BY qc.cm DESC, c.vec_id) AS rank
+                   FROM xcand c JOIN qc
+                     ON qc.q_id = c.q_id AND qc.node = c.vec_id)
+                 WHERE rank <= 3),
+         bt AS (SELECT q_id, node AS vec_id FROM (
+                  SELECT q_id, node, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cm DESC, node) AS rank
+                  FROM b3) WHERE rank <= 3)
+         SELECT x.q_id, CAST(count(*) AS BIGINT) AS k,
+                CAST(count(bt.vec_id) AS BIGINT) AS n_hit,
+                round(count(bt.vec_id) / CAST(count(*) AS DOUBLE), 4)
+                  AS recall
+         FROM xpc x LEFT JOIN bt
+           ON bt.q_id = x.q_id AND bt.vec_id = x.vec_id
+         GROUP BY 1""",
     "q342_ivfpq_residual" ->
       s"""WITH $assignSql,
          ${pqTrainSqlOver(residualPeSql, "r")},

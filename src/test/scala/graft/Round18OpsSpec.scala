@@ -271,6 +271,43 @@ class Round18OpsSpec extends SparkSpec {
         s"$agreement (< 0.4)")
   }
 
+  test("q352 graph recall: the oracled eval equals the spec's own " +
+      "overlap computation (the 0.667 measurement is an ORACLED " +
+      "output, not a one-off)") {
+    val rows = VectorOps.q352GraphRecall(spark, dir).collect()
+    assert(rows.length === 6)
+    val meanRecall = rows.map(_.getDouble(3)).sum / rows.length
+    assert(meanRecall >= 0.4,
+      s"beam recall vs exact in-cell top-3 crashed to $meanRecall")
+  }
+
+  test("artifact round trip holds for a DIRECTORY-shaped corpus (Spark-" +
+      "written parquet dir, not the testdata single file): fingerprint " +
+      "walks the tree, build/load reproduce the trained centroids") {
+    val tmp = freshTmp("ivfdir")
+    try {
+      val corpus = new java.io.File(tmp, "corpus"); corpus.mkdirs()
+      // a Spark-WRITTEN embeddings table: part files + _SUCCESS marker
+      Tables.embeddings(spark, dir).limit(120).repartition(3)
+        .write.parquet(new java.io.File(corpus, "embeddings.parquet").getPath)
+      val root = new java.io.File(tmp, "idx").getPath
+      IvfIndex.build(spark, corpus.getPath, root)
+      val loaded = IvfIndex.loadCentroidsAt(spark, corpus.getPath, root)
+        .getOrElse(fail("dir-shaped corpus artifact did not load"))
+      assert(loaded.toSeq ===
+        VectorOps.coarseCentroids(spark, corpus.getPath).toSeq)
+      // appending a part file to the table dir must invalidate
+      Tables.embeddings(spark, dir).limit(7)
+        .write.mode("append")
+        .parquet(new java.io.File(corpus, "embeddings.parquet").getPath)
+      assert(IvfIndex.loadCentroidsAt(spark, corpus.getPath, root).isEmpty,
+        "an appended table must fingerprint as changed")
+    } finally {
+      VectorOps.clearIndexCaches() // the tmp-corpus entries die with the dir
+      util.Fs.deleteRecursively(tmp)
+    }
+  }
+
   test("kcenterCoreset growth guard: k past the sequential-loop bound " +
       "fails loudly instead of degrading into corpus-scale driver trips") {
     val vecsDf = Seq((0L, Seq(0L, 0L)), (1L, Seq(1L, 1L)))
