@@ -119,21 +119,35 @@ object Multimodal {
     * any decode failure is the same "not a decodable image" outcome,
     * never a task-killing error. */
   def decodeImage8x8(payload: Array[Byte]): Option[Array[Int]] = try {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+    gridOf(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+  } catch {
+    // corrupt body behind a valid header (IIOException et al.): same
+    // contract as the no-reader case — null feature, row kept
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** The 8×8 integer-luma block average shared by every decode route.
+    * Pixels are fetched a ROW at a time through the bulk
+    * `getRGB(x, y, w, 1, buf, 0, w)` entry point — one surface/color-model
+    * dispatch per row instead of per pixel (same sRGB conversion, same
+    * values; the per-pixel form measurably dominated small-image decode). */
+  private def gridOf(img: java.awt.image.BufferedImage): Option[Array[Int]] =
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
     else {
       val w = img.getWidth
       val h = img.getHeight
       val sums = new Array[Long](64)
       val cnt = new Array[Long](64)
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
         val gy = y * 8 / h
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
           val gx = x * 8 / w
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val lum = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
             114L * (rgb & 0xff)) / 1000L
           val c = gy * 8 + gx
@@ -146,10 +160,40 @@ object Multimodal {
       Some(Array.tabulate(64)(i =>
         if (cnt(i) == 0) 0 else (sums(i) / cnt(i)).toInt))
     }
-  } catch {
-    // corrupt body behind a valid header (IIOException et al.): same
-    // contract as the no-reader case — null feature, row kept
-    case scala.util.control.NonFatal(_) => None
+
+  /** Per-TASK reusable decoder — the codec-init-once discipline extended
+    * to the reader object itself: `ImageIO.read` scans the plugin
+    * registry and builds a fresh reader + stream wrapper per call, which
+    * at millions of small payloads is a large constant factor. Payloads
+    * with the PNG magic reuse ONE cached PNG reader (reset between rows
+    * per the ImageReader contract); everything else falls back to the
+    * generic [[decodeImage8x8]] path unchanged. Identical contract:
+    * decodable image → Some(grid), anything else → None. NOT thread-safe
+    * — construct inside mapPartitions, one per task. */
+  final class Image8x8Decoder {
+    private val pngReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) Some(it.next()) else None
+    }
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    def decode(payload: Array[Byte]): Option[Array[Int]] = pngReader match {
+      case Some(r) if isPng(payload) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          r.setInput(iis, true, true)
+          gridOf(r.read(0))
+        } catch {
+          // truncated/corrupt body behind a PNG magic: same None contract
+          case scala.util.control.NonFatal(_) => None
+        } finally {
+          r.setInput(null) // release the stream; keep the reader for reuse
+          try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+        }
+      case _ => decodeImage8x8(payload)
+    }
   }
 
   /** aHash bit rule over a decoded 8×8 grid — IDENTICAL to the byte-tile
@@ -175,10 +219,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-task codec init: ImageIO's default disk-backed stream cache
-      // is pure overhead for in-memory payloads
+      // is pure overhead for in-memory payloads; the decoder instance
+      // caches the PNG reader so the registry scan happens once per task
       javax.imageio.ImageIO.setUseCache(false)
+      val dec = new Image8x8Decoder
       rows.map { r =>
-        (r.media_id, r.kind, decodeImage8x8(r.payload).map(aHashOfGrid).orNull)
+        (r.media_id, r.kind, dec.decode(r.payload).map(aHashOfGrid).orNull)
       }
     }.toDF("media_id", "kind", "ahash")
   }

@@ -269,7 +269,8 @@ object ComposeOps {
     val pairs = ahashPairs(s, groups)
     graft.plans.ConnectedComponents.labels(
         pairs.select(col("hash_a").as("src"), col("hash_b").as("dst")),
-        groups.select(col("ahash").as("node")))
+        groups.select(col("ahash").as("node")),
+        uniqueNodes = true) // groups is a groupBy(ahash) output — unique
       .join(groups, col("node") === col("ahash"))
       .groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n_hashes"),
@@ -301,20 +302,38 @@ object ComposeOps {
       val md = java.security.MessageDigest.getInstance("MD5")
       // per-TASK buffers (the codec-init discipline): every row
       // overwrites all 64 pixels and resets the byte sink, so reuse is
-      // safe and drops two heap allocations per row off the hot loop
+      // safe and drops two heap allocations per row off the hot loop.
+      // The PNG ImageWriter is likewise fetched ONCE per task —
+      // ImageIO.write re-scans the plugin registry and wraps a fresh
+      // ImageOutputStream per call, a large constant factor at one call
+      // per row (the reader-side twin lives in Multimodal.Image8x8Decoder).
       val img = new java.awt.image.BufferedImage(
         8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val bos = new java.io.ByteArrayOutputStream(256)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      // md5 inputs "<id>:<i>" without per-pixel string formatting: the
+      // "<id>:" prefix bytes build once per row, the 64 "<i>" suffixes
+      // once per task — same digest bytes, no allocation in the loop
+      val suffix = Array.tabulate(64)(i => i.toString.getBytes("UTF-8"))
       rows.map { id =>
+        val prefix = s"$id:".getBytes("UTF-8")
         var i = 0
         while (i < 64) {
           md.reset()
-          val p = md.digest(s"$id:$i".getBytes("UTF-8"))(0) & 0xff
+          md.update(prefix)
+          md.update(suffix(i))
+          val p = md.digest()(0) & 0xff
           img.setRGB(i % 8, i / 8, (p << 16) | (p << 8) | p)
           i += 1
         }
         bos.reset()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+        writer.setOutput(null)
+        ios.close()
         (id, "png", bos.toByteArray)
       }
     }.toDF("media_id", "kind", "payload")

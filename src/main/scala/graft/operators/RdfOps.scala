@@ -1121,7 +1121,7 @@ object RdfOps {
         .select(nodes("node"), round(
           lit(0.15) / n + lit(0.85) *
             (coalesce(col("cin"), lit(0.0)) + col("dm") / n), 10).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: next round's dangling agg materializes
     }
     // the cut sorts on the SAME 8dp key it emits (round-before-use):
     // sorting on the 10dp iteration state would let two 8dp-equal nodes
@@ -1177,7 +1177,7 @@ object RdfOps {
           coalesce(col("inS"), lit(0.0)) *
             (lit(0.15) / ns + lit(0.85) * col("dm") / ns) +
             lit(0.85) * coalesce(col("cin"), lit(0.0)), 10).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: next round's dangling agg materializes
     }
     val out = pr
       .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
@@ -1223,7 +1223,7 @@ object RdfOps {
         .crossJoin(broadcast(aNorm))
         .select(nodes("node"),
           round(coalesce(col("ar"), lit(0.0)) / col("an"), 10).as("a"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: hRaw's norm agg materializes
       val hRaw = auth.join(e, auth("node") === e("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       val hNorm = hRaw.agg(sum(col("hr")).as("hn"))
@@ -1231,7 +1231,7 @@ object RdfOps {
         .crossJoin(broadcast(hNorm))
         .select(nodes("node"),
           round(coalesce(col("hr"), lit(0.0)) / col("hn"), 10).as("h"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: next round / terminal join materializes
     }
     val out = auth.join(hub, Seq("node"))
       .orderBy(round(col("a"), 8).desc, col("node").asc).limit(20)
@@ -1270,7 +1270,7 @@ object RdfOps {
   def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     var edges = edges0
       .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false) // lazy: the count below materializes
     var m = edges.count()
     var rounds = 0
     var done = m == 0L
@@ -1281,7 +1281,7 @@ object RdfOps {
         .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: ONE job per round (count materializes)
       val m2 = pruned.count()
       done = m2 == m
       m = m2
@@ -1321,8 +1321,8 @@ object RdfOps {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .localCheckpoint(false) // lazy — fixed-round loop, no driver read needed
+      visited = visited.unionByName(next).localCheckpoint(false)
       frontier = next.select("node")
     }
     e.unpersist(blocking = false)
@@ -1358,7 +1358,7 @@ object RdfOps {
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy — fixed-round loop
     }
     e.unpersist(blocking = false)
     lbl
@@ -1389,7 +1389,7 @@ object RdfOps {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy — fixed-round loop
     }
     e.unpersist(blocking = false)
     dist

@@ -1268,12 +1268,17 @@ object TextOps {
     * components by construction — the column is the regression tripwire
     * if the fold key ever drifts off the canonical id. */
   def q275GroupKfold(s: SparkSession, dir: String): DataFrame = {
-    val folds = q110DedupClusters(s, dir)
+    // ONE LSH pass feeds both the cluster labels and the crossing audit
+    // (q34's result is an eager localCheckpoint — reusing the frame costs
+    // nothing; recomputing it via q110 costs a full shingle→minhash→band
+    // pipeline)
+    val pairs = q34MinhashLsh(s, dir)
+    val folds = dedupClustersFromPairs(s, dir, pairs)
       .withColumn("fold",
         expr("CAST(conv(substr(md5(CAST(canonical_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 5")
           .cast("long"))
       .localCheckpoint() // shared by the per-fold census and the audit
-    val crossing = q34MinhashLsh(s, dir)
+    val crossing = pairs
       .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fa")), Seq("doc_a"))
       .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fb")), Seq("doc_b"))
       .agg(sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)).as("n_crossing_pairs"))
@@ -1677,13 +1682,22 @@ object TextOps {
     * Documents outside every pair are their own canonical — the output is
     * a total doc_id → canonical_id map, directly joinable as a dedup
     * filter (`keep = doc_id == canonical_id`). */
-  def q110DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q34MinhashLsh(s, dir)
+  def q110DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersFromPairs(s, dir, q34MinhashLsh(s, dir))
+
+  /** q110's component step over an ALREADY-MATERIALIZED pair frame —
+    * the seam that lets composed queries (q275, q279) reuse the one
+    * localCheckpoint'ed q34 result for both their pair-level logic and
+    * the cluster labels, instead of running the full shingle→minhash→
+    * band-join pipeline twice per query (measured ~1 s/extra pass at
+    * sf0.1; identical output by construction — same pairs, same CC). */
+  private[graft] def dedupClustersFromPairs(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame =
     graft.plans.ConnectedComponents.labels(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-        Tables.documents(s, dir).select(col("doc_id").as("node")))
+        Tables.documents(s, dir).select(col("doc_id").as("node")),
+        uniqueNodes = true) // doc_id is the table PK — skip the domain distinct
       .select(col("node").as("doc_id"), col("component").as("canonical_id"))
-  }
 
   /** Right-to-be-forgotten propagation through the dedup clusters (the
     * GDPR deletion pass a production corpus must run BEFORE honoring a
@@ -1702,7 +1716,8 @@ object TextOps {
     // full frame feeds three consumers (stats, affected set, recluster
     // input) — node-sized, cut once
     val full = graft.plans.ConnectedComponents.labels(
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), allDocs)
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), allDocs,
+        uniqueNodes = true) // doc_id is the table PK
       .withColumn("deleted", col("node") % 17 === 0)
       .localCheckpoint()
     // the RECLUSTER runs only over AFFECTED clusters' survivors: a
@@ -1718,7 +1733,8 @@ object TextOps {
       .filter(col("doc_a") % 17 =!= 0 && col("doc_b") % 17 =!= 0)
       .join(affNodes.select(col("node").as("doc_a")), Seq("doc_a"), "left_semi")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val after = graft.plans.ConnectedComponents.labels(affPairs, affNodes)
+    val after = graft.plans.ConnectedComponents.labels(affPairs, affNodes,
+      uniqueNodes = true) // affNodes filters CC output — one row per node
     val stats = full.groupBy(col("component").as("old_cluster"))
       .agg(count(lit(1)).as("n_before"),
         sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"))
@@ -2778,7 +2794,8 @@ object TextOps {
     val pairs = editDistanceJoin(names, k = 2, q = 2)
       .select(col("a").as("src"), col("b").as("dst"))
     val lab = graft.plans.ConnectedComponents.labels(
-      pairs, names.select(col("name").as("node")))
+      pairs, names.select(col("name").as("node")),
+      uniqueNodes = true) // names is already distinct()
     val sizes = lab.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, Seq("component"))

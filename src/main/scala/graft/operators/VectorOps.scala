@@ -593,7 +593,7 @@ object VectorOps {
           .as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
       val kept = cents.join(newC.select(col("cent_id")), Seq("cent_id"), "left_anti")
-      val next = newC.unionByName(kept).localCheckpoint() // lineage cut
+      val next = newC.unionByName(kept).localCheckpoint(false) // lazy lineage cut — the convergence read below materializes
       // bounded driver read (k rows): exact rounded-centroid equality
       converged = cents.as("o").join(next.as("n"), "cent_id")
         .filter(col("o.cv") =!= col("n.cv")).isEmpty
@@ -1883,7 +1883,7 @@ object VectorOps {
       .orderBy(col("cm").desc, col("node").asc)
     var beam = score(entries)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-      .select(col("q_id"), col("node"), col("cm")).localCheckpoint()
+      .select(col("q_id"), col("node"), col("cm")).localCheckpoint(false)
     for (_ <- 1 to 3) {
       val cand = beam.select(col("q_id"), col("node"))
         .unionByName(edges.join(broadcast(beam),
@@ -1892,7 +1892,7 @@ object VectorOps {
         .distinct()
       beam = score(cand)
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-        .select(col("q_id"), col("node"), col("cm")).localCheckpoint()
+        .select(col("q_id"), col("node"), col("cm")).localCheckpoint(false)
     }
     assigned.unpersist(blocking = false)
     beam.withColumn("rank", row_number().over(w).cast("long"))
@@ -2193,7 +2193,9 @@ object VectorOps {
     val pairs = graft.operators.TextOps.q34MinhashLsh(s, dir)
     val pos = pairs.groupBy(col("doc_a").as("anchor_id"))
       .agg(min(col("doc_b")).as("pos_id"))
-    val canon = graft.operators.TextOps.q110DedupClusters(s, dir)
+    // reuse the checkpointed pair frame for the cluster labels — q110
+    // called directly would run the whole LSH pipeline a second time
+    val canon = graft.operators.TextOps.dedupClustersFromPairs(s, dir, pairs)
     val cells = assignCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     val anchors = pos
       .join(cells.select(col("vec_id").as("anchor_id"), col("v").as("av"),

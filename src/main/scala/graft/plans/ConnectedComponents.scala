@@ -67,13 +67,21 @@ object ConnectedComponents {
     * @return (node, component) — component = min node id reachable over
     *         the undirected pair graph, deterministic under re-runs
     */
+  /** @param uniqueNodes caller PROMISE that `nodes` carries no duplicate
+    *   rows (a primary key, a groupBy output, another CC's labels…): the
+    *   terminal domain join then skips its defensive `distinct()` — at
+    *   corpus scale that distinct is a full extra exchange of the node
+    *   set for nothing. Identical output for unique inputs; a violated
+    *   promise duplicates output rows instead of deduplicating them. */
   def labels(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
-             algorithm: String = "auto"): DataFrame = {
+             algorithm: String = "auto",
+             uniqueNodes: Boolean = false): DataFrame = {
     algorithm match {
       case "auto" => minLabelPropagation(edges, nodes, maxIters,
-        switchAfter = Some(AutoSwitchRound))
-      case "min-label" => minLabelPropagation(edges, nodes, maxIters)
-      case "star" => starContraction(edges, nodes, maxIters)
+        switchAfter = Some(AutoSwitchRound), uniqueNodes = uniqueNodes)
+      case "min-label" => minLabelPropagation(edges, nodes, maxIters,
+        uniqueNodes = uniqueNodes)
+      case "star" => starContraction(edges, nodes, maxIters, uniqueNodes)
       case other => sys.error(
         s"unknown algorithm '$other' (expected 'auto', 'min-label' or 'star')")
     }
@@ -95,8 +103,10 @@ object ConnectedComponents {
     * caller's domain, silently breaking keep = (node == component)
     * consumers — and refuses at action time via raise_error, costing
     * zero extra jobs. */
-  private def attachDomain(lab: DataFrame, nodes: DataFrame): DataFrame =
-    nodes.select(col("node")).distinct()
+  private def attachDomain(lab: DataFrame, nodes: DataFrame,
+                           uniqueNodes: Boolean): DataFrame =
+    (if (uniqueNodes) nodes.select(col("node"))
+     else nodes.select(col("node")).distinct())
       .select(col("node"), lit(true).as("__known"))
       .join(lab, Seq("node"), "full_outer")
       .select(
@@ -108,7 +118,8 @@ object ConnectedComponents {
 
   private def minLabelPropagation(edges: DataFrame, nodes: DataFrame,
                                   maxIters: Int,
-                                  switchAfter: Option[Int] = None): DataFrame = {
+                                  switchAfter: Option[Int] = None,
+                                  uniqueNodes: Boolean = false): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -172,10 +183,10 @@ object ConnectedComponents {
           System.err.println(s"[graft] ConnectedComponents auto: min-label " +
             s"propagation not converged after $i rounds — switching to " +
             "large-star/small-star contraction (deep-diameter evidence)")
-          return starContraction(edges, nodes, maxIters)
+          return starContraction(edges, nodes, maxIters, uniqueNodes)
         }
       }
-      attachDomain(lab, nodes)
+      attachDomain(lab, nodes, uniqueNodes)
     } finally { sym.unpersist(blocking = false) }
   }
 
@@ -197,7 +208,8 @@ object ConnectedComponents {
     * is exact and type-generic: distinct edge-set equality via count +
     * one-sided EXCEPT (null-safe), ~O(log d) extra passes total. */
   private def starContraction(edges: DataFrame, nodes: DataFrame,
-                              maxIters: Int): DataFrame = {
+                              maxIters: Int,
+                              uniqueNodes: Boolean = false): DataFrame = {
     // self-loops contract nothing; dedup keeps the per-round state tight
     var e = ckpt(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
@@ -240,6 +252,6 @@ object ConnectedComponents {
     val lab = e.select(col("src").as("node"), col("dst").as("component"))
       .unionByName(e.select(col("dst").as("node"), col("dst").as("component"))
         .distinct())
-    attachDomain(lab, nodes)
+    attachDomain(lab, nodes, uniqueNodes)
   }
 }
