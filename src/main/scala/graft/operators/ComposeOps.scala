@@ -295,8 +295,17 @@ object ComposeOps {
     * per-row codec work every media pipeline pays, nothing else. */
   def q321ImageioAhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The events table arrives as ONE parquet split at bench scale, and
+    // the per-row work here is heavyweight interpreted codec code (md5
+    // pixels + PNG encode + decode) — without a repartition the whole
+    // corpus encodes in a single task (measured: the query ran serial).
+    // Repartitioning the 8-byte id column is a negligible shuffle at any
+    // scale and spreads the codec work over every core (the q34
+    // repartition rationale; scale-adaptive via defaultParallelism).
     val ids = graft.Tables.events(s, dir)
-      .select(col("event_id").as("media_id")).as[Long]
+      .select(col("event_id").as("media_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
     val media = ids.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -22,7 +22,14 @@ object PipelineOps {
     * extraction (stubbed codec, real schema/partitioning). */
   def q45MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Multimodal.extractFeatures(Multimodal.mediaFromEvents(s, dir)).toDF()
+    // The events table is one parquet split at bench scale and the stub
+    // decode is interpreted per-row work — repartition so the decode
+    // parallelizes instead of running in a single task (the q321/q34
+    // repartition rationale; id+payload rows, negligible shuffle next to
+    // any real codec).
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromEvents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)).toDF()
   }
 
   /** §3.1 person-index pipeline: BGP → distinct → label service → doc

@@ -1100,10 +1100,13 @@ object RdfOps {
     * across iterations. Top-20 under the total (pr desc, node) order
     * via TakeOrderedAndProject. */
   def q198Pagerank(sp: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager), not persist: the loop's lazy per-round
+    // checkpoints re-analyze this table's logical plan every round, and
+    // the TripleStore union behind it is a deep tree — checkpointed it
+    // plans as one leaf (same one-pass materialization as persist+count)
     val e = TripleStore.triples(sp, dir)
       .filter(col("p").isin("nation", "region"))
-      .select(col("s").as("src"), col("o").as("dst")).persist()
-    e.count()
+      .select(col("s").as("src"), col("o").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
@@ -1131,7 +1134,7 @@ object RdfOps {
       .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
       .select(col("node"), round(col("pr"), 8).as("pr"))
       .localCheckpoint()
-    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 
@@ -1149,10 +1152,13 @@ object RdfOps {
     * round to 10dp before reuse; the top-20 sorts on the 8dp emitted
     * key (q198's round-before-use cut). */
   def q298PersonalizedPagerank(sp: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager), not persist: the loop's lazy per-round
+    // checkpoints re-analyze this table's logical plan every round, and
+    // the TripleStore union behind it is a deep tree — checkpointed it
+    // plans as one leaf (same one-pass materialization as persist+count)
     val e = TripleStore.triples(sp, dir)
       .filter(col("p").isin("nation", "region"))
-      .select(col("s").as("src"), col("o").as("dst")).persist()
-    e.count()
+      .select(col("s").as("src"), col("o").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val seeds = e.filter(col("dst") === "R1")
@@ -1183,7 +1189,7 @@ object RdfOps {
       .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
       .select(col("node"), round(col("pr"), 8).as("pr"))
       .localCheckpoint()
-    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 
@@ -1206,10 +1212,13 @@ object RdfOps {
     * across rounds. Top-20 under (authority desc, node) via
     * TakeOrderedAndProject. */
   def q249Hits(sp: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (eager), not persist: the loop's lazy per-round
+    // checkpoints re-analyze this table's logical plan every round, and
+    // the TripleStore union behind it is a deep tree — checkpointed it
+    // plans as one leaf (same one-pass materialization as persist+count)
     val e = TripleStore.triples(sp, dir)
       .filter(col("p").isin("nation", "region"))
-      .select(col("s").as("src"), col("o").as("dst")).persist()
-    e.count()
+      .select(col("s").as("src"), col("o").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
@@ -1238,7 +1247,7 @@ object RdfOps {
       .select(col("node"), round(col("a"), 8).as("authority"),
         round(col("h"), 8).as("hub"))
       .localCheckpoint()
-    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 
@@ -1312,8 +1321,8 @@ object RdfOps {
       .select(col("s").as("src"), col("o").as("dst"))
     val e = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    e.count()
+      .distinct().localCheckpoint() // leaf plan for the per-round joins
+
     var visited = Seq(("R1", 0L)).toDF("node", "hop").localCheckpoint()
     var frontier = visited.select("node")
     (1 to 4).foreach { h =>
@@ -1325,7 +1334,6 @@ object RdfOps {
       visited = visited.unionByName(next).localCheckpoint(false)
       frontier = next.select("node")
     }
-    e.unpersist(blocking = false)
     visited
   }
 
@@ -1346,8 +1354,8 @@ object RdfOps {
       .select(col("s").as("src"), col("o").as("dst"))
     val e = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    e.count()
+      .distinct().localCheckpoint() // leaf plan for the per-round joins
+
     var lbl = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -1360,7 +1368,6 @@ object RdfOps {
         .select(col("node"), col("m.l").as("label"))
         .localCheckpoint(false) // lazy — fixed-round loop
     }
-    e.unpersist(blocking = false)
     lbl
   }
 
@@ -1381,8 +1388,8 @@ object RdfOps {
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .withColumn("w", (length(col("src")) * 7 + length(col("dst")) * 13) % 5 + 1)
-      .persist()
-    e.count()
+      .localCheckpoint() // leaf plan for the per-round joins
+
     var dist = Seq(("R1", 0L)).toDF("node", "dist").localCheckpoint()
     (1 to 4).foreach { _ =>
       val relaxed = dist.join(e, dist("node") === e("src"))
@@ -1391,7 +1398,6 @@ object RdfOps {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(false) // lazy — fixed-round loop
     }
-    e.unpersist(blocking = false)
     dist
   }
 

@@ -54,6 +54,18 @@ object Closure {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
     else df.localCheckpoint(false)
 
+  /** Eager variant for the loop-invariant EDGE table. Two reasons it is
+    * checkpointed rather than persisted: (1) every round's lazy ckpt
+    * calls toRdd, which re-ANALYZES the edge table's full logical plan —
+    * for a TripleStore-shaped input (a ~20-arm union) that is ~0.3-1 s of
+    * driver-side planning PER ROUND (guide §7.3 "very large plans"),
+    * while a checkpointed table plans as one leaf; (2) same
+    * materialize-once economics as persist (one pass over the edges
+    * either way). */
+  private def ckptEager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** One-job probe: true iff every src has at most one distinct dst (the
     * edge relation is a forest/functional relation). Lets callers that
     * cannot promise functionality — e.g. the SPARQL text front-end handed
@@ -94,15 +106,14 @@ object Closure {
                  functionalEdges: Boolean = false,
                  broadcastMaxRows: Long = 500000L,
                  twoHopAfterRounds: Int = -1): DataFrame = {
-    // The edge table is probed every round — materialize it once instead of
-    // re-running its scan (at cluster scale: persist(MEMORY_AND_DISK)).
-    val e = edges.select(col("src"), col("dst")).persist()
-    try {
-      if (functionalEdges)
-        reachingToFunctional(e, seeds, maxIters, broadcastMaxRows,
-          resolveSwitch(twoHopAfterRounds))
-      else reachingToGeneral(e, seeds, maxIters, broadcastMaxRows)
-    } finally { e.unpersist(blocking = false) }
+    // The edge table is probed every round — materialize AND lineage-cut
+    // it once (see ckptEager: per-round re-analysis of a deep edge plan
+    // was the dominant driver cost of shallow closures).
+    val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))))
+    if (functionalEdges)
+      reachingToFunctional(e, seeds, maxIters, broadcastMaxRows,
+        resolveSwitch(twoHopAfterRounds))
+    else reachingToGeneral(e, seeds, maxIters, broadcastMaxRows)
   }
 
   private def resolveSwitch(explicit: Int): Int =
@@ -264,8 +275,8 @@ object Closure {
   def rootLabels(edges: DataFrame, roots: DataFrame, maxIters: Int = 50,
                  functionalEdges: Boolean = false,
                  broadcastMaxRows: Long = 500000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    try {
+    val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))));
+    {
       // Price the root-set hint with an exact count like every other
       // fixpoint here: a huge root set (labeling from millions of roots)
       // must shuffle-join, not force a driver-side broadcast build.
@@ -299,20 +310,18 @@ object Closure {
         i += 1
       }
       if (functionalEdges) acc.distinct() else acc
-    } finally { e.unpersist(blocking = false) }
+    }
   }
 
   def ancestorPairs(edges: DataFrame, maxIters: Int = 50,
                     functionalEdges: Boolean = false,
                     broadcastMaxRows: Long = 500000L,
                     twoHopAfterRounds: Int = -1): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    try {
-      if (functionalEdges)
-        ancestorPairsFunctional(e, maxIters, broadcastMaxRows,
-          resolveSwitch(twoHopAfterRounds))
-      else ancestorPairsGeneral(e, maxIters, broadcastMaxRows)
-    } finally { e.unpersist(blocking = false) }
+    val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))))
+    if (functionalEdges)
+      ancestorPairsFunctional(e, maxIters, broadcastMaxRows,
+        resolveSwitch(twoHopAfterRounds))
+    else ancestorPairsGeneral(e, maxIters, broadcastMaxRows)
   }
 
   private def ancestorPairsGeneral(e: DataFrame, maxIters: Int,

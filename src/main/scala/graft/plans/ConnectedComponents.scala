@@ -43,6 +43,12 @@ object ConnectedComponents {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
     else df.localCheckpoint(false)
 
+  /** Eager variant for loop-invariant tables (the Closure.ckptEager
+    * rationale: cut per-round re-analysis of a deep input plan). */
+  private def ckptEager(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Component labels for every node in `nodes`.
     *
     * @param edges (src, dst) pairs in either orientation (symmetrized here)
@@ -120,10 +126,17 @@ object ConnectedComponents {
                                   maxIters: Int,
                                   switchAfter: Option[Int] = None,
                                   uniqueNodes: Boolean = false): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    try {
+    // Eagerly checkpointed, not persisted: the symmetrized table is
+    // probed every round, and each round's lazy ckpt re-ANALYZES its
+    // whole logical plan — for a caller handing raw pair-pipeline edges
+    // (q203's band self-join) that is repeated driver-side planning for
+    // nothing; a checkpointed table plans as one leaf (same
+    // materialize-once economics).
+    val sym = ckptEager(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct());
+    {
       // Both orientations are present, so src alone covers every touched node.
       var lab = ckpt(sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("component")))
@@ -187,7 +200,7 @@ object ConnectedComponents {
         }
       }
       attachDomain(lab, nodes, uniqueNodes)
-    } finally { sym.unpersist(blocking = false) }
+    }
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al. §3,
