@@ -14,6 +14,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Aggregate executor task time (executorRunTime, ms) — the round-18
+    // verdict's scaling ask: at sf0.1 per-query WALL time is dominated by
+    // fixed driver-side costs (planning, job scheduling, codegen), so the
+    // 8-core and 32-core wall clocks come out flat and the driver's
+    // low-core scaling probe is blind. task_sec is the executor-side work
+    // the cores actually share: task_sec/wall ≈ utilization, and
+    // task_sec(8c) ≈ task_sec(32c) is the signature of a driver-bound
+    // query (vs a plan that genuinely lost parallelism). Listener events
+    // are delivered asynchronously; tasks finish before the timed action
+    // returns, so per-query attribution error is bounded by bus lag
+    // (µs–ms) — diagnostic-grade, never part of `value`.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) taskMs.addAndGet(m.executorRunTime)
+        }
+      })
     // Absorb session/codegen warmup so it doesn't land on the first query,
     // and run in sorted order so per-query timings are comparable across
     // rounds.
@@ -45,9 +65,14 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.isEmpty || wanted.exists(n.contains)
     }
-    def runAll(): Seq[(String, Double)] = selected.zipWithIndex.map {
+    // (name, signed wall sec, executor task sec) per query. The task
+    // column is additive reporting only — the driver's schema fields
+    // (metric/value/unit/queries/sf) are computed from wall exactly as
+    // before.
+    def runAll(): Seq[(String, Double, Double)] = selected.zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 25 == 0) probe() // interleave the sentinel with real work
+        val tt0 = taskMs.get()
         val t0 = System.nanoTime()
         // bounded await per query (round 13: a single codegen hang left
         // the whole bench rc=124 with no JSON) — a timeout reports as
@@ -74,12 +99,16 @@ object Bench {
         // Clamp failures away from zero, matching the 2-decimal per-query
         // format: a fast failure must never round to -0.00 (which
         // JSON-parses equal to 0.0).
-        name -> (if (ok) sec else -math.max(sec, 0.01))
+        val tsec = (taskMs.get() - tt0) / 1e3
+        (name, if (ok) sec else -math.max(sec, 0.01), tsec)
     }
-    def merge(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
-      a.zip(b).map { case ((name, x), (_, y)) =>
+    // Per-query min of the wall passes; the task column follows the pass
+    // that supplied the min (task time of the same execution window).
+    def merge(a: Seq[(String, Double, Double)], b: Seq[(String, Double, Double)]) =
+      a.zip(b).map { case ((name, x, tx), (_, y, ty)) =>
         val m = math.min(math.abs(x), math.abs(y))
-        name -> (if (x >= 0 && y >= 0) m else -math.max(m, 0.01))
+        val t = if (math.abs(x) <= math.abs(y)) tx else ty
+        (name, if (x >= 0 && y >= 0) m else -math.max(m, 0.01), t)
       }
     // Contended = any probe ran >2.5x the series median (and slow in absolute
     // terms, so GC jitter on a ~0.05 s probe never trips it). The median —
@@ -116,12 +145,14 @@ object Bench {
     // a transient failure in it must not flip a query that was clean in both
     // primary passes, and a clean window in it redeems a previously-failed
     // query.
-    def mergeExtra(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
-      a.zip(b).map { case ((name, x), (_, y)) =>
-        name -> (if (x >= 0 && y >= 0) math.min(x, y)
-                 else if (x >= 0) x
-                 else if (y >= 0) y
-                 else -math.max(math.min(-x, -y), 0.01))
+    def mergeExtra(a: Seq[(String, Double, Double)], b: Seq[(String, Double, Double)]) =
+      a.zip(b).map { case ((name, x, tx), (_, y, ty)) =>
+        val keepA = if (x >= 0 && y >= 0) x <= y else x >= 0
+        val w = if (x >= 0 && y >= 0) math.min(x, y)
+                else if (x >= 0) x
+                else if (y >= 0) y
+                else -math.max(math.min(-x, -y), 0.01)
+        (name, w, if (keepA) tx else ty)
       }
     if (contended()) {
       val pass3 = runAll()
@@ -143,10 +174,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmtQ(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val total = results.map { case (_, v) => math.abs(v) }.sum
-    val fullQs = results.map { case (k, v) =>
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    val fullQs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    // Executor task-time per query (and the board total): the scaling
+    // signal the wall clock cannot carry at sf0.1 (see listener above).
+    val fullTask = results.map { case (k, _, t) =>
+      "\"" + k + "\":" + fmt(t)
+    }.mkString("{", ",", "}")
+    val taskTotal = results.map(_._3).sum
     val fullProbes = probes.map(fmt).mkString("[", ",", "]")
     // Every pass's raw timing per query (not just the min): round-over-
     // round drift questions are then answerable from the committed
@@ -158,7 +195,7 @@ object Bench {
         allPasses.map(p => fmt(p(i)._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"passes_sec":$passQs,"probe_sec":$fullProbes,"contended":${contended()},"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"task_sec":$fullTask,"task_sec_total":${fmt(taskTotal)},"cpus":$cpus,"passes_sec":$passQs,"probe_sec":$fullProbes,"contended":${contended()},"passes":$passes,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json"))
     java.nio.file.Files.write(outFile,
@@ -177,15 +214,21 @@ object Bench {
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
-    val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val prefix = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }.toMap
     val collisions = prefix.values.groupBy(identity).collect {
       case (p, g) if g.size > 1 => p
     }.toSet
-    val slowest = results.sortBy { case (_, v) => -math.abs(v) }.take(12)
+    val slowest = results.sortBy { case (_, v, _) => -math.abs(v) }.take(12)
       .sortBy(_._1)
-    val qs = slowest.map { case (k, v) =>
-      val key = if (collisions(prefix(k))) k else prefix(k)
-      "\"" + key + "\":" + fmtQ(v)
+    def shortKey(k: String) = if (collisions(prefix(k))) k else prefix(k)
+    val qs = slowest.map { case (k, v, _) =>
+      "\"" + shortKey(k) + "\":" + fmtQ(v)
+    }.mkString("{", ",", "}")
+    // Same 12 keys, executor task seconds — lets the driver's scaling
+    // probe separate "driver-bound at this SF" (task ≈ equal across core
+    // counts, wall flat) from "lost parallelism" (task collapses).
+    val taskQs = slowest.map { case (k, _, t) =>
+      "\"" + shortKey(k) + "\":" + fmtQ(t)
     }.mkString("{", ",", "}")
     val shownProbes =
       if (probes.size <= 10) probes.toSeq
@@ -194,7 +237,7 @@ object Bench {
         (sampled :+ probes.max :+ probes.min).sorted
       }
     val probeJson = shownProbes.map(fmtQ).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"probe_sec":$probeJson,"contended":${contended()},"passes":$passes,"sf":"$sfDir","file":"${outFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"task_sec":$taskQs,"task_sec_total":${fmt(taskTotal)},"cpus":$cpus,"probe_sec":$probeJson,"contended":${contended()},"passes":$passes,"sf":"$sfDir","file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -175,9 +175,13 @@ object Multimodal {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
       if (it.hasNext) Some(it.next()) else None
     }
+    // Full 8-byte PNG signature (89 50 4E 47 0D 0A 1A 0A): a CR/LF-mangled
+    // payload with an intact 4-byte prefix must take the generic fallback,
+    // not reach the cached reader's exception path.
+    private val PngMagic: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     private def isPng(p: Array[Byte]): Boolean =
-      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
-        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+      p.length > 8 && java.util.Arrays.equals(p, 0, 8, PngMagic, 0, 8)
     def decode(payload: Array[Byte]): Option[Array[Int]] = pngReader match {
       case Some(r) if isPng(payload) =>
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(

@@ -1100,6 +1100,9 @@ object RdfOps {
     * across iterations. Top-20 under the total (pr desc, node) order
     * via TakeOrderedAndProject. */
   def q198Pagerank(sp: SparkSession, dir: String): DataFrame = {
+    // single terminal job over a 3-round chain: staged AQE re-planning at
+    // every exchange is pure overhead here (graft.util.LoopConf)
+    graft.util.LoopConf.noAqe(sp) {
     // localCheckpoint (eager), not persist: the loop's lazy per-round
     // checkpoints re-analyze this table's logical plan every round, and
     // the TripleStore union behind it is a deep tree — checkpointed it
@@ -1112,6 +1115,7 @@ object RdfOps {
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
     var pr: DataFrame = nodes.withColumn("pr", lit(1.0) / n)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to 3).foreach { _ =>
       val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
@@ -1124,7 +1128,8 @@ object RdfOps {
         .select(nodes("node"), round(
           lit(0.15) / n + lit(0.85) *
             (coalesce(col("cin"), lit(0.0)) + col("dm") / n), 10).as("pr"))
-        .localCheckpoint(false) // lazy: next round's dangling agg materializes
+        .localCheckpoint(false) // lazy: out's one terminal job materializes
+      rounds += pr
     }
     // the cut sorts on the SAME 8dp key it emits (round-before-use):
     // sorting on the 10dp iteration state would let two 8dp-equal nodes
@@ -1135,7 +1140,14 @@ object RdfOps {
       .select(col("node"), round(col("pr"), 8).as("pr"))
       .localCheckpoint()
     nodes.unpersist(blocking = false)
+    // out is an eager checkpoint: e's blocks (and every mid-loop lazy-ckpt
+    // round's, all materialized by out's one job) are dead — drop them
+    // instead of leaking per-query blocks across a long session (ADVICE
+    // r18).
+    graft.util.CkptBlocks.release(e)
+    rounds.foreach(graft.util.CkptBlocks.release)
     out
+    }
   }
 
   /** PERSONALIZED PageRank from a seed set (the topic-sensitive variant,
@@ -1152,6 +1164,9 @@ object RdfOps {
     * round to 10dp before reuse; the top-20 sorts on the 8dp emitted
     * key (q198's round-before-use cut). */
   def q298PersonalizedPagerank(sp: SparkSession, dir: String): DataFrame = {
+    // single terminal job over a 3-round chain: staged AQE re-planning at
+    // every exchange is pure overhead here (graft.util.LoopConf)
+    graft.util.LoopConf.noAqe(sp) {
     // localCheckpoint (eager), not persist: the loop's lazy per-round
     // checkpoints re-analyze this table's logical plan every round, and
     // the TripleStore union behind it is a deep tree — checkpointed it
@@ -1169,6 +1184,7 @@ object RdfOps {
     var pr: DataFrame = nodes.join(seedTag, Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("inS"), lit(0.0)) / ns).as("pr"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to 3).foreach { _ =>
       val dangling = pr.join(deg, pr("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
@@ -1183,14 +1199,20 @@ object RdfOps {
           coalesce(col("inS"), lit(0.0)) *
             (lit(0.15) / ns + lit(0.85) * col("dm") / ns) +
             lit(0.85) * coalesce(col("cin"), lit(0.0)), 10).as("pr"))
-        .localCheckpoint(false) // lazy: next round's dangling agg materializes
+        .localCheckpoint(false) // lazy: out's one terminal job materializes
+      rounds += pr
     }
     val out = pr
       .orderBy(round(col("pr"), 8).desc, col("node").asc).limit(20)
       .select(col("node"), round(col("pr"), 8).as("pr"))
       .localCheckpoint()
     nodes.unpersist(blocking = false)
+    // dead after the eager terminal checkpoint (q198 rationale)
+    graft.util.CkptBlocks.release(e)
+    graft.util.CkptBlocks.release(seeds)
+    rounds.foreach(graft.util.CkptBlocks.release)
     out
+    }
   }
 
   /** HITS hubs & authorities over the entity graph — the second classic
@@ -1212,6 +1234,9 @@ object RdfOps {
     * across rounds. Top-20 under (authority desc, node) via
     * TakeOrderedAndProject. */
   def q249Hits(sp: SparkSession, dir: String): DataFrame = {
+    // single terminal job over a 3-round chain: staged AQE re-planning at
+    // every exchange is pure overhead here (graft.util.LoopConf)
+    graft.util.LoopConf.noAqe(sp) {
     // localCheckpoint (eager), not persist: the loop's lazy per-round
     // checkpoints re-analyze this table's logical plan every round, and
     // the TripleStore union behind it is a deep tree — checkpointed it
@@ -1224,6 +1249,7 @@ object RdfOps {
     val n = nodes.count()
     var hub: DataFrame = nodes.withColumn("h", lit(1.0) / n)
     var auth: DataFrame = null
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to 3).foreach { _ =>
       val aRaw = hub.join(e, hub("node") === e("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
@@ -1241,6 +1267,8 @@ object RdfOps {
         .select(nodes("node"),
           round(coalesce(col("hr"), lit(0.0)) / col("hn"), 10).as("h"))
         .localCheckpoint(false) // lazy: next round / terminal join materializes
+      rounds += auth
+      rounds += hub
     }
     val out = auth.join(hub, Seq("node"))
       .orderBy(round(col("a"), 8).desc, col("node").asc).limit(20)
@@ -1248,7 +1276,11 @@ object RdfOps {
         round(col("h"), 8).as("hub"))
       .localCheckpoint()
     nodes.unpersist(blocking = false)
+    // dead after the eager terminal checkpoint (q198 rationale)
+    graft.util.CkptBlocks.release(e)
+    rounds.foreach(graft.util.CkptBlocks.release)
     out
+    }
   }
 
   /** k-core decomposition by iterative peeling over the bipartite
@@ -1277,6 +1309,9 @@ object RdfOps {
     * self-loops. Returns surviving (node, core_deg). maxRounds is a
     * refuse-loudly guard, not a truncation — non-convergence throws. */
   def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    // data-dependent round count, one action per round — per-round AQE
+    // re-planning is pure overhead (graft.util.LoopConf)
+    graft.util.LoopConf.noAqe(edges0.sparkSession) {
     var edges = edges0
       .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false) // lazy: the count below materializes
@@ -1284,14 +1319,23 @@ object RdfOps {
     var rounds = 0
     var done = m == 0L
     while (!done && rounds < maxRounds) {
-      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val alive0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
+      // Price the semi-join build side with the round's EXACT edge count
+      // (the Closure broadcast-hint discipline): |alive| ≤ distinct src ≤
+      // m, so a small remaining graph broadcasts — both per-round
+      // semi-joins then stream the edge blocks with no shuffle — instead
+      // of trusting AQE to convert mid-loop.
+      val alive = if (m <= 500000L) broadcast(alive0) else alive0
       val pruned = edges
         .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(false) // lazy: ONE job per round (count materializes)
       val m2 = pruned.count()
+      // pruned is a materialized leaf now — the superseded round's blocks
+      // are dead (peeling keeps only the newest edge set alive)
+      graft.util.CkptBlocks.release(edges)
       done = m2 == m
       m = m2
       edges = pruned
@@ -1300,6 +1344,7 @@ object RdfOps {
     if (!done) throw new IllegalStateException(
       s"kCore did not converge in $maxRounds rounds — raise maxRounds")
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    }
   }
 
   /** Min-hop BFS from a seed entity over the UNDIRECTED entity graph

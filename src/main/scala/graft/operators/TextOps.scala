@@ -3685,6 +3685,14 @@ object TextOps {
     * verification tDen·|∩| ≥ tNum·|∪| stay integer-exact — no float ever
     * decides a pair. Output: (doc_a, doc_b, inter, uni), doc_a < doc_b. */
   private[graft] def prefixJaccardPairs(td: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    // tf stays an INLINE subquery on purpose (r19 measured decision): the
+    // planner's size estimates walk through it, auto-broadcast it into
+    // the ordered join AND auto-broadcast the prefix self-join below at
+    // small candidate volumes. An eagerly-checkpointed tf becomes a
+    // LogicalRDD leaf with default (huge) stats, the estimate chain dies,
+    // and the candidate self-join flips BHJ → SortMergeJoin: measured
+    // q288 6.4 → 10.0 s, q170 3.4 → 4.2 s at sf0.1. Estimates, not
+    // counts, are the right tool exactly here.
     val tf = td.select(explode(col("td")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // rare-first global order: (freq asc, tok asc) — deterministic
@@ -3695,6 +3703,14 @@ object TextOps {
       .select(col("doc_id"),
         expr("transform(st, x -> x.tok)").as("sorted"),
         size(col("st")).cast("long").as("n"))
+    // NO length filter on the candidate join (r19 measured decision): the
+    // PPJoin length filter (min·tDen ≥ max·tNum) is output-neutral but
+    // carrying |d| through the prefix explode pushed the self-join build
+    // side past the auto-broadcast estimate at sf0.1 (BHJ → SMJ plan
+    // flip, q288 6.4 → 9.8 s), and with this corpus's near-uniform doc
+    // lengths it pruned nothing measurable once the estimate was nudged
+    // back (q288 6.9 s, q170 +0.4 s — filter evaluation cost, no pruning
+    // payoff). Revisit only on corpora with real length spread.
     val prefixed = ordered.withColumn("plen",
         expr(s"CAST(n - (($tNum * n + ${tDen - 1}) div $tDen) + 1 AS INT)"))
       .select(col("doc_id"),

@@ -27,8 +27,9 @@ import graft.functions.CosineSimilarity
 object VectorOps {
 
   /** embeddings with double-cast vector; registers the native cosine
-    * expression on the session. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    * expression on the session. private[graft] for the PlanDump
+    * internal-plan inspector. */
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -123,8 +124,15 @@ object VectorOps {
     math.max(8L, math.round(math.sqrt(n.toDouble))).toInt
 
   /** Widest k the literal-inline argmax compiles cleanly at; past it
-    * cell scoring swaps to [[scoredCellsBroadcast]]. */
-  private[graft] val IvfLiteralMaxK = 64
+    * cell scoring swaps to [[scoredCellsBroadcast]]. Env-overridable
+    * (GRAFT_IVF_LITERAL_MAXK) for the strategy A/B — the r18 verdict's
+    * cold-codegen experiment: the literal form pays a large first-pass
+    * janino compile that the broadcast form never does, while the
+    * broadcast form pays a per-row join at steady state. Both produce
+    * identical output (parity-pinned by spec). */
+  private[graft] val IvfLiteralMaxK =
+    sys.env.get("GRAFT_IVF_LITERAL_MAXK").flatMap(_.toIntOption)
+      .getOrElse(64)
 
   /** Broadcast-join cell scoring for k past the literal-codegen width:
     * the corpus joins the broadcast k-row centroid table and every
@@ -409,6 +417,11 @@ object VectorOps {
     * shared side-builder for the capped bitext cell join. The clean
     * path never reads c2, so Catalyst prunes it; k ≥ 8 guarantees a
     * second cell exists. */
+  /** [[top2Cells]] over the corpus + trained centroids — the PlanDump
+    * inspector's entry to the q351/q352 shared scan. */
+  private[graft] def top2CellsFor(s: SparkSession, dir: String): DataFrame =
+    top2Cells(vecs(s, dir), coarseCentroids(s, dir))
+
   private def top2Cells(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
     require(cents.length >= 2, "top2Cells needs at least two centroids")
     if (cents.length > IvfLiteralMaxK)
@@ -503,18 +516,26 @@ object VectorOps {
     // query).
     val assigned = assignCells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     assigned.count()
+    val out = ivfAnnFrom(assigned).localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** [[q60IvfAnn]] downstream of the cell assignment — the exact
+    * in-cell top-3 as a function of a caller-supplied (vec_id, v, cell)
+    * frame, so q352 can share ONE assignment scan between its exact arm
+    * (this) and its beam arm (r18 verdict item 5). Caller persists the
+    * input and materializes the (tiny) result before dropping it. */
+  private[graft] def ivfAnnFrom(assigned: DataFrame): DataFrame = {
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val candidates = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    val out = candidates.withColumn("rank", row_number().over(wTop).cast("long"))
+    candidates.withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("cos"))
-      .localCheckpoint()
-    assigned.unpersist(blocking = false)
-    out
   }
 
   /** One FURTHER Lloyd (k-means) iteration on top of the trained coarse
@@ -1365,8 +1386,8 @@ object VectorOps {
     * subvectors — the q186 training-loop discipline applied per
     * subspace, WITHOUT a driver loop over subspaces: the subspace id is
     * an ordinary grouping key, so one distributed assign pass (subs ×
-    * broadcast codebooks, min-L2 window) and one (m, code, dim)
-    * partial-sum shuffle train all 4 codebooks at once. Rounded means
+    * broadcast codebooks, min-L2 partial aggregation) and one
+    * (m, code, dim) partial-sum shuffle train all 4 codebooks at once. Rounded means
     * (6dp) before any further use + fixed round count = the whole
     * trajectory replays verbatim in DuckDB as chained CTEs; the exact
     * rounded-fixpoint early stop commutes with the oracle's
@@ -1385,6 +1406,11 @@ object VectorOps {
     var it = 0
     var converged = false
     while (it < rounds && !converged) {
+      // argmin via the window (not the pqEncode packed-long min): the
+      // mean step needs the `sub` array back per winner, and any
+      // aggregate whose buffer carries an array falls off
+      // HashAggregateExec onto SortAggregate — measured slower than the
+      // window at every SF tried (r19 A/B: q206 1.41 s → 1.93 s).
       val a = subs.join(broadcast(cbs), col("m") === col("cm"))
         .withColumn("dist2", pqL2)
         .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
@@ -1430,22 +1456,44 @@ object VectorOps {
   /** PQ-encode a cell-assigned corpus against broadcast codebooks:
     * min-L2 codeword per (vector, subspace) → (vec_id, cell, m, code).
     * One corpus scan; shared by [[ivfpqAdcSearch]], the streaming
-    * encode-append sink, and the batch-parity spec between them. */
+    * encode-append sink, and the batch-parity spec between them.
+    *
+    * The argmin is a packed-long min: dist2 is already 6dp-rounded and
+    * non-negative (pqL2), so round(dist2*1e6)::long is order-isomorphic
+    * to dist2 (distinct 6dp values differ by >= ~1 after the scale; the
+    * same trick q342 uses for its dm key), and packing the codeword id
+    * into the low byte makes min(dm*256 + code) EXACTLY the old
+    * per-(vec_id, m) window's (dist2 asc, code asc) row_number()=1 row.
+    * A long min hash-aggregates with a mutable buffer, so the map side
+    * combines the corpus×16 scored rows down to corpus×4 BEFORE the
+    * exchange (guide §2.3 "aggregate before you shuffle"); the window
+    * form shuffled every scored row into a sort, and a min over
+    * struct(dist2, code) falls off HashAggregateExec onto SortAggregate
+    * (struct buffers are not mutable-type-supported). */
   private[graft] def pqEncode(assigned: DataFrame, cbs: DataFrame): DataFrame = {
     val subs = assigned.select(col("vec_id"), col("cell"), posexplode(expr(
         "transform(sequence(0, 3), m -> slice(v, m*16+1, 16))"))
       .as(Seq("m", "sub")))
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist2").asc, col("code").asc)
     subs.join(broadcast(cbs), col("m") === col("cm"))
-      .withColumn("dist2", pqL2)
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      .withColumn("packed",
+        round(pqL2 * 1e6).cast("long") * 256L + col("code"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(col("packed")).as("__p"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        (col("__p") % 256L).as("code"))
   }
 
   private[graft] def ivfpqAdcSearch(assigned: DataFrame, cbs: DataFrame,
+                                    queries: DataFrame, topK: Int): DataFrame =
+    adcSearchCodes(pqEncode(assigned, cbs), cbs, queries, topK)
+
+  /** [[ivfpqAdcSearch]] downstream of the corpus encode — takes the
+    * (vec_id, cell, m, code) frame directly so a dual-arm eval (q341:
+    * single-probe and two-probe over the SAME corpus and codebooks) can
+    * encode once and search twice (r18 verdict item 4: each arm
+    * otherwise repeats the corpus-sized encode scan + shuffle). */
+  private[graft] def adcSearchCodes(codes: DataFrame, cbs: DataFrame,
                                     queries: DataFrame, topK: Int): DataFrame = {
-    val codes = pqEncode(assigned, cbs)
     // per-query ADC tables: raw query subvectors vs every codeword
     val dtTab = queries
       .select(col("q_id"), col("q_cell"), posexplode(expr(
@@ -1542,16 +1590,37 @@ object VectorOps {
     * codes) measured against truth, not asserted. Integer hit counts;
     * recall spends one division rounded 4 (the q128 convention). */
   def q341AdcRecall(s: SparkSession, dir: String): DataFrame = {
+    val cents = coarseCentroids(s, dir)
     val e = vecs(s, dir)
-    val q = e.filter(col("vec_id").between(100, 105))
+    // The two arms are q193 (single-probe) and q340 (two-probe) over the
+    // SAME corpus, centroids and codebooks — they differ only in the
+    // query frame's probe fan-out, so the cell assignment AND the PQ
+    // corpus encode are computed ONCE and both searches consume the
+    // shared codes (r18 verdict item 4: composing the standalone queries
+    // assigned + encoded the corpus twice for byte-identical frames).
+    // The exact-truth pass reads the SAME persisted frame (its (vec_id,
+    // v) columns) instead of re-reading the parquet scan.
+    val assigned = assignCells(e, cents).persist()
+    assigned.count()
+    val q = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val exactTop = assigned.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"))
       .localCheckpoint() // Q×3 rows, reused by both arms
+    val cbs = pqCodebooksFor(s, dir, residual = false)(
+      trainPqCodebooks(assigned))
+    val codes = pqEncode(assigned, cbs).localCheckpoint()
+    val q1 = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
+    val q2 = rankedCells(e.filter(col("vec_id").between(100, 105)), cents,
+        maxRn = 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("q_cell"),
+        col("v").as("qv"))
     def arm(name: String, res: DataFrame): DataFrame =
       exactTop.join(res.select(col("q_id"), col("vec_id"),
           lit(1L).as("__hit")), Seq("q_id", "vec_id"), "left")
@@ -1561,9 +1630,13 @@ object VectorOps {
           round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
             .as("recall"))
         .withColumn("arm", lit(name))
-    arm("adc1", q193IvfpqSearch(s, dir))
-      .unionByName(arm("adc2", q340IvfpqMultiprobe(s, dir)))
+    val out = arm("adc1", adcSearchCodes(codes, cbs, q1, topK = 3))
+      .unionByName(arm("adc2", adcSearchCodes(codes, cbs, q2, topK = 3)))
       .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
+      .localCheckpoint() // materialize before the cache drops (q34 pattern)
+    assigned.unpersist(blocking = false)
+    graft.util.CkptBlocks.release(codes)
+    out
   }
 
   /** RESIDUAL IVF-PQ search — the true IVFADC encoding (Jégou et al.
@@ -1597,16 +1670,30 @@ object VectorOps {
     * row per (arm, query) — q341's protocol with the encoding, not
     * the probe count, as the variable. */
   def q343ResidualGain(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val q = e.filter(col("vec_id").between(100, 105))
+    // The raw arm IS q193's pipeline, but composed from the standalone
+    // query it re-assigned the corpus privately and the exact-truth pass
+    // re-read the parquet scan; ONE persisted assignment now feeds the
+    // truth pass (same (vec_id, v) rows), the raw encode, and the raw
+    // query frame (the q341 sharing, applied here). The residual arm
+    // keeps its own encode — residual vectors are a different corpus by
+    // construction, so two encodes are intrinsic to this eval.
+    val cents = coarseCentroids(s, dir)
+    val assigned = assignCells(vecs(s, dir), cents).persist()
+    assigned.count()
+    val q = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val exactTop = assigned.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(CosineSimilarity(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("q_id"), col("vec_id"))
       .localCheckpoint()
+    val cbs = pqCodebooksFor(s, dir, residual = false)(
+      trainPqCodebooks(assigned))
+    val q1 = assigned.filter(col("vec_id").between(100, 105))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+        col("v").as("qv"))
     def arm(name: String, res: DataFrame): DataFrame =
       exactTop.join(res.select(col("q_id"), col("vec_id"),
           lit(1L).as("__hit")), Seq("q_id", "vec_id"), "left")
@@ -1616,9 +1703,16 @@ object VectorOps {
           round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
             .as("recall"))
         .withColumn("arm", lit(name))
-    arm("raw", q193IvfpqSearch(s, dir))
+    // one terminal materialization — no intermediate eager checkpoints:
+    // at bench scale the job BARRIERS cost more than the corpus scans
+    // they stage (measured: a codes+rawArm-checkpointed variant ran
+    // q343 1.1 s SLOWER than base despite one fewer scan)
+    val out = arm("raw", ivfpqAdcSearch(assigned, cbs, q1, topK = 3))
       .unionByName(arm("residual", q342IvfpqResidual(s, dir)))
       .select(col("arm"), col("q_id"), col("k"), col("n_hit"), col("recall"))
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** PQ quantization-distortion report — the codebook-quality number
@@ -1801,6 +1895,19 @@ object VectorOps {
                                    k: Int): DataFrame = {
     val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir)).persist()
     t2.count()
+    val out = knnGraphEdgesFrom(t2, k)
+    t2.unpersist(blocking = false)
+    out
+  }
+
+  /** [[knnGraphEdges]] downstream of the top-2 cell scan — takes the
+    * persisted (vec_id, v, c1, ccos1, c2) frame so q351/q352 can share
+    * ONE corpus×centroid scoring pass between the graph build, the
+    * cell assignment (c1 IS assignCells' cell: same (ccos desc, id asc)
+    * argmax) and the beam's vector lookups. Returns an eagerly
+    * checkpointed edge list (materializes while the caller's cache is
+    * hot). */
+  private[graft] def knnGraphEdgesFrom(t2: DataFrame, k: Int): DataFrame = {
     val a = t2.select(col("vec_id").as("src_id"), col("v").as("va"),
       col("c1").as("cell"), col("c2").as("alta"))
     val b = t2.select(col("vec_id").as("tgt_id"), col("v").as("vb"),
@@ -1812,12 +1919,10 @@ object VectorOps {
           .cast("long"))
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cm").desc, col("tgt_id").asc)
-    val out = pairs.withColumn("rank", row_number().over(w).cast("long"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src_id"), col("tgt_id"), col("rank"), col("cm"))
       .localCheckpoint()
-    t2.unpersist(blocking = false)
-    out
   }
 
   /** kNN-graph build as a query: every vector's top-3 in-cell
@@ -1850,11 +1955,27 @@ object VectorOps {
     * shrink the hop count — cluster routing is the flat-graph
     * equivalent, and the entry pick is one broadcast-query join). */
   def q351GraphSearch(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val edges = knnGraphEdges(s, dir, 3)
-      .select(col("src_id"), col("tgt_id"))
-    val assigned = assignCells(e, coarseCentroids(s, dir)).persist()
-    assigned.count()
+    // ONE corpus×centroid scoring pass serves the graph build (top-2
+    // cells), the cell assignment (c1) and the beam's vector lookups —
+    // the standalone query previously scored the corpus twice (top-2 for
+    // the graph + argmax for the assignment) and re-read the parquet scan
+    // per beam hop (r18 verdict item 5's shape, applied to q351 itself).
+    val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir)).persist()
+    t2.count()
+    val edges = knnGraphEdgesFrom(t2, 3).select(col("src_id"), col("tgt_id"))
+    val assigned = t2.select(col("vec_id"), col("v"), col("c1").as("cell"))
+    val out = graphSearchFrom(assigned, edges)
+      .localCheckpoint() // materialize before the cache drops (q34 pattern)
+    t2.unpersist(blocking = false)
+    out
+  }
+
+  /** [[q351GraphSearch]] downstream of the cell assignment: the
+    * cluster-routed beam as a function of a caller-supplied (vec_id, v,
+    * cell) frame and a (src_id, tgt_id) edge list. Caller persists the
+    * assignment and materializes the result before dropping it. */
+  private[graft] def graphSearchFrom(assigned: DataFrame,
+                                     edges: DataFrame): DataFrame = {
     val queries = assigned.filter(col("vec_id").between(100, 105))
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
         col("v").as("qv"))
@@ -1871,7 +1992,7 @@ object VectorOps {
       .withColumn("rn", row_number().over(wEntry)).filter(col("rn") === 1)
       .select(col("q_id"), col("vec_id").as("node"))
     def score(cand: DataFrame): DataFrame =
-      e.select(col("vec_id").as("node"), col("v"))
+      assigned.select(col("vec_id").as("node"), col("v"))
         .join(broadcast(cand), "node")
         .join(broadcast(queries.select(col("q_id"), col("qv"))), "q_id")
         .filter(col("node") =!= col("q_id"))
@@ -1894,7 +2015,6 @@ object VectorOps {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
         .select(col("q_id"), col("node"), col("cm")).localCheckpoint(false)
     }
-    assigned.unpersist(blocking = false)
     beam.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("node").as("vec_id"), col("rank"),
@@ -1908,16 +2028,29 @@ object VectorOps {
     * vs what cell pruning already gave up; q328 prices the latter).
     * One row per query; integer hits, one rounded division. */
   def q352GraphRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = q60IvfAnn(s, dir).select(col("q_id"), col("vec_id"))
-    val beam = q351GraphSearch(s, dir)
+    // The exact arm (q60's in-cell top-3) and the beam arm (q351) both
+    // start from the same corpus×centroid scoring — composed from the
+    // standalone queries they assigned the corpus THREE times (q60's
+    // argmax, q351's graph top-2, q351's argmax). One persisted top-2
+    // scan now feeds the graph build, both arms' assignment (c1 = the
+    // argmax cell) and the beam's vector lookups (r18 verdict item 5).
+    val t2 = top2Cells(vecs(s, dir), coarseCentroids(s, dir)).persist()
+    t2.count()
+    val assigned = t2.select(col("vec_id"), col("v"), col("c1").as("cell"))
+    val edges = knnGraphEdgesFrom(t2, 3).select(col("src_id"), col("tgt_id"))
+    val exact = ivfAnnFrom(assigned).select(col("q_id"), col("vec_id"))
+    val beam = graphSearchFrom(assigned, edges)
       .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
-    exact.join(beam, Seq("q_id", "vec_id"), "left")
+    val out = exact.join(beam, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
         round(sum(coalesce(col("__hit"), lit(0L))) / count(lit(1)), 4)
           .as("recall"))
       .select(col("q_id"), col("k"), col("n_hit"), col("recall"))
+      .localCheckpoint() // materialize before the cache drops (q34 pattern)
+    t2.unpersist(blocking = false)
+    out
   }
 
   /** Scratch artifact root for the q344/q345 round-trip queries: a

@@ -110,10 +110,20 @@ object Closure {
     // it once (see ckptEager: per-round re-analysis of a deep edge plan
     // was the dominant driver cost of shallow closures).
     val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))))
-    if (functionalEdges)
-      reachingToFunctional(e, seeds, maxIters, broadcastMaxRows,
-        resolveSwitch(twoHopAfterRounds))
-    else reachingToGeneral(e, seeds, maxIters, broadcastMaxRows)
+    // The loop's joins are exact-count-priced, so per-round AQE
+    // re-planning buys nothing — see graft.util.LoopConf.
+    val out = graft.util.LoopConf.noAqe(edges.sparkSession) {
+      if (functionalEdges)
+        reachingToFunctional(e, seeds, maxIters, broadcastMaxRows,
+          resolveSwitch(twoHopAfterRounds))
+      else reachingToGeneral(e, seeds, maxIters, broadcastMaxRows)
+    }
+    // Every kept frontier materialized its checkpoint inside the loop (the
+    // per-round count), so the result no longer reads the edge blocks —
+    // release them now rather than leaking one edge table per closure call
+    // into the block manager until context GC (r18 verdict item).
+    graft.util.CkptBlocks.release(e)
+    out
   }
 
   private def resolveSwitch(explicit: Int): Int =
@@ -276,7 +286,7 @@ object Closure {
                  functionalEdges: Boolean = false,
                  broadcastMaxRows: Long = 500000L): DataFrame = {
     val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))));
-    {
+    graft.util.LoopConf.noAqe(edges.sparkSession) {
       // Price the root-set hint with an exact count like every other
       // fixpoint here: a huge root set (labeling from millions of roots)
       // must shuffle-join, not force a driver-side broadcast build.
@@ -309,6 +319,7 @@ object Closure {
         frontier = next
         i += 1
       }
+      graft.util.CkptBlocks.release(e) // rounds are materialized leaves
       if (functionalEdges) acc.distinct() else acc
     }
   }
@@ -318,10 +329,14 @@ object Closure {
                     broadcastMaxRows: Long = 500000L,
                     twoHopAfterRounds: Int = -1): DataFrame = {
     val e = timed("edges ckpt")(ckptEager(edges.select(col("src"), col("dst"))))
-    if (functionalEdges)
-      ancestorPairsFunctional(e, maxIters, broadcastMaxRows,
-        resolveSwitch(twoHopAfterRounds))
-    else ancestorPairsGeneral(e, maxIters, broadcastMaxRows)
+    val out = graft.util.LoopConf.noAqe(edges.sparkSession) {
+      if (functionalEdges)
+        ancestorPairsFunctional(e, maxIters, broadcastMaxRows,
+          resolveSwitch(twoHopAfterRounds))
+      else ancestorPairsGeneral(e, maxIters, broadcastMaxRows)
+    }
+    graft.util.CkptBlocks.release(e) // rounds are materialized leaves
+    out
   }
 
   private def ancestorPairsGeneral(e: DataFrame, maxIters: Int,

@@ -70,15 +70,17 @@ object ConnectedComponents {
     *   produce identical labels (min id per component, any orderable
     *   type); the star path raises if maxIters is hit before the star
     *   fixpoint (a partially contracted graph has no correct reading).
-    * @return (node, component) — component = min node id reachable over
-    *         the undirected pair graph, deterministic under re-runs
-    */
-  /** @param uniqueNodes caller PROMISE that `nodes` carries no duplicate
+    * @param uniqueNodes caller PROMISE that `nodes` carries no duplicate
     *   rows (a primary key, a groupBy output, another CC's labels…): the
     *   terminal domain join then skips its defensive `distinct()` — at
     *   corpus scale that distinct is a full extra exchange of the node
     *   set for nothing. Identical output for unique inputs; a violated
-    *   promise duplicates output rows instead of deduplicating them. */
+    *   promise duplicates output rows instead of deduplicating them —
+    *   set GRAFT_CC_DEBUG to make a violation fail loudly instead
+    *   (two extra counting jobs, so verify/debug runs only).
+    * @return (node, component) — component = min node id reachable over
+    *         the undirected pair graph, deterministic under re-runs
+    */
   def labels(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
              algorithm: String = "auto",
              uniqueNodes: Boolean = false): DataFrame = {
@@ -109,8 +111,21 @@ object ConnectedComponents {
     * caller's domain, silently breaking keep = (node == component)
     * consumers — and refuses at action time via raise_error, costing
     * zero extra jobs. */
+  /** Debug-gated audit of the [[labels]] uniqueNodes promise (the
+    * Closure GRAFT_*_DEBUG convention): a violated promise silently
+    * DUPLICATES output rows via the full-outer domain join, so verify
+    * runs can opt into failing loudly at two counting jobs' cost. */
+  private def debugCc = sys.env.contains("GRAFT_CC_DEBUG")
+
   private def attachDomain(lab: DataFrame, nodes: DataFrame,
-                           uniqueNodes: Boolean): DataFrame =
+                           uniqueNodes: Boolean): DataFrame = {
+    if (uniqueNodes && debugCc) {
+      val n = nodes.select(col("node"))
+      val (rows, distinctRows) = (n.count(), n.distinct().count())
+      require(rows == distinctRows,
+        s"ConnectedComponents.labels: uniqueNodes promised but nodes has " +
+          s"$rows rows / $distinctRows distinct — output would duplicate")
+    }
     (if (uniqueNodes) nodes.select(col("node"))
      else nodes.select(col("node")).distinct())
       .select(col("node"), lit(true).as("__known"))
@@ -121,6 +136,7 @@ object ConnectedComponents {
           col("node").cast("string"))))
           .otherwise(col("node")).as("node"),
         coalesce(col("component"), col("node")).as("component"))
+  }
 
   private def minLabelPropagation(edges: DataFrame, nodes: DataFrame,
                                   maxIters: Int,
@@ -136,7 +152,9 @@ object ConnectedComponents {
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct());
-    {
+    // exact-fixpoint loop with one action per round — per-round AQE
+    // re-planning is pure overhead here (graft.util.LoopConf)
+    graft.util.LoopConf.noAqe(edges.sparkSession) {
       // Both orientations are present, so src alone covers every touched node.
       var lab = ckpt(sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("component")))
@@ -196,9 +214,23 @@ object ConnectedComponents {
           System.err.println(s"[graft] ConnectedComponents auto: min-label " +
             s"propagation not converged after $i rounds — switching to " +
             "large-star/small-star contraction (deep-diameter evidence)")
-          return starContraction(edges, nodes, maxIters, uniqueNodes)
+          // Hand the contraction the already-MATERIALIZED symmetrized
+          // table (it is a superset orientation-wise, which the star
+          // steps' own symmetrize/distinct absorb) instead of re-scanning
+          // and re-distincting the caller's deep edge plan; sym's blocks
+          // release once the contraction's eager first count has copied
+          // what it needs.
+          val out = starContraction(sym, nodes, maxIters, uniqueNodes,
+            preDeduped = true)
+          graft.util.CkptBlocks.release(sym)
+          return out
         }
       }
+      // Every kept round materialized its checkpoint (the fixpoint test is
+      // an action on `next`), so the loop-invariant edge blocks are dead
+      // weight from here — drop them instead of waiting for context GC
+      // (they otherwise accumulate across a long multi-query session).
+      if (i > 0 || prevSum.isDefined) graft.util.CkptBlocks.release(sym)
       attachDomain(lab, nodes, uniqueNodes)
     }
   }
@@ -222,10 +254,16 @@ object ConnectedComponents {
     * one-sided EXCEPT (null-safe), ~O(log d) extra passes total. */
   private def starContraction(edges: DataFrame, nodes: DataFrame,
                               maxIters: Int,
-                              uniqueNodes: Boolean = false): DataFrame = {
-    // self-loops contract nothing; dedup keeps the per-round state tight
-    var e = ckpt(edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+                              uniqueNodes: Boolean = false,
+                              preDeduped: Boolean = false): DataFrame = {
+    // self-loops contract nothing; dedup keeps the per-round state tight.
+    // preDeduped: the auto-switch path hands over an already-distinct
+    // materialized table — re-distincting it would be a full exchange
+    // for nothing (the uniqueNodes rationale, applied to edges).
+    val base = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.util.LoopConf.noAqe(edges.sparkSession) {
+    var e = ckpt(if (preDeduped) base else base.distinct())
     def largeStar(in: DataFrame): DataFrame = {
       val sym = in.unionByName(
         in.select(col("dst").as("src"), col("src").as("dst")))
@@ -266,5 +304,6 @@ object ConnectedComponents {
       .unionByName(e.select(col("dst").as("node"), col("dst").as("component"))
         .distinct())
     attachDomain(lab, nodes, uniqueNodes)
+    }
   }
 }
