@@ -41,6 +41,46 @@ object PlanDump {
       td.unpersist(blocking = false)
     }
 
+    if (want("bitext_margin")) {
+      // The r19 window-order change in bitextMarginPairs: both ranks are
+      // pure functions of the pair frame, but the LAST window leaves the
+      // frame partitioned by ITS key. Downstream (top-4 agg + reciprocal
+      // join) keys on src_id, so rs-last removes one full exchange of
+      // the corpus-sized pair frame. Both orders printed for the diff.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val lang = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = operators.VectorOps.vecs(spark, sfDir).join(lang, "vec_id")
+      val a = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("src_id"), col("v").as("va"))
+      val b = e.filter(col("lang") === "de")
+        .select(col("vec_id").as("tgt_id"), col("v").as("vb"))
+      val pairs = a.crossJoin(broadcast(b))
+        .withColumn("cm", round(round(
+          graft.functions.CosineSimilarity(col("va"), col("vb")), 6) * 1e6)
+          .cast("long"))
+        .select(col("src_id"), col("tgt_id"), col("cm"))
+      val ws = Window.partitionBy(col("src_id"))
+        .orderBy(col("cm").desc, col("tgt_id").asc)
+      val wt = Window.partitionBy(col("tgt_id"))
+        .orderBy(col("cm").desc, col("src_id").asc)
+      def tail(ranked: org.apache.spark.sql.DataFrame) = {
+        val top4 = ranked.filter(col("rs") <= 4)
+          .groupBy(col("src_id"))
+          .agg(sum(col("cm")).as("scm"), count(lit(1)).as("k4"))
+        ranked.filter(col("rs") === 1 && col("rt") === 1)
+          .join(top4, "src_id")
+          .select(col("src_id"), col("tgt_id"), col("scm"), col("k4"))
+      }
+      println("\n========== bitext_margin BEFORE (rs then rt) ==========")
+      tail(pairs.withColumn("rs", row_number().over(ws))
+        .withColumn("rt", row_number().over(wt))).explain("formatted")
+      println("\n========== bitext_margin AFTER (rt then rs) ==========")
+      tail(pairs.withColumn("rt", row_number().over(wt))
+        .withColumn("rs", row_number().over(ws))).explain("formatted")
+    }
+
     if (want("kcore_round")) {
       // one kCore peeling round exactly as RdfOps.kCore builds it (m is
       // the materializing count's exact edge total; the work tree hints

@@ -719,9 +719,16 @@ object VectorOps {
       .orderBy(col("cm").desc, col("tgt_id").asc)
     val wt = Window.partitionBy(col("tgt_id"))
       .orderBy(col("cm").desc, col("src_id").asc)
+    // rt FIRST, rs second (each rank is a pure function of the pair
+    // frame, so the order cannot change values): the LAST window leaves
+    // the frame hash-partitioned by ITS key, and every downstream
+    // consumer here keys on src_id — the top-4 aggregation and the
+    // reciprocal join then reuse the rs-window's exchange instead of
+    // re-shuffling the pair frame (guide §2.4: establish the
+    // partitioning once, in the order the consumers want it).
     val ranked = pairs
-      .withColumn("rs", row_number().over(ws))
       .withColumn("rt", row_number().over(wt))
+      .withColumn("rs", row_number().over(ws))
       .persist()
     val top4 = ranked.filter(col("rs") <= 4)
       .groupBy(col("src_id"))
